@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver testdata (`/root/repo/TESTDATA.md`): TPC-H-ish
+  * star schema + `events`/`documents`/`embeddings` extension tables.
+  *
+  * Design notes for 100 TB scale:
+  *  - Plain `spark.read.parquet` — Catalyst handles column pruning and
+  *    predicate pushdown into the scan; loaders never force columns.
+  *  - `events.parquet` carries `TIMESTAMP(NANOS)` which Spark's parquet
+  *    reader rejects; we read it as raw Long nanoseconds
+  *    (`spark.sql.legacy.parquet.nanosAsLong`) and derive both a
+  *    microsecond `TimestampType` column and an exact epoch-millis Long.
+  *    Doing time arithmetic on the millis column keeps results engine-
+  *    portable (no sub-millisecond truncation ambiguity).
+  */
+object Tables {
+
+  /** Session settings every entry point applies (idempotent). */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame = {
+    configure(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def region(s: SparkSession, d: String): DataFrame   = read(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = read(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = read(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = read(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = read(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  /** `events` with `ts` normalized: ts_ns (raw), ts (TimestampType, µs),
+    * ts_ms (epoch millis, the engine-portable comparison unit). */
+  def events(s: SparkSession, d: String): DataFrame =
+    read(s, d, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withColumn("ts_ms", expr("ts_ns div 1000000"))
+}

@@ -1,0 +1,371 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** L1 (reference parity, run against the driver testdata) + L2
+  * (monitoring analytics) batch operators — SURVEY.md §7.
+  *
+  * Conventions shared with the DuckDB oracles:
+  *  - Double aggregates are wrapped in `round(x, 2)` (or 4/6 for
+  *    averages) so accumulation-order ulps can't flip the hash compare.
+  *  - Integral derived columns are cast to Long (DuckDB's natural
+  *    BIGINT) so schemas line up.
+  *  - Event-time arithmetic happens on `ts_ms` (epoch millis), the
+  *    precision both engines see identically (parquet carries ns; Spark
+  *    truncates to µs, so raw timestamps are not portable).
+  *
+  * Scale notes: all joins against `region`/`nation`/`part`/`customer`
+  * dims are broadcast; fact-side aggregations are partial (map-side
+  * combine) by construction; window functions shuffle once on their
+  * partition keys. Nothing collects to the driver.
+  */
+object Analytics {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def r2(c: Column): Column = round(c, 2)
+  private def r4(c: Column): Column = round(c, 4)
+  private def r6(c: Column): Column = round(c, 6)
+
+  /** Engine-portable average, truncated to `avgScale` decimals:
+    * `floor(round(sum, sumScale) * 10^avgScale / count) / 10^avgScale`.
+    * A bare `round(avg(x), n)` is not portable: quotients like
+    * sum=563.81/count=8 = 70.47625 sit exactly on a half boundary, and
+    * Spark (BigDecimal of the shortest decimal repr, HALF_UP) and other
+    * engines (exact-binary rounding) disagree on ties. Truncation is
+    * tie-free: the rounded sum is the same double in both engines, IEEE
+    * multiply/divide on identical inputs is bit-identical, and `floor`
+    * only has decision boundaries at exact integers (deterministic). */
+  private def avgOf(x: Column, sumScale: Int, avgScale: Int): Column = {
+    val p = math.pow(10, avgScale)
+    floor(round(sum(x), sumScale) * lit(p) / count(lit(1))) / lit(p)
+  }
+
+  // ---- L1 parity on testdata (events = the transaction stand-in) ----
+
+  /** O2: full scan + projection (pruned at the parquet scan). */
+  def scanProject(ev: DataFrame): DataFrame =
+    ev.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+
+  /** O3/O4: point lookup — predicate pushed down to the scan. */
+  def pointLookup(ev: DataFrame, id: Long): DataFrame =
+    ev.filter(col("event_id") === lit(id))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts_ms"), col("props"))
+
+  /** O5: append ingest as union + downstream agg. */
+  def ingestUnion(ev: DataFrame): DataFrame = {
+    val a = ev.filter(col("event_type") === "purchase")
+    val b = ev.filter(col("event_type") === "error")
+    a.unionByName(b).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"))
+  }
+
+  /** Exact row-level dedup (distinct). */
+  def dedupDistinct(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"), col("event_type")).distinct()
+
+  /** O7-adjacent: JSON field extraction from the props payload. */
+  def jsonExtract(ev: DataFrame): DataFrame =
+    ev.select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+
+  /** Timestamp parsing → per-day counts. */
+  def perDay(ev: DataFrame): DataFrame =
+    ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"))
+
+  // ---- L2 monitoring analytics ----
+
+  /** TPC-H Q1-shaped pricing summary: the canonical grouped agg. */
+  def pricingSummary(li: DataFrame): DataFrame =
+    li.filter(expr("l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        r2(sum(col("l_quantity"))).as("sum_qty"),
+        r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+        avgOf(col("l_quantity"), 2, 4).as("avg_qty"),
+        avgOf(col("l_extendedprice"), 2, 4).as("avg_price"),
+        avgOf(col("l_discount"), 4, 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** Per-user × event-type stats (per-user/currency/merchant analytics
+    * of SURVEY.md §7 L2, over the testdata schema). */
+  def userStats(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        r2(sum(col("value"))).as("sum_value"),
+        avgOf(col("value"), 2, 4).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
+  /** Top-k customers by order revenue: broadcast dim join + agg + top-k. */
+  def topCustomers(orders: DataFrame, customer: DataFrame, k: Int): DataFrame =
+    orders.join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(r2(sum(col("o_totalprice"))).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(k)
+
+  /** Revenue by part brand: broadcast join fact→dim. */
+  def brandRevenue(li: DataFrame, part: DataFrame): DataFrame =
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Multi-join rollup: customer ⋈ nation ⋈ region ⋈ orders → per-region
+    * revenue. The flagship `entry` query. */
+  def regionRevenue(customer: DataFrame, nation: DataFrame, region: DataFrame,
+                    orders: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(r2(sum(col("o_totalprice"))).as("revenue"),
+        count(lit(1)).as("n_orders"))
+
+  /** Semi join: customers that have orders, counted per segment. */
+  def segmentsWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+
+  /** Anti join: customers with no orders. */
+  def segmentsWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_customers"))
+
+  /** Running per-customer order total (single shuffle on o_custkey). */
+  def runningTotals(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.select(col("o_custkey"), col("o_orderkey"),
+      r2(sum(col("o_totalprice")).over(w)).as("running_total"))
+  }
+
+  /** Inter-order gap in days (lag window). */
+  def orderGaps(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders.select(col("o_custkey"), col("o_orderkey"),
+      coalesce(datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+        .cast("long"), lit(-1L)).as("gap_days"))
+  }
+
+  /** Top-3 orders per customer (row_number ≤ k, deterministic tiebreak). */
+  def topOrdersPerCustomer(orders: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("long").as("rnk"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** ROLLUP over (returnflag, linestatus). */
+  def rollupFlags(li: DataFrame): DataFrame =
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("sum_qty"))
+
+  /** CUBE over (orderstatus, orderpriority). */
+  def cubeOrders(orders: DataFrame): DataFrame =
+    orders.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("sum_price"))
+
+  /** Set ops over per-type user-id sets. */
+  def usersIntersect(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "purchase").select(col("user_id")).distinct()
+      .intersect(ev.filter(col("event_type") === "error").select(col("user_id")).distinct())
+
+  def usersExcept(ev: DataFrame): DataFrame =
+    ev.filter(col("event_type") === "purchase").select(col("user_id")).distinct()
+      .except(ev.filter(col("event_type") === "error").select(col("user_id")).distinct())
+
+  /** Scalar function coverage: string/math over `part`. */
+  def scalarFuncs(part: DataFrame): DataFrame =
+    part.select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_uc"),
+      length(col("p_name")).cast("long").as("name_len"),
+      substring(col("p_name"), 1, 5).as("name_head"),
+      regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+      r2(col("p_retailprice") * 1.1).as("price_taxed"),
+      concat_ws("-", col("p_brand"), lit("x"), col("p_size").cast("string")).as("tag"),
+      (col("p_size") % 7).cast("long").as("size_mod"),
+      floor(col("p_retailprice")).cast("long").as("price_floor"))
+
+  /** Range join: same-user event pairs within a 5-minute window, counted
+    * per user. Equi key (user_id) + range predicate on ts_ms — Catalyst
+    * plans a sort-merge join on the equi key with the range as a
+    * post-join filter; per-user density stays bounded at scale. */
+  def rapidPairs(ev: DataFrame, windowMs: Long = 300000L): DataFrame = {
+    val a = ev.select(col("user_id"), col("ts_ms").as("a_ms"), col("event_id").as("a_id"))
+    val b = ev.select(col("user_id"), col("ts_ms").as("b_ms"), col("event_id").as("b_id"))
+    a.join(b, Seq("user_id"))
+      .filter(col("b_ms") > col("a_ms") && col("b_ms") <= col("a_ms") + windowMs)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** As-of join: for every purchase, the latest view event of the same
+    * user at-or-before the purchase. Spark-first realization: tag +
+    * union + one window pass (single shuffle on user_id), instead of a
+    * per-row subquery. */
+  def asofPurchaseView(ev: DataFrame): DataFrame = {
+    val relevant = ev.filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "view", col("event_id")).as("view_id"),
+        when(col("event_type") === "view", 0).otherwise(1).as("kind"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    relevant
+      .withColumn("last_view_id", last(col("view_id"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("last_view_id").as("view_id"))
+  }
+
+  /** Exact distinct counts (the oracle-checkable sibling of
+    * approxDistinct below). */
+  def distinctExact(li: DataFrame): DataFrame =
+    li.agg(countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"))
+
+  /** HLL sketch — no oracle (approximate by design); rows-only check. */
+  def approxDistinct(li: DataFrame): DataFrame =
+    li.agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+
+  // ---- driver wiring ----
+
+  val queries: Map[String, Q] = Map(
+    "q_scan_project" -> ((s, d) => scanProject(Tables.events(s, d))),
+    "q_point_lookup" -> ((s, d) => pointLookup(Tables.events(s, d), 777L)),
+    "q_ingest_union" -> ((s, d) => ingestUnion(Tables.events(s, d))),
+    "q_dedup_distinct" -> ((s, d) => dedupDistinct(Tables.events(s, d))),
+    "q_json_extract" -> ((s, d) => jsonExtract(Tables.events(s, d))),
+    "q_per_day" -> ((s, d) => perDay(Tables.events(s, d))),
+    "q1_pricing_summary" -> ((s, d) => pricingSummary(Tables.lineitem(s, d))),
+    "q_user_stats" -> ((s, d) => userStats(Tables.events(s, d))),
+    "q_top_customers" -> ((s, d) => topCustomers(Tables.orders(s, d), Tables.customer(s, d), 10)),
+    "q_brand_revenue" -> ((s, d) => brandRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q_region_revenue" -> ((s, d) => regionRevenue(Tables.customer(s, d),
+      Tables.nation(s, d), Tables.region(s, d), Tables.orders(s, d))),
+    "q_semi_join" -> ((s, d) => segmentsWithOrders(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_anti_join" -> ((s, d) => segmentsWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_window_running" -> ((s, d) => runningTotals(Tables.orders(s, d))),
+    "q_window_gaps" -> ((s, d) => orderGaps(Tables.orders(s, d))),
+    "q_window_topk" -> ((s, d) => topOrdersPerCustomer(Tables.orders(s, d), 3)),
+    "q_rollup" -> ((s, d) => rollupFlags(Tables.lineitem(s, d))),
+    "q_cube" -> ((s, d) => cubeOrders(Tables.orders(s, d))),
+    "q_setop_intersect" -> ((s, d) => usersIntersect(Tables.events(s, d))),
+    "q_setop_except" -> ((s, d) => usersExcept(Tables.events(s, d))),
+    "q_scalar_funcs" -> ((s, d) => scalarFuncs(Tables.part(s, d))),
+    "q_range_join" -> ((s, d) => rapidPairs(Tables.events(s, d))),
+    "q_asof_join" -> ((s, d) => asofPurchaseView(Tables.events(s, d))),
+    "q_distinct_exact" -> ((s, d) => distinctExact(Tables.lineitem(s, d))),
+    "q_approx_distinct" -> ((s, d) => approxDistinct(Tables.lineitem(s, d))))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      "SELECT event_id, user_id, event_type, value FROM events",
+    "q_point_lookup" ->
+      ("SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms, props " +
+        "FROM events WHERE event_id = 777"),
+    "q_ingest_union" ->
+      ("SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value FROM (" +
+        "SELECT * FROM events WHERE event_type = 'purchase' " +
+        "UNION ALL SELECT * FROM events WHERE event_type = 'error') GROUP BY event_type"),
+    "q_dedup_distinct" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    "q_json_extract" ->
+      ("SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n " +
+        "FROM events GROUP BY 1"),
+    "q_per_day" ->
+      ("SELECT CAST(ts AS DATE) AS day, count(*) AS n, round(sum(value), 2) AS sum_value " +
+        "FROM events GROUP BY 1"),
+    "q1_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
+        "round(sum(l_extendedprice), 2) AS sum_base_price, " +
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, " +
+        "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge, " +
+        "floor(round(sum(l_quantity), 2) * 10000 / count(*)) / 10000 AS avg_qty, " +
+        "floor(round(sum(l_extendedprice), 2) * 10000 / count(*)) / 10000 AS avg_price, " +
+        "floor(round(sum(l_discount), 4) * 1000000 / count(*)) / 1000000 AS avg_disc, count(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus"),
+    "q_user_stats" ->
+      ("SELECT user_id, event_type, count(*) AS n, round(sum(value), 2) AS sum_value, " +
+        "floor(round(sum(value), 2) * 10000 / count(*)) / 10000 AS avg_value, " +
+        "min(value) AS min_value, max(value) AS max_value " +
+        "FROM events GROUP BY user_id, event_type"),
+    "q_top_customers" ->
+      ("SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey LIMIT 10"),
+    "q_brand_revenue" ->
+      ("SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, " +
+        "count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand"),
+    "q_region_revenue" ->
+      ("SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"),
+    "q_semi_join" ->
+      ("SELECT c_mktsegment, count(*) AS n_customers FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "GROUP BY c_mktsegment"),
+    "q_anti_join" ->
+      ("SELECT c_mktsegment, count(*) AS n_customers FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "GROUP BY c_mktsegment"),
+    "q_window_running" ->
+      ("SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total FROM orders"),
+    "q_window_gaps" ->
+      ("SELECT o_custkey, o_orderkey, coalesce(datediff('day', " +
+        "lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), " +
+        "o_orderdate), -1) AS gap_days FROM orders"),
+    "q_window_topk" ->
+      ("SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk FROM orders) " +
+        "WHERE rnk <= 3"),
+    "q_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
+    "q_cube" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS n, " +
+        "round(sum(o_totalprice), 2) AS sum_price " +
+        "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"),
+    "q_setop_intersect" ->
+      ("SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' " +
+        "INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'error'"),
+    "q_setop_except" ->
+      ("SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' " +
+        "EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'error'"),
+    "q_scalar_funcs" ->
+      ("SELECT p_partkey, upper(p_brand) AS brand_uc, CAST(length(p_name) AS BIGINT) AS name_len, " +
+        "substring(p_name, 1, 5) AS name_head, regexp_extract(p_type, '^(\\w+)', 1) AS type_head, " +
+        "round(p_retailprice * 1.1, 2) AS price_taxed, " +
+        "concat_ws('-', p_brand, 'x', CAST(p_size AS VARCHAR)) AS tag, " +
+        "CAST(p_size % 7 AS BIGINT) AS size_mod, " +
+        "CAST(floor(p_retailprice) AS BIGINT) AS price_floor FROM part"),
+    "q_range_join" ->
+      ("SELECT a.user_id, count(*) AS n_pairs FROM events a JOIN events b " +
+        "ON a.user_id = b.user_id AND epoch_ms(b.ts) > epoch_ms(a.ts) " +
+        "AND epoch_ms(b.ts) <= epoch_ms(a.ts) + 300000 GROUP BY a.user_id"),
+    "q_asof_join" ->
+      ("SELECT p.event_id, v.event_id AS view_id FROM " +
+        "(SELECT * FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN " +
+        "(SELECT * FROM events WHERE event_type = 'view') v " +
+        "ON p.user_id = v.user_id AND p.ts >= v.ts"),
+    "q_distinct_exact" ->
+      ("SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps " +
+        "FROM lineitem"))
+}
