@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable text hashing primitives shared by the
+  * dedup / fingerprinting operators (SURVEY.md §7 L4).
+  *
+  * Everything is built on md5 so a SQL oracle (DuckDB
+  * `('0x'||substr(md5(s),1,15))::BIGINT`) reproduces the exact values:
+  * Spark's `hash`/`xxhash64` seeds are engine-private, md5 is not.
+  * 15 hex chars = 60 bits, always positive in a signed 64-bit long.
+  *
+  * All column functions here are per-row expressions — no shuffle, no
+  * driver round-trip — so they scale linearly with input splits.
+  */
+object TextHash {
+
+  /** Whitespace tokenization (single-space corpus). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** 60-bit positive hash of a string: first 15 hex chars of md5. */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Word n-gram shingles joined by single spaces; empty array when the
+    * document has fewer than n tokens (DuckDB `range` does the same). */
+  def shingles(toks: Column, n: Int = 3): Column = {
+    val idx = sequence(lit(1), size(toks) - (n - 1))
+    val mk = (i: Column) =>
+      concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)
+    when(size(toks) >= n, transform(idx, mk)).otherwise(array())
+  }
+
+  /** MinHash signature element h: min over shingles of hash60("h|s").
+    * One column per hash function keeps everything codegen-visible. */
+  def minhash(shingleCol: Column, h: Int): Column =
+    array_min(transform(shingleCol, s => hash60(concat(lit(s"$h|"), s))))
+
+  /** 60-bit SimHash over the token multiset: per bit, sum +1/-1 by the
+    * token-hash bit, emit 1 where the sum is positive. Term frequency
+    * weights fall out of the multiset sum naturally. */
+  def simhash(toks: Column, bits: Int = 60): Column = {
+    val hashes = transform(toks, t => hash60(t))
+    (0 until bits).map { b =>
+      val bitSum = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Jaccard similarity of two pre-distinct shingle arrays, as the exact
+    * rational inter/union in double (bit-identical across engines). */
+  def jaccard(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    inter / (size(sa) + size(sb) - inter)
+  }
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextHash._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for the training-data pipeline
+  * (SURVEY.md §7 L4): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design (the 100 TB story):
+  *  - Exact dedup is a single hash-aggregate on md5(text) — map-side
+  *    partial agg, one shuffle on the 128-bit digest, no skew (digests
+  *    are uniform).
+  *  - MinHash/SimHash signatures are pure per-row expressions (no
+  *    shuffle); LSH banding explodes to (bands × rows) and shuffles on
+  *    the band key, so candidate generation is O(collisions), never the
+  *    O(n²) cross join. Pair verification joins back to signatures by
+  *    doc id — co-partitioned equi joins all the way down.
+  *  - Thresholds: minhash verify jaccard ≥ 0.5; simhash hamming ≤ 3
+  *    (5 bands × 12 bits ⇒ any pair within hamming 3 shares ≥ 1 band by
+  *    pigeonhole — exact recall at that radius).
+  */
+object Dedup {
+
+  private def trunc4(c: Column): Column = floor(c * 10000) / 10000
+
+  /** Exact dedup over text content. The input is unioned with a copy of
+    * its first 50 docs (fresh ids) so the operator demonstrably collapses
+    * duplicates on this corpus (the generator plants near-dups, not exact
+    * dups). Returns one row per distinct text. */
+  def exact(docs: DataFrame): DataFrame = {
+    val extra = docs.filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    docs.unionByName(extra)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** Per-doc 3-shingle set + 16-element MinHash signature. */
+  private def signatures(docs: DataFrame): DataFrame = {
+    val sh = shingles(tokens(col("text")))
+    docs.select(
+      col("doc_id"),
+      array_distinct(sh).as("sd"),
+      array((0 until 16).map(h => minhash(sh, h)): _*).as("sig"))
+  }
+
+  /** MinHash + LSH near-dup pairs: 4 bands × 4 rows, verified with the
+    * true shingle-set Jaccard ≥ `threshold`. */
+  def minhashLsh(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sig = signatures(docs)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", (0 until 4).map(i => element_at(col("sig"), 4 * b + i + 1)): _*)).as("bkey"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val sa = sig.select(col("doc_id").as("a_id"), col("sd").as("sda"))
+    val sb = sig.select(col("doc_id").as("b_id"), col("sd").as("sdb"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("jac", jaccard(col("sda"), col("sdb")))
+      .filter(col("jac") >= threshold)
+      .select(col("a_id"), col("b_id"), trunc4(col("jac")).as("jaccard"))
+  }
+
+  /** Per-doc 60-bit SimHash fingerprint + how many docs share it. */
+  def simhashFingerprints(docs: DataFrame): DataFrame = {
+    val fp = docs.select(col("doc_id"), simhash(tokens(col("text"))).as("simhash"))
+    fp.withColumn("n_same", count(lit(1)).over(Window.partitionBy(col("simhash"))))
+  }
+
+  /** SimHash near-dup pairs via banded LSH: 5 bands × 12 bits generate
+    * candidates; keep pairs with hamming distance ≤ `maxHamming`.
+    * Banding gives exact recall for hamming ≤ 5-1-… ≤ 4 < 5 bands. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fp = docs.select(col("doc_id"), simhash(tokens(col("text"))).as("simhash"))
+    val bands = fp.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 5).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * 12).bitwiseAND(lit(4095L)).as("bkey"))): _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hd"))
+      .distinct()
+      .filter(col("hd") <= maxHamming)
+  }
+
+  /** n-gram Jaccard top-k: for each query doc, the k most similar other
+    * docs by 3-shingle Jaccard. Linear scan (queries broadcast), the
+    * exact-baseline sibling of minhashLsh. */
+  def ngramTopK(docs: DataFrame, queryIds: Seq[Long], k: Int = 5): DataFrame = {
+    val sets = docs.select(col("doc_id"),
+      array_distinct(shingles(tokens(col("text")))).as("sd"))
+    val q = sets.filter(col("doc_id").isin(queryIds: _*))
+      .select(col("doc_id").as("q_id"), col("sd").as("sq"))
+    val scored = sets.join(broadcast(q), col("doc_id") =!= col("q_id"))
+      .withColumn("jac", jaccard(col("sq"), col("sd")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("jac").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("doc_id"), trunc4(col("jac")).as("jaccard"), col("rnk"))
+  }
+
+  // ---- driver wiring ----
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, d) => exact(Tables.documents(s, d))),
+    "q_dedup_minhash_lsh" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
+    "q_dedup_simhash" -> ((s, d) => simhashFingerprints(Tables.documents(s, d))),
+    "q_dedup_simhash_pairs" -> ((s, d) => simhashPairs(Tables.documents(s, d))),
+    "q_dedup_ngram_topk" -> ((s, d) => ngramTopK(Tables.documents(s, d), Seq(0L, 8L, 285L))))
+
+  private val sigCte =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') tok FROM documents),
+      |sh AS (SELECT doc_id, list_transform(range(1, len(tok)-1), i -> tok[i]||' '||tok[i+1]||' '||tok[i+2]) s FROM t),
+      |sig AS (SELECT doc_id, list_distinct(s) sd,
+      |  list_transform(range(0,16), h -> list_min(list_transform(s, x -> ('0x'||substr(md5(h::VARCHAR||'|'||x),1,15))::BIGINT))) g
+      |  FROM sh)""".stripMargin.replace("\n", " ")
+
+  private val simhashCte =
+    """WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents),
+      |h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT hv FROM tk),
+      |bits AS (SELECT doc_id, b, sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) s
+      |  FROM h, range(0,60) r(b) GROUP BY 1,2),
+      |fp AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash FROM bits GROUP BY doc_id)""".stripMargin.replace("\n", " ")
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      ("SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM (" +
+        "SELECT doc_id, text FROM documents UNION ALL " +
+        "SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50) GROUP BY 1"),
+    "q_dedup_minhash_lsh" ->
+      (sigCte + ", bands AS (SELECT doc_id, b, md5(g[4*b+1]::VARCHAR||','||g[4*b+2]::VARCHAR||','||" +
+        "g[4*b+3]::VARCHAR||','||g[4*b+4]::VARCHAR) bkey FROM sig, range(0,4) r(b)), " +
+        "cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id FROM bands x JOIN bands y " +
+        "ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id), " +
+        "j AS (SELECT a_id, b_id, len(list_intersect(sa.sd, sb.sd))::DOUBLE / " +
+        "(len(sa.sd) + len(sb.sd) - len(list_intersect(sa.sd, sb.sd))) jac " +
+        "FROM cand JOIN sig sa ON cand.a_id = sa.doc_id JOIN sig sb ON cand.b_id = sb.doc_id) " +
+        "SELECT a_id, b_id, floor(jac * 10000) / 10000 AS jaccard FROM j WHERE jac >= 0.5"),
+    "q_dedup_simhash" ->
+      (simhashCte + " SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS n_same FROM fp"),
+    "q_dedup_simhash_pairs" ->
+      (simhashCte + ", bands AS (SELECT doc_id, simhash, b, (simhash >> (b*12)) & 4095 bkey " +
+        "FROM fp, range(0,5) r(b)), " +
+        "cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id, " +
+        "bit_count(xor(x.simhash, y.simhash))::BIGINT hd FROM bands x JOIN bands y " +
+        "ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id) " +
+        "SELECT a_id, b_id, hd FROM cand WHERE hd <= 3"),
+    "q_dedup_ngram_topk" ->
+      (sigCte + ", q AS (SELECT doc_id q_id, sd sq FROM sig WHERE doc_id IN (0, 8, 285)), " +
+        "scored AS (SELECT q_id, doc_id, len(list_intersect(sq, sd))::DOUBLE / " +
+        "(len(sq) + len(sd) - len(list_intersect(sq, sd))) jac " +
+        "FROM sig CROSS JOIN q WHERE doc_id <> q_id), " +
+        "ranked AS (SELECT q_id, doc_id, jac, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY jac DESC, doc_id) rnk FROM scored) " +
+        "SELECT q_id, doc_id, floor(jac * 10000) / 10000 AS jaccard, rnk FROM ranked WHERE rnk <= 5"))
+}
