@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextHash._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for the training-data pipeline (SURVEY.md §7 L4):
+  * language ID, quality scoring, token counting, winnowing
+  * fingerprints, corpus term statistics.
+  *
+  * All per-document computations are shuffle-free row expressions; the
+  * only shuffles are the final aggregations (term stats), which combine
+  * map-side. Everything is oracle-checked against DuckDB.
+  */
+object TextOps {
+
+  private def trunc4(c: Column): Column = floor(c * 10000) / 10000
+
+  /** Stopword lists for the n-gram/stopword language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "you", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ich", "nicht", "mit", "ein", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "ser", "se", "no"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "que", "pour", "dans", "ce", "vous"))
+
+  private def stopRatio(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isin(stopwords(lang): _*))).cast("double") / size(toks)
+
+  /** Language ID: per-language stopword-hit ratio, argmax with fixed
+    * preference order (en, de, es, fr) and an `und` floor at 2%. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = docs.select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        stopRatio(col("toks"), "en").as("s_en"),
+        stopRatio(col("toks"), "de").as("s_de"),
+        stopRatio(col("toks"), "es").as("s_es"),
+        stopRatio(col("toks"), "fr").as("s_fr"))
+    base.select(col("doc_id"), trunc4(col("s_en")).as("score_en"),
+      when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+          col("s_en") >= col("s_fr") && col("s_en") >= 0.02, "en")
+        .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
+          col("s_de") >= 0.02, "de")
+        .when(col("s_es") >= col("s_fr") && col("s_es") >= 0.02, "es")
+        .when(col("s_fr") >= 0.02, "fr")
+        .otherwise("und").as("predicted"))
+  }
+
+  /** Quality scoring: token count, exact mean token length, stopword
+    * ratio, type/token ratio, and a weighted composite. */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(col("doc_id"), col("n_chars"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        // single-space corpus: chars = Σ|tok| + (n-1) separators
+        ((col("n_chars") - size(col("toks")) + 1).cast("double") / size(col("toks"))).as("tok_len"),
+        stopRatio(col("toks"), "en").as("stop"),
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks"))).as("ttr"))
+      .select(col("doc_id"), col("n_tokens"),
+        trunc4(col("tok_len")).as("avg_tok_len"),
+        trunc4(col("stop")).as("stop_ratio"),
+        trunc4(col("ttr")).as("type_token_ratio"),
+        trunc4(col("stop") * 0.3 + col("ttr") * 0.5 +
+          when(col("n_tokens") >= 20, 0.2).otherwise(0.0)).as("quality"))
+  }
+
+  /** Token counting: whitespace tokens vs a BPE-ish alnum-run regex vs
+    * raw characters. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).cast("long").as("n_re_tokens"),
+      col("n_chars"))
+
+  /** Winnowing document fingerprints: min 60-bit hash over each window
+    * of 4 consecutive 3-shingle hashes, distinct per doc, exploded. */
+  def fingerprints(docs: DataFrame, window: Int = 4): DataFrame = {
+    val hs = transform(shingles(tokens(col("text"))), s => hash60(s))
+    val mins = transform(sequence(lit(1), size(col("hs")) - (window - 1)),
+      i => least((0 until window).map(o => element_at(col("hs"), i + o)): _*))
+    docs.select(col("doc_id"), hs.as("hs"))
+      .select(col("doc_id"),
+        explode(array_distinct(when(size(col("hs")) >= window, mins).otherwise(array()))).as("fp"))
+  }
+
+  /** Corpus term statistics: term frequency + document frequency. */
+  def termStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+
+  // ---- driver wiring ----
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_langid" -> ((s, d) => langId(Tables.documents(s, d))),
+    "q_text_quality" -> ((s, d) => quality(Tables.documents(s, d))),
+    "q_text_tokens" -> ((s, d) => tokenCounts(Tables.documents(s, d))),
+    "q_text_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d))),
+    "q_text_termstats" -> ((s, d) => termStats(Tables.documents(s, d))))
+
+  private def inList(lang: String): String =
+    stopwords(lang).map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private def ratioSql(lang: String): String =
+    s"len(list_filter(toks, t -> t IN ${inList(lang)}))::DOUBLE / len(toks)"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_langid" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents), " +
+        s"s AS (SELECT doc_id, ${ratioSql("en")} s_en, ${ratioSql("de")} s_de, " +
+        s"${ratioSql("es")} s_es, ${ratioSql("fr")} s_fr FROM t) " +
+        "SELECT doc_id, floor(s_en * 10000) / 10000 AS score_en, " +
+        "CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= 0.02 THEN 'en' " +
+        "WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= 0.02 THEN 'de' " +
+        "WHEN s_es >= s_fr AND s_es >= 0.02 THEN 'es' " +
+        "WHEN s_fr >= 0.02 THEN 'fr' ELSE 'und' END AS predicted FROM s"),
+    "q_text_quality" ->
+      ("WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') toks FROM documents), " +
+        "m AS (SELECT doc_id, len(toks)::BIGINT n_tokens, " +
+        "(n_chars - len(toks) + 1)::DOUBLE / len(toks) tok_len, " +
+        s"${ratioSql("en")} stop, " +
+        "len(list_distinct(toks))::DOUBLE / len(toks) ttr FROM t) " +
+        "SELECT doc_id, n_tokens, floor(tok_len * 10000) / 10000 AS avg_tok_len, " +
+        "floor(stop * 10000) / 10000 AS stop_ratio, " +
+        "floor(ttr * 10000) / 10000 AS type_token_ratio, " +
+        "floor((stop * 0.3 + ttr * 0.5 + CASE WHEN n_tokens >= 20 THEN 0.2 ELSE 0.0 END) * 10000) / 10000 AS quality FROM m"),
+    "q_text_tokens" ->
+      ("SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_ws_tokens, " +
+        "len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT AS n_re_tokens, n_chars FROM documents"),
+    "q_text_fingerprint" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents), " +
+        "sh AS (SELECT doc_id, list_transform(range(1, len(tok)-1), i -> " +
+        "('0x'||substr(md5(tok[i]||' '||tok[i+1]||' '||tok[i+2]),1,15))::BIGINT) hs FROM t), " +
+        "w AS (SELECT doc_id, list_distinct(list_transform(range(1, len(hs)-2), i -> " +
+        "least(hs[i], hs[i+1], hs[i+2], hs[i+3]))) fps FROM sh) " +
+        "SELECT doc_id, unnest(fps) AS fp FROM w"),
+    "q_text_termstats" ->
+      ("SELECT tok AS token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM " +
+        "(SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents) GROUP BY 1"))
+}
