@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, Similarity, TextOps}
+import graft.operators.{Analytics, Dedup, Media, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,10 +24,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Analytics.queries ++ Dedup.queries ++ Similarity.queries ++ TextOps.queries
+    Analytics.queries ++ Dedup.queries ++ Similarity.queries ++
+      TextOps.queries ++ Media.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Analytics.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++ TextOps.oracleSql
+    Analytics.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
+      TextOps.oracleSql ++ Media.oracleSql
 }

@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextHash.hash60
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §7 L4): treat image/audio/video
+  * as opaque `binary` columns with typed metadata, and run decode /
+  * feature-extraction / frame-sampling over them.
+  *
+  * The container has no media codecs, so the decode step is a
+  * **clearly-marked deterministic STUB** (`FakeCodec`): it derives fake
+  * dimensions from the md5 digest. Everything around it — the binary
+  * column schema, the per-partition batch iteration, the explode of
+  * sampled frames, partition-count discipline — is real Spark plumbing
+  * that would carry a real codec unchanged.
+  *
+  * Binary payloads are derived deterministically from `documents.text`
+  * (`encode(text, 'utf-8')`) so the whole path is oracle-checkable in
+  * SQL down to per-frame digests of blob slices.
+  */
+object Media {
+
+  /** Typed record for the Dataset/mapPartitions path. */
+  final case class MediaFile(doc_id: Long, media_type: String, content: Array[Byte])
+
+  /** STUB decoder output — in production this would come from an image/
+    * audio library decoding `content`. */
+  final case class MediaMeta(doc_id: Long, media_type: String, byte_len: Long,
+      width: Long, height: Long, n_frames: Long)
+
+  /** The opaque-binary media table derived from documents. */
+  def payloads(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      encode(col("text"), "utf-8").cast("binary").as("content"))
+
+  /** Per-file metadata + STUB-decoded features, as pure column
+    * expressions (codegen-friendly path). Fake dims derive from the
+    * digest; a real decoder would replace exactly these expressions. */
+  def features(docs: DataFrame): DataFrame = {
+    val p = payloads(docs).join(docs.select(col("doc_id"), col("text")), "doc_id")
+    p.select(col("doc_id"), col("media_type"),
+        octet_length(col("content")).cast("long").as("byte_len"),
+        md5(col("content")).as("digest"),
+        // header bytes via the text column (pure-ASCII corpus, so the
+        // first 8 chars ARE the first 8 bytes; DuckDB can't slice BLOBs)
+        hex(encode(substring(col("text"), 1, 8), "utf-8")).as("header_hex"))
+      .withColumn("h", hash60(col("digest")))
+      .select(col("doc_id"), col("media_type"), col("byte_len"), col("digest"),
+        col("header_hex"),
+        // STUB decode: deterministic fake dimensions (no codec in env)
+        (lit(16L) + pmod(col("h"), lit(1905L))).as("width"),
+        (lit(16L) + pmod(shiftright(col("h"), 11), lit(1065L))).as("height"),
+        (col("byte_len") % 7 + 1).as("n_frames"))
+  }
+
+  /** Frame sampling: explode each file into its sampled frames and
+    * digest the frame byte-slices — the shape of a video keyframe
+    * extractor, with slicing real and decode stubbed. */
+  def frames(docs: DataFrame, chunk: Int = 16): DataFrame = {
+    val f = features(docs).select(col("doc_id"), col("byte_len"), col("n_frames"))
+    f.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .withColumn("stride", floor(col("byte_len") / col("n_frames")).cast("long"))
+      .select(col("doc_id"), col("stride"),
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_no"),
+        col("text"))
+      .select(col("doc_id"), col("frame_no"),
+        (col("frame_no") * col("stride")).as("offset"),
+        // frame byte-slice via the text column (ASCII ⇒ chars == bytes;
+        // substring with a column start position needs the SQL form)
+        md5(expr(s"substring(text, cast(frame_no * stride + 1 as int), $chunk)"))
+          .as("frame_digest"))
+  }
+
+  /** Typed mapPartitions decode path: batch-iterates binary records per
+    * partition (the Scala analog of a batched pandas UDF). The codec is
+    * a STUB; the iteration, schema, and partitioning are real. */
+  def decodeTyped(spark: SparkSession, docs: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    payloads(docs).as[MediaFile].mapPartitions { it =>
+      it.map { m =>
+        // STUB decode — a real implementation would parse m.content here.
+        val len = m.content.length.toLong
+        val h = java.util.Arrays.hashCode(m.content).toLong & 0x7fffffffL
+        MediaMeta(m.doc_id, m.media_type, len,
+          16L + h % 1905L, 16L + (h >> 11) % 1065L, len % 7 + 1)
+      }
+    }
+  }
+
+  // ---- driver wiring ----
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_features" -> ((s, d) => features(Tables.documents(s, d))),
+    "q_media_frames" -> ((s, d) => frames(Tables.documents(s, d))))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_media_features" ->
+      ("WITH p AS (SELECT doc_id, text, CASE WHEN doc_id % 3 = 0 THEN 'image' " +
+        "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END media_type, " +
+        "encode(text) AS payload FROM documents), " +
+        "m AS (SELECT doc_id, media_type, octet_length(payload)::BIGINT byte_len, " +
+        "md5(text) digest, hex(encode(substr(text, 1, 8))) header_hex FROM p), " +
+        "h AS (SELECT *, ('0x'||substr(md5(digest),1,15))::BIGINT hv FROM m) " +
+        "SELECT doc_id, media_type, byte_len, digest, header_hex, " +
+        "16 + (hv % 1905) AS width, 16 + ((hv >> 11) % 1065) AS height, " +
+        "byte_len % 7 + 1 AS n_frames FROM h"),
+    "q_media_frames" ->
+      ("WITH p AS (SELECT doc_id, text, " +
+        "octet_length(encode(text))::BIGINT byte_len FROM documents), " +
+        "f AS (SELECT doc_id, text, byte_len % 7 + 1 n_frames, " +
+        "(byte_len // (byte_len % 7 + 1))::BIGINT stride FROM p), " +
+        "x AS (SELECT doc_id, text, stride, unnest(range(0, n_frames)) frame_no FROM f) " +
+        "SELECT doc_id, frame_no, frame_no * stride AS offset, " +
+        "md5(substr(text, (frame_no * stride + 1)::INT, 16)) AS frame_digest FROM x"))
+}
