@@ -1,0 +1,299 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Broad relational-surface coverage (SURVEY.md §7 L2 "string/date/math
+  * scalar coverage" + the operator checklist): every family a user of a
+  * general analytics engine reaches for — window-function zoo, scalar
+  * function families, subquery shapes, pivot, sessionization,
+  * outer/cross joins, statistical aggregates.
+  *
+  * Cross-engine parity conventions as in [[Analytics]]: truncation (not
+  * rounding) for derived doubles, Long for derived integers, epoch-ms
+  * arithmetic for event time, explicit ROWS frames where a RANGE default
+  * could differ.
+  */
+object SqlCoverage {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def r2(c: Column): Column = round(c, 2)
+  private def trunc4(c: Column): Column = floor(c * 10000) / 10000
+
+  /** Window-function zoo over orders, one deterministic total order per
+    * customer (o_orderdate, o_orderkey unique tiebreak). */
+  def windowZoo(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.select(col("o_custkey"), col("o_orderkey"),
+      dense_rank().over(w).cast("long").as("drnk"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      coalesce(lead(col("o_totalprice"), 1).over(w), lit(-1.0)).as("next_price"),
+      first_value(col("o_orderkey")).over(wRows).as("first_key"),
+      last_value(col("o_orderkey")).over(wRows).as("last_key"),
+      nth_value(col("o_orderkey"), 2).over(wRows).as("second_key"),
+      trunc4(percent_rank().over(w)).as("prnk"),
+      trunc4(cume_dist().over(w)).as("cdist"))
+  }
+
+  /** Date/time scalar family over o_orderdate (timestamp-typed). */
+  def dateFuncs(orders: DataFrame): DataFrame =
+    orders.select(col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("yr"),
+      quarter(col("o_orderdate")).cast("long").as("qtr"),
+      month(col("o_orderdate")).cast("long").as("mon"),
+      dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+      (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow_sun0"),
+      weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      last_day(col("o_orderdate")).as("month_end"),
+      date_add(col("o_orderdate").cast("date"), 30).as("plus_30d"),
+      add_months(col("o_orderdate").cast("date"), 2).as("plus_2m"),
+      datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+        .cast("long").as("days_since_epoch0"))
+
+  /** Math scalar family over lineitem prices/quantities. */
+  def mathFuncs(li: DataFrame): DataFrame =
+    li.select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+      abs(col("l_extendedprice") * -1).as("abs_price"),
+      ceil(col("l_quantity")).cast("long").as("ceil_qty"),
+      floor(col("l_quantity")).cast("long").as("floor_qty"),
+      trunc4(sqrt(col("l_extendedprice"))).as("sqrt_price"),
+      trunc4(exp(col("l_discount"))).as("exp_disc"),
+      trunc4(log(col("l_extendedprice") + 1)).as("ln_price"),
+      trunc4(log(10.0, col("l_extendedprice") + 1)).as("log10_price"),
+      trunc4(pow(col("l_quantity"), 2)).as("qty_sq"),
+      signum(col("l_extendedprice") - 30000).cast("long").as("sign_vs_30k"),
+      greatest(col("l_quantity"), col("l_discount") * 100).as("greatest_v"),
+      least(col("l_tax"), col("l_discount")).as("least_v"),
+      pmod(col("l_orderkey"), lit(97)).cast("long").as("key_mod"))
+
+  /** String scalar family over customer names/segments. */
+  def stringFuncs(customer: DataFrame): DataFrame =
+    customer.select(col("c_custkey"),
+      split_part(col("c_name"), lit("#"), lit(2)).as("name_num"),
+      translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_tr"),
+      instr(col("c_name"), "Customer").cast("long").as("pos_cust"),
+      repeat(lit("*"), (col("c_custkey") % 4 + 1).cast("int")).as("stars"),
+      lpad(col("c_custkey").cast("string"), 10, "0").as("key_pad"),
+      rpad(col("c_mktsegment"), 12, ".").as("seg_pad"),
+      reverse(col("c_mktsegment")).as("seg_rev"),
+      regexp_replace(col("c_name"), "[0-9]", "").as("name_nonum"),
+      concat(substring(col("c_mktsegment"), 1, 1),
+        lower(substring(col("c_mktsegment"), 2, 100))).as("seg_title"),
+      ascii(col("c_mktsegment")).cast("long").as("seg_ascii"),
+      col("c_mktsegment").startsWith("A").as("starts_a"),
+      col("c_mktsegment").endsWith("RE").as("ends_re"),
+      col("c_name").contains("00").as("has_00"),
+      length(trim(lit("  x  "))).cast("long").as("trim_len"))
+
+  /** EXISTS correlated subquery: suppliers with a max-quantity lineitem,
+    * counted per nation. */
+  def existsSubquery(supplier: DataFrame, li: DataFrame, nation: DataFrame): DataFrame = {
+    val hot = li.filter(col("l_quantity") >= 49).select(col("l_suppkey")).distinct()
+    supplier.join(hot, supplier("s_suppkey") === hot("l_suppkey"), "left_semi")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name")).agg(count(lit(1)).as("n_suppliers"))
+  }
+
+  /** Scalar subquery: parts priced above 90% of the global max. */
+  def scalarSubquery(part: DataFrame): DataFrame = {
+    val cutoff = part.agg(max(col("p_retailprice")).as("mx"))
+    part.crossJoin(broadcast(cutoff))
+      .filter(col("p_retailprice") > col("mx") * 0.9)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), r2(sum(col("p_retailprice"))).as("sum_price"))
+  }
+
+  /** GROUP BY ... HAVING. */
+  def havingClause(li: DataFrame): DataFrame =
+    li.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_items"), r2(sum(col("l_quantity"))).as("sum_qty"))
+      .filter(col("n_items") >= 70)
+
+  /** Pivot: per-user value sums by event type (fixed pivot values — no
+    * driver-side distinct scan at scale). */
+  def pivotEvents(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(r2(sum(col("value"))))
+      .select(col("user_id"),
+        coalesce(col("click"), lit(0.0)).as("click"),
+        coalesce(col("error"), lit(0.0)).as("error"),
+        coalesce(col("purchase"), lit(0.0)).as("purchase"),
+        coalesce(col("signup"), lit(0.0)).as("signup"),
+        coalesce(col("view"), lit(0.0)).as("view"))
+
+  /** Tumbling 5-minute event-time windows (epoch-ms arithmetic). */
+  def tumblingWindows(ev: DataFrame): DataFrame =
+    ev.groupBy(((col("ts_ms").cast("long") / 300000L).cast("long") * 300000L).as("win_start_ms"))
+      .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"))
+
+  /** Sessionization (batch gaps-and-islands): 30-minute inactivity gap
+    * splits a user's events into sessions. One shuffle on user_id. */
+  def sessionize(ev: DataFrame, gapMs: Long = 1800000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val flagged = ev.select(col("user_id"), col("ts_ms"), col("event_id"), col("value"),
+      when(col("ts_ms") - lag(col("ts_ms"), 1).over(w) > gapMs || lag(col("ts_ms"), 1).over(w).isNull, 1L)
+        .otherwise(0L).as("new_session"))
+    val sessioned = flagged.withColumn("session_no",
+      sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessioned.groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("ts_ms")).as("session_start_ms"), max(col("ts_ms")).as("session_end_ms"),
+        count(lit(1)).as("n_events"), r2(sum(col("value"))).as("sum_value"))
+  }
+
+  /** Full outer join: per-nation customer vs supplier counts. */
+  def fullOuterJoin(customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val c = customer.groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+    val s = supplier.groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_supp"))
+    c.join(s, Seq("nk"), "full_outer")
+      .select(col("nk").cast("long").as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+  }
+
+  /** Cross join of two small dims (the one place a cross join is OK). */
+  def crossJoinDims(region: DataFrame, nation: DataFrame): DataFrame =
+    region.crossJoin(nation)
+      .select(col("r_name"), col("n_name"),
+        (col("r_regionkey") === col("n_regionkey")).as("is_home"))
+
+  /** LIKE / ILIKE / NOT LIKE filters. */
+  def likeFilters(part: DataFrame): DataFrame =
+    part.filter(col("p_name").like("%s%") && !col("p_name").like("%steel%"))
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+
+  /** NULL-handling family: nullif/coalesce/nvl2-shaped CASE. */
+  def nullHandling(li: DataFrame): DataFrame =
+    li.select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        nullif(col("l_discount"), lit(0.0)).as("disc_or_null"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        coalesce(col("disc_or_null"), lit(-1.0)).as("disc_coalesced"),
+        col("disc_or_null").isNull.as("was_zero"),
+        when(col("disc_or_null").isNotNull, "discounted").otherwise("full-price").as("price_kind"))
+
+  /** Statistical aggregates per order priority. */
+  def statsAgg(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderpriority"))
+      .agg(
+        trunc4(corr(col("o_totalprice"), col("o_custkey"))).as("corr_pc"),
+        trunc4(covar_samp(col("o_totalprice"), col("o_custkey")) / 1e6).as("covar_m"),
+        trunc4(stddev_samp(col("o_totalprice")) / 1000).as("stddev_k"),
+        trunc4(var_samp(col("o_totalprice")) / 1e9).as("var_b"),
+        trunc4(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000000)) / 1000).as("median_k"),
+        count(lit(1)).as("n"))
+
+  // ---- driver wiring ----
+
+  val queries: Map[String, Q] = Map(
+    "q_window_zoo" -> ((s, d) => windowZoo(Tables.orders(s, d))),
+    "q_date_funcs" -> ((s, d) => dateFuncs(Tables.orders(s, d))),
+    "q_math_funcs" -> ((s, d) => mathFuncs(Tables.lineitem(s, d))),
+    "q_string_funcs2" -> ((s, d) => stringFuncs(Tables.customer(s, d))),
+    "q_exists_subquery" -> ((s, d) => existsSubquery(Tables.supplier(s, d), Tables.lineitem(s, d), Tables.nation(s, d))),
+    "q_scalar_subquery" -> ((s, d) => scalarSubquery(Tables.part(s, d))),
+    "q_having" -> ((s, d) => havingClause(Tables.lineitem(s, d))),
+    "q_pivot" -> ((s, d) => pivotEvents(Tables.events(s, d))),
+    "q_window_tumbling" -> ((s, d) => tumblingWindows(Tables.events(s, d))),
+    "q_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
+    "q_full_outer_join" -> ((s, d) => fullOuterJoin(Tables.customer(s, d), Tables.supplier(s, d))),
+    "q_cross_join" -> ((s, d) => crossJoinDims(Tables.region(s, d), Tables.nation(s, d))),
+    "q_like_filter" -> ((s, d) => likeFilters(Tables.part(s, d))),
+    "q_null_handling" -> ((s, d) => nullHandling(Tables.lineitem(s, d))),
+    "q_stats_agg" -> ((s, d) => statsAgg(Tables.orders(s, d))))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_window_zoo" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile, " +
+        "coalesce(lead(o_totalprice) OVER w, -1.0) AS next_price, " +
+        "first_value(o_orderkey) OVER wr AS first_key, " +
+        "last_value(o_orderkey) OVER wr AS last_key, " +
+        "nth_value(o_orderkey, 2) OVER wr AS second_key, " +
+        "floor(percent_rank() OVER w * 10000) / 10000 AS prnk, " +
+        "floor(cume_dist() OVER w * 10000) / 10000 AS cdist " +
+        "FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), " +
+        "wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"),
+    "q_date_funcs" ->
+      ("SELECT o_orderkey, year(o_orderdate)::BIGINT yr, quarter(o_orderdate)::BIGINT qtr, " +
+        "month(o_orderdate)::BIGINT mon, dayofmonth(o_orderdate)::BIGINT dom, " +
+        "dayofweek(o_orderdate)::BIGINT dow_sun0, weekofyear(o_orderdate)::BIGINT iso_week, " +
+        "date_trunc('month', o_orderdate) month_start, last_day(o_orderdate) month_end, " +
+        "(o_orderdate::DATE + 30) plus_30d, (o_orderdate::DATE + INTERVAL 2 MONTH)::DATE plus_2m, " +
+        "datediff('day', DATE '1995-01-01', o_orderdate::DATE)::BIGINT days_since_epoch0 FROM orders"),
+    "q_math_funcs" ->
+      ("SELECT l_orderkey, l_linenumber::BIGINT l_linenumber, abs(l_extendedprice * -1) abs_price, " +
+        "ceil(l_quantity)::BIGINT ceil_qty, floor(l_quantity)::BIGINT floor_qty, " +
+        "floor(sqrt(l_extendedprice) * 10000) / 10000 sqrt_price, " +
+        "floor(exp(l_discount) * 10000) / 10000 exp_disc, " +
+        "floor(ln(l_extendedprice + 1) * 10000) / 10000 ln_price, " +
+        "floor(log10(l_extendedprice + 1) * 10000) / 10000 log10_price, " +
+        "floor(pow(l_quantity, 2) * 10000) / 10000 qty_sq, " +
+        "sign(l_extendedprice - 30000)::BIGINT sign_vs_30k, " +
+        "greatest(l_quantity, l_discount * 100) greatest_v, least(l_tax, l_discount) least_v, " +
+        "(l_orderkey % 97)::BIGINT key_mod FROM lineitem"),
+    "q_string_funcs2" ->
+      ("SELECT c_custkey, split_part(c_name, '#', 2) name_num, " +
+        "translate(c_mktsegment, 'AEIOU', 'aeiou') seg_tr, " +
+        "instr(c_name, 'Customer')::BIGINT pos_cust, " +
+        "repeat('*', (c_custkey % 4 + 1)::INT) stars, " +
+        "lpad(c_custkey::VARCHAR, 10, '0') key_pad, rpad(c_mktsegment, 12, '.') seg_pad, " +
+        "reverse(c_mktsegment) seg_rev, regexp_replace(c_name, '[0-9]', '', 'g') name_nonum, " +
+        "substr(c_mktsegment, 1, 1) || lower(substr(c_mktsegment, 2, 100)) seg_title, " +
+        "ascii(c_mktsegment)::BIGINT seg_ascii, " +
+        "starts_with(c_mktsegment, 'A') starts_a, ends_with(c_mktsegment, 'RE') ends_re, " +
+        "contains(c_name, '00') has_00, length(trim('  x  '))::BIGINT trim_len FROM customer"),
+    "q_exists_subquery" ->
+      ("SELECT n_name, count(*) AS n_suppliers FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey AND l_quantity >= 49) " +
+        "GROUP BY n_name"),
+    "q_scalar_subquery" ->
+      ("SELECT p_brand, count(*) AS n, round(sum(p_retailprice), 2) AS sum_price FROM part " +
+        "WHERE p_retailprice > (SELECT max(p_retailprice) FROM part) * 0.9 GROUP BY p_brand"),
+    "q_having" ->
+      ("SELECT l_suppkey, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty " +
+        "FROM lineitem GROUP BY l_suppkey HAVING count(*) >= 70"),
+    "q_pivot" ->
+      ("SELECT user_id, " +
+        "coalesce(round(sum(CASE WHEN event_type = 'click' THEN value END), 2), 0.0) AS click, " +
+        "coalesce(round(sum(CASE WHEN event_type = 'error' THEN value END), 2), 0.0) AS error, " +
+        "coalesce(round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2), 0.0) AS purchase, " +
+        "coalesce(round(sum(CASE WHEN event_type = 'signup' THEN value END), 2), 0.0) AS signup, " +
+        "coalesce(round(sum(CASE WHEN event_type = 'view' THEN value END), 2), 0.0) AS view " +
+        "FROM events GROUP BY user_id"),
+    "q_window_tumbling" ->
+      ("SELECT (epoch_ms(ts) // 300000) * 300000 AS win_start_ms, count(*) AS n, " +
+        "round(sum(value), 2) AS sum_value FROM events GROUP BY 1"),
+    "q_sessionize" ->
+      ("WITH flagged AS (SELECT user_id, epoch_ms(ts) ts_ms, event_id, value, " +
+        "CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 " +
+        "OR lag(epoch_ms(ts)) OVER w IS NULL THEN 1 ELSE 0 END new_session " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)), " +
+        "sessioned AS (SELECT *, (sum(new_session) OVER (PARTITION BY user_id " +
+        "ORDER BY ts_ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT session_no FROM flagged) " +
+        "SELECT user_id, session_no, min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms, " +
+        "count(*) AS n_events, round(sum(value), 2) AS sum_value FROM sessioned GROUP BY 1, 2"),
+    "q_full_outer_join" ->
+      ("WITH c AS (SELECT c_nationkey nk, count(*) n_cust FROM customer GROUP BY 1), " +
+        "s AS (SELECT s_nationkey nk, count(*) n_supp FROM supplier GROUP BY 1) " +
+        "SELECT coalesce(c.nk, s.nk)::BIGINT nationkey, coalesce(n_cust, 0) n_cust, " +
+        "coalesce(n_supp, 0) n_supp FROM c FULL OUTER JOIN s ON c.nk = s.nk"),
+    "q_cross_join" ->
+      ("SELECT r_name, n_name, r_regionkey = n_regionkey AS is_home FROM region CROSS JOIN nation"),
+    "q_like_filter" ->
+      ("SELECT p_brand, count(*) AS n FROM part " +
+        "WHERE p_name LIKE '%s%' AND p_name NOT LIKE '%steel%' GROUP BY p_brand"),
+    "q_null_handling" ->
+      ("SELECT l_orderkey, l_linenumber::BIGINT l_linenumber, " +
+        "coalesce(nullif(l_discount, 0.0), -1.0) disc_coalesced, " +
+        "nullif(l_discount, 0.0) IS NULL was_zero, " +
+        "CASE WHEN nullif(l_discount, 0.0) IS NOT NULL THEN 'discounted' ELSE 'full-price' END price_kind " +
+        "FROM lineitem"))
+  // q_stats_agg intentionally has no oracle: corr/covar/stddev use
+  // engine-specific streaming accumulation and percentile_approx is
+  // approximate by design → driver records the weaker rows-only check.
+}
