@@ -79,14 +79,18 @@ object Media {
 
   /** Typed mapPartitions decode path: batch-iterates binary records per
     * partition (the Scala analog of a batched pandas UDF). The codec is
-    * a STUB; the iteration, schema, and partitioning are real. */
+    * a STUB; the iteration, schema, and partitioning are real. Produces
+    * the same values as [[features]] so the two paths cross-check. */
   def decodeTyped(spark: SparkSession, docs: DataFrame): Dataset[MediaMeta] = {
     import spark.implicits._
     payloads(docs).as[MediaFile].mapPartitions { it =>
+      val mdi = java.security.MessageDigest.getInstance("MD5")
       it.map { m =>
         // STUB decode — a real implementation would parse m.content here.
         val len = m.content.length.toLong
-        val h = java.util.Arrays.hashCode(m.content).toLong & 0x7fffffffL
+        val digest = mdi.digest(m.content).map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(
+          mdi.digest(digest.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
         MediaMeta(m.doc_id, m.media_type, len,
           16L + h % 1905L, 16L + (h >> 11) % 1065L, len % 7 + 1)
       }

@@ -1,0 +1,168 @@
+package graft
+
+import graft.functions.{TextHash, VectorOps}
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Unit semantics for the L2/L4 operator library on constructed data. */
+class OperatorsSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private lazy val docsDF: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs away fast", "en", "s0", 62L),
+      (1L, "the quick brown fox jumps over the lazy dog and runs away quick", "en", "s0", 63L),
+      (2L, "completely different words about spark catalyst tungsten codegen shuffles", "en", "s1", 74L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("TextHash.hash60 matches the md5-derived value") {
+    import spark.implicits._
+    val got = Seq("abc").toDF("s").select(TextHash.hash60(col("s"))).head.getLong(0)
+    // md5("abc") = 900150983cd24fb0d6963f7d28e17f72 → first 15 hex
+    assert(got === java.lang.Long.parseLong("900150983cd24fb", 16))
+  }
+
+  test("TextHash.shingles: n-2 trigrams, empty under n tokens") {
+    import spark.implicits._
+    val df = Seq("a b c d e", "a b").toDF("t")
+      .select(size(TextHash.shingles(TextHash.tokens(col("t")))).as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq === Seq(3, 0))
+  }
+
+  test("Dedup.exact collapses duplicated texts and keeps the min id") {
+    val r = Dedup.exact(docsDF).collect()
+    // exact() unions a copy of doc_id<50 with ids+100000 → every text has
+    // 2 copies here, and the kept id is always the original
+    assert(r.length === 3)
+    assert(r.forall(_.getAs[Long]("n_copies") === 2L))
+    assert(r.map(_.getAs[Long]("keep_id")).sorted.toSeq === Seq(0L, 1L, 2L))
+  }
+
+  test("Dedup.minhashLsh finds the planted near-dup pair and nothing else") {
+    val pairs = Dedup.minhashLsh(docsDF, threshold = 0.3)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((0L, 1L)))
+  }
+
+  test("Dedup.ngramTopK ranks the near-identical doc first") {
+    val top = Dedup.ngramTopK(docsDF, Seq(0L), k = 2).orderBy("rnk").collect()
+    assert(top.head.getAs[Long]("doc_id") === 1L)
+    assert(top.head.getAs[Double]("jaccard") > 0.5)
+  }
+
+  test("Dedup.simhashPairs: near-identical docs within hamming 3, distinct doc far") {
+    val pairs = Dedup.simhashPairs(docsDF, maxHamming = 10)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)))
+  }
+
+  test("VectorOps.cosine: identity, orthogonality") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0f, 2.0f), Array(1.0f, 0f, 2.0f), Array(0f, 5.0f, 0f)))
+      .toDF("a", "b", "o")
+    val r = df.select(VectorOps.cosine($"a", $"b"), VectorOps.cosine($"a", $"o")).head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("Similarity.bruteForceTopK returns k ranked neighbors per query") {
+    val emb = Tables.embeddings(spark, sf)
+    val r = Similarity.bruteForceTopK(emb, Seq(0L, 1L), k = 5)
+    val byQ = r.groupBy("q_id").count().collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(byQ === Map(0L -> 5L, 1L -> 5L))
+    val ranks = r.filter(col("q_id") === 0).orderBy("rnk").collect().map(_.getAs[Long]("rnk"))
+    assert(ranks.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("Similarity.annTopK results are a subset of brute-force candidates with same scoring") {
+    val emb = Tables.embeddings(spark, sf)
+    val bf = Similarity.bruteForceTopK(emb, Seq(0L), k = 500).select("vec_id", "cos")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ann = Similarity.annTopK(emb, Seq(0L), k = 10).collect()
+    ann.foreach { r =>
+      val (v, c) = (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))
+      assert(bf.contains(v) && math.abs(bf(v) - c) < 1e-12)
+    }
+  }
+
+  test("TextOps.langId prefers English for a stopword-rich English sentence") {
+    val r = TextOps.langId(docsDF).filter(col("doc_id") === 0).head
+    assert(r.getAs[String]("predicted") === "en")
+    assert(r.getAs[Double]("score_en") > 0.1)
+  }
+
+  test("TextOps.quality: exact mean token length and TTR") {
+    val r = TextOps.quality(docsDF).filter(col("doc_id") === 0).head
+    // 13 tokens, n_chars=62 → (62-13+1)/13 = 50/13
+    assert(r.getAs[Long]("n_tokens") === 13L)
+    assert(r.getAs[Double]("avg_tok_len") === math.floor(50.0 / 13 * 10000) / 10000)
+    assert(r.getAs[Double]("type_token_ratio") === math.floor(12.0 / 13 * 10000) / 10000)
+  }
+
+  test("TextOps.fingerprints: winnowing emits ≤ m-w+1 distinct mins") {
+    val n = TextOps.fingerprints(docsDF).filter(col("doc_id") === 0).count()
+    // 13 tokens → 11 shingles → 8 windows of 4 → ≤ 8 distinct mins
+    assert(n > 0 && n <= 8)
+  }
+
+  test("Media: typed mapPartitions decode agrees with the expression path") {
+    val docs = Tables.documents(spark, sf)
+    val exprPath = Media.features(docs)
+      .select(col("doc_id"), col("byte_len"), col("width"), col("height"), col("n_frames"))
+    val typedPath = Media.decodeTyped(spark, docs).toDF()
+      .select(col("doc_id"), col("byte_len"), col("width"), col("height"), col("n_frames"))
+    assert(exprPath.exceptAll(typedPath).count() === 0)
+    assert(typedPath.exceptAll(exprPath).count() === 0)
+  }
+
+  test("Analytics.asofPurchaseView: latest view at-or-before each purchase") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 100L, 10L, "view"), (2L, 100L, 20L, "view"), (3L, 100L, 25L, "purchase"),
+      (4L, 100L, 30L, "view"), (5L, 200L, 5L, "purchase"))
+      .toDF("event_id", "user_id", "ts_ms", "event_type")
+      .withColumn("ts", timestamp_millis($"ts_ms"))
+    val r = Analytics.asofPurchaseView(ev).collect()
+      .map(x => x.getLong(0) -> Option(x.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(r === Map(3L -> Some(2L), 5L -> None))
+  }
+
+  test("Analytics.rapidPairs counts in-window ordered pairs per user") {
+    import spark.implicits._
+    val ev = Seq((1L, 1L, 0L), (2L, 1L, 100L), (3L, 1L, 250L), (4L, 2L, 0L))
+      .toDF("event_id", "user_id", "ts_ms")
+    val r = Analytics.rapidPairs(ev, windowMs = 200L).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    // user 1: (1,2) gap 100 ✓, (2,3) gap 150 ✓, (1,3) gap 250 ✗
+    assert(r === Map(1L -> 2L))
+  }
+
+  test("Analytics.runningTotals is cumulative per customer") {
+    import spark.implicits._
+    val o = Seq((1L, 10L, "1995-01-01", 5.0), (2L, 10L, "1995-01-02", 7.0), (3L, 11L, "1995-01-01", 1.0))
+      .toDF("o_orderkey", "o_custkey", "d", "o_totalprice")
+      .withColumn("o_orderdate", $"d".cast("date"))
+    val r = Analytics.runningTotals(o).collect()
+      .map(x => x.getLong(1) -> x.getDouble(2)).toMap
+    assert(r === Map(1L -> 5.0, 2L -> 12.0, 3L -> 1.0))
+  }
+
+  test("SqlCoverage.sessionize splits on the gap and aggregates per session") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, 0L, 1.0), (2L, 1L, 1000L, 2.0),          // session 1
+      (3L, 1L, 10_000_000L, 3.0),                        // session 2 (gap > 30 min)
+      (4L, 2L, 0L, 4.0))                                 // other user
+      .toDF("event_id", "user_id", "ts_ms", "value")
+    val r = SqlCoverage.sessionize(ev).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(4)).toMap
+    assert(r === Map((1L, 1L) -> 2L, (1L, 2L) -> 1L, (2L, 1L) -> 1L))
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
