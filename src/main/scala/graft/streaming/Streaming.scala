@@ -1,0 +1,140 @@
+package graft.streaming
+
+import graft.operators.{Reference, Transaction}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Per-user fraud-rule state: in-window debit event times + amounts.
+  * Top-level (public) so Spark's state-encoder codegen can reach it. */
+final case class DebitState(times: Array[Long], amounts: Array[Double])
+
+/** Structured Streaming realization of the reference's monitoring intent
+  * (SURVEY.md §7 L3): the reference's unbounded in-memory `Vec` ingest
+  * loop (`monitoring-service/src/main.rs:25,33-38`) becomes checkpointed,
+  * watermark-evicted streaming state.
+  *
+  * Scale design: every aggregation here is keyed (currency / user_id /
+  * transaction_id), so state partitions across executors; watermarks
+  * bound state size; `flatMapGroupsWithState` state is per-key and
+  * timeout-evicted — nothing grows with total stream length, unlike the
+  * reference's `Vec` (its store grows without bound, `main.rs:25`).
+  */
+object Streaming {
+
+  /** Schema-bound streaming JSON file source (the file-drop analog of
+    * the reference's POST /transactions ingest, O5/O7). */
+  def fileIngest(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(Reference.wireSchema).json(dir)
+      .withColumn("timestamp",
+        to_timestamp(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSX"))
+
+  /** Kafka-shaped ingest: a stream of raw JSON `value` strings (what a
+    * Kafka source emits) parsed against the wire schema. */
+  def kafkaShapedIngest(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value"), Reference.wireSchema).as("t"))
+      .select(col("t.*"))
+      .withColumn("timestamp",
+        to_timestamp(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSX"))
+
+  /** Tumbling/sliding per-currency volume with watermarked event time.
+    * Late data beyond the watermark is dropped (vs the reference, which
+    * has no notion of event time at all — timestamps are opaque strings,
+    * `main.go:17`). */
+  def windowedVolume(txns: DataFrame, watermark: String = "10 minutes",
+      window_ : String = "5 minutes", slide: Option[String] = None): DataFrame = {
+    val w = slide.map(s => window(col("timestamp"), window_, s))
+      .getOrElse(window(col("timestamp"), window_))
+    txns.withWatermark("timestamp", watermark)
+      .groupBy(w.as("win"), col("currency"))
+      .agg(count(lit(1)).as("n_txns"), sum(col("amount")).as("volume"))
+      .select(col("win.start").as("win_start"), col("currency"),
+        col("n_txns"), col("volume"))
+  }
+
+  /** Per-user session windows (5-minute inactivity gap). */
+  def sessionVolume(txns: DataFrame, gap: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    txns.withWatermark("timestamp", watermark)
+      .groupBy(session_window(col("timestamp"), gap).as("sess"), col("user_id"))
+      .agg(count(lit(1)).as("n_txns"), sum(col("amount")).as("volume"))
+      .select(col("sess.start").as("sess_start"), col("sess.end").as("sess_end"),
+        col("user_id"), col("n_txns"), col("volume"))
+
+  /** Streaming exact dedup on transaction_id within the watermark — the
+    * explicit opt-in the reference lacks (SURVEY.md §2.1.5). */
+  def dedupStream(txns: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    txns.withWatermark("timestamp", watermark)
+      .dropDuplicates("transaction_id")
+
+  /** A raised fraud flag. */
+  final case class FraudFlag(user_id: Int, n_debits: Long, window_start: Long,
+      window_end: Long, total_amount: Double)
+
+  /** Stateful fraud rule: more than `maxDebits` debits from one user
+    * within `windowMs` raises a flag. Implemented with
+    * flatMapGroupsWithState: per-user state holds only the in-window
+    * debit timestamps and is evicted via event-time timeout, so state is
+    * O(users × window density), not O(stream). */
+  def fraudFlags(spark: SparkSession, txns: Dataset[Transaction],
+      maxDebits: Int = 3, windowMs: Long = 600000L): Dataset[FraudFlag] = {
+    import spark.implicits._
+    txns.filter(t => t.`type`.contains("debit"))
+      .withWatermark("timestamp", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[DebitState, FraudFlag](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Int, rows: Iterator[Transaction], state: GroupState[DebitState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(DebitState(Array.empty, Array.empty))
+            val incoming = rows.toList.sortBy(_.timestamp.getTime)
+            var times = prev.times
+            var amounts = prev.amounts
+            val flags = incoming.flatMap { t =>
+              val now = t.timestamp.getTime
+              val keep = times.zip(amounts).filter(_._1 > now - windowMs)
+              times = keep.map(_._1) :+ now
+              amounts = keep.map(_._2) :+ t.amount
+              if (times.length > maxDebits)
+                Some(FraudFlag(user, times.length.toLong, times.min, now, amounts.sum))
+              else None
+            }
+            state.update(DebitState(times, amounts))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + windowMs + 1)
+            flags.iterator
+          }
+      }
+  }
+
+  /** Running per-user balance (credits − debits) via mapGroupsWithState:
+    * the streaming sibling of Analytics.runningTotals. */
+  def runningBalance(spark: SparkSession, txns: Dataset[Transaction]): Dataset[(Int, Double)] = {
+    import spark.implicits._
+    txns.groupByKey(_.user_id)
+      .mapGroupsWithState[Double, (Int, Double)](GroupStateTimeout.NoTimeout()) {
+        (user: Int, rows: Iterator[Transaction], state: GroupState[Double]) =>
+          val delta = rows.map(t =>
+            if (t.`type`.contains("debit")) -t.amount else t.amount).sum
+          val bal = state.getOption.getOrElse(0.0) + delta
+          state.update(bal)
+          (user, bal)
+      }
+  }
+
+  /** Start a query into an in-memory sink (tests / interactive). */
+  def toMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+
+  /** Production-shaped sink: idempotent micro-batch parquet append via
+    * foreachBatch (checkpointed offsets ⇒ exactly-once per batch id). */
+  def toParquetBatches(df: DataFrame, outDir: String, checkpoint: String): StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(s"$outDir/batch=$batchId")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+}

@@ -1,0 +1,152 @@
+package graft
+
+import graft.operators.Transaction
+import graft.streaming.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+/** Structured Streaming semantics batch-by-batch over MemoryStream
+  * (SURVEY.md §5.4): windows, watermark late-data drop, sessions,
+  * streaming dedup, stateful fraud flags. */
+class StreamingSpec extends SparkSpec {
+
+  private def txn(id: String, user: Int, amount: Double, kind: String, ts: String,
+      currency: String = "USD"): Transaction =
+    Transaction(id, user, amount, currency, Some(kind),
+      Some(Map("merchant" -> "m")), Timestamp.valueOf(ts))
+
+  private def withQuery[T](q: org.apache.spark.sql.streaming.StreamingQuery)(body: => T): T =
+    try body finally q.stop()
+
+  test("windowedVolume: tumbling windows finalize after the watermark passes") {
+    import spark.implicits._
+    val in = MemoryStream[Transaction](spark)
+    val agg = Streaming.windowedVolume(in.toDF(), watermark = "1 minute", window_ = "5 minutes")
+    val q = Streaming.toMemory(agg, "wv", OutputMode.Append())
+    withQuery(q) {
+      in.addData(
+        txn("a", 1, 10.0, "credit", "2025-01-01 10:01:00"),
+        txn("b", 1, 20.0, "credit", "2025-01-01 10:02:00"),
+        txn("c", 2, 5.0, "debit", "2025-01-01 10:06:00", currency = "EUR"))
+      q.processAllAvailable()
+      // nothing finalized yet (watermark = 10:05 window [10:00,10:05) not < close? event max 10:06 → wm 10:05 ≥ window end 10:05 → closes)
+      in.addData(txn("d", 3, 1.0, "credit", "2025-01-01 10:20:00"))
+      q.processAllAvailable()
+      val rows = spark.table("wv").collect()
+        .map(r => (r.getAs[Timestamp]("win_start").toString, r.getAs[String]("currency"),
+          r.getAs[Long]("n_txns"), r.getAs[Double]("volume")))
+      assert(rows.contains(("2025-01-01 10:00:00.0", "USD", 2L, 30.0)))
+      assert(rows.contains(("2025-01-01 10:05:00.0", "EUR", 1L, 5.0)))
+    }
+  }
+
+  test("windowedVolume: late data beyond the watermark is dropped") {
+    import spark.implicits._
+    val in = MemoryStream[Transaction](spark)
+    val agg = Streaming.windowedVolume(in.toDF(), watermark = "1 minute", window_ = "5 minutes")
+    val q = Streaming.toMemory(agg, "late", OutputMode.Append())
+    withQuery(q) {
+      in.addData(txn("a", 1, 10.0, "credit", "2025-01-01 10:01:00"))
+      q.processAllAvailable()
+      in.addData(txn("b", 1, 99.0, "credit", "2025-01-01 12:00:00")) // advances wm to 11:59
+      q.processAllAvailable()
+      in.addData(txn("late", 1, 7.0, "credit", "2025-01-01 10:02:00")) // < wm → dropped
+      q.processAllAvailable()
+      in.addData(txn("c", 1, 1.0, "credit", "2025-01-01 14:00:00")) // close 12:00 window
+      q.processAllAvailable()
+      val vol = spark.table("late").collect()
+        .map(r => r.getAs[Timestamp]("win_start").toString -> r.getAs[Double]("volume")).toMap
+      assert(vol("2025-01-01 10:00:00.0") === 10.0) // late 7.0 NOT added
+    }
+  }
+
+  test("sessionVolume: inactivity gap splits sessions") {
+    import spark.implicits._
+    val in = MemoryStream[Transaction](spark)
+    val agg = Streaming.sessionVolume(in.toDF(), gap = "5 minutes", watermark = "1 minute")
+    val q = Streaming.toMemory(agg, "sess", OutputMode.Append())
+    withQuery(q) {
+      in.addData(
+        txn("a", 1, 1.0, "credit", "2025-01-01 10:00:00"),
+        txn("b", 1, 2.0, "credit", "2025-01-01 10:02:00"), // same session
+        txn("c", 1, 4.0, "credit", "2025-01-01 10:30:00")) // new session
+      q.processAllAvailable()
+      in.addData(txn("z", 9, 0.1, "credit", "2025-01-01 11:00:00")) // advance wm
+      q.processAllAvailable()
+      val rows = spark.table("sess").collect()
+        .filter(_.getAs[Int]("user_id") == 1)
+        .map(r => r.getAs[Long]("n_txns") -> r.getAs[Double]("volume")).toSet
+      assert(rows === Set(2L -> 3.0, 1L -> 4.0))
+    }
+  }
+
+  test("dedupStream drops duplicate transaction ids across batches") {
+    import spark.implicits._
+    val in = MemoryStream[Transaction](spark)
+    val q = Streaming.toMemory(Streaming.dedupStream(in.toDF(), watermark = "1 hour"), "dedup")
+    withQuery(q) {
+      in.addData(
+        txn("dup-1", 1, 10.0, "credit", "2025-01-01 10:00:00"),
+        txn("dup-1", 1, 10.0, "credit", "2025-01-01 10:00:30"),
+        txn("uniq-2", 2, 5.0, "debit", "2025-01-01 10:01:00"))
+      q.processAllAvailable()
+      in.addData(txn("dup-1", 1, 10.0, "credit", "2025-01-01 10:02:00"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup").collect().map(_.getAs[String]("transaction_id"))
+      assert(ids.sorted.toSeq === Seq("dup-1", "uniq-2"))
+    }
+  }
+
+  test("fraudFlags: 4th debit in window raises a flag; spread-out debits do not") {
+    import spark.implicits._
+    val in = MemoryStream[Transaction](spark)
+    val flags = Streaming.fraudFlags(spark, in.toDS(), maxDebits = 3, windowMs = 600000L)
+    val q = Streaming.toMemory(flags.toDF(), "fraud")
+    withQuery(q) {
+      in.addData(
+        txn("d1", 7, 10.0, "debit", "2025-01-01 10:00:00"),
+        txn("d2", 7, 20.0, "debit", "2025-01-01 10:02:00"),
+        txn("d3", 7, 30.0, "debit", "2025-01-01 10:04:00"),
+        txn("d4", 7, 40.0, "debit", "2025-01-01 10:06:00"), // 4 in 10 min → flag
+        txn("s1", 8, 10.0, "debit", "2025-01-01 10:00:00"),
+        txn("s2", 8, 10.0, "debit", "2025-01-01 10:20:00"),
+        txn("c1", 7, 99.0, "credit", "2025-01-01 10:07:00")) // credits don't count
+      q.processAllAvailable()
+      val rows = spark.table("fraud").collect()
+      assert(rows.length === 1)
+      val f = rows.head
+      assert(f.getAs[Int]("user_id") === 7 && f.getAs[Long]("n_debits") === 4L
+        && f.getAs[Double]("total_amount") === 100.0)
+    }
+  }
+
+  test("runningBalance accumulates credits minus debits across batches") {
+    import spark.implicits._
+    val in = MemoryStream[Transaction](spark)
+    val bal = Streaming.runningBalance(spark, in.toDS()).toDF("user_id", "balance")
+    val q = Streaming.toMemory(bal, "bal", OutputMode.Update())
+    withQuery(q) {
+      in.addData(txn("a", 1, 100.0, "credit", "2025-01-01 10:00:00"))
+      q.processAllAvailable()
+      in.addData(txn("b", 1, 30.0, "debit", "2025-01-01 10:01:00"))
+      q.processAllAvailable()
+      val latest = spark.table("bal").collect()
+        .map(r => r.getAs[Int]("user_id") -> r.getAs[Double]("balance"))
+      assert(latest.contains(1 -> 70.0))
+    }
+  }
+
+  test("kafkaShapedIngest parses raw JSON values against the wire schema") {
+    import spark.implicits._
+    val in = MemoryStream[String](spark)
+    val parsed = Streaming.kafkaShapedIngest(in.toDF().toDF("value"))
+    val q = Streaming.toMemory(parsed, "kshaped")
+    withQuery(q) {
+      in.addData("""{"transaction_id":"k-1","user_id":5,"amount":1.5,"currency":"KES","type":"credit","metadata":{"merchant":"M"},"timestamp":"2025-08-27T10:00:00.000001Z"}""")
+      q.processAllAvailable()
+      val r = spark.table("kshaped").collect().head
+      assert(r.getAs[String]("transaction_id") === "k-1" && r.getAs[Int]("user_id") === 5)
+    }
+  }
+}
