@@ -26,6 +26,14 @@ object Dedup {
 
   private def trunc4(c: Column): Column = floor(c * 10000) / 10000
 
+  /** Signature computation is CPU-bound per-row work (md5 over every
+    * shingle × hash function, interpreted HOF lambdas). A small parquet
+    * input arrives as 1–2 splits, which would serialize that work on one
+    * core — spread it across the cluster first. At 100 TB the scan has
+    * thousands of splits and this repartition keeps them balanced. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+
   /** Exact dedup over text content. The input is unioned with a copy of
     * its first 50 docs (fresh ids) so the operator demonstrably collapses
     * duplicates on this corpus (the generator plants near-dups, not exact
@@ -38,19 +46,36 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
-  /** Per-doc 3-shingle set + 16-element MinHash signature. */
+  /** Per-doc 3-shingle set + 16-element MinHash signature.
+    *
+    * Whole-stage-codegen design: explode shingles to rows, compute 8
+    * md5s per shingle in one codegen'd projection (each md5 yields TWO
+    * independent 60-bit hashes — chars 1–15 and 16–30), then a hash
+    * aggregate with map-side combine takes the 16 per-doc minima. This
+    * keeps the hot md5 loop inside Tungsten codegen instead of
+    * interpreted higher-order-function lambdas (~10× cheaper), and the
+    * shuffle carries only (doc_id, 16 longs + shingle set). */
   private def signatures(docs: DataFrame): DataFrame = {
-    val sh = shingles(tokens(col("text")))
-    docs.select(
-      col("doc_id"),
-      array_distinct(sh).as("sd"),
-      array((0 until 16).map(h => minhash(sh, h)): _*).as("sig"))
+    val ex = spread(docs).select(col("doc_id"),
+      explode(shingles(tokens(col("text")))).as("s"))
+    val md5s = (0 until 8).map(k => md5(concat(lit(s"$k|"), col("s"))).as(s"m$k"))
+    val hashed = ex.select(col("doc_id") +: col("s") +: md5s: _*)
+    val hcols = (0 until 16).map { h =>
+      conv(substring(col(s"m${h / 2}"), 1 + 15 * (h % 2), 15), 16, 10)
+        .cast("long").as(s"h$h")
+    }
+    hashed.select(col("doc_id") +: col("s") +: hcols: _*)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("s")).as("sd"),
+        array((0 until 16).map(h => min(col(s"h$h"))): _*).as("sig"))
   }
 
   /** MinHash + LSH near-dup pairs: 4 bands × 4 rows, verified with the
-    * true shingle-set Jaccard ≥ `threshold`. */
+    * true shingle-set Jaccard ≥ `threshold`. Signatures are persisted:
+    * they feed three join arms (band self-join ×2, verify ×2) and must
+    * not be recomputed per arm. */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sig = signatures(docs)
+    val sig = signatures(docs).persist()
     val bandStructs = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws(",", (0 until 4).map(i => element_at(col("sig"), 4 * b + i + 1)): _*)).as("bkey"))
@@ -72,7 +97,7 @@ object Dedup {
 
   /** Per-doc 60-bit SimHash fingerprint + how many docs share it. */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
-    val fp = docs.select(col("doc_id"), simhash(tokens(col("text"))).as("simhash"))
+    val fp = spread(docs).select(col("doc_id"), simhash(tokens(col("text"))).as("simhash"))
     fp.withColumn("n_same", count(lit(1)).over(Window.partitionBy(col("simhash"))))
   }
 
@@ -80,7 +105,9 @@ object Dedup {
     * candidates; keep pairs with hamming distance ≤ `maxHamming`.
     * Banding gives exact recall for hamming ≤ 5-1-… ≤ 4 < 5 bands. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fp = docs.select(col("doc_id"), simhash(tokens(col("text"))).as("simhash"))
+    val fp = spread(docs)
+      .select(col("doc_id"), simhash(tokens(col("text"))).as("simhash"))
+      .persist()
     val bands = fp.select(col("doc_id"), col("simhash"),
         explode(array((0 until 5).map(b =>
           struct(lit(b).as("band"),
@@ -99,8 +126,8 @@ object Dedup {
     * docs by 3-shingle Jaccard. Linear scan (queries broadcast), the
     * exact-baseline sibling of minhashLsh. */
   def ngramTopK(docs: DataFrame, queryIds: Seq[Long], k: Int = 5): DataFrame = {
-    val sets = docs.select(col("doc_id"),
-      array_distinct(shingles(tokens(col("text")))).as("sd"))
+    val sets = spread(docs).select(col("doc_id"),
+      array_distinct(shingles(tokens(col("text")))).as("sd")).persist()
     val q = sets.filter(col("doc_id").isin(queryIds: _*))
       .select(col("doc_id").as("q_id"), col("sd").as("sq"))
     val scored = sets.join(broadcast(q), col("doc_id") =!= col("q_id"))
@@ -120,12 +147,15 @@ object Dedup {
     "q_dedup_simhash_pairs" -> ((s, d) => simhashPairs(Tables.documents(s, d))),
     "q_dedup_ngram_topk" -> ((s, d) => ngramTopK(Tables.documents(s, d), Seq(0L, 8L, 285L))))
 
-  private val sigCte =
-    """WITH t AS (SELECT doc_id, string_split(text,' ') tok FROM documents),
-      |sh AS (SELECT doc_id, list_transform(range(1, len(tok)-1), i -> tok[i]||' '||tok[i+1]||' '||tok[i+2]) s FROM t),
-      |sig AS (SELECT doc_id, list_distinct(s) sd,
-      |  list_transform(range(0,16), h -> list_min(list_transform(s, x -> ('0x'||substr(md5(h::VARCHAR||'|'||x),1,15))::BIGINT))) g
-      |  FROM sh)""".stripMargin.replace("\n", " ")
+  private val sigCte = {
+    val gList = (0 until 16).map { h =>
+      s"min(('0x'||substr(md5('${h / 2}|'||s),${1 + 15 * (h % 2)},15))::BIGINT)"
+    }.mkString("[", ", ", "]")
+    "WITH t AS (SELECT doc_id, string_split(text,' ') tok FROM documents), " +
+      "sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tok)-1), " +
+      "i -> tok[i]||' '||tok[i+1]||' '||tok[i+2])) s FROM t), " +
+      s"sig AS (SELECT doc_id, list_distinct(list(s)) sd, $gList g FROM sh GROUP BY doc_id)"
+  }
 
   private val simhashCte =
     """WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents),

@@ -62,8 +62,11 @@ object Similarity {
     }: _*)
   }
 
+  /** Cast once and spread the CPU-bound per-row hyperplane-dot work
+    * across the cluster (a small parquet input is 1–2 splits). */
   private def withEmbD(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("e"))
+    emb.repartition(emb.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("e"))
 
   /** Exact cosine top-k per query vector (queries broadcast). */
   def bruteForceTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
@@ -83,6 +86,7 @@ object Similarity {
     val v = withEmbD(emb)
     val bands = v.select(col("vec_id"), col("e"), explode(bandStructs(col("e"))).as("bb"))
       .select(col("vec_id"), col("e"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .persist()
     val qb = bands.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("e").as("qe"), col("band"), col("bkey"))
     val cand = bands.join(broadcast(qb), Seq("band", "bkey"))
@@ -101,6 +105,7 @@ object Similarity {
     val v = withEmbD(emb)
     val bands = v.select(col("vec_id"), col("e"), explode(bandStructs(col("e"))).as("bb"))
       .select(col("vec_id"), col("e"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .persist()
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.vec_id") < col("y.vec_id"))

@@ -77,10 +77,12 @@ object TextOps {
   /** Winnowing document fingerprints: min 60-bit hash over each window
     * of 4 consecutive 3-shingle hashes, distinct per doc, exploded. */
   def fingerprints(docs: DataFrame, window: Int = 4): DataFrame = {
+    val spreadDocs = docs.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
     val hs = transform(shingles(tokens(col("text"))), s => hash60(s))
     val mins = transform(sequence(lit(1), size(col("hs")) - (window - 1)),
       i => least((0 until window).map(o => element_at(col("hs"), i + o)): _*))
-    docs.select(col("doc_id"), hs.as("hs"))
+    spreadDocs.select(col("doc_id"), hs.as("hs"))
       .select(col("doc_id"),
         explode(array_distinct(when(size(col("hs")) >= window, mins).otherwise(array()))).as("fp"))
   }
