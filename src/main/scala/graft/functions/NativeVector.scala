@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.GraftBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector-math hot path.
+  *
+  * [[VectorOps]] builds cosine/dot from `zip_with` + `aggregate`, which
+  * Catalyst evaluates as *interpreted* lambda calls per element. These
+  * expressions generate a primitive Java loop inside whole-stage codegen
+  * instead — no per-element boxing, no virtual dispatch — which is the
+  * right cost model when scoring millions of candidate pairs.
+  *
+  * Numerics are deliberately IDENTICAL to [[VectorOps]]: a sequential
+  * left-to-right double fold over per-element products, so swapping one
+  * implementation for the other is bit-exact (asserted in
+  * OperatorsSpec) and DuckDB-oracle parity is unaffected.
+  */
+object NativeVector {
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private def checkVecInputs(e: BinaryExpression): TypeCheckResult = {
+    val ok = Seq(e.left, e.right).forall(_.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"${e.prettyName} requires array<float>/array<double> inputs, " +
+        s"got (${e.left.dataType.simpleString}, ${e.right.dataType.simpleString})")
+  }
+
+  /** dot(a, b): Σ a_i·b_i in double, sequential fold. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = checkVecInputs(this)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_dot"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      val (fx, fy) = (elemIsFloat(left), elemIsFloat(right))
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
+        dot += xv * yv
+        i += 1
+      }
+      dot
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val getX = if (elemIsFloat(left)) "getFloat" else "getDouble"
+      val getY = if (elemIsFloat(right)) "getFloat" else "getDouble"
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val (n, dot, i) = (ctx.freshName("n"), ctx.freshName("dot"), ctx.freshName("i"))
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $dot += (double) $a.$getX($i) * (double) $b.$getY($i);
+           |}
+           |${ev.value} = $dot;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** cosine(a, b) = dot/(‖a‖·‖b‖), all three folds sequential in double
+    * over one pass. */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = checkVecInputs(this)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "vec_cosine"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      val (fx, fy) = (elemIsFloat(left), elemIsFloat(right))
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0
+      var na = 0.0
+      var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
+        dot += xv * yv
+        na += xv * xv
+        nb += yv * yv
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val getX = if (elemIsFloat(left)) "getFloat" else "getDouble"
+      val getY = if (elemIsFloat(right)) "getFloat" else "getDouble"
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na")
+        val nb = ctx.freshName("nb")
+        val i = ctx.freshName("i")
+        val xv = ctx.freshName("xv")
+        val yv = ctx.freshName("yv")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xv = (double) $a.$getX($i);
+           |  double $yv = (double) $b.$getY($i);
+           |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+           |}
+           |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def dot(a: Column, b: Column): Column =
+    GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def cosine(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+}

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.VectorOps
+import graft.functions.NativeVector
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -49,7 +49,7 @@ object Similarity {
 
   /** 16 sign bits of a double-array embedding column. */
   private def signBits(embD: Column): Seq[Column] =
-    (0 until NumPlanes).map(h => when(VectorOps.dotD(embD, planeLit(h)) >= 0, 1).otherwise(0))
+    (0 until NumPlanes).map(h => when(NativeVector.dot(embD, planeLit(h)) >= 0, 1).otherwise(0))
 
   /** Band keys: integer of 4 consecutive sign bits per band. */
   private def bandStructs(embD: Column): Column = {
@@ -62,11 +62,12 @@ object Similarity {
     }: _*)
   }
 
-  /** Cast once and spread the CPU-bound per-row hyperplane-dot work
-    * across the cluster (a small parquet input is 1–2 splits). */
+  /** Spread the CPU-bound per-row hyperplane-dot work across the
+    * cluster (a small parquet input is 1–2 splits). Embeddings stay
+    * float; NativeVector widens per element inside its codegen loop. */
   private def withEmbD(emb: DataFrame): DataFrame =
     emb.repartition(emb.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
-      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("e"))
+      .select(col("vec_id"), col("embedding").as("e"))
 
   /** Exact cosine top-k per query vector (queries broadcast). */
   def bruteForceTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
@@ -75,7 +76,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val scored = v.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        trunc4(VectorOps.cosine(col("qe"), col("e"))).as("cos"))
+        trunc4(NativeVector.cosine(col("qe"), col("e"))).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
   }
@@ -94,7 +95,7 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("qe"), col("e"))
       .dropDuplicates("q_id", "vec_id")
     val scored = cand.select(col("q_id"), col("vec_id"),
-      trunc4(VectorOps.cosine(col("qe"), col("e"))).as("cos"))
+      trunc4(NativeVector.cosine(col("qe"), col("e"))).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
   }
@@ -112,7 +113,7 @@ object Similarity {
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
         col("x.e").as("ea"), col("y.e").as("eb"))
       .dropDuplicates("a_id", "b_id")
-      .select(col("a_id"), col("b_id"), trunc4(VectorOps.cosine(col("ea"), col("eb"))).as("cos"))
+      .select(col("a_id"), col("b_id"), trunc4(NativeVector.cosine(col("ea"), col("eb"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 

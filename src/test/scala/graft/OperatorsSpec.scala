@@ -59,6 +59,19 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)))
   }
 
+  test("NativeVector codegen expressions are bit-exact with the HOF fold") {
+    import graft.functions.NativeVector
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val both = emb.crossJoin(broadcast(q)).select(
+      NativeVector.cosine(col("qe"), col("embedding")).as("native"),
+      VectorOps.cosine(col("qe"), col("embedding")).as("hof"),
+      NativeVector.dot(col("qe"), col("embedding")).as("ndot"),
+      VectorOps.dot(col("qe"), col("embedding")).as("hdot"))
+    val mismatches = both.filter(col("native") =!= col("hof") || col("ndot") =!= col("hdot")).count()
+    assert(mismatches === 0)
+  }
+
   test("VectorOps.cosine: identity, orthogonality") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 0f, 2.0f), Array(1.0f, 0f, 2.0f), Array(0f, 5.0f, 0f)))
