@@ -93,6 +93,24 @@ object TextOps {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
 
+  /** TF-IDF: top-k tokens per document by tf·ln(N/df). The corpus size
+    * N and per-token df join back as broadcasts — two small shuffles
+    * (token, doc) regardless of corpus size. */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("nd"))
+    val scored = tf.join(broadcast(df), "t").crossJoin(broadcast(n))
+      .withColumn("s", col("tf") * log(col("nd").cast("double") / col("df")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("s").desc, col("t"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("t").as("token"), col("tf"),
+        trunc4(col("s")).as("tfidf"), col("rnk"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -100,7 +118,8 @@ object TextOps {
     "q_text_quality" -> ((s, d) => quality(Tables.documents(s, d))),
     "q_text_tokens" -> ((s, d) => tokenCounts(Tables.documents(s, d))),
     "q_text_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d))),
-    "q_text_termstats" -> ((s, d) => termStats(Tables.documents(s, d))))
+    "q_text_termstats" -> ((s, d) => termStats(Tables.documents(s, d))),
+    "q_text_tfidf" -> ((s, d) => tfidfTopK(Tables.documents(s, d))))
 
   private def inList(lang: String): String =
     stopwords(lang).map(w => s"'$w'").mkString("(", ", ", ")")
@@ -140,5 +159,16 @@ object TextOps {
         "SELECT doc_id, unnest(fps) AS fp FROM w"),
     "q_text_termstats" ->
       ("SELECT tok AS token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM " +
-        "(SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents) GROUP BY 1"))
+        "(SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents) GROUP BY 1"),
+    "q_text_tfidf" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents), " +
+        "tf AS (SELECT doc_id, t, count(*) tf FROM tok GROUP BY 1, 2), " +
+        "df AS (SELECT t, count(DISTINCT doc_id) df FROM tok GROUP BY 1), " +
+        "n AS (SELECT count(*) nd FROM documents), " +
+        "scored AS (SELECT doc_id, t, tf, tf * ln(nd::DOUBLE / df) s " +
+        "FROM tf JOIN df USING (t) CROSS JOIN n), " +
+        "ranked AS (SELECT doc_id, t, tf, s, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY s DESC, t) rnk FROM scored) " +
+        "SELECT doc_id, t AS token, tf, floor(s * 10000) / 10000 AS tfidf, rnk " +
+        "FROM ranked WHERE rnk <= 3"))
 }

@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.{Dedup, ScaleOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck algebraic properties of the operator library
+  * (SURVEY.md §5.3): laws that must hold for ANY input, checked over
+  * generated tables (deterministic seeds, 5 cases per law). */
+class PropertiesSpec extends SparkSpec {
+
+  /** Deterministic ScalaCheck sampling: one sample per seed. */
+  private def forAll[T](gen: Gen[T])(body: T => Unit): Unit =
+    (1 to 5).foreach { i =>
+      body(gen.apply(Gen.Parameters.default, Seed(42L + i))
+        .getOrElse(fail(s"generator exhausted at seed $i")))
+    }
+
+  private def forAll2[T](gen: Gen[T])(body: (T, T) => Unit): Unit =
+    (1 to 5).foreach { i =>
+      val a = gen.apply(Gen.Parameters.default, Seed(100L + i)).get
+      val b = gen.apply(Gen.Parameters.default, Seed(200L + i)).get
+      body(a, b)
+    }
+
+  private val rowGen = Gen.listOfN(60, for {
+    id <- Gen.choose(0L, 30L)
+    user <- Gen.choose(1L, 6L)
+    kind <- Gen.oneOf("purchase", "view", "error")
+    value <- Gen.choose(0, 10000).map(_ / 100.0)
+  } yield (id, user, kind, value))
+
+  private def toDF(rows: List[(Long, Long, String, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("event_id", "user_id", "event_type", "value")
+  }
+
+  test("dedup is idempotent: dropDuplicates twice == once") {
+    forAll(rowGen) { rows =>
+      val df = toDF(rows)
+      // dropDuplicates keeps an ARBITRARY row per key, so pin the first
+      // result with cache() before comparing — re-evaluation may pick a
+      // different representative (documented semantics, not a bug)
+      val once = df.dropDuplicates("event_id").cache()
+      val twice = once.dropDuplicates("event_id")
+      assert(once.count() === twice.count())
+      assert(once.exceptAll(twice).count() === 0)
+    }
+  }
+
+  test("filter distributes over union") {
+    forAll2(rowGen) { (ra, rb) =>
+      val (a, b) = (toDF(ra), toDF(rb))
+      val p = col("value") > 50.0 && col("event_type") =!= "error"
+      val lhs = a.unionByName(b).filter(p)
+      val rhs = a.filter(p).unionByName(b.filter(p))
+      assert(lhs.exceptAll(rhs).count() === 0 && rhs.exceptAll(lhs).count() === 0)
+    }
+  }
+
+  test("window top-1 per group agrees with groupBy max") {
+    forAll(rowGen) { rows =>
+      val df = toDF(rows)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+      val top1 = df.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+        .select(col("user_id"), col("value").as("max_value"))
+      val agg = df.groupBy(col("user_id")).agg(max(col("value")).as("max_value"))
+      assert(top1.exceptAll(agg).count() === 0 && agg.exceptAll(top1).count() === 0)
+    }
+  }
+
+  test("salted aggregation equals direct aggregation for any data") {
+    forAll(rowGen) { rows =>
+      val df = toDF(rows)
+      val direct = df.groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n"), round(sum(col("value")), 2).as("sum_value"))
+      val salted = ScaleOps.saltedUserStats(df, salts = 4)
+      assert(salted.exceptAll(direct).count() === 0 && direct.exceptAll(salted).count() === 0)
+    }
+  }
+
+  test("identical documents always share minhash signatures and exact-dedup together") {
+    import spark.implicits._
+    forAll(Gen.listOfN(8, Gen.listOfN(12, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")))) { wordLists =>
+      val texts = wordLists.map(_.mkString(" "))
+      // duplicate every text under a shifted id: every doc must pair with its clone
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) } ++
+        texts.zipWithIndex.map { case (t, i) => (i.toLong + 100, t) }
+      val df = docs.toDF("doc_id", "text")
+      val pairs = Dedup.minhashLsh(df, threshold = 0.999)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      texts.indices.foreach { i =>
+        assert(pairs.contains((i.toLong, i.toLong + 100)) ||
+          texts.count(_ == texts(i)) > 1) // clone pair found unless text also equals another doc's
+      }
+    }
+  }
+}
