@@ -186,6 +186,49 @@ object SqlCoverage {
         trunc4(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000000)) / 1000).as("median_k"),
         count(lit(1)).as("n"))
 
+  /** Aggregate extras: min_by/max_by (deterministic on the unique order
+    * key), count_if, bool aggs, bit aggs, ordered string_agg. */
+  def aggExtras(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderpriority"))
+      .agg(
+        expr("max_by(o_orderstatus, o_orderkey)").as("status_of_latest"),
+        expr("min_by(o_orderstatus, o_orderkey)").as("status_of_first"),
+        expr("count_if(o_totalprice > 300000)").as("n_big"),
+        expr("bool_and(o_totalprice > 0)").as("all_positive"),
+        expr("bool_or(o_orderstatus = 'F')").as("any_f"),
+        expr("bit_and(o_orderkey % 256)").as("band"),
+        expr("bit_or(o_orderkey % 256)").as("bor"),
+        expr("bit_xor(o_orderkey % 256)").as("bxor"),
+        concat_ws("|", sort_array(collect_set(col("o_orderstatus")))).as("statuses"))
+
+  /** Multiset set ops (INTERSECT ALL / EXCEPT ALL). */
+  def setOpsAll(ev: DataFrame): DataFrame = {
+    val p = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+    val e = ev.filter(col("event_type") === "error").select(col("user_id"))
+    p.intersectAll(e).groupBy(col("user_id")).agg(count(lit(1)).as("multiplicity"))
+  }
+
+  /** Array-function family over tokenized part names (scalar outputs
+    * only — array columns don't canonicalize across engines). */
+  def arrayFuncs(part: DataFrame): DataFrame = {
+    val toks = split(col("p_name"), " ")
+    part.select(col("p_partkey"),
+      size(toks).cast("long").as("n_tokens"),
+      element_at(toks, 1).as("first_tok"),
+      array_join(array_sort(toks), ",").as("sorted_toks"),
+      array_contains(toks, "green").as("has_green"),
+      array_position(toks, "green").cast("long").as("green_pos"),
+      array_join(slice(toks, 1, 2), " ").as("head2"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      array_join(array_remove(toks, element_at(toks, 1)), " ").as("without_first"))
+  }
+
+  /** from_json into a typed struct (the schema-bound sibling of
+    * get_json_object). */
+  def jsonStruct(ev: DataFrame): DataFrame =
+    ev.select(expr("from_json(props, 'k BIGINT').k").as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+
   // ---- driver wiring ----
 
   val queries: Map[String, Q] = Map(
@@ -203,7 +246,11 @@ object SqlCoverage {
     "q_cross_join" -> ((s, d) => crossJoinDims(Tables.region(s, d), Tables.nation(s, d))),
     "q_like_filter" -> ((s, d) => likeFilters(Tables.part(s, d))),
     "q_null_handling" -> ((s, d) => nullHandling(Tables.lineitem(s, d))),
-    "q_stats_agg" -> ((s, d) => statsAgg(Tables.orders(s, d))))
+    "q_stats_agg" -> ((s, d) => statsAgg(Tables.orders(s, d))),
+    "q_agg_extras" -> ((s, d) => aggExtras(Tables.orders(s, d))),
+    "q_setop_intersect_all" -> ((s, d) => setOpsAll(Tables.events(s, d))),
+    "q_array_funcs" -> ((s, d) => arrayFuncs(Tables.part(s, d))),
+    "q_json_struct" -> ((s, d) => jsonStruct(Tables.events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
     "q_window_zoo" ->
@@ -292,7 +339,32 @@ object SqlCoverage {
         "coalesce(nullif(l_discount, 0.0), -1.0) disc_coalesced, " +
         "nullif(l_discount, 0.0) IS NULL was_zero, " +
         "CASE WHEN nullif(l_discount, 0.0) IS NOT NULL THEN 'discounted' ELSE 'full-price' END price_kind " +
-        "FROM lineitem"))
+        "FROM lineitem"),
+    "q_agg_extras" ->
+      ("SELECT o_orderpriority, arg_max(o_orderstatus, o_orderkey) status_of_latest, " +
+        "arg_min(o_orderstatus, o_orderkey) status_of_first, " +
+        "count(*) FILTER (o_totalprice > 300000) n_big, " +
+        "bool_and(o_totalprice > 0) all_positive, bool_or(o_orderstatus = 'F') any_f, " +
+        "bit_and(o_orderkey % 256) band, bit_or(o_orderkey % 256) bor, " +
+        "bit_xor(o_orderkey % 256) bxor, " +
+        "string_agg(DISTINCT o_orderstatus, '|' ORDER BY o_orderstatus) statuses " +
+        "FROM orders GROUP BY o_orderpriority"),
+    "q_setop_intersect_all" ->
+      ("SELECT user_id, count(*) AS multiplicity FROM (" +
+        "SELECT user_id FROM events WHERE event_type = 'purchase' " +
+        "INTERSECT ALL SELECT user_id FROM events WHERE event_type = 'error') GROUP BY user_id"),
+    "q_array_funcs" ->
+      ("WITH t AS (SELECT p_partkey, string_split(p_name, ' ') toks FROM part) " +
+        "SELECT p_partkey, len(toks)::BIGINT n_tokens, toks[1] first_tok, " +
+        "array_to_string(list_sort(toks), ',') sorted_toks, " +
+        "list_contains(toks, 'green') has_green, " +
+        "coalesce(list_position(toks, 'green'), 0)::BIGINT green_pos, " +
+        "array_to_string(toks[1:2], ' ') head2, " +
+        "len(list_distinct(toks))::BIGINT n_distinct, " +
+        "array_to_string(list_filter(toks, x -> x <> toks[1]), ' ') without_first FROM t"),
+    "q_json_struct" ->
+      ("SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n " +
+        "FROM events GROUP BY 1"))
   // q_stats_agg intentionally has no oracle: corr/covar/stddev use
   // engine-specific streaming accumulation and percentile_approx is
   // approximate by design → driver records the weaker rows-only check.
