@@ -131,6 +131,21 @@ object SqlCoverage {
     ev.groupBy(((col("ts_ms").cast("long") / 300000L).cast("long") * 300000L).as("win_start_ms"))
       .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"))
 
+  /** Sliding (hopping) 10-minute windows every 5 minutes: each event
+    * lands in 2 windows — explode the window starts, then aggregate.
+    * The batch sibling of `window(ts, "10 minutes", "5 minutes")`. */
+  def slidingWindows(ev: DataFrame, sizeMs: Long = 600000L, slideMs: Long = 300000L): DataFrame = {
+    val nWins = (sizeMs / slideMs).toInt
+    ev.select(col("value"), col("ts_ms"),
+        explode(sequence(lit(0), lit(nWins - 1))).as("i"))
+      .withColumn("win_start_ms",
+        ((col("ts_ms").cast("long") / slideMs).cast("long") - col("i")) * slideMs)
+      .filter(col("ts_ms") >= col("win_start_ms") &&
+        col("ts_ms") < col("win_start_ms") + sizeMs)
+      .groupBy(col("win_start_ms"))
+      .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_value"))
+  }
+
   /** Sessionization (batch gaps-and-islands): 30-minute inactivity gap
     * splits a user's events into sessions. One shuffle on user_id. */
   def sessionize(ev: DataFrame, gapMs: Long = 1800000L): DataFrame = {
@@ -241,6 +256,7 @@ object SqlCoverage {
     "q_having" -> ((s, d) => havingClause(Tables.lineitem(s, d))),
     "q_pivot" -> ((s, d) => pivotEvents(Tables.events(s, d))),
     "q_window_tumbling" -> ((s, d) => tumblingWindows(Tables.events(s, d))),
+    "q_window_sliding" -> ((s, d) => slidingWindows(Tables.events(s, d))),
     "q_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
     "q_full_outer_join" -> ((s, d) => fullOuterJoin(Tables.customer(s, d), Tables.supplier(s, d))),
     "q_cross_join" -> ((s, d) => crossJoinDims(Tables.region(s, d), Tables.nation(s, d))),
@@ -315,6 +331,11 @@ object SqlCoverage {
     "q_window_tumbling" ->
       ("SELECT (epoch_ms(ts) // 300000) * 300000 AS win_start_ms, count(*) AS n, " +
         "round(sum(value), 2) AS sum_value FROM events GROUP BY 1"),
+    "q_window_sliding" ->
+      ("WITH x AS (SELECT value, epoch_ms(ts) ts_ms, unnest(range(0, 2)) i FROM events), " +
+        "w AS (SELECT value, ts_ms, ((ts_ms // 300000) - i) * 300000 win_start_ms FROM x) " +
+        "SELECT win_start_ms, count(*) AS n, round(sum(value), 2) AS sum_value FROM w " +
+        "WHERE ts_ms >= win_start_ms AND ts_ms < win_start_ms + 600000 GROUP BY 1"),
     "q_sessionize" ->
       ("WITH flagged AS (SELECT user_id, epoch_ms(ts) ts_ms, event_id, value, " +
         "CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 " +
