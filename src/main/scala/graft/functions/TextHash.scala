@@ -32,11 +32,6 @@ object TextHash {
     when(size(toks) >= n, transform(idx, mk)).otherwise(array())
   }
 
-  /** MinHash signature element h: min over shingles of hash60("h|s").
-    * One column per hash function keeps everything codegen-visible. */
-  def minhash(shingleCol: Column, h: Int): Column =
-    array_min(transform(shingleCol, s => hash60(concat(lit(s"$h|"), s))))
-
   /** 60-bit SimHash over the token multiset: per bit, sum +1/-1 by the
     * token-hash bit, emit 1 where the sum is positive. Term frequency
     * weights fall out of the multiset sum naturally. */

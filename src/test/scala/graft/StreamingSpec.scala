@@ -61,6 +61,24 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("windowedVolume sliding: one event lands in both overlapping windows") {
+    import spark.implicits._
+    val in = MemoryStream[Transaction](spark)
+    val agg = Streaming.windowedVolume(in.toDF(), watermark = "1 minute",
+      window_ = "10 minutes", slide = Some("5 minutes"))
+    val q = Streaming.toMemory(agg, "slide", OutputMode.Append())
+    withQuery(q) {
+      in.addData(txn("a", 1, 10.0, "credit", "2025-01-01 10:07:00"))
+      q.processAllAvailable()
+      in.addData(txn("z", 9, 1.0, "credit", "2025-01-01 11:00:00")) // advance wm, close both
+      q.processAllAvailable()
+      val wins = spark.table("slide").collect()
+        .filter(_.getAs[Double]("volume") == 10.0)
+        .map(_.getAs[Timestamp]("win_start").toString).sorted
+      assert(wins.toSeq === Seq("2025-01-01 10:00:00.0", "2025-01-01 10:05:00.0"))
+    }
+  }
+
   test("sessionVolume: inactivity gap splits sessions") {
     import spark.implicits._
     val in = MemoryStream[Transaction](spark)
