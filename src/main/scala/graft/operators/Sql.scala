@@ -65,13 +65,30 @@ object Sql {
       |WHERE vec_id <> 0
       |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)
 
+  /** IN-subquery (Catalyst rewrites to a left-semi join). */
+  def inSubquery(spark: SparkSession, dir: String): DataFrame = q(spark, dir,
+    """SELECT o_orderpriority, count(*) AS n
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+      |GROUP BY o_orderpriority""".stripMargin)
+
+  /** Correlated LATERAL subquery: top-2 customers per nation by balance. */
+  def lateralTopPerGroup(spark: SparkSession, dir: String): DataFrame = q(spark, dir,
+    """SELECT n_name, t.c_name, t.c_acctbal
+      |FROM nation,
+      |LATERAL (SELECT c_name, c_acctbal FROM customer
+      |         WHERE c_nationkey = n_nationkey
+      |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t""".stripMargin)
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_nation_revenue" -> ((s, d) => nationRevenue(s, d)),
     "q_sql_grouping_sets" -> ((s, d) => groupingSets(s, d)),
     "q_sql_percentiles" -> ((s, d) => percentiles(s, d)),
-    "q_sql_vec_search" -> ((s, d) => vecSearchSql(s, d)))
+    "q_sql_vec_search" -> ((s, d) => vecSearchSql(s, d)),
+    "q_sql_in_subquery" -> ((s, d) => inSubquery(s, d)),
+    "q_sql_lateral" -> ((s, d) => lateralTopPerGroup(s, d)))
 
   val oracleSql: Map[String, String] = Map(
     "q_sql_nation_revenue" ->
@@ -93,5 +110,13 @@ object Sql {
     "q_sql_vec_search" ->
       ("SELECT vec_id, floor(list_cosine_similarity(embedding::DOUBLE[], " +
         "(SELECT embedding FROM embeddings WHERE vec_id = 0)::DOUBLE[]) * 10000) / 10000 AS cos " +
-        "FROM embeddings WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10"))
+        "FROM embeddings WHERE vec_id <> 0 ORDER BY cos DESC, vec_id LIMIT 10"),
+    "q_sql_in_subquery" ->
+      ("SELECT o_orderpriority, count(*) AS n FROM orders " +
+        "WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000) " +
+        "GROUP BY o_orderpriority"),
+    "q_sql_lateral" ->
+      ("SELECT n_name, t.c_name, t.c_acctbal FROM nation, " +
+        "LATERAL (SELECT c_name, c_acctbal FROM customer " +
+        "WHERE c_nationkey = n_nationkey ORDER BY c_acctbal DESC, c_name LIMIT 2) t"))
 }

@@ -238,6 +238,12 @@ object SqlCoverage {
       array_join(array_remove(toks, element_at(toks, 1)), " ").as("without_first"))
   }
 
+  /** posexplode: token positions via ordinal explode. */
+  def posExplode(part: DataFrame): DataFrame =
+    part.filter(col("p_partkey") <= 200)
+      .select(col("p_partkey"), posexplode(split(col("p_name"), " ")))
+      .select(col("p_partkey"), col("pos").cast("long").as("pos"), col("col").as("token"))
+
   /** from_json into a typed struct (the schema-bound sibling of
     * get_json_object). */
   def jsonStruct(ev: DataFrame): DataFrame =
@@ -266,7 +272,8 @@ object SqlCoverage {
     "q_agg_extras" -> ((s, d) => aggExtras(Tables.orders(s, d))),
     "q_setop_intersect_all" -> ((s, d) => setOpsAll(Tables.events(s, d))),
     "q_array_funcs" -> ((s, d) => arrayFuncs(Tables.part(s, d))),
-    "q_json_struct" -> ((s, d) => jsonStruct(Tables.events(s, d))))
+    "q_json_struct" -> ((s, d) => jsonStruct(Tables.events(s, d))),
+    "q_posexplode" -> ((s, d) => posExplode(Tables.part(s, d))))
 
   val oracleSql: Map[String, String] = Map(
     "q_window_zoo" ->
@@ -385,7 +392,11 @@ object SqlCoverage {
         "array_to_string(list_filter(toks, x -> x <> toks[1]), ' ') without_first FROM t"),
     "q_json_struct" ->
       ("SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n " +
-        "FROM events GROUP BY 1"))
+        "FROM events GROUP BY 1"),
+    "q_posexplode" ->
+      ("WITH t AS (SELECT p_partkey, string_split(p_name, ' ') toks FROM part WHERE p_partkey <= 200) " +
+        "SELECT p_partkey, unnest(range(len(toks)))::BIGINT AS pos, " +
+        "unnest(toks) AS token FROM t"))
   // q_stats_agg intentionally has no oracle: corr/covar/stddev use
   // engine-specific streaming accumulation and percentile_approx is
   // approximate by design → driver records the weaker rows-only check.
