@@ -32,18 +32,6 @@ object TextHash {
     when(size(toks) >= n, transform(idx, mk)).otherwise(array())
   }
 
-  /** 60-bit SimHash over the token multiset: per bit, sum +1/-1 by the
-    * token-hash bit, emit 1 where the sum is positive. Term frequency
-    * weights fall out of the multiset sum naturally. */
-  def simhash(toks: Column, bits: Int = 60): Column = {
-    val hashes = transform(toks, t => hash60(t))
-    (0 until bits).map { b =>
-      val bitSum = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(bitSum > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
-
   /** Jaccard similarity of two pre-distinct shingle arrays, as the exact
     * rational inter/union in double (bit-identical across engines). */
   def jaccard(sa: Column, sb: Column): Column = {

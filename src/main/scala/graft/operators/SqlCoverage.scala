@@ -38,6 +38,18 @@ object SqlCoverage {
       trunc4(cume_dist().over(w)).as("cdist"))
   }
 
+  /** RANGE frame with numeric bounds: count of same-customer orders
+    * priced within ±5000 of each order (frame defined by values, so the
+    * result is deterministic regardless of tie order). */
+  def windowRangeFrame(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+      .rangeBetween(-5000L, 5000L)
+    // count only: frame SUMs use engine-specific accumulation (segment
+    // trees in some engines) and are not bit-portable even truncated
+    orders.select(col("o_custkey"), col("o_orderkey"),
+      count(lit(1)).over(w).as("n_near_price"))
+  }
+
   /** Date/time scalar family over o_orderdate (timestamp-typed). */
   def dateFuncs(orders: DataFrame): DataFrame =
     orders.select(col("o_orderkey"),
@@ -263,6 +275,7 @@ object SqlCoverage {
     "q_pivot" -> ((s, d) => pivotEvents(Tables.events(s, d))),
     "q_window_tumbling" -> ((s, d) => tumblingWindows(Tables.events(s, d))),
     "q_window_sliding" -> ((s, d) => slidingWindows(Tables.events(s, d))),
+    "q_window_range_frame" -> ((s, d) => windowRangeFrame(Tables.orders(s, d))),
     "q_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
     "q_full_outer_join" -> ((s, d) => fullOuterJoin(Tables.customer(s, d), Tables.supplier(s, d))),
     "q_cross_join" -> ((s, d) => crossJoinDims(Tables.region(s, d), Tables.nation(s, d))),
@@ -338,6 +351,10 @@ object SqlCoverage {
     "q_window_tumbling" ->
       ("SELECT (epoch_ms(ts) // 300000) * 300000 AS win_start_ms, count(*) AS n, " +
         "round(sum(value), 2) AS sum_value FROM events GROUP BY 1"),
+    "q_window_range_frame" ->
+      ("SELECT o_custkey, o_orderkey, count(*) OVER (PARTITION BY o_custkey " +
+        "ORDER BY o_totalprice RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING) " +
+        "AS n_near_price FROM orders"),
     "q_window_sliding" ->
       ("WITH x AS (SELECT value, epoch_ms(ts) ts_ms, unnest(range(0, 2)) i FROM events), " +
         "w AS (SELECT value, ts_ms, ((ts_ms // 300000) - i) * 300000 win_start_ms FROM x) " +

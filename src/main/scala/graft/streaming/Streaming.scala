@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.operators.{Reference, Transaction}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.{broadcast => _, _}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Per-user fraud-rule state: in-window debit event times + amounts.
@@ -122,6 +122,34 @@ object Streaming {
           state.update(bal)
           (user, bal)
       }
+  }
+
+  /** Stream-static enrichment: the live transaction stream joined to a
+    * static dimension (e.g. a user table). Static side broadcasts per
+    * micro-batch; no streaming state needed. */
+  def enrichWithStatic(txns: DataFrame, dim: DataFrame, key: String = "user_id"): DataFrame =
+    txns.join(org.apache.spark.sql.functions.broadcast(dim), key)
+
+  /** Stream-stream join: each debit matched to same-user credits within
+    * the preceding hour. Both sides are watermarked and the join
+    * condition bounds event time, so state for both streams is evicted
+    * once the watermark passes — the canonical bounded-state
+    * stream-stream join. */
+  def debitCreditJoin(txns: DataFrame): DataFrame = {
+    val debits = txns.filter(col("type") === "debit")
+      .select(col("transaction_id").as("debit_id"), col("user_id"),
+        col("amount").as("debit_amount"), col("timestamp").as("debit_ts"))
+      .withWatermark("debit_ts", "10 minutes")
+    val credits = txns.filter(col("type") === "credit")
+      .select(col("transaction_id").as("credit_id"), col("user_id").as("c_user_id"),
+        col("amount").as("credit_amount"), col("timestamp").as("credit_ts"))
+      .withWatermark("credit_ts", "10 minutes")
+    debits.join(credits,
+      col("user_id") === col("c_user_id") &&
+        col("credit_ts") <= col("debit_ts") &&
+        col("credit_ts") >= col("debit_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("debit_id"), col("credit_id"), col("user_id"),
+        col("debit_amount"), col("credit_amount"), col("debit_ts"), col("credit_ts"))
   }
 
   /** Start a query into an in-memory sink (tests / interactive). */

@@ -155,6 +155,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream join: debit matches in-window same-user credits only") {
+    import spark.implicits._
+    val in = MemoryStream[Transaction](spark)
+    val joined = Streaming.debitCreditJoin(in.toDF())
+    val q = Streaming.toMemory(joined, "ssj", OutputMode.Append())
+    withQuery(q) {
+      in.addData(
+        txn("c-old", 1, 5.0, "credit", "2025-01-01 08:00:00"),  // > 1h before → no match
+        txn("c-in", 1, 7.0, "credit", "2025-01-01 09:30:00"),   // in window → match
+        txn("c-other", 2, 9.0, "credit", "2025-01-01 09:45:00"), // other user → no match
+        txn("d-1", 1, 50.0, "debit", "2025-01-01 10:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table("ssj").collect()
+        .map(r => (r.getAs[String]("debit_id"), r.getAs[String]("credit_id")))
+      assert(rows.toSet === Set(("d-1", "c-in")))
+    }
+  }
+
+  test("stream-static join enriches the stream from a dimension table") {
+    import spark.implicits._
+    val in = MemoryStream[Transaction](spark)
+    val dim = Seq((1, "gold"), (2, "basic")).toDF("user_id", "tier")
+    val q = Streaming.toMemory(Streaming.enrichWithStatic(in.toDF(), dim), "enrich")
+    withQuery(q) {
+      in.addData(txn("a", 1, 10.0, "credit", "2025-01-01 10:00:00"))
+      q.processAllAvailable()
+      val r = spark.table("enrich").collect().head
+      assert(r.getAs[String]("tier") === "gold")
+    }
+  }
+
   test("kafkaShapedIngest parses raw JSON values against the wire schema") {
     import spark.implicits._
     val in = MemoryStream[String](spark)
