@@ -186,6 +186,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint recovery: restart resumes from offsets, no batch reprocessed") {
+    import java.nio.file.Files
+    val inDir = Files.createTempDirectory("graft-ck-in").toString
+    val outDir = Files.createTempDirectory("graft-ck-out").toString
+    val ckDir = Files.createTempDirectory("graft-ck").toString
+    def drop(name: String, id: String): Unit =
+      Files.write(java.nio.file.Paths.get(s"$inDir/$name"),
+        s"""{"transaction_id":"$id","user_id":1,"amount":1.0,"currency":"USD","type":"credit","metadata":{"merchant":"m"},"timestamp":"2025-08-27T10:00:00.000001Z"}"""
+          .getBytes("UTF-8"))
+    drop("f1.json", "t-1")
+    val q1 = Streaming.toParquetBatches(
+      Streaming.fileIngest(spark, inDir), outDir, ckDir)
+    q1.processAllAvailable(); q1.stop()
+    drop("f2.json", "t-2")
+    val q2 = Streaming.toParquetBatches(
+      Streaming.fileIngest(spark, inDir), outDir, ckDir)
+    q2.processAllAvailable(); q2.stop()
+    val all = spark.read.parquet(s"$outDir/batch=*")
+      .select("transaction_id").collect().map(_.getString(0)).sorted
+    // t-1 exactly once (batch 0), t-2 exactly once (batch 1 after restart)
+    assert(all.toSeq === Seq("t-1", "t-2"))
+  }
+
   test("kafkaShapedIngest parses raw JSON values against the wire schema") {
     import spark.implicits._
     val in = MemoryStream[String](spark)
