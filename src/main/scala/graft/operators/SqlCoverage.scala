@@ -213,6 +213,14 @@ object SqlCoverage {
         trunc4(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000000)) / 1000).as("median_k"),
         count(lit(1)).as("n"))
 
+  /** Typed custom Aggregator: per-priority geometric mean of the order
+    * price (truncated to cents; ulp noise from partial-merge order is
+    * ~1e-8 against a 0.01 grid). */
+  def geoMeanPrice(orders: DataFrame): DataFrame =
+    orders.groupBy(col("o_orderpriority"))
+      .agg((floor(graft.functions.GeoMean.of(col("o_totalprice")) * 100) / 100).as("geo_price"),
+        count(lit(1)).as("n"))
+
   /** Aggregate extras: min_by/max_by (deterministic on the unique order
     * key), count_if, bool aggs, bit aggs, ordered string_agg. */
   def aggExtras(orders: DataFrame): DataFrame =
@@ -286,7 +294,8 @@ object SqlCoverage {
     "q_setop_intersect_all" -> ((s, d) => setOpsAll(Tables.events(s, d))),
     "q_array_funcs" -> ((s, d) => arrayFuncs(Tables.part(s, d))),
     "q_json_struct" -> ((s, d) => jsonStruct(Tables.events(s, d))),
-    "q_posexplode" -> ((s, d) => posExplode(Tables.part(s, d))))
+    "q_posexplode" -> ((s, d) => posExplode(Tables.part(s, d))),
+    "q_geomean_udaf" -> ((s, d) => geoMeanPrice(Tables.orders(s, d))))
 
   val oracleSql: Map[String, String] = Map(
     "q_window_zoo" ->
@@ -413,7 +422,10 @@ object SqlCoverage {
     "q_posexplode" ->
       ("WITH t AS (SELECT p_partkey, string_split(p_name, ' ') toks FROM part WHERE p_partkey <= 200) " +
         "SELECT p_partkey, unnest(range(len(toks)))::BIGINT AS pos, " +
-        "unnest(toks) AS token FROM t"))
+        "unnest(toks) AS token FROM t"),
+    "q_geomean_udaf" ->
+      ("SELECT o_orderpriority, floor(exp(sum(ln(o_totalprice)) / count(*)) * 100) / 100 " +
+        "AS geo_price, count(*) AS n FROM orders GROUP BY o_orderpriority"))
   // q_stats_agg intentionally has no oracle: corr/covar/stddev use
   // engine-specific streaming accumulation and percentile_approx is
   // approximate by design → driver records the weaker rows-only check.
