@@ -51,6 +51,8 @@ object NativeVector {
       var dot = 0.0
       var i = 0
       while (i < n) {
+        // a null element yields NULL, matching the zip_with/aggregate form
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         val xv = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
         val yv = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
         dot += xv * yv
@@ -68,6 +70,7 @@ object NativeVector {
            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |double $dot = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
            |  $dot += (double) $a.$getX($i) * (double) $b.$getY($i);
            |}
            |${ev.value} = $dot;
@@ -96,6 +99,8 @@ object NativeVector {
       var nb = 0.0
       var i = 0
       while (i < n) {
+        // a null element yields NULL, matching the zip_with/aggregate form
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         val xv = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
         val yv = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
         dot += xv * yv
@@ -121,6 +126,7 @@ object NativeVector {
            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
            |  double $xv = (double) $a.$getX($i);
            |  double $yv = (double) $b.$getY($i);
            |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;

@@ -24,15 +24,10 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private def trunc4(c: Column): Column = floor(c * 10000) / 10000
+  import graft.functions.Portable.trunc4
 
-  /** Signature computation is CPU-bound per-row work (md5 over every
-    * shingle × hash function, interpreted HOF lambdas). A small parquet
-    * input arrives as 1–2 splits, which would serialize that work on one
-    * core — spread it across the cluster first. At 100 TB the scan has
-    * thousands of splits and this repartition keeps them balanced. */
   private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    graft.functions.Portable.spread(df, col("doc_id"))
 
   /** Exact dedup over text content. The input is unioned with a copy of
     * its first 50 docs (fresh ids) so the operator demonstrably collapses

@@ -42,8 +42,14 @@ object Media {
   /** Per-file metadata + STUB-decoded features, as pure column
     * expressions (codegen-friendly path). Fake dims derive from the
     * digest; a real decoder would replace exactly these expressions. */
+  /** payloads + the source text column carried through (features and
+    * frames need it for oracle-portable slicing; no re-join). */
+  private def payloadsWithText(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .join(payloads(docs), "doc_id") // same scan; Catalyst collapses
+
   def features(docs: DataFrame): DataFrame = {
-    val p = payloads(docs).join(docs.select(col("doc_id"), col("text")), "doc_id")
+    val p = payloadsWithText(docs)
     p.select(col("doc_id"), col("media_type"),
         octet_length(col("content")).cast("long").as("byte_len"),
         md5(col("content")).as("digest"),

@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def trunc4(c: Column): Column = floor(c * 10000) / 10000
+  import graft.functions.Portable.trunc4
 
   val Dim = 64
   val NumPlanes = 16
@@ -66,7 +66,7 @@ object Similarity {
     * cluster (a small parquet input is 1–2 splits). Embeddings stay
     * float; NativeVector widens per element inside its codegen loop. */
   private def withEmbD(emb: DataFrame): DataFrame =
-    emb.repartition(emb.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+    graft.functions.Portable.spread(emb, col("vec_id"))
       .select(col("vec_id"), col("embedding").as("e"))
 
   /** Exact cosine top-k per query vector (queries broadcast). */

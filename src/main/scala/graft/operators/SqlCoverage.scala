@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
 object SqlCoverage {
   type Q = (SparkSession, String) => DataFrame
 
+  import graft.functions.Portable.trunc4
+
   private def r2(c: Column): Column = round(c, 2)
-  private def trunc4(c: Column): Column = floor(c * 10000) / 10000
 
   /** Window-function zoo over orders, one deterministic total order per
     * customer (o_orderdate, o_orderkey unique tiebreak). */

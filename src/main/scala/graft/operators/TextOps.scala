@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  private def trunc4(c: Column): Column = floor(c * 10000) / 10000
+  import graft.functions.Portable.trunc4
 
   /** Stopword lists for the n-gram/stopword language-ID heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
@@ -77,8 +77,7 @@ object TextOps {
   /** Winnowing document fingerprints: min 60-bit hash over each window
     * of 4 consecutive 3-shingle hashes, distinct per doc, exploded. */
   def fingerprints(docs: DataFrame, window: Int = 4): DataFrame = {
-    val spreadDocs = docs.repartition(
-      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    val spreadDocs = graft.functions.Portable.spread(docs, col("doc_id"))
     val hs = transform(shingles(tokens(col("text"))), s => hash60(s))
     val mins = transform(sequence(lit(1), size(col("hs")) - (window - 1)),
       i => least((0 until window).map(o => element_at(col("hs"), i + o)): _*))
