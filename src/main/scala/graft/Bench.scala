@@ -10,6 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up JIT/codegen/parquet paths so the first timed query doesn't
+    // absorb ~5s of one-time session cost
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     // deterministic name order so per-round bench JSONs compare cleanly;
     // a failed query reports -1 (not its time-to-crash) so regressions
     // can't masquerade as speedups

@@ -85,6 +85,16 @@ object Sql {
       |         WHERE c_nationkey = n_nationkey
       |         ORDER BY c_acctbal DESC, c_name LIMIT 2) t""".stripMargin)
 
+  /** Recursive CTE (new in Spark 4): a month spine over the order-date
+    * range, left-joined so empty months still appear. */
+  def recursiveDateSpine(spark: SparkSession, dir: String): DataFrame = q(spark, dir,
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT DATE '1995-01-01'
+      |  UNION ALL SELECT add_months(m, 1) FROM months WHERE m < DATE '2001-08-01')
+      |SELECT m, count(o_orderkey) AS n
+      |FROM months LEFT JOIN orders ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+      |GROUP BY m""".stripMargin)
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -93,7 +103,8 @@ object Sql {
     "q_sql_percentiles" -> ((s, d) => percentiles(s, d)),
     "q_sql_vec_search" -> ((s, d) => vecSearchSql(s, d)),
     "q_sql_in_subquery" -> ((s, d) => inSubquery(s, d)),
-    "q_sql_lateral" -> ((s, d) => lateralTopPerGroup(s, d)))
+    "q_sql_lateral" -> ((s, d) => lateralTopPerGroup(s, d)),
+    "q_sql_recursive" -> ((s, d) => recursiveDateSpine(s, d)))
 
   val oracleSql: Map[String, String] = Map(
     "q_sql_nation_revenue" ->
@@ -123,5 +134,10 @@ object Sql {
     "q_sql_lateral" ->
       ("SELECT n_name, t.c_name, t.c_acctbal FROM nation, " +
         "LATERAL (SELECT c_name, c_acctbal FROM customer " +
-        "WHERE c_nationkey = n_nationkey ORDER BY c_acctbal DESC, c_name LIMIT 2) t"))
+        "WHERE c_nationkey = n_nationkey ORDER BY c_acctbal DESC, c_name LIMIT 2) t"),
+    "q_sql_recursive" ->
+      ("WITH RECURSIVE months(m) AS (SELECT DATE '1995-01-01' " +
+        "UNION ALL SELECT (m + INTERVAL 1 MONTH)::DATE FROM months WHERE m < DATE '2001-08-01') " +
+        "SELECT m, count(o_orderkey) AS n FROM months " +
+        "LEFT JOIN orders ON date_trunc('month', o_orderdate)::DATE = m GROUP BY m"))
 }

@@ -72,6 +72,18 @@ class OperatorsSpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("NativeVector yields NULL on null array elements, like the HOF form") {
+    import graft.functions.NativeVector
+    import spark.implicits._
+    val df = Seq((Array[java.lang.Float](1.0f, null, 2.0f), Array[java.lang.Float](1.0f, 1.0f, 1.0f)))
+      .toDF("a", "b")
+    val r = df.select(
+      NativeVector.dot($"a", $"b").as("nd"),
+      VectorOps.dot($"a", $"b").as("hd"),
+      NativeVector.cosine($"a", $"b").as("nc")).head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("VectorOps.cosine: identity, orthogonality") {
     import spark.implicits._
     val df = Seq((Array(1.0f, 0f, 2.0f), Array(1.0f, 0f, 2.0f), Array(0f, 5.0f, 0f)))
