@@ -151,6 +151,49 @@ object Dedup {
       .select(col("q_id"), col("doc_id"), trunc4(col("jac")).as("jaccard"), col("rnk"))
   }
 
+  /** Connected components over near-dup pairs: collapse pairs into
+    * dedup groups, labelling every doc with the min doc_id of its
+    * component. Iterative min-label propagation (Pregel-style): each
+    * round joins labels across edges and keeps the minimum; converges
+    * in ≤ component-diameter rounds (near-dup components are tiny).
+    * The driver loop carries only a changed-count per round — the data
+    * never leaves the cluster. */
+  def components(pairs: DataFrame): DataFrame = {
+    // symmetric edge list
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val viaEdges = edges.join(labels, edges("dst") === labels("id"))
+        .select(col("src").as("id"), col("label"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy(col("id")).agg(min(col("label")).as("label")).persist()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** components() over the minhash near-dup pairs: the end-to-end
+    * "pairs → dedup groups" pipeline. */
+  def minhashClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame =
+    components(minhashLsh(docs, threshold))
+
+  /** Deterministic hash sampling: a reproducible ~pct% sample keyed on
+    * the document id (portable across engines and runs, unlike
+    * rand()-based sample()). */
+  def hashSample(docs: DataFrame, pct: Int = 10): DataFrame =
+    docs.filter(pmod(hash60(concat(lit("sample|"), col("doc_id"))), lit(100L)) < pct)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -158,7 +201,9 @@ object Dedup {
     "q_dedup_minhash_lsh" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => simhashFingerprints(Tables.documents(s, d))),
     "q_dedup_simhash_pairs" -> ((s, d) => simhashPairs(Tables.documents(s, d))),
-    "q_dedup_ngram_topk" -> ((s, d) => ngramTopK(Tables.documents(s, d), Seq(0L, 8L, 285L))))
+    "q_dedup_ngram_topk" -> ((s, d) => ngramTopK(Tables.documents(s, d), Seq(0L, 8L, 285L))),
+    "q_dedup_clusters" -> ((s, d) => minhashClusters(Tables.documents(s, d))),
+    "q_hash_sample" -> ((s, d) => hashSample(Tables.documents(s, d))))
 
   private val sigCte = {
     val gList = (0 until 16).map { h =>
@@ -177,20 +222,36 @@ object Dedup {
       |  FROM h, range(0,60) r(b) GROUP BY 1,2),
       |fp AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash FROM bits GROUP BY doc_id)""".stripMargin.replace("\n", " ")
 
+  /** LSH candidate pairs + verified Jaccard, shared by minhash_lsh and
+    * clusters (which extends it with a recursive closure). */
+  private val pairsCte =
+    ", bands AS (SELECT doc_id, b, md5(g[4*b+1]::VARCHAR||','||g[4*b+2]::VARCHAR||','||" +
+      "g[4*b+3]::VARCHAR||','||g[4*b+4]::VARCHAR) bkey FROM sig, range(0,4) r(b)), " +
+      "cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id FROM bands x JOIN bands y " +
+      "ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id), " +
+      "j AS (SELECT a_id, b_id, len(list_intersect(sa.sd, sb.sd))::DOUBLE / " +
+      "(len(sa.sd) + len(sb.sd) - len(list_intersect(sa.sd, sb.sd))) jac " +
+      "FROM cand JOIN sig sa ON cand.a_id = sa.doc_id JOIN sig sb ON cand.b_id = sb.doc_id), " +
+      "pairs AS (SELECT a_id, b_id, jac FROM j WHERE jac >= 0.5)"
+
   val oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       ("SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM (" +
         "SELECT doc_id, text FROM documents UNION ALL " +
         "SELECT doc_id + 100000, text FROM documents WHERE doc_id < 50) GROUP BY 1"),
     "q_dedup_minhash_lsh" ->
-      (sigCte + ", bands AS (SELECT doc_id, b, md5(g[4*b+1]::VARCHAR||','||g[4*b+2]::VARCHAR||','||" +
-        "g[4*b+3]::VARCHAR||','||g[4*b+4]::VARCHAR) bkey FROM sig, range(0,4) r(b)), " +
-        "cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id FROM bands x JOIN bands y " +
-        "ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id), " +
-        "j AS (SELECT a_id, b_id, len(list_intersect(sa.sd, sb.sd))::DOUBLE / " +
-        "(len(sa.sd) + len(sb.sd) - len(list_intersect(sa.sd, sb.sd))) jac " +
-        "FROM cand JOIN sig sa ON cand.a_id = sa.doc_id JOIN sig sb ON cand.b_id = sb.doc_id) " +
-        "SELECT a_id, b_id, floor(jac * 10000) / 10000 AS jaccard FROM j WHERE jac >= 0.5"),
+      (sigCte + pairsCte +
+        " SELECT a_id, b_id, floor(jac * 10000) / 10000 AS jaccard FROM pairs"),
+    "q_dedup_clusters" ->
+      (sigCte.replaceFirst("WITH ", "WITH RECURSIVE ") + pairsCte +
+        ", edges AS (SELECT a_id s, b_id d FROM pairs UNION SELECT b_id, a_id FROM pairs), " +
+        "nodes AS (SELECT DISTINCT s AS id FROM edges), " +
+        "reach(node, root) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.node) " +
+        "SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node"),
+    "q_hash_sample" ->
+      ("SELECT doc_id, lang, n_chars FROM documents " +
+        "WHERE ('0x'||substr(md5('sample|'||doc_id),1,15))::BIGINT % 100 < 10"),
     "q_dedup_simhash" ->
       (simhashCte + " SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS n_same FROM fp"),
     "q_dedup_simhash_pairs" ->

@@ -72,6 +72,15 @@ class OperatorsSpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("Dedup.components: min-label over a chain and a separate pair") {
+    import spark.implicits._
+    // chain 1-2-3 (transitively connected) + isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val r = Dedup.components(pairs).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("NativeVector yields NULL on null array elements, like the HOF form") {
     import graft.functions.NativeVector
     import spark.implicits._
