@@ -152,6 +152,33 @@ class OperatorsSpec extends SparkSpec {
     assert(typedPath.exceptAll(exprPath).count() === 0)
   }
 
+  test("AsofNative: custom physical operator agrees with the composed union+window form") {
+    import graft.operators.AsofNative
+    val ev = Tables.events(spark, sf)
+    val native = AsofNative.purchaseView(ev)
+    val composed = Analytics.asofPurchaseView(ev)
+    assert(native.count() > 0)
+    assert(native.exceptAll(composed).count() === 0)
+    assert(composed.exceptAll(native).count() === 0)
+    // and the plan really is the custom exec with sort-merge children
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan) // SparkPlan.nodeName strips the Exec suffix
+  }
+
+  test("AsofNative: edge semantics — equal timestamps match, missing key yields null") {
+    import graft.operators.AsofNative
+    import spark.implicits._
+    val l = Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 99L, 50L))
+      .toDF("l_id", "l_key", "l_ts")
+    val r = Seq((7L, 10L, 100L), (8L, 10L, 40L), (9L, 20L, 300L))
+      .toDF("r_id", "r_key", "r_ts")
+    val out = AsofNative.asofJoin(l, r, "l_key", "r_key", "l_ts", "r_ts")
+      .select($"l_id", $"r_id").collect()
+      .map(x => x.getLong(0) -> Option(x.get(1)).map(_.asInstanceOf[Long])).toMap
+    // l_id 1: r at SAME ts 100 matches (<=); l_id 2: only r at 300 > 200 → null
+    assert(out === Map(1L -> Some(7L), 2L -> None, 3L -> None))
+  }
+
   test("Analytics.asofPurchaseView: latest view at-or-before each purchase") {
     import spark.implicits._
     val ev = Seq(
