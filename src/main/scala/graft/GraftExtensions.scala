@@ -34,5 +34,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_cosine"),
       info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float/double arrays"),
       (es: Seq[Expression]) => NativeVector.CosineSim(es.head, es(1))))
+    // the custom as-of join operator (AsofNative.asofJoin also installs
+    // this per session via experimental.extraStrategies)
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
   }
 }
