@@ -163,8 +163,11 @@ object Dedup {
     val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct().persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
+    // seed with min(id, min neighbor): pairs and stars converge in one
+    // round; only longer chains need further propagation
+    var labels = edges.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("label"))
+      .select(col("src").as("id"), col("label")).persist()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
