@@ -214,6 +214,12 @@ object SqlCoverage {
         trunc4(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000000)) / 1000).as("median_k"),
         count(lit(1)).as("n"))
 
+  /** Value histogram: fixed-width buckets via integer arithmetic (no
+    * engine-specific width_bucket), capped top bucket. */
+  def histogram(orders: DataFrame, width: Long = 60000L, buckets: Int = 10): DataFrame =
+    orders.select(least(floor(col("o_totalprice") / width), lit(buckets - 1)).cast("long").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+
   /** Typed custom Aggregator: per-priority geometric mean of the order
     * price (truncated to cents; ulp noise from partial-merge order is
     * ~1e-8 against a 0.01 grid). */
@@ -296,7 +302,8 @@ object SqlCoverage {
     "q_array_funcs" -> ((s, d) => arrayFuncs(Tables.part(s, d))),
     "q_json_struct" -> ((s, d) => jsonStruct(Tables.events(s, d))),
     "q_posexplode" -> ((s, d) => posExplode(Tables.part(s, d))),
-    "q_geomean_udaf" -> ((s, d) => geoMeanPrice(Tables.orders(s, d))))
+    "q_geomean_udaf" -> ((s, d) => geoMeanPrice(Tables.orders(s, d))),
+    "q_histogram" -> ((s, d) => histogram(Tables.orders(s, d))))
 
   val oracleSql: Map[String, String] = Map(
     "q_window_zoo" ->
@@ -426,7 +433,10 @@ object SqlCoverage {
         "unnest(toks) AS token FROM t"),
     "q_geomean_udaf" ->
       ("SELECT o_orderpriority, floor(exp(sum(ln(o_totalprice)) / count(*)) * 100) / 100 " +
-        "AS geo_price, count(*) AS n FROM orders GROUP BY o_orderpriority"))
+        "AS geo_price, count(*) AS n FROM orders GROUP BY o_orderpriority"),
+    "q_histogram" ->
+      ("SELECT least(floor(o_totalprice / 60000), 9)::BIGINT AS bucket, count(*) AS n " +
+        "FROM orders GROUP BY 1"))
   // q_stats_agg intentionally has no oracle: corr/covar/stddev use
   // engine-specific streaming accumulation and percentile_approx is
   // approximate by design → driver records the weaker rows-only check.

@@ -82,6 +82,26 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("native as-of join equals the composed union+window form on random event data") {
+    import spark.implicits._
+    // unique (user, ts) pairs so tie-breaking can't differ between forms
+    val gen = Gen.listOfN(40, for {
+      user <- Gen.choose(1L, 5L)
+      ts <- Gen.choose(0L, 1000L)
+      kind <- Gen.oneOf("view", "purchase")
+    } yield (user, ts, kind))
+    forAll(gen) { raw =>
+      val rows = raw.distinctBy(r => (r._1, r._2)).zipWithIndex
+        .map { case ((u, t, k), i) => (i.toLong, u, t, k) }
+      val ev = rows.toDF("event_id", "user_id", "ts_ms", "event_type")
+        .withColumn("ts", timestamp_millis($"ts_ms"))
+      val composed = graft.operators.Analytics.asofPurchaseView(ev)
+      val native = graft.operators.AsofNative.purchaseView(ev)
+      assert(native.exceptAll(composed).count() === 0)
+      assert(composed.exceptAll(native).count() === 0)
+    }
+  }
+
   test("identical documents always share minhash signatures and exact-dedup together") {
     import spark.implicits._
     forAll(Gen.listOfN(8, Gen.listOfN(12, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")))) { wordLists =>
