@@ -9,6 +9,11 @@ import org.apache.spark.sql.functions.udaf
   * the only sane way to multiply 10⁵ prices without overflow.
   * Registered with `functions.udaf`; merge is associative+commutative
   * so partial aggregation (map-side combine) applies as usual.
+  *
+  * Preconditions (primitive-Double encoder): inputs must be non-null
+  * and positive — filter upstream. An empty group yields 0.0 (a
+  * primitive OUT cannot encode SQL NULL); don't conflate with a true
+  * zero product.
   */
 object GeoMean extends Aggregator[Double, (Double, Long), Double] {
   override def zero: (Double, Long) = (0.0, 0L)

@@ -217,12 +217,14 @@ object Analytics {
     * union + one window pass (single shuffle on user_id), instead of a
     * per-row subquery. */
   def asofPurchaseView(ev: DataFrame): DataFrame = {
+    // event time compared at epoch-ms (the engine-portable unit, see
+    // Tables) — the oracle's ASOF predicate uses epoch_ms identically
     val relevant = ev.filter(col("event_type").isin("view", "purchase"))
-      .select(col("user_id"), col("ts"), col("event_id"),
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
         when(col("event_type") === "view", col("event_id")).as("view_id"),
         when(col("event_type") === "view", 0).otherwise(1).as("kind"))
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("kind"), col("event_id"))
+      .orderBy(col("ts_ms"), col("kind"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     relevant
       .withColumn("last_view_id", last(col("view_id"), ignoreNulls = true).over(w))
@@ -362,9 +364,10 @@ object Analytics {
         "AND epoch_ms(b.ts) <= epoch_ms(a.ts) + 300000 GROUP BY a.user_id"),
     "q_asof_join" ->
       ("SELECT p.event_id, v.event_id AS view_id FROM " +
-        "(SELECT * FROM events WHERE event_type = 'purchase') p ASOF LEFT JOIN " +
-        "(SELECT * FROM events WHERE event_type = 'view') v " +
-        "ON p.user_id = v.user_id AND p.ts >= v.ts"),
+        "(SELECT event_id, user_id, epoch_ms(ts) tms FROM events WHERE event_type = 'purchase') p " +
+        "ASOF LEFT JOIN " +
+        "(SELECT event_id, user_id, epoch_ms(ts) tms FROM events WHERE event_type = 'view') v " +
+        "ON p.user_id = v.user_id AND p.tms >= v.tms"),
     "q_distinct_exact" ->
       ("SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps " +
         "FROM lineitem"))

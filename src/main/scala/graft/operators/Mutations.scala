@@ -17,7 +17,11 @@ object Mutations {
 
   /** Upsert (MERGE): rows from `updates` replace same-key rows in
     * `base`; unmatched update rows are inserts. base ANTI-JOIN updates
-    * ∪ updates — one shuffle each side on the key. */
+    * ∪ updates — one shuffle each side on the key.
+    *
+    * Precondition: `updates` must be unique per key (SQL MERGE raises a
+    * cardinality violation otherwise; here duplicate update rows would
+    * all survive). Dedupe with [[keepLatest]] first if needed. */
   def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame =
     base.join(updates, Seq(key), "left_anti").unionByName(updates)
 
@@ -26,7 +30,9 @@ object Mutations {
     * dropDuplicates (which keeps an arbitrary row). */
   def keepLatest(df: DataFrame, key: Column, orderBy: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(key).orderBy(orderBy: _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    // pick a row-number column name that cannot clobber caller columns
+    val rn = Iterator.from(0).map(i => s"__rn$i").find(!df.columns.contains(_)).get
+    df.withColumn(rn, row_number().over(w)).filter(col(rn) === 1).drop(rn)
   }
 
   // ---- driver wiring ----

@@ -27,7 +27,8 @@ import org.apache.spark.sql.execution.SparkStrategy
   */
 case class AsofJoin(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    rightTiebreak: Expression) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsofJoin =
     copy(left = l, right = r)
@@ -35,7 +36,8 @@ case class AsofJoin(left: LogicalPlan, right: LogicalPlan,
 
 case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryExecNode {
+    leftTime: Expression, rightTime: Expression,
+    rightTiebreak: Expression) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output.map(_.withNullability(true))
 
@@ -44,9 +46,16 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+    // the tiebreak makes the held match deterministic under (key, time)
+    // ties: last-in-order wins, i.e. the max tiebreak value
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightTiebreak, Ascending)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  // rows stream out in the left child's required order — declare it so
+  // downstream consumers of (key, time) order don't re-sort
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
   override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): AsofJoinExec =
     copy(left = l, right = r)
@@ -76,22 +85,30 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
 
       lIter.map { lRow =>
         val lk = lkProj(lRow)
-        val key = lk.getLong(0)
-        val time = lk.getLong(1)
-        if (heldValid && heldKey != key) heldValid = false
-        // advance the right side up to (key, time)
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val peekKeys = rkProj(rBuf.head)
-          val rk = peekKeys.getLong(0)
-          val rt = peekKeys.getLong(1)
-          if (rk < key || (rk == key && rt <= time)) {
-            val r = rBuf.next()
-            if (rk == key) { held = r.copy(); heldKey = key; heldValid = true }
-          } else advancing = false
+        if (lk.anyNull) {
+          // SQL join semantics: null keys/times never match
+          outProj(joined(lRow, nullRight))
+        } else {
+          val key = lk.getLong(0)
+          val time = lk.getLong(1)
+          if (heldValid && heldKey != key) heldValid = false
+          // advance the right side up to (key, time)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val peekKeys = rkProj(rBuf.head)
+            if (peekKeys.anyNull) { rBuf.next() } // null-keyed right rows never match
+            else {
+              val rk = peekKeys.getLong(0)
+              val rt = peekKeys.getLong(1)
+              if (rk < key || (rk == key && rt <= time)) {
+                val r = rBuf.next()
+                if (rk == key) { held = r.copy(); heldKey = key; heldValid = true }
+              } else advancing = false
+            }
+          }
+          if (heldValid && heldKey == key) outProj(joined(lRow, held))
+          else outProj(joined(lRow, nullRight))
         }
-        if (heldValid && heldKey == key) outProj(joined(lRow, held))
-        else outProj(joined(lRow, nullRight))
       }
     }
   }
@@ -100,8 +117,8 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
 /** Planner strategy mapping the logical node to its exec. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, tb) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
     case _ => Nil
   }
 }

@@ -172,7 +172,7 @@ class OperatorsSpec extends SparkSpec {
       .toDF("l_id", "l_key", "l_ts")
     val r = Seq((7L, 10L, 100L), (8L, 10L, 40L), (9L, 20L, 300L))
       .toDF("r_id", "r_key", "r_ts")
-    val out = AsofNative.asofJoin(l, r, "l_key", "r_key", "l_ts", "r_ts")
+    val out = AsofNative.asofJoin(l, r, "l_key", "r_key", "l_ts", "r_ts", "r_id")
       .select($"l_id", $"r_id").collect()
       .map(x => x.getLong(0) -> Option(x.get(1)).map(_.asInstanceOf[Long])).toMap
     // l_id 1: r at SAME ts 100 matches (<=); l_id 2: only r at 300 > 200 → null
