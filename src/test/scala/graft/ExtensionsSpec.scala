@@ -27,4 +27,9 @@ class ExtensionsSpec extends SparkSpec {
       assert(optimized.contains("11.0"), optimized)
     } finally { /* shared SparkContext: do not stop */ }
   }
+
+  // NOTE: the `spark.sql.extensions=graft.GraftExtensions` config-string
+  // path exercises the same GraftExtensions.apply; testing it honestly
+  // needs a fresh SparkContext (getOrCreate in this JVM would return the
+  // session above and prove nothing), which one shared test JVM can't do.
 }
