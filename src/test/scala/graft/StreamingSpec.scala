@@ -209,6 +209,21 @@ class StreamingSpec extends SparkSpec {
     assert(all.toSeq === Seq("t-1", "t-2"))
   }
 
+  test("Trigger.AvailableNow drains the backlog and stops on its own") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    val inDir = Files.createTempDirectory("graft-an-in").toString
+    Files.write(java.nio.file.Paths.get(s"$inDir/a.json"),
+      """{"transaction_id":"an-1","user_id":1,"amount":2.5,"currency":"USD","type":"credit","metadata":{"merchant":"m"},"timestamp":"2025-08-27T10:00:00.000001Z"}"""
+        .getBytes("UTF-8"))
+    val q = Streaming.fileIngest(spark, inDir).writeStream
+      .format("memory").queryName("availnow")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000) // AvailableNow terminates after the backlog
+    assert(!q.isActive)
+    assert(spark.table("availnow").count() === 1)
+  }
+
   test("kafkaShapedIngest parses raw JSON values against the wire schema") {
     import spark.implicits._
     val in = MemoryStream[String](spark)
