@@ -13,21 +13,32 @@ object Bench {
     // warm up JIT/codegen/parquet paths so the first timed query doesn't
     // absorb ~5s of one-time session cost
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    // deterministic name order so per-round bench JSONs compare cleanly;
+    // toRdd.count() materializes every row of the final physical plan —
+    // a bare df.count() lets Catalyst prune the select list, so
+    // projection-heavy queries would be timed without doing their work.
+    // Deterministic name order so per-round bench JSONs compare cleanly;
     // a failed query reports -1 (not its time-to-crash) so regressions
-    // can't masquerade as speedups
+    // can't masquerade as speedups.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true } catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
       spark.sharedState.cacheManager.clearCache() // operator persists don't leak across queries
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }.toMap
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum // -1 failure markers excluded
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum // -1 failure markers excluded
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // stdout alone is fragile (the driver's tail capture truncated the
+    // round-1 line); persist the same JSON to a file as a durable copy
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_last.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -19,7 +19,10 @@ import org.apache.spark.sql.types._
   * Numerics are deliberately IDENTICAL to [[VectorOps]]: a sequential
   * left-to-right double fold over per-element products, so swapping one
   * implementation for the other is bit-exact (asserted in
-  * OperatorsSpec) and DuckDB-oracle parity is unaffected.
+  * OperatorsSpec) and DuckDB-oracle parity is unaffected. That identity
+  * includes the edge cases: a null element OR a length mismatch yields
+  * NULL, exactly like the zip_with form (which null-pads the shorter
+  * array and folds the null through).
   */
 object NativeVector {
 
@@ -43,11 +46,16 @@ object NativeVector {
     override def checkInputDataTypes(): TypeCheckResult = checkVecInputs(this)
     override def dataType: DataType = DoubleType
     override def prettyName: String = "vec_dot"
+    // can return null on length mismatch / null elements even when both
+    // inputs are non-null, so never advertise non-nullability
+    override def nullable: Boolean = true
 
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
       val (fx, fy) = (elemIsFloat(left), elemIsFloat(right))
-      val n = math.min(x.numElements(), y.numElements())
+      // zip_with null-pads the shorter array and the fold returns NULL
+      if (x.numElements() != y.numElements()) return null
+      val n = x.numElements()
       var dot = 0.0
       var i = 0
       while (i < n) {
@@ -67,9 +75,10 @@ object NativeVector {
       nullSafeCodeGen(ctx, ev, (a, b) => {
         val (n, dot, i) = (ctx.freshName("n"), ctx.freshName("dot"), ctx.freshName("i"))
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
            |double $dot = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
+           |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+           |else for (int $i = 0; $i < $n; $i++) {
            |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
            |  $dot += (double) $a.$getX($i) * (double) $b.$getY($i);
            |}
@@ -89,11 +98,15 @@ object NativeVector {
     override def checkInputDataTypes(): TypeCheckResult = checkVecInputs(this)
     override def dataType: DataType = DoubleType
     override def prettyName: String = "vec_cosine"
+    // see DotProduct.nullable
+    override def nullable: Boolean = true
 
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
       val (fx, fy) = (elemIsFloat(left), elemIsFloat(right))
-      val n = math.min(x.numElements(), y.numElements())
+      // zip_with null-pads the shorter array and the fold returns NULL
+      if (x.numElements() != y.numElements()) return null
+      val n = x.numElements()
       var dot = 0.0
       var na = 0.0
       var nb = 0.0
@@ -123,9 +136,10 @@ object NativeVector {
         val xv = ctx.freshName("xv")
         val yv = ctx.freshName("yv")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
            |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
+           |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+           |else for (int $i = 0; $i < $n; $i++) {
            |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
            |  double $xv = (double) $a.$getX($i);
            |  double $yv = (double) $b.$getY($i);

@@ -72,6 +72,22 @@ object Analytics {
     ev.select(get_json_object(col("props"), "$.k").cast("long").as("k"))
       .groupBy(col("k")).agg(count(lit(1)).as("n"))
 
+  /** SURVEY §1.3 metadata duality over testdata: the JSON payload kept
+    * verbatim as `metadata_json` (the Rust `serde_json::Value` form,
+    * `monitoring-service/src/main.rs:13`) AND read through the Go
+    * `map[string]string` view (`user-service/main.go:16`) — both access
+    * paths must agree. Pure per-row expressions, no shuffle. */
+  def metadataDuality(ev: DataFrame): DataFrame =
+    ev.select(col("event_id"),
+      col("props").as("metadata_json"),
+      get_json_object(col("props"), "$.k").cast("long").as("k_raw"),
+      element_at(
+        from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.StringType)), "k")
+        .cast("long").as("k_map"))
+
   /** Timestamp parsing → per-day counts. */
   def perDay(ev: DataFrame): DataFrame =
     ev.groupBy(to_date(col("ts")).as("day"))
@@ -201,13 +217,22 @@ object Analytics {
       floor(col("p_retailprice")).cast("long").as("price_floor"))
 
   /** Range join: same-user event pairs within a 5-minute window, counted
-    * per user. Equi key (user_id) + range predicate on ts_ms — Catalyst
-    * plans a sort-merge join on the equi key with the range as a
-    * post-join filter; per-user density stays bounded at scale. */
+    * per user. Time-bucketed equi-join: each left event joins only the
+    * bucket `ts_ms div windowMs` it could pair into and the adjacent one
+    * (any b with a_ms < b_ms ≤ a_ms+windowMs lands in one of the two),
+    * so the join key is (user_id, bucket) and each sort-merge group is
+    * bounded by per-WINDOW event density — a plain equi-join on user_id
+    * alone makes one hot user with k events materialize k² pairs before
+    * the range filter, which is quadratic at 100 TB. A pair matches in
+    * exactly one bucket (b's bucket is a function of b_ms), so no
+    * dedup step is needed. */
   def rapidPairs(ev: DataFrame, windowMs: Long = 300000L): DataFrame = {
-    val a = ev.select(col("user_id"), col("ts_ms").as("a_ms"), col("event_id").as("a_id"))
-    val b = ev.select(col("user_id"), col("ts_ms").as("b_ms"), col("event_id").as("b_id"))
-    a.join(b, Seq("user_id"))
+    val a = ev.select(col("user_id"), col("ts_ms").as("a_ms"))
+      .withColumn("bkt", explode(array(
+        expr(s"a_ms div ${windowMs}L"), expr(s"a_ms div ${windowMs}L + 1L"))))
+    val b = ev.select(col("user_id"), col("ts_ms").as("b_ms"),
+      expr(s"ts_ms div ${windowMs}L").as("bkt"))
+    a.join(b, Seq("user_id", "bkt"))
       .filter(col("b_ms") > col("a_ms") && col("b_ms") <= col("a_ms") + windowMs)
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
   }
@@ -251,6 +276,7 @@ object Analytics {
     "q_ingest_union" -> ((s, d) => ingestUnion(Tables.events(s, d))),
     "q_dedup_distinct" -> ((s, d) => dedupDistinct(Tables.events(s, d))),
     "q_json_extract" -> ((s, d) => jsonExtract(Tables.events(s, d))),
+    "q_metadata_json" -> ((s, d) => metadataDuality(Tables.events(s, d))),
     "q_per_day" -> ((s, d) => perDay(Tables.events(s, d))),
     "q1_pricing_summary" -> ((s, d) => pricingSummary(Tables.lineitem(s, d))),
     "q_user_stats" -> ((s, d) => userStats(Tables.events(s, d))),
@@ -288,6 +314,10 @@ object Analytics {
     "q_json_extract" ->
       ("SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n " +
         "FROM events GROUP BY 1"),
+    "q_metadata_json" ->
+      ("SELECT event_id, props AS metadata_json, " +
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_raw, " +
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_map FROM events"),
     "q_per_day" ->
       ("SELECT CAST(ts AS DATE) AS day, count(*) AS n, round(sum(value), 2) AS sum_value " +
         "FROM events GROUP BY 1"),

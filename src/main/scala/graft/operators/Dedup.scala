@@ -170,11 +170,17 @@ object Dedup {
       .select(col("src").as("id"), col("label")).persist()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 50) {
+    val maxRounds = 50
+    while (changed > 0 && rounds < maxRounds) {
       val viaEdges = edges.join(labels, edges("dst") === labels("id"))
         .select(col("src").as("id"), col("label"))
-      val next = labels.unionByName(viaEdges)
+      var next = labels.unionByName(viaEdges)
         .groupBy(col("id")).agg(min(col("label")).as("label")).persist()
+      // persist() keeps each round's DATA hot but the logical plan still
+      // chains one union+agg per round; truncate the lineage every 5
+      // rounds so a worst-case high-diameter component can't build a
+      // 50-deep plan (analysis/optimizer time grows superlinearly there)
+      if (rounds % 5 == 4) next = next.localCheckpoint()
       changed = next.join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).count()
       labels.unpersist()
@@ -182,6 +188,12 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
+    // a silent exit at the cap would return non-converged labels that an
+    // oracle compare (or a user) could mistake for correct clusters
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"components() did not converge after $maxRounds rounds " +
+          s"($changed labels still changing) — component diameter exceeds the cap")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -93,14 +93,17 @@ object TextOps {
       .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
 
   /** TF-IDF: top-k tokens per document by tf·ln(N/df). The corpus size
-    * N and per-token df join back as broadcasts — two small shuffles
-    * (token, doc) regardless of corpus size. */
+    * N broadcasts (always 1 row); the per-token document-frequency table
+    * is deliberately NOT hinted — vocabulary grows with the corpus
+    * (heavy-tailed junk tokens), so a forced broadcast is a driver OOM
+    * at 100 TB. The tf⋈df join is an equi-join on the token, and AQE
+    * still picks broadcast at small scale when df actually fits. */
   def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
     val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
     val df = tok.groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df"))
     val n = docs.agg(count(lit(1)).as("nd"))
-    val scored = tf.join(broadcast(df), "t").crossJoin(broadcast(n))
+    val scored = tf.join(df, "t").crossJoin(broadcast(n))
       .withColumn("s", col("tf") * log(col("nd").cast("double") / col("df")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("s").desc, col("t"))

@@ -23,19 +23,44 @@ final case class DebitState(times: Array[Long], amounts: Array[Double])
 object Streaming {
 
   /** Schema-bound streaming JSON file source (the file-drop analog of
-    * the reference's POST /transactions ingest, O5/O7). */
+    * the reference's POST /transactions ingest, O5/O7). Output carries
+    * both metadata forms (Reference.decode — SURVEY §1.3 duality). */
   def fileIngest(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(Reference.wireSchema).json(dir)
-      .withColumn("timestamp",
-        to_timestamp(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSX"))
+    Reference.decode(spark.readStream.schema(Reference.wireSchema).json(dir))
 
   /** Kafka-shaped ingest: a stream of raw JSON `value` strings (what a
     * Kafka source emits) parsed against the wire schema. */
   def kafkaShapedIngest(raw: DataFrame): DataFrame =
-    raw.select(from_json(col("value"), Reference.wireSchema).as("t"))
-      .select(col("t.*"))
-      .withColumn("timestamp",
-        to_timestamp(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSSX"))
+    Reference.decode(
+      raw.select(from_json(col("value"), Reference.wireSchema).as("t"))
+        .select(col("t.*")))
+
+  /** Source options for [[kafkaIngest]], factored out pure so they are
+    * unit-testable without a broker or the connector jar. */
+  def kafkaOptions(bootstrap: String, topic: String,
+      startingOffsets: String = "earliest",
+      extra: Map[String, String] = Map.empty): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets) ++ extra
+
+  /** Real Kafka source: `readStream.format("kafka")` → byte `value` cast
+    * to string → [[kafkaShapedIngest]] wire decode. This is the
+    * production constructor for BASELINE.md's stated approach
+    * ("Structured Streaming + Kafka source"). The spark-sql-kafka
+    * connector is a RUNTIME (Provided-style) dependency — it is not
+    * bundled here and no broker exists in the dev sandbox, so coverage
+    * is compile-level plus unit tests on the option plumbing and on the
+    * missing-connector error (see StreamingSpec and README). */
+  def kafkaIngest(spark: SparkSession, bootstrap: String, topic: String,
+      startingOffsets: String = "earliest",
+      extra: Map[String, String] = Map.empty): DataFrame =
+    kafkaShapedIngest(
+      spark.readStream.format("kafka")
+        .options(kafkaOptions(bootstrap, topic, startingOffsets, extra))
+        .load()
+        .selectExpr("CAST(value AS STRING) AS value"))
 
   /** Tumbling/sliding per-currency volume with watermarked event time.
     * Late data beyond the watermark is dropped (vs the reference, which
@@ -156,12 +181,17 @@ object Streaming {
   def toMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()
 
-  /** Production-shaped sink: idempotent micro-batch parquet append via
-    * foreachBatch (checkpointed offsets ⇒ exactly-once per batch id). */
+  /** Production-shaped sink: idempotent micro-batch parquet via
+    * foreachBatch. mode("overwrite") on the per-batchId directory is the
+    * idempotency guarantee: if a micro-batch fails after writing but
+    * before the checkpoint commit, the restarted query re-runs the same
+    * batchId and REPLACES the partial output instead of appending a
+    * second copy — checkpointed offsets + batch-id-keyed overwrite ⇒
+    * exactly-once in the sink. */
   def toParquetBatches(df: DataFrame, outDir: String, checkpoint: String): StreamingQuery =
     df.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("append").parquet(s"$outDir/batch=$batchId")
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
       }
       .option("checkpointLocation", checkpoint)
       .start()

@@ -65,4 +65,35 @@ class ReferenceSpec extends SparkSpec {
     val ms = Reference.merchant(df).select("merchant").collect().map(_.getString(0)).toSet
     assert(ms === Set("Amazon", "Spotify"))
   }
+
+  test("§1.3 metadata duality: nested Rust-style metadata survives in metadata_json (main.rs:13)") {
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val nested =
+      """{"transaction_id":"ccc-3","user_id":1003,"amount":10.0,"currency":"USD","type":"credit","metadata":{"merchant":"Amazon","risk":{"score":0.93,"rules":["velocity","geo"]}},"timestamp":"2025-08-27T12:00:00.000003Z"}"""
+    val df = Reference.readJson(spark, fixture(good :+ nested))
+    // the nested-metadata row is NOT dropped or mangled (Rust serde_json::Value parity)
+    assert(df.count() === 4)
+    val row = df.filter(col("transaction_id") === "ccc-3")
+      .select("metadata_json").collect().head.getString(0)
+    assert(row.contains("\"risk\""))
+    // raw-JSON path access reaches the nested structure
+    val rule = df.filter(col("transaction_id") === "ccc-3")
+      .select(get_json_object(col("metadata_json"), "$.risk.rules[1]"))
+      .collect().head.getString(0)
+    assert(rule === "geo")
+    // the Go map view still works on the same row: flat keys as strings,
+    // nested values as their raw JSON text
+    val m = df.filter(col("transaction_id") === "ccc-3")
+      .select("metadata").collect().head.getMap[String, String](0)
+    assert(m("merchant") === "Amazon")
+    assert(m("risk").contains("\"score\""))
+  }
+
+  test("§1.3 both metadata columns coexist on flat Go-style records") {
+    val df = Reference.readJson(spark, fixture(good))
+    val r = df.filter(org.apache.spark.sql.functions.col("transaction_id") === "bbb-2")
+      .select("metadata_json", "metadata").collect().head
+    assert(r.getString(0).contains("\"merchant\""))
+    assert(r.getMap[String, String](1)("merchant") === "Spotify")
+  }
 }
