@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, engine-portable text hashing primitives shared by the
@@ -30,6 +31,26 @@ object TextHash {
     val mk = (i: Column) =>
       concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*)
     when(size(toks) >= n, transform(idx, mk)).otherwise(array())
+  }
+
+  /** Relational word-shingle rows: one (doc_id, i, s) row per n-gram
+    * shingle, i 0-based. The HOF form ([[shingles]]) builds the array
+    * with an INTERPRETED `transform` lambda per row; this form is
+    * posexplode → two `lead`s + a position filter — the string assembly
+    * runs in a codegen'd projection, and the only added cost is a sort
+    * within the doc_id partitioning (no extra shuffle when the input is
+    * already hash-partitioned on doc_id, as after Portable.spread).
+    * Values are identical to exploding [[shingles]]. */
+  def shingleRows(docs: DataFrame, n: Int = 3): DataFrame = {
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val tok = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "t")))
+      .withColumn("n_toks", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    tok
+      .withColumn("s", concat_ws(" ",
+        col("t") +: (1 until n).map(o => lead(col("t"), o).over(byPos)): _*))
+      .filter(col("i") <= col("n_toks") - n)
+      .select(col("doc_id"), col("i"), col("s"))
   }
 
   /** Jaccard similarity of two pre-distinct shingle arrays, as the exact

@@ -41,18 +41,21 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
   }
 
-  /** Per-doc 3-shingle set + 16-element MinHash signature.
+  /** Per-doc 16-element MinHash signature — and ONLY the signature.
     *
-    * Whole-stage-codegen design: explode shingles to rows, compute 8
-    * md5s per shingle in one codegen'd projection (each md5 yields TWO
-    * independent 60-bit hashes — chars 1–15 and 16–30), then a hash
-    * aggregate with map-side combine takes the 16 per-doc minima. This
-    * keeps the hot md5 loop inside Tungsten codegen instead of
-    * interpreted higher-order-function lambdas (~10× cheaper), and the
-    * shuffle carries only (doc_id, 16 longs + shingle set). */
+    * Whole-stage-codegen design: relational shingle rows (codegen'd
+    * string assembly), 8 md5s per shingle in one codegen'd projection
+    * (each md5 yields TWO independent 60-bit hashes — chars 1–15 and
+    * 16–30), then a hash aggregate with map-side combine takes the 16
+    * per-doc minima. The hot md5 loop stays inside Tungsten codegen
+    * instead of interpreted higher-order-function lambdas (~10×
+    * cheaper), and the signature shuffle carries exactly (doc_id, 16
+    * longs) — the full shingle sets deliberately do NOT ride along
+    * (at 100 TB that would shuffle document-sized payloads through
+    * every downstream join; see [[minhashLsh]] for how verification
+    * gets its sets instead). */
   private def signatures(docs: DataFrame): DataFrame = {
-    val ex = spread(docs).select(col("doc_id"),
-      explode(shingles(tokens(col("text")))).as("s"))
+    val ex = shingleRows(spread(docs))
     val md5s = (0 until 8).map(k => md5(concat(lit(s"$k|"), col("s"))).as(s"m$k"))
     val hashed = ex.select(col("doc_id") +: col("s") +: md5s: _*)
     val hcols = (0 until 16).map { h =>
@@ -61,14 +64,18 @@ object Dedup {
     }
     hashed.select(col("doc_id") +: col("s") +: hcols: _*)
       .groupBy(col("doc_id"))
-      .agg(collect_set(col("s")).as("sd"),
-        array((0 until 16).map(h => min(col(s"h$h"))): _*).as("sig"))
+      .agg(array((0 until 16).map(h => min(col(s"h$h"))): _*).as("sig"))
   }
 
   /** MinHash + LSH near-dup pairs: 4 bands × 4 rows, verified with the
-    * true shingle-set Jaccard ≥ `threshold`. Signatures are persisted:
-    * they feed three join arms (band self-join ×2, verify ×2) and must
-    * not be recomputed per arm. */
+    * true shingle-set Jaccard ≥ `threshold`.
+    *
+    * Scale shape: signatures (16 longs/doc) are persisted and feed the
+    * band self-join; the exact-Jaccard verification then re-shingles
+    * ONLY the docs that appear in some candidate pair (candidates ≪
+    * corpus after banding), so the document-sized shingle payloads live
+    * in one small broadcast-able relation instead of riding the
+    * signature aggregate and both verify join arms. */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val sig = signatures(docs).persist()
     val bandStructs = (0 until 4).map { b =>
@@ -81,9 +88,16 @@ object Dedup {
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
-    val sa = sig.select(col("doc_id").as("a_id"), col("sd").as("sda"))
-    val sb = sig.select(col("doc_id").as("b_id"), col("sd").as("sdb"))
+      .distinct().persist()
+    val candIds = cand.select(col("a_id").as("doc_id"))
+      .unionByName(cand.select(col("b_id").as("doc_id"))).distinct()
+    // candidate docs only: the per-row HOF shingle array is fine here
+    // because this relation is tiny relative to the corpus
+    val sets = docs.join(candIds, "doc_id")
+      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")))).as("sd"))
+      .persist() // two join arms below
+    val sa = sets.select(col("doc_id").as("a_id"), col("sd").as("sda"))
+    val sb = sets.select(col("doc_id").as("b_id"), col("sd").as("sdb"))
     cand.join(sa, "a_id").join(sb, "b_id")
       .withColumn("jac", jaccard(col("sda"), col("sdb")))
       .filter(col("jac") >= threshold)

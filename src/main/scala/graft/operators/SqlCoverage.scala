@@ -214,6 +214,43 @@ object SqlCoverage {
         trunc4(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000000)) / 1000).as("median_k"),
         count(lit(1)).as("n"))
 
+  /** Oracle-checkable exact statistics: the hash-checked sibling of
+    * [[statsAgg]] (whose corr/covar/stddev accumulators are
+    * accumulation-order-sensitive and therefore rows-only).
+    *
+    * Portability design: prices become exact integer CENTS summed in
+    * DECIMAL (Spark) / HUGEINT (DuckDB) — both exact, so n, Σx, Σx²,
+    * Σy, Σy², Σxy are engine-identical regardless of partial-agg merge
+    * order. Every derived stat is then the SAME sequence of IEEE double
+    * ops on those exact sums (cast-to-double of an exact integer is
+    * correctly rounded in both engines), so var/stddev/corr/covar match
+    * bit-for-bit before the final trunc4. Map-side combine applies to
+    * all six sums — one shuffle of 6 numbers per group at any scale. */
+  def statsExact(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = round(col("o_totalprice") * 100).cast(DecimalType(38, 0))
+    val cust = col("o_custkey").cast(DecimalType(38, 0))
+    val agg = orders
+      .select(col("o_orderpriority"), cents.as("x"), cust.as("y"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("y") * col("y")).cast("double").as("syy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"))
+    val nd = col("n").cast("double")
+    val varX = (col("sxx") - col("sx") * col("sx") / nd) / (nd - 1) // cents²
+    val varY = (col("syy") - col("sy") * col("sy") / nd) / (nd - 1)
+    val covXY = (col("sxy") - col("sx") * col("sy") / nd) / (nd - 1)
+    agg.select(col("o_orderpriority"), col("n"),
+      trunc4(col("sx") / nd / 100).as("mean_price"),
+      trunc4(varX / 10000 / 1e9).as("var_b"),
+      trunc4(sqrt(varX) / 100 / 1000).as("stddev_k"),
+      trunc4(covXY / 100 / 1e6).as("covar_m"),
+      trunc4(covXY / sqrt(varX * varY)).as("corr_pc"))
+  }
+
   /** Value histogram: fixed-width buckets via integer arithmetic (no
     * engine-specific width_bucket), capped top bucket. */
   def histogram(orders: DataFrame, width: Long = 60000L, buckets: Int = 10): DataFrame =
@@ -297,6 +334,7 @@ object SqlCoverage {
     "q_like_filter" -> ((s, d) => likeFilters(Tables.part(s, d))),
     "q_null_handling" -> ((s, d) => nullHandling(Tables.lineitem(s, d))),
     "q_stats_agg" -> ((s, d) => statsAgg(Tables.orders(s, d))),
+    "q_stats_exact" -> ((s, d) => statsExact(Tables.orders(s, d))),
     "q_agg_extras" -> ((s, d) => aggExtras(Tables.orders(s, d))),
     "q_setop_intersect_all" -> ((s, d) => setOpsAll(Tables.events(s, d))),
     "q_array_funcs" -> ((s, d) => arrayFuncs(Tables.part(s, d))),
@@ -306,6 +344,22 @@ object SqlCoverage {
     "q_histogram" -> ((s, d) => histogram(Tables.orders(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_stats_exact" ->
+      ("WITH p AS (SELECT o_orderpriority, " +
+        "CAST(round(o_totalprice * 100) AS HUGEINT) x, CAST(o_custkey AS HUGEINT) y FROM orders), " +
+        "a AS (SELECT o_orderpriority, count(*) n, " +
+        "sum(x)::DOUBLE sx, sum(x*x)::DOUBLE sxx, sum(y)::DOUBLE sy, " +
+        "sum(y*y)::DOUBLE syy, sum(x*y)::DOUBLE sxy FROM p GROUP BY 1), " +
+        "d AS (SELECT o_orderpriority, n, n::DOUBLE nd, sx, sxx, sy, syy, sxy, " +
+        "(sxx - sx * sx / n::DOUBLE) / (n::DOUBLE - 1) vx, " +
+        "(syy - sy * sy / n::DOUBLE) / (n::DOUBLE - 1) vy, " +
+        "(sxy - sx * sy / n::DOUBLE) / (n::DOUBLE - 1) cxy FROM a) " +
+        "SELECT o_orderpriority, n, " +
+        "floor(sx / nd / 100 * 10000) / 10000 AS mean_price, " +
+        "floor(vx / 10000 / 1e9 * 10000) / 10000 AS var_b, " +
+        "floor(sqrt(vx) / 100 / 1000 * 10000) / 10000 AS stddev_k, " +
+        "floor(cxy / 100 / 1e6 * 10000) / 10000 AS covar_m, " +
+        "floor(cxy / sqrt(vx * vy) * 10000) / 10000 AS corr_pc FROM d"),
     "q_window_zoo" ->
       ("SELECT o_custkey, o_orderkey, " +
         "dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile, " +

@@ -75,8 +75,32 @@ object TextOps {
       col("n_chars"))
 
   /** Winnowing document fingerprints: min 60-bit hash over each window
-    * of 4 consecutive 3-shingle hashes, distinct per doc, exploded. */
+    * of 4 consecutive 3-shingle hashes, distinct per doc.
+    *
+    * Relational form: shingle rows (codegen'd string assembly) →
+    * codegen'd hash60 → windowed min over the `window` following hash
+    * rows → distinct. The hot md5 loop stays inside whole-stage codegen
+    * instead of the interpreted `transform`/`sequence`/`least` lambda
+    * chain of [[fingerprintsHof]] (PERF.md rule #3); the shuffle is one
+    * hash-partition on doc_id reused by both window passes. A/B at
+    * sf0.1 in PERF.md — this form wins and is the wired one. */
   def fingerprints(docs: DataFrame, window: Int = 4): DataFrame = {
+    val spreadDocs = graft.functions.Portable.spread(docs, col("doc_id"))
+    val byPos = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val nSh = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    shingleRows(spreadDocs)
+      .select(col("doc_id"), col("i"), hash60(col("s")).as("h"))
+      .withColumn("n_sh", count(lit(1)).over(nSh))
+      .withColumn("fp", min(col("h")).over(byPos.rowsBetween(0, window - 1)))
+      .filter(col("i") <= col("n_sh") - window) // full windows only
+      .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  /** The original higher-order-function form of [[fingerprints]] —
+    * identical values, interpreted lambdas. Kept for the A/B record and
+    * as the reference semantics of the winnowing. */
+  def fingerprintsHof(docs: DataFrame, window: Int = 4): DataFrame = {
     val spreadDocs = graft.functions.Portable.spread(docs, col("doc_id"))
     val hs = transform(shingles(tokens(col("text"))), s => hash60(s))
     val mins = transform(sequence(lit(1), size(col("hs")) - (window - 1)),
