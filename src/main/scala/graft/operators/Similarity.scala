@@ -100,6 +100,58 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
   }
 
+  val NList = 16
+  val NProbe = 4
+
+  /** IVF (inverted-file) ANN top-k — the second scale path next to the
+    * LSH one, mirroring the classic IVF-flat index as relational ops:
+    *
+    *  1. coarse centroids: the embeddings of vec_id < NList (a
+    *     deterministic seed set; at production scale these come from a
+    *     k-means pass, which changes the centroid VALUES but none of
+    *     this pipeline's shape);
+    *  2. assignment: every vector → argmax-cosine centroid via a
+    *     broadcast of the NList centroids and a `max_by` hash
+    *     aggregate — map-side combined, so the shuffle carries one
+    *     (vec_id, best centroid) pair per vector, never the embedding;
+    *  3. probe: each query ranks the centroids and searches only its
+    *     top-NProbe inverted lists — an EQUI-join on list_id, so work
+    *     is NProbe/NList of the corpus per query instead of all of it.
+    *
+    * At 100 TB the vectors would additionally be written bucketed by
+    * list_id, turning the probe join into partition pruning at the
+    * scan. Ties (same trunc4 cosine to two centroids) break to the
+    * smaller centroid id in both engines, keeping assignment
+    * deterministic and the oracle hash-stable. */
+  def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    val v = withEmbD(emb)
+    val cents = v.filter(col("vec_id") < NList)
+      .select(col("vec_id").cast("int").as("cid"), col("e").as("ce"))
+    val assign = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        trunc4(NativeVector.cosine(col("e"), col("ce"))).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(expr("max_by(cid, struct(ccos, -cid))").as("list_id"))
+    val q = v.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qe"), col("cid"),
+        trunc4(NativeVector.cosine(col("qe"), col("ce"))).as("qcos"))
+      .withColumn("prnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("cid"))))
+      .filter(col("prnk") <= NProbe)
+      .select(col("q_id"), col("qe"), col("cid").as("list_id"))
+    // a vector lives in exactly one list and (q, list) pairs are unique,
+    // so (q_id, vec_id) candidates are already distinct — no dedup pass
+    val scored = v.join(assign, "vec_id")
+      .join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        trunc4(NativeVector.cosine(col("qe"), col("e"))).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+  }
+
   /** Embedding-cosine near-dup pairs: LSH band join (no cross join),
     * verified by cosine ≥ threshold. */
   def nearDupPairs(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
@@ -122,6 +174,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk_exact" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L))),
     "q_sim_topk_ann" -> ((s, d) => annTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L))),
+    "q_sim_topk_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L))),
     "q_sim_neardup" -> ((s, d) => nearDupPairs(Tables.embeddings(s, d))))
 
   private def planeSql(h: Int): String =
@@ -156,6 +209,25 @@ object Similarity {
         "scored AS (SELECT q_id, vec_id, floor(list_cosine_similarity(" +
         "(SELECT qe FROM qb WHERE qb.q_id = cand.q_id LIMIT 1), " +
         "(SELECT e FROM v WHERE v.vec_id = cand.vec_id)) * 10000) / 10000 cos FROM cand), " +
+        "ranked AS (SELECT q_id, vec_id, cos, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, vec_id) rnk FROM scored) " +
+        "SELECT q_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 10"),
+    "q_sim_topk_ivf" ->
+      ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings), " +
+        s"cents AS (SELECT vec_id::INT cid, e ce FROM v WHERE vec_id < $NList), " +
+        "ac AS (SELECT v.vec_id, c.cid, floor(list_cosine_similarity(v.e, c.ce) * 10000) / 10000 ccos " +
+        "FROM v CROSS JOIN cents c), " +
+        "assign AS (SELECT vec_id, cid AS list_id FROM (SELECT vec_id, cid, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) rn FROM ac) WHERE rn = 1), " +
+        "q AS (SELECT vec_id q_id, e qe FROM v WHERE vec_id IN (0,1,2,3,4)), " +
+        "pc AS (SELECT q_id, qe, cid, floor(list_cosine_similarity(qe, ce) * 10000) / 10000 qcos " +
+        "FROM q CROSS JOIN cents), " +
+        "probes AS (SELECT q_id, qe, cid AS list_id FROM (SELECT q_id, qe, cid, " +
+        s"row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, cid) prn FROM pc) WHERE prn <= $NProbe), " +
+        "vl AS (SELECT v.vec_id, v.e, a.list_id FROM v JOIN assign a USING (vec_id)), " +
+        "scored AS (SELECT p.q_id, vl.vec_id, " +
+        "floor(list_cosine_similarity(p.qe, vl.e) * 10000) / 10000 cos " +
+        "FROM vl JOIN probes p USING (list_id) WHERE vl.vec_id <> p.q_id), " +
         "ranked AS (SELECT q_id, vec_id, cos, row_number() OVER " +
         "(PARTITION BY q_id ORDER BY cos DESC, vec_id) rnk FROM scored) " +
         "SELECT q_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 10"),

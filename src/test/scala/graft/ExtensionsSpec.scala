@@ -2,30 +2,39 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** GraftExtensions: a fresh session built with the extension resolves
-  * vec_cosine/vec_dot in SQL, and Catalyst constant-folds them. */
+/** GraftExtensions: a session built with the extension resolves
+  * vec_cosine/vec_dot in SQL, and Catalyst constant-folds them.
+  *
+  * Ordering is made explicit instead of racy: the ONE shared test
+  * session (SparkSpec.session) is built `withExtensions`, because
+  * extensions are builder-time-only — `getOrCreate()` against an
+  * already-created default session returns it unchanged and silently
+  * ignores `withExtensions`. The second test pins that reuse behavior
+  * so a future suite can't reintroduce the ambiguity.
+  */
 class ExtensionsSpec extends SparkSpec {
 
-  test("withExtensions installs vec_cosine and vec_dot; literals constant-fold") {
-    // newSession shares the SparkContext; extensions need their own
-    // builder, so construct directly
+  test("extended session resolves vec_dot/vec_cosine in SQL; literals constant-fold") {
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+        "vec_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+    val row = r.collect().head
+    assert(row.getDouble(0) === 11.0 && row.getDouble(1) === 1.0)
+    // constant inputs → the optimized plan carries the folded literal
+    val optimized = r.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("11.0"), optimized)
+  }
+
+  test("getOrCreate reuses the existing session — withExtensions cannot retrofit one") {
+    // force the shared session into existence first, then try to build
+    // "another" extended session: the builder hands back the same one.
+    // This is the documented reason SparkSpec registers the extension
+    // at shared-session build time rather than per suite.
+    val shared = spark
     val s2 = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
-    try {
-      val r = s2.sql(
-        "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
-          "vec_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
-      val row = r.collect().head
-      assert(row.getDouble(0) === 11.0 && row.getDouble(1) === 1.0)
-      // constant inputs → the optimized plan carries the folded literal
-      val optimized = r.queryExecution.optimizedPlan.toString
-      assert(optimized.contains("11.0"), optimized)
-    } finally { /* shared SparkContext: do not stop */ }
+    assert(s2 eq shared)
   }
 
   // NOTE: the `spark.sql.extensions=graft.GraftExtensions` config-string

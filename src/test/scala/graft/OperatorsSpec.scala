@@ -122,6 +122,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Similarity.ivfTopK scores like brute force, searches only probed lists, is deterministic") {
+    val emb = Tables.embeddings(spark, sf)
+    val bf = Similarity.bruteForceTopK(emb, Seq(0L), k = 500).select("vec_id", "cos")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = Similarity.ivfTopK(emb, Seq(0L), k = 10).collect()
+    assert(ivf.nonEmpty && ivf.length <= 10)
+    // candidates are a subset of the exact-scored universe with identical scores
+    ivf.foreach { r =>
+      val (v, c) = (r.getAs[Long]("vec_id"), r.getAs[Double]("cos"))
+      assert(bf.contains(v) && math.abs(bf(v) - c) < 1e-12)
+    }
+    // ranks are dense from 1
+    assert(ivf.map(_.getAs[Long]("rnk")).sorted.toSeq === (1L to ivf.length).toSeq)
+    // deterministic across runs (assignment + probe have no randomness)
+    val again = Similarity.ivfTopK(emb, Seq(0L), k = 10).collect()
+    assert(ivf.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
+
   test("TextOps.langId prefers English for a stopword-rich English sentence") {
     val r = TextOps.langId(docsDF).filter(col("doc_id") === 0).head
     assert(r.getAs[String]("predicted") === "en")

@@ -11,6 +11,11 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 }
 
 object SparkSpec {
+  // built WITH GraftExtensions, deterministically, before any suite can
+  // race to create a non-extended default session: extensions can only
+  // be installed at builder time (getOrCreate on an existing session
+  // silently ignores withExtensions), so the one JVM-wide session must
+  // be the extended one for ExtensionsSpec to be order-independent
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
@@ -18,6 +23,7 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     Tables.configure(s)
