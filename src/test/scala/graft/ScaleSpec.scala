@@ -36,6 +36,32 @@ class ScaleSpec extends SparkSpec {
     assert(joined.exceptAll(direct).count() === 0)
   }
 
+  test("rapidPairs joins on the time bucket, not user_id alone (plan shape)") {
+    val ev = Tables.events(spark, sf)
+    val plan = graft.operators.Analytics.rapidPairs(ev).queryExecution.executedPlan.toString
+    // the equi keys of the join must include the bucket column — a
+    // user_id-only join is per-user quadratic before the range filter
+    val joinLine = plan.linesIterator.find(l => l.contains("Join ") && l.contains("user_id"))
+    assert(joinLine.exists(_.contains("bkt")), s"range join lost its bucket key:\n$plan")
+  }
+
+  test("tfidfTopK carries exactly one broadcast hint (the 1-row count, never the vocabulary)") {
+    val docs = Tables.documents(spark, sf)
+    val analyzed = graft.operators.TextOps.tfidfTopK(docs).queryExecution.analyzed.toString
+    // the df (vocabulary) table grows with the corpus; a forced broadcast
+    // there is a driver OOM at scale. AQE may still CHOOSE broadcast when
+    // it fits — the guard is against the unconditional hint
+    val hints = "ResolvedHint".r.findAllIn(analyzed).length
+    assert(hints === 1, s"expected only the count(*) broadcast hint, got $hints:\n$analyzed")
+  }
+
+  test("fingerprints runs on a single exchange; all windows reuse the doc_id partitioning") {
+    val docs = Tables.documents(spark, sf)
+    val plan = graft.operators.TextOps.fingerprints(docs).queryExecution.executedPlan.toString
+    val exchanges = "Exchange ".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected 1 exchange (the spread), got $exchanges:\n$plan")
+  }
+
   test("format round-trips: csv, json, orc, partitioned parquet") {
     val dir = Files.createTempDirectory("graft-fmt").toString
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "event_type", "value")
