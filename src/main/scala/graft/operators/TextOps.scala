@@ -110,6 +110,37 @@ object TextOps {
         explode(array_distinct(when(size(col("hs")) >= window, mins).otherwise(array()))).as("fp"))
   }
 
+  /** Token-window chunking + cross-corpus chunk dedup: split each doc
+    * into fixed-size token windows (the unit a training pipeline feeds
+    * a context window), emit per-chunk stats and how many chunks in the
+    * whole corpus share the same content hash.
+    *
+    * Relational: posexplode tokens → chunk_idx = i div size → ordered
+    * `collect_list` over the (doc_id, chunk_idx) window rebuilds each
+    * chunk deterministically → codegen'd hash60 → one `count` window on
+    * the hash for the dedup signal. The doc_id spread partitioning
+    * satisfies the chunk window's ClusteredDistribution, so the only
+    * added shuffle is the final count-by-hash — which at 100 TB carries
+    * one short row per chunk, never the text. */
+  def chunks(docs: DataFrame, chunkSize: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spreadDocs = graft.functions.Portable.spread(docs, col("doc_id"))
+    val tok = spreadDocs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "t")))
+      .withColumn("chunk_idx", expr(s"i div $chunkSize").cast("long"))
+    val w = Window.partitionBy(col("doc_id"), col("chunk_idx")).orderBy(col("i"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val perChunk = tok
+      .withColumn("rn", row_number().over(w))
+      .withColumn("ctoks", collect_list(col("t")).over(full))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ctoks")).cast("long").as("n_tokens"),
+        hash60(concat_ws(" ", col("ctoks"))).as("chunk_hash"))
+    perChunk.withColumn("n_same",
+      count(lit(1)).over(Window.partitionBy(col("chunk_hash"))))
+  }
+
   /** Corpus term statistics: term frequency + document frequency. */
   def termStats(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
@@ -144,6 +175,7 @@ object TextOps {
     "q_text_quality" -> ((s, d) => quality(Tables.documents(s, d))),
     "q_text_tokens" -> ((s, d) => tokenCounts(Tables.documents(s, d))),
     "q_text_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d))),
+    "q_text_chunks" -> ((s, d) => chunks(Tables.documents(s, d))),
     "q_text_termstats" -> ((s, d) => termStats(Tables.documents(s, d))),
     "q_text_tfidf" -> ((s, d) => tfidfTopK(Tables.documents(s, d))))
 
@@ -183,6 +215,15 @@ object TextOps {
         "w AS (SELECT doc_id, list_distinct(list_transform(range(1, len(hs)-2), i -> " +
         "least(hs[i], hs[i+1], hs[i+2], hs[i+3]))) fps FROM sh) " +
         "SELECT doc_id, unnest(fps) AS fp FROM w"),
+    "q_text_chunks" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents), " +
+        "c AS (SELECT doc_id, unnest(range(0, (len(tok) + 49) // 50)) ci, tok FROM t), " +
+        "ch AS (SELECT doc_id, ci AS chunk_idx, " +
+        "least(50, len(tok) - ci * 50)::BIGINT AS n_tokens, " +
+        "('0x' || substr(md5(array_to_string(tok[ci*50+1 : least((ci+1)*50, len(tok))], ' ')), 1, 15))::BIGINT AS chunk_hash " +
+        "FROM c) " +
+        "SELECT doc_id, chunk_idx, n_tokens, chunk_hash, " +
+        "count(*) OVER (PARTITION BY chunk_hash) AS n_same FROM ch"),
     "q_text_termstats" ->
       ("SELECT tok AS token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM " +
         "(SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents) GROUP BY 1"),

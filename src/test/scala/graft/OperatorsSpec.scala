@@ -140,6 +140,23 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
 
+  test("TextOps.chunks: boundary sizes, content hash, cross-doc duplicate detection") {
+    // doc 0 has 13 tokens → size=5 gives chunks of 5, 5, 3
+    val r = TextOps.chunks(docsDF, chunkSize = 5)
+    val d0 = r.filter(col("doc_id") === 0).orderBy("chunk_idx").collect()
+    assert(d0.map(_.getAs[Long]("n_tokens")).toSeq === Seq(5L, 5L, 3L))
+    assert(d0.map(_.getAs[Long]("chunk_idx")).toSeq === Seq(0L, 1L, 2L))
+    // docs 0 and 1 share their first 10 tokens → chunks 0 and 1 dedup
+    // across docs (n_same = 2), the differing tails do not
+    val d0Same = d0.map(r => r.getAs[Long]("chunk_idx") -> r.getAs[Long]("n_same")).toMap
+    assert(d0Same === Map(0L -> 2L, 1L -> 2L, 2L -> 1L))
+    // chunk hash is the hash60 of the space-joined chunk text
+    import spark.implicits._
+    val expect = Seq("the quick brown fox jumps").toDF("s")
+      .select(TextHash.hash60(col("s"))).head.getLong(0)
+    assert(d0.head.getAs[Long]("chunk_hash") === expect)
+  }
+
   test("TextOps.langId prefers English for a stopword-rich English sentence") {
     val r = TextOps.langId(docsDF).filter(col("doc_id") === 0).head
     assert(r.getAs[String]("predicted") === "en")
