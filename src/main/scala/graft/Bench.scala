@@ -34,7 +34,10 @@ object Bench {
     println(line)
     // stdout alone is fragile (the driver's tail capture truncated the
     // round-1 line); persist the same JSON to a file as a durable copy
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_last.json")
+    // relative default (resolves under the launch cwd) so a checkout on
+    // any host benches without writing outside its own tree; the env var
+    // stays the explicit override
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes("UTF-8"))

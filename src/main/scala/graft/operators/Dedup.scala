@@ -98,10 +98,16 @@ object Dedup {
       .persist() // two join arms below
     val sa = sets.select(col("doc_id").as("a_id"), col("sd").as("sda"))
     val sb = sets.select(col("doc_id").as("b_id"), col("sd").as("sdb"))
-    cand.join(sa, "a_id").join(sb, "b_id")
+    val result = cand.join(sa, "a_id").join(sb, "b_id")
       .withColumn("jac", jaccard(col("sda"), col("sdb")))
       .filter(col("jac") >= threshold)
       .select(col("a_id"), col("b_id"), trunc4(col("jac")).as("jaccard"))
+      // eager-materialize the (small: verified near-dup pairs ≪ corpus)
+      // result so the persisted intermediates can be released here —
+      // library callers don't accumulate cached relations across calls
+      .localCheckpoint(true)
+    sig.unpersist(); cand.unpersist(); sets.unpersist()
+    result
   }
 
   /** 60-bit SimHash per doc, computed relationally so the hot loop
@@ -182,33 +188,63 @@ object Dedup {
     var labels = edges.groupBy(col("src"))
       .agg(least(min(col("dst")), col("src")).as("label"))
       .select(col("src").as("id"), col("label")).persist()
+    var lastCp: DataFrame = null // newest checkpointed generation, kept alive
     var changed = 1L
     var rounds = 0
     val maxRounds = 50
     while (changed > 0 && rounds < maxRounds) {
       val viaEdges = edges.join(labels, edges("dst") === labels("id"))
-        .select(col("src").as("id"), col("label"))
-      var next = labels.unionByName(viaEdges)
-        .groupBy(col("id")).agg(min(col("label")).as("label")).persist()
-      // persist() keeps each round's DATA hot but the logical plan still
+        .select(col("src").as("id"), col("label"),
+          lit(null).cast("long").as("old"))
+      // change detection FUSED into the round's aggregate: the previous
+      // label rides the union as `old` (exactly one non-null per id), so
+      // min-label and label<old come out of ONE union+agg pass — no
+      // second join+count over the label table per round. Labels only
+      // ever decrease, so label < old ⟺ changed.
+      var next = labels
+        .select(col("id"), col("label"), col("label").as("old"))
+        .unionByName(viaEdges)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"), min(col("old")).as("old"))
+        .select(col("id"), col("label"), (col("label") < col("old")).as("ch"))
+      // persist keeps each round's DATA hot but the logical plan still
       // chains one union+agg per round; truncate the lineage every 5
       // rounds so a worst-case high-diameter component can't build a
-      // 50-deep plan (analysis/optimizer time grows superlinearly there)
-      if (rounds % 5 == 4) next = next.localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
+      // 50-deep plan (analysis/optimizer time grows superlinearly there).
+      // localCheckpoint serves as BOTH the cache and the lineage cut (no
+      // separate pre-checkpoint persist to orphan).
+      val isCp = rounds % 5 == 4
+      next = if (isCp) next.localCheckpoint(false) else next.persist()
+      changed = next.filter(col("ch")).count() // materializes the round
+      // a plain-persisted predecessor can be dropped now: if one of
+      // next's cached partitions is later evicted, recompute walks the
+      // lineage back to the last LIVE checkpoint (or the source). A
+      // CHECKPOINTED predecessor must stay alive until the next
+      // checkpoint exists — its blocks ARE its data, recompute is
+      // impossible once they're gone.
+      if (labels ne lastCp) labels.unpersist()
+      if (isCp) {
+        if (lastCp != null) lastCp.unpersist()
+        lastCp = next
+      }
       labels = next
       rounds += 1
     }
-    edges.unpersist()
     // a silent exit at the cap would return non-converged labels that an
     // oracle compare (or a user) could mistake for correct clusters
     if (changed > 0)
       throw new IllegalStateException(
         s"components() did not converge after $maxRounds rounds " +
           s"($changed labels still changing) — component diameter exceeds the cap")
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val result = labels
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      // copy out of the loop's cache (cheap: labels is materialized) so
+      // every intermediate can be released before returning
+      .localCheckpoint(true)
+    edges.unpersist()
+    if (labels ne lastCp) labels.unpersist()
+    if (lastCp != null) lastCp.unpersist()
+    result
   }
 
   /** components() over the minhash near-dup pairs: the end-to-end

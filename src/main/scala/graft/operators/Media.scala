@@ -39,15 +39,22 @@ object Media {
         .otherwise("video").as("media_type"),
       encode(col("text"), "utf-8").cast("binary").as("content"))
 
+  /** payloads + the source text column carried through (features and
+    * frames need it for oracle-portable slicing). One projection over
+    * one scan — deriving the payload columns alongside `text` instead
+    * of re-joining `payloads(docs)` back to the same table (Catalyst
+    * does NOT collapse a self-join of two scans of the same file). */
+  private def payloadsWithText(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"), col("text"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      encode(col("text"), "utf-8").cast("binary").as("content"))
+
   /** Per-file metadata + STUB-decoded features, as pure column
     * expressions (codegen-friendly path). Fake dims derive from the
     * digest; a real decoder would replace exactly these expressions. */
-  /** payloads + the source text column carried through (features and
-    * frames need it for oracle-portable slicing; no re-join). */
-  private def payloadsWithText(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("text"))
-      .join(payloads(docs), "doc_id") // same scan; Catalyst collapses
-
   def features(docs: DataFrame): DataFrame = {
     val p = payloadsWithText(docs)
     p.select(col("doc_id"), col("media_type"),
@@ -69,8 +76,11 @@ object Media {
     * digest the frame byte-slices — the shape of a video keyframe
     * extractor, with slicing real and decode stubbed. */
   def frames(docs: DataFrame, chunk: Int = 16): DataFrame = {
-    val f = features(docs).select(col("doc_id"), col("byte_len"), col("n_frames"))
-    f.join(docs.select(col("doc_id"), col("text")), "doc_id")
+    // byte_len / n_frames re-derive from text in the same projection —
+    // one scan, no join back through features()
+    docs.select(col("doc_id"), col("text"),
+        octet_length(encode(col("text"), "utf-8").cast("binary")).cast("long").as("byte_len"))
+      .withColumn("n_frames", col("byte_len") % 7 + 1)
       .withColumn("stride", floor(col("byte_len") / col("n_frames")).cast("long"))
       .select(col("doc_id"), col("stride"),
         explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_no"),

@@ -240,15 +240,19 @@ object SqlCoverage {
         sum(col("y") * col("y")).cast("double").as("syy"),
         sum(col("x") * col("y")).cast("double").as("sxy"))
     val nd = col("n").cast("double")
-    val varX = (col("sxx") - col("sx") * col("sx") / nd) / (nd - 1) // cents²
-    val varY = (col("syy") - col("sy") * col("sy") / nd) / (nd - 1)
-    val covXY = (col("sxy") - col("sx") * col("sy") / nd) / (nd - 1)
+    // n=1 groups: (n-1)=0 would give 0/0=NaN, whose floor/division
+    // semantics are NOT guaranteed to agree across engines — emit NULL
+    // identically instead (and NULL corr when either variance is 0)
+    def ifN1(c: Column): Column = when(col("n") > 1, c)
+    val varX = ifN1((col("sxx") - col("sx") * col("sx") / nd) / (nd - 1)) // cents²
+    val varY = ifN1((col("syy") - col("sy") * col("sy") / nd) / (nd - 1))
+    val covXY = ifN1((col("sxy") - col("sx") * col("sy") / nd) / (nd - 1))
     agg.select(col("o_orderpriority"), col("n"),
       trunc4(col("sx") / nd / 100).as("mean_price"),
       trunc4(varX / 10000 / 1e9).as("var_b"),
       trunc4(sqrt(varX) / 100 / 1000).as("stddev_k"),
       trunc4(covXY / 100 / 1e6).as("covar_m"),
-      trunc4(covXY / sqrt(varX * varY)).as("corr_pc"))
+      trunc4(when(varX > 0 && varY > 0, covXY / sqrt(varX * varY))).as("corr_pc"))
   }
 
   /** Value histogram: fixed-width buckets via integer arithmetic (no
@@ -351,15 +355,15 @@ object SqlCoverage {
         "sum(x)::DOUBLE sx, sum(x*x)::DOUBLE sxx, sum(y)::DOUBLE sy, " +
         "sum(y*y)::DOUBLE syy, sum(x*y)::DOUBLE sxy FROM p GROUP BY 1), " +
         "d AS (SELECT o_orderpriority, n, n::DOUBLE nd, sx, sxx, sy, syy, sxy, " +
-        "(sxx - sx * sx / n::DOUBLE) / (n::DOUBLE - 1) vx, " +
-        "(syy - sy * sy / n::DOUBLE) / (n::DOUBLE - 1) vy, " +
-        "(sxy - sx * sy / n::DOUBLE) / (n::DOUBLE - 1) cxy FROM a) " +
+        "CASE WHEN n > 1 THEN (sxx - sx * sx / n::DOUBLE) / (n::DOUBLE - 1) END vx, " +
+        "CASE WHEN n > 1 THEN (syy - sy * sy / n::DOUBLE) / (n::DOUBLE - 1) END vy, " +
+        "CASE WHEN n > 1 THEN (sxy - sx * sy / n::DOUBLE) / (n::DOUBLE - 1) END cxy FROM a) " +
         "SELECT o_orderpriority, n, " +
         "floor(sx / nd / 100 * 10000) / 10000 AS mean_price, " +
         "floor(vx / 10000 / 1e9 * 10000) / 10000 AS var_b, " +
         "floor(sqrt(vx) / 100 / 1000 * 10000) / 10000 AS stddev_k, " +
         "floor(cxy / 100 / 1e6 * 10000) / 10000 AS covar_m, " +
-        "floor(cxy / sqrt(vx * vy) * 10000) / 10000 AS corr_pc FROM d"),
+        "floor(CASE WHEN vx > 0 AND vy > 0 THEN cxy / sqrt(vx * vy) END * 10000) / 10000 AS corr_pc FROM d"),
     "q_window_zoo" ->
       ("SELECT o_custkey, o_orderkey, " +
         "dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile, " +
