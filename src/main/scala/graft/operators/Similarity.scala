@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbor / similarity search over the
   * `embeddings` table (`Array[Float]`, dim 64) — SURVEY.md §7 L4.
   *
-  * Two paths:
+  * Three paths:
   *  - `bruteForceTopK` — exact cosine top-k against a broadcast query
   *    set. Linear scan: one pass over the vectors, no shuffle except the
   *    final per-query top-k. The correctness baseline.
@@ -17,12 +17,21 @@ import org.apache.spark.sql.functions._
   *    deterministic hyperplanes → 16 sign bits → 4 bands × 4 bits.
   *    Candidates share ≥1 band with the query (or each other), so work
   *    is O(bucket collisions), not O(n·q) / O(n²) — the 100 TB path.
-  *    Recall < 1 by construction; the oracle replicates the same LSH so
-  *    results still hash-match.
+  *  - `ivfTopK` — IVF-flat with k-means-trained coarse centroids; the
+  *    probe is an equi-join on list_id, so work is NProbe/NList of the
+  *    corpus per query.
+  *
+  * Recall < 1 for both approximate paths by construction; the oracles
+  * replicate the same approximation so results still hash-match, and
+  * [[recallAtK]] MEASURES recall@k of each path against the exact
+  * baseline (the number a pipeline tunes nlist/nprobe/bands against).
   *
   * Hyperplane coordinates are rationals k/1000 derived from md5 in Scala
   * and embedded as literals in BOTH the Spark plan and the generated
   * oracle SQL — one source of truth, exact decimal parse in both engines.
+  * K-means centroids are NOT literals — both engines TRAIN them with
+  * exact integer arithmetic (see [[trainedCentroids]]) and provably
+  * arrive at bit-identical values.
   */
 object Similarity {
 
@@ -32,6 +41,10 @@ object Similarity {
   val NumPlanes = 16
   val Bands = 4
   val RowsPerBand = 4
+
+  /** The driver-wired query-vector ids (mirrored in the oracle SQL). */
+  val DefaultQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
+  private val idsSql = DefaultQueryIds.mkString("(", ",", ")")
 
   /** Deterministic pseudo-random hyperplanes: md5(s"$h,$d") → 60-bit
     * int → value in [-1, 1] with 3 decimals. */
@@ -65,7 +78,7 @@ object Similarity {
   /** Spread the CPU-bound per-row hyperplane-dot work across the
     * cluster (a small parquet input is 1–2 splits). Embeddings stay
     * float; NativeVector widens per element inside its codegen loop. */
-  private def withEmbD(emb: DataFrame): DataFrame =
+  private[graft] def withEmbD(emb: DataFrame): DataFrame =
     graft.functions.Portable.spread(emb, col("vec_id"))
       .select(col("vec_id"), col("embedding").as("e"))
 
@@ -82,7 +95,8 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN top-k: rank only candidates sharing a band with
-    * the query. */
+    * the query. Eager result so the banded intermediate can be released
+    * (library callers don't accumulate cached relations). */
   def annTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
     val v = withEmbD(emb)
     val bands = v.select(col("vec_id"), col("e"), explode(bandStructs(col("e"))).as("bb"))
@@ -97,41 +111,92 @@ object Similarity {
     val scored = cand.select(col("q_id"), col("vec_id"),
       trunc4(NativeVector.cosine(col("qe"), col("e"))).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+    val result = scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .localCheckpoint(true) // k rows per query — tiny at any scale
+    bands.unpersist()
+    result
   }
 
   val NList = 16
   val NProbe = 4
+  val KmIters = 2
+
+  /** 2^20 — the exact-quantization scale for k-means (see
+    * [[trainedCentroids]]): float×2^20 is an exponent shift (exact in
+    * IEEE doubles), so `floor` of it is engine-independent. */
+  val QScale = 1048576.0
+
+  /** Seed coarse centroids: the embeddings of vec_id < NList. */
+  private[graft] def seedCentroids(v: DataFrame): DataFrame =
+    v.filter(col("vec_id") < NList)
+      .select(col("vec_id").cast("int").as("cid"), col("e").as("ce"))
+
+  /** argmax-cosine assignment of every vector to its centroid, via a
+    * broadcast of the NList centroids and a `max_by` hash aggregate —
+    * map-side combined, so the shuffle carries one (vec_id, cid) pair
+    * per vector, never the embedding. Ties (same trunc4 cosine) break
+    * to the smaller centroid id in both engines. */
+  private[graft] def assignTo(v: DataFrame, cents: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        trunc4(NativeVector.cosine(col("e"), col("ce"))).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(expr("max_by(cid, struct(ccos, -cid))").as("list_id"))
+
+  /** One Lloyd step: assign, then per-cluster mean — computed with
+    * EXACT integer arithmetic so both engines land on bit-identical
+    * centroids regardless of partial-agg merge order. Each dim is
+    * quantized `floor(e_d · 2^20)` (exact: power-of-two scaling shifts
+    * the exponent, floor is engine-independent, magnitudes stay far
+    * under 2^53 so the per-cluster sums are exact integers in Spark's
+    * LongType and DuckDB's double-sum alike); the mean then runs the
+    * SAME division sequence `sum/n/2^20` in IEEE doubles on both sides.
+    * A cluster that loses all members drops out of the centroid set —
+    * identically in both engines. */
+  private def centroidStep(v: DataFrame, cents: DataFrame): DataFrame = {
+    val sums = (0 until Dim).map(d =>
+      sum(floor(element_at(col("e"), d + 1) * QScale)).as(s"s$d"))
+    v.join(assignTo(v, cents), "vec_id")
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("list_id").as("cid"),
+        array((0 until Dim).map(d =>
+          col(s"s$d").cast("double") / col("n") / QScale): _*).as("ce"))
+  }
+
+  /** Deterministic relational k-means: `iters` fixed Lloyd steps from
+    * the seed set. No driver-side collect — assignment is a broadcast
+    * join + map-side-combined aggregate, the update is one exact-sum
+    * aggregate per step; only the 16-row centroid relation itself moves
+    * through broadcast exchanges. */
+  private[graft] def trainedCentroids(v: DataFrame, iters: Int = KmIters): DataFrame = {
+    var cents = seedCentroids(v)
+    for (_ <- 0 until iters) cents = centroidStep(v, cents)
+    cents
+  }
 
   /** IVF (inverted-file) ANN top-k — the second scale path next to the
     * LSH one, mirroring the classic IVF-flat index as relational ops:
     *
-    *  1. coarse centroids: the embeddings of vec_id < NList (a
-    *     deterministic seed set; at production scale these come from a
-    *     k-means pass, which changes the centroid VALUES but none of
-    *     this pipeline's shape);
-    *  2. assignment: every vector → argmax-cosine centroid via a
-    *     broadcast of the NList centroids and a `max_by` hash
-    *     aggregate — map-side combined, so the shuffle carries one
-    *     (vec_id, best centroid) pair per vector, never the embedding;
+    *  1. coarse centroids: [[trainedCentroids]] — k-means trained with
+    *     exact quantized sums (engine-portable, so the oracle SQL
+    *     trains the SAME centroids);
+    *  2. assignment: every vector → argmax-cosine centroid
+    *     ([[assignTo]] — the shuffle carries one pair per vector);
     *  3. probe: each query ranks the centroids and searches only its
     *     top-NProbe inverted lists — an EQUI-join on list_id, so work
     *     is NProbe/NList of the corpus per query instead of all of it.
     *
     * At 100 TB the vectors would additionally be written bucketed by
     * list_id, turning the probe join into partition pruning at the
-    * scan. Ties (same trunc4 cosine to two centroids) break to the
-    * smaller centroid id in both engines, keeping assignment
-    * deterministic and the oracle hash-stable. */
+    * scan (asserted in ScaleSpec). */
   def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
-    val v = withEmbD(emb)
-    val cents = v.filter(col("vec_id") < NList)
-      .select(col("vec_id").cast("int").as("cid"), col("e").as("ce"))
-    val assign = v.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("cid"),
-        trunc4(NativeVector.cosine(col("e"), col("ce"))).as("ccos"))
-      .groupBy(col("vec_id"))
-      .agg(expr("max_by(cid, struct(ccos, -cid))").as("list_id"))
+    val v = withEmbD(emb).persist() // training + assign + probe passes
+    // eager: train ONCE, then every broadcast below reads the 16-row
+    // checkpoint instead of re-running both Lloyd steps
+    val cents = trainedCentroids(v).localCheckpoint(true)
+    val assign = assignTo(v, cents)
     val q = v.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     val probes = q.crossJoin(broadcast(cents))
@@ -149,7 +214,11 @@ object Similarity {
       .select(col("q_id"), col("vec_id"),
         trunc4(NativeVector.cosine(col("qe"), col("e"))).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+    val result = scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .localCheckpoint(true) // k rows per query
+    v.unpersist()
+    result
   }
 
   /** Embedding-cosine near-dup pairs: LSH band join (no cross join),
@@ -159,7 +228,7 @@ object Similarity {
     val bands = v.select(col("vec_id"), col("e"), explode(bandStructs(col("e"))).as("bb"))
       .select(col("vec_id"), col("e"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
       .persist()
-    bands.as("x").join(bands.as("y"),
+    val result = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
@@ -167,75 +236,141 @@ object Similarity {
       .dropDuplicates("a_id", "b_id")
       .select(col("a_id"), col("b_id"), trunc4(NativeVector.cosine(col("ea"), col("eb"))).as("cos"))
       .filter(col("cos") >= threshold)
+      .localCheckpoint(true) // verified near-dup pairs ≪ corpus
+    bands.unpersist()
+    result
+  }
+
+  /** recall@k of each approximate path against the exact baseline: the
+    * number an operator tunes nlist/nprobe/bands against. One row per
+    * (method, query): |approx top-k ∩ exact top-k| / k. Deterministic
+    * (both inputs are) and fully oracle-able. */
+  def recallAtK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    val exact = bruteForceTopK(emb, queryIds, k).select(col("q_id"), col("vec_id"))
+      .localCheckpoint(true) // consumed by both method joins
+    def score(method: String, approx: DataFrame): DataFrame =
+      exact.join(
+          approx.select(col("q_id"), col("vec_id")).withColumn("hit", lit(1L)),
+          Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / k).as("recall"))
+        .select(lit(method).as("method"), col("q_id"), col("recall"))
+    score("ann", annTopK(emb, queryIds, k))
+      .unionByName(score("ivf", ivfTopK(emb, queryIds, k)))
   }
 
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_sim_topk_exact" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L))),
-    "q_sim_topk_ann" -> ((s, d) => annTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L))),
-    "q_sim_topk_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d), Seq(0L, 1L, 2L, 3L, 4L))),
-    "q_sim_neardup" -> ((s, d) => nearDupPairs(Tables.embeddings(s, d))))
+    "q_sim_topk_exact" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d), DefaultQueryIds)),
+    "q_sim_topk_ann" -> ((s, d) => annTopK(Tables.embeddings(s, d), DefaultQueryIds)),
+    "q_sim_topk_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d), DefaultQueryIds)),
+    "q_sim_neardup" -> ((s, d) => nearDupPairs(Tables.embeddings(s, d))),
+    "q_sim_recall" -> ((s, d) => recallAtK(Tables.embeddings(s, d), DefaultQueryIds)))
 
   private def planeSql(h: Int): String =
     hyperplanes(h).map(v => BigDecimal(v).underlying.toPlainString).mkString("[", ",", "]") + "::DOUBLE[]"
 
-  /** CTE producing (vec_id, e DOUBLE[], band, bkey) — mirrors bandStructs. */
-  private lazy val bandsCte: String = {
+  // -- shared oracle CTE fragments (composed per query and by recall) --
+
+  private val vCte = "v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings)"
+
+  /** (q_id, qe) query vectors — exact + ivf share it. */
+  private val qsCte = s"qs AS (SELECT vec_id q_id, e qe FROM v WHERE vec_id IN $idsSql)"
+
+  /** bits + bands — mirrors [[bandStructs]]. Requires v. */
+  private lazy val bitsBandsCte: String = {
     val bitExprs = (0 until NumPlanes).map(h =>
       s"CASE WHEN list_dot_product(e, ${planeSql(h)}) >= 0 THEN 1 ELSE 0 END")
     val bandRows = (0 until Bands).map { b =>
       val key = (0 until RowsPerBand).map(i => s"(bit_${b * RowsPerBand + i} * ${1 << i})").mkString(" + ")
       s"SELECT vec_id, e, $b AS band, $key AS bkey FROM bits"
     }.mkString(" UNION ALL ")
-    "WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings), " +
-      "bits AS (SELECT vec_id, e, " +
+    "bits AS (SELECT vec_id, e, " +
       bitExprs.zipWithIndex.map { case (e, i) => s"$e AS bit_$i" }.mkString(", ") +
       " FROM v), bands AS (" + bandRows + ")"
   }
 
+  private def rankedSql(name: String, from: String): String =
+    s"$name AS (SELECT q_id, vec_id, cos, row_number() OVER " +
+      s"(PARTITION BY q_id ORDER BY cos DESC, vec_id) rnk FROM $from)"
+
+  /** exact top-k chain → ex_ranked. Requires v, qs. */
+  private val exactCtes =
+    "ex_scored AS (SELECT q_id, vec_id, floor(list_cosine_similarity(qe, e) * 10000) / 10000 cos " +
+      "FROM v CROSS JOIN qs WHERE vec_id <> q_id), " + rankedSql("ex_ranked", "ex_scored")
+
+  /** LSH-ANN chain → an_ranked. Requires v, bits/bands. */
+  private val annCtes =
+    s"qb AS (SELECT vec_id q_id, e qe, band, bkey FROM bands WHERE vec_id IN $idsSql), " +
+      "an_cand AS (SELECT DISTINCT q_id, vec_id FROM bands JOIN qb USING (band, bkey) WHERE vec_id <> q_id), " +
+      "an_scored AS (SELECT q_id, vec_id, floor(list_cosine_similarity(" +
+      "(SELECT qe FROM qb WHERE qb.q_id = an_cand.q_id LIMIT 1), " +
+      "(SELECT e FROM v WHERE v.vec_id = an_cand.vec_id)) * 10000) / 10000 cos FROM an_cand), " +
+      rankedSql("an_ranked", "an_scored")
+
+  /** One k-means assignment: centroid set `cIn` → kas$idx(vec_id, list_id). */
+  private def kmAssignSql(cIn: String, idx: Int): String =
+    s"ka$idx AS (SELECT v.vec_id, c.cid, " +
+      "floor(list_cosine_similarity(v.e, c.ce) * 10000) / 10000 ccos " +
+      s"FROM v CROSS JOIN $cIn c), " +
+      s"kas$idx AS (SELECT vec_id, cid AS list_id FROM (SELECT vec_id, cid, " +
+      s"row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) rn FROM ka$idx) WHERE rn = 1)"
+
+  /** One k-means update: kas$idx assignment → c${idx+1} centroids, with
+    * the same exact quantized sums as [[centroidStep]]. */
+  private def kmUpdateSql(idx: Int): String =
+    s"kj$idx AS (SELECT a.list_id, r.d, " +
+      s"sum(floor(v.e[r.d] * ${QScale.toLong}))::BIGINT sv, count(*) n " +
+      s"FROM v JOIN kas$idx a USING (vec_id) CROSS JOIN range(1, ${Dim + 1}) r(d) GROUP BY 1, 2), " +
+      s"c${idx + 1} AS (SELECT list_id AS cid, " +
+      s"list(sv::DOUBLE / n / ${QScale.toLong}.0 ORDER BY d) ce FROM kj$idx GROUP BY list_id)"
+
+  /** Full IVF chain → iv_ranked: seed c0, KmIters Lloyd steps (c2),
+    * final assignment kas2, probes, probe-join scoring. Requires v, qs. */
+  private lazy val ivfCtes = {
+    val train = (0 until KmIters)
+      .map(i => kmAssignSql(s"c$i", i) + ", " + kmUpdateSql(i)).mkString(", ")
+    s"c0 AS (SELECT vec_id::INT cid, e ce FROM v WHERE vec_id < $NList), " +
+      train + ", " + kmAssignSql(s"c$KmIters", KmIters) + ", " +
+      s"iv_pc AS (SELECT q_id, qe, cid, floor(list_cosine_similarity(qe, ce) * 10000) / 10000 qcos " +
+      s"FROM qs CROSS JOIN c$KmIters), " +
+      "iv_probes AS (SELECT q_id, qe, cid AS list_id FROM (SELECT q_id, qe, cid, " +
+      s"row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, cid) prn FROM iv_pc) WHERE prn <= $NProbe), " +
+      s"iv_vl AS (SELECT v.vec_id, v.e, a.list_id FROM v JOIN kas$KmIters a USING (vec_id)), " +
+      "iv_scored AS (SELECT p.q_id, vl.vec_id, " +
+      "floor(list_cosine_similarity(p.qe, vl.e) * 10000) / 10000 cos " +
+      "FROM iv_vl vl JOIN iv_probes p USING (list_id) WHERE vl.vec_id <> p.q_id), " +
+      rankedSql("iv_ranked", "iv_scored")
+  }
+
+  private def topkSelect(ranked: String, k: Int = 10): String =
+    s" SELECT q_id, vec_id, cos, rnk FROM $ranked WHERE rnk <= $k"
+
   val oracleSql: Map[String, String] = Map(
     "q_sim_topk_exact" ->
-      ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings), " +
-        "q AS (SELECT vec_id q_id, e qe FROM v WHERE vec_id IN (0,1,2,3,4)), " +
-        "scored AS (SELECT q_id, vec_id, floor(list_cosine_similarity(qe, e) * 10000) / 10000 cos " +
-        "FROM v CROSS JOIN q WHERE vec_id <> q_id), " +
-        "ranked AS (SELECT q_id, vec_id, cos, row_number() OVER " +
-        "(PARTITION BY q_id ORDER BY cos DESC, vec_id) rnk FROM scored) " +
-        "SELECT q_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 10"),
+      (s"WITH $vCte, $qsCte, $exactCtes" + topkSelect("ex_ranked")),
     "q_sim_topk_ann" ->
-      (bandsCte + ", qb AS (SELECT vec_id q_id, e qe, band, bkey FROM bands WHERE vec_id IN (0,1,2,3,4)), " +
-        "cand AS (SELECT DISTINCT q_id, vec_id FROM bands JOIN qb USING (band, bkey) WHERE vec_id <> q_id), " +
-        "scored AS (SELECT q_id, vec_id, floor(list_cosine_similarity(" +
-        "(SELECT qe FROM qb WHERE qb.q_id = cand.q_id LIMIT 1), " +
-        "(SELECT e FROM v WHERE v.vec_id = cand.vec_id)) * 10000) / 10000 cos FROM cand), " +
-        "ranked AS (SELECT q_id, vec_id, cos, row_number() OVER " +
-        "(PARTITION BY q_id ORDER BY cos DESC, vec_id) rnk FROM scored) " +
-        "SELECT q_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 10"),
+      (s"WITH $vCte, $bitsBandsCte, $annCtes" + topkSelect("an_ranked")),
     "q_sim_topk_ivf" ->
-      ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings), " +
-        s"cents AS (SELECT vec_id::INT cid, e ce FROM v WHERE vec_id < $NList), " +
-        "ac AS (SELECT v.vec_id, c.cid, floor(list_cosine_similarity(v.e, c.ce) * 10000) / 10000 ccos " +
-        "FROM v CROSS JOIN cents c), " +
-        "assign AS (SELECT vec_id, cid AS list_id FROM (SELECT vec_id, cid, " +
-        "row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) rn FROM ac) WHERE rn = 1), " +
-        "q AS (SELECT vec_id q_id, e qe FROM v WHERE vec_id IN (0,1,2,3,4)), " +
-        "pc AS (SELECT q_id, qe, cid, floor(list_cosine_similarity(qe, ce) * 10000) / 10000 qcos " +
-        "FROM q CROSS JOIN cents), " +
-        "probes AS (SELECT q_id, qe, cid AS list_id FROM (SELECT q_id, qe, cid, " +
-        s"row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, cid) prn FROM pc) WHERE prn <= $NProbe), " +
-        "vl AS (SELECT v.vec_id, v.e, a.list_id FROM v JOIN assign a USING (vec_id)), " +
-        "scored AS (SELECT p.q_id, vl.vec_id, " +
-        "floor(list_cosine_similarity(p.qe, vl.e) * 10000) / 10000 cos " +
-        "FROM vl JOIN probes p USING (list_id) WHERE vl.vec_id <> p.q_id), " +
-        "ranked AS (SELECT q_id, vec_id, cos, row_number() OVER " +
-        "(PARTITION BY q_id ORDER BY cos DESC, vec_id) rnk FROM scored) " +
-        "SELECT q_id, vec_id, cos, rnk FROM ranked WHERE rnk <= 10"),
+      (s"WITH $vCte, $qsCte, $ivfCtes" + topkSelect("iv_ranked")),
     "q_sim_neardup" ->
-      (bandsCte + ", cand AS (SELECT DISTINCT x.vec_id a_id, y.vec_id b_id " +
+      (s"WITH $vCte, $bitsBandsCte" + ", cand AS (SELECT DISTINCT x.vec_id a_id, y.vec_id b_id " +
         "FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id), " +
         "scored AS (SELECT a_id, b_id, floor(list_cosine_similarity(" +
         "(SELECT e FROM v WHERE v.vec_id = cand.a_id), " +
         "(SELECT e FROM v WHERE v.vec_id = cand.b_id)) * 10000) / 10000 cos FROM cand) " +
-        "SELECT a_id, b_id, cos FROM scored WHERE cos >= 0.4"))
+        "SELECT a_id, b_id, cos FROM scored WHERE cos >= 0.4"),
+    "q_sim_recall" ->
+      (s"WITH $vCte, $qsCte, $bitsBandsCte, $exactCtes, $annCtes, $ivfCtes, " +
+        "ex10 AS (SELECT q_id, vec_id FROM ex_ranked WHERE rnk <= 10), " +
+        "an10 AS (SELECT q_id, vec_id FROM an_ranked WHERE rnk <= 10), " +
+        "iv10 AS (SELECT q_id, vec_id FROM iv_ranked WHERE rnk <= 10) " +
+        "SELECT 'ann' AS method, e.q_id, " +
+        "sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 10 AS recall " +
+        "FROM ex10 e LEFT JOIN an10 a USING (q_id, vec_id) GROUP BY e.q_id " +
+        "UNION ALL " +
+        "SELECT 'ivf' AS method, e.q_id, " +
+        "sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 10 AS recall " +
+        "FROM ex10 e LEFT JOIN iv10 i USING (q_id, vec_id) GROUP BY e.q_id"))
 }

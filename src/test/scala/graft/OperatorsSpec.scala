@@ -140,6 +140,37 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
 
+  test("Similarity.trainedCentroids improves IVF list-size balance over the seed set") {
+    val emb = Tables.embeddings(spark, sf)
+    val v = Similarity.withEmbD(emb)
+    def sizes(cents: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Similarity.assignTo(v, cents).groupBy("list_id").count()
+        .collect().map(_.getLong(1)).toSeq
+    def spread(s: Seq[Long]): Double = {
+      val m = s.sum.toDouble / s.length
+      math.sqrt(s.map(x => (x - m) * (x - m)).sum / s.length)
+    }
+    val seed = sizes(Similarity.seedCentroids(v))
+    val trained = sizes(Similarity.trainedCentroids(v))
+    // Lloyd steps move centroids toward cluster means → member counts
+    // even out (the unbalanced-lists failure mode of a seed-set IVF)
+    assert(spread(trained) < spread(seed),
+      s"seed stddev ${spread(seed)} vs trained ${spread(trained)} (seed=$seed trained=$trained)")
+    // every vector still lands in exactly one list
+    assert(trained.sum === seed.sum)
+  }
+
+  test("Similarity.recallAtK: one row per (method, query), recall within (0, 1]") {
+    val emb = Tables.embeddings(spark, sf)
+    val r = Similarity.recallAtK(emb, Seq(0L, 1L), k = 10).collect()
+    assert(r.length === 4) // 2 methods × 2 queries
+    assert(r.map(_.getAs[String]("method")).toSet === Set("ann", "ivf"))
+    r.foreach { row =>
+      val rec = row.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0, s"recall out of range: $row")
+    }
+  }
+
   test("TextOps.chunks: boundary sizes, content hash, cross-doc duplicate detection") {
     // doc 0 has 13 tokens → size=5 gives chunks of 5, 5, 3
     val r = TextOps.chunks(docsDF, chunkSize = 5)
