@@ -141,6 +141,47 @@ object TextOps {
       count(lit(1)).over(Window.partitionBy(col("chunk_hash"))))
   }
 
+  /** Corpus text normalization — the first pass a real training
+    * pipeline runs BEFORE any dedup/fingerprinting (MinHash on
+    * un-normalized text misses case/punctuation near-dups entirely):
+    * lowercase → strip non-alphanumeric (keeping spaces) → collapse
+    * whitespace runs → trim. Pure per-row codegen'd expressions, no
+    * shuffle. */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
+
+  /** Deterministic "messy" corpus: every doc plus a perturbed copy
+    * (fresh id) — uppercased+punctuated, double-spaced, or padded —
+    * because the generator's corpus is already clean (the exact thing a
+    * normalization operator cannot assume in production). Normalizing
+    * the perturbed copy provably restores the original text. */
+  def perturbed(docs: DataFrame): DataFrame = {
+    val messy = docs.select((col("doc_id") + 300000L).as("doc_id"),
+      when(col("doc_id") % 3 === 0, concat(upper(col("text")), lit("!!")))
+        .when(col("doc_id") % 3 === 1, replace(col("text"), lit(" "), lit("  ")))
+        .otherwise(concat(lit("   "), col("text"), lit(" ???"))).as("text"))
+    docs.select(col("doc_id"), col("text")).unionByName(messy)
+  }
+
+  /** Per-doc normalization audit over the perturbed corpus: raw vs
+    * normalized length + the normalized-content hash (the dedup key). */
+  def normalized(docs: DataFrame): DataFrame =
+    perturbed(docs)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_raw"),
+        normalize(col("text")).as("nt"))
+      .select(col("doc_id"), col("n_chars_raw"),
+        length(col("nt")).cast("long").as("n_chars_norm"),
+        md5(col("nt")).as("norm_hash"))
+
+  /** Exact dedup AFTER normalization: the Dedup.exact sibling that
+    * collapses case/punctuation/whitespace variants a raw md5 cannot.
+    * Every group in the perturbed corpus collapses to n_copies = 2
+    * (original + its messy copy) — raw-text md5 would find none. */
+  def dedupNormalized(docs: DataFrame): DataFrame =
+    perturbed(docs)
+      .groupBy(md5(normalize(col("text"))).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** Corpus term statistics: term frequency + document frequency. */
   def termStats(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
@@ -177,7 +218,21 @@ object TextOps {
     "q_text_fingerprint" -> ((s, d) => fingerprints(Tables.documents(s, d))),
     "q_text_chunks" -> ((s, d) => chunks(Tables.documents(s, d))),
     "q_text_termstats" -> ((s, d) => termStats(Tables.documents(s, d))),
-    "q_text_tfidf" -> ((s, d) => tfidfTopK(Tables.documents(s, d))))
+    "q_text_tfidf" -> ((s, d) => tfidfTopK(Tables.documents(s, d))),
+    "q_text_normalize" -> ((s, d) => normalized(Tables.documents(s, d))),
+    "q_dedup_normalized" -> ((s, d) => dedupNormalized(Tables.documents(s, d))))
+
+  /** The perturbed corpus + normalization, as SQL (DuckDB regexp_replace
+    * needs the 'g' flag — it is first-match-only by default, unlike
+    * Spark's). */
+  private val pertCte =
+    "WITH pert AS (SELECT doc_id, text FROM documents UNION ALL " +
+      "SELECT doc_id + 300000, CASE WHEN doc_id % 3 = 0 THEN upper(text) || '!!' " +
+      "WHEN doc_id % 3 = 1 THEN replace(text, ' ', '  ') " +
+      "ELSE '   ' || text || ' ???' END FROM documents), " +
+      "norm AS (SELECT doc_id, length(text)::BIGINT n_chars_raw, " +
+      "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) nt " +
+      "FROM pert)"
 
   private def inList(lang: String): String =
     stopwords(lang).map(w => s"'$w'").mkString("(", ", ", ")")
@@ -237,5 +292,11 @@ object TextOps {
         "ranked AS (SELECT doc_id, t, tf, s, row_number() OVER " +
         "(PARTITION BY doc_id ORDER BY s DESC, t) rnk FROM scored) " +
         "SELECT doc_id, t AS token, tf, floor(s * 10000) / 10000 AS tfidf, rnk " +
-        "FROM ranked WHERE rnk <= 3"))
+        "FROM ranked WHERE rnk <= 3"),
+    "q_text_normalize" ->
+      (pertCte + " SELECT doc_id, n_chars_raw, length(nt)::BIGINT AS n_chars_norm, " +
+        "md5(nt) AS norm_hash FROM norm"),
+    "q_dedup_normalized" ->
+      (pertCte + " SELECT md5(nt) AS text_hash, min(doc_id) AS keep_id, " +
+        "count(*) AS n_copies FROM norm GROUP BY 1"))
 }

@@ -171,6 +171,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("TextOps.normalize restores perturbed copies; normalized dedup collapses to pairs") {
+    val docs = Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    val groups = TextOps.dedupNormalized(docs).collect()
+    // every original + its messy copy collapse into one group of 2
+    assert(groups.length === nDocs.toInt)
+    assert(groups.forall(_.getAs[Long]("n_copies") === 2L))
+    // the control: RAW-text md5 on the same perturbed corpus finds no
+    // duplicates at all — normalization is what makes the dedup possible
+    val rawDups = TextOps.perturbed(docs)
+      .groupBy(md5(col("text"))).count().filter(col("count") > 1).count()
+    assert(rawDups === 0L)
+  }
+
   test("TextOps.chunks: boundary sizes, content hash, cross-doc duplicate detection") {
     // doc 0 has 13 tokens → size=5 gives chunks of 5, 5, 3
     val r = TextOps.chunks(docsDF, chunkSize = 5)
