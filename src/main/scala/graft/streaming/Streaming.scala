@@ -9,6 +9,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Top-level (public) so Spark's state-encoder codegen can reach it. */
 final case class DebitState(times: Array[Long], amounts: Array[Double])
 
+/** One [[Streaming.runningBalanceTtl]] output row: the balance after a
+  * batch's updates, or the final balance as its state is TTL-evicted. */
+final case class BalanceUpdate(user_id: Int, balance: Double, evicted: Boolean)
+
 /** Structured Streaming realization of the reference's monitoring intent
   * (SURVEY.md §7 L3): the reference's unbounded in-memory `Vec` ingest
   * loop (`monitoring-service/src/main.rs:25,33-38`) becomes checkpointed,
@@ -135,7 +139,14 @@ object Streaming {
   }
 
   /** Running per-user balance (credits − debits) via mapGroupsWithState:
-    * the streaming sibling of Analytics.runningTotals. */
+    * the streaming sibling of Analytics.runningTotals.
+    *
+    * State bound: `NoTimeout` ⇒ state is **O(distinct users ever
+    * seen)** — a running balance must remember every open account, and
+    * that set grows with the user space (NOT with stream length). When
+    * the user space itself is unbounded, or balances for dormant users
+    * can be reloaded from a store on return, use [[runningBalanceTtl]]
+    * — same arithmetic, state TTL-evicted on event-time. */
   def runningBalance(spark: SparkSession, txns: Dataset[Transaction]): Dataset[(Int, Double)] = {
     import spark.implicits._
     txns.groupByKey(_.user_id)
@@ -146,6 +157,43 @@ object Streaming {
           val bal = state.getOption.getOrElse(0.0) + delta
           state.update(bal)
           (user, bal)
+      }
+  }
+
+  /** [[runningBalance]] with bounded state: per-user state is evicted
+    * `ttlMs` of EVENT time after the user's last transaction, emitting a
+    * final `evicted = true` row (the hook where production would flush
+    * the balance to a store for reload on the user's return). State is
+    * O(users active within the TTL horizon) instead of O(users ever
+    * seen). */
+  def runningBalanceTtl(spark: SparkSession, txns: Dataset[Transaction],
+      ttlMs: Long = 3600000L, watermark: String = "10 minutes"): Dataset[BalanceUpdate] = {
+    import spark.implicits._
+    txns.withWatermark("timestamp", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Double, BalanceUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Int, rows: Iterator[Transaction], state: GroupState[Double]) =>
+          if (state.hasTimedOut) {
+            val bal = state.getOption.getOrElse(0.0)
+            state.remove()
+            Iterator.single(BalanceUpdate(user, bal, evicted = true))
+          } else {
+            val incoming = rows.toList
+            val delta = incoming.map(t =>
+              if (t.`type`.contains("debit")) -t.amount else t.amount).sum
+            val bal = state.getOption.getOrElse(0.0) + delta
+            state.update(bal)
+            // TTL anchors on the user's OWN last event time (the first
+            // batch's watermark is still epoch-0, so anchoring on the
+            // watermark would arm an already-expired timeout); the
+            // max() keeps the timestamp legal when a nearly-late event
+            // arrives just above the current watermark
+            val lastSeen = incoming.map(_.timestamp.getTime).max
+            state.setTimeoutTimestamp(
+              math.max(lastSeen + ttlMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.single(BalanceUpdate(user, bal, evicted = false))
+          }
       }
   }
 

@@ -156,6 +156,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("runningBalanceTtl: balances accumulate, dormant users are TTL-evicted with a final row") {
+    import spark.implicits._
+    val in = MemoryStream[Transaction](spark)
+    val bal = Streaming.runningBalanceTtl(spark, in.toDS(),
+      ttlMs = 3600000L, watermark = "10 minutes").toDF()
+    val q = Streaming.toMemory(bal, "balttl", OutputMode.Append())
+    withQuery(q) {
+      in.addData(
+        txn("a", 1, 100.0, "credit", "2025-01-01 10:00:00"),
+        txn("b", 1, 30.0, "debit", "2025-01-01 10:01:00"),
+        txn("c", 2, 5.0, "credit", "2025-01-01 10:02:00"))
+      q.processAllAvailable()
+      // advance the watermark far past user 1+2's TTL (10:01 + 1h)
+      in.addData(txn("z1", 9, 1.0, "credit", "2025-01-01 13:00:00"))
+      q.processAllAvailable()
+      // timeouts fire while processing the NEXT batch after the
+      // watermark moved (wm = 12:50 > 11:01/11:02)
+      in.addData(txn("z2", 9, 1.0, "credit", "2025-01-01 13:01:00"))
+      q.processAllAvailable()
+      val rows = spark.table("balttl").collect()
+        .map(r => (r.getAs[Int]("user_id"), r.getAs[Double]("balance"),
+          r.getAs[Boolean]("evicted")))
+      assert(rows.contains((1, 70.0, false))) // 100 − 30 live update
+      assert(rows.contains((1, 70.0, true)), // final flush-on-evict row
+        s"no eviction row for user 1 in ${rows.mkString(",")}")
+      assert(rows.contains((2, 5.0, true)))
+      // user 9 stayed within its TTL — must NOT be evicted
+      assert(!rows.exists(r => r._1 == 9 && r._3))
+    }
+  }
+
+  test("StreamBench.run reports sustained rows/s over a bounded window (honesty check)") {
+    // 4 s wall-clock cap keeps the suite fast; the assertion is shape
+    // (measured batches exist, positive rate), not a capacity claim —
+    // capacity numbers live in PERF.md from the 20 s standalone run
+    val (rps, batches) = StreamBench.run(spark, rocksDb = false,
+      seconds = 4, rowsPerSecond = 100000L)
+    assert(batches > 0, "no completed batches measured in the window")
+    assert(rps > 0.0)
+  }
+
   test("stream-stream join: debit matches in-window same-user credits only") {
     import spark.implicits._
     val in = MemoryStream[Transaction](spark)
