@@ -221,6 +221,21 @@ object Similarity {
     result
   }
 
+  /** The 100 TB IVF layout the [[ivfTopK]] docstring promises: vectors
+    * written BUCKETED by their inverted-list id, so a probe — a filter
+    * `list_id IN (top-NProbe lists)` — prunes NList−NProbe buckets at
+    * the scan and joins the probe set without re-shuffling the vector
+    * side (asserted in ScaleSpec). */
+  def writeBucketedByList(spark: SparkSession, emb: DataFrame, warehouse: String,
+      table: String = "embeddings_b"): Unit = {
+    val v = withEmbD(emb)
+    val cents = trainedCentroids(v).localCheckpoint(true)
+    v.join(assignTo(v, cents), "vec_id")
+      .write.mode("overwrite")
+      .bucketBy(NList, "list_id").sortBy("list_id")
+      .option("path", s"$warehouse/$table").saveAsTable(table)
+  }
+
   /** Embedding-cosine near-dup pairs: LSH band join (no cross join),
     * verified by cosine ≥ threshold. */
   def nearDupPairs(emb: DataFrame, threshold: Double = 0.4): DataFrame = {

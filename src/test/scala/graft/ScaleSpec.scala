@@ -62,6 +62,76 @@ class ScaleSpec extends SparkSpec {
     assert(exchanges === 1, s"expected 1 exchange (the spread), got $exchanges:\n$plan")
   }
 
+  test("IVF probe over list_id-bucketed embeddings prunes buckets at the scan") {
+    import graft.operators.Similarity
+    val wh = Files.createTempDirectory("graft-ivf-wh").toString
+    val emb = Tables.embeddings(spark, sf)
+    Similarity.writeBucketedByList(spark, emb, wh)
+    // the top-NProbe lists for query vector 0 (what ivfTopK's probe
+    // stage produces) — collected test-side to build the probe filter
+    val v = Similarity.withEmbD(emb)
+    val cents = Similarity.trainedCentroids(v).localCheckpoint(true)
+    val q0 = v.filter(col("vec_id") === 0).select(col("e"))
+    val probeLists = cents.crossJoin(q0)
+      .select(col("cid"), graft.functions.NativeVector.cosine(col("e"), col("ce")).as("c"))
+      .orderBy(col("c").desc, col("cid")).limit(Similarity.NProbe)
+      .collect().map(_.getAs[Int]("cid")).toSeq
+    assert(probeLists.size === Similarity.NProbe)
+    // probing = filtering the bucketed table on the probed lists: the
+    // scan must read NProbe of NList buckets, not the whole table.
+    // autoBucketedScan would drop the bucketed layout for a plan with
+    // no downstream join/agg needing it — pin it on for the probe
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val plan = try {
+      spark.table("embeddings_b")
+        .filter(col("list_id").isin(probeLists: _*))
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    assert(plan.contains(
+      s"SelectedBucketsCount: ${Similarity.NProbe} out of ${Similarity.NList}"),
+      s"bucket pruning missing from scan:\n$plan")
+    // and a probe JOIN broadcasts the tiny probe set — the bucketed
+    // vector side joins with no exchange of its own
+    import spark.implicits._
+    val probeDf = probeLists.map(c => (c, 0L)).toDF("list_id", "q_id")
+    val joined = spark.table("embeddings_b").join(broadcast(probeDf), Seq("list_id"))
+    joined.queryExecution.toRdd.count()
+    val jplan = joined.queryExecution.executedPlan.toString
+    assert(jplan.contains("BroadcastHashJoin") &&
+      !jplan.contains("Exchange hashpartitioning(list_id"),
+      s"probe join re-shuffled the vector side:\n$jplan")
+  }
+
+  test("AQE splits the skewed partition of a skewed join (skew=true)") {
+    import spark.implicits._
+    // 95% of the left rows share key 0 → one reducer would take ~all of
+    // the join. With skew-join thresholds scaled to the test's data
+    // volume, AQE must split that partition at runtime.
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val left = spark.range(0, 300000)
+        .select(when(col("id") % 20 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          col("id").as("v"))
+      val right = spark.range(0, 2000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = left.join(right, "k")
+      joined.queryExecution.toRdd.count() // AQE re-plans during execution
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join (no skew=true):\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("format round-trips: csv, json, orc, partitioned parquet") {
     val dir = Files.createTempDirectory("graft-fmt").toString
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "event_type", "value")
