@@ -165,14 +165,24 @@ object Similarity {
           col(s"s$d").cast("double") / col("n") / QScale): _*).as("ce"))
   }
 
+  /** Deterministic 1-in-4 training sample, keyed on the vector id with
+    * the engine-portable md5 idiom (same pattern as Dedup.hashSample).
+    * Coarse-quantizer k-means never needs the full corpus — production
+    * IVF builds (Faiss et al.) train on a bounded subsample, and at
+    * 100 TB training on every vector would dwarf the index build. */
+  private[graft] def kmSample(v: DataFrame): DataFrame =
+    v.filter(pmod(graft.functions.TextHash.hash60(
+      concat(lit("kms|"), col("vec_id"))), lit(4L)) === 0)
+
   /** Deterministic relational k-means: `iters` fixed Lloyd steps from
-    * the seed set. No driver-side collect — assignment is a broadcast
-    * join + map-side-combined aggregate, the update is one exact-sum
-    * aggregate per step; only the 16-row centroid relation itself moves
-    * through broadcast exchanges. */
+    * the seed set, trained on [[kmSample]]. No driver-side collect —
+    * assignment is a broadcast join + map-side-combined aggregate, the
+    * update is one exact-sum aggregate per step; only the 16-row
+    * centroid relation itself moves through broadcast exchanges. */
   private[graft] def trainedCentroids(v: DataFrame, iters: Int = KmIters): DataFrame = {
+    val sample = kmSample(v)
     var cents = seedCentroids(v)
-    for (_ <- 0 until iters) cents = centroidStep(v, cents)
+    for (_ <- 0 until iters) cents = centroidStep(sample, cents)
     cents
   }
 
@@ -324,11 +334,13 @@ object Similarity {
       "(SELECT e FROM v WHERE v.vec_id = an_cand.vec_id)) * 10000) / 10000 cos FROM an_cand), " +
       rankedSql("an_ranked", "an_scored")
 
-  /** One k-means assignment: centroid set `cIn` → kas$idx(vec_id, list_id). */
-  private def kmAssignSql(cIn: String, idx: Int): String =
-    s"ka$idx AS (SELECT v.vec_id, c.cid, " +
-      "floor(list_cosine_similarity(v.e, c.ce) * 10000) / 10000 ccos " +
-      s"FROM v CROSS JOIN $cIn c), " +
+  /** One k-means assignment over relation `rel`: centroid set `cIn` →
+    * kas$idx(vec_id, list_id). Training steps run over the `ks` sample;
+    * the final assignment runs over all of `v`. */
+  private def kmAssignSql(cIn: String, idx: Int, rel: String): String =
+    s"ka$idx AS (SELECT $rel.vec_id, c.cid, " +
+      s"floor(list_cosine_similarity($rel.e, c.ce) * 10000) / 10000 ccos " +
+      s"FROM $rel CROSS JOIN $cIn c), " +
       s"kas$idx AS (SELECT vec_id, cid AS list_id FROM (SELECT vec_id, cid, " +
       s"row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) rn FROM ka$idx) WHERE rn = 1)"
 
@@ -336,18 +348,21 @@ object Similarity {
     * the same exact quantized sums as [[centroidStep]]. */
   private def kmUpdateSql(idx: Int): String =
     s"kj$idx AS (SELECT a.list_id, r.d, " +
-      s"sum(floor(v.e[r.d] * ${QScale.toLong}))::BIGINT sv, count(*) n " +
-      s"FROM v JOIN kas$idx a USING (vec_id) CROSS JOIN range(1, ${Dim + 1}) r(d) GROUP BY 1, 2), " +
+      s"sum(floor(ks.e[r.d] * ${QScale.toLong}))::BIGINT sv, count(*) n " +
+      s"FROM ks JOIN kas$idx a USING (vec_id) CROSS JOIN range(1, ${Dim + 1}) r(d) GROUP BY 1, 2), " +
       s"c${idx + 1} AS (SELECT list_id AS cid, " +
       s"list(sv::DOUBLE / n / ${QScale.toLong}.0 ORDER BY d) ce FROM kj$idx GROUP BY list_id)"
 
-  /** Full IVF chain → iv_ranked: seed c0, KmIters Lloyd steps (c2),
-    * final assignment kas2, probes, probe-join scoring. Requires v, qs. */
+  /** Full IVF chain → iv_ranked: seed c0, KmIters Lloyd steps over the
+    * ks sample (c2), final assignment kas2 over all vectors, probes,
+    * probe-join scoring. Requires v, qs. */
   private lazy val ivfCtes = {
     val train = (0 until KmIters)
-      .map(i => kmAssignSql(s"c$i", i) + ", " + kmUpdateSql(i)).mkString(", ")
-    s"c0 AS (SELECT vec_id::INT cid, e ce FROM v WHERE vec_id < $NList), " +
-      train + ", " + kmAssignSql(s"c$KmIters", KmIters) + ", " +
+      .map(i => kmAssignSql(s"c$i", i, "ks") + ", " + kmUpdateSql(i)).mkString(", ")
+    "ks AS (SELECT vec_id, e FROM v " +
+      "WHERE ('0x'||substr(md5('kms|'||vec_id),1,15))::BIGINT % 4 = 0), " +
+      s"c0 AS (SELECT vec_id::INT cid, e ce FROM v WHERE vec_id < $NList), " +
+      train + ", " + kmAssignSql(s"c$KmIters", KmIters, "v") + ", " +
       s"iv_pc AS (SELECT q_id, qe, cid, floor(list_cosine_similarity(qe, ce) * 10000) / 10000 qcos " +
       s"FROM qs CROSS JOIN c$KmIters), " +
       "iv_probes AS (SELECT q_id, qe, cid AS list_id FROM (SELECT q_id, qe, cid, " +
