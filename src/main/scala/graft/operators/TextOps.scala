@@ -182,6 +182,62 @@ object TextOps {
       .groupBy(md5(normalize(col("text"))).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Benchmark decontamination — the pipeline step that keeps held-out
+    * eval data out of a training corpus (every serious LLM data
+    * pipeline runs an n-gram overlap pass): flag each training document
+    * sharing any word n-gram with the benchmark set, with hit counts.
+    *
+    * The held-out set here is the deterministic slice doc_id % 97 == 0
+    * (standing in for an external benchmark file). Scale shape: the
+    * benchmark n-gram relation is FIXED-SIZE (eval sets don't grow with
+    * the corpus) → distinct-hash + broadcast; the training side is
+    * shingle rows → codegen'd hash60 → broadcast-hash semi-ish join +
+    * one hash aggregate. No shuffle ever carries document text. */
+  def decontaminate(docs: DataFrame, n: Int = 5, benchMod: Long = 97L): DataFrame = {
+    def grams(d: DataFrame) =
+      shingleRows(graft.functions.Portable.spread(d, col("doc_id")), n)
+        .select(col("doc_id"), hash60(col("s")).as("gh"))
+    val bench = grams(docs.filter(col("doc_id") % benchMod === 0))
+      .select(col("gh")).distinct()
+    val train = grams(docs.filter(col("doc_id") % benchMod =!= 0))
+    train.join(broadcast(bench), "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), countDistinct(col("gh")).as("n_distinct_grams"))
+  }
+
+  /** Concat-and-chunk sequence packing: documents are concatenated in
+    * doc_id order and split every `capacity` tokens (how training
+    * examples actually reach a context window), emitting each doc's
+    * global token offset and the pack range it spans.
+    *
+    * The global running sum is TWO-PHASE so it scales: a within-block
+    * cumulative sum (windows partitioned by doc_id-range blocks —
+    * distributed), then block offsets from a cumulative sum over the
+    * tiny per-block totals relation (the only global window, #blocks
+    * rows), broadcast back. No single-partition pass over the corpus —
+    * the naive `Window.orderBy(doc_id)` over all docs would serialize
+    * 100 TB through one task. */
+  def seqPacking(docs: DataFrame, capacity: Int = 2048, blockSize: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wIn = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val partial = docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("blk", expr(s"doc_id div $blockSize"))
+      .withColumn("in_blk", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+    val wBlk = Window.orderBy(col("blk")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = partial.groupBy(col("blk")).agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("boff", coalesce(sum(col("bt")).over(wBlk), lit(0L)))
+      .select(col("blk"), col("boff"))
+    partial.join(broadcast(offsets), "blk")
+      .withColumn("tok_offset", col("boff") + col("in_blk"))
+      .withColumn("first_pack", expr(s"tok_offset div $capacity"))
+      .withColumn("last_pack", expr(s"(tok_offset + n_tokens - 1) div $capacity"))
+      .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
+        col("first_pack"), col("last_pack"),
+        (col("last_pack") - col("first_pack") + 1).as("n_packs"))
+  }
+
   /** Corpus term statistics: term frequency + document frequency. */
   def termStats(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
@@ -220,7 +276,9 @@ object TextOps {
     "q_text_termstats" -> ((s, d) => termStats(Tables.documents(s, d))),
     "q_text_tfidf" -> ((s, d) => tfidfTopK(Tables.documents(s, d))),
     "q_text_normalize" -> ((s, d) => normalized(Tables.documents(s, d))),
-    "q_dedup_normalized" -> ((s, d) => dedupNormalized(Tables.documents(s, d))))
+    "q_dedup_normalized" -> ((s, d) => dedupNormalized(Tables.documents(s, d))),
+    "q_text_decontam" -> ((s, d) => decontaminate(Tables.documents(s, d))),
+    "q_seq_packing" -> ((s, d) => seqPacking(Tables.documents(s, d))))
 
   /** The perturbed corpus + normalization, as SQL (DuckDB regexp_replace
     * needs the 'g' flag — it is first-match-only by default, unlike
@@ -298,5 +356,21 @@ object TextOps {
         "md5(nt) AS norm_hash FROM norm"),
     "q_dedup_normalized" ->
       (pertCte + " SELECT md5(nt) AS text_hash, min(doc_id) AS keep_id, " +
-        "count(*) AS n_copies FROM norm GROUP BY 1"))
+        "count(*) AS n_copies FROM norm GROUP BY 1"),
+    "q_text_decontam" ->
+      ("WITH t AS (SELECT doc_id, string_split(text,' ') tok FROM documents), " +
+        // 5-gram rows: indices 1..len-4 (range bound is exclusive)
+        "sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tok)-3), " +
+        "i -> tok[i]||' '||tok[i+1]||' '||tok[i+2]||' '||tok[i+3]||' '||tok[i+4])) s FROM t), " +
+        "gr AS (SELECT doc_id, ('0x'||substr(md5(s),1,15))::BIGINT gh FROM sh), " +
+        "bench AS (SELECT DISTINCT gh FROM gr WHERE doc_id % 97 = 0) " +
+        "SELECT gr.doc_id, count(*) AS n_hits, count(DISTINCT gr.gh) AS n_distinct_grams " +
+        "FROM gr JOIN bench USING (gh) WHERE gr.doc_id % 97 <> 0 GROUP BY 1"),
+    "q_seq_packing" ->
+      ("WITH t AS (SELECT doc_id, len(string_split(text,' '))::BIGINT n_tokens FROM documents), " +
+        "o AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT tok_offset FROM t) " +
+        "SELECT doc_id, n_tokens, tok_offset, tok_offset // 2048 AS first_pack, " +
+        "(tok_offset + n_tokens - 1) // 2048 AS last_pack, " +
+        "((tok_offset + n_tokens - 1) // 2048 - tok_offset // 2048 + 1) AS n_packs FROM o"))
 }

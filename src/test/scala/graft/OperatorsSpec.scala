@@ -185,6 +185,39 @@ class OperatorsSpec extends SparkSpec {
     assert(rawDups === 0L)
   }
 
+  test("TextOps.decontaminate flags near-dups of the benchmark slice, never the slice itself") {
+    val docs = Tables.documents(spark, sf)
+    val r = TextOps.decontaminate(docs).collect()
+    // the generator plants near-dups, some of benchmark (%97) docs —
+    // those training docs must surface with 5-gram overlap
+    assert(r.nonEmpty, "no contaminated docs found (corpus plants near-dups)")
+    assert(r.forall(_.getAs[Long]("doc_id") % 97 != 0), "benchmark doc flagged as training")
+    assert(r.forall(row =>
+      row.getAs[Long]("n_hits") >= row.getAs[Long]("n_distinct_grams") &&
+        row.getAs[Long]("n_distinct_grams") > 0))
+  }
+
+  test("TextOps.seqPacking: contiguous offsets, correct pack spans, block-size invariant") {
+    val docs = Tables.documents(spark, sf)
+    val r = TextOps.seqPacking(docs, capacity = 100).orderBy("doc_id").collect()
+    assert(r.length === docs.count().toInt)
+    // concat-and-chunk: each doc starts exactly where the previous ended
+    r.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("tok_offset") ===
+        a.getAs[Long]("tok_offset") + a.getAs[Long]("n_tokens"))
+      case _ =>
+    }
+    r.foreach { row =>
+      val (off, n) = (row.getAs[Long]("tok_offset"), row.getAs[Long]("n_tokens"))
+      assert(row.getAs[Long]("first_pack") === off / 100)
+      assert(row.getAs[Long]("last_pack") === (off + n - 1) / 100)
+    }
+    // the two-phase cumsum is independent of the block partitioning
+    val other = TextOps.seqPacking(docs, capacity = 100, blockSize = 7L)
+      .orderBy("doc_id").collect()
+    assert(r.map(_.toString).toSeq === other.map(_.toString).toSeq)
+  }
+
   test("TextOps.chunks: boundary sizes, content hash, cross-doc duplicate detection") {
     // doc 0 has 13 tokens → size=5 gives chunks of 5, 5, 3
     val r = TextOps.chunks(docsDF, chunkSize = 5)
