@@ -156,11 +156,16 @@ object TextOps {
     * normalization operator cannot assume in production). Normalizing
     * the perturbed copy provably restores the original text. */
   def perturbed(docs: DataFrame): DataFrame = {
-    val messy = docs.select((col("doc_id") + 300000L).as("doc_id"),
-      when(col("doc_id") % 3 === 0, concat(upper(col("text")), lit("!!")))
-        .when(col("doc_id") % 3 === 1, replace(col("text"), lit(" "), lit("  ")))
-        .otherwise(concat(lit("   "), col("text"), lit(" ???"))).as("text"))
-    docs.select(col("doc_id"), col("text")).unionByName(messy)
+    val messy = when(col("doc_id") % 3 === 0, concat(upper(col("text")), lit("!!")))
+      .when(col("doc_id") % 3 === 1, replace(col("text"), lit(" "), lit("  ")))
+      .otherwise(concat(lit("   "), col("text"), lit(" ???")))
+    // one scan + explode, NOT a self-union (which plans two scans of the
+    // same file — at 100 TB that doubles the read); plan-shape-pinned in
+    // ScaleSpec
+    docs.select(explode(array(
+        struct(col("doc_id").as("doc_id"), col("text").as("text")),
+        struct((col("doc_id") + 300000L).as("doc_id"), messy.as("text")))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
   }
 
   /** Per-doc normalization audit over the perturbed corpus: raw vs
@@ -238,6 +243,22 @@ object TextOps {
         (col("last_pack") - col("first_pack") + 1).as("n_packs"))
   }
 
+  /** Deterministic stratified sampling: the n smallest md5-ranked docs
+    * per language — a fixed-size per-stratum sample regardless of
+    * stratum skew (uniform `hashSample` keeps the majority language's
+    * dominance; a training mix wants controlled per-language counts).
+    * The rank window partitions by lang, so work distributes across
+    * strata; ordering by the portable 60-bit hash makes the sample
+    * reproducible across engines and runs. */
+  def stratifiedSample(docs: DataFrame, n: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(hash60(concat(lit("strat|"), col("doc_id"))), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= n)
+  }
+
   /** Corpus term statistics: term frequency + document frequency. */
   def termStats(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
@@ -278,7 +299,8 @@ object TextOps {
     "q_text_normalize" -> ((s, d) => normalized(Tables.documents(s, d))),
     "q_dedup_normalized" -> ((s, d) => dedupNormalized(Tables.documents(s, d))),
     "q_text_decontam" -> ((s, d) => decontaminate(Tables.documents(s, d))),
-    "q_seq_packing" -> ((s, d) => seqPacking(Tables.documents(s, d))))
+    "q_seq_packing" -> ((s, d) => seqPacking(Tables.documents(s, d))),
+    "q_stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))))
 
   /** The perturbed corpus + normalization, as SQL (DuckDB regexp_replace
     * needs the 'g' flag — it is first-match-only by default, unlike
@@ -372,5 +394,10 @@ object TextOps {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT tok_offset FROM t) " +
         "SELECT doc_id, n_tokens, tok_offset, tok_offset // 2048 AS first_pack, " +
         "(tok_offset + n_tokens - 1) // 2048 AS last_pack, " +
-        "((tok_offset + n_tokens - 1) // 2048 - tok_offset // 2048 + 1) AS n_packs FROM o"))
+        "((tok_offset + n_tokens - 1) // 2048 - tok_offset // 2048 + 1) AS n_packs FROM o"),
+    "q_stratified_sample" ->
+      ("SELECT doc_id, lang, n_chars, rnk FROM (SELECT doc_id, lang, n_chars, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY " +
+        "('0x'||substr(md5('strat|'||doc_id),1,15))::BIGINT, doc_id) rnk " +
+        "FROM documents) WHERE rnk <= 25"))
 }

@@ -218,6 +218,21 @@ class OperatorsSpec extends SparkSpec {
     assert(r.map(_.toString).toSeq === other.map(_.toString).toSeq)
   }
 
+  test("TextOps.stratifiedSample: exactly n per language, deterministic, skew-independent") {
+    val docs = Tables.documents(spark, sf)
+    val r = TextOps.stratifiedSample(docs, n = 10).collect()
+    val perLang = r.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    val langSizes = docs.groupBy(col("lang")).count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    // every language with ≥ 10 docs contributes exactly 10; smaller ones all
+    langSizes.foreach { case (lang, sz) =>
+      assert(perLang.getOrElse(lang, 0) === math.min(10L, sz).toInt, s"lang $lang")
+    }
+    // reproducible
+    val again = TextOps.stratifiedSample(docs, n = 10).collect()
+    assert(r.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
+
   test("TextOps.chunks: boundary sizes, content hash, cross-doc duplicate detection") {
     // doc 0 has 13 tokens → size=5 gives chunks of 5, 5, 3
     val r = TextOps.chunks(docsDF, chunkSize = 5)

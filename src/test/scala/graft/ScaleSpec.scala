@@ -132,6 +132,26 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("perturbed corpus plans ONE scan (explode, not a self-union of two scans)") {
+    val docs = Tables.documents(spark, sf)
+    val plan = graft.operators.TextOps.normalized(docs)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"expected a single documents scan, got $scans:\n$plan")
+  }
+
+  test("seqPacking: corpus window is block-partitioned; only the block-offset relation is global") {
+    val docs = Tables.documents(spark, sf)
+    val plan = graft.operators.TextOps.seqPacking(docs)
+      .queryExecution.executedPlan.toString
+    // the per-doc running sum must be partitioned (blk) — a global
+    // Window over the corpus would serialize 100 TB through one task
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.exists(_.contains("partitionspec=[blk")) ||
+      plan.contains("windowspecdefinition(blk"),
+      s"corpus window lost its blk partitioning:\n$plan")
+  }
+
   test("format round-trips: csv, json, orc, partitioned parquet") {
     val dir = Files.createTempDirectory("graft-fmt").toString
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "event_type", "value")
