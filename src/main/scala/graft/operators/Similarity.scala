@@ -118,6 +118,37 @@ object Similarity {
     result
   }
 
+  /** Multi-probe LSH ANN top-k: like [[annTopK]], but each query also
+    * probes every single-bit-flip NEIGHBOR of its band keys (1 + 4
+    * variants per band). Near-misses — vectors one hyperplane sign away
+    * — become candidates, trading 5× the (tiny) query-side probe fan-out
+    * for recall; the corpus-side banding is unchanged, so the scan/
+    * shuffle cost model is identical to single-probe. Measured by
+    * [[recallAtK]] as method `ann_mp`. */
+  def annTopKMultiProbe(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    val v = withEmbD(emb)
+    val bands = v.select(col("vec_id"), col("e"), explode(bandStructs(col("e"))).as("bb"))
+      .select(col("vec_id"), col("e"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .persist()
+    val variants = col("bkey") +:
+      (0 until RowsPerBand).map(i => col("bkey").bitwiseXOR(lit(1 << i)))
+    val qb = bands.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("band"),
+        explode(array(variants: _*)).as("bkey"))
+    val cand = bands.join(broadcast(qb), Seq("band", "bkey"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("qe"), col("e"))
+      .dropDuplicates("q_id", "vec_id")
+    val scored = cand.select(col("q_id"), col("vec_id"),
+      trunc4(NativeVector.cosine(col("qe"), col("e"))).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    val result = scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .localCheckpoint(true)
+    bands.unpersist()
+    result
+  }
+
   val NList = 16
   val NProbe = 4
   val KmIters = 2
@@ -281,6 +312,7 @@ object Similarity {
         .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / k).as("recall"))
         .select(lit(method).as("method"), col("q_id"), col("recall"))
     score("ann", annTopK(emb, queryIds, k))
+      .unionByName(score("ann_mp", annTopKMultiProbe(emb, queryIds, k)))
       .unionByName(score("ivf", ivfTopK(emb, queryIds, k)))
   }
 
@@ -289,6 +321,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk_exact" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_topk_ann" -> ((s, d) => annTopK(Tables.embeddings(s, d), DefaultQueryIds)),
+    "q_sim_topk_ann_mp" -> ((s, d) => annTopKMultiProbe(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_topk_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_neardup" -> ((s, d) => nearDupPairs(Tables.embeddings(s, d))),
     "q_sim_recall" -> ((s, d) => recallAtK(Tables.embeddings(s, d), DefaultQueryIds)))
@@ -333,6 +366,20 @@ object Similarity {
       "(SELECT qe FROM qb WHERE qb.q_id = an_cand.q_id LIMIT 1), " +
       "(SELECT e FROM v WHERE v.vec_id = an_cand.vec_id)) * 10000) / 10000 cos FROM an_cand), " +
       rankedSql("an_ranked", "an_scored")
+
+  /** Multi-probe LSH chain → amp_ranked: qb's band keys expanded with
+    * every single-bit flip, then the annCtes shape. Requires v, bands,
+    * and qb (from annCtes). */
+  private lazy val annMpCtes = {
+    val flips = (Seq("bkey") ++ (0 until RowsPerBand).map(i => s"xor(bkey, ${1 << i})"))
+      .mkString("[", ", ", "]")
+    s"qbm AS (SELECT q_id, qe, band, unnest($flips) bkey FROM qb), " +
+      "amp_cand AS (SELECT DISTINCT q_id, vec_id FROM bands JOIN qbm USING (band, bkey) WHERE vec_id <> q_id), " +
+      "amp_scored AS (SELECT q_id, vec_id, floor(list_cosine_similarity(" +
+      "(SELECT qe FROM qb WHERE qb.q_id = amp_cand.q_id LIMIT 1), " +
+      "(SELECT e FROM v WHERE v.vec_id = amp_cand.vec_id)) * 10000) / 10000 cos FROM amp_cand), " +
+      rankedSql("amp_ranked", "amp_scored")
+  }
 
   /** One k-means assignment over relation `rel`: centroid set `cIn` →
     * kas$idx(vec_id, list_id). Training steps run over the `ks` sample;
@@ -382,6 +429,8 @@ object Similarity {
       (s"WITH $vCte, $qsCte, $exactCtes" + topkSelect("ex_ranked")),
     "q_sim_topk_ann" ->
       (s"WITH $vCte, $bitsBandsCte, $annCtes" + topkSelect("an_ranked")),
+    "q_sim_topk_ann_mp" ->
+      (s"WITH $vCte, $bitsBandsCte, $annCtes, $annMpCtes" + topkSelect("amp_ranked")),
     "q_sim_topk_ivf" ->
       (s"WITH $vCte, $qsCte, $ivfCtes" + topkSelect("iv_ranked")),
     "q_sim_neardup" ->
@@ -392,13 +441,18 @@ object Similarity {
         "(SELECT e FROM v WHERE v.vec_id = cand.b_id)) * 10000) / 10000 cos FROM cand) " +
         "SELECT a_id, b_id, cos FROM scored WHERE cos >= 0.4"),
     "q_sim_recall" ->
-      (s"WITH $vCte, $qsCte, $bitsBandsCte, $exactCtes, $annCtes, $ivfCtes, " +
+      (s"WITH $vCte, $qsCte, $bitsBandsCte, $exactCtes, $annCtes, $annMpCtes, $ivfCtes, " +
         "ex10 AS (SELECT q_id, vec_id FROM ex_ranked WHERE rnk <= 10), " +
         "an10 AS (SELECT q_id, vec_id FROM an_ranked WHERE rnk <= 10), " +
+        "am10 AS (SELECT q_id, vec_id FROM amp_ranked WHERE rnk <= 10), " +
         "iv10 AS (SELECT q_id, vec_id FROM iv_ranked WHERE rnk <= 10) " +
         "SELECT 'ann' AS method, e.q_id, " +
         "sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 10 AS recall " +
         "FROM ex10 e LEFT JOIN an10 a USING (q_id, vec_id) GROUP BY e.q_id " +
+        "UNION ALL " +
+        "SELECT 'ann_mp' AS method, e.q_id, " +
+        "sum(CASE WHEN m.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 10 AS recall " +
+        "FROM ex10 e LEFT JOIN am10 m USING (q_id, vec_id) GROUP BY e.q_id " +
         "UNION ALL " +
         "SELECT 'ivf' AS method, e.q_id, " +
         "sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 10 AS recall " +

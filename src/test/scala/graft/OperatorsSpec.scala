@@ -160,14 +160,22 @@ class OperatorsSpec extends SparkSpec {
     assert(trained.sum === seed.sum)
   }
 
-  test("Similarity.recallAtK: one row per (method, query), recall within (0, 1]") {
+  test("Similarity.recallAtK: one row per (method, query); multi-probe dominates single-probe") {
     val emb = Tables.embeddings(spark, sf)
     val r = Similarity.recallAtK(emb, Seq(0L, 1L), k = 10).collect()
-    assert(r.length === 4) // 2 methods × 2 queries
-    assert(r.map(_.getAs[String]("method")).toSet === Set("ann", "ivf"))
+    assert(r.length === 6) // 3 methods × 2 queries
+    assert(r.map(_.getAs[String]("method")).toSet === Set("ann", "ann_mp", "ivf"))
     r.foreach { row =>
       val rec = row.getAs[Double]("recall")
       assert(rec >= 0.0 && rec <= 1.0, s"recall out of range: $row")
+    }
+    // multi-probe candidates are a superset of single-probe candidates
+    // (the original band keys are among the probed variants), so its
+    // recall can never be lower — per query
+    val byQ = r.groupBy(_.getAs[Long]("q_id"))
+    byQ.values.foreach { rows =>
+      val m = rows.map(x => x.getAs[String]("method") -> x.getAs[Double]("recall")).toMap
+      assert(m("ann_mp") >= m("ann"), s"multi-probe lost recall: $m")
     }
   }
 
