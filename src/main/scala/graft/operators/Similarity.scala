@@ -234,6 +234,14 @@ object Similarity {
     * scan (asserted in ScaleSpec). */
   def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
     val v = withEmbD(emb).persist() // training + assign + probe passes
+    val result = ivfTopKOn(v, queryIds, k)
+    v.unpersist()
+    result
+  }
+
+  /** [[ivfTopK]] over an already-persisted vector relation (shared by
+    * [[recallAtK]], which reuses one `v` across all methods). */
+  private def ivfTopKOn(v: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     // eager: train ONCE, then every broadcast below reads the 16-row
     // checkpoint instead of re-running both Lloyd steps
     val cents = trainedCentroids(v).localCheckpoint(true)
@@ -255,11 +263,9 @@ object Similarity {
       .select(col("q_id"), col("vec_id"),
         trunc4(NativeVector.cosine(col("qe"), col("e"))).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    val result = scored.withColumn("rnk", row_number().over(w).cast("long"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .localCheckpoint(true) // k rows per query
-    v.unpersist()
-    result
   }
 
   /** The 100 TB IVF layout the [[ivfTopK]] docstring promises: vectors
@@ -300,20 +306,59 @@ object Similarity {
   /** recall@k of each approximate path against the exact baseline: the
     * number an operator tunes nlist/nprobe/bands against. One row per
     * (method, query): |approx top-k ∩ exact top-k| / k. Deterministic
-    * (both inputs are) and fully oracle-able. */
+    * (both inputs are) and fully oracle-able.
+    *
+    * FUSED evaluation: one persisted vector relation serves every
+    * method; the two LSH variants share one banded relation and ONE
+    * cosine pass — multi-probe candidates are a superset of
+    * single-probe's, so candidates are scored once with an `orig` flag
+    * (came from an unflipped band key) and the single-probe ranking is
+    * just a filter. Same results as running each method standalone,
+    * at roughly half the work. */
   def recallAtK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
-    val exact = bruteForceTopK(emb, queryIds, k).select(col("q_id"), col("vec_id"))
-      .localCheckpoint(true) // consumed by both method joins
+    val v = withEmbD(emb).persist()
+    val q = v.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    def rankK(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= k).select(col("q_id"), col("vec_id"))
+    }
+    val exact = rankK(v.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          trunc4(NativeVector.cosine(col("qe"), col("e"))).as("cos")))
+      .localCheckpoint(true) // consumed by every method join
+    // one banded relation, query keys expanded with their bit-flip
+    // variants, each tagged whether it is the original key
+    val bands = v.select(col("vec_id"), col("e"), explode(bandStructs(col("e"))).as("bb"))
+      .select(col("vec_id"), col("e"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .persist()
+    val variantStructs = struct(col("bkey").as("bkey"), lit(true).as("orig")) +:
+      (0 until RowsPerBand).map(i =>
+        struct(col("bkey").bitwiseXOR(lit(1 << i)).as("bkey"), lit(false).as("orig")))
+    val qbv = bands.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("band"),
+        explode(array(variantStructs: _*)).as("bb"))
+      .select(col("q_id"), col("qe"), col("band"),
+        col("bb.bkey").as("bkey"), col("bb.orig").as("orig"))
+    val scoredLsh = bands.join(broadcast(qbv), Seq("band", "bkey"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(max(col("orig")).as("sp"), first(col("qe")).as("qe"), first(col("e")).as("e"))
+      .select(col("q_id"), col("vec_id"), col("sp"),
+        trunc4(NativeVector.cosine(col("qe"), col("e"))).as("cos"))
+      .persist()
     def score(method: String, approx: DataFrame): DataFrame =
-      exact.join(
-          approx.select(col("q_id"), col("vec_id")).withColumn("hit", lit(1L)),
-          Seq("q_id", "vec_id"), "left")
+      exact.join(approx.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
         .groupBy(col("q_id"))
         .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / k).as("recall"))
         .select(lit(method).as("method"), col("q_id"), col("recall"))
-    score("ann", annTopK(emb, queryIds, k))
-      .unionByName(score("ann_mp", annTopKMultiProbe(emb, queryIds, k)))
-      .unionByName(score("ivf", ivfTopK(emb, queryIds, k)))
+    val result = score("ann", rankK(scoredLsh.filter(col("sp"))))
+      .unionByName(score("ann_mp", rankK(scoredLsh)))
+      .unionByName(score("ivf", ivfTopKOn(v, queryIds, k).select(col("q_id"), col("vec_id"))))
+      .localCheckpoint(true) // 3 × |queries| rows
+    bands.unpersist(); scoredLsh.unpersist(); v.unpersist()
+    result
   }
 
   // ---- driver wiring ----

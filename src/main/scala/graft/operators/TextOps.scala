@@ -222,25 +222,42 @@ object TextOps {
     * rows), broadcast back. No single-partition pass over the corpus —
     * the naive `Window.orderBy(doc_id)` over all docs would serialize
     * 100 TB through one task. */
-  def seqPacking(docs: DataFrame, capacity: Int = 2048, blockSize: Long = 1000L): DataFrame = {
+  /** [[seqPacking]]'s lazy plan + its persisted base, for plan
+    * inspection (ScaleSpec) and the public wrapper. */
+  private[graft] def seqPackingLazy(docs: DataFrame, capacity: Int,
+      blockSize: Long): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val wIn = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val partial = docs
+    // the tokenized base feeds BOTH the per-block cumsum and the block
+    // totals; persisting it (24 bytes/doc — text never enters the cache)
+    // keeps the corpus scan + tokenize single-pass
+    val base = docs
       .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("blk", expr(s"doc_id div $blockSize"))
+      .persist()
+    val wIn = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val partial = base
       .withColumn("in_blk", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
     val wBlk = Window.orderBy(col("blk")).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = partial.groupBy(col("blk")).agg(sum(col("n_tokens")).as("bt"))
+    val offsets = base.groupBy(col("blk")).agg(sum(col("n_tokens")).as("bt"))
       .withColumn("boff", coalesce(sum(col("bt")).over(wBlk), lit(0L)))
       .select(col("blk"), col("boff"))
-    partial.join(broadcast(offsets), "blk")
+    val result = partial.join(broadcast(offsets), "blk")
       .withColumn("tok_offset", col("boff") + col("in_blk"))
       .withColumn("first_pack", expr(s"tok_offset div $capacity"))
       .withColumn("last_pack", expr(s"(tok_offset + n_tokens - 1) div $capacity"))
       .select(col("doc_id"), col("n_tokens"), col("tok_offset"),
         col("first_pack"), col("last_pack"),
         (col("last_pack") - col("first_pack") + 1).as("n_packs"))
+    (result, base)
+  }
+
+  def seqPacking(docs: DataFrame, capacity: Int = 2048, blockSize: Long = 1000L): DataFrame = {
+    val (lazyResult, base) = seqPackingLazy(docs, capacity, blockSize)
+    // eager (6 narrow columns/doc) so the cached base can be released
+    val result = lazyResult.localCheckpoint(true)
+    base.unpersist()
+    result
   }
 
   /** Deterministic stratified sampling: the n smallest md5-ranked docs

@@ -140,16 +140,19 @@ class ScaleSpec extends SparkSpec {
     assert(scans === 1, s"expected a single documents scan, got $scans:\n$plan")
   }
 
-  test("seqPacking: corpus window is block-partitioned; only the block-offset relation is global") {
+  test("seqPacking: corpus window is block-partitioned; base is scanned once") {
     val docs = Tables.documents(spark, sf)
-    val plan = graft.operators.TextOps.seqPacking(docs)
-      .queryExecution.executedPlan.toString
+    val (lazyResult, base) = graft.operators.TextOps.seqPackingLazy(docs, 2048, 1000L)
+    val plan = try lazyResult.queryExecution.executedPlan.toString
+    finally base.unpersist()
     // the per-doc running sum must be partitioned (blk) — a global
     // Window over the corpus would serialize 100 TB through one task
-    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
-    assert(windows.exists(_.contains("partitionspec=[blk")) ||
-      plan.contains("windowspecdefinition(blk"),
+    assert(plan.contains("windowspecdefinition(blk"),
       s"corpus window lost its blk partitioning:\n$plan")
+    // both consumers (cumsum branch + block-totals branch) must read
+    // the persisted 24-byte/doc base, not re-scan + re-tokenize the file
+    val cacheReads = "InMemoryTableScan".r.findAllIn(plan).length
+    assert(cacheReads >= 2, s"base not cached for both branches:\n$plan")
   }
 
   test("format round-trips: csv, json, orc, partitioned parquet") {
