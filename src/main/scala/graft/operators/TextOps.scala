@@ -276,6 +276,26 @@ object TextOps {
       .filter(col("rnk") <= n)
   }
 
+  /** The composed corpus-cleaning pipeline, end to end in ONE lazy
+    * plan: messy input → [[normalize]] → quality gate (≥ 20 tokens) →
+    * exact dedup on normalized content (keep lowest id) → per-language
+    * survivor counts + token volume. Shows the L4 operators compose the
+    * way a real pipeline chains them — Catalyst sees the whole chain,
+    * so the normalize expressions fuse into the scan projection and the
+    * only shuffles are the dedup hash-agg and the final tiny lang agg. */
+  def corpusPipeline(docs: DataFrame): DataFrame = {
+    val cleaned = perturbed(docs)
+      .select(col("doc_id"), normalize(col("text")).as("nt"))
+      .withColumn("n_tokens", size(tokens(col("nt"))).cast("long"))
+      .filter(col("n_tokens") >= 20)
+    // same normalized text ⇒ same token count, so max() just carries it
+    val survivors = cleaned.groupBy(md5(col("nt")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), max(col("n_tokens")).as("n_tokens"))
+    survivors.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("n_tokens"))
+  }
+
   /** Corpus term statistics: term frequency + document frequency. */
   def termStats(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
@@ -317,7 +337,8 @@ object TextOps {
     "q_dedup_normalized" -> ((s, d) => dedupNormalized(Tables.documents(s, d))),
     "q_text_decontam" -> ((s, d) => decontaminate(Tables.documents(s, d))),
     "q_seq_packing" -> ((s, d) => seqPacking(Tables.documents(s, d))),
-    "q_stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))))
+    "q_stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
+    "q_corpus_pipeline" -> ((s, d) => corpusPipeline(Tables.documents(s, d))))
 
   /** The perturbed corpus + normalization, as SQL (DuckDB regexp_replace
     * needs the 'g' flag — it is first-match-only by default, unlike
@@ -416,5 +437,11 @@ object TextOps {
       ("SELECT doc_id, lang, n_chars, rnk FROM (SELECT doc_id, lang, n_chars, " +
         "row_number() OVER (PARTITION BY lang ORDER BY " +
         "('0x'||substr(md5('strat|'||doc_id),1,15))::BIGINT, doc_id) rnk " +
-        "FROM documents) WHERE rnk <= 25"))
+        "FROM documents) WHERE rnk <= 25"),
+    "q_corpus_pipeline" ->
+      (pertCte + ", tk AS (SELECT doc_id, nt, len(string_split(nt, ' '))::BIGINT n_tokens " +
+        "FROM norm WHERE len(string_split(nt, ' ')) >= 20), " +
+        "surv AS (SELECT min(doc_id) doc_id, max(n_tokens) n_tokens FROM tk GROUP BY md5(nt)) " +
+        "SELECT lang, count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens " +
+        "FROM surv JOIN documents USING (doc_id) GROUP BY lang"))
 }
