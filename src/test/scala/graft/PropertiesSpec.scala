@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, ScaleOps}
+import graft.operators.{Dedup, ScaleOps, TextOps}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
@@ -99,6 +99,36 @@ class PropertiesSpec extends SparkSpec {
       val native = graft.operators.AsofNative.purchaseView(ev)
       assert(native.exceptAll(composed).count() === 0)
       assert(composed.exceptAll(native).count() === 0)
+    }
+  }
+
+  test("normalize is idempotent and collapses ANY case/punctuation/whitespace variant") {
+    import spark.implicits._
+    val messGen = for {
+      words <- Gen.listOfN(10, Gen.oneOf("alpha", "beta", "gamma", "delta"))
+      caps <- Gen.listOfN(10, Gen.oneOf(true, false))
+      punct <- Gen.listOfN(10, Gen.oneOf("", "!", ",", "...", "?!"))
+      pads <- Gen.listOfN(10, Gen.oneOf(" ", "  ", "	 "))
+    } yield {
+      val clean = words.mkString(" ")
+      val messy = words.lazyZip(caps).lazyZip(punct).lazyZip(pads).map {
+        (w, c, p, s) => (if (c) w.toUpperCase else w) + p + s
+      }.mkString("")
+      (clean, messy)
+    }
+    forAll(messGen) { case (clean, messy) =>
+      val r = Seq((clean, messy)).toDF("clean", "messy")
+        .select(
+          TextOps.normalize(col("clean")).as("nc"),
+          TextOps.normalize(col("messy")).as("nm"),
+          TextOps.normalize(TextOps.normalize(col("messy"))).as("nmm"))
+        .head
+      // already-clean text is a fixed point
+      assert(r.getString(0) === clean)
+      // any perturbation normalizes back to the clean form
+      assert(r.getString(1) === clean, s"messy <$messy> normalized to <${r.getString(1)}>")
+      // idempotence
+      assert(r.getString(2) === r.getString(1))
     }
   }
 
