@@ -135,19 +135,22 @@ object Dedup {
     * candidates; keep pairs with hamming distance ≤ `maxHamming`.
     * Banding gives exact recall for hamming ≤ 5-1-… ≤ 4 < 5 bands. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val fp = simhashRelational(docs).persist()
+    val fp = simhashRelational(docs).persist() // both band self-join arms
     val bands = fp.select(col("doc_id"), col("simhash"),
         explode(array((0 until 5).map(b =>
           struct(lit(b).as("band"),
             shiftright(col("simhash"), b * 12).bitwiseAND(lit(4095L)).as("bkey"))): _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    bands.as("x").join(bands.as("y"),
+    val result = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hd"))
       .distinct()
       .filter(col("hd") <= maxHamming)
+      .localCheckpoint(true) // near-dup pairs ≪ corpus
+    fp.unpersist()
+    result
   }
 
   /** n-gram Jaccard top-k: for each query doc, the k most similar other
@@ -166,9 +169,12 @@ object Dedup {
     val scored = sets.join(broadcast(q), col("doc_id") =!= col("q_id"))
       .withColumn("jac", jaccard(col("sq"), col("sd")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("jac").desc, col("doc_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
+    val result = scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("doc_id"), trunc4(col("jac")).as("jaccard"), col("rnk"))
+      .localCheckpoint(true) // k rows per query
+    sets.unpersist()
+    result
   }
 
   /** Connected components over near-dup pairs: collapse pairs into
