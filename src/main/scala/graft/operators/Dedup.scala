@@ -236,21 +236,24 @@ object Dedup {
       labels = next
       rounds += 1
     }
-    // a silent exit at the cap would return non-converged labels that an
-    // oracle compare (or a user) could mistake for correct clusters
-    if (changed > 0)
-      throw new IllegalStateException(
-        s"components() did not converge after $maxRounds rounds " +
-          s"($changed labels still changing) — component diameter exceeds the cap")
-    val result = labels
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    try {
+      // a silent exit at the cap would return non-converged labels that
+      // an oracle compare (or a user) could mistake for correct clusters
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"components() did not converge after $maxRounds rounds " +
+            s"($changed labels still changing) — component diameter exceeds the cap")
       // copy out of the loop's cache (cheap: labels is materialized) so
       // every intermediate can be released before returning
-      .localCheckpoint(true)
-    edges.unpersist()
-    if (labels ne lastCp) labels.unpersist()
-    if (lastCp != null) lastCp.unpersist()
-    result
+      labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .localCheckpoint(true)
+    } finally {
+      // release on the throw path too — a caller catching the
+      // non-convergence error must not inherit pinned cache blocks
+      edges.unpersist()
+      if (labels ne lastCp) labels.unpersist()
+      if (lastCp != null) lastCp.unpersist()
+    }
   }
 
   /** components() over the minhash near-dup pairs: the end-to-end

@@ -30,14 +30,20 @@ object Media {
   final case class MediaMeta(doc_id: Long, media_type: String, byte_len: Long,
       width: Long, height: Long, n_frames: Long)
 
+  // single source of truth for the payload derivation and the stub
+  // frame-count formula — features() and frames() must never disagree
+  // on these (a real decoder replaces exactly these definitions)
+  private val mediaTypeCol =
+    when(col("doc_id") % 3 === 0, "image")
+      .when(col("doc_id") % 3 === 1, "audio")
+      .otherwise("video")
+  private val contentCol = encode(col("text"), "utf-8").cast("binary")
+  private def nFramesOf(byteLen: org.apache.spark.sql.Column) = byteLen % 7 + 1
+
   /** The opaque-binary media table derived from documents. */
   def payloads(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      when(col("doc_id") % 3 === 0, "image")
-        .when(col("doc_id") % 3 === 1, "audio")
-        .otherwise("video").as("media_type"),
-      encode(col("text"), "utf-8").cast("binary").as("content"))
+    docs.select(col("doc_id"), mediaTypeCol.as("media_type"),
+      contentCol.as("content"))
 
   /** payloads + the source text column carried through (features and
     * frames need it for oracle-portable slicing). One projection over
@@ -45,12 +51,8 @@ object Media {
     * of re-joining `payloads(docs)` back to the same table (Catalyst
     * does NOT collapse a self-join of two scans of the same file). */
   private def payloadsWithText(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"), col("text"),
-      when(col("doc_id") % 3 === 0, "image")
-        .when(col("doc_id") % 3 === 1, "audio")
-        .otherwise("video").as("media_type"),
-      encode(col("text"), "utf-8").cast("binary").as("content"))
+    docs.select(col("doc_id"), col("text"), mediaTypeCol.as("media_type"),
+      contentCol.as("content"))
 
   /** Per-file metadata + STUB-decoded features, as pure column
     * expressions (codegen-friendly path). Fake dims derive from the
@@ -69,18 +71,19 @@ object Media {
         // STUB decode: deterministic fake dimensions (no codec in env)
         (lit(16L) + pmod(col("h"), lit(1905L))).as("width"),
         (lit(16L) + pmod(shiftright(col("h"), 11), lit(1065L))).as("height"),
-        (col("byte_len") % 7 + 1).as("n_frames"))
+        nFramesOf(col("byte_len")).as("n_frames"))
   }
 
   /** Frame sampling: explode each file into its sampled frames and
     * digest the frame byte-slices — the shape of a video keyframe
     * extractor, with slicing real and decode stubbed. */
   def frames(docs: DataFrame, chunk: Int = 16): DataFrame = {
-    // byte_len / n_frames re-derive from text in the same projection —
-    // one scan, no join back through features()
+    // byte_len / n_frames re-derive from the shared content/frame-count
+    // definitions in the same projection — one scan, no join back
+    // through features()
     docs.select(col("doc_id"), col("text"),
-        octet_length(encode(col("text"), "utf-8").cast("binary")).cast("long").as("byte_len"))
-      .withColumn("n_frames", col("byte_len") % 7 + 1)
+        octet_length(contentCol).cast("long").as("byte_len"))
+      .withColumn("n_frames", nFramesOf(col("byte_len")))
       .withColumn("stride", floor(col("byte_len") / col("n_frames")).cast("long"))
       .select(col("doc_id"), col("stride"),
         explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_no"),

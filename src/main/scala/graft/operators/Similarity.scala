@@ -82,16 +82,22 @@ object Similarity {
     graft.functions.Portable.spread(emb, col("vec_id"))
       .select(col("vec_id"), col("embedding").as("e"))
 
+  /** Shared top-k tail: rank scored (q_id, vec_id, cos) rows per query
+    * by descending cosine (vec_id tie-break), keep the k best. The ONE
+    * definition of ranking/tie-breaking for every similarity path. */
+  private def topKByCos(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+  }
+
   /** Exact cosine top-k per query vector (queries broadcast). */
   def bruteForceTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
     val v = withEmbD(emb)
     val q = v.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
-    val scored = v.join(broadcast(q), col("vec_id") =!= col("q_id"))
+    topKByCos(v.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        trunc4(NativeVector.cosine(col("qe"), col("e"))).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+        trunc4(NativeVector.cosine(col("qe"), col("e"))).as("cos")), k)
   }
 
   /** LSH-bucketed ANN top-k: rank only candidates sharing a band with
@@ -108,11 +114,8 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("qe"), col("e"))
       .dropDuplicates("q_id", "vec_id")
-    val scored = cand.select(col("q_id"), col("vec_id"),
-      trunc4(NativeVector.cosine(col("qe"), col("e"))).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    val result = scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    val result = topKByCos(cand.select(col("q_id"), col("vec_id"),
+        trunc4(NativeVector.cosine(col("qe"), col("e"))).as("cos")), k)
       .localCheckpoint(true) // k rows per query — tiny at any scale
     bands.unpersist()
     result
@@ -139,11 +142,8 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("qe"), col("e"))
       .dropDuplicates("q_id", "vec_id")
-    val scored = cand.select(col("q_id"), col("vec_id"),
-      trunc4(NativeVector.cosine(col("qe"), col("e"))).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    val result = scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
+    val result = topKByCos(cand.select(col("q_id"), col("vec_id"),
+        trunc4(NativeVector.cosine(col("qe"), col("e"))).as("cos")), k)
       .localCheckpoint(true)
     bands.unpersist()
     result
@@ -262,10 +262,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         trunc4(NativeVector.cosine(col("qe"), col("e"))).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .localCheckpoint(true) // k rows per query
+    topKByCos(scored, k).localCheckpoint(true) // k rows per query
   }
 
   /** The 100 TB IVF layout the [[ivfTopK]] docstring promises: vectors
@@ -273,7 +270,7 @@ object Similarity {
     * `list_id IN (top-NProbe lists)` — prunes NList−NProbe buckets at
     * the scan and joins the probe set without re-shuffling the vector
     * side (asserted in ScaleSpec). */
-  def writeBucketedByList(spark: SparkSession, emb: DataFrame, warehouse: String,
+  def writeBucketedByList(emb: DataFrame, warehouse: String,
       table: String = "embeddings_b"): Unit = {
     val v = withEmbD(emb)
     val cents = trainedCentroids(v).localCheckpoint(true)
@@ -319,11 +316,8 @@ object Similarity {
     val v = withEmbD(emb).persist()
     val q = v.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
-    def rankK(scored: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-      scored.withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= k).select(col("q_id"), col("vec_id"))
-    }
+    def rankK(scored: DataFrame): DataFrame =
+      topKByCos(scored, k).select(col("q_id"), col("vec_id"))
     val exact = rankK(v.join(broadcast(q), col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
           trunc4(NativeVector.cosine(col("qe"), col("e"))).as("cos")))

@@ -150,11 +150,17 @@ object TextOps {
   def normalize(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
 
+  /** Offset for perturbed-copy ids: 2^40 ≈ 1.1e12 — far above any real
+    * doc_id (a 100 TB corpus of ~1 KB docs is ~10^11 ids), so messy
+    * copies can never collide with real documents. */
+  val PerturbOffset: Long = 1L << 40
+
   /** Deterministic "messy" corpus: every doc plus a perturbed copy
-    * (fresh id) — uppercased+punctuated, double-spaced, or padded —
-    * because the generator's corpus is already clean (the exact thing a
-    * normalization operator cannot assume in production). Normalizing
-    * the perturbed copy provably restores the original text. */
+    * (fresh id, [[PerturbOffset]] above the original) — uppercased+
+    * punctuated, double-spaced, or padded — because the generator's
+    * corpus is already clean (the exact thing a normalization operator
+    * cannot assume in production). Normalizing the perturbed copy
+    * provably restores the original text. */
   def perturbed(docs: DataFrame): DataFrame = {
     val messy = when(col("doc_id") % 3 === 0, concat(upper(col("text")), lit("!!")))
       .when(col("doc_id") % 3 === 1, replace(col("text"), lit(" "), lit("  ")))
@@ -164,7 +170,7 @@ object TextOps {
     // ScaleSpec
     docs.select(explode(array(
         struct(col("doc_id").as("doc_id"), col("text").as("text")),
-        struct((col("doc_id") + 300000L).as("doc_id"), messy.as("text")))).as("r"))
+        struct((col("doc_id") + PerturbOffset).as("doc_id"), messy.as("text")))).as("r"))
       .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
   }
 
@@ -345,7 +351,7 @@ object TextOps {
     * Spark's). */
   private val pertCte =
     "WITH pert AS (SELECT doc_id, text FROM documents UNION ALL " +
-      "SELECT doc_id + 300000, CASE WHEN doc_id % 3 = 0 THEN upper(text) || '!!' " +
+      s"SELECT doc_id + $PerturbOffset, CASE WHEN doc_id % 3 = 0 THEN upper(text) || '!!' " +
       "WHEN doc_id % 3 = 1 THEN replace(text, ' ', '  ') " +
       "ELSE '   ' || text || ' ???' END FROM documents), " +
       "norm AS (SELECT doc_id, length(text)::BIGINT n_chars_raw, " +

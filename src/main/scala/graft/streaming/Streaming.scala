@@ -13,6 +13,11 @@ final case class DebitState(times: Array[Long], amounts: Array[Double])
   * batch's updates, or the final balance as its state is TTL-evicted. */
 final case class BalanceUpdate(user_id: Int, balance: Double, evicted: Boolean)
 
+/** [[Streaming.runningBalanceTtl]] state: the balance plus the TTL
+  * anchor (max event time ever seen for the user — monotone, so an
+  * out-of-order batch can never SHORTEN an armed timeout). */
+final case class BalanceState(balance: Double, lastSeen: Long)
+
 /** Structured Streaming realization of the reference's monitoring intent
   * (SURVEY.md §7 L3): the reference's unbounded in-memory `Vec` ingest
   * loop (`monitoring-service/src/main.rs:25,33-38`) becomes checkpointed,
@@ -171,28 +176,30 @@ object Streaming {
     import spark.implicits._
     txns.withWatermark("timestamp", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Double, BalanceUpdate](
+      .flatMapGroupsWithState[BalanceState, BalanceUpdate](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (user: Int, rows: Iterator[Transaction], state: GroupState[Double]) =>
+        (user: Int, rows: Iterator[Transaction], state: GroupState[BalanceState]) =>
           if (state.hasTimedOut) {
-            val bal = state.getOption.getOrElse(0.0)
+            val bal = state.getOption.map(_.balance).getOrElse(0.0)
             state.remove()
             Iterator.single(BalanceUpdate(user, bal, evicted = true))
           } else {
             val incoming = rows.toList
             val delta = incoming.map(t =>
               if (t.`type`.contains("debit")) -t.amount else t.amount).sum
-            val bal = state.getOption.getOrElse(0.0) + delta
-            state.update(bal)
-            // TTL anchors on the user's OWN last event time (the first
-            // batch's watermark is still epoch-0, so anchoring on the
-            // watermark would arm an already-expired timeout); the
-            // max() keeps the timestamp legal when a nearly-late event
-            // arrives just above the current watermark
-            val lastSeen = incoming.map(_.timestamp.getTime).max
+            val prev = state.getOption.getOrElse(BalanceState(0.0, Long.MinValue))
+            // TTL anchors on the user's OWN max event time, kept in
+            // state so an OUT-OF-ORDER (but non-late) event can never
+            // shorten an armed timeout (the first batch's watermark is
+            // still epoch-0, so anchoring on the watermark would arm an
+            // already-expired one); the outer max() keeps the timestamp
+            // legal when the anchor trails just above the watermark
+            val lastSeen = math.max(prev.lastSeen,
+              incoming.map(_.timestamp.getTime).max)
+            state.update(BalanceState(prev.balance + delta, lastSeen))
             state.setTimeoutTimestamp(
               math.max(lastSeen + ttlMs, state.getCurrentWatermarkMs() + 1))
-            Iterator.single(BalanceUpdate(user, bal, evicted = false))
+            Iterator.single(BalanceUpdate(user, prev.balance + delta, evicted = false))
           }
       }
   }

@@ -66,7 +66,7 @@ class ScaleSpec extends SparkSpec {
     import graft.operators.Similarity
     val wh = Files.createTempDirectory("graft-ivf-wh").toString
     val emb = Tables.embeddings(spark, sf)
-    Similarity.writeBucketedByList(spark, emb, wh)
+    Similarity.writeBucketedByList(emb, wh)
     // the top-NProbe lists for query vector 0 (what ivfTopK's probe
     // stage produces) — collected test-side to build the probe filter
     val v = Similarity.withEmbD(emb)
@@ -87,9 +87,13 @@ class ScaleSpec extends SparkSpec {
         .filter(col("list_id").isin(probeLists: _*))
         .queryExecution.executedPlan.toString
     } finally spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
-    assert(plan.contains(
-      s"SelectedBucketsCount: ${Similarity.NProbe} out of ${Similarity.NList}"),
-      s"bucket pruning missing from scan:\n$plan")
+    // bucket ids are murmur3(list_id) % NList, so distinct probe lists
+    // MAY collide into fewer buckets — assert pruning happened (≤ NProbe
+    // of NList read), not an exact count that data changes could flip
+    val selected = s"SelectedBucketsCount: (\\d+) out of ${Similarity.NList}".r
+      .findFirstMatchIn(plan).map(_.group(1).toInt)
+    assert(selected.exists(n => n >= 1 && n <= Similarity.NProbe),
+      s"bucket pruning missing from scan (selected=$selected):\n$plan")
     // and a probe JOIN broadcasts the tiny probe set — the bucketed
     // vector side joins with no exchange of its own
     import spark.implicits._
@@ -153,6 +157,22 @@ class ScaleSpec extends SparkSpec {
     // the persisted 24-byte/doc base, not re-scan + re-tokenize the file
     val cacheReads = "InMemoryTableScan".r.findAllIn(plan).length
     assert(cacheReads >= 2, s"base not cached for both branches:\n$plan")
+  }
+
+  test("decontaminate broadcasts the benchmark n-gram set (never shuffles the training side by gram)") {
+    val docs = Tables.documents(spark, sf)
+    val plan = graft.operators.TextOps.decontaminate(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench overlap join is not broadcast:\n$plan")
+    // the TRAINING-side gram rows (streamed side, printed before the
+    // BroadcastExchange subtree) must never be exchanged on the gram
+    // hash; the bench side's distinct may shuffle its fixed-size set
+    val broadcastAt = plan.indexOf("BroadcastExchange")
+    val ghExchangeAt = plan.indexOf("Exchange hashpartitioning(gh#")
+    assert(broadcastAt >= 0 &&
+      (ghExchangeAt == -1 || ghExchangeAt > broadcastAt),
+      s"training grams shuffled by hash:\n$plan")
   }
 
   test("format round-trips: csv, json, orc, partitioned parquet") {

@@ -156,7 +156,7 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
-  test("runningBalanceTtl: balances accumulate, dormant users are TTL-evicted with a final row") {
+  test("runningBalanceTtl: accumulation, out-of-order events never shorten the TTL, eviction flushes") {
     import spark.implicits._
     val in = MemoryStream[Transaction](spark)
     val bal = Streaming.runningBalanceTtl(spark, in.toDS(),
@@ -168,19 +168,36 @@ class StreamingSpec extends SparkSpec {
         txn("b", 1, 30.0, "debit", "2025-01-01 10:01:00"),
         txn("c", 2, 5.0, "credit", "2025-01-01 10:02:00"))
       q.processAllAvailable()
-      // advance the watermark far past user 1+2's TTL (10:01 + 1h)
-      in.addData(txn("z1", 9, 1.0, "credit", "2025-01-01 13:00:00"))
+      // OUT-OF-ORDER (but non-late) event: timestamp BEFORE the user's
+      // anchor (10:01). Must add to the balance and must NOT re-arm the
+      // TTL earlier (anchor stays 10:01 → timeout 11:01)
+      in.addData(txn("ooo", 1, 10.0, "credit", "2025-01-01 09:55:00"))
       q.processAllAvailable()
-      // timeouts fire while processing the NEXT batch after the
-      // watermark moved (wm = 12:50 > 11:01/11:02)
-      in.addData(txn("z2", 9, 1.0, "credit", "2025-01-01 13:01:00"))
+      // advance the watermark to 10:58 — PAST the mis-armed timeout a
+      // last-batch-only anchor would produce (09:55 + 1h = 10:55) but
+      // BEFORE the true one (11:01); the next batch processes timeouts
+      in.addData(txn("z1", 9, 1.0, "credit", "2025-01-01 11:08:00"))
+      q.processAllAvailable()
+      in.addData(txn("z2", 9, 1.0, "credit", "2025-01-01 11:09:00"))
+      q.processAllAvailable()
+      // user 1 must still be live: this accumulates onto 80, not onto a
+      // freshly-evicted 0
+      in.addData(txn("d", 1, 5.0, "credit", "2025-01-01 11:30:00"))
+      q.processAllAvailable()
+      // now genuinely exceed the TTL for everyone and flush
+      in.addData(txn("z3", 9, 1.0, "credit", "2025-01-01 13:45:00"))
+      q.processAllAvailable()
+      in.addData(txn("z4", 9, 1.0, "credit", "2025-01-01 13:46:00"))
       q.processAllAvailable()
       val rows = spark.table("balttl").collect()
         .map(r => (r.getAs[Int]("user_id"), r.getAs[Double]("balance"),
           r.getAs[Boolean]("evicted")))
       assert(rows.contains((1, 70.0, false))) // 100 − 30 live update
-      assert(rows.contains((1, 70.0, true)), // final flush-on-evict row
-        s"no eviction row for user 1 in ${rows.mkString(",")}")
+      assert(rows.contains((1, 80.0, false))) // + out-of-order credit
+      assert(rows.contains((1, 85.0, false)), // state survived wm 10:58
+        s"balance restarted — early eviction bug: ${rows.sorted.mkString(",")}")
+      assert(rows.contains((1, 85.0, true))) // final flush-on-evict row
+      assert(!rows.contains((1, 80.0, true)), "user 1 evicted early")
       assert(rows.contains((2, 5.0, true)))
       // user 9 stayed within its TTL — must NOT be evicted
       assert(!rows.exists(r => r._1 == 9 && r._3))
