@@ -300,6 +300,30 @@ object Similarity {
     result
   }
 
+  /** Int8 symmetric quantization audit — the 4 bytes/dim → 1 byte/dim
+    * storage step a vector pipeline takes before building the index at
+    * scale: per-vector scale = maxabs/127, q_d = clamp(floor(e_d /
+    * scale)), plus the error metrics that decide whether int8 is safe
+    * (max reconstruction error, dims collapsed to zero). Relational
+    * explode → window maxabs → one hash-agg; every aggregate is
+    * ORDER-INDEPENDENT (max / integer count), so the audit is
+    * engine-exact with no quantized-sum tricks needed. */
+  def quantizeAudit(emb: DataFrame): DataFrame = {
+    val dims = withEmbD(emb).select(col("vec_id"), explode(col("e")).as("x"))
+    val w = Window.partitionBy(col("vec_id"))
+    val scaled = dims.withColumn("scale", max(abs(col("x"))).over(w) / 127.0)
+    val q = greatest(lit(-127L), least(lit(127L), floor(col("x") / col("scale"))))
+    scaled
+      .withColumn("q", when(col("scale") > 0, q).otherwise(lit(0L)))
+      .withColumn("err",
+        when(col("scale") > 0, abs(col("x") - col("q") * col("scale"))).otherwise(lit(0.0)))
+      .groupBy(col("vec_id"))
+      .agg(
+        graft.functions.Portable.trunc6(max(col("scale"))).as("scale"),
+        graft.functions.Portable.trunc6(max(col("err"))).as("max_err"),
+        sum(when(col("q") === 0, 1L).otherwise(0L)).as("n_zero"))
+  }
+
   /** recall@k of each approximate path against the exact baseline: the
     * number an operator tunes nlist/nprobe/bands against. One row per
     * (method, query): |approx top-k ∩ exact top-k| / k. Deterministic
@@ -363,7 +387,8 @@ object Similarity {
     "q_sim_topk_ann_mp" -> ((s, d) => annTopKMultiProbe(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_topk_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_neardup" -> ((s, d) => nearDupPairs(Tables.embeddings(s, d))),
-    "q_sim_recall" -> ((s, d) => recallAtK(Tables.embeddings(s, d), DefaultQueryIds)))
+    "q_sim_recall" -> ((s, d) => recallAtK(Tables.embeddings(s, d), DefaultQueryIds)),
+    "q_vec_quantize" -> ((s, d) => quantizeAudit(Tables.embeddings(s, d))))
 
   private def planeSql(h: Int): String =
     hyperplanes(h).map(v => BigDecimal(v).underlying.toPlainString).mkString("[", ",", "]") + "::DOUBLE[]"
@@ -472,6 +497,17 @@ object Similarity {
       (s"WITH $vCte, $bitsBandsCte, $annCtes, $annMpCtes" + topkSelect("amp_ranked")),
     "q_sim_topk_ivf" ->
       (s"WITH $vCte, $qsCte, $ivfCtes" + topkSelect("iv_ranked")),
+    "q_vec_quantize" ->
+      ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings), " +
+        "d AS (SELECT vec_id, unnest(e) x FROM v), " +
+        "s AS (SELECT vec_id, x, max(abs(x)) OVER (PARTITION BY vec_id) / 127.0 scale FROM d), " +
+        "qq AS (SELECT vec_id, scale, " +
+        "CASE WHEN scale > 0 THEN greatest(-127, least(127, floor(x / scale))) ELSE 0 END q, " +
+        "CASE WHEN scale > 0 THEN abs(x - greatest(-127, least(127, floor(x / scale))) * scale) ELSE 0 END err " +
+        "FROM s) " +
+        "SELECT vec_id, floor(max(scale) * 1000000) / 1000000 AS scale, " +
+        "floor(max(err) * 1000000) / 1000000 AS max_err, " +
+        "sum(CASE WHEN q = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero FROM qq GROUP BY vec_id"),
     "q_sim_neardup" ->
       (s"WITH $vCte, $bitsBandsCte" + ", cand AS (SELECT DISTINCT x.vec_id a_id, y.vec_id b_id " +
         "FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id), " +

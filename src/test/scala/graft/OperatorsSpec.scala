@@ -179,6 +179,19 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Similarity.quantizeAudit: int8 reconstruction error bounded by one quantization step") {
+    val emb = Tables.embeddings(spark, sf)
+    val r = Similarity.quantizeAudit(emb).collect()
+    assert(r.length === emb.count().toInt) // one audit row per vector
+    r.foreach { row =>
+      val (s, e) = (row.getAs[Double]("scale"), row.getAs[Double]("max_err"))
+      assert(s > 0)
+      // |x − floor(x/s)·s| < s mathematically; ≤ after trunc6 of both
+      assert(e <= s, s"err $e exceeds step $s for vec ${row.getAs[Long]("vec_id")}")
+      assert(row.getAs[Long]("n_zero") >= 0L)
+    }
+  }
+
   test("TextOps.normalize restores perturbed copies; normalized dedup collapses to pairs") {
     val docs = Tables.documents(spark, sf)
     val nDocs = docs.count()
