@@ -261,6 +261,36 @@ object Dedup {
   def minhashClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame =
     components(minhashLsh(docs, threshold))
 
+  /** Offset for the demo batch's planted copies — 2^41, above any real
+    * doc_id (same rationale as TextOps.PerturbOffset). */
+  val CopyOffset: Long = 1L << 41
+
+  /** Incremental ingest dedup — the daily-crawl posture: flag each
+    * new-batch document whose exact content is already in the ingested
+    * registry. The registry GROWS WITH THE CORPUS, so the membership
+    * check is a shuffle equi-join on the 128-bit content hash (uniform
+    * — md5 keys can't skew), never a broadcast; the shuffle carries
+    * (hash, doc_id) pairs only, never text. */
+  def incrementalDedup(registry: DataFrame, batch: DataFrame): DataFrame = {
+    val regHashes = registry.select(md5(col("text")).as("text_hash"))
+      .distinct().withColumn("known", lit(true))
+    batch.select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .join(regHashes, Seq("text_hash"), "left")
+      .select(col("doc_id"), col("text_hash"),
+        coalesce(col("known"), lit(false)).as("already_ingested"))
+  }
+
+  /** Driver wiring for [[incrementalDedup]]: docs < 250 act as the
+    * registry; the new batch is the rest plus exact copies of the first
+    * 50 registry docs (fresh ids) — exactly those must be flagged. */
+  def incrementalAudit(docs: DataFrame): DataFrame = {
+    val registry = docs.filter(col("doc_id") < 250)
+    val batch = docs.filter(col("doc_id") >= 250)
+      .unionByName(docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + CopyOffset))
+    incrementalDedup(registry, batch)
+  }
+
   /** Deterministic hash sampling: a reproducible ~pct% sample keyed on
     * the document id (portable across engines and runs, unlike
     * rand()-based sample()). */
@@ -277,6 +307,7 @@ object Dedup {
     "q_dedup_simhash_pairs" -> ((s, d) => simhashPairs(Tables.documents(s, d))),
     "q_dedup_ngram_topk" -> ((s, d) => ngramTopK(Tables.documents(s, d), Seq(0L, 8L, 285L))),
     "q_dedup_clusters" -> ((s, d) => minhashClusters(Tables.documents(s, d))),
+    "q_dedup_incremental" -> ((s, d) => incrementalAudit(Tables.documents(s, d))),
     "q_hash_sample" -> ((s, d) => hashSample(Tables.documents(s, d))))
 
   private val sigCte = {
@@ -326,6 +357,13 @@ object Dedup {
     "q_hash_sample" ->
       ("SELECT doc_id, lang, n_chars FROM documents " +
         "WHERE ('0x'||substr(md5('sample|'||doc_id),1,15))::BIGINT % 100 < 10"),
+    "q_dedup_incremental" ->
+      (s"WITH reg AS (SELECT DISTINCT md5(text) h FROM documents WHERE doc_id < 250), " +
+        "nb AS (SELECT doc_id, md5(text) th FROM (" +
+        "SELECT doc_id, text FROM documents WHERE doc_id >= 250 UNION ALL " +
+        s"SELECT doc_id + $CopyOffset, text FROM documents WHERE doc_id < 50)) " +
+        "SELECT nb.doc_id, nb.th AS text_hash, (reg.h IS NOT NULL) AS already_ingested " +
+        "FROM nb LEFT JOIN reg ON nb.th = reg.h"),
     "q_dedup_simhash" ->
       (simhashCte + " SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS n_same FROM fp"),
     "q_dedup_simhash_pairs" ->

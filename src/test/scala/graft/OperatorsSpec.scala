@@ -192,6 +192,17 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Dedup.incrementalDedup flags exactly the batch docs whose content is registered") {
+    val docs = Tables.documents(spark, sf)
+    val r = Dedup.incrementalAudit(docs).collect()
+    val (copies, fresh) = r.partition(_.getAs[Long]("doc_id") >= Dedup.CopyOffset)
+    assert(copies.length === 50)
+    // every planted copy of a registry doc is rejected
+    assert(copies.forall(_.getAs[Boolean]("already_ingested")))
+    // fresh docs (near-dups at most, never exact) are all accepted
+    assert(fresh.nonEmpty && fresh.forall(!_.getAs[Boolean]("already_ingested")))
+  }
+
   test("TextOps.normalize restores perturbed copies; normalized dedup collapses to pairs") {
     val docs = Tables.documents(spark, sf)
     val nDocs = docs.count()
