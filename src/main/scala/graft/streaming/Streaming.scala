@@ -101,6 +101,17 @@ object Streaming {
     txns.withWatermark("timestamp", watermark)
       .dropDuplicates("transaction_id")
 
+  /** Double-submit guard: drop transactions whose PAYLOAD
+    * (user/amount/currency/type) repeats within the watermark even
+    * under a fresh transaction_id — the failure mode id-keyed dedup
+    * cannot catch (a client retry that regenerates its id). State is
+    * one md5 per distinct payload inside the watermark horizon. */
+  def dedupPayloadStream(txns: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    txns.withWatermark("timestamp", watermark)
+      .withColumn("payload_hash", md5(concat_ws("|",
+        col("user_id"), col("amount"), col("currency"), col("type"))))
+      .dropDuplicates("payload_hash")
+
   /** A raised fraud flag. */
   final case class FraudFlag(user_id: Int, n_debits: Long, window_start: Long,
       window_end: Long, total_amount: Double)

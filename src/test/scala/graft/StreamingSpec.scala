@@ -117,6 +117,25 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dedupPayloadStream: double-submits under fresh ids are dropped, distinct payloads pass") {
+    import spark.implicits._
+    val in = MemoryStream[Transaction](spark)
+    val q = Streaming.toMemory(
+      Streaming.dedupPayloadStream(in.toDF(), watermark = "1 hour"), "paydedup")
+    withQuery(q) {
+      in.addData(
+        txn("id-1", 1, 10.0, "credit", "2025-01-01 10:00:00"),
+        txn("id-2", 1, 10.0, "credit", "2025-01-01 10:00:05"), // retry, new id
+        txn("id-3", 1, 10.5, "credit", "2025-01-01 10:00:10")) // different amount
+      q.processAllAvailable()
+      in.addData(txn("id-4", 1, 10.0, "credit", "2025-01-01 10:05:00")) // retry next batch
+      q.processAllAvailable()
+      val ids = spark.table("paydedup").collect().map(_.getAs[String]("transaction_id")).sorted
+      assert(ids.toSeq === Seq("id-1", "id-3"),
+        s"payload dedup kept wrong rows: ${ids.mkString(",")}")
+    }
+  }
+
   test("fraudFlags: 4th debit in window raises a flag; spread-out debits do not") {
     import spark.implicits._
     val in = MemoryStream[Transaction](spark)
