@@ -267,10 +267,12 @@ object Dedup {
 
   /** Incremental ingest dedup — the daily-crawl posture: flag each
     * new-batch document whose exact content is already in the ingested
-    * registry. The registry GROWS WITH THE CORPUS, so the membership
-    * check is a shuffle equi-join on the 128-bit content hash (uniform
-    * — md5 keys can't skew), never a broadcast; the shuffle carries
-    * (hash, doc_id) pairs only, never text. */
+    * registry. The registry GROWS WITH THE CORPUS, so no broadcast
+    * hint is forced: while the registry fits the auto-broadcast
+    * threshold Catalyst broadcasts it (correct and fastest), and once
+    * it outgrows it the join naturally becomes a shuffle equi-join on
+    * the 128-bit content hash (uniform — md5 keys can't skew). Either
+    * way the join carries (hash, doc_id) pairs only, never text. */
   def incrementalDedup(registry: DataFrame, batch: DataFrame): DataFrame = {
     val regHashes = registry.select(md5(col("text")).as("text_hash"))
       .distinct().withColumn("known", lit(true))
@@ -282,12 +284,20 @@ object Dedup {
 
   /** Driver wiring for [[incrementalDedup]]: docs < 250 act as the
     * registry; the new batch is the rest plus exact copies of the first
-    * 50 registry docs (fresh ids) — exactly those must be flagged. */
+    * 50 registry docs (fresh ids) — exactly those must be flagged. The
+    * batch side builds from ONE scan via tagged explode (the TextOps
+    * one-scan rule), not a self-union; the registry is a second scan
+    * only because production registries are a separate table anyway. */
   def incrementalAudit(docs: DataFrame): DataFrame = {
     val registry = docs.filter(col("doc_id") < 250)
-    val batch = docs.filter(col("doc_id") >= 250)
-      .unionByName(docs.filter(col("doc_id") < 50)
-        .withColumn("doc_id", col("doc_id") + CopyOffset))
+    val batch = docs
+      .select(col("doc_id").as("orig_id"), explode(array(
+        struct(col("doc_id").as("doc_id"), col("text").as("text"), lit(false).as("copy")),
+        struct((col("doc_id") + CopyOffset).as("doc_id"), col("text").as("text"),
+          lit(true).as("copy")))).as("r"))
+      .filter((!col("r.copy") && col("orig_id") >= 250) ||
+        (col("r.copy") && col("orig_id") < 50))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
     incrementalDedup(registry, batch)
   }
 

@@ -307,12 +307,19 @@ object Similarity {
     * (max reconstruction error, dims collapsed to zero). Relational
     * explode → window maxabs → one hash-agg; every aggregate is
     * ORDER-INDEPENDENT (max / integer count), so the audit is
-    * engine-exact with no quantized-sum tricks needed. */
+    * engine-exact with no quantized-sum tricks needed.
+    *
+    * Rounding is to-NEAREST via `floor(x/scale + 0.5)` — what a real
+    * int8 quantizer does (error ≤ scale/2, symmetric zero bucket);
+    * plain floor would double the reported error and never count
+    * negative near-zeros as collapsed. The +0.5-floor form is
+    * engine-portable (no round-half-tie divergence: both engines
+    * compute the identical double then floor it). */
   def quantizeAudit(emb: DataFrame): DataFrame = {
     val dims = withEmbD(emb).select(col("vec_id"), explode(col("e")).as("x"))
     val w = Window.partitionBy(col("vec_id"))
     val scaled = dims.withColumn("scale", max(abs(col("x"))).over(w) / 127.0)
-    val q = greatest(lit(-127L), least(lit(127L), floor(col("x") / col("scale"))))
+    val q = greatest(lit(-127L), least(lit(127L), floor(col("x") / col("scale") + 0.5)))
     scaled
       .withColumn("q", when(col("scale") > 0, q).otherwise(lit(0L)))
       .withColumn("err",
@@ -502,8 +509,8 @@ object Similarity {
         "d AS (SELECT vec_id, unnest(e) x FROM v), " +
         "s AS (SELECT vec_id, x, max(abs(x)) OVER (PARTITION BY vec_id) / 127.0 scale FROM d), " +
         "qq AS (SELECT vec_id, scale, " +
-        "CASE WHEN scale > 0 THEN greatest(-127, least(127, floor(x / scale))) ELSE 0 END q, " +
-        "CASE WHEN scale > 0 THEN abs(x - greatest(-127, least(127, floor(x / scale))) * scale) ELSE 0 END err " +
+        "CASE WHEN scale > 0 THEN greatest(-127, least(127, floor(x / scale + 0.5))) ELSE 0 END q, " +
+        "CASE WHEN scale > 0 THEN abs(x - greatest(-127, least(127, floor(x / scale + 0.5))) * scale) ELSE 0 END err " +
         "FROM s) " +
         "SELECT vec_id, floor(max(scale) * 1000000) / 1000000 AS scale, " +
         "floor(max(err) * 1000000) / 1000000 AS max_err, " +

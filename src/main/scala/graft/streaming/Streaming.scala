@@ -96,21 +96,31 @@ object Streaming {
         col("user_id"), col("n_txns"), col("volume"))
 
   /** Streaming exact dedup on transaction_id within the watermark — the
-    * explicit opt-in the reference lacks (SURVEY.md §2.1.5). */
+    * explicit opt-in the reference lacks (SURVEY.md §2.1.5).
+    * `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`, whose
+    * state is only evicted when an EVENT-TIME column is among the keys
+    * — an id-only key would grow state forever): state holds one entry
+    * per id inside the watermark horizon and ids are re-admittable
+    * after it expires. */
   def dedupStream(txns: DataFrame, watermark: String = "10 minutes"): DataFrame =
     txns.withWatermark("timestamp", watermark)
-      .dropDuplicates("transaction_id")
+      .dropDuplicatesWithinWatermark("transaction_id")
 
   /** Double-submit guard: drop transactions whose PAYLOAD
     * (user/amount/currency/type) repeats within the watermark even
     * under a fresh transaction_id — the failure mode id-keyed dedup
-    * cannot catch (a client retry that regenerates its id). State is
-    * one md5 per distinct payload inside the watermark horizon. */
+    * cannot catch (a client retry that regenerates its id). The hash
+    * goes through `to_json(struct(...))` so null fields serialize
+    * explicitly — `concat_ws` would SKIP nulls and collide distinct
+    * payloads (null currency vs null type). Watermark-bounded state,
+    * same eviction mechanics as [[dedupStream]]; a genuine re-purchase
+    * after the horizon is admitted again. */
   def dedupPayloadStream(txns: DataFrame, watermark: String = "10 minutes"): DataFrame =
     txns.withWatermark("timestamp", watermark)
-      .withColumn("payload_hash", md5(concat_ws("|",
-        col("user_id"), col("amount"), col("currency"), col("type"))))
-      .dropDuplicates("payload_hash")
+      .withColumn("payload_hash", md5(to_json(
+        struct(col("user_id"), col("amount"), col("currency"), col("type")),
+        Map("ignoreNullFields" -> "false"))))
+      .dropDuplicatesWithinWatermark("payload_hash")
 
   /** A raised fraud flag. */
   final case class FraudFlag(user_id: Int, n_debits: Long, window_start: Long,

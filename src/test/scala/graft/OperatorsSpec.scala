@@ -186,8 +186,10 @@ class OperatorsSpec extends SparkSpec {
     r.foreach { row =>
       val (s, e) = (row.getAs[Double]("scale"), row.getAs[Double]("max_err"))
       assert(s > 0)
-      // |x − floor(x/s)·s| < s mathematically; ≤ after trunc6 of both
-      assert(e <= s, s"err $e exceeds step $s for vec ${row.getAs[Long]("vec_id")}")
+      // round-to-nearest: |x − q·s| ≤ s/2 (tiny slack for trunc6 of
+      // the two sides truncating independently)
+      assert(e <= s / 2 + 1e-6,
+        s"err $e exceeds half-step ${s / 2} for vec ${row.getAs[Long]("vec_id")}")
       assert(row.getAs[Long]("n_zero") >= 0L)
     }
   }
