@@ -102,6 +102,24 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1)) < 1e-12)
   }
 
+  test("NativeHash.md5Hash60 is bit-identical to the composed conv(substring(md5)) form") {
+    import spark.implicits._
+    // whole corpus' shingles + adversarial strings (empty, unicode,
+    // long, leading-zero-nibble digests all occur across 10k+ inputs)
+    val docs = Tables.documents(spark, sf)
+    val corpus = TextHash.shingleRows(docs).select(col("s"))
+    val edge = Seq("", " ", "a", "é¿Ω✓", "x" * 10000, "0", "\t\n").toDF("s")
+    val both = corpus.unionByName(edge)
+      .select(TextHash.hash60Composed(col("s")).as("c"),
+        graft.functions.NativeHash.md5Hash60(col("s")).as("n"))
+    assert(both.filter(col("c") =!= col("n") ||
+      col("c").isNull =!= col("n").isNull).count() === 0)
+    // null in → null out, like md5
+    val nulls = Seq[Option[String]](None).toDF("s")
+      .select(graft.functions.NativeHash.md5Hash60(col("s")).as("n")).head
+    assert(nulls.isNullAt(0))
+  }
+
   test("Similarity.bruteForceTopK returns k ranked neighbors per query") {
     val emb = Tables.embeddings(spark, sf)
     val r = Similarity.bruteForceTopK(emb, Seq(0L, 1L), k = 5)
