@@ -34,6 +34,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_cosine"),
       info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float/double arrays"),
       (es: Seq[Expression]) => NativeVector.CosineSim(es.head, es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("md5_hash60"),
+      info("md5_hash60", "md5_hash60(s) - top 60 bits of md5(s) as a positive long " +
+        "(equals conv(substring(md5(s),1,15),16,10))"),
+      (es: Seq[Expression]) => graft.functions.NativeHash.Md5Hash60(es.head)))
     // the custom as-of join operator (AsofNative.asofJoin also installs
     // this per session via experimental.extraStrategies)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)

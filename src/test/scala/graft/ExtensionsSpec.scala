@@ -25,6 +25,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(optimized.contains("11.0"), optimized)
   }
 
+  test("extended session resolves md5_hash60 in SQL; equals the composed hex-parse form") {
+    val r = spark.sql(
+      "SELECT md5_hash60('the quick brown fox') AS n, " +
+        "CAST(conv(substring(md5('the quick brown fox'), 1, 15), 16, 10) AS BIGINT) AS c")
+    val row = r.collect().head
+    assert(row.getLong(0) === row.getLong(1))
+    assert(row.getLong(0) > 0)
+  }
+
   test("getOrCreate reuses the existing session — withExtensions cannot retrofit one") {
     // force the shared session into existence first, then try to build
     // "another" extended session: the builder hands back the same one.
