@@ -22,23 +22,40 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[NativeVector.type].getName, null, name, usage, "")
+  private def info(clazz: Class[_], name: String, usage: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage, "")
+
+  /** Builders must reject wrong arity themselves — `es.head`/`es(1)`
+    * on a wrong-arity call would silently DROP extra arguments (a
+    * plausible-looking wrong result) or throw a raw
+    * NoSuchElementException instead of an arity error. */
+  private def arity(name: String, n: Int, es: Seq[Expression]): Unit =
+    if (es.length != n) throw new IllegalArgumentException(
+      s"$name requires exactly $n argument(s), got ${es.length}")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
-      info("vec_dot", "vec_dot(a, b) - double dot product of two float/double arrays"),
-      (es: Seq[Expression]) => NativeVector.DotProduct(es.head, es(1))))
+      info(NativeVector.getClass, "vec_dot",
+        "vec_dot(a, b) - double dot product of two float/double arrays"),
+      (es: Seq[Expression]) => {
+        arity("vec_dot", 2, es); NativeVector.DotProduct(es.head, es(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("vec_cosine"),
-      info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float/double arrays"),
-      (es: Seq[Expression]) => NativeVector.CosineSim(es.head, es(1))))
+      info(NativeVector.getClass, "vec_cosine",
+        "vec_cosine(a, b) - cosine similarity of two float/double arrays"),
+      (es: Seq[Expression]) => {
+        arity("vec_cosine", 2, es); NativeVector.CosineSim(es.head, es(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("md5_hash60"),
-      info("md5_hash60", "md5_hash60(s) - top 60 bits of md5(s) as a positive long " +
-        "(equals conv(substring(md5(s),1,15),16,10))"),
-      (es: Seq[Expression]) => graft.functions.NativeHash.Md5Hash60(es.head)))
+      info(graft.functions.NativeHash.getClass, "md5_hash60",
+        "md5_hash60(s) - top 60 bits of md5(s) as a positive long " +
+          "(equals conv(substring(md5(s),1,15),16,10))"),
+      (es: Seq[Expression]) => {
+        arity("md5_hash60", 1, es); graft.functions.NativeHash.Md5Hash60(es.head)
+      }))
     // the custom as-of join operator (AsofNative.asofJoin also installs
     // this per session via experimental.extraStrategies)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)

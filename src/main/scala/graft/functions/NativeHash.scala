@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.GraftBridge
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, LongType, NullType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native 60-bit md5 hash — the codegen'd form of the engine's
@@ -33,17 +33,18 @@ object NativeHash {
 
   /** `md5_hash60(s)`: top 60 bits of md5(s), as a positive long. */
   case class Md5Hash60(child: Expression) extends UnaryExpression {
-    override def checkInputDataTypes(): TypeCheckResult =
-      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires a string input, got ${child.dataType.simpleString}")
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      // any collation (getBytes is collation-independent) and the bare
+      // NULL literal (like the composed md5 idiom accepted) are fine
+      case _: StringType | NullType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string input, got ${other.simpleString}")
+    }
     override def dataType: DataType = LongType
     override def prettyName: String = "md5_hash60"
 
-    override protected def nullSafeEval(input: Any): Any = {
-      val dg = localMd.get().digest(input.asInstanceOf[UTF8String].getBytes)
-      Md5Hash60.top60(dg)
-    }
+    override protected def nullSafeEval(input: Any): Any =
+      top60FromDigest(localMd.get().digest(input.asInstanceOf[UTF8String].getBytes))
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val md = ctx.addMutableState("java.security.MessageDigest", "graftMd5",
@@ -60,10 +61,6 @@ object NativeHash {
 
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
-  }
-
-  object Md5Hash60 {
-    private[NativeHash] def top60(dg: Array[Byte]): Long = top60FromDigest(dg)
   }
 
   /** Top 60 bits of the first 8 digest bytes (big-endian), `>>> 4` —

@@ -32,6 +32,13 @@ class ExtensionsSpec extends SparkSpec {
     val row = r.collect().head
     assert(row.getLong(0) === row.getLong(1))
     assert(row.getLong(0) > 0)
+    // NULL literal flows through like the composed md5 idiom
+    assert(spark.sql("SELECT md5_hash60(NULL) AS n").collect().head.isNullAt(0))
+    // wrong arity is an explicit error — never silent argument dropping
+    val e = intercept[Exception] {
+      spark.sql("SELECT md5_hash60('a', 'b')").collect()
+    }
+    assert(e.getMessage.contains("argument"), e.getMessage)
   }
 
   test("getOrCreate reuses the existing session — withExtensions cannot retrofit one") {
