@@ -33,11 +33,23 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // stdout alone is fragile (the driver's tail capture truncated the
-    // round-1 line); persist the same JSON to a file as a durable copy
-    // relative default (resolves under the launch cwd) so a checkout on
-    // any host benches without writing outside its own tree; the env var
-    // stays the explicit override
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    // round-1 line); persist the same JSON to a file as a durable copy.
+    // Default anchors to the CHECKOUT that built this class (walk up
+    // from the classes/jar dir to build.sbt) so launching from another
+    // cwd doesn't scatter the durable copy or fail on a read-only cwd;
+    // falls back to cwd if the checkout isn't found; the env var stays
+    // the explicit override.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
+      val anchor = try {
+        var d = java.nio.file.Paths.get(
+          Bench.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+        if (!java.nio.file.Files.isDirectory(d)) d = d.getParent
+        Iterator.iterate(d)(_.getParent).takeWhile(_ != null).take(8)
+          .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+          .map(_.resolve("bench_last.json").toString)
+      } catch { case _: Throwable => None }
+      anchor.getOrElse("bench_last.json")
+    })
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes("UTF-8"))

@@ -28,10 +28,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   /** Builders must reject wrong arity themselves — `es.head`/`es(1)`
     * on a wrong-arity call would silently DROP extra arguments (a
     * plausible-looking wrong result) or throw a raw
-    * NoSuchElementException instead of an arity error. */
+    * NoSuchElementException instead of an arity error. Raised as
+    * Spark's standard WRONG_NUM_ARGS AnalysisException so SQL users
+    * see the same error shape as a wrong-arity call to a built-in. */
   private def arity(name: String, n: Int, es: Seq[Expression]): Unit =
-    if (es.length != n) throw new IllegalArgumentException(
-      s"$name requires exactly $n argument(s), got ${es.length}")
+    if (es.length != n) throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> s"`$name`",
+        "expectedNum" -> n.toString,
+        "actualNum" -> es.length.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

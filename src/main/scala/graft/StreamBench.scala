@@ -38,7 +38,14 @@ object StreamBench {
     * (rows/s, batches measured). */
   def run(spark: SparkSession, rocksDb: Boolean, seconds: Int,
       rowsPerSecond: Long = 5000000L): (Double, Int) = {
+    // capture the session's provider BEFORE configure so the finally
+    // block restores it — unconditionally unsetting would clobber a
+    // session-level RocksDB choice (e.g. GRAFT_STATE_STORE=rocksdb)
+    // for any later streaming queries on a shared session
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val priorProvider = spark.conf.getOption(providerKey)
     Tables.configure(spark, rocksDbState = rocksDb)
+    if (!rocksDb) spark.conf.unset(providerKey) // measure the default store even if env opts in
     try {
       val parts = spark.sparkContext.defaultParallelism
       val txns = rateTxns(spark, rowsPerSecond, parts)
@@ -56,7 +63,10 @@ object StreamBench {
       val rows = measured.map(_._1).sum.toDouble
       val ms = measured.map(_._2).sum.toDouble
       (if (ms > 0) rows / (ms / 1000.0) else 0.0, measured.size)
-    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    } finally priorProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
   }
 
   def main(args: Array[String]): Unit = {

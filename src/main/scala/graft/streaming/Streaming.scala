@@ -114,13 +114,31 @@ object Streaming {
     * explicitly — `concat_ws` would SKIP nulls and collide distinct
     * payloads (null currency vs null type). Watermark-bounded state,
     * same eviction mechanics as [[dedupStream]]; a genuine re-purchase
-    * after the horizon is admitted again. */
-  def dedupPayloadStream(txns: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    * after the horizon is admitted again.
+    *
+    * FALSE-POSITIVE bound: with `bucketMs = 0` (default) TWO GENUINELY
+    * DISTINCT transactions with identical payloads inside the watermark
+    * horizon (e.g. two legitimate same-amount credits by one user
+    * minutes apart) are dropped as double-submits — the guard cannot
+    * distinguish them from a retry. Setting `bucketMs > 0` folds the
+    * event-time bucket `floor(event_millis / bucketMs)` into the hash
+    * so only near-instant repeats collide and a later legitimate
+    * repeat (next bucket) is admitted; the residual caveat is a retry
+    * that straddles a bucket boundary slips through (caught by the
+    * id-keyed [[dedupStream]] when the client reuses its id). */
+  def dedupPayloadStream(txns: DataFrame, watermark: String = "10 minutes",
+      bucketMs: Long = 0L): DataFrame = {
+    val payload = struct(col("user_id"), col("amount"), col("currency"), col("type"))
+    val hashed =
+      if (bucketMs > 0)
+        struct(payload.as("p"),
+          (unix_millis(col("timestamp")) / lit(bucketMs)).cast("long").as("bucket"))
+      else payload
     txns.withWatermark("timestamp", watermark)
-      .withColumn("payload_hash", md5(to_json(
-        struct(col("user_id"), col("amount"), col("currency"), col("type")),
-        Map("ignoreNullFields" -> "false"))))
+      .withColumn("payload_hash",
+        md5(to_json(hashed, Map("ignoreNullFields" -> "false"))))
       .dropDuplicatesWithinWatermark("payload_hash")
+  }
 
   /** A raised fraud flag. */
   final case class FraudFlag(user_id: Int, n_debits: Long, window_start: Long,

@@ -34,11 +34,14 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getLong(0) > 0)
     // NULL literal flows through like the composed md5 idiom
     assert(spark.sql("SELECT md5_hash60(NULL) AS n").collect().head.isNullAt(0))
-    // wrong arity is an explicit error — never silent argument dropping
-    val e = intercept[Exception] {
+    // wrong arity is an explicit ANALYSIS error with Spark's standard
+    // wrong-number-of-arguments error class — never silent argument
+    // dropping, never a raw runtime exception
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT md5_hash60('a', 'b')").collect()
     }
-    assert(e.getMessage.contains("argument"), e.getMessage)
+    assert(e.getErrorClass === "WRONG_NUM_ARGS.WITHOUT_SUGGESTION", e.getMessage)
+    assert(e.getMessage.contains("md5_hash60"), e.getMessage)
   }
 
   test("getOrCreate reuses the existing session — withExtensions cannot retrofit one") {

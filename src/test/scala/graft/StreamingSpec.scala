@@ -136,6 +136,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dedupPayloadStream bucketed: identical payloads in later bucket are admitted") {
+    import spark.implicits._
+    val in = MemoryStream[Transaction](spark)
+    // 1-minute buckets: only near-instant repeats collide; a genuine
+    // same-payload purchase minutes later lands in another bucket
+    val q = Streaming.toMemory(
+      Streaming.dedupPayloadStream(in.toDF(), watermark = "1 hour",
+        bucketMs = 60000L), "paydedup_bucketed")
+    withQuery(q) {
+      in.addData(
+        txn("id-1", 1, 10.0, "credit", "2025-01-01 10:00:00"),
+        txn("id-2", 1, 10.0, "credit", "2025-01-01 10:00:05"), // same bucket → retry, dropped
+        txn("id-3", 1, 10.0, "credit", "2025-01-01 10:03:00")) // later bucket → legitimate, kept
+      q.processAllAvailable()
+      val ids = spark.table("paydedup_bucketed").collect()
+        .map(_.getAs[String]("transaction_id")).sorted
+      assert(ids.toSeq === Seq("id-1", "id-3"),
+        s"bucketed payload dedup kept wrong rows: ${ids.mkString(",")}")
+    }
+  }
+
   test("fraudFlags: 4th debit in window raises a flag; spread-out debits do not") {
     import spark.implicits._
     val in = MemoryStream[Transaction](spark)
