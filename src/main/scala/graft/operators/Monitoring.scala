@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Portable.trunc4
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Transaction-monitoring analytics over the `events` stream table —
+  * the batch siblings of the reference's monitoring intent
+  * (`monitoring-service/src/main.rs` holds transactions to scan them
+  * for patterns; SURVEY.md §0 frames the system as financial
+  * transaction monitoring). Each operator is a single-pass declarative
+  * plan: scan-level filters push into parquet, aggregations combine
+  * map-side, and window operators shuffle once on their partition key.
+  *
+  * Engine-portability: every float comparison that decides ROW
+  * MEMBERSHIP goes through a 2-decimal rounded sum (deterministic for
+  * double sums at these magnitudes) or an integer, so the DuckDB
+  * oracle reproduces membership exactly; emitted measures are
+  * truncated (`trunc4`), never tie-rounded.
+  */
+object Monitoring {
+
+  private def r2(c: Column): Column = round(c, 2)
+
+  /** AML structuring (smurfing) detection: users who split what would
+    * be one reportable transaction into several just-below-threshold
+    * ones on the same day. Flags (user, day) groups with >= `minTxns`
+    * events valued in [lo, hi) whose rounded sum >= `minTotal`.
+    *
+    * Scale: the value-band predicate pushes into the parquet scan
+    * (min/max row-group skipping), then ONE hash aggregate on
+    * (user_id, day) with map-side combine — no joins, no windows; the
+    * HAVING runs post-agg on combined rows. At 100 TB this is a scan +
+    * one narrow shuffle of per-(user, day) partials. */
+  def structuring(ev: DataFrame, lo: Double = 50.0, hi: Double = 100.0,
+      minTxns: Long = 3L, minTotal: Double = 150.0): DataFrame =
+    ev.filter(col("value") >= lo && col("value") < hi)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_sub"), r2(sum(col("value"))).as("sum_sub"))
+      .filter(col("n_sub") >= minTxns && col("sum_sub") >= minTotal)
+
+  /** Per-user amount outliers: events whose value sits more than
+    * `zThresh` sample standard deviations above the user's own mean
+    * (one-sided — unusually LARGE amounts are the monitoring signal).
+    * Users with fewer than `minN` events are skipped (no stable
+    * baseline).
+    *
+    * The mean/variance derive from 2-decimal ROUNDED sum and
+    * sum-of-squares (not streaming `avg`/`stddev`) so both engines
+    * compute the flag predicate from identical doubles — a raw
+    * `stddev` disagrees across engines in the last ulp and a boundary
+    * row would flip membership. One unbounded window over user_id =
+    * one shuffle; no second pass, no join back. */
+  def amountOutliers(ev: DataFrame, zThresh: Double = 3.0, minN: Long = 10L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val stats = ev.select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", r2(sum(col("value")).over(w)))
+      .withColumn("sq", r2(sum(col("value") * col("value")).over(w)))
+    val mean = col("s") / col("n")
+    val variance = (col("sq") - col("s") * col("s") / col("n")) / (col("n") - 1)
+    stats
+      .filter(col("n") >= minN && variance > 0 &&
+        (col("value") - mean) > lit(zThresh) * sqrt(variance))
+      .select(col("event_id"), col("user_id"), col("value"),
+        trunc4((col("value") - mean) / sqrt(variance)).as("z"))
+  }
+
+  /** Benford first-digit audit per event type: observed share of each
+    * leading digit vs the Benford expectation log10(1 + 1/d). Fabricated
+    * or structured amounts drift from the curve; the deviation column
+    * is the per-digit audit signal.
+    *
+    * The digit comes from the DECIMAL STRING of floor(value) — integer
+    * formatting is identical across engines, where float-log digit
+    * extraction (`floor(value / 10^floor(log10 v))`) can flip at exact
+    * powers of ten. Values < 1 carry no leading digit and are excluded.
+    * One hash aggregate + a 45-row window — scan-bound at scale. */
+  def benford(ev: DataFrame): DataFrame = {
+    val byDigit = ev.filter(col("value") >= 1)
+      .select(col("event_type"),
+        substring(floor(col("value")).cast("long").cast("string"), 1, 1).as("digit"))
+      .groupBy(col("event_type"), col("digit"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type"))
+    byDigit
+      .withColumn("share", trunc4(col("n").cast("double") / sum(col("n")).over(w)))
+      .withColumn("expected",
+        trunc4(log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))))
+      .select(col("event_type"), col("digit"), col("n"), col("share"),
+        col("expected"), trunc4(abs(col("share") - col("expected"))).as("abs_dev"))
+  }
+
+  /** SCD2 build from a change log: collapse each user's event stream
+    * into status validity intervals — one row per status CHANGE with
+    * [valid_from, valid_to) in epoch millis, `valid_to` null on the
+    * open (current) interval. The standard dimension-building pattern
+    * for incremental pipelines (CDC → SCD2).
+    *
+    * Two windows over the SAME (partition key, sort order): Catalyst
+    * plans one exchange + one sort — the change-filter preserves both
+    * the partitioning and the order, so `lead` reuses them. At scale:
+    * a single shuffle on user_id, state bounded by per-user history. */
+  def scd2(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    ev.select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts_ms"), 1).over(w))
+      .select(col("user_id"), col("event_type").as("status"),
+        col("ts_ms").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  // ---- driver wiring ----
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_aml_structuring" -> ((s, d) => structuring(Tables.events(s, d))),
+    "q_amount_outliers" -> ((s, d) => amountOutliers(Tables.events(s, d))),
+    "q_benford" -> ((s, d) => benford(Tables.events(s, d))),
+    "q_scd2" -> ((s, d) => scd2(Tables.events(s, d))))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_aml_structuring" ->
+      ("SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_sub, " +
+        "round(sum(value), 2) AS sum_sub FROM events " +
+        "WHERE value >= 50 AND value < 100 GROUP BY 1, 2 " +
+        "HAVING count(*) >= 3 AND round(sum(value), 2) >= 150"),
+    "q_amount_outliers" ->
+      ("WITH st AS (SELECT event_id, user_id, value, " +
+        "count(*) OVER w AS n, round(sum(value) OVER w, 2) AS s, " +
+        "round(sum(value * value) OVER w, 2) AS sq FROM events " +
+        "WINDOW w AS (PARTITION BY user_id)) " +
+        "SELECT event_id, user_id, value, " +
+        "floor((value - s / n) / sqrt((sq - s * s / n) / (n - 1)) * 10000) / 10000 AS z " +
+        "FROM st WHERE n >= 10 AND (sq - s * s / n) / (n - 1) > 0 " +
+        "AND (value - s / n) > 3 * sqrt((sq - s * s / n) / (n - 1))"),
+    "q_benford" ->
+      ("WITH d AS (SELECT event_type, " +
+        "substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR), 1, 1) AS digit, " +
+        "count(*) AS n FROM events WHERE value >= 1 GROUP BY 1, 2), " +
+        "sh AS (SELECT event_type, digit, n, " +
+        "floor(n::DOUBLE / sum(n) OVER (PARTITION BY event_type) * 10000) / 10000 AS share, " +
+        "floor(log10(1.0 + 1.0 / digit::DOUBLE) * 10000) / 10000 AS expected FROM d) " +
+        "SELECT event_type, digit, n, share, expected, " +
+        "floor(abs(share - expected) * 10000) / 10000 AS abs_dev FROM sh"),
+    "q_scd2" ->
+      ("WITH ch AS (SELECT user_id, event_type, epoch_ms(ts) AS tms, event_id, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev " +
+        "FROM events), " +
+        "kept AS (SELECT user_id, event_type, tms, event_id FROM ch " +
+        "WHERE prev IS NULL OR prev <> event_type) " +
+        "SELECT user_id, event_type AS status, tms AS valid_from, " +
+        "lead(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) AS valid_to, " +
+        "lead(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) IS NULL AS is_current " +
+        "FROM kept"))
+}

@@ -331,6 +331,42 @@ object Similarity {
         sum(when(col("q") === 0, 1L).otherwise(0L)).as("n_zero"))
   }
 
+  /** Deterministic ±1 sign for [[vecProject]]'s projection matrix
+    * (Achlioptas-style sparse random projection): parity of the
+    * portable 60-bit md5 hash of "proj|i_j" — any engine reproduces it
+    * from the same formula (the oracle computes the identical
+    * expression in SQL; no engine-private RNG). */
+  private[graft] def projSign(i: Int, j: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"proj|${i}_$j".getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString.substring(0, 15)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+  }
+
+  /** Random-projection dimensionality reduction: project each
+    * `inDims`-dim embedding onto `outDims` ±1 directions (the
+    * Johnson–Lindenstrauss step a pipeline runs before indexing when
+    * the raw dimension is too wide to store/scan). The sign matrix is
+    * a TINY LITERAL baked into the plan at build time (sign lookup is
+    * a codegen'd nested-array index, no per-row hashing), derived from
+    * the portable md5 parity so the oracle regenerates it in SQL.
+    *
+    * Scale shape: posexplode → 8-way dim explode → map-side-combined
+    * hash-agg, so the shuffle carries `outDims` partial sums per
+    * vector, never the embedding; at 100 TB this is the same
+    * narrow-shuffle profile as the MinHash signature pipeline. */
+  def vecProject(emb: DataFrame, inDims: Int = 64, outDims: Int = 8): DataFrame = {
+    val signs = typedLit(
+      (0 until inDims).map(i => (0 until outDims).map(j => projSign(i, j))))
+    withEmbD(emb)
+      .select(col("vec_id"), posexplode(col("e")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"), col("x").cast("double").as("x"),
+        explode(array((0 until outDims).map(lit): _*)).as("j"))
+      .withColumn("w", element_at(element_at(signs, col("i") + 1), col("j") + 1))
+      .groupBy(col("vec_id"), col("j").cast("long").as("j"))
+      .agg(trunc4(sum(col("x") * col("w"))).as("p"))
+  }
+
   /** recall@k of each approximate path against the exact baseline: the
     * number an operator tunes nlist/nprobe/bands against. One row per
     * (method, query): |approx top-k ∩ exact top-k| / k. Deterministic
@@ -395,7 +431,8 @@ object Similarity {
     "q_sim_topk_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_neardup" -> ((s, d) => nearDupPairs(Tables.embeddings(s, d))),
     "q_sim_recall" -> ((s, d) => recallAtK(Tables.embeddings(s, d), DefaultQueryIds)),
-    "q_vec_quantize" -> ((s, d) => quantizeAudit(Tables.embeddings(s, d))))
+    "q_vec_quantize" -> ((s, d) => quantizeAudit(Tables.embeddings(s, d))),
+    "q_vec_project" -> ((s, d) => vecProject(Tables.embeddings(s, d))))
 
   private def planeSql(h: Int): String =
     hyperplanes(h).map(v => BigDecimal(v).underlying.toPlainString).mkString("[", ",", "]") + "::DOUBLE[]"
@@ -515,6 +552,14 @@ object Similarity {
         "SELECT vec_id, floor(max(scale) * 1000000) / 1000000 AS scale, " +
         "floor(max(err) * 1000000) / 1000000 AS max_err, " +
         "sum(CASE WHEN q = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero FROM qq GROUP BY vec_id"),
+    "q_vec_project" ->
+      ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings), " +
+        "el AS (SELECT vec_id, unnest(e) x, unnest(range(len(e))) i FROM v), " +
+        "d AS (SELECT unnest(range(8)) j), " +
+        "p AS (SELECT vec_id, j, sum(x * (CASE WHEN " +
+        "('0x' || substr(md5('proj|' || i || '_' || j), 1, 15))::BIGINT % 2 = 0 " +
+        "THEN 1.0 ELSE -1.0 END)) p FROM el CROSS JOIN d GROUP BY 1, 2) " +
+        "SELECT vec_id, j, floor(p * 10000) / 10000 AS p FROM p"),
     "q_sim_neardup" ->
       (s"WITH $vCte, $bitsBandsCte" + ", cand AS (SELECT DISTINCT x.vec_id a_id, y.vec_id b_id " +
         "FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id), " +

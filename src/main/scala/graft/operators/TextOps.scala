@@ -266,6 +266,62 @@ object TextOps {
     result
   }
 
+  /** Sparse TF-IDF cosine similarity via an inverted-index join — the
+    * at-scale sparse sibling of the dense-vector paths in Similarity:
+    * no embeddings needed, candidates come from SHARED TERMS instead of
+    * LSH buckets. Terms are hashed 3-gram shingles (60-bit portable
+    * hash, so the postings join shuffles longs, not strings); weights
+    * are tf·ln(N/df); pairs with truncated cosine >= `minCos` survive.
+    *
+    * Scale design: the df <= `maxDf` prefilter is the load-bearing
+    * guard — it caps every posting list, so the term self-join fans
+    * out at most maxDf²/2 pairs per term (stop-shingles would
+    * otherwise fan out quadratically in corpus size, the classic
+    * inverted-index hot-key). Dropping ubiquitous terms also loses
+    * nothing: their idf ≈ 0 contributes noise, not signal. The
+    * weights table is persisted once and feeds both join arms + the
+    * norm table; all joins are equi-joins on term or doc_id.
+    *
+    * Membership parity: cosine = dot/(na·nb) uses only IEEE-exact ops
+    * (·, /, sqrt) over weights both engines derive identically, and
+    * the threshold compares the TRUNCATED value, so row membership
+    * can't flip on an engine's last ulp. EXACT-DUP pairs (identical
+    * texts) sit ON the cos = 1 grid point where float summation order
+    * decides which side of 1.0 each engine lands — those pairs are
+    * pinned to exactly 1.0 via a text-hash equality (cosine of
+    * identical texts is 1 by definition). */
+  def sparseSim(docs: DataFrame, maxDf: Long = 50L, minCos: Double = 0.2): DataFrame = {
+    val tf = shingleRows(graft.functions.Portable.spread(docs, col("doc_id")), 3)
+      .select(col("doc_id"), hash60(col("s")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df")) // tf is distinct per (doc, term)
+    val n = docs.agg(count(lit(1)).as("nd"))
+    val w = tf.join(dfreq.filter(col("df") <= maxDf), "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        (col("tf") * log(col("nd").cast("double") / col("df"))).as("w"))
+      .persist()
+    val norms = w.groupBy(col("doc_id")).agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      .join(docs.select(col("doc_id"), md5(col("text")).as("th")), "doc_id")
+    val dots = w.select(col("term"), col("doc_id").as("doc_a"), col("w").as("wa"))
+      .join(w.select(col("term"), col("doc_id").as("doc_b"), col("w").as("wb")), Seq("term"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("wa") * col("wb")).as("dot"), count(lit(1)).as("n_terms"))
+    val result = dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na"),
+        col("th").as("ha")), "doc_a")
+      .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb"),
+        col("th").as("hb")), "doc_b")
+      .withColumn("cos_sim", when(col("ha") === col("hb"), lit(1.0))
+        .otherwise(trunc4(col("dot") / (col("na") * col("nb")))))
+      .filter(col("cos_sim") >= minCos)
+      .select(col("doc_a"), col("doc_b"), col("n_terms"), col("cos_sim"))
+      .localCheckpoint(true) // small survivor set; lets the weights cache go
+    w.unpersist()
+    result
+  }
+
   /** Deterministic stratified sampling: the n smallest md5-ranked docs
     * per language — a fixed-size per-stratum sample regardless of
     * stratum skew (uniform `hashSample` keeps the majority language's
@@ -344,7 +400,8 @@ object TextOps {
     "q_text_decontam" -> ((s, d) => decontaminate(Tables.documents(s, d))),
     "q_seq_packing" -> ((s, d) => seqPacking(Tables.documents(s, d))),
     "q_stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
-    "q_corpus_pipeline" -> ((s, d) => corpusPipeline(Tables.documents(s, d))))
+    "q_corpus_pipeline" -> ((s, d) => corpusPipeline(Tables.documents(s, d))),
+    "q_text_sparse_sim" -> ((s, d) => sparseSim(Tables.documents(s, d))))
 
   /** The perturbed corpus + normalization, as SQL (DuckDB regexp_replace
     * needs the 'g' flag — it is first-match-only by default, unlike
@@ -449,5 +506,25 @@ object TextOps {
         "FROM norm WHERE len(string_split(nt, ' ')) >= 20), " +
         "surv AS (SELECT min(doc_id) doc_id, max(n_tokens) n_tokens FROM tk GROUP BY md5(nt)) " +
         "SELECT lang, count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens " +
-        "FROM surv JOIN documents USING (doc_id) GROUP BY lang"))
+        "FROM surv JOIN documents USING (doc_id) GROUP BY lang"),
+    "q_text_sparse_sim" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents), " +
+        "sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tok) - 1), " +
+        "i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) s FROM t), " +
+        "tf AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT term, count(*) tf " +
+        "FROM sh GROUP BY 1, 2), " +
+        "df AS (SELECT term, count(*) df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*) nd FROM documents), " +
+        "w AS (SELECT doc_id, term, tf * ln(nd::DOUBLE / df) w " +
+        "FROM tf JOIN df USING (term) CROSS JOIN n WHERE df <= 50), " +
+        "nrm AS (SELECT doc_id, sqrt(sum(w * w)) nrm, md5(min(text)) th " +
+        "FROM w JOIN documents USING (doc_id) GROUP BY 1), " +
+        "dots AS (SELECT a.doc_id doc_a, b.doc_id doc_b, sum(a.w * b.w) dot, " +
+        "count(*) n_terms FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2), " +
+        "c AS (SELECT doc_a, doc_b, n_terms, " +
+        "CASE WHEN x.th = y.th THEN 1.0 " +
+        "ELSE floor(dot / (x.nrm * y.nrm) * 10000) / 10000 END cos_sim " +
+        "FROM dots JOIN nrm x ON doc_a = x.doc_id JOIN nrm y ON doc_b = y.doc_id) " +
+        "SELECT doc_a, doc_b, n_terms, cos_sim FROM c WHERE cos_sim >= 0.2"))
 }

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Monitoring
+import org.apache.spark.sql.functions._
+
+/** Monitoring analytics semantics (Monitoring.scala) on sf0.001. */
+class MonitoringSpec extends SparkSpec {
+
+  private def events = Tables.events(spark, sf)
+
+  test("structuring: flagged groups satisfy band, count, and sum conditions") {
+    val r = Monitoring.structuring(events).collect()
+    assert(r.nonEmpty, "expected at least one structuring hit at sf0.001")
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_sub") >= 3L)
+      assert(row.getAs[Double]("sum_sub") >= 150.0)
+    }
+    // every flagged (user, day) group really has >= 3 in-band events
+    val recount = events
+      .filter(col("value") >= 50 && col("value") < 100)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .count().filter(col("count") >= 3).count()
+    assert(r.length <= recount)
+  }
+
+  test("amountOutliers: flags are one-sided, z > 3, and users have >= 10 events") {
+    val r = Monitoring.amountOutliers(events).collect()
+    assert(r.nonEmpty)
+    r.foreach { row => assert(row.getAs[Double]("z") >= 3.0 - 1e-4) }
+    val counts = events.groupBy("user_id").count()
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r.foreach { row => assert(counts(row.getAs[Long]("user_id")) >= 10L) }
+    // one-sided: every flagged value exceeds its user's mean
+    val means = events.groupBy("user_id").agg(avg("value").as("m"))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    r.foreach { row =>
+      assert(row.getAs[Double]("value") > means(row.getAs[Long]("user_id")))
+    }
+  }
+
+  test("benford: shares sum to ~1 per type, digits are 1-9, expected matches log10") {
+    val r = Monitoring.benford(events).collect()
+    val types = r.map(_.getAs[String]("event_type")).distinct
+    assert(types.length === 5)
+    types.foreach { t =>
+      val shares = r.filter(_.getAs[String]("event_type") == t).map(_.getAs[Double]("share"))
+      // trunc4 loses at most 1e-4 per digit
+      assert(math.abs(shares.sum - 1.0) < 1e-3, s"$t shares sum ${shares.sum}")
+    }
+    r.foreach { row =>
+      val d = row.getAs[String]("digit")
+      assert(d.length == 1 && d >= "1" && d <= "9")
+      val expected = math.floor(math.log10(1.0 + 1.0 / d.toInt) * 10000) / 10000
+      assert(row.getAs[Double]("expected") === expected)
+    }
+  }
+
+  test("scd2: intervals per user chain without overlap; exactly one open interval") {
+    val r = Monitoring.scd2(events)
+      .orderBy(col("user_id"), col("valid_from")).collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rows) =>
+      // exactly one current (open) interval per user
+      assert(rows.count(_.getAs[Boolean]("is_current")) === 1)
+      // each closed interval's valid_to equals the next interval's valid_from
+      rows.sortBy(_.getAs[Long]("valid_from")).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to") === b.getAs[Long]("valid_from"))
+          // consecutive intervals carry different statuses (it's a change log)
+          assert(a.getAs[String]("status") !== b.getAs[String]("status"))
+        case _ => ()
+      }
+    }
+  }
+}

@@ -197,6 +197,43 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("TextOps.sparseSim: near-identical docs pair high, unrelated docs don't pair") {
+    val r = TextOps.sparseSim(docsDF, maxDf = 50L, minCos = 0.2).collect()
+    // docs 0 and 1 differ by one trailing token → share most shingles
+    assert(r.exists(x => x.getAs[Long]("doc_a") == 0L && x.getAs[Long]("doc_b") == 1L),
+      s"expected (0,1) pair, got ${r.mkString(",")}")
+    val p01 = r.find(x => x.getAs[Long]("doc_a") == 0L && x.getAs[Long]("doc_b") == 1L).get
+    assert(p01.getAs[Double]("cos_sim") > 0.5)
+    assert(p01.getAs[Long]("n_terms") >= 5L)
+    // doc 2 shares no shingles with 0/1
+    assert(!r.exists(x => x.getAs[Long]("doc_b") == 2L || x.getAs[Long]("doc_a") == 2L))
+    // cosine is bounded
+    r.foreach(x => assert(x.getAs[Double]("cos_sim") <= 1.0))
+  }
+
+  test("Similarity.vecProject: 8 projections per vector, linearity holds") {
+    import spark.implicits._
+    val e1 = Array.fill(64)(1.0f)
+    val e0 = Array.fill(64)(0.0f)
+    val emb = Seq((0L, e1, 0), (1L, e0, 0)).toDF("vec_id", "embedding", "label")
+    val r = Similarity.vecProject(emb).collect()
+    assert(r.length === 16) // 2 vectors × 8 dims
+    // zero vector projects to zero in every dim
+    r.filter(_.getAs[Long]("vec_id") == 1L)
+      .foreach(x => assert(x.getAs[Double]("p") === 0.0))
+    // all-ones vector: projection j = sum of column j's ±1 signs — an
+    // integer in [-64, 64] with |p| <= 64 and parity matching 64
+    r.filter(_.getAs[Long]("vec_id") == 0L).foreach { x =>
+      val p = x.getAs[Double]("p")
+      assert(p == math.rint(p) && math.abs(p) <= 64.0)
+      assert(math.abs(p % 2) === 0.0) // 64 terms of ±1 sum to an even number
+    }
+    // spot-check one projection against the scalar definition
+    val p0 = r.find(x => x.getAs[Long]("vec_id") == 0L && x.getAs[Long]("j") == 0L).get
+    val expected = (0 until 64).map(i => Similarity.projSign(i, 0)).sum
+    assert(p0.getAs[Double]("p") === expected)
+  }
+
   test("Similarity.quantizeAudit: int8 reconstruction error bounded by one quantization step") {
     val emb = Tables.embeddings(spark, sf)
     val r = Similarity.quantizeAudit(emb).collect()
