@@ -294,9 +294,16 @@ object TextOps {
     val tf = shingleRows(graft.functions.Portable.spread(docs, col("doc_id")), 3)
       .select(col("doc_id"), hash60(col("s")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df")) // tf is distinct per (doc, term)
     val n = docs.agg(count(lit(1)).as("nd"))
-    val w = tf.join(dfreq.filter(col("df") <= maxDf), "term")
+    import org.apache.spark.sql.expressions.Window
+    // document frequency as a COUNT WINDOW over term (tf is distinct
+    // per (doc, term)) — one pass over tf instead of a groupBy branch
+    // + join back, which would compute the whole shingle pipeline
+    // twice; the window's term-shuffle is the same exchange the
+    // postings self-join needs anyway
+    val dfW = Window.partitionBy(col("term"))
+    val w = tf.withColumn("df", count(lit(1)).over(dfW))
+      .filter(col("df") <= maxDf)
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
         (col("tf") * log(col("nd").cast("double") / col("df"))).as("w"))
