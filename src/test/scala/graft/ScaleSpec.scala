@@ -36,6 +36,46 @@ class ScaleSpec extends SparkSpec {
     assert(joined.exceptAll(direct).count() === 0)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // the 100 TB lever behind AQE: when a shuffle join's build side is
+    // small and selective, Spark injects a bloom-filter semi-filter on
+    // the probe side so fact rows that can't match are dropped BEFORE
+    // the exchange — shuffle bytes scale with matches, not scan size.
+    // Broadcast joins are forced off because the bloom path only
+    // applies to shuffle joins (a broadcast join already prunes).
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prior = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = Tables.lineitem(spark, sf)
+      val sel = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val joined = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("s"))
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") || opt.contains("BloomFilter"),
+        s"no runtime bloom filter injected:\n$opt")
+      // and the result is identical with the filter off
+      val r1 = joined.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val r2 = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      assert(r1.toSeq === r2.toSeq)
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("rapidPairs joins on the time bucket, not user_id alone (plan shape)") {
     val ev = Tables.events(spark, sf)
     val plan = graft.operators.Analytics.rapidPairs(ev).queryExecution.executedPlan.toString

@@ -157,6 +157,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("structuringFlags: 3 in-band txns in one window flag; out-of-band and sparse don't") {
+    import spark.implicits._
+    val in = MemoryStream[Transaction](spark)
+    val flags = Streaming.structuringFlags(in.toDF(),
+      watermark = "1 minute", window_ = "1 hour")
+    val q = Streaming.toMemory(flags, "structuring", OutputMode.Append())
+    withQuery(q) {
+      in.addData(
+        // user 1: three sub-threshold txns in the 10:00 window → flag
+        txn("s1", 1, 60.0, "debit", "2025-01-01 10:05:00"),
+        txn("s2", 1, 70.0, "debit", "2025-01-01 10:15:00"),
+        txn("s3", 1, 80.0, "debit", "2025-01-01 10:40:00"),
+        // user 2: two in-band only → no flag
+        txn("s4", 2, 60.0, "debit", "2025-01-01 10:10:00"),
+        txn("s5", 2, 60.0, "debit", "2025-01-01 10:20:00"),
+        // user 3: three txns but out of band (>= 100) → no flag
+        txn("s6", 3, 150.0, "debit", "2025-01-01 10:10:00"),
+        txn("s7", 3, 150.0, "debit", "2025-01-01 10:20:00"),
+        txn("s8", 3, 150.0, "debit", "2025-01-01 10:30:00"))
+      q.processAllAvailable()
+      in.addData(txn("adv", 9, 60.0, "debit", "2025-01-01 12:30:00")) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("structuring").collect()
+        .map(r => (r.getAs[Int]("user_id"), r.getAs[Long]("n_sub"), r.getAs[Double]("sum_sub")))
+      assert(rows.toSeq === Seq((1, 3L, 210.0)), s"got ${rows.mkString(",")}")
+    }
+  }
+
   test("fraudFlags: 4th debit in window raises a flag; spread-out debits do not") {
     import spark.implicits._
     val in = MemoryStream[Transaction](spark)
