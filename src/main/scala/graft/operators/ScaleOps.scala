@@ -48,14 +48,99 @@ object ScaleOps {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"), r2(sum(col("o_totalprice"))).as("revenue"))
 
+  /** 16-bit × 16-bit Morton (z-order) interleave as a pure bit
+    * expression chain — stays inside whole-stage codegen, no UDF. */
+  private[graft] def interleave16(x: Column, y: Column): Column =
+    (0 until 16).map { b =>
+      shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b)
+        .bitwiseOR(shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-order clustering key over (user_id, dollar amount): sort/write
+    * the fact table by `zval` and a 2-D range predicate (user range ×
+    * amount range) touches a handful of contiguous z-ranges — parquet
+    * row-group min/max on ONE column then skips for BOTH dimensions.
+    * This is the data-layout lever for multi-dimension pruning at
+    * 100 TB (one sort at write time, every later 2-D scan benefits);
+    * `zblock` is the row-group-sized cluster id a writer would range-
+    * partition on. */
+  def zorderEvents(ev: DataFrame, blockSize: Long = 1024L): DataFrame =
+    ev.select(col("event_id"),
+      col("user_id").bitwiseAND(lit(65535L)).as("x"),
+      floor(col("value")).cast("long").bitwiseAND(lit(65535L)).as("y"))
+      .withColumn("zval", interleave16(col("x"), col("y")))
+      .select(col("event_id"), col("zval"),
+        expr(s"zval div $blockSize").as("zblock"))
+
+  /** Join-key skew audit — the pre-flight a 100 TB join runs BEFORE
+    * shuffling: per-key share of the fact table's join column, top-N
+    * keys. A key above ~1/shuffle-partitions share predicts a straggler
+    * reducer (the cue to salt or let AQE split). The global rank window
+    * runs over the AGGREGATED key table, never the fact rows. */
+  def skewAudit(fact: DataFrame, key: String = "l_partkey", topN: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = fact.groupBy(col(key)).agg(count(lit(1)).as("n"))
+    val total = fact.agg(count(lit(1)).as("tot"))
+    val w = Window.orderBy(col("n").desc, col(key))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share",
+        graft.functions.Portable.trunc6(col("n").cast("double") / col("tot")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topN)
+      .select(col(key), col("n"), col("share"), col("rnk"))
+  }
+
+  /** Incremental aggregate maintenance: merge a pre-aggregated STATE
+    * (everything before the new batch) with the DELTA batch's partials
+    * instead of recomputing from raw history — count/sum are algebraic,
+    * so state ⊎ delta re-aggregated equals the full recompute (the
+    * oracle IS the full recompute). Rounding happens only at the final
+    * merge, never on the partials, so the merged sum is the same
+    * double either path. At 100 TB this is the difference between
+    * scanning one day and scanning three years. */
+  def incrAgg(ev: DataFrame, deltaMod: Long = 97L): DataFrame = {
+    def partial(df: DataFrame) = df.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("psum"))
+    val state = partial(ev.filter(col("event_id") % deltaMod =!= 0))
+    val delta = partial(ev.filter(col("event_id") % deltaMod === 0))
+    state.unionByName(delta)
+      .groupBy(col("user_id"))
+      .agg(sum(col("pn")).cast("long").as("n"), r2(sum(col("psum"))).as("sum_value"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_salted_agg" -> ((s, d) => saltedUserStats(Tables.events(s, d))))
+    "q_salted_agg" -> ((s, d) => saltedUserStats(Tables.events(s, d))),
+    "q_zorder" -> ((s, d) => zorderEvents(Tables.events(s, d))),
+    "q_skew_audit" -> ((s, d) => skewAudit(Tables.lineitem(s, d))),
+    "q_incr_agg" -> ((s, d) => incrAgg(Tables.events(s, d))))
+
+  /** The z-interleave as SQL, generated from the same bit positions the
+    * Column form uses — one expression, two dialect renderings. */
+  private def interleaveSql(x: String, y: String): String =
+    (0 until 16).map(b =>
+      s"((($x >> $b) & 1) << ${2 * b}) | ((($y >> $b) & 1) << ${2 * b + 1})")
+      .mkString(" | ")
 
   val oracleSql: Map[String, String] = Map(
     // the oracle is the UNSALTED aggregation: salting must not change results
     "q_salted_agg" ->
+      ("SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value " +
+        "FROM events GROUP BY user_id"),
+    "q_zorder" ->
+      ("WITH b AS (SELECT event_id, user_id & 65535 AS x, " +
+        "CAST(floor(value) AS BIGINT) & 65535 AS y FROM events), " +
+        s"z AS (SELECT event_id, ${interleaveSql("x", "y")} AS zval FROM b) " +
+        "SELECT event_id, zval, zval // 1024 AS zblock FROM z"),
+    "q_skew_audit" ->
+      ("WITH c AS (SELECT l_partkey, count(*) n FROM lineitem GROUP BY 1), " +
+        "t AS (SELECT count(*) tot FROM lineitem), " +
+        "r AS (SELECT l_partkey, n, floor(n::DOUBLE / tot * 1000000) / 1000000 AS share, " +
+        "row_number() OVER (ORDER BY n DESC, l_partkey) rnk FROM c CROSS JOIN t) " +
+        "SELECT l_partkey, n, share, rnk FROM r WHERE rnk <= 5"),
+    // the oracle is the FULL recompute: state ⊎ delta must equal it
+    "q_incr_agg" ->
       ("SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value " +
         "FROM events GROUP BY user_id"))
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.ScaleOps
+import graft.operators.{ScaleOps, Sketches}
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -34,6 +34,62 @@ class ScaleSpec extends SparkSpec {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
     assert(joined.exceptAll(direct).count() === 0)
+  }
+
+  test("zorder: interleave round-trips both dimensions; equal-key locality") {
+    val ev = Tables.events(spark, sf)
+    val r = ScaleOps.zorderEvents(ev).join(
+      ev.select(col("event_id"), col("user_id"), floor(col("value")).cast("long").as("amt")),
+      "event_id").collect()
+    assert(r.nonEmpty)
+    // de-interleave the z-value and recover both coordinates exactly
+    def unzip(z: Long, offset: Int): Long =
+      (0 until 16).map(b => ((z >> (2 * b + offset)) & 1L) << b).reduce(_ | _)
+    r.foreach { row =>
+      val z = row.getAs[Long]("zval")
+      assert(unzip(z, 0) === (row.getAs[Long]("user_id") & 65535L))
+      assert(unzip(z, 1) === (row.getAs[Long]("amt") & 65535L))
+    }
+    // locality: same (user, amount) ⇒ same zval ⇒ same block
+    val groups = r.groupBy(x => (x.getAs[Long]("user_id"), x.getAs[Long]("amt")))
+    groups.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("zval")).distinct.length === 1)
+    }
+  }
+
+  test("skewAudit: ranked by count desc, shares consistent with direct counts") {
+    val li = Tables.lineitem(spark, sf)
+    val r = ScaleOps.skewAudit(li).collect()
+    assert(r.length === 5)
+    assert(r.map(_.getAs[Long]("rnk")).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    val ns = r.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, "not count-descending")
+    val top = li.groupBy(col("l_partkey")).count()
+      .agg(max(col("count"))).head.getLong(0)
+    assert(ns.head === top, "rank-1 key is not the hottest key")
+    val total = li.count()
+    r.foreach(x => assert(math.abs(
+      x.getAs[Double]("share") - x.getAs[Long]("n").toDouble / total) < 1e-5))
+  }
+
+  test("incrAgg: state ⊎ delta equals the full recompute") {
+    val ev = Tables.events(spark, sf)
+    val merged = ScaleOps.incrAgg(ev)
+    val direct = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n"), round(sum(col("value")), 2).as("sum_value"))
+    assert(merged.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(merged).count() === 0)
+  }
+
+  test("cmsHeavyHitters: estimate dominates the exact count (CMS never undercounts)") {
+    val r = Sketches.cmsHeavyHitters(Tables.events(spark, sf)).collect()
+    assert(r.length === 20)
+    r.foreach { x =>
+      assert(x.getAs[Long]("est") >= x.getAs[Long]("n"),
+        s"CMS undercounted amt=${x.getAs[Long]("amt")}")
+    }
+    val ns = r.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
   }
 
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
