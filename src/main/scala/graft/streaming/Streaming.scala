@@ -159,6 +159,28 @@ object Streaming {
       .select(col("win.start").as("win_start"), col("user_id"),
         col("n_sub"), col("sum_sub"))
 
+  /** Streaming count-min sketch maintenance: the d×w counter cells of
+    * `Sketches.cmsHeavyHitters` as a windowed streaming aggregation.
+    * Cells are plain sums, so Spark's incremental state update IS the
+    * sketch merge — state is bounded at d×w cells per open window
+    * (1024 here) no matter the stream rate, and a finalized window's
+    * counters are IDENTICAL to the batch sketch over the same events
+    * (spec-asserted). Probing amounts against the emitted counters is
+    * the same equi-join as the batch path. */
+  def cmsCounters(txns: DataFrame, depth: Int = 4, width: Int = 256,
+      watermark: String = "10 minutes", window_ : String = "5 minutes"): DataFrame =
+    txns.select(col("timestamp"), floor(col("amount")).cast("long").as("amt"))
+      .select(col("timestamp"), col("amt"),
+        explode(array((0 until depth).map(lit): _*)).as("i"))
+      .withColumn("bucket", pmod(
+        graft.functions.TextHash.hash60(
+          concat(col("i").cast("string"), lit("|"), col("amt").cast("string"))),
+        lit(width.toLong)))
+      .withWatermark("timestamp", watermark)
+      .groupBy(window(col("timestamp"), window_).as("win"), col("i"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("win.start").as("win_start"), col("i"), col("bucket"), col("c"))
+
   /** A raised fraud flag. */
   final case class FraudFlag(user_id: Int, n_debits: Long, window_start: Long,
       window_end: Long, total_amount: Double)

@@ -132,6 +132,47 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("zorder interleave is a bijection on 16-bit pairs (round-trip for any x, y)") {
+    import spark.implicits._
+    def unzip(z: Long, offset: Int): Long =
+      (0 until 16).map(b => ((z >> (2 * b + offset)) & 1L) << b).reduce(_ | _)
+    forAll(Gen.listOfN(40, for {
+      x <- Gen.choose(0L, 65535L); y <- Gen.choose(0L, 65535L)
+    } yield (x, y))) { pairs =>
+      val df = pairs.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("event_id", "x", "y")
+        .withColumn("zval", ScaleOps.interleave16(col("x"), col("y")))
+      df.collect().foreach { r =>
+        assert(unzip(r.getAs[Long]("zval"), 0) === r.getAs[Long]("x"))
+        assert(unzip(r.getAs[Long]("zval"), 1) === r.getAs[Long]("y"))
+      }
+    }
+  }
+
+  test("incremental agg merge equals full recompute for any data and any split") {
+    forAll(rowGen) { rows =>
+      val df = toDF(rows)
+      Seq(2L, 3L, 97L).foreach { mod =>
+        val merged = ScaleOps.incrAgg(df, deltaMod = mod)
+        val direct = df.groupBy(col("user_id"))
+          .agg(count(lit(1)).cast("long").as("n"), round(sum(col("value")), 2).as("sum_value"))
+        assert(merged.exceptAll(direct).count() === 0, s"mod=$mod")
+        assert(direct.exceptAll(merged).count() === 0, s"mod=$mod")
+      }
+    }
+  }
+
+  test("CMS estimate dominates the exact count for any data (never undercounts)") {
+    forAll(rowGen) { rows =>
+      val r = graft.operators.Sketches
+        .cmsHeavyHitters(toDF(rows), depth = 2, width = 16, topN = 1000)
+        .collect()
+      assert(r.nonEmpty)
+      // tiny width forces collisions — dominance must hold regardless
+      r.foreach(x => assert(x.getAs[Long]("est") >= x.getAs[Long]("n")))
+    }
+  }
+
   test("identical documents always share minhash signatures and exact-dedup together") {
     import spark.implicits._
     forAll(Gen.listOfN(8, Gen.listOfN(12, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")))) { wordLists =>

@@ -3,6 +3,7 @@ package graft
 import graft.operators.Transaction
 import graft.streaming.Streaming
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, concat, explode, array, floor, lit, pmod}
 import org.apache.spark.sql.streaming.OutputMode
 import java.sql.Timestamp
 
@@ -182,6 +183,40 @@ class StreamingSpec extends SparkSpec {
       val rows = spark.table("structuring").collect()
         .map(r => (r.getAs[Int]("user_id"), r.getAs[Long]("n_sub"), r.getAs[Double]("sum_sub")))
       assert(rows.toSeq === Seq((1, 3L, 210.0)), s"got ${rows.mkString(",")}")
+    }
+  }
+
+  test("cmsCounters: finalized window's counters equal the batch sketch over the same events") {
+    import spark.implicits._
+    val in = MemoryStream[Transaction](spark)
+    val agg = Streaming.cmsCounters(in.toDF(), depth = 2, width = 16,
+      watermark = "1 minute", window_ = "5 minutes")
+    val q = Streaming.toMemory(agg, "cms", OutputMode.Append())
+    withQuery(q) {
+      val txns = Seq(
+        txn("c1", 1, 60.0, "debit", "2025-01-01 10:01:00"),
+        txn("c2", 2, 60.9, "debit", "2025-01-01 10:02:00"), // same dollar bucket as c1
+        txn("c3", 3, 75.0, "debit", "2025-01-01 10:03:00"),
+        txn("c4", 4, 75.0, "debit", "2025-01-01 10:04:30"))
+      in.addData(txns: _*)
+      q.processAllAvailable()
+      in.addData(txn("adv", 9, 1.0, "debit", "2025-01-01 10:30:00")) // close the window
+      q.processAllAvailable()
+      val streamed = spark.table("cms").collect()
+        .map(r => (r.getAs[Int]("i").toLong, r.getAs[Long]("bucket")) -> r.getAs[Long]("c")).toMap
+      // batch sketch over the same four events (via the operator's own hashing)
+      val batch = txns.toDF()
+        .select(floor(col("amount")).cast("long").as("amt"),
+          explode(array(lit(0), lit(1))).as("i"))
+        .withColumn("bucket", pmod(graft.functions.TextHash.hash60(
+          concat(col("i").cast("string"), lit("|"), col("amt").cast("string"))), lit(16L)))
+        .groupBy("i", "bucket").count().collect()
+        .map(r => (r.getAs[Int]("i").toLong, r.getAs[Long]("bucket")) -> r.getAs[Long]("count")).toMap
+      assert(streamed === batch, s"streamed=$streamed batch=$batch")
+      // every row's total per hash row = number of events
+      (0L to 1L).foreach { i =>
+        assert(streamed.collect { case ((r, _), c) if r == i => c }.sum === 4L)
+      }
     }
   }
 
