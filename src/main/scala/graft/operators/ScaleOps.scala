@@ -80,11 +80,13 @@ object ScaleOps {
   def skewAudit(fact: DataFrame, key: String = "l_partkey", topN: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = fact.groupBy(col(key)).agg(count(lit(1)).as("n"))
-    val total = fact.agg(count(lit(1)).as("tot"))
+    // the grand total comes from the aggregated counts (sum n over the
+    // whole tiny key table) — a separate fact.count() would scan the
+    // fact a second time; both windows share the one global partition
     val w = Window.orderBy(col("n").desc, col(key))
-    counts.crossJoin(broadcast(total))
-      .withColumn("share",
-        graft.functions.Portable.trunc6(col("n").cast("double") / col("tot")))
+    counts
+      .withColumn("share", graft.functions.Portable.trunc6(
+        col("n").cast("double") / sum(col("n")).over(Window.partitionBy())))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= topN)
       .select(col(key), col("n"), col("share"), col("rnk"))
@@ -135,9 +137,9 @@ object ScaleOps {
         "SELECT event_id, zval, zval // 1024 AS zblock FROM z"),
     "q_skew_audit" ->
       ("WITH c AS (SELECT l_partkey, count(*) n FROM lineitem GROUP BY 1), " +
-        "t AS (SELECT count(*) tot FROM lineitem), " +
-        "r AS (SELECT l_partkey, n, floor(n::DOUBLE / tot * 1000000) / 1000000 AS share, " +
-        "row_number() OVER (ORDER BY n DESC, l_partkey) rnk FROM c CROSS JOIN t) " +
+        "r AS (SELECT l_partkey, n, " +
+        "floor(n::DOUBLE / sum(n) OVER () * 1000000) / 1000000 AS share, " +
+        "row_number() OVER (ORDER BY n DESC, l_partkey) rnk FROM c) " +
         "SELECT l_partkey, n, share, rnk FROM r WHERE rnk <= 5"),
     // the oracle is the FULL recompute: state ⊎ delta must equal it
     "q_incr_agg" ->

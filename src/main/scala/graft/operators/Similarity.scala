@@ -354,7 +354,13 @@ object Similarity {
     * Scale shape: posexplode → 8-way dim explode → map-side-combined
     * hash-agg, so the shuffle carries `outDims` partial sums per
     * vector, never the embedding; at 100 TB this is the same
-    * narrow-shuffle profile as the MinHash signature pipeline. */
+    * narrow-shuffle profile as the MinHash signature pipeline.
+    *
+    * `inDims` must equal the data's embedding dimension: a WIDER
+    * embedding fails fast with Spark's ANSI INVALID_ARRAY_INDEX on the
+    * sign lookup (never a silent truncation that would diverge from
+    * the oracle's md5-derived matrix); a narrower one uses the sign
+    * rows matching its actual length, same as the oracle. */
   def vecProject(emb: DataFrame, inDims: Int = 64, outDims: Int = 8): DataFrame = {
     val signs = typedLit(
       (0 until inDims).map(i => (0 until outDims).map(j => projSign(i, j))))

@@ -31,7 +31,10 @@ object Sketches {
     * the probe join below is that path). */
   def cmsHeavyHitters(ev: DataFrame, depth: Int = 4, width: Int = 256,
       topN: Int = 20): DataFrame = {
-    val base = ev.select(floor(col("value")).cast("long").as("amt"))
+    // base feeds BOTH the counter build and the exact ranking pass —
+    // persist so the events scan happens once (house rule: persist
+    // multi-consumer intermediates; one narrow long column per row)
+    val base = ev.select(floor(col("value")).cast("long").as("amt")).persist()
     def bucketed(df: DataFrame) = df
       .select(df.columns.map(col) :+
         explode(array((0 until depth).map(lit): _*)).as("i"): _*)
@@ -46,9 +49,12 @@ object Sketches {
     // the report is tiny post-agg; the global window ranks ~|distinct
     // amounts| rows, not the input
     val w = Window.orderBy(col("n").desc, col("amt"))
-    est.withColumn("rnk", row_number().over(w).cast("long"))
+    val result = est.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= topN)
       .select(col("amt"), col("n"), col("est"), col("rnk"))
+      .localCheckpoint(true) // topN rows; lets the base cache go
+    base.unpersist()
+    result
   }
 
   // ---- driver wiring ----

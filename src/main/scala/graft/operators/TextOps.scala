@@ -302,9 +302,14 @@ object TextOps {
     // twice; the window's term-shuffle is the same exchange the
     // postings self-join needs anyway
     val dfW = Window.partitionBy(col("term"))
+    // df < nd as well: a term in EVERY doc has weight tf·ln(1) = 0 —
+    // zero contribution to dot and norm, but a doc whose surviving
+    // terms were ALL such would get norm 0 and a NaN cosine (which
+    // Spark's >= admits and SQL NULL-division drops — an engine split)
     val w = tf.withColumn("df", count(lit(1)).over(dfW))
       .filter(col("df") <= maxDf)
       .crossJoin(broadcast(n))
+      .filter(col("df") < col("nd"))
       .select(col("doc_id"), col("term"),
         (col("tf") * log(col("nd").cast("double") / col("df"))).as("w"))
       .persist()
@@ -523,7 +528,7 @@ object TextOps {
         "df AS (SELECT term, count(*) df FROM tf GROUP BY 1), " +
         "n AS (SELECT count(*) nd FROM documents), " +
         "w AS (SELECT doc_id, term, tf * ln(nd::DOUBLE / df) w " +
-        "FROM tf JOIN df USING (term) CROSS JOIN n WHERE df <= 50), " +
+        "FROM tf JOIN df USING (term) CROSS JOIN n WHERE df <= 50 AND df < nd), " +
         "nrm AS (SELECT doc_id, sqrt(sum(w * w)) nrm, md5(min(text)) th " +
         "FROM w JOIN documents USING (doc_id) GROUP BY 1), " +
         "dots AS (SELECT a.doc_id doc_a, b.doc_id doc_b, sum(a.w * b.w) dot, " +

@@ -143,16 +143,19 @@ object Streaming {
   /** Streaming sibling of `Monitoring.structuring` (AML smurfing):
     * raise a flag when one user books >= `minTxns` just-below-threshold
     * transactions inside one event-time window summing past `minTotal`.
-    * Pure windowed aggregation — the band filter runs BEFORE the
-    * stateful operator, so state holds only (window, user) partials for
-    * in-band traffic, watermark-evicted; flags finalize (Append mode)
-    * once the watermark passes the window, i.e. a flag is never
-    * retracted. */
+    * Pure windowed aggregation — the band filter runs AFTER the
+    * watermark declaration but BEFORE the stateful aggregation, so
+    * EVERY event advances the watermark (a band filter below the
+    * watermark node would let out-of-band-only traffic stall window
+    * finalization and state eviction forever) while state still holds
+    * only (window, user) partials for in-band traffic; flags finalize
+    * (Append mode) once the watermark passes the window, i.e. a flag
+    * is never retracted. */
   def structuringFlags(txns: DataFrame, lo: Double = 50.0, hi: Double = 100.0,
       minTxns: Long = 3L, minTotal: Double = 150.0,
       watermark: String = "1 hour", window_ : String = "1 day"): DataFrame =
-    txns.filter(col("amount") >= lo && col("amount") < hi)
-      .withWatermark("timestamp", watermark)
+    txns.withWatermark("timestamp", watermark)
+      .filter(col("amount") >= lo && col("amount") < hi)
       .groupBy(window(col("timestamp"), window_).as("win"), col("user_id"))
       .agg(count(lit(1)).as("n_sub"), round(sum(col("amount")), 2).as("sum_sub"))
       .filter(col("n_sub") >= minTxns && col("sum_sub") >= minTotal)

@@ -62,8 +62,12 @@ class MonitoringSpec extends SparkSpec {
     r.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rows) =>
       // exactly one current (open) interval per user
       assert(rows.count(_.getAs[Boolean]("is_current")) === 1)
-      // each closed interval's valid_to equals the next interval's valid_from
-      rows.sortBy(_.getAs[Long]("valid_from")).sliding(2).foreach {
+      // each closed interval's valid_to equals the next interval's
+      // valid_from; same-millisecond changes share valid_from, so
+      // break the tie by valid_to (nulls last) to get interval order
+      rows.sortBy(x => (x.getAs[Long]("valid_from"),
+        Option(x.getAs[java.lang.Long]("valid_to")).map(_.longValue)
+          .getOrElse(Long.MaxValue))).sliding(2).foreach {
         case Array(a, b) =>
           assert(a.getAs[Long]("valid_to") === b.getAs[Long]("valid_from"))
           // consecutive intervals carry different statuses (it's a change log)
