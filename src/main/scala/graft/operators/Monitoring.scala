@@ -114,13 +114,66 @@ object Monitoring {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** Per-event trailing-window features — the feature-engineering pass
+    * a model-training pipeline runs over raw history: trailing-7-day
+    * event count and min/max amount (RANGE frame on epoch millis),
+    * previous amount, and the gap to the previous event. Every output
+    * is engine-exact (counts, min/max, lags — no frame SUMS, whose
+    * accumulation order is engine-specific; see
+    * SqlCoverage.windowRangeFrame's precedent). One shuffle: all four
+    * windows share the (user_id, ts_ms) partitioning and sort. */
+  def rollingFeatures(ev: DataFrame, windowMs: Long = 7L * 86400000L): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms")).rangeBetween(-windowMs, 0)
+    val byRow = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    ev.select(col("event_id"), col("user_id"), col("ts_ms"), col("value"))
+      .withColumn("n_7d", count(lit(1)).over(byTime))
+      .withColumn("min_7d", min(col("value")).over(byTime))
+      .withColumn("max_7d", max(col("value")).over(byTime))
+      .withColumn("prev_value", lag(col("value"), 1).over(byRow))
+      .withColumn("gap_ms", col("ts_ms") - lag(col("ts_ms"), 1).over(byRow))
+  }
+
+  /** Per-type data-contract audit — the pre-ingest validation pass:
+    * volume, null-metadata rate inputs, negative-amount violations,
+    * observed time range, user cardinality. One hash aggregate; every
+    * measure is an integer (engine-exact). */
+  def dqAudit(ev: DataFrame): DataFrame =
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("props").isNull, 1L).otherwise(0L)).as("n_null_props"),
+        sum(when(col("value") < 0, 1L).otherwise(0L)).as("n_negative"),
+        min(col("ts_ms")).as("min_ts_ms"),
+        max(col("ts_ms")).as("max_ts_ms"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  /** The monitoring capstone: both flag families over one input,
+    * fused per user — the screening report a compliance pipeline
+    * emits. Composition stays one lazy plan: Catalyst shares nothing
+    * between the branches it cannot (different groupings), but the
+    * union'd flag rows are narrow (user, kind, amount) and the final
+    * aggregate is tiny. */
+  def flagSummary(ev: DataFrame): DataFrame = {
+    val s = structuring(ev).select(col("user_id"),
+      lit("structuring").as("flag"), col("sum_sub").as("amount"))
+    val o = amountOutliers(ev).select(col("user_id"),
+      lit("outlier").as("flag"), col("value").as("amount"))
+    s.unionByName(o)
+      .groupBy(col("user_id"), col("flag"))
+      .agg(count(lit(1)).as("n_flags"), r2(sum(col("amount"))).as("flagged_amount"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_aml_structuring" -> ((s, d) => structuring(Tables.events(s, d))),
     "q_amount_outliers" -> ((s, d) => amountOutliers(Tables.events(s, d))),
     "q_benford" -> ((s, d) => benford(Tables.events(s, d))),
-    "q_scd2" -> ((s, d) => scd2(Tables.events(s, d))))
+    "q_scd2" -> ((s, d) => scd2(Tables.events(s, d))),
+    "q_feature_rolling" -> ((s, d) => rollingFeatures(Tables.events(s, d))),
+    "q_dq_audit" -> ((s, d) => dqAudit(Tables.events(s, d))),
+    "q_flag_summary" -> ((s, d) => flagSummary(Tables.events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
     "q_aml_structuring" ->
@@ -155,5 +208,35 @@ object Monitoring {
         "SELECT user_id, event_type AS status, tms AS valid_from, " +
         "lead(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) AS valid_to, " +
         "lead(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) IS NULL AS is_current " +
-        "FROM kept"))
+        "FROM kept"),
+    "q_feature_rolling" ->
+      ("SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value, " +
+        "count(*) OVER w7 AS n_7d, min(value) OVER w7 AS min_7d, " +
+        "max(value) OVER w7 AS max_7d, lag(value) OVER wr AS prev_value, " +
+        "epoch_ms(ts) - lag(epoch_ms(ts)) OVER wr AS gap_ms FROM events " +
+        "WINDOW w7 AS (PARTITION BY user_id ORDER BY epoch_ms(ts) " +
+        "RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW), " +
+        "wr AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)"),
+    "q_dq_audit" ->
+      ("SELECT event_type, count(*) AS n, " +
+        "sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_props, " +
+        "sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)::BIGINT AS n_negative, " +
+        "min(epoch_ms(ts)) AS min_ts_ms, max(epoch_ms(ts)) AS max_ts_ms, " +
+        "count(DISTINCT user_id) AS n_users FROM events GROUP BY 1"),
+    "q_flag_summary" ->
+      ("WITH s AS (SELECT user_id, 'structuring' AS flag, " +
+        "round(sum(value), 2) AS amount FROM events " +
+        "WHERE value >= 50 AND value < 100 " +
+        "GROUP BY user_id, CAST(ts AS DATE) " +
+        "HAVING count(*) >= 3 AND round(sum(value), 2) >= 150), " +
+        "st AS (SELECT user_id, value, count(*) OVER w AS n, " +
+        "round(sum(value) OVER w, 2) AS sm, " +
+        "round(sum(value * value) OVER w, 2) AS sq FROM events " +
+        "WINDOW w AS (PARTITION BY user_id)), " +
+        "o AS (SELECT user_id, 'outlier' AS flag, value AS amount FROM st " +
+        "WHERE n >= 10 AND (sq - sm * sm / n) / (n - 1) > 0 " +
+        "AND (value - sm / n) > 3 * sqrt((sq - sm * sm / n) / (n - 1))), " +
+        "u AS (SELECT * FROM s UNION ALL SELECT * FROM o) " +
+        "SELECT user_id, flag, count(*) AS n_flags, " +
+        "round(sum(amount), 2) AS flagged_amount FROM u GROUP BY 1, 2"))
 }

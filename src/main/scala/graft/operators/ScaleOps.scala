@@ -110,6 +110,20 @@ object ScaleOps {
       .agg(sum(col("pn")).cast("long").as("n"), r2(sum(col("psum"))).as("sum_value"))
   }
 
+  /** Sorted sequence export: repartition by user then sort WITHIN each
+    * partition by (user, time) before writing — every output file
+    * holds whole users in time order, so a downstream sequence-training
+    * reader streams each user's history without a sort, and parquet
+    * gets long sorted runs (better encoding + tighter row-group
+    * min/max). `sortWithinPartitions`, never a global `orderBy`: the
+    * export needs per-file order, and a total order would funnel the
+    * write through a single range-partitioned sort. */
+  def sortedExport(ev: DataFrame, outDir: String, parts: Int = 4): Unit =
+    ev.select(col("event_id"), col("user_id"), col("ts_ms"), col("value"))
+      .repartition(parts, col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_ms"), col("event_id"))
+      .write.mode("overwrite").parquet(outDir)
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -55,6 +55,42 @@ class MonitoringSpec extends SparkSpec {
     }
   }
 
+  test("rollingFeatures: self always in the trailing frame; lags null only on first event") {
+    val r = Monitoring.rollingFeatures(events).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getAs[Long]("n_7d") >= 1L) // current row is in its own frame
+      assert(x.getAs[Double]("min_7d") <= x.getAs[Double]("max_7d"))
+      val gapIdx = x.fieldIndex("gap_ms")
+      if (!x.isNullAt(gapIdx)) assert(x.getLong(gapIdx) >= 0L)
+    }
+    // exactly one null prev per user (the first event)
+    val nullPrevPerUser = r.filter(_.isNullAt(r.head.fieldIndex("prev_value")))
+      .groupBy(_.getAs[Long]("user_id")).view.mapValues(_.length)
+    assert(nullPrevPerUser.values.forall(_ === 1))
+  }
+
+  test("dqAudit: per-type volumes reconcile with the table; time range is sane") {
+    val r = Monitoring.dqAudit(events).collect()
+    assert(r.map(_.getAs[String]("event_type")).distinct.length === r.length)
+    assert(r.map(_.getAs[Long]("n")).sum === events.count())
+    r.foreach { x =>
+      assert(x.getAs[Long]("min_ts_ms") <= x.getAs[Long]("max_ts_ms"))
+      assert(x.getAs[Long]("n_null_props") >= 0L)
+      assert(x.getAs[Long]("n_users") >= 1L)
+    }
+  }
+
+  test("flagSummary: per-user counts reconcile with the individual flag operators") {
+    val r = Monitoring.flagSummary(events).collect()
+    val byFlag = r.groupBy(_.getAs[String]("flag"))
+    assert(byFlag.keySet.subsetOf(Set("structuring", "outlier")))
+    val nStruct = byFlag.get("structuring").map(_.map(_.getAs[Long]("n_flags")).sum).getOrElse(0L)
+    val nOut = byFlag.get("outlier").map(_.map(_.getAs[Long]("n_flags")).sum).getOrElse(0L)
+    assert(nStruct === Monitoring.structuring(events).count())
+    assert(nOut === Monitoring.amountOutliers(events).count())
+  }
+
   test("scd2: intervals per user chain without overlap; exactly one open interval") {
     val r = Monitoring.scd2(events)
       .orderBy(col("user_id"), col("valid_from")).collect()

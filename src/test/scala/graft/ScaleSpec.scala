@@ -92,6 +92,26 @@ class ScaleSpec extends SparkSpec {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
   }
 
+  test("sortedExport: each output file holds whole users in time order") {
+    val out = Files.createTempDirectory("graft-sorted").toString + "/events_sorted"
+    ScaleOps.sortedExport(Tables.events(spark, sf), out)
+    val back = spark.read.parquet(out)
+      .withColumn("file", input_file_name())
+      .collect()
+    assert(back.nonEmpty)
+    // per-file: rows arrive in (user_id, ts_ms, event_id) order
+    back.groupBy(_.getAs[String]("file")).foreach { case (_, rows) =>
+      val keys = rows.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts_ms"),
+        r.getAs[Long]("event_id")))
+      assert(keys.zip(keys.tail).forall { case (a, b) =>
+        implicitly[Ordering[(Long, Long, Long)]].lteq(a, b) }, "file not sorted")
+    }
+    // whole users: no user is split across files
+    val filesPerUser = back.groupBy(_.getAs[Long]("user_id"))
+      .view.mapValues(_.map(_.getAs[String]("file")).distinct.length)
+    assert(filesPerUser.values.forall(_ === 1), "a user spans multiple files")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     // the 100 TB lever behind AQE: when a shuffle join's build side is
     // small and selective, Spark injects a bloom-filter semi-filter on
