@@ -350,6 +350,36 @@ object TextOps {
       .filter(col("rnk") <= n)
   }
 
+  /** Deterministic WEIGHTED Bernoulli sampling: each doc is kept with
+    * probability proportional to its length (capped at 1) — how a
+    * training mix up-weights long documents without a second pass. The
+    * coin is the portable 60-bit hash of the doc id reduced mod 1e6
+    * against an INTEGER threshold floor(p·1e6), so the keep decision is
+    * bit-identical in any engine and stable across runs/partitions
+    * (`rand()` would be neither). Shuffle-free: pure row predicate. */
+  def weightedSample(docs: DataFrame, scaleChars: Double = 2000.0): DataFrame = {
+    val p = least(lit(1.0), col("n_chars").cast("double") / scaleChars)
+    docs
+      .withColumn("coin", pmod(hash60(concat(lit("wsamp|"), col("doc_id"))), lit(1000000L)))
+      .filter(col("coin") < floor(p * 1000000).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("coin"))
+  }
+
+  /** Deterministic train/val/test split (80/10/10 by hashed doc id) +
+    * per-(lang, split) counts — the assignment every training pipeline
+    * needs to be REPRODUCIBLE and leakage-free: membership depends only
+    * on the doc id, so re-runs, late-arriving shards, and other engines
+    * agree; a doc can never migrate between splits as the corpus grows
+    * (mod-100 bucketing, not rank-based percentiles). */
+  def trainSplit(docs: DataFrame): DataFrame = {
+    val bucket = pmod(hash60(concat(lit("split|"), col("doc_id"))), lit(100L))
+    docs
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("n_chars"))
+  }
+
   /** The composed corpus-cleaning pipeline, end to end in ONE lazy
     * plan: messy input → [[normalize]] → quality gate (≥ 20 tokens) →
     * exact dedup on normalized content (keep lowest id) → per-language
@@ -413,7 +443,9 @@ object TextOps {
     "q_seq_packing" -> ((s, d) => seqPacking(Tables.documents(s, d))),
     "q_stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
     "q_corpus_pipeline" -> ((s, d) => corpusPipeline(Tables.documents(s, d))),
-    "q_text_sparse_sim" -> ((s, d) => sparseSim(Tables.documents(s, d))))
+    "q_text_sparse_sim" -> ((s, d) => sparseSim(Tables.documents(s, d))),
+    "q_weighted_sample" -> ((s, d) => weightedSample(Tables.documents(s, d))),
+    "q_train_split" -> ((s, d) => trainSplit(Tables.documents(s, d))))
 
   /** The perturbed corpus + normalization, as SQL (DuckDB regexp_replace
     * needs the 'g' flag — it is first-match-only by default, unlike
@@ -538,5 +570,18 @@ object TextOps {
         "CASE WHEN x.th = y.th THEN 1.0 " +
         "ELSE floor(dot / (x.nrm * y.nrm) * 10000) / 10000 END cos_sim " +
         "FROM dots JOIN nrm x ON doc_a = x.doc_id JOIN nrm y ON doc_b = y.doc_id) " +
-        "SELECT doc_a, doc_b, n_terms, cos_sim FROM c WHERE cos_sim >= 0.2"))
+        "SELECT doc_a, doc_b, n_terms, cos_sim FROM c WHERE cos_sim >= 0.2"),
+    "q_weighted_sample" ->
+      ("WITH c AS (SELECT doc_id, lang, n_chars, " +
+        "('0x'||substr(md5('wsamp|'||doc_id),1,15))::BIGINT % 1000000 AS coin " +
+        "FROM documents) " +
+        "SELECT doc_id, lang, n_chars, coin FROM c " +
+        "WHERE coin < CAST(floor(least(1.0, n_chars::DOUBLE / 2000.0) * 1000000) AS BIGINT)"),
+    "q_train_split" ->
+      ("WITH s AS (SELECT lang, n_chars, CASE " +
+        "WHEN ('0x'||substr(md5('split|'||doc_id),1,15))::BIGINT % 100 < 80 THEN 'train' " +
+        "WHEN ('0x'||substr(md5('split|'||doc_id),1,15))::BIGINT % 100 < 90 THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents) " +
+        "SELECT lang, split, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars " +
+        "FROM s GROUP BY 1, 2"))
 }

@@ -197,6 +197,40 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("TextOps.weightedSample keeps long docs surely, is deterministic, respects the coin") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i =>
+      (i, "t", "en", "s", if (i < 100) 4000L else 10L)) // long docs: p=1; short: p=0.005
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r1 = TextOps.weightedSample(docs).collect()
+    // p = 1 docs are ALWAYS kept
+    assert(r1.count(_.getAs[Long]("n_chars") == 4000L) === 100)
+    // short docs kept only on a sub-0.5% coin — far fewer than half survive
+    assert(r1.count(_.getAs[Long]("n_chars") == 10L) < 50)
+    // deterministic: second run identical
+    val r2 = TextOps.weightedSample(docs).collect()
+    assert(r1.map(_.getAs[Long]("doc_id")).sorted.toSeq ===
+      r2.map(_.getAs[Long]("doc_id")).sorted.toSeq)
+  }
+
+  test("TextOps.trainSplit: splits partition the corpus, roughly 80/10/10, stable under growth") {
+    val full = Tables.documents(spark, sf)
+    val r = TextOps.trainSplit(full).collect()
+    val bySplit = r.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val total = bySplit.values.sum
+    assert(total === full.count())
+    assert(bySplit("train").toDouble / total > 0.7 && bySplit("train").toDouble / total < 0.9)
+    // stability: restricting the corpus never moves a doc between splits
+    val sub = TextOps.trainSplit(full.filter(col("doc_id") % 2 === 0)).collect()
+      .map(x => (x.getAs[String]("lang"), x.getAs[String]("split")) -> x.getAs[Long]("n_docs")).toMap
+    sub.foreach { case (k, n) =>
+      val fullN = r.find(x => (x.getAs[String]("lang"), x.getAs[String]("split")) == k)
+        .map(_.getAs[Long]("n_docs")).getOrElse(0L)
+      assert(n <= fullN, s"split $k grew when the corpus shrank")
+    }
+  }
+
   test("TextOps.sparseSim: near-identical docs pair high, unrelated docs don't pair") {
     val r = TextOps.sparseSim(docsDF, maxDf = 50L, minCos = 0.2).collect()
     // docs 0 and 1 differ by one trailing token → share most shingles
