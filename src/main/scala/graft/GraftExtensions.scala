@@ -63,6 +63,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => {
         arity("md5_hash60", 1, es); graft.functions.NativeHash.Md5Hash60(es.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("z_interleave16"),
+      info(graft.functions.NativeZOrder.getClass, "z_interleave16",
+        "z_interleave16(x, y) - Morton interleave of the low 16 bits of " +
+          "x (even positions) and y (odd positions)"),
+      (es: Seq[Expression]) => {
+        arity("z_interleave16", 2, es)
+        graft.functions.NativeZOrder.ZInterleave16(es.head, es(1))
+      }))
     // the custom as-of join operator (AsofNative.asofJoin also installs
     // this per session via experimental.extraStrategies)
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)

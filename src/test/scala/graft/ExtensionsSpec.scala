@@ -44,6 +44,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(e.getMessage.contains("md5_hash60"), e.getMessage)
   }
 
+  test("extended session resolves z_interleave16 in SQL; known Morton values") {
+    // interleave(1, 0) = bit 0 set; interleave(0, 1) = bit 1 set;
+    // interleave(0xFFFF, 0) = all even bits = 0x55555555
+    val r = spark.sql(
+      "SELECT z_interleave16(1L, 0L) a, z_interleave16(0L, 1L) b, " +
+        "z_interleave16(65535L, 0L) c, z_interleave16(0L, 65535L) d, " +
+        "z_interleave16(65535L, 65535L) e").collect().head
+    assert(r.getLong(0) === 1L)
+    assert(r.getLong(1) === 2L)
+    assert(r.getLong(2) === 0x55555555L)
+    assert(r.getLong(3) === 0xAAAAAAAAL)
+    assert(r.getLong(4) === 0xFFFFFFFFL)
+    // NULL propagates; wrong arity is the standard analysis error
+    assert(spark.sql("SELECT z_interleave16(NULL, 1L) n").collect().head.isNullAt(0))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT z_interleave16(1L)").collect()
+    }
+    assert(e.getErrorClass === "WRONG_NUM_ARGS.WITHOUT_SUGGESTION", e.getMessage)
+  }
+
   test("getOrCreate reuses the existing session — withExtensions cannot retrofit one") {
     // force the shared session into existence first, then try to build
     // "another" extended session: the builder hands back the same one.

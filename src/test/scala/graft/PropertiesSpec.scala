@@ -132,7 +132,7 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
-  test("zorder interleave is a bijection on 16-bit pairs (round-trip for any x, y)") {
+  test("zorder interleave is a bijection on 16-bit pairs; native == composed chain") {
     import spark.implicits._
     def unzip(z: Long, offset: Int): Long =
       (0 until 16).map(b => ((z >> (2 * b + offset)) & 1L) << b).reduce(_ | _)
@@ -142,9 +142,12 @@ class PropertiesSpec extends SparkSpec {
       val df = pairs.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
         .toDF("event_id", "x", "y")
         .withColumn("zval", ScaleOps.interleave16(col("x"), col("y")))
+        .withColumn("zcomposed", ScaleOps.interleave16Composed(col("x"), col("y")))
       df.collect().foreach { r =>
         assert(unzip(r.getAs[Long]("zval"), 0) === r.getAs[Long]("x"))
         assert(unzip(r.getAs[Long]("zval"), 1) === r.getAs[Long]("y"))
+        // native magic-mask expression is bit-identical to the 32-term chain
+        assert(r.getAs[Long]("zval") === r.getAs[Long]("zcomposed"))
       }
     }
   }
