@@ -315,6 +315,50 @@ object Streaming {
         col("debit_amount"), col("credit_amount"), col("debit_ts"), col("credit_ts"))
   }
 
+  /** Streaming CDC-apply: upsert each micro-batch into a keyed,
+    * BUCKET-PARTITIONED parquet store, keeping the latest row per user.
+    * The store is laid out as `kb=<bucket>` partitions (bucket = user
+    * mod `buckets`); each batch (1) prunes the store read to the
+    * buckets it touches, (2) unions store + batch and keeps the latest
+    * row per user (event time, then transaction id as the
+    * deterministic tie-break), (3) writes back with DYNAMIC partition
+    * overwrite — ONLY the touched `kb=` partitions are replaced, so
+    * per-batch write cost scales with the batch's key spread, not the
+    * store size. Deterministic rewrite per batch + checkpointed
+    * offsets ⇒ a replayed batch produces byte-identical partitions
+    * (exactly-once in the sink), the same guarantee as
+    * [[toParquetBatches]] but for UPSERT state instead of append. */
+  def upsertSink(txns: DataFrame, storeDir: String, checkpoint: String,
+      buckets: Int = 16): StreamingQuery =
+    txns.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val cols = Seq("transaction_id", "user_id", "amount", "currency", "type", "timestamp")
+      val b = batch.select(cols.map(col): _*)
+        .withColumn("kb", pmod(col("user_id"), lit(buckets)))
+        .persist()
+      // driver-side bucket list is bounded by `buckets`, never by data
+      val touched = b.select("kb").distinct().collect().map(_.getInt(0))
+      if (touched.nonEmpty) {
+        val existing =
+          try spark.read.parquet(storeDir).filter(col("kb").isin(touched.toSeq: _*))
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], b.schema) }
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("timestamp").desc, col("transaction_id").desc)
+        existing.unionByName(b)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("kb")
+          .parquet(storeDir)
+      }
+      b.unpersist()
+      ()
+    }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Start a query into an in-memory sink (tests / interactive). */
   def toMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

@@ -92,6 +92,22 @@ class ScaleSpec extends SparkSpec {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
   }
 
+  test("monitoring plan shapes: pushed band filter, single exchange for windows") {
+    import graft.operators.Monitoring
+    val ev = Tables.events(spark, sf)
+    // structuring: the value band reaches the parquet scan, one exchange
+    val sPlan = Monitoring.structuring(ev).queryExecution.executedPlan.toString
+    assert(sPlan.contains("value") && (sPlan.contains(">= 50.0") || sPlan.contains("GreaterThanOrEqual(value,50.0)")),
+      s"band filter not at the scan:\n$sPlan")
+    assert("Exchange hashpartitioning".r.findAllIn(sPlan).length === 1, sPlan)
+    // scd2: both windows + the change filter share ONE exchange
+    val cPlan = Monitoring.scd2(ev).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(cPlan).length === 1, cPlan)
+    // rolling features: all four windows share ONE exchange
+    val rPlan = Monitoring.rollingFeatures(ev).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(rPlan).length === 1, rPlan)
+  }
+
   test("sortedExport: each output file holds whole users in time order") {
     val out = Files.createTempDirectory("graft-sorted").toString + "/events_sorted"
     ScaleOps.sortedExport(Tables.events(spark, sf), out)

@@ -186,6 +186,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("upsertSink: keeps latest per user across batches; only touched buckets rewritten") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert")
+    val store = dir.toString + "/store"
+    val ckpt = dir.toString + "/ckpt"
+    val in = MemoryStream[Transaction](spark)
+    val q = Streaming.upsertSink(in.toDF(), store, ckpt, buckets = 4)
+    try {
+      in.addData(
+        txn("a1", 1, 10.0, "credit", "2025-01-01 10:00:00"),
+        txn("b1", 2, 20.0, "credit", "2025-01-01 10:00:00"))
+      q.processAllAvailable()
+      val files1 = spark.read.parquet(store).inputFiles.toSet
+      in.addData(
+        txn("a2", 1, 11.0, "debit", "2025-01-01 11:00:00"), // update user 1 (kb=1)
+        txn("c1", 7, 70.0, "credit", "2025-01-01 11:00:00")) // new user (kb=3)
+      q.processAllAvailable()
+      val state = spark.read.parquet(store).collect()
+        .map(r => r.getAs[Int]("user_id") ->
+          (r.getAs[String]("transaction_id"), r.getAs[Double]("amount"))).toMap
+      assert(state === Map(1 -> ("a2", 11.0), 2 -> ("b1", 20.0), 7 -> ("c1", 70.0)))
+      // user 2's bucket (kb=2) was untouched by batch 2 — its file survives
+      val files2 = spark.read.parquet(store).inputFiles.toSet
+      val kept = files1.filter(_.contains("kb=2"))
+      assert(kept.nonEmpty && kept.subsetOf(files2),
+        s"untouched bucket was rewritten: before=$files1 after=$files2")
+    } finally q.stop()
+  }
+
   test("cmsCounters: finalized window's counters equal the batch sketch over the same events") {
     import spark.implicits._
     val in = MemoryStream[Transaction](spark)
