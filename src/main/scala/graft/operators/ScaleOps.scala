@@ -126,12 +126,17 @@ object ScaleOps {
     * gets long sorted runs (better encoding + tighter row-group
     * min/max). `sortWithinPartitions`, never a global `orderBy`: the
     * export needs per-file order, and a total order would funnel the
-    * write through a single range-partitioned sort. */
+    * write through a single range-partitioned sort.
+    *
+    * The whole-users-per-file invariant requires one file per task —
+    * `maxRecordsPerFile` is pinned to 0 on THIS writer so a
+    * cluster-wide rollover default can't silently split a user's
+    * history across files mid-stream. */
   def sortedExport(ev: DataFrame, outDir: String, parts: Int = 4): Unit =
     ev.select(col("event_id"), col("user_id"), col("ts_ms"), col("value"))
       .repartition(parts, col("user_id"))
       .sortWithinPartitions(col("user_id"), col("ts_ms"), col("event_id"))
-      .write.mode("overwrite").parquet(outDir)
+      .write.mode("overwrite").option("maxRecordsPerFile", 0L).parquet(outDir)
 
   // ---- driver wiring ----
 

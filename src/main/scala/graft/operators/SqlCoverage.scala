@@ -173,6 +173,31 @@ object SqlCoverage {
         count(lit(1)).as("n_events"), r2(sum(col("value"))).as("sum_value"))
   }
 
+  /** Session funnel: per user, how many sessions saw a `view` followed
+    * (at-or-after, by event time) by a `purchase` — the conversion
+    * measure a product/monitoring pipeline computes over sessionized
+    * history. Same gaps-and-islands numbering as [[sessionize]];
+    * conversion per session reduces to min(view ts) <= max(purchase
+    * ts) — pure integer min/max, engine-exact. One shuffle on user_id:
+    * the session windows and both aggregations share the partitioning. */
+  def funnel(ev: DataFrame, gapMs: Long = 1800000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val flagged = ev.select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"),
+      when(col("ts_ms") - lag(col("ts_ms"), 1).over(w) > gapMs || lag(col("ts_ms"), 1).over(w).isNull, 1L)
+        .otherwise(0L).as("new_session"))
+    val sessioned = flagged.withColumn("session_no",
+      sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perSession = sessioned.groupBy(col("user_id"), col("session_no"))
+      .agg(min(when(col("event_type") === "view", col("ts_ms"))).as("first_view"),
+        max(when(col("event_type") === "purchase", col("ts_ms"))).as("last_purchase"))
+    perSession.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("first_view").isNotNull, 1L).otherwise(0L)).as("n_with_view"),
+        sum(when(col("last_purchase").isNotNull, 1L).otherwise(0L)).as("n_with_purchase"),
+        sum(when(col("first_view").isNotNull && col("last_purchase").isNotNull &&
+          col("first_view") <= col("last_purchase"), 1L).otherwise(0L)).as("n_converted"))
+  }
+
   /** Full outer join: per-nation customer vs supplier counts. */
   def fullOuterJoin(customer: DataFrame, supplier: DataFrame): DataFrame = {
     val c = customer.groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
@@ -333,6 +358,7 @@ object SqlCoverage {
     "q_window_sliding" -> ((s, d) => slidingWindows(Tables.events(s, d))),
     "q_window_range_frame" -> ((s, d) => windowRangeFrame(Tables.orders(s, d))),
     "q_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
+    "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
     "q_full_outer_join" -> ((s, d) => fullOuterJoin(Tables.customer(s, d), Tables.supplier(s, d))),
     "q_cross_join" -> ((s, d) => crossJoinDims(Tables.region(s, d), Tables.nation(s, d))),
     "q_like_filter" -> ((s, d) => likeFilters(Tables.part(s, d))),
@@ -444,6 +470,23 @@ object SqlCoverage {
         "ORDER BY ts_ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT session_no FROM flagged) " +
         "SELECT user_id, session_no, min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms, " +
         "count(*) AS n_events, round(sum(value), 2) AS sum_value FROM sessioned GROUP BY 1, 2"),
+    "q_funnel" ->
+      ("WITH flagged AS (SELECT user_id, epoch_ms(ts) ts_ms, event_id, event_type, " +
+        "CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 " +
+        "OR lag(epoch_ms(ts)) OVER w IS NULL THEN 1 ELSE 0 END new_session " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)), " +
+        "sessioned AS (SELECT *, (sum(new_session) OVER (PARTITION BY user_id " +
+        "ORDER BY ts_ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT session_no FROM flagged), " +
+        "per_session AS (SELECT user_id, session_no, " +
+        "min(CASE WHEN event_type = 'view' THEN ts_ms END) first_view, " +
+        "max(CASE WHEN event_type = 'purchase' THEN ts_ms END) last_purchase " +
+        "FROM sessioned GROUP BY 1, 2) " +
+        "SELECT user_id, count(*) AS n_sessions, " +
+        "sum(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_with_view, " +
+        "sum(CASE WHEN last_purchase IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_with_purchase, " +
+        "sum(CASE WHEN first_view IS NOT NULL AND last_purchase IS NOT NULL " +
+        "AND first_view <= last_purchase THEN 1 ELSE 0 END)::BIGINT AS n_converted " +
+        "FROM per_session GROUP BY 1"),
     "q_full_outer_join" ->
       ("WITH c AS (SELECT c_nationkey nk, count(*) n_cust FROM customer GROUP BY 1), " +
         "s AS (SELECT s_nationkey nk, count(*) n_supp FROM supplier GROUP BY 1) " +

@@ -318,42 +318,59 @@ object Streaming {
   /** Streaming CDC-apply: upsert each micro-batch into a keyed,
     * BUCKET-PARTITIONED parquet store, keeping the latest row per user.
     * The store is laid out as `kb=<bucket>` partitions (bucket = user
-    * mod `buckets`); each batch (1) prunes the store read to the
-    * buckets it touches, (2) unions store + batch and keeps the latest
-    * row per user (event time, then transaction id as the
-    * deterministic tie-break), (3) writes back with DYNAMIC partition
-    * overwrite — ONLY the touched `kb=` partitions are replaced, so
-    * per-batch write cost scales with the batch's key spread, not the
-    * store size. Deterministic rewrite per batch + checkpointed
-    * offsets ⇒ a replayed batch produces byte-identical partitions
-    * (exactly-once in the sink), the same guarantee as
-    * [[toParquetBatches]] but for UPSERT state instead of append. */
+    * mod `buckets`); each batch (1) reads ONLY the `kb=` directories it
+    * touches, with an explicit schema — driver cost is bounded by the
+    * batch's key spread, never by store size or file count, (2) unions
+    * store + batch and keeps the latest row per user (event time, then
+    * transaction id as the deterministic tie-break), (3) writes back
+    * with DYNAMIC partition overwrite so only the touched partitions
+    * are replaced.
+    *
+    * Consistency contract: replaying a batch recomputes the same
+    * partition contents (deterministic keep-latest), but the dynamic-
+    * overwrite COMMIT itself is per-partition file moves, not atomic —
+    * a crash inside the commit window can lose rows that were only in
+    * the replaced files. That window is the reason production deploys
+    * this pattern on a transactional table format (Delta/Iceberg
+    * MERGE); the operator demonstrates the pruned-rewrite SHAPE — read
+    * scoped to touched buckets, rewrite scoped to touched buckets —
+    * which is exactly what those formats execute underneath. */
   def upsertSink(txns: DataFrame, storeDir: String, checkpoint: String,
       buckets: Int = 16): StreamingQuery =
     txns.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val spark = batch.sparkSession
       val cols = Seq("transaction_id", "user_id", "amount", "currency", "type", "timestamp")
+      // int kb regardless of the stream's user_id width (int or long)
       val b = batch.select(cols.map(col): _*)
-        .withColumn("kb", pmod(col("user_id"), lit(buckets)))
+        .withColumn("kb", pmod(col("user_id"), lit(buckets)).cast("int"))
         .persist()
-      // driver-side bucket list is bounded by `buckets`, never by data
-      val touched = b.select("kb").distinct().collect().map(_.getInt(0))
-      if (touched.nonEmpty) {
-        val existing =
-          try spark.read.parquet(storeDir).filter(col("kb").isin(touched.toSeq: _*))
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], b.schema) }
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
-          .orderBy(col("timestamp").desc, col("transaction_id").desc)
-        existing.unionByName(b)
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).drop("rn")
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("kb")
-          .parquet(storeDir)
-      }
-      b.unpersist()
+      try {
+        // driver-side bucket list is bounded by `buckets`, never by data
+        val touched = b.select("kb").distinct().collect().map(_.getInt(0))
+        if (touched.nonEmpty) {
+          // explicit existence probe per touched partition dir — never a
+          // broad exception catch (which would conflate "store not born
+          // yet" with "store unreadable" and clobber good partitions)
+          val base = new org.apache.hadoop.fs.Path(storeDir)
+          val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val liveDirs = touched.map(k => s"$storeDir/kb=$k")
+            .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+          val existing =
+            if (liveDirs.isEmpty)
+              spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], b.schema)
+            else spark.read.option("basePath", storeDir).schema(b.schema)
+              .parquet(liveDirs.toSeq: _*)
+          val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+            .orderBy(col("timestamp").desc, col("transaction_id").desc)
+          existing.unionByName(b)
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1).drop("rn")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("kb")
+            .parquet(storeDir)
+        }
+      } finally b.unpersist() // also on write failure: replay must not stack cached copies
       ()
     }
       .option("checkpointLocation", checkpoint)

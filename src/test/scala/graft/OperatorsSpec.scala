@@ -197,6 +197,29 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("SqlCoverage.funnel: conversion only when a view precedes a purchase in-session") {
+    import spark.implicits._
+    val ms = 60000L
+    def ev(id: Long, user: Long, kind: String, minute: Long) = (id, user, kind, minute * ms)
+    val events = Seq(
+      // user 1, one session: view then purchase → converted
+      ev(1, 1, "view", 0), ev(2, 1, "purchase", 5),
+      // user 2, one session: purchase then view → NOT converted
+      ev(3, 2, "purchase", 0), ev(4, 2, "view", 5),
+      // user 3: view, then a >30min gap, purchase in a NEW session → not converted
+      ev(5, 3, "view", 0), ev(6, 3, "purchase", 60),
+      // user 4: view only
+      ev(7, 4, "view", 0)
+    ).toDF("event_id", "user_id", "event_type", "ts_ms")
+    val r = SqlCoverage.funnel(events).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        (x.getAs[Long]("n_sessions"), x.getAs[Long]("n_converted"))).toMap
+    assert(r(1L) === (1L, 1L))
+    assert(r(2L) === (1L, 0L))
+    assert(r(3L) === (2L, 0L))
+    assert(r(4L) === (1L, 0L))
+  }
+
   test("TextOps.weightedSample keeps long docs surely, is deterministic, respects the coin") {
     import spark.implicits._
     val docs = (0L until 200L).map(i =>
