@@ -138,9 +138,49 @@ object ScaleOps {
       .sortWithinPartitions(col("user_id"), col("ts_ms"), col("event_id"))
       .write.mode("overwrite").option("maxRecordsPerFile", 0L).parquet(outDir)
 
+  /** The training-mixture config: per-source target sampling rate.
+    * A mixture is a LITERAL the pipeline owner writes down (e.g. "web
+    * 10%, wiki 100%") — here one rate per synthetic source, spanning
+    * keep-everything to heavy downsample. Unknown sources default to
+    * [[MixtureDefaultRate]]. */
+  val MixtureRates: Seq[(String, Double)] = Seq(
+    "src0" -> 1.0, "src1" -> 0.8, "src2" -> 0.6, "src3" -> 0.5,
+    "src4" -> 0.4, "src5" -> 0.3, "src6" -> 0.25, "src7" -> 0.2,
+    "src8" -> 0.1, "src9" -> 0.05)
+  val MixtureDefaultRate = 0.1
+
+  /** Training-mixture construction: downsample each source to its
+    * target rate with a deterministic per-doc Bernoulli coin (portable
+    * 60-bit md5 hash mod 1e6 against an INTEGER threshold — stable
+    * across runs, partitionings, and engines; `rand()` is none of
+    * those), then report per-source totals, sampled counts, achieved
+    * rate, and retained token volume. This is how a 100 TB corpus
+    * becomes a weighted training mix in ONE scan: the keep decision is
+    * a row predicate (no per-source pass, no global sort), and the
+    * only shuffle is the final per-source aggregate — map-side
+    * combined, ~|sources| rows. */
+  def mixtureSample(docs: DataFrame): DataFrame = {
+    val rate = MixtureRates.foldRight(lit(MixtureDefaultRate): Column) {
+      case ((s, r), acc) => when(col("source") === s, lit(r)).otherwise(acc)
+    }
+    val coin = pmod(graft.functions.TextHash.hash60(
+      concat(lit("mix|"), col("doc_id"))), lit(1000000L))
+    docs
+      .withColumn("target_rate", rate)
+      .withColumn("kept", (coin < floor(col("target_rate") * 1000000).cast("long")).cast("int"))
+      .groupBy(col("source")).agg(
+        max(col("target_rate")).as("target_rate"),
+        count(lit(1)).as("n_total"),
+        sum(col("kept")).cast("long").as("n_sampled"),
+        graft.functions.Portable.trunc4(
+          sum(col("kept")).cast("double") / count(lit(1))).as("achieved_rate"),
+        sum(col("kept") * col("n_chars")).cast("long").as("n_chars_sampled"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mixture_sample" -> ((s, d) => mixtureSample(Tables.documents(s, d))),
     "q_salted_agg" -> ((s, d) => saltedUserStats(Tables.events(s, d))),
     "q_zorder" -> ((s, d) => zorderEvents(Tables.events(s, d))),
     "q_skew_audit" -> ((s, d) => skewAudit(Tables.lineitem(s, d))),
@@ -153,7 +193,21 @@ object ScaleOps {
       s"((($x >> $b) & 1) << ${2 * b}) | ((($y >> $b) & 1) << ${2 * b + 1})")
       .mkString(" | ")
 
+  /** The mixture config as a SQL CASE — same literals as [[MixtureRates]]. */
+  private val mixtureRateSql: String =
+    "CASE " + MixtureRates.map { case (s, r) => s"WHEN source = '$s' THEN $r" }
+      .mkString(" ") + s" ELSE $MixtureDefaultRate END"
+
   val oracleSql: Map[String, String] = Map(
+    "q_mixture_sample" ->
+      (s"WITH c AS (SELECT source, n_chars, $mixtureRateSql AS target_rate, " +
+        "CASE WHEN ('0x'||substr(md5('mix|'||doc_id),1,15))::BIGINT % 1000000 " +
+        s"< CAST(floor(($mixtureRateSql) * 1000000) AS BIGINT) THEN 1 ELSE 0 END AS kept " +
+        "FROM documents) " +
+        "SELECT source, max(target_rate) AS target_rate, count(*) AS n_total, " +
+        "sum(kept)::BIGINT AS n_sampled, " +
+        "floor(sum(kept)::DOUBLE / count(*) * 10000) / 10000 AS achieved_rate, " +
+        "sum(kept * n_chars)::BIGINT AS n_chars_sampled FROM c GROUP BY 1"),
     // the oracle is the UNSALTED aggregation: salting must not change results
     "q_salted_agg" ->
       ("SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value " +

@@ -280,6 +280,42 @@ object Similarity {
       .option("path", s"$warehouse/$table").saveAsTable(table)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    * the embeddings with the k-means coarse quantizer, then compare
+    * pairs ONLY within a cluster — a document is dropped when a
+    * lower-id cluster-mate sits above the cosine threshold. Unlike the
+    * LSH near-dup pass (surface-level sign agreement), this is the
+    * published recipe for removing SEMANTIC duplicates from training
+    * corpora, and the cluster step is what makes it tractable: pairwise
+    * work is Σ|cluster|²/2, not n²/2. At 100 TB the cluster count
+    * scales with the corpus (NList grows to hold |cluster| roughly
+    * constant, exactly as SemDeDup prescribes), so per-cluster work
+    * stays bounded and the self-join shuffles on list_id — an equi-join
+    * over bucketable keys, never a cross join.
+    *
+    * Output: one row per DROPPED vector — its keeper (`dup_of`, the
+    * smallest qualifying cluster-mate), how many lower-id mates
+    * qualified, and the best (max truncated) cosine among them. All
+    * aggregates are order-independent, so the result is engine-exact;
+    * the oracle retrains the same k-means (exact quantized sums) and
+    * replays the same pairing. */
+  def semanticDedup(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val v = withEmbD(emb).persist() // training + assignment + pairing passes
+    val cents = trainedCentroids(v).localCheckpoint(true)
+    val vl = v.join(assignTo(v, cents), "vec_id").persist()
+    val pairs = vl.as("x").join(vl.as("y"),
+        col("x.list_id") === col("y.list_id") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("y.vec_id").as("vec_id"), col("x.vec_id").as("a_id"),
+        trunc4(NativeVector.cosine(col("x.e"), col("y.e"))).as("cos"))
+      .filter(col("cos") >= threshold)
+    val result = pairs.groupBy(col("vec_id"))
+      .agg(min(col("a_id")).as("dup_of"), count(lit(1)).as("n_dups"),
+        max(col("cos")).as("best_cos"))
+      .localCheckpoint(true) // dropped set ≪ corpus
+    vl.unpersist(); v.unpersist()
+    result
+  }
+
   /** Embedding-cosine near-dup pairs: LSH band join (no cross join),
     * verified by cosine ≥ threshold. */
   def nearDupPairs(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
@@ -436,6 +472,7 @@ object Similarity {
     "q_sim_topk_ann_mp" -> ((s, d) => annTopKMultiProbe(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_topk_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_neardup" -> ((s, d) => nearDupPairs(Tables.embeddings(s, d))),
+    "q_dedup_semantic" -> ((s, d) => semanticDedup(Tables.embeddings(s, d))),
     "q_sim_recall" -> ((s, d) => recallAtK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_vec_quantize" -> ((s, d) => quantizeAudit(Tables.embeddings(s, d))),
     "q_vec_project" -> ((s, d) => vecProject(Tables.embeddings(s, d))))
@@ -514,16 +551,23 @@ object Similarity {
       s"c${idx + 1} AS (SELECT list_id AS cid, " +
       s"list(sv::DOUBLE / n / ${QScale.toLong}.0 ORDER BY d) ce FROM kj$idx GROUP BY list_id)"
 
-  /** Full IVF chain → iv_ranked: seed c0, KmIters Lloyd steps over the
-    * ks sample (c2), final assignment kas2 over all vectors, probes,
-    * probe-join scoring. Requires v, qs. */
-  private lazy val ivfCtes = {
+  /** k-means training chain → kas$KmIters (the full-corpus assignment):
+    * deterministic sample ks, seed c0, KmIters Lloyd steps with exact
+    * quantized sums, final assignment over all of v. Requires v.
+    * Shared by the IVF probe chain and the SemDeDup oracle. */
+  private lazy val kmChainCtes = {
     val train = (0 until KmIters)
       .map(i => kmAssignSql(s"c$i", i, "ks") + ", " + kmUpdateSql(i)).mkString(", ")
     "ks AS (SELECT vec_id, e FROM v " +
       "WHERE ('0x'||substr(md5('kms|'||vec_id),1,15))::BIGINT % 4 = 0), " +
       s"c0 AS (SELECT vec_id::INT cid, e ce FROM v WHERE vec_id < $NList), " +
-      train + ", " + kmAssignSql(s"c$KmIters", KmIters, "v") + ", " +
+      train + ", " + kmAssignSql(s"c$KmIters", KmIters, "v")
+  }
+
+  /** Full IVF chain → iv_ranked: [[kmChainCtes]] then probes +
+    * probe-join scoring. Requires v, qs. */
+  private lazy val ivfCtes = {
+    kmChainCtes + ", " +
       s"iv_pc AS (SELECT q_id, qe, cid, floor(list_cosine_similarity(qe, ce) * 10000) / 10000 qcos " +
       s"FROM qs CROSS JOIN c$KmIters), " +
       "iv_probes AS (SELECT q_id, qe, cid AS list_id FROM (SELECT q_id, qe, cid, " +
@@ -573,6 +617,14 @@ object Similarity {
         "(SELECT e FROM v WHERE v.vec_id = cand.a_id), " +
         "(SELECT e FROM v WHERE v.vec_id = cand.b_id)) * 10000) / 10000 cos FROM cand) " +
         "SELECT a_id, b_id, cos FROM scored WHERE cos >= 0.4"),
+    "q_dedup_semantic" ->
+      (s"WITH $vCte, $kmChainCtes, " +
+        s"sd_vl AS (SELECT v.vec_id, v.e, a.list_id FROM v JOIN kas$KmIters a USING (vec_id)), " +
+        "sd_pr AS (SELECT y.vec_id vec_id, x.vec_id a_id, " +
+        "floor(list_cosine_similarity(x.e, y.e) * 10000) / 10000 cos " +
+        "FROM sd_vl x JOIN sd_vl y ON x.list_id = y.list_id AND x.vec_id < y.vec_id) " +
+        "SELECT vec_id, min(a_id) AS dup_of, count(*) AS n_dups, max(cos) AS best_cos " +
+        "FROM sd_pr WHERE cos >= 0.4 GROUP BY vec_id"),
     "q_sim_recall" ->
       (s"WITH $vCte, $qsCte, $bitsBandsCte, $exactCtes, $annCtes, $annMpCtes, $ivfCtes, " +
         "ex10 AS (SELECT q_id, vec_id FROM ex_ranked WHERE rnk <= 10), " +

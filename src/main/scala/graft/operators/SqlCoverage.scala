@@ -316,6 +316,28 @@ object SqlCoverage {
     p.intersectAll(e).groupBy(col("user_id")).agg(count(lit(1)).as("multiplicity"))
   }
 
+  /** Multiset difference: EXCEPT ALL keeps multiplicity — a user with
+    * three purchases and one error survives twice (plain EXCEPT, the
+    * q_setop_except query, would drop them entirely). Spark plans this
+    * as a single hash aggregate over tagged counts — no join. */
+  def setOpsExceptAll(ev: DataFrame): DataFrame = {
+    val p = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+    val e = ev.filter(col("event_type") === "error").select(col("user_id"))
+    p.exceptAll(e).groupBy(col("user_id")).agg(count(lit(1)).as("multiplicity"))
+  }
+
+  /** Unpivot (wide → long): melt the per-user pivot back into
+    * (user_id, metric, value) rows with `Dataset.unpivot` — the native
+    * melt operator (a generate-style expansion, no shuffle beyond the
+    * pivot's own aggregate). Round-tripping [[pivotEvents]] also pins
+    * the pivot's zero-fill semantics: absent (user, type) combinations
+    * come back as explicit 0.0 rows. */
+  def unpivotEvents(ev: DataFrame): DataFrame =
+    pivotEvents(ev).unpivot(
+      Array(col("user_id")),
+      Array(col("click"), col("error"), col("purchase"), col("signup"), col("view")),
+      "metric", "value")
+
   /** Array-function family over tokenized part names (scalar outputs
     * only — array columns don't canonicalize across engines). */
   def arrayFuncs(part: DataFrame): DataFrame = {
@@ -367,6 +389,8 @@ object SqlCoverage {
     "q_stats_exact" -> ((s, d) => statsExact(Tables.orders(s, d))),
     "q_agg_extras" -> ((s, d) => aggExtras(Tables.orders(s, d))),
     "q_setop_intersect_all" -> ((s, d) => setOpsAll(Tables.events(s, d))),
+    "q_setop_except_all" -> ((s, d) => setOpsExceptAll(Tables.events(s, d))),
+    "q_unpivot" -> ((s, d) => unpivotEvents(Tables.events(s, d))),
     "q_array_funcs" -> ((s, d) => arrayFuncs(Tables.part(s, d))),
     "q_json_struct" -> ((s, d) => jsonStruct(Tables.events(s, d))),
     "q_posexplode" -> ((s, d) => posExplode(Tables.part(s, d))),
@@ -516,6 +540,17 @@ object SqlCoverage {
       ("SELECT user_id, count(*) AS multiplicity FROM (" +
         "SELECT user_id FROM events WHERE event_type = 'purchase' " +
         "INTERSECT ALL SELECT user_id FROM events WHERE event_type = 'error') GROUP BY user_id"),
+    "q_setop_except_all" ->
+      ("SELECT user_id, count(*) AS multiplicity FROM (" +
+        "SELECT user_id FROM events WHERE event_type = 'purchase' " +
+        "EXCEPT ALL SELECT user_id FROM events WHERE event_type = 'error') GROUP BY user_id"),
+    "q_unpivot" ->
+      ("WITH s AS (SELECT user_id, event_type, round(sum(value), 2) v " +
+        "FROM events GROUP BY 1, 2), " +
+        "u AS (SELECT DISTINCT user_id FROM events), " +
+        "t AS (SELECT unnest(['click','error','purchase','signup','view']) metric) " +
+        "SELECT u.user_id, t.metric, coalesce(s.v, 0.0) AS value " +
+        "FROM u CROSS JOIN t LEFT JOIN s ON s.user_id = u.user_id AND s.event_type = t.metric"),
     "q_array_funcs" ->
       ("WITH t AS (SELECT p_partkey, string_split(p_name, ' ') toks FROM part) " +
         "SELECT p_partkey, len(toks)::BIGINT n_tokens, toks[1] first_tok, " +

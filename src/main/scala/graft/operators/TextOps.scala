@@ -427,6 +427,114 @@ object TextOps {
         trunc4(col("s")).as("tfidf"), col("rnk"))
   }
 
+  /** Gopher-style repetition quality metrics — the filter family the
+    * Gopher/MassiveText pipeline applies after basic quality scoring:
+    * a document dominated by a few repeated n-grams is boilerplate or
+    * spam, not prose. Per doc:
+    *  - `top_bigram_frac` — instances of the single most frequent
+    *    bigram / all bigram instances;
+    *  - `dup_bigram_frac` — instances of any bigram occurring ≥ 2
+    *    times / all bigram instances;
+    *  - `dup_trigram_frac` — 1 − distinct/total trigram instances;
+    *  - `verdict` — 'repetitive' above either threshold, else 'ok'
+    *    (compared on the truncated values, so the label can't flip on
+    *    an engine's last ulp).
+    *
+    * Scale shape: ONE token pass (posexplode + two `lead`s over the
+    * doc_id partitioning) emits both gram sizes via a tagged explode —
+    * not one shingle pipeline per n, which would scan the corpus
+    * twice. Then two hash aggregates, (doc, n, gram) → (doc), both
+    * map-side combined; the shuffles carry gram hashes and counts,
+    * never document text. Thresholds follow Gopher's shape (top-gram
+    * fraction 0.2; duplicate fraction 0.1) — length-robust: a short
+    * all-distinct doc has top frac 1/(n−1), which must NOT flag, so
+    * the top threshold sits well above 1/9 (the corpus's 10-token
+    * minimum); corpus dup2 spans 0–0.27 around the 0.1 cut. */
+  def repetition(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spreadDocs = graft.functions.Portable.spread(docs, col("doc_id"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val tok = spreadDocs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "t")))
+      .withColumn("n_toks", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("t1", lead(col("t"), 1).over(byPos))
+      .withColumn("t2", lead(col("t"), 2).over(byPos))
+    val grams = tok.select(col("doc_id"), explode(array(
+        struct(lit(2).as("n"), when(col("i") <= col("n_toks") - 2,
+          concat_ws(" ", col("t"), col("t1"))).as("s")),
+        struct(lit(3).as("n"), when(col("i") <= col("n_toks") - 3,
+          concat_ws(" ", col("t"), col("t1"), col("t2"))).as("s")))).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.s").as("s"))
+      .filter(col("s").isNotNull)
+    // distinct3 = row count of (n=3) gram groups; total3 = Σ counts
+    val m = grams.groupBy(col("doc_id"), col("n"), col("s"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(when(col("n") === 2, col("c")).otherwise(0L)).as("total2"),
+        max(when(col("n") === 2, col("c"))).as("top2"),
+        sum(when(col("n") === 2 && col("c") >= 2, col("c")).otherwise(0L)).as("dup2"),
+        sum(when(col("n") === 3, col("c")).otherwise(0L)).as("total3"),
+        sum(when(col("n") === 3, 1L).otherwise(0L)).as("distinct3"))
+    val top2F = trunc4(col("top2").cast("double") / col("total2"))
+    val dup2F = trunc4(col("dup2").cast("double") / col("total2"))
+    val dup3F = trunc4((col("total3") - col("distinct3")).cast("double") / col("total3"))
+    m.filter(col("total3") > 0) // guard: <3-token docs have no trigram base
+      .select(col("doc_id"), col("total2").as("n_bigrams"),
+        top2F.as("top_bigram_frac"), dup2F.as("dup_bigram_frac"),
+        dup3F.as("dup_trigram_frac"),
+        when(top2F >= 0.2 || dup2F >= 0.1, "repetitive").otherwise("ok").as("verdict"))
+  }
+
+  /** PII regex patterns shared by the Spark plan and the oracle SQL —
+    * conservative classes only (no shorthand like \d, no lookaround),
+    * so the Java regex engine and DuckDB's RE2 match identically. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val IpRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Deterministic synthetic PII injection: the corpus is clean
+    * lowercase prose (no emails/phones/IPs to find), which is exactly
+    * what a redaction operator cannot assume — so, like [[perturbed]],
+    * we derive a known contamination from the doc id: every 5th doc
+    * gains an email, the next a phone, the next an IPv4; the rest stay
+    * clean. Pure row expressions — the injection is part of the scan
+    * projection. */
+  private[graft] def withPii(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val injected = when(id % 5 === 0,
+        concat(col("text"), lit(" contact user"), id.cast("string"),
+          lit("@mail.example.com now")))
+      .when(id % 5 === 1,
+        concat(col("text"), lit(" call 555-"),
+          lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((id % 10000).cast("string"), 4, "0")))
+      .when(id % 5 === 2,
+        concat(col("text"), lit(" from 10."), (id % 256).cast("string"),
+          lit("."), expr("doc_id div 256 % 256").cast("string"), lit(".77")))
+      .otherwise(col("text"))
+    docs.select(col("doc_id"), injected.as("text"))
+  }
+
+  /** PII redaction — the scrub pass a training corpus runs before
+    * anything is retained: count and replace emails, then phones, then
+    * IPv4s (fixed order, so overlapping matches resolve identically in
+    * any engine) with typed placeholder tags. Counts are taken on the
+    * pre-redaction text per pattern; the patterns are disjoint by
+    * construction (emails carry no hyphen-digit runs, phones no dots).
+    * Shuffle-free: the entire operator is one codegen'd projection over
+    * the scan — at 100 TB it runs at read speed. */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val d = withPii(docs)
+    val redacted = regexp_replace(regexp_replace(regexp_replace(
+      col("text"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>")
+    d.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(col("text"), lit(IpRe), lit(0))).cast("long").as("n_ips"),
+      length(redacted).cast("long").as("n_chars_redacted"),
+      md5(redacted).as("redact_hash"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -445,7 +553,9 @@ object TextOps {
     "q_corpus_pipeline" -> ((s, d) => corpusPipeline(Tables.documents(s, d))),
     "q_text_sparse_sim" -> ((s, d) => sparseSim(Tables.documents(s, d))),
     "q_weighted_sample" -> ((s, d) => weightedSample(Tables.documents(s, d))),
-    "q_train_split" -> ((s, d) => trainSplit(Tables.documents(s, d))))
+    "q_train_split" -> ((s, d) => trainSplit(Tables.documents(s, d))),
+    "q_text_repetition" -> ((s, d) => repetition(Tables.documents(s, d))),
+    "q_text_redact" -> ((s, d) => redactPii(Tables.documents(s, d))))
 
   /** The perturbed corpus + normalization, as SQL (DuckDB regexp_replace
     * needs the 'g' flag — it is first-match-only by default, unlike
@@ -583,5 +693,40 @@ object TextOps {
         "WHEN ('0x'||substr(md5('split|'||doc_id),1,15))::BIGINT % 100 < 90 THEN 'val' " +
         "ELSE 'test' END AS split FROM documents) " +
         "SELECT lang, split, count(*) AS n_docs, sum(n_chars)::BIGINT AS n_chars " +
-        "FROM s GROUP BY 1, 2"))
+        "FROM s GROUP BY 1, 2"),
+    "q_text_repetition" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents), " +
+        "g AS (SELECT doc_id, 2 n, unnest(list_transform(range(1, len(tok)), " +
+        "i -> tok[i] || ' ' || tok[i+1])) s FROM t " +
+        "UNION ALL SELECT doc_id, 3 n, unnest(list_transform(range(1, len(tok) - 1), " +
+        "i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) s FROM t), " +
+        "c AS (SELECT doc_id, n, s, count(*) c FROM g GROUP BY 1, 2, 3), " +
+        "m AS (SELECT doc_id, " +
+        "sum(CASE WHEN n = 2 THEN c ELSE 0 END)::BIGINT total2, " +
+        "max(CASE WHEN n = 2 THEN c END)::BIGINT top2, " +
+        "sum(CASE WHEN n = 2 AND c >= 2 THEN c ELSE 0 END)::BIGINT dup2, " +
+        "sum(CASE WHEN n = 3 THEN c ELSE 0 END)::BIGINT total3, " +
+        "sum(CASE WHEN n = 3 THEN 1 ELSE 0 END)::BIGINT distinct3 FROM c GROUP BY 1), " +
+        "f AS (SELECT doc_id, total2, " +
+        "floor(top2::DOUBLE / total2 * 10000) / 10000 top_f, " +
+        "floor(dup2::DOUBLE / total2 * 10000) / 10000 dup2_f, " +
+        "floor((total3 - distinct3)::DOUBLE / total3 * 10000) / 10000 dup3_f " +
+        "FROM m WHERE total3 > 0) " +
+        "SELECT doc_id, total2 AS n_bigrams, top_f AS top_bigram_frac, " +
+        "dup2_f AS dup_bigram_frac, dup3_f AS dup_trigram_frac, " +
+        "CASE WHEN top_f >= 0.2 OR dup2_f >= 0.1 THEN 'repetitive' ELSE 'ok' END AS verdict FROM f"),
+    "q_text_redact" ->
+      ("WITH p AS (SELECT doc_id, CASE " +
+        "WHEN doc_id % 5 = 0 THEN text || ' contact user' || doc_id || '@mail.example.com now' " +
+        "WHEN doc_id % 5 = 1 THEN text || ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') " +
+        "|| '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') " +
+        "WHEN doc_id % 5 = 2 THEN text || ' from 10.' || (doc_id % 256) || '.' " +
+        "|| ((doc_id // 256) % 256) || '.77' " +
+        "ELSE text END AS text FROM documents), " +
+        s"r AS (SELECT doc_id, text, regexp_replace(regexp_replace(regexp_replace(text, " +
+        s"'$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'), '$IpRe', '<IP>', 'g') rt FROM p) " +
+        s"SELECT doc_id, len(regexp_extract_all(text, '$EmailRe'))::BIGINT AS n_emails, " +
+        s"len(regexp_extract_all(text, '$PhoneRe'))::BIGINT AS n_phones, " +
+        s"len(regexp_extract_all(text, '$IpRe'))::BIGINT AS n_ips, " +
+        "length(rt)::BIGINT AS n_chars_redacted, md5(rt) AS redact_hash FROM r"))
 }

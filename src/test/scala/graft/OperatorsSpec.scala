@@ -497,6 +497,99 @@ class OperatorsSpec extends SparkSpec {
     assert(r === Map((1L, 1L) -> 2L, (1L, 2L) -> 1L, (2L, 1L) -> 1L))
   }
 
+  test("TextOps.repetition flags a repeated-bigram doc and passes varied prose") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "spam spam spam spam spam spam spam spam spam spam"),
+      (1L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val r = TextOps.repetition(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // doc 0: every bigram is "spam spam" → all three fractions are 1
+    assert(r(0L).getAs[String]("verdict") === "repetitive")
+    assert(r(0L).getAs[Double]("top_bigram_frac") === 1.0)
+    // 8 trigram instances, 1 distinct → (8−1)/8
+    assert(r(0L).getAs[Double]("dup_trigram_frac") === 0.875)
+    // doc 1: all bigrams distinct → zero repetition
+    assert(r(1L).getAs[String]("verdict") === "ok")
+    assert(r(1L).getAs[Double]("dup_bigram_frac") === 0.0)
+    assert(r(1L).getAs[Long]("n_bigrams") === 9L)
+  }
+
+  test("TextOps.redactPii counts each injected class once and rewrites the text") {
+    val r = TextOps.redactPii(docsDF).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    // doc_id % 5 picks the class: 0 → email, 1 → phone, 2 → ip
+    assert((r(0L).getAs[Long]("n_emails"), r(0L).getAs[Long]("n_phones"),
+      r(0L).getAs[Long]("n_ips")) === ((1L, 0L, 0L)))
+    assert((r(1L).getAs[Long]("n_emails"), r(1L).getAs[Long]("n_phones"),
+      r(1L).getAs[Long]("n_ips")) === ((0L, 1L, 0L)))
+    assert((r(2L).getAs[Long]("n_emails"), r(2L).getAs[Long]("n_phones"),
+      r(2L).getAs[Long]("n_ips")) === ((0L, 0L, 1L)))
+    // the redacted hash differs from the injected text's hash (replacement
+    // really happened) and no PII pattern survives redaction
+    val redacted = TextOps.withPii(docsDF).select(
+      col("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        TextOps.EmailRe, "<EMAIL>"), TextOps.PhoneRe, "<PHONE>"), TextOps.IpRe, "<IP>").as("rt"))
+    val leftover = redacted.filter(
+      col("rt").rlike(TextOps.EmailRe) || col("rt").rlike(TextOps.PhoneRe) ||
+        col("rt").rlike(TextOps.IpRe)).count()
+    assert(leftover === 0L)
+  }
+
+  test("ScaleOps.mixtureSample: rate-1.0 source keeps everything, sampling never exceeds totals") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i =>
+      (i, if (i < 20) "src0" else "src9", s"text $i", 10L))
+      .toDF("doc_id", "source", "text", "n_chars")
+    val r = ScaleOps.mixtureSample(docs).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r("src0").getAs[Double]("target_rate") === 1.0)
+    assert(r("src0").getAs[Long]("n_sampled") === r("src0").getAs[Long]("n_total"))
+    assert(r("src9").getAs[Long]("n_sampled") <= r("src9").getAs[Long]("n_total"))
+    assert(r("src9").getAs[Long]("n_chars_sampled") === 10L * r("src9").getAs[Long]("n_sampled"))
+  }
+
+  test("Similarity.semanticDedup drops the planted copy, keeps orthogonal vectors") {
+    import spark.implicits._
+    // 19 one-hot (orthogonal) vectors + vec 19 = an exact copy of vec 5:
+    // only the (5, 19) cluster-mate pair clears the cosine threshold
+    val emb = (0L until 20L).map { i =>
+      val a = Array.fill(64)(0f)
+      a(if (i == 19L) 5 else i.toInt) = 1f
+      (i, a)
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.semanticDedup(emb).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("vec_id") === 19L)
+    assert(r.head.getAs[Long]("dup_of") === 5L)
+    assert(r.head.getAs[Long]("n_dups") === 1L)
+    assert(r.head.getAs[Double]("best_cos") === 1.0)
+  }
+
+  test("SqlCoverage.setOpsExceptAll keeps multiplicity, unlike plain EXCEPT") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "purchase", 1.0), (2L, 1L, "purchase", 1.0), (3L, 1L, "purchase", 1.0),
+      (4L, 1L, "error", 1.0),                       // user 1: 3 purchases − 1 error = 2
+      (5L, 2L, "purchase", 1.0), (6L, 2L, "error", 1.0)) // user 2: 1 − 1 = 0
+      .toDF("event_id", "user_id", "event_type", "value")
+    val r = SqlCoverage.setOpsExceptAll(ev).collect()
+      .map(x => x.getLong(0) -> x.getAs[Long]("multiplicity")).toMap
+    assert(r === Map(1L -> 2L))
+  }
+
+  test("SqlCoverage.unpivotEvents melts the pivot back to long form with zero-fill") {
+    import spark.implicits._
+    val ev = Seq((1L, 7L, "click", 2.5), (2L, 7L, "click", 1.5), (3L, 7L, "error", 1.0))
+      .toDF("event_id", "user_id", "event_type", "value")
+    val r = SqlCoverage.unpivotEvents(ev).collect()
+      .map(x => x.getAs[String]("metric") -> x.getAs[Double]("value")).toMap
+    assert(r === Map("click" -> 4.0, "error" -> 1.0,
+      "purchase" -> 0.0, "signup" -> 0.0, "view" -> 0.0))
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
