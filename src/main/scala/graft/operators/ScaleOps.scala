@@ -138,6 +138,26 @@ object ScaleOps {
       .sortWithinPartitions(col("user_id"), col("ts_ms"), col("event_id"))
       .write.mode("overwrite").option("maxRecordsPerFile", 0L).parquet(outDir)
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetRecords`-per-file outputs. The #1 operational disease of a
+    * long-running ingest at scale — thousands of tiny files per
+    * partition turn every scan into a metadata storm (one task + one
+    * open per file) — and the fix is this one-liner rewrite run on a
+    * schedule. File count derives from the actual row count (one
+    * column-pruned count over the footers, essentially free on
+    * parquet); `repartition` redistributes evenly so every output file
+    * lands near the target. Returns (input files, output files). */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+      targetRecords: Long = 100000L): (Long, Long) = {
+    val in = spark.read.parquet(inDir)
+    val rows = in.count()
+    val nFiles = math.max(1L, (rows + targetRecords - 1) / targetRecords)
+    in.repartition(nFiles.toInt).write.mode("overwrite").parquet(outDir)
+    def parquetCount(d: String): Long =
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet")).toLong
+    (parquetCount(inDir), parquetCount(outDir))
+  }
+
   /** The training-mixture config: per-source target sampling rate.
     * A mixture is a LITERAL the pipeline owner writes down (e.g. "web
     * 10%, wiki 100%") — here one rate per synthetic source, spanning

@@ -57,12 +57,63 @@ object Sketches {
     result
   }
 
+  /** Histogram-sketch quantile estimation — the at-scale sibling of the
+    * exact percentile (q_sql_percentiles): one fixed-width binned
+    * aggregate (≤ a few thousand cells however large the input — the
+    * shuffle carries bin partials, map-side combined), a cumulative
+    * window over the TINY bin table, then linear interpolation inside
+    * the target bin. An exact percentile needs a global sort of the
+    * column at 100 TB; this needs one narrow hash-agg, which is why
+    * every production engine (and Spark's own approx_percentile) ships
+    * a sketch for it. Unlike approx_percentile's GK sketch, the
+    * fixed-bin histogram is merge-order-DETERMINISTIC — every estimate
+    * is oracle-checkable bit-for-bit.
+    *
+    * Membership/arithmetic parity: bin ids are integer floors; the
+    * target rank q·total multiplies the same literal against the same
+    * integer in both engines; the unique target bin satisfies
+    * cum ≥ target AND cum − cnt < target (cnt > 0 makes it unique even
+    * when the target lands exactly on a bin boundary); interpolation
+    * divides identical doubles. Output truncated at 4 decimals. */
+  def approxQuantiles(orders: DataFrame, qs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      binW: Double = 64.0): DataFrame = {
+    val bins = orders
+      .groupBy(floor(col("o_totalprice") / binW).cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    // the cumulative window runs over |bins| rows (thousands), never the
+    // input — a single-partition window over a post-agg relation
+    val cum = bins
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("bin"))))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+    val probes = explode(array(qs.map(lit): _*)).as("p")
+    cum.select(col("bin"), col("cnt"), col("cum"), col("total"), probes)
+      .withColumn("target", col("p") * col("total"))
+      .filter(col("cum") >= col("target") && (col("cum") - col("cnt")) < col("target"))
+      .select(col("p"), col("total").as("n_total"), col("bin"),
+        graft.functions.Portable.trunc4(
+          col("bin") * binW + (col("target") - (col("cum") - col("cnt")))
+            / col("cnt") * binW).as("est"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_approx_quantile" -> ((s, d) => approxQuantiles(Tables.orders(s, d))),
     "q_cms_heavy_hitters" -> ((s, d) => cmsHeavyHitters(Tables.events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_approx_quantile" ->
+      ("WITH bins AS (SELECT CAST(floor(o_totalprice / 64.0) AS BIGINT) bin, count(*) cnt " +
+        "FROM orders GROUP BY 1), " +
+        "c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin)::BIGINT cum, " +
+        "sum(cnt) OVER ()::BIGINT total FROM bins), " +
+        // ::DOUBLE[]: a bare decimal list would type as DECIMAL and
+        // diverge from Spark's double p·total arithmetic
+        "p AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) p), " +
+        "t AS (SELECT p, total, bin, cnt, cum, p * total target FROM c CROSS JOIN p) " +
+        "SELECT p, total AS n_total, bin, " +
+        "floor((bin * 64.0 + (target - (cum - cnt))::DOUBLE / cnt * 64.0) * 10000) / 10000 AS est " +
+        "FROM t WHERE cum >= target AND (cum - cnt) < target"),
     "q_cms_heavy_hitters" ->
       ("WITH b AS (SELECT CAST(floor(value) AS BIGINT) amt FROM events), " +
         "d AS (SELECT unnest(range(4)) i), " +

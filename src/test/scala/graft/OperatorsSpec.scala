@@ -590,6 +590,35 @@ class OperatorsSpec extends SparkSpec {
       "purchase" -> 0.0, "signup" -> 0.0, "view" -> 0.0))
   }
 
+  test("Graph.pageRank: the all-incoming node outranks the all-outgoing one") {
+    import spark.implicits._
+    // two users, every transition view → purchase: purchase collects all
+    // link mass, view keeps only teleport
+    val ev = Seq(
+      (1L, 1L, 0L, "view"), (2L, 1L, 1L, "purchase"),
+      (3L, 2L, 0L, "view"), (4L, 2L, 1L, "purchase"),
+      (5L, 3L, 0L, "view"), (6L, 3L, 1L, "purchase"))
+      .toDF("event_id", "user_id", "ts_ms", "event_type")
+    val r = operators.Graph.pageRank(ev).collect()
+      .map(x => x.getAs[String]("node") -> x.getAs[Long]("rank_scaled")).toMap
+    assert(r.keySet === Set("view", "purchase"))
+    assert(r("purchase") > r("view"))
+    // view gets only the teleport share 3Q/(20·2)
+    assert(r("view") === 3L * operators.Graph.Q / 40L)
+  }
+
+  test("Sketches.approxQuantiles: uniform data interpolates to the exact quantile") {
+    import spark.implicits._
+    val o = (0L until 1000L).map(i => (i, (i + 1).toDouble)).toDF("o_orderkey", "o_totalprice")
+    val r = Sketches.approxQuantiles(o, qs = Seq(0.5)).collect()
+    assert(r.length === 1)
+    // prices 1..1000, bin width 64: target 500 falls in bin 7 (448..512),
+    // cum_prev 447 ⇒ est = 448 + 53/65·64... computed: trunc4 inside bin
+    val est = r.head.getAs[Double]("est")
+    assert(est > 495.0 && est < 505.0, s"p50 estimate off: $est")
+    assert(r.head.getAs[Long]("n_total") === 1000L)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -326,6 +326,19 @@ class ScaleSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters: [isnotnull(event_type"), scan)
   }
 
+  test("compact: many small files collapse to the target count, rows preserved") {
+    val dir = Files.createTempDirectory("graft-cpt").toString
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
+    // force a small-file mess: ≤500 records per file
+    ev.repartition(4).write.mode("overwrite")
+      .option("maxRecordsPerFile", 500L).parquet(s"$dir/in")
+    val n = ev.count()
+    val (before, after) = ScaleOps.compact(spark, s"$dir/in", s"$dir/out", targetRecords = 2000L)
+    assert(before > after, s"no compaction: $before -> $after")
+    assert(after === (n + 1999L) / 2000L)
+    assert(spark.read.parquet(s"$dir/out").count() === n)
+  }
+
   test("dynamic partition pruning: a selective dim filter prunes fact partitions at the scan") {
     // The 100 TB star-join posture: the fact table is WRITTEN partitioned
     // by the join/filter dimension key, and a filter that lives on the
