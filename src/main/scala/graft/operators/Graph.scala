@@ -19,16 +19,24 @@ import org.apache.spark.sql.functions._
   *
   * Engine-exact iteration arithmetic: ranks are INTEGERS scaled by
   * 2^30, the damping factor 0.85 is the rational 17/20, and every
-  * per-edge contribution is `(r·w) div out` — integer ops only, so
-  * partial-agg merge order cannot perturb a single bit and the oracle
-  * replays the identical recurrence. (Doubles would drift: a sum of
-  * per-edge double contributions is order-dependent.) r·w stays far
-  * under 2^63: r ≤ 2^30, w ≤ |events| < 2^33.
+  * per-edge transition probability is pre-quantized to the integer
+  * share `(w·2^20) div out` ≤ 2^20, so a contribution `(r·sh) div
+  * 2^20` never exceeds 2^50 — overflow-safe for any corpus whose
+  * per-edge weight stays under 2^43 (≈9·10^12 transitions, beyond a
+  * 100 TB log), where the naive `r·w` product would overflow Long
+  * once an edge weight passed ~2^33. Integer ops only, so partial-agg
+  * merge order cannot perturb a single bit and the oracle replays the
+  * identical recurrence. (Doubles would drift: a sum of per-edge
+  * double contributions is order-dependent.)
   */
 object Graph {
 
   /** Rank scale: ranks live in [0, Q] as integers. */
   val Q: Long = 1L << 30
+
+  /** Edge-share scale: transition probabilities are integers in
+    * [0, S]. Q·S = 2^50 bounds every product. */
+  val S: Long = 1L << 20
 
   /** Weighted PageRank over the event-type transition graph: edges are
     * consecutive (event_type → next event_type) transitions within a
@@ -47,6 +55,7 @@ object Graph {
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
       .localCheckpoint(true) // ≤ |types|² rows; cuts lineage for the loop
     val ew = edges.join(edges.groupBy(col("src")).agg(sum(col("w")).as("out_w")), "src")
+      .select(col("src"), col("dst"), expr(s"w * $S div out_w").as("sh"))
     val nodes = ev.select(col("event_type").as("node")).distinct()
     // |nodes| enters the recurrence as a 1-row relation (no driver-side
     // count action; the literal-free plan re-runs at any scale)
@@ -56,7 +65,7 @@ object Graph {
       .localCheckpoint(true)
     for (_ <- 0 until iters) {
       val contrib = ew.join(r.select(col("node").as("src"), col("r")), "src")
-        .select(col("dst"), expr("r * w div out_w").as("c"))
+        .select(col("dst"), expr(s"r * sh div $S").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
       r = r.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
@@ -76,7 +85,7 @@ object Graph {
 
   /** The identical recurrence unrolled as SQL CTEs (r0 → r3). */
   private def iterSql(i: Int): String =
-    s"contrib$i AS (SELECT e.dst, sum(r.r * e.w // e.out_w)::BIGINT c " +
+    s"contrib$i AS (SELECT e.dst, sum(r.r * e.sh // $S)::BIGINT c " +
       s"FROM ew e JOIN r$i r ON r.node = e.src GROUP BY 1), " +
       s"r${i + 1} AS (SELECT n.node, " +
       s"(${3L * Q} // (20 * nn.nn)) + (17 * coalesce(c.c, 0) // 20) AS r " +
@@ -87,7 +96,7 @@ object Graph {
       ("WITH s AS (SELECT user_id, epoch_ms(ts) ts_ms, event_id, event_type src FROM events), " +
         "t AS (SELECT src, lead(src) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) dst FROM s), " +
         "edges AS (SELECT src, dst, count(*) w FROM t WHERE dst IS NOT NULL GROUP BY 1, 2), " +
-        "ew AS (SELECT e.src, e.dst, e.w, o.out_w FROM edges e JOIN " +
+        s"ew AS (SELECT e.src, e.dst, e.w * $S // o.out_w AS sh FROM edges e JOIN " +
         "(SELECT src, sum(w)::BIGINT out_w FROM edges GROUP BY 1) o USING (src)), " +
         "nodes AS (SELECT DISTINCT event_type node FROM events), " +
         "nc AS (SELECT count(*) nn FROM nodes), " +

@@ -153,8 +153,13 @@ object ScaleOps {
     val rows = in.count()
     val nFiles = math.max(1L, (rows + targetRecords - 1) / targetRecords)
     in.repartition(nFiles.toInt).write.mode("overwrite").parquet(outDir)
-    def parquetCount(d: String): Long =
-      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet")).toLong
+    // Hadoop FS, not java.io.File: the scheduled production run points at
+    // hdfs:// or s3a:// paths, where local listing returns null
+    def parquetCount(d: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(p).count(_.getPath.getName.endsWith(".parquet")).toLong
+    }
     (parquetCount(inDir), parquetCount(outDir))
   }
 
