@@ -485,6 +485,47 @@ object TextOps {
         when(top2F >= 0.2 || dup2F >= 0.1, "repetitive").otherwise("ok").as("verdict"))
   }
 
+  /** Zipf-law fit of the corpus frequency spectrum, per language: the
+    * least-squares slope/intercept of ln(tf) against ln(rank) over the
+    * top-`topK` terms — the one-number diagnostic a corpus pipeline
+    * watches for degenerate inputs (natural language sits near slope
+    * −1; boilerplate/spam flattens it, template floods steepen it).
+    *
+    * Scale shape: term counts are one hash-agg; the rank window
+    * partitions by language and the regression runs over ≤ topK rows
+    * per language — the fit relation is FIXED-SIZE however large the
+    * corpus. Engine-exact: ln(tf)/ln(rank) are quantized
+    * `floor(ln·2^20)` to integers, so the four regression sums are
+    * exact in any merge order (x ≤ ln(topK)·2^20 ≈ 7e6 ⇒ Σx² ≤ 5e16,
+    * far under 2^63); n·Sxy would overflow Long, so the FINAL combine
+    * casts the exact sums to double and both engines run the identical
+    * expression sequence (the q_stats_exact recipe). Groups need ≥ 10
+    * points for a meaningful line; smaller languages are dropped
+    * identically on both sides. */
+  def zipfFit(docs: DataFrame, topK: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val QL = 1048576.0 // 2^20: exponent-shift-exact quantization scale
+    val tf = docs.select(col("lang"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("lang"), col("t")).agg(count(lit(1)).as("tf"))
+    val ranked = tf.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("tf").desc, col("t"))))
+      .filter(col("rnk") <= topK)
+      .select(col("lang"),
+        floor(log(col("rnk").cast("double")) * QL).cast("long").as("x"),
+        floor(log(col("tf").cast("double")) * QL).cast("long").as("y"))
+    val sums = ranked.groupBy(col("lang")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    val (nd, sxd, syd, sxxd, sxyd) = (col("n").cast("double"),
+      col("sx").cast("double"), col("sy").cast("double"),
+      col("sxx").cast("double"), col("sxy").cast("double"))
+    val slope = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    sums.filter(col("n") >= 10)
+      .select(col("lang"), col("n").as("n_terms"),
+        trunc4(slope).as("slope"), // scale-free: the 2^20 on both axes cancels
+        trunc4((syd - slope * sxd) / nd / QL).as("intercept"))
+  }
+
   /** PII regex patterns shared by the Spark plan and the oracle SQL —
     * conservative classes only (no shorthand like \d, no lookaround),
     * so the Java regex engine and DuckDB's RE2 match identically. */
@@ -555,7 +596,8 @@ object TextOps {
     "q_weighted_sample" -> ((s, d) => weightedSample(Tables.documents(s, d))),
     "q_train_split" -> ((s, d) => trainSplit(Tables.documents(s, d))),
     "q_text_repetition" -> ((s, d) => repetition(Tables.documents(s, d))),
-    "q_text_redact" -> ((s, d) => redactPii(Tables.documents(s, d))))
+    "q_text_redact" -> ((s, d) => redactPii(Tables.documents(s, d))),
+    "q_text_zipf" -> ((s, d) => zipfFit(Tables.documents(s, d))))
 
   /** The perturbed corpus + normalization, as SQL (DuckDB regexp_replace
     * needs the 'g' flag — it is first-match-only by default, unlike
@@ -728,5 +770,20 @@ object TextOps {
         s"SELECT doc_id, len(regexp_extract_all(text, '$EmailRe'))::BIGINT AS n_emails, " +
         s"len(regexp_extract_all(text, '$PhoneRe'))::BIGINT AS n_phones, " +
         s"len(regexp_extract_all(text, '$IpRe'))::BIGINT AS n_ips, " +
-        "length(rt)::BIGINT AS n_chars_redacted, md5(rt) AS redact_hash FROM r"))
+        "length(rt)::BIGINT AS n_chars_redacted, md5(rt) AS redact_hash FROM r"),
+    "q_text_zipf" ->
+      ("WITH tf AS (SELECT lang, unnest(string_split(text, ' ')) t FROM documents), " +
+        "c AS (SELECT lang, t, count(*) tf FROM tf GROUP BY 1, 2), " +
+        "r AS (SELECT lang, tf, row_number() OVER " +
+        "(PARTITION BY lang ORDER BY tf DESC, t) rnk FROM c), " +
+        "q AS (SELECT lang, CAST(floor(ln(rnk::DOUBLE) * 1048576) AS BIGINT) x, " +
+        "CAST(floor(ln(tf::DOUBLE) * 1048576) AS BIGINT) y FROM r WHERE rnk <= 1000), " +
+        "s AS (SELECT lang, count(*) n, sum(x)::BIGINT sx, sum(y)::BIGINT sy, " +
+        "sum(x*x)::BIGINT sxx, sum(x*y)::BIGINT sxy FROM q GROUP BY 1), " +
+        "f AS (SELECT lang, n, " +
+        "(n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) / " +
+        "(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) slope, " +
+        "sx::DOUBLE sxd, sy::DOUBLE syd, n::DOUBLE nd FROM s WHERE n >= 10) " +
+        "SELECT lang, n AS n_terms, floor(slope * 10000) / 10000 AS slope, " +
+        "floor((syd - slope * sxd) / nd / 1048576 * 10000) / 10000 AS intercept FROM f"))
 }

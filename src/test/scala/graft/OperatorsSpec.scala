@@ -619,6 +619,16 @@ class OperatorsSpec extends SparkSpec {
     assert(r.head.getAs[Long]("n_total") === 1000L)
   }
 
+  test("TextOps.zipfFit: every language's frequency spectrum slopes downward") {
+    val r = TextOps.zipfFit(Tables.documents(spark, sf)).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getAs[Double]("slope") < 0.0,
+        s"lang ${x.getAs[String]("lang")} slope not negative")
+      assert(x.getAs[Long]("n_terms") >= 10L)
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

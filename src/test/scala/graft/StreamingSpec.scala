@@ -21,6 +21,36 @@ class StreamingSpec extends SparkSpec {
   private def withQuery[T](q: org.apache.spark.sql.streaming.StreamingQuery)(body: => T): T =
     try body finally q.stop()
 
+  test("batch PII redaction lifts onto a document stream unchanged") {
+    // redactPii is a pure scan projection, so the SAME operator runs on
+    // a streaming DataFrame with no adaptation — the batch/stream reuse
+    // a declarative-first library buys. (Window-based L4 operators like
+    // repetition() do not lift; they need the batch path or a
+    // mapGroupsWithState restatement.)
+    import spark.implicits._
+    val in = MemoryStream[(Long, String)](spark)
+    val streamed = graft.operators.TextOps.redactPii(
+      in.toDF().toDF("doc_id", "text"))
+    val q = Streaming.toMemory(streamed, "redact_s", OutputMode.Append())
+    val docs = Seq(
+      (0L, "call me maybe"), (1L, "some text"), (2L, "other text"), (4L, "plain"))
+    withQuery(q) {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val got = spark.table("redact_s").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_emails"),
+          r.getAs[Long]("n_phones"), r.getAs[Long]("n_ips"), r.getAs[String]("redact_hash")))
+        .sortBy(_._1)
+      val batch = graft.operators.TextOps.redactPii(docs.toDF("doc_id", "text")).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_emails"),
+          r.getAs[Long]("n_phones"), r.getAs[Long]("n_ips"), r.getAs[String]("redact_hash")))
+        .sortBy(_._1)
+      assert(got.toSeq === batch.toSeq)
+      assert(got.map(x => (x._2, x._3, x._4)).toSeq ===
+        Seq((1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L), (0L, 0L, 0L)))
+    }
+  }
+
   test("windowedVolume: tumbling windows finalize after the watermark passes") {
     import spark.implicits._
     val in = MemoryStream[Transaction](spark)
