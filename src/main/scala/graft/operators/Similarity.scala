@@ -299,7 +299,11 @@ object Similarity {
     * aggregates are order-independent, so the result is engine-exact;
     * the oracle retrains the same k-means (exact quantized sums) and
     * replays the same pairing. */
-  def semanticDedup(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
+  /** [[semanticDedup]]'s lazy plan + its persisted inputs, for plan
+    * inspection (ScaleSpec pins the pairing join shape) and the eager
+    * public wrapper. */
+  private[graft] def semanticDedupLazy(emb: DataFrame,
+      threshold: Double): (DataFrame, DataFrame, DataFrame) = {
     val v = withEmbD(emb).persist() // training + assignment + pairing passes
     val cents = trainedCentroids(v).localCheckpoint(true)
     val vl = v.join(assignTo(v, cents), "vec_id").persist()
@@ -311,7 +315,12 @@ object Similarity {
     val result = pairs.groupBy(col("vec_id"))
       .agg(min(col("a_id")).as("dup_of"), count(lit(1)).as("n_dups"),
         max(col("cos")).as("best_cos"))
-      .localCheckpoint(true) // dropped set ≪ corpus
+    (result, v, vl)
+  }
+
+  def semanticDedup(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
+    val (lazyResult, v, vl) = semanticDedupLazy(emb, threshold)
+    val result = lazyResult.localCheckpoint(true) // dropped set ≪ corpus
     vl.unpersist(); v.unpersist()
     result
   }

@@ -326,6 +326,23 @@ class ScaleSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters: [isnotnull(event_type"), scan)
   }
 
+  test("round-5 plan shapes: semantic pairing is an equi-join, zipf fit adds no third exchange") {
+    // semanticDedup's within-cluster pairing must plan as an EQUI-join
+    // on list_id (shuffle or broadcast), never a cartesian product —
+    // the difference between Σ|cluster|²/2 and n²/2 at corpus scale
+    val (sd, v, vl) = graft.operators.Similarity
+      .semanticDedupLazy(Tables.embeddings(spark, sf), 0.4)
+    val sdPlan = sd.queryExecution.executedPlan.toString
+    assert(!sdPlan.contains("CartesianProduct"), s"pairing cross-joined:\n$sdPlan")
+    vl.unpersist(); v.unpersist()
+    // zipfFit: term agg + lang rank window = two exchanges; the final
+    // per-lang regression agg must REUSE the window's lang partitioning
+    val zf = graft.operators.TextOps.zipfFit(Tables.documents(spark, sf))
+    val zfPlan = zf.queryExecution.executedPlan.toString
+    val nEx = "Exchange hashpartitioning".r.findAllIn(zfPlan).length
+    assert(nEx <= 2, s"zipfFit plans $nEx hash exchanges (expected ≤ 2):\n$zfPlan")
+  }
+
   test("compact: many small files collapse to the target count, rows preserved") {
     val dir = Files.createTempDirectory("graft-cpt").toString
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
