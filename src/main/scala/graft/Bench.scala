@@ -30,10 +30,30 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum // -1 failure markers excluded
+    val failed = results.count(_._2 < 0)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
+    // The driver keeps only the LAST 2000 chars of stdout (plus sbt's
+    // trailing "[success] ..." line), so the full per-query line above
+    // (~4 KB at 114 queries) arrives with its head cut off and never
+    // parses — BENCH_r01..r04 all recorded "parsed": null. Print a
+    // compact line instead: headline total + the slowest queries, padded
+    // greedily until a fixed length budget, failures always included
+    // (their -1 marker must never be trimmed away as "fast").
+    val budget = 1500
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val ranked = results.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }(Ordering[Double].reverse)
+    val head = f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"failed":$failed,"full":"bench_last.json","sf":"$sfDir","queries":{"""
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var len = head.length + 2 // closing "}}"
+    for ((k, v) <- ranked) {
+      val e = "\"" + k + "\":" + fmt(v)
+      if (len + e.length + 1 <= budget) { entries += e; len += e.length + 1 }
+    }
+    val compact = head + entries.mkString(",") + "}}"
+    println(compact)
     // stdout alone is fragile (the driver's tail capture truncated the
-    // round-1 line); persist the same JSON to a file as a durable copy.
+    // round-1 line); persist the FULL per-query JSON to a file as the
+    // durable complete record.
     // Default anchors to the CHECKOUT that built this class (walk up
     // from the classes/jar dir to build.sbt) so launching from another
     // cwd doesn't scatter the durable copy or fail on a read-only cwd;
