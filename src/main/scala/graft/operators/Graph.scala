@@ -78,10 +78,84 @@ object Graph {
       graft.functions.Portable.trunc6(col("r").cast("double") / Q).as("rank"))
   }
 
+  /** The bipartite user–merchant graph behind the co-occurrence
+    * analytics: `props.$.k` is the merchant key (the reference's
+    * transactions carry exactly such a metadata map — `main.go:16`,
+    * `main.rs:13`). */
+  private def userMerchant(ev: DataFrame) =
+    ev.select(col("user_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("m"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+      col("ts"))
+
+  /** Bipartite degree audit — the pre-flight every graph pipeline runs
+    * before projecting: per merchant the user fan-in, per user the
+    * merchant fan-out, both with event count and cent volume. Two hash
+    * aggregates over one scan, all measures integer (engine-exact).
+    * The degree histogram this feeds decides the projection's hub
+    * guard (see [[triangles]]' maxCell). */
+  def bipartiteDegrees(ev: DataFrame): DataFrame = {
+    val b = userMerchant(ev)
+    val merchants = b.groupBy(col("m").cast("long").as("id"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_peers"),
+        sum(col("cents")).as("cents"))
+      .select(lit("merchant").as("role"), col("id"), col("n_events"),
+        col("n_peers"), col("cents"))
+    val users = b.groupBy(col("user_id").as("id"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("m")).as("n_peers"),
+        sum(col("cents")).as("cents"))
+      .select(lit("user").as("role"), col("id"), col("n_events"),
+        col("n_peers"), col("cents"))
+    merchants.unionByName(users)
+  }
+
+  /** Per-user triangle participation over the co-occurrence projection:
+    * an edge links two users active at the SAME merchant in the SAME
+    * hour; a triangle is three users pairwise so linked — the collusion
+    * ring / coordinated-activity signal.
+    *
+    * Scale discipline, in order of importance at 100 TB:
+    *  1. The projection generates candidate pairs per (merchant, hour)
+    *     CELL, never per merchant — Σ|cell|²/2 work, the same bound
+    *     sparse_sim puts on posting lists. Cells busier than `maxCell`
+    *     users are dropped outright (hub guard: a stadium-sized cell is
+    *     coordination noise, and one hot cell otherwise dominates the
+    *     whole job).
+    *  2. Edges are id-oriented (u1 < u2) and the wedge join pivots on
+    *     the middle node, so each triangle is found exactly once
+    *     (a<b<c) — no ×6 dedup pass. (The production refinement —
+    *     degree-ordered orientation, which bounds wedge fan-out by the
+    *     max LOW-degree endpoint — drops in here without changing the
+    *     result; id order keeps the oracle SQL identical.)
+    *  3. The edge list is persisted: three join arms consume it, and
+    *     recomputing the projection per arm would triple the dominant
+    *     cost. */
+  def triangles(ev: DataFrame, maxCell: Long = 64L): DataFrame = {
+    val um = userMerchant(ev)
+      .select(col("user_id").as("u"), col("m"), date_trunc("hour", col("ts")).as("h"))
+      .distinct()
+    val cell = Window.partitionBy(col("m"), col("h"))
+    val cells = um.withColumn("cell_n", count(lit(1)).over(cell))
+      .filter(col("cell_n") <= maxCell)
+    val e = cells.as("a").join(cells.as("b"),
+        col("a.m") === col("b.m") && col("a.h") === col("b.h") && col("a.u") < col("b.u"))
+      .select(col("a.u").as("u1"), col("b.u").as("u2"))
+      .distinct()
+      .persist()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.u2") === col("e2.u1"))
+      .join(e.as("e3"), col("e3.u1") === col("e1.u1") && col("e3.u2") === col("e2.u2"))
+      .select(col("e1.u1").as("a"), col("e1.u2").as("b"), col("e2.u2").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("user_id"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_triangles"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_graph_pagerank" -> ((s, d) => pageRank(Tables.events(s, d))))
+    "q_graph_pagerank" -> ((s, d) => pageRank(Tables.events(s, d))),
+    "q_graph_degree" -> ((s, d) => bipartiteDegrees(Tables.events(s, d))),
+    "q_graph_triangles" -> ((s, d) => triangles(Tables.events(s, d))))
 
   /** The identical recurrence unrolled as SQL CTEs (r0 → r3). */
   private def iterSql(i: Int): String =
@@ -92,6 +166,28 @@ object Graph {
       s"FROM nodes n CROSS JOIN nc nn LEFT JOIN contrib$i c ON c.dst = n.node)"
 
   val oracleSql: Map[String, String] = Map(
+    "q_graph_degree" ->
+      ("WITH b AS (SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS m, " +
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events) " +
+        "SELECT 'merchant' AS role, m::BIGINT AS id, count(*) AS n_events, " +
+        "count(DISTINCT user_id) AS n_peers, sum(cents)::BIGINT AS cents FROM b GROUP BY 2 " +
+        "UNION ALL " +
+        "SELECT 'user' AS role, user_id AS id, count(*) AS n_events, " +
+        "count(DISTINCT m) AS n_peers, sum(cents)::BIGINT AS cents FROM b GROUP BY 2"),
+    "q_graph_triangles" ->
+      ("WITH um AS (SELECT DISTINCT user_id AS u, " +
+        "CAST(json_extract_string(props, '$.k') AS INT) AS m, " +
+        "date_trunc('hour', ts) AS h FROM events), " +
+        "cells AS (SELECT u, m, h FROM (SELECT u, m, h, " +
+        "count(*) OVER (PARTITION BY m, h) AS cell_n FROM um) t WHERE cell_n <= 64), " +
+        "e AS (SELECT DISTINCT a.u AS u1, b.u AS u2 FROM cells a " +
+        "JOIN cells b ON a.m = b.m AND a.h = b.h AND a.u < b.u), " +
+        "tri AS (SELECT e1.u1 AS a, e1.u2 AS b, e2.u2 AS c FROM e e1 " +
+        "JOIN e e2 ON e1.u2 = e2.u1 " +
+        "JOIN e e3 ON e3.u1 = e1.u1 AND e3.u2 = e2.u2), " +
+        "x AS (SELECT a AS user_id FROM tri UNION ALL " +
+        "SELECT b FROM tri UNION ALL SELECT c FROM tri) " +
+        "SELECT user_id, count(*) AS n_triangles FROM x GROUP BY 1"),
     "q_graph_pagerank" ->
       ("WITH s AS (SELECT user_id, epoch_ms(ts) ts_ms, event_id, event_type src FROM events), " +
         "t AS (SELECT src, lead(src) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) dst FROM s), " +

@@ -164,9 +164,111 @@ object Monitoring {
       .agg(count(lit(1)).as("n_flags"), r2(sum(col("amount"))).as("flagged_amount"))
   }
 
+  /** Velocity rule: events whose user produced >= `minN` events inside
+    * the trailing `windowMs` (the event itself included) — the burst /
+    * card-testing signal every monitoring engine ships. One RANGE-frame
+    * window (frame membership is by ts_ms VALUE, so timestamp ties are
+    * handled identically in any engine) = one shuffle on user_id; the
+    * count is an integer, so the flag predicate is engine-exact. At
+    * 100 TB this is the cheapest possible sliding window: no self-join,
+    * no bucket explosion, state bounded by per-window event density. */
+  def velocityBursts(ev: DataFrame, windowMs: Long = 3600000L, minN: Long = 3L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms")).rangeBetween(-windowMs, 0)
+    ev.select(col("event_id"), col("user_id"), col("ts_ms"))
+      .withColumn("n_win", count(lit(1)).over(w))
+      .filter(col("n_win") >= minN)
+  }
+
+  /** Dormancy awakening: an account quiet for >= `dormantMs` that
+    * suddenly moves >= `minValue` — the reactivation-fraud signal
+    * (takeover of a stale account). One `lag` over (user_id, ts_ms,
+    * event_id) — the event_id tiebreak keeps the previous-event choice
+    * deterministic under timestamp ties — then a pure row filter; the
+    * gap is integer millis, the value threshold compares the stored
+    * double directly, so membership is engine-exact. */
+  def dormantAwakening(ev: DataFrame, dormantMs: Long = 2L * 86400000L,
+      minValue: Double = 50.0): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    ev.select(col("event_id"), col("user_id"), col("ts_ms"), col("value"))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+      .filter(col("prev_ms").isNotNull &&
+        col("ts_ms") - col("prev_ms") >= dormantMs && col("value") >= minValue)
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        (col("ts_ms") - col("prev_ms")).as("gap_ms"), col("value"))
+  }
+
+  /** Offsetting (wash / round-trip) pairs: two events of the SAME user
+    * with the SAME integer-cent amount within `windowMs` of each other
+    * — the in-and-out layering signal. The amount equality is PART OF
+    * THE JOIN KEY (user_id, cents, time-bucket), so a hot user never
+    * materializes its k² event pairs — candidates are bounded by
+    * per-(user, cents, window) multiplicity, exactly the rapidPairs
+    * bucket discipline (`Analytics.rapidPairs`). The earlier event is
+    * the left row (ties broken by event_id), each pair lands in exactly
+    * one right-bucket, so no dedup pass. Cents come from the portable
+    * round idiom floor(v*100 + 0.5) — engine-exact membership. */
+  def offsettingPairs(ev: DataFrame, windowMs: Long = 7L * 86400000L): DataFrame = {
+    val base = ev.select(col("user_id"), col("event_id"), col("event_type"),
+      col("ts_ms"), floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val a = base.select(col("user_id"), col("cents"),
+        col("event_id").as("event_id_a"), col("event_type").as("type_a"),
+        col("ts_ms").as("a_ms"))
+      .withColumn("bkt", explode(array(
+        expr(s"a_ms div ${windowMs}L"), expr(s"a_ms div ${windowMs}L + 1L"))))
+    val b = base.select(col("user_id"), col("cents"),
+      col("event_id").as("event_id_b"), col("event_type").as("type_b"),
+      col("ts_ms").as("b_ms"), expr(s"ts_ms div ${windowMs}L").as("bkt"))
+    a.join(b, Seq("user_id", "cents", "bkt"))
+      .filter(col("b_ms") - col("a_ms") <= windowMs &&
+        (col("a_ms") < col("b_ms") ||
+          (col("a_ms") === col("b_ms") && col("event_id_a") < col("event_id_b"))))
+      .select(col("user_id"), col("cents"), col("event_id_a"), col("event_id_b"),
+        col("type_a"), col("type_b"), (col("b_ms") - col("a_ms")).as("dt_ms"))
+  }
+
+  /** Daily-volume EWMA per user, decay 1/2 per calendar day over a
+    * trailing `horizon`-day window — the adaptive baseline a monitoring
+    * engine compares today's volume against. INTEGER-EXACT smoothing:
+    * daily volume is summed in cents, each day's term is weighted by
+    * 2^d (d = days since the user's first active day), one RANGE-frame
+    * cumulative sum collects the trailing window, and the final shift
+    * renormalizes so the newest day always carries weight 2^horizon.
+    * Every intermediate is a BIGINT — no float accumulation, so any
+    * partial-aggregation merge order yields bit-identical results and
+    * the oracle replays the identical recurrence (same discipline as
+    * [[Graph.pageRank]]). Missing days simply contribute nothing:
+    * decay follows CALENDAR time (RANGE frame on d), not row count.
+    *
+    * Headroom: num <= max_daily_cents * 2^(d+1), so a user-history span
+    * of d days is safe while d < 62 - log2(max_daily_cents) — ~40 days
+    * at $10k/day. The test corpus spans 30 days; at production scale
+    * the same recurrence runs per epoch block (d resets per block, the
+    * carried tail re-enters as one synthetic day-0 term), keeping d
+    * bounded regardless of history length. */
+  def ewmaDaily(ev: DataFrame, horizon: Int = 14): DataFrame = {
+    val daily = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+    val byUser = Window.partitionBy(col("user_id"))
+    val trailing = Window.partitionBy(col("user_id"))
+      .orderBy(col("d")).rangeBetween(-horizon, 0)
+    daily
+      .withColumn("d", datediff(col("day"), min(col("day")).over(byUser)).cast("long"))
+      .withColumn("num", sum(expr("cents * shiftleft(1L, cast(d as int))")).over(trailing))
+      .withColumn("ewma_scaled", when(col("d") >= horizon,
+          expr(s"num div shiftleft(1L, cast(d - $horizon as int))"))
+        .otherwise(expr(s"num * shiftleft(1L, cast($horizon - d as int))")))
+      .select(col("user_id"), col("day"), col("cents"), col("ewma_scaled"),
+        trunc4(col("ewma_scaled").cast("double") / ((1L << horizon) * 100.0)).as("ewma"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_aml_velocity" -> ((s, d) => velocityBursts(Tables.events(s, d))),
+    "q_aml_dormant" -> ((s, d) => dormantAwakening(Tables.events(s, d))),
+    "q_aml_offsetting" -> ((s, d) => offsettingPairs(Tables.events(s, d))),
+    "q_ts_ewma" -> ((s, d) => ewmaDaily(Tables.events(s, d))),
     "q_aml_structuring" -> ((s, d) => structuring(Tables.events(s, d))),
     "q_amount_outliers" -> ((s, d) => amountOutliers(Tables.events(s, d))),
     "q_benford" -> ((s, d) => benford(Tables.events(s, d))),
@@ -176,6 +278,39 @@ object Monitoring {
     "q_flag_summary" -> ((s, d) => flagSummary(Tables.events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_aml_velocity" ->
+      ("WITH s AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, " +
+        "count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) " +
+        "RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS n_win FROM events) " +
+        "SELECT event_id, user_id, ts_ms, n_win FROM s WHERE n_win >= 3"),
+    "q_aml_dormant" ->
+      ("WITH s AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value, " +
+        "lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms " +
+        "FROM events) " +
+        "SELECT event_id, user_id, ts_ms, ts_ms - prev_ms AS gap_ms, value FROM s " +
+        "WHERE prev_ms IS NOT NULL AND ts_ms - prev_ms >= 172800000 AND value >= 50"),
+    "q_aml_offsetting" ->
+      ("WITH s AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms, " +
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events) " +
+        "SELECT a.user_id, a.cents, a.event_id AS event_id_a, b.event_id AS event_id_b, " +
+        "a.event_type AS type_a, b.event_type AS type_b, b.tms - a.tms AS dt_ms " +
+        "FROM s a JOIN s b ON a.user_id = b.user_id AND a.cents = b.cents " +
+        "AND b.tms - a.tms <= 604800000 " +
+        "AND (a.tms < b.tms OR (a.tms = b.tms AND a.event_id < b.event_id))"),
+    "q_ts_ewma" ->
+      ("WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
+        "(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)))::BIGINT AS cents " +
+        "FROM events GROUP BY 1, 2), " +
+        "dd AS (SELECT user_id, day, cents, " +
+        "date_diff('day', min(day) OVER (PARTITION BY user_id), day) AS d FROM daily), " +
+        "nm AS (SELECT user_id, day, cents, d, " +
+        "(sum(cents * (1::BIGINT << d)) OVER (PARTITION BY user_id ORDER BY d " +
+        "RANGE BETWEEN 14 PRECEDING AND CURRENT ROW))::BIGINT AS num FROM dd), " +
+        "sc AS (SELECT user_id, day, cents, " +
+        "CASE WHEN d >= 14 THEN num // (1::BIGINT << (d - 14)) " +
+        "ELSE num * (1::BIGINT << (14 - d)) END AS ewma_scaled FROM nm) " +
+        "SELECT user_id, day, cents, ewma_scaled, " +
+        "floor(ewma_scaled::DOUBLE / 1638400 * 10000) / 10000 AS ewma FROM sc"),
     "q_aml_structuring" ->
       ("SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_sub, " +
         "round(sum(value), 2) AS sum_sub FROM events " +

@@ -112,4 +112,84 @@ class MonitoringSpec extends SparkSpec {
       }
     }
   }
+
+  test("velocityBursts: flags exactly the events with >= minN in the trailing hour") {
+    import spark.implicits._
+    // three events inside one hour: only the third sees n_win = 3; the
+    // fourth arrives 2h later and restarts the count
+    val ev = Seq(
+      (1L, 1L, 0L), (2L, 1L, 1800000L), (3L, 1L, 3540000L),
+      (4L, 1L, 10800000L))
+      .toDF("event_id", "user_id", "ts_ms")
+    val r = Monitoring.velocityBursts(ev).collect()
+    assert(r.map(_.getAs[Long]("event_id")).toSet === Set(3L))
+    assert(r.head.getAs[Long]("n_win") === 3L)
+    // and on the corpus: every flag really carries n_win >= 3
+    val c = Monitoring.velocityBursts(events).collect()
+    assert(c.nonEmpty)
+    c.foreach(x => assert(x.getAs[Long]("n_win") >= 3L))
+  }
+
+  test("dormantAwakening: gap and value thresholds are both required") {
+    import spark.implicits._
+    val day = 86400000L
+    val ev = Seq(
+      (1L, 1L, 0L, 100.0), (2L, 1L, 3 * day, 60.0),   // 3-day gap, big -> flag
+      (3L, 2L, 0L, 100.0), (4L, 2L, 3 * day, 40.0),   // 3-day gap, small -> no
+      (5L, 3L, 0L, 100.0), (6L, 3L, 1 * day, 500.0))  // short gap, big -> no
+      .toDF("event_id", "user_id", "ts_ms", "value")
+    val r = Monitoring.dormantAwakening(ev).collect()
+    assert(r.map(_.getAs[Long]("event_id")).toSet === Set(2L))
+    assert(r.head.getAs[Long]("gap_ms") === 3 * day)
+    val c = Monitoring.dormantAwakening(events).collect()
+    assert(c.nonEmpty)
+    c.foreach { x =>
+      assert(x.getAs[Long]("gap_ms") >= 2 * day)
+      assert(x.getAs[Double]("value") >= 50.0)
+    }
+  }
+
+  test("offsettingPairs: equal-cent pairs match within the window, including across buckets") {
+    import spark.implicits._
+    val day = 86400000L
+    val ev = Seq(
+      // user 1: e1/e2 same cents 1h apart -> pair; e3 is 8 days after e1
+      // and 7.96 after e2 -> no pair with either
+      (1L, 1L, 0L, "view", 12.34), (2L, 1L, 3600000L, "purchase", 12.34),
+      (3L, 1L, 8 * day, "purchase", 12.34),
+      // user 2: 6.5 days apart -> the pair straddles a 7-day bucket edge
+      (4L, 2L, (6.5 * day).toLong, "click", 9.99), (5L, 2L, 13 * day, "error", 9.99),
+      // user 3: same window, different cents -> no pair
+      (6L, 3L, 0L, "view", 5.00), (7L, 3L, 3600000L, "view", 5.01))
+      .toDF("event_id", "user_id", "ts_ms", "event_type", "value")
+    val r = Monitoring.offsettingPairs(ev).collect()
+    val pairs = r.map(x => (x.getAs[Long]("event_id_a"), x.getAs[Long]("event_id_b"))).toSet
+    assert(pairs === Set((1L, 2L), (4L, 5L)))
+    r.foreach(x => assert(x.getAs[Long]("dt_ms") <= 7 * day && x.getAs[Long]("dt_ms") >= 0))
+  }
+
+  test("ewmaDaily: integer-exact halving per calendar day, gaps decay through absent days") {
+    import spark.implicits._
+    // user 1: $1.00 on day 0, $2.00 on day 1, $4.00 on day 4 (2-day gap)
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", 1.00),
+      (2L, 1L, "2024-01-02 10:00:00", 2.00),
+      (3L, 1L, "2024-01-05 10:00:00", 4.00))
+      .toDF("event_id", "user_id", "ts_str", "value")
+      .withColumn("ts", to_timestamp(col("ts_str")))
+    val r = Monitoring.ewmaDaily(ev).collect()
+      .map(x => x.getAs[java.sql.Date]("day").toString -> x.getAs[Double]("ewma")).toMap
+    assert(r("2024-01-01") === 1.0)                   // just itself
+    assert(r("2024-01-02") === 2.0 + 0.5 * 1.0)       // newest full, prior halved
+    // 3 calendar days after day 1: 4 + 2/2^3 + 1/2^4 = 4.3125
+    assert(r("2024-01-05") === 4.3125)
+    // corpus sanity: the decayed baseline is never below the day's own volume... minus nothing:
+    // newest day enters at weight 1, all other terms are non-negative
+    val c = Monitoring.ewmaDaily(events).collect()
+    assert(c.nonEmpty)
+    c.foreach { x =>
+      assert(x.getAs[Double]("ewma") >= x.getAs[Long]("cents") / 100.0 - 1e-4)
+      assert(x.getAs[Long]("ewma_scaled") >= 0L)
+    }
+  }
 }

@@ -607,6 +607,44 @@ class OperatorsSpec extends SparkSpec {
     assert(r("view") === 3L * operators.Graph.Q / 40L)
   }
 
+  test("Graph.triangles: one co-occurrence clique yields one triangle; hub guard empties it") {
+    import spark.implicits._
+    // users 1,2,3 at merchant 5 in the same hour (one triangle); user 4
+    // shares merchant 5 but a DIFFERENT hour (edges to nobody); users
+    // 1,2 also co-occur at merchant 6 (extra edge, no new triangle)
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:05:00", """{"k": 5}"""),
+      (2L, 2L, "2024-01-01 10:15:00", """{"k": 5}"""),
+      (3L, 3L, "2024-01-01 10:55:00", """{"k": 5}"""),
+      (4L, 4L, "2024-01-01 11:05:00", """{"k": 5}"""),
+      (5L, 1L, "2024-01-02 09:00:00", """{"k": 6}"""),
+      (6L, 2L, "2024-01-02 09:30:00", """{"k": 6}"""))
+      .toDF("event_id", "user_id", "ts_str", "props")
+      .withColumn("ts", to_timestamp(col("ts_str")))
+      .withColumn("value", lit(1.0))
+    val r = operators.Graph.triangles(ev).collect()
+      .map(x => x.getAs[Long]("user_id") -> x.getAs[Long]("n_triangles")).toMap
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // hub guard: with maxCell = 2 the 3-user cell is dropped -> no triangles
+    assert(operators.Graph.triangles(ev, maxCell = 2L).isEmpty)
+  }
+
+  test("Graph.bipartiteDegrees: fan-in/fan-out and cent volumes reconcile") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, """{"k": 5}""", 1.00), (2L, 1L, """{"k": 6}""", 2.00),
+      (3L, 2L, """{"k": 5}""", 4.00))
+      .toDF("event_id", "user_id", "props", "value")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+    val r = operators.Graph.bipartiteDegrees(ev).collect()
+      .map(x => (x.getAs[String]("role"), x.getAs[Long]("id")) ->
+        ((x.getAs[Long]("n_events"), x.getAs[Long]("n_peers"), x.getAs[Long]("cents")))).toMap
+    assert(r(("merchant", 5L)) === ((2L, 2L, 500L)))
+    assert(r(("merchant", 6L)) === ((1L, 1L, 200L)))
+    assert(r(("user", 1L)) === ((2L, 2L, 300L)))
+    assert(r(("user", 2L)) === ((1L, 1L, 400L)))
+  }
+
   test("Sketches.approxQuantiles: uniform data interpolates to the exact quantile") {
     import spark.implicits._
     val o = (0L until 1000L).map(i => (i, (i + 1).toDouble)).toDF("o_orderkey", "o_totalprice")

@@ -106,6 +106,25 @@ class ScaleSpec extends SparkSpec {
     // rolling features: all four windows share ONE exchange
     val rPlan = Monitoring.rollingFeatures(ev).queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(rPlan).length === 1, rPlan)
+    // velocity: one RANGE-frame window, one exchange, NO join (the
+    // whole point over a self-join sliding window)
+    val vPlan = Monitoring.velocityBursts(ev).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(vPlan).length === 1, vPlan)
+    assert(!vPlan.contains("Join"), s"velocity must not join:\n$vPlan")
+    // dormancy: same single-window discipline
+    val dPlan = Monitoring.dormantAwakening(ev).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(dPlan).length === 1, dPlan)
+    // ewma: the raw scan shuffles ONCE to the (user, day) aggregate;
+    // both windows then share the ONE user_id re-exchange of the tiny
+    // daily table (2 total) — the event-log scan must not shuffle twice
+    val ePlan = Monitoring.ewmaDaily(ev).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(ePlan).length <= 2, ePlan)
+    // offsetting pairs: amount+bucket ride the join KEY — the plan must
+    // be an equi-join (hash clauses), not a broadcast nested loop
+    val oPlan = Monitoring.offsettingPairs(ev).queryExecution.executedPlan.toString
+    assert(oPlan.contains("SortMergeJoin") || oPlan.contains("ShuffledHashJoin") ||
+      oPlan.contains("BroadcastHashJoin"), s"offsetting must equi-join:\n$oPlan")
+    assert(!oPlan.contains("NestedLoop"), oPlan)
   }
 
   test("sortedExport: each output file holds whole users in time order") {
