@@ -576,9 +576,104 @@ object TextOps {
       md5(redacted).as("redact_hash"))
   }
 
+  /** Learn a BPE merge list from the corpus — the standard two-regime
+    * tokenizer-training shape (Sennrich et al. 2016): ONE corpus-sized
+    * pass builds the (word, frequency) vocabulary, then every round
+    * runs on the VOCAB (thousands of rows however big the corpus is):
+    * count adjacent symbol pairs weighted by word frequency, pick the
+    * most frequent (ties broken lexicographically — fully
+    * deterministic), rewrite the vocab with [[graft.functions.Bpe
+    * .BpeMergeOnce]]. The per-round argmax collects ONE row — a merge
+    * DECISION, not data — mirroring how the IVF k-means loop carries
+    * centroid literals. The interpreted `transform` building pair keys
+    * is vocab-sized by the same argument (the corpus-sized hot loop is
+    * the native apply expression, never this).
+    *
+    * Pair counts include overlapping occurrences ("aaa" counts (a,a)
+    * twice) — the textbook counting; the REWRITE is leftmost-
+    * nonoverlapping, matching the apply side exactly. */
+  def bpeLearn(docs: DataFrame, nMerges: Int = 32): Seq[String] = {
+    var vocab = docs
+      .select(explode(graft.functions.TextHash.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .select(col("f"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
+      .localCheckpoint(true) // vocab-sized; the loop re-reads it every round
+    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    var exhausted = false
+    for (_ <- 0 until nMerges if !exhausted) {
+      val best = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("f"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))")).as("p"))
+        .groupBy(col("p")).agg(sum(col("f")).as("n"))
+        .orderBy(col("n").desc, col("p")).limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best.head.getAs[String]("p")
+        val Array(x, y) = pair.split(" ", 2)
+        merges += pair
+        vocab = vocab.select(col("f"),
+            graft.functions.Bpe.bpeMergeOnce(col("syms"), x, y).as("syms"))
+          .localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Per-doc tokenizer accounting under a corpus-learned BPE: subword
+    * count next to whitespace-token and char counts, and the
+    * chars-per-token compression every training-cost estimate starts
+    * from. The apply side is one codegen'd projection over the scan —
+    * at 100 TB the learner's vocab rounds are noise and this runs at
+    * read speed. BPE's per-row merge recursion has no SQL rendering,
+    * so this is a rows-only driver row by design (BpeSpec pins the
+    * algorithm; the learner example is hand-checkable). */
+  def bpeStats(docs: DataFrame, nMerges: Int = 32): DataFrame = {
+    val merges = bpeLearn(docs, nMerges)
+    docs.select(col("doc_id"), col("n_chars"),
+        size(graft.functions.TextHash.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        size(graft.functions.Bpe.bpeTokens(col("text"), merges)).cast("long").as("n_bpe_tokens"))
+      .withColumn("chars_per_token",
+        trunc4(col("n_chars").cast("double") / col("n_bpe_tokens")))
+  }
+
+  /** Corpus-familiarity quality score — the integer-exact stand-in for
+    * the LM-perplexity filter a pretraining pipeline runs (CCNet-style):
+    * a document whose word bigrams are corpus-common reads "fluent", one
+    * dominated by corpus-unique bigrams is noise-suspect. The model and
+    * the scoring share ONE pass: bigram rows → a count window on the
+    * 60-bit gram hash (the sparseSim df discipline — no separate model
+    * aggregate + join back) → per-doc mean corpus count and unique-gram
+    * ratio. Integer sums, one truncated division at the end — engine-
+    * exact. Two shuffles total (gram hash, then doc_id), both narrow
+    * (doc_id, hash, count); hot stop-bigrams skew the gh partition at
+    * scale, which AQE's skew split absorbs because the window is a
+    * plain count (map-side combinable after the skew split). Docs with
+    * fewer than 2 tokens carry no bigram and are excluded — same
+    * exclusion in the oracle. */
+  def familiarity(docs: DataFrame): DataFrame = {
+    val grams = graft.functions.TextHash.shingleRows(docs, n = 2)
+      .select(col("doc_id"), graft.functions.TextHash.hash60(col("s")).as("gh"))
+    val byGram = org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))
+    grams
+      .withColumn("cnt", count(lit(1)).over(byGram))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("cnt_sum"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_bigrams"),
+        trunc4(col("cnt_sum").cast("double") / col("n_bigrams")).as("familiarity"),
+        trunc4(col("n_unique").cast("double") / col("n_bigrams")).as("uniq_ratio"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_familiarity" -> ((s, d) => familiarity(Tables.documents(s, d))),
+    "q_text_bpe" -> ((s, d) => bpeStats(Tables.documents(s, d))),
     "q_text_langid" -> ((s, d) => langId(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => quality(Tables.documents(s, d))),
     "q_text_tokens" -> ((s, d) => tokenCounts(Tables.documents(s, d))),
@@ -659,6 +754,15 @@ object TextOps {
     "q_text_termstats" ->
       ("SELECT tok AS token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM " +
         "(SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents) GROUP BY 1"),
+    "q_text_familiarity" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents), " +
+        "g AS (SELECT doc_id, unnest(list_transform(range(1, len(tok)), " +
+        "i -> ('0x'||substr(md5(tok[i]||' '||tok[i+1]),1,15))::BIGINT)) gh FROM t), " +
+        "c AS (SELECT doc_id, count(*) OVER (PARTITION BY gh) AS cnt FROM g) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "floor(sum(cnt)::DOUBLE / count(*) * 10000) / 10000 AS familiarity, " +
+        "floor(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) * 10000) / 10000 AS uniq_ratio " +
+        "FROM c GROUP BY 1"),
     "q_text_tfidf" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents), " +
         "tf AS (SELECT doc_id, t, count(*) tf FROM tok GROUP BY 1, 2), " +

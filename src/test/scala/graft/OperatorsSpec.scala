@@ -667,6 +667,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("TextOps.familiarity: hand-computed corpus counts; short docs excluded") {
+    import spark.implicits._
+    // global bigram counts: "a b" x2 (both from doc 1), "b a" x1, "z q" x1
+    val docs = Seq((1L, "a b a b"), (2L, "z q"), (3L, "solo")).toDF("doc_id", "text")
+    val r = TextOps.familiarity(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_bigrams"), x.getAs[Double]("familiarity"),
+          x.getAs[Double]("uniq_ratio")))).toMap
+    // doc 1: occurrences (2, 1, 2) -> mean 5/3 truncated; one of three unique
+    assert(r(1L) === ((3L, 1.6666, 0.3333)))
+    assert(r(2L) === ((1L, 1.0, 1.0)))
+    assert(!r.contains(3L)) // single-token doc has no bigram
+    // corpus sanity: familiarity >= 1 always (a gram counts itself)
+    TextOps.familiarity(Tables.documents(spark, sf)).collect().foreach { x =>
+      assert(x.getAs[Double]("familiarity") >= 1.0)
+      val u = x.getAs[Double]("uniq_ratio")
+      assert(u >= 0.0 && u <= 1.0)
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
