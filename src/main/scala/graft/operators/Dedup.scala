@@ -308,6 +308,66 @@ object Dedup {
     docs.filter(pmod(hash60(concat(lit("sample|"), col("doc_id"))), lit(100L)) < pct)
       .select(col("doc_id"), col("lang"), col("n_chars"))
 
+  /** Deterministic typo corpus for [[fuzzyEditPairs]]: every doc's
+    * NORMALIZED text plus a copy (fresh id, [[TextOps.PerturbOffset]]
+    * above) with ONE character deleted at position 13 + (doc_id % 8) —
+    * past the 12-char blocking prefix, inside the comparison cap. A
+    * single-character typo is exactly the near-miss that exact dedup
+    * (md5) AND normalized dedup both miss — only an edit-distance
+    * pass catches it. One scan + explode (never a self-union). */
+  def typoCorpus(docs: DataFrame): DataFrame = {
+    val nt = TextOps.normalize(col("text"))
+    val p = (lit(13L) + pmod(col("doc_id"), lit(8L))).cast("int")
+    val typo = concat(nt.substr(lit(1), p - 1), nt.substr(p + 1, lit(1 << 24)))
+    docs.select(explode(array(
+        struct(col("doc_id").as("doc_id"), nt.as("nt")),
+        struct((col("doc_id") + TextOps.PerturbOffset).as("doc_id"), typo.as("nt")))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.nt").as("nt"))
+  }
+
+  /** Blocked edit-distance fuzzy dedup — the record-linkage family
+    * (exact → normalized → MinHash → SIMhash → EDIT DISTANCE): pairs of
+    * docs whose normalized texts are within `maxDist` Levenshtein edits.
+    *
+    * The O(n²) trap and its guard: Levenshtein admits no algebraic
+    * sketch, so production linkage BLOCKS first — here on the first 12
+    * normalized chars — and runs the quadratic DP only inside blocks
+    * (Σ|block|²/2 candidate pairs, the SemDeDup cluster discipline).
+    * The DP itself is capped at `cap` chars per side (cost ≤ cap² per
+    * pair, a constant), the standard long-document fingerprint cap.
+    * Typos inside the blocking prefix need a second blocking pass on a
+    * different key (suffix / rotated prefix) unioned in — documented,
+    * not built: this corpus plants its typo past the prefix.
+    *
+    * Scale: the (id, capped text, block) projection is PERSISTED so the
+    * corpus parquet is scanned (and normalization computed) exactly
+    * once for both join sides — the cached relation is ~`cap` bytes per
+    * doc, two orders smaller than the raw text; the self-equi-join on
+    * the block key then shuffles only that narrow projection. */
+  def fuzzyEditPairs(docs: DataFrame, maxDist: Int = 2, cap: Int = 120): DataFrame = {
+    val (pairs, base) = fuzzyEditPairsLazy(docs, maxDist, cap)
+    val out = pairs.localCheckpoint(true) // pair list is small; frees the cache
+    base.unpersist()
+    out
+  }
+
+  /** [[fuzzyEditPairs]] without the eager checkpoint, exposing the
+    * cached base for plan inspection / lifecycle control. */
+  private[graft] def fuzzyEditPairsLazy(docs: DataFrame, maxDist: Int = 2,
+      cap: Int = 120): (DataFrame, DataFrame) = {
+    val base = typoCorpus(docs)
+      .select(col("doc_id"), substring(col("nt"), 1, cap).as("t"))
+      .withColumn("blk", substring(col("t"), 1, 12))
+      .persist()
+    val a = base.select(col("blk"), col("doc_id").as("id_a"), col("t").as("t_a"))
+    val b = base.select(col("blk"), col("doc_id").as("id_b"), col("t").as("t_b"))
+    val pairs = a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+    (pairs, base)
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -318,6 +378,7 @@ object Dedup {
     "q_dedup_ngram_topk" -> ((s, d) => ngramTopK(Tables.documents(s, d), Seq(0L, 8L, 285L))),
     "q_dedup_clusters" -> ((s, d) => minhashClusters(Tables.documents(s, d))),
     "q_dedup_incremental" -> ((s, d) => incrementalAudit(Tables.documents(s, d))),
+    "q_dedup_fuzzy_edit" -> ((s, d) => fuzzyEditPairs(Tables.documents(s, d))),
     "q_hash_sample" -> ((s, d) => hashSample(Tables.documents(s, d))))
 
   private val sigCte = {
@@ -374,6 +435,17 @@ object Dedup {
         s"SELECT doc_id + $CopyOffset, text FROM documents WHERE doc_id < 50)) " +
         "SELECT nb.doc_id, nb.th AS text_hash, (reg.h IS NOT NULL) AS already_ingested " +
         "FROM nb LEFT JOIN reg ON nb.th = reg.h"),
+    "q_dedup_fuzzy_edit" ->
+      ("WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) nt FROM documents), " +
+        "c AS (SELECT doc_id, nt FROM n UNION ALL " +
+        s"SELECT doc_id + ${TextOps.PerturbOffset}, " +
+        "substr(nt, 1, CAST(13 + doc_id % 8 AS INT) - 1) || " +
+        "substr(nt, CAST(13 + doc_id % 8 AS INT) + 1, 16777216) FROM n), " +
+        "bl AS (SELECT doc_id, substr(nt, 1, 120) t, substr(nt, 1, 12) blk FROM c) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.t, b.t)::BIGINT AS dist " +
+        "FROM bl a JOIN bl b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
+        "WHERE levenshtein(a.t, b.t) <= 2"),
     "q_dedup_simhash" ->
       (simhashCte + " SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS n_same FROM fp"),
     "q_dedup_simhash_pairs" ->

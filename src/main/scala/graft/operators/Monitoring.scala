@@ -262,9 +262,80 @@ object Monitoring {
         trunc4(col("ewma_scaled").cast("double") / ((1L << horizon) * 100.0)).as("ewma"))
   }
 
+  /** Weekly cohort retention — the product-analytics matrix every
+    * monitoring/growth pipeline reports: users cohorted by their FIRST
+    * active epoch week, then each (cohort, week-offset) cell counts how
+    * many of them were active that many weeks later, as a share of the
+    * cohort. Epoch weeks (`ts_ms div 604800000`) avoid any global
+    * min-date pass — cohort keys are absolute, derivable row-locally.
+    *
+    * Scale: (user, week) hash-agg collapses events to at most
+    * |users|·|weeks| narrow rows (map-side combined), the cohort min is
+    * a window on user_id over THAT table (not the raw events), and the
+    * final cells aggregate is tiny. The offset-0 cell IS the cohort
+    * size (every user is active in their first week), so sizes come
+    * from the cells table itself via ONE window over it — no self-join
+    * branch that would recompute the event aggregation twice. All
+    * counts integer ⇒ engine-exact; the retention share is a truncated
+    * division of exact longs. */
+  def cohortRetention(ev: DataFrame): DataFrame = {
+    val active = ev
+      .groupBy(col("user_id"), expr("ts_ms div 604800000").as("week"))
+      .agg(count(lit(1)).as("n_events"))
+    val cells = active
+      .withColumn("cohort_week", min(col("week")).over(Window.partitionBy(col("user_id"))))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    cells
+      .withColumn("n_cohort", max(when(col("week_offset") === 0, col("n_active")))
+        .over(Window.partitionBy(col("cohort_week"))))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"), col("n_cohort"),
+        trunc4(col("n_active") / col("n_cohort")).as("retention"))
+  }
+
+  /** Time-series gap fill + forward fill — the resampling pass that
+    * turns an irregular event stream into a dense per-(type, day) grid
+    * before any rolling model: missing days get an explicit zero-count
+    * row, and the last known daily cents value carries forward
+    * (`last(_, ignoreNulls)` over a rows frame — the SQL gap-fill
+    * idiom). Day bounds come from the data (one-row aggregate,
+    * broadcast into the spine build), the spine is |types| × |days|
+    * rows — never event-scale. Daily sums are integer cents
+    * (floor(v·100 + 0.5)), so every engine agrees on each carried
+    * value; the carry itself picks a stored long, not an accumulation.
+    *
+    * Scale: one (type, day) hash-agg over events (map-side combined)
+    * feeds spine, bounds, and the fill — persisted so the raw scan
+    * happens once; the forward-fill window runs over the dense grid
+    * (tiny), partitioned by type. */
+  def gapFill(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      .persist() // feeds bounds, the type list, and the fill join
+    val bounds = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val spine = daily.select(col("event_type")).distinct()
+      .crossJoin(bounds)
+      .select(col("event_type"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val carry = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val result = spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("n").isNull.as("filled"), col("cents"))
+      .withColumn("carry_cents", last(col("cents"), ignoreNulls = true).over(carry))
+      .drop("cents")
+      .localCheckpoint(true) // |types|·|days| rows; releases the daily cache
+    daily.unpersist()
+    result
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cohort_retention" -> ((s, d) => cohortRetention(Tables.events(s, d))),
+    "q_ts_gapfill" -> ((s, d) => gapFill(Tables.events(s, d))),
     "q_aml_velocity" -> ((s, d) => velocityBursts(Tables.events(s, d))),
     "q_aml_dormant" -> ((s, d) => dormantAwakening(Tables.events(s, d))),
     "q_aml_offsetting" -> ((s, d) => offsettingPairs(Tables.events(s, d))),
@@ -278,6 +349,31 @@ object Monitoring {
     "q_flag_summary" -> ((s, d) => flagSummary(Tables.events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_cohort_retention" ->
+      ("WITH uw AS (SELECT user_id, epoch_ms(ts) // 604800000 AS week, " +
+        "count(*) AS n_events FROM events GROUP BY 1, 2), " +
+        "o AS (SELECT user_id, week, " +
+        "min(week) OVER (PARTITION BY user_id) AS cohort_week FROM uw), " +
+        "cells AS (SELECT cohort_week, week - cohort_week AS week_offset, " +
+        "count(*) AS n_active FROM o GROUP BY 1, 2), " +
+        "sz AS (SELECT cohort_week, week_offset, n_active, " +
+        "max(CASE WHEN week_offset = 0 THEN n_active END) " +
+        "OVER (PARTITION BY cohort_week) AS n_cohort FROM cells) " +
+        "SELECT cohort_week, week_offset, n_active, n_cohort, " +
+        "floor(n_active / n_cohort * 10000) / 10000 AS retention FROM sz"),
+    "q_ts_gapfill" ->
+      ("WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day, " +
+        "count(*) AS n, sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents " +
+        "FROM events GROUP BY 1, 2), " +
+        "b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "spine AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day " +
+        "FROM (SELECT DISTINCT event_type FROM daily) CROSS JOIN b), " +
+        "j AS (SELECT s.event_type, s.day, coalesce(d.n, 0)::BIGINT AS n, " +
+        "d.n IS NULL AS filled, d.cents " +
+        "FROM spine s LEFT JOIN daily d ON s.event_type = d.event_type AND s.day = d.day) " +
+        "SELECT event_type, day, n, filled, " +
+        "last_value(cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_cents FROM j"),
     "q_aml_velocity" ->
       ("WITH s AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, " +
         "count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) " +

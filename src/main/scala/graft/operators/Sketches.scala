@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.Portable.trunc4
 import graft.functions.TextHash.hash60
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -95,13 +96,109 @@ object Sketches {
             / col("cnt") * binW).as("est"))
   }
 
+  /** Relational HyperLogLog — the distinct-count sketch itself as a
+    * declarative plan, fully DuckDB-oracle-checkable (unlike
+    * `approx_count_distinct`, whose HLL++ register encoding is engine
+    * internal — this is the oracled sibling of `q_approx_distinct`).
+    * One sketch per `metric` (three cardinality regimes in one pass:
+    * unique id ≈ row count, user id ≈ mid, event type ≈ tiny).
+    *
+    * Why every estimate is merge-order-DETERMINISTIC:
+    *  - register value = max(rho) — max commutes, any partial-agg
+    *    merge order gives the same register;
+    *  - rho is pure integer bit-math: trailing zeros of the 52 bits
+    *    above the register index via `length(bin(rest & -rest))`
+    *    (rest & -rest isolates the lowest set bit; its binary string
+    *    has exactly t+1 digits — no float log2 anywhere);
+    *  - the harmonic sum Σ 2^-M_j is computed as the EXACT integer
+    *    Σ 2^(53-M_j) (BIGINT, ≤ 256·2^53 < 2^62) — integer sums
+    *    commute where a float Σ 2^-M_j would depend on merge order;
+    *  - the estimate divides identical doubles from that exact
+    *    integer, and the small-range linear-counting branch switches
+    *    on the SAME derived doubles in both engines.
+    *
+    * Scale: one tagged-explode scan (3 narrow rows per event) →
+    * hash-agg to ≤ 3·m register cells with map-side combine — the
+    * shuffle carries at most 3·m partials per task regardless of
+    * input size, the CMS discipline. The exact `count(distinct)`
+    * exists to report the error and would be skipped at 100 TB. */
+  def hllDistinct(ev: DataFrame, m: Int = 256): DataFrame = {
+    val tagged = ev.select(explode(array(
+        struct(lit("event_id").as("metric"), col("event_id").cast("string").as("v")),
+        struct(lit("user_id").as("metric"), col("user_id").cast("string").as("v")),
+        struct(lit("event_type").as("metric"), col("event_type").as("v")))).as("r"))
+      .select(col("r.metric").as("metric"), col("r.v").as("v"))
+      .filter(col("v").isNotNull)
+      .persist() // feeds the sketch AND the exact-error report
+    val regs = tagged
+      .withColumn("h", hash60(col("v")))
+      .withColumn("reg", pmod(col("h"), lit(m.toLong)))
+      .withColumn("rest", expr(s"h div $m"))
+      .withColumn("rho", when(col("rest") === 0L, lit(53L))
+        .otherwise(length(bin(expr("rest & -rest"))).cast("long")))
+      .groupBy(col("metric"), col("reg")).agg(max(col("rho")).as("mx"))
+    val sk = regs.groupBy(col("metric")).agg(
+      sum(expr("shiftleft(1L, cast(53 - mx as int))")).as("s_hit"),
+      count(lit(1)).as("n_hit"))
+    val exact = tagged.groupBy(col("metric")).agg(countDistinct(col("v")).as("n_exact"))
+    // alpha_m · m² · 2^53 folded to ONE Scala double so both engines
+    // divide the identical constant (decimal literals parse as DECIMAL
+    // in SQL and would silently switch the arithmetic to decimal); the
+    // oracle embeds Double.toString of this value, which round-trips
+    val alphaM2: Double = 0.7213 / (1.0 + 1.079 / m) * m * m * 9007199254740992.0
+    val est = sk
+      .withColumn("v_empty", lit(m.toLong) - col("n_hit"))
+      .withColumn("est_raw",
+        lit(alphaM2) / expr("cast(s_hit + v_empty * shiftleft(1L, 53) as double)"))
+      .withColumn("est", trunc4(
+        when(col("est_raw") <= lit(2.5 * m) && col("v_empty") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty")))
+          .otherwise(col("est_raw"))))
+      .join(exact, Seq("metric"))
+      .select(col("metric"), col("n_exact"), col("v_empty"), col("est"),
+        trunc4(abs(col("est") - col("n_exact")) / col("n_exact")).as("rel_err"))
+      .localCheckpoint(true) // 3 rows; releases the tagged cache
+    tagged.unpersist()
+    est
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_quantile" -> ((s, d) => approxQuantiles(Tables.orders(s, d))),
+    "q_hll_distinct" -> ((s, d) => hllDistinct(Tables.events(s, d))),
     "q_cms_heavy_hitters" -> ((s, d) => cmsHeavyHitters(Tables.events(s, d))))
 
+  /** The [[hllDistinct]] constant at m = 256, shared verbatim with the
+    * oracle (Double.toString round-trips the exact bits). */
+  private val HllAlphaM2: Double =
+    0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * 9007199254740992.0
+
   val oracleSql: Map[String, String] = Map(
+    "q_hll_distinct" ->
+      ("WITH src AS (" +
+        "SELECT 'event_id' AS metric, CAST(event_id AS VARCHAR) AS v FROM events " +
+        "UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events " +
+        "UNION ALL SELECT 'event_type', event_type FROM events), " +
+        "t AS (SELECT metric, v, ('0x' || substr(md5(v), 1, 15))::BIGINT AS h " +
+        "FROM src WHERE v IS NOT NULL), " +
+        "r AS (SELECT metric, v, h % 256 AS reg, h // 256 AS rest FROM t), " +
+        "rh AS (SELECT metric, reg, CASE WHEN rest = 0 THEN 53 " +
+        "ELSE length(bin(rest & -rest)) END AS rho FROM r), " +
+        "regs AS (SELECT metric, reg, max(rho) AS mx FROM rh GROUP BY 1, 2), " +
+        "sk AS (SELECT metric, sum(1::BIGINT << (53 - mx))::BIGINT AS s_hit, " +
+        "count(*) AS n_hit FROM regs GROUP BY 1), " +
+        "ex AS (SELECT metric, count(DISTINCT v) AS n_exact FROM t GROUP BY 1), " +
+        "e AS (SELECT metric, 256 - n_hit AS v_empty, " +
+        s"$HllAlphaM2::DOUBLE / CAST(s_hit + (256 - n_hit) * (1::BIGINT << 53) AS DOUBLE) AS est_raw " +
+        "FROM sk), " +
+        "est AS (SELECT metric, v_empty, " +
+        "floor((CASE WHEN est_raw <= 640.0 AND v_empty > 0 " +
+        "THEN 256.0::DOUBLE * ln(256.0::DOUBLE / v_empty) ELSE est_raw END) * 10000) / 10000 AS est " +
+        "FROM e) " +
+        "SELECT metric, n_exact, v_empty, est, " +
+        "floor(abs(est - n_exact) / n_exact * 10000) / 10000 AS rel_err " +
+        "FROM est JOIN ex USING (metric)"),
     "q_approx_quantile" ->
       ("WITH bins AS (SELECT CAST(floor(o_totalprice / 64.0) AS BIGINT) bin, count(*) cnt " +
         "FROM orders GROUP BY 1), " +

@@ -192,4 +192,64 @@ class MonitoringSpec extends SparkSpec {
       assert(x.getAs[Long]("ewma_scaled") >= 0L)
     }
   }
+
+  test("cohortRetention: offset 0 is full retention; cohorts partition the user base") {
+    val r = Monitoring.cohortRetention(events).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getAs[Long]("week_offset") >= 0L)
+      assert(x.getAs[Long]("n_active") <= x.getAs[Long]("n_cohort"))
+      val ret = x.getAs[Double]("retention")
+      assert(ret > 0.0 && ret <= 1.0)
+      if (x.getAs[Long]("week_offset") == 0L) assert(ret === 1.0)
+    }
+    // every user lands in exactly one cohort: offset-0 cells sum to |users|
+    val users = events.select("user_id").distinct().count()
+    val sum0 = r.filter(_.getAs[Long]("week_offset") == 0L)
+      .map(_.getAs[Long]("n_active")).sum
+    assert(sum0 === users)
+  }
+
+  test("cohortRetention: hand-built stream") {
+    import spark.implicits._
+    val wk = 604800000L
+    val ev = Seq((1L, 0L), (1L, wk), (2L, 1000L), (3L, wk + 5L))
+      .toDF("user_id", "ts_ms")
+    val r = Monitoring.cohortRetention(ev).collect()
+      .map(x => (x.getAs[Long]("cohort_week"), x.getAs[Long]("week_offset")) ->
+        ((x.getAs[Long]("n_active"), x.getAs[Long]("n_cohort"), x.getAs[Double]("retention")))).toMap
+    assert(r((0L, 0L)) === ((2L, 2L, 1.0))) // users 1 and 2
+    assert(r((0L, 1L)) === ((1L, 2L, 0.5))) // user 1 returns
+    assert(r((1L, 0L)) === ((1L, 1L, 1.0))) // user 3's own cohort
+    assert(r.size === 3)
+  }
+
+  test("gapFill: dense grid, zero-filled gaps, forward-carried cents") {
+    import spark.implicits._
+    val day = 86400000L
+    val ev = Seq(("a", 0L, 1.0), ("a", 2 * day, 2.0), ("b", day, 3.0))
+      .toDF("event_type", "ts_ms", "value")
+    val r = Monitoring.gapFill(ev).collect()
+      .map(x => (x.getAs[String]("event_type"), x.getAs[Long]("day")) ->
+        ((x.getAs[Long]("n"), x.getAs[Boolean]("filled"),
+          Option(x.getAs[java.lang.Long]("carry_cents")).map(_.toLong)))).toMap
+    assert(r.size === 6) // 2 types x days 0..2, gaps materialized
+    assert(r(("a", 0L)) === ((1L, false, Some(100L))))
+    assert(r(("a", 1L)) === ((0L, true, Some(100L)))) // gap: zero count, carried value
+    assert(r(("a", 2L)) === ((1L, false, Some(200L))))
+    assert(r(("b", 0L)) === ((0L, true, None))) // before first observation: nothing to carry
+    assert(r(("b", 1L)) === ((1L, false, Some(300L))))
+    assert(r(("b", 2L)) === ((0L, true, Some(300L))))
+  }
+
+  test("gapFill: corpus grid is dense and filled rows are exactly the empty days") {
+    val r = Monitoring.gapFill(events).collect()
+    val types = r.map(_.getAs[String]("event_type")).distinct
+    val days = r.map(_.getAs[Long]("day"))
+    assert(r.length === types.length * (days.max - days.min + 1).toInt)
+    r.foreach { x =>
+      if (x.getAs[Boolean]("filled")) assert(x.getAs[Long]("n") === 0L)
+      else assert(x.getAs[Long]("n") > 0L)
+    }
+  }
 }

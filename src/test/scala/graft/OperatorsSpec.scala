@@ -687,6 +687,49 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Sketches.hllDistinct: estimates track exact counts; partition invariant") {
+    val ev = Tables.events(spark, sf)
+    val r = Sketches.hllDistinct(ev).collect()
+      .map(x => x.getAs[String]("metric") -> x).toMap
+    assert(r.size === 3)
+    // m=256 ⇒ ~6.5% std error; allow 3 sigma on every regime (the tiny
+    // event_type cardinality goes through linear counting and is near-exact)
+    r.foreach { case (m, x) =>
+      val n = x.getAs[Long]("n_exact").toDouble
+      val est = x.getAs[Double]("est")
+      assert(math.abs(est - n) / n < 0.2, s"$m: est $est vs exact $n")
+    }
+    assert(math.abs(r("event_type").getAs[Double]("est") -
+      r("event_type").getAs[Long]("n_exact")) < 1.0)
+    // merge-order determinism: any partitioning yields bit-identical sketches
+    val again = Sketches.hllDistinct(ev.repartition(7)).collect()
+      .map(x => x.getAs[String]("metric") -> x.getAs[Double]("est")).toMap
+    r.foreach { case (m, x) => assert(again(m) === x.getAs[Double]("est")) }
+  }
+
+  test("Dedup.fuzzyEditPairs: planted typos found, distances bounded") {
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.fuzzyEditPairs(docs).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(x => assert(x.getAs[Long]("dist") <= 2L))
+    val pairSet = pairs.map(x => (x.getAs[Long]("id_a"), x.getAs[Long]("id_b"))).toSet
+    // every doc long enough to actually receive its deletion must pair
+    // with its typo copy (the deletion lands past the blocking prefix)
+    val ids = docs
+      .filter(length(TextOps.normalize(col("text"))) >= 21).select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(ids.nonEmpty)
+    ids.foreach(i => assert(pairSet.contains((i, i + TextOps.PerturbOffset)),
+      s"doc $i missing its typo pair"))
+    // a planted pair differs by the one deletion — plus, for docs longer
+    // than the cap, the character the deletion shifts into the capped
+    // window's last position (capped comparison's inherent second edit)
+    val planted = pairs
+      .filter(x => x.getAs[Long]("id_b") - x.getAs[Long]("id_a") == TextOps.PerturbOffset)
+      .map(x => x.getAs[Long]("id_a") -> x.getAs[Long]("dist")).toMap
+    ids.foreach(i => assert(planted(i) >= 1L && planted(i) <= 2L))
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -362,6 +362,30 @@ class ScaleSpec extends SparkSpec {
     assert(nEx <= 2, s"zipfFit plans $nEx hash exchanges (expected ≤ 2):\n$zfPlan")
   }
 
+  test("fuzzy/cohort plan shapes: blocked equi-join with one scan; broadcast sizes join") {
+    // fuzzyEditPairs: the block self-join is an EQUI-join on blk —
+    // never a cartesian (Σ|block|²/2 vs n²/2, the blocking guarantee) —
+    // and BOTH sides read the persisted capped projection, so the
+    // corpus parquet is scanned once however the join is planned
+    val (fz, fzBase) = graft.operators.Dedup
+      .fuzzyEditPairsLazy(Tables.documents(spark, sf))
+    val fzPlan = fz.queryExecution.executedPlan.toString
+    assert(!fzPlan.contains("CartesianProduct"), s"blocked join degenerated:\n$fzPlan")
+    assert("InMemoryTableScan".r.findAllIn(fzPlan).length === 2,
+      s"both join sides should read the cached projection:\n$fzPlan")
+    fzBase.unpersist()
+    // cohortRetention: (user, week) agg → user window → cells agg →
+    // cohort-size window = four hash exchanges, each over a SMALLER
+    // relation, in ONE linear plan — a sizes self-join branch would
+    // recompute the event aggregation twice (and did, before this pin)
+    val co = graft.operators.Monitoring.cohortRetention(Tables.events(spark, sf))
+    val coPlan = co.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(coPlan).length <= 4,
+      s"cohortRetention plans extra exchanges:\n$coPlan")
+    assert("Scan parquet".r.findAllIn(coPlan).length === 1,
+      s"cohortRetention should scan events once:\n$coPlan")
+  }
+
   test("compact: many small files collapse to the target count, rows preserved") {
     val dir = Files.createTempDirectory("graft-cpt").toString
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
