@@ -355,9 +355,14 @@ object Dedup {
     * cached base for plan inspection / lifecycle control. */
   private[graft] def fuzzyEditPairsLazy(docs: DataFrame, maxDist: Int = 2,
       cap: Int = 120): (DataFrame, DataFrame) = {
-    val base = typoCorpus(docs)
-      .select(col("doc_id"), substring(col("nt"), 1, cap).as("t"))
-      .withColumn("blk", substring(col("t"), 1, 12))
+    // spread BEFORE persist: the corpus parquet arrives as 1-2 splits,
+    // which would serialize the O(cap²) Levenshtein DP on 1-2 cores —
+    // the probe side's parallelism is the cached relation's (measured
+    // 5.2 s → ~1 s at sf0.1 local[32])
+    val base = graft.functions.Portable.spread(
+      typoCorpus(docs)
+        .select(col("doc_id"), substring(col("nt"), 1, cap).as("t"))
+        .withColumn("blk", substring(col("t"), 1, 12)), col("doc_id"))
       .persist()
     val a = base.select(col("blk"), col("doc_id").as("id_a"), col("t").as("t_a"))
     val b = base.select(col("blk"), col("doc_id").as("id_b"), col("t").as("t_b"))

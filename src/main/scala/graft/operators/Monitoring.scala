@@ -331,11 +331,38 @@ object Monitoring {
     result
   }
 
+  /** Day-of-week seasonal baseline — the seasonality sibling of
+    * [[ewmaDaily]] (trend) and [[gapFill]] (density): each (type, day)
+    * daily volume against the mean volume of the SAME weekday for that
+    * type, the profile a monitoring engine divides by before flagging
+    * "unusually quiet Sunday" as an anomaly. Epoch day 0 is a Thursday,
+    * so dow = (day + 4) mod 7 puts Monday at 1 — derivable row-locally,
+    * no calendar join.
+    *
+    * One (type, day) hash-agg over events (integer cents), then ONE
+    * window over the tiny daily table for the (type, dow) profile —
+    * counts and cent sums are exact BIGINTs, the mean and ratio divide
+    * identical values in both engines (trunc4 output). */
+  def seasonalBaseline(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+    val wd = Window.partitionBy(col("event_type"), col("dow"))
+    daily
+      .withColumn("dow", pmod(col("day") + 4, lit(7L)))
+      .withColumn("dow_days", count(lit(1)).over(wd))
+      .withColumn("dow_cents", sum(col("cents")).over(wd))
+      .select(col("event_type"), col("day"), col("dow"), col("cents"),
+        trunc4(col("dow_cents") / col("dow_days")).as("dow_mean"),
+        trunc4(col("cents") / (col("dow_cents") / col("dow_days"))).as("ratio"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cohort_retention" -> ((s, d) => cohortRetention(Tables.events(s, d))),
     "q_ts_gapfill" -> ((s, d) => gapFill(Tables.events(s, d))),
+    "q_ts_seasonal" -> ((s, d) => seasonalBaseline(Tables.events(s, d))),
     "q_aml_velocity" -> ((s, d) => velocityBursts(Tables.events(s, d))),
     "q_aml_dormant" -> ((s, d) => dormantAwakening(Tables.events(s, d))),
     "q_aml_offsetting" -> ((s, d) => offsettingPairs(Tables.events(s, d))),
@@ -374,6 +401,17 @@ object Monitoring {
         "SELECT event_type, day, n, filled, " +
         "last_value(cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_cents FROM j"),
+    "q_ts_seasonal" ->
+      ("WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day, " +
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents " +
+        "FROM events GROUP BY 1, 2), " +
+        "d AS (SELECT event_type, day, (day + 4) % 7 AS dow, cents FROM daily), " +
+        "w AS (SELECT event_type, day, dow, cents, " +
+        "count(*) OVER (PARTITION BY event_type, dow) AS dow_days, " +
+        "(sum(cents) OVER (PARTITION BY event_type, dow))::BIGINT AS dow_cents FROM d) " +
+        "SELECT event_type, day, dow, cents, " +
+        "floor(dow_cents / dow_days * 10000) / 10000 AS dow_mean, " +
+        "floor(cents / (dow_cents / dow_days) * 10000) / 10000 AS ratio FROM w"),
     "q_aml_velocity" ->
       ("WITH s AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, " +
         "count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) " +

@@ -184,6 +184,30 @@ object Streaming {
       .agg(count(lit(1)).as("c"))
       .select(col("win.start").as("win_start"), col("i"), col("bucket"), col("c"))
 
+  /** Streaming HyperLogLog register maintenance: the m registers of
+    * `Sketches.hllDistinct` as a windowed streaming aggregation over
+    * user ids. `max(rho)` is idempotent AND commutative, so replayed or
+    * out-of-order rows can never corrupt a register — the property that
+    * makes HLL (not exact distinct, whose state is O(distinct keys))
+    * the streaming cardinality primitive. State is bounded at m
+    * register cells per open window regardless of stream rate, and a
+    * finalized window's registers are IDENTICAL to the batch sketch
+    * over the same events (spec-asserted — same discipline as
+    * [[cmsCounters]]). The estimate reconstructs downstream from the
+    * emitted registers exactly as in the batch operator. */
+  def hllRegisters(txns: DataFrame, m: Int = 64,
+      watermark: String = "10 minutes", window_ : String = "5 minutes"): DataFrame =
+    txns.select(col("timestamp"), col("user_id").cast("string").as("v"))
+      .withColumn("h", graft.functions.TextHash.hash60(col("v")))
+      .withColumn("reg", pmod(col("h"), lit(m.toLong)))
+      .withColumn("rest", expr(s"h div $m"))
+      .withColumn("rho", when(col("rest") === 0L, lit(53L))
+        .otherwise(length(bin(expr("rest & -rest"))).cast("long")))
+      .withWatermark("timestamp", watermark)
+      .groupBy(window(col("timestamp"), window_).as("win"), col("reg"))
+      .agg(max(col("rho")).as("mx"))
+      .select(col("win.start").as("win_start"), col("reg"), col("mx"))
+
   /** A raised fraud flag. */
   final case class FraudFlag(user_id: Int, n_debits: Long, window_start: Long,
       window_end: Long, total_amount: Double)

@@ -242,6 +242,27 @@ class MonitoringSpec extends SparkSpec {
     assert(r(("b", 2L)) === ((0L, true, Some(300L))))
   }
 
+  test("seasonalBaseline: uniform type has ratio 1; weekday profile averages its days") {
+    import spark.implicits._
+    val day = 86400000L
+    // "u": 100 cents every day x14 → every dow mean = own cents → ratio 1
+    // "v": two Thursdays (epoch day 0 and 7... day 7 is Wednesday+? dow math below)
+    val ev = ((0L until 14L).map(d => ("u", d * day, 1.0)) ++
+      Seq(("v", 0L, 1.0), ("v", 7L * day, 3.0))).toDF("event_type", "ts_ms", "value")
+    val r = Monitoring.seasonalBaseline(ev).collect()
+    r.filter(_.getAs[String]("event_type") == "u").foreach { x =>
+      assert(x.getAs[Double]("dow_mean") === 100.0)
+      assert(x.getAs[Double]("ratio") === 1.0)
+    }
+    val v = r.filter(_.getAs[String]("event_type") == "v")
+      .map(x => x.getAs[Long]("day") -> x).toMap
+    assert(v(0L).getAs[Long]("dow") === 4L) // epoch day 0 is a Thursday
+    assert(v(7L).getAs[Long]("dow") === 4L) // same weekday one week on
+    assert(v(0L).getAs[Double]("dow_mean") === 200.0)
+    assert(v(0L).getAs[Double]("ratio") === 0.5)
+    assert(v(7L).getAs[Double]("ratio") === 1.5)
+  }
+
   test("gapFill: corpus grid is dense and filled rows are exactly the empty days") {
     val r = Monitoring.gapFill(events).collect()
     val types = r.map(_.getAs[String]("event_type")).distinct

@@ -279,6 +279,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("hllRegisters: finalized window's registers equal the batch sketch; repeats are idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{bin, expr, length, max, when}
+    val in = MemoryStream[Transaction](spark)
+    val agg = Streaming.hllRegisters(in.toDF(), m = 16,
+      watermark = "1 minute", window_ = "5 minutes")
+    val q = Streaming.toMemory(agg, "hll", OutputMode.Append())
+    withQuery(q) {
+      val txns = Seq(
+        txn("h1", 1, 10.0, "debit", "2025-01-01 10:01:00"),
+        txn("h2", 2, 10.0, "debit", "2025-01-01 10:02:00"),
+        txn("h3", 2, 10.0, "debit", "2025-01-01 10:03:00"), // repeat user: max is idempotent
+        txn("h4", 7, 10.0, "debit", "2025-01-01 10:04:00"))
+      in.addData(txns: _*)
+      q.processAllAvailable()
+      in.addData(txn("adv", 9, 1.0, "debit", "2025-01-01 10:30:00")) // close the window
+      q.processAllAvailable()
+      val streamed = spark.table("hll").collect()
+        .map(r => r.getAs[Long]("reg") -> r.getAs[Long]("mx")).toMap
+      // batch registers over the same users (the operator's own bit-math)
+      val batch = txns.toDF()
+        .select(col("user_id").cast("string").as("v"))
+        .withColumn("h", graft.functions.TextHash.hash60(col("v")))
+        .withColumn("reg", pmod(col("h"), lit(16L)))
+        .withColumn("rest", expr("h div 16"))
+        .withColumn("rho", when(col("rest") === 0L, lit(53L))
+          .otherwise(length(bin(expr("rest & -rest"))).cast("long")))
+        .groupBy("reg").agg(max("rho").as("mx")).collect()
+        .map(r => r.getAs[Long]("reg") -> r.getAs[Long]("mx")).toMap
+      assert(streamed === batch, s"streamed=$streamed batch=$batch")
+      // 3 distinct users land in at most 3 registers
+      assert(streamed.size <= 3)
+    }
+  }
+
   test("fraudFlags: 4th debit in window raises a flag; spread-out debits do not") {
     import spark.implicits._
     val in = MemoryStream[Transaction](spark)
