@@ -162,11 +162,85 @@ object Sketches {
     est
   }
 
+  /** Relational Bloom filter + membership audit. The filter is ~130
+    * 63-bit words built by `bit_or` — OR commutes and is idempotent, so
+    * the build is map-side combinable and merge-order-deterministic
+    * (the same reason the CMS/HLL relational forms oracle-check). The
+    * member set is "users with any event ≥ `minValue`"; every user is
+    * then probed and the confusion matrix reported — false negatives
+    * are structurally impossible (property-spec'd), false positives are
+    * the m/k/n trade the audit measures.
+    *
+    * Scale: ONE (user) hash-agg derives membership; build explodes
+    * members ×k into (word, mask) rows that collapse to ≤ m/64 cells
+    * (map-side combined); the probe joins those ≤ 128 rows broadcast —
+    * at 100 TB the filter rides to every executor for pennies, which
+    * is exactly why Bloom filters are the cross-stage pruning
+    * primitive (see the runtime bloom-join ScaleSpec demo). */
+  def bloomAudit(ev: DataFrame, minValue: Double = 250.0, mBits: Int = 8192,
+      k: Int = 3): DataFrame = {
+    val users = ev.groupBy(col("user_id"))
+      .agg((max(when(col("value") >= minValue, 1L).otherwise(0L)) === 1L).as("is_member"))
+      .persist() // feeds both the build and the probe
+    def hashed(df: DataFrame) = df
+      .select(col("user_id"), col("is_member"),
+        explode(array((0 until k).map(lit): _*)).as("j"))
+      .withColumn("pos", pmod(hash60(
+        concat(col("j").cast("string"), lit("|"), col("user_id").cast("string"))),
+        lit(mBits.toLong)))
+      // 63-bit packing: bit 63 would need `1 << 63`, which overflows a
+      // checked signed shift (DuckDB errors where the JVM wraps) — one
+      // unused bit per word buys engine-portable masks
+      .withColumn("word", expr("pos div 63"))
+      .withColumn("mask", expr("shiftleft(1L, cast(pos % 63 as int))"))
+    val words = hashed(users.filter(col("is_member")))
+      .groupBy(col("word")).agg(expr("bit_or(mask)").as("bits"))
+    val probe = hashed(users)
+      .join(broadcast(words), Seq("word"), "left")
+      .withColumn("hit", coalesce(col("bits").bitwiseAND(col("mask")) =!= 0L, lit(false)))
+      .groupBy(col("user_id"), col("is_member"))
+      .agg((sum(when(col("hit"), 1L).otherwise(0L)) === k).as("bloom_maybe"))
+    val cells = probe.groupBy(col("is_member"), col("bloom_maybe"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", trunc4(col("n") / sum(col("n")).over(Window.partitionBy())))
+      .localCheckpoint(true) // ≤ 4 rows; releases the users cache
+    users.unpersist()
+    cells
+  }
+
+  /** KMV (k-minimum-values / bottom-k) distinct estimator — the OTHER
+    * classic cardinality sketch next to [[hllDistinct]]: with hashes
+    * uniform on [0, 2^60), E[kth smallest] ≈ k/n · 2^60, so
+    * n̂ = (k−1)·2^60 / h_(k). Everything is integer until the final
+    * division, so the estimate oracle-checks bit-for-bit.
+    *
+    * Scale: the distinct-hash pass is one map-side-combinable hash-agg;
+    * the bottom-k needs NO global sort of it — a per-bucket rank
+    * (shuffle on pmod(h, parts), uniform by construction) keeps ≤ k
+    * rows per bucket, and only those parts·k survivors meet the global
+    * rank window. Returns empty when the input has < k distinct keys
+    * (use a smaller k — spec covers it). */
+  def kmvDistinct(ev: DataFrame, k: Int = 64, parts: Int = 32): DataFrame = {
+    val h = ev.select(hash60(col("user_id").cast("string")).as("h")).distinct()
+    val local = Window.partitionBy(pmod(col("h"), lit(parts.toLong))).orderBy(col("h"))
+    val cand = h.withColumn("lr", row_number().over(local)).filter(col("lr") <= k)
+    val kth = cand.withColumn("r", row_number().over(Window.orderBy(col("h"))))
+      .filter(col("r") === k)
+    val exact = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+    val num: Double = (k - 1).toDouble * (1L << 60).toDouble
+    val estRaw = lit(num) / col("h")
+    kth.crossJoin(exact).select(col("h").as("kth_hash"), col("n_exact"),
+      trunc4(estRaw).as("est"),
+      trunc4(abs(estRaw - col("n_exact")) / col("n_exact")).as("rel_err"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_quantile" -> ((s, d) => approxQuantiles(Tables.orders(s, d))),
     "q_hll_distinct" -> ((s, d) => hllDistinct(Tables.events(s, d))),
+    "q_bloom_audit" -> ((s, d) => bloomAudit(Tables.events(s, d))),
+    "q_kmv_distinct" -> ((s, d) => kmvDistinct(Tables.events(s, d))),
     "q_cms_heavy_hitters" -> ((s, d) => cmsHeavyHitters(Tables.events(s, d))))
 
   /** The [[hllDistinct]] constant at m = 256, shared verbatim with the
@@ -175,6 +249,31 @@ object Sketches {
     0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * 9007199254740992.0
 
   val oracleSql: Map[String, String] = Map(
+    "q_bloom_audit" ->
+      ("WITH u AS (SELECT user_id, max(CASE WHEN value >= 250 THEN 1 ELSE 0 END) = 1 " +
+        "AS is_member FROM events GROUP BY 1), " +
+        "hx AS (SELECT user_id, is_member, " +
+        "('0x' || substr(md5(j::VARCHAR || '|' || user_id::VARCHAR), 1, 15))::BIGINT % 8192 " +
+        "AS pos FROM u CROSS JOIN (SELECT unnest(range(3)) j)), " +
+        "hh AS (SELECT user_id, is_member, pos // 63 AS word, " +
+        "(1::BIGINT << CAST(pos % 63 AS INT)) AS mask FROM hx), " +
+        "words AS (SELECT word, bit_or(mask) AS bits FROM hh WHERE is_member GROUP BY 1), " +
+        "probe AS (SELECT user_id, is_member, " +
+        "sum(CASE WHEN (bits & mask) <> 0 THEN 1 ELSE 0 END) = 3 AS bloom_maybe " +
+        "FROM hh LEFT JOIN words USING (word) GROUP BY 1, 2), " +
+        "cells AS (SELECT is_member, bloom_maybe, count(*) AS n FROM probe GROUP BY 1, 2) " +
+        "SELECT is_member, bloom_maybe, n, " +
+        "floor(n / (sum(n) OVER ()) * 10000) / 10000 AS share FROM cells"),
+    "q_kmv_distinct" ->
+      ("WITH h AS (SELECT DISTINCT " +
+        "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM events), " +
+        "c AS (SELECT h, row_number() OVER (PARTITION BY h % 32 ORDER BY h) AS lr FROM h), " +
+        "g AS (SELECT h, row_number() OVER (ORDER BY h) AS r FROM c WHERE lr <= 64), " +
+        "ex AS (SELECT count(DISTINCT user_id) AS n_exact FROM events) " +
+        s"SELECT h AS kth_hash, n_exact, " +
+        s"floor(${(64 - 1).toDouble * (1L << 60).toDouble}::DOUBLE / h * 10000) / 10000 AS est, " +
+        s"floor(abs(${(64 - 1).toDouble * (1L << 60).toDouble}::DOUBLE / h - n_exact) / n_exact * 10000) / 10000 AS rel_err " +
+        "FROM g CROSS JOIN ex WHERE r = 64"),
     "q_hll_distinct" ->
       ("WITH src AS (" +
         "SELECT 'event_id' AS metric, CAST(event_id AS VARCHAR) AS v FROM events " +

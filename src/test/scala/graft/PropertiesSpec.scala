@@ -176,6 +176,37 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("Bloom filter never false-negatives for any data (members always probe maybe)") {
+    forAll(rowGen) { rows =>
+      val cells = graft.operators.Sketches
+        .bloomAudit(toDF(rows), minValue = 50.0, mBits = 256, k = 3)
+        .collect()
+      // tiny filter forces false positives — a member probing "no" would
+      // be a structural break, not a tuning artifact
+      assert(!cells.exists(x =>
+        x.getAs[Boolean]("is_member") && !x.getAs[Boolean]("bloom_maybe")),
+        s"false negative cell present: ${cells.mkString(",")}")
+      // cells partition the user base
+      assert(cells.map(_.getAs[Long]("n")).sum === rows.map(_._2).distinct.length.toLong)
+    }
+  }
+
+  test("KMV estimate is partition-invariant and tracks cardinality on any data") {
+    forAll(rowGen) { rows =>
+      val df = toDF(rows)
+      val r = graft.operators.Sketches.kmvDistinct(df, k = 4, parts = 3).collect()
+      val n = rows.map(_._2).distinct.length
+      if (n >= 4) {
+        assert(r.length === 1)
+        assert(r.head.getAs[Long]("n_exact") === n.toLong)
+        val again = graft.operators.Sketches
+          .kmvDistinct(df.repartition(5), k = 4, parts = 3).collect()
+        assert(again.head.getAs[Double]("est") === r.head.getAs[Double]("est"))
+        assert(again.head.getAs[Long]("kth_hash") === r.head.getAs[Long]("kth_hash"))
+      } else assert(r.isEmpty)
+    }
+  }
+
   test("identical documents always share minhash signatures and exact-dedup together") {
     import spark.implicits._
     forAll(Gen.listOfN(8, Gen.listOfN(12, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")))) { wordLists =>
