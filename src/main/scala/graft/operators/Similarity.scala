@@ -473,9 +473,44 @@ object Similarity {
     result
   }
 
+  /** Reciprocal-rank fusion of the two production ANN paths — the
+    * standard way a retrieval pipeline combines heterogeneous rankers
+    * (RRF: score = Σ_m 1/(c + rank_m), Cormack et al.): multi-probe LSH
+    * and IVF disagree exactly where each is weak, and the fused list is
+    * more robust than either (rank-based, so no score calibration
+    * across methods is needed).
+    *
+    * Determinism: ranks are integers; each RRF term is 1.0/(c + rank)
+    * — the same two IEEE divisions in both engines, summed in FIXED
+    * textual order via the full-outer join (never an aggregate over a
+    * method dimension, whose merge order would be engine-specific).
+    * Ordering uses the raw double; the emitted score is trunc6.
+    *
+    * Scale: both inputs arrive as k-rows-per-query checkpoints (each
+    * method bounded by its own banding/probing discipline), so the
+    * fusion itself joins two tiny relations — the expensive work is the
+    * two ANN passes, already paid. */
+  def rrfFusion(emb: DataFrame, queryIds: Seq[Long], k: Int = 10,
+      c: Int = 60): DataFrame = {
+    val mp = annTopKMultiProbe(emb, queryIds, k)
+      .select(col("q_id"), col("vec_id"), col("rnk").as("rnk_mp"))
+    val iv = ivfTopK(emb, queryIds, k)
+      .select(col("q_id"), col("vec_id"), col("rnk").as("rnk_ivf"))
+    val fused = mp.join(iv, Seq("q_id", "vec_id"), "full_outer")
+      .withColumn("score",
+        coalesce(lit(1.0) / (lit(c) + col("rnk_mp")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rnk_ivf")), lit(0.0)))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    fused.withColumn("rrf_rnk", row_number().over(w).cast("long"))
+      .filter(col("rrf_rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("rnk_mp"), col("rnk_ivf"),
+        graft.functions.Portable.trunc6(col("score")).as("score"), col("rrf_rnk"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_rrf" -> ((s, d) => rrfFusion(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_topk_exact" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_topk_ann" -> ((s, d) => annTopK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_topk_ann_mp" -> ((s, d) => annTopKMultiProbe(Tables.embeddings(s, d), DefaultQueryIds)),
@@ -592,6 +627,20 @@ object Similarity {
     s" SELECT q_id, vec_id, cos, rnk FROM $ranked WHERE rnk <= $k"
 
   val oracleSql: Map[String, String] = Map(
+    "q_sim_rrf" ->
+      (s"WITH $vCte, $qsCte, $bitsBandsCte, $annCtes, $annMpCtes, $ivfCtes, " +
+        "mp10 AS (SELECT q_id, vec_id, rnk FROM amp_ranked WHERE rnk <= 10), " +
+        "iv10 AS (SELECT q_id, vec_id, rnk FROM iv_ranked WHERE rnk <= 10), " +
+        "fused AS (SELECT coalesce(m.q_id, i.q_id) q_id, " +
+        "coalesce(m.vec_id, i.vec_id) vec_id, m.rnk rnk_mp, i.rnk rnk_ivf, " +
+        "coalesce(1.0::DOUBLE / (60 + m.rnk), 0.0::DOUBLE) + " +
+        "coalesce(1.0::DOUBLE / (60 + i.rnk), 0.0::DOUBLE) score " +
+        "FROM mp10 m FULL OUTER JOIN iv10 i " +
+        "ON m.q_id = i.q_id AND m.vec_id = i.vec_id), " +
+        "rr AS (SELECT q_id, vec_id, rnk_mp, rnk_ivf, score, row_number() " +
+        "OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) rrf_rnk FROM fused) " +
+        "SELECT q_id, vec_id, rnk_mp, rnk_ivf, " +
+        "floor(score * 1000000) / 1000000 AS score, rrf_rnk FROM rr WHERE rrf_rnk <= 10"),
     "q_sim_topk_exact" ->
       (s"WITH $vCte, $qsCte, $exactCtes" + topkSelect("ex_ranked")),
     "q_sim_topk_ann" ->

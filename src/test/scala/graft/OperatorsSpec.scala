@@ -730,6 +730,31 @@ class OperatorsSpec extends SparkSpec {
     ids.foreach(i => assert(planted(i) >= 1L && planted(i) <= 2L))
   }
 
+  test("Similarity.rrfFusion: scores derive from member ranks; fused order follows score") {
+    val emb = Tables.embeddings(spark, sf)
+    val r = Similarity.rrfFusion(emb, Similarity.DefaultQueryIds).collect()
+    assert(r.nonEmpty)
+    def term(rnk: Any): Double = Option(rnk.asInstanceOf[java.lang.Long])
+      .map(x => 1.0 / (60 + x.toDouble)).getOrElse(0.0)
+    r.foreach { x =>
+      val expect = term(x.getAs[java.lang.Long]("rnk_mp")) +
+        term(x.getAs[java.lang.Long]("rnk_ivf"))
+      assert(math.abs(x.getAs[Double]("score") - expect) < 1e-6 + 1e-12)
+      assert(x.getAs[Long]("rrf_rnk") >= 1L && x.getAs[Long]("rrf_rnk") <= 10L)
+    }
+    // within each query the fused rank follows score (desc), ties by vec_id
+    r.groupBy(_.getAs[Long]("q_id")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rrf_rnk"))
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a.getAs[Double]("score") >= b.getAs[Double]("score"))
+      }
+    }
+    // a doc ranked #1 by BOTH methods must fuse to #1
+    r.filter(x => x.getAs[java.lang.Long]("rnk_mp") == 1L &&
+        x.getAs[java.lang.Long]("rnk_ivf") == 1L)
+      .foreach(x => assert(x.getAs[Long]("rrf_rnk") === 1L))
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
