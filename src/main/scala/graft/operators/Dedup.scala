@@ -359,10 +359,10 @@ object Dedup {
     // which would serialize the O(cap²) Levenshtein DP on 1-2 cores —
     // the probe side's parallelism is the cached relation's (measured
     // 5.2 s → ~1 s at sf0.1 local[32])
-    val base = graft.functions.Portable.spread(
+    val base = spread(
       typoCorpus(docs)
         .select(col("doc_id"), substring(col("nt"), 1, cap).as("t"))
-        .withColumn("blk", substring(col("t"), 1, 12)), col("doc_id"))
+        .withColumn("blk", substring(col("t"), 1, 12)))
       .persist()
     val a = base.select(col("blk"), col("doc_id").as("id_a"), col("t").as("t_a"))
     val b = base.select(col("blk"), col("doc_id").as("id_b"), col("t").as("t_b"))

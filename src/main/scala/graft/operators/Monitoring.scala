@@ -280,8 +280,8 @@ object Monitoring {
     * division of exact longs. */
   def cohortRetention(ev: DataFrame): DataFrame = {
     val active = ev
-      .groupBy(col("user_id"), expr("ts_ms div 604800000").as("week"))
-      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), expr("ts_ms div 604800000").as("week"))
+      .distinct()
     val cells = active
       .withColumn("cohort_week", min(col("week")).over(Window.partitionBy(col("user_id"))))
       .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
@@ -377,8 +377,8 @@ object Monitoring {
 
   val oracleSql: Map[String, String] = Map(
     "q_cohort_retention" ->
-      ("WITH uw AS (SELECT user_id, epoch_ms(ts) // 604800000 AS week, " +
-        "count(*) AS n_events FROM events GROUP BY 1, 2), " +
+      ("WITH uw AS (SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week " +
+        "FROM events), " +
         "o AS (SELECT user_id, week, " +
         "min(week) OVER (PARTITION BY user_id) AS cohort_week FROM uw), " +
         "cells AS (SELECT cohort_week, week - cohort_week AS week_offset, " +

@@ -128,8 +128,13 @@ object Similarity {
     * for recall; the corpus-side banding is unchanged, so the scan/
     * shuffle cost model is identical to single-probe. Measured by
     * [[recallAtK]] as method `ann_mp`. */
-  def annTopKMultiProbe(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
-    val v = withEmbD(emb)
+  def annTopKMultiProbe(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame =
+    annTopKMultiProbeOn(withEmbD(emb), queryIds, k)
+
+  /** [[annTopKMultiProbe]] over an already-projected vector relation
+    * (shared by [[rrfFusion]], which reuses one persisted `v` across
+    * both ANN methods — the [[recallAtK]] discipline). */
+  private def annTopKMultiProbeOn(v: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val bands = v.select(col("vec_id"), col("e"), explode(bandStructs(col("e"))).as("bb"))
       .select(col("vec_id"), col("e"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
       .persist()
@@ -492,10 +497,15 @@ object Similarity {
     * two ANN passes, already paid. */
   def rrfFusion(emb: DataFrame, queryIds: Seq[Long], k: Int = 10,
       c: Int = 60): DataFrame = {
-    val mp = annTopKMultiProbe(emb, queryIds, k)
+    // ONE persisted vector relation feeds both methods (the recallAtK
+    // discipline) — each method's result is an eager k-per-query
+    // checkpoint, so the cache can be released before the fusion runs
+    val v = withEmbD(emb).persist()
+    val mp = annTopKMultiProbeOn(v, queryIds, k)
       .select(col("q_id"), col("vec_id"), col("rnk").as("rnk_mp"))
-    val iv = ivfTopK(emb, queryIds, k)
+    val iv = ivfTopKOn(v, queryIds, k)
       .select(col("q_id"), col("vec_id"), col("rnk").as("rnk_ivf"))
+    v.unpersist()
     val fused = mp.join(iv, Seq("q_id", "vec_id"), "full_outer")
       .withColumn("score",
         coalesce(lit(1.0) / (lit(c) + col("rnk_mp")), lit(0.0)) +

@@ -141,11 +141,7 @@ object Sketches {
       sum(expr("shiftleft(1L, cast(53 - mx as int))")).as("s_hit"),
       count(lit(1)).as("n_hit"))
     val exact = tagged.groupBy(col("metric")).agg(countDistinct(col("v")).as("n_exact"))
-    // alpha_m · m² · 2^53 folded to ONE Scala double so both engines
-    // divide the identical constant (decimal literals parse as DECIMAL
-    // in SQL and would silently switch the arithmetic to decimal); the
-    // oracle embeds Double.toString of this value, which round-trips
-    val alphaM2: Double = 0.7213 / (1.0 + 1.079 / m) * m * m * 9007199254740992.0
+    val alphaM2: Double = hllAlphaM2(m)
     val est = sk
       .withColumn("v_empty", lit(m.toLong) - col("n_hit"))
       .withColumn("est_raw",
@@ -221,17 +217,23 @@ object Sketches {
     * rank window. Returns empty when the input has < k distinct keys
     * (use a smaller k — spec covers it). */
   def kmvDistinct(ev: DataFrame, k: Int = 64, parts: Int = 32): DataFrame = {
-    val h = ev.select(hash60(col("user_id").cast("string")).as("h")).distinct()
+    // one narrow persisted projection feeds the hash pass AND the exact
+    // error report (house rule: persist multi-consumer intermediates)
+    val ids = ev.select(col("user_id")).persist()
+    val h = ids.select(hash60(col("user_id").cast("string")).as("h")).distinct()
     val local = Window.partitionBy(pmod(col("h"), lit(parts.toLong))).orderBy(col("h"))
     val cand = h.withColumn("lr", row_number().over(local)).filter(col("lr") <= k)
     val kth = cand.withColumn("r", row_number().over(Window.orderBy(col("h"))))
       .filter(col("r") === k)
-    val exact = ev.agg(countDistinct(col("user_id")).as("n_exact"))
+    val exact = ids.agg(countDistinct(col("user_id")).as("n_exact"))
     val num: Double = (k - 1).toDouble * (1L << 60).toDouble
     val estRaw = lit(num) / col("h")
-    kth.crossJoin(exact).select(col("h").as("kth_hash"), col("n_exact"),
-      trunc4(estRaw).as("est"),
-      trunc4(abs(estRaw - col("n_exact")) / col("n_exact")).as("rel_err"))
+    val result = kth.crossJoin(exact).select(col("h").as("kth_hash"), col("n_exact"),
+        trunc4(estRaw).as("est"),
+        trunc4(abs(estRaw - col("n_exact")) / col("n_exact")).as("rel_err"))
+      .localCheckpoint(true) // one row; releases the ids cache
+    ids.unpersist()
+    result
   }
 
   // ---- driver wiring ----
@@ -243,10 +245,14 @@ object Sketches {
     "q_kmv_distinct" -> ((s, d) => kmvDistinct(Tables.events(s, d))),
     "q_cms_heavy_hitters" -> ((s, d) => cmsHeavyHitters(Tables.events(s, d))))
 
-  /** The [[hllDistinct]] constant at m = 256, shared verbatim with the
-    * oracle (Double.toString round-trips the exact bits). */
-  private val HllAlphaM2: Double =
-    0.7213 / (1.0 + 1.079 / 256) * 256 * 256 * 9007199254740992.0
+  /** alpha_m · m² · 2^53 folded to ONE Scala double so both engines
+    * divide the identical constant (decimal literals parse as DECIMAL
+    * in SQL and would silently switch the arithmetic to decimal); the
+    * oracle interpolates Double.toString of the m=256 value, which
+    * round-trips the exact bits — operator and oracle share THIS
+    * definition, so the constant cannot drift between them. */
+  private def hllAlphaM2(m: Int): Double =
+    0.7213 / (1.0 + 1.079 / m) * m * m * 9007199254740992.0
 
   val oracleSql: Map[String, String] = Map(
     "q_bloom_audit" ->
@@ -289,7 +295,7 @@ object Sketches {
         "count(*) AS n_hit FROM regs GROUP BY 1), " +
         "ex AS (SELECT metric, count(DISTINCT v) AS n_exact FROM t GROUP BY 1), " +
         "e AS (SELECT metric, 256 - n_hit AS v_empty, " +
-        s"$HllAlphaM2::DOUBLE / CAST(s_hit + (256 - n_hit) * (1::BIGINT << 53) AS DOUBLE) AS est_raw " +
+        s"${hllAlphaM2(256)}::DOUBLE / CAST(s_hit + (256 - n_hit) * (1::BIGINT << 53) AS DOUBLE) AS est_raw " +
         "FROM sk), " +
         "est AS (SELECT metric, v_empty, " +
         "floor((CASE WHEN est_raw <= 640.0 AND v_empty > 0 " +
