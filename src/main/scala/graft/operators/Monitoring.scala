@@ -331,6 +331,34 @@ object Monitoring {
     result
   }
 
+  /** Robust per-user outliers via MAD (median absolute deviation) —
+    * the robust sibling of [[amountOutliers]]: a z-score baseline is
+    * itself corrupted by the outliers it hunts (masking), while the
+    * median/MAD pair has a 50% breakdown point. Flags events where
+    * |cents − median| > `thresh` · 1.4826 · MAD (1.4826 scales MAD to
+    * σ under normality).
+    *
+    * Parity: medians are the interpolated exact percentile over
+    * INTEGER cents (Spark `percentile` ≡ DuckDB `quantile_cont` on
+    * identical stored values — the q_sql_percentiles precedent), so
+    * every derived double and the membership predicate are
+    * bit-identical across engines. Two Window nodes share one
+    * user_id exchange (the second consumes the first's output —
+    * same partitioning, no extra shuffle; plan-shape-pinned). */
+  def madOutliers(ev: DataFrame, thresh: Double = 3.5, minN: Long = 10L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    ev.select(col("event_id"), col("user_id"), col("value"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("med", expr("percentile(cents, 0.5)").over(w))
+      .withColumn("dev", abs(col("cents") - col("med")))
+      .withColumn("mad", expr("percentile(dev, 0.5)").over(w))
+      .filter(col("n") >= minN && col("mad") > 0 &&
+        col("dev") > lit(thresh) * (lit(1.4826) * col("mad")))
+      .select(col("event_id"), col("user_id"), col("value"),
+        trunc4(col("dev") / (lit(1.4826) * col("mad"))).as("rz"))
+  }
+
   /** Day-of-week seasonal baseline — the seasonality sibling of
     * [[ewmaDaily]] (trend) and [[gapFill]] (density): each (type, day)
     * daily volume against the mean volume of the SAME weekday for that
@@ -363,6 +391,7 @@ object Monitoring {
     "q_cohort_retention" -> ((s, d) => cohortRetention(Tables.events(s, d))),
     "q_ts_gapfill" -> ((s, d) => gapFill(Tables.events(s, d))),
     "q_ts_seasonal" -> ((s, d) => seasonalBaseline(Tables.events(s, d))),
+    "q_mad_outliers" -> ((s, d) => madOutliers(Tables.events(s, d))),
     "q_aml_velocity" -> ((s, d) => velocityBursts(Tables.events(s, d))),
     "q_aml_dormant" -> ((s, d) => dormantAwakening(Tables.events(s, d))),
     "q_aml_offsetting" -> ((s, d) => offsettingPairs(Tables.events(s, d))),
@@ -401,6 +430,18 @@ object Monitoring {
         "SELECT event_type, day, n, filled, " +
         "last_value(cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_cents FROM j"),
+    "q_mad_outliers" ->
+      ("WITH s AS (SELECT event_id, user_id, value, " +
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events), " +
+        "m AS (SELECT event_id, user_id, value, cents, " +
+        "count(*) OVER (PARTITION BY user_id) AS n, " +
+        "quantile_cont(cents, 0.5) OVER (PARTITION BY user_id) AS med FROM s), " +
+        "d AS (SELECT *, abs(cents - med) AS dev FROM m), " +
+        "dd AS (SELECT *, quantile_cont(dev, 0.5) OVER (PARTITION BY user_id) AS mad FROM d) " +
+        "SELECT event_id, user_id, value, " +
+        "floor(dev / (1.4826::DOUBLE * mad) * 10000) / 10000 AS rz " +
+        "FROM dd WHERE n >= 10 AND mad > 0 " +
+        "AND dev > 3.5::DOUBLE * (1.4826::DOUBLE * mad)"),
     "q_ts_seasonal" ->
       ("WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day, " +
         "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents " +

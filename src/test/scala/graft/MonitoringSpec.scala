@@ -242,6 +242,22 @@ class MonitoringSpec extends SparkSpec {
     assert(r(("b", 2L)) === ((0L, true, Some(300L))))
   }
 
+  test("madOutliers: flags only the spike against a robust baseline; small users skipped") {
+    import spark.implicits._
+    // user 1: values 10..19 (median 15.00, MAD 3.00) plus one 100.00 spike
+    // user 2: only 5 events — below the minN baseline requirement
+    val ev = (((0 until 10).map(i => (i.toLong, 1L, 10.0 + i)) :+ ((10L, 1L, 100.0))) ++
+      (11 to 15).map(i => (i.toLong, 2L, 500.0 + i))).toDF("event_id", "user_id", "value")
+    val r = Monitoring.madOutliers(ev).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("event_id") === 10L)
+    // rz = 8500 / (1.4826 * 300) ≈ 19.1103
+    assert(math.abs(r.head.getAs[Double]("rz") - 19.1103) < 0.001)
+    // corpus sanity: every flag clears the threshold
+    Monitoring.madOutliers(events).collect()
+      .foreach(x => assert(x.getAs[Double]("rz") > 3.5))
+  }
+
   test("seasonalBaseline: uniform type has ratio 1; weekday profile averages its days") {
     import spark.implicits._
     val day = 86400000L

@@ -384,6 +384,12 @@ class ScaleSpec extends SparkSpec {
       s"cohortRetention plans extra exchanges:\n$coPlan")
     assert("Scan parquet".r.findAllIn(coPlan).length === 1,
       s"cohortRetention should scan events once:\n$coPlan")
+    // madOutliers: both percentile windows (median, then MAD of the
+    // first's output) share the user_id partitioning — ONE exchange
+    val mad = graft.operators.Monitoring.madOutliers(Tables.events(spark, sf))
+    val madPlan = mad.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(madPlan).length === 1,
+      s"madOutliers should shuffle once on user_id:\n$madPlan")
   }
 
   test("compact: many small files collapse to the target count, rows preserved") {
