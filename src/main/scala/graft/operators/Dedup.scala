@@ -261,6 +261,13 @@ object Dedup {
   def minhashClusters(docs: DataFrame, threshold: Double = 0.5): DataFrame =
     components(minhashLsh(docs, threshold))
 
+  /** SimHash near-dup groups: the [[components]] closure over
+    * [[simhashPairs]] — completes the cluster family (MinHash clusters
+    * exist since round 1; the hamming-banded pair generator plugs into
+    * the same distributed min-label propagation unchanged). */
+  def simhashClusters(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    components(simhashPairs(docs, maxHamming))
+
   /** Offset for the demo batch's planted copies — 2^41, above any real
     * doc_id (same rationale as TextOps.PerturbOffset). */
   val CopyOffset: Long = 1L << 41
@@ -382,6 +389,7 @@ object Dedup {
     "q_dedup_simhash_pairs" -> ((s, d) => simhashPairs(Tables.documents(s, d))),
     "q_dedup_ngram_topk" -> ((s, d) => ngramTopK(Tables.documents(s, d), Seq(0L, 8L, 285L))),
     "q_dedup_clusters" -> ((s, d) => minhashClusters(Tables.documents(s, d))),
+    "q_dedup_simhash_clusters" -> ((s, d) => simhashClusters(Tables.documents(s, d))),
     "q_dedup_incremental" -> ((s, d) => incrementalAudit(Tables.documents(s, d))),
     "q_dedup_fuzzy_edit" -> ((s, d) => fuzzyEditPairs(Tables.documents(s, d))),
     "q_hash_sample" -> ((s, d) => hashSample(Tables.documents(s, d))))
@@ -453,6 +461,19 @@ object Dedup {
         "WHERE levenshtein(a.t, b.t) <= 2"),
     "q_dedup_simhash" ->
       (simhashCte + " SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS n_same FROM fp"),
+    "q_dedup_simhash_clusters" ->
+      (simhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        ", bands AS (SELECT doc_id, simhash, b, (simhash >> (b*12)) & 4095 bkey " +
+        "FROM fp, range(0,5) r(b)), " +
+        "cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id, " +
+        "bit_count(xor(x.simhash, y.simhash))::BIGINT hd FROM bands x JOIN bands y " +
+        "ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id), " +
+        "prs AS (SELECT a_id, b_id FROM cand WHERE hd <= 3), " +
+        "edges AS (SELECT a_id s, b_id d FROM prs UNION SELECT b_id, a_id FROM prs), " +
+        "nodes AS (SELECT DISTINCT s AS id FROM edges), " +
+        "reach(node, root) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.node) " +
+        "SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node"),
     "q_dedup_simhash_pairs" ->
       (simhashCte + ", bands AS (SELECT doc_id, simhash, b, (simhash >> (b*12)) & 4095 bkey " +
         "FROM fp, range(0,5) r(b)), " +

@@ -331,6 +331,43 @@ object Monitoring {
     result
   }
 
+  /** Peak interval concurrency per status — the interval-overlap
+    * question answered WITHOUT materializing pairs: overlap-pair joins
+    * are Σn² per key, but "how many [[scd2]] validity intervals are
+    * live at once, and when is the peak" is a SWEEP-LINE: +1 at each
+    * interval start, −1 at each end, one cumulative sum per status over
+    * the (status, ts) net deltas. [from, to) semantics fall out of
+    * netting starts and ends at the same timestamp before accumulating
+    * (a handoff at ts never counts as concurrent); open intervals close
+    * at the global max start — an anchor, not a semantic claim.
+    *
+    * Scale: the interval build is the scd2 shuffle; the sweep is a
+    * hash-agg to |changepoints| rows and a window over THAT — no pair
+    * blow-up at any cardinality. Everything is integer millis and
+    * counts — engine-exact. */
+  def statusConcurrency(ev: DataFrame): DataFrame = {
+    val iv = scd2(ev).persist() // feeds the anchor, the sweep, and the counts
+    val anchor = iv.agg(max(col("valid_from")).as("m"))
+    val pts = iv.crossJoin(anchor)
+      .select(col("status"), explode(array(
+        struct(col("valid_from").as("ts"), lit(1L).as("delta")),
+        struct(coalesce(col("valid_to"), col("m")).as("ts"), lit(-1L).as("delta")))).as("p"))
+      .select(col("status"), col("p.ts").as("ts"), col("p.delta").as("delta"))
+    val cum = pts.groupBy(col("status"), col("ts")).agg(sum(col("delta")).as("net"))
+      .withColumn("conc",
+        sum(col("net")).over(Window.partitionBy(col("status")).orderBy(col("ts"))))
+    val peak = cum.withColumn("rn", row_number().over(
+        Window.partitionBy(col("status")).orderBy(col("conc").desc, col("ts"))))
+      .filter(col("rn") === 1)
+    val ni = iv.groupBy(col("status")).agg(count(lit(1)).as("n_intervals"))
+    val result = peak.join(ni, Seq("status"))
+      .select(col("status"), col("conc").as("peak_concurrency"),
+        col("ts").as("at_ts"), col("n_intervals"))
+      .localCheckpoint(true) // |statuses| rows; releases the interval cache
+    iv.unpersist()
+    result
+  }
+
   /** Robust per-user outliers via MAD (median absolute deviation) —
     * the robust sibling of [[amountOutliers]]: a z-score baseline is
     * itself corrupted by the outliers it hunts (masking), while the
@@ -392,6 +429,7 @@ object Monitoring {
     "q_ts_gapfill" -> ((s, d) => gapFill(Tables.events(s, d))),
     "q_ts_seasonal" -> ((s, d) => seasonalBaseline(Tables.events(s, d))),
     "q_mad_outliers" -> ((s, d) => madOutliers(Tables.events(s, d))),
+    "q_interval_concurrency" -> ((s, d) => statusConcurrency(Tables.events(s, d))),
     "q_aml_velocity" -> ((s, d) => velocityBursts(Tables.events(s, d))),
     "q_aml_dormant" -> ((s, d) => dormantAwakening(Tables.events(s, d))),
     "q_aml_offsetting" -> ((s, d) => offsettingPairs(Tables.events(s, d))),
@@ -430,6 +468,25 @@ object Monitoring {
         "SELECT event_type, day, n, filled, " +
         "last_value(cents IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_cents FROM j"),
+    "q_interval_concurrency" ->
+      ("WITH ch AS (SELECT user_id, event_type, epoch_ms(ts) AS tms, event_id, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev " +
+        "FROM events), " +
+        "kept AS (SELECT user_id, event_type, tms, event_id FROM ch " +
+        "WHERE prev IS NULL OR prev <> event_type), " +
+        "iv AS (SELECT user_id, event_type AS status, tms AS valid_from, " +
+        "lead(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) AS valid_to FROM kept), " +
+        "mx AS (SELECT max(valid_from) AS m FROM iv), " +
+        "pts AS (SELECT status, valid_from AS ts, 1 AS delta FROM iv " +
+        "UNION ALL SELECT status, coalesce(valid_to, (SELECT m FROM mx)), -1 FROM iv), " +
+        "net AS (SELECT status, ts, sum(delta)::BIGINT AS net FROM pts GROUP BY 1, 2), " +
+        "cum AS (SELECT status, ts, " +
+        "(sum(net) OVER (PARTITION BY status ORDER BY ts))::BIGINT AS conc FROM net), " +
+        "pk AS (SELECT status, ts, conc, row_number() OVER " +
+        "(PARTITION BY status ORDER BY conc DESC, ts) AS rn FROM cum), " +
+        "ni AS (SELECT status, count(*) AS n_intervals FROM iv GROUP BY 1) " +
+        "SELECT p.status, conc AS peak_concurrency, ts AS at_ts, n_intervals " +
+        "FROM pk p JOIN ni USING (status) WHERE rn = 1"),
     "q_mad_outliers" ->
       ("WITH s AS (SELECT event_id, user_id, value, " +
         "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events), " +

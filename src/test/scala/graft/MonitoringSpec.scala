@@ -258,6 +258,30 @@ class MonitoringSpec extends SparkSpec {
       .foreach(x => assert(x.getAs[Double]("rz") > 3.5))
   }
 
+  test("statusConcurrency: hand-built intervals — peak counts, handoff never concurrent") {
+    import spark.implicits._
+    // u1: a@[0,2000) then b@[2000, open); u2: a@[1000,3000) then b@[3000, open)
+    val ev = Seq((0L, 1L, "a", 0L), (1L, 2L, "a", 1000L), (2L, 1L, "b", 2000L),
+      (3L, 2L, "b", 3000L)).toDF("event_id", "user_id", "event_type", "ts_ms")
+    val r = Monitoring.statusConcurrency(ev).collect()
+      .map(x => x.getAs[String]("status") ->
+        ((x.getAs[Long]("peak_concurrency"), x.getAs[Long]("at_ts"),
+          x.getAs[Long]("n_intervals")))).toMap
+    assert(r("a") === ((2L, 1000L, 2L))) // both users in 'a' during [1000,2000)
+    // u1 enters b at 2000 (peak 1); u2's handoff at 3000 nets ±0 there —
+    // a start and an end at the same instant are never concurrent
+    assert(r("b") === ((1L, 2000L, 2L)))
+  }
+
+  test("statusConcurrency: corpus peaks bounded by interval counts") {
+    val r = Monitoring.statusConcurrency(events).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getAs[Long]("peak_concurrency") >= 1L)
+      assert(x.getAs[Long]("peak_concurrency") <= x.getAs[Long]("n_intervals"))
+    }
+  }
+
   test("seasonalBaseline: uniform type has ratio 1; weekday profile averages its days") {
     import spark.implicits._
     val day = 86400000L

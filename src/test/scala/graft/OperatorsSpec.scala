@@ -730,6 +730,24 @@ class OperatorsSpec extends SparkSpec {
     ids.foreach(i => assert(planted(i) >= 1L && planted(i) <= 2L))
   }
 
+  test("Dedup.simhashClusters: pair endpoints always share a cluster label") {
+    import spark.implicits._
+    val small = Seq((1L, "x y z w v u t s"), (2L, "x y z w v u t s"),
+      (3L, "completely different token stream here now ok")).toDF("doc_id", "text")
+    val labels = Dedup.simhashClusters(small).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(labels(1L) === 1L && labels(2L) === 1L) // identical docs cluster under min id
+    assert(!labels.contains(3L)) // unpaired doc never enters the closure
+    // corpus invariant: every hamming-banded pair is label-connected
+    val docs = Tables.documents(spark, sf)
+    val pairs = Dedup.simhashPairs(docs).collect()
+    val corpus = Dedup.simhashClusters(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    pairs.foreach { p =>
+      assert(corpus(p.getAs[Long]("a_id")) === corpus(p.getAs[Long]("b_id")))
+    }
+  }
+
   test("Similarity.rrfFusion: scores derive from member ranks; fused order follows score") {
     val emb = Tables.embeddings(spark, sf)
     val r = Similarity.rrfFusion(emb, Similarity.DefaultQueryIds).collect()
