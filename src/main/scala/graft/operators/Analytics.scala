@@ -147,6 +147,40 @@ object Analytics {
       .agg(r2(sum(col("o_totalprice"))).as("revenue"),
         count(lit(1)).as("n_orders"))
 
+  /** TPC-H Q3-shaped shipping-priority report: top-k unshipped orders
+    * of one market segment by discounted revenue — the classic
+    * fact⋈fact⋈dim benchmark join. Revenue is EXACT integer
+    * arithmetic: cents × (100 − discount%) summed as BIGINTs (a double
+    * `sum(price·(1−disc))` has 4-decimal terms whose rounded sum can
+    * tie at the half-cent across engines), ranked on the exact scaled
+    * integer, displayed /10000 truncated.
+    *
+    * Scale: both date filters push into the parquet scans (row-group
+    * skipping); the segment-filtered customer dim joins first (small
+    * side — AQE broadcasts it at sandbox scale, hash-joins at TPC-H
+    * scale); orders⋈lineitem shuffles on the order key; the top-k
+    * window ranks the post-agg relation. */
+  def shippingPriority(customer: DataFrame, orders: DataFrame, li: DataFrame,
+      segment: String = "BUILDING", k: Int = 10): DataFrame = {
+    val c = customer.filter(col("c_mktsegment") === segment).select(col("c_custkey"))
+    val o = orders.filter(expr("o_orderdate < timestamp'1998-06-01'"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val rev = li.filter(expr("l_shipdate > timestamp'1998-06-01'"))
+      .select(col("l_orderkey"),
+        (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+          (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))).as("term"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("term")).as("rev_scaled"))
+    rev.withColumn("rnk", row_number().over(
+        Window.orderBy(col("rev_scaled").desc, col("l_orderkey"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("l_orderkey"),
+        graft.functions.Portable.trunc2(col("rev_scaled") / 10000.0).as("revenue"),
+        col("o_orderdate"), col("o_orderpriority"), col("rnk"))
+  }
+
   /** Semi join: customers that have orders, counted per segment. */
   def segmentsWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
     customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
@@ -284,6 +318,8 @@ object Analytics {
     "q_brand_revenue" -> ((s, d) => brandRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
     "q_region_revenue" -> ((s, d) => regionRevenue(Tables.customer(s, d),
       Tables.nation(s, d), Tables.region(s, d), Tables.orders(s, d))),
+    "q_shipping_priority" -> ((s, d) => shippingPriority(Tables.customer(s, d),
+      Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_semi_join" -> ((s, d) => segmentsWithOrders(Tables.customer(s, d), Tables.orders(s, d))),
     "q_anti_join" -> ((s, d) => segmentsWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))),
     "q_window_running" -> ((s, d) => runningTotals(Tables.orders(s, d))),
@@ -348,6 +384,19 @@ object Analytics {
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey " +
         "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"),
+    "q_shipping_priority" ->
+      ("WITH c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'), " +
+        "o AS (SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders " +
+        "JOIN c ON o_custkey = c_custkey WHERE o_orderdate < TIMESTAMP '1998-06-01'), " +
+        "r AS (SELECT l_orderkey, o_orderdate, o_orderpriority, " +
+        "sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * " +
+        "(100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))::BIGINT AS rev_scaled " +
+        "FROM lineitem JOIN o ON l_orderkey = o_orderkey " +
+        "WHERE l_shipdate > TIMESTAMP '1998-06-01' GROUP BY 1, 2, 3), " +
+        "rk AS (SELECT *, row_number() OVER (ORDER BY rev_scaled DESC, l_orderkey) AS rnk " +
+        "FROM r) " +
+        "SELECT l_orderkey, floor(rev_scaled / 10000.0::DOUBLE * 100) / 100 AS revenue, " +
+        "o_orderdate, o_orderpriority, rnk FROM rk WHERE rnk <= 10"),
     "q_semi_join" ->
       ("SELECT c_mktsegment, count(*) AS n_customers FROM customer " +
         "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +

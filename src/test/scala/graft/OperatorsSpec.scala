@@ -730,6 +730,20 @@ class OperatorsSpec extends SparkSpec {
     ids.foreach(i => assert(planted(i) >= 1L && planted(i) <= 2L))
   }
 
+  test("Analytics.shippingPriority: exact-revenue top-k, both date filters hold") {
+    val r = Analytics.shippingPriority(Tables.customer(spark, sf),
+      Tables.orders(spark, sf), Tables.lineitem(spark, sf)).collect()
+    assert(r.nonEmpty && r.length <= 10)
+    assert(r.map(_.getAs[Long]("rnk")).sorted.toSeq === (1L to r.length).toSeq)
+    val byRank = r.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("revenue"))
+    byRank.zip(byRank.tail).foreach { case (a, b) => assert(a >= b) }
+    val cutoff = java.time.LocalDateTime.parse("1998-06-01T00:00:00")
+    r.foreach { x =>
+      assert(x.getAs[java.time.LocalDateTime]("o_orderdate").isBefore(cutoff))
+      assert(x.getAs[Double]("revenue") > 0.0)
+    }
+  }
+
   test("Dedup.simhashClusters: pair endpoints always share a cluster label") {
     import spark.implicits._
     val small = Seq((1L, "x y z w v u t s"), (2L, "x y z w v u t s"),
