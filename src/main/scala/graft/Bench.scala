@@ -19,7 +19,12 @@ object Bench {
     // Deterministic name order so per-round bench JSONs compare cleanly;
     // a failed query reports -1 (not its time-to-crash) so regressions
     // can't masquerade as speedups.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for local iteration on
+    // one hotspot (the driver never sets it — full suite by default)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true } catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); false

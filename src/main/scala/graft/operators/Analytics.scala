@@ -181,6 +181,50 @@ object Analytics {
         col("o_orderdate"), col("o_orderpriority"), col("rnk"))
   }
 
+  /** TPC-H Q5-shaped local-supplier volume: revenue per nation from
+    * orders where the customer and the line's supplier sit in the SAME
+    * nation of one region, over one order-date year. The interesting
+    * join is the non-key equality `s_nationkey = c_nationkey` riding
+    * the l_suppkey equi-join — it forces the customer's nation through
+    * the orders⋈lineitem shuffle as a 1-byte-ish payload column, never
+    * the nation NAME (that joins back against the 25-row dim at the
+    * end). Same exact-integer revenue discipline as
+    * [[shippingPriority]].
+    *
+    * Scale: region→nation→customer prune as a broadcast chain before
+    * touching facts; the date filter pushes into the orders scan
+    * (row-group skipping); the only big shuffle is
+    * lineitem⋈orders on the order key; supplier broadcasts (10k/SF
+    * rows); the final agg is 25 groups, map-side combined. */
+  def localSupplierVolume(region: DataFrame, nation: DataFrame,
+      customer: DataFrame, supplier: DataFrame, orders: DataFrame,
+      li: DataFrame, regionName: String = "ASIA"): DataFrame = {
+    val r = region.filter(col("r_name") === regionName).select(col("r_regionkey"))
+    val n = nation.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val c = customer.join(broadcast(n.select(col("n_nationkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"))
+    val o = orders
+      .filter(expr("o_orderdate >= timestamp'1996-01-01'") &&
+        expr("o_orderdate < timestamp'1997-01-01'"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+    val s = supplier.select(col("s_suppkey"), col("s_nationkey"))
+    li.select(col("l_orderkey"), col("l_suppkey"),
+        (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+          (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))).as("term"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("term")).as("rev_scaled"), count(lit(1)).as("n_lines"))
+      .select(col("n_name"), col("rev_scaled"),
+        graft.functions.Portable.trunc2(col("rev_scaled") / 10000.0).as("revenue"),
+        col("n_lines"))
+  }
+
   /** Semi join: customers that have orders, counted per segment. */
   def segmentsWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
     customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
@@ -320,6 +364,9 @@ object Analytics {
       Tables.nation(s, d), Tables.region(s, d), Tables.orders(s, d))),
     "q_shipping_priority" -> ((s, d) => shippingPriority(Tables.customer(s, d),
       Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q_local_supplier_volume" -> ((s, d) => localSupplierVolume(Tables.region(s, d),
+      Tables.nation(s, d), Tables.customer(s, d), Tables.supplier(s, d),
+      Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_semi_join" -> ((s, d) => segmentsWithOrders(Tables.customer(s, d), Tables.orders(s, d))),
     "q_anti_join" -> ((s, d) => segmentsWithoutOrders(Tables.customer(s, d), Tables.orders(s, d))),
     "q_window_running" -> ((s, d) => runningTotals(Tables.orders(s, d))),
@@ -397,6 +444,21 @@ object Analytics {
         "FROM r) " +
         "SELECT l_orderkey, floor(rev_scaled / 10000.0::DOUBLE * 100) / 100 AS revenue, " +
         "o_orderdate, o_orderpriority, rnk FROM rk WHERE rnk <= 10"),
+    "q_local_supplier_volume" ->
+      ("WITH r AS (SELECT r_regionkey FROM region WHERE r_name = 'ASIA'), " +
+        "n AS (SELECT n_nationkey, n_name FROM nation JOIN r ON n_regionkey = r_regionkey), " +
+        "c AS (SELECT c_custkey, c_nationkey FROM customer JOIN n ON c_nationkey = n_nationkey), " +
+        "o AS (SELECT o_orderkey, c_nationkey FROM orders JOIN c ON o_custkey = c_custkey " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'), " +
+        "l AS (SELECT l_orderkey, l_suppkey, CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * " +
+        "(100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS term FROM lineitem), " +
+        "s AS (SELECT s_suppkey, s_nationkey FROM supplier) " +
+        "SELECT n_name, sum(term)::BIGINT AS rev_scaled, " +
+        "floor(sum(term) / 10000.0::DOUBLE * 100) / 100 AS revenue, " +
+        "count(*)::BIGINT AS n_lines " +
+        "FROM l JOIN o ON l_orderkey = o_orderkey " +
+        "JOIN s ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey " +
+        "JOIN n ON c_nationkey = n_nationkey GROUP BY n_name"),
     "q_semi_join" ->
       ("SELECT c_mktsegment, count(*) AS n_customers FROM customer " +
         "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +

@@ -194,7 +194,6 @@ object Dedup {
     var labels = edges.groupBy(col("src"))
       .agg(least(min(col("dst")), col("src")).as("label"))
       .select(col("src").as("id"), col("label")).persist()
-    var lastCp: DataFrame = null // newest checkpointed generation, kept alive
     var changed = 1L
     var rounds = 0
     val maxRounds = 50
@@ -207,32 +206,57 @@ object Dedup {
       // min-label and label<old come out of ONE union+agg pass — no
       // second join+count over the label table per round. Labels only
       // ever decrease, so label < old ⟺ changed.
-      var next = labels
+      val folded = labels
         .select(col("id"), col("label"), col("label").as("old"))
         .unionByName(viaEdges)
         .groupBy(col("id"))
         .agg(min(col("label")).as("label"), min(col("old")).as("old"))
+      // POINTER JUMPING, adaptively: from round 2 on, additionally
+      // adopt the label OF the current label (one hop up the label
+      // forest). Edge propagation alone moves the min one edge per
+      // round — O(diameter) rounds, and a 137-node simhash chain at
+      // sf0.1 measured 22.7 s over ~40 rounds; with the hop the
+      // remaining distance roughly halves each round (O(log diameter)).
+      // The first two rounds skip the hop join: the min-neighbor seed
+      // already collapses pairs/stars, so shallow graphs (the common
+      // near-dup case) converge before ever paying for the self-join,
+      // and only provably-deep components escalate. Labels are node
+      // ids, so the hop join always finds its target (coalesce covers a
+      // label whose id only appears on the dst side); labels still only
+      // ever decrease, so the fused old/changed detection is untouched.
+      val hopped =
+        if (rounds < 2) folded
+        else {
+          val hop = folded.select(col("id").as("jid"), col("label").as("jlabel"))
+          folded.join(hop, col("label") === col("jid"), "left")
+            .select(col("id"),
+              least(col("label"), coalesce(col("jlabel"), col("label"))).as("label"),
+              col("old"))
+        }
+      val next = hopped
         .select(col("id"), col("label"), (col("label") < col("old")).as("ch"))
-      // persist keeps each round's DATA hot but the logical plan still
-      // chains one union+agg per round; truncate the lineage every 5
-      // rounds so a worst-case high-diameter component can't build a
-      // 50-deep plan (analysis/optimizer time grows superlinearly there).
-      // localCheckpoint serves as BOTH the cache and the lineage cut (no
-      // separate pre-checkpoint persist to orphan).
-      val isCp = rounds % 5 == 4
-      next = if (isCp) next.localCheckpoint(false) else next.persist()
+        // localCheckpoint EVERY round, not a persist: the hop join
+        // references `folded` on BOTH sides, and any scheme that leaves
+        // the self-reference in the logical plan doubles the tree each
+        // round — Catalyst's plan-string emission (SQLExecutionStart
+        // fires per action even with the UI off) expands the shared DAG
+        // into a 2^rounds-node string and OOMs the driver (measured:
+        // heap death inside QueryExecution.explainString at sf0.1).
+        // Mid-loop unpersist of a cached `folded` is no better — the
+        // cache manager re-compiles dependent entries with the cache
+        // re-inlined. The checkpoint cuts the plan to a LogicalRDD leaf
+        // each round, so plans stay constant-size; `folded` is computed
+        // twice per round (both join sides), a deliberate trade — the
+        // label table is tiny next to the plan-explosion alternative.
+        .localCheckpoint(false)
+      val tR = System.nanoTime()
       changed = next.filter(col("ch")).count() // materializes the round
-      // a plain-persisted predecessor can be dropped now: if one of
-      // next's cached partitions is later evicted, recompute walks the
-      // lineage back to the last LIVE checkpoint (or the source). A
-      // CHECKPOINTED predecessor must stay alive until the next
-      // checkpoint exists — its blocks ARE its data, recompute is
-      // impossible once they're gone.
-      if (labels ne lastCp) labels.unpersist()
-      if (isCp) {
-        if (lastCp != null) lastCp.unpersist()
-        lastCp = next
-      }
+      if (sys.env.contains("SPARK_GRAFT_CC_DEBUG"))
+        System.err.println(f"[cc] round=$rounds changed=$changed " +
+          f"sec=${(System.nanoTime() - tR) / 1e9}%.2f")
+      // next's checkpoint blocks are live; the predecessor's can go
+      // (nothing references them once the new generation exists)
+      labels.unpersist()
       labels = next
       rounds += 1
     }
@@ -251,8 +275,7 @@ object Dedup {
       // release on the throw path too — a caller catching the
       // non-convergence error must not inherit pinned cache blocks
       edges.unpersist()
-      if (labels ne lastCp) labels.unpersist()
-      if (lastCp != null) lastCp.unpersist()
+      labels.unpersist()
     }
   }
 

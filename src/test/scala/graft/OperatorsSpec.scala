@@ -81,6 +81,20 @@ class OperatorsSpec extends SparkSpec {
     assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("Dedup.components: pointer jumping converges a 300-diameter chain within the round cap") {
+    import spark.implicits._
+    // a path graph 0-1-2-…-300: plain min-label propagation moves the
+    // min ONE edge per round (300 rounds ≫ the 50-round cap — this
+    // test would throw non-convergence without the hop); the label-of-
+    // label hop halves the remaining distance each round, so the cap
+    // comfortably holds. Also pins correctness: every node must land
+    // exactly on the component min, not merely stabilize.
+    val pairs = (0L until 300L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val r = Dedup.components(pairs).collect()
+    assert(r.length === 301)
+    assert(r.forall(_.getLong(1) == 0L))
+  }
+
   test("NativeVector yields NULL on null array elements, like the HOF form") {
     import graft.functions.NativeVector
     import spark.implicits._
