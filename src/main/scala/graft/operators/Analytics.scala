@@ -225,6 +225,43 @@ object Analytics {
         col("n_lines"))
   }
 
+  /** TPC-H Q10-shaped returned-item report: the top-k customers by
+    * revenue lost to returned lineitems over one quarter, with their
+    * nation. Same exact-integer revenue discipline as
+    * [[shippingPriority]].
+    *
+    * Scale: the returnflag filter pushes into the lineitem scan and
+    * the date filter into the orders scan; the one big shuffle is
+    * lineitem⋈orders on the order key; the per-customer agg is
+    * map-side combined. The top-k runs BEFORE any dim join as a
+    * sort+limit — Catalyst plans TakeOrderedAndProject (per-partition
+    * partial top-k, merged once), never a single-partition global
+    * window — so customer (NOT broadcastable at 100 TB) joins against
+    * k rows, not |customers|: the k-row side broadcasts and the
+    * customer/nation lookups are scan-bound. */
+  def returnedItems(customer: DataFrame, nation: DataFrame, orders: DataFrame,
+      li: DataFrame, k: Int = 20): DataFrame = {
+    val o = orders
+      .filter(expr("o_orderdate >= timestamp'1997-01-01'") &&
+        expr("o_orderdate < timestamp'1997-04-01'"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val rev = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+          (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))).as("term"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("term")).as("rev_scaled"), count(lit(1)).as("n_lines"))
+    val top = rev.orderBy(col("rev_scaled").desc, col("o_custkey")).limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("rev_scaled").desc, col("o_custkey"))).cast("long"))
+    top.join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_name"),
+        graft.functions.Portable.trunc2(col("rev_scaled") / 10000.0).as("revenue"),
+        col("n_lines"), col("rnk"))
+  }
+
   /** Semi join: customers that have orders, counted per segment. */
   def segmentsWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
     customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
@@ -362,6 +399,8 @@ object Analytics {
     "q_brand_revenue" -> ((s, d) => brandRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
     "q_region_revenue" -> ((s, d) => regionRevenue(Tables.customer(s, d),
       Tables.nation(s, d), Tables.region(s, d), Tables.orders(s, d))),
+    "q_returned_items" -> ((s, d) => returnedItems(Tables.customer(s, d),
+      Tables.nation(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_shipping_priority" -> ((s, d) => shippingPriority(Tables.customer(s, d),
       Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_local_supplier_volume" -> ((s, d) => localSupplierVolume(Tables.region(s, d),
@@ -431,6 +470,22 @@ object Analytics {
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey " +
         "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"),
+    "q_returned_items" ->
+      ("WITH o AS (SELECT o_orderkey, o_custkey FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-04-01'), " +
+        "r AS (SELECT o_custkey, " +
+        "sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * " +
+        "(100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))::BIGINT AS rev_scaled, " +
+        "count(*) AS n_lines " +
+        "FROM lineitem JOIN o ON l_orderkey = o_orderkey " +
+        "WHERE l_returnflag = 'R' GROUP BY 1), " +
+        "rk AS (SELECT *, row_number() OVER " +
+        "(ORDER BY rev_scaled DESC, o_custkey) AS rnk FROM r) " +
+        "SELECT c_custkey, c_name, n_name, " +
+        "floor(rev_scaled / 10000.0::DOUBLE * 100) / 100 AS revenue, n_lines, rnk " +
+        "FROM rk JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey WHERE rnk <= 20"),
     "q_shipping_priority" ->
       ("WITH c AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'), " +
         "o AS (SELECT o_orderkey, o_orderdate, o_orderpriority FROM orders " +

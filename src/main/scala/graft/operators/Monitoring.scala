@@ -422,9 +422,134 @@ object Monitoring {
         trunc4(col("cents") / (col("dow_cents") / col("dow_days"))).as("ratio"))
   }
 
+  /** Population Stability Index of the amount distribution per event
+    * type — first half of the observed window (reference) vs the
+    * second (current). PSI = Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref) is
+    * THE drift gate production monitoring runs before trusting a model
+    * trained on last month's amounts (>0.2 conventionally = retrain).
+    *
+    * Determinism discipline: counts come from one hash-agg over fixed
+    * integer cent bins; the grid densifies to all (type, bin, period)
+    * cells because Laplace-smoothed zero bins still contribute; shares
+    * divide exact integers so both engines see identical doubles; each
+    * bin's term is floored to a 1e-8-scaled BIGINT before the per-type
+    * sum, so the final PSI never depends on float summation order
+    * (the q_sim_rrf fixed-order rule, applied via integers). ln parity
+    * across engines holds at this granularity (the q_benford log10
+    * precedent).
+    *
+    * Scale: one events scan → map-side-combined agg to ≤ |types|·2·B
+    * rows; everything after runs on that tiny cell table. */
+  def psiDrift(ev: DataFrame, nBins: Int = 10, binCents: Long = 5000L,
+      splitDays: Long = 15L): DataFrame = {
+    val d0 = ev.agg(min(expr("ts_ms div 86400000")).as("d0"))
+    val binned = ev.crossJoin(d0).select(col("event_type"),
+      when(expr("ts_ms div 86400000") < col("d0") + splitDays, lit("ref"))
+        .otherwise(lit("cur")).as("period"),
+      least(expr(s"cast(floor(value * 100 + 0.5) as bigint) div $binCents"),
+        lit(nBins - 1L)).as("bin"))
+    val counts = binned.groupBy(col("event_type"), col("period"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val grid = binned.select(col("event_type")).distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(0L), lit(nBins - 1L))).as("bin"))
+      .select(col("event_type"), col("bin"),
+        explode(array(lit("ref"), lit("cur"))).as("period"))
+    val full = grid.join(counts, Seq("event_type", "period", "bin"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("n_tot",
+        sum(col("n")).over(Window.partitionBy(col("event_type"), col("period"))))
+      .withColumn("p", (col("n") + 1) / (col("n_tot") + nBins))
+    val wide = full.groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("period") === "ref", col("n"))).as("n_ref"),
+        sum(when(col("period") === "cur", col("n"))).as("n_cur"),
+        max(when(col("period") === "ref", col("p"))).as("p_ref"),
+        max(when(col("period") === "cur", col("p"))).as("p_cur"))
+    wide.select(col("event_type"), col("n_ref"), col("n_cur"),
+        floor((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref"))
+          * 1e8).cast("long").as("term_scaled"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur"),
+        trunc4(sum(col("term_scaled")) / 1e8).as("psi"))
+  }
+
+  /** CUSUM change-point detection on daily volume per event type: the
+    * one-sided cumulative-sum statistic S_t = max(0, S_{t−1} + x_t − μ)
+    * flags a SUSTAINED shift in daily cents that per-day thresholds
+    * miss. The recursion looks inherently sequential, but
+    * S_t = cum_t − min(0, min_{i≤t} cum_i) — a cumulative sum and a
+    * running minimum, two window functions sharing one exchange+sort.
+    *
+    * Exactness: with x in cents and μ = total/n_days, the deviation
+    * scales to the INTEGER cents·n_days − total, so cum, runmin, and
+    * S are all BIGINTs — bit-identical under any partial-agg order.
+    * The flag fires when S exceeds `threshMeanDays` mean-days of
+    * cumulative excess (S/n > k·μ ⇔ S > k·total).
+    *
+    * Scale: one map-side-combined (type, day) agg over the scan, then
+    * windows over the tiny daily table. */
+  def cusumVolume(ev: DataFrame, threshMeanDays: Long = 1L): DataFrame = {
+    val daily = ev
+      .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+    val wt = Window.partitionBy(col("event_type"))
+    val wo = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("n_days", count(lit(1)).over(wt))
+      .withColumn("total", sum(col("cents")).over(wt))
+      .withColumn("cum", sum(col("cents") * col("n_days") - col("total")).over(wo))
+      .withColumn("runmin", min(col("cum")).over(wo))
+      .select(col("event_type"), col("day"), col("cents"),
+        (col("cum") - least(col("runmin"), lit(0L))).as("s_scaled"),
+        ((col("cum") - least(col("runmin"), lit(0L))) >
+          col("total") * threshMeanDays).as("shifted"))
+  }
+
+  /** Chi-square independence audit: is the amount band independent of
+    * the event type? The contingency-table statistic
+    * Σ (observed − expected)²/expected over the |types|×|bands| grid —
+    * a dependence here means one event type drives a value band, the
+    * data-understanding check before any per-type amount model.
+    *
+    * Observed counts are one integer hash-agg (grid densified — a zero
+    * cell still contributes its expected count); row/column/grand
+    * totals are windows over the tiny cell table; expected = rt·ct/N
+    * divides exact integers. Per-cell terms floor to 1e-6-scaled
+    * BIGINTs so the grand χ² is an exact integer sum (fixed-order
+    * rule); both the per-cell audit rows and the repeated grand total
+    * are emitted. */
+  def chi2Audit(ev: DataFrame, nBands: Int = 5, bandCents: Long = 10000L): DataFrame = {
+    val banded = ev.select(col("event_type"),
+      least(expr(s"cast(floor(value * 100 + 0.5) as bigint) div $bandCents"),
+        lit(nBands - 1L)).as("band"))
+    val counts = banded.groupBy(col("event_type"), col("band"))
+      .agg(count(lit(1)).as("n"))
+    val grid = banded.select(col("event_type")).distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(0L), lit(nBands - 1L))).as("band"))
+    val cells = grid.join(counts, Seq("event_type", "band"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("rt", sum(col("n")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("ct", sum(col("n")).over(Window.partitionBy(col("band"))))
+      .withColumn("grand", sum(col("n")).over(Window.partitionBy()))
+    val e = col("rt") * col("ct") / col("grand")
+    // an all-empty band has e = 0 → 0/0; drop its contribution (the
+    // standard empty-category convention) instead of emitting NaN
+    val term = when(col("ct") > 0, (col("n") - e) * (col("n") - e) / e).otherwise(lit(0.0))
+    cells
+      .withColumn("term_scaled", floor(term * 1e6).cast("long"))
+      .withColumn("chi2_scaled", sum(col("term_scaled")).over(Window.partitionBy()))
+      .select(col("event_type"), col("band"), col("n"),
+        trunc4(e).as("expected"), trunc4(col("term_scaled") / 1e6).as("term"),
+        trunc4(col("chi2_scaled") / 1e6).as("chi2"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_psi_drift" -> ((s, d) => psiDrift(Tables.events(s, d))),
+    "q_cusum_volume" -> ((s, d) => cusumVolume(Tables.events(s, d))),
+    "q_chi2_audit" -> ((s, d) => chi2Audit(Tables.events(s, d))),
     "q_cohort_retention" -> ((s, d) => cohortRetention(Tables.events(s, d))),
     "q_ts_gapfill" -> ((s, d) => gapFill(Tables.events(s, d))),
     "q_ts_seasonal" -> ((s, d) => seasonalBaseline(Tables.events(s, d))),
@@ -443,6 +568,65 @@ object Monitoring {
     "q_flag_summary" -> ((s, d) => flagSummary(Tables.events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_psi_drift" ->
+      ("WITH d0 AS (SELECT min(epoch_ms(ts) // 86400000) AS d0 FROM events), " +
+        "b AS (SELECT event_type, " +
+        "CASE WHEN epoch_ms(ts) // 86400000 < d0 + 15 THEN 'ref' ELSE 'cur' END AS period, " +
+        "least(CAST(floor(value * 100 + 0.5) AS BIGINT) // 5000, 9) AS bin " +
+        "FROM events CROSS JOIN d0), " +
+        "c AS (SELECT event_type, period, bin, count(*) AS n FROM b GROUP BY 1, 2, 3), " +
+        "g AS (SELECT event_type, unnest(range(0, 10)) AS bin " +
+        "FROM (SELECT DISTINCT event_type FROM b)), " +
+        "gp AS (SELECT g.event_type, g.bin, p.period FROM g " +
+        "CROSS JOIN (SELECT unnest(['ref', 'cur']) AS period) p), " +
+        "f AS (SELECT gp.event_type, gp.bin, gp.period, coalesce(c.n, 0) AS n " +
+        "FROM gp LEFT JOIN c ON gp.event_type = c.event_type " +
+        "AND gp.bin = c.bin AND gp.period = c.period), " +
+        "t AS (SELECT *, sum(n) OVER (PARTITION BY event_type, period) AS n_tot FROM f), " +
+        "w AS (SELECT event_type, bin, " +
+        "sum(CASE WHEN period = 'ref' THEN n END)::BIGINT AS n_ref, " +
+        "sum(CASE WHEN period = 'cur' THEN n END)::BIGINT AS n_cur, " +
+        "max(CASE WHEN period = 'ref' THEN (n + 1)::DOUBLE / (n_tot + 10) END) AS p_ref, " +
+        "max(CASE WHEN period = 'cur' THEN (n + 1)::DOUBLE / (n_tot + 10) END) AS p_cur " +
+        "FROM t GROUP BY 1, 2), " +
+        "s AS (SELECT event_type, n_ref, n_cur, " +
+        "CAST(floor((p_cur - p_ref) * ln(p_cur / p_ref) * 100000000) AS BIGINT) " +
+        "AS term_scaled FROM w) " +
+        "SELECT event_type, sum(n_ref)::BIGINT AS n_ref, sum(n_cur)::BIGINT AS n_cur, " +
+        "floor(sum(term_scaled)::DOUBLE / 100000000 * 10000) / 10000 AS psi " +
+        "FROM s GROUP BY 1"),
+    "q_cusum_volume" ->
+      ("WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day, " +
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents " +
+        "FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT *, count(*) OVER (PARTITION BY event_type) AS n_days, " +
+        "(sum(cents) OVER (PARTITION BY event_type))::BIGINT AS total FROM daily), " +
+        "c AS (SELECT *, (sum(cents * n_days - total) OVER " +
+        "(PARTITION BY event_type ORDER BY day))::BIGINT AS cum FROM t), " +
+        "m AS (SELECT *, (min(cum) OVER " +
+        "(PARTITION BY event_type ORDER BY day))::BIGINT AS runmin FROM c) " +
+        "SELECT event_type, day, cents, cum - least(runmin, 0) AS s_scaled, " +
+        "cum - least(runmin, 0) > total AS shifted FROM m"),
+    "q_chi2_audit" ->
+      ("WITH b AS (SELECT event_type, " +
+        "least(CAST(floor(value * 100 + 0.5) AS BIGINT) // 10000, 4) AS band " +
+        "FROM events), " +
+        "c AS (SELECT event_type, band, count(*) AS n FROM b GROUP BY 1, 2), " +
+        "g AS (SELECT event_type, unnest(range(0, 5)) AS band " +
+        "FROM (SELECT DISTINCT event_type FROM b)), " +
+        "f AS (SELECT g.event_type, g.band, coalesce(c.n, 0) AS n " +
+        "FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.band = c.band), " +
+        "t AS (SELECT *, sum(n) OVER (PARTITION BY event_type) AS rt, " +
+        "sum(n) OVER (PARTITION BY band) AS ct, sum(n) OVER () AS grand FROM f), " +
+        "e AS (SELECT *, rt * ct / grand AS expected, " +
+        "CASE WHEN ct = 0 THEN 0 ELSE " +
+        "CAST(floor((n - rt * ct / grand) * (n - rt * ct / grand) " +
+        "/ (rt * ct / grand) * 1000000) AS BIGINT) END AS term_scaled FROM t), " +
+        "z AS (SELECT *, (sum(term_scaled) OVER ())::BIGINT AS chi2_scaled FROM e) " +
+        "SELECT event_type, band, n, " +
+        "floor(expected * 10000) / 10000 AS expected, " +
+        "floor(term_scaled::DOUBLE / 1000000 * 10000) / 10000 AS term, " +
+        "floor(chi2_scaled::DOUBLE / 1000000 * 10000) / 10000 AS chi2 FROM z"),
     "q_cohort_retention" ->
       ("WITH uw AS (SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS week " +
         "FROM events), " +

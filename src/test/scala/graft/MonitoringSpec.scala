@@ -313,4 +313,66 @@ class MonitoringSpec extends SparkSpec {
       else assert(x.getAs[Long]("n") > 0L)
     }
   }
+
+  test("psiDrift: zero for a stationary type, large for a shifted one; PSI >= 0 on the corpus") {
+    import spark.implicits._
+    // one event per day per type; 'shift' moves from bin 0 to bin 8 at day 15
+    val ev = (0 until 30).flatMap { d =>
+      Seq(("flat", 10.0, d.toLong * 86400000L),
+        ("shift", if (d < 15) 10.0 else 400.0, d.toLong * 86400000L))
+    }.toDF("event_type", "value", "ts_ms")
+    val r = Monitoring.psiDrift(ev).collect()
+      .map(x => x.getAs[String]("event_type") -> x).toMap
+    assert(r("flat").getAs[Double]("psi") === 0.0) // identical halves, every term 0
+    assert(r("shift").getAs[Double]("psi") > 1.0, "a full bin move is a huge PSI")
+    r.values.foreach { x =>
+      assert(x.getAs[Long]("n_ref") === 15L && x.getAs[Long]("n_cur") === 15L)
+    }
+    // corpus: PSI is a sum of nonnegative terms; every type reports
+    val c = Monitoring.psiDrift(events).collect()
+    assert(c.length === 5)
+    c.foreach(x => assert(x.getAs[Double]("psi") >= 0.0))
+  }
+
+  test("cusumVolume: S >= 0, a flat series never flags, a sustained shift does") {
+    import spark.implicits._
+    val ev = (0 until 30).flatMap { d =>
+      Seq(("flat", 10.0, d.toLong * 86400000L),
+        ("shift", if (d < 20) 10.0 else 400.0, d.toLong * 86400000L))
+    }.toDF("event_type", "value", "ts_ms")
+    val r = Monitoring.cusumVolume(ev).collect()
+    r.foreach(x => assert(x.getAs[Long]("s_scaled") >= 0L))
+    // flat: every deviation is exactly 0 -> S stays 0, never flags
+    r.filter(_.getAs[String]("event_type") == "flat").foreach { x =>
+      assert(x.getAs[Long]("s_scaled") === 0L && !x.getAs[Boolean]("shifted"))
+    }
+    val shiftByDay = r.filter(_.getAs[String]("event_type") == "shift")
+      .map(x => x.getAs[Long]("day") -> x).toMap
+    assert(shiftByDay(29L).getAs[Boolean]("shifted"), "10 days at 40x volume must flag")
+    assert(!shiftByDay(5L).getAs[Boolean]("shifted"), "pre-shift days stay quiet")
+    // corpus: the statistic is well-defined everywhere
+    Monitoring.cusumVolume(events).collect()
+      .foreach(x => assert(x.getAs[Long]("s_scaled") >= 0L))
+  }
+
+  test("chi2Audit: exactly proportional tables score 0; corpus terms sum to the grand chi2") {
+    import spark.implicits._
+    // counts proportional across types -> observed == expected -> chi2 = 0
+    val ev = (Seq.fill(10)(("a", 10.0)) ++ Seq.fill(10)(("a", 150.0)) ++
+      Seq.fill(20)(("b", 10.0)) ++ Seq.fill(20)(("b", 150.0)))
+      .toDF("event_type", "value")
+    val indep = Monitoring.chi2Audit(ev).collect()
+    indep.foreach { x =>
+      assert(x.getAs[Double]("term") === 0.0)
+      assert(x.getAs[Double]("chi2") === 0.0)
+    }
+    assert(indep.length === 2 * 5) // grid densified to all bands
+    // corpus: one grand chi2 repeated on every cell; terms nonnegative
+    val c = Monitoring.chi2Audit(events).collect()
+    val chi2s = c.map(_.getAs[Double]("chi2")).distinct
+    assert(chi2s.length === 1 && chi2s.head >= 0.0)
+    c.foreach(x => assert(x.getAs[Double]("term") >= 0.0))
+    val termSum = c.map(_.getAs[Double]("term")).sum
+    assert(math.abs(termSum - chi2s.head) < 1e-3) // trunc4 slack per cell
+  }
 }

@@ -758,6 +758,21 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Analytics.returnedItems: top-k before the dim joins plans as TakeOrdered, ranks hold") {
+    val df = Analytics.returnedItems(Tables.customer(spark, sf),
+      Tables.nation(spark, sf), Tables.orders(spark, sf), Tables.lineitem(spark, sf))
+    // the global top-k must be a distributed partial top-k merge, never
+    // a single-partition window over all customers
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$plan")
+    val r = df.collect()
+    assert(r.nonEmpty && r.length <= 20)
+    assert(r.map(_.getAs[Long]("rnk")).sorted.toSeq === (1L to r.length).toSeq)
+    val byRank = r.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("revenue"))
+    byRank.zip(byRank.tail).foreach { case (a, b) => assert(a >= b) }
+    r.foreach(x => assert(x.getAs[Double]("revenue") > 0.0 && x.getAs[Long]("n_lines") > 0L))
+  }
+
   test("Dedup.simhashClusters: pair endpoints always share a cluster label") {
     import spark.implicits._
     val small = Seq((1L, "x y z w v u t s"), (2L, "x y z w v u t s"),
