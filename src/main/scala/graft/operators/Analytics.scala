@@ -262,6 +262,33 @@ object Analytics {
         col("n_lines"), col("rnk"))
   }
 
+  /** TPC-H Q15-shaped top supplier: the supplier(s) with the maximum
+    * shipped revenue over one quarter — the argmax-over-an-aggregate
+    * pattern (view + scalar max in the reference query).
+    *
+    * Revenue is the exact integer cents×(100−disc%) sum, so the scalar
+    * max and the equality against it are BIGINT comparisons — no float
+    * ties at the top (the textbook Q15 footgun). Plan: date-pushed
+    * lineitem scan → one map-side-combined agg per suppkey → 1-row max
+    * broadcast back over the agg (no second scan) → broadcast supplier
+    * lookup for the name. */
+  def topSupplier(supplier: DataFrame, li: DataFrame): DataFrame = {
+    val rev = li
+      .filter(expr("l_shipdate >= timestamp'1996-01-01'") &&
+        expr("l_shipdate < timestamp'1996-04-01'"))
+      .select(col("l_suppkey"),
+        (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+          (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))).as("term"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("term")).as("rev_scaled"))
+    val mx = rev.agg(max(col("rev_scaled")).as("mx"))
+    rev.join(broadcast(mx), col("rev_scaled") === col("mx"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("rev_scaled"),
+        graft.functions.Portable.trunc2(col("rev_scaled") / 10000.0).as("revenue"))
+  }
+
   /** Semi join: customers that have orders, counted per segment. */
   def segmentsWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
     customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
@@ -399,6 +426,8 @@ object Analytics {
     "q_brand_revenue" -> ((s, d) => brandRevenue(Tables.lineitem(s, d), Tables.part(s, d))),
     "q_region_revenue" -> ((s, d) => regionRevenue(Tables.customer(s, d),
       Tables.nation(s, d), Tables.region(s, d), Tables.orders(s, d))),
+    "q_top_supplier" -> ((s, d) => topSupplier(Tables.supplier(s, d),
+      Tables.lineitem(s, d))),
     "q_returned_items" -> ((s, d) => returnedItems(Tables.customer(s, d),
       Tables.nation(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_shipping_priority" -> ((s, d) => shippingPriority(Tables.customer(s, d),
@@ -470,6 +499,16 @@ object Analytics {
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey " +
         "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"),
+    "q_top_supplier" ->
+      ("WITH r AS (SELECT l_suppkey, " +
+        "sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * " +
+        "(100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))::BIGINT AS rev_scaled " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) " +
+        "SELECT s_suppkey, s_name, rev_scaled, " +
+        "floor(rev_scaled / 10000.0::DOUBLE * 100) / 100 AS revenue " +
+        "FROM r JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE rev_scaled = (SELECT max(rev_scaled) FROM r)"),
     "q_returned_items" ->
       ("WITH o AS (SELECT o_orderkey, o_custkey FROM orders " +
         "WHERE o_orderdate >= TIMESTAMP '1997-01-01' " +

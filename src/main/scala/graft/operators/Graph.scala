@@ -150,11 +150,52 @@ object Graph {
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Merchant–merchant similarity: Jaccard of user sets over the
+    * bipartite projection — "these two merchants serve the same
+    * crowd", the collusion/mirror-merchant signal next to
+    * [[triangles]]' user-side rings.
+    *
+    * Scale discipline: candidate pairs come from per-USER merchant
+    * pairs, so the work is Σ fan²/2 — bounded by the `maxFan` hub
+    * guard (a user active everywhere contributes quadratic pairs and
+    * no similarity signal; same rationale as [[triangles]]' maxCell).
+    * Degrees are computed over the SAME guarded graph, so the Jaccard
+    * is exact on what was paired. The division is the only double —
+    * exact integers in, identical membership at the threshold in both
+    * engines. */
+  def merchantJaccard(ev: DataFrame, maxFan: Long = 80L,
+      minJaccard: Double = 0.45): DataFrame = {
+    val um = userMerchant(ev).filter(col("m").isNotNull)
+      .select(col("user_id"), col("m")).distinct()
+    val g = um
+      .withColumn("fan", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("fan") <= maxFan)
+      .select(col("user_id"), col("m"))
+      .persist() // feeds the degree agg and both pair-join arms
+    val deg = g.groupBy(col("m")).agg(count(lit(1)).as("d"))
+    val inter = g.as("a").join(g.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.m") < col("b.m"))
+      .groupBy(col("a.m").as("m1"), col("b.m").as("m2"))
+      .agg(count(lit(1)).as("inter"))
+    val jac = col("inter") / (col("d1") + col("d2") - col("inter"))
+    val result = inter
+      .join(deg.select(col("m").as("m1"), col("d").as("d1")), "m1")
+      .join(deg.select(col("m").as("m2"), col("d").as("d2")), "m2")
+      .filter(jac >= minJaccard)
+      .select(col("m1").cast("long").as("m1"), col("m2").cast("long").as("m2"),
+        col("inter"), col("d1"), col("d2"),
+        graft.functions.Portable.trunc4(jac).as("jaccard"))
+      .localCheckpoint(true) // thresholded pairs; releases the g cache
+    g.unpersist()
+    result
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> ((s, d) => pageRank(Tables.events(s, d))),
     "q_graph_degree" -> ((s, d) => bipartiteDegrees(Tables.events(s, d))),
+    "q_graph_jaccard" -> ((s, d) => merchantJaccard(Tables.events(s, d))),
     "q_graph_triangles" -> ((s, d) => triangles(Tables.events(s, d))))
 
   /** The identical recurrence unrolled as SQL CTEs (r0 → r3). */
@@ -174,6 +215,21 @@ object Graph {
         "UNION ALL " +
         "SELECT 'user' AS role, user_id AS id, count(*) AS n_events, " +
         "count(DISTINCT m) AS n_peers, sum(cents)::BIGINT AS cents FROM b GROUP BY 2"),
+    "q_graph_jaccard" ->
+      ("WITH b AS (SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS m " +
+        "FROM events), " +
+        "um AS (SELECT DISTINCT user_id, m FROM b WHERE m IS NOT NULL), " +
+        "f AS (SELECT user_id, m, count(*) OVER (PARTITION BY user_id) AS fan FROM um), " +
+        "g AS (SELECT user_id, m FROM f WHERE fan <= 80), " +
+        "deg AS (SELECT m, count(*) AS d FROM g GROUP BY 1), " +
+        "i AS (SELECT a.m AS m1, b.m AS m2, count(*) AS inter FROM g a " +
+        "JOIN g b ON a.user_id = b.user_id AND a.m < b.m GROUP BY 1, 2), " +
+        "j AS (SELECT i.m1::BIGINT AS m1, i.m2::BIGINT AS m2, inter, " +
+        "da.d AS d1, db.d AS d2, " +
+        "inter::DOUBLE / (da.d + db.d - inter) AS jr FROM i " +
+        "JOIN deg da ON i.m1 = da.m JOIN deg db ON i.m2 = db.m) " +
+        "SELECT m1, m2, inter, d1, d2, floor(jr * 10000) / 10000 AS jaccard " +
+        "FROM j WHERE jr >= 0.45"),
     "q_graph_triangles" ->
       ("WITH um AS (SELECT DISTINCT user_id AS u, " +
         "CAST(json_extract_string(props, '$.k') AS INT) AS m, " +

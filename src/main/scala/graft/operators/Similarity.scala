@@ -163,9 +163,9 @@ object Similarity {
     * IEEE doubles), so `floor` of it is engine-independent. */
   val QScale = 1048576.0
 
-  /** Seed coarse centroids: the embeddings of vec_id < NList. */
-  private[graft] def seedCentroids(v: DataFrame): DataFrame =
-    v.filter(col("vec_id") < NList)
+  /** Seed coarse centroids: the embeddings of vec_id < k. */
+  private[graft] def seedCentroids(v: DataFrame, k: Int = NList): DataFrame =
+    v.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("e").as("ce"))
 
   /** argmax-cosine assignment of every vector to its centroid, via a
@@ -190,14 +190,14 @@ object Similarity {
     * SAME division sequence `sum/n/2^20` in IEEE doubles on both sides.
     * A cluster that loses all members drops out of the centroid set —
     * identically in both engines. */
-  private def centroidStep(v: DataFrame, cents: DataFrame): DataFrame = {
-    val sums = (0 until Dim).map(d =>
+  private def centroidStep(v: DataFrame, cents: DataFrame, dim: Int = Dim): DataFrame = {
+    val sums = (0 until dim).map(d =>
       sum(floor(element_at(col("e"), d + 1) * QScale)).as(s"s$d"))
     v.join(assignTo(v, cents), "vec_id")
       .groupBy(col("list_id"))
       .agg(count(lit(1)).as("n"), sums: _*)
       .select(col("list_id").as("cid"),
-        array((0 until Dim).map(d =>
+        array((0 until dim).map(d =>
           col(s"s$d").cast("double") / col("n") / QScale): _*).as("ce"))
   }
 
@@ -381,6 +381,60 @@ object Similarity {
         sum(when(col("q") === 0, 1L).otherwise(0L)).as("n_zero"))
   }
 
+  /** Product-quantization geometry: 64 dims → PqM subspaces of PqSub
+    * dims, PqKs codewords each (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011). One Lloyd iteration per
+    * subspace keeps the oracle chain bounded; codebook quality improves
+    * with iterations, the pipeline shape doesn't change. */
+  val PqM = 4
+  val PqSub = Dim / PqM
+  val PqKs = 8
+  val PqIters = 1
+
+  /** PQ encode: each vector's code is PqM small integers — the
+    * per-subspace argmax-cosine codeword (spherical k-means, the same
+    * assignment geometry as [[ivfTopK]]'s coarse quantizer). This is
+    * the storage path beyond [[quantizeAudit]]'s int8: 64 floats
+    * compress to PqM·log2(PqKs) = 12 bits, the layout ADC-style ANN
+    * re-ranking reads at 100 TB.
+    *
+    * Each subspace trains on the SAME deterministic [[kmSample]] with
+    * exact quantized sums, so the oracle retrains bit-identical
+    * codebooks (the [[trainedCentroids]] argument, per subspace);
+    * `sub_cos` (vector-to-codeword cosine, trunc4) is the per-subspace
+    * reconstruction audit.
+    *
+    * Scale: training aggregates the 1-in-4 sample; encoding is one
+    * broadcast of PqM·PqKs codewords and a map-side-combined max_by per
+    * (vector, subspace) — the shuffle carries one (id, code) pair,
+    * never the embedding. */
+  def pqEncode(emb: DataFrame): DataFrame = {
+    val v = withEmbD(emb).persist() // PqM training + encode passes
+    val parts = (0 until PqM).map { m =>
+      val vm = v.select(col("vec_id"), slice(col("e"), m * PqSub + 1, PqSub).as("e"))
+      val sample = kmSample(vm)
+      var cents = seedCentroids(vm, PqKs)
+      for (_ <- 0 until PqIters) cents = centroidStep(sample, cents, PqSub)
+      // eager 8-row codebook: encoding below broadcasts the checkpoint
+      // instead of re-running the Lloyd step
+      val c = cents.localCheckpoint(true)
+      vm.crossJoin(broadcast(c))
+        .select(col("vec_id"), col("cid"),
+          trunc4(NativeVector.cosine(col("e"), col("ce"))).as("ccos"))
+        .groupBy(col("vec_id"))
+        // winner maximizes ccos (ties to the smaller cid), so max(ccos)
+        // IS the winner's cosine
+        .agg(expr("max_by(cid, struct(ccos, -cid))").cast("long").as("code"),
+          max(col("ccos")).as("sub_cos"))
+        .withColumn("m", lit(m.toLong))
+    }
+    val result = parts.reduce(_ unionByName _)
+      .select(col("vec_id"), col("m"), col("code"), col("sub_cos"))
+      .localCheckpoint(true)
+    v.unpersist()
+    result
+  }
+
   /** Deterministic ±1 sign for [[vecProject]]'s projection matrix
     * (Achlioptas-style sparse random projection): parity of the
     * portable 60-bit md5 hash of "proj|i_j" — any engine reproduces it
@@ -529,6 +583,7 @@ object Similarity {
     "q_dedup_semantic" -> ((s, d) => semanticDedup(Tables.embeddings(s, d))),
     "q_sim_recall" -> ((s, d) => recallAtK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_vec_quantize" -> ((s, d) => quantizeAudit(Tables.embeddings(s, d))),
+    "q_vec_pq" -> ((s, d) => pqEncode(Tables.embeddings(s, d))),
     "q_vec_project" -> ((s, d) => vecProject(Tables.embeddings(s, d))))
 
   private def planeSql(h: Int): String =
@@ -636,6 +691,38 @@ object Similarity {
   private def topkSelect(ranked: String, k: Int = 10): String =
     s" SELECT q_id, vec_id, cos, rnk FROM $ranked WHERE rnk <= $k"
 
+  /** One subspace of the PQ oracle: slice → sample → seed codebook →
+    * PqIters Lloyd steps (exact quantized sums, the [[kmUpdateSql]]
+    * discipline) → full encode with the winner's cosine. → pf$m. */
+  private def pqChainSql(m: Int): String = {
+    val lo = m * PqSub + 1
+    val hi = (m + 1) * PqSub
+    def assign(cIn: String, rel: String): String =
+      s"SELECT $rel.vec_id, c.cid, " +
+        s"floor(list_cosine_similarity($rel.e, c.ce) * 10000) / 10000 ccos " +
+        s"FROM $rel CROSS JOIN $cIn c"
+    val steps = (0 until PqIters).map { i =>
+      s"pas${m}_$i AS (SELECT vec_id, cid AS list_id FROM (SELECT vec_id, cid, " +
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) rn " +
+        s"FROM (${assign(s"pc${m}_$i", s"km$m")})) WHERE rn = 1), " +
+        s"pj${m}_$i AS (SELECT a.list_id, r.d, " +
+        s"sum(floor(km$m.e[r.d] * ${QScale.toLong}))::BIGINT sv, count(*) n " +
+        s"FROM km$m JOIN pas${m}_$i a USING (vec_id) " +
+        s"CROSS JOIN range(1, ${PqSub + 1}) r(d) GROUP BY 1, 2), " +
+        s"pc${m}_${i + 1} AS (SELECT list_id AS cid, " +
+        s"list(sv::DOUBLE / n / ${QScale.toLong}.0 ORDER BY d) ce FROM pj${m}_$i GROUP BY list_id)"
+    }.mkString(", ")
+    s"vm$m AS (SELECT vec_id, e[$lo:$hi] e FROM v), " +
+      s"km$m AS (SELECT vec_id, e FROM vm$m " +
+      "WHERE ('0x'||substr(md5('kms|'||vec_id),1,15))::BIGINT % 4 = 0), " +
+      s"pc${m}_0 AS (SELECT vec_id::INT cid, e ce FROM vm$m WHERE vec_id < $PqKs), " +
+      steps + ", " +
+      s"pf$m AS (SELECT vec_id, cid::BIGINT code, ccos sub_cos FROM " +
+      "(SELECT vec_id, cid, ccos, row_number() OVER " +
+      "(PARTITION BY vec_id ORDER BY ccos DESC, cid) rn " +
+      s"FROM (${assign(s"pc${m}_$PqIters", s"vm$m")})) WHERE rn = 1)"
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_sim_rrf" ->
       (s"WITH $vCte, $qsCte, $bitsBandsCte, $annCtes, $annMpCtes, $ivfCtes, " +
@@ -670,6 +757,11 @@ object Similarity {
         "SELECT vec_id, floor(max(scale) * 1000000) / 1000000 AS scale, " +
         "floor(max(err) * 1000000) / 1000000 AS max_err, " +
         "sum(CASE WHEN q = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero FROM qq GROUP BY vec_id"),
+    "q_vec_pq" ->
+      (s"WITH $vCte, " + (0 until PqM).map(pqChainSql).mkString(", ") + " " +
+        (0 until PqM).map(m =>
+          s"SELECT vec_id, $m::BIGINT AS m, code, sub_cos FROM pf$m")
+          .mkString(" UNION ALL ")),
     "q_vec_project" ->
       ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings), " +
         "el AS (SELECT vec_id, unnest(e) x, unnest(range(len(e))) i FROM v), " +

@@ -773,6 +773,63 @@ class OperatorsSpec extends SparkSpec {
     r.foreach(x => assert(x.getAs[Double]("revenue") > 0.0 && x.getAs[Long]("n_lines") > 0L))
   }
 
+  test("Analytics.topSupplier: every returned row carries the exact maximum revenue") {
+    val r = Analytics.topSupplier(Tables.supplier(spark, sf), Tables.lineitem(spark, sf)).collect()
+    assert(r.nonEmpty)
+    val revs = r.map(_.getAs[Long]("rev_scaled")).distinct
+    assert(revs.length === 1, "argmax rows must all tie at the max")
+    // recompute the max independently
+    val expect = Tables.lineitem(spark, sf)
+      .filter(expr("l_shipdate >= timestamp'1996-01-01'") &&
+        expr("l_shipdate < timestamp'1996-04-01'"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+        (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))).as("rs"))
+      .agg(max(col("rs"))).collect()(0).getLong(0)
+    assert(revs.head === expect)
+  }
+
+  test("Graph.merchantJaccard: identical user sets score 1.0; the fan guard empties pairs") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def row(u: Long, m: Int) = (u, s"""{"k":$m}""", 10.0, ts)
+    // merchants 1 and 2 share exactly users {1, 2}; merchant 3 is only user 3's
+    val ev = Seq(row(1L, 1), row(1L, 2), row(2L, 1), row(2L, 2), row(3L, 3))
+      .toDF("user_id", "props", "value", "ts")
+    val r = Graph.merchantJaccard(ev, maxFan = 80L, minJaccard = 0.45).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("m1") === 1L && r.head.getAs[Long]("m2") === 2L)
+    assert(r.head.getAs[Long]("inter") === 2L && r.head.getAs[Double]("jaccard") === 1.0)
+    // a fan cap of 1 drops both shared-merchant users -> no candidate pairs
+    assert(Graph.merchantJaccard(ev, maxFan = 1L).collect().isEmpty)
+    // corpus sanity: jaccard = inter / (d1 + d2 - inter) on every row
+    Graph.merchantJaccard(Tables.events(spark, sf)).collect().foreach { x =>
+      val j = x.getAs[Long]("inter").toDouble /
+        (x.getAs[Long]("d1") + x.getAs[Long]("d2") - x.getAs[Long]("inter"))
+      assert(x.getAs[Double]("jaccard") === math.floor(j * 10000) / 10000)
+    }
+  }
+
+  test("Similarity.pqEncode: every vector gets one in-range code per subspace") {
+    val r = Similarity.pqEncode(Tables.embeddings(spark, sf)).collect()
+    val byVec = r.groupBy(_.getAs[Long]("vec_id"))
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(byVec.size.toLong === nVecs)
+    byVec.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("m")).sorted.toSeq === (0L until Similarity.PqM).toSeq)
+    }
+    r.foreach { x =>
+      val code = x.getAs[Long]("code")
+      assert(code >= 0L && code < Similarity.PqKs, s"code $code out of range")
+      assert(x.getAs[Double]("sub_cos") <= 1.0 + 1e-9)
+    }
+    // the code is a pure function of the subvector: duplicate embeddings
+    // must encode identically (compare two passes for determinism too)
+    val again = Similarity.pqEncode(Tables.embeddings(spark, sf)).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sorted.toSeq ===
+      again.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sorted.toSeq)
+  }
+
   test("Dedup.simhashClusters: pair endpoints always share a cluster label") {
     import spark.implicits._
     val small = Seq((1L, "x y z w v u t s"), (2L, "x y z w v u t s"),
