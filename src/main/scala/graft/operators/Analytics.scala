@@ -289,6 +289,29 @@ object Analytics {
         graft.functions.Portable.trunc2(col("rev_scaled") / 10000.0).as("revenue"))
   }
 
+  /** TPC-H Q4-shaped late-order count: orders in one quarter that had
+    * at least one lineitem shipped more than `graceDays` after the
+    * order date, counted per priority — the EXISTS-over-a-fact shape
+    * (the data has no commitdate/receiptdate pair, so "late" is
+    * ship-vs-order lag; same semi-join plan as Q4's).
+    *
+    * Scale: the date window pushes into the orders scan; the semi join
+    * is the one shuffle and carries only (orderkey, shipdate) on the
+    * lineitem side — a left-semi HASH join (first match short-circuits,
+    * no duplicate-row blowup, no distinct pass); the lag predicate
+    * rides the join as a residual. Exact timestamp arithmetic — no
+    * float anywhere. */
+  def lateOrders(orders: DataFrame, li: DataFrame, graceDays: Int = 90): DataFrame =
+    orders
+      .filter(expr("o_orderdate >= timestamp'1996-01-01'") &&
+        expr("o_orderdate < timestamp'1996-04-01'"))
+      .join(li.select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"interval $graceDays days"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+
   /** Semi join: customers that have orders, counted per segment. */
   def segmentsWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
     customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
@@ -428,6 +451,8 @@ object Analytics {
       Tables.nation(s, d), Tables.region(s, d), Tables.orders(s, d))),
     "q_top_supplier" -> ((s, d) => topSupplier(Tables.supplier(s, d),
       Tables.lineitem(s, d))),
+    "q_late_orders" -> ((s, d) => lateOrders(Tables.orders(s, d),
+      Tables.lineitem(s, d))),
     "q_returned_items" -> ((s, d) => returnedItems(Tables.customer(s, d),
       Tables.nation(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_shipping_priority" -> ((s, d) => shippingPriority(Tables.customer(s, d),
@@ -499,6 +524,13 @@ object Analytics {
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey " +
         "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"),
+    "q_late_orders" ->
+      ("SELECT o_orderpriority, count(*) AS n_orders FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1996-04-01' " +
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +
+        "AND l_shipdate > o_orderdate + INTERVAL 90 DAY) " +
+        "GROUP BY 1"),
     "q_top_supplier" ->
       ("WITH r AS (SELECT l_suppkey, " +
         "sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * " +

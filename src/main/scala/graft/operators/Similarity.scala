@@ -408,16 +408,26 @@ object Similarity {
     * broadcast of PqM·PqKs codewords and a map-side-combined max_by per
     * (vector, subspace) — the shuffle carries one (id, code) pair,
     * never the embedding. */
+  /** Subspace m's slice of the vector relation. */
+  private def pqSlice(v: DataFrame, m: Int): DataFrame =
+    v.select(col("vec_id"), slice(col("e"), m * PqSub + 1, PqSub).as("e"))
+
+  /** Trained codebook for subspace m — PqKs rows, checkpointed eagerly
+    * so every consumer broadcasts the result instead of re-running the
+    * Lloyd steps. */
+  private def pqCodebook(v: DataFrame, m: Int): DataFrame = {
+    val vm = pqSlice(v, m)
+    val sample = kmSample(vm)
+    var cents = seedCentroids(vm, PqKs)
+    for (_ <- 0 until PqIters) cents = centroidStep(sample, cents, PqSub)
+    cents.localCheckpoint(true)
+  }
+
   def pqEncode(emb: DataFrame): DataFrame = {
     val v = withEmbD(emb).persist() // PqM training + encode passes
     val parts = (0 until PqM).map { m =>
-      val vm = v.select(col("vec_id"), slice(col("e"), m * PqSub + 1, PqSub).as("e"))
-      val sample = kmSample(vm)
-      var cents = seedCentroids(vm, PqKs)
-      for (_ <- 0 until PqIters) cents = centroidStep(sample, cents, PqSub)
-      // eager 8-row codebook: encoding below broadcasts the checkpoint
-      // instead of re-running the Lloyd step
-      val c = cents.localCheckpoint(true)
+      val vm = pqSlice(v, m)
+      val c = pqCodebook(v, m)
       vm.crossJoin(broadcast(c))
         .select(col("vec_id"), col("cid"),
           trunc4(NativeVector.cosine(col("e"), col("ce"))).as("ccos"))
@@ -431,6 +441,52 @@ object Similarity {
     val result = parts.reduce(_ unionByName _)
       .select(col("vec_id"), col("m"), col("code"), col("sub_cos"))
       .localCheckpoint(true)
+    v.unpersist()
+    result
+  }
+
+  /** ADC (asymmetric distance computation) top-k over the PQ codes —
+    * the search half of [[pqEncode]]: each query scores the whole
+    * corpus as Σ_m dot(q_m, codeword(code_m)) without ever touching a
+    * stored vector. That is the point at 100 TB: the scan reads 12-bit
+    * codes (~50× narrower than the floats), the per-query work is a
+    * PqM·PqKs lookup table built from ONE broadcast of the codebooks.
+    *
+    * Determinism: each partial dot is floored to a 2^20-scaled BIGINT
+    * before the per-(query, vector) sum, so the ADC score is an exact
+    * integer under any partial-agg merge order (same rule as the PSI
+    * terms); ties rank to the smaller vec_id. `adot` is the
+    * reconstructed approximate dot product for human eyes. */
+  def adcTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    val v = withEmbD(emb).persist() // PqM training + code + lut passes
+    val parts = (0 until PqM).map { m =>
+      val vm = pqSlice(v, m)
+      val c = pqCodebook(v, m)
+      val codes = vm.crossJoin(broadcast(c))
+        .select(col("vec_id"), col("cid"),
+          trunc4(NativeVector.cosine(col("e"), col("ce"))).as("ccos"))
+        .groupBy(col("vec_id"))
+        .agg(expr("max_by(cid, struct(ccos, -cid))").cast("long").as("code"))
+      val lut = vm.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("q_id"), col("e").as("qe"))
+        .crossJoin(broadcast(c))
+        .select(col("q_id"), col("cid").cast("long").as("code"),
+          floor(NativeVector.dot(col("qe"), col("ce")) * QScale).cast("long").as("pdot"))
+      codes.join(broadcast(lut), "code")
+        .select(col("q_id"), col("vec_id"), col("pdot"))
+    }
+    val scored = parts.reduce(_ unionByName _)
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("dot_scaled"))
+    val result = scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("dot_scaled").desc, col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("dot_scaled"),
+        trunc4(col("dot_scaled") / QScale).as("adot"), col("rnk"))
+      .localCheckpoint(true) // k rows per query
     v.unpersist()
     result
   }
@@ -584,6 +640,7 @@ object Similarity {
     "q_sim_recall" -> ((s, d) => recallAtK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_vec_quantize" -> ((s, d) => quantizeAudit(Tables.embeddings(s, d))),
     "q_vec_pq" -> ((s, d) => pqEncode(Tables.embeddings(s, d))),
+    "q_sim_topk_adc" -> ((s, d) => adcTopK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_vec_project" -> ((s, d) => vecProject(Tables.embeddings(s, d))))
 
   private def planeSql(h: Int): String =
@@ -762,6 +819,24 @@ object Similarity {
         (0 until PqM).map(m =>
           s"SELECT vec_id, $m::BIGINT AS m, code, sub_cos FROM pf$m")
           .mkString(" UNION ALL ")),
+    "q_sim_topk_adc" ->
+      (s"WITH $vCte, " + (0 until PqM).map(pqChainSql).mkString(", ") + ", " +
+        (0 until PqM).map { m =>
+          s"lut$m AS (SELECT vec_id q_id, cid::BIGINT code, " +
+            s"CAST(floor(list_dot_product(e, ce) * ${QScale.toLong}) AS BIGINT) pdot " +
+            s"FROM vm$m CROSS JOIN pc${m}_$PqIters WHERE vec_id IN $idsSql), " +
+            s"part$m AS (SELECT l.q_id, f.vec_id, l.pdot FROM pf$m f " +
+            s"JOIN lut$m l ON f.code = l.code)"
+        }.mkString(", ") + ", " +
+        "allp AS (" + (0 until PqM).map(m => s"SELECT * FROM part$m")
+          .mkString(" UNION ALL ") + "), " +
+        "adc_sc AS (SELECT q_id, vec_id, sum(pdot)::BIGINT dot_scaled FROM allp " +
+        "WHERE vec_id <> q_id GROUP BY 1, 2), " +
+        "adc_rk AS (SELECT *, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY dot_scaled DESC, vec_id) rnk FROM adc_sc) " +
+        "SELECT q_id, vec_id, dot_scaled, " +
+        s"floor(dot_scaled::DOUBLE / ${QScale.toLong} * 10000) / 10000 AS adot, rnk " +
+        "FROM adc_rk WHERE rnk <= 10"),
     "q_vec_project" ->
       ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings), " +
         "el AS (SELECT vec_id, unnest(e) x, unnest(range(len(e))) i FROM v), " +

@@ -830,6 +830,43 @@ class OperatorsSpec extends SparkSpec {
       again.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sorted.toSeq)
   }
 
+  test("Analytics.lateOrders: semi-join count matches a distinct-join recount") {
+    val orders = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    val r = Analytics.lateOrders(orders, li).collect()
+      .map(x => x.getAs[String]("o_orderpriority") -> x.getAs[Long]("n_orders")).toMap
+    assert(r.values.sum > 0)
+    // recount without the semi join: distinct qualifying orderkeys
+    val expect = orders
+      .filter(expr("o_orderdate >= timestamp'1996-01-01'") &&
+        expr("o_orderdate < timestamp'1996-04-01'"))
+      .join(li.select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("interval 90 days"))
+      .select(col("o_orderkey"), col("o_orderpriority")).distinct()
+      .groupBy(col("o_orderpriority")).count().collect()
+      .map(x => x.getAs[String]("o_orderpriority") -> x.getAs[Long]("count")).toMap
+    assert(r === expect)
+  }
+
+  test("Similarity.adcTopK: k ranked rows per query, scores reconcile and never self-match") {
+    val r = Similarity.adcTopK(Tables.embeddings(spark, sf), Similarity.DefaultQueryIds).collect()
+    val byQ = r.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet === Similarity.DefaultQueryIds.toSet)
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq === (1L to rows.length).toSeq)
+      val scores = sorted.map(_.getAs[Long]("dot_scaled"))
+      scores.zip(scores.tail).foreach { case (a, b) => assert(a >= b) }
+    }
+    r.foreach { x =>
+      assert(x.getAs[Long]("vec_id") !== x.getAs[Long]("q_id"))
+      // adot is the trunc4 of the scaled score
+      val adot = math.floor(x.getAs[Long]("dot_scaled") / Similarity.QScale * 10000) / 10000
+      assert(x.getAs[Double]("adot") === adot)
+    }
+  }
+
   test("Dedup.simhashClusters: pair endpoints always share a cluster label") {
     import spark.implicits._
     val small = Seq((1L, "x y z w v u t s"), (2L, "x y z w v u t s"),
