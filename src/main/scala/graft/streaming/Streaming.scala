@@ -208,6 +208,63 @@ object Streaming {
       .agg(max(col("rho")).as("mx"))
       .select(col("win.start").as("win_start"), col("reg"), col("mx"))
 
+  /** Streaming amount-histogram maintenance — the cent bins of
+    * `Monitoring.psiDrift` as a windowed streaming aggregation. Bin
+    * counts are plain sums, so the incremental state update IS the
+    * histogram merge: state is bounded at `nBins` cells per open
+    * window at any stream rate, and a finalized window's histogram is
+    * IDENTICAL to batch-binning the same events (spec-asserted, the
+    * [[cmsCounters]] discipline). [[psiVsReference]] turns the emitted
+    * histograms into the drift gate. */
+  def amountHistogram(txns: DataFrame, nBins: Int = 10, binCents: Long = 5000L,
+      watermark: String = "10 minutes", window_ : String = "5 minutes"): DataFrame =
+    txns.select(col("timestamp"),
+        least(expr(s"cast(floor(amount * 100 + 0.5) as bigint) div $binCents"),
+          lit(nBins - 1L)).as("bin"))
+      .withWatermark("timestamp", watermark)
+      .groupBy(window(col("timestamp"), window_).as("win"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("win.start").as("win_start"), col("bin"), col("n"))
+
+  /** PSI of each emitted window histogram against a reference
+    * histogram (bin, n) — the batch post-processing of
+    * [[amountHistogram]]'s sink that closes the streaming drift loop:
+    * reference = last month's (or the training corpus's) amount
+    * distribution, each closed window scores against it, and the
+    * alert threshold (conventionally 0.2) is applied downstream.
+    *
+    * Same determinism discipline as `Monitoring.psiDrift`: both sides
+    * densify to all `nBins` Laplace-smoothed bins, shares divide exact
+    * integers, per-bin terms floor to 1e-8-scaled BIGINTs before the
+    * per-window sum. The reference is tiny (nBins rows) and
+    * broadcasts; the per-window work is a window over ≤ nBins rows. */
+  def psiVsReference(hist: DataFrame, ref: DataFrame, nBins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def densify(df: DataFrame, keys: Seq[String]): DataFrame = {
+      // the grid derives FROM df; aliased projections give it fresh
+      // attribute ids so the left join back is not a conflicting self-join
+      val grid = df.select(keys.map(k => col(k).as(s"g_$k")): _*).distinct()
+        .withColumn("g_bin", explode(sequence(lit(0L), lit(nBins - 1L))))
+      val cond = (keys.map(k => col(s"g_$k") === col(k)) :+
+        (col("g_bin") === col("bin"))).reduce(_ && _)
+      grid.join(df, cond, "left")
+        .select((keys.map(k => col(s"g_$k").as(k)) :+ col("g_bin").as("bin") :+
+          coalesce(col("n"), lit(0L)).as("n")): _*)
+        .withColumn("n_tot", sum(col("n")).over(Window.partitionBy(keys.map(col): _*)))
+        .withColumn("p", (col("n") + 1) / (col("n_tot") + nBins))
+    }
+    val cur = densify(hist.select(col("win_start"), col("bin"), col("n")), Seq("win_start"))
+      .select(col("win_start"), col("bin"), col("p").as("p_cur"))
+    val refP = densify(ref.select(lit(0).as("one"), col("bin"), col("n")), Seq("one"))
+      .select(col("bin"), col("p").as("p_ref"))
+    cur.join(org.apache.spark.sql.functions.broadcast(refP), "bin")
+      .select(col("win_start"),
+        floor((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")) * 1e8)
+          .cast("long").as("term_scaled"))
+      .groupBy(col("win_start"))
+      .agg(graft.functions.Portable.trunc4(sum(col("term_scaled")) / 1e8).as("psi"))
+  }
+
   /** A raised fraud flag. */
   final case class FraudFlag(user_id: Int, n_debits: Long, window_start: Long,
       window_end: Long, total_amount: Double)

@@ -245,6 +245,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("amountHistogram + psiVsReference: finalized bins equal batch binning; drift fires") {
+    import spark.implicits._
+    val in = MemoryStream[Transaction](spark)
+    val agg = Streaming.amountHistogram(in.toDF(), nBins = 4, binCents = 5000L,
+      watermark = "1 minute", window_ = "5 minutes")
+    val q = Streaming.toMemory(agg, "hist", OutputMode.Append())
+    withQuery(q) {
+      // window A (10:00): two bin-0 and two bin-1 amounts
+      // window B (10:05): four bin-3 amounts — a full distribution shift
+      in.addData(
+        txn("a1", 1, 10.0, "debit", "2025-01-01 10:00:30"),
+        txn("a2", 2, 12.0, "debit", "2025-01-01 10:01:00"),
+        txn("a3", 3, 60.0, "debit", "2025-01-01 10:02:00"),
+        txn("a4", 4, 61.0, "debit", "2025-01-01 10:03:00"),
+        txn("b1", 5, 150.0, "debit", "2025-01-01 10:05:30"),
+        txn("b2", 6, 151.0, "debit", "2025-01-01 10:06:00"),
+        txn("b3", 7, 152.0, "debit", "2025-01-01 10:07:00"),
+        txn("b4", 8, 153.0, "debit", "2025-01-01 10:08:00"))
+      q.processAllAvailable()
+      in.addData(txn("adv", 9, 1.0, "debit", "2025-01-01 10:30:00")) // close both windows
+      q.processAllAvailable()
+      val winA = java.sql.Timestamp.valueOf("2025-01-01 10:00:00")
+      val winB = java.sql.Timestamp.valueOf("2025-01-01 10:05:00")
+      val rows = spark.table("hist").collect()
+      val histA = rows.filter(_.getAs[java.sql.Timestamp]("win_start") == winA)
+        .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n")).toMap
+      assert(histA === Map(0L -> 2L, 1L -> 2L), s"window A bins: $histA")
+      // reference = window A's own distribution: A scores exactly 0,
+      // B's full bin shift scores far past the 0.2 alert convention
+      val ref = Seq((0L, 2L), (1L, 2L)).toDF("bin", "n")
+      val psi = Streaming.psiVsReference(spark.table("hist"), ref, nBins = 4)
+        .collect().map(r => r.getAs[java.sql.Timestamp]("win_start") -> r.getAs[Double]("psi"))
+        .toMap
+      assert(psi(winA) === 0.0)
+      assert(psi(winB) > 1.0, s"shifted window PSI ${psi(winB)}")
+    }
+  }
+
   test("cmsCounters: finalized window's counters equal the batch sketch over the same events") {
     import spark.implicits._
     val in = MemoryStream[Transaction](spark)
