@@ -396,6 +396,49 @@ object Monitoring {
         trunc4(col("dev") / (lit(1.4826) * col("mad"))).as("rz"))
   }
 
+  /** Interval-overlap join WITHOUT the quadratic blowup: which user
+    * pairs had substantial `status` intervals live at the same time
+    * (co-outage / coordinated-state detection over the [[scd2]]
+    * timeline). [[statusConcurrency]] answers "how many at once";
+    * this answers "who with whom, for how long" — and that needs
+    * pairs.
+    *
+    * Scale shape — the classic bucketed interval join: each interval
+    * explodes into the day buckets it touches, candidates come from a
+    * bucket EQUI-join (never interval × interval), the true overlap
+    * predicate rides as a residual, and each overlapping pair counts
+    * exactly once — in the bucket holding the overlap START
+    * (`greatest(f1,f2) div day == bucket`) — so no distinct pass. Work
+    * is Σ|bucket|²/2; the `minDurMs` floor prunes intervals before the
+    * explode. All integer millis — engine-exact.
+    *
+    * [from, to) semantics: handoff at a shared boundary is not an
+    * overlap; a day-boundary end ((t−1) div D) does not occupy the
+    * next bucket. Open intervals are excluded (no measurable
+    * duration). */
+  def intervalOverlaps(ev: DataFrame, status: String = "error",
+      minDurMs: Long = 7200000L): DataFrame = {
+    val D = 86400000L
+    val iv = scd2(ev)
+      .filter(col("status") === status && col("valid_to").isNotNull &&
+        col("valid_to") - col("valid_from") >= minDurMs)
+      .select(col("user_id"), col("valid_from"), col("valid_to"))
+      .persist() // both join arms read the slim 3-column relation
+    def arm(i: Int) = iv
+      .select(col("user_id").as(s"u$i"), col("valid_from").as(s"f$i"),
+        col("valid_to").as(s"t$i"))
+      .withColumn("day", explode(sequence(expr(s"f$i div $D"), expr(s"(t$i - 1) div $D"))))
+    val result = arm(1).join(arm(2), Seq("day"))
+      .filter(col("u1") < col("u2") && col("f1") < col("t2") && col("f2") < col("t1") &&
+        expr(s"greatest(f1, f2) div $D") === col("day"))
+      .groupBy(col("u1"), col("u2"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(least(col("t1"), col("t2")) - greatest(col("f1"), col("f2"))).as("overlap_ms"))
+      .localCheckpoint(true) // ≤ C(users,2) rows; releases the iv cache
+    iv.unpersist()
+    result
+  }
+
   /** Day-of-week seasonal baseline — the seasonality sibling of
     * [[ewmaDaily]] (trend) and [[gapFill]] (density): each (type, day)
     * daily volume against the mean volume of the SAME weekday for that
@@ -555,6 +598,7 @@ object Monitoring {
     "q_ts_seasonal" -> ((s, d) => seasonalBaseline(Tables.events(s, d))),
     "q_mad_outliers" -> ((s, d) => madOutliers(Tables.events(s, d))),
     "q_interval_concurrency" -> ((s, d) => statusConcurrency(Tables.events(s, d))),
+    "q_interval_overlaps" -> ((s, d) => intervalOverlaps(Tables.events(s, d))),
     "q_aml_velocity" -> ((s, d) => velocityBursts(Tables.events(s, d))),
     "q_aml_dormant" -> ((s, d) => dormantAwakening(Tables.events(s, d))),
     "q_aml_offsetting" -> ((s, d) => offsettingPairs(Tables.events(s, d))),
@@ -671,6 +715,22 @@ object Monitoring {
         "ni AS (SELECT status, count(*) AS n_intervals FROM iv GROUP BY 1) " +
         "SELECT p.status, conc AS peak_concurrency, ts AS at_ts, n_intervals " +
         "FROM pk p JOIN ni USING (status) WHERE rn = 1"),
+    "q_interval_overlaps" ->
+      ("WITH ch AS (SELECT user_id, event_type, epoch_ms(ts) AS tms, event_id, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev " +
+        "FROM events), " +
+        "kept AS (SELECT user_id, event_type, tms, event_id FROM ch " +
+        "WHERE prev IS NULL OR prev <> event_type), " +
+        "iv AS (SELECT user_id, event_type AS status, tms AS valid_from, " +
+        "lead(tms) OVER (PARTITION BY user_id ORDER BY tms, event_id) AS valid_to FROM kept), " +
+        "e AS (SELECT user_id, valid_from, valid_to FROM iv WHERE status = 'error' " +
+        "AND valid_to IS NOT NULL AND valid_to - valid_from >= 7200000) " +
+        "SELECT a.user_id AS u1, b.user_id AS u2, count(*) AS n_overlaps, " +
+        "sum(least(a.valid_to, b.valid_to) - greatest(a.valid_from, b.valid_from))::BIGINT " +
+        "AS overlap_ms " +
+        "FROM e a JOIN e b ON a.user_id < b.user_id " +
+        "AND a.valid_from < b.valid_to AND b.valid_from < a.valid_to " +
+        "GROUP BY 1, 2"),
     "q_mad_outliers" ->
       ("WITH s AS (SELECT event_id, user_id, value, " +
         "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events), " +

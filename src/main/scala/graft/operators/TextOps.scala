@@ -216,6 +216,54 @@ object TextOps {
       .agg(count(lit(1)).as("n_hits"), countDistinct(col("gh")).as("n_distinct_grams"))
   }
 
+  /** DSIR-style importance weights for data selection (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): score every training doc by how much more likely
+    * its hashed-bigram bag is under the TARGET distribution (here the
+    * [[decontaminate]]-style benchmark slice, doc_id % benchMod == 0)
+    * than under the raw-corpus distribution — the importance weight a
+    * pipeline resamples by to tilt a web crawl toward a target domain.
+    *
+    * Relational shape: one tokenize+bigram pass (persisted — it feeds
+    * the two distribution counts and the per-doc sums), hashed into
+    * `buckets` cells exactly as the paper hashes n-grams; both
+    * distributions densify over the bucket grid with Laplace
+    * smoothing; the per-bucket log-ratio floors to a 1e6-scaled BIGINT
+    * so each doc's weight is an exact integer sum (no float merge
+    * order), with the tiny ≤`buckets`-row LUT broadcast to the doc
+    * side. At 100 TB: scan-bound, one narrow shuffle of (doc, bucket)
+    * pairs, LUT broadcast — the same profile as tfidf. */
+  def dsirWeights(docs: DataFrame, buckets: Long = 1024L,
+      benchMod: Long = 97L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bg = graft.functions.TextHash
+      .shingleRows(graft.functions.Portable.spread(docs, col("doc_id")), 2)
+      .select(col("doc_id"), pmod(hash60(col("s")), lit(buckets)).as("b"))
+      .persist() // feeds target counts, raw counts, and the doc sums
+    val isBench = col("doc_id") % benchMod === 0
+    val tgt = bg.filter(isBench).groupBy(col("b")).agg(count(lit(1)).as("nt"))
+    val raw = bg.filter(!isBench).groupBy(col("b")).agg(count(lit(1)).as("nr"))
+    val grid = docs.agg(count(lit(1)).as("_n"))
+      .select(explode(sequence(lit(0L), lit(buckets - 1L))).as("b"))
+    val lut = grid.join(tgt, Seq("b"), "left").join(raw, Seq("b"), "left")
+      .withColumn("nt", coalesce(col("nt"), lit(0L)))
+      .withColumn("nr", coalesce(col("nr"), lit(0L)))
+      .withColumn("tt", sum(col("nt")).over(Window.partitionBy()))
+      .withColumn("tr", sum(col("nr")).over(Window.partitionBy()))
+      .select(col("b"),
+        floor((log((col("nt") + 1) / (col("tt") + buckets)) -
+          log((col("nr") + 1) / (col("tr") + buckets))) * 1e6).cast("long")
+          .as("term_scaled"))
+    val result = bg.filter(!isBench).join(broadcast(lut), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term_scaled")).as("w_scaled"))
+      .withColumn("avg_logratio",
+        graft.functions.Portable.trunc4(col("w_scaled") / 1e6 / col("n_bigrams")))
+      .localCheckpoint(true) // one narrow row per doc; releases bg
+    bg.unpersist()
+    result
+  }
+
   /** Concat-and-chunk sequence packing: documents are concatenated in
     * doc_id order and split every `capacity` tokens (how training
     * examples actually reach a context window), emitting each doc's
@@ -684,6 +732,7 @@ object TextOps {
     "q_text_normalize" -> ((s, d) => normalized(Tables.documents(s, d))),
     "q_dedup_normalized" -> ((s, d) => dedupNormalized(Tables.documents(s, d))),
     "q_text_decontam" -> ((s, d) => decontaminate(Tables.documents(s, d))),
+    "q_text_dsir" -> ((s, d) => dsirWeights(Tables.documents(s, d))),
     "q_seq_packing" -> ((s, d) => seqPacking(Tables.documents(s, d))),
     "q_stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
     "q_corpus_pipeline" -> ((s, d) => corpusPipeline(Tables.documents(s, d))),
@@ -780,6 +829,22 @@ object TextOps {
     "q_dedup_normalized" ->
       (pertCte + " SELECT md5(nt) AS text_hash, min(doc_id) AS keep_id, " +
         "count(*) AS n_copies FROM norm GROUP BY 1"),
+    "q_text_dsir" ->
+      ("WITH t AS (SELECT doc_id, string_split(text,' ') tok FROM documents), " +
+        "sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tok)), " +
+        "i -> tok[i]||' '||tok[i+1])) s FROM t), " +
+        "bgr AS (SELECT doc_id, ('0x'||substr(md5(s),1,15))::BIGINT % 1024 b FROM sh), " +
+        "tgt AS (SELECT b, count(*) nt FROM bgr WHERE doc_id % 97 = 0 GROUP BY 1), " +
+        "raw AS (SELECT b, count(*) nr FROM bgr WHERE doc_id % 97 <> 0 GROUP BY 1), " +
+        "grid AS (SELECT unnest(range(0, 1024)) b), " +
+        "f AS (SELECT grid.b, coalesce(nt, 0) nt, coalesce(nr, 0) nr " +
+        "FROM grid LEFT JOIN tgt ON grid.b = tgt.b LEFT JOIN raw ON grid.b = raw.b), " +
+        "w AS (SELECT b, nt, nr, sum(nt) OVER () tt, sum(nr) OVER () tr FROM f), " +
+        "lut AS (SELECT b, CAST(floor((ln((nt + 1)::DOUBLE / (tt + 1024)) - " +
+        "ln((nr + 1)::DOUBLE / (tr + 1024))) * 1000000) AS BIGINT) term_scaled FROM w) " +
+        "SELECT doc_id, count(*) AS n_bigrams, sum(term_scaled)::BIGINT AS w_scaled, " +
+        "floor(sum(term_scaled)::DOUBLE / 1000000 / count(*) * 10000) / 10000 AS avg_logratio " +
+        "FROM bgr JOIN lut USING (b) WHERE doc_id % 97 <> 0 GROUP BY 1"),
     "q_text_decontam" ->
       ("WITH t AS (SELECT doc_id, string_split(text,' ') tok FROM documents), " +
         // 5-gram rows: indices 1..len-4 (range bound is exclusive)

@@ -314,6 +314,34 @@ class MonitoringSpec extends SparkSpec {
     }
   }
 
+  test("intervalOverlaps: exact pair durations, handoffs excluded, multi-day pairs count once") {
+    import spark.implicits._
+    val H = 3600000L
+    // (user, type, hour): u1 error 10h-14h; u2 error 11h-13h (2h overlap
+    // with u1); u3 error 20h-23h (no overlap); u4/u5 error for 3 days
+    // starting day 2, staggered by 2h (multi-day overlap, one count);
+    // u6 error ends exactly when u7's begins (handoff, NOT an overlap)
+    val ev = Seq(
+      (1L, "error", 10 * H, 1L), (1L, "click", 14 * H, 2L),
+      (2L, "error", 11 * H, 3L), (2L, "click", 13 * H, 4L),
+      (3L, "error", 20 * H, 5L), (3L, "click", 23 * H, 6L),
+      (4L, "error", 48 * H, 7L), (4L, "click", 120 * H, 8L),
+      (5L, "error", 50 * H, 9L), (5L, "click", 122 * H, 10L),
+      (6L, "error", 200 * H, 11L), (6L, "click", 210 * H, 12L),
+      (7L, "error", 210 * H, 13L), (7L, "click", 220 * H, 14L)
+    ).toDF("user_id", "event_type", "ts_ms", "event_id")
+    val r = Monitoring.intervalOverlaps(ev).collect()
+      .map(x => (x.getAs[Long]("u1"), x.getAs[Long]("u2")) ->
+        (x.getAs[Long]("n_overlaps"), x.getAs[Long]("overlap_ms"))).toMap
+    assert(r === Map((1L, 2L) -> (1L, 2 * H), (4L, 5L) -> (1L, 70 * H)))
+    // corpus invariant: positive durations, ordered pairs
+    Monitoring.intervalOverlaps(events).collect().foreach { x =>
+      assert(x.getAs[Long]("u1") < x.getAs[Long]("u2"))
+      assert(x.getAs[Long]("overlap_ms") > 0L)
+      assert(x.getAs[Long]("n_overlaps") > 0L)
+    }
+  }
+
   test("psiDrift: zero for a stationary type, large for a shifted one; PSI >= 0 on the corpus") {
     import spark.implicits._
     // one event per day per type; 'shift' moves from bin 0 to bin 8 at day 15

@@ -867,6 +867,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("TextOps.dsirWeights: target-like docs outweigh off-target docs; bench slice excluded") {
+    import spark.implicits._
+    // target slice (ids 0, 97): feline bigrams; raw doc 1 matches the
+    // target, raw doc 2 is all-canine (no target bigram hits)
+    val docs = Seq(
+      (0L, "cat sat mat cat sat mat cat sat"),
+      (97L, "cat sat mat cat sat mat"),
+      (1L, "cat sat mat cat sat mat cat"),
+      (2L, "dog ran far dog ran far dog")
+    ).toDF("doc_id", "text")
+    val r = TextOps.dsirWeights(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r.keySet === Set(1L, 2L), "bench docs never score")
+    assert(r(1L).getAs[Double]("avg_logratio") > r(2L).getAs[Double]("avg_logratio"))
+    assert(r(1L).getAs[Double]("avg_logratio") > 0.0, "on-target weight is positive")
+    assert(r(2L).getAs[Double]("avg_logratio") < 0.0, "off-target weight is negative")
+    assert(r(1L).getAs[Long]("n_bigrams") === 6L && r(2L).getAs[Long]("n_bigrams") === 6L)
+    // corpus: only non-bench docs score, weights are finite
+    val c = TextOps.dsirWeights(Tables.documents(spark, sf)).collect()
+    assert(c.nonEmpty)
+    c.foreach { x =>
+      assert(x.getAs[Long]("doc_id") % 97L != 0L)
+      assert(!x.getAs[Double]("avg_logratio").isNaN)
+    }
+  }
+
   test("Dedup.simhashClusters: pair endpoints always share a cluster label") {
     import spark.implicits._
     val small = Seq((1L, "x y z w v u t s"), (2L, "x y z w v u t s"),
