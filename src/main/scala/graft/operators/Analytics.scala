@@ -312,6 +312,36 @@ object Analytics {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"))
 
+  /** TPC-H Q2-shaped cheapest supplier per part: for every part, the
+    * supplier(s) who shipped it at the lowest unit price — the
+    * groupwise-argmin that Q2 writes as a correlated scalar subquery.
+    * Here it DECORRELATES to a window minimum: the (part, supplier)
+    * pre-aggregate and the per-part min share ONE partkey exchange,
+    * where the textbook subquery plan would aggregate twice and join
+    * the fact back to itself.
+    *
+    * Unit price divides exact integers (cents / integral quantity), so
+    * both engines derive identical doubles and the argmin equality
+    * never splits on a float tie; genuine ties keep every tied
+    * supplier (deterministic row set). Supplier names come from a
+    * broadcast at the end — k rows per part, never the fact. */
+  def cheapestSupplier(supplier: DataFrame, li: DataFrame): DataFrame = {
+    val perPair = li.filter(col("l_quantity") > 0)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (floor(col("l_extendedprice") * 100 + 0.5).cast("long") /
+          floor(col("l_quantity")).cast("long")).as("unit_price"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("unit_price")).as("pair_min"))
+    perPair
+      .withColumn("part_min", min(col("pair_min")).over(
+        Window.partitionBy(col("l_partkey"))))
+      .filter(col("pair_min") === col("part_min"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("s_suppkey"), col("s_name"),
+        graft.functions.Portable.trunc4(col("part_min")).as("unit_price"))
+  }
+
   /** Semi join: customers that have orders, counted per segment. */
   def segmentsWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
     customer.join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
@@ -453,6 +483,8 @@ object Analytics {
       Tables.lineitem(s, d))),
     "q_late_orders" -> ((s, d) => lateOrders(Tables.orders(s, d),
       Tables.lineitem(s, d))),
+    "q_cheapest_supplier" -> ((s, d) => cheapestSupplier(Tables.supplier(s, d),
+      Tables.lineitem(s, d))),
     "q_returned_items" -> ((s, d) => returnedItems(Tables.customer(s, d),
       Tables.nation(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_shipping_priority" -> ((s, d) => shippingPriority(Tables.customer(s, d),
@@ -524,6 +556,17 @@ object Analytics {
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "JOIN nation ON c_nationkey = n_nationkey " +
         "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"),
+    "q_cheapest_supplier" ->
+      ("WITH u AS (SELECT l_partkey, l_suppkey, " +
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)::DOUBLE / " +
+        "CAST(floor(l_quantity) AS BIGINT) AS unit_price " +
+        "FROM lineitem WHERE l_quantity > 0), " +
+        "p AS (SELECT l_partkey, l_suppkey, min(unit_price) AS pair_min " +
+        "FROM u GROUP BY 1, 2), " +
+        "m AS (SELECT *, min(pair_min) OVER (PARTITION BY l_partkey) AS part_min FROM p) " +
+        "SELECT l_partkey, s_suppkey, s_name, " +
+        "floor(part_min * 10000) / 10000 AS unit_price " +
+        "FROM m JOIN supplier ON l_suppkey = s_suppkey WHERE pair_min = part_min"),
     "q_late_orders" ->
       ("SELECT o_orderpriority, count(*) AS n_orders FROM orders " +
         "WHERE o_orderdate >= TIMESTAMP '1996-01-01' " +

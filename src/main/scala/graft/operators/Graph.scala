@@ -130,18 +130,24 @@ object Graph {
     *  3. The edge list is persisted: three join arms consume it, and
     *     recomputing the projection per arm would triple the dominant
     *     cost. */
-  def triangles(ev: DataFrame, maxCell: Long = 64L): DataFrame = {
+  /** The hub-guarded user co-occurrence edge list behind [[triangles]]
+    * and [[fraudRings]]: u1 < u2 active at the same (merchant, hour)
+    * cell, pairs generated per CELL (Σ|cell|²/2, bounded by maxCell). */
+  private[graft] def coEdges(ev: DataFrame, maxCell: Long): DataFrame = {
     val um = userMerchant(ev)
       .select(col("user_id").as("u"), col("m"), date_trunc("hour", col("ts")).as("h"))
       .distinct()
     val cell = Window.partitionBy(col("m"), col("h"))
     val cells = um.withColumn("cell_n", count(lit(1)).over(cell))
       .filter(col("cell_n") <= maxCell)
-    val e = cells.as("a").join(cells.as("b"),
+    cells.as("a").join(cells.as("b"),
         col("a.m") === col("b.m") && col("a.h") === col("b.h") && col("a.u") < col("b.u"))
       .select(col("a.u").as("u1"), col("b.u").as("u2"))
       .distinct()
-      .persist()
+  }
+
+  def triangles(ev: DataFrame, maxCell: Long = 64L): DataFrame = {
+    val e = coEdges(ev, maxCell).persist()
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.u2") === col("e2.u1"))
       .join(e.as("e3"), col("e3.u1") === col("e1.u1") && col("e3.u2") === col("e2.u2"))
@@ -149,6 +155,23 @@ object Graph {
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("user_id"))
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Fraud rings: connected components over the co-occurrence
+    * projection — who is transitively linked to whom through shared
+    * (merchant, hour) activity. [[triangles]] scores LOCAL density
+    * (how clique-ish a user's neighborhood is); this finds the GLOBAL
+    * groups, the case-building view an investigator pivots to after a
+    * triangle alert.
+    *
+    * Machinery reuse: the ring closure IS [[Dedup.components]]'
+    * min-label propagation with pointer jumping — the same distributed
+    * connected-components operator serving the MinHash/SimHash dedup
+    * clusters, applied to a different domain's edge list (one
+    * implementation, one convergence guarantee, one oracle pattern). */
+  def fraudRings(ev: DataFrame, maxCell: Long = 64L): DataFrame =
+    Dedup.components(coEdges(ev, maxCell)
+        .select(col("u1").as("a_id"), col("u2").as("b_id")))
+      .select(col("doc_id").as("user_id"), col("cluster_id").as("ring_id"))
 
   /** Merchant–merchant similarity: Jaccard of user sets over the
     * bipartite projection — "these two merchants serve the same
@@ -196,6 +219,7 @@ object Graph {
     "q_graph_pagerank" -> ((s, d) => pageRank(Tables.events(s, d))),
     "q_graph_degree" -> ((s, d) => bipartiteDegrees(Tables.events(s, d))),
     "q_graph_jaccard" -> ((s, d) => merchantJaccard(Tables.events(s, d))),
+    "q_fraud_rings" -> ((s, d) => fraudRings(Tables.events(s, d))),
     "q_graph_triangles" -> ((s, d) => triangles(Tables.events(s, d))))
 
   /** The identical recurrence unrolled as SQL CTEs (r0 → r3). */
@@ -230,6 +254,19 @@ object Graph {
         "JOIN deg da ON i.m1 = da.m JOIN deg db ON i.m2 = db.m) " +
         "SELECT m1, m2, inter, d1, d2, floor(jr * 10000) / 10000 AS jaccard " +
         "FROM j WHERE jr >= 0.45"),
+    "q_fraud_rings" ->
+      ("WITH RECURSIVE um AS (SELECT DISTINCT user_id AS u, " +
+        "CAST(json_extract_string(props, '$.k') AS INT) AS m, " +
+        "date_trunc('hour', ts) AS h FROM events), " +
+        "cells AS (SELECT u, m, h FROM (SELECT u, m, h, " +
+        "count(*) OVER (PARTITION BY m, h) AS cell_n FROM um) t WHERE cell_n <= 64), " +
+        "e0 AS (SELECT DISTINCT a.u AS u1, b.u AS u2 FROM cells a " +
+        "JOIN cells b ON a.m = b.m AND a.h = b.h AND a.u < b.u), " +
+        "edges AS (SELECT u1 s, u2 d FROM e0 UNION SELECT u2, u1 FROM e0), " +
+        "nodes AS (SELECT DISTINCT s AS id FROM edges), " +
+        "reach(node, root) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.node) " +
+        "SELECT node AS user_id, min(root) AS ring_id FROM reach GROUP BY node"),
     "q_graph_triangles" ->
       ("WITH um AS (SELECT DISTINCT user_id AS u, " +
         "CAST(json_extract_string(props, '$.k') AS INT) AS m, " +

@@ -416,8 +416,10 @@ object Monitoring {
     * overlap; a day-boundary end ((t−1) div D) does not occupy the
     * next bucket. Open intervals are excluded (no measurable
     * duration). */
-  def intervalOverlaps(ev: DataFrame, status: String = "error",
-      minDurMs: Long = 7200000L): DataFrame = {
+  /** [[intervalOverlaps]]' lazy plan + its persisted base, for plan
+    * inspection (ScaleSpec) and the public wrapper. */
+  private[graft] def intervalOverlapsLazy(ev: DataFrame, status: String,
+      minDurMs: Long): (DataFrame, DataFrame) = {
     val D = 86400000L
     val iv = scd2(ev)
       .filter(col("status") === status && col("valid_to").isNotNull &&
@@ -428,13 +430,19 @@ object Monitoring {
       .select(col("user_id").as(s"u$i"), col("valid_from").as(s"f$i"),
         col("valid_to").as(s"t$i"))
       .withColumn("day", explode(sequence(expr(s"f$i div $D"), expr(s"(t$i - 1) div $D"))))
-    val result = arm(1).join(arm(2), Seq("day"))
+    val plan = arm(1).join(arm(2), Seq("day"))
       .filter(col("u1") < col("u2") && col("f1") < col("t2") && col("f2") < col("t1") &&
         expr(s"greatest(f1, f2) div $D") === col("day"))
       .groupBy(col("u1"), col("u2"))
       .agg(count(lit(1)).as("n_overlaps"),
         sum(least(col("t1"), col("t2")) - greatest(col("f1"), col("f2"))).as("overlap_ms"))
-      .localCheckpoint(true) // ≤ C(users,2) rows; releases the iv cache
+    (plan, iv)
+  }
+
+  def intervalOverlaps(ev: DataFrame, status: String = "error",
+      minDurMs: Long = 7200000L): DataFrame = {
+    val (plan, iv) = intervalOverlapsLazy(ev, status, minDurMs)
+    val result = plan.localCheckpoint(true) // ≤ C(users,2) rows; releases iv
     iv.unpersist()
     result
   }

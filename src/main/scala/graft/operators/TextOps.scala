@@ -233,8 +233,10 @@ object TextOps {
     * order), with the tiny ≤`buckets`-row LUT broadcast to the doc
     * side. At 100 TB: scan-bound, one narrow shuffle of (doc, bucket)
     * pairs, LUT broadcast — the same profile as tfidf. */
-  def dsirWeights(docs: DataFrame, buckets: Long = 1024L,
-      benchMod: Long = 97L): DataFrame = {
+  /** [[dsirWeights]]' lazy plan + its persisted base, for plan
+    * inspection (ScaleSpec) and the public wrapper. */
+  private[graft] def dsirWeightsLazy(docs: DataFrame, buckets: Long,
+      benchMod: Long): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     val bg = graft.functions.TextHash
       .shingleRows(graft.functions.Portable.spread(docs, col("doc_id")), 2)
@@ -254,12 +256,18 @@ object TextOps {
         floor((log((col("nt") + 1) / (col("tt") + buckets)) -
           log((col("nr") + 1) / (col("tr") + buckets))) * 1e6).cast("long")
           .as("term_scaled"))
-    val result = bg.filter(!isBench).join(broadcast(lut), "b")
+    val plan = bg.filter(!isBench).join(broadcast(lut), "b")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("term_scaled")).as("w_scaled"))
       .withColumn("avg_logratio",
         graft.functions.Portable.trunc4(col("w_scaled") / 1e6 / col("n_bigrams")))
-      .localCheckpoint(true) // one narrow row per doc; releases bg
+    (plan, bg)
+  }
+
+  def dsirWeights(docs: DataFrame, buckets: Long = 1024L,
+      benchMod: Long = 97L): DataFrame = {
+    val (plan, bg) = dsirWeightsLazy(docs, buckets, benchMod)
+    val result = plan.localCheckpoint(true) // one narrow row per doc; releases bg
     bg.unpersist()
     result
   }

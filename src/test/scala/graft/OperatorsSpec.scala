@@ -893,6 +893,46 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Graph.fraudRings: disjoint cliques get disjoint rings; edges never cross rings") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def row(u: Long, m: Int) = (u, s"""{"k":$m}""", 10.0, ts)
+    // merchant 1 links users {1,2}; merchant 2 links {3,4,5}; user 6 alone
+    val ev = Seq(row(1L, 1), row(2L, 1), row(3L, 2), row(4L, 2), row(5L, 2), row(6L, 3))
+      .toDF("user_id", "props", "value", "ts")
+    val rings = Graph.fraudRings(ev).collect()
+      .map(x => x.getAs[Long]("user_id") -> x.getAs[Long]("ring_id")).toMap
+    assert(rings === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 3L))
+    // corpus invariant: every co-occurrence edge stays inside one ring
+    val ev2 = Tables.events(spark, sf)
+    val corpus = Graph.fraudRings(ev2).collect()
+      .map(x => x.getAs[Long]("user_id") -> x.getAs[Long]("ring_id")).toMap
+    Graph.coEdges(ev2, 64L).collect().foreach { e =>
+      assert(corpus(e.getAs[Long]("u1")) === corpus(e.getAs[Long]("u2")))
+    }
+  }
+
+  test("Analytics.cheapestSupplier: per-part minimum holds, ties keep every supplier") {
+    val li = Tables.lineitem(spark, sf)
+    val r = Analytics.cheapestSupplier(Tables.supplier(spark, sf), li).collect()
+    assert(r.nonEmpty)
+    // independent recompute of each part's true minimum unit price
+    val mins = li.filter(col("l_quantity") > 0)
+      .select(col("l_partkey"),
+        (floor(col("l_extendedprice") * 100 + 0.5).cast("long") /
+          floor(col("l_quantity")).cast("long")).as("up"))
+      .groupBy("l_partkey").agg(min("up").as("m")).collect()
+      .map(x => x.getAs[Long]("l_partkey") -> x.getAs[Double]("m")).toMap
+    val byPart = r.groupBy(_.getAs[Long]("l_partkey"))
+    assert(byPart.keySet === mins.keySet, "every shipped part gets a winner")
+    byPart.foreach { case (pk, rows) =>
+      val expect = math.floor(mins(pk) * 10000) / 10000
+      rows.foreach(x => assert(x.getAs[Double]("unit_price") === expect))
+      // distinct suppliers on ties
+      assert(rows.map(_.getAs[Long]("s_suppkey")).distinct.length === rows.length)
+    }
+  }
+
   test("Dedup.simhashClusters: pair endpoints always share a cluster label") {
     import spark.implicits._
     val small = Seq((1L, "x y z w v u t s"), (2L, "x y z w v u t s"),

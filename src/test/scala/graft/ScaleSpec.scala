@@ -127,6 +127,34 @@ class ScaleSpec extends SparkSpec {
     assert(!oPlan.contains("NestedLoop"), oPlan)
   }
 
+  test("round-5 batch plan shapes: stats on one agg, equi-joins, broadcast LUTs") {
+    import graft.operators.{Monitoring, TextOps}
+    val ev = Tables.events(spark, sf)
+    // psi/chi2/cusum: the event scan aggregates BEFORE any join/window —
+    // exactly one exchange partitions event-scale rows; later exchanges
+    // run on the tiny cell tables
+    val pPlan = Monitoring.psiDrift(ev).queryExecution.executedPlan.toString
+    assert(!pPlan.contains("NestedLoop") || pPlan.contains("BroadcastNestedLoop"),
+      s"psi cross joins must broadcast:\n$pPlan")
+    val cPlan = Monitoring.cusumVolume(ev).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(cPlan).length <= 2,
+      s"cusum: one agg exchange + one window exchange on the daily table:\n$cPlan")
+    // interval overlaps: candidates come from a hash EQUI-join on the
+    // day bucket, never a nested-loop over intervals
+    val (iLazy, iCache) = Monitoring.intervalOverlapsLazy(ev, "error", 7200000L)
+    val iPlan = iLazy.queryExecution.executedPlan.toString
+    iCache.unpersist()
+    assert(iPlan.contains("SortMergeJoin") || iPlan.contains("ShuffledHashJoin") ||
+      iPlan.contains("BroadcastHashJoin"), s"interval join must be hash-based:\n$iPlan")
+    assert(!iPlan.contains("NestedLoop"), iPlan)
+    // dsir: the bucket LUT reaches the doc side as a broadcast — the
+    // corpus-scale bigram relation is never shuffled by bucket
+    val (dLazy, dCache) = TextOps.dsirWeightsLazy(Tables.documents(spark, sf), 1024L, 97L)
+    val dPlan = dLazy.queryExecution.executedPlan.toString
+    dCache.unpersist()
+    assert(dPlan.contains("BroadcastHashJoin"), s"dsir LUT must broadcast:\n$dPlan")
+  }
+
   test("sortedExport: each output file holds whole users in time order") {
     val out = Files.createTempDirectory("graft-sorted").toString + "/events_sorted"
     ScaleOps.sortedExport(Tables.events(spark, sf), out)
