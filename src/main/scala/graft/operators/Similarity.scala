@@ -491,6 +491,48 @@ object Similarity {
     result
   }
 
+  /** Scalar-quantized (int8) top-k: search over per-vector int8 codes
+    * instead of float32 embeddings — the 4×-narrower-scan compression
+    * path NEXT to PQ's 50× one ([[adcTopK]]): SQ keeps per-dimension
+    * resolution (better recall), PQ compresses harder. Quantization is
+    * the [[quantizeAudit]] discipline (per-vector symmetric scale
+    * max|x|/127, round-half-up, clamp); the search is EXACT integer
+    * arithmetic over the codes: dotq = Σ qx·qy and the squared norms
+    * are BIGINT sums (≤ 64·127² per term — no overflow, no float merge
+    * order), and the quantized cosine divides dotq by √(n2·qn2) — the
+    * per-vector scales cancel. One sqrt + one division of exact
+    * integers ⇒ bit-identical across engines.
+    *
+    * Scale: codes are computed in one codegen'd projection (transform/
+    * aggregate HOFs — no explode, the shuffle never carries the float
+    * embedding); queries broadcast; scoring is a single pass over the
+    * code relation. At 100 TB the code table is the thing that gets
+    * bucketed/scanned, 16 bytes/row + codes vs 256 bytes of float32. */
+  def sq8TopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    val scale = (aggregate(col("e"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x))) / 127.0).as("scale")
+    val codes = withEmbD(emb).select(col("vec_id"), col("e"), scale)
+      .select(col("vec_id"),
+        transform(col("e"), x =>
+          when(col("scale") > 0,
+            greatest(lit(-127L), least(lit(127L),
+              floor(x / col("scale") + 0.5).cast("long"))))
+            .otherwise(0L)).as("q"))
+      .withColumn("n2", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
+    val qs = codes.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
+    val scored = codes.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("n2"), col("qn2"),
+        aggregate(zip_with(col("q"), col("qq"), (a, b) => a * b),
+          lit(0L), (a, x) => a + x).as("dotq"))
+      .select(col("q_id"), col("vec_id"), col("dotq"),
+        when(col("n2") > 0 && col("qn2") > 0,
+          trunc4(col("dotq") / sqrt((col("n2") * col("qn2")).cast("double"))))
+          .as("cos"))
+    topKByCos(scored, k).select(col("q_id"), col("vec_id"), col("dotq"),
+      col("cos"), col("rnk"))
+  }
+
   /** Deterministic ±1 sign for [[vecProject]]'s projection matrix
     * (Achlioptas-style sparse random projection): parity of the
     * portable 60-bit md5 hash of "proj|i_j" — any engine reproduces it
@@ -641,6 +683,7 @@ object Similarity {
     "q_vec_quantize" -> ((s, d) => quantizeAudit(Tables.embeddings(s, d))),
     "q_vec_pq" -> ((s, d) => pqEncode(Tables.embeddings(s, d))),
     "q_sim_topk_adc" -> ((s, d) => adcTopK(Tables.embeddings(s, d), DefaultQueryIds)),
+    "q_sim_topk_sq8" -> ((s, d) => sq8TopK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_vec_project" -> ((s, d) => vecProject(Tables.embeddings(s, d))))
 
   private def planeSql(h: Int): String =
@@ -819,6 +862,28 @@ object Similarity {
         (0 until PqM).map(m =>
           s"SELECT vec_id, $m::BIGINT AS m, code, sub_cos FROM pf$m")
           .mkString(" UNION ALL ")),
+    "q_sim_topk_sq8" ->
+      (s"WITH $vCte, " +
+        "sq_sc AS (SELECT vec_id, e, " +
+        "list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v), " +
+        "sq_qd AS (SELECT vec_id, list_transform(range(1, len(e) + 1), " +
+        "i -> CASE WHEN scale > 0 THEN " +
+        "CAST(greatest(-127, least(127, floor(e[i] / scale + 0.5))) AS BIGINT) " +
+        "ELSE 0 END) AS q FROM sq_sc), " +
+        "sq_nn AS (SELECT vec_id, q, " +
+        "list_sum(list_transform(q, x -> x * x))::BIGINT AS n2 FROM sq_qd), " +
+        s"sq_qs AS (SELECT vec_id q_id, q qq, n2 qn2 FROM sq_nn WHERE vec_id IN $idsSql), " +
+        "sq_dot AS (SELECT q_id, sq_nn.vec_id, " +
+        "list_sum(list_transform(range(1, len(qq) + 1), i -> qq[i] * sq_nn.q[i]))::BIGINT " +
+        "AS dotq, n2, qn2 FROM sq_nn CROSS JOIN sq_qs WHERE sq_nn.vec_id <> q_id), " +
+        "sq_rk AS (SELECT q_id, vec_id, dotq, " +
+        "CASE WHEN n2 > 0 AND qn2 > 0 THEN " +
+        "floor(dotq / sqrt((n2 * qn2)::DOUBLE) * 10000) / 10000 END AS cos, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY " +
+        "CASE WHEN n2 > 0 AND qn2 > 0 THEN " +
+        "floor(dotq / sqrt((n2 * qn2)::DOUBLE) * 10000) / 10000 END DESC, vec_id) rnk " +
+        "FROM sq_dot) " +
+        "SELECT q_id, vec_id, dotq, cos, rnk FROM sq_rk WHERE rnk <= 10"),
     "q_sim_topk_adc" ->
       (s"WITH $vCte, " + (0 until PqM).map(pqChainSql).mkString(", ") + ", " +
         (0 until PqM).map { m =>

@@ -725,10 +725,87 @@ object TextOps {
         trunc4(col("n_unique").cast("double") / col("n_bigrams")).as("uniq_ratio"))
   }
 
+  /** Top-k PMI collocations: the word PAIRS that co-occur far more
+    * than their marginals predict — the phrase-mining / tokenizer-
+    * vocabulary signal (a pair with high lift is a candidate merge or
+    * a boilerplate marker). PMI's exp, `lift = M·c_xy / (c_x·c_y)`,
+    * ranks identically to PMI and needs NO log: every factor is an
+    * exact BIGINT (M ≤ 10^8 · c_xy ≤ 10^6 stays far under 2^63, the
+    * marginal product likewise), so the single double division is
+    * bit-identical across engines and the ranking can't split on a
+    * transcendental's last ulp. Marginals are positional (first /
+    * second slot of the bigram relation), so one relation feeds all
+    * three counts.
+    *
+    * Scale: the bigram stream collapses to distinct pairs in one
+    * map-side-combined shuffle; the min-count filter cuts the pair
+    * table BEFORE the marginal joins (broadcast at sandbox scale,
+    * shuffle joins on w1/w2 at vocab scale); top-k is a global
+    * sort+limit (TakeOrderedAndProject — per-partition partial top-k,
+    * no single-partition window). */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5L, k: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = graft.functions.TextHash.shingleRows(docs, n = 2)
+      .select(split(col("s"), " ").getItem(0).as("w1"),
+        split(col("s"), " ").getItem(1).as("w2"))
+      .persist()
+    val pairs = grams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val m = grams.agg(count(lit(1)).as("m_total"))
+    val cx = grams.groupBy(col("w1")).agg(count(lit(1)).as("c_x"))
+    val cy = grams.groupBy(col("w2")).agg(count(lit(1)).as("c_y"))
+    val ranked = pairs
+      .join(broadcast(cx.withColumnRenamed("w1", "wx")), col("w1") === col("wx"))
+      .join(broadcast(cy.withColumnRenamed("w2", "wy")), col("w2") === col("wy"))
+      .crossJoin(broadcast(m))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        trunc4((col("m_total") * col("c_xy")).cast("double") /
+          (col("c_x") * col("c_y"))).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2")).limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("lift").desc, col("w1"), col("w2"))).cast("long"))
+    grams.unpersist()
+    ranked
+  }
+
+  /** Per-source corpus report card: the first dashboard a data curator
+    * reads before mixing sources into a training set — volume, token
+    * mass, length profile, and the within-source exact-duplicate rate,
+    * per (source, lang). One documents scan feeds everything; the
+    * duplicate count is a window over the text hash (no self-join).
+    * All ratios derive from integer sums with one truncated division.
+    *
+    * Scale: the md5 window shuffles (source, hash) — narrow rows, the
+    * text never rides past the hash projection; the report agg is
+    * |sources×langs| groups, map-side combined. */
+  def sourceReport(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = docs.select(col("source"), col("lang"), col("n_chars"),
+      size(split(col("text"), " ")).cast("long").as("n_toks"),
+      md5(col("text")).as("th"))
+    val bySrcHash = Window.partitionBy(col("source"), col("th"))
+    h.withColumn("copies", count(lit(1)).over(bySrcHash))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("tokens_total"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(when(col("copies") > 1, 1L).otherwise(0L)).as("dup_docs"),
+        sum(when(col("n_chars") > 500, 1L).otherwise(0L)).as("long_docs"))
+      .select(col("source"), col("lang"), col("n_docs"), col("tokens_total"),
+        graft.functions.Portable.trunc2(
+          col("chars_total").cast("double") / col("n_docs")).as("mean_chars"),
+        col("dup_docs"),
+        graft.functions.Portable.trunc4(
+          col("long_docs").cast("double") / col("n_docs")).as("long_ratio"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_familiarity" -> ((s, d) => familiarity(Tables.documents(s, d))),
+    "q_text_pmi" -> ((s, d) => pmiCollocations(Tables.documents(s, d))),
+    "q_source_report" -> ((s, d) => sourceReport(Tables.documents(s, d))),
     "q_text_bpe" -> ((s, d) => bpeStats(Tables.documents(s, d))),
     "q_text_langid" -> ((s, d) => langId(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => quality(Tables.documents(s, d))),
@@ -811,6 +888,33 @@ object TextOps {
     "q_text_termstats" ->
       ("SELECT tok AS token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM " +
         "(SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents) GROUP BY 1"),
+    "q_text_pmi" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents), " +
+        "gi AS (SELECT tok, unnest(range(1, len(tok))) AS i FROM t), " +
+        "g AS (SELECT tok[i] w1, tok[i + 1] w2 FROM gi), " +
+        "pairs AS (SELECT w1, w2, count(*) AS c_xy FROM g GROUP BY 1, 2 " +
+        "HAVING count(*) >= 5), " +
+        "m AS (SELECT count(*) AS m_total FROM g), " +
+        "cx AS (SELECT w1 wx, count(*) AS c_x FROM g GROUP BY 1), " +
+        "cy AS (SELECT w2 wy, count(*) AS c_y FROM g GROUP BY 1), " +
+        "lifted AS (SELECT w1, w2, c_xy, " +
+        "floor((m_total * c_xy)::DOUBLE / (c_x * c_y) * 10000) / 10000 AS lift " +
+        "FROM pairs JOIN cx ON w1 = wx JOIN cy ON w2 = wy CROSS JOIN m), " +
+        "rk AS (SELECT *, row_number() OVER (ORDER BY lift DESC, w1, w2) AS rnk " +
+        "FROM lifted) " +
+        "SELECT w1, w2, c_xy, lift, rnk FROM rk WHERE rnk <= 25"),
+    "q_source_report" ->
+      ("WITH h AS (SELECT source, lang, n_chars, " +
+        "len(string_split(text, ' '))::BIGINT AS n_toks, md5(text) AS th " +
+        "FROM documents), " +
+        "c AS (SELECT *, count(*) OVER (PARTITION BY source, th) AS copies FROM h) " +
+        "SELECT source, lang, count(*) AS n_docs, " +
+        "sum(n_toks)::BIGINT AS tokens_total, " +
+        "floor(sum(n_chars)::DOUBLE / count(*) * 100) / 100 AS mean_chars, " +
+        "sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_docs, " +
+        "floor(sum(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END)::DOUBLE / count(*) " +
+        "* 10000) / 10000 AS long_ratio " +
+        "FROM c GROUP BY 1, 2"),
     "q_text_familiarity" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents), " +
         "g AS (SELECT doc_id, unnest(list_transform(range(1, len(tok)), " +

@@ -976,6 +976,66 @@ class OperatorsSpec extends SparkSpec {
       .foreach(x => assert(x.getAs[Long]("rrf_rnk") === 1L))
   }
 
+  test("Similarity.sq8TopK: quantized ranking tracks the exact cosine closely") {
+    val emb = Tables.embeddings(spark, sf)
+    val sq = Similarity.sq8TopK(emb, Similarity.DefaultQueryIds).collect()
+    val byQ = sq.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.keySet === Similarity.DefaultQueryIds.toSet)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // int8 keeps per-dim resolution: quantized cos of every reported
+    // pair must sit within 2e-2 of the exact float cosine
+    val exact = Similarity.bruteForceTopK(emb, Similarity.DefaultQueryIds, k = 500)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Double]("cos")).toMap
+    sq.foreach { x =>
+      val key = (x.getAs[Long]("q_id"), x.getAs[Long]("vec_id"))
+      exact.get(key).foreach { c =>
+        assert(math.abs(x.getAs[Double]("cos") - c) < 0.02,
+          s"sq8 cos drifted: $key ${x.getAs[Double]("cos")} vs $c")
+      }
+    }
+    // the codes path never explodes the embedding into per-dim rows
+    val p = Similarity.sq8TopK(emb, Similarity.DefaultQueryIds)
+      .queryExecution.sparkPlan.toString
+    assert(!p.contains("Generate"), s"sq8 must stay HOF-only:\n$p")
+  }
+
+  test("TextOps.pmiCollocations: lift reconciles with the marginal counts") {
+    val docs = Tables.documents(spark, sf)
+    val r = TextOps.pmiCollocations(docs).collect()
+    assert(r.nonEmpty && r.length <= 25)
+    assert(r.map(_.getAs[Long]("rnk")).sorted.toSeq === (1L to r.length).toSeq)
+    r.foreach(x => assert(x.getAs[Long]("c_xy") >= 5L))
+    // recompute the top pair's lift from first principles
+    val top = r.minBy(_.getAs[Long]("rnk"))
+    val grams = graft.functions.TextHash.shingleRows(docs, n = 2)
+      .select(split(col("s"), " ").getItem(0).as("w1"),
+        split(col("s"), " ").getItem(1).as("w2")).collect()
+    val m = grams.length.toDouble
+    val cxy = grams.count(g => g.getString(0) == top.getAs[String]("w1") &&
+      g.getString(1) == top.getAs[String]("w2"))
+    val cx = grams.count(_.getString(0) == top.getAs[String]("w1"))
+    val cy = grams.count(_.getString(1) == top.getAs[String]("w2"))
+    val lift = math.floor(m * cxy / (cx.toDouble * cy) * 10000) / 10000
+    assert(top.getAs[Double]("lift") === lift)
+  }
+
+  test("TextOps.sourceReport: totals reconcile with direct aggregation") {
+    val docs = Tables.documents(spark, sf)
+    val r = TextOps.sourceReport(docs).collect()
+    assert(r.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    val toks = docs.select(sum(size(split(col("text"), " ")).cast("long")))
+      .collect().head.getLong(0)
+    assert(r.map(_.getAs[Long]("tokens_total")).sum === toks)
+    r.foreach { x =>
+      assert(x.getAs[Long]("dup_docs") <= x.getAs[Long]("n_docs"))
+      assert(x.getAs[Double]("long_ratio") >= 0.0 &&
+        x.getAs[Double]("long_ratio") <= 1.0)
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
