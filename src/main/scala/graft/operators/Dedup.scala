@@ -403,6 +403,47 @@ object Dedup {
     (pairs, base)
   }
 
+  /** Containment near-subset detection: documents whose 3-shingle set
+    * is ≥ `threshold` CONTAINED in another document's — the asymmetric
+    * dedup Jaccard misses (a snippet pasted into a much larger page
+    * has low Jaccard but containment ≈ 1; MinHash bands won't pair
+    * it). Exact containment C(A,B) = |A∩B| / |A| via a shingle-bucket
+    * equi-join; the threshold compare is integer
+    * (`shared·10⁴ ≥ t·10⁴·|A|`).
+    *
+    * Scale: shingles ride as 60-bit hashes, never strings; the
+    * document-frequency cap (`maxDf`) bounds the bucket join at
+    * Σ df² per shingle — the same hub guard as the triangle/Jaccard
+    * graph ops — and drops only boilerplate shingles (a shingle in
+    * >50 docs identifies nothing; the trade is documented, not
+    * hidden). One distinct-shingle shuffle, one window for df, one
+    * bucket join, one pair hash-agg. */
+  def containmentPairs(docs: DataFrame, threshold10k: Long = 7000L,
+      maxDf: Long = 50L, minSize: Long = 10L): DataFrame = {
+    val g = shingleRows(docs, n = 3)
+      .select(col("doc_id"), hash60(col("s")).as("sh")).distinct()
+      .persist()
+    val sizes = g.groupBy(col("doc_id")).agg(count(lit(1)).as("inner_size"))
+      .filter(col("inner_size") >= minSize)
+    val kept = g.withColumn("d", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("d") <= maxDf)
+      .select(col("doc_id"), col("sh"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("inner_doc"), col("b.doc_id").as("outer_doc"))
+      .agg(count(lit(1)).as("shared"))
+    val result = pairs
+      .join(sizes.withColumnRenamed("doc_id", "inner_doc"), "inner_doc")
+      .filter(col("shared") * 10000L >= col("inner_size") * threshold10k)
+      .select(col("inner_doc"), col("outer_doc"), col("shared"),
+        col("inner_size"),
+        trunc4(col("shared").cast("double") / col("inner_size")).as("containment"))
+      .localCheckpoint(true)
+    g.unpersist()
+    result
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -415,6 +456,7 @@ object Dedup {
     "q_dedup_simhash_clusters" -> ((s, d) => simhashClusters(Tables.documents(s, d))),
     "q_dedup_incremental" -> ((s, d) => incrementalAudit(Tables.documents(s, d))),
     "q_dedup_fuzzy_edit" -> ((s, d) => fuzzyEditPairs(Tables.documents(s, d))),
+    "q_dedup_containment" -> ((s, d) => containmentPairs(Tables.documents(s, d))),
     "q_hash_sample" -> ((s, d) => hashSample(Tables.documents(s, d))))
 
   private val sigCte = {
@@ -447,6 +489,23 @@ object Dedup {
       "pairs AS (SELECT a_id, b_id, jac FROM j WHERE jac >= 0.5)"
 
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_containment" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents), " +
+        "gi AS (SELECT doc_id, tok, unnest(range(1, len(tok) - 1)) AS i FROM t), " +
+        "g AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(" +
+        "tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2]), 1, 15))::BIGINT AS sh " +
+        "FROM gi), " +
+        "sizes AS (SELECT doc_id, count(*) AS inner_size FROM g GROUP BY 1 " +
+        "HAVING count(*) >= 10), " +
+        "dfc AS (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS d FROM g), " +
+        "kept AS (SELECT doc_id, sh FROM dfc WHERE d <= 50), " +
+        "pairs AS (SELECT a.doc_id AS inner_doc, b.doc_id AS outer_doc, " +
+        "count(*) AS shared FROM kept a JOIN kept b " +
+        "ON a.sh = b.sh AND a.doc_id <> b.doc_id GROUP BY 1, 2) " +
+        "SELECT inner_doc, outer_doc, shared, inner_size, " +
+        "floor(shared::DOUBLE / inner_size * 10000) / 10000 AS containment " +
+        "FROM pairs JOIN sizes ON inner_doc = sizes.doc_id " +
+        "WHERE shared * 10000 >= inner_size * 7000"),
     "q_dedup_exact" ->
       ("SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM (" +
         "SELECT doc_id, text FROM documents UNION ALL " +

@@ -1036,6 +1036,32 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Dedup.containmentPairs: bounds hold and exact duplicates contain both ways") {
+    val r = Dedup.containmentPairs(Tables.documents(spark, sf)).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getAs[Long]("shared") <= x.getAs[Long]("inner_size"))
+      assert(x.getAs[Double]("containment") >= 0.7 - 1e-9)
+      assert(x.getAs[Long]("inner_doc") !== x.getAs[Long]("outer_doc"))
+    }
+    // an exact text duplicate (same shingle set) must appear in BOTH
+    // directions with containment 1.0
+    val dupIds = Tables.documents(spark, sf)
+      .groupBy(col("text")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1).select(col("ids")).collect()
+      .map(_.getSeq[Long](0))
+    val pairSet = r.map(x =>
+      (x.getAs[Long]("inner_doc"), x.getAs[Long]("outer_doc"))).toSet
+    dupIds.filter(_.length == 2).take(3).foreach { ids =>
+      val (a, b) = (ids(0), ids(1))
+      // only asserted when the pair survives the size/df guards
+      if (pairSet.contains((a, b)) || pairSet.contains((b, a))) {
+        assert(pairSet.contains((a, b)) && pairSet.contains((b, a)),
+          s"exact dup ($a,$b) must contain both ways")
+      }
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
