@@ -765,6 +765,7 @@ object TextOps {
       .orderBy(col("lift").desc, col("w1"), col("w2")).limit(k)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("lift").desc, col("w1"), col("w2"))).cast("long"))
+      .localCheckpoint(true) // k rows; materialize BEFORE the unpersist
     grams.unpersist()
     ranked
   }

@@ -78,6 +78,23 @@ class TpchSpec extends SparkSpec {
     assert(idle <= total - recent)
   }
 
+  test("Q7/Q8 shape: dims broadcast, exactly one fact-fact shuffle join") {
+    for (df <- Seq(
+        Tpch.nationTrade(Tables.nation(spark, sf), Tables.customer(spark, sf),
+          Tables.supplier(spark, sf), Tables.orders(spark, sf),
+          Tables.lineitem(spark, sf)),
+        Tpch.marketShare(Tables.region(spark, sf), Tables.nation(spark, sf),
+          Tables.customer(spark, sf), Tables.supplier(spark, sf),
+          Tables.part(spark, sf), Tables.orders(spark, sf),
+          Tables.lineitem(spark, sf)))) {
+      val p = df.queryExecution.sparkPlan.toString
+      val shuffleJoins = "SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length
+      assert(shuffleJoins <= 1, s"more than one shuffle join:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+      assert(!p.contains("NestedLoop") || p.contains("BroadcastNestedLoop"), p)
+    }
+  }
+
   test("Q14/Q8 ratio queries derive the share from the two exact sums") {
     val promo = Tpch.promoRevenue(Tables.part(spark, sf), Tables.lineitem(spark, sf))
       .collect().head
