@@ -595,11 +595,78 @@ object Monitoring {
         trunc4(col("chi2_scaled") / 1e6).as("chi2"))
   }
 
+  /** Peer-group anomaly: users whose TOTAL spend in an event type sits
+    * more than `z` standard deviations from their peer group's mean —
+    * the group-relative screen next to [[amountOutliers]] (per-event
+    * vs own history) and [[madOutliers]] (robust within-user). The
+    * flag test is exact integer algebra on cent totals:
+    * `(n·u − S)² > z²·(n·Q − S²)` multiplies the z-test through by
+    * n²·σ² so no engine ever compares a float threshold (magnitudes
+    * stay < 2⁶³ for cent totals ≤ ~10⁹ per user-type and ≤ ~10⁶ peers;
+    * past that, promote the products to DECIMAL — noted, not hidden).
+    * The reported z divides two exact integers after one sqrt.
+    *
+    * Scale: one map-side-combined (user, type) agg collapses the
+    * events scan; peer stats are |types| rows computed FROM that
+    * aggregate and broadcast back; nothing re-scans the fact. */
+  def peerAnomaly(ev: DataFrame, z: Long = 3L, minPeers: Long = 10L): DataFrame = {
+    val totals = ev.groupBy(col("event_type"), col("user_id"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("u"))
+    val peers = totals.groupBy(col("event_type").as("pt"))
+      .agg(count(lit(1)).as("n"), sum(col("u")).as("s"),
+        sum(col("u") * col("u")).as("q"))
+      .filter(col("n") >= minPeers)
+    totals.join(broadcast(peers), col("event_type") === col("pt"))
+      .withColumn("dev", col("n") * col("u") - col("s"))
+      .withColumn("var_n2", col("n") * col("q") - col("s") * col("s"))
+      .filter(col("dev") * col("dev") > lit(z * z) * col("var_n2") &&
+        col("var_n2") > 0L)
+      .select(col("event_type"), col("user_id"),
+        graft.functions.Portable.trunc2(col("u") / 100.0).as("total"),
+        graft.functions.Portable.trunc2(
+          col("s") / (col("n") * lit(100.0))).as("peer_mean"),
+        graft.functions.Portable.trunc2(
+          col("dev") / sqrt(col("var_n2").cast("double"))).as("z_score"))
+  }
+
+  /** Daily-volume autocorrelation (ACF lags 1..`maxLag`) — the
+    * periodicity diagnostic behind the seasonal baseline
+    * ([[seasonalBaseline]] ASSUMES a weekly cycle; this measures it).
+    * Exact to the last bit: volumes ride as whole-unit integers, the
+    * mean is cleared by multiplying through by n (`dev_d = n·v_d − S`),
+    * and numerator/denominator are BIGINT sums of integer products —
+    * one double division per lag at the end. Calendar-lag join: a
+    * missing day drops its pairs rather than sliding the series.
+    *
+    * Scale: the events scan collapses to ≤|days| rows in one agg;
+    * everything after runs on that tiny relation (broadcast stats,
+    * 7-way lag explode, hash join on day). */
+  def acfDaily(ev: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) DIV 100").as("v"))
+    val stats = daily.agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val dev = daily.crossJoin(broadcast(stats))
+      .select(col("day"), (col("n") * col("v") - col("s")).as("dev"))
+    val den = dev.agg(sum(col("dev") * col("dev")).as("den"))
+    val lagged = dev.select(col("day"), col("dev"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"))
+      .withColumn("tday", date_add(col("day"), col("lag")))
+      .join(dev.select(col("day").as("tday"), col("dev").as("tdev")), "tday")
+    lagged.groupBy(col("lag").cast("long").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("dev") * col("tdev")).as("num"))
+      .crossJoin(broadcast(den))
+      .select(col("lag"), col("n_pairs"),
+        graft.functions.Portable.trunc4(
+          col("num").cast("double") / col("den")).as("acf"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_psi_drift" -> ((s, d) => psiDrift(Tables.events(s, d))),
     "q_cusum_volume" -> ((s, d) => cusumVolume(Tables.events(s, d))),
+    "q_peer_anomaly" -> ((s, d) => peerAnomaly(Tables.events(s, d))),
+    "q_ts_acf" -> ((s, d) => acfDaily(Tables.events(s, d))),
     "q_chi2_audit" -> ((s, d) => chi2Audit(Tables.events(s, d))),
     "q_cohort_retention" -> ((s, d) => cohortRetention(Tables.events(s, d))),
     "q_ts_gapfill" -> ((s, d) => gapFill(Tables.events(s, d))),
@@ -620,6 +687,32 @@ object Monitoring {
     "q_flag_summary" -> ((s, d) => flagSummary(Tables.events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_peer_anomaly" ->
+      ("WITH t AS (SELECT event_type, user_id, " +
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS u " +
+        "FROM events GROUP BY 1, 2), " +
+        "p AS (SELECT event_type AS pt, count(*) AS n, sum(u)::BIGINT AS s, " +
+        "sum(u * u)::BIGINT AS q FROM t GROUP BY 1 HAVING count(*) >= 10) " +
+        "SELECT event_type, user_id, " +
+        "floor(u / 100.0 * 100) / 100 AS total, " +
+        "floor(s / (n * 100.0) * 100) / 100 AS peer_mean, " +
+        "floor((n * u - s) / sqrt((n * q - s * s)::DOUBLE) * 100) / 100 AS z_score " +
+        "FROM t JOIN p ON event_type = pt " +
+        "WHERE (n * u - s) * (n * u - s) > 9 * (n * q - s * s) " +
+        "AND (n * q - s * s) > 0"),
+    "q_ts_acf" ->
+      ("WITH daily AS (SELECT ts::DATE AS day, " +
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT // 100 AS v " +
+        "FROM events GROUP BY 1), " +
+        "st AS (SELECT count(*) AS n, sum(v)::BIGINT AS s FROM daily), " +
+        "dv AS (SELECT day, n * v - s AS dev FROM daily CROSS JOIN st), " +
+        "dn AS (SELECT sum(dev * dev)::BIGINT AS den FROM dv), " +
+        "lg AS (SELECT l.lag, a.dev AS adev, b.dev AS bdev " +
+        "FROM dv a CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l " +
+        "JOIN dv b ON b.day = a.day + l.lag::INTEGER) " +
+        "SELECT lag::BIGINT AS lag, count(*) AS n_pairs, " +
+        "floor(sum(adev * bdev)::DOUBLE / any_value(den) * 10000) / 10000 AS acf " +
+        "FROM lg CROSS JOIN dn GROUP BY 1"),
     "q_psi_drift" ->
       ("WITH d0 AS (SELECT min(epoch_ms(ts) // 86400000) AS d0 FROM events), " +
         "b AS (SELECT event_type, " +

@@ -403,4 +403,29 @@ class MonitoringSpec extends SparkSpec {
     val termSum = c.map(_.getAs[Double]("term")).sum
     assert(math.abs(termSum - chi2s.head) < 1e-3) // trunc4 slack per cell
   }
+
+  test("peerAnomaly: every flagged user is >= z sigma from the peer mean") {
+    // sf0.001 has too few peers to flag anyone beyond 3 sigma; use a
+    // looser z to exercise the integer flag test here
+    val r = Monitoring.peerAnomaly(Tables.events(spark, sf), z = 2L).collect()
+    assert(r.nonEmpty, "2-sigma screen found nobody — data drifted?")
+    r.foreach { x =>
+      assert(math.abs(x.getAs[Double]("z_score")) >= 2.0 - 0.01,
+        s"flagged below threshold: $x") // trunc2 slack
+      assert(x.getAs[Double]("total") !== x.getAs[Double]("peer_mean"))
+    }
+  }
+
+  test("acfDaily: all lags present, coefficients bounded, pair counts consistent") {
+    val r = Monitoring.acfDaily(Tables.events(spark, sf)).collect()
+    assert(r.map(_.getAs[Long]("lag")).sorted.toSeq === (1L to 7L))
+    val nDays = Tables.events(spark, sf)
+      .select(to_date(col("ts"))).distinct().count()
+    r.foreach { x =>
+      // Cauchy-Schwarz bound (trunc4 slack)
+      assert(math.abs(x.getAs[Double]("acf")) <= 1.0 + 1e-4)
+      // consecutive-day data: every lagged pair exists
+      assert(x.getAs[Long]("n_pairs") === nDays - x.getAs[Long]("lag"))
+    }
+  }
 }
