@@ -173,6 +173,44 @@ object SqlCoverage {
         count(lit(1)).as("n_events"), r2(sum(col("value"))).as("sum_value"))
   }
 
+  /** Marketing-attribution join: for every purchase, the user's most
+    * recent PRIOR touch (click/view) within a lookback window
+    * (last-touch credit) and their earliest touch ever (first-touch) —
+    * the conversion-credit query every growth pipeline runs. Expressed
+    * as IGNORE-NULLS window carries over ONE per-user ordered pass
+    * (`last(touch) OVER (... ROWS ... 1 PRECEDING)`), never a
+    * self-join: the textbook formulation as-of-joins purchases to
+    * touches, which re-shuffles the fact twice; here the carry rides
+    * the same (user, time) sort the stream already needs.
+    *
+    * Determinism: the window order (ts_ms, event_id) is a total order,
+    * and the minutes-since arithmetic is integer ms division. One
+    * shuffle on user_id. */
+  def attribution(ev: DataFrame, lookbackMs: Long = 7L * 86400000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = col("event_type").isin("click", "view")
+    val stream = ev
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ms"),
+        when(touch, col("event_id")).as("t_id"),
+        when(touch, col("event_type")).as("t_type"),
+        when(touch, col("ts_ms")).as("t_ms"))
+    stream
+      .withColumn("last_touch_id", last(col("t_id"), ignoreNulls = true).over(w))
+      .withColumn("last_touch_type", last(col("t_type"), ignoreNulls = true).over(w))
+      .withColumn("last_touch_ms", last(col("t_ms"), ignoreNulls = true).over(w))
+      .withColumn("first_touch_id", first(col("t_id"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase" &&
+        col("last_touch_id").isNotNull &&
+        col("ts_ms") - col("last_touch_ms") <= lookbackMs)
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("last_touch_id"), col("last_touch_type"),
+        expr("(ts_ms - last_touch_ms) DIV 60000").as("mins_since_last"),
+        col("first_touch_id"))
+  }
+
   /** Session funnel: per user, how many sessions saw a `view` followed
     * (at-or-after, by event time) by a `purchase` — the conversion
     * measure a product/monitoring pipeline computes over sessionized
@@ -381,6 +419,7 @@ object SqlCoverage {
     "q_window_range_frame" -> ((s, d) => windowRangeFrame(Tables.orders(s, d))),
     "q_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
+    "q_attribution" -> ((s, d) => attribution(Tables.events(s, d))),
     "q_full_outer_join" -> ((s, d) => fullOuterJoin(Tables.customer(s, d), Tables.supplier(s, d))),
     "q_cross_join" -> ((s, d) => crossJoinDims(Tables.region(s, d), Tables.nation(s, d))),
     "q_like_filter" -> ((s, d) => likeFilters(Tables.part(s, d))),
@@ -494,6 +533,23 @@ object SqlCoverage {
         "ORDER BY ts_ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT session_no FROM flagged) " +
         "SELECT user_id, session_no, min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms, " +
         "count(*) AS n_events, round(sum(value), 2) AS sum_value FROM sessioned GROUP BY 1, 2"),
+    "q_attribution" ->
+      ("WITH stream AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, " +
+        "CASE WHEN event_type IN ('click', 'view') THEN event_id END AS t_id, " +
+        "CASE WHEN event_type IN ('click', 'view') THEN event_type END AS t_type, " +
+        "CASE WHEN event_type IN ('click', 'view') THEN epoch_ms(ts) END AS t_ms " +
+        "FROM events WHERE event_type IN ('click', 'view', 'purchase')), " +
+        "carried AS (SELECT *, " +
+        "last_value(t_id IGNORE NULLS) OVER w AS last_touch_id, " +
+        "last_value(t_type IGNORE NULLS) OVER w AS last_touch_type, " +
+        "last_value(t_ms IGNORE NULLS) OVER w AS last_touch_ms, " +
+        "first_value(t_id IGNORE NULLS) OVER w AS first_touch_id " +
+        "FROM stream WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) " +
+        "SELECT event_id, user_id, ts_ms, last_touch_id, last_touch_type, " +
+        "(ts_ms - last_touch_ms) // 60000 AS mins_since_last, first_touch_id " +
+        "FROM carried WHERE event_type = 'purchase' AND last_touch_id IS NOT NULL " +
+        "AND ts_ms - last_touch_ms <= 604800000"),
     "q_funnel" ->
       ("WITH flagged AS (SELECT user_id, epoch_ms(ts) ts_ms, event_id, event_type, " +
         "CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 " +

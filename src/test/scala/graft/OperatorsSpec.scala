@@ -1062,6 +1062,30 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("SqlCoverage.attribution: last touch really is the latest prior touch") {
+    val ev = Tables.events(spark, sf)
+    val r = SqlCoverage.attribution(ev).collect()
+    assert(r.nonEmpty)
+    r.foreach(x => assert(x.getAs[Long]("mins_since_last") >= 0L &&
+      x.getAs[Long]("mins_since_last") <= 7L * 1440L))
+    // recompute for the three earliest purchases reported
+    val raw = ev.filter(col("event_type").isin("click", "view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ms"))
+      .collect()
+    r.sortBy(_.getAs[Long]("event_id")).take(3).foreach { x =>
+      val (uid, pts) = (x.getAs[Long]("user_id"), x.getAs[Long]("ts_ms"))
+      val pid = x.getAs[Long]("event_id")
+      val touches = raw.filter(e => e.getAs[Long]("user_id") == uid &&
+        e.getAs[String]("event_type") != "purchase" &&
+        (e.getAs[Long]("ts_ms") < pts ||
+          (e.getAs[Long]("ts_ms") == pts && e.getAs[Long]("event_id") < pid)))
+      val expected = touches
+        .maxBy(e => (e.getAs[Long]("ts_ms"), e.getAs[Long]("event_id")))
+      assert(x.getAs[Long]("last_touch_id") ===
+        expected.getAs[Long]("event_id"), s"wrong credit for purchase $pid")
+    }
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
