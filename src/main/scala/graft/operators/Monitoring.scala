@@ -660,6 +660,36 @@ object Monitoring {
           col("num").cast("double") / col("den")).as("acf"))
   }
 
+  /** Daily-volume OLS trend: slope and intercept of whole-unit daily
+    * volume regressed on the day index — the drift direction the CUSUM
+    * gate ([[cusumVolume]]) alarms on, quantified. Normal equations on
+    * exact integers: slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²), every
+    * sum a BIGINT over ≤|days| rows, so both engines divide the same
+    * two integers; the intercept reuses the slope double with the
+    * identical expression shape on both sides.
+    *
+    * Scale: the events scan collapses to |days| rows in one map-side
+    * combined agg; the regression runs on that tiny relation. */
+  def trendDaily(ev: DataFrame): DataFrame = {
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) DIV 100").as("v"))
+    val indexed = daily.select(col("v"),
+      (row_number().over(Window.orderBy(col("day"))) - 1).cast("long").as("x"))
+    indexed.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("v")).as("sy"), sum(col("x") * col("v")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").as("n_days"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"),
+        graft.functions.Portable.trunc4(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        graft.functions.Portable.trunc4(
+          (col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"))
+          .as("intercept"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -667,6 +697,7 @@ object Monitoring {
     "q_cusum_volume" -> ((s, d) => cusumVolume(Tables.events(s, d))),
     "q_peer_anomaly" -> ((s, d) => peerAnomaly(Tables.events(s, d))),
     "q_ts_acf" -> ((s, d) => acfDaily(Tables.events(s, d))),
+    "q_ts_trend" -> ((s, d) => trendDaily(Tables.events(s, d))),
     "q_chi2_audit" -> ((s, d) => chi2Audit(Tables.events(s, d))),
     "q_cohort_retention" -> ((s, d) => cohortRetention(Tables.events(s, d))),
     "q_ts_gapfill" -> ((s, d) => gapFill(Tables.events(s, d))),
@@ -700,6 +731,19 @@ object Monitoring {
         "FROM t JOIN p ON event_type = pt " +
         "WHERE (n * u - s) * (n * u - s) > 9 * (n * q - s * s) " +
         "AND (n * q - s * s) > 0"),
+    "q_ts_trend" ->
+      ("WITH daily AS (SELECT ts::DATE AS day, " +
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT // 100 AS v " +
+        "FROM events GROUP BY 1), " +
+        "ix AS (SELECT v, row_number() OVER (ORDER BY day) - 1 AS x FROM daily), " +
+        "st AS (SELECT count(*) AS n, sum(x)::BIGINT AS sx, sum(v)::BIGINT AS sy, " +
+        "sum(x * v)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx FROM ix) " +
+        "SELECT n AS n_days, " +
+        "(n * sxy - sx * sy)::BIGINT AS num, (n * sxx - sx * sx)::BIGINT AS den, " +
+        "floor((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx) * 10000) / 10000 " +
+        "AS slope, " +
+        "floor((sy - (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx) * sx) / n " +
+        "* 10000) / 10000 AS intercept FROM st"),
     "q_ts_acf" ->
       ("WITH daily AS (SELECT ts::DATE AS day, " +
         "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT // 100 AS v " +

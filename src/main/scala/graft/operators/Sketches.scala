@@ -3,7 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.Portable.trunc4
 import graft.functions.TextHash.hash60
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -236,6 +236,59 @@ object Sketches {
     result
   }
 
+  /** KMV set algebra: estimate the UNION and INTERSECTION cardinality
+    * of two user sets (weekday-active vs weekend-active) from bottom-k
+    * signatures — the sketch-merge operation a federated pipeline runs
+    * when the raw sets live on different clusters ([[kmvDistinct]] is
+    * the single-set base case). Union: (k−1)·2⁶⁰ / kth-smallest union
+    * hash. Intersection: among the k smallest union hashes, the
+    * fraction present in BOTH sets (an unbiased Jaccard estimate)
+    * times the union estimate. Hashes are the portable md5-60; every
+    * count is integer; the few divisions at the end run in the same
+    * order in both engines. The exact intersection rides along as the
+    * honesty audit, same as kmvDistinct's.
+    *
+    * Scale: per-set distinct-hash relations collapse the fact once
+    * each; the bottom-k prune is the two-stage (partition-local then
+    * global) row_number, so no global sort of the full hash set; the
+    * membership joins touch k rows against the set relations. */
+  def kmvIntersect(ev: DataFrame, k: Int = 64, parts: Int = 32): DataFrame = {
+    val users = ev.select(col("user_id"),
+      expr("weekday(ts)").as("dow")).persist()
+    def hashSet(cond: Column): DataFrame = users.filter(cond)
+      .select(hash60(col("user_id").cast("string")).as("h")).distinct()
+    val a = hashSet(col("dow") <= 4).persist()
+    val b = hashSet(col("dow") >= 5).persist()
+    val u = a.union(b).distinct()
+    val local = Window.partitionBy(pmod(col("h"), lit(parts.toLong))).orderBy(col("h"))
+    val bottom = u.withColumn("lr", row_number().over(local)).filter(col("lr") <= k)
+      .withColumn("r", row_number().over(Window.orderBy(col("h"))))
+      .filter(col("r") <= k).select(col("h"), col("r")).persist()
+    // fewer than k hashes ⇒ the sketch holds the whole set: count
+    // exactly (the standard KMV small-set branch; sf0.001 has 15 users)
+    val kth = bottom.agg(count(lit(1)).as("cnt"), expr("max_by(h, r)").as("kth"))
+    val both = bottom
+      .join(a.withColumn("fa", lit(1)), Seq("h"), "left_outer")
+      .join(b.withColumn("fb", lit(1)), Seq("h"), "left_outer")
+      .agg(sum(when(col("fa").isNotNull && col("fb").isNotNull, 1L)
+        .otherwise(0L)).as("n_both"))
+    val exact = users.filter(col("dow") <= 4).select(col("user_id")).distinct()
+      .intersect(users.filter(col("dow") >= 5).select(col("user_id")).distinct())
+      .agg(count(lit(1)).as("n_inter_exact"))
+    val num: Double = (k - 1).toDouble * (1L << 60).toDouble
+    val unionRaw = when(col("cnt") < k, col("cnt").cast("double"))
+      .otherwise(lit(num) / col("kth"))
+    val result = kth.crossJoin(both).crossJoin(exact)
+      .select(lit(k.toLong).as("k"), col("cnt"), col("n_both"),
+        trunc4(unionRaw).as("union_est"),
+        trunc4(col("n_both").cast("double") / col("cnt")).as("jaccard_est"),
+        trunc4(unionRaw * col("n_both") / col("cnt")).as("inter_est"),
+        col("n_inter_exact"))
+      .localCheckpoint(true)
+    Seq(users, a, b, bottom).foreach(_.unpersist())
+    result
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -243,6 +296,7 @@ object Sketches {
     "q_hll_distinct" -> ((s, d) => hllDistinct(Tables.events(s, d))),
     "q_bloom_audit" -> ((s, d) => bloomAudit(Tables.events(s, d))),
     "q_kmv_distinct" -> ((s, d) => kmvDistinct(Tables.events(s, d))),
+    "q_kmv_intersect" -> ((s, d) => kmvIntersect(Tables.events(s, d))),
     "q_cms_heavy_hitters" -> ((s, d) => cmsHeavyHitters(Tables.events(s, d))))
 
   /** alpha_m · m² · 2^53 folded to ONE Scala double so both engines
@@ -270,6 +324,33 @@ object Sketches {
         "cells AS (SELECT is_member, bloom_maybe, count(*) AS n FROM probe GROUP BY 1, 2) " +
         "SELECT is_member, bloom_maybe, n, " +
         "floor(n / (sum(n) OVER ()) * 10000) / 10000 AS share FROM cells"),
+    "q_kmv_intersect" ->
+      ("WITH us AS (SELECT user_id, isodow(ts) - 1 AS dow FROM events), " +
+        "sa AS (SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))" +
+        "::BIGINT AS h FROM us WHERE dow <= 4), " +
+        "sb AS (SELECT DISTINCT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))" +
+        "::BIGINT AS h FROM us WHERE dow >= 5), " +
+        "su AS (SELECT h FROM sa UNION SELECT h FROM sb), " +
+        "g AS (SELECT h, row_number() OVER (ORDER BY h) AS r FROM " +
+        "(SELECT h, row_number() OVER (PARTITION BY h % 32 ORDER BY h) AS lr FROM su) " +
+        "WHERE lr <= 64), " +
+        "bk AS (SELECT h, r FROM g WHERE r <= 64), " +
+        "kt AS (SELECT count(*) AS cnt, max_by(h, r) AS kth FROM bk), " +
+        "bc AS (SELECT sum(CASE WHEN fa IS NOT NULL AND fb IS NOT NULL " +
+        "THEN 1 ELSE 0 END)::BIGINT AS n_both FROM bk " +
+        "LEFT JOIN (SELECT h, 1 AS fa FROM sa) USING (h) " +
+        "LEFT JOIN (SELECT h, 1 AS fb FROM sb) USING (h)), " +
+        "ex AS (SELECT count(*) AS n_inter_exact FROM " +
+        "(SELECT DISTINCT user_id FROM us WHERE dow <= 4 " +
+        "INTERSECT SELECT DISTINCT user_id FROM us WHERE dow >= 5)), " +
+        "uest AS (SELECT cnt, kth, CASE WHEN cnt < 64 THEN cnt::DOUBLE ELSE " +
+        s"${(64 - 1).toDouble * (1L << 60).toDouble}::DOUBLE / kth END AS uraw " +
+        "FROM kt) " +
+        "SELECT 64::BIGINT AS k, cnt, n_both, " +
+        "floor(uraw * 10000) / 10000 AS union_est, " +
+        "floor(n_both::DOUBLE / cnt * 10000) / 10000 AS jaccard_est, " +
+        "floor(uraw * n_both / cnt * 10000) / 10000 AS inter_est, n_inter_exact " +
+        "FROM uest CROSS JOIN bc CROSS JOIN ex"),
     "q_kmv_distinct" ->
       ("WITH h AS (SELECT DISTINCT " +
         "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM events), " +

@@ -416,6 +416,34 @@ class MonitoringSpec extends SparkSpec {
     }
   }
 
+  test("trendDaily: slope matches an independently computed OLS fit") {
+    val r = Monitoring.trendDaily(Tables.events(spark, sf)).collect().head
+    val daily = Tables.events(spark, sf)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) DIV 100").as("v"))
+      .orderBy(col("day")).collect().map(_.getAs[Long]("v"))
+    val n = daily.length
+    val xs = (0 until n).map(_.toLong)
+    val (sx, sy) = (xs.sum, daily.sum)
+    val sxy = xs.zip(daily).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    assert(r.getAs[Long]("num") === n * sxy - sx * sy)
+    assert(r.getAs[Long]("den") === n * sxx - sx * sx)
+    val slope = math.floor((n * sxy - sx * sy).toDouble /
+      (n * sxx - sx * sx) * 10000) / 10000
+    assert(r.getAs[Double]("slope") === slope)
+  }
+
+  test("kmvIntersect: the small-set branch is exact at smoke scale") {
+    val s = graft.operators.Sketches.kmvIntersect(Tables.events(spark, sf))
+      .collect().head
+    // sf0.001 has 15 users < k=64: the whole set sits in the sketch,
+    // so union is counted exactly and intersection estimate == exact
+    assert(s.getAs[Long]("cnt") < 64L)
+    assert(s.getAs[Double]("inter_est") === s.getAs[Long]("n_inter_exact").toDouble)
+    assert(s.getAs[Double]("jaccard_est") >= 0.0 && s.getAs[Double]("jaccard_est") <= 1.0)
+  }
+
   test("acfDaily: all lags present, coefficients bounded, pair counts consistent") {
     val r = Monitoring.acfDaily(Tables.events(spark, sf)).collect()
     assert(r.map(_.getAs[Long]("lag")).sorted.toSeq === (1L to 7L))
