@@ -8,8 +8,11 @@ object Verify {
     val sfDir = args(0)
     val outDir = args(1)
     // Optional third arg: comma-separated query-name subset (builder's
-    // local gate); the driver always passes exactly two args.
-    val subset = args.lift(2).map(_.split(",").toSet)
+    // local gate); the driver always passes exactly two args. An empty
+    // or all-blank subset fails loudly — a shell variable that expanded
+    // empty must not silently run zero queries.
+    val subset = args.lift(2).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    require(subset.forall(_.nonEmpty), "empty query subset")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

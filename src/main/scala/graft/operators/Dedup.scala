@@ -428,11 +428,18 @@ object Dedup {
     val kept = g.withColumn("d", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("d") <= maxDf)
       .select(col("doc_id"), col("sh"))
-    val pairs = kept.as("a")
+    // the shared count is symmetric: join each unordered pair ONCE
+    // (a < b halves the bucket join and the pair agg), then emit both
+    // orientations — containment itself is asymmetric in |A|
+    val half = kept.as("a")
       .join(kept.as("b"), col("a.sh") === col("b.sh") &&
-        col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("inner_doc"), col("b.doc_id").as("outer_doc"))
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("shared"))
+    val pairs = half.select(col("da").as("inner_doc"), col("db").as("outer_doc"),
+        col("shared"))
+      .unionByName(half.select(col("db").as("inner_doc"),
+        col("da").as("outer_doc"), col("shared")))
     val result = pairs
       .join(sizes.withColumnRenamed("doc_id", "inner_doc"), "inner_doc")
       .filter(col("shared") * 10000L >= col("inner_size") * threshold10k)

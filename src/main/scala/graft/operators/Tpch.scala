@@ -89,11 +89,14 @@ object Tpch {
     * term, not a second join); only the final share divides, and both
     * engines divide the same two integers.
     *
-    * Scale: region→nation→customer prune by broadcast before facts;
-    * the part-type filter prunes lineitem through a broadcast
-    * partkey join; one lineitem⋈orders shuffle; the supplier nation
-    * rides a broadcast and feeds the CASE, not a filter — every
-    * region-bound line lands in exactly one year group. */
+    * Scale: region→nation→customer prune by broadcast before facts
+    * (the genuinely tiny dims); one lineitem⋈orders shuffle; the
+    * supplier-nation lookup feeds the CASE, not a filter — every
+    * region-bound line lands in exactly one year group. The
+    * type-filtered part (~1/6 of the dim) and the FULL supplier dim
+    * carry no broadcast hint: the planner broadcasts them while they
+    * fit the threshold and shuffles beyond, where a hint would force
+    * driver-side materialization of a wide dim. */
   def marketShare(region: DataFrame, nation: DataFrame, customer: DataFrame,
       supplier: DataFrame, part: DataFrame, orders: DataFrame, li: DataFrame,
       regionName: String = "ASIA", partType: String = "ECONOMY",
@@ -114,9 +117,9 @@ object Tpch {
       .join(c, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
     li.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), revTerm.as("term"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(sNat), col("l_suppkey") === col("s_suppkey"))
+      .join(sNat, col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("o_year"))
       .agg(
         sum(when(col("supp_nation") === shareNation, col("term"))
@@ -155,16 +158,17 @@ object Tpch {
     * engines ⇒ identical IEEE result).
     *
     * Scale: the one-month filter pushes into the lineitem scan; the
-    * part side carries only (partkey, is-promo flag) through a
-    * broadcast (at 100 TB part is still ~1/1000 of lineitem — if it
-    * outgrows the broadcast threshold AQE falls back to shuffle
-    * hash); one map-side-combined 1-row agg. */
+    * part side carries only (partkey, is-promo flag). No broadcast
+    * hint — part is the WHOLE dim here (at 100 TB, tens of GB): the
+    * planner broadcasts it while it fits the threshold and shuffle-
+    * hash-joins beyond, whereas a hint would force the broadcast and
+    * OOM at scale. One map-side-combined 1-row agg. */
   def promoRevenue(part: DataFrame, li: DataFrame): DataFrame = {
     val p = part.select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
     li.filter(expr("l_shipdate >= timestamp'1996-09-01'") &&
         expr("l_shipdate < timestamp'1996-10-01'"))
       .select(col("l_partkey"), revTerm.as("term"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .agg(
         sum(when(col("is_promo"), col("term")).otherwise(lit(0L))).as("promo_scaled"),
         sum(col("term")).as("total_scaled"))
@@ -175,20 +179,25 @@ object Tpch {
 
   /** TPC-H Q18-shaped large-volume customers: orders whose total line
     * quantity exceeds a threshold, with customer and order detail —
-    * the HAVING-subquery-on-a-fact-aggregate shape.
+    * the HAVING-subquery-on-a-fact-aggregate shape. The default
+    * threshold selects the rare giants (~0.3% of orders), Q18's
+    * intent.
     *
     * Scale: the per-order quantity sum is one map-side-combined
     * shuffle that collapses lineitem to |orders| rows, and HAVING
-    * cuts that to a handful BEFORE any join — so the qualifying-key
-    * set broadcasts into orders, and the customer lookup joins
-    * |qualifying| rows, not the fact. Quantities are integral by
-    * data contract (floor() both sides makes that exact). */
+    * cuts that BEFORE any join. No broadcast hint: the qualifying set
+    * is an aggregate whose size Catalyst can't know statically, so
+    * AQE converts the join to broadcast at runtime when the set is
+    * actually small, and keeps the shuffle join when a loose
+    * threshold makes it fact-proportional — a hint would force the
+    * broadcast either way. Quantities are integral by data contract
+    * (floor() both sides makes that exact). */
   def largeOrders(customer: DataFrame, orders: DataFrame, li: DataFrame,
-      minQty: Long = 200L): DataFrame = {
+      minQty: Long = 300L): DataFrame = {
     val big = li.groupBy(col("l_orderkey"))
       .agg(sum(floor(col("l_quantity")).cast("long")).as("sum_qty"))
       .filter(col("sum_qty") >= minQty)
-    orders.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+    orders.join(big, col("o_orderkey") === col("l_orderkey"))
       .join(customer, col("o_custkey") === col("c_custkey"))
       .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
         col("o_orderdate"),
@@ -204,10 +213,12 @@ object Tpch {
     * profit_scaled = Σ [cents·(100−disc%) − qty·retail_cents·100],
     * everything BIGINT at scale 10^4.
     *
-    * Scale: the name filter prunes part to a fraction before its
-    * broadcast; supplier/nation broadcast; orders carries only
-    * (orderkey, year) through the one fact⋈fact shuffle; final agg is
-    * |nations|×|years| groups, map-side combined. */
+    * Scale: the name filter prunes part before the join and nation
+    * broadcasts into supplier; the name-filtered part and the FULL
+    * supplier dim carry no broadcast hint (wide at 100 TB — the
+    * planner broadcasts them only while they fit). Orders carries
+    * only (orderkey, year) through the one fact⋈fact shuffle; final
+    * agg is |nations|×|years| groups, map-side combined. */
   def productProfit(nation: DataFrame, supplier: DataFrame, part: DataFrame,
       orders: DataFrame, li: DataFrame, nameToken: String = "widget"): DataFrame = {
     val p = part.filter(col("p_name").contains(nameToken))
@@ -220,8 +231,8 @@ object Tpch {
       year(col("o_orderdate")).cast("long").as("o_year"))
     li.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         floor(col("l_quantity")).cast("long").as("qty"), revTerm.as("rev"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"), col("o_year"))
       .agg(sum(col("rev") - col("qty") * col("retail_cents") * 100).as("profit_scaled"),
@@ -296,8 +307,11 @@ object Tpch {
     *
     * Scale: the (partkey, suppkey) distinct collapses the fact in one
     * map-side-combined shuffle (lineitem has ~7 lines per pair); the
-    * exclusion list and the filtered part dim broadcast; the
-    * count-distinct re-shuffles only the collapsed pair set. */
+    * count-distinct re-shuffles only the collapsed pair set. The
+    * exclusion list and filtered part dim carry NO broadcast hint —
+    * both keep most of their dim (≈95% of suppliers, ≈80% of parts),
+    * so the planner must stay free to shuffle them at scale; at
+    * sandbox scale it broadcasts them on size anyway. */
   def partSupplierCounts(supplier: DataFrame, part: DataFrame,
       li: DataFrame, excludeBrand: String = "Brand#1",
       minBal: Double = 500.0): DataFrame = {
@@ -306,8 +320,8 @@ object Tpch {
         col("p_type") =!= "PROMO")
       .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
     li.select(col("l_partkey"), col("l_suppkey")).distinct()
-      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"), "left_anti")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"), col("p_size"))
       .agg(countDistinct(col("l_suppkey")).as("supp_cnt"))
   }
@@ -345,14 +359,16 @@ object Tpch {
     * join condition; the OR-of-ANDs rides as a residual filter, so
     * the plan is one broadcast hash join, not a nested-loop.
     *
-    * Scale: part carries only (partkey, brand, size) through the
-    * broadcast; the bracket filter cannot push below the join (it
-    * spans both sides) but runs codegen'd on the joined stream. */
+    * Scale: part carries only (partkey, brand, size); no broadcast
+    * hint — it is the whole dim, so the planner broadcasts below the
+    * threshold and shuffles beyond it. The bracket filter cannot push
+    * below the join (it spans both sides) but runs codegen'd on the
+    * joined stream. */
   def bracketRevenue(part: DataFrame, li: DataFrame): DataFrame = {
     val p = part.select(col("p_partkey"), col("p_brand"), col("p_size"))
     val qty = floor(col("l_quantity")).cast("long")
     li.select(col("l_partkey"), col("l_quantity"), revTerm.as("term"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .filter(
         (col("p_brand") === "Brand#5" && col("p_size").between(1, 15) &&
           qty.between(1, 15)) ||
@@ -692,7 +708,7 @@ object Tpch {
       ("SELECT c_custkey, c_name, o_orderkey, o_orderdate, " +
         "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents, sum_qty " +
         "FROM (SELECT l_orderkey, sum(CAST(floor(l_quantity) AS BIGINT))::BIGINT " +
-        "AS sum_qty FROM lineitem GROUP BY 1 HAVING sum_qty >= 200) " +
+        "AS sum_qty FROM lineitem GROUP BY 1 HAVING sum_qty >= 300) " +
         "JOIN orders ON o_orderkey = l_orderkey " +
         "JOIN customer ON o_custkey = c_custkey"))
 }
