@@ -690,6 +690,34 @@ object Monitoring {
           .as("intercept"))
   }
 
+  /** Growth accounting: per day, how many active users are NEW (first
+    * day ever), RETURNING, and how many churn right after (active
+    * today, silent tomorrow) — the daily-active decomposition every
+    * usage dashboard leads with. All integer counts over the distinct
+    * (user, day) activity relation; the last observed day never counts
+    * as churn (the stream just ends there).
+    *
+    * Scale: the fact collapses to distinct (user, day) in one shuffle;
+    * the first-day and next-day windows share that relation's user
+    * partitioning (one exchange for both); the per-day agg is
+    * |days| groups. */
+  def growthAccounting(ev: DataFrame): DataFrame = {
+    val acts = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val byUser = Window.partitionBy(col("user_id"))
+    val flagged = acts
+      .withColumn("first_day", min(col("day")).over(byUser))
+      .withColumn("next_day", lead(col("day"), 1).over(byUser.orderBy(col("day"))))
+    val maxDay = acts.agg(max(col("day")).as("max_day"))
+    flagged.crossJoin(broadcast(maxDay))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L)).as("n_returning"),
+        sum(when(col("day") =!= col("max_day") &&
+          (col("next_day").isNull || datediff(col("next_day"), col("day")) > 1), 1L)
+          .otherwise(0L)).as("n_churned_next"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -698,6 +726,7 @@ object Monitoring {
     "q_peer_anomaly" -> ((s, d) => peerAnomaly(Tables.events(s, d))),
     "q_ts_acf" -> ((s, d) => acfDaily(Tables.events(s, d))),
     "q_ts_trend" -> ((s, d) => trendDaily(Tables.events(s, d))),
+    "q_growth_accounting" -> ((s, d) => growthAccounting(Tables.events(s, d))),
     "q_chi2_audit" -> ((s, d) => chi2Audit(Tables.events(s, d))),
     "q_cohort_retention" -> ((s, d) => cohortRetention(Tables.events(s, d))),
     "q_ts_gapfill" -> ((s, d) => gapFill(Tables.events(s, d))),
@@ -731,6 +760,17 @@ object Monitoring {
         "FROM t JOIN p ON event_type = pt " +
         "WHERE (n * u - s) * (n * u - s) > 9 * (n * q - s * s) " +
         "AND (n * q - s * s) > 0"),
+    "q_growth_accounting" ->
+      ("WITH acts AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events), " +
+        "f AS (SELECT *, min(day) OVER (PARTITION BY user_id) AS first_day, " +
+        "lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day FROM acts), " +
+        "m AS (SELECT max(day) AS max_day FROM acts) " +
+        "SELECT day, count(*) AS n_active, " +
+        "sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)::BIGINT AS n_new, " +
+        "sum(CASE WHEN day <> first_day THEN 1 ELSE 0 END)::BIGINT AS n_returning, " +
+        "sum(CASE WHEN day <> max_day AND (next_day IS NULL OR next_day - day > 1) " +
+        "THEN 1 ELSE 0 END)::BIGINT AS n_churned_next " +
+        "FROM f CROSS JOIN m GROUP BY 1"),
     "q_ts_trend" ->
       ("WITH daily AS (SELECT ts::DATE AS day, " +
         "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT // 100 AS v " +

@@ -533,6 +533,54 @@ object Similarity {
       col("cos"), col("rnk"))
   }
 
+  /** Label-centroid similarity matrix: pairwise cosine between the
+    * per-label embedding centroids — the distribution-drift / class-
+    * separation readout an embedding pipeline monitors (labels close
+    * in centroid space are confusable; a centroid that moves between
+    * snapshots signals drift). Float means are merge-order hazards, so
+    * vectors quantize under ONE GLOBAL symmetric scale (unlike
+    * [[sq8TopK]]'s per-vector scales, which would make sums
+    * incomparable) and the centroids are exact per-(label, dim)
+    * BIGINT sums; the scale cancels in the cosine, whose norm product
+    * multiplies two sqrt's (not the 2⁶³-overflowing product of the
+    * squared norms).
+    *
+    * Scale: the per-dim explode shuffles (label, dim, partial sum)
+    * with map-side combine — |labels|·dims rows, never a vector; the
+    * pair join runs on that tiny relation. */
+  def vecDrift(emb: DataFrame): DataFrame = {
+    val v = graft.functions.Portable.spread(emb, col("vec_id"))
+      .select(col("label"), col("embedding").as("e"))
+    val gs = v.agg((max(aggregate(col("e"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x)))) / 127.0).as("gs"))
+    val codes = v.crossJoin(broadcast(gs))
+      .select(col("label"), col("gs"), posexplode(col("e")).as(Seq("i", "x")))
+      .select(col("label"), col("i"),
+        when(col("gs") > 0, greatest(lit(-127L), least(lit(127L),
+          floor(col("x") / col("gs") + 0.5).cast("long")))).otherwise(0L).as("qv"))
+    val s = codes.groupBy(col("label"), col("i"))
+      .agg(sum(col("qv")).as("s")).persist()
+    val n2 = s.groupBy(col("label")).agg(sum(col("s") * col("s")).as("n2"))
+    val cnt = v.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val dots = s.as("a").join(s.as("b"),
+        col("a.i") === col("b.i") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(sum(col("a.s") * col("b.s")).as("dot"))
+    val result = dots
+      .join(broadcast(n2.select(col("label").as("label_a"), col("n2").as("na2"))), "label_a")
+      .join(broadcast(n2.select(col("label").as("label_b"), col("n2").as("nb2"))), "label_b")
+      .join(broadcast(cnt.select(col("label").as("label_a"), col("n").as("n_a"))), "label_a")
+      .join(broadcast(cnt.select(col("label").as("label_b"), col("n").as("n_b"))), "label_b")
+      .select(col("label_a").cast("long").as("label_a"),
+        col("label_b").cast("long").as("label_b"), col("n_a"), col("n_b"),
+        trunc4(col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
+          .as("cos"))
+      .localCheckpoint(true) // |labels|²/2 rows
+    s.unpersist()
+    result
+  }
+
   /** Deterministic ±1 sign for [[vecProject]]'s projection matrix
     * (Achlioptas-style sparse random projection): parity of the
     * portable 60-bit md5 hash of "proj|i_j" — any engine reproduces it
@@ -684,6 +732,7 @@ object Similarity {
     "q_vec_pq" -> ((s, d) => pqEncode(Tables.embeddings(s, d))),
     "q_sim_topk_adc" -> ((s, d) => adcTopK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_topk_sq8" -> ((s, d) => sq8TopK(Tables.embeddings(s, d), DefaultQueryIds)),
+    "q_vec_drift" -> ((s, d) => vecDrift(Tables.embeddings(s, d))),
     "q_vec_project" -> ((s, d) => vecProject(Tables.embeddings(s, d))))
 
   private def planeSql(h: Int): String =
@@ -862,6 +911,27 @@ object Similarity {
         (0 until PqM).map(m =>
           s"SELECT vec_id, $m::BIGINT AS m, code, sub_cos FROM pf$m")
           .mkString(" UNION ALL ")),
+    "q_vec_drift" ->
+      ("WITH dv AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings), " +
+        "g AS (SELECT max(list_max(list_transform(e, x -> abs(x)))) / 127.0 AS gs " +
+        "FROM dv), " +
+        "dd AS (SELECT label, unnest(range(1, len(e) + 1)) AS i, e, gs " +
+        "FROM dv CROSS JOIN g), " +
+        "qc AS (SELECT label, i - 1 AS i, CASE WHEN gs > 0 THEN " +
+        "CAST(greatest(-127, least(127, floor(e[i] / gs + 0.5))) AS BIGINT) " +
+        "ELSE 0 END AS qv FROM dd), " +
+        "sm AS (SELECT label, i, sum(qv)::BIGINT AS s FROM qc GROUP BY 1, 2), " +
+        "nn2 AS (SELECT label, sum(s * s)::BIGINT AS n2 FROM sm GROUP BY 1), " +
+        "cn AS (SELECT label, count(*) AS n FROM dv GROUP BY 1), " +
+        "dt AS (SELECT a.label AS label_a, b.label AS label_b, " +
+        "sum(a.s * b.s)::BIGINT AS dot FROM sm a JOIN sm b " +
+        "ON a.i = b.i AND a.label < b.label GROUP BY 1, 2) " +
+        "SELECT label_a::BIGINT AS label_a, label_b::BIGINT AS label_b, " +
+        "ca.n AS n_a, cb.n AS n_b, " +
+        "floor(dot::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)) * 10000) " +
+        "/ 10000 AS cos " +
+        "FROM dt JOIN nn2 na ON label_a = na.label JOIN nn2 nb ON label_b = nb.label " +
+        "JOIN cn ca ON label_a = ca.label JOIN cn cb ON label_b = cb.label"),
     "q_sim_topk_sq8" ->
       (s"WITH $vCte, " +
         "sq_sc AS (SELECT vec_id, e, " +

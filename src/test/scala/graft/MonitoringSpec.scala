@@ -444,6 +444,17 @@ class MonitoringSpec extends SparkSpec {
     assert(s.getAs[Double]("jaccard_est") >= 0.0 && s.getAs[Double]("jaccard_est") <= 1.0)
   }
 
+  test("growthAccounting: active splits into new+returning; new sums to the user count") {
+    val r = Monitoring.growthAccounting(Tables.events(spark, sf)).collect()
+    assert(r.nonEmpty)
+    r.foreach(x => assert(x.getAs[Long]("n_active") ===
+      x.getAs[Long]("n_new") + x.getAs[Long]("n_returning")))
+    val users = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(r.map(_.getAs[Long]("n_new")).sum === users)
+    val firstDay = r.minBy(_.getAs[java.sql.Date]("day").getTime)
+    assert(firstDay.getAs[Long]("n_returning") === 0L)
+  }
+
   test("acfDaily: all lags present, coefficients bounded, pair counts consistent") {
     val r = Monitoring.acfDaily(Tables.events(spark, sf)).collect()
     assert(r.map(_.getAs[Long]("lag")).sorted.toSeq === (1L to 7L))

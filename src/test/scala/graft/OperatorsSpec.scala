@@ -1062,6 +1062,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Similarity.vecDrift: full pair matrix, cosine tracks the float centroids") {
+    val emb = Tables.embeddings(spark, sf)
+    val r = Similarity.vecDrift(emb).collect()
+    val labels = emb.select(col("label")).distinct().count().toInt
+    assert(r.length === labels * (labels - 1) / 2)
+    r.foreach(x => assert(math.abs(x.getAs[Double]("cos")) <= 1.0 + 1e-4))
+    // quantized-centroid cosine must track the float-centroid cosine
+    val cents = emb.collect()
+      .groupBy(_.getAs[Int]("label"))
+      .map { case (l, rows) =>
+        val vecs = rows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+        l -> vecs.transpose.map(_.sum)
+      }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    r.take(10).foreach { x =>
+      val exact = cos(cents(x.getAs[Long]("label_a").toInt),
+        cents(x.getAs[Long]("label_b").toInt))
+      assert(math.abs(x.getAs[Double]("cos") - exact) < 0.02,
+        s"quantized centroid drifted from float: $x vs $exact")
+    }
+  }
+
   test("SqlCoverage.attribution: last touch really is the latest prior touch") {
     val ev = Tables.events(spark, sf)
     val r = SqlCoverage.attribution(ev).collect()
