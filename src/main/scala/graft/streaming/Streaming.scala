@@ -265,6 +265,67 @@ object Streaming {
       .agg(graft.functions.Portable.trunc4(sum(col("term_scaled")) / 1e8).as("psi"))
   }
 
+  /** Per-user last-touch carry for [[attributionStream]]. */
+  final case class TouchState(touchId: String, touchType: String, touchMs: Long)
+
+  /** A streaming attribution credit. */
+  final case class AttributionHit(user_id: Int, purchase_id: String,
+      purchase_ms: Long, last_touch_id: String, last_touch_type: String,
+      mins_since_last: Long)
+
+  /** Streaming last-touch attribution — the L3 mirror of the batch
+    * `SqlCoverage.attribution` window carry: per-user state holds ONLY
+    * the latest touch (O(1) per user, unlike the fraud rule's window
+    * arrays), each purchase emits a credit against it when inside the
+    * lookback, and state evicts by event-time timeout once the
+    * watermark passes the lookback horizon. Within a batch events
+    * apply in (event-time, id) order; across batches the watermark
+    * contract bounds disorder — a touch arriving later than the
+    * watermark is dropped exactly like any late row. */
+  def attributionStream(spark: SparkSession, txns: Dataset[Transaction],
+      lookbackMs: Long = 7L * 86400000L,
+      watermark: String = "10 minutes"): Dataset[AttributionHit] = {
+    import spark.implicits._
+    val kinds = Set("click", "view", "purchase")
+    txns.filter(t => t.`type`.exists(kinds))
+      .withWatermark("timestamp", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, AttributionHit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Int, rows: Iterator[Transaction], state: GroupState[TouchState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val incoming = rows.toList
+              .sortBy(t => (t.timestamp.getTime, t.transaction_id))
+            var st = state.getOption
+            val hits = incoming.flatMap { t =>
+              val ms = t.timestamp.getTime
+              if (t.`type`.contains("purchase")) {
+                st.filter(s => ms >= s.touchMs && ms - s.touchMs <= lookbackMs)
+                  .map(s => AttributionHit(user, t.transaction_id, ms,
+                    s.touchId, s.touchType, (ms - s.touchMs) / 60000L))
+              } else {
+                st = Some(TouchState(t.transaction_id, t.`type`.get, ms))
+                None
+              }
+            }
+            // evict once the watermark passes the touch's credit horizon
+            // (touch event time + lookback) — NOT watermark+lookback,
+            // which on the first batch (watermark 0) would expire the
+            // state the moment the watermark advances
+            st match {
+              case Some(s) if s.touchMs + lookbackMs > state.getCurrentWatermarkMs() =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.touchMs + lookbackMs + 1)
+              case _ => if (state.exists) state.remove()
+            }
+            hits.iterator
+          }
+      }
+  }
+
   /** A raised fraud flag. */
   final case class FraudFlag(user_id: Int, n_debits: Long, window_start: Long,
       window_end: Long, total_amount: Double)

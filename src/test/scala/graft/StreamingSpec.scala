@@ -375,6 +375,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("attributionStream: purchases credit the latest prior touch, lookback enforced") {
+    import spark.implicits._
+    val in = MemoryStream[Transaction](spark)
+    val hits = Streaming.attributionStream(spark, in.toDS(),
+      lookbackMs = 3600000L) // 1h lookback for the test
+    val q = Streaming.toMemory(hits.toDF(), "attrib")
+    withQuery(q) {
+      in.addData(
+        txn("c1", 1, 0.0, "click", "2025-01-01 10:00:00"),
+        txn("v1", 1, 0.0, "view", "2025-01-01 10:10:00"),
+        txn("p1", 1, 50.0, "purchase", "2025-01-01 10:30:00"), // credits v1
+        txn("c2", 2, 0.0, "click", "2025-01-01 08:00:00"),
+        txn("p2", 2, 10.0, "purchase", "2025-01-01 10:30:00"), // 2.5h later → no credit
+        txn("p3", 3, 10.0, "purchase", "2025-01-01 10:30:00")) // no touch at all
+      q.processAllAvailable()
+      // state carries ACROSS batches: user 1 purchases again in batch 2
+      in.addData(txn("p4", 1, 20.0, "purchase", "2025-01-01 10:40:00"))
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+      assert(rows.map(_.getAs[String]("purchase_id")).sorted.toSeq === Seq("p1", "p4"))
+      rows.foreach { r =>
+        assert(r.getAs[String]("last_touch_id") === "v1") // v1 is latest touch
+        assert(r.getAs[String]("last_touch_type") === "view")
+      }
+      val p1 = rows.find(_.getAs[String]("purchase_id") == "p1").get
+      assert(p1.getAs[Long]("mins_since_last") === 20L)
+    }
+  }
+
   test("runningBalance accumulates credits minus debits across batches") {
     import spark.implicits._
     val in = MemoryStream[Transaction](spark)
