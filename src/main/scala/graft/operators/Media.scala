@@ -96,6 +96,20 @@ object Media {
           .as("frame_digest"))
   }
 
+  /** Cross-media duplicate-frame detection: frame digests that appear
+    * in MORE THAN ONE media file — the frame-level dedup a multimodal
+    * pipeline runs after sampling (two videos sharing frames are
+    * re-encodes/clips of each other; with a real perceptual hash in
+    * place of the STUB digest, near-identical frames land in the same
+    * group). One map-side-combined hash-agg over the frame relation;
+    * the digest shuffle carries (digest, doc_id), never frame bytes. */
+  def frameDedup(docs: DataFrame): DataFrame =
+    frames(docs)
+      .groupBy(col("frame_digest"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_frames"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") > 1)
+
   /** Typed mapPartitions decode path: batch-iterates binary records per
     * partition (the Scala analog of a batched pandas UDF). The codec is
     * a STUB; the iteration, schema, and partitioning are real. Produces
@@ -120,7 +134,8 @@ object Media {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> ((s, d) => features(Tables.documents(s, d))),
-    "q_media_frames" -> ((s, d) => frames(Tables.documents(s, d))))
+    "q_media_frames" -> ((s, d) => frames(Tables.documents(s, d))),
+    "q_media_dedup" -> ((s, d) => frameDedup(Tables.documents(s, d))))
 
   val oracleSql: Map[String, String] = Map(
     "q_media_features" ->
@@ -140,5 +155,16 @@ object Media {
         "(byte_len // (byte_len % 7 + 1))::BIGINT stride FROM p), " +
         "x AS (SELECT doc_id, text, stride, unnest(range(0, n_frames)) frame_no FROM f) " +
         "SELECT doc_id, frame_no, frame_no * stride AS offset, " +
-        "md5(substr(text, (frame_no * stride + 1)::INT, 16)) AS frame_digest FROM x"))
+        "md5(substr(text, (frame_no * stride + 1)::INT, 16)) AS frame_digest FROM x"),
+    "q_media_dedup" ->
+      ("WITH p AS (SELECT doc_id, text, " +
+        "octet_length(encode(text))::BIGINT byte_len FROM documents), " +
+        "f AS (SELECT doc_id, text, byte_len % 7 + 1 n_frames, " +
+        "(byte_len // (byte_len % 7 + 1))::BIGINT stride FROM p), " +
+        "x AS (SELECT doc_id, text, stride, unnest(range(0, n_frames)) frame_no FROM f), " +
+        "fr AS (SELECT doc_id, " +
+        "md5(substr(text, (frame_no * stride + 1)::INT, 16)) AS frame_digest FROM x) " +
+        "SELECT frame_digest, count(DISTINCT doc_id) AS n_docs, " +
+        "count(*) AS n_frames, min(doc_id) AS first_doc FROM fr GROUP BY 1 " +
+        "HAVING count(DISTINCT doc_id) > 1"))
 }
