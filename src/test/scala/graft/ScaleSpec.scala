@@ -373,6 +373,27 @@ class ScaleSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters: [isnotnull(event_type"), scan)
   }
 
+  test("schema evolution: mergeSchema unions column sets, old rows null-fill") {
+    // a 100 TB lake never rewrites history when a column lands: new
+    // files carry the new column, readers merge footers and null-fill
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    val ev = Tables.events(spark, sf)
+    ev.select(col("event_id"), col("user_id"), col("value"))
+      .write.parquet(s"$dir/batch=1")
+    ev.select(col("event_id"), col("user_id"), col("value"),
+        col("event_type").as("channel"))
+      .write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet === Set("event_id", "user_id", "value", "channel", "batch"))
+    val n = ev.count()
+    assert(merged.count() === 2 * n)
+    assert(merged.filter(col("batch") === 1 && col("channel").isNotNull).count() === 0)
+    assert(merged.filter(col("batch") === 2 && col("channel").isNull).count() === 0)
+    // column pruning still reaches the scan on the merged relation
+    val rs = merged.select(col("event_id")).queryExecution.executedPlan.toString
+    assert(rs.contains("ReadSchema: struct<event_id:bigint>"), rs)
+  }
+
   test("round-5 plan shapes: semantic pairing is an equi-join, zipf fit adds no third exchange") {
     // semanticDedup's within-cluster pairing must plan as an EQUI-join
     // on list_id (shuffle or broadcast), never a cartesian product —
