@@ -718,6 +718,67 @@ object Monitoring {
           .otherwise(0L)).as("n_churned_next"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov amount-drift statistic between the
+    * window's two halves — the distribution-shape sibling of the
+    * binned [[psiDrift]] (KS needs no binning choice and catches
+    * shifts PSI's fixed bins smear). The ECDF gap is EXACT integer
+    * algebra: at every distinct cent value, `|n2·c1 − n1·c2|` (the gap
+    * cross-multiplied by both sample sizes) is a BIGINT, the max is an
+    * integer max, and ONE division produces D.
+    *
+    * Scale: events collapse to one row per distinct cent value in a
+    * map-side-combined agg; the cumulative window runs over that
+    * value-domain table (bounded by the cent domain, not the fact —
+    * same justification as the histogram-quantile sketch), and the
+    * final max is a 1-row agg. */
+  def ksDrift(ev: DataFrame, splitDay: String = "2024-01-16"): DataFrame = {
+    val tagged = ev.select(
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+      when(col("ts") < lit(splitDay).cast("timestamp"), 1L).otherwise(2L).as("s"))
+    val perValue = tagged.groupBy(col("cents"))
+      .agg(sum(when(col("s") === 1L, 1L).otherwise(0L)).as("a1"),
+        sum(when(col("s") === 2L, 1L).otherwise(0L)).as("a2"))
+    val cum = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gaps = perValue
+      .withColumn("c1", sum(col("a1")).over(cum))
+      .withColumn("c2", sum(col("a2")).over(cum))
+    val ns = tagged.agg(
+      sum(when(col("s") === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("s") === 2L, 1L).otherwise(0L)).as("n2"))
+    gaps.crossJoin(broadcast(ns))
+      .agg(max(abs(col("n2") * col("c1") - col("n1") * col("c2"))).as("d_scaled"),
+        first(col("n1")).as("n1"), first(col("n2")).as("n2"))
+      .select(col("n1"), col("n2"), col("d_scaled"),
+        graft.functions.Portable.trunc4(
+          col("d_scaled").cast("double") / (col("n1") * col("n2"))).as("ks_d"))
+  }
+
+  /** Gini concentration of per-user spend — "how unequal is the
+    * volume" in one number, the audit statistic behind heavy-hitter
+    * monitoring. The rank formulation
+    * `G = (2·Σ i·tᵢ − (n+1)·Σt) / (n·Σt)` on ascending cent totals is
+    * exact integer algebra until the one final division; ties order
+    * by user_id so both engines rank identically.
+    *
+    * Scale: the fact collapses to per-user totals in one shuffle; the
+    * rank window runs over |users| rows. */
+  def giniSpend(ev: DataFrame): DataFrame = {
+    val totals = ev.groupBy(col("user_id"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("t"))
+    val ranked = totals.withColumn("i",
+      row_number().over(Window.orderBy(col("t"), col("user_id"))).cast("long"))
+    ranked.agg(count(lit(1)).as("n_users"), sum(col("t")).as("total_cents"),
+        sum(col("i") * col("t")).as("rank_weighted"))
+      .select(col("n_users"), col("total_cents"),
+        (lit(2L) * col("rank_weighted") -
+          (col("n_users") + 1L) * col("total_cents")).as("num"),
+        graft.functions.Portable.trunc4(
+          (lit(2L) * col("rank_weighted") -
+            (col("n_users") + 1L) * col("total_cents")).cast("double") /
+            (col("n_users") * col("total_cents"))).as("gini"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -727,6 +788,8 @@ object Monitoring {
     "q_ts_acf" -> ((s, d) => acfDaily(Tables.events(s, d))),
     "q_ts_trend" -> ((s, d) => trendDaily(Tables.events(s, d))),
     "q_growth_accounting" -> ((s, d) => growthAccounting(Tables.events(s, d))),
+    "q_ks_drift" -> ((s, d) => ksDrift(Tables.events(s, d))),
+    "q_gini_spend" -> ((s, d) => giniSpend(Tables.events(s, d))),
     "q_chi2_audit" -> ((s, d) => chi2Audit(Tables.events(s, d))),
     "q_cohort_retention" -> ((s, d) => cohortRetention(Tables.events(s, d))),
     "q_ts_gapfill" -> ((s, d) => gapFill(Tables.events(s, d))),
@@ -760,6 +823,33 @@ object Monitoring {
         "FROM t JOIN p ON event_type = pt " +
         "WHERE (n * u - s) * (n * u - s) > 9 * (n * q - s * s) " +
         "AND (n * q - s * s) > 0"),
+    "q_ks_drift" ->
+      ("WITH tg AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
+        "CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 2 END AS s FROM events), " +
+        "pv AS (SELECT cents, " +
+        "sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT AS a1, " +
+        "sum(CASE WHEN s = 2 THEN 1 ELSE 0 END)::BIGINT AS a2 FROM tg GROUP BY 1), " +
+        "cm AS (SELECT cents, " +
+        "sum(a1) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS c1, " +
+        "sum(a2) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+        "CURRENT ROW) AS c2 FROM pv), " +
+        "ns AS (SELECT sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT AS n1, " +
+        "sum(CASE WHEN s = 2 THEN 1 ELSE 0 END)::BIGINT AS n2 FROM tg) " +
+        "SELECT n1, n2, max(abs(n2 * c1 - n1 * c2))::BIGINT AS d_scaled, " +
+        "floor(max(abs(n2 * c1 - n1 * c2))::DOUBLE / (n1 * n2) * 10000) / 10000 " +
+        "AS ks_d FROM cm CROSS JOIN ns GROUP BY 1, 2"),
+    "q_gini_spend" ->
+      ("WITH t AS (SELECT user_id, " +
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS t FROM events " +
+        "GROUP BY 1), " +
+        "r AS (SELECT t, row_number() OVER (ORDER BY t, user_id) AS i FROM t), " +
+        "st AS (SELECT count(*) AS n_users, sum(t)::BIGINT AS total_cents, " +
+        "sum(i * t)::BIGINT AS rank_weighted FROM r) " +
+        "SELECT n_users, total_cents, " +
+        "(2 * rank_weighted - (n_users + 1) * total_cents)::BIGINT AS num, " +
+        "floor((2 * rank_weighted - (n_users + 1) * total_cents)::DOUBLE / " +
+        "(n_users * total_cents) * 10000) / 10000 AS gini FROM st"),
     "q_growth_accounting" ->
       ("WITH acts AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events), " +
         "f AS (SELECT *, min(day) OVER (PARTITION BY user_id) AS first_day, " +

@@ -444,6 +444,32 @@ class MonitoringSpec extends SparkSpec {
     assert(s.getAs[Double]("jaccard_est") >= 0.0 && s.getAs[Double]("jaccard_est") <= 1.0)
   }
 
+  test("ksDrift: D bounded in [0,1]; identical halves give D near 0 on a self-split") {
+    val r = Monitoring.ksDrift(Tables.events(spark, sf)).collect().head
+    val d = r.getAs[Double]("ks_d")
+    assert(d >= 0.0 && d <= 1.0)
+    assert(r.getAs[Long]("d_scaled") <=
+      r.getAs[Long]("n1") * r.getAs[Long]("n2"))
+    // stationary generator: the two halves draw from one distribution,
+    // so D should be small (well under the d=0.5 a real shift produces)
+    assert(d < 0.2, s"suspiciously large drift on stationary data: $d")
+  }
+
+  test("giniSpend: bounds hold and the statistic matches a local recompute") {
+    val r = Monitoring.giniSpend(Tables.events(spark, sf)).collect().head
+    val g = r.getAs[Double]("gini")
+    assert(g >= 0.0 && g < 1.0)
+    val totals = Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("t"))
+      .orderBy(col("t"), col("user_id")).collect().map(_.getAs[Long]("t"))
+    val n = totals.length.toLong
+    val tot = totals.sum
+    val rw = totals.zipWithIndex.map { case (t, i) => (i + 1) * t }.sum
+    val expect = math.floor((2 * rw - (n + 1) * tot).toDouble / (n * tot) * 10000) / 10000
+    assert(g === expect)
+  }
+
   test("growthAccounting: active splits into new+returning; new sums to the user count") {
     val r = Monitoring.growthAccounting(Tables.events(spark, sf)).collect()
     assert(r.nonEmpty)
