@@ -801,12 +801,69 @@ object TextOps {
           col("long_docs").cast("double") / col("n_docs")).as("long_ratio"))
   }
 
+  /** Sequence-length distribution in power-of-2 buckets — the
+    * histogram a packing/batching strategy is tuned against (what
+    * fraction of docs exceed the context window; how much padding a
+    * bucket-batching scheme saves). Bucket = floor(log2(n_tokens))
+    * computed as integer BIT LENGTH (no float log to disagree on);
+    * cumulative doc/token shares via a window over the ≤64-row bucket
+    * table; one truncated division per ratio.
+    *
+    * Scale: one scan → |buckets| groups, map-side combined; the
+    * cumulative window runs on the tiny bucket table. */
+  def lengthBuckets(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val bucketed = t
+      .withColumn("bucket", (length(bin(col("n_tokens"))) - 1).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"),
+        min(col("n_tokens")).as("min_tokens"), max(col("n_tokens")).as("max_tokens"))
+    val cum = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = t.agg(count(lit(1)).as("total_docs"), sum(col("n_tokens")).as("total_tokens"))
+    bucketed
+      .withColumn("cum_docs", sum(col("n_docs")).over(cum))
+      .withColumn("cum_tokens", sum(col("tokens")).over(cum))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_docs"), col("tokens"),
+        col("min_tokens"), col("max_tokens"),
+        trunc4(col("cum_docs").cast("double") / col("total_docs")).as("doc_share_le"),
+        trunc4(col("cum_tokens").cast("double") / col("total_tokens")).as("token_share_le"))
+  }
+
+  /** Per-source contamination rate: which SOURCES leak benchmark
+    * n-grams, and how hard — [[decontaminate]] flags documents, this
+    * rolls the flags up to the acquisition decision (a source with a
+    * high contaminated share gets dropped or re-filtered, not patched
+    * doc by doc). Counts are integers; the one division is truncated.
+    *
+    * Scale: reuses the decontaminate shape (bench grams broadcast into
+    * the training-side gram stream), then per-source totals join the
+    * flagged-doc counts on the small (source) key set. */
+  def sourceContamination(docs: DataFrame, n: Int = 5, benchMod: Long = 97L): DataFrame = {
+    val flagged = decontaminate(docs, n, benchMod)
+      .select(col("doc_id"), col("n_hits"))
+    val train = docs.filter(col("doc_id") % benchMod =!= 0)
+      .select(col("doc_id"), col("source"))
+    train.join(flagged, Seq("doc_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_hits").isNotNull, 1L).otherwise(0L)).as("n_contaminated"),
+        sum(coalesce(col("n_hits"), lit(0L))).as("gram_hits"))
+      .select(col("source"), col("n_docs"), col("n_contaminated"), col("gram_hits"),
+        trunc4(col("n_contaminated").cast("double") / col("n_docs")).as("contam_rate"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_familiarity" -> ((s, d) => familiarity(Tables.documents(s, d))),
     "q_text_pmi" -> ((s, d) => pmiCollocations(Tables.documents(s, d))),
     "q_source_report" -> ((s, d) => sourceReport(Tables.documents(s, d))),
+    "q_text_lengths" -> ((s, d) => lengthBuckets(Tables.documents(s, d))),
+    "q_source_contam" -> ((s, d) => sourceContamination(Tables.documents(s, d))),
     "q_text_bpe" -> ((s, d) => bpeStats(Tables.documents(s, d))),
     "q_text_langid" -> ((s, d) => langId(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => quality(Tables.documents(s, d))),
@@ -889,6 +946,42 @@ object TextOps {
     "q_text_termstats" ->
       ("SELECT tok AS token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM " +
         "(SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents) GROUP BY 1"),
+    "q_text_lengths" ->
+      ("WITH t AS (SELECT len(string_split(text, ' '))::BIGINT AS n_tokens " +
+        "FROM documents) , " +
+        "tp AS (SELECT n_tokens FROM t WHERE n_tokens > 0), " +
+        "b AS (SELECT (len(bin(n_tokens)) - 1)::BIGINT AS bucket, " +
+        "count(*) AS n_docs, sum(n_tokens)::BIGINT AS tokens, " +
+        "min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens " +
+        "FROM tp GROUP BY 1), " +
+        "c AS (SELECT *, " +
+        "sum(n_docs) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW) AS cum_docs, " +
+        "sum(tokens) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW) AS cum_tokens FROM b), " +
+        "tot AS (SELECT count(*) AS total_docs, sum(n_tokens)::BIGINT " +
+        "AS total_tokens FROM tp) " +
+        "SELECT bucket, n_docs, tokens, min_tokens, max_tokens, " +
+        "floor(cum_docs::DOUBLE / total_docs * 10000) / 10000 AS doc_share_le, " +
+        "floor(cum_tokens::DOUBLE / total_tokens * 10000) / 10000 AS token_share_le " +
+        "FROM c CROSS JOIN tot"),
+    "q_source_contam" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents), " +
+        "sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tok) - 3), " +
+        "i -> tok[i]||' '||tok[i+1]||' '||tok[i+2]||' '||tok[i+3]||' '||tok[i+4])) s " +
+        "FROM t), " +
+        "gr AS (SELECT doc_id, ('0x'||substr(md5(s),1,15))::BIGINT gh FROM sh), " +
+        "bench AS (SELECT DISTINCT gh FROM gr WHERE doc_id % 97 = 0), " +
+        "fl AS (SELECT gr.doc_id, count(*) AS n_hits FROM gr JOIN bench USING (gh) " +
+        "WHERE gr.doc_id % 97 <> 0 GROUP BY 1), " +
+        "tr AS (SELECT doc_id, source FROM documents WHERE doc_id % 97 <> 0) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "sum(CASE WHEN n_hits IS NOT NULL THEN 1 ELSE 0 END)::BIGINT " +
+        "AS n_contaminated, " +
+        "sum(coalesce(n_hits, 0))::BIGINT AS gram_hits, " +
+        "floor(sum(CASE WHEN n_hits IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / " +
+        "count(*) * 10000) / 10000 AS contam_rate " +
+        "FROM tr LEFT JOIN fl USING (doc_id) GROUP BY 1"),
     "q_text_pmi" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents), " +
         "gi AS (SELECT tok, unnest(range(1, len(tok))) AS i FROM t), " +
