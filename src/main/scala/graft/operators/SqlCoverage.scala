@@ -173,6 +173,81 @@ object SqlCoverage {
         count(lit(1)).as("n_events"), r2(sum(col("value"))).as("sum_value"))
   }
 
+  /** Session market-basket lift: which event-type PAIRS co-occur in a
+    * session beyond what their independent rates predict — the
+    * association-rule screen over sessionized behavior (the retail
+    * "beer and diapers" query, here on event types). Same
+    * gaps-and-islands numbering as [[sessionize]]/[[funnel]];
+    * candidate pairs are bounded by the TYPE domain (k types ⇒ k²/2
+    * pairs per session, never event²). Lift is the PMI-style exact
+    * integer cross `N·c_ab / (n_a·n_b)` with one final division —
+    * no transcendental, no float threshold.
+    *
+    * Scale: one user_id shuffle for the session windows; the distinct
+    * (session, type) collapse is map-side combined; the pair self-join
+    * runs on the collapsed relation with a `<` predicate. */
+  def basketLift(ev: DataFrame, gapMs: Long = 1800000L): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val sessioned = ev.select(col("user_id"), col("ts_ms"), col("event_id"),
+        col("event_type"),
+        when(lag(col("ts_ms"), 1).over(w).isNull ||
+          col("ts_ms") - lag(col("ts_ms"), 1).over(w) > gapMs, 1L)
+          .otherwise(0L).as("new_session"))
+      .withColumn("session_no",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val st = sessioned
+      .select(col("user_id"), col("session_no"), col("event_type")).distinct()
+      .persist()
+    val perType = st.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val total = st.select(col("user_id"), col("session_no")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val pairs = st.as("a")
+      .join(st.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.session_no") === col("b.session_no") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val result = pairs
+      .join(broadcast(perType.select(col("event_type").as("type_a"), col("n_t").as("n_a"))), "type_a")
+      .join(broadcast(perType.select(col("event_type").as("type_b"), col("n_t").as("n_b"))), "type_b")
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("c_ab"), col("n_a"), col("n_b"),
+        graft.functions.Portable.trunc4(
+          (col("n_sessions") * col("c_ab")).cast("double") /
+            (col("n_a") * col("n_b"))).as("lift"))
+      .localCheckpoint(true) // |types|²/2 rows
+    st.unpersist()
+    result
+  }
+
+  /** Equi-depth decile profile of transaction amounts: NTILE(10) over
+    * the exact cent ordering (event_id tiebreak ⇒ both engines bin
+    * identically), then per-decile volume stats and share — the
+    * feature-engineering binning that turns a skewed amount into a
+    * uniform feature, and the table a risk team reads for "where the
+    * money sits". At 100 TB the global NTILE is a range-partitioned
+    * sort (Spark's TakeOrderedAndProject does not apply; the exchange
+    * is rangepartitioning) — the one legitimately sort-bound operator
+    * here, priced accordingly.
+    *
+    * All measures are integer cent sums; shares divide two exact
+    * integers. */
+  def decileStats(ev: DataFrame): DataFrame = {
+    val cents = ev.select(col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val binned = cents.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("cents"), col("event_id"))).cast("long"))
+    val tot = cents.agg(sum(col("cents")).as("total_cents"))
+    binned.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"), sum(col("cents")).as("sum_cents"))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n"), col("min_cents"), col("max_cents"),
+        col("sum_cents"),
+        graft.functions.Portable.trunc4(
+          col("sum_cents").cast("double") / col("total_cents")).as("share"))
+  }
+
   /** Marketing-attribution join: for every purchase, the user's most
     * recent PRIOR touch (click/view) within a lookback window
     * (last-touch credit) and their earliest touch ever (first-touch) —
@@ -420,6 +495,8 @@ object SqlCoverage {
     "q_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
     "q_attribution" -> ((s, d) => attribution(Tables.events(s, d))),
+    "q_basket_lift" -> ((s, d) => basketLift(Tables.events(s, d))),
+    "q_decile_stats" -> ((s, d) => decileStats(Tables.events(s, d))),
     "q_full_outer_join" -> ((s, d) => fullOuterJoin(Tables.customer(s, d), Tables.supplier(s, d))),
     "q_cross_join" -> ((s, d) => crossJoinDims(Tables.region(s, d), Tables.nation(s, d))),
     "q_like_filter" -> ((s, d) => likeFilters(Tables.part(s, d))),
@@ -533,6 +610,37 @@ object SqlCoverage {
         "ORDER BY ts_ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT session_no FROM flagged) " +
         "SELECT user_id, session_no, min(ts_ms) AS session_start_ms, max(ts_ms) AS session_end_ms, " +
         "count(*) AS n_events, round(sum(value), 2) AS sum_value FROM sessioned GROUP BY 1, 2"),
+    "q_basket_lift" ->
+      ("WITH flagged AS (SELECT user_id, epoch_ms(ts) ts_ms, event_id, event_type, " +
+        "CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL " +
+        "OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1 ELSE 0 END " +
+        "AS new_session " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)), " +
+        "sessioned AS (SELECT *, (sum(new_session) OVER (PARTITION BY user_id " +
+        "ORDER BY ts_ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))" +
+        "::BIGINT AS session_no FROM flagged), " +
+        "st AS (SELECT DISTINCT user_id, session_no, event_type FROM sessioned), " +
+        "pt AS (SELECT event_type, count(*) AS n_t FROM st GROUP BY 1), " +
+        "tt AS (SELECT count(*) AS n_sessions FROM " +
+        "(SELECT DISTINCT user_id, session_no FROM st)), " +
+        "pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "count(*) AS c_ab FROM st a JOIN st b ON a.user_id = b.user_id " +
+        "AND a.session_no = b.session_no AND a.event_type < b.event_type " +
+        "GROUP BY 1, 2) " +
+        "SELECT type_a, type_b, c_ab, pa.n_t AS n_a, pb.n_t AS n_b, " +
+        "floor((n_sessions * c_ab)::DOUBLE / (pa.n_t * pb.n_t) * 10000) / 10000 " +
+        "AS lift FROM pr JOIN pt pa ON type_a = pa.event_type " +
+        "JOIN pt pb ON type_b = pb.event_type CROSS JOIN tt"),
+    "q_decile_stats" ->
+      ("WITH c AS (SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) " +
+        "AS cents FROM events), " +
+        "b AS (SELECT cents, ntile(10) OVER (ORDER BY cents, event_id)::BIGINT " +
+        "AS decile FROM c), " +
+        "tot AS (SELECT sum(cents)::BIGINT AS total_cents FROM c) " +
+        "SELECT decile, count(*) AS n, min(cents) AS min_cents, " +
+        "max(cents) AS max_cents, sum(cents)::BIGINT AS sum_cents, " +
+        "floor(sum(cents)::DOUBLE / total_cents * 10000) / 10000 AS share " +
+        "FROM b CROSS JOIN tot GROUP BY 1, total_cents"),
     "q_attribution" ->
       ("WITH stream AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms, " +
         "CASE WHEN event_type IN ('click', 'view') THEN event_id END AS t_id, " +
