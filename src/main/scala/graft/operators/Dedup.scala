@@ -331,6 +331,109 @@ object Dedup {
     incrementalDedup(registry, batch)
   }
 
+  /** Exact shared-substring detection — the "dedup exact substrings,
+    * not documents" pass of modern LM pipelines (Lee et al. 2022 find
+    * verbatim ≥50-token overlaps between otherwise-distinct pages):
+    * for every doc pair, the longest run of CONSECUTIVE shared
+    * 3-shingles, i.e. the longest common token substring. Jaccard /
+    * MinHash miss these (a long quote inside two long distinct pages
+    * moves whole-set similarity barely); this finds them exactly.
+    *
+    * Relational formulation — no suffix array needed: position-stamped
+    * shingle hashes equi-join on the hash, and a shared substring is a
+    * maximal DIAGONAL run of matches (positions advance in lockstep,
+    * so `ia − ib` is constant and `ia` is consecutive). The islands
+    * trick (`ia − row_number()` per (pair, diagonal)) labels each run
+    * in one window pass; run length r shingles = r + 2 shared tokens.
+    *
+    * Scale: shingles ride as (doc_id, pos, 60-bit hash) — never
+    * strings; the occurrence cap (`maxDf`, counting OCCURRENCES, not
+    * docs — repeats inside one doc fan out the join all the same)
+    * bounds the bucket join at Σ df² rows per shingle value, the same
+    * hub guard as containment/triangles (dropped high-df shingles are
+    * boilerplate that cannot anchor a LONG distinctive run; the trade
+    * can clip a run's ends, never split a surviving run — documented).
+    * Match rows ≪ corpus after the cap, so the run window and pair agg
+    * run on the small residue. */
+  def substringRuns(docs: DataFrame, minRun: Long = 10L,
+      maxDf: Long = 50L): DataFrame = {
+    val g = shingleRows(spread(docs), n = 3)
+      .select(col("doc_id"), col("i"), hash60(col("s")).as("sh"))
+    val kept = g.withColumn("d", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("d") <= maxDf)
+      .select(col("doc_id"), col("i"), col("sh"))
+      .persist() // both arms of the match join
+    val m = kept.as("a").join(kept.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.i").as("ia"), col("b.i").as("ib"))
+    val byDiag = Window.partitionBy(col("a_id"), col("b_id"), col("diag"))
+      .orderBy(col("ia"))
+    val runs = m.withColumn("diag", col("ia") - col("ib"))
+      .withColumn("grp", col("ia") - row_number().over(byDiag))
+      .groupBy(col("a_id"), col("b_id"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run_shingles"))
+      .filter(col("run_shingles") >= minRun)
+    val result = runs.groupBy(col("a_id"), col("b_id"))
+      .agg((max(col("run_shingles")) + 2).as("max_run_tokens"),
+        count(lit(1)).as("n_runs"),
+        (sum(col("run_shingles")) + count(lit(1)) * 2).as("total_tokens"))
+      .localCheckpoint(true) // qualifying pairs ≪ corpus; releases kept
+    kept.unpersist()
+    result
+  }
+
+  /** MinHash fidelity audit — the dedup sibling of the ANN recall
+    * query: for every LSH candidate pair (the SAME 4×4 banding as
+    * [[minhashLsh]]), the signature's Jaccard ESTIMATE (matching
+    * positions / 16) next to the exact shingle-set Jaccard, plus the
+    * absolute error. This is the number a pipeline owner reads to size
+    * the signature (16 longs ⇒ ±1/√16 ≈ 0.25 std error) before
+    * trusting band thresholds at 100 TB — measured on live data, not
+    * quoted from the paper.
+    *
+    * Engine-exact: the match count is an integer sum of position
+    * equalities; estimate and Jaccard are single divisions of exact
+    * integers, so the truncated outputs agree bit-for-bit with the
+    * oracle. Same scale shape as [[minhashLsh]]: signatures feed the
+    * band join, exact sets are re-shingled for CANDIDATE docs only. */
+  def minhashEstimateAudit(docs: DataFrame): DataFrame = {
+    val sig = signatures(docs).persist()
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", (0 until 4).map(i => element_at(col("sig"), 4 * b + i + 1)): _*)).as("bkey"))
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct().persist()
+    val candIds = cand.select(col("a_id").as("doc_id"))
+      .unionByName(cand.select(col("b_id").as("doc_id"))).distinct()
+    val sets = docs.join(candIds, "doc_id")
+      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")))).as("sd"))
+    val sa = sig.join(sets, "doc_id")
+      .select(col("doc_id").as("a_id"), col("sig").as("siga"), col("sd").as("sda"))
+    val sb = sig.join(sets, "doc_id")
+      .select(col("doc_id").as("b_id"), col("sig").as("sigb"), col("sd").as("sdb"))
+    val matches = (0 until 16).map { h =>
+      when(element_at(col("siga"), h + 1) === element_at(col("sigb"), h + 1),
+        lit(1L)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val result = cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("matches", matches)
+      .withColumn("est", col("matches").cast("double") / 16d)
+      .withColumn("jac", jaccard(col("sda"), col("sdb")))
+      .select(col("a_id"), col("b_id"), col("matches"),
+        trunc4(col("est")).as("estimate"), trunc4(col("jac")).as("jaccard"),
+        trunc4(abs(col("est") - col("jac"))).as("abs_err"))
+      .localCheckpoint(true)
+    sig.unpersist(); cand.unpersist()
+    result
+  }
+
   /** Deterministic hash sampling: a reproducible ~pct% sample keyed on
     * the document id (portable across engines and runs, unlike
     * rand()-based sample()). */
@@ -464,6 +567,8 @@ object Dedup {
     "q_dedup_incremental" -> ((s, d) => incrementalAudit(Tables.documents(s, d))),
     "q_dedup_fuzzy_edit" -> ((s, d) => fuzzyEditPairs(Tables.documents(s, d))),
     "q_dedup_containment" -> ((s, d) => containmentPairs(Tables.documents(s, d))),
+    "q_dedup_substring" -> ((s, d) => substringRuns(Tables.documents(s, d))),
+    "q_minhash_audit" -> ((s, d) => minhashEstimateAudit(Tables.documents(s, d))),
     "q_hash_sample" -> ((s, d) => hashSample(Tables.documents(s, d))))
 
   private val sigCte = {
@@ -483,13 +588,18 @@ object Dedup {
       |  FROM h, range(0,60) r(b) GROUP BY 1,2),
       |fp AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash FROM bits GROUP BY doc_id)""".stripMargin.replace("\n", " ")
 
-  /** LSH candidate pairs + verified Jaccard, shared by minhash_lsh and
-    * clusters (which extends it with a recursive closure). */
-  private val pairsCte =
+  /** LSH band candidate pairs over `sig` (no verification), shared by
+    * the pair/cluster oracles and the estimate audit. */
+  private val candCte =
     ", bands AS (SELECT doc_id, b, md5(g[4*b+1]::VARCHAR||','||g[4*b+2]::VARCHAR||','||" +
       "g[4*b+3]::VARCHAR||','||g[4*b+4]::VARCHAR) bkey FROM sig, range(0,4) r(b)), " +
       "cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id FROM bands x JOIN bands y " +
-      "ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id), " +
+      "ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)"
+
+  /** LSH candidate pairs + verified Jaccard, shared by minhash_lsh and
+    * clusters (which extends it with a recursive closure). */
+  private val pairsCte =
+    candCte + ", " +
       "j AS (SELECT a_id, b_id, len(list_intersect(sa.sd, sb.sd))::DOUBLE / " +
       "(len(sa.sd) + len(sb.sd) - len(list_intersect(sa.sd, sb.sd))) jac " +
       "FROM cand JOIN sig sa ON cand.a_id = sa.doc_id JOIN sig sb ON cand.b_id = sb.doc_id), " +
@@ -570,6 +680,35 @@ object Dedup {
         "bit_count(xor(x.simhash, y.simhash))::BIGINT hd FROM bands x JOIN bands y " +
         "ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id) " +
         "SELECT a_id, b_id, hd FROM cand WHERE hd <= 3"),
+    "q_dedup_substring" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents), " +
+        "gi AS (SELECT doc_id, tok, unnest(range(1, len(tok) - 1)) AS i FROM t), " +
+        "g AS (SELECT doc_id, i - 1 AS i, ('0x' || substr(md5(" +
+        "tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2]), 1, 15))::BIGINT AS sh " +
+        "FROM gi), " +
+        "kept AS (SELECT doc_id, i, sh FROM (SELECT doc_id, i, sh, " +
+        "count(*) OVER (PARTITION BY sh) AS d FROM g) t WHERE d <= 50), " +
+        "m AS (SELECT a.doc_id a_id, b.doc_id b_id, a.i ia, b.i ib " +
+        "FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id), " +
+        "lab AS (SELECT a_id, b_id, ia - ib AS diag, " +
+        "ia - row_number() OVER (PARTITION BY a_id, b_id, ia - ib ORDER BY ia) AS grp " +
+        "FROM m), " +
+        "runs AS (SELECT a_id, b_id, count(*) AS r FROM lab " +
+        "GROUP BY a_id, b_id, diag, grp HAVING count(*) >= 10) " +
+        "SELECT a_id, b_id, max(r) + 2 AS max_run_tokens, count(*) AS n_runs, " +
+        "sum(r) + 2 * count(*) AS total_tokens FROM runs GROUP BY a_id, b_id"),
+    "q_minhash_audit" ->
+      (sigCte + candCte + ", sc AS (SELECT cand.a_id, cand.b_id, " +
+        (1 to 16).map(h => s"(CASE WHEN sa.g[$h] = sb.g[$h] THEN 1 ELSE 0 END)")
+          .mkString("(", " + ", ")::BIGINT AS matches, ") +
+        "len(list_intersect(sa.sd, sb.sd))::DOUBLE / " +
+        "(len(sa.sd) + len(sb.sd) - len(list_intersect(sa.sd, sb.sd))) AS jac " +
+        "FROM cand JOIN sig sa ON cand.a_id = sa.doc_id " +
+        "JOIN sig sb ON cand.b_id = sb.doc_id) " +
+        "SELECT a_id, b_id, matches, " +
+        "floor(matches / 16.0 * 10000) / 10000 AS estimate, " +
+        "floor(jac * 10000) / 10000 AS jaccard, " +
+        "floor(abs(matches / 16.0 - jac) * 10000) / 10000 AS abs_err FROM sc"),
     "q_dedup_ngram_topk" ->
       (sigCte + ", q AS (SELECT doc_id q_id, sd sq FROM sig WHERE doc_id IN (0, 8, 285)), " +
         "scored AS (SELECT q_id, doc_id, len(list_intersect(sq, sd))::DOUBLE / " +

@@ -52,6 +52,58 @@ class OperatorsSpec extends SparkSpec {
     assert(top.head.getAs[Double]("jaccard") > 0.5)
   }
 
+  test("Dedup.substringRuns: finds the shared token run, exact length, no cross-pair noise") {
+    import spark.implicits._
+    // docs 0/1 share the 12-token run "w1 .. w12" embedded in distinct
+    // surroundings; doc 2 shares nothing that long
+    val run = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"alpha beta gamma $run delta epsilon zeta", "en", "s0", 1L),
+      (1L, s"one two three four $run five six seven eight", "en", "s0", 1L),
+      (2L, "totally unrelated text with nothing shared at all here", "en", "s1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Dedup.substringRuns(docs, minRun = 5L).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("a_id") === 0L && row.getAs[Long]("b_id") === 1L)
+    // 12 shared tokens = 10 consecutive 3-shingles = run of 10 ⇒ 10+2
+    assert(row.getAs[Long]("max_run_tokens") === 12L)
+    assert(row.getAs[Long]("n_runs") === 1L)
+  }
+
+  test("Dedup.substringRuns: two disjoint runs counted separately, not merged") {
+    import spark.implicits._
+    val r1 = (1 to 8).map(i => s"x$i").mkString(" ")
+    val r2 = (1 to 8).map(i => s"y$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$r1 unique middle marker tokens $r2", "en", "s0", 1L),
+      (1L, s"other start $r2 different bridge words entirely $r1 tail end", "en", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val row = Dedup.substringRuns(docs, minRun = 4L).collect().head
+    assert(row.getAs[Long]("n_runs") === 2L)
+    // each 8-token run = 6 shingles ⇒ max 6+2 = 8 tokens
+    assert(row.getAs[Long]("max_run_tokens") === 8L)
+    assert(row.getAs[Long]("total_tokens") === 16L)
+  }
+
+  test("Dedup.minhashEstimateAudit: estimate brackets exact jaccard on candidates") {
+    val rows = Dedup.minhashEstimateAudit(docsDF).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getAs[Long]("matches")
+      assert(m >= 0L && m <= 16L)
+      assert(math.abs(r.getAs[Double]("estimate") - m / 16.0) < 1e-4)
+      val err = r.getAs[Double]("abs_err")
+      assert(err >= 0.0 && err <= 1.0)
+    }
+    // the planted near-identical pair (0,1) must be a candidate with a
+    // high signature estimate AND high exact jaccard
+    val nd = rows.find(r => r.getAs[Long]("a_id") == 0L && r.getAs[Long]("b_id") == 1L)
+    assert(nd.nonEmpty)
+    assert(nd.get.getAs[Long]("matches") >= 10L)
+    assert(nd.get.getAs[Double]("jaccard") > 0.5)
+  }
+
   test("Dedup.simhashPairs: near-identical docs within hamming 3, distinct doc far") {
     val pairs = Dedup.simhashPairs(docsDF, maxHamming = 10)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
