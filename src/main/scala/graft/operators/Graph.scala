@@ -213,14 +213,69 @@ object Graph {
     result
   }
 
+  /** HITS hub/authority over the bipartite user–merchant graph: a
+    * merchant's authority is the sum of its users' hub scores, a
+    * user's hub score the sum of their merchants' authorities —
+    * [[pageRank]]'s mutual-reinforcement sibling, and the score pair
+    * an investigator reads differently ("this merchant attracts
+    * high-fan-out users" vs "this user touches high-traffic
+    * merchants").
+    *
+    * Engine-exact iteration: scores are integers scaled by S = 2^20
+    * and every half-step renormalizes BY THE MAXIMUM (an integer
+    * `x·S div max`, not the float L2 norm of the textbook — same
+    * ranking, zero transcendentals), so partial-agg merge order
+    * cannot move a bit and the oracle replays the recurrence. A
+    * product never exceeds S·S·degree = 2^40·deg — overflow-safe
+    * while any node's degree stays under 2^23.
+    *
+    * Scale: the edge list is the DISTINCT (user, merchant) relation —
+    * one hash-agg over the log; each half-step is one equi-join +
+    * hash-agg on that slim relation plus a 1-row broadcast max. */
+  def hits(ev: DataFrame, iters: Int = 2): DataFrame = {
+    val e = userMerchant(ev).filter(col("m").isNotNull)
+      .select(col("user_id").as("u"), col("m").cast("long").as("m"))
+      .distinct()
+      .localCheckpoint(true) // consumed 2× per iteration; cuts loop lineage
+    var hub = e.select(col("u")).distinct().withColumn("h", lit(S))
+    var auth: DataFrame = hub // placeholder; iters >= 1 always reassigns
+    for (_ <- 0 until iters) {
+      val a0 = e.join(hub, "u").groupBy(col("m")).agg(sum(col("h")).as("a0"))
+      val am = a0.agg(max(col("a0")).as("am"))
+      auth = a0.crossJoin(broadcast(am))
+        .select(col("m"), expr(s"a0 * $S div am").as("a"))
+        .localCheckpoint(true)
+      val h0 = e.join(auth, "m").groupBy(col("u")).agg(sum(col("a")).as("h0"))
+      val hm = h0.agg(max(col("h0")).as("hm"))
+      hub = h0.crossJoin(broadcast(hm))
+        .select(col("u"), expr(s"h0 * $S div hm").as("h"))
+        .localCheckpoint(true)
+    }
+    hub.select(lit("user").as("role"), col("u").as("id"), col("h").as("score_scaled"))
+      .unionByName(auth.select(lit("merchant").as("role"), col("m").as("id"),
+        col("a").as("score_scaled")))
+      .withColumn("score", graft.functions.Portable.trunc6(
+        col("score_scaled").cast("double") / S))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_hits" -> ((s, d) => hits(Tables.events(s, d))),
     "q_graph_pagerank" -> ((s, d) => pageRank(Tables.events(s, d))),
     "q_graph_degree" -> ((s, d) => bipartiteDegrees(Tables.events(s, d))),
     "q_graph_jaccard" -> ((s, d) => merchantJaccard(Tables.events(s, d))),
     "q_fraud_rings" -> ((s, d) => fraudRings(Tables.events(s, d))),
     "q_graph_triangles" -> ((s, d) => triangles(Tables.events(s, d))))
+
+  /** One HITS iteration unrolled as SQL CTEs (hb(i-1) → au(i), hb(i)). */
+  private def hitsIterSql(i: Int): String =
+    s"a$i AS (SELECT m, sum(h)::BIGINT AS a0 FROM b JOIN hb${i - 1} USING (u) GROUP BY 1), " +
+      s"am$i AS (SELECT max(a0) AS am FROM a$i), " +
+      s"au$i AS (SELECT m, a0 * $S // am AS a FROM a$i CROSS JOIN am$i), " +
+      s"hh$i AS (SELECT u, sum(a)::BIGINT AS h0 FROM b JOIN au$i USING (m) GROUP BY 1), " +
+      s"hm$i AS (SELECT max(h0) AS hm FROM hh$i), " +
+      s"hb$i AS (SELECT u, h0 * $S // hm AS h FROM hh$i CROSS JOIN hm$i)"
 
   /** The identical recurrence unrolled as SQL CTEs (r0 → r3). */
   private def iterSql(i: Int): String =
@@ -231,6 +286,16 @@ object Graph {
       s"FROM nodes n CROSS JOIN nc nn LEFT JOIN contrib$i c ON c.dst = n.node)"
 
   val oracleSql: Map[String, String] = Map(
+    "q_graph_hits" ->
+      ("WITH b AS (SELECT DISTINCT user_id AS u, " +
+        "CAST(json_extract_string(props, '$.k') AS INT)::BIGINT AS m FROM events " +
+        "WHERE json_extract_string(props, '$.k') IS NOT NULL), " +
+        s"hb0 AS (SELECT DISTINCT u, ${S}::BIGINT AS h FROM b), " +
+        (1 to 2).map(hitsIterSql).mkString(", ") + " " +
+        s"SELECT 'user' AS role, u AS id, h AS score_scaled, " +
+        s"floor(h::DOUBLE / $S * 1000000) / 1000000 AS score FROM hb2 " +
+        "UNION ALL SELECT 'merchant', m, a, " +
+        s"floor(a::DOUBLE / $S * 1000000) / 1000000 FROM au2"),
     "q_graph_degree" ->
       ("WITH b AS (SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS m, " +
         "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events) " +

@@ -779,9 +779,43 @@ object Monitoring {
             (col("n_users") * col("total_cents"))).as("gini"))
   }
 
+  /** RFM segmentation — the classic customer-value grid: per user,
+    * Recency (days since last activity, vs the corpus's last day),
+    * Frequency (event count), Monetary (cent volume), each scored into
+    * quintiles (1 = best: most recent / most frequent / highest spend)
+    * and combined into the 3-digit segment code (111 = champions,
+    * 555 = lost). The `user_id` tiebreak makes every quintile boundary
+    * deterministic, so both engines bin identically.
+    *
+    * Scale shape: ONE hash-aggregate collapses the event log to a row
+    * per user; the three NTILE windows then sort that collapsed
+    * relation — the same sort-bound posture as the amount deciles
+    * ([[SqlCoverage.decileStats]]), priced per |users|, not per event.
+    * At 10⁹ users the assignment would switch to broadcast quintile
+    * BOUNDARIES from the histogram-sketch path (q_approx_quantile's
+    * machinery) — documented trade, not needed at this corpus. */
+  def rfm(ev: DataFrame): DataFrame = {
+    val per = ev.groupBy(col("user_id")).agg(
+      max(to_date(col("ts"))).as("last_day"),
+      count(lit(1)).as("freq"),
+      sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+    val anchor = per.agg(max(col("last_day")).as("corpus_day"))
+    val base = per.crossJoin(broadcast(anchor))
+      .withColumn("recency_days", datediff(col("corpus_day"), col("last_day")).cast("long"))
+    base.select(col("user_id"), col("recency_days"), col("freq"), col("cents"),
+        ntile(5).over(Window.orderBy(col("recency_days"), col("user_id")))
+          .cast("long").as("r"),
+        ntile(5).over(Window.orderBy(col("freq").desc, col("user_id")))
+          .cast("long").as("f"),
+        ntile(5).over(Window.orderBy(col("cents").desc, col("user_id")))
+          .cast("long").as("m"))
+      .withColumn("segment", col("r") * 100L + col("f") * 10L + col("m"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm" -> ((s, d) => rfm(Tables.events(s, d))),
     "q_psi_drift" -> ((s, d) => psiDrift(Tables.events(s, d))),
     "q_cusum_volume" -> ((s, d) => cusumVolume(Tables.events(s, d))),
     "q_peer_anomaly" -> ((s, d) => peerAnomaly(Tables.events(s, d))),
@@ -810,6 +844,19 @@ object Monitoring {
     "q_flag_summary" -> ((s, d) => flagSummary(Tables.events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_rfm" ->
+      ("WITH per AS (SELECT user_id, max(ts::DATE) AS last_day, count(*) AS freq, " +
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents " +
+        "FROM events GROUP BY 1), " +
+        "a AS (SELECT max(last_day) AS corpus_day FROM per), " +
+        "s AS (SELECT user_id, (corpus_day - last_day)::BIGINT AS recency_days, " +
+        "freq, cents, " +
+        "ntile(5) OVER (ORDER BY corpus_day - last_day, user_id)::BIGINT AS r, " +
+        "ntile(5) OVER (ORDER BY freq DESC, user_id)::BIGINT AS f, " +
+        "ntile(5) OVER (ORDER BY cents DESC, user_id)::BIGINT AS m " +
+        "FROM per CROSS JOIN a) " +
+        "SELECT user_id, recency_days, freq, cents, r, f, m, " +
+        "r * 100 + f * 10 + m AS segment FROM s"),
     "q_peer_anomaly" ->
       ("WITH t AS (SELECT event_type, user_id, " +
         "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS u " +

@@ -455,6 +455,29 @@ class MonitoringSpec extends SparkSpec {
     assert(d < 0.2, s"suspiciously large drift on stationary data: $d")
   }
 
+  test("rfm: one row per user, balanced quintiles, best scores land on the extremes") {
+    val rows = Monitoring.rfm(Tables.events(spark, sf)).collect()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(rows.length.toLong === nUsers)
+    rows.foreach { r =>
+      Seq("r", "f", "m").foreach { c =>
+        val v = r.getAs[Long](c); assert(v >= 1L && v <= 5L)
+      }
+      assert(r.getAs[Long]("segment") ===
+        r.getAs[Long]("r") * 100 + r.getAs[Long]("f") * 10 + r.getAs[Long]("m"))
+    }
+    // ntile balance: group sizes differ by at most 1 per dimension
+    Seq("r", "f", "m").foreach { c =>
+      val sizes = rows.groupBy(_.getAs[Long](c)).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1, s"unbalanced $c quintiles: $sizes")
+    }
+    // the highest spender must be scored m=1, the top-frequency user f=1
+    val topSpend = rows.maxBy(_.getAs[Long]("cents"))
+    assert(topSpend.getAs[Long]("m") === 1L)
+    val topFreq = rows.maxBy(_.getAs[Long]("freq"))
+    assert(topFreq.getAs[Long]("f") === 1L)
+  }
+
   test("giniSpend: bounds hold and the statistic matches a local recompute") {
     val r = Monitoring.giniSpend(Tables.events(spark, sf)).collect().head
     val g = r.getAs[Double]("gini")

@@ -695,6 +695,28 @@ class OperatorsSpec extends SparkSpec {
     assert(operators.Graph.triangles(ev, maxCell = 2L).isEmpty)
   }
 
+  test("Graph.hits: max-normalized scores, authority follows hub mass") {
+    import spark.implicits._
+    // user 1 → {5, 6}, user 2 → {5}, user 3 → {7}: merchant 5 collects
+    // two hubs (top authority), 6 rides the strong hub 1, 7 only the
+    // weak hub 3; user 1 is the top hub
+    val ev = Seq(
+      (1L, 1L, """{"k": 5}"""), (2L, 1L, """{"k": 6}"""),
+      (3L, 2L, """{"k": 5}"""), (4L, 3L, """{"k": 7}"""))
+      .toDF("event_id", "user_id", "props")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+      .withColumn("value", lit(1.0))
+    val r = operators.Graph.hits(ev).collect()
+      .map(x => (x.getAs[String]("role"), x.getAs[Long]("id")) ->
+        x.getAs[Long]("score_scaled")).toMap
+    val S = operators.Graph.S
+    assert(r(("merchant", 5L)) === S) // renormalized max each half-step
+    assert(r(("user", 1L)) === S)
+    assert(r(("merchant", 6L)) > r(("merchant", 7L)))
+    assert(r(("user", 2L)) > r(("user", 3L)))
+    assert(r.values.forall(v => v >= 0L && v <= S))
+  }
+
   test("Graph.bipartiteDegrees: fan-in/fan-out and cent volumes reconcile") {
     import spark.implicits._
     val ev = Seq(
