@@ -291,6 +291,26 @@ object Dedup {
   def simhashClusters(docs: DataFrame, maxHamming: Int = 3): DataFrame =
     components(simhashPairs(docs, maxHamming))
 
+  /** Dedup-savings report — the number a pipeline owner actually asks
+    * for after a dedup run: the cluster-size histogram plus, per size,
+    * how many documents sit in clusters and how many a keep-one policy
+    * removes, next to the corpus total. One extra pair of hash
+    * aggregates over [[minhashClusters]]' (doc_id, cluster_id) output
+    * (tiny: only docs in some near-dup pair appear), so the cost is
+    * the cluster pipeline itself plus noise. */
+  def clusterReport(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sizes = minhashClusters(docs, threshold)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    val tot = docs.agg(count(lit(1)).as("n_docs"))
+    sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(tot))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("docs_in_clusters"),
+        ((col("cluster_size") - 1L) * col("n_clusters")).as("docs_removed"),
+        col("n_docs"))
+  }
+
   /** Offset for the demo batch's planted copies — 2^41, above any real
     * doc_id (same rationale as TextOps.PerturbOffset). */
   val CopyOffset: Long = 1L << 41
@@ -568,6 +588,7 @@ object Dedup {
     "q_dedup_fuzzy_edit" -> ((s, d) => fuzzyEditPairs(Tables.documents(s, d))),
     "q_dedup_containment" -> ((s, d) => containmentPairs(Tables.documents(s, d))),
     "q_dedup_substring" -> ((s, d) => substringRuns(Tables.documents(s, d))),
+    "q_dedup_report" -> ((s, d) => clusterReport(Tables.documents(s, d))),
     "q_minhash_audit" -> ((s, d) => minhashEstimateAudit(Tables.documents(s, d))),
     "q_hash_sample" -> ((s, d) => hashSample(Tables.documents(s, d))))
 
@@ -595,6 +616,14 @@ object Dedup {
       "g[4*b+3]::VARCHAR||','||g[4*b+4]::VARCHAR) bkey FROM sig, range(0,4) r(b)), " +
       "cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id FROM bands x JOIN bands y " +
       "ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)"
+
+  /** Connected-components closure over `pairs` (recursive CTE), shared
+    * by the cluster and cluster-report oracles. */
+  private val closureCte =
+    ", edges AS (SELECT a_id s, b_id d FROM pairs UNION SELECT b_id, a_id FROM pairs), " +
+      "nodes AS (SELECT DISTINCT s AS id FROM edges), " +
+      "reach(node, root) AS (SELECT id, id FROM nodes " +
+      "UNION SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.node)"
 
   /** LSH candidate pairs + verified Jaccard, shared by minhash_lsh and
     * clusters (which extends it with a recursive closure). */
@@ -631,12 +660,18 @@ object Dedup {
       (sigCte + pairsCte +
         " SELECT a_id, b_id, floor(jac * 10000) / 10000 AS jaccard FROM pairs"),
     "q_dedup_clusters" ->
-      (sigCte.replaceFirst("WITH ", "WITH RECURSIVE ") + pairsCte +
-        ", edges AS (SELECT a_id s, b_id d FROM pairs UNION SELECT b_id, a_id FROM pairs), " +
-        "nodes AS (SELECT DISTINCT s AS id FROM edges), " +
-        "reach(node, root) AS (SELECT id, id FROM nodes " +
-        "UNION SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.node) " +
-        "SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node"),
+      (sigCte.replaceFirst("WITH ", "WITH RECURSIVE ") + pairsCte + closureCte +
+        " SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node"),
+    "q_dedup_report" ->
+      (sigCte.replaceFirst("WITH ", "WITH RECURSIVE ") + pairsCte + closureCte +
+        ", cls AS (SELECT node AS doc_id, min(root) AS cluster_id " +
+        "FROM reach GROUP BY node), " +
+        "sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cls GROUP BY 1), " +
+        "tot AS (SELECT count(*) AS n_docs FROM documents) " +
+        "SELECT cluster_size, count(*) AS n_clusters, " +
+        "(cluster_size * count(*))::BIGINT AS docs_in_clusters, " +
+        "((cluster_size - 1) * count(*))::BIGINT AS docs_removed, n_docs " +
+        "FROM sz CROSS JOIN tot GROUP BY cluster_size, n_docs"),
     "q_hash_sample" ->
       ("SELECT doc_id, lang, n_chars FROM documents " +
         "WHERE ('0x'||substr(md5('sample|'||doc_id),1,15))::BIGINT % 100 < 10"),

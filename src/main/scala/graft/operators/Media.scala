@@ -110,6 +110,23 @@ object Media {
         count(lit(1)).as("n_frames"), min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") > 1)
 
+  /** Media-corpus report card — the per-modality screen a curator reads
+    * before mixing media into a training set: file count, byte volume,
+    * frame mass, exact-duplicate payloads (distinct digests vs files),
+    * and the stub-decoded dimension range. One hash-agg over
+    * [[features]]' single-scan projection; every measure is an integer,
+    * so partial-agg merge order cannot move a bit. */
+  def mediaReport(docs: DataFrame): DataFrame =
+    features(docs).groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("byte_len")).as("total_bytes"),
+        max(col("byte_len")).as("max_bytes"),
+        sum(col("n_frames")).as("total_frames"),
+        countDistinct(col("digest")).as("n_distinct"),
+        min(col("width")).as("min_width"),
+        max(col("width")).as("max_width"))
+      .withColumn("dup_files", col("n_files") - col("n_distinct"))
+
   /** Typed mapPartitions decode path: batch-iterates binary records per
     * partition (the Scala analog of a batched pandas UDF). The codec is
     * a STUB; the iteration, schema, and partitioning are real. Produces
@@ -135,7 +152,8 @@ object Media {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> ((s, d) => features(Tables.documents(s, d))),
     "q_media_frames" -> ((s, d) => frames(Tables.documents(s, d))),
-    "q_media_dedup" -> ((s, d) => frameDedup(Tables.documents(s, d))))
+    "q_media_dedup" -> ((s, d) => frameDedup(Tables.documents(s, d))),
+    "q_media_report" -> ((s, d) => mediaReport(Tables.documents(s, d))))
 
   val oracleSql: Map[String, String] = Map(
     "q_media_features" ->
@@ -156,6 +174,20 @@ object Media {
         "x AS (SELECT doc_id, text, stride, unnest(range(0, n_frames)) frame_no FROM f) " +
         "SELECT doc_id, frame_no, frame_no * stride AS offset, " +
         "md5(substr(text, (frame_no * stride + 1)::INT, 16)) AS frame_digest FROM x"),
+    "q_media_report" ->
+      ("WITH p AS (SELECT doc_id, text, CASE WHEN doc_id % 3 = 0 THEN 'image' " +
+        "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END media_type, " +
+        "encode(text) AS payload FROM documents), " +
+        "m AS (SELECT doc_id, media_type, octet_length(payload)::BIGINT byte_len, " +
+        "md5(text) digest FROM p), " +
+        "h AS (SELECT *, ('0x'||substr(md5(digest),1,15))::BIGINT hv FROM m), " +
+        "f AS (SELECT media_type, byte_len, digest, " +
+        "16 + (hv % 1905) AS width, byte_len % 7 + 1 AS n_frames FROM h) " +
+        "SELECT media_type, count(*) AS n_files, sum(byte_len)::BIGINT AS total_bytes, " +
+        "max(byte_len) AS max_bytes, sum(n_frames)::BIGINT AS total_frames, " +
+        "count(DISTINCT digest) AS n_distinct, min(width) AS min_width, " +
+        "max(width) AS max_width, " +
+        "count(*) - count(DISTINCT digest) AS dup_files FROM f GROUP BY 1"),
     "q_media_dedup" ->
       ("WITH p AS (SELECT doc_id, text, " +
         "octet_length(encode(text))::BIGINT byte_len FROM documents), " +

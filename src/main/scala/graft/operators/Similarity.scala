@@ -423,11 +423,29 @@ object Similarity {
     cents.localCheckpoint(true)
   }
 
+  /** All PqM codebooks, trained CONCURRENTLY: the subspaces are
+    * independent, but each training chain is a sequence of small eager
+    * jobs (seed → Lloyd step → checkpoint), so running them back to
+    * back makes the PQ build stage-LATENCY-bound — wall time barely
+    * moves between sf0.001 and sf0.1 (measured ~7 s both). Submitting
+    * the four chains from separate threads lets the scheduler overlap
+    * their stages (standard concurrent-jobs practice on a shared
+    * SparkSession); results are per-subspace checkpoints, so
+    * determinism is untouched. */
+  private def pqCodebooks(v: DataFrame): IndexedSeq[DataFrame] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (0 until PqM).map(m => Future(pqCodebook(v, m)))
+    fs.map(Await.result(_, Duration.Inf))
+  }
+
   def pqEncode(emb: DataFrame): DataFrame = {
     val v = withEmbD(emb).persist() // PqM training + encode passes
+    val cbs = pqCodebooks(v)
     val parts = (0 until PqM).map { m =>
       val vm = pqSlice(v, m)
-      val c = pqCodebook(v, m)
+      val c = cbs(m)
       vm.crossJoin(broadcast(c))
         .select(col("vec_id"), col("cid"),
           trunc4(NativeVector.cosine(col("e"), col("ce"))).as("ccos"))
@@ -459,9 +477,10 @@ object Similarity {
     * reconstructed approximate dot product for human eyes. */
   def adcTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
     val v = withEmbD(emb).persist() // PqM training + code + lut passes
+    val cbs = pqCodebooks(v)
     val parts = (0 until PqM).map { m =>
       val vm = pqSlice(v, m)
-      val c = pqCodebook(v, m)
+      val c = cbs(m)
       val codes = vm.crossJoin(broadcast(c))
         .select(col("vec_id"), col("cid"),
           trunc4(NativeVector.cosine(col("e"), col("ce"))).as("ccos"))
@@ -579,6 +598,43 @@ object Similarity {
       .localCheckpoint(true) // |labels|²/2 rows
     s.unpersist()
     result
+  }
+
+  /** Embedding data-quality audit — the pre-flight before any vector
+    * work (index build, dedup, drift): per label, the vector count,
+    * the dimension range (min ≠ max exposes ragged inputs that would
+    * break every dot product downstream), the all-zero-vector count
+    * (zero vectors have no direction — cosine against them is
+    * undefined and an upstream encoder bug), and the quantized
+    * squared-norm range/total (collapsed or exploding norms flag a
+    * mis-scaled encoder).
+    *
+    * Merge-order-exact by the [[vecDrift]] trick: dims quantize under
+    * ONE global symmetric scale and each vector's squared norm is an
+    * exact BIGINT, so min/max/sum commute. Everything per-vector is a
+    * higher-order fold inside the scan projection — no explode, no
+    * per-dim shuffle; the only exchange is the tiny label rollup. */
+  def vectorDq(emb: DataFrame): DataFrame = {
+    val v = graft.functions.Portable.spread(emb, col("vec_id"))
+      .select(col("label"), col("embedding").as("e"))
+    val gs = v.agg((max(aggregate(col("e"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x)))) / 127.0).as("gs"))
+    val qv = (x: Column) => greatest(lit(-127L), least(lit(127L),
+      floor(x / col("gs") + 0.5).cast("long")))
+    val per = v.crossJoin(broadcast(gs))
+      .select(col("label"),
+        size(col("e")).cast("long").as("dims"),
+        (aggregate(col("e"), lit(0.0),
+          (acc, x) => greatest(acc, abs(x))) === 0.0).as("is_zero"),
+        aggregate(col("e"), lit(0L),
+          (acc, x) => acc + when(col("gs") > 0, qv(x) * qv(x)).otherwise(0L))
+          .as("qn2"))
+    per.groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("dims")).as("min_dims"), max(col("dims")).as("max_dims"),
+        sum(when(col("is_zero"), 1L).otherwise(0L)).as("n_zero_vecs"),
+        min(col("qn2")).as("min_qn2"), max(col("qn2")).as("max_qn2"),
+        sum(col("qn2")).as("sum_qn2"))
   }
 
   /** Deterministic ±1 sign for [[vecProject]]'s projection matrix
@@ -733,6 +789,7 @@ object Similarity {
     "q_sim_topk_adc" -> ((s, d) => adcTopK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_topk_sq8" -> ((s, d) => sq8TopK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_vec_drift" -> ((s, d) => vecDrift(Tables.embeddings(s, d))),
+    "q_vec_dq" -> ((s, d) => vectorDq(Tables.embeddings(s, d))),
     "q_vec_project" -> ((s, d) => vecProject(Tables.embeddings(s, d))))
 
   private def planeSql(h: Int): String =
@@ -911,6 +968,21 @@ object Similarity {
         (0 until PqM).map(m =>
           s"SELECT vec_id, $m::BIGINT AS m, code, sub_cos FROM pf$m")
           .mkString(" UNION ALL ")),
+    "q_vec_dq" ->
+      ("WITH v AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings), " +
+        "g AS (SELECT max(list_max(list_transform(e, x -> abs(x)))) / 127.0 AS gs " +
+        "FROM v), " +
+        "p AS (SELECT label, len(e)::BIGINT AS dims, " +
+        "(list_max(list_transform(e, x -> abs(x))) = 0) AS is_zero, " +
+        "CASE WHEN gs > 0 THEN list_sum(list_transform(e, x -> " +
+        "greatest(-127, least(127, floor(x / gs + 0.5)))::BIGINT * " +
+        "greatest(-127, least(127, floor(x / gs + 0.5)))::BIGINT)) " +
+        "ELSE 0 END::BIGINT AS qn2 FROM v CROSS JOIN g) " +
+        "SELECT label::BIGINT AS label, count(*) AS n_vecs, " +
+        "min(dims) AS min_dims, max(dims) AS max_dims, " +
+        "sum(CASE WHEN is_zero THEN 1 ELSE 0 END)::BIGINT AS n_zero_vecs, " +
+        "min(qn2) AS min_qn2, max(qn2) AS max_qn2, sum(qn2)::BIGINT AS sum_qn2 " +
+        "FROM p GROUP BY 1"),
     "q_vec_drift" ->
       ("WITH dv AS (SELECT label, embedding::DOUBLE[] AS e FROM embeddings), " +
         "g AS (SELECT max(list_max(list_transform(e, x -> abs(x)))) / 127.0 AS gs " +

@@ -311,6 +311,28 @@ object SqlCoverage {
           col("first_view") <= col("last_purchase"), 1L).otherwise(0L)).as("n_converted"))
   }
 
+  /** Time-to-convert latency distribution — [[funnel]]'s companion
+    * measure: from each user's FIRST signup to their first purchase at
+    * or after it, bucketed into whole days — the histogram a growth
+    * team reads as "how long does conversion take", and the funnel's
+    * latency dimension that conversion RATES hide. Pure integer
+    * min/max/difference on epoch millis, engine-exact.
+    *
+    * Scale: two filtered aggregates and one equi-join, all sharing the
+    * user_id partitioning; output is |distinct latencies| rows. */
+  def convertTime(ev: DataFrame): DataFrame = {
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_ms")).as("s_ms"))
+    val firstPurchase = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ms"))
+      .join(s, "user_id")
+      .filter(col("ts_ms") >= col("s_ms"))
+      .groupBy(col("user_id"), col("s_ms")).agg(min(col("ts_ms")).as("p_ms"))
+    firstPurchase
+      .select(col("user_id"), expr("(p_ms - s_ms) div 86400000").as("delta_days"))
+      .groupBy(col("delta_days")).agg(count(lit(1)).as("n_users"))
+  }
+
   /** Full outer join: per-nation customer vs supplier counts. */
   def fullOuterJoin(customer: DataFrame, supplier: DataFrame): DataFrame = {
     val c = customer.groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
@@ -494,6 +516,7 @@ object SqlCoverage {
     "q_window_range_frame" -> ((s, d) => windowRangeFrame(Tables.orders(s, d))),
     "q_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
+    "q_convert_time" -> ((s, d) => convertTime(Tables.events(s, d))),
     "q_attribution" -> ((s, d) => attribution(Tables.events(s, d))),
     "q_basket_lift" -> ((s, d) => basketLift(Tables.events(s, d))),
     "q_decile_stats" -> ((s, d) => decileStats(Tables.events(s, d))),
@@ -658,6 +681,14 @@ object SqlCoverage {
         "(ts_ms - last_touch_ms) // 60000 AS mins_since_last, first_touch_id " +
         "FROM carried WHERE event_type = 'purchase' AND last_touch_id IS NOT NULL " +
         "AND ts_ms - last_touch_ms <= 604800000"),
+    "q_convert_time" ->
+      ("WITH s AS (SELECT user_id, min(epoch_ms(ts)) AS s_ms FROM events " +
+        "WHERE event_type = 'signup' GROUP BY 1), " +
+        "fp AS (SELECT e.user_id, s_ms, min(epoch_ms(e.ts)) AS p_ms FROM events e " +
+        "JOIN s ON e.user_id = s.user_id " +
+        "WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= s_ms GROUP BY 1, 2) " +
+        "SELECT (p_ms - s_ms) // 86400000 AS delta_days, count(*) AS n_users " +
+        "FROM fp GROUP BY 1"),
     "q_funnel" ->
       ("WITH flagged AS (SELECT user_id, epoch_ms(ts) ts_ms, event_id, event_type, " +
         "CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 " +

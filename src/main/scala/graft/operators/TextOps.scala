@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.TextHash._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for the training-data pipeline (SURVEY.md §7 L4):
@@ -73,6 +74,30 @@ object TextOps {
       size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
       size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).cast("long").as("n_re_tokens"),
       col("n_chars"))
+
+  /** Token-budget corpus fill — the "give me N tokens per source" cut
+    * every training-mix spec ultimately compiles to (rate-based
+    * sampling hits a FRACTION; a budget hits a TOKEN COUNT): docs are
+    * ordered by a deterministic hash (reproducible, selection-bias
+    * free) and each source keeps its prefix while the cumulative token
+    * sum stays within the budget. Cumulative sums are exact integers;
+    * the (hash, doc_id) order is total, so both engines cut at the
+    * same document.
+    *
+    * Scale: one scan projects (id, source, n_tok, hash); the per-source
+    * window is the only exchange. A source's docs land in one
+    * partition — at extreme per-source volume the cumsum becomes the
+    * two-phase block form ([[seqPack]]'s windows); the budget filter
+    * then caps output long before that matters. */
+  def tokenBudget(docs: DataFrame, budget: Long = 20000L): DataFrame = {
+    val t = docs.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tok"),
+      hash60(concat(lit("budget|"), col("doc_id"))).as("hk"))
+    val w = Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))
+    t.withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tok"))
+  }
 
   /** Winnowing document fingerprints: min 60-bit hash over each window
     * of 4 consecutive 3-shingle hashes, distinct per doc.
@@ -863,6 +888,7 @@ object TextOps {
     "q_text_pmi" -> ((s, d) => pmiCollocations(Tables.documents(s, d))),
     "q_source_report" -> ((s, d) => sourceReport(Tables.documents(s, d))),
     "q_text_lengths" -> ((s, d) => lengthBuckets(Tables.documents(s, d))),
+    "q_token_budget" -> ((s, d) => tokenBudget(Tables.documents(s, d))),
     "q_source_contam" -> ((s, d) => sourceContamination(Tables.documents(s, d))),
     "q_text_bpe" -> ((s, d) => bpeStats(Tables.documents(s, d))),
     "q_text_langid" -> ((s, d) => langId(Tables.documents(s, d))),
@@ -927,6 +953,13 @@ object TextOps {
     "q_text_tokens" ->
       ("SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_ws_tokens, " +
         "len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT AS n_re_tokens, n_chars FROM documents"),
+    "q_token_budget" ->
+      ("WITH t AS (SELECT doc_id, source, " +
+        "len(string_split(text, ' '))::BIGINT AS n_tok, " +
+        "('0x'||substr(md5('budget|'||doc_id),1,15))::BIGINT AS hk FROM documents), " +
+        "c AS (SELECT doc_id, source, n_tok, sum(n_tok) OVER " +
+        "(PARTITION BY source ORDER BY hk, doc_id)::BIGINT AS cum_tok FROM t) " +
+        "SELECT doc_id, source, n_tok, cum_tok FROM c WHERE cum_tok <= 20000"),
     "q_text_fingerprint" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents), " +
         "sh AS (SELECT doc_id, list_transform(range(1, len(tok)-1), i -> " +

@@ -52,6 +52,42 @@ class OperatorsSpec extends SparkSpec {
     assert(top.head.getAs[Double]("jaccard") > 0.5)
   }
 
+  test("TextOps.tokenBudget: prefix property and budget bound per source") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i =>
+      (i, (1 to 100).map(j => s"t${i}_$j").mkString(" "),
+        "en", s"s${i % 2}", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = operators.TextOps.tokenBudget(docs, budget = 500L).collect()
+    // 100 tokens/doc, budget 500 ⇒ exactly 5 docs kept per source
+    val bySource = r.groupBy(_.getAs[String]("source"))
+    assert(bySource.keySet === Set("s0", "s1"))
+    bySource.values.foreach { rows =>
+      assert(rows.length === 5)
+      assert(rows.map(_.getAs[Long]("cum_tok")).max === 500L)
+    }
+    // determinism: the kept set is a fixed hash-ordered prefix — rerun matches
+    val again = operators.TextOps.tokenBudget(docs, budget = 500L).collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(again === r.map(_.getAs[Long]("doc_id")).sorted.toSeq)
+  }
+
+  test("SqlCoverage.convertTime: first-signup to first-subsequent-purchase day buckets") {
+    import spark.implicits._
+    // user 1: signup day 0, purchases day 2 and day 9 → bucket 2
+    // user 2: purchase BEFORE signup (ignored), none after → absent
+    // user 3: signup, purchase 30 min later → bucket 0
+    val ev = Seq(
+      (1L, 1L, 0L, "signup"), (2L, 1L, 2L * 86400000L, "purchase"),
+      (3L, 1L, 9L * 86400000L, "purchase"),
+      (4L, 2L, 5L * 86400000L, "signup"), (5L, 2L, 1L * 86400000L, "purchase"),
+      (6L, 3L, 0L, "signup"), (7L, 3L, 1800000L, "purchase"))
+      .toDF("event_id", "user_id", "ts_ms", "event_type")
+    val r = operators.SqlCoverage.convertTime(ev).collect()
+      .map(x => x.getAs[Long]("delta_days") -> x.getAs[Long]("n_users")).toMap
+    assert(r === Map(2L -> 1L, 0L -> 1L))
+  }
+
   test("Dedup.substringRuns: finds the shared token run, exact length, no cross-pair noise") {
     import spark.implicits._
     // docs 0/1 share the 12-token run "w1 .. w12" embedded in distinct
@@ -84,6 +120,17 @@ class OperatorsSpec extends SparkSpec {
     // each 8-token run = 6 shingles ⇒ max 6+2 = 8 tokens
     assert(row.getAs[Long]("max_run_tokens") === 8L)
     assert(row.getAs[Long]("total_tokens") === 16L)
+  }
+
+  test("Dedup.clusterReport: one 2-cluster, keep-one removes exactly one doc") {
+    val r = Dedup.clusterReport(docsDF, threshold = 0.3).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("cluster_size") === 2L)   // the planted (0,1) pair
+    assert(row.getAs[Long]("n_clusters") === 1L)
+    assert(row.getAs[Long]("docs_in_clusters") === 2L)
+    assert(row.getAs[Long]("docs_removed") === 1L)
+    assert(row.getAs[Long]("n_docs") === 3L)
   }
 
   test("Dedup.minhashEstimateAudit: estimate brackets exact jaccard on candidates") {
@@ -355,6 +402,26 @@ class OperatorsSpec extends SparkSpec {
     val p0 = r.find(x => x.getAs[Long]("vec_id") == 0L && x.getAs[Long]("j") == 0L).get
     val expected = (0 until 64).map(i => Similarity.projSign(i, 0)).sum
     assert(p0.getAs[Double]("p") === expected)
+  }
+
+  test("Similarity.vectorDq: zero vectors, ragged dims, and norm bounds surface per label") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),   // unit-ish
+      (2L, Array(0.0f, 0.0f, 0.0f), 0),   // all-zero: encoder bug
+      (3L, Array(2.0f, 2.0f), 1))         // ragged: 2 dims, big norm
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.vectorDq(emb).collect()
+      .map(x => x.getAs[Long]("label") -> x).toMap
+    assert(r(0L).getAs[Long]("n_vecs") === 2L)
+    assert(r(0L).getAs[Long]("n_zero_vecs") === 1L)
+    assert(r(0L).getAs[Long]("min_qn2") === 0L)
+    assert(r(0L).getAs[Long]("min_dims") === 3L && r(0L).getAs[Long]("max_dims") === 3L)
+    // label 1 holds the ragged 2-dim vector with the global max |x| = 2
+    // ⇒ its dims quantize to ±127 exactly: qn2 = 2 · 127²
+    assert(r(1L).getAs[Long]("min_dims") === 2L)
+    assert(r(1L).getAs[Long]("max_qn2") === 2L * 127L * 127L)
+    assert(r(1L).getAs[Long]("n_zero_vecs") === 0L)
   }
 
   test("Similarity.quantizeAudit: int8 reconstruction error bounded by one quantization step") {
