@@ -377,6 +377,17 @@ object Dedup {
     * run on the small residue. */
   def substringRuns(docs: DataFrame, minRun: Long = 10L,
       maxDf: Long = 50L): DataFrame = {
+    val (result, kept) = substringRunsLazy(docs, minRun, maxDf)
+    val out = result
+      .localCheckpoint(true) // qualifying pairs ≪ corpus; releases kept
+    kept.unpersist()
+    out
+  }
+
+  /** [[substringRuns]] before its eager checkpoint (plan-shape specs
+    * need the live plan); caller unpersists the returned `kept`. */
+  private[graft] def substringRunsLazy(docs: DataFrame, minRun: Long,
+      maxDf: Long): (DataFrame, DataFrame) = {
     val g = shingleRows(spread(docs), n = 3)
       .select(col("doc_id"), col("i"), hash60(col("s")).as("sh"))
     val kept = g.withColumn("d", count(lit(1)).over(Window.partitionBy(col("sh"))))
@@ -398,9 +409,7 @@ object Dedup {
       .agg((max(col("run_shingles")) + 2).as("max_run_tokens"),
         count(lit(1)).as("n_runs"),
         (sum(col("run_shingles")) + count(lit(1)) * 2).as("total_tokens"))
-      .localCheckpoint(true) // qualifying pairs ≪ corpus; releases kept
-    kept.unpersist()
-    result
+    (result, kept)
   }
 
   /** MinHash fidelity audit — the dedup sibling of the ANN recall

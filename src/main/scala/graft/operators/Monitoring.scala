@@ -779,6 +779,52 @@ object Monitoring {
             (col("n_users") * col("total_cents"))).as("gini"))
   }
 
+  /** Median imputation — the feature-prep step for missing numerics:
+    * a deterministic 10% of amounts go missing (hash-keyed, so the
+    * fixture is reproducible and oracle-replayable), and each type's
+    * missing values are filled with that type's EXACT interpolated
+    * median. Integer-exact throughout the doubled domain: with integer
+    * cents, 2·median = x_lo + x_hi is an exact BIGINT, so the imputed
+    * total rides as `2·Σpresent + n_missing·median_x2` — no float sum
+    * ever forms, and the oracle matches bit-for-bit.
+    *
+    * Scale: one scan, one hash-agg per type + the per-type exact
+    * percentile (Spark's `percentile` aggregates per group — the sort
+    * is per-type, not global). */
+  def imputeAmounts(ev: DataFrame): DataFrame = {
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val miss = pmod(graft.functions.TextHash.hash60(
+      concat(lit("null|"), col("event_id"))), lit(10L)) === 0
+    val t = ev.select(col("event_type"),
+      when(miss, lit(null).cast("long")).otherwise(cents).as("cents"))
+    t.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("cents").isNull, 1L).otherwise(0L)).as("n_missing"),
+        (expr("percentile(cents, 0.5)") * 2).cast("long").as("median_x2"),
+        (sum(col("cents")) * 2).as("present_sum_x2"))
+      .select(col("event_type"), col("n_total"), col("n_missing"),
+        col("median_x2"),
+        (col("present_sum_x2") + col("n_missing") * col("median_x2"))
+          .as("imputed_sum_x2"))
+  }
+
+  /** User-grouped train/val/test split — the leakage-correct sibling
+    * of the document-level `q_train_split`: ALL of a user's events land
+    * in one split (a user-level model evaluated on users it trained on
+    * is leakage, even with disjoint events), keyed on the same portable
+    * hash idiom so membership never migrates as the log grows. Output
+    * is the per-split audit (users, events, cent volume). */
+  def groupSplit(ev: DataFrame): DataFrame = {
+    val bucket = pmod(graft.functions.TextHash.hash60(
+      concat(lit("gsplit|"), col("user_id"))), lit(100L))
+    ev.withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+  }
+
   /** RFM segmentation — the classic customer-value grid: per user,
     * Recency (days since last activity, vs the corpus's last day),
     * Frequency (event count), Monetary (cent volume), each scored into
@@ -816,6 +862,8 @@ object Monitoring {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rfm" -> ((s, d) => rfm(Tables.events(s, d))),
+    "q_impute" -> ((s, d) => imputeAmounts(Tables.events(s, d))),
+    "q_group_split" -> ((s, d) => groupSplit(Tables.events(s, d))),
     "q_psi_drift" -> ((s, d) => psiDrift(Tables.events(s, d))),
     "q_cusum_volume" -> ((s, d) => cusumVolume(Tables.events(s, d))),
     "q_peer_anomaly" -> ((s, d) => peerAnomaly(Tables.events(s, d))),
@@ -844,6 +892,25 @@ object Monitoring {
     "q_flag_summary" -> ((s, d) => flagSummary(Tables.events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_impute" ->
+      ("WITH t AS (SELECT event_type, CASE WHEN " +
+        "('0x'||substr(md5('null|'||event_id),1,15))::BIGINT % 10 = 0 " +
+        "THEN NULL ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents " +
+        "FROM events), " +
+        "g AS (SELECT event_type, count(*) AS n_total, " +
+        "sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_missing, " +
+        "CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT) AS median_x2, " +
+        "(sum(cents) * 2)::BIGINT AS present_sum_x2 FROM t GROUP BY 1) " +
+        "SELECT event_type, n_total, n_missing, median_x2, " +
+        "present_sum_x2 + n_missing * median_x2 AS imputed_sum_x2 FROM g"),
+    "q_group_split" ->
+      ("WITH t AS (SELECT user_id, value, CASE " +
+        "WHEN ('0x'||substr(md5('gsplit|'||user_id),1,15))::BIGINT % 100 < 80 THEN 'train' " +
+        "WHEN ('0x'||substr(md5('gsplit|'||user_id),1,15))::BIGINT % 100 < 90 THEN 'val' " +
+        "ELSE 'test' END AS split FROM events) " +
+        "SELECT split, count(DISTINCT user_id) AS n_users, count(*) AS n_events, " +
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents " +
+        "FROM t GROUP BY 1"),
     "q_rfm" ->
       ("WITH per AS (SELECT user_id, max(ts::DATE) AS last_day, count(*) AS freq, " +
         "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents " +

@@ -455,6 +455,40 @@ class MonitoringSpec extends SparkSpec {
     assert(d < 0.2, s"suspiciously large drift on stationary data: $d")
   }
 
+  test("imputeAmounts: doubled-domain totals reconcile and the median is per-type") {
+    val r = Monitoring.imputeAmounts(Tables.events(spark, sf)).collect()
+    assert(r.length === 5)
+    r.foreach { row =>
+      val n = row.getAs[Long]("n_total"); val miss = row.getAs[Long]("n_missing")
+      assert(miss >= 0 && miss < n)
+      // imputed total = present part + median fill, exactly
+      assert(row.getAs[Long]("imputed_sum_x2") >=
+        row.getAs[Long]("median_x2") * miss)
+      // median_x2 is an exact integer (x_lo + x_hi of cent values)
+      assert(row.getAs[Long]("median_x2") > 0)
+    }
+    // ~10% hash-missing overall
+    val totN = r.map(_.getAs[Long]("n_total")).sum.toDouble
+    val totM = r.map(_.getAs[Long]("n_missing")).sum.toDouble
+    assert(totM / totN > 0.05 && totM / totN < 0.15, s"missing rate ${totM / totN}")
+  }
+
+  test("groupSplit: splits partition the users and reconcile with direct totals") {
+    val ev = Tables.events(spark, sf)
+    val r = Monitoring.groupSplit(ev).collect()
+    assert(r.map(_.getAs[Long]("n_events")).sum === ev.count())
+    assert(r.map(_.getAs[Long]("n_users")).sum ===
+      ev.select("user_id").distinct().count())
+    // leakage check: no user appears under two splits (split is a pure
+    // function of user_id, so distinct (user, split) pairs == users)
+    val withSplit = ev.withColumn("b", pmod(graft.functions.TextHash.hash60(
+        concat(lit("gsplit|"), col("user_id"))), lit(100L)))
+      .withColumn("split", when(col("b") < 80, "train")
+        .when(col("b") < 90, "val").otherwise("test"))
+    assert(withSplit.select("user_id", "split").distinct().count() ===
+      ev.select("user_id").distinct().count())
+  }
+
   test("rfm: one row per user, balanced quintiles, best scores land on the extremes") {
     val rows = Monitoring.rfm(Tables.events(spark, sf)).collect()
     val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()

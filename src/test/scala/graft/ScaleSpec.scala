@@ -411,6 +411,30 @@ class ScaleSpec extends SparkSpec {
     assert(nEx <= 2, s"zipfFit plans $nEx hash exchanges (expected ≤ 2):\n$zfPlan")
   }
 
+  test("session-batch plan shapes: no explode in vectorDq, one exchange for tokenBudget, equi-join runs") {
+    // vectorDq: the per-vector work is a HOF fold inside the scan
+    // projection — the plan must carry NO Generate (explode) and no join
+    val dqPlan = graft.operators.Similarity.vectorDq(Tables.embeddings(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!dqPlan.contains("Generate"), s"vectorDq exploded:\n$dqPlan")
+    assert(!dqPlan.contains("SortMergeJoin") && !dqPlan.contains("ShuffledHashJoin"),
+      s"vectorDq planned a shuffle join:\n$dqPlan")
+    // tokenBudget: one scan projection + the per-source window — exactly
+    // one hash exchange
+    val tbPlan = graft.operators.TextOps.tokenBudget(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(tbPlan).length === 1, tbPlan)
+    // substringRuns: the shingle bucket join must be an equi-join on the
+    // hash, never a nested loop (the Σ df² bound depends on it)
+    val (srLazy, srKept) = graft.operators.Dedup
+      .substringRunsLazy(Tables.documents(spark, sf), 10L, 50L)
+    val srPlan = srLazy.queryExecution.executedPlan.toString
+    srKept.unpersist()
+    assert(srPlan.contains("SortMergeJoin") || srPlan.contains("ShuffledHashJoin") ||
+      srPlan.contains("BroadcastHashJoin"), s"substringRuns must equi-join:\n$srPlan")
+    assert(!srPlan.contains("NestedLoop") && !srPlan.contains("CartesianProduct"), srPlan)
+  }
+
   test("fuzzy/cohort plan shapes: blocked equi-join with one scan; broadcast sizes join") {
     // fuzzyEditPairs: the block self-join is an EQUI-join on blk —
     // never a cartesian (Σ|block|²/2 vs n²/2, the blocking guarantee) —
