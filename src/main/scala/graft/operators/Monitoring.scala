@@ -779,6 +779,84 @@ object Monitoring {
             (col("n_users") * col("total_cents"))).as("gini"))
   }
 
+  /** Winsorization — the outlier-robust scaling step feature pipelines
+    * run before any mean-based statistic: per type, amounts clip to the
+    * exact discrete P1/P99 cut points (smallest value whose cumulative
+    * count reaches ⌈pct·n/100⌉ — a RANK selection, not interpolation,
+    * so the cut is an integer cent value both engines agree on
+    * exactly). Output per type: the cut points, how many rows each
+    * side clipped, and the winsorized total.
+    *
+    * Scale: the fact collapses to (type, cents) bins first, the two
+    * cumulative windows run over that TINY bin table, and the 5-row
+    * cut-point relation broadcasts back onto the binned counts — the
+    * no-global-sort percentile path ([[Sketches]]' histogram-quantile
+    * discipline applied to clipping). */
+  def winsorize(ev: DataFrame, loPct: Long = 1L, hiPct: Long = 99L): DataFrame = {
+    val cents = ev.select(col("event_type"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val bins = cents.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("c")).persist()
+    val w = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    val cum = bins.withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("event_type"))))
+    val lo = cum.filter(col("cum") * 100 >= col("n") * loPct)
+      .groupBy(col("event_type")).agg(min(col("cents")).as("lo_cents"))
+    val hi = cum.filter(col("cum") * 100 >= col("n") * hiPct)
+      .groupBy(col("event_type")).agg(min(col("cents")).as("hi_cents"))
+    val result = bins
+      .join(broadcast(lo), "event_type").join(broadcast(hi), "event_type")
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).as("n"), min(col("lo_cents")).as("lo_cents"),
+        min(col("hi_cents")).as("hi_cents"),
+        sum(when(col("cents") < col("lo_cents"), col("c")).otherwise(0L))
+          .as("n_clipped_lo"),
+        sum(when(col("cents") > col("hi_cents"), col("c")).otherwise(0L))
+          .as("n_clipped_hi"),
+        sum(greatest(col("lo_cents"), least(col("hi_cents"), col("cents"))) * col("c"))
+          .as("winsorized_cents"))
+      .localCheckpoint(true) // |types| rows; releases bins
+    bins.unpersist()
+    result
+  }
+
+  /** Two-proportion A/B significance — the experimentation readout:
+    * users hash into variants A/B (portable, reproducible), conversion
+    * is "has a purchase event", and the pooled two-proportion z-test
+    * reduces to z² = d²·N / (C·(N−C)·n_a·n_b) with d = c_a·n_b −
+    * c_b·n_a. Every input to the final arithmetic is an exact BIGINT;
+    * the single float expression is written with IDENTICAL shape in
+    * the oracle, so the doubles agree bit-for-bit. d is cast to double
+    * before squaring (d² would pass 2⁶³ once variants hold ~3M
+    * converting users; the products that stay integral — C·(N−C),
+    * n_a·n_b — are safe to 2⁶³ at any realistic user count). */
+  def abTest(ev: DataFrame): DataFrame = {
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .withColumn("variant",
+        when(pmod(graft.functions.TextHash.hash60(
+          concat(lit("ab|"), col("user_id"))), lit(2L)) === 0, "A").otherwise("B"))
+    val g = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+    val wide = g.agg(
+      sum(when(col("variant") === "A", col("n")).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === "A", col("c")).otherwise(0L)).as("c_a"),
+      sum(when(col("variant") === "B", col("n")).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === "B", col("c")).otherwise(0L)).as("c_b"))
+    wide.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        (col("c_a") * col("n_b") - col("c_b") * col("n_a")).as("d"),
+        (col("n_a") + col("n_b")).as("nn"), (col("c_a") + col("c_b")).as("cc"))
+      .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        // degenerate pools (nobody or everybody converts) have no
+        // variance — z² is undefined, NULL in both engines
+        when(col("cc") > 0 && col("cc") < col("nn"),
+          graft.functions.Portable.trunc4(
+            col("d").cast("double") * col("d").cast("double") * col("nn").cast("double") /
+              ((col("cc") * (col("nn") - col("cc"))).cast("double") *
+                (col("n_a") * col("n_b")).cast("double")))).as("z2"))
+      .withColumn("significant", coalesce(col("z2") > 3.8415, lit(false)))
+  }
+
   /** Median imputation — the feature-prep step for missing numerics:
     * a deterministic 10% of amounts go missing (hash-keyed, so the
     * fixture is reproducible and oracle-replayable), and each type's
@@ -862,6 +940,8 @@ object Monitoring {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rfm" -> ((s, d) => rfm(Tables.events(s, d))),
+    "q_winsorize" -> ((s, d) => winsorize(Tables.events(s, d))),
+    "q_abtest" -> ((s, d) => abTest(Tables.events(s, d))),
     "q_impute" -> ((s, d) => imputeAmounts(Tables.events(s, d))),
     "q_group_split" -> ((s, d) => groupSplit(Tables.events(s, d))),
     "q_psi_drift" -> ((s, d) => psiDrift(Tables.events(s, d))),
@@ -892,6 +972,41 @@ object Monitoring {
     "q_flag_summary" -> ((s, d) => flagSummary(Tables.events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_winsorize" ->
+      ("WITH t AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents " +
+        "FROM events), " +
+        "bins AS (SELECT event_type, cents, count(*) AS c FROM t GROUP BY 1, 2), " +
+        "cum AS (SELECT event_type, cents, c, " +
+        "sum(c) OVER (PARTITION BY event_type ORDER BY cents)::BIGINT AS cum, " +
+        "sum(c) OVER (PARTITION BY event_type)::BIGINT AS n FROM bins), " +
+        "lo AS (SELECT event_type, min(cents) AS lo_cents FROM cum " +
+        "WHERE cum * 100 >= n * 1 GROUP BY 1), " +
+        "hi AS (SELECT event_type, min(cents) AS hi_cents FROM cum " +
+        "WHERE cum * 100 >= n * 99 GROUP BY 1) " +
+        "SELECT b.event_type, sum(c)::BIGINT AS n, min(lo_cents) AS lo_cents, " +
+        "min(hi_cents) AS hi_cents, " +
+        "sum(CASE WHEN cents < lo_cents THEN c ELSE 0 END)::BIGINT AS n_clipped_lo, " +
+        "sum(CASE WHEN cents > hi_cents THEN c ELSE 0 END)::BIGINT AS n_clipped_hi, " +
+        "sum(greatest(lo_cents, least(hi_cents, cents)) * c)::BIGINT AS winsorized_cents " +
+        "FROM bins b JOIN lo ON b.event_type = lo.event_type " +
+        "JOIN hi ON b.event_type = hi.event_type GROUP BY 1"),
+    "q_abtest" ->
+      ("WITH pu AS (SELECT user_id, " +
+        "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS conv, " +
+        "CASE WHEN ('0x'||substr(md5('ab|'||user_id),1,15))::BIGINT % 2 = 0 " +
+        "THEN 'A' ELSE 'B' END AS variant FROM events GROUP BY user_id), " +
+        "g AS (SELECT " +
+        "sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)::BIGINT AS n_a, " +
+        "sum(CASE WHEN variant = 'A' THEN conv ELSE 0 END)::BIGINT AS c_a, " +
+        "sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)::BIGINT AS n_b, " +
+        "sum(CASE WHEN variant = 'B' THEN conv ELSE 0 END)::BIGINT AS c_b FROM pu), " +
+        "e AS (SELECT n_a, c_a, n_b, c_b, c_a * n_b - c_b * n_a AS d, " +
+        "n_a + n_b AS nn, c_a + c_b AS cc FROM g), " +
+        "z AS (SELECT n_a, c_a, n_b, c_b, CASE WHEN cc > 0 AND cc < nn THEN " +
+        "floor(d::DOUBLE * d::DOUBLE * nn::DOUBLE / " +
+        "((cc * (nn - cc))::DOUBLE * (n_a * n_b)::DOUBLE) * 10000) / 10000 " +
+        "ELSE NULL END AS z2 FROM e) " +
+        "SELECT n_a, c_a, n_b, c_b, z2, coalesce(z2 > 3.8415, FALSE) AS significant FROM z"),
     "q_impute" ->
       ("WITH t AS (SELECT event_type, CASE WHEN " +
         "('0x'||substr(md5('null|'||event_id),1,15))::BIGINT % 10 = 0 " +

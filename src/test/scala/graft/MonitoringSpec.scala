@@ -455,6 +455,45 @@ class MonitoringSpec extends SparkSpec {
     assert(d < 0.2, s"suspiciously large drift on stationary data: $d")
   }
 
+  test("winsorize: the planted outlier clips to the P99 cut, totals reconcile") {
+    import spark.implicits._
+    // 99 amounts of 1.00 plus one 1000.00 outlier: P1 = P99 = 100 cents,
+    // so the outlier clips to 100 and the winsorized total is 100·100
+    val ev = ((1 to 99).map(i => (i.toLong, "pay", 1.00)) :+ (100L, "pay", 1000.00))
+      .toDF("event_id", "event_type", "value")
+    val r = Monitoring.winsorize(ev).collect().head
+    assert(r.getAs[Long]("n") === 100L)
+    assert(r.getAs[Long]("lo_cents") === 100L)
+    assert(r.getAs[Long]("hi_cents") === 100L)
+    assert(r.getAs[Long]("n_clipped_hi") === 1L)
+    assert(r.getAs[Long]("n_clipped_lo") === 0L)
+    assert(r.getAs[Long]("winsorized_cents") === 100L * 100L)
+  }
+
+  test("abTest: z2 matches a local recompute; degenerate pool is insignificant NULL") {
+    import spark.implicits._
+    // conversion = has a purchase event; variant = md5 hash parity of user_id
+    val ev = (1L to 40L).flatMap { u =>
+      val events = Seq((u * 10, u, "view"))
+      if (u % 4 == 0) events :+ ((u * 10 + 1, u, "purchase")) else events
+    }.toDF("event_id", "user_id", "event_type")
+    val r = Monitoring.abTest(ev).collect().head
+    val (na, ca, nb, cb) = (r.getAs[Long]("n_a"), r.getAs[Long]("c_a"),
+      r.getAs[Long]("n_b"), r.getAs[Long]("c_b"))
+    assert(na + nb === 40L && ca + cb === 10L)
+    val d = (ca * nb - cb * na).toDouble
+    val nn = (na + nb).toDouble; val cc = (ca + cb).toDouble
+    val expect = math.floor(d * d * nn /
+      ((cc * (nn - cc)) * (na * nb).toDouble) * 10000) / 10000
+    assert(r.getAs[Double]("z2") === expect)
+    // degenerate: every user converts → no variance, NULL z2, not significant
+    val allConv = (1L to 10L).map(u => (u, u, "purchase"))
+      .toDF("event_id", "user_id", "event_type")
+    val dRow = Monitoring.abTest(allConv).collect().head
+    assert(dRow.isNullAt(dRow.fieldIndex("z2")))
+    assert(dRow.getAs[Boolean]("significant") === false)
+  }
+
   test("imputeAmounts: doubled-domain totals reconcile and the median is per-type") {
     val r = Monitoring.imputeAmounts(Tables.events(spark, sf)).collect()
     assert(r.length === 5)
