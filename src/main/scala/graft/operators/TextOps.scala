@@ -75,6 +75,43 @@ object TextOps {
       size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).cast("long").as("n_re_tokens"),
       col("n_chars"))
 
+  /** Cross-source overlap matrix — the curation screen for "which
+    * sources duplicate each other" (web dumps and mirrors overlap
+    * heavily; mixing two near-identical sources silently doubles their
+    * weight): pairwise shingle-set Jaccard AND both containments
+    * between every source pair, over the DISTINCT (source, shingle)
+    * relation.
+    *
+    * Scale: documents collapse to distinct (source, 60-bit hash) rows
+    * first — the pair join's fan-out per shingle is bounded by the
+    * SOURCE count (≤ |sources| rows per hash value, not |docs|), so
+    * the bucket join is Σ df² with df ≤ |sources|. Output is
+    * |sources|²/2 rows; all counts integer, the three ratios are
+    * single divisions. */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val g = docs.select(col("source"),
+        explode(array_distinct(shingles(tokens(col("text"))))).as("s"))
+      .select(col("source"), hash60(col("s")).as("sh"))
+      .distinct()
+      .persist() // sizes + both join arms
+    val sizes = g.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val inter = g.as("a").join(g.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    val result = inter
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("sz").as("sz_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("sz").as("sz_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("inter"), col("sz_a"), col("sz_b"),
+        trunc4(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"),
+        trunc4(col("inter").cast("double") / col("sz_a")).as("contain_a"),
+        trunc4(col("inter").cast("double") / col("sz_b")).as("contain_b"))
+      .localCheckpoint(true) // |sources|²/2 rows; releases g
+    g.unpersist()
+    result
+  }
+
   /** Token-budget corpus fill — the "give me N tokens per source" cut
     * every training-mix spec ultimately compiles to (rate-based
     * sampling hits a FRACTION; a budget hits a TOKEN COUNT): docs are
@@ -889,6 +926,7 @@ object TextOps {
     "q_source_report" -> ((s, d) => sourceReport(Tables.documents(s, d))),
     "q_text_lengths" -> ((s, d) => lengthBuckets(Tables.documents(s, d))),
     "q_token_budget" -> ((s, d) => tokenBudget(Tables.documents(s, d))),
+    "q_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))),
     "q_source_contam" -> ((s, d) => sourceContamination(Tables.documents(s, d))),
     "q_text_bpe" -> ((s, d) => bpeStats(Tables.documents(s, d))),
     "q_text_langid" -> ((s, d) => langId(Tables.documents(s, d))),
@@ -953,6 +991,20 @@ object TextOps {
     "q_text_tokens" ->
       ("SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_ws_tokens, " +
         "len(regexp_extract_all(text, '[a-z0-9]+'))::BIGINT AS n_re_tokens, n_chars FROM documents"),
+    "q_source_overlap" ->
+      ("WITH t AS (SELECT source, string_split(text, ' ') tok FROM documents), " +
+        "sh AS (SELECT source, unnest(list_transform(range(1, len(tok)-1), " +
+        "i -> tok[i]||' '||tok[i+1]||' '||tok[i+2])) s FROM t), " +
+        "g AS (SELECT DISTINCT source, " +
+        "('0x'||substr(md5(s),1,15))::BIGINT AS sh FROM sh), " +
+        "sizes AS (SELECT source, count(*) AS sz FROM g GROUP BY 1), " +
+        "i AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter " +
+        "FROM g a JOIN g b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2) " +
+        "SELECT src_a, src_b, inter, sa.sz AS sz_a, sb.sz AS sz_b, " +
+        "floor(inter::DOUBLE / (sa.sz + sb.sz - inter) * 10000) / 10000 AS jaccard, " +
+        "floor(inter::DOUBLE / sa.sz * 10000) / 10000 AS contain_a, " +
+        "floor(inter::DOUBLE / sb.sz * 10000) / 10000 AS contain_b " +
+        "FROM i JOIN sizes sa ON src_a = sa.source JOIN sizes sb ON src_b = sb.source"),
     "q_token_budget" ->
       ("WITH t AS (SELECT doc_id, source, " +
         "len(string_split(text, ' '))::BIGINT AS n_tok, " +

@@ -52,6 +52,22 @@ class OperatorsSpec extends SparkSpec {
     assert(top.head.getAs[Double]("jaccard") > 0.5)
   }
 
+  test("TextOps.sourceOverlap: mirrored sources score jaccard 1, disjoint pairs absent") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, shared, "en", "s0", 1L),
+      (1L, shared, "en", "s1", 1L),   // s1 mirrors s0 exactly
+      (2L, "completely different tokens with no overlap anywhere here", "en", "s2", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = operators.TextOps.sourceOverlap(docs).collect()
+    assert(r.length === 1) // only the overlapping pair appears
+    val row = r.head
+    assert(row.getAs[String]("src_a") === "s0" && row.getAs[String]("src_b") === "s1")
+    assert(row.getAs[Double]("jaccard") === 1.0)
+    assert(row.getAs[Double]("contain_a") === 1.0 && row.getAs[Double]("contain_b") === 1.0)
+  }
+
   test("TextOps.tokenBudget: prefix property and budget bound per source") {
     import spark.implicits._
     val docs = (0L until 40L).map(i =>
