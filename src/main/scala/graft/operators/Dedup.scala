@@ -76,14 +76,20 @@ object Dedup {
     * corpus after banding), so the document-sized shingle payloads live
     * in one small broadcast-able relation instead of riding the
     * signature aggregate and both verify join arms. */
-  def minhashLsh(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val sig = signatures(docs).persist()
+  /** 4×4 LSH band rows for a signature relation — one (doc_id, band,
+    * bkey) row per band (shared by every banding consumer). */
+  private def bandsOf(sig: DataFrame): DataFrame = {
     val bandStructs = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws(",", (0 until 4).map(i => element_at(col("sig"), 4 * b + i + 1)): _*)).as("bkey"))
     }
-    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  def minhashLsh(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sig = signatures(docs).persist()
+    val bands = bandsOf(sig)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -428,12 +434,7 @@ object Dedup {
     * band join, exact sets are re-shingled for CANDIDATE docs only. */
   def minhashEstimateAudit(docs: DataFrame): DataFrame = {
     val sig = signatures(docs).persist()
-    val bandStructs = (0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws(",", (0 until 4).map(i => element_at(col("sig"), 4 * b + i + 1)): _*)).as("bkey"))
-    }
-    val bands = sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val bands = bandsOf(sig)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -461,6 +462,65 @@ object Dedup {
       .localCheckpoint(true)
     sig.unpersist(); cand.unpersist()
     result
+  }
+
+  /** Incremental NEAR-dup ingest — the daily-crawl sibling of
+    * [[incrementalDedup]] (which only catches EXACT re-ingests): the
+    * new batch's MinHash bands equi-join against the grown registry's
+    * bands (a cross-relation join, so candidate volume is O(band
+    * collisions) between batch and registry — never batch×registry),
+    * and candidates verify with the exact shingle Jaccard. At scale
+    * the registry's band table is the persistent LSH index a crawl
+    * pipeline maintains; each day's batch probes it and appends its
+    * own bands after.
+    *
+    * Same slim-payload discipline as [[minhashLsh]]: signatures carry
+    * 16 longs, shingle sets are re-derived for CANDIDATE docs only. */
+  def incrementalMinhash(registry: DataFrame, batch: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val sigR = signatures(registry).persist()
+    val sigB = signatures(batch).persist()
+    val cand = bandsOf(sigB).as("x").join(bandsOf(sigR).as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("reg_id"))
+      .distinct().persist()
+    val setsB = batch
+      .join(cand.select(col("batch_id").as("doc_id")).distinct(), "doc_id")
+      .select(col("doc_id").as("batch_id"),
+        array_distinct(shingles(tokens(col("text")))).as("sdb"))
+    val setsR = registry
+      .join(cand.select(col("reg_id").as("doc_id")).distinct(), "doc_id")
+      .select(col("doc_id").as("reg_id"),
+        array_distinct(shingles(tokens(col("text")))).as("sdr"))
+    val result = cand.join(setsB, "batch_id").join(setsR, "reg_id")
+      .withColumn("jac", jaccard(col("sdb"), col("sdr")))
+      .filter(col("jac") >= threshold)
+      .select(col("batch_id"), col("reg_id"), trunc4(col("jac")).as("jaccard"))
+      .localCheckpoint(true)
+    sigR.unpersist(); sigB.unpersist(); cand.unpersist()
+    result
+  }
+
+  /** Driver wiring for [[incrementalMinhash]]: registry = docs < 250;
+    * the batch perturbs the first 50 registry docs (first token
+    * replaced — a near-dup EXACT incremental dedup provably misses)
+    * under fresh ids, plus the untouched rest of the corpus. One scan
+    * via tagged explode, per the one-scan rule. */
+  def incrMinhashAudit(docs: DataFrame): DataFrame = {
+    val registry = docs.filter(col("doc_id") < 250)
+      .select(col("doc_id"), col("text"))
+    val batch = docs.select(col("doc_id").as("orig_id"),
+        explode(array(
+          struct((col("doc_id") + CopyOffset).as("doc_id"),
+            concat(lit("xq"), col("doc_id"),
+              expr("substring(text, instr(text, ' '))")).as("text"),
+            lit(true).as("pert")),
+          struct(col("doc_id").as("doc_id"), col("text").as("text"),
+            lit(false).as("pert")))).as("r"))
+      .filter((col("r.pert") && col("orig_id") < 50) ||
+        (!col("r.pert") && col("orig_id") >= 250))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+    incrementalMinhash(registry, batch)
   }
 
   /** Deterministic hash sampling: a reproducible ~pct% sample keyed on
@@ -598,18 +658,31 @@ object Dedup {
     "q_dedup_containment" -> ((s, d) => containmentPairs(Tables.documents(s, d))),
     "q_dedup_substring" -> ((s, d) => substringRuns(Tables.documents(s, d))),
     "q_dedup_report" -> ((s, d) => clusterReport(Tables.documents(s, d))),
+    "q_dedup_incr_minhash" -> ((s, d) => incrMinhashAudit(Tables.documents(s, d))),
     "q_minhash_audit" -> ((s, d) => minhashEstimateAudit(Tables.documents(s, d))),
     "q_hash_sample" -> ((s, d) => hashSample(Tables.documents(s, d))))
 
-  private val sigCte = {
-    val gList = (0 until 16).map { h =>
-      s"min(('0x'||substr(md5('${h / 2}|'||s),${1 + 15 * (h % 2)},15))::BIGINT)"
-    }.mkString("[", ", ", "]")
+  private val gListSql = (0 until 16).map { h =>
+    s"min(('0x'||substr(md5('${h / 2}|'||s),${1 + 15 * (h % 2)},15))::BIGINT)"
+  }.mkString("[", ", ", "]")
+
+  /** Signature CTE chain for an arbitrary (doc_id, text) relation. */
+  private def sigSqlFor(src: String, out: String): String =
+    s"t_$out AS (SELECT doc_id, string_split(text,' ') tok FROM $src), " +
+      s"sh_$out AS (SELECT doc_id, unnest(list_transform(range(1, len(tok)-1), " +
+      s"i -> tok[i]||' '||tok[i+1]||' '||tok[i+2])) s FROM t_$out), " +
+      s"$out AS (SELECT doc_id, list_distinct(list(s)) sd, $gListSql g FROM sh_$out GROUP BY doc_id)"
+
+  /** Band CTE for a signature relation `x` (named bands_`x`). */
+  private def bandSqlFor(x: String): String =
+    s"bands_$x AS (SELECT doc_id, b, md5(g[4*b+1]::VARCHAR||','||g[4*b+2]::VARCHAR||','||" +
+      s"g[4*b+3]::VARCHAR||','||g[4*b+4]::VARCHAR) bkey FROM $x, range(0,4) r(b))"
+
+  private val sigCte =
     "WITH t AS (SELECT doc_id, string_split(text,' ') tok FROM documents), " +
       "sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tok)-1), " +
       "i -> tok[i]||' '||tok[i+1]||' '||tok[i+2])) s FROM t), " +
-      s"sig AS (SELECT doc_id, list_distinct(list(s)) sd, $gList g FROM sh GROUP BY doc_id)"
-  }
+      s"sig AS (SELECT doc_id, list_distinct(list(s)) sd, $gListSql g FROM sh GROUP BY doc_id)"
 
   private val simhashCte =
     """WITH tk AS (SELECT doc_id, unnest(string_split(text,' ')) tok FROM documents),
@@ -724,6 +797,21 @@ object Dedup {
         "bit_count(xor(x.simhash, y.simhash))::BIGINT hd FROM bands x JOIN bands y " +
         "ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id) " +
         "SELECT a_id, b_id, hd FROM cand WHERE hd <= 3"),
+    "q_dedup_incr_minhash" ->
+      ("WITH reg AS (SELECT doc_id, text FROM documents WHERE doc_id < 250), " +
+        "bat AS (SELECT 'xq'||doc_id||substr(text, strpos(text, ' ')) AS text, " +
+        s"doc_id + $CopyOffset AS doc_id FROM documents WHERE doc_id < 50 " +
+        "UNION ALL SELECT text, doc_id FROM documents WHERE doc_id >= 250), " +
+        sigSqlFor("reg", "sigr") + ", " + sigSqlFor("bat", "sigb") + ", " +
+        bandSqlFor("sigr") + ", " + bandSqlFor("sigb") + ", " +
+        "cand AS (SELECT DISTINCT x.doc_id batch_id, y.doc_id reg_id " +
+        "FROM bands_sigb x JOIN bands_sigr y ON x.b = y.b AND x.bkey = y.bkey), " +
+        "j AS (SELECT batch_id, reg_id, len(list_intersect(sb.sd, sr.sd))::DOUBLE / " +
+        "(len(sb.sd) + len(sr.sd) - len(list_intersect(sb.sd, sr.sd))) jac " +
+        "FROM cand JOIN sigb sb ON cand.batch_id = sb.doc_id " +
+        "JOIN sigr sr ON cand.reg_id = sr.doc_id) " +
+        "SELECT batch_id, reg_id, floor(jac * 10000) / 10000 AS jaccard " +
+        "FROM j WHERE jac >= 0.5"),
     "q_dedup_substring" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents), " +
         "gi AS (SELECT doc_id, tok, unnest(range(1, len(tok) - 1)) AS i FROM t), " +

@@ -311,6 +311,31 @@ object SqlCoverage {
           col("first_view") <= col("last_purchase"), 1L).otherwise(0L)).as("n_converted"))
   }
 
+  /** Top user paths — the path-analysis screen next to the funnel:
+    * each user's first three events (time-ordered, event_id tiebreak)
+    * concatenate into a path string, and the most common paths rank
+    * out. The order inside the aggregate is pinned by sorting the
+    * collected (rn, type) structs — `collect_list` alone has NO order
+    * guarantee under parallel merge, the classic nondeterminism trap
+    * this formulation avoids by construction.
+    *
+    * Scale: one user_id window pass (top-3 filter drops the rest
+    * early), one path hash-agg, and a rank over the tiny path table. */
+  def userPaths(ev: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val paths = ev.select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        x => x.getField("event_type")), ">").as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n_users").desc, col("path"))).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Time-to-convert latency distribution — [[funnel]]'s companion
     * measure: from each user's FIRST signup to their first purchase at
     * or after it, bucketed into whole days — the histogram a growth
@@ -517,6 +542,7 @@ object SqlCoverage {
     "q_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
     "q_convert_time" -> ((s, d) => convertTime(Tables.events(s, d))),
+    "q_user_paths" -> ((s, d) => userPaths(Tables.events(s, d))),
     "q_attribution" -> ((s, d) => attribution(Tables.events(s, d))),
     "q_basket_lift" -> ((s, d) => basketLift(Tables.events(s, d))),
     "q_decile_stats" -> ((s, d) => decileStats(Tables.events(s, d))),
@@ -681,6 +707,15 @@ object SqlCoverage {
         "(ts_ms - last_touch_ms) // 60000 AS mins_since_last, first_touch_id " +
         "FROM carried WHERE event_type = 'purchase' AND last_touch_id IS NOT NULL " +
         "AND ts_ms - last_touch_ms <= 604800000"),
+    "q_user_paths" ->
+      ("WITH r AS (SELECT user_id, event_type, row_number() OVER " +
+        "(PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS rn FROM events), " +
+        "p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path " +
+        "FROM r WHERE rn <= 3 GROUP BY user_id), " +
+        "c AS (SELECT path, count(*) AS n_users FROM p GROUP BY 1), " +
+        "k AS (SELECT path, n_users, row_number() OVER " +
+        "(ORDER BY n_users DESC, path)::BIGINT AS rnk FROM c) " +
+        "SELECT path, n_users, rnk FROM k WHERE rnk <= 20"),
     "q_convert_time" ->
       ("WITH s AS (SELECT user_id, min(epoch_ms(ts)) AS s_ms FROM events " +
         "WHERE event_type = 'signup' GROUP BY 1), " +

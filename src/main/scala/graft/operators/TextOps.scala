@@ -89,8 +89,18 @@ object TextOps {
     * |sources|²/2 rows; all counts integer, the three ratios are
     * single divisions. */
   def sourceOverlap(docs: DataFrame): DataFrame = {
-    val g = docs.select(col("source"),
-        explode(array_distinct(shingles(tokens(col("text"))))).as("s"))
+    // codegen'd shingle rows (posexplode + leads) with the source
+    // carried through — the interpreted HOF-lambda form measured ~1.5×
+    // slower on this collapse (PERF.md A/B); the per-doc distinct is
+    // subsumed by the (source, hash) distinct
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val g = docs
+      .select(col("doc_id"), col("source"),
+        posexplode(tokens(col("text"))).as(Seq("i", "t")))
+      .withColumn("n_toks", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("s", concat_ws(" ", col("t"),
+        lead(col("t"), 1).over(byPos), lead(col("t"), 2).over(byPos)))
+      .filter(col("i") <= col("n_toks") - 3)
       .select(col("source"), hash60(col("s")).as("sh"))
       .distinct()
       .persist() // sizes + both join arms

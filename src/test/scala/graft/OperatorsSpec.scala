@@ -88,6 +88,21 @@ class OperatorsSpec extends SparkSpec {
     assert(again === r.map(_.getAs[Long]("doc_id")).sorted.toSeq)
   }
 
+  test("SqlCoverage.userPaths: time-ordered first-3 paths, merge order pinned") {
+    import spark.implicits._
+    // user 1: view>click>purchase (4th event ignored); user 2 same
+    // path; user 3: click only
+    val ev = Seq(
+      (1L, 1L, 10L, "view"), (2L, 1L, 20L, "click"), (3L, 1L, 30L, "purchase"),
+      (4L, 1L, 40L, "error"),
+      (5L, 2L, 10L, "view"), (6L, 2L, 20L, "click"), (7L, 2L, 30L, "purchase"),
+      (8L, 3L, 10L, "click"))
+      .toDF("event_id", "user_id", "ts_ms", "event_type")
+    val r = operators.SqlCoverage.userPaths(ev).collect()
+      .map(x => x.getAs[String]("path") -> x.getAs[Long]("n_users")).toMap
+    assert(r === Map("view>click>purchase" -> 2L, "click" -> 1L))
+  }
+
   test("SqlCoverage.convertTime: first-signup to first-subsequent-purchase day buckets") {
     import spark.implicits._
     // user 1: signup day 0, purchases day 2 and day 9 → bucket 2
@@ -136,6 +151,27 @@ class OperatorsSpec extends SparkSpec {
     // each 8-token run = 6 shingles ⇒ max 6+2 = 8 tokens
     assert(row.getAs[Long]("max_run_tokens") === 8L)
     assert(row.getAs[Long]("total_tokens") === 16L)
+  }
+
+  test("Dedup.incrementalMinhash: perturbed re-ingests caught; exact registry misses them") {
+    val r = Dedup.incrMinhashAudit(docsDF).collect()
+    // every doc (<50) re-enters with its first token replaced — the
+    // near-dup must pair with its own original at jaccard > 0.5
+    val co = Dedup.CopyOffset
+    (0L to 2L).foreach { i =>
+      val hit = r.find(x => x.getAs[Long]("batch_id") == i + co &&
+        x.getAs[Long]("reg_id") == i)
+      assert(hit.nonEmpty, s"perturbed copy of doc $i not caught")
+      assert(hit.get.getAs[Double]("jaccard") > 0.5)
+    }
+    // the EXACT incremental path cannot see any of them (content differs)
+    import spark.implicits._
+    val perturbed = docsDF.select((col("doc_id") + co).as("doc_id"),
+      concat(lit("xq"), col("doc_id"),
+        expr("substring(text, instr(text, ' '))")).as("text"))
+    val exact = Dedup.incrementalDedup(docsDF, perturbed)
+      .filter(col("already_ingested")).count()
+    assert(exact === 0L)
   }
 
   test("Dedup.clusterReport: one 2-cluster, keep-one removes exactly one doc") {
