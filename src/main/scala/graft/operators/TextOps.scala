@@ -30,22 +30,50 @@ object TextOps {
 
   /** Language ID: per-language stopword-hit ratio, argmax with fixed
     * preference order (en, de, es, fr) and an `und` floor at 2%. */
+  /** The argmax-with-floor decision over the four stopword ratios
+    * (shared by [[langId]] and [[langIdEval]] so they can never
+    * disagree on the rule). */
+  private def langDecision: Column =
+    when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+        col("s_en") >= col("s_fr") && col("s_en") >= 0.02, "en")
+      .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
+        col("s_de") >= 0.02, "de")
+      .when(col("s_es") >= col("s_fr") && col("s_es") >= 0.02, "es")
+      .when(col("s_fr") >= 0.02, "fr")
+      .otherwise("und")
+
+  private def langRatios(extra: Column*): Seq[Column] =
+    extra ++ Seq(
+      stopRatio(col("toks"), "en").as("s_en"),
+      stopRatio(col("toks"), "de").as("s_de"),
+      stopRatio(col("toks"), "es").as("s_es"),
+      stopRatio(col("toks"), "fr").as("s_fr"))
+
   def langId(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val base = docs.select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"),
-        stopRatio(col("toks"), "en").as("s_en"),
-        stopRatio(col("toks"), "de").as("s_de"),
-        stopRatio(col("toks"), "es").as("s_es"),
-        stopRatio(col("toks"), "fr").as("s_fr"))
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(langRatios(col("doc_id")): _*)
     base.select(col("doc_id"), trunc4(col("s_en")).as("score_en"),
-      when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
-          col("s_en") >= col("s_fr") && col("s_en") >= 0.02, "en")
-        .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") &&
-          col("s_de") >= 0.02, "de")
-        .when(col("s_es") >= col("s_fr") && col("s_es") >= 0.02, "es")
-        .when(col("s_fr") >= 0.02, "fr")
-        .otherwise("und").as("predicted"))
+      langDecision.as("predicted"))
+  }
+
+  /** Language-ID evaluation — the confusion matrix + per-label
+    * accuracy for [[langId]] against the corpus's `lang` labels: the
+    * same "measure the heuristic on live data" discipline as the ANN
+    * recall query (`q_sim_recall`), applied to the classifier every
+    * pipeline gates on. ONE scan (the label rides the prediction
+    * projection), one hash-agg to the |langs|² matrix, and a window
+    * over that tiny matrix for the per-label share. */
+  def langIdEval(docs: DataFrame): DataFrame = {
+    val labeled = docs.select(col("lang"), tokens(col("text")).as("toks"))
+      .select(langRatios(col("lang")): _*)
+      .select(col("lang"), langDecision.as("predicted"))
+    val m = labeled.groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+    m.withColumn("lang_total",
+        sum(col("n")).over(Window.partitionBy(col("lang"))))
+      .select(col("lang"), col("predicted"), col("n"), col("lang_total"),
+        (col("lang") === col("predicted")).as("correct"),
+        trunc4(col("n").cast("double") / col("lang_total")).as("share"))
   }
 
   /** Quality scoring: token count, exact mean token length, stopword
@@ -937,6 +965,7 @@ object TextOps {
     "q_text_lengths" -> ((s, d) => lengthBuckets(Tables.documents(s, d))),
     "q_token_budget" -> ((s, d) => tokenBudget(Tables.documents(s, d))),
     "q_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))),
+    "q_langid_eval" -> ((s, d) => langIdEval(Tables.documents(s, d))),
     "q_source_contam" -> ((s, d) => sourceContamination(Tables.documents(s, d))),
     "q_text_bpe" -> ((s, d) => bpeStats(Tables.documents(s, d))),
     "q_text_langid" -> ((s, d) => langId(Tables.documents(s, d))),
@@ -979,6 +1008,21 @@ object TextOps {
     s"len(list_filter(toks, t -> t IN ${inList(lang)}))::DOUBLE / len(toks)"
 
   val oracleSql: Map[String, String] = Map(
+    "q_langid_eval" ->
+      ("WITH t AS (SELECT lang, string_split(text, ' ') toks FROM documents), " +
+        s"s AS (SELECT lang, ${ratioSql("en")} s_en, ${ratioSql("de")} s_de, " +
+        s"${ratioSql("es")} s_es, ${ratioSql("fr")} s_fr FROM t), " +
+        "p AS (SELECT lang, " +
+        "CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= 0.02 THEN 'en' " +
+        "WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= 0.02 THEN 'de' " +
+        "WHEN s_es >= s_fr AND s_es >= 0.02 THEN 'es' " +
+        "WHEN s_fr >= 0.02 THEN 'fr' ELSE 'und' END AS predicted FROM s), " +
+        "m AS (SELECT lang, predicted, count(*) AS n FROM p GROUP BY 1, 2) " +
+        "SELECT lang, predicted, n, " +
+        "sum(n) OVER (PARTITION BY lang)::BIGINT AS lang_total, " +
+        "(lang = predicted) AS correct, " +
+        "floor(n::DOUBLE / sum(n) OVER (PARTITION BY lang) * 10000) / 10000 AS share " +
+        "FROM m"),
     "q_text_langid" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents), " +
         s"s AS (SELECT doc_id, ${ratioSql("en")} s_en, ${ratioSql("de")} s_de, " +

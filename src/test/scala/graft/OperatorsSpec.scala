@@ -52,6 +52,27 @@ class OperatorsSpec extends SparkSpec {
     assert(top.head.getAs[Double]("jaccard") > 0.5)
   }
 
+  test("TextOps.langIdEval: confusion matrix reconciles with the corpus and the predictions") {
+    val docs = Tables.documents(spark, sf)
+    val m = operators.TextOps.langIdEval(docs).collect()
+    // matrix mass == corpus size; per-lang row sums == label counts
+    assert(m.map(_.getAs[Long]("n")).sum === docs.count())
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    m.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      assert(rows.map(_.getAs[Long]("n")).sum === byLang(lang))
+      assert(rows.forall(_.getAs[Long]("lang_total") === byLang(lang)))
+    }
+    m.foreach { r =>
+      assert(r.getAs[Boolean]("correct") ===
+        (r.getAs[String]("lang") == r.getAs[String]("predicted")))
+    }
+    // the heuristic must actually work on its home turf: en → en
+    val en = m.filter(r => r.getAs[String]("lang") == "en")
+    val enHit = en.find(_.getAs[Boolean]("correct")).map(_.getAs[Long]("n")).getOrElse(0L)
+    assert(enHit * 2 > byLang("en"), "en accuracy below 50%")
+  }
+
   test("TextOps.sourceOverlap: mirrored sources score jaccard 1, disjoint pairs absent") {
     import spark.implicits._
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
