@@ -378,7 +378,10 @@ object Dedup {
     * bounds the bucket join at Σ df² rows per shingle value, the same
     * hub guard as containment/triangles (dropped high-df shingles are
     * boilerplate that cannot anchor a LONG distinctive run; the trade
-    * can clip a run's ends, never split a surviving run — documented).
+    * can clip a run's ends — and a high-df shingle INSIDE a long run
+    * splits it in two, understating max_run_tokens by the gap — so
+    * the reported runs are a conservative floor, never an
+    * overstatement).
     * Match rows ≪ corpus after the cap, so the run window and pair agg
     * run on the small residue. */
   def substringRuns(docs: DataFrame, minRun: Long = 10L,
@@ -444,6 +447,7 @@ object Dedup {
       .unionByName(cand.select(col("b_id").as("doc_id"))).distinct()
     val sets = docs.join(candIds, "doc_id")
       .select(col("doc_id"), array_distinct(shingles(tokens(col("text")))).as("sd"))
+      .persist() // both join arms below re-shingle otherwise
     val sa = sig.join(sets, "doc_id")
       .select(col("doc_id").as("a_id"), col("sig").as("siga"), col("sd").as("sda"))
     val sb = sig.join(sets, "doc_id")
@@ -460,7 +464,7 @@ object Dedup {
         trunc4(col("est")).as("estimate"), trunc4(col("jac")).as("jaccard"),
         trunc4(abs(col("est") - col("jac"))).as("abs_err"))
       .localCheckpoint(true)
-    sig.unpersist(); cand.unpersist()
+    sig.unpersist(); cand.unpersist(); sets.unpersist()
     result
   }
 

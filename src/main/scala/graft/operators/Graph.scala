@@ -233,6 +233,7 @@ object Graph {
     * one hash-agg over the log; each half-step is one equi-join +
     * hash-agg on that slim relation plus a 1-row broadcast max. */
   def hits(ev: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1, "hits needs at least one iteration (auth is undefined before the first half-step)")
     val e = userMerchant(ev).filter(col("m").isNotNull)
       .select(col("user_id").as("u"), col("m").cast("long").as("m"))
       .distinct()

@@ -847,9 +847,13 @@ object Monitoring {
         (col("c_a") * col("n_b") - col("c_b") * col("n_a")).as("d"),
         (col("n_a") + col("n_b")).as("nn"), (col("c_a") + col("c_b")).as("cc"))
       .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
-        // degenerate pools (nobody or everybody converts) have no
-        // variance — z² is undefined, NULL in both engines
-        when(col("cc") > 0 && col("cc") < col("nn"),
+        // degenerate pools (nobody or everybody converts, or an empty
+        // variant) have no variance — z² is undefined, NULL in both
+        // engines (without the n_a/n_b guard an empty variant divides
+        // 0/0: Spark's floor(NaN) collapses to 0 while DuckDB keeps
+        // NaN and NaN > 3.8415 is TRUE in its total order)
+        when(col("cc") > 0 && col("cc") < col("nn") &&
+            col("n_a") > 0 && col("n_b") > 0,
           graft.functions.Portable.trunc4(
             col("d").cast("double") * col("d").cast("double") * col("nn").cast("double") /
               ((col("cc") * (col("nn") - col("cc"))).cast("double") *
@@ -1002,7 +1006,8 @@ object Monitoring {
         "sum(CASE WHEN variant = 'B' THEN conv ELSE 0 END)::BIGINT AS c_b FROM pu), " +
         "e AS (SELECT n_a, c_a, n_b, c_b, c_a * n_b - c_b * n_a AS d, " +
         "n_a + n_b AS nn, c_a + c_b AS cc FROM g), " +
-        "z AS (SELECT n_a, c_a, n_b, c_b, CASE WHEN cc > 0 AND cc < nn THEN " +
+        "z AS (SELECT n_a, c_a, n_b, c_b, " +
+        "CASE WHEN cc > 0 AND cc < nn AND n_a > 0 AND n_b > 0 THEN " +
         "floor(d::DOUBLE * d::DOUBLE * nn::DOUBLE / " +
         "((cc * (nn - cc))::DOUBLE * (n_a * n_b)::DOUBLE) * 10000) / 10000 " +
         "ELSE NULL END AS z2 FROM e) " +

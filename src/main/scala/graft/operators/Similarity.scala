@@ -624,8 +624,12 @@ object Similarity {
     val per = v.crossJoin(broadcast(gs))
       .select(col("label"),
         size(col("e")).cast("long").as("dims"),
-        (aggregate(col("e"), lit(0.0),
-          (acc, x) => greatest(acc, abs(x))) === 0.0).as("is_zero"),
+        // NULL (not true) for a zero-LENGTH vector, matching the
+        // oracle's list_max(empty) = NULL; empties still surface via
+        // min_dims = 0
+        when(size(col("e")) > 0,
+          aggregate(col("e"), lit(0.0),
+            (acc, x) => greatest(acc, abs(x))) === 0.0).as("is_zero"),
         aggregate(col("e"), lit(0L),
           (acc, x) => acc + when(col("gs") > 0, qv(x) * qv(x)).otherwise(0L))
           .as("qn2"))

@@ -494,6 +494,16 @@ class MonitoringSpec extends SparkSpec {
     assert(dRow.getAs[Boolean]("significant") === false)
   }
 
+  test("abTest: an empty variant yields NULL z2, never a NaN verdict") {
+    import spark.implicits._
+    // one user → the other variant is empty → n_a·n_b = 0 → no variance
+    val ev = Seq((1L, 42L, "purchase"), (2L, 42L, "view"))
+      .toDF("event_id", "user_id", "event_type")
+    val r = Monitoring.abTest(ev).collect().head
+    assert(r.isNullAt(r.fieldIndex("z2")))
+    assert(r.getAs[Boolean]("significant") === false)
+  }
+
   test("imputeAmounts: doubled-domain totals reconcile and the median is per-type") {
     val r = Monitoring.imputeAmounts(Tables.events(spark, sf)).collect()
     assert(r.length === 5)

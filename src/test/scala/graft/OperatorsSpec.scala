@@ -497,6 +497,19 @@ class OperatorsSpec extends SparkSpec {
     assert(r(1L).getAs[Long]("n_zero_vecs") === 0L)
   }
 
+  test("Similarity.vectorDq: zero-LENGTH vector is not counted zero, surfaces via min_dims") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f), 0),
+      (2L, Array.empty[Float], 0)) // ragged empty: is_zero NULL, min_dims 0
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.vectorDq(emb).collect().head
+    assert(r.getAs[Long]("n_vecs") === 2L)
+    assert(r.getAs[Long]("n_zero_vecs") === 0L) // NULL is_zero doesn't count
+    assert(r.getAs[Long]("min_dims") === 0L)    // but the empty row is visible
+    assert(r.getAs[Long]("max_dims") === 2L)
+  }
+
   test("Similarity.quantizeAudit: int8 reconstruction error bounded by one quantization step") {
     val emb = Tables.embeddings(spark, sf)
     val r = Similarity.quantizeAudit(emb).collect()
