@@ -433,6 +433,12 @@ class ScaleSpec extends SparkSpec {
     assert(srPlan.contains("SortMergeJoin") || srPlan.contains("ShuffledHashJoin") ||
       srPlan.contains("BroadcastHashJoin"), s"substringRuns must equi-join:\n$srPlan")
     assert(!srPlan.contains("NestedLoop") && !srPlan.contains("CartesianProduct"), srPlan)
+    // langIdEval: the label rides the prediction projection — one scan,
+    // NO join anywhere in the plan
+    val lePlan = graft.operators.TextOps.langIdEval(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(!lePlan.contains("Join"), s"langIdEval must not join:\n$lePlan")
+    assert("Scan parquet".r.findAllIn(lePlan).length === 1, lePlan)
   }
 
   test("fuzzy/cohort plan shapes: blocked equi-join with one scan; broadcast sizes join") {
