@@ -779,6 +779,27 @@ object Monitoring {
             (col("n_users") * col("total_cents"))).as("gini"))
   }
 
+  /** Round-number bias — [[benford]]'s modulo sibling in the AML kit:
+    * humans picking amounts overproduce exact multiples of $10/$50/
+    * $100 (a structuring tell invisible to leading-digit tests). Per
+    * type: the exact-multiple counts and their truncated shares — all
+    * integer modulo tests in one scan + hash-agg, engine-exact. */
+  def roundNumberBias(ev: DataFrame): DataFrame = {
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    ev.select(col("event_type"), cents.as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c") % 1000L === 0, 1L).otherwise(0L)).as("n_r10"),
+        sum(when(col("c") % 5000L === 0, 1L).otherwise(0L)).as("n_r50"),
+        sum(when(col("c") % 10000L === 0, 1L).otherwise(0L)).as("n_r100"))
+      .select(col("event_type"), col("n"), col("n_r10"), col("n_r50"),
+        col("n_r100"),
+        graft.functions.Portable.trunc4(
+          col("n_r10").cast("double") / col("n")).as("share_r10"),
+        graft.functions.Portable.trunc4(
+          col("n_r100").cast("double") / col("n")).as("share_r100"))
+  }
+
   /** Winsorization — the outlier-robust scaling step feature pipelines
     * run before any mean-based statistic: per type, amounts clip to the
     * exact discrete P1/P99 cut points (smallest value whose cumulative
@@ -945,6 +966,7 @@ object Monitoring {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rfm" -> ((s, d) => rfm(Tables.events(s, d))),
     "q_winsorize" -> ((s, d) => winsorize(Tables.events(s, d))),
+    "q_round_bias" -> ((s, d) => roundNumberBias(Tables.events(s, d))),
     "q_abtest" -> ((s, d) => abTest(Tables.events(s, d))),
     "q_impute" -> ((s, d) => imputeAmounts(Tables.events(s, d))),
     "q_group_split" -> ((s, d) => groupSplit(Tables.events(s, d))),
@@ -976,6 +998,17 @@ object Monitoring {
     "q_flag_summary" -> ((s, d) => flagSummary(Tables.events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_round_bias" ->
+      ("WITH t AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c " +
+        "FROM events), " +
+        "g AS (SELECT event_type, count(*) AS n, " +
+        "sum(CASE WHEN c % 1000 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_r10, " +
+        "sum(CASE WHEN c % 5000 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_r50, " +
+        "sum(CASE WHEN c % 10000 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_r100 " +
+        "FROM t GROUP BY 1) " +
+        "SELECT event_type, n, n_r10, n_r50, n_r100, " +
+        "floor(n_r10::DOUBLE / n * 10000) / 10000 AS share_r10, " +
+        "floor(n_r100::DOUBLE / n * 10000) / 10000 AS share_r100 FROM g"),
     "q_winsorize" ->
       ("WITH t AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents " +
         "FROM events), " +

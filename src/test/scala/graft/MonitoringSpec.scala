@@ -455,6 +455,23 @@ class MonitoringSpec extends SparkSpec {
     assert(d < 0.2, s"suspiciously large drift on stationary data: $d")
   }
 
+  test("roundNumberBias: exact multiples counted per band, nested bands ordered") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "pay", 10.00), (2L, "pay", 50.00), (3L, "pay", 100.00),
+      (4L, "pay", 33.33), (5L, "pay", 20.00))
+      .toDF("event_id", "event_type", "value")
+    val r = Monitoring.roundNumberBias(ev).collect().head
+    assert(r.getAs[Long]("n") === 5L)
+    assert(r.getAs[Long]("n_r10") === 4L)   // 10, 50, 100, 20
+    assert(r.getAs[Long]("n_r50") === 2L)   // 50, 100
+    assert(r.getAs[Long]("n_r100") === 1L)  // 100
+    // nested bands: every $100 multiple is a $50 multiple is a $10 multiple
+    assert(r.getAs[Long]("n_r100") <= r.getAs[Long]("n_r50"))
+    assert(r.getAs[Long]("n_r50") <= r.getAs[Long]("n_r10"))
+    assert(r.getAs[Double]("share_r10") === 0.8)
+  }
+
   test("winsorize: the planted outlier clips to the P99 cut, totals reconcile") {
     import spark.implicits._
     // 99 amounts of 1.00 plus one 1000.00 outlier: P1 = P99 = 100 cents,
