@@ -52,11 +52,23 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 
-  /** `events` with `ts` normalized: ts_ns (raw), ts (TimestampType, µs),
-    * ts_ms (epoch millis, the engine-portable comparison unit). */
-  def events(s: SparkSession, d: String): DataFrame =
-    read(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-      .withColumn("ts_ms", expr("ts_ns div 1000000"))
+  /** `events` with `ts` normalized: ts_ns (epoch nanos), ts
+    * (TimestampType, µs), ts_ms (epoch millis, the engine-portable
+    * comparison unit). Handles BOTH on-disk encodings the driver has
+    * shipped: TIMESTAMP(NANOS) read as raw Long nanoseconds (the
+    * `nanosAsLong` path) and a plain TIMESTAMP(MICROS)/NTZ column
+    * (normalized through the UTC session so wall time is preserved). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = read(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+          .withColumn("ts_ms", expr("ts_ns div 1000000"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * 1000L)
+          .withColumn("ts_ms", expr("unix_micros(ts) div 1000"))
+    }
+  }
 }

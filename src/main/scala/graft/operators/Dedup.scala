@@ -832,7 +832,7 @@ object Dedup {
         "runs AS (SELECT a_id, b_id, count(*) AS r FROM lab " +
         "GROUP BY a_id, b_id, diag, grp HAVING count(*) >= 10) " +
         "SELECT a_id, b_id, max(r) + 2 AS max_run_tokens, count(*) AS n_runs, " +
-        "sum(r) + 2 * count(*) AS total_tokens FROM runs GROUP BY a_id, b_id"),
+        "(sum(r) + 2 * count(*))::BIGINT AS total_tokens FROM runs GROUP BY a_id, b_id"),
     "q_minhash_audit" ->
       (sigCte + candCte + ", sc AS (SELECT cand.a_id, cand.b_id, " +
         (1 to 16).map(h => s"(CASE WHEN sa.g[$h] = sb.g[$h] THEN 1 ELSE 0 END)")

@@ -937,13 +937,27 @@ object Monitoring {
     * deterministic, so both engines bin identically.
     *
     * Scale shape: ONE hash-aggregate collapses the event log to a row
-    * per user; the three NTILE windows then sort that collapsed
-    * relation — the same sort-bound posture as the amount deciles
-    * ([[SqlCoverage.decileStats]]), priced per |users|, not per event.
-    * At 10⁹ users the assignment would switch to broadcast quintile
-    * BOUNDARIES from the histogram-sketch path (q_approx_quantile's
-    * machinery) — documented trade, not needed at this corpus. */
+    * per user; each dimension's NTILE(5) then computes WITHOUT a
+    * single-partition sort via [[ScaleOps.globalRank]] (two-phase
+    * parallel rank over the persisted per-user relation) plus the
+    * closed-form NTILE inverse [[ntileOf]] — exact SQL NTILE semantics
+    * (first n mod 5 tiles hold ⌈n/5⌉ rows), bit-identical to the
+    * oracle's `ntile(5) OVER (ORDER BY …)`, at 10⁹ users still
+    * `parts`-way parallel where the window form drags every user
+    * through one task. The three score branches join back on the
+    * shared user_id partitioning. */
   def rfm(ev: DataFrame): DataFrame = {
+    val (res, base) = rfmLazy(ev)
+    // |users|-row result: the eager checkpoint stands in for the
+    // production parquet sink and releases the cached base
+    val out = res.localCheckpoint(true)
+    base.unpersist()
+    out
+  }
+
+  /** [[rfm]] without the eager checkpoint, exposing the cached
+    * per-user base for plan inspection / lifecycle control. */
+  private[graft] def rfmLazy(ev: DataFrame): (DataFrame, DataFrame) = {
     val per = ev.groupBy(col("user_id")).agg(
       max(to_date(col("ts"))).as("last_day"),
       count(lit(1)).as("freq"),
@@ -951,14 +965,38 @@ object Monitoring {
     val anchor = per.agg(max(col("last_day")).as("corpus_day"))
     val base = per.crossJoin(broadcast(anchor))
       .withColumn("recency_days", datediff(col("corpus_day"), col("last_day")).cast("long"))
-    base.select(col("user_id"), col("recency_days"), col("freq"), col("cents"),
-        ntile(5).over(Window.orderBy(col("recency_days"), col("user_id")))
-          .cast("long").as("r"),
-        ntile(5).over(Window.orderBy(col("freq").desc, col("user_id")))
-          .cast("long").as("f"),
-        ntile(5).over(Window.orderBy(col("cents").desc, col("user_id")))
-          .cast("long").as("m"))
+      .select(col("user_id"), col("recency_days"), col("freq"), col("cents"))
+      .persist()
+    val nUsers = base.agg(count(lit(1)).as("n_users"))
+    def score(order: Seq[Column], as: String): DataFrame =
+      ScaleOps.globalRank(base, order)
+        .crossJoin(broadcast(nUsers))
+        .select(col("user_id"), ntileOf(col("pos"), col("n_users"), 5).as(as))
+    val res = base
+      .join(score(Seq(col("recency_days"), col("user_id")), "r"), "user_id")
+      .join(score(Seq(col("freq").desc, col("user_id")), "f"), "user_id")
+      .join(score(Seq(col("cents").desc, col("user_id")), "m"), "user_id")
       .withColumn("segment", col("r") * 100L + col("f") * 10L + col("m"))
+    (res, base)
+  }
+
+  /** Exact integer ⌊a/b⌋ via double division — exact while a < 2⁵²
+    * (any realistic row count; the rational a/b is then closer to its
+    * true floor than one ulp). */
+  private def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+
+  /** Closed-form SQL NTILE inverse: the tile of global position `pos`
+    * (1-based, from [[ScaleOps.globalRank]]) among `n` rows split into
+    * `k` tiles — the first n mod k tiles hold ⌊n/k⌋+1 rows, the rest
+    * ⌊n/k⌋ (exactly SQL NTILE's distribution). The otherwise-branch
+    * division by ⌊n/k⌋ = 0 (n < k) is unreachable: every position then
+    * falls inside the first-rem cut. */
+  private def ntileOf(pos: Column, n: Column, k: Int): Column = {
+    val b = idiv(n, lit(k))
+    val r = n % k
+    val cut = r * (b + 1)
+    when(pos <= cut, idiv(pos - 1, b + 1) + 1)
+      .otherwise(r + idiv(pos - cut - 1, b) + 1)
   }
 
   // ---- driver wiring ----

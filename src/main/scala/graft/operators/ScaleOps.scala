@@ -101,6 +101,42 @@ object ScaleOps {
       .select(col(key), col("n"), col("share"), col("rnk"))
   }
 
+  /** Exact global 1-based position of every row under `order` (which
+    * must be a TOTAL order — include a unique tiebreak column) WITHOUT
+    * an `Exchange SinglePartition` sort — the two-phase parallel rank.
+    * Rows range-repartition on the full sort key so the `parts`
+    * partitions tile the global order; each row numbers locally inside
+    * its partition (a hash exchange on the partition id, same data
+    * volume, never one task); the per-partition counts — a ≤`parts`-row
+    * relation — prefix-sum into starting offsets that broadcast back.
+    * `pos = offset + local rank` is then the exact global row_number:
+    * at 10⁹ rows the sort runs `parts`-way parallel where a bare
+    * `Window.orderBy` would drag every row through a single task. The
+    * only single-partition window left runs over the ≤`parts`-row count
+    * relation.
+    *
+    * Determinism: RangePartitioner's boundary sampling is seeded by
+    * partition index (not a clock), and with a total order the SPLIT
+    * cannot reorder rows — `pos` is defined by the order alone,
+    * whatever boundaries the sampler picks. */
+  def globalRank(df: DataFrame, order: Seq[Column], parts: Int = 32,
+      posCol: String = "pos"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df.repartitionByRange(parts, order: _*)
+      .withColumn("_gr_pid", spark_partition_id())
+    val local = ranged.withColumn("_gr_lrn",
+      row_number().over(
+        Window.partitionBy(col("_gr_pid")).orderBy(order: _*)).cast("long"))
+    val offsets = ranged.groupBy(col("_gr_pid")).agg(count(lit(1)).as("_gr_c"))
+      .withColumn("_gr_off", coalesce(sum(col("_gr_c")).over(
+        Window.orderBy(col("_gr_pid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("_gr_pid"), col("_gr_off"))
+    local.join(broadcast(offsets), "_gr_pid")
+      .withColumn(posCol, col("_gr_off") + col("_gr_lrn"))
+      .drop("_gr_pid", "_gr_lrn", "_gr_off")
+  }
+
   /** Incremental aggregate maintenance: merge a pre-aggregated STATE
     * (everything before the new batch) with the DELTA batch's partials
     * instead of recomputing from raw history — count/sum are algebraic,

@@ -630,9 +630,14 @@ object Similarity {
         when(size(col("e")) > 0,
           aggregate(col("e"), lit(0.0),
             (acc, x) => greatest(acc, abs(x))) === 0.0).as("is_zero"),
-        aggregate(col("e"), lit(0L),
-          (acc, x) => acc + when(col("gs") > 0, qv(x) * qv(x)).otherwise(0L))
-          .as("qn2"))
+        // same guard for qn2: the oracle's list_sum over an EMPTY list
+        // is NULL (inside CASE WHEN gs > 0), where a bare fold would
+        // return its 0L init — mirror both arms so an empty vector
+        // yields NULL (gs > 0) / 0 (degenerate gs), never a silent 0
+        when(col("gs") > 0,
+          when(size(col("e")) > 0,
+            aggregate(col("e"), lit(0L), (acc, x) => acc + qv(x) * qv(x))))
+          .otherwise(0L).as("qn2"))
     per.groupBy(col("label").cast("long").as("label"))
       .agg(count(lit(1)).as("n_vecs"),
         min(col("dims")).as("min_dims"), max(col("dims")).as("max_dims"),

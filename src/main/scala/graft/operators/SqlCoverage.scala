@@ -220,32 +220,58 @@ object SqlCoverage {
     result
   }
 
-  /** Equi-depth decile profile of transaction amounts: NTILE(10) over
-    * the exact cent ordering (event_id tiebreak ⇒ both engines bin
-    * identically), then per-decile volume stats and share — the
-    * feature-engineering binning that turns a skewed amount into a
-    * uniform feature, and the table a risk team reads for "where the
-    * money sits". At 100 TB the global NTILE is a range-partitioned
-    * sort (Spark's TakeOrderedAndProject does not apply; the exchange
-    * is rangepartitioning) — the one legitimately sort-bound operator
-    * here, priced accordingly.
+  /** Equi-depth decile profile of transaction amounts — NTILE(10)
+    * semantics (cents order, event_id tiebreak) computed WITHOUT a
+    * global sort of the fact: the [[Monitoring.winsorize]] bin-collapse
+    * pattern. The fact collapses to (cents, count) bins (amount domains
+    * are bounded — cents cardinality is fixed by the price grid, not
+    * the row count), ONE cumulative window runs over that tiny bin
+    * relation, and each bin's count then splits arithmetically across
+    * the NTILE position ranges it overlaps (a bin occupying global
+    * positions [cum−c+1, cum] contributes `overlap` rows to decile d's
+    * range [lo_d, hi_d]) via a broadcast join against the 10-row decile
+    * table. Because every decile aggregate (n / min / max / sum) only
+    * depends on HOW MANY rows of each cent value land in each decile —
+    * never on which event_id — the event_id tiebreak drops out and the
+    * result is bit-identical to the oracle's NTILE(10).
     *
     * All measures are integer cent sums; shares divide two exact
     * integers. */
   def decileStats(ev: DataFrame): DataFrame = {
-    val cents = ev.select(col("event_id"),
-      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-    val binned = cents.withColumn("decile",
-      ntile(10).over(Window.orderBy(col("cents"), col("event_id"))).cast("long"))
-    val tot = cents.agg(sum(col("cents")).as("total_cents"))
-    binned.groupBy(col("decile"))
-      .agg(count(lit(1)).as("n"), min(col("cents")).as("min_cents"),
-        max(col("cents")).as("max_cents"), sum(col("cents")).as("sum_cents"))
-      .crossJoin(broadcast(tot))
+    val cents = ev.select(floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val bins = cents.groupBy(col("cents")).agg(count(lit(1)).as("c")).persist()
+    // cumulative row positions over the BIN relation (the only global
+    // window — |distinct cents| rows, the winsorize discipline)
+    val cum = bins.withColumn("cum", sum(col("c")).over(Window.orderBy(col("cents"))))
+    val tot = bins.agg(sum(col("c")).as("n_total"),
+      sum(col("cents") * col("c")).as("total_cents"))
+    // NTILE(10) position ranges: the first (n mod 10) deciles hold
+    // ⌈n/10⌉ rows, the rest ⌊n/10⌋ — exact SQL NTILE arithmetic
+    val deciles = tot.select(col("n_total"), col("total_cents"),
+        explode(sequence(lit(1L), lit(10L))).as("decile"))
+      .select(col("decile"), col("total_cents"),
+        ((col("decile") - 1) * expr("n_total DIV 10") +
+          least(col("decile") - 1, col("n_total") % 10) + 1).as("lo"),
+        (col("decile") * expr("n_total DIV 10") +
+          least(col("decile"), col("n_total") % 10)).as("hi"))
+    val result = cum
+      .join(broadcast(deciles),
+        col("cum") - col("c") + 1 <= col("hi") && col("cum") >= col("lo"))
+      .select(col("decile"), col("cents"), col("total_cents"),
+        (least(col("cum"), col("hi")) -
+          greatest(col("cum") - col("c") + 1, col("lo")) + 1).as("k"))
+      .groupBy(col("decile"))
+      .agg(sum(col("k")).as("n"), min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"),
+        sum(col("cents") * col("k")).as("sum_cents"),
+        max(col("total_cents")).as("total_cents"))
       .select(col("decile"), col("n"), col("min_cents"), col("max_cents"),
         col("sum_cents"),
         graft.functions.Portable.trunc4(
           col("sum_cents").cast("double") / col("total_cents")).as("share"))
+      .localCheckpoint(true) // 10 rows; releases bins
+    bins.unpersist()
+    result
   }
 
   /** Marketing-attribution join: for every purchase, the user's most
