@@ -238,6 +238,15 @@ object SqlCoverage {
     * All measures are integer cent sums; shares divide two exact
     * integers. */
   def decileStats(ev: DataFrame): DataFrame = {
+    val (res, bins) = decileStatsLazy(ev)
+    val result = res.localCheckpoint(true) // 10 rows; releases bins
+    bins.unpersist()
+    result
+  }
+
+  /** [[decileStats]] without the eager checkpoint, exposing the cached
+    * bin relation for plan inspection / lifecycle control. */
+  private[graft] def decileStatsLazy(ev: DataFrame): (DataFrame, DataFrame) = {
     val cents = ev.select(floor(col("value") * 100 + 0.5).cast("long").as("cents"))
     val bins = cents.groupBy(col("cents")).agg(count(lit(1)).as("c")).persist()
     // cumulative row positions over the BIN relation (the only global
@@ -269,9 +278,7 @@ object SqlCoverage {
         col("sum_cents"),
         graft.functions.Portable.trunc4(
           col("sum_cents").cast("double") / col("total_cents")).as("share"))
-      .localCheckpoint(true) // 10 rows; releases bins
-    bins.unpersist()
-    result
+    (result, bins)
   }
 
   /** Marketing-attribution join: for every purchase, the user's most

@@ -8,6 +8,45 @@ import java.nio.file.Files
   * plan without shuffle exchanges, partitioned/format round-trips. */
 class ScaleSpec extends SparkSpec {
 
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+  import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+  import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+  import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+  import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec}
+
+  /** Children for plan walks, descending through the wrappers that hide
+    * subtrees: AQE roots/stages, cached relations, reused exchanges. */
+  private def planKids(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+    case s: QueryStageExec => Seq(s.plan)
+    case i: InMemoryTableScanExec => Seq(i.relation.cachedPlan)
+    case r: ReusedExchangeExec => Seq(r.child)
+    case other => other.children
+  }
+
+  private def planNodes(p: SparkPlan): Seq[SparkPlan] =
+    p +: planKids(p).flatMap(planNodes)
+
+  /** True when the subtree contains a cardinality collapse — an
+    * aggregate, a window-group limit, or a limit — i.e. the relation
+    * flowing OUT of it is bins/groups/top-k, not the raw fact. */
+  private def collapsedBelow(p: SparkPlan): Boolean = planNodes(p).exists {
+    case _: BaseAggregateExec | _: WindowGroupLimitExec |
+         _: GlobalLimitExec | _: LocalLimitExec | _: TakeOrderedAndProjectExec => true
+    case _ => false
+  }
+
+  /** Every `WindowExec` with an EMPTY partition spec (⇒ planned over
+    * `Exchange SinglePartition`) whose input is NOT a collapsed
+    * relation — the one-task-sorts-the-fact scale killer. */
+  private def globalWindowOffenders(plan: SparkPlan): Seq[String] =
+    planNodes(plan).collect {
+      case w: WindowExec if w.partitionSpec.isEmpty && !collapsedBelow(w.child) =>
+        w.treeString
+    }
+
   test("saltedUserStats equals the direct aggregation") {
     val ev = Tables.events(spark, sf)
     val direct = ev.groupBy(col("user_id"))
@@ -511,5 +550,83 @@ class ScaleSpec extends SparkSpec {
       .filter(col("o_orderpriority") === "1-URGENT").count()
     val got = q.collect()
     assert(got.length === 1 && got.head.getAs[Long]("n") === expected)
+  }
+
+  test("decileStats: bin-collapse equals the NTILE window form; no global window touches the fact") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sf)
+    val (res, bins) = graft.operators.SqlCoverage.decileStatsLazy(ev)
+    try {
+      // plan: the only global window runs over the (cents, count) bin
+      // aggregate — never the raw event relation
+      assert(globalWindowOffenders(res.queryExecution.executedPlan).isEmpty,
+        globalWindowOffenders(res.queryExecution.executedPlan).mkString("\n"))
+      // values: bit-identical to the direct NTILE(10) formulation
+      val cents = ev.select(col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val tot = cents.agg(sum(col("cents")).as("total_cents"))
+      val direct = cents.withColumn("decile",
+          ntile(10).over(Window.orderBy(col("cents"), col("event_id"))).cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents"), sum(col("cents")).as("sum_cents"))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), col("n"), col("min_cents"), col("max_cents"),
+          col("sum_cents"), graft.functions.Portable.trunc4(
+            col("sum_cents").cast("double") / col("total_cents")).as("share"))
+      assert(res.exceptAll(direct).count() === 0)
+      assert(direct.exceptAll(res).count() === 0)
+    } finally bins.unpersist()
+  }
+
+  test("rfm: two-phase quintiles equal the NTILE window form; no global window over the per-user relation") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, sf)
+    val (res, base) = graft.operators.Monitoring.rfmLazy(ev)
+    try {
+      // plan: the only single-partition windows left are the ≤parts-row
+      // partition-count offsets inside globalRank (aggregates below)
+      assert(globalWindowOffenders(res.queryExecution.executedPlan).isEmpty,
+        globalWindowOffenders(res.queryExecution.executedPlan).mkString("\n"))
+      // values: bit-identical to the direct three-NTILE-window form
+      val per = ev.groupBy(col("user_id")).agg(
+        max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      val anchor = per.agg(max(col("last_day")).as("corpus_day"))
+      val direct = per.crossJoin(broadcast(anchor))
+        .withColumn("recency_days",
+          datediff(col("corpus_day"), col("last_day")).cast("long"))
+        .select(col("user_id"), col("recency_days"), col("freq"), col("cents"),
+          ntile(5).over(Window.orderBy(col("recency_days"), col("user_id")))
+            .cast("long").as("r"),
+          ntile(5).over(Window.orderBy(col("freq").desc, col("user_id")))
+            .cast("long").as("f"),
+          ntile(5).over(Window.orderBy(col("cents").desc, col("user_id")))
+            .cast("long").as("m"))
+        .withColumn("segment", col("r") * 100L + col("f") * 10L + col("m"))
+      assert(res.exceptAll(direct).count() === 0)
+      assert(direct.exceptAll(res).count() === 0)
+    } finally base.unpersist()
+  }
+
+  test("global-window sweep: no driver query plans a global window over an uncollapsed relation") {
+    // the regression gate behind the decileStats/rfm rewrites: walk
+    // EVERY SparkEntry query's physical plan (descending into AQE
+    // stages, cached relations and reused exchanges) and require each
+    // empty-partition-spec WindowExec to sit on a collapsed relation —
+    // an aggregate (bins / groups / per-key rollup), a window-group
+    // limit, or a limit. A global window directly over a fact-derived
+    // relation is the one-task sort that never finishes at 100 TB.
+    // (Eagerly-checkpointed operators surface here only via their final
+    // plans; their inner pipelines are pinned by the *Lazy tests.)
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, mk) =>
+      val df = mk(spark, sf)
+      globalWindowOffenders(df.queryExecution.executedPlan)
+        .foreach(t => offenders += s"$name:\n$t")
+    }
+    assert(offenders.isEmpty,
+      s"${offenders.length} global-window offender(s):\n${offenders.mkString("\n\n")}")
   }
 }
