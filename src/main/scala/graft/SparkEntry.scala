@@ -25,11 +25,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ Dedup.queries ++ Similarity.queries ++
-      TextOps.queries ++ Media.queries ++ SqlCoverage.queries ++ Sql.queries ++ ScaleOps.queries ++ Mutations.queries ++ AsofNative.queries ++ Monitoring.queries ++ Sketches.queries ++ Graph.queries ++ Tpch.queries
+      TextOps.queries ++ Media.queries ++ SqlCoverage.queries ++ Sql.queries ++ ScaleOps.queries ++ Mutations.queries ++ AsofNative.queries ++ Monitoring.queries ++ Sketches.queries ++ Graph.queries ++ Tpch.queries ++ graft.streaming.Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Analytics.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
-      TextOps.oracleSql ++ Media.oracleSql ++ SqlCoverage.oracleSql ++ Sql.oracleSql ++ ScaleOps.oracleSql ++ Mutations.oracleSql ++ AsofNative.oracleSql ++ Monitoring.oracleSql ++ Sketches.oracleSql ++ Graph.oracleSql ++ Tpch.oracleSql
+      TextOps.oracleSql ++ Media.oracleSql ++ SqlCoverage.oracleSql ++ Sql.oracleSql ++ ScaleOps.oracleSql ++ Mutations.oracleSql ++ AsofNative.oracleSql ++ Monitoring.oracleSql ++ Sketches.oracleSql ++ Graph.oracleSql ++ Tpch.oracleSql ++ graft.streaming.Streaming.oracleSql
 }

@@ -518,6 +518,95 @@ object Streaming {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Driver-visible streaming correctness: replay the bounded `events`
+    * table through the REAL streaming pipeline — file source →
+    * watermark → tumbling windowed aggregation → Append-mode parquet
+    * sink — with `Trigger.AvailableNow`, and return the finalized
+    * windows as a batch DataFrame. Because every window finalizes
+    * exactly once and the measures are integer (count + cent sum), the
+    * result is deterministic and equals the batch GROUP BY over the
+    * same rows — which is what the DuckDB oracle computes. This is the
+    * one query that puts `Streaming`'s watermark/finalization semantics
+    * inside the driver's CORRECTNESS gate instead of only ScalaTest.
+    *
+    * Finalization mechanics: Append mode only emits a window once the
+    * watermark passes its end, and the watermark available to batch N
+    * is computed from data seen through batch N−1 — so a bounded
+    * replay needs LATER batches to flush the real windows. Two
+    * far-future sentinel rows land in two separate files with
+    * strictly increasing modification times; `maxFilesPerTrigger` =
+    * |data files| makes them their own micro-batches (the file source
+    * processes oldest-first). After the batch carrying sentinel #1 the
+    * watermark exceeds every real window's end, so the batch carrying
+    * sentinel #2 emits them all — without relying on the engine's
+    * optional no-data flush batch. Sentinel groups are filtered on the
+    * BATCH read-back, deliberately NOT inside the streaming plan: a
+    * filter on the grouping column would be pushed below the
+    * aggregation AND the watermark node into the scan (measured — the
+    * sentinel files then prune to 0 rows and the watermark never
+    * advances), so the stream must carry the sentinels and the final
+    * projection drops whichever of their windows happened to flush. */
+  def streamReplay(spark: SparkSession, dir: String,
+      watermarkMin: Long = 10L, windowMin: Long = 5L): DataFrame = {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
+    val shaped = graft.Tables.events(spark, dir)
+      .select(col("ts").as("timestamp"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val maxTs = shaped.agg(max(col("timestamp"))).head.getTimestamp(0)
+    val root = Files.createTempDirectory("graft-replay")
+    val inDir = s"$root/in"
+    val outDir = s"$root/out"
+    shaped.write.parquet(inDir)
+    def parts(d: String): Seq[java.io.File] =
+      new java.io.File(d).listFiles().toSeq
+        .filter(_.getName.endsWith(".parquet"))
+    val nDataFiles = parts(inDir).size
+    // two sentinel files, one row each (written via a scratch dir),
+    // with modification times strictly AFTER every data file's
+    import spark.implicits._
+    Seq(1, 2).foreach { i =>
+      val scratch = s"$root/s$i"
+      Seq((new java.sql.Timestamp(
+          maxTs.getTime + i * (watermarkMin + 2 * windowMin) * 60000L),
+        "__sentinel__", 0L))
+        .toDF("timestamp", "event_type", "cents")
+        .coalesce(1).write.parquet(scratch)
+      val dest = new java.io.File(inDir, s"zz-sentinel-$i.parquet")
+      Files.copy(parts(scratch).head.toPath, dest.toPath)
+      dest.setLastModified(System.currentTimeMillis() + i * 60000L)
+    }
+    val agg = spark.readStream.schema(shaped.schema)
+      .option("maxFilesPerTrigger", math.max(nDataFiles, 1).toString)
+      .parquet(inDir)
+      .withWatermark("timestamp", s"$watermarkMin minutes")
+      .groupBy(window(col("timestamp"), s"$windowMin minutes").as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .select(unix_millis(col("win.start")).as("win_start_ms"),
+        col("event_type"), col("n"), col("cents"))
+    val q = agg.writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$root/ck")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.schema(agg.schema).parquet(outDir)
+      .filter(col("event_type") =!= "__sentinel__")
+  }
+
+  // ---- driver wiring ----
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_replay" -> ((s, d) => streamReplay(s, d)))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_stream_replay" ->
+      ("SELECT (epoch_ms(ts) // 300000) * 300000 AS win_start_ms, event_type, " +
+        "count(*) AS n, sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents " +
+        "FROM events GROUP BY 1, 2"))
+
   /** Start a query into an in-memory sink (tests / interactive). */
   def toMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

@@ -547,6 +547,20 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("availnow").count() === 1)
   }
 
+  test("streamReplay: finalized windows equal the batch tumbling aggregation; no sentinel leaks") {
+    import org.apache.spark.sql.functions._
+    val got = Streaming.streamReplay(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .groupBy((floor(col("ts_ms") / 300000L) * 300000L).cast("long").as("win_start_ms"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+    // EVERY window finalized exactly once, values identical to batch
+    assert(got.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(got).count() === 0)
+    assert(got.filter(col("event_type") === "__sentinel__").count() === 0)
+  }
+
   test("kafkaOptions builds the connector option map (unit-level, no broker)") {
     val o = Streaming.kafkaOptions("broker:9092", "txns",
       extra = Map("maxOffsetsPerTrigger" -> "1000"))
