@@ -739,16 +739,29 @@ object TextOps {
     * count adjacent symbol pairs weighted by word frequency, pick the
     * most frequent (ties broken lexicographically — fully
     * deterministic), rewrite the vocab with [[graft.functions.Bpe
-    * .BpeMergeOnce]]. The per-round argmax collects ONE row — a merge
-    * DECISION, not data — mirroring how the IVF k-means loop carries
-    * centroid literals. The interpreted `transform` building pair keys
-    * is vocab-sized by the same argument (the corpus-sized hot loop is
-    * the native apply expression, never this).
+    * .BpeMergeOnce]]. The per-round argmax collects ≤ `batchM`+1 rows —
+    * merge DECISIONS, not data — mirroring how the IVF k-means loop
+    * carries centroid literals. The interpreted `transform` building
+    * pair keys is vocab-sized by the same argument (the corpus-sized
+    * hot loop is the native apply expression, never this).
+    *
+    * BATCHED rounds, provably identical merges: each round accepts the
+    * longest ranked-candidate prefix that is (a) pairwise
+    * symbol-DISJOINT and (b) strictly above the first unaccepted
+    * candidate's count. Equivalence to one-merge-per-round: merging a
+    * disjoint pair leaves the others' counts untouched, and a NEW pair
+    * born of a merge (x, ab) inherits adjacency from an old pair
+    * sharing a symbol with it ((x, a)), so its count is ≤ that old
+    * sharing pair's ≤ the first-unaccepted count < every accepted
+    * count — no new pair can outrank (or tie-break into) the accepted
+    * prefix. Conflicts or flat count ties simply shrink the batch —
+    * worst case one merge per round, the sequential learner exactly.
+    * Cuts the 2·nMerges driver round-trips ~batchM× on real corpora.
     *
     * Pair counts include overlapping occurrences ("aaa" counts (a,a)
     * twice) — the textbook counting; the REWRITE is leftmost-
     * nonoverlapping, matching the apply side exactly. */
-  def bpeLearn(docs: DataFrame, nMerges: Int = 32): Seq[String] = {
+  def bpeLearn(docs: DataFrame, nMerges: Int = 32, batchM: Int = 8): Seq[String] = {
     var vocab = docs
       .select(explode(graft.functions.TextHash.tokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
@@ -758,23 +771,41 @@ object TextOps {
       .localCheckpoint(true) // vocab-sized; the loop re-reads it every round
     val merges = scala.collection.mutable.ArrayBuffer.empty[String]
     var exhausted = false
-    for (_ <- 0 until nMerges if !exhausted) {
-      val best = vocab
+    while (merges.size < nMerges && !exhausted) {
+      val cand = vocab
         .filter(size(col("syms")) >= 2)
         .select(col("f"), explode(expr(
           "transform(sequence(1, size(syms) - 1), " +
             "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))")).as("p"))
         .groupBy(col("p")).agg(sum(col("f")).as("n"))
-        .orderBy(col("n").desc, col("p")).limit(1)
+        .orderBy(col("n").desc, col("p")).limit(batchM + 1)
         .collect()
-      if (best.isEmpty) exhausted = true
+        .map(r => (r.getAs[String]("p"), r.getAs[Long]("n")))
+      if (cand.isEmpty) exhausted = true
       else {
-        val pair = best.head.getAs[String]("p")
-        val Array(x, y) = pair.split(" ", 2)
-        merges += pair
-        vocab = vocab.select(col("f"),
-            graft.functions.Bpe.bpeMergeOnce(col("syms"), x, y).as("syms"))
-          .localCheckpoint(true)
+        // longest pairwise-disjoint prefix, capped by remaining budget
+        val used = scala.collection.mutable.Set.empty[String]
+        var k = 0
+        var conflict = false
+        while (!conflict && k < cand.length &&
+            k < math.min(batchM, nMerges - merges.size)) {
+          val Array(x, y) = cand(k)._1.split(" ", 2)
+          if (used.contains(x) || used.contains(y)) conflict = true
+          else { used += x; used += y; k += 1 }
+        }
+        // strict-count guard: every accepted count must exceed the first
+        // unaccepted candidate's (ties could let a merge-born pair
+        // tie-break in); top-1 alone is always exact
+        while (k > 1 && k < cand.length && cand(k - 1)._2 <= cand(k)._2) k -= 1
+        val accepted = cand.take(k).map(_._1)
+        accepted.foreach(merges += _)
+        // ONE vocab rewrite composing the batch's merges (disjoint, so
+        // application order is immaterial; kept in rank order anyway)
+        val syms = accepted.foldLeft(col("syms")) { (c, p) =>
+          val Array(x, y) = p.split(" ", 2)
+          graft.functions.Bpe.bpeMergeOnce(c, x, y)
+        }
+        vocab = vocab.select(col("f"), syms.as("syms")).localCheckpoint(true)
       }
     }
     merges.toSeq
