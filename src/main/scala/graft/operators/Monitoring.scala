@@ -947,17 +947,18 @@ object Monitoring {
     * through one task. The three score branches join back on the
     * shared user_id partitioning. */
   def rfm(ev: DataFrame): DataFrame = {
-    val (res, base) = rfmLazy(ev)
+    val (res, caches) = rfmLazy(ev)
     // |users|-row result: the eager checkpoint stands in for the
-    // production parquet sink and releases the cached base
+    // production parquet sink and releases the cached relations
     val out = res.localCheckpoint(true)
-    base.unpersist()
+    caches.foreach(_.unpersist())
     out
   }
 
   /** [[rfm]] without the eager checkpoint, exposing the cached
-    * per-user base for plan inspection / lifecycle control. */
-  private[graft] def rfmLazy(ev: DataFrame): (DataFrame, DataFrame) = {
+    * relations (per-user base + the three ranged relations) for plan
+    * inspection / lifecycle control. */
+  private[graft] def rfmLazy(ev: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val per = ev.groupBy(col("user_id")).agg(
       max(to_date(col("ts"))).as("last_day"),
       count(lit(1)).as("freq"),
@@ -968,16 +969,18 @@ object Monitoring {
       .select(col("user_id"), col("recency_days"), col("freq"), col("cents"))
       .persist()
     val nUsers = base.agg(count(lit(1)).as("n_users"))
-    def score(order: Seq[Column], as: String): DataFrame =
-      ScaleOps.globalRank(base, order)
-        .crossJoin(broadcast(nUsers))
-        .select(col("user_id"), ntileOf(col("pos"), col("n_users"), 5).as(as))
-    val res = base
-      .join(score(Seq(col("recency_days"), col("user_id")), "r"), "user_id")
-      .join(score(Seq(col("freq").desc, col("user_id")), "f"), "user_id")
-      .join(score(Seq(col("cents").desc, col("user_id")), "m"), "user_id")
+    def score(order: Seq[Column], as: String): (DataFrame, DataFrame) = {
+      val (ranked, cache) = ScaleOps.globalRankLazy(base, order)
+      (ranked.crossJoin(broadcast(nUsers))
+        .select(col("user_id"), ntileOf(col("pos"), col("n_users"), 5).as(as)),
+        cache)
+    }
+    val (r, cr) = score(Seq(col("recency_days"), col("user_id")), "r")
+    val (f, cf) = score(Seq(col("freq").desc, col("user_id")), "f")
+    val (m, cm) = score(Seq(col("cents").desc, col("user_id")), "m")
+    val res = base.join(r, "user_id").join(f, "user_id").join(m, "user_id")
       .withColumn("segment", col("r") * 100L + col("f") * 10L + col("m"))
-    (res, base)
+    (res, Seq(base, cr, cf, cm))
   }
 
   /** Exact integer ⌊a/b⌋ via double division — exact while a < 2⁵²

@@ -118,12 +118,23 @@ object ScaleOps {
     * Determinism: RangePartitioner's boundary sampling is seeded by
     * partition index (not a clock), and with a total order the SPLIT
     * cannot reorder rows — `pos` is defined by the order alone,
-    * whatever boundaries the sampler picks. */
-  def globalRank(df: DataFrame, order: Seq[Column], parts: Int = 32,
-      posCol: String = "pos"): DataFrame = {
+    * whatever boundaries the sampler picks.
+    *
+    * Returns (ranked relation with `posCol`, the persisted ranged
+    * relation) — the caller unpersists the latter once the former is
+    * materialized. */
+  def globalRankLazy(df: DataFrame, order: Seq[Column], parts: Int = 32,
+      posCol: String = "pos"): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
+    // persisted: the ranked branch and the offsets branch both read it,
+    // and WITHOUT the cache Catalyst column-prunes the two branches
+    // differently below the range exchange, defeating exchange reuse —
+    // the range shuffle would run twice (measured; AQE stage reuse
+    // does not fire across the differently-pruned subtrees). Caller
+    // unpersists after materializing the result.
     val ranged = df.repartitionByRange(parts, order: _*)
       .withColumn("_gr_pid", spark_partition_id())
+      .persist()
     val local = ranged.withColumn("_gr_lrn",
       row_number().over(
         Window.partitionBy(col("_gr_pid")).orderBy(order: _*)).cast("long"))
@@ -132,9 +143,10 @@ object ScaleOps {
         Window.orderBy(col("_gr_pid")).rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .select(col("_gr_pid"), col("_gr_off"))
-    local.join(broadcast(offsets), "_gr_pid")
+    val ranked = local.join(broadcast(offsets), "_gr_pid")
       .withColumn(posCol, col("_gr_off") + col("_gr_lrn"))
       .drop("_gr_pid", "_gr_lrn", "_gr_off")
+    (ranked, ranged)
   }
 
   /** Incremental aggregate maintenance: merge a pre-aggregated STATE

@@ -582,7 +582,7 @@ class ScaleSpec extends SparkSpec {
   test("rfm: two-phase quintiles equal the NTILE window form; no global window over the per-user relation") {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, sf)
-    val (res, base) = graft.operators.Monitoring.rfmLazy(ev)
+    val (res, caches) = graft.operators.Monitoring.rfmLazy(ev)
     try {
       // plan: the only single-partition windows left are the ≤parts-row
       // partition-count offsets inside globalRank (aggregates below)
@@ -607,7 +607,7 @@ class ScaleSpec extends SparkSpec {
         .withColumn("segment", col("r") * 100L + col("f") * 10L + col("m"))
       assert(res.exceptAll(direct).count() === 0)
       assert(direct.exceptAll(res).count() === 0)
-    } finally base.unpersist()
+    } finally caches.foreach(_.unpersist())
   }
 
   test("global-window sweep: no driver query plans a global window over an uncollapsed relation") {
