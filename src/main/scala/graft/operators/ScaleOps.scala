@@ -252,11 +252,28 @@ object ScaleOps {
 
   // ---- driver wiring ----
 
+  /** [[globalRankLazy]] itself under the oracle gate: every event's
+    * exact global position by (cents desc, event_id) — the DuckDB
+    * `row_number() OVER (ORDER BY …)` computed WITHOUT the one-task
+    * sort. The hash compare makes the two-phase rank's exactness a
+    * driver-checked fact, not just a ScaleSpec property. */
+  def globalRankEvents(ev: DataFrame): DataFrame = {
+    val cents = ev.select(col("event_id"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val (ranked, cache) = globalRankLazy(
+      cents, Seq(col("cents").desc, col("event_id")))
+    val out = ranked.select(col("event_id"), col("cents"), col("pos"))
+      .localCheckpoint(true)
+    cache.unpersist()
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mixture_sample" -> ((s, d) => mixtureSample(Tables.documents(s, d))),
     "q_salted_agg" -> ((s, d) => saltedUserStats(Tables.events(s, d))),
     "q_zorder" -> ((s, d) => zorderEvents(Tables.events(s, d))),
     "q_skew_audit" -> ((s, d) => skewAudit(Tables.lineitem(s, d))),
+    "q_global_rank" -> ((s, d) => globalRankEvents(Tables.events(s, d))),
     "q_incr_agg" -> ((s, d) => incrAgg(Tables.events(s, d))))
 
   /** The z-interleave as SQL, generated from the same bit positions the
@@ -272,6 +289,10 @@ object ScaleOps {
       .mkString(" ") + s" ELSE $MixtureDefaultRate END"
 
   val oracleSql: Map[String, String] = Map(
+    "q_global_rank" ->
+      ("SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
+        "row_number() OVER (ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT) DESC, " +
+        "event_id)::BIGINT AS pos FROM events"),
     "q_mixture_sample" ->
       (s"WITH c AS (SELECT source, n_chars, $mixtureRateSql AS target_rate, " +
         "CASE WHEN ('0x'||substr(md5('mix|'||doc_id),1,15))::BIGINT % 1000000 " +

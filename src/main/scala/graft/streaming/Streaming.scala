@@ -574,7 +574,11 @@ object Streaming {
         .coalesce(1).write.parquet(scratch)
       val dest = new java.io.File(inDir, s"zz-sentinel-$i.parquet")
       Files.copy(parts(scratch).head.toPath, dest.toPath)
-      dest.setLastModified(System.currentTimeMillis() + i * 60000L)
+      // ordered strictly after the SLOWEST-written data part (anchoring
+      // on the data files' max modification time, not the wall clock)
+      dest.setLastModified(
+        parts(inDir).filterNot(_.getName.startsWith("zz-sentinel"))
+          .map(_.lastModified).max + i * 60000L)
     }
     val agg = spark.readStream.schema(shaped.schema)
       .option("maxFilesPerTrigger", math.max(nDataFiles, 1).toString)
