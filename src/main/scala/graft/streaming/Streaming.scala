@@ -548,11 +548,71 @@ object Streaming {
     * projection drops whichever of their windows happened to flush. */
   def streamReplay(spark: SparkSession, dir: String,
       watermarkMin: Long = 10L, windowMin: Long = 5L): DataFrame = {
-    import java.nio.file.Files
-    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
     val shaped = graft.Tables.events(spark, dir)
       .select(col("ts").as("timestamp"), col("event_type"),
         floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    replayToParquet(spark, shaped,
+      mkSentinel = (maxTs, i) => Seq((new java.sql.Timestamp(
+          maxTs.getTime + i * (watermarkMin + 2 * windowMin) * 60000L),
+        "__sentinel__", 0L)).toDF("timestamp", "event_type", "cents"),
+      pipeline = in => in
+        .withWatermark("timestamp", s"$watermarkMin minutes")
+        .groupBy(window(col("timestamp"), s"$windowMin minutes").as("win"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .select(unix_millis(col("win.start")).as("win_start_ms"),
+          col("event_type"), col("n"), col("cents")))
+      .filter(col("event_type") =!= "__sentinel__")
+  }
+
+  /** [[streamReplay]]'s sibling for SESSION windows — the state-MERGING
+    * streaming aggregation (tumbling windows only ever accumulate;
+    * session windows must coalesce as late-but-in-watermark events
+    * bridge gaps) replayed over the bounded events table and oracled by
+    * the gaps-and-islands SQL the batch `q_sessionize` already proved
+    * out. Precision discipline: `session_window` compares event times
+    * at MICROsecond precision while the oracle works in epoch-ms, so
+    * the shaped stream truncates timestamps to the millisecond first —
+    * both engines then see identical gaps. Spark starts a NEW session
+    * when the gap EQUALS the timeout (the [ts, ts+gap) intervals no
+    * longer overlap), so the oracle's new-session flag is `>= gap`,
+    * not `> gap`. Sentinels ride user_id −1 and are dropped on the
+    * batch read-back (same pushdown reasoning as [[streamReplay]]). */
+  def streamSessions(spark: SparkSession, dir: String,
+      watermarkMin: Long = 10L, gapMin: Long = 30L): DataFrame = {
+    import spark.implicits._
+    val shaped = graft.Tables.events(spark, dir)
+      .select(timestamp_millis(col("ts_ms")).as("timestamp"), col("user_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    replayToParquet(spark, shaped,
+      mkSentinel = (maxTs, i) => Seq((new java.sql.Timestamp(
+          maxTs.getTime + i * (watermarkMin + 2 * gapMin) * 60000L),
+        -1L, 0L)).toDF("timestamp", "user_id", "cents"),
+      pipeline = in => in
+        .withWatermark("timestamp", s"$watermarkMin minutes")
+        .groupBy(session_window(col("timestamp"), s"$gapMin minutes").as("sess"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .select(unix_millis(col("sess.start")).as("sess_start_ms"),
+          col("user_id"), col("n"), col("cents")))
+      .filter(col("user_id") =!= -1L)
+  }
+
+  /** Bounded-replay harness shared by the driver-oracled streaming
+    * queries: land `shaped` as a file-source corpus plus two sentinel
+    * files ordered strictly AFTER the slowest-written data part, run
+    * `pipeline` over the stream with `Trigger.AvailableNow` into an
+    * Append parquet sink, and return the sink contents. The sentinels
+    * get their own micro-batches (`maxFilesPerTrigger` = |data files|,
+    * oldest-first), so the batch carrying sentinel #2 flushes every
+    * real window using the watermark advanced by sentinel #1 — no
+    * reliance on the engine's optional no-data flush batch. */
+  private def replayToParquet(spark: SparkSession, shaped: DataFrame,
+      mkSentinel: (java.sql.Timestamp, Int) => DataFrame,
+      pipeline: DataFrame => DataFrame): DataFrame = {
+    import java.nio.file.Files
+    import org.apache.spark.sql.streaming.Trigger
     val maxTs = shaped.agg(max(col("timestamp"))).head.getTimestamp(0)
     val root = Files.createTempDirectory("graft-replay")
     val inDir = s"$root/in"
@@ -562,33 +622,19 @@ object Streaming {
       new java.io.File(d).listFiles().toSeq
         .filter(_.getName.endsWith(".parquet"))
     val nDataFiles = parts(inDir).size
-    // two sentinel files, one row each (written via a scratch dir),
-    // with modification times strictly AFTER every data file's
-    import spark.implicits._
     Seq(1, 2).foreach { i =>
       val scratch = s"$root/s$i"
-      Seq((new java.sql.Timestamp(
-          maxTs.getTime + i * (watermarkMin + 2 * windowMin) * 60000L),
-        "__sentinel__", 0L))
-        .toDF("timestamp", "event_type", "cents")
-        .coalesce(1).write.parquet(scratch)
+      mkSentinel(maxTs, i).coalesce(1).write.parquet(scratch)
       val dest = new java.io.File(inDir, s"zz-sentinel-$i.parquet")
       Files.copy(parts(scratch).head.toPath, dest.toPath)
-      // ordered strictly after the SLOWEST-written data part (anchoring
-      // on the data files' max modification time, not the wall clock)
       dest.setLastModified(
         parts(inDir).filterNot(_.getName.startsWith("zz-sentinel"))
           .map(_.lastModified).max + i * 60000L)
     }
-    val agg = spark.readStream.schema(shaped.schema)
-      .option("maxFilesPerTrigger", math.max(nDataFiles, 1).toString)
-      .parquet(inDir)
-      .withWatermark("timestamp", s"$watermarkMin minutes")
-      .groupBy(window(col("timestamp"), s"$windowMin minutes").as("win"),
-        col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
-      .select(unix_millis(col("win.start")).as("win_start_ms"),
-        col("event_type"), col("n"), col("cents"))
+    val agg = pipeline(
+      spark.readStream.schema(shaped.schema)
+        .option("maxFilesPerTrigger", math.max(nDataFiles, 1).toString)
+        .parquet(inDir))
     val q = agg.writeStream.format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", s"$root/ck")
@@ -597,19 +643,30 @@ object Streaming {
       .start()
     q.awaitTermination()
     spark.read.schema(agg.schema).parquet(outDir)
-      .filter(col("event_type") =!= "__sentinel__")
   }
 
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_stream_replay" -> ((s, d) => streamReplay(s, d)))
+    "q_stream_replay" -> ((s, d) => streamReplay(s, d)),
+    "q_stream_sessions" -> ((s, d) => streamSessions(s, d)))
 
   val oracleSql: Map[String, String] = Map(
     "q_stream_replay" ->
       ("SELECT (epoch_ms(ts) // 300000) * 300000 AS win_start_ms, event_type, " +
         "count(*) AS n, sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents " +
-        "FROM events GROUP BY 1, 2"))
+        "FROM events GROUP BY 1, 2"),
+    "q_stream_sessions" ->
+      ("WITH flagged AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, " +
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
+        "CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL " +
+        "OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000 THEN 1 ELSE 0 END AS ns " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)), " +
+        "s AS (SELECT user_id, ts_ms, cents, " +
+        "sum(ns) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS sess_no FROM flagged) " +
+        "SELECT min(ts_ms)::BIGINT AS sess_start_ms, user_id, count(*) AS n, " +
+        "sum(cents)::BIGINT AS cents FROM s GROUP BY user_id, sess_no"))
 
   /** Start a query into an in-memory sink (tests / interactive). */
   def toMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): StreamingQuery =

@@ -561,6 +561,27 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter(col("event_type") === "__sentinel__").count() === 0)
   }
 
+  test("streamSessions: merged session windows equal the batch gaps-and-islands; exact-gap starts a new session") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = Streaming.streamSessions(spark, sf)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val batch = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("ns", when(lag(col("ts_ms"), 1).over(w).isNull ||
+        col("ts_ms") - lag(col("ts_ms"), 1).over(w) >= 1800000L, 1L).otherwise(0L))
+      .withColumn("sess_no", sum(col("ns")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(min(col("ts_ms")).as("sess_start_ms"), count(lit(1)).as("n"),
+        sum(col("cents")).as("cents"))
+      .select(col("sess_start_ms"), col("user_id"), col("n"), col("cents"))
+    assert(got.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(got).count() === 0)
+    assert(got.filter(col("user_id") === -1L).count() === 0)
+  }
+
   test("kafkaOptions builds the connector option map (unit-level, no broker)") {
     val o = Streaming.kafkaOptions("broker:9092", "txns",
       extra = Map("maxOffsetsPerTrigger" -> "1000"))
