@@ -42,12 +42,15 @@ object Bench {
     val reruns: Map[String, Double] = rerunNames.map { name =>
       val t0 = System.nanoTime()
       val ok = try { SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count(); true }
-        catch { case _: Throwable => false }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name rerun failed: ${e.getMessage}"); false }
       spark.sharedState.cacheManager.clearCache()
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.MaxValue)
+      // a failed rerun records -1 (visible flakiness signal) and never
+      // participates in the min
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
     val finalResults = results.map { case (k, v) =>
-      k -> (if (v >= 0 && reruns.contains(k)) math.min(v, reruns(k)) else v) }
+      k -> (if (v >= 0 && reruns.get(k).exists(_ >= 0)) math.min(v, reruns(k)) else v) }
     val qs = finalResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val rr = results.filter(r => reruns.contains(r._1)).map { case (k, first) =>

@@ -762,6 +762,7 @@ object TextOps {
     * twice) — the textbook counting; the REWRITE is leftmost-
     * nonoverlapping, matching the apply side exactly. */
   def bpeLearn(docs: DataFrame, nMerges: Int = 32, batchM: Int = 8): Seq[String] = {
+    require(batchM >= 1, s"batchM must be >= 1 (got $batchM)")
     var vocab = docs
       .select(explode(graft.functions.TextHash.tokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)

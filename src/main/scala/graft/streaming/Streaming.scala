@@ -532,20 +532,18 @@ object Streaming {
     * Finalization mechanics: Append mode only emits a window once the
     * watermark passes its end, and the watermark available to batch N
     * is computed from data seen through batch N−1 — so a bounded
-    * replay needs LATER batches to flush the real windows. Two
-    * far-future sentinel rows land in two separate files with
-    * strictly increasing modification times; `maxFilesPerTrigger` =
-    * |data files| makes them their own micro-batches (the file source
-    * processes oldest-first). After the batch carrying sentinel #1 the
-    * watermark exceeds every real window's end, so the batch carrying
-    * sentinel #2 emits them all — without relying on the engine's
-    * optional no-data flush batch. Sentinel groups are filtered on the
-    * BATCH read-back, deliberately NOT inside the streaming plan: a
-    * filter on the grouping column would be pushed below the
-    * aggregation AND the watermark node into the scan (measured — the
-    * sentinel files then prune to 0 rows and the watermark never
-    * advances), so the stream must carry the sentinels and the final
-    * projection drops whichever of their windows happened to flush. */
+    * replay needs LATER batches to flush the real windows. The shared
+    * [[replayToParquet]] harness runs TWO phases over one checkpoint
+    * (data + far-future sentinel #1, then a restart that discovers
+    * sentinel #2), so the flush is guaranteed by the checkpointed
+    * restart path rather than the engine's optional no-data batch.
+    * Sentinel groups are filtered on the BATCH read-back, deliberately
+    * NOT inside the streaming plan: a filter on the grouping column
+    * would be pushed below the aggregation AND the watermark node into
+    * the scan (measured — the sentinel files then prune to 0 rows and
+    * the watermark never advances), so the stream must carry the
+    * sentinels and the final projection drops whichever of their
+    * windows happened to flush. */
   def streamReplay(spark: SparkSession, dir: String,
       watermarkMin: Long = 10L, windowMin: Long = 5L): DataFrame = {
     import spark.implicits._
@@ -600,49 +598,66 @@ object Streaming {
   }
 
   /** Bounded-replay harness shared by the driver-oracled streaming
-    * queries: land `shaped` as a file-source corpus plus two sentinel
-    * files ordered strictly AFTER the slowest-written data part, run
-    * `pipeline` over the stream with `Trigger.AvailableNow` into an
-    * Append parquet sink, and return the sink contents. The sentinels
-    * get their own micro-batches (`maxFilesPerTrigger` = |data files|,
-    * oldest-first), so the batch carrying sentinel #2 flushes every
-    * real window using the watermark advanced by sentinel #1 — no
-    * reliance on the engine's optional no-data flush batch. */
+    * queries: land `shaped` plus sentinel #1 as a file-source corpus,
+    * run `pipeline` with `Trigger.AvailableNow` into an Append parquet
+    * sink, then add sentinel #2 and RESTART the query from the same
+    * checkpoint. Append mode flushes a window in the batch AFTER the
+    * one whose data advanced the watermark past it, so two PHASES are
+    * what guarantees finalization: phase A's single batch sees data +
+    * sentinel #1 (flushes nothing — the initial watermark is epoch 0)
+    * and leaves the watermark past every real window; phase B's batch
+    * sees exactly the newly-added sentinel #2 file and emits them all.
+    * Checkpointed offsets carry the watermark across the restart —
+    * this is the exactly-once recovery path (StreamingSpec pins it for
+    * the sink), reused here so correctness never leans on the engine's
+    * OPTIONAL no-data flush batch, file modification-time ordering, or
+    * per-trigger file limits. The temp corpus/checkpoint/sink tree is
+    * deleted after the result is eagerly materialized. */
   private def replayToParquet(spark: SparkSession, shaped: DataFrame,
       mkSentinel: (java.sql.Timestamp, Int) => DataFrame,
       pipeline: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.Files
     import org.apache.spark.sql.streaming.Trigger
-    val maxTs = shaped.agg(max(col("timestamp"))).head.getTimestamp(0)
+    val maxRow = shaped.agg(max(col("timestamp"))).head
+    require(!maxRow.isNullAt(0),
+      "replayToParquet: events corpus is empty (no event-time maximum)")
+    val maxTs = maxRow.getTimestamp(0)
     val root = Files.createTempDirectory("graft-replay")
     val inDir = s"$root/in"
     val outDir = s"$root/out"
     shaped.write.parquet(inDir)
-    def parts(d: String): Seq[java.io.File] =
-      new java.io.File(d).listFiles().toSeq
-        .filter(_.getName.endsWith(".parquet"))
-    val nDataFiles = parts(inDir).size
-    Seq(1, 2).foreach { i =>
+    def addSentinel(i: Int): Unit = {
       val scratch = s"$root/s$i"
       mkSentinel(maxTs, i).coalesce(1).write.parquet(scratch)
-      val dest = new java.io.File(inDir, s"zz-sentinel-$i.parquet")
-      Files.copy(parts(scratch).head.toPath, dest.toPath)
-      dest.setLastModified(
-        parts(inDir).filterNot(_.getName.startsWith("zz-sentinel"))
-          .map(_.lastModified).max + i * 60000L)
+      val part = new java.io.File(scratch).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath,
+        new java.io.File(inDir, s"zz-sentinel-$i.parquet").toPath)
     }
-    val agg = pipeline(
-      spark.readStream.schema(shaped.schema)
-        .option("maxFilesPerTrigger", math.max(nDataFiles, 1).toString)
-        .parquet(inDir))
-    val q = agg.writeStream.format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", s"$root/ck")
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.read.schema(agg.schema).parquet(outDir)
+    def drain(): Unit = {
+      val q = pipeline(spark.readStream.schema(shaped.schema).parquet(inDir))
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", s"$root/ck")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    addSentinel(1)
+    drain() // phase A: data + sentinel #1 → watermark past every real window
+    addSentinel(2)
+    drain() // phase B: sentinel #2's batch emits all finalized windows
+    val outSchema = pipeline(
+      spark.readStream.schema(shaped.schema).parquet(inDir)).schema
+    val result = spark.read.schema(outSchema).parquet(outDir)
+      .localCheckpoint(true) // materialize before the temp tree goes away
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree))
+      f.delete(); ()
+    }
+    rmTree(new java.io.File(root.toString))
+    result
   }
 
   // ---- driver wiring ----
