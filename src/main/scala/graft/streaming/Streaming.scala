@@ -545,24 +545,15 @@ object Streaming {
     * sentinels and the final projection drops whichever of their
     * windows happened to flush. */
   def streamReplay(spark: SparkSession, dir: String,
-      watermarkMin: Long = 10L, windowMin: Long = 5L): DataFrame = {
-    import spark.implicits._
-    val shaped = graft.Tables.events(spark, dir)
-      .select(col("ts").as("timestamp"), col("event_type"),
-        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-    replayToParquet(spark, shaped,
-      mkSentinel = (maxTs, i) => Seq((new java.sql.Timestamp(
-          maxTs.getTime + i * (watermarkMin + 2 * windowMin) * 60000L),
-        "__sentinel__", 0L)).toDF("timestamp", "event_type", "cents"),
-      pipeline = in => in
-        .withWatermark("timestamp", s"$watermarkMin minutes")
-        .groupBy(window(col("timestamp"), s"$windowMin minutes").as("win"),
-          col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
-        .select(unix_millis(col("win.start")).as("win_start_ms"),
-          col("event_type"), col("n"), col("cents")))
+      watermarkMin: Long = 10L, windowMin: Long = 5L): DataFrame =
+    replay(spark, dir, in => in
+      .withWatermark("timestamp", s"$watermarkMin minutes")
+      .groupBy(window(col("timestamp"), s"$windowMin minutes").as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .select(unix_millis(col("win.start")).as("win_start_ms"),
+        col("event_type"), col("n"), col("cents")))
       .filter(col("event_type") =!= "__sentinel__")
-  }
 
   /** [[streamReplay]]'s sibling for SESSION windows — the state-MERGING
     * streaming aggregation (tumbling windows only ever accumulate;
@@ -578,64 +569,204 @@ object Streaming {
     * not `> gap`. Sentinels ride user_id −1 and are dropped on the
     * batch read-back (same pushdown reasoning as [[streamReplay]]). */
   def streamSessions(spark: SparkSession, dir: String,
-      watermarkMin: Long = 10L, gapMin: Long = 30L): DataFrame = {
-    import spark.implicits._
-    val shaped = graft.Tables.events(spark, dir)
+      watermarkMin: Long = 10L, gapMin: Long = 30L): DataFrame =
+    replay(spark, dir, in => in
       .select(timestamp_millis(col("ts_ms")).as("timestamp"), col("user_id"),
-        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-    replayToParquet(spark, shaped,
-      mkSentinel = (maxTs, i) => Seq((new java.sql.Timestamp(
-          maxTs.getTime + i * (watermarkMin + 2 * gapMin) * 60000L),
-        -1L, 0L)).toDF("timestamp", "user_id", "cents"),
-      pipeline = in => in
-        .withWatermark("timestamp", s"$watermarkMin minutes")
-        .groupBy(session_window(col("timestamp"), s"$gapMin minutes").as("sess"),
-          col("user_id"))
-        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
-        .select(unix_millis(col("sess.start")).as("sess_start_ms"),
-          col("user_id"), col("n"), col("cents")))
+        col("cents"))
+      .withWatermark("timestamp", s"$watermarkMin minutes")
+      .groupBy(session_window(col("timestamp"), s"$gapMin minutes").as("sess"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .select(unix_millis(col("sess.start")).as("sess_start_ms"),
+        col("user_id"), col("n"), col("cents")))
       .filter(col("user_id") =!= -1L)
+
+  /** Exactly-once under at-least-once delivery, driver-verified: every
+    * third event is delivered TWICE (identical redelivered rows — the
+    * at-least-once failure mode a Kafka consumer restart produces),
+    * `dropDuplicatesWithinWatermark` collapses the redeliveries by
+    * event id, and the downstream tumbling aggregation counts each
+    * event exactly once — so the oracle is the plain batch GROUP BY
+    * over the UN-duplicated corpus, the same SQL that checks
+    * [[streamReplay]]. Two stateful operators chained (dedup state →
+    * window state), each keyed and watermark-evicted. Determinism:
+    * redelivered rows are bit-identical, so whichever copy the dedup
+    * state sees first yields the same surviving row. */
+  def streamDedup(spark: SparkSession, dir: String,
+      watermarkMin: Long = 10L, windowMin: Long = 5L): DataFrame =
+    replay(spark, dir, in => in
+      .select(col("timestamp"), col("event_id"), col("event_type"), col("cents"),
+        explode(when(pmod(col("event_id"), lit(3)) === 0, array(lit(1), lit(2)))
+          .otherwise(array(lit(1)))).as("delivery"))
+      .drop("delivery")
+      .withWatermark("timestamp", s"$watermarkMin minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(window(col("timestamp"), s"$windowMin minutes").as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .select(unix_millis(col("win.start")).as("win_start_ms"),
+        col("event_type"), col("n"), col("cents")))
+      .filter(col("event_type") =!= "__sentinel__")
+
+  /** Stream-static enrichment — the streaming ETL shape that joins the
+    * unbounded fact stream against a broadcast dimension inside each
+    * micro-batch (the dim is re-read per batch, so a slowly-changing
+    * dimension picks up updates without restarting the query), then
+    * aggregates per (day window, nation). At 100 TB/day the stream side
+    * never shuffles for the join — only the windowed aggregation
+    * exchanges, on (window, nation). Sentinel rows ride user_id −1,
+    * match no customer, and fall out of the inner join in-plan; the
+    * watermark still advances because the watermark node sits on the
+    * stream side BEFORE the join. */
+  def streamEnrich(spark: SparkSession, dir: String,
+      watermarkMin: Long = 10L): DataFrame = {
+    val dim = org.apache.spark.sql.functions.broadcast(
+      graft.Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")))
+    replay(spark, dir, in => in
+      .select(col("timestamp"), col("user_id"), col("cents"))
+      .withWatermark("timestamp", s"$watermarkMin minutes")
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(window(col("timestamp"), "1 day").as("win"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .select(unix_millis(col("win.start")).as("win_start_ms"),
+        col("c_nationkey"), col("n"), col("cents")))
+  }
+
+  /** Stream-stream interval self-join, driver-verified: each purchase
+    * joined to the same user's clicks in the preceding hour — the
+    * attribution-candidate shape ([[debitCreditJoin]] is the same
+    * operator on the transaction stream; this one is oracled). Both
+    * sides carry watermarks and the join condition bounds event-time
+    * distance, so Spark evicts join state beyond watermark+interval —
+    * state is O(in-flight hour), not O(stream). Inner-join matches
+    * emit eagerly (no finalization wait), so the replay's output is
+    * the complete deterministic match set; sentinel rows fail the
+    * event-type filters in-plan. */
+  def streamPairs(spark: SparkSession, dir: String,
+      watermarkMin: Long = 10L, lookbackMin: Long = 60L): DataFrame =
+    replay(spark, dir, in => {
+      val p = in.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("timestamp").as("p_ts"), col("cents").as("p_cents"))
+        .withWatermark("p_ts", s"$watermarkMin minutes")
+      val c = in.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
+          col("timestamp").as("c_ts"))
+        .withWatermark("c_ts", s"${watermarkMin + lookbackMin} minutes")
+      p.join(c, col("user_id") === col("c_uid") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackMin MINUTES"))
+        .select(col("purchase_id"), col("click_id"), col("user_id"),
+          unix_millis(col("p_ts")).as("p_ts_ms"),
+          unix_millis(col("c_ts")).as("c_ts_ms"), col("p_cents"))
+    })
+
+  /** The batch AML structuring rule (`q_aml_structuring`) as a LIVE
+    * streaming detector: sub-threshold band filter → per (user, day
+    * window) count/sum → flag when both trip. Same thresholds, same
+    * integer-cent measures, so the oracle is the batch rule's SQL —
+    * the engine's monitoring semantics are proven identical batch vs
+    * stream, which is the whole point of a kappa-style deployment.
+    * Sentinel rows are IN the cent band by design (a sentinel outside
+    * every downstream predicate gets pushed below the watermark node
+    * into the scan and pruned file-wise — then the watermark never
+    * advances and nothing flushes, the failure [[streamReplay]]'s
+    * docstring documents); their 1-event windows fail `n_sub >= 3`,
+    * and the read-back filter drops user −1 regardless. */
+  def streamFlags(spark: SparkSession, dir: String,
+      loCents: Long = 5000L, hiCents: Long = 10000L,
+      minTxns: Long = 3L, minTotalCents: Long = 15000L): DataFrame =
+    replay(spark, dir, in => in
+      .select(col("timestamp"), col("user_id"), col("cents"))
+      .withWatermark("timestamp", "1 hour")
+      .filter(col("cents") >= loCents && col("cents") < hiCents)
+      .groupBy(window(col("timestamp"), "1 day").as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n_sub"), sum(col("cents")).as("cents_sub"))
+      .filter(col("n_sub") >= minTxns && col("cents_sub") >= minTotalCents)
+      .select(unix_millis(col("win.start")).as("win_start_ms"),
+        col("user_id"), col("n_sub"), col("cents_sub")))
+      .filter(col("user_id") >= 0L)
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(); ()
+  }
+
+  /** Shared replay corpus: ONE superset-shaped copy of `events` per
+    * sf-dir — (timestamp µs, ts_ms, event_id, user_id, event_type,
+    * cents) — written once and reused by EVERY replay query in the
+    * session; the corpus write is the harness's dominant fixed cost,
+    * and N streaming gate queries would otherwise each re-land the
+    * whole fact table. Sentinel files accumulate in the corpus under
+    * unique names across queries; that is sound because (a) each
+    * pipeline drops foreign sentinels by key — the inner join /
+    * event-type filter / read-back predicate that drops its OWN
+    * sentinels drops all of them — and (b) extra far-future rows can
+    * only advance phase A's watermark, which the query's own sentinel
+    * #1 already advances past every real window. Deleted by a JVM
+    * shutdown hook (queries can't know who runs last). */
+  private object ReplayCorpus {
+    private val cache =
+      scala.collection.concurrent.TrieMap[String, (String, java.sql.Timestamp)]()
+    def get(spark: SparkSession, dir: String): (String, java.sql.Timestamp) =
+      cache.getOrElseUpdate(dir, {
+        val shaped = graft.Tables.events(spark, dir)
+          .select(col("ts").as("timestamp"), col("ts_ms"),
+            col("event_id"), col("user_id"), col("event_type"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        val maxRow = shaped.agg(max(col("timestamp"))).head
+        require(!maxRow.isNullAt(0),
+          "replay: events corpus is empty (no event-time maximum)")
+        val root = java.nio.file.Files.createTempDirectory("graft-replay-corpus")
+        sys.addShutdownHook { rmTree(new java.io.File(root.toString)) }
+        val inDir = s"$root/in"
+        shaped.write.parquet(inDir)
+        (inDir, maxRow.getTimestamp(0))
+      })
   }
 
   /** Bounded-replay harness shared by the driver-oracled streaming
-    * queries: land `shaped` plus sentinel #1 as a file-source corpus,
-    * run `pipeline` with `Trigger.AvailableNow` into an Append parquet
-    * sink, then add sentinel #2 and RESTART the query from the same
-    * checkpoint. Append mode flushes a window in the batch AFTER the
-    * one whose data advanced the watermark past it, so two PHASES are
-    * what guarantees finalization: phase A's single batch sees data +
-    * sentinel #1 (flushes nothing — the initial watermark is epoch 0)
-    * and leaves the watermark past every real window; phase B's batch
-    * sees exactly the newly-added sentinel #2 file and emits them all.
-    * Checkpointed offsets carry the watermark across the restart —
-    * this is the exactly-once recovery path (StreamingSpec pins it for
-    * the sink), reused here so correctness never leans on the engine's
-    * OPTIONAL no-data flush batch, file modification-time ordering, or
-    * per-trigger file limits. The temp corpus/checkpoint/sink tree is
-    * deleted after the result is eagerly materialized. */
-  private def replayToParquet(spark: SparkSession, shaped: DataFrame,
-      mkSentinel: (java.sql.Timestamp, Int) => DataFrame,
+    * queries: run `pipeline` over the shared file-source corpus with
+    * `Trigger.AvailableNow` into an Append parquet sink, in TWO phases
+    * over one checkpoint — phase A's batch sees the data + a far-future
+    * sentinel row (flushes nothing: the initial watermark is epoch 0)
+    * and leaves the watermark past every real window; then sentinel #2
+    * is added and the query RESTARTS from the checkpoint, so phase B's
+    * batch sees exactly the new file and emits every finalized window.
+    * Checkpointed offsets carry the watermark across the restart — the
+    * exactly-once recovery path (StreamingSpec pins it for the sink),
+    * reused here so correctness never leans on the engine's OPTIONAL
+    * no-data flush batch, file modification-time ordering, or
+    * per-trigger file limits. Sentinels are superset rows (user −1,
+    * event_id −i, type "__sentinel__", cents mid-band for
+    * [[streamFlags]]' pushdown reasoning) at maxTs + i·2 days. The
+    * per-run checkpoint/sink tree is deleted after the result is
+    * eagerly materialized; the corpus persists for the next query. */
+  private def replay(spark: SparkSession, dir: String,
       pipeline: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.Files
     import org.apache.spark.sql.streaming.Trigger
-    val maxRow = shaped.agg(max(col("timestamp"))).head
-    require(!maxRow.isNullAt(0),
-      "replayToParquet: events corpus is empty (no event-time maximum)")
-    val maxTs = maxRow.getTimestamp(0)
-    val root = Files.createTempDirectory("graft-replay")
-    val inDir = s"$root/in"
+    import spark.implicits._
+    val (inDir, maxTs) = ReplayCorpus.get(spark, dir)
+    val schema = spark.read.parquet(inDir).schema
+    val uid = java.util.UUID.randomUUID().toString.take(8)
+    val root = Files.createTempDirectory("graft-replay-run")
     val outDir = s"$root/out"
-    shaped.write.parquet(inDir)
     def addSentinel(i: Int): Unit = {
+      val ms = maxTs.getTime + i * 2L * 86400000L
       val scratch = s"$root/s$i"
-      mkSentinel(maxTs, i).coalesce(1).write.parquet(scratch)
+      Seq((new java.sql.Timestamp(ms), ms, -i.toLong, -1L, "__sentinel__", 7500L))
+        .toDF("timestamp", "ts_ms", "event_id", "user_id", "event_type", "cents")
+        .coalesce(1).write.parquet(scratch)
       val part = new java.io.File(scratch).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
       Files.copy(part.toPath,
-        new java.io.File(inDir, s"zz-sentinel-$i.parquet").toPath)
+        new java.io.File(inDir, s"zz-sentinel-$uid-$i.parquet").toPath)
+      ()
     }
     def drain(): Unit = {
-      val q = pipeline(spark.readStream.schema(shaped.schema).parquet(inDir))
+      val q = pipeline(spark.readStream.schema(schema).parquet(inDir))
         .writeStream.format("parquet")
         .option("path", outDir)
         .option("checkpointLocation", s"$root/ck")
@@ -647,15 +778,11 @@ object Streaming {
     addSentinel(1)
     drain() // phase A: data + sentinel #1 → watermark past every real window
     addSentinel(2)
-    drain() // phase B: sentinel #2's batch emits all finalized windows
+    drain() // phase B: sentinel #2's batch emits all finalized state
     val outSchema = pipeline(
-      spark.readStream.schema(shaped.schema).parquet(inDir)).schema
+      spark.readStream.schema(schema).parquet(inDir)).schema
     val result = spark.read.schema(outSchema).parquet(outDir)
       .localCheckpoint(true) // materialize before the temp tree goes away
-    def rmTree(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmTree))
-      f.delete(); ()
-    }
     rmTree(new java.io.File(root.toString))
     result
   }
@@ -664,13 +791,41 @@ object Streaming {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_replay" -> ((s, d) => streamReplay(s, d)),
-    "q_stream_sessions" -> ((s, d) => streamSessions(s, d)))
+    "q_stream_sessions" -> ((s, d) => streamSessions(s, d)),
+    "q_stream_dedup" -> ((s, d) => streamDedup(s, d)),
+    "q_stream_enrich" -> ((s, d) => streamEnrich(s, d)),
+    "q_stream_pairs" -> ((s, d) => streamPairs(s, d)),
+    "q_stream_flags" -> ((s, d) => streamFlags(s, d)))
+
+  /** The tumbling-window batch equivalent — checks [[streamReplay]]
+    * directly and [[streamDedup]] (exactly-once: the redelivered copies
+    * must NOT show up in the counts). */
+  private val tumblingOracle: String =
+    "SELECT (epoch_ms(ts) // 300000) * 300000 AS win_start_ms, event_type, " +
+      "count(*) AS n, sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents " +
+      "FROM events GROUP BY 1, 2"
 
   val oracleSql: Map[String, String] = Map(
-    "q_stream_replay" ->
-      ("SELECT (epoch_ms(ts) // 300000) * 300000 AS win_start_ms, event_type, " +
+    "q_stream_replay" -> tumblingOracle,
+    "q_stream_dedup" -> tumblingOracle,
+    "q_stream_enrich" ->
+      ("SELECT (epoch_ms(ts) // 86400000) * 86400000 AS win_start_ms, c_nationkey, " +
         "count(*) AS n, sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents " +
-        "FROM events GROUP BY 1, 2"),
+        "FROM events JOIN customer ON user_id = c_custkey GROUP BY 1, 2"),
+    "q_stream_pairs" ->
+      ("SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id, " +
+        "epoch_ms(p.ts)::BIGINT AS p_ts_ms, epoch_ms(c.ts)::BIGINT AS c_ts_ms, " +
+        "CAST(floor(p.value * 100 + 0.5) AS BIGINT) AS p_cents " +
+        "FROM events p JOIN events c ON p.user_id = c.user_id " +
+        "AND p.event_type = 'purchase' AND c.event_type = 'click' " +
+        "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTES"),
+    "q_stream_flags" ->
+      ("WITH b AS (SELECT user_id, (epoch_ms(ts) // 86400000) * 86400000 AS win_start_ms, " +
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events " +
+        "WHERE CAST(floor(value * 100 + 0.5) AS BIGINT) >= 5000 " +
+        "AND CAST(floor(value * 100 + 0.5) AS BIGINT) < 10000) " +
+        "SELECT win_start_ms, user_id, count(*) AS n_sub, sum(cents)::BIGINT AS cents_sub " +
+        "FROM b GROUP BY 1, 2 HAVING count(*) >= 3 AND sum(cents) >= 15000"),
     "q_stream_sessions" ->
       ("WITH flagged AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, " +
         "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
