@@ -259,9 +259,51 @@ object Graph {
         col("score_scaled").cast("double") / S))
   }
 
+  /** Hop-bounded breadth-first search over the co-occurrence
+    * projection: exact shortest hop count from a deterministic source
+    * (the minimum user id in the edge set) to every user within
+    * `maxHops` — the blast-radius query an investigator runs from a
+    * confirmed-fraud account, and the traversal primitive behind
+    * "within N hops of a flagged entity" feature columns.
+    *
+    * Frontier iteration, the scalable BFS shape: each round expands
+    * ONLY the newly-discovered frontier (edges ⋈ frontier), removes
+    * already-visited nodes with an anti-join against the distance
+    * relation, and checkpoints both — so round h does O(frontier·avg
+    * degree) join work, never O(visited), and total work is O(edges
+    * within the hop ball), each round a pair of distributed hash
+    * joins. The source is a 1-row aggregate joined into the seed, not
+    * a collected literal, so the plan has no driver-side data action.
+    * Visited/frontier stay partitioned on the node id across rounds.
+    *
+    * The oracle replays the same semantics as a DuckDB recursive CTE
+    * (min(hop) under a hop bound): recursion's UNION-dedup collapses
+    * same-length paths, and min-hop-per-node equals BFS's
+    * first-discovery hop. */
+  def bfs(ev: DataFrame, maxHops: Int = 4, maxCell: Long = 64L): DataFrame = {
+    val e0 = coEdges(ev, maxCell)
+    val edges = e0.select(col("u1").as("s"), col("u2").as("d"))
+      .unionByName(e0.select(col("u2").as("s"), col("u1").as("d")))
+      .localCheckpoint(true) // consumed once per hop; cuts loop lineage
+    val src = edges.agg(min(col("s")).as("node"))
+    var dist = src.select(col("node"), lit(0L).as("hops")).localCheckpoint(true)
+    var frontier = dist.select(col("node"))
+    for (h <- 1 to maxHops) {
+      val next = edges.join(frontier.withColumnRenamed("node", "s"), "s")
+        .select(col("d").as("node")).distinct()
+        .join(dist.select(col("node")), Seq("node"), "left_anti")
+        .select(col("node"), lit(h.toLong).as("hops"))
+        .localCheckpoint(true)
+      dist = dist.unionByName(next).localCheckpoint(true)
+      frontier = next.select(col("node"))
+    }
+    dist.select(col("node").as("user_id"), col("hops"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_bfs" -> ((s, d) => bfs(Tables.events(s, d))),
     "q_graph_hits" -> ((s, d) => hits(Tables.events(s, d))),
     "q_graph_pagerank" -> ((s, d) => pageRank(Tables.events(s, d))),
     "q_graph_degree" -> ((s, d) => bipartiteDegrees(Tables.events(s, d))),
@@ -287,6 +329,20 @@ object Graph {
       s"FROM nodes n CROSS JOIN nc nn LEFT JOIN contrib$i c ON c.dst = n.node)"
 
   val oracleSql: Map[String, String] = Map(
+    "q_graph_bfs" ->
+      ("WITH RECURSIVE um AS (SELECT DISTINCT user_id AS u, " +
+        "CAST(json_extract_string(props, '$.k') AS INT) AS m, " +
+        "date_trunc('hour', ts) AS h FROM events), " +
+        "cells AS (SELECT u, m, h FROM (SELECT u, m, h, " +
+        "count(*) OVER (PARTITION BY m, h) AS cell_n FROM um) t WHERE cell_n <= 64), " +
+        "e0 AS (SELECT DISTINCT a.u AS u1, b.u AS u2 FROM cells a " +
+        "JOIN cells b ON a.m = b.m AND a.h = b.h AND a.u < b.u), " +
+        "edges AS (SELECT u1 AS s, u2 AS d FROM e0 UNION SELECT u2, u1 FROM e0), " +
+        "src AS (SELECT min(s) AS s0 FROM edges), " +
+        "reach(node, hop) AS (SELECT s0, 0 FROM src " +
+        "UNION SELECT e.d, r.hop + 1 FROM reach r JOIN edges e ON e.s = r.node " +
+        "WHERE r.hop < 4) " +
+        "SELECT node AS user_id, min(hop)::BIGINT AS hops FROM reach GROUP BY 1"),
     "q_graph_hits" ->
       ("WITH b AS (SELECT DISTINCT user_id AS u, " +
         "CAST(json_extract_string(props, '$.k') AS INT)::BIGINT AS m FROM events " +

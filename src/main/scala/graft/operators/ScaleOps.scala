@@ -48,6 +48,51 @@ object ScaleOps {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"), r2(sum(col("o_totalprice"))).as("revenue"))
 
+  /** Per-(session, sf-dir) bucketed table pair, written once and reused
+    * — the write is the amortized cost bucketing trades for shuffle-free
+    * joins ever after, so the driver query must not re-pay it per call.
+    * Keyed by session identity too: catalog registrations don't cross
+    * SparkSessions. Warehouse dirs go through a shutdown hook. */
+  private val bucketedPair =
+    scala.collection.concurrent.TrieMap[(Int, String), (String, String)]()
+
+  /** Driver-visible co-located join ([[writeBucketed]]/[[bucketedJoin]]
+    * under the correctness gate): both sides land bucketed by the join
+    * key, and the merge join reads bucket i against bucket i with ZERO
+    * exchange on either side (ScaleSpec pins the plan) — the layout
+    * lever that lets a 100 TB fact table join its dimensions repeatedly
+    * without one shuffle per query. The merge hint keeps the join on
+    * the sort-merge path so the bucketed layout is actually exercised
+    * (AQE would otherwise broadcast the small-SF dimension and the pin
+    * would prove nothing). Revenue is exact integer cents — a float
+    * product-sum could tie at the half-cent across merge orders. */
+  def bucketedRevenue(spark: SparkSession, dir: String, buckets: Int = 8): DataFrame = {
+    val (ot, ct) = bucketedPair.getOrElseUpdate(
+      (System.identityHashCode(spark), dir), {
+        val wh = java.nio.file.Files.createTempDirectory("graft-bucketed-wh")
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(wh.toFile)
+        }
+        val tag = s"b${bucketedPair.size}"
+        val (ot, ct) = (s"orders_$tag", s"customer_$tag")
+        Tables.orders(spark, dir).write.mode("overwrite")
+          .bucketBy(buckets, "o_custkey").sortBy("o_custkey")
+          .option("path", s"$wh/$ot").saveAsTable(ot)
+        Tables.customer(spark, dir).write.mode("overwrite")
+          .bucketBy(buckets, "c_custkey").sortBy("c_custkey")
+          .option("path", s"$wh/$ct").saveAsTable(ct)
+        (ot, ct)
+      })
+    spark.table(ot)
+      .join(spark.table(ct).hint("merge"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("revenue_cents"))
+  }
+
   /** 16-bit × 16-bit Morton (z-order) interleave. Wired to the native
     * magic-mask expression ([[graft.functions.NativeZOrder]]) —
     * bit-identical to the composed 32-term chain (spec-asserted);
@@ -274,7 +319,8 @@ object ScaleOps {
     "q_zorder" -> ((s, d) => zorderEvents(Tables.events(s, d))),
     "q_skew_audit" -> ((s, d) => skewAudit(Tables.lineitem(s, d))),
     "q_global_rank" -> ((s, d) => globalRankEvents(Tables.events(s, d))),
-    "q_incr_agg" -> ((s, d) => incrAgg(Tables.events(s, d))))
+    "q_incr_agg" -> ((s, d) => incrAgg(Tables.events(s, d))),
+    "q_bucketed_join" -> ((s, d) => bucketedRevenue(s, d)))
 
   /** The z-interleave as SQL, generated from the same bit positions the
     * Column form uses — one expression, two dialect renderings. */
@@ -289,6 +335,10 @@ object ScaleOps {
       .mkString(" ") + s" ELSE $MixtureDefaultRate END"
 
   val oracleSql: Map[String, String] = Map(
+    "q_bucketed_join" ->
+      ("SELECT c_mktsegment, count(*) AS n_orders, " +
+        "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS revenue_cents " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1"),
     "q_global_rank" ->
       ("SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
         "row_number() OVER (ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT) DESC, " +

@@ -848,6 +848,23 @@ class OperatorsSpec extends SparkSpec {
     assert(operators.Graph.triangles(ev, maxCell = 2L).isEmpty)
   }
 
+  test("Graph.bfs: chain graph — exact hops from the min-id source, hop bound respected") {
+    import spark.implicits._
+    // path 1—2—3—4—5—6, one 2-user (merchant, hour) cell per edge; the
+    // deterministic source is min user id 1, so hops are 0..4 and user 6
+    // (5 hops out) stays beyond maxHops = 4
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val ev = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((i * 2 + 1L, a, f"2024-01-01 ${10 + i}%02d:05:00", s"""{"k": ${20 + i}}"""),
+        (i * 2 + 2L, b, f"2024-01-01 ${10 + i}%02d:15:00", s"""{"k": ${20 + i}}"""))
+    }.toDF("event_id", "user_id", "ts_str", "props")
+      .withColumn("ts", to_timestamp(col("ts_str")))
+      .withColumn("value", lit(1.0))
+    val r = operators.Graph.bfs(ev).collect()
+      .map(x => x.getAs[Long]("user_id") -> x.getAs[Long]("hops")).toMap
+    assert(r === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
+  }
+
   test("Graph.hits: max-normalized scores, authority follows hub mass") {
     import spark.implicits._
     // user 1 → {5, 6}, user 2 → {5}, user 3 → {7}: merchant 5 collects

@@ -75,6 +75,16 @@ class ScaleSpec extends SparkSpec {
     assert(joined.exceptAll(direct).count() === 0)
   }
 
+  test("q_bucketed_join: the driver query's merge join reads buckets with zero exchange") {
+    val joined = ScaleOps.bucketedRevenue(spark, sf)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"merge hint lost:\n$plan")
+    val joinPart = plan.split("SortMergeJoin|ShuffledHashJoin").drop(1).mkString
+    assert(!joinPart.contains("Exchange hashpartitioning(o_custkey") &&
+      !joinPart.contains("Exchange hashpartitioning(c_custkey"),
+      s"driver bucketed join re-shuffled:\n$plan")
+  }
+
   test("zorder: interleave round-trips both dimensions; equal-key locality") {
     val ev = Tables.events(spark, sf)
     val r = ScaleOps.zorderEvents(ev).join(
