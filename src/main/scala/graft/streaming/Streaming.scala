@@ -18,6 +18,14 @@ final case class BalanceUpdate(user_id: Int, balance: Double, evicted: Boolean)
   * out-of-order batch can never SHORTEN an armed timeout). */
 final case class BalanceState(balance: Double, lastSeen: Long)
 
+/** [[Streaming.streamBalance]] state: integer running totals plus the
+  * max event time seen (the event-time-timeout anchor). */
+final case class ReplayAcc(n: Long, cents: Long, lastSeenMs: Long)
+
+/** One [[Streaming.streamBalance]] output row: a user's FINAL totals,
+  * emitted exactly once when the watermark passes their last event. */
+final case class ReplayBalance(user_id: Long, n: Long, cents: Long)
+
 /** Structured Streaming realization of the reference's monitoring intent
   * (SURVEY.md §7 L3): the reference's unbounded in-memory `Vec` ingest
   * loop (`monitoring-service/src/main.rs:25,33-38`) becomes checkpointed,
@@ -662,6 +670,55 @@ object Streaming {
           unix_millis(col("c_ts")).as("c_ts_ms"), col("p_cents"))
     })
 
+  /** Arbitrary per-key streaming state in the driver gate:
+    * `flatMapGroupsWithState` accumulates each user's integer totals
+    * and emits ONE final row per user when the event-time timeout
+    * fires — i.e. when the watermark proves the user's stream is over.
+    * This is the emit-on-session-close pattern (per-entity feature
+    * vectors, final fraud scores, closing balances) that windowed
+    * aggregation cannot express, driver-verified: data batches emit
+    * nothing and only update state; the timeout branch emits and
+    * removes. The replay's phase A processes every event and arms each
+    * group's timeout at its own max event time; phase A's closing
+    * watermark (far past all data, courtesy of sentinel #1) makes every
+    * real group time out in phase B's batch. Determinism: the final
+    * (n, cents) is a commutative integer fold — arrival order inside
+    * the iterator cannot change it. The sentinel user's own timeout
+    * sits beyond phase B's watermark, so it never emits; the read-back
+    * filter would drop it regardless. State is per-key and removed on
+    * emission — at 100 TB/day, live state is O(active users), not
+    * O(stream). */
+  def streamBalance(spark: SparkSession, dir: String,
+      watermarkMin: Long = 10L): DataFrame = {
+    import spark.implicits._
+    replay(spark, dir, in => in
+      .select(col("timestamp"), col("user_id"), col("cents"))
+      .withWatermark("timestamp", s"$watermarkMin minutes")
+      .as[(java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[ReplayAcc, ReplayBalance](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid, rows, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ReplayBalance(uid, s.n, s.cents))
+          } else {
+            var acc = state.getOption.getOrElse(ReplayAcc(0L, 0L, 0L))
+            rows.foreach { case (ts, _, c) =>
+              acc = ReplayAcc(acc.n + 1L, acc.cents + c,
+                math.max(acc.lastSeenMs, ts.getTime))
+            }
+            state.update(acc)
+            // fire once the watermark passes the user's last event
+            state.setTimeoutTimestamp(acc.lastSeenMs + 1L)
+            Iterator.empty
+          }
+      }
+      .toDF())
+      .filter(col("user_id") >= 0L)
+  }
+
   /** The batch AML structuring rule (`q_aml_structuring`) as a LIVE
     * streaming detector: sub-threshold band filter → per (user, day
     * window) count/sum → flag when both trip. Same thresholds, same
@@ -795,7 +852,8 @@ object Streaming {
     "q_stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "q_stream_enrich" -> ((s, d) => streamEnrich(s, d)),
     "q_stream_pairs" -> ((s, d) => streamPairs(s, d)),
-    "q_stream_flags" -> ((s, d) => streamFlags(s, d)))
+    "q_stream_flags" -> ((s, d) => streamFlags(s, d)),
+    "q_stream_balance" -> ((s, d) => streamBalance(s, d)))
 
   /** The tumbling-window batch equivalent — checks [[streamReplay]]
     * directly and [[streamDedup]] (exactly-once: the redelivered copies
@@ -819,6 +877,10 @@ object Streaming {
         "FROM events p JOIN events c ON p.user_id = c.user_id " +
         "AND p.event_type = 'purchase' AND c.event_type = 'click' " +
         "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTES"),
+    "q_stream_balance" ->
+      ("SELECT user_id, count(*) AS n, " +
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents " +
+        "FROM events GROUP BY 1"),
     "q_stream_flags" ->
       ("WITH b AS (SELECT user_id, (epoch_ms(ts) // 86400000) * 86400000 AS win_start_ms, " +
         "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events " +
