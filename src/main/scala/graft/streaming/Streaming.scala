@@ -486,8 +486,9 @@ object Streaming {
     * scoped to touched buckets, rewrite scoped to touched buckets —
     * which is exactly what those formats execute underneath. */
   def upsertSink(txns: DataFrame, storeDir: String, checkpoint: String,
-      buckets: Int = 16): StreamingQuery =
-    txns.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      buckets: Int = 16,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): StreamingQuery = {
+    val base = txns.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val spark = batch.sparkSession
       val cols = Seq("transaction_id", "user_id", "amount", "currency", "type", "timestamp")
       // int kb regardless of the stream's user_id width (int or long)
@@ -524,7 +525,45 @@ object Streaming {
       ()
     }
       .option("checkpointLocation", checkpoint)
-      .start()
+    trigger.fold(base)(base.trigger).start()
+  }
+
+  /** The CDC-apply path under the correctness gate: drive [[upsertSink]]
+    * over the bounded corpus in REAL multi-file micro-batches
+    * (`maxFilesPerTrigger` splits the corpus, so the keyed store goes
+    * through several read-touched-buckets → keep-latest → dynamic-
+    * overwrite cycles, not one), then read the final store back — the
+    * materialized "current state" table a downstream consumer queries.
+    * Deterministic under ANY batch split: keep-latest by (timestamp,
+    * transaction_id) is an argmax over a total order (event ids are
+    * unique), so the final store equals the batch argmax the oracle
+    * computes, no matter how the files landed in batches. No watermark
+    * or sentinel phases needed — foreachBatch applies every batch, and
+    * `AvailableNow` terminates once the corpus drains. */
+  def streamCdc(spark: SparkSession, dir: String, buckets: Int = 16): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val (inDir, _) = ReplayCorpus.get(spark, dir)
+    val schema = spark.read.parquet(inDir).schema
+    val root = java.nio.file.Files.createTempDirectory("graft-cdc-run")
+    val store = s"$root/store"
+    val shaped = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 3).parquet(inDir)
+      .select(col("event_id").as("transaction_id"), col("user_id"),
+        // cents ride the double amount column exactly (integers < 2^53)
+        col("cents").cast("double").as("amount"),
+        col("event_type").as("currency"), lit("event").as("type"),
+        col("timestamp"))
+    upsertSink(shaped, store, s"$root/ck", buckets,
+      Some(Trigger.AvailableNow())).awaitTermination()
+    val result = spark.read.parquet(store)
+      .filter(col("user_id") >= 0L) // sentinels live in their own key
+      .select(col("user_id"), col("transaction_id").as("last_event_id"),
+        unix_millis(col("timestamp")).as("last_ts_ms"),
+        col("amount").cast("long").as("last_cents"))
+      .localCheckpoint(true)
+    rmTree(new java.io.File(root.toString))
+    result
+  }
 
   /** Driver-visible streaming correctness: replay the bounded `events`
     * table through the REAL streaming pipeline — file source →
@@ -778,7 +817,10 @@ object Streaming {
         val root = java.nio.file.Files.createTempDirectory("graft-replay-corpus")
         sys.addShutdownHook { rmTree(new java.io.File(root.toString)) }
         val inDir = s"$root/in"
-        shaped.write.parquet(inDir)
+        // 8 part files (deterministic hash split), so file-granular
+        // triggers (streamCdc's maxFilesPerTrigger) get REAL multi-batch
+        // replays instead of one batch per phase
+        shaped.repartition(8, col("user_id")).write.parquet(inDir)
         (inDir, maxRow.getTimestamp(0))
       })
   }
@@ -853,7 +895,8 @@ object Streaming {
     "q_stream_enrich" -> ((s, d) => streamEnrich(s, d)),
     "q_stream_pairs" -> ((s, d) => streamPairs(s, d)),
     "q_stream_flags" -> ((s, d) => streamFlags(s, d)),
-    "q_stream_balance" -> ((s, d) => streamBalance(s, d)))
+    "q_stream_balance" -> ((s, d) => streamBalance(s, d)),
+    "q_stream_cdc" -> ((s, d) => streamCdc(s, d)))
 
   /** The tumbling-window batch equivalent — checks [[streamReplay]]
     * directly and [[streamDedup]] (exactly-once: the redelivered copies
@@ -877,6 +920,13 @@ object Streaming {
         "FROM events p JOIN events c ON p.user_id = c.user_id " +
         "AND p.event_type = 'purchase' AND c.event_type = 'click' " +
         "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTES"),
+    "q_stream_cdc" ->
+      ("WITH r AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, " +
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+        "FROM events) " +
+        "SELECT user_id, event_id AS last_event_id, ts_ms::BIGINT AS last_ts_ms, " +
+        "cents AS last_cents FROM r WHERE rn = 1"),
     "q_stream_balance" ->
       ("SELECT user_id, count(*) AS n, " +
         "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents " +
