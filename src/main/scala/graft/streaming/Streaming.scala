@@ -602,6 +602,68 @@ object Streaming {
         col("event_type"), col("n"), col("cents")))
       .filter(col("event_type") =!= "__sentinel__")
 
+  /** [[streamReplay]] over SLIDING windows — every event lands in
+    * windowLen/slide overlapping windows (2 here), so the streaming
+    * engine maintains several concurrent window states per event and
+    * the oracle replays the duplication explicitly (each event joined
+    * to its k covering window starts). Finalization and sentinel
+    * mechanics are [[streamReplay]]'s. */
+  def streamSliding(spark: SparkSession, dir: String,
+      watermarkMin: Long = 10L, windowMin: Long = 10L,
+      slideMin: Long = 5L): DataFrame =
+    replay(spark, dir, in => in
+      .withWatermark("timestamp", s"$watermarkMin minutes")
+      .groupBy(window(col("timestamp"), s"$windowMin minutes",
+        s"$slideMin minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .select(unix_millis(col("win.start")).as("win_start_ms"),
+        col("event_type"), col("n"), col("cents")))
+      .filter(col("event_type") =!= "__sentinel__")
+
+  /** The drift gate ON the stream: the per-day amount histogram is
+    * maintained as windowed streaming state (bins are plain counts, so
+    * Spark's incremental state update IS the histogram merge), and the
+    * PSI of every finalized day against the FIRST day runs on the
+    * read-back — a ≤ days×bins cell table, the same two-regime split
+    * as the batch [[graft.operators.Monitoring.psiDrift]]: scan-bound
+    * histogram maintenance (streaming, distributed, bounded state),
+    * cell-bound divergence math (tiny, after finalization). Integer
+    * discipline matches psiDrift exactly: Laplace-smoothed shares from
+    * exact integer counts, per-bin terms floored to 1e-8-scaled
+    * BIGINTs before the per-day sum. Sentinel rows are binned to −1
+    * in-plan (a KEY remap, not a filter — a filter on the stream would
+    * push below the watermark node into the scan and starve it) and
+    * dropped on the read-back. */
+  def streamDrift(spark: SparkSession, dir: String, nBins: Int = 10,
+      binCents: Long = 5000L, watermarkMin: Long = 60L): DataFrame = {
+    val hist = replay(spark, dir, in => in
+      .withWatermark("timestamp", s"$watermarkMin minutes")
+      .groupBy(window(col("timestamp"), "1 day").as("win"),
+        when(col("event_type") === "__sentinel__", lit(-1L))
+          .otherwise(least(expr(s"cents div $binCents"), lit(nBins - 1L)))
+          .as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("win.start")).as("day_ms"), col("bin"), col("n")))
+      .filter(col("bin") >= 0L)
+    val d0 = hist.agg(min(col("day_ms")).as("d0"))
+    val grid = hist.select(col("day_ms")).distinct()
+      .select(col("day_ms"), explode(sequence(lit(0L), lit(nBins - 1L))).as("bin"))
+    val full = grid.join(hist, Seq("day_ms", "bin"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("n_tot", sum(col("n"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("day_ms"))))
+      .withColumn("p", (col("n") + 1) / (col("n_tot") + nBins))
+    val ref = full.crossJoin(d0).filter(col("day_ms") === col("d0"))
+      .select(col("bin"), col("p").as("p_ref"))
+    full.join(ref, "bin")
+      .select(col("day_ms"), col("n"),
+        floor((col("p") - col("p_ref")) * log(col("p") / col("p_ref")) * 1e8)
+          .cast("long").as("term_scaled"))
+      .groupBy(col("day_ms"))
+      .agg(sum(col("n")).as("n_day"),
+        graft.functions.Portable.trunc4(sum(col("term_scaled")) / 1e8).as("psi"))
+  }
+
   /** [[streamReplay]]'s sibling for SESSION windows — the state-MERGING
     * streaming aggregation (tumbling windows only ever accumulate;
     * session windows must coalesce as late-but-in-watermark events
@@ -896,7 +958,9 @@ object Streaming {
     "q_stream_pairs" -> ((s, d) => streamPairs(s, d)),
     "q_stream_flags" -> ((s, d) => streamFlags(s, d)),
     "q_stream_balance" -> ((s, d) => streamBalance(s, d)),
-    "q_stream_cdc" -> ((s, d) => streamCdc(s, d)))
+    "q_stream_cdc" -> ((s, d) => streamCdc(s, d)),
+    "q_stream_sliding" -> ((s, d) => streamSliding(s, d)),
+    "q_stream_drift" -> ((s, d) => streamDrift(s, d)))
 
   /** The tumbling-window batch equivalent — checks [[streamReplay]]
     * directly and [[streamDedup]] (exactly-once: the redelivered copies
@@ -920,6 +984,28 @@ object Streaming {
         "FROM events p JOIN events c ON p.user_id = c.user_id " +
         "AND p.event_type = 'purchase' AND c.event_type = 'click' " +
         "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTES"),
+    "q_stream_sliding" ->
+      ("SELECT ((epoch_ms(ts) // 300000) - k) * 300000 AS win_start_ms, event_type, " +
+        "count(*) AS n, sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents " +
+        "FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) GROUP BY 1, 2"),
+    "q_stream_drift" ->
+      ("WITH b AS (SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms, " +
+        "least(CAST(floor(value * 100 + 0.5) AS BIGINT) // 5000, 9) AS bin FROM events), " +
+        "c AS (SELECT day_ms, bin, count(*) AS n FROM b GROUP BY 1, 2), " +
+        "g AS (SELECT d.day_ms, unnest(range(0, 10)) AS bin " +
+        "FROM (SELECT DISTINCT day_ms FROM b) d), " +
+        "f AS (SELECT g.day_ms, g.bin, coalesce(c.n, 0) AS n FROM g " +
+        "LEFT JOIN c ON g.day_ms = c.day_ms AND g.bin = c.bin), " +
+        "t AS (SELECT *, sum(n) OVER (PARTITION BY day_ms) AS n_tot FROM f), " +
+        "p AS (SELECT day_ms, bin, n, (n + 1)::DOUBLE / (n_tot + 10) AS p FROM t), " +
+        "d0 AS (SELECT min(day_ms) AS d0 FROM b), " +
+        "r AS (SELECT bin, p AS p_ref FROM p CROSS JOIN d0 WHERE day_ms = d0), " +
+        "s AS (SELECT p.day_ms, p.n, " +
+        "CAST(floor((p.p - r.p_ref) * ln(p.p / r.p_ref) * 100000000) AS BIGINT) " +
+        "AS term_scaled FROM p JOIN r USING (bin)) " +
+        "SELECT day_ms, sum(n)::BIGINT AS n_day, " +
+        "floor(sum(term_scaled)::DOUBLE / 100000000 * 10000) / 10000 AS psi " +
+        "FROM s GROUP BY 1"),
     "q_stream_cdc" ->
       ("WITH r AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, " +
         "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
