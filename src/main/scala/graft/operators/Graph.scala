@@ -300,6 +300,86 @@ object Graph {
     dist.select(col("node").as("user_id"), col("hops"))
   }
 
+  /** Label-propagation communities over the co-occurrence projection:
+    * every node starts in its own community, then `rounds` SYNCHRONOUS
+    * votes — each node adopts the most frequent label among its
+    * neighbours, ties broken by the smaller label. Unlike
+    * [[fraudRings]] (connected components = transitive reachability),
+    * LPA respects edge DENSITY: a bridge between two dense cliques
+    * does not merge them, so the output is the community structure a
+    * ring-analyst actually wants next to the component id.
+    *
+    * Deterministic by construction (count-desc-then-min-label vote, no
+    * RNG, synchronous rounds), so the oracle replays the identical
+    * recurrence as unrolled SQL CTEs. Scale shape per round: one
+    * edges ⋈ labels hash join (shuffles the edge relation on the
+    * neighbour id), one (node, label) hash aggregate with map-side
+    * combine, and the vote as a row_number window PARTITIONED BY node
+    * — the aggregate's own hash partitioning on (s, lbl) does not
+    * cover the window's, so AQE inserts one node-keyed exchange of the
+    * collapsed (node, label, cnt) relation, never of raw edges. Each
+    * round is checkpointed: flat plans, O(rounds · |E|) total work. */
+  def lpa(ev: DataFrame, rounds: Int = 3, maxCell: Long = 64L): DataFrame = {
+    val e0 = coEdges(ev, maxCell)
+    val edges = e0.select(col("u1").as("s"), col("u2").as("d"))
+      .unionByName(e0.select(col("u2").as("s"), col("u1").as("d")))
+      .localCheckpoint(true) // consumed once per round; cuts loop lineage
+    var lbl = edges.select(col("s").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")).localCheckpoint(true)
+    val byVotes = Window.partitionBy(col("s"))
+      .orderBy(col("cnt").desc, col("lbl"))
+    for (_ <- 0 until rounds) {
+      lbl = edges.join(lbl.select(col("node").as("d"), col("lbl")), "d")
+        .groupBy(col("s"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(byVotes))
+        .filter(col("rn") === 1)
+        .select(col("s").as("node"), col("lbl"))
+        .localCheckpoint(true)
+    }
+    lbl.withColumn("community_size",
+        count(lit(1)).over(Window.partitionBy(col("lbl"))))
+      .select(col("node").as("user_id"), col("lbl").as("community"),
+        col("community_size"))
+  }
+
+  /** k-core of the co-occurrence projection: the maximal subgraph in
+    * which every node keeps at least `k` neighbours — the standard
+    * "dense collusion nucleus" refinement of [[fraudRings]]' components
+    * and the degeneracy bound behind [[triangles]]' cost estimate.
+    *
+    * Iterative peel: each round drops nodes whose CURRENT degree is
+    * below k, then drops edges touching them; peeling is monotone and
+    * idempotent, so a converged graph makes further rounds no-ops and
+    * a bounded unroll is EXACT once converged — which the final guard
+    * asserts (one driver-side emptiness probe on the k-row degree
+    * relation; throws if round `rounds` would still peel, instead of
+    * silently returning a superset of the core). The oracle replays
+    * the same bounded peel as unrolled CTEs. Scale shape per round:
+    * one hash aggregate (degree, map-side combined) + two hash
+    * semi-style joins of edges against the shrinking keep-set — work
+    * is O(|surviving edges|) and strictly decreasing; each round
+    * checkpoints so the plan never deepens. */
+  def kcore(ev: DataFrame, k: Int = 3, rounds: Int = 8,
+      maxCell: Long = 64L): DataFrame = {
+    val e0 = coEdges(ev, maxCell)
+    var edges = e0.select(col("u1").as("s"), col("u2").as("d"))
+      .unionByName(e0.select(col("u2").as("s"), col("u1").as("d")))
+      .localCheckpoint(true)
+    for (_ <- 0 until rounds) {
+      val keep = edges.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("s"))
+      edges = edges.join(keep, "s")
+        .join(keep.withColumnRenamed("s", "d"), "d")
+        .select(col("s"), col("d"))
+        .localCheckpoint(true)
+    }
+    val deg = edges.groupBy(col("s")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true)
+    require(deg.filter(col("degree") < k).isEmpty,
+      s"k-core peel not converged after $rounds rounds — raise `rounds`")
+    deg.select(col("s").as("user_id"), col("degree"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -309,7 +389,40 @@ object Graph {
     "q_graph_degree" -> ((s, d) => bipartiteDegrees(Tables.events(s, d))),
     "q_graph_jaccard" -> ((s, d) => merchantJaccard(Tables.events(s, d))),
     "q_fraud_rings" -> ((s, d) => fraudRings(Tables.events(s, d))),
+    "q_graph_lpa" -> ((s, d) => lpa(Tables.events(s, d))),
+    "q_graph_kcore" -> ((s, d) => kcore(Tables.events(s, d))),
     "q_graph_triangles" -> ((s, d) => triangles(Tables.events(s, d))))
+
+  /** The symmetrized co-occurrence edge relation, as SQL (shared by the
+    * lpa / kcore oracles; same projection the bfs / rings oracles
+    * inline). */
+  private val coEdgeCte =
+    "um AS (SELECT DISTINCT user_id AS u, " +
+      "CAST(json_extract_string(props, '$.k') AS INT) AS m, " +
+      "date_trunc('hour', ts) AS h FROM events), " +
+      "cells AS (SELECT u, m, h FROM (SELECT u, m, h, " +
+      "count(*) OVER (PARTITION BY m, h) AS cell_n FROM um) t WHERE cell_n <= 64), " +
+      "ep AS (SELECT DISTINCT a.u AS u1, b.u AS u2 FROM cells a " +
+      "JOIN cells b ON a.m = b.m AND a.h = b.h AND a.u < b.u), " +
+      "edges AS (SELECT u1 AS s, u2 AS d FROM ep UNION SELECT u2, u1 FROM ep)"
+
+  /** One synchronous LPA vote unrolled as SQL CTEs (l(i-1) → l(i)). */
+  private def lpaIterSql(i: Int): String =
+    s"c$i AS (SELECT e.s, l.lbl, count(*) AS cnt FROM edges e " +
+      s"JOIN l${i - 1} l ON l.node = e.d GROUP BY 1, 2), " +
+      s"l$i AS (SELECT s AS node, lbl FROM (SELECT s, lbl, row_number() OVER " +
+      s"(PARTITION BY s ORDER BY cnt DESC, lbl) AS rn FROM c$i) t WHERE rn = 1)"
+
+  /** One k-core peel round unrolled as SQL CTEs (e(i-1) → e(i)).
+    * MATERIALIZED is load-bearing: e(i) references e(i-1) three times
+    * (directly + through both k(i) joins), so DuckDB's default CTE
+    * inlining would expand the 8-round unroll into 3^8 scans of the
+    * base table and exhaust file handles. */
+  private def kcoreIterSql(i: Int, k: Int): String =
+    s"k$i AS MATERIALIZED (SELECT s FROM (SELECT s, count(*) AS deg FROM e${i - 1} " +
+      s"GROUP BY 1) t WHERE deg >= $k), " +
+      s"e$i AS MATERIALIZED (SELECT e.s, e.d FROM e${i - 1} e " +
+      s"JOIN k$i a ON e.s = a.s JOIN k$i b ON e.d = b.s)"
 
   /** One HITS iteration unrolled as SQL CTEs (hb(i-1) → au(i), hb(i)). */
   private def hitsIterSql(i: Int): String =
@@ -329,6 +442,17 @@ object Graph {
       s"FROM nodes n CROSS JOIN nc nn LEFT JOIN contrib$i c ON c.dst = n.node)"
 
   val oracleSql: Map[String, String] = Map(
+    "q_graph_lpa" ->
+      (s"WITH $coEdgeCte, " +
+        "l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM edges), " +
+        (1 to 3).map(lpaIterSql).mkString(", ") + " " +
+        "SELECT node AS user_id, lbl AS community, " +
+        "count(*) OVER (PARTITION BY lbl)::BIGINT AS community_size FROM l3"),
+    "q_graph_kcore" ->
+      (s"WITH $coEdgeCte, " +
+        "e0 AS MATERIALIZED (SELECT s, d FROM edges), " +
+        (1 to 8).map(kcoreIterSql(_, 3)).mkString(", ") + " " +
+        "SELECT s AS user_id, count(*) AS degree FROM e8 GROUP BY 1"),
     "q_graph_bfs" ->
       ("WITH RECURSIVE um AS (SELECT DISTINCT user_id AS u, " +
         "CAST(json_extract_string(props, '$.k') AS INT) AS m, " +

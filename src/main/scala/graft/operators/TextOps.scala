@@ -583,6 +583,47 @@ object TextOps {
         trunc4(col("s")).as("tfidf"), col("rnk"))
   }
 
+  /** Hashing-trick feature extraction (Weinberger et al. 2009, the
+    * fixed-width sparse featurizer behind Vowpal-Wabbit-style linear
+    * models and fastText's bucket embeddings): every token hashes to
+    * one of `buckets` feature slots, with a second independent hash
+    * bit choosing the sign so colliding tokens cancel in expectation
+    * rather than bias upward. Emitted per document: the top-`k` slots
+    * by |weight| — the sparse feature vector a downstream classifier
+    * consumes, without any corpus-wide vocabulary to build, broadcast,
+    * or keep consistent between training runs (THE property that makes
+    * this the 100 TB featurizer: zero global state, pure row-local
+    * hashing).
+    *
+    * Both hashes are md5-derived ([[graft.functions.TextHash.hash60]],
+    * the codegen'd native expression), so the oracle replays them
+    * exactly; weights are signed integer counts — engine-exact.
+    *
+    * Scale shape: `spread` keys the corpus by doc_id once, so the
+    * (doc_id, bucket) hash aggregate AND the per-doc top-k window both
+    * reuse that partitioning — Spark's ClusteredDistribution accepts a
+    * subset-keyed partitioning, so ONE exchange of document rows total;
+    * the aggregate combines map-side and the shuffle after it carries
+    * at most min(|tokens|, buckets) rows per document, never raw
+    * tokens. The window is per-doc top-k (bounded fan-in), not a
+    * global sort. */
+  def featureHash(docs: DataFrame, buckets: Int = 64, k: Int = 8): DataFrame = {
+    val tok = graft.functions.Portable.spread(docs, col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val fv = tok
+      .select(col("doc_id"), (hash60(col("t")) % buckets).as("bucket"),
+        when(hash60(concat(lit("sign|"), col("t"))) % 2 === 0, 1L)
+          .otherwise(-1L).as("sgn"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sgn")).as("weight"), count(lit(1)).as("n_tokens"))
+    val byMag = Window.partitionBy(col("doc_id"))
+      .orderBy(abs(col("weight")).desc, col("bucket"))
+    fv.withColumn("rnk", row_number().over(byMag).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("bucket"), col("weight"),
+        col("n_tokens"), col("rnk"))
+  }
+
   /** Gopher-style repetition quality metrics — the filter family the
     * Gopher/MassiveText pipeline applies after basic quality scoring:
     * a document dominated by a few repeated n-grams is boilerplate or
@@ -1007,6 +1048,7 @@ object TextOps {
     "q_text_chunks" -> ((s, d) => chunks(Tables.documents(s, d))),
     "q_text_termstats" -> ((s, d) => termStats(Tables.documents(s, d))),
     "q_text_tfidf" -> ((s, d) => tfidfTopK(Tables.documents(s, d))),
+    "q_feature_hash" -> ((s, d) => featureHash(Tables.documents(s, d))),
     "q_text_normalize" -> ((s, d) => normalized(Tables.documents(s, d))),
     "q_dedup_normalized" -> ((s, d) => dedupNormalized(Tables.documents(s, d))),
     "q_text_decontam" -> ((s, d) => decontaminate(Tables.documents(s, d))),
@@ -1189,6 +1231,16 @@ object TextOps {
         "floor(sum(cnt)::DOUBLE / count(*) * 10000) / 10000 AS familiarity, " +
         "floor(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) * 10000) / 10000 AS uniq_ratio " +
         "FROM c GROUP BY 1"),
+    "q_feature_hash" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents), " +
+        "hb AS (SELECT doc_id, ('0x'||substr(md5(t),1,15))::BIGINT % 64 AS bucket, " +
+        "CASE WHEN ('0x'||substr(md5('sign|'||t),1,15))::BIGINT % 2 = 0 " +
+        "THEN 1 ELSE -1 END AS sgn FROM tok), " +
+        "fv AS (SELECT doc_id, bucket, sum(sgn)::BIGINT AS weight, " +
+        "count(*) AS n_tokens FROM hb GROUP BY 1, 2), " +
+        "r AS (SELECT doc_id, bucket, weight, n_tokens, row_number() OVER " +
+        "(PARTITION BY doc_id ORDER BY abs(weight) DESC, bucket) AS rnk FROM fv) " +
+        "SELECT doc_id, bucket, weight, n_tokens, rnk FROM r WHERE rnk <= 8"),
     "q_text_tfidf" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents), " +
         "tf AS (SELECT doc_id, t, count(*) tf FROM tok GROUP BY 1, 2), " +

@@ -1156,6 +1156,77 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Graph.lpa: a bridge between two cliques does NOT merge their communities") {
+    import spark.implicits._
+    // cliques {1,2,3} and {4,5,6}, one (merchant, hour) cell per edge,
+    // plus the bridge edge 3—4 that fraudRings would collapse through.
+    // Hand-traced 3-round synchronous min-tie vote: {1,2,3}→1, {4,5,6}→3.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val ev = edges.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((i * 2 + 1L, a, f"2024-01-01 ${8 + i}%02d:05:00", s"""{"k": ${30 + i}}"""),
+        (i * 2 + 2L, b, f"2024-01-01 ${8 + i}%02d:15:00", s"""{"k": ${30 + i}}"""))
+    }.toDF("event_id", "user_id", "ts_str", "props")
+      .withColumn("ts", to_timestamp(col("ts_str")))
+      .withColumn("value", lit(1.0))
+    val r = Graph.lpa(ev).collect()
+      .map(x => (x.getAs[Long]("user_id"),
+        (x.getAs[Long]("community"), x.getAs[Long]("community_size")))).toMap
+    assert(r === Map(1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L),
+      4L -> (3L, 3L), 5L -> (3L, 3L), 6L -> (3L, 3L)))
+    // ...while the component view is ONE ring across the bridge
+    assert(Graph.fraudRings(ev).collect()
+      .map(_.getAs[Long]("ring_id")).distinct.length === 1)
+  }
+
+  test("Graph.kcore: pendant peels off a K4; cascade past the bound throws") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def row(u: Long, m: Int) = (u, s"""{"k":$m}""", 10.0, ts)
+    // one 4-user cell = K4 (each degree 3) + a pendant 5 hanging off 1
+    val ev = (Seq(1L, 2L, 3L, 4L).map(row(_, 1)) ++ Seq(row(1L, 2), row(5L, 2)))
+      .toDF("user_id", "props", "value", "ts")
+    val r = Graph.kcore(ev).collect()
+      .map(x => x.getAs[Long]("user_id") -> x.getAs[Long]("degree")).toMap
+    assert(r === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a 6-node path has an empty 2-core; peeling it takes 3 rounds
+    // (endpoints inward), so rounds = 1 must refuse rather than return
+    // the un-peeled middle
+    val path = Seq((11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L), (15L, 16L))
+      .zipWithIndex.flatMap { case ((a, b), i) =>
+        Seq(row(a, 40 + i), row(b, 40 + i)) }
+      .toDF("user_id", "props", "value", "ts")
+    assert(Graph.kcore(path, k = 2).collect().isEmpty)
+    assertThrows[IllegalArgumentException](Graph.kcore(path, k = 2, rounds = 1).collect())
+  }
+
+  test("TextOps.featureHash: matches an independent recompute via the composed hash") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha alpha alpha beta"), (2L, "gamma delta gamma"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val got = TextOps.featureHash(docs).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("bucket"),
+        x.getAs[Long]("weight"), x.getAs[Long]("n_tokens"), x.getAs[Long]("rnk"))).toSet
+    // independent path: composed conv(substring(md5)) hash, plain SQL agg
+    import graft.functions.TextHash.hash60Composed
+    val exp = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), (hash60Composed(col("t")) % 64).as("bucket"),
+        when(hash60Composed(concat(lit("sign|"), col("t"))) % 2 === 0, 1L)
+          .otherwise(-1L).as("sgn"))
+      .groupBy("doc_id", "bucket")
+      .agg(sum("sgn").as("weight"), count(lit(1)).as("n_tokens"))
+      .withColumn("rnk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(abs(col("weight")).desc, col("bucket"))).cast("long"))
+      .filter(col("rnk") <= 8).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("bucket"),
+        x.getAs[Long]("weight"), x.getAs[Long]("n_tokens"), x.getAs[Long]("rnk"))).toSet
+    assert(got === exp)
+    // weight/count parity: each slot's weight is a ± sum of n_tokens signs
+    got.foreach { case (_, _, w, n, _) =>
+      assert(math.abs(w) <= n && ((w % 2 + 2) % 2) === n % 2)
+    }
+  }
+
   test("Analytics.cheapestSupplier: per-part minimum holds, ties keep every supplier") {
     val li = Tables.lineitem(spark, sf)
     val r = Analytics.cheapestSupplier(Tables.supplier(spark, sf), li).collect()
