@@ -771,6 +771,60 @@ object Streaming {
           unix_millis(col("c_ts")).as("c_ts_ms"), col("p_cents"))
     })
 
+  /** LEFT OUTER stream-stream interval join — [[streamPairs]]' shape,
+    * but purchases with NO qualifying click in the lookback window
+    * must still emit, null-extended. This is a genuinely different
+    * engine mechanism from the inner join: an unmatched left row can
+    * only be emitted when the WATERMARK proves no matching click can
+    * still arrive, so the null-extended rows ride state EVICTION, not
+    * batch matching — phase A leaves the watermark past all data, and
+    * the phase-B restart evicts and emits every unmatched purchase
+    * (the same finalization path the windowed replays use). Attribution
+    * semantics: emit the conversion whether or not marketing gets
+    * credit — the unmatched rows ARE the organic-conversion report.
+    * Sentinel plumbing is load-bearing here, unlike in the inner
+    * [[streamPairs]], precisely because the output rides eviction: if
+    * no sentinel ever reaches an EventTimeWatermark node, the
+    * watermark stops at maxEventTime − delay and every purchase
+    * inside that final horizon sits in state forever, silently
+    * missing from the organic report (measured: exactly the last 4
+    * purchases of the sf0.01 corpus). A plain `event_type =
+    * 'purchase'` pre-filter guarantees that failure no matter which
+    * side of `withWatermark` it is written on: Catalyst pushes any
+    * predicate not referencing the event-time column BELOW the
+    * watermark node. So each side (a) lets `__sentinel__` rows
+    * through its type filter, and (b) drops them with a predicate ON
+    * THE WATERMARK COLUMN (`ts ≤ max real event time`, the corpus
+    * bound the harness already tracks), which the pushdown rule must
+    * keep above the node. Sentinels advance both watermarks, then die
+    * before the join — join state never sees them. State at 100 TB:
+    * both sides evict by event time (the join's time bound caps click
+    * state at lookback+watermark minutes), so live state is
+    * O(traffic in the bound), never O(stream). */
+  def streamPairsOuter(spark: SparkSession, dir: String,
+      watermarkMin: Long = 10L, lookbackMin: Long = 60L): DataFrame = {
+    val maxTs = ReplayCorpus.get(spark, dir)._2
+    replay(spark, dir, in => {
+      val p = in.filter(col("event_type").isin("purchase", "__sentinel__"))
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("timestamp").as("p_ts"), col("cents").as("p_cents"))
+        .withWatermark("p_ts", s"$watermarkMin minutes")
+        .filter(col("p_ts") <= lit(maxTs)) // on the watermark column: stays above the node
+      val c = in.filter(col("event_type").isin("click", "__sentinel__"))
+        .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
+          col("timestamp").as("c_ts"))
+        .withWatermark("c_ts", s"${watermarkMin + lookbackMin} minutes")
+        .filter(col("c_ts") <= lit(maxTs))
+      p.join(c, col("user_id") === col("c_uid") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackMin MINUTES"),
+          "left_outer")
+        .select(col("purchase_id"), col("click_id"), col("user_id"),
+          unix_millis(col("p_ts")).as("p_ts_ms"),
+          unix_millis(col("c_ts")).as("c_ts_ms"), col("p_cents"))
+    })
+  }
+
   /** Arbitrary per-key streaming state in the driver gate:
     * `flatMapGroupsWithState` accumulates each user's integer totals
     * and emits ONE final row per user when the event-time timeout
@@ -956,6 +1010,7 @@ object Streaming {
     "q_stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "q_stream_enrich" -> ((s, d) => streamEnrich(s, d)),
     "q_stream_pairs" -> ((s, d) => streamPairs(s, d)),
+    "q_stream_pairs_outer" -> ((s, d) => streamPairsOuter(s, d)),
     "q_stream_flags" -> ((s, d) => streamFlags(s, d)),
     "q_stream_balance" -> ((s, d) => streamBalance(s, d)),
     "q_stream_cdc" -> ((s, d) => streamCdc(s, d)),
@@ -984,6 +1039,17 @@ object Streaming {
         "FROM events p JOIN events c ON p.user_id = c.user_id " +
         "AND p.event_type = 'purchase' AND c.event_type = 'click' " +
         "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTES"),
+    "q_stream_pairs_outer" ->
+      ("SELECT p.purchase_id, c.click_id, p.user_id, p.p_ts_ms, c.c_ts_ms, p.p_cents " +
+        "FROM (SELECT event_id AS purchase_id, user_id, ts AS p_ts, " +
+        "epoch_ms(ts)::BIGINT AS p_ts_ms, " +
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS p_cents " +
+        "FROM events WHERE event_type = 'purchase') p " +
+        "LEFT JOIN (SELECT event_id AS click_id, user_id, ts AS c_ts, " +
+        "epoch_ms(ts)::BIGINT AS c_ts_ms FROM events " +
+        "WHERE event_type = 'click') c " +
+        "ON p.user_id = c.user_id AND c.c_ts <= p.p_ts " +
+        "AND c.c_ts >= p.p_ts - INTERVAL 60 MINUTES"),
     "q_stream_sliding" ->
       ("SELECT ((epoch_ms(ts) // 300000) - k) * 300000 AS win_start_ms, event_type, " +
         "count(*) AS n, sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents " +

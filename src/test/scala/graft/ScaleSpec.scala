@@ -290,6 +290,15 @@ class ScaleSpec extends SparkSpec {
     assert(exchanges === 1, s"expected 1 exchange (the spread), got $exchanges:\n$plan")
   }
 
+  test("featureHash: one exchange feeds both the slot aggregate and the top-k window") {
+    val docs = Tables.documents(spark, sf)
+    val plan = graft.operators.TextOps.featureHash(docs).queryExecution.executedPlan.toString
+    val exchanges = "Exchange ".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected 1 exchange (the spread), got $exchanges:\n$plan")
+    // the per-doc top-k prunes BEFORE the full window materializes
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("IVF probe over list_id-bucketed embeddings prunes buckets at the scan") {
     import graft.operators.Similarity
     val wh = Files.createTempDirectory("graft-ivf-wh").toString

@@ -582,6 +582,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter(col("user_id") === -1L).count() === 0)
   }
 
+  test("streamPairsOuter: equals the batch left join INCLUDING tail purchases inside the watermark horizon") {
+    import org.apache.spark.sql.functions._
+    val got = Streaming.streamPairsOuter(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_ms").as("p_ts_ms"),
+        floor(col("value") * 100 + 0.5).cast("long").as("p_cents"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
+        col("ts_ms").as("c_ts_ms"))
+    val batch = p.join(c, col("user_id") === col("c_uid") &&
+        col("c_ts_ms") <= col("p_ts_ms") &&
+        col("c_ts_ms") >= col("p_ts_ms") - 3600000L, "left_outer")
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        col("p_ts_ms"), col("c_ts_ms"), col("p_cents"))
+    assert(got.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(got).count() === 0)
+    // the regression this op guards against: the LAST purchase of the
+    // corpus is inside the final watermark horizon, and only the
+    // sentinel-through-the-watermark-node plumbing can finalize it
+    val lastP = p.orderBy(col("p_ts_ms").desc).select(col("purchase_id")).head.getLong(0)
+    assert(got.filter(col("purchase_id") === lastP).count() >= 1)
+    assert(got.filter(col("user_id") === -1L).count() === 0)
+  }
+
   test("kafkaOptions builds the connector option map (unit-level, no broker)") {
     val o = Streaming.kafkaOptions("broker:9092", "txns",
       extra = Map("maxOffsetsPerTrigger" -> "1000"))
