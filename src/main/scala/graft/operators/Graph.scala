@@ -365,13 +365,26 @@ object Graph {
     var edges = e0.select(col("u1").as("s"), col("u2").as("d"))
       .unionByName(e0.select(col("u2").as("s"), col("u1").as("d")))
       .localCheckpoint(true)
-    for (_ <- 0 until rounds) {
+    // early exit on a stable edge count: the peel is a deterministic
+    // function of the edge set, so one no-op round proves the fixed
+    // point and the remaining rounds are dead weight (the count rides
+    // the just-checkpointed partitions — no recompute). The oracle's
+    // fixed 8-round unroll computes the identical result because
+    // peeling is idempotent past convergence.
+    var n = edges.count()
+    var stable = false
+    var r = 0
+    while (r < rounds && !stable) {
       val keep = edges.groupBy(col("s")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("s"))
       edges = edges.join(keep, "s")
         .join(keep.withColumnRenamed("s", "d"), "d")
         .select(col("s"), col("d"))
         .localCheckpoint(true)
+      val n2 = edges.count()
+      stable = n2 == n
+      n = n2
+      r += 1
     }
     val deg = edges.groupBy(col("s")).agg(count(lit(1)).as("degree"))
       .localCheckpoint(true)
