@@ -1002,6 +1002,98 @@ object Monitoring {
       .otherwise(r + idiv(pos - cut - 1, b) + 1)
   }
 
+  /** Hourly OHLC bars over the purchase flow — the classic financial
+    * resampling operator: per (day, hour) the opening / highest /
+    * lowest / closing amount plus trade count and cent volume.
+    *
+    * First/last are `min_by`/`max_by` over a TOTALLY ORDERED string
+    * key `lpad(ts_ms)‖lpad(event_id)` — zero-padded so lexicographic
+    * order equals (ts_ms, event_id) order, and unique because
+    * event_id is. That keeps the whole bar a HASH aggregate
+    * (map-side combinable, merge-order-independent) — the
+    * row_number-per-bar alternative would sort every partition and,
+    * at 100 TB where one hour is billions of rows, turn each bar
+    * into a straggler sort group for no semantic gain. One narrow
+    * shuffle of per-bar partials; the event-type filter pushes into
+    * the parquet scan. */
+  def ohlcBars(ev: DataFrame): DataFrame = {
+    val key = concat(
+      lpad(col("ts_ms").cast("string"), 14, "0"),
+      lpad(col("event_id").cast("string"), 12, "0"))
+    ev.filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("day"), hour(col("ts")).cast("long").as("hh"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"), key.as("k"))
+      .groupBy(col("day"), col("hh"))
+      .agg(
+        expr("min_by(cents, k)").as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        expr("max_by(cents, k)").as("close_cents"),
+        count(lit(1)).as("n_trades"),
+        sum(col("cents")).as("volume_cents"))
+  }
+
+  /** Order-total reconciliation — the ledger-vs-detail break report
+    * every financial system runs: per order, the STORED header total
+    * vs the total RECOMPUTED from its lines, bucketed by relative
+    * difference and rolled up per order status. Orders with no lines
+    * land in their own bucket (the classic orphan-header break).
+    *
+    * All arithmetic is exact integers: line totals are
+    * cents×(100−disc%)×(100+tax%) BIGINTs (unit cent·10⁻⁴ — the
+    * house revenue discipline), the stored total is cents×10⁴, and
+    * the ratio buckets compare via cross-multiplication
+    * (`diff·1000 ≤ stored` ⇔ diff/stored ≤ 0.1%), so bucket
+    * membership can never flip on a float ulp between engines.
+    *
+    * Scale: lineitem collapses to per-order partials map-side BEFORE
+    * the orders join (agg-below-join — the shuffle carries one row
+    * per order, not per line); the join is fact⋈fact on the order
+    * key; the final rollup is a ≤ 3·5-cell hash aggregate. */
+  def reconcile(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"),
+        (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+          (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long")) *
+          (lit(100L) + floor(col("l_tax") * 100 + 0.5).cast("long"))).as("u"))
+      .groupBy(col("l_orderkey")).agg(sum(col("u")).as("computed_u"))
+    val o = orders.select(col("o_orderkey"), col("o_orderstatus"),
+      (floor(col("o_totalprice") * 100 + 0.5).cast("long") * 10000L).as("stored_u"))
+    val diff = abs(col("stored_u") - col("computed_u"))
+    o.join(li, col("o_orderkey") === col("l_orderkey"), "left")
+      .withColumn("bucket",
+        when(col("computed_u").isNull, "no_lines")
+          .when(diff * 1000L <= col("stored_u"), "<=0.1%")
+          .when(diff * 100L <= col("stored_u"), "<=1%")
+          .when(diff * 20L <= col("stored_u"), "<=5%")
+          .when(diff * 10L <= col("stored_u"), "<=10%")
+          .otherwise(">10%"))
+      .groupBy(col("o_orderstatus"), col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("computed_u").isNotNull, diff).otherwise(0L)).as("abs_diff_u"))
+  }
+
+  /** First-order Markov transition matrix over each user's event
+    * sequence: P(next event type | current event type), the behavioral
+    * fingerprint behind "this account suddenly transitions
+    * signup→purchase far more than the population does".
+    *
+    * The `lag` window is keyed on user_id (one shuffle, bounded
+    * per-user partitions); the transition counts collapse to at most
+    * |types|² rows, and the row-probability normalization window runs
+    * over THAT 25-row relation — the global-window allowlist shape,
+    * not a fact-relation sort. Order within a user is (ts_ms,
+    * event_id) — total, so the matrix is engine-deterministic. */
+  def markovTransitions(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val pairs = ev.select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("prev"), col("event_type").as("cur"))
+    val counts = pairs.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p", trunc4(col("n") / sum(col("n")).over(Window.partitionBy(col("prev")))))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1036,9 +1128,48 @@ object Monitoring {
     "q_scd2" -> ((s, d) => scd2(Tables.events(s, d))),
     "q_feature_rolling" -> ((s, d) => rollingFeatures(Tables.events(s, d))),
     "q_dq_audit" -> ((s, d) => dqAudit(Tables.events(s, d))),
-    "q_flag_summary" -> ((s, d) => flagSummary(Tables.events(s, d))))
+    "q_flag_summary" -> ((s, d) => flagSummary(Tables.events(s, d))),
+    "q_ohlc_bars" -> ((s, d) => ohlcBars(Tables.events(s, d))),
+    "q_reconcile" -> ((s, d) => reconcile(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q_markov_transitions" -> ((s, d) => markovTransitions(Tables.events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_ohlc_bars" ->
+      ("WITH t AS (SELECT ts::DATE AS day, hour(ts)::BIGINT AS hh, " +
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
+        "lpad(epoch_ms(ts)::VARCHAR, 14, '0') || lpad(event_id::VARCHAR, 12, '0') AS k " +
+        "FROM events WHERE event_type = 'purchase') " +
+        "SELECT day, hh, arg_min(cents, k) AS open_cents, max(cents) AS high_cents, " +
+        "min(cents) AS low_cents, arg_max(cents, k) AS close_cents, " +
+        "count(*) AS n_trades, sum(cents)::BIGINT AS volume_cents " +
+        "FROM t GROUP BY 1, 2"),
+    "q_reconcile" ->
+      ("WITH li AS (SELECT l_orderkey, sum(" +
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * " +
+        "(100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) * " +
+        "(100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT)))::BIGINT AS computed_u " +
+        "FROM lineitem GROUP BY 1), " +
+        "j AS (SELECT o_orderstatus, " +
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000 AS stored_u, " +
+        "computed_u, abs(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000 " +
+        "- computed_u) AS d FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey), " +
+        "b AS (SELECT o_orderstatus, CASE " +
+        "WHEN computed_u IS NULL THEN 'no_lines' " +
+        "WHEN d * 1000 <= stored_u THEN '<=0.1%' " +
+        "WHEN d * 100 <= stored_u THEN '<=1%' " +
+        "WHEN d * 20 <= stored_u THEN '<=5%' " +
+        "WHEN d * 10 <= stored_u THEN '<=10%' " +
+        "ELSE '>10%' END AS bucket, " +
+        "CASE WHEN computed_u IS NULL THEN 0 ELSE d END AS d2 FROM j) " +
+        "SELECT o_orderstatus, bucket, count(*) AS n_orders, " +
+        "sum(d2)::BIGINT AS abs_diff_u FROM b GROUP BY 1, 2"),
+    "q_markov_transitions" ->
+      ("WITH s AS (SELECT user_id, event_type, lag(event_type) OVER " +
+        "(PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev FROM events), " +
+        "c AS (SELECT prev, event_type AS cur, count(*) AS n FROM s " +
+        "WHERE prev IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT prev, cur, n, floor(n::DOUBLE / " +
+        "sum(n) OVER (PARTITION BY prev) * 10000) / 10000 AS p FROM c"),
     "q_round_bias" ->
       ("WITH t AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c " +
         "FROM events), " +

@@ -350,6 +350,61 @@ object Similarity {
     result
   }
 
+  /** LSH-banded k-nearest-neighbor GRAPH over the whole corpus — the
+    * every-vector sibling of [[annTopK]] (whose query side is a fixed
+    * broadcast set) and the ranked sibling of [[nearDupPairs]] (whose
+    * output is thresholded, not per-node top-k). The kNN graph is the
+    * substrate for graph-based corpus curation — SemDeDup-style
+    * neighborhood pruning, connected-component near-dup clustering,
+    * and diversity sampling all start from "each item's k nearest".
+    *
+    * Shape: candidates come from the SAME banded self-join as
+    * [[nearDupPairs]] — one canonical (a < b) pair per bucket
+    * collision, cosine computed ONCE per unordered pair — then each
+    * pair is mirrored into both directions and ranked per source with
+    * a `rnk <= k` filter, which Spark 4 plans as WindowGroupLimit
+    * (per-partition top-k below the shuffle, no full sort). The
+    * `mutual` flag (reverse edge also in the reverse node's top-k —
+    * the mutual-kNN criterion used to sharpen near-dup clusters)
+    * self-joins the k-row-per-node RESULT relation, never the
+    * candidate set.
+    *
+    * Scale: work is O(bucket collisions) like every banded op here;
+    * the mirrored relation doubles a candidate set that is already
+    * ≪ n²; the top-k shuffle carries (src, dst, cos) triples only.
+    * Recall < 1 by construction (bucketing misses some true
+    * neighbors); the oracle replicates the same approximation. */
+  def knnGraph(emb: DataFrame, k: Int = 5): DataFrame = {
+    val v = withEmbD(emb)
+    val bands = v.select(col("vec_id"), col("e"), explode(bandStructs(col("e"))).as("bb"))
+      .select(col("vec_id"), col("e"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .persist()
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+        col("x.e").as("ea"), col("y.e").as("eb"))
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"),
+        trunc4(NativeVector.cosine(col("ea"), col("eb"))).as("cos"))
+      .persist() // narrow (id, id, cos) triples feed BOTH mirror arms
+    val directed = pairs
+      .select(col("a_id").as("src_id"), col("b_id").as("dst_id"), col("cos"))
+      .unionAll(pairs.select(col("b_id").as("src_id"), col("a_id").as("dst_id"), col("cos")))
+    val w = Window.partitionBy(col("src_id")).orderBy(col("cos").desc, col("dst_id"))
+    val topk = directed.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .persist() // k rows per node; feeds both sides of the mutual join
+    val result = topk.as("f").join(
+        topk.select(col("src_id").as("r_dst"), col("dst_id").as("r_src")).as("r"),
+        col("f.src_id") === col("r_src") && col("f.dst_id") === col("r_dst"), "left")
+      .select(col("f.src_id").as("src_id"), col("f.dst_id").as("dst_id"),
+        col("cos"), col("rnk"), col("r_src").isNotNull.as("mutual"))
+      .localCheckpoint(true) // ≤ k·n edge rows
+    topk.unpersist(); pairs.unpersist(); bands.unpersist()
+    result
+  }
+
   /** Int8 symmetric quantization audit — the 4 bytes/dim → 1 byte/dim
     * storage step a vector pipeline takes before building the index at
     * scale: per-vector scale = maxabs/127, q_d = clamp(floor(e_d /
@@ -791,6 +846,7 @@ object Similarity {
     "q_sim_topk_ann_mp" -> ((s, d) => annTopKMultiProbe(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_topk_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_neardup" -> ((s, d) => nearDupPairs(Tables.embeddings(s, d))),
+    "q_knn_graph" -> ((s, d) => knnGraph(Tables.embeddings(s, d))),
     "q_dedup_semantic" -> ((s, d) => semanticDedup(Tables.embeddings(s, d))),
     "q_sim_recall" -> ((s, d) => recallAtK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_vec_quantize" -> ((s, d) => quantizeAudit(Tables.embeddings(s, d))),
@@ -1061,6 +1117,23 @@ object Similarity {
         "('0x' || substr(md5('proj|' || i || '_' || j), 1, 15))::BIGINT % 2 = 0 " +
         "THEN 1.0 ELSE -1.0 END)) p FROM el CROSS JOIN d GROUP BY 1, 2) " +
         "SELECT vec_id, j, floor(p * 10000) / 10000 AS p FROM p"),
+    "q_knn_graph" ->
+      (s"WITH $vCte, $bitsBandsCte, " +
+        "kg_pairs AS (SELECT DISTINCT x.vec_id a_id, y.vec_id b_id " +
+        "FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey " +
+        "AND x.vec_id < y.vec_id), " +
+        "kg_scored AS (SELECT a_id, b_id, floor(list_cosine_similarity(" +
+        "(SELECT e FROM v WHERE v.vec_id = kg_pairs.a_id), " +
+        "(SELECT e FROM v WHERE v.vec_id = kg_pairs.b_id)) * 10000) / 10000 cos " +
+        "FROM kg_pairs), " +
+        "kg_dir AS (SELECT a_id src_id, b_id dst_id, cos FROM kg_scored " +
+        "UNION ALL SELECT b_id, a_id, cos FROM kg_scored), " +
+        "kg_topk AS (SELECT src_id, dst_id, cos, row_number() OVER " +
+        "(PARTITION BY src_id ORDER BY cos DESC, dst_id)::BIGINT rnk FROM kg_dir " +
+        "QUALIFY rnk <= 5) " +
+        "SELECT f.src_id, f.dst_id, f.cos, f.rnk, " +
+        "(r.src_id IS NOT NULL) AS mutual FROM kg_topk f " +
+        "LEFT JOIN kg_topk r ON f.src_id = r.dst_id AND f.dst_id = r.src_id"),
     "q_sim_neardup" ->
       (s"WITH $vCte, $bitsBandsCte" + ", cand AS (SELECT DISTINCT x.vec_id a_id, y.vec_id b_id " +
         "FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id), " +

@@ -630,6 +630,39 @@ object Streaming {
         col("event_type"), col("n"), col("cents")))
       .filter(col("event_type") =!= "__sentinel__")
 
+  /** Hourly OHLC bars maintained AS STREAMING STATE — the streaming
+    * sibling of [[graft.operators.Monitoring.ohlcBars]]: open/close
+    * ride `min_by`/`max_by` over the same zero-padded
+    * `lpad(ts_ms)‖lpad(event_id)` total-order key, which makes the
+    * bar state a pair of (key, value) registers per window — Spark's
+    * incremental state merge IS the bar update, commutative and
+    * order-independent across micro-batches, so replaying the corpus
+    * in any batch split lands identical bars. Grouping keeps
+    * event_type IN the key (the purchase filter runs on the read-back
+    * — an in-plan filter would push below the watermark node into the
+    * scan and starve it, the [[streamDrift]] lesson), and sentinels
+    * evaporate with the same read-back predicate. */
+  def streamOhlc(spark: SparkSession, dir: String,
+      watermarkMin: Long = 60L): DataFrame =
+    replay(spark, dir, in => in
+      .withColumn("k", concat(
+        lpad(col("ts_ms").cast("string"), 14, "0"),
+        lpad(col("event_id").cast("string"), 12, "0")))
+      .withWatermark("timestamp", s"$watermarkMin minutes")
+      .groupBy(window(col("timestamp"), "60 minutes").as("win"), col("event_type"))
+      .agg(expr("min_by(cents, k)").as("open_cents"),
+        max(col("cents")).as("high_cents"),
+        min(col("cents")).as("low_cents"),
+        expr("max_by(cents, k)").as("close_cents"),
+        count(lit(1)).as("n_trades"),
+        sum(col("cents")).as("volume_cents"))
+      .select(unix_millis(col("win.start")).as("win_start_ms"),
+        col("event_type"), col("open_cents"), col("high_cents"),
+        col("low_cents"), col("close_cents"), col("n_trades"),
+        col("volume_cents")))
+      .filter(col("event_type") === "purchase")
+      .drop("event_type")
+
   /** The drift gate ON the stream: the per-day amount histogram is
     * maintained as windowed streaming state (bins are plain counts, so
     * Spark's incremental state update IS the histogram merge), and the
@@ -1045,7 +1078,8 @@ object Streaming {
     "q_stream_balance" -> ((s, d) => streamBalance(s, d)),
     "q_stream_cdc" -> ((s, d) => streamCdc(s, d)),
     "q_stream_sliding" -> ((s, d) => streamSliding(s, d)),
-    "q_stream_drift" -> ((s, d) => streamDrift(s, d)))
+    "q_stream_drift" -> ((s, d) => streamDrift(s, d)),
+    "q_stream_ohlc" -> ((s, d) => streamOhlc(s, d)))
 
   /** The tumbling-window batch equivalent — checks [[streamReplay]]
     * directly and [[streamDedup]] (exactly-once: the redelivered copies
@@ -1056,6 +1090,15 @@ object Streaming {
       "FROM events GROUP BY 1, 2"
 
   val oracleSql: Map[String, String] = Map(
+    "q_stream_ohlc" ->
+      ("WITH t AS (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_start_ms, " +
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
+        "lpad(epoch_ms(ts)::VARCHAR, 14, '0') || lpad(event_id::VARCHAR, 12, '0') AS k " +
+        "FROM events WHERE event_type = 'purchase') " +
+        "SELECT win_start_ms, arg_min(cents, k) AS open_cents, " +
+        "max(cents) AS high_cents, min(cents) AS low_cents, " +
+        "arg_max(cents, k) AS close_cents, count(*) AS n_trades, " +
+        "sum(cents)::BIGINT AS volume_cents FROM t GROUP BY 1"),
     "q_stream_replay" -> tumblingOracle,
     "q_stream_dedup" -> tumblingOracle,
     "q_stream_enrich" ->

@@ -604,6 +604,79 @@ class MonitoringSpec extends SparkSpec {
     assert(firstDay.getAs[Long]("n_returning") === 0L)
   }
 
+  test("ohlcBars: open/close follow event-time order, not value order") {
+    import spark.implicits._
+    // one hour, three trades arriving out of value order: open must be
+    // the EARLIEST (30), close the LATEST (10), high/low the extremes
+    val ev = Seq(
+      (1L, "2024-01-01 10:05:00", "purchase", 0.30),
+      (2L, "2024-01-01 10:10:00", "purchase", 0.99),
+      (3L, "2024-01-01 10:20:00", "purchase", 0.10),
+      (4L, "2024-01-01 10:15:00", "view", 5.00) // non-purchase: excluded
+    ).toDF("event_id", "s", "event_type", "value")
+      .withColumn("ts", col("s").cast("timestamp"))
+      .withColumn("ts_ms", expr("unix_micros(ts) div 1000"))
+    val r = Monitoring.ohlcBars(ev).collect()
+    assert(r.length === 1)
+    val bar = r.head
+    assert(bar.getAs[Long]("open_cents") === 30L)
+    assert(bar.getAs[Long]("close_cents") === 10L)
+    assert(bar.getAs[Long]("high_cents") === 99L)
+    assert(bar.getAs[Long]("low_cents") === 10L)
+    assert(bar.getAs[Long]("n_trades") === 3L)
+    assert(bar.getAs[Long]("volume_cents") === 139L)
+    // real data: bar invariants hold everywhere
+    val bars = Monitoring.ohlcBars(events).collect()
+    assert(bars.nonEmpty)
+    bars.foreach { b =>
+      assert(b.getAs[Long]("low_cents") <= b.getAs[Long]("open_cents"))
+      assert(b.getAs[Long]("low_cents") <= b.getAs[Long]("close_cents"))
+      assert(b.getAs[Long]("high_cents") >= b.getAs[Long]("open_cents"))
+      assert(b.getAs[Long]("high_cents") >= b.getAs[Long]("close_cents"))
+    }
+  }
+
+  test("reconcile: buckets partition the orders and orphan headers are counted") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, "O", 100.00), // exact match
+      (2L, "F", 100.00), // 0.5% off -> <=1%
+      (3L, "P", 200.00)  // no lines
+    ).toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val li = Seq(
+      (1L, 100.00, 0.0, 0.0),
+      (2L, 99.50, 0.0, 0.0)
+    ).toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val r = Monitoring.reconcile(orders, li)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getAs[Long]("n_orders"), x.getAs[Long]("abs_diff_u"))).toMap
+    assert(r(("O", "<=0.1%")) === ((1L, 0L)))
+    assert(r(("F", "<=1%")) === ((1L, 50L * 10000L)))
+    assert(r(("P", "no_lines")) === ((1L, 0L)))
+    // real data: bucket counts sum to the full order count
+    val total = Monitoring.reconcile(
+        Tables.orders(spark, sf), Tables.lineitem(spark, sf))
+      .agg(sum("n_orders")).head.getLong(0)
+    assert(total === Tables.orders(spark, sf).count())
+  }
+
+  test("markovTransitions: rows are per-user consecutive pairs and probabilities sum to 1") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, 1000L, "view"), (1L, 11L, 2000L, "click"),
+      (1L, 12L, 3000L, "purchase"),
+      (2L, 20L, 1000L, "view"), (2L, 21L, 2000L, "click")
+    ).toDF("user_id", "event_id", "ts_ms", "event_type")
+    val r = Monitoring.markovTransitions(ev).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getAs[Long]("n")).toMap
+    // transitions never cross users: no purchase->view edge from u1 to u2
+    assert(r === Map(("view", "click") -> 2L, ("click", "purchase") -> 1L))
+    // real data: outgoing probabilities sum to ~1 per source state
+    val sums = Monitoring.markovTransitions(events)
+      .groupBy("prev").agg(sum("p").as("sp")).collect()
+    sums.foreach(x => assert(math.abs(x.getAs[Double]("sp") - 1.0) < 0.001))
+  }
+
   test("acfDaily: all lags present, coefficients bounded, pair counts consistent") {
     val r = Monitoring.acfDaily(Tables.events(spark, sf)).collect()
     assert(r.map(_.getAs[Long]("lag")).sorted.toSeq === (1L to 7L))

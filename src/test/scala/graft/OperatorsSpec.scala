@@ -326,6 +326,33 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Similarity.knnGraph: banded edges score exactly, mutual flags are symmetric, ranks dense") {
+    val emb = Tables.embeddings(spark, sf)
+    val g = Similarity.knnGraph(emb, k = 5).collect()
+    assert(g.nonEmpty)
+    val bySrc = g.groupBy(_.getAs[Long]("src_id"))
+    bySrc.values.foreach { edges =>
+      // dense ranks from 1, distinct destinations
+      assert(edges.map(_.getAs[Long]("rnk")).sorted.toSeq === (1L to edges.length).toSeq)
+      assert(edges.map(_.getAs[Long]("dst_id")).distinct.length === edges.length)
+      // ranked by descending cosine
+      val byRnk = edges.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("cos"))
+      assert(byRnk.zip(byRnk.tail).forall { case (a, b) => a >= b })
+    }
+    // mutual is EXACTLY "reverse edge is also in the graph"
+    val edgeSet = g.map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("dst_id"))).toSet
+    g.foreach { r =>
+      val rev = (r.getAs[Long]("dst_id"), r.getAs[Long]("src_id"))
+      assert(r.getAs[Boolean]("mutual") === edgeSet.contains(rev))
+    }
+    // edge scores equal the exact cosine (same trunc4 scoring as brute force)
+    val bf = Similarity.bruteForceTopK(emb, Seq(0L), k = 500).select("vec_id", "cos")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    g.filter(_.getAs[Long]("src_id") == 0L).foreach { r =>
+      assert(math.abs(bf(r.getAs[Long]("dst_id")) - r.getAs[Double]("cos")) < 1e-12)
+    }
+  }
+
   test("Similarity.ivfTopK scores like brute force, searches only probed lists, is deterministic") {
     val emb = Tables.embeddings(spark, sf)
     val bf = Similarity.bruteForceTopK(emb, Seq(0L), k = 500).select("vec_id", "cos")
