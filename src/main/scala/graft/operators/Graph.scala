@@ -156,6 +156,40 @@ object Graph {
       .groupBy(col("user_id")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient per node — how clique-ish each
+    * user's co-occurrence neighborhood is: 2·T(v) / (deg(v)·(deg(v)−1))
+    * where T(v) counts triangles through v. The per-node normalized
+    * sibling of [[triangles]] (raw counts) and the standard "is this
+    * a ring or a hub?" discriminator: a fraud ring's members close
+    * near 1.0, a popular merchant's coincidental co-shoppers near 0.
+    *
+    * Machinery reuse: the SAME df-capped [[coEdges]] projection feeds
+    * the degree count (one hash-agg over both edge orientations) and
+    * [[triangles]]' two-hop closure join; nodes with deg < 2 are
+    * excluded (coefficient undefined). Work is bounded by the
+    * triangle join's Σ deg² like [[triangles]] — the maxCell cap is
+    * the scale guard. Zero-triangle nodes keep coef 0 via the left
+    * join, NOT dropped — absence of closure is the signal. */
+  def clusteringCoef(ev: DataFrame, maxCell: Long = 64L): DataFrame = {
+    val e = coEdges(ev, maxCell).persist() // feeds degree AND closure
+    val deg = e.select(col("u1").as("user_id"))
+      .unionAll(e.select(col("u2").as("user_id")))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("deg"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.u2") === col("e2.u1"))
+      .join(e.as("e3"), col("e3.u1") === col("e1.u1") && col("e3.u2") === col("e2.u2"))
+      .select(explode(array(col("e1.u1"), col("e1.u2"), col("e2.u2"))).as("user_id"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_tri"))
+    val result = deg.join(tri, Seq("user_id"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .filter(col("deg") >= 2L)
+      .withColumn("coef", graft.functions.Portable.trunc4(
+        col("n_tri") * lit(2.0) / (col("deg") * (col("deg") - lit(1L)))))
+      .localCheckpoint(true) // one row per qualifying node
+    e.unpersist()
+    result
+  }
+
   /** Fraud rings: connected components over the co-occurrence
     * projection — who is transitively linked to whom through shared
     * (merchant, hour) activity. [[triangles]] scores LOCAL density
@@ -404,7 +438,8 @@ object Graph {
     "q_fraud_rings" -> ((s, d) => fraudRings(Tables.events(s, d))),
     "q_graph_lpa" -> ((s, d) => lpa(Tables.events(s, d))),
     "q_graph_kcore" -> ((s, d) => kcore(Tables.events(s, d))),
-    "q_graph_triangles" -> ((s, d) => triangles(Tables.events(s, d))))
+    "q_graph_triangles" -> ((s, d) => triangles(Tables.events(s, d))),
+    "q_graph_clustcoef" -> ((s, d) => clusteringCoef(Tables.events(s, d))))
 
   /** The symmetrized co-occurrence edge relation, as SQL (shared by the
     * lpa / kcore oracles; same projection the bfs / rings oracles
@@ -526,6 +561,24 @@ object Graph {
         "reach(node, root) AS (SELECT id, id FROM nodes " +
         "UNION SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.node) " +
         "SELECT node AS user_id, min(root) AS ring_id FROM reach GROUP BY node"),
+    "q_graph_clustcoef" ->
+      ("WITH um AS (SELECT DISTINCT user_id AS u, " +
+        "CAST(json_extract_string(props, '$.k') AS INT) AS m, " +
+        "date_trunc('hour', ts) AS h FROM events), " +
+        "cells AS (SELECT u, m, h FROM (SELECT u, m, h, " +
+        "count(*) OVER (PARTITION BY m, h) AS cell_n FROM um) t WHERE cell_n <= 64), " +
+        "e AS (SELECT DISTINCT a.u AS u1, b.u AS u2 FROM cells a " +
+        "JOIN cells b ON a.m = b.m AND a.h = b.h AND a.u < b.u), " +
+        "deg AS (SELECT user_id, count(*) AS deg FROM " +
+        "(SELECT u1 AS user_id FROM e UNION ALL SELECT u2 FROM e) x GROUP BY 1), " +
+        "tri AS (SELECT e1.u1 AS a, e1.u2 AS b, e2.u2 AS c FROM e e1 " +
+        "JOIN e e2 ON e1.u2 = e2.u1 " +
+        "JOIN e e3 ON e3.u1 = e1.u1 AND e3.u2 = e2.u2), " +
+        "tc AS (SELECT user_id, count(*) AS n_tri FROM (SELECT a AS user_id FROM tri " +
+        "UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) x GROUP BY 1) " +
+        "SELECT deg.user_id, deg.deg, coalesce(tc.n_tri, 0)::BIGINT AS n_tri, " +
+        "floor(coalesce(tc.n_tri, 0) * 2.0 / (deg.deg * (deg.deg - 1)) * 10000) / 10000 AS coef " +
+        "FROM deg LEFT JOIN tc ON deg.user_id = tc.user_id WHERE deg.deg >= 2"),
     "q_graph_triangles" ->
       ("WITH um AS (SELECT DISTINCT user_id AS u, " +
         "CAST(json_extract_string(props, '$.k') AS INT) AS m, " +

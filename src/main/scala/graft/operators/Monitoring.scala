@@ -1094,6 +1094,42 @@ object Monitoring {
       .withColumn("p", trunc4(col("n") / sum(col("n")).over(Window.partitionBy(col("prev")))))
   }
 
+  /** Rolling 7-day distinct active users per day (DAU / WAU /
+    * stickiness) — the product-analytics staple that CANNOT ride a
+    * running-window aggregate because `distinct` doesn't decompose
+    * over sliding frames.
+    *
+    * The relational form: collapse to the distinct (day, user) grid
+    * first (the fact table never leaves the first hash-agg), then
+    * explode each grid row into the `windowDays` target days it
+    * contributes to and re-aggregate with count(DISTINCT). Work is
+    * windowDays × |day, user| — grid-bounded, not fact-bounded — and
+    * both aggregates are hash-aggs with map-side partials; the
+    * trailing-day join keeps only days that exist in the corpus
+    * (phantom post-corpus days would report partial windows).
+    *
+    * At 100 TB the same shape holds: the (day, user) grid is the
+    * |users|-bounded relation a DAU pipeline materializes anyway, and
+    * count(DISTINCT user_id) plans as two-level hash aggregation, so
+    * no per-day sort or global window appears anywhere. */
+  def rollingDau(ev: DataFrame, windowDays: Int = 7): DataFrame = {
+    val du = ev.select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct().persist() // feeds the DAU agg, the spine, and the explode
+    val days = du.select(col("day")).distinct()
+    val wau = du
+      .select(explode(sequence(lit(0), lit(windowDays - 1))).as("off"),
+        col("day"), col("user_id"))
+      .select(expr("date_add(day, off)").as("day"), col("user_id"))
+      .join(days, "day")
+      .groupBy(col("day")).agg(countDistinct(col("user_id")).as("wau_7d"))
+    val result = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      .join(wau, "day")
+      .withColumn("stickiness", trunc4(col("dau") / col("wau_7d")))
+      .localCheckpoint(true) // one row per day; releases the grid cache
+    du.unpersist()
+    result
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1131,9 +1167,21 @@ object Monitoring {
     "q_flag_summary" -> ((s, d) => flagSummary(Tables.events(s, d))),
     "q_ohlc_bars" -> ((s, d) => ohlcBars(Tables.events(s, d))),
     "q_reconcile" -> ((s, d) => reconcile(Tables.orders(s, d), Tables.lineitem(s, d))),
-    "q_markov_transitions" -> ((s, d) => markovTransitions(Tables.events(s, d))))
+    "q_markov_transitions" -> ((s, d) => markovTransitions(Tables.events(s, d))),
+    "q_rolling_dau" -> ((s, d) => rollingDau(Tables.events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_rolling_dau" ->
+      ("WITH du AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events), " +
+        "days AS (SELECT DISTINCT day FROM du), " +
+        "c AS (SELECT (du.day + r.off::INTEGER)::DATE AS day, du.user_id " +
+        "FROM du CROSS JOIN range(0, 7) r(off)), " +
+        "wau AS (SELECT c.day, count(DISTINCT c.user_id) AS wau_7d " +
+        "FROM c JOIN days USING (day) GROUP BY 1), " +
+        "dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1) " +
+        "SELECT dau.day, dau.dau, wau.wau_7d, " +
+        "floor(dau.dau::DOUBLE / wau.wau_7d * 10000) / 10000 AS stickiness " +
+        "FROM dau JOIN wau USING (day)"),
     "q_ohlc_bars" ->
       ("WITH t AS (SELECT ts::DATE AS day, hour(ts)::BIGINT AS hh, " +
         "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +

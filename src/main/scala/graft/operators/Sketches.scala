@@ -204,6 +204,58 @@ object Sketches {
     cells
   }
 
+  /** Weekly distinct-user estimates built by MERGING daily HLL
+    * sketches — the property that makes sketches the 100 TB rollup
+    * primitive: registers are `max(rho)` cells, and max is
+    * commutative + idempotent, so a day's sketch computed ONCE can be
+    * re-merged into any coarser period (week, month, all-time)
+    * without touching the raw data again. This operator materializes
+    * the daily register relation and derives the weekly sketch from
+    * it (SketchSpec pins merged == direct-weekly register-for-
+    * register); a warehouse stores exactly that daily relation —
+    * ≤ m rows per day — instead of re-scanning the fact table per
+    * rollup window.
+    *
+    * Same integer disciplines as [[hllDistinct]] (exact 2^(53−M)
+    * harmonic sums, linear-counting branch on derived doubles); the
+    * exact count exists for the error column and would be skipped at
+    * scale. Weeks are epoch-day div 7 — calendar-free and
+    * engine-portable. */
+  def hllDailyRollup(ev: DataFrame, m: Int = 256): DataFrame = {
+    val daily = ev.select(expr("ts_ms div 86400000").as("day_idx"),
+        hash60(col("user_id").cast("string")).as("h"))
+      .withColumn("week", expr("day_idx div 7"))
+      .withColumn("reg", pmod(col("h"), lit(m.toLong)))
+      .withColumn("rest", expr(s"h div $m"))
+      .withColumn("rho", when(col("rest") === 0L, lit(53L))
+        .otherwise(length(bin(expr("rest & -rest"))).cast("long")))
+      .groupBy(col("week"), col("day_idx"), col("reg")).agg(max(col("rho")).as("mx"))
+      .persist() // feeds the weekly merge AND the day count
+    val weekly = daily.groupBy(col("week"), col("reg")).agg(max(col("mx")).as("mx"))
+    val sk = weekly.groupBy(col("week")).agg(
+      sum(expr("shiftleft(1L, cast(53 - mx as int))")).as("s_hit"),
+      count(lit(1)).as("n_hit"))
+    val nDays = daily.select(col("week"), col("day_idx")).distinct()
+      .groupBy(col("week")).agg(count(lit(1)).as("n_days"))
+    val exact = ev.groupBy(expr("(ts_ms div 86400000) div 7").as("week"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    val alphaM2: Double = hllAlphaM2(m)
+    val result = sk
+      .withColumn("v_empty", lit(m.toLong) - col("n_hit"))
+      .withColumn("est_raw",
+        lit(alphaM2) / expr("cast(s_hit + v_empty * shiftleft(1L, 53) as double)"))
+      .withColumn("est", trunc4(
+        when(col("est_raw") <= lit(2.5 * m) && col("v_empty") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty")))
+          .otherwise(col("est_raw"))))
+      .join(nDays, Seq("week")).join(exact, Seq("week"))
+      .select(col("week"), col("n_days"), col("n_exact"), col("v_empty"),
+        col("est"), trunc4(abs(col("est") - col("n_exact")) / col("n_exact")).as("rel_err"))
+      .localCheckpoint(true) // one row per week; releases the daily cache
+    daily.unpersist()
+    result
+  }
+
   /** KMV (k-minimum-values / bottom-k) distinct estimator — the OTHER
     * classic cardinality sketch next to [[hllDistinct]]: with hashes
     * uniform on [0, 2^60), E[kth smallest] ≈ k/n · 2^60, so
@@ -295,6 +347,7 @@ object Sketches {
     "q_approx_quantile" -> ((s, d) => approxQuantiles(Tables.orders(s, d))),
     "q_hll_distinct" -> ((s, d) => hllDistinct(Tables.events(s, d))),
     "q_bloom_audit" -> ((s, d) => bloomAudit(Tables.events(s, d))),
+    "q_hll_weekly" -> ((s, d) => hllDailyRollup(Tables.events(s, d))),
     "q_kmv_distinct" -> ((s, d) => kmvDistinct(Tables.events(s, d))),
     "q_kmv_intersect" -> ((s, d) => kmvIntersect(Tables.events(s, d))),
     "q_cms_heavy_hitters" -> ((s, d) => cmsHeavyHitters(Tables.events(s, d))))
@@ -361,6 +414,31 @@ object Sketches {
         s"floor(${(64 - 1).toDouble * (1L << 60).toDouble}::DOUBLE / h * 10000) / 10000 AS est, " +
         s"floor(abs(${(64 - 1).toDouble * (1L << 60).toDouble}::DOUBLE / h - n_exact) / n_exact * 10000) / 10000 AS rel_err " +
         "FROM g CROSS JOIN ex WHERE r = 64"),
+    "q_hll_weekly" ->
+      ("WITH t AS (SELECT (epoch_ms(ts) // 86400000) AS day_idx, " +
+        "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h, " +
+        "user_id FROM events), " +
+        "r AS (SELECT day_idx // 7 AS week, day_idx, h % 256 AS reg, " +
+        "h // 256 AS rest FROM t), " +
+        "rh AS (SELECT week, day_idx, reg, CASE WHEN rest = 0 THEN 53 " +
+        "ELSE length(bin(rest & -rest)) END AS rho FROM r), " +
+        "daily AS (SELECT week, day_idx, reg, max(rho) AS mx FROM rh GROUP BY 1, 2, 3), " +
+        "weekly AS (SELECT week, reg, max(mx) AS mx FROM daily GROUP BY 1, 2), " +
+        "sk AS (SELECT week, sum(1::BIGINT << (53 - mx))::BIGINT AS s_hit, " +
+        "count(*) AS n_hit FROM weekly GROUP BY 1), " +
+        "nd AS (SELECT week, count(DISTINCT day_idx) AS n_days FROM daily GROUP BY 1), " +
+        "ex AS (SELECT day_idx // 7 AS week, count(DISTINCT user_id) AS n_exact " +
+        "FROM t GROUP BY 1), " +
+        "e AS (SELECT week, 256 - n_hit AS v_empty, " +
+        s"${hllAlphaM2(256)}::DOUBLE / CAST(s_hit + (256 - n_hit) * (1::BIGINT << 53) AS DOUBLE) AS est_raw " +
+        "FROM sk), " +
+        "est AS (SELECT week, v_empty, " +
+        "floor((CASE WHEN est_raw <= 640.0 AND v_empty > 0 " +
+        "THEN 256.0::DOUBLE * ln(256.0::DOUBLE / v_empty) ELSE est_raw END) * 10000) / 10000 AS est " +
+        "FROM e) " +
+        "SELECT est.week, nd.n_days, ex.n_exact, est.v_empty, est.est, " +
+        "floor(abs(est.est - ex.n_exact) / ex.n_exact * 10000) / 10000 AS rel_err " +
+        "FROM est JOIN nd USING (week) JOIN ex USING (week)"),
     "q_hll_distinct" ->
       ("WITH src AS (" +
         "SELECT 'event_id' AS metric, CAST(event_id AS VARCHAR) AS v FROM events " +

@@ -677,6 +677,34 @@ class MonitoringSpec extends SparkSpec {
     sums.foreach(x => assert(math.abs(x.getAs[Double]("sp") - 1.0) < 0.001))
   }
 
+  test("rollingDau: window unions the trailing days and stops at the corpus edge") {
+    import spark.implicits._
+    // day 1: users {1,2}; day 5: users {2,3}; day 20: user {9}.
+    // wau(day5) = |{1,2,3}| (day1 within 7); wau(day20) = 1 (gap > 7)
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00"), (2L, 2L, "2024-01-01 11:00:00"),
+      (3L, 2L, "2024-01-05 10:00:00"), (4L, 3L, "2024-01-05 11:00:00"),
+      (5L, 9L, "2024-01-20 10:00:00"))
+      .toDF("event_id", "user_id", "s")
+      .withColumn("ts", col("s").cast("timestamp"))
+    val r = Monitoring.rollingDau(ev).collect()
+      .map(x => x.getAs[java.sql.Date]("day").toString ->
+        (x.getAs[Long]("dau"), x.getAs[Long]("wau_7d"))).toMap
+    assert(r === Map(
+      "2024-01-01" -> ((2L, 2L)),
+      "2024-01-05" -> ((2L, 3L)),
+      "2024-01-20" -> ((1L, 1L))))
+    // real data: dau <= wau <= total users, stickiness in (0, 1]
+    val corpus = Monitoring.rollingDau(events).collect()
+    val users = events.select("user_id").distinct().count()
+    corpus.foreach { x =>
+      assert(x.getAs[Long]("dau") <= x.getAs[Long]("wau_7d"))
+      assert(x.getAs[Long]("wau_7d") <= users)
+      val s = x.getAs[Double]("stickiness")
+      assert(s > 0.0 && s <= 1.0)
+    }
+  }
+
   test("acfDaily: all lags present, coefficients bounded, pair counts consistent") {
     val r = Monitoring.acfDaily(Tables.events(spark, sf)).collect()
     assert(r.map(_.getAs[Long]("lag")).sorted.toSeq === (1L to 7L))

@@ -875,6 +875,36 @@ class OperatorsSpec extends SparkSpec {
     assert(operators.Graph.triangles(ev, maxCell = 2L).isEmpty)
   }
 
+  test("Graph.clusteringCoef: closed neighborhoods score 1, open ones 0, deg<2 excluded") {
+    import spark.implicits._
+    // triangle 1-2-3 (one clique cell) -> coef 1 each; user 4 bridges
+    // to 1 only (deg 1, excluded); user 5 links to 1 and 4 through two
+    // separate cells whose partners never co-occur -> coef 0
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:05:00", """{"k": 5}"""),
+      (2L, 2L, "2024-01-01 10:15:00", """{"k": 5}"""),
+      (3L, 3L, "2024-01-01 10:55:00", """{"k": 5}"""),
+      (4L, 5L, "2024-01-02 09:00:00", """{"k": 6}"""),
+      (5L, 1L, "2024-01-02 09:30:00", """{"k": 6}"""),
+      (6L, 5L, "2024-01-03 08:00:00", """{"k": 7}"""),
+      (7L, 4L, "2024-01-03 08:30:00", """{"k": 7}"""))
+      .toDF("event_id", "user_id", "ts_str", "props")
+      .withColumn("ts", to_timestamp(col("ts_str")))
+      .withColumn("value", lit(1.0))
+    val r = operators.Graph.clusteringCoef(ev).collect()
+      .map(x => x.getAs[Long]("user_id") -> x.getAs[Double]("coef")).toMap
+    // user 4 has deg 1 -> absent; 2 and 3 have deg 2 (triangle) -> 1.0
+    assert(r === Map(1L -> 0.3333, 2L -> 1.0, 3L -> 1.0, 5L -> 0.0))
+    // real data: coefficient bounded, degrees >= 2
+    val corpus = operators.Graph.clusteringCoef(Tables.events(spark, sf)).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach { x =>
+      assert(x.getAs[Long]("deg") >= 2L)
+      val c = x.getAs[Double]("coef")
+      assert(c >= 0.0 && c <= 1.0 + 1e-9)
+    }
+  }
+
   test("Graph.bfs: chain graph — exact hops from the min-id source, hop bound respected") {
     import spark.implicits._
     // path 1—2—3—4—5—6, one 2-user (merchant, hour) cell per edge; the
@@ -970,6 +1000,39 @@ class OperatorsSpec extends SparkSpec {
       val u = x.getAs[Double]("uniq_ratio")
       assert(u >= 0.0 && u <= 1.0)
     }
+  }
+
+  test("Sketches.hllDailyRollup: daily-merged registers equal the direct weekly sketch") {
+    import graft.functions.TextHash.hash60
+    val ev = Tables.events(spark, sf)
+    val r = Sketches.hllDailyRollup(ev).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getAs[Long]("n_days") >= 1L && x.getAs[Long]("n_days") <= 7L)
+      // m=256 keeps the sketch within ~10% at these cardinalities;
+      // generous bound so host-independent
+      assert(x.getAs[Double]("rel_err") < 0.25)
+    }
+    // MERGEABILITY: weekly registers via the daily rollup equal the
+    // registers computed directly per week — max is associative, so
+    // the two-level merge must be lossless register-for-register
+    val direct = ev.select(expr("(ts_ms div 86400000) div 7").as("week"),
+        hash60(col("user_id").cast("string")).as("h"))
+      .withColumn("reg", pmod(col("h"), lit(256L)))
+      .withColumn("rest", expr("h div 256"))
+      .withColumn("rho", when(col("rest") === 0L, lit(53L))
+        .otherwise(length(bin(expr("rest & -rest"))).cast("long")))
+      .groupBy(col("week"), col("reg")).agg(max(col("rho")).as("mx"))
+    val daily = ev.select(expr("ts_ms div 86400000").as("day_idx"),
+        hash60(col("user_id").cast("string")).as("h"))
+      .withColumn("week", expr("day_idx div 7"))
+      .withColumn("reg", pmod(col("h"), lit(256L)))
+      .withColumn("rest", expr("h div 256"))
+      .withColumn("rho", when(col("rest") === 0L, lit(53L))
+        .otherwise(length(bin(expr("rest & -rest"))).cast("long")))
+      .groupBy(col("week"), col("day_idx"), col("reg")).agg(max(col("rho")).as("mx"))
+      .groupBy(col("week"), col("reg")).agg(max(col("mx")).as("mx"))
+    assert(direct.exceptAll(daily).count() === 0 && daily.exceptAll(direct).count() === 0)
   }
 
   test("Sketches.hllDistinct: estimates track exact counts; partition invariant") {
