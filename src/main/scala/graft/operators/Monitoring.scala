@@ -1130,6 +1130,85 @@ object Monitoring {
     result
   }
 
+  /** Sequential-pattern support: which ordered event-type pairs a→b
+    * (b within 24 h AFTER a) do users exhibit, with support (share of
+    * all users) and confidence (share of users who do `a` at all) —
+    * the sequence-mining sibling of [[markovTransitions]] (which sees
+    * only IMMEDIATELY-consecutive pairs) and of basket lift (which
+    * ignores order).
+    *
+    * The existence test never joins raw event pairs (per-user
+    * quadratic): events collapse to a (user, type, day) grid carrying
+    * min/max event time, and "∃ a-then-b within 24 h" reduces to two
+    * grid checks — same day: latest b after earliest a (same calendar
+    * day ⇒ gap < 24 h); adjacent day: earliest next-day b within 24 h
+    * of latest a (b > a across the boundary by construction; if THIS
+    * pair exceeds 24 h, every other cross-boundary pair does too).
+    * Both are equi-joins on (user, day) with integer-ms predicates —
+    * grid-bounded, engine-exact, no windows anywhere. */
+  def seqPairs(ev: DataFrame): DataFrame = {
+    val g = ev.select(col("user_id"), col("event_type").as("t"),
+        expr("ts_ms div 86400000").as("d"), col("ts_ms"))
+      .groupBy(col("user_id"), col("t"), col("d"))
+      .agg(min(col("ts_ms")).as("mn"), max(col("ts_ms")).as("mx"))
+      .persist() // feeds both orientation arms of both joins
+    val same = g.as("a").join(g.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.d") === col("b.d") &&
+          col("a.t") =!= col("b.t") && col("b.mx") > col("a.mn"))
+      .select(col("a.user_id").as("user_id"), col("a.t").as("ta"), col("b.t").as("tb"))
+    val adj = g.as("a").join(g.as("b"),
+        col("a.user_id") === col("b.user_id") && col("b.d") === col("a.d") + 1L &&
+          col("a.t") =!= col("b.t") && col("b.mn") - col("a.mx") <= 86400000L)
+      .select(col("a.user_id").as("user_id"), col("a.t").as("ta"), col("b.t").as("tb"))
+    val userPairs = same.unionAll(adj).distinct()
+    val aUsers = g.select(col("t").as("ta"), col("user_id")).distinct()
+      .groupBy(col("ta")).agg(count(lit(1)).as("n_a_users"))
+    val total = ev.agg(countDistinct(col("user_id")).as("n_total"))
+    val result = userPairs.groupBy(col("ta"), col("tb")).agg(count(lit(1)).as("n_users"))
+      .join(aUsers, "ta")
+      .crossJoin(broadcast(total))
+      .select(col("ta"), col("tb"), col("n_users"), col("n_a_users"),
+        trunc4(col("n_users") / col("n_total")).as("support"),
+        trunc4(col("n_users") / col("n_a_users")).as("confidence"))
+      .localCheckpoint(true) // ≤ |types|² rows; releases the grid cache
+    g.unpersist()
+    result
+  }
+
+  /** Cohort LTV curve: cumulative spend per user by cohort age — the
+    * money sibling of [[cohortRetention]]. Users are cohorted by the
+    * epoch-week of their first event; each cohort's weekly cents then
+    * accumulate over age and normalize by cohort size.
+    *
+    * Shape: one per-user first-touch aggregate, one fact⋈per-user
+    * equi-join on user_id (the per-user relation grows with users —
+    * never broadcast, the tfidf lesson), one (cohort, week) hash-agg,
+    * and a running-sum window PARTITIONED BY COHORT over its ≤
+    * corpus-weeks age rows — the allowlisted bounded-relation window
+    * shape, nothing global. Epoch-week buckets (day div 7) keep the
+    * cohort key calendar-free and engine-portable. */
+  def cohortLtv(ev: DataFrame): DataFrame = {
+    val first = ev.groupBy(col("user_id"))
+      .agg(expr("min(ts_ms div 86400000) div 7").as("cohort_week"))
+      .persist() // feeds the fact join AND the cohort-size aggregate
+    val size = first.groupBy(col("cohort_week")).agg(count(lit(1)).as("n_users"))
+    val weekly = ev.select(col("user_id"), expr("(ts_ms div 86400000) div 7").as("week"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .join(first, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("age_week"))
+      .agg(sum(col("cents")).as("cents_week"))
+    val byAge = Window.partitionBy(col("cohort_week")).orderBy(col("age_week"))
+    val result = weekly
+      .withColumn("cum_cents", sum(col("cents_week")).over(byAge))
+      .join(size, "cohort_week")
+      .select(col("cohort_week"), col("age_week"), col("n_users"),
+        col("cents_week"), col("cum_cents"),
+        trunc4(col("cum_cents") / col("n_users")).as("ltv_cents"))
+      .localCheckpoint(true) // cohorts × ages rows; releases the cache
+    first.unpersist()
+    result
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1168,9 +1247,42 @@ object Monitoring {
     "q_ohlc_bars" -> ((s, d) => ohlcBars(Tables.events(s, d))),
     "q_reconcile" -> ((s, d) => reconcile(Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_markov_transitions" -> ((s, d) => markovTransitions(Tables.events(s, d))),
-    "q_rolling_dau" -> ((s, d) => rollingDau(Tables.events(s, d))))
+    "q_rolling_dau" -> ((s, d) => rollingDau(Tables.events(s, d))),
+    "q_seq_pairs" -> ((s, d) => seqPairs(Tables.events(s, d))),
+    "q_cohort_ltv" -> ((s, d) => cohortLtv(Tables.events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_seq_pairs" ->
+      ("WITH g AS (SELECT user_id, event_type AS t, epoch_ms(ts) // 86400000 AS d, " +
+        "min(epoch_ms(ts)) AS mn, max(epoch_ms(ts)) AS mx FROM events GROUP BY 1, 2, 3), " +
+        "same AS (SELECT a.user_id, a.t AS ta, b.t AS tb FROM g a JOIN g b " +
+        "ON a.user_id = b.user_id AND a.d = b.d AND a.t <> b.t AND b.mx > a.mn), " +
+        "adj AS (SELECT a.user_id, a.t AS ta, b.t AS tb FROM g a JOIN g b " +
+        "ON a.user_id = b.user_id AND b.d = a.d + 1 AND a.t <> b.t " +
+        "AND b.mn - a.mx <= 86400000), " +
+        "up AS (SELECT DISTINCT user_id, ta, tb FROM " +
+        "(SELECT * FROM same UNION ALL SELECT * FROM adj) x), " +
+        "au AS (SELECT t AS ta, count(DISTINCT user_id) AS n_a_users FROM g GROUP BY 1), " +
+        "tot AS (SELECT count(DISTINCT user_id) AS n_total FROM events), " +
+        "c AS (SELECT ta, tb, count(*) AS n_users FROM up GROUP BY 1, 2) " +
+        "SELECT c.ta, c.tb, c.n_users, au.n_a_users, " +
+        "floor(c.n_users::DOUBLE / tot.n_total * 10000) / 10000 AS support, " +
+        "floor(c.n_users::DOUBLE / au.n_a_users * 10000) / 10000 AS confidence " +
+        "FROM c JOIN au USING (ta) CROSS JOIN tot"),
+    "q_cohort_ltv" ->
+      ("WITH f AS (SELECT user_id, min(epoch_ms(ts) // 86400000) // 7 AS cohort_week " +
+        "FROM events GROUP BY 1), " +
+        "sz AS (SELECT cohort_week, count(*) AS n_users FROM f GROUP BY 1), " +
+        "w AS (SELECT f.cohort_week, " +
+        "(epoch_ms(e.ts) // 86400000) // 7 - f.cohort_week AS age_week, " +
+        "sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT))::BIGINT AS cents_week " +
+        "FROM events e JOIN f ON e.user_id = f.user_id GROUP BY 1, 2), " +
+        "cw AS (SELECT cohort_week, age_week, cents_week, " +
+        "sum(cents_week) OVER (PARTITION BY cohort_week ORDER BY age_week)::BIGINT AS cum_cents " +
+        "FROM w) " +
+        "SELECT cw.cohort_week, cw.age_week, sz.n_users, cw.cents_week, cw.cum_cents, " +
+        "floor(cw.cum_cents::DOUBLE / sz.n_users * 10000) / 10000 AS ltv_cents " +
+        "FROM cw JOIN sz USING (cohort_week)"),
     "q_rolling_dau" ->
       ("WITH du AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events), " +
         "days AS (SELECT DISTINCT day FROM du), " +

@@ -256,6 +256,50 @@ object Sketches {
     result
   }
 
+  /** Mergeable equi-width histogram quantile sketch + its error audit
+    * — the bin-count quantile estimator a warehouse keeps NEXT TO the
+    * data (bin counts are plain sums, so per-partition/per-day
+    * histograms merge by addition — the same re-rollup property as
+    * [[hllDailyRollup]]'s registers), with the estimate checked
+    * against the exact empirical quantile at the same rank.
+    *
+    * Rank selection is pure integers (r = ⌈n·p/100⌉ by integer
+    * arithmetic, bin pick = min bin with cum ≥ r), so bucket
+    * membership is engine-exact; only the within-bin linear
+    * interpolation divides doubles, identically on both sides. The
+    * two cumulative windows run over the BIN relations (≤ range/width
+    * and ≤ distinct-cents rows — collapsed aggregates, never the
+    * fact); at 100 TB only the coarse-bin path would run, which is
+    * one map-side-combinable hash-agg. */
+  def quantileSketch(ev: DataFrame, binCents: Long = 1000L,
+      pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val cents = ev.select(floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .persist() // feeds the sketch bins AND the exact bins
+    val cum = cents.groupBy(expr(s"cents div $binCents").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("b"))))
+    val ecum = cents.groupBy(col("cents")).agg(count(lit(1)).as("ec"))
+      .withColumn("ecum", sum(col("ec")).over(Window.orderBy(col("cents"))))
+    val pRel = cents.agg(count(lit(1)).as("n"))
+      .select(col("n"), explode(array(pcts.map(lit): _*)).as("p"))
+      .withColumn("r", expr("(n * p + 99) div 100"))
+    val pick = cum.crossJoin(broadcast(pRel)).filter(col("cum") >= col("r"))
+      .groupBy(col("p"), col("n"), col("r")).agg(min(col("b")).as("b"))
+      .join(cum, "b")
+    val exact = ecum.crossJoin(broadcast(pRel.select(col("p"), col("r").as("er"))))
+      .filter(col("ecum") >= col("er"))
+      .groupBy(col("p")).agg(min(col("cents")).as("exact_cents"))
+    val result = pick
+      .withColumn("est_cents", trunc4(col("b") * lit(binCents) +
+        (col("r") - (col("cum") - col("c"))) * lit(binCents) / col("c")))
+      .join(exact, "p")
+      .select(col("p"), col("n"), col("r"), col("exact_cents"), col("est_cents"),
+        trunc4(abs(col("est_cents") - col("exact_cents"))).as("abs_err"))
+      .localCheckpoint(true) // |pcts| rows; releases the cents cache
+    cents.unpersist()
+    result
+  }
+
   /** KMV (k-minimum-values / bottom-k) distinct estimator — the OTHER
     * classic cardinality sketch next to [[hllDistinct]]: with hashes
     * uniform on [0, 2^60), E[kth smallest] ≈ k/n · 2^60, so
@@ -348,6 +392,7 @@ object Sketches {
     "q_hll_distinct" -> ((s, d) => hllDistinct(Tables.events(s, d))),
     "q_bloom_audit" -> ((s, d) => bloomAudit(Tables.events(s, d))),
     "q_hll_weekly" -> ((s, d) => hllDailyRollup(Tables.events(s, d))),
+    "q_quantile_sketch" -> ((s, d) => quantileSketch(Tables.events(s, d))),
     "q_kmv_distinct" -> ((s, d) => kmvDistinct(Tables.events(s, d))),
     "q_kmv_intersect" -> ((s, d) => kmvIntersect(Tables.events(s, d))),
     "q_cms_heavy_hitters" -> ((s, d) => cmsHeavyHitters(Tables.events(s, d))))
@@ -414,6 +459,27 @@ object Sketches {
         s"floor(${(64 - 1).toDouble * (1L << 60).toDouble}::DOUBLE / h * 10000) / 10000 AS est, " +
         s"floor(abs(${(64 - 1).toDouble * (1L << 60).toDouble}::DOUBLE / h - n_exact) / n_exact * 10000) / 10000 AS rel_err " +
         "FROM g CROSS JOIN ex WHERE r = 64"),
+    "q_quantile_sketch" ->
+      ("WITH cents AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents " +
+        "FROM events), " +
+        "nn AS (SELECT count(*) AS n FROM cents), " +
+        "pr AS (SELECT nn.n, r.p, (nn.n * r.p + 99) // 100 AS r " +
+        "FROM nn CROSS JOIN (SELECT unnest([50, 90, 99]) AS p) r), " +
+        "cum AS (SELECT b, c, sum(c) OVER (ORDER BY b)::BIGINT AS cum FROM " +
+        "(SELECT cents // 1000 AS b, count(*) AS c FROM cents GROUP BY 1) x), " +
+        "pick0 AS (SELECT pr.p, pr.n, pr.r, min(cum.b) AS b FROM cum " +
+        "JOIN pr ON cum.cum >= pr.r GROUP BY 1, 2, 3), " +
+        "pick AS (SELECT pick0.p, pick0.n, pick0.r, pick0.b, cum.c, cum.cum " +
+        "FROM pick0 JOIN cum USING (b)), " +
+        "ecum AS (SELECT cents, sum(ec) OVER (ORDER BY cents)::BIGINT AS ecum FROM " +
+        "(SELECT cents, count(*) AS ec FROM cents GROUP BY 1) x), " +
+        "ex AS (SELECT pr.p, min(ecum.cents) AS exact_cents FROM ecum " +
+        "JOIN pr ON ecum.ecum >= pr.r GROUP BY 1), " +
+        "est AS (SELECT p, n, r, floor((b * 1000 + " +
+        "(r - (cum - c)) * 1000 / c) * 10000) / 10000 AS est_cents FROM pick) " +
+        "SELECT est.p, est.n, est.r, ex.exact_cents, est.est_cents, " +
+        "floor(abs(est.est_cents - ex.exact_cents) * 10000) / 10000 AS abs_err " +
+        "FROM est JOIN ex USING (p)"),
     "q_hll_weekly" ->
       ("WITH t AS (SELECT (epoch_ms(ts) // 86400000) AS day_idx, " +
         "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h, " +

@@ -705,6 +705,50 @@ class MonitoringSpec extends SparkSpec {
     }
   }
 
+  test("seqPairs: order and the 24h bound decide membership; confidence normalizes by a-users") {
+    import spark.implicits._
+    // u1: view 10:00 -> purchase 11:00 (same day, in order) => view->purchase
+    //     purchase NEVER before view => no purchase->view for u1
+    // u2: view day1 23:00 -> purchase day2 22:00 (adjacent day, 23h) => counts
+    // u3: view day1 10:00 -> purchase day3 (gap 2 days) => excluded
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "view"),
+      (2L, 1L, "2024-01-01 11:00:00", "purchase"),
+      (3L, 2L, "2024-01-01 23:00:00", "view"),
+      (4L, 2L, "2024-01-02 22:00:00", "purchase"),
+      (5L, 3L, "2024-01-01 10:00:00", "view"),
+      (6L, 3L, "2024-01-03 10:00:00", "purchase"))
+      .toDF("event_id", "user_id", "s", "event_type")
+      .withColumn("ts", col("s").cast("timestamp"))
+      .withColumn("ts_ms", expr("unix_micros(ts) div 1000"))
+    val r = Monitoring.seqPairs(ev).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> x.getAs[Long]("n_users")).toMap
+    assert(r === Map(("view", "purchase") -> 2L))
+    // confidence: 2 of 3 view-users convert
+    val row = Monitoring.seqPairs(ev).collect().head
+    assert(row.getAs[Long]("n_a_users") === 3L)
+    assert(math.abs(row.getAs[Double]("confidence") - 0.6666) < 1e-9)
+  }
+
+  test("cohortLtv: cumulative cents are monotone per cohort and reconcile with total spend") {
+    val r = Monitoring.cohortLtv(events).collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[Long]("cohort_week")).values.foreach { rows =>
+      val byAge = rows.sortBy(_.getAs[Long]("age_week"))
+      // cumulative = running sum of weekly
+      var acc = 0L
+      byAge.foreach { x =>
+        acc += x.getAs[Long]("cents_week")
+        assert(x.getAs[Long]("cum_cents") === acc)
+      }
+    }
+    // final cumulative across cohorts = corpus total cents
+    val lastPerCohort = r.groupBy(_.getAs[Long]("cohort_week")).values
+      .map(_.maxBy(_.getAs[Long]("age_week")).getAs[Long]("cum_cents")).sum
+    val total = events.agg(sum(floor(col("value") * 100 + 0.5).cast("long"))).head.getLong(0)
+    assert(lastPerCohort === total)
+  }
+
   test("acfDaily: all lags present, coefficients bounded, pair counts consistent") {
     val r = Monitoring.acfDaily(Tables.events(spark, sf)).collect()
     assert(r.map(_.getAs[Long]("lag")).sorted.toSeq === (1L to 7L))

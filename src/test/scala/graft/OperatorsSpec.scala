@@ -1002,6 +1002,21 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Sketches.quantileSketch: estimate brackets the exact quantile within one bin width") {
+    val r = Sketches.quantileSketch(Tables.events(spark, sf)).collect()
+    assert(r.map(_.getAs[Int]("p")).sorted.toSeq === Seq(50, 90, 99))
+    r.foreach { x =>
+      val est = x.getAs[Double]("est_cents")
+      val exact = x.getAs[Long]("exact_cents")
+      // exact value lives in the picked bin; interpolation stays inside it
+      assert(math.abs(est - exact) <= 1000.0,
+        s"p=${x.getAs[Int]("p")}: est $est vs exact $exact")
+      // rank math: r = ceil(n*p/100)
+      assert(x.getAs[Long]("r") ===
+        (x.getAs[Long]("n") * x.getAs[Int]("p") + 99) / 100)
+    }
+  }
+
   test("Sketches.hllDailyRollup: daily-merged registers equal the direct weekly sketch") {
     import graft.functions.TextHash.hash60
     val ev = Tables.events(spark, sf)
