@@ -353,8 +353,10 @@ object Graph {
     * cover the window's, so AQE inserts one node-keyed exchange of the
     * collapsed (node, label, cnt) relation, never of raw edges. Each
     * round is checkpointed: flat plans, O(rounds · |E|) total work. */
-  def lpa(ev: DataFrame, rounds: Int = 3, maxCell: Long = 64L): DataFrame = {
-    val e0 = coEdges(ev, maxCell)
+  /** The LPA vote loop over a canonical (u1 < u2) edge relation →
+    * (node, lbl). Shared by [[lpa]] and [[modularity]] so the
+    * community assignment is ONE implementation. */
+  private def lpaLabels(e0: DataFrame, rounds: Int): DataFrame = {
     val edges = e0.select(col("u1").as("s"), col("u2").as("d"))
       .unionByName(e0.select(col("u2").as("s"), col("u1").as("d")))
       .localCheckpoint(true) // consumed once per round; cuts loop lineage
@@ -370,10 +372,57 @@ object Graph {
         .select(col("s").as("node"), col("lbl"))
         .localCheckpoint(true)
     }
-    lbl.withColumn("community_size",
+    lbl
+  }
+
+  def lpa(ev: DataFrame, rounds: Int = 3, maxCell: Long = 64L): DataFrame =
+    lpaLabels(coEdges(ev, maxCell), rounds)
+      .withColumn("community_size",
         count(lit(1)).over(Window.partitionBy(col("lbl"))))
       .select(col("node").as("user_id"), col("lbl").as("community"),
         col("community_size"))
+
+  /** Newman modularity of the [[lpa]] communities — the quality score
+    * that says whether the partition beats random chance: per
+    * community, Q_c = e_in/m − (Σdeg / 2m)², summed over communities
+    * by the reader. Reported per community (contribution, size,
+    * internal edges, degree mass) so a monitoring pipeline can rank
+    * WHICH community is cohesive, not just whether the whole
+    * clustering is.
+    *
+    * Everything until the final two divisions is exact integers
+    * (edge/degree counts from hash-aggs on the canonical u1<u2 edge
+    * relation — each undirected edge counted once for m and e_in,
+    * twice for degree mass); the Q math then runs the same IEEE
+    * division/multiply sequence in both engines and is trunc6'd. The
+    * edge relation persists across its three consumers (m, e_in,
+    * degrees); labels come from [[lpaLabels]] — checkpointed per
+    * round, O(rounds·|E|) like lpa itself. */
+  def modularity(ev: DataFrame, rounds: Int = 3, maxCell: Long = 64L): DataFrame = {
+    val e0 = coEdges(ev, maxCell).persist()
+    val l = lpaLabels(e0, rounds) // eager (localCheckpoint) — small
+    val mAgg = e0.agg(count(lit(1)).as("mm"))
+    val ein = e0
+      .join(l.select(col("node").as("u1"), col("lbl").as("la")), "u1")
+      .join(l.select(col("node").as("u2"), col("lbl").as("lb")), "u2")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community")).agg(count(lit(1)).as("e_in"))
+    val degc = e0.select(col("u1").as("node")).unionAll(e0.select(col("u2").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .join(l, "node")
+      .groupBy(col("lbl").as("community"))
+      .agg(sum(col("deg")).as("deg_sum"), count(lit(1)).as("n_nodes"))
+    val result = degc.join(ein, Seq("community"), "left")
+      .withColumn("e_in", coalesce(col("e_in"), lit(0L)))
+      .crossJoin(broadcast(mAgg))
+      .select(col("community"), col("n_nodes"), col("e_in"), col("deg_sum"),
+        graft.functions.Portable.trunc6(
+          col("e_in") / col("mm") -
+            (col("deg_sum") / (col("mm") * 2L)) * (col("deg_sum") / (col("mm") * 2L)))
+          .as("q_contrib"))
+      .localCheckpoint(true) // one row per community; releases the edges
+    e0.unpersist()
+    result
   }
 
   /** k-core of the co-occurrence projection: the maximal subgraph in
@@ -439,7 +488,8 @@ object Graph {
     "q_graph_lpa" -> ((s, d) => lpa(Tables.events(s, d))),
     "q_graph_kcore" -> ((s, d) => kcore(Tables.events(s, d))),
     "q_graph_triangles" -> ((s, d) => triangles(Tables.events(s, d))),
-    "q_graph_clustcoef" -> ((s, d) => clusteringCoef(Tables.events(s, d))))
+    "q_graph_clustcoef" -> ((s, d) => clusteringCoef(Tables.events(s, d))),
+    "q_graph_modularity" -> ((s, d) => modularity(Tables.events(s, d))))
 
   /** The symmetrized co-occurrence edge relation, as SQL (shared by the
     * lpa / kcore oracles; same projection the bfs / rings oracles
@@ -490,6 +540,22 @@ object Graph {
       s"FROM nodes n CROSS JOIN nc nn LEFT JOIN contrib$i c ON c.dst = n.node)"
 
   val oracleSql: Map[String, String] = Map(
+    "q_graph_modularity" ->
+      (s"WITH $coEdgeCte, " +
+        "l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM edges), " +
+        (1 to 3).map(lpaIterSql).mkString(", ") + ", " +
+        "mm AS (SELECT count(*) AS mm FROM ep), " +
+        "ein AS (SELECT la.lbl AS community, count(*) AS e_in FROM ep " +
+        "JOIN l3 la ON la.node = ep.u1 JOIN l3 lb ON lb.node = ep.u2 " +
+        "WHERE la.lbl = lb.lbl GROUP BY 1), " +
+        "deg AS (SELECT node, count(*) AS deg FROM (SELECT u1 AS node FROM ep " +
+        "UNION ALL SELECT u2 FROM ep) x GROUP BY 1), " +
+        "degc AS (SELECT l3.lbl AS community, sum(deg.deg)::BIGINT AS deg_sum, " +
+        "count(*) AS n_nodes FROM deg JOIN l3 ON l3.node = deg.node GROUP BY 1) " +
+        "SELECT degc.community, degc.n_nodes, coalesce(ein.e_in, 0)::BIGINT AS e_in, " +
+        "degc.deg_sum, floor((coalesce(ein.e_in, 0) / mm.mm - " +
+        "(degc.deg_sum / (mm.mm * 2)) * (degc.deg_sum / (mm.mm * 2))) * 1000000) / 1000000 " +
+        "AS q_contrib FROM degc LEFT JOIN ein USING (community) CROSS JOIN mm"),
     "q_graph_lpa" ->
       (s"WITH $coEdgeCte, " +
         "l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM edges), " +

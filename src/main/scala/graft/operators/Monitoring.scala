@@ -1209,6 +1209,68 @@ object Monitoring {
     result
   }
 
+  /** Seasonal residual anomalies: days whose volume departs from
+    * their day-of-week baseline by more than `k`× the per-type MAD of
+    * residuals — the alerting layer ON TOP of [[seasonalBaseline]]
+    * (which reports the decomposition; this flags the exceptions).
+    * MAD, not stddev: a contaminated day should not widen its own
+    * alert band.
+    *
+    * Every window here runs over the per-(type, day) DAILY relation —
+    * |types|·|days| rows, collapsed by the first hash-agg — including
+    * the MAD's rank window (lower median at row ⌈n/2⌉, day
+    * tie-break). Residuals are trunc4'd before ranking and the
+    * threshold compare runs the same IEEE multiply on both engines,
+    * so flag membership never floats. */
+  def seasonalAnomaly(ev: DataFrame, k: Double = 3.0): DataFrame = {
+    val daily = ev.groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+    val wd = Window.partitionBy(col("event_type"), col("dow"))
+    val withBase = daily.withColumn("dow", pmod(col("day") + 4, lit(7L)))
+      .withColumn("dow_mean", trunc4(sum(col("cents")).over(wd) / count(lit(1)).over(wd)))
+      .withColumn("resid", trunc4(col("cents") - col("dow_mean")))
+    val byAbs = Window.partitionBy(col("event_type")).orderBy(abs(col("resid")), col("day"))
+    val wType = Window.partitionBy(col("event_type"))
+    val madRel = withBase
+      .withColumn("rn", row_number().over(byAbs))
+      .withColumn("n", count(lit(1)).over(wType))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), abs(col("resid")).as("mad"))
+    withBase.join(madRel, "event_type")
+      .filter(abs(col("resid")) > col("mad") * k)
+      .select(col("event_type"), col("day"), col("cents"),
+        col("dow_mean"), col("resid"), col("mad"))
+  }
+
+  /** Weekly survival curve — the churn view of the user base: S(w) =
+    * share of users whose LAST activity falls in week ≥ w, over the
+    * full corpus week spine (weeks where nobody churns still get a
+    * row; the curve must be defined everywhere to read half-life off
+    * it).
+    *
+    * One per-user max aggregate collapses the fact table; everything
+    * after runs on the ≤ corpus-weeks relation — the descending
+    * cumulative is a window over that spine, never the fact. Weeks
+    * are epoch-day div 7 (the [[cohortLtv]] convention). */
+  def survivalCurve(ev: DataFrame): DataFrame = {
+    val lw = ev.groupBy(col("user_id"))
+      .agg(expr("max(ts_ms div 86400000) div 7").as("week"))
+      .persist() // feeds the churn histogram AND the population count
+    val total = lw.agg(count(lit(1)).as("n_total"))
+    val spine = ev.select(expr("(ts_ms div 86400000) div 7").as("week")).distinct()
+    val byLast = lw.groupBy(col("week")).agg(count(lit(1)).as("n_churned"))
+    val result = spine.join(byLast, Seq("week"), "left")
+      .withColumn("n_churned", coalesce(col("n_churned"), lit(0L)))
+      .withColumn("survivors",
+        sum(col("n_churned")).over(Window.orderBy(col("week").desc)))
+      .crossJoin(broadcast(total))
+      .select(col("week"), col("n_churned"), col("survivors"),
+        trunc4(col("survivors") / col("n_total")).as("share"))
+      .localCheckpoint(true) // one row per week; releases the cache
+    lw.unpersist()
+    result
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1249,9 +1311,42 @@ object Monitoring {
     "q_markov_transitions" -> ((s, d) => markovTransitions(Tables.events(s, d))),
     "q_rolling_dau" -> ((s, d) => rollingDau(Tables.events(s, d))),
     "q_seq_pairs" -> ((s, d) => seqPairs(Tables.events(s, d))),
-    "q_cohort_ltv" -> ((s, d) => cohortLtv(Tables.events(s, d))))
+    "q_cohort_ltv" -> ((s, d) => cohortLtv(Tables.events(s, d))),
+    "q_seasonal_anomaly" -> ((s, d) => seasonalAnomaly(Tables.events(s, d))),
+    "q_survival" -> ((s, d) => survivalCurve(Tables.events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_seasonal_anomaly" ->
+      ("WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day, " +
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents " +
+        "FROM events GROUP BY 1, 2), " +
+        "w AS (SELECT event_type, day, cents, (day + 4) % 7 AS dow FROM d), " +
+        "b AS (SELECT event_type, day, cents, " +
+        "floor(sum(cents) OVER (PARTITION BY event_type, dow) / " +
+        "count(*) OVER (PARTITION BY event_type, dow) * 10000) / 10000 AS dow_mean " +
+        "FROM w), " +
+        "r AS (SELECT event_type, day, cents, dow_mean, " +
+        "floor((cents - dow_mean) * 10000) / 10000 AS resid FROM b), " +
+        "md AS (SELECT event_type, abs(resid) AS mad FROM " +
+        "(SELECT event_type, resid, day, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY abs(resid), day) AS rn, " +
+        "count(*) OVER (PARTITION BY event_type) AS n FROM r) t " +
+        "WHERE rn = (n + 1) // 2) " +
+        "SELECT r.event_type, r.day, r.cents, r.dow_mean, r.resid, md.mad " +
+        "FROM r JOIN md USING (event_type) WHERE abs(r.resid) > md.mad * 3.0"),
+    "q_survival" ->
+      ("WITH lw AS (SELECT user_id, max(epoch_ms(ts) // 86400000) // 7 AS week " +
+        "FROM events GROUP BY 1), " +
+        "tot AS (SELECT count(*) AS n_total FROM lw), " +
+        "spine AS (SELECT DISTINCT (epoch_ms(ts) // 86400000) // 7 AS week FROM events), " +
+        "bl AS (SELECT week, count(*) AS n_churned FROM lw GROUP BY 1), " +
+        "c AS (SELECT spine.week, coalesce(bl.n_churned, 0)::BIGINT AS n_churned " +
+        "FROM spine LEFT JOIN bl USING (week)), " +
+        "s AS (SELECT week, n_churned, " +
+        "sum(n_churned) OVER (ORDER BY week DESC)::BIGINT AS survivors FROM c) " +
+        "SELECT s.week, s.n_churned, s.survivors, " +
+        "floor(s.survivors::DOUBLE / tot.n_total * 10000) / 10000 AS share " +
+        "FROM s CROSS JOIN tot"),
     "q_seq_pairs" ->
       ("WITH g AS (SELECT user_id, event_type AS t, epoch_ms(ts) // 86400000 AS d, " +
         "min(epoch_ms(ts)) AS mn, max(epoch_ms(ts)) AS mx FROM events GROUP BY 1, 2, 3), " +

@@ -749,6 +749,38 @@ class MonitoringSpec extends SparkSpec {
     assert(lastPerCohort === total)
   }
 
+  test("seasonalAnomaly: flags exceed 3x the per-type MAD and residuals reconcile") {
+    val r = Monitoring.seasonalAnomaly(events).collect()
+    r.foreach { x =>
+      assert(math.abs(x.getAs[Double]("resid")) > 3.0 * x.getAs[Double]("mad"))
+      // resid = trunc4(cents - dow_mean)
+      val expect = math.floor(
+        (x.getAs[Long]("cents") - x.getAs[Double]("dow_mean")) * 10000) / 10000
+      assert(x.getAs[Double]("resid") === expect)
+    }
+    // threshold is effective: not every day is an anomaly
+    val nDays = events.select(expr("ts_ms div 86400000")).distinct().count()
+    val nTypes = events.select("event_type").distinct().count()
+    assert(r.length < nDays * nTypes)
+  }
+
+  test("survivalCurve: starts at the full population and never increases") {
+    val r = Monitoring.survivalCurve(events).collect().sortBy(_.getAs[Long]("week"))
+    assert(r.nonEmpty)
+    val users = events.select("user_id").distinct().count()
+    assert(r.head.getAs[Long]("survivors") === users)
+    r.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("survivors") <= a.getAs[Long]("survivors"))
+      case _ =>
+    }
+    assert(r.map(_.getAs[Long]("n_churned")).sum === users)
+    r.foreach { x =>
+      val s = x.getAs[Double]("share")
+      assert(s > 0.0 && s <= 1.0)
+    }
+  }
+
   test("acfDaily: all lags present, coefficients bounded, pair counts consistent") {
     val r = Monitoring.acfDaily(Tables.events(spark, sf)).collect()
     assert(r.map(_.getAs[Long]("lag")).sorted.toSeq === (1L to 7L))

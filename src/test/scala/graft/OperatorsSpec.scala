@@ -905,6 +905,38 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Graph.modularity: two disjoint cliques score 0.25 each; mass checks hold on the corpus") {
+    import spark.implicits._
+    // two disjoint 3-user cliques (one (merchant, hour) cell each):
+    // LPA labels them separately; each contributes 3/6 - (6/12)^2 = 0.25
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:05:00", """{"k": 5}"""),
+      (2L, 2L, "2024-01-01 10:15:00", """{"k": 5}"""),
+      (3L, 3L, "2024-01-01 10:55:00", """{"k": 5}"""),
+      (4L, 7L, "2024-01-02 09:00:00", """{"k": 6}"""),
+      (5L, 8L, "2024-01-02 09:30:00", """{"k": 6}"""),
+      (6L, 9L, "2024-01-02 09:40:00", """{"k": 6}"""))
+      .toDF("event_id", "user_id", "ts_str", "props")
+      .withColumn("ts", to_timestamp(col("ts_str")))
+      .withColumn("value", lit(1.0))
+    val r = operators.Graph.modularity(ev).collect()
+    assert(r.length === 2)
+    r.foreach { x =>
+      assert(x.getAs[Long]("n_nodes") === 3L)
+      assert(x.getAs[Long]("e_in") === 3L)
+      assert(x.getAs[Long]("deg_sum") === 6L)
+      assert(math.abs(x.getAs[Double]("q_contrib") - 0.25) < 1e-9)
+    }
+    // corpus: degree mass sums to 2m, internal edges never exceed m,
+    // and total modularity stays in Newman's [-0.5, 1] band
+    val corpus = operators.Graph.modularity(Tables.events(spark, sf)).collect()
+    val m = operators.Graph.coEdges(Tables.events(spark, sf), 64L).count()
+    assert(corpus.map(_.getAs[Long]("deg_sum")).sum === 2L * m)
+    assert(corpus.map(_.getAs[Long]("e_in")).sum <= m)
+    val q = corpus.map(_.getAs[Double]("q_contrib")).sum
+    assert(q >= -0.5 && q <= 1.0)
+  }
+
   test("Graph.bfs: chain graph — exact hops from the min-id source, hop bound respected") {
     import spark.implicits._
     // path 1—2—3—4—5—6, one 2-user (merchant, hour) cell per edge; the
