@@ -1271,6 +1271,102 @@ object Monitoring {
     result
   }
 
+  /** CUPED variance reduction for the A/B readout ([[abTest]]'s
+    * sibling): user spend in the experiment period is adjusted by the
+    * pre-period covariate, y′ = y − θ·(x − x̄), which removes the
+    * between-user variance the pre-period already explains and shrinks
+    * the confidence interval at zero cost (Deng et al., WSDM'13).
+    *
+    * Order-independence discipline: NO double is ever summed across
+    * rows. One per-user hash-agg yields integer cent pairs; one
+    * 5-sum aggregate (n, Σx, Σy, Σx², Σxy — all exact BIGINTs at
+    * these magnitudes) per variant plus pooled; θ, the adjusted
+    * means, and the adjusted variances all EXPAND ALGEBRAICALLY over
+    * those sums (var_adj = var_y + θ²·var_x − 2θ·cov), so both
+    * engines run the same scalar IEEE expression on identical exact
+    * integers. The pre/post split day is the corpus midpoint,
+    * broadcast from a scalar aggregate. */
+  def abCuped(ev: DataFrame): DataFrame = {
+    val base = ev.select(col("user_id"), expr("ts_ms div 86400000").as("day"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val mid = base.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val per = base.crossJoin(broadcast(mid))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("day") < col("mid"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("day") >= col("mid"), col("cents")).otherwise(0L)).as("y"))
+      .withColumn("variant",
+        when(pmod(graft.functions.TextHash.hash60(
+          concat(lit("ab|"), col("user_id").cast("string"))), lit(2L)) === 0, "A")
+          .otherwise("B"))
+      .persist() // feeds the pooled AND the per-variant sum aggregates
+    def sums(df: DataFrame, keys: Seq[Column]) = df.groupBy(keys: _*).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val pooled = sums(per, Seq.empty)
+      .select(col("n").as("np"), col("sx").as("sxp"), col("sy").as("syp"),
+        col("sxx").as("sxxp"), col("sxy").as("sxyp"))
+      .withColumn("theta",
+        (col("np") * col("sxyp") - col("sxp") * col("syp")).cast("double") /
+          (col("np") * col("sxxp") - col("sxp") * col("sxp")).cast("double"))
+      .withColumn("mean_x_pool", col("sxp").cast("double") / col("np"))
+    val result = sums(per, Seq(col("variant")))
+      .crossJoin(broadcast(pooled))
+      .withColumn("mean_y", col("sy").cast("double") / col("n"))
+      .withColumn("mean_x", col("sx").cast("double") / col("n"))
+      .withColumn("mean_adj",
+        col("mean_y") - col("theta") * (col("mean_x") - col("mean_x_pool")))
+      .withColumn("var_y", (col("n") * col("syy") - col("sy") * col("sy")).cast("double") /
+        (col("n").cast("double") * col("n")))
+      .withColumn("var_x", (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+        (col("n").cast("double") * col("n")))
+      .withColumn("cov_xy", (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n").cast("double") * col("n")))
+      .withColumn("var_adj", col("var_y") + col("theta") * col("theta") * col("var_x") -
+        lit(2.0) * col("theta") * col("cov_xy"))
+      .select(col("variant"), col("n"), trunc4(col("theta")).as("theta"),
+        trunc4(col("mean_y")).as("mean_post"), trunc4(col("mean_adj")).as("mean_adj"),
+        trunc4(col("var_y")).as("var_post"), trunc4(col("var_adj")).as("var_adj"),
+        trunc4((col("var_y") - col("var_adj")) / col("var_y") * 100).as("var_cut_pct"))
+      .localCheckpoint(true) // 2 rows; releases the per-user cache
+    per.unpersist()
+    result
+  }
+
+  /** Right-to-erasure impact audit: given a deletion list (hash-picked
+    * ~5% of users here; a real run joins the actual request table),
+    * report per event type what leaves and what remains — the
+    * reconciliation a data-governance pipeline records BEFORE it
+    * rewrites partitions. The kept counts come from a LEFT ANTI join
+    * (the erasure plan itself) and the erased side from a LEFT SEMI —
+    * both broadcastable-list joins at any scale, and the audit proves
+    * kept + erased = total row-for-row.
+    *
+    * Scale: the deletion predicate is a pure hash of the join key, so
+    * at 100 TB it pushes as a runtime filter; the per-type rollups are
+    * map-side-combined hash-aggs; nothing here sorts. */
+  def forgetAudit(ev: DataFrame, mod: Long = 20L): DataFrame = {
+    val erased = ev.select(col("user_id")).distinct()
+      .filter(pmod(graft.functions.TextHash.hash60(
+        concat(lit("erase|"), col("user_id").cast("string"))), lit(mod)) === 0)
+      .persist() // feeds the semi AND the anti join
+    val kept = ev.join(erased, Seq("user_id"), "left_anti")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_kept"))
+    val gone = ev.join(erased, Seq("user_id"), "left_semi")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_erased"),
+        countDistinct(col("user_id")).as("n_erased_users"))
+    val result = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_total"))
+      .join(kept, Seq("event_type"), "left")
+      .join(gone, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_total"),
+        coalesce(col("n_erased"), lit(0L)).as("n_erased"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_erased_users"), lit(0L)).as("n_erased_users"))
+      .localCheckpoint(true) // |types| rows; releases the list cache
+    erased.unpersist()
+    result
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1313,9 +1409,56 @@ object Monitoring {
     "q_seq_pairs" -> ((s, d) => seqPairs(Tables.events(s, d))),
     "q_cohort_ltv" -> ((s, d) => cohortLtv(Tables.events(s, d))),
     "q_seasonal_anomaly" -> ((s, d) => seasonalAnomaly(Tables.events(s, d))),
-    "q_survival" -> ((s, d) => survivalCurve(Tables.events(s, d))))
+    "q_survival" -> ((s, d) => survivalCurve(Tables.events(s, d))),
+    "q_ab_cuped" -> ((s, d) => abCuped(Tables.events(s, d))),
+    "q_forget_audit" -> ((s, d) => forgetAudit(Tables.events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_ab_cuped" ->
+      ("WITH b AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day, " +
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events), " +
+        "md AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM b), " +
+        "per AS (SELECT user_id, " +
+        "sum(CASE WHEN day < mid THEN cents ELSE 0 END)::BIGINT AS x, " +
+        "sum(CASE WHEN day >= mid THEN cents ELSE 0 END)::BIGINT AS y, " +
+        "CASE WHEN ('0x'||substr(md5('ab|'||user_id),1,15))::BIGINT % 2 = 0 " +
+        "THEN 'A' ELSE 'B' END AS variant FROM b CROSS JOIN md GROUP BY user_id), " +
+        "pool AS (SELECT count(*) AS np, sum(x)::BIGINT AS sxp, sum(y)::BIGINT AS syp, " +
+        "sum(x * x)::BIGINT AS sxxp, sum(x * y)::BIGINT AS sxyp FROM per), " +
+        "th AS (SELECT np, sxp, " +
+        "(np * sxyp - sxp * syp)::DOUBLE / (np * sxxp - sxp * sxp)::DOUBLE AS theta, " +
+        "sxp::DOUBLE / np AS mean_x_pool FROM pool), " +
+        "v AS (SELECT variant, count(*) AS n, sum(x)::BIGINT AS sx, " +
+        "sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx, " +
+        "sum(x * y)::BIGINT AS sxy, sum(y * y)::BIGINT AS syy FROM per GROUP BY 1), " +
+        "ex AS (SELECT variant, n, theta, sy::DOUBLE / n AS mean_y, " +
+        "sx::DOUBLE / n AS mean_x, mean_x_pool, " +
+        "(n * syy - sy * sy)::DOUBLE / (n::DOUBLE * n) AS var_y, " +
+        "(n * sxx - sx * sx)::DOUBLE / (n::DOUBLE * n) AS var_x, " +
+        "(n * sxy - sx * sy)::DOUBLE / (n::DOUBLE * n) AS cov_xy FROM v CROSS JOIN th), " +
+        "f AS (SELECT variant, n, theta, mean_y, " +
+        "mean_y - theta * (mean_x - mean_x_pool) AS mean_adj, var_y, " +
+        "var_y + theta * theta * var_x - 2.0 * theta * cov_xy AS var_adj FROM ex) " +
+        "SELECT variant, n, floor(theta * 10000) / 10000 AS theta, " +
+        "floor(mean_y * 10000) / 10000 AS mean_post, " +
+        "floor(mean_adj * 10000) / 10000 AS mean_adj, " +
+        "floor(var_y * 10000) / 10000 AS var_post, " +
+        "floor(var_adj * 10000) / 10000 AS var_adj, " +
+        "floor((var_y - var_adj) / var_y * 100 * 10000) / 10000 AS var_cut_pct FROM f"),
+    "q_forget_audit" ->
+      ("WITH er AS (SELECT DISTINCT user_id FROM events " +
+        "WHERE ('0x'||substr(md5('erase|'||user_id),1,15))::BIGINT % 20 = 0), " +
+        "tot AS (SELECT event_type, count(*) AS n_total FROM events GROUP BY 1), " +
+        "gone AS (SELECT event_type, count(*) AS n_erased, " +
+        "count(DISTINCT user_id) AS n_erased_users FROM events " +
+        "WHERE user_id IN (SELECT user_id FROM er) GROUP BY 1), " +
+        "kept AS (SELECT event_type, count(*) AS n_kept FROM events " +
+        "WHERE user_id NOT IN (SELECT user_id FROM er) GROUP BY 1) " +
+        "SELECT tot.event_type, tot.n_total, " +
+        "coalesce(gone.n_erased, 0)::BIGINT AS n_erased, " +
+        "coalesce(kept.n_kept, 0)::BIGINT AS n_kept, " +
+        "coalesce(gone.n_erased_users, 0)::BIGINT AS n_erased_users " +
+        "FROM tot LEFT JOIN gone USING (event_type) LEFT JOIN kept USING (event_type)"),
     "q_seasonal_anomaly" ->
       ("WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day, " +
         "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents " +

@@ -781,6 +781,72 @@ class MonitoringSpec extends SparkSpec {
     }
   }
 
+  test("abCuped: pooled theta is shared, populations reconcile, post means match a recompute") {
+    val r = Monitoring.abCuped(events).collect()
+    assert(r.map(_.getAs[String]("variant")).sorted.toSeq === Seq("A", "B"))
+    // one pooled theta
+    assert(r.map(_.getAs[Double]("theta")).distinct.length === 1)
+    // variants partition the users
+    assert(r.map(_.getAs[Long]("n")).sum ===
+      events.select("user_id").distinct().count())
+    // mean_post matches a direct per-variant recompute of post-period spend
+    val base = events.select(col("user_id"), expr("ts_ms div 86400000").as("day"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val Row2 = base.agg(expr("(min(day) + max(day) + 1) div 2")).head.getLong(0)
+    val direct = base.filter(col("day") >= Row2)
+      .groupBy(col("user_id")).agg(sum(col("cents")).as("y"))
+    r.foreach { x =>
+      assert(x.getAs[Double]("var_post") > 0.0)
+      // adjusted variance is a variance: non-negative
+      assert(x.getAs[Double]("var_adj") >= 0.0)
+      // reported cut is exactly the var_post/var_adj identity
+      val cut = (x.getAs[Double]("var_post") - x.getAs[Double]("var_adj")) /
+        x.getAs[Double]("var_post") * 100
+      assert(math.abs(x.getAs[Double]("var_cut_pct") - math.floor(cut * 10000) / 10000) < 1e-3)
+    }
+    // the POOLED guarantee: theta is the pooled OLS minimizer, so the
+    // pooled adjusted variance can never exceed the pooled raw variance
+    // (per-variant rows may go either way — theta is not per-variant)
+    val sums = base.crossJoin(broadcast(base.agg(
+        expr("(min(day) + max(day) + 1) div 2").as("mid"))))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("day") < col("mid"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("day") >= col("mid"), col("cents")).otherwise(0L)).as("y"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy")).head
+    val (n, sx, sy, sxx, sxy, syy) = (sums.getLong(0).toDouble, sums.getLong(1).toDouble,
+      sums.getLong(2).toDouble, sums.getLong(3).toDouble, sums.getLong(4).toDouble,
+      sums.getLong(5).toDouble)
+    val varX = (n * sxx - sx * sx) / (n * n)
+    val varY = (n * syy - sy * sy) / (n * n)
+    val covXY = (n * sxy - sx * sy) / (n * n)
+    val theta = covXY / varX
+    val varAdjPooled = varY + theta * theta * varX - 2 * theta * covXY
+    assert(varAdjPooled <= varY + 1e-9)
+    assert(direct.count() > 0)
+  }
+
+  test("forgetAudit: kept + erased reconcile to totals and the erase rule is honored") {
+    val r = Monitoring.forgetAudit(events).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getAs[Long]("n_kept") + x.getAs[Long]("n_erased") ===
+        x.getAs[Long]("n_total"))
+    }
+    // the hash rule picks the same users the audit counts
+    val erased = events.select("user_id").distinct().collect()
+      .map(_.getLong(0)).filter { u =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(s"erase|$u".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        java.lang.Long.parseLong(hex, 16) % 20 == 0
+      }.toSet
+    val direct = events.collect()
+      .filter(e => erased.contains(e.getAs[Long]("user_id")))
+    assert(r.map(_.getAs[Long]("n_erased")).sum === direct.length)
+  }
+
   test("acfDaily: all lags present, coefficients bounded, pair counts consistent") {
     val r = Monitoring.acfDaily(Tables.events(spark, sf)).collect()
     assert(r.map(_.getAs[Long]("lag")).sorted.toSeq === (1L to 7L))
