@@ -1367,6 +1367,43 @@ object Monitoring {
     result
   }
 
+  /** Recurring-payment detection: per (user, merchant) purchase
+    * series with ≥ `minN` transactions, the inter-payment gap profile
+    * and a regularity verdict — the subscription/standing-order
+    * signal (and its absence under a high transaction count is the
+    * opposite flag). A series is `regular` when the gap spread stays
+    * within 20% of the mean gap, tested by integer
+    * cross-multiplication ((max−min)·5·n ≤ Σgap) so the verdict
+    * can't float. The verdict is REPORTED, not filtered — the
+    * irregular series are the interesting rows for monitoring.
+    *
+    * One keyed lag window on (user, merchant) — bounded per-series
+    * partitions — then two hash-aggs joined on the series key; all
+    * gap math is exact epoch-ms integers. */
+  def recurringPayments(ev: DataFrame, minN: Long = 3L): DataFrame = {
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), get_json_object(col("props"), "$.k").as("merchant"),
+        col("ts_ms"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val series = p.groupBy(col("user_id"), col("merchant"))
+      .agg(count(lit(1)).as("n_txn"), sum(col("cents")).as("total_cents"))
+      .filter(col("n_txn") >= minN)
+    val w = Window.partitionBy(col("user_id"), col("merchant"))
+      .orderBy(col("ts_ms"), col("event_id"))
+    val gaps = p.withColumn("prev", lag(col("ts_ms"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("user_id"), col("merchant"))
+      .agg(count(lit(1)).as("n_gaps"), min(col("ts_ms") - col("prev")).as("min_gap_ms"),
+        max(col("ts_ms") - col("prev")).as("max_gap_ms"),
+        sum(col("ts_ms") - col("prev")).as("sum_gap"))
+    series.join(gaps, Seq("user_id", "merchant"))
+      .select(col("user_id"), col("merchant"), col("n_txn"), col("total_cents"),
+        col("min_gap_ms"), col("max_gap_ms"),
+        trunc4(col("sum_gap") / col("n_gaps") / lit(86400000.0)).as("period_days"),
+        ((col("max_gap_ms") - col("min_gap_ms")) * lit(5L) * col("n_gaps") <=
+          col("sum_gap")).as("regular"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1411,9 +1448,28 @@ object Monitoring {
     "q_seasonal_anomaly" -> ((s, d) => seasonalAnomaly(Tables.events(s, d))),
     "q_survival" -> ((s, d) => survivalCurve(Tables.events(s, d))),
     "q_ab_cuped" -> ((s, d) => abCuped(Tables.events(s, d))),
-    "q_forget_audit" -> ((s, d) => forgetAudit(Tables.events(s, d))))
+    "q_forget_audit" -> ((s, d) => forgetAudit(Tables.events(s, d))),
+    "q_recurring" -> ((s, d) => recurringPayments(Tables.events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_recurring" ->
+      ("WITH p AS (SELECT user_id, json_extract_string(props, '$.k') AS merchant, " +
+        "epoch_ms(ts) AS ts_ms, event_id, " +
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events " +
+        "WHERE event_type = 'purchase'), " +
+        "s AS (SELECT user_id, merchant, count(*) AS n_txn, " +
+        "sum(cents)::BIGINT AS total_cents FROM p GROUP BY 1, 2 HAVING count(*) >= 3), " +
+        "l AS (SELECT user_id, merchant, ts_ms, lag(ts_ms) OVER " +
+        "(PARTITION BY user_id, merchant ORDER BY ts_ms, event_id) AS prev FROM p), " +
+        "g AS (SELECT user_id, merchant, count(*) AS n_gaps, " +
+        "min(ts_ms - prev) AS min_gap_ms, max(ts_ms - prev) AS max_gap_ms, " +
+        "sum(ts_ms - prev)::BIGINT AS sum_gap FROM l WHERE prev IS NOT NULL " +
+        "GROUP BY 1, 2) " +
+        "SELECT s.user_id, s.merchant, s.n_txn, s.total_cents, g.min_gap_ms, " +
+        "g.max_gap_ms, floor(g.sum_gap / g.n_gaps / 86400000.0 * 10000) / 10000 " +
+        "AS period_days, " +
+        "(g.max_gap_ms - g.min_gap_ms) * 5 * g.n_gaps <= g.sum_gap AS regular " +
+        "FROM s JOIN g ON s.user_id = g.user_id AND s.merchant = g.merchant"),
     "q_ab_cuped" ->
       ("WITH b AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day, " +
         "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events), " +

@@ -300,6 +300,46 @@ object Sketches {
     result
   }
 
+  /** Bitmap-index set intersection: first-week vs last-week active
+    * users packed into 63-bit presence words (word = id div 63,
+    * `bit_or` of single-bit masks — the roaring-style primitive OLAP
+    * engines use for segment membership), intersected with ONE
+    * bitwise AND + popcount pass. The retention question "how many of
+    * the first week's users are still here in the last?" costs a
+    * |users|/63-row equi-join instead of a distinct-set join — and
+    * unlike the Bloom/HLL sketches the answer is EXACT, because ids
+    * are dense enough to own a bit.
+    *
+    * Determinism is structural: bit_or and the AND/popcount are
+    * commutative/idempotent integer ops (the [[bloomAudit]] 63-bit
+    * packing rule keeps `1 << 62` the largest shift both engines
+    * accept). At 10⁹ users the word relation is ~16M rows — the
+    * bitmap rides a broadcast where the user set never could. */
+  def bitmapRetention(ev: DataFrame): DataFrame = {
+    val wk = ev.select(expr("(ts_ms div 86400000) div 7").as("week"), col("user_id"))
+    val bounds = wk.agg(min(col("week")).as("w0"), max(col("week")).as("w1"))
+    val words = wk.crossJoin(broadcast(bounds))
+      .filter(col("week") === col("w0") || col("week") === col("w1"))
+      .select(when(col("week") === col("w0"), "first").otherwise("last").as("period"),
+        expr("user_id div 63").as("word"),
+        expr("shiftleft(1L, cast(user_id % 63 as int))").as("mask"))
+      .groupBy(col("period"), col("word")).agg(expr("bit_or(mask)").as("bits"))
+      .persist() // feeds both period slices AND the intersection join
+    def side(p: String, as: String) =
+      words.filter(col("period") === p).select(col("word"), col("bits").as(as))
+    val counts = words.groupBy(col("period"))
+      .agg(sum(expr("bit_count(bits)")).as("n"))
+    val nFirst = counts.filter(col("period") === "first").select(col("n").as("n_first"))
+    val nLast = counts.filter(col("period") === "last").select(col("n").as("n_last"))
+    val nBoth = side("first", "fb").join(side("last", "lb"), "word")
+      .agg(coalesce(sum(expr("bit_count(fb & lb)")), lit(0L)).as("n_both"))
+    val result = nFirst.crossJoin(nLast).crossJoin(nBoth)
+      .withColumn("retention", trunc4(col("n_both") / col("n_first")))
+      .localCheckpoint(true) // 1 row; releases the word cache
+    words.unpersist()
+    result
+  }
+
   /** KMV (k-minimum-values / bottom-k) distinct estimator — the OTHER
     * classic cardinality sketch next to [[hllDistinct]]: with hashes
     * uniform on [0, 2^60), E[kth smallest] ≈ k/n · 2^60, so
@@ -393,6 +433,7 @@ object Sketches {
     "q_bloom_audit" -> ((s, d) => bloomAudit(Tables.events(s, d))),
     "q_hll_weekly" -> ((s, d) => hllDailyRollup(Tables.events(s, d))),
     "q_quantile_sketch" -> ((s, d) => quantileSketch(Tables.events(s, d))),
+    "q_bitmap_retention" -> ((s, d) => bitmapRetention(Tables.events(s, d))),
     "q_kmv_distinct" -> ((s, d) => kmvDistinct(Tables.events(s, d))),
     "q_kmv_intersect" -> ((s, d) => kmvIntersect(Tables.events(s, d))),
     "q_cms_heavy_hitters" -> ((s, d) => cmsHeavyHitters(Tables.events(s, d))))
@@ -459,6 +500,20 @@ object Sketches {
         s"floor(${(64 - 1).toDouble * (1L << 60).toDouble}::DOUBLE / h * 10000) / 10000 AS est, " +
         s"floor(abs(${(64 - 1).toDouble * (1L << 60).toDouble}::DOUBLE / h - n_exact) / n_exact * 10000) / 10000 AS rel_err " +
         "FROM g CROSS JOIN ex WHERE r = 64"),
+    "q_bitmap_retention" ->
+      ("WITH wk AS (SELECT (epoch_ms(ts) // 86400000) // 7 AS week, user_id FROM events), " +
+        "bounds AS (SELECT min(week) AS w0, max(week) AS w1 FROM wk), " +
+        "words AS (SELECT CASE WHEN week = w0 THEN 'first' ELSE 'last' END AS period, " +
+        "user_id // 63 AS word, bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS bits " +
+        "FROM wk CROSS JOIN bounds WHERE week = w0 OR week = w1 GROUP BY 1, 2), " +
+        "cnt AS (SELECT period, sum(bit_count(bits))::BIGINT AS n FROM words GROUP BY 1), " +
+        "nb AS (SELECT coalesce(sum(bit_count(f.bits & l.bits)), 0)::BIGINT AS n_both " +
+        "FROM (SELECT word, bits FROM words WHERE period = 'first') f " +
+        "JOIN (SELECT word, bits FROM words WHERE period = 'last') l USING (word)) " +
+        "SELECT nf.n AS n_first, nl.n AS n_last, nb.n_both, " +
+        "floor(nb.n_both::DOUBLE / nf.n * 10000) / 10000 AS retention " +
+        "FROM (SELECT n FROM cnt WHERE period = 'first') nf " +
+        "CROSS JOIN (SELECT n FROM cnt WHERE period = 'last') nl CROSS JOIN nb"),
     "q_quantile_sketch" ->
       ("WITH cents AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents " +
         "FROM events), " +

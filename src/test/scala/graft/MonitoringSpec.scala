@@ -847,6 +847,37 @@ class MonitoringSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("n_erased")).sum === direct.length)
   }
 
+  test("recurringPayments: hand-built regular and irregular series get the right verdicts") {
+    import spark.implicits._
+    // u1@m5: 4 purchases exactly 7 days apart -> regular
+    // u2@m6: 3 purchases at gaps 1 day / 20 days -> irregular
+    // u3@m7: only 2 purchases -> below minN, absent
+    val rows = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", 5), (2L, 1L, "2024-01-08 10:00:00", 5),
+      (3L, 1L, "2024-01-15 10:00:00", 5), (4L, 1L, "2024-01-22 10:00:00", 5),
+      (5L, 2L, "2024-01-01 10:00:00", 6), (6L, 2L, "2024-01-02 10:00:00", 6),
+      (7L, 2L, "2024-01-22 10:00:00", 6),
+      (8L, 3L, "2024-01-01 10:00:00", 7), (9L, 3L, "2024-01-02 10:00:00", 7))
+    val ev = rows.map { case (e, u, s, k) => (e, u, s, s"""{"k": $k}""") }
+      .toDF("event_id", "user_id", "s", "props")
+      .withColumn("ts", col("s").cast("timestamp"))
+      .withColumn("ts_ms", expr("unix_micros(ts) div 1000"))
+      .withColumn("event_type", lit("purchase"))
+      .withColumn("value", lit(10.0))
+    val r = Monitoring.recurringPayments(ev).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        (x.getAs[Long]("n_txn"), x.getAs[Boolean]("regular"),
+          x.getAs[Double]("period_days"))).toMap
+    assert(r.keySet === Set(1L, 2L))
+    assert(r(1L) === ((4L, true, 7.0)))
+    assert(r(2L)._1 === 3L && !r(2L)._2)
+    // corpus rows all meet the floor and reconcile period with gaps
+    Monitoring.recurringPayments(Tables.events(spark, sf)).collect().foreach { x =>
+      assert(x.getAs[Long]("n_txn") >= 3L)
+      assert(x.getAs[Long]("min_gap_ms") <= x.getAs[Long]("max_gap_ms"))
+    }
+  }
+
   test("acfDaily: all lags present, coefficients bounded, pair counts consistent") {
     val r = Monitoring.acfDaily(Tables.events(spark, sf)).collect()
     assert(r.map(_.getAs[Long]("lag")).sorted.toSeq === (1L to 7L))

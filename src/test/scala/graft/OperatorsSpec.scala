@@ -1049,6 +1049,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Sketches.bitmapRetention: popcount intersection equals the exact distinct-set answer") {
+    val ev = Tables.events(spark, sf)
+    val r = Sketches.bitmapRetention(ev).collect()
+    assert(r.length === 1)
+    val row = r.head
+    // exact recompute via distinct sets
+    val wk = ev.select(expr("(ts_ms div 86400000) div 7").as("week"), col("user_id"))
+    val (w0, w1) = {
+      val b = wk.agg(min("week"), max("week")).head
+      (b.getLong(0), b.getLong(1))
+    }
+    val first = wk.filter(col("week") === w0).select("user_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val last = wk.filter(col("week") === w1).select("user_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(row.getAs[Long]("n_first") === first.size.toLong)
+    assert(row.getAs[Long]("n_last") === last.size.toLong)
+    assert(row.getAs[Long]("n_both") === (first intersect last).size.toLong)
+  }
+
   test("Sketches.hllDailyRollup: daily-merged registers equal the direct weekly sketch") {
     import graft.functions.TextHash.hash60
     val ev = Tables.events(spark, sf)
