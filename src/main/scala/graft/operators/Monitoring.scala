@@ -1404,6 +1404,46 @@ object Monitoring {
           col("sum_gap")).as("regular"))
   }
 
+  /** Merchant concentration per event type: Herfindahl–Hirschman
+    * index plus top-1/top-3 volume shares — the market-structure /
+    * single-point-of-failure readout ("one merchant carries 40% of
+    * purchase volume" is an operational risk flag).
+    *
+    * HHI = Σᵢ (cᵢ/C)² is computed as Σcᵢ² / C² — the squared sum is
+    * an EXACT BIGINT (per-cell cents stay far under 2³¹·⁵), so no
+    * double is summed across merchants and the index is
+    * merge-order-deterministic; the top-k shares ride a rank window
+    * over the ≤ |types|·|merchants| cell relation with a rnk ≤ 3
+    * filter (WindowGroupLimit-eligible). One fact scan, one
+    * hash-agg, everything after is cell-bounded. */
+  def concentration(ev: DataFrame): DataFrame = {
+    val cells = ev.select(col("event_type"),
+        get_json_object(col("props"), "$.k").as("merchant"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("merchant"))
+      .agg(sum(col("cents")).as("c"))
+      .persist() // feeds the HHI aggregate AND the top-k window
+    val agg = cells.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_merchants"), sum(col("c")).as("total_cents"),
+        sum(col("c") * col("c")).as("ssq"))
+    val byC = Window.partitionBy(col("event_type"))
+      .orderBy(col("c").desc, col("merchant"))
+    val topk = cells.withColumn("rnk", row_number().over(byC))
+      .filter(col("rnk") <= 3)
+      .groupBy(col("event_type"))
+      .agg(max(when(col("rnk") === 1, col("c"))).as("top1_cents"),
+        sum(col("c")).as("top3_cents"))
+    val result = agg.join(topk, "event_type")
+      .select(col("event_type"), col("n_merchants"), col("total_cents"),
+        graft.functions.Portable.trunc6(col("ssq").cast("double") /
+          (col("total_cents").cast("double") * col("total_cents"))).as("hhi"),
+        trunc4(col("top1_cents") / col("total_cents")).as("top1_share"),
+        trunc4(col("top3_cents") / col("total_cents")).as("top3_share"))
+      .localCheckpoint(true) // |types| rows; releases the cell cache
+    cells.unpersist()
+    result
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1449,9 +1489,25 @@ object Monitoring {
     "q_survival" -> ((s, d) => survivalCurve(Tables.events(s, d))),
     "q_ab_cuped" -> ((s, d) => abCuped(Tables.events(s, d))),
     "q_forget_audit" -> ((s, d) => forgetAudit(Tables.events(s, d))),
-    "q_recurring" -> ((s, d) => recurringPayments(Tables.events(s, d))))
+    "q_recurring" -> ((s, d) => recurringPayments(Tables.events(s, d))),
+    "q_concentration" -> ((s, d) => concentration(Tables.events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_concentration" ->
+      ("WITH cells AS (SELECT event_type, json_extract_string(props, '$.k') AS merchant, " +
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS c " +
+        "FROM events GROUP BY 1, 2), " +
+        "a AS (SELECT event_type, count(*) AS n_merchants, sum(c)::BIGINT AS total_cents, " +
+        "sum(c * c)::BIGINT AS ssq FROM cells GROUP BY 1), " +
+        "r AS (SELECT event_type, merchant, c, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY c DESC, merchant) AS rnk FROM cells), " +
+        "tk AS (SELECT event_type, max(CASE WHEN rnk = 1 THEN c END) AS top1_cents, " +
+        "sum(c)::BIGINT AS top3_cents FROM r WHERE rnk <= 3 GROUP BY 1) " +
+        "SELECT a.event_type, a.n_merchants, a.total_cents, " +
+        "floor(a.ssq::DOUBLE / (a.total_cents::DOUBLE * a.total_cents) * 1000000) / 1000000 AS hhi, " +
+        "floor(tk.top1_cents::DOUBLE / a.total_cents * 10000) / 10000 AS top1_share, " +
+        "floor(tk.top3_cents::DOUBLE / a.total_cents * 10000) / 10000 AS top3_share " +
+        "FROM a JOIN tk USING (event_type)"),
     "q_recurring" ->
       ("WITH p AS (SELECT user_id, json_extract_string(props, '$.k') AS merchant, " +
         "epoch_ms(ts) AS ts_ms, event_id, " +

@@ -405,6 +405,48 @@ object Similarity {
     result
   }
 
+  /** Calibration / reliability audit of a similarity score used as a
+    * classifier — the eval-pipeline staple: score every vector by
+    * cosine to the vec_id-0 reference, treat p = (cos+1)/2 as the
+    * predicted probability that the vector shares vec 0's label, and
+    * report per-confidence-bin the predicted-vs-observed gap plus
+    * each bin's ECE contribution (expected calibration error = the
+    * n-weighted sum of gaps a reader totals).
+    *
+    * Order-independence: the per-bin mean confidence comes from
+    * Σ floor(cos·10⁴) — an EXACT integer sum — never from summing
+    * doubles across rows; positives and counts are integers; the
+    * final per-bin expressions are identical IEEE scalar math in both
+    * engines. Bin edges land on exact multiples of 0.2 of the trunc4
+    * score, so bin membership cannot float either. One broadcast of
+    * the reference vector, one scan, one ≤10-cell hash-agg. */
+  def calibration(emb: DataFrame, refId: Long = 0L, bins: Int = 10): DataFrame = {
+    val v = withEmbD(emb)
+    val q = withEmbD(emb).filter(col("vec_id") === refId)
+      .join(emb.select(col("vec_id"), col("label").as("ref_label")), "vec_id")
+      .select(col("e").as("qe"), col("ref_label"))
+    val scored = v.join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= refId)
+      .select(col("vec_id"),
+        trunc4(NativeVector.cosine(col("e"), col("qe"))).as("s"),
+        (col("label") === col("ref_label")).cast("long").as("pos"))
+      .withColumn("si", floor(col("s") * 10000).cast("long"))
+      .withColumn("bin", least(floor((col("s") + 1) * (bins / 2)).cast("long"),
+        lit(bins - 1L)))
+    val total = scored.agg(count(lit(1)).as("n_total"))
+    scored.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("si")).as("ssi"), sum(col("pos")).as("n_pos"))
+      .crossJoin(broadcast(total))
+      .withColumn("conf", (col("ssi").cast("double") / col("n") / 10000 + 1) / 2)
+      .withColumn("pos_rate", col("n_pos").cast("double") / col("n"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        trunc4(col("conf")).as("conf"), trunc4(col("pos_rate")).as("pos_rate"),
+        trunc4(abs(col("pos_rate") - col("conf"))).as("gap"),
+        graft.functions.Portable.trunc6(
+          abs(col("pos_rate") - col("conf")) * col("n") / col("n_total")).as("ece_term"))
+  }
+
   /** Int8 symmetric quantization audit — the 4 bytes/dim → 1 byte/dim
     * storage step a vector pipeline takes before building the index at
     * scale: per-vector scale = maxabs/127, q_d = clamp(floor(e_d /
@@ -847,6 +889,7 @@ object Similarity {
     "q_sim_topk_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_neardup" -> ((s, d) => nearDupPairs(Tables.embeddings(s, d))),
     "q_knn_graph" -> ((s, d) => knnGraph(Tables.embeddings(s, d))),
+    "q_calibration" -> ((s, d) => calibration(Tables.embeddings(s, d))),
     "q_dedup_semantic" -> ((s, d) => semanticDedup(Tables.embeddings(s, d))),
     "q_sim_recall" -> ((s, d) => recallAtK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_vec_quantize" -> ((s, d) => quantizeAudit(Tables.embeddings(s, d))),
@@ -1117,6 +1160,29 @@ object Similarity {
         "('0x' || substr(md5('proj|' || i || '_' || j), 1, 15))::BIGINT % 2 = 0 " +
         "THEN 1.0 ELSE -1.0 END)) p FROM el CROSS JOIN d GROUP BY 1, 2) " +
         "SELECT vec_id, j, floor(p * 10000) / 10000 AS p FROM p"),
+    "q_calibration" ->
+      (s"WITH $vCte, " +
+        "cq AS (SELECT v.e AS qe, emb.label AS ref_label FROM v " +
+        "JOIN embeddings emb ON emb.vec_id = v.vec_id WHERE v.vec_id = 0), " +
+        "sc AS (SELECT v.vec_id, " +
+        "floor(list_cosine_similarity(v.e, cq.qe) * 10000) / 10000 AS s, " +
+        "CASE WHEN emb.label = cq.ref_label THEN 1 ELSE 0 END AS pos " +
+        "FROM v JOIN embeddings emb ON emb.vec_id = v.vec_id " +
+        "CROSS JOIN cq WHERE v.vec_id <> 0), " +
+        "sb AS (SELECT vec_id, s, pos, " +
+        "CAST(floor(s * 10000) AS BIGINT) AS si, " +
+        "least(CAST(floor((s + 1) * 5) AS BIGINT), 9) AS bin FROM sc), " +
+        "tot AS (SELECT count(*) AS n_total FROM sb), " +
+        "g AS (SELECT bin, count(*) AS n, sum(si)::BIGINT AS ssi, " +
+        "sum(pos)::BIGINT AS n_pos FROM sb GROUP BY 1), " +
+        "x AS (SELECT bin, n, n_pos, " +
+        "(ssi::DOUBLE / n / 10000 + 1) / 2 AS conf, " +
+        "n_pos::DOUBLE / n AS pos_rate, n_total FROM g CROSS JOIN tot) " +
+        "SELECT bin, n, n_pos, floor(conf * 10000) / 10000 AS conf, " +
+        "floor(pos_rate * 10000) / 10000 AS pos_rate, " +
+        "floor(abs(pos_rate - conf) * 10000) / 10000 AS gap, " +
+        "floor(abs(pos_rate - conf) * n / n_total * 1000000) / 1000000 AS ece_term " +
+        "FROM x"),
     "q_knn_graph" ->
       (s"WITH $vCte, $bitsBandsCte, " +
         "kg_pairs AS (SELECT DISTINCT x.vec_id a_id, y.vec_id b_id " +

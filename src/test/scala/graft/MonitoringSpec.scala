@@ -878,6 +878,26 @@ class MonitoringSpec extends SparkSpec {
     }
   }
 
+  test("concentration: HHI and top shares are bounded and reconcile with the cell table") {
+    val r = Monitoring.concentration(events).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val n = x.getAs[Long]("n_merchants")
+      val hhi = x.getAs[Double]("hhi")
+      // HHI is bounded below by the uniform 1/n and above by monopoly 1
+      assert(hhi >= 1.0 / n - 1e-6 && hhi <= 1.0)
+      val t1 = x.getAs[Double]("top1_share")
+      val t3 = x.getAs[Double]("top3_share")
+      assert(t1 > 0.0 && t1 <= t3 && t3 <= 1.0)
+      // top-3 of >= 3 merchants can't be less than 3x uniform... but CAN
+      // be checked against top1: t3 < 3*t1 + slack
+      assert(t3 <= 3 * t1 + 1e-4)
+    }
+    // totals reconcile with the corpus
+    val total = events.agg(sum(floor(col("value") * 100 + 0.5).cast("long"))).head.getLong(0)
+    assert(r.map(_.getAs[Long]("total_cents")).sum === total)
+  }
+
   test("acfDaily: all lags present, coefficients bounded, pair counts consistent") {
     val r = Monitoring.acfDaily(Tables.events(spark, sf)).collect()
     assert(r.map(_.getAs[Long]("lag")).sorted.toSeq === (1L to 7L))

@@ -353,6 +353,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Similarity.calibration: bins partition the corpus, confidences sit inside their bin") {
+    val emb = Tables.embeddings(spark, sf)
+    val r = Similarity.calibration(emb).collect()
+    assert(r.nonEmpty)
+    // every vector except the reference lands in exactly one bin
+    assert(r.map(_.getAs[Long]("n")).sum === emb.count() - 1)
+    r.foreach { x =>
+      val bin = x.getAs[Long]("bin")
+      val conf = x.getAs[Double]("conf")
+      // conf is the mean of scores mapped into [0,1]; it must fall in
+      // the bin's own [bin/10, (bin+1)/10] band (trunc slack)
+      assert(conf >= bin / 10.0 - 1e-4 && conf <= (bin + 1) / 10.0 + 1e-4)
+      val rate = x.getAs[Double]("pos_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      // gap identity
+      assert(math.abs(x.getAs[Double]("gap") -
+        math.floor(math.abs(rate - conf) * 10000) / 10000) < 2e-4)
+    }
+  }
+
   test("Similarity.ivfTopK scores like brute force, searches only probed lists, is deterministic") {
     val emb = Tables.embeddings(spark, sf)
     val bf = Similarity.bruteForceTopK(emb, Seq(0L), k = 500).select("vec_id", "cos")
