@@ -1031,7 +1031,43 @@ object TextOps {
 
   // ---- driver wiring ----
 
+  /** Per-document novelty score: the fraction of a doc's distinct
+    * 3-gram shingles that NO earlier document (smaller doc_id —
+    * corpus ingestion order) already contains. The training-data
+    * curation signal behind "this crawl batch is 90% re-crawl": near
+    * 1 = fresh content, near 0 = the corpus already knew it. The
+    * containment/substring dedups answer "who copies whom" pairwise;
+    * novelty is the per-doc marginal-information rollup that needs no
+    * pair generation at all.
+    *
+    * Shape: distinct (doc, shingle) rows → one `min(doc_id)` hash-agg
+    * per shingle (the global first-seen registry — exactly the
+    * relation an incremental ingest keeps) → one equi-join back on
+    * the shingle → per-doc counts. Work is |shingle rows|, never
+    * pairs; every aggregate is map-side combinable; the registry join
+    * key is the shingle itself, so hot shingles skew-split under AQE.
+    * At 100 TB the first-seen registry is the persisted state and a
+    * new batch joins against it instead of rebuilding — the
+    * [[Dedup]] incremental-MinHash pattern without signatures. */
+  def novelty(docs: DataFrame): DataFrame = {
+    val g = graft.functions.TextHash.shingleRows(
+        graft.functions.Portable.spread(docs, col("doc_id")), 3)
+      .select(col("doc_id"), col("s")).distinct()
+      .persist() // feeds the first-seen registry AND the join back
+    val firstSeen = g.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    val result = g.join(firstSeen, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", graft.functions.Portable.trunc4(
+        col("n_novel") / col("n_shingles")))
+      .localCheckpoint(true) // one row per doc; releases the shingle cache
+    g.unpersist()
+    result
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_novelty" -> ((s, d) => novelty(Tables.documents(s, d))),
     "q_text_familiarity" -> ((s, d) => familiarity(Tables.documents(s, d))),
     "q_text_pmi" -> ((s, d) => pmiCollocations(Tables.documents(s, d))),
     "q_source_report" -> ((s, d) => sourceReport(Tables.documents(s, d))),
@@ -1082,6 +1118,16 @@ object TextOps {
     s"len(list_filter(toks, t -> t IN ${inList(lang)}))::DOUBLE / len(toks)"
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_novelty" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents), " +
+        "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(tok) - 1), " +
+        "i -> tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2])) s FROM t), " +
+        "fs AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY 1) " +
+        "SELECT sh.doc_id, count(*) AS n_shingles, " +
+        "sum(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel, " +
+        "floor(sum(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END)::DOUBLE / " +
+        "count(*) * 10000) / 10000 AS novelty " +
+        "FROM sh JOIN fs USING (s) GROUP BY 1"),
     "q_langid_eval" ->
       ("WITH t AS (SELECT lang, string_split(text, ' ') toks FROM documents), " +
         s"s AS (SELECT lang, ${ratioSql("en")} s_en, ${ratioSql("de")} s_de, " +

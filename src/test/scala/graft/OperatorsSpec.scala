@@ -1069,6 +1069,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("TextOps.novelty: a verbatim re-crawl scores 0, the first doc scores 1, partial shares split") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),       // first: everything novel
+      (2L, "a b c d e"),       // verbatim copy: nothing novel
+      (3L, "a b c x y z")      // shares 'a b c', adds 'c x y' 'b c x' 'x y z'
+    ).toDF("doc_id", "text")
+    val r = operators.TextOps.novelty(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_shingles"), x.getAs[Double]("novelty"))).toMap
+    assert(r(1L) === ((3L, 1.0)))
+    assert(r(2L) === ((3L, 0.0)))
+    assert(r(3L)._1 === 4L && r(3L)._2 === 0.75)
+    // corpus: the smallest doc id is fully novel; scores bounded
+    val corpus = operators.TextOps.novelty(Tables.documents(spark, sf)).collect()
+    val minDoc = corpus.map(_.getAs[Long]("doc_id")).min
+    assert(corpus.find(_.getAs[Long]("doc_id") == minDoc)
+      .get.getAs[Double]("novelty") === 1.0)
+    corpus.foreach { x =>
+      val nv = x.getAs[Double]("novelty")
+      assert(nv >= 0.0 && nv <= 1.0)
+      assert(x.getAs[Long]("n_novel") <= x.getAs[Long]("n_shingles"))
+    }
+  }
+
   test("Sketches.bitmapRetention: popcount intersection equals the exact distinct-set answer") {
     val ev = Tables.events(spark, sf)
     val r = Sketches.bitmapRetention(ev).collect()
