@@ -1444,9 +1444,176 @@ object Monitoring {
     result
   }
 
+  /** Per-user merchant-mix Shannon entropy — the account-takeover /
+    * mule signal next to [[concentration]]'s market-level HHI: a
+    * normal account spreads activity over its usual merchants (high
+    * entropy for its merchant count); a pass-through mule funnels
+    * everything to one counterparty (entropy ≈ 0 with many events).
+    * Emitted per user: event/merchant counts, H = −Σ p·ln p, and H
+    * normalized by ln(n_merchants) (1.0 = perfectly even mix).
+    *
+    * Engine-exact: each cell's −p·ln p floors to a 1e6-scaled BIGINT
+    * (the [[TextOps]] DSIR trick) so the per-user entropy is an exact
+    * integer sum. ONE exchange total: `spread` keys the fact by
+    * user_id, and the (user, merchant) hash-agg, both windows, and the
+    * final per-user rollup all reuse that partitioning (subset-keyed
+    * ClusteredDistribution, the featureHash precedent). */
+  def userEntropy(ev: DataFrame): DataFrame = {
+    val wU = Window.partitionBy(col("user_id"))
+    graft.functions.Portable.spread(ev, col("user_id"))
+      .select(col("user_id"), get_json_object(col("props"), "$.k").as("merchant"))
+      .groupBy(col("user_id"), col("merchant")).agg(count(lit(1)).as("n"))
+      .withColumn("ne", sum(col("n")).over(wU))
+      .withColumn("nm", count(lit(1)).over(wU))
+      .select(col("user_id"), col("ne"), col("nm"),
+        floor((col("n") / col("ne")) * log(col("n") / col("ne")) * lit(-1e6))
+          .cast("long").as("t"))
+      .groupBy(col("user_id"))
+      .agg(max(col("ne")).as("n_events"), max(col("nm")).as("n_merchants"),
+        sum(col("t")).as("ent_scaled"))
+      .select(col("user_id"), col("n_events"), col("n_merchants"), col("ent_scaled"),
+        trunc4(col("ent_scaled") / 1e6).as("entropy"),
+        when(col("n_merchants") > 1,
+          trunc4(col("ent_scaled") / 1e6 / log(col("n_merchants").cast("double"))))
+          .otherwise(0.0).as("norm_entropy"))
+  }
+
+  /** Smoothed target encoding (Micci-Barreca 2001, the m-estimate
+    * categorical encoder every tabular-ML pipeline ships): each
+    * merchant's expected transaction value shrunk toward the global
+    * mean by pseudo-count `m`, enc = (Σcents + m·ḡ)/(n + m) — rare
+    * merchants ride the prior, busy ones their own mean, so the
+    * feature never memorizes single-row categories (the leakage the
+    * naive per-category mean bakes in).
+    *
+    * Exact-integer core: per-merchant sums are BIGINT cents; the only
+    * doubles are the two final divisions, mirrored shape-for-shape by
+    * the oracle. One hash-agg over the fact; the 1-row global rides a
+    * broadcast cross join. */
+  def targetEncode(ev: DataFrame, m: Int = 20): DataFrame = {
+    val cells = ev
+      .select(get_json_object(col("props"), "$.k").as("merchant"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("merchant"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .persist() // feeds the global mean AND the encoded projection
+    val g = cells.agg(sum(col("n")).as("tn"), sum(col("sum_cents")).as("tc"))
+    val result = cells.crossJoin(broadcast(g))
+      .select(col("merchant"), col("n"), col("sum_cents"),
+        trunc4(col("sum_cents") / col("n")).as("naive_cents"),
+        trunc4((col("sum_cents") + lit(m) * (col("tc") / col("tn"))) / (col("n") + lit(m)))
+          .as("enc_cents"))
+      .localCheckpoint(true) // |merchants| rows; releases the cell cache
+    cells.unpersist()
+    result
+  }
+
+  /** Hourly burst detection: (event_type, hour) buckets whose count
+    * sits more than `z`σ above that type's per-hour mean — the volume-
+    * spike pager alert ([[velocityBursts]] flags per-USER velocity;
+    * this flags the aggregate channel). The hour grid DENSIFIES over
+    * the observed span (sequence + explode) so silent hours pull the
+    * mean/σ down like they should — stats over only-active buckets
+    * would under-flag a bursty-but-sparse channel.
+    *
+    * Exactness: per-bucket counts, Σn and Σn² are BIGINTs, so μ and σ
+    * derive from exact integers and the z comparison is the identical
+    * double expression on both engines. Scale: the dense grid is
+    * |types|·|hours| — metadata-sized, grows with TIME not data; the
+    * fact contributes one map-side-combining hash-agg. */
+  def burstDetect(ev: DataFrame, z: Double = 3.0): DataFrame = {
+    val hours = ev
+      .select(col("event_type"), floor(col("ts_ms") / 3600000L).as("h"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("n"))
+      .persist() // feeds the span, the type list, and the dense join
+    val span = hours.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val dense = hours.select(col("event_type")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("h"))
+      .join(hours, Seq("event_type", "h"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val stats = dense.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("s"),
+        sum(col("n") * col("n")).as("s2"))
+    val result = dense.join(broadcast(stats), "event_type")
+      .withColumn("mu", col("s") / col("k"))
+      .withColumn("sd", sqrt(col("s2") / col("k") - (col("s") / col("k")) * (col("s") / col("k"))))
+      .filter(col("sd") > 0 && (col("n") - col("mu")) > lit(z) * col("sd"))
+      .select(col("event_type"), (col("h") * 3600000L).as("hour_ms"), col("n"),
+        trunc4((col("n") - col("mu")) / col("sd")).as("z"))
+      .localCheckpoint(true) // flagged buckets only; releases the cache
+    hours.unpersist()
+    result
+  }
+
+  /** Pareto coverage: per event type, how many top merchants carry 80%
+    * of the cent volume — the "how concentrated is this channel
+    * really" readout behind [[concentration]]'s fixed top-1/top-3
+    * shares (k80 = 3 of 40 merchants is a very different market from
+    * k80 = 30 of 40). The 80% threshold is the exact integer
+    * cross-multiplication 5·cum ≥ 4·total — no float share ever
+    * decides membership.
+    *
+    * Scale: the rank/running-sum window runs over the COLLAPSED
+    * (type, merchant) relation — bounded by the merchant catalog, not
+    * the fact — partitioned by type (never global). */
+  def paretoShare(ev: DataFrame): DataFrame = {
+    val cells = ev
+      .select(col("event_type"), get_json_object(col("props"), "$.k").as("merchant"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("merchant")).agg(sum(col("cents")).as("c"))
+      .persist() // feeds the totals AND the ranked running sum
+    val byC = Window.partitionBy(col("event_type"))
+      .orderBy(col("c").desc, col("merchant"))
+    val run = cells
+      .withColumn("rnk", row_number().over(byC).cast("long"))
+      .withColumn("cum", sum(col("c")).over(
+        byC.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = cells.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_merchants"), sum(col("c")).as("total_cents"))
+    val result = run.join(broadcast(tot), "event_type")
+      .filter(col("cum") * 5 >= col("total_cents") * 4)
+      .groupBy(col("event_type"))
+      .agg(min(col("rnk")).as("k80"), min_by(col("cum"), col("rnk")).as("cum80"))
+      .join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("n_merchants"), col("total_cents"),
+        col("k80"), trunc4(col("cum80") / col("total_cents")).as("share80"))
+      .localCheckpoint(true) // |types| rows; releases the cell cache
+    cells.unpersist()
+    result
+  }
+
+  /** Per-user inter-arrival profile: min/median/p90/max gap between a
+    * user's consecutive events — the cadence fingerprint behind bot
+    * detection ([[velocityBursts]] catches the burst; a near-constant
+    * median gap catches the metronome) and the baseline
+    * [[dormantAwakening]] compares its reawakening gap against.
+    *
+    * Gaps are exact BIGINT milliseconds from ONE lag window on the
+    * (user, ts, id) sort; the quantiles run per user inside the same
+    * partitioning (Spark `percentile` ≡ DuckDB `quantile_cont` over
+    * identical integers — the q_sql_percentiles precedent). Output is
+    * one row per user. */
+  def interarrival(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    ev.select(col("user_id"), col("ts_ms"), col("event_id"))
+      .withColumn("gap", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap")).as("min_gap_ms"), max(col("gap")).as("max_gap_ms"),
+        trunc4(expr("percentile(gap, 0.5)")).as("p50_gap"),
+        trunc4(expr("percentile(gap, 0.9)")).as("p90_gap"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_user_entropy" -> ((s, d) => userEntropy(Tables.events(s, d))),
+    "q_target_encode" -> ((s, d) => targetEncode(Tables.events(s, d))),
+    "q_burst_detect" -> ((s, d) => burstDetect(Tables.events(s, d))),
+    "q_pareto_share" -> ((s, d) => paretoShare(Tables.events(s, d))),
+    "q_interarrival" -> ((s, d) => interarrival(Tables.events(s, d))),
     "q_rfm" -> ((s, d) => rfm(Tables.events(s, d))),
     "q_winsorize" -> ((s, d) => winsorize(Tables.events(s, d))),
     "q_round_bias" -> ((s, d) => roundNumberBias(Tables.events(s, d))),
@@ -1493,6 +1660,68 @@ object Monitoring {
     "q_concentration" -> ((s, d) => concentration(Tables.events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_user_entropy" ->
+      ("WITH cells AS (SELECT user_id, json_extract_string(props, '$.k') AS merchant, " +
+        "count(*) AS n FROM events GROUP BY 1, 2), " +
+        "w AS (SELECT user_id, n, sum(n) OVER (PARTITION BY user_id) AS ne, " +
+        "count(*) OVER (PARTITION BY user_id) AS nm FROM cells), " +
+        "t AS (SELECT user_id, ne, nm, " +
+        "CAST(floor((n / ne) * ln(n / ne) * -1000000) AS BIGINT) AS t FROM w), " +
+        "p AS (SELECT user_id, max(ne)::BIGINT AS n_events, max(nm)::BIGINT AS n_merchants, " +
+        "sum(t)::BIGINT AS ent_scaled FROM t GROUP BY 1) " +
+        "SELECT user_id, n_events, n_merchants, ent_scaled, " +
+        "floor(ent_scaled / 1000000.0 * 10000) / 10000 AS entropy, " +
+        "CASE WHEN n_merchants > 1 THEN " +
+        "floor(ent_scaled / 1000000.0 / ln(n_merchants::DOUBLE) * 10000) / 10000 " +
+        "ELSE 0.0 END AS norm_entropy FROM p"),
+    "q_target_encode" ->
+      ("WITH cells AS (SELECT json_extract_string(props, '$.k') AS merchant, " +
+        "count(*) AS n, sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS sum_cents " +
+        "FROM events GROUP BY 1), " +
+        "g AS (SELECT sum(n)::BIGINT AS tn, sum(sum_cents)::BIGINT AS tc FROM cells) " +
+        "SELECT merchant, n, sum_cents, " +
+        "floor(sum_cents / n * 10000) / 10000 AS naive_cents, " +
+        "floor((sum_cents + 20 * (tc / tn)) / (n + 20) * 10000) / 10000 AS enc_cents " +
+        "FROM cells CROSS JOIN g"),
+    "q_burst_detect" ->
+      ("WITH hours AS (SELECT event_type, CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) AS h, " +
+        "count(*) AS n FROM events GROUP BY 1, 2), " +
+        "span AS (SELECT min(h) AS h0, max(h) AS h1 FROM hours), " +
+        "grid AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS h " +
+        "FROM (SELECT DISTINCT event_type FROM hours) CROSS JOIN span), " +
+        "dense AS (SELECT grid.event_type, grid.h, coalesce(n, 0)::BIGINT AS n " +
+        "FROM grid LEFT JOIN hours ON grid.event_type = hours.event_type AND grid.h = hours.h), " +
+        "st AS (SELECT event_type, count(*) AS k, sum(n)::BIGINT AS s, " +
+        "sum(n * n)::BIGINT AS s2 FROM dense GROUP BY 1), " +
+        "j AS (SELECT dense.event_type, h, n, s / k AS mu, " +
+        "sqrt(s2 / k - (s / k) * (s / k)) AS sd FROM dense JOIN st USING (event_type)) " +
+        "SELECT event_type, h * 3600000 AS hour_ms, n, " +
+        "floor((n - mu) / sd * 10000) / 10000 AS z FROM j " +
+        "WHERE sd > 0 AND (n - mu) > 3.0 * sd"),
+    "q_pareto_share" ->
+      ("WITH cells AS (SELECT event_type, json_extract_string(props, '$.k') AS merchant, " +
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS c " +
+        "FROM events GROUP BY 1, 2), " +
+        "run AS (SELECT event_type, merchant, c, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY c DESC, merchant) AS rnk, " +
+        "sum(c) OVER (PARTITION BY event_type ORDER BY c DESC, merchant " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum FROM cells), " +
+        "tot AS (SELECT event_type, count(*) AS n_merchants, sum(c)::BIGINT AS total_cents " +
+        "FROM cells GROUP BY 1), " +
+        "k AS (SELECT run.event_type, min(rnk)::BIGINT AS k80, " +
+        "min_by(cum, rnk)::BIGINT AS cum80 FROM run JOIN tot USING (event_type) " +
+        "WHERE cum * 5 >= total_cents * 4 GROUP BY 1) " +
+        "SELECT event_type, n_merchants, total_cents, k80, " +
+        "floor(cum80 / total_cents * 10000) / 10000 AS share80 " +
+        "FROM k JOIN tot USING (event_type)"),
+    "q_interarrival" ->
+      ("WITH s AS (SELECT user_id, epoch_ms(ts) AS ts_ms, " +
+        "epoch_ms(ts) - lag(epoch_ms(ts)) OVER " +
+        "(PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap FROM events) " +
+        "SELECT user_id, count(*) AS n_gaps, min(gap) AS min_gap_ms, max(gap) AS max_gap_ms, " +
+        "floor(quantile_cont(gap, 0.5) * 10000) / 10000 AS p50_gap, " +
+        "floor(quantile_cont(gap, 0.9) * 10000) / 10000 AS p90_gap " +
+        "FROM s WHERE gap IS NOT NULL GROUP BY 1"),
     "q_concentration" ->
       ("WITH cells AS (SELECT event_type, json_extract_string(props, '$.k') AS merchant, " +
         "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS c " +

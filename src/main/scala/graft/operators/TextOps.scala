@@ -1066,7 +1066,98 @@ object TextOps {
     result
   }
 
+  /** BM25 top-k retrieval (Robertson & Zaragoza 2009, the Okapi
+    * ranking function every lexical search stack ships): score each
+    * document against a query term set by
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avglen)) with
+    * k1 = 1.2, b = 0.75 and the +1-smoothed idf
+    * ln(1 + (N−df+0.5)/(df+0.5)). The query here is data-driven — the
+    * `nq` highest-df corpus terms (ties by token) — so the op needs no
+    * magic literals and exercises the worst retrieval case: terms that
+    * hit MOST documents.
+    *
+    * Engine-portable scoring: each per-(doc, term) BM25 contribution
+    * floors to a 1e6-scaled BIGINT (the [[dsirWeightsLazy]] trick), so
+    * the per-doc score is an exact integer sum — no float merge-order
+    * hazard — and the final top-k ordering is over BIGINTs.
+    *
+    * Scale shape: ONE tokenize pass persisted (feeds tf, df, and doc
+    * lengths — all three reuse it); the query-term relation is nq rows
+    * via TakeOrderedAndProject (never a global sort) and broadcasts;
+    * tf⋈lens is an equi-join on doc_id (both sides carry the spread
+    * partitioning); corpus stats broadcast as one row. The final
+    * global rank sits behind `rnk <= k`, so Spark 4's
+    * window-group-limit keeps k rows per partition before the single
+    * merge — the [[Analytics]] shippingPriority precedent. */
+  def bm25TopK(docs: DataFrame, k: Int = 10, nq: Int = 5): DataFrame = {
+    val tok = graft.functions.Portable.spread(docs, col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .persist() // feeds tf, df, AND doc lengths
+    val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfr = tok.groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df"))
+    val lens = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val stats = lens.agg(count(lit(1)).as("nd"), sum(col("len")).as("tt"))
+    val qterms = dfr.orderBy(col("df").desc, col("t")).limit(nq)
+    val scored = tf.join(broadcast(qterms), "t")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        floor((log(lit(1.0) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("len") * col("nd") / col("tt"))))) * 1e6)
+          .cast("long").as("term_scaled"))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_match_terms"), sum(col("term_scaled")).as("score_scaled"))
+    val w = Window.orderBy(col("score_scaled").desc, col("doc_id"))
+    val result = perDoc
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("n_match_terms"), col("score_scaled"),
+        trunc4(col("score_scaled") / 1e6).as("score"), col("rnk"))
+      .localCheckpoint(true) // k rows; releases the token cache
+    tok.unpersist()
+    result
+  }
+
+  /** Unigram-LM negative-log-likelihood scoring — the perplexity
+    * filter of CCNet (Wenzek et al. 2020) reduced to the unigram model
+    * an engine can train in one aggregate: every doc is scored by the
+    * average −ln p(t) of its tokens under the add-1-smoothed corpus
+    * unigram distribution p(t) = (tf+1)/(T+V). Low avg-NLL = common,
+    * fluent-ish tokens; high = rare/junk vocabulary — the ranking a
+    * pipeline thresholds for quality selection. (Production CCNet uses
+    * an EXTERNAL KenLM; the self-trained unigram is the engine-
+    * expressible stand-in with the identical pipeline shape: train
+    * pass → per-token LUT → score pass.)
+    *
+    * Per-token logprobs floor to 1e6-scaled BIGINTs so doc scores are
+    * exact integer sums ([[dsirWeightsLazy]] pattern). The LUT join is
+    * deliberately NOT broadcast-hinted — vocabulary grows with the
+    * corpus ([[tfidfTopK]]'s reasoning); AQE still picks broadcast when
+    * it fits. One tokenize pass persisted; the per-doc sum reuses the
+    * spread doc partitioning. */
+  def unigramNll(docs: DataFrame): DataFrame = {
+    val tok = graft.functions.Portable.spread(docs, col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .persist() // feeds the LM counts AND the scoring join
+    val tfc = tok.groupBy(col("t")).agg(count(lit(1)).as("tf"))
+    val tot = tfc.agg(sum(col("tf")).as("tt"), count(lit(1)).as("v"))
+    val lut = tfc.crossJoin(broadcast(tot))
+      .select(col("t"),
+        floor(-log((col("tf") + 1) / (col("tt") + col("v"))) * 1e6)
+          .cast("long").as("nll_term"))
+    val result = tok.join(lut, "t")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nll_term")).as("nll_scaled"))
+      .withColumn("avg_nll", trunc4(col("nll_scaled") / 1e6 / col("n_tokens")))
+      .localCheckpoint(true) // one row per doc; releases the token cache
+    tok.unpersist()
+    result
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_bm25" -> ((s, d) => bm25TopK(Tables.documents(s, d))),
+    "q_text_perplexity" -> ((s, d) => unigramNll(Tables.documents(s, d))),
     "q_text_novelty" -> ((s, d) => novelty(Tables.documents(s, d))),
     "q_text_familiarity" -> ((s, d) => familiarity(Tables.documents(s, d))),
     "q_text_pmi" -> ((s, d) => pmiCollocations(Tables.documents(s, d))),
@@ -1118,6 +1209,31 @@ object TextOps {
     s"len(list_filter(toks, t -> t IN ${inList(lang)}))::DOUBLE / len(toks)"
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_bm25" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents), " +
+        "tf AS (SELECT doc_id, t, count(*) tf FROM tok GROUP BY 1, 2), " +
+        "df AS (SELECT t, count(DISTINCT doc_id) df FROM tok GROUP BY 1), " +
+        "lens AS (SELECT doc_id, count(*) len FROM tok GROUP BY 1), " +
+        "st AS (SELECT count(*) nd, sum(len)::BIGINT tt FROM lens), " +
+        "q AS (SELECT t, df FROM df ORDER BY df DESC, t LIMIT 5), " +
+        "sc AS (SELECT doc_id, CAST(floor((ln(1.0 + (nd - df + 0.5) / (df + 0.5)) * " +
+        "(tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (len * nd / tt)))) * 1000000) AS BIGINT) term_scaled " +
+        "FROM tf JOIN q USING (t) JOIN lens USING (doc_id) CROSS JOIN st), " +
+        "pd AS (SELECT doc_id, count(*) n_match_terms, sum(term_scaled)::BIGINT score_scaled " +
+        "FROM sc GROUP BY 1), " +
+        "r AS (SELECT doc_id, n_match_terms, score_scaled, row_number() OVER " +
+        "(ORDER BY score_scaled DESC, doc_id) rnk FROM pd) " +
+        "SELECT doc_id, n_match_terms, score_scaled, " +
+        "floor(score_scaled / 1000000.0 * 10000) / 10000 AS score, rnk FROM r WHERE rnk <= 10"),
+    "q_text_perplexity" ->
+      ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents), " +
+        "tfc AS (SELECT t, count(*) tf FROM tok GROUP BY 1), " +
+        "tot AS (SELECT sum(tf)::BIGINT tt, count(*) v FROM tfc), " +
+        "lut AS (SELECT t, CAST(floor(-ln((tf + 1) / (tt + v)) * 1000000) AS BIGINT) nll_term " +
+        "FROM tfc CROSS JOIN tot) " +
+        "SELECT doc_id, count(*) AS n_tokens, sum(nll_term)::BIGINT AS nll_scaled, " +
+        "floor(sum(nll_term)::BIGINT / 1000000.0 / count(*) * 10000) / 10000 AS avg_nll " +
+        "FROM tok JOIN lut USING (t) GROUP BY 1"),
     "q_text_novelty" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents), " +
         "sh AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(tok) - 1), " +

@@ -910,4 +910,103 @@ class MonitoringSpec extends SparkSpec {
       assert(x.getAs[Long]("n_pairs") === nDays - x.getAs[Long]("lag"))
     }
   }
+
+  test("userEntropy: single-merchant mule scores 0, uniform mix scores ln(k) normalized to 1") {
+    import spark.implicits._
+    // user 1: 6 events all at one merchant; user 2: 2+2 over two merchants;
+    // user 3: 3+1 skewed over two merchants
+    val ev = (Seq.fill(6)((1L, "7")) ++ Seq((2L, "1"), (2L, "1"), (2L, "2"), (2L, "2")) ++
+      Seq((3L, "1"), (3L, "1"), (3L, "1"), (3L, "2")))
+      .toDF("user_id", "m")
+      .select(col("user_id"), concat(lit("{\"k\": "), col("m"), lit("}")).as("props"))
+    val r = Monitoring.userEntropy(ev).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        ((x.getAs[Long]("n_events"), x.getAs[Long]("n_merchants"),
+          x.getAs[Long]("ent_scaled"), x.getAs[Double]("entropy"),
+          x.getAs[Double]("norm_entropy")))).toMap
+    assert(r(1L) === ((6L, 1L, 0L, 0.0, 0.0)))
+    // uniform 2-way mix: H = ln 2, normalized exactly 1 (same scaled sums)
+    val ln2t = math.floor(0.5 * math.log(0.5) * -1e6).toLong
+    assert(r(2L)._3 === 2 * ln2t)
+    assert(math.abs(r(2L)._5 - 1.0) < 1e-3)
+    // skew strictly lowers entropy below the uniform mix
+    assert(r(3L)._3 < r(2L)._3 && r(3L)._3 > 0)
+  }
+
+  test("targetEncode: smoothing shrinks rare merchants toward the global mean") {
+    import spark.implicits._
+    // busy merchant A: 100 events @ $1; rare merchant B: 1 event @ $100
+    val ev = (Seq.fill(100)(("1", 1.0)) ++ Seq(("2", 100.0)))
+      .toDF("m", "value")
+      .select(concat(lit("{\"k\": "), col("m"), lit("}")).as("props"), col("value"))
+    val r = Monitoring.targetEncode(ev).collect()
+      .map(x => x.getAs[String]("m" + "erchant") ->
+        ((x.getAs[Long]("n"), x.getAs[Long]("sum_cents"),
+          x.getAs[Double]("naive_cents"), x.getAs[Double]("enc_cents")))).toMap
+    val g = (100 * 100 + 10000).toDouble / 101 // global mean cents
+    // rare merchant: encoded value sits strictly between prior and naive,
+    // and lands near the prior (n=1 vs m=20)
+    val (nB, sB, naiveB, encB) = r("2")
+    assert(nB === 1L && sB === 10000L && naiveB === 10000.0)
+    assert(encB < naiveB && encB > g)
+    assert(math.abs(encB - (10000 + 20 * g) / 21) < 1e-3)
+    // busy merchant: encoding barely moves it
+    assert(math.abs(r("1")._4 - 100.0) < math.abs(encB - naiveB))
+  }
+
+  test("burstDetect: a spike over a flat series is flagged; silent hours count in the stats") {
+    import spark.implicits._
+    val H = 3600000L
+    // type "a": 1 event/hour for 40 h, then a 30-event spike in hour 40
+    val flat = (0 until 40).map(h => ("a", h * H + 5))
+    val spike = Seq.fill(30)(("a", 40 * H + 5L))
+    // type "b": active only in 2 of the 41 hours — the zero hours must
+    // drag its mean DOWN so the two active hours flag
+    val sparse = Seq.fill(8)(("b", 10 * H + 1L)) ++ Seq.fill(8)(("b", 20 * H + 1L))
+    val ev = (flat ++ spike ++ sparse).toDF("event_type", "ts_ms")
+    val r = Monitoring.burstDetect(ev).collect()
+      .map(x => (x.getAs[String]("event_type"), x.getAs[Long]("hour_ms") / H,
+        x.getAs[Long]("n"), x.getAs[Double]("z")))
+    assert(r.contains(("a", 40L, 30L, r.find(x => x._1 == "a").get._4)))
+    r.filter(_._1 == "a").foreach(x => assert(x._2 === 40L)) // only the spike
+    // sparse type: both active hours flag (8 >> mean 16/41)
+    assert(r.filter(_._1 == "b").map(_._2).sorted === Seq(10L, 20L))
+    r.foreach(x => assert(x._4 > 3.0 - 1e-4))
+  }
+
+  test("paretoShare: hand-built shares produce the exact k80 and integer-threshold boundary") {
+    import spark.implicits._
+    // type a: 80/10/5/5 → top-1 holds exactly 80% (5*80 >= 4*100) → k80=1
+    // type b: 50/30/20 → cum 50 (no), 80 (yes) → k80=2, share .8
+    val rows = Seq(("a", "m1", 0.80), ("a", "m2", 0.10), ("a", "m3", 0.05), ("a", "m4", 0.05),
+      ("b", "m1", 0.50), ("b", "m2", 0.30), ("b", "m3", 0.20))
+    val ev = rows.toDF("event_type", "m", "value")
+      .select(col("event_type"), concat(lit("{\"k\": \""), col("m"), lit("\"}")).as("props"),
+        col("value"))
+    val r = Monitoring.paretoShare(ev).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        ((x.getAs[Long]("n_merchants"), x.getAs[Long]("total_cents"),
+          x.getAs[Long]("k80"), x.getAs[Double]("share80")))).toMap
+    assert(r("a") === ((4L, 100L, 1L, 0.8)))
+    assert(r("b") === ((3L, 100L, 2L, 0.8)))
+  }
+
+  test("interarrival: exact gaps, quantiles, and one row per multi-event user") {
+    import spark.implicits._
+    // user 1 gaps: 100, 200, 400, 1000 ms; user 2: single event → no row
+    val ev = Seq((1L, 0L, 1L), (1L, 100L, 2L), (1L, 300L, 3L), (1L, 700L, 4L),
+      (1L, 1700L, 5L), (2L, 50L, 6L))
+      .toDF("user_id", "ts_ms", "event_id")
+    val r = Monitoring.interarrival(ev).collect()
+    assert(r.length === 1)
+    val x = r.head
+    assert(x.getAs[Long]("user_id") === 1L)
+    assert(x.getAs[Long]("n_gaps") === 4L)
+    assert(x.getAs[Long]("min_gap_ms") === 100L)
+    assert(x.getAs[Long]("max_gap_ms") === 1000L)
+    // percentile over {100,200,400,1000}: p50 = 300 exactly (midpoint),
+    // p90 = 400 + 0.7*(1000-400) = 820 before trunc4
+    assert(x.getAs[Double]("p50_gap") === 300.0)
+    assert(math.abs(x.getAs[Double]("p90_gap") - 820.0) < 0.01)
+  }
 }

@@ -1628,6 +1628,68 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("TextOps.bm25TopK: matches a driver-side recompute of the Okapi formula") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog the dog the dog barked"),
+      (3L, "cat dog cat dog cat"),
+      (4L, "a completely unrelated sentence about nothing"),
+      (5L, "the the the the the the the the"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bm25TopK(docs, k = 3, nq = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_match_terms"),
+        r.getAs[Long]("score_scaled"), r.getAs[Long]("rnk")))
+    // independent scalar recompute over the collected corpus
+    val toks = docs.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ").toSeq).toMap
+    val nd = toks.size
+    val avg = toks.values.map(_.size).sum.toDouble / nd
+    val dfm = toks.values.flatMap(_.distinct).groupBy(identity).map { case (t, xs) => t -> xs.size }
+    // top-2 df terms, ties by token asc
+    val q = dfm.toSeq.sortBy { case (t, d) => (-d, t) }.take(2)
+    val exp = toks.toSeq.map { case (id, ts) =>
+      val scaled = q.flatMap { case (t, d) =>
+        val tf = ts.count(_ == t)
+        if (tf == 0) None
+        else {
+          val idf = math.log(1.0 + (nd - d + 0.5) / (d + 0.5))
+          // denominator written exactly as the operator writes it:
+          // len*nd as exact integers, the division last
+          val s = idf * (tf * 2.2) /
+            (tf + 1.2 * (0.25 + 0.75 * (ts.size.toLong * nd / toks.values.map(_.size.toLong).sum.toDouble)))
+          Some(math.floor(s * 1e6).toLong)
+        }
+      }
+      (id, scaled.size.toLong, scaled.sum)
+    }.filter(_._2 > 0).sortBy { case (id, _, s) => (-s, id) }.take(3)
+      .zipWithIndex.map { case ((id, n, s), i) => (id, n, s, (i + 1).toLong) }
+    assert(got.toSeq.sortBy(_._4) === exp)
+  }
+
+  test("TextOps.unigramNll: rare-vocabulary docs score higher; exact scaled sums") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "common common rare1 rare2"),
+      (3L, "common common common common common common"))
+      .toDF("doc_id", "text")
+    val r = TextOps.unigramNll(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_tokens"), x.getAs[Long]("nll_scaled"),
+          x.getAs[Double]("avg_nll")))).toMap
+    // corpus: common×12, rare1×1, rare2×1 → T=14, V=3
+    val pc = math.floor(-math.log(13.0 / 17) * 1e6).toLong // (12+1)/(14+3)
+    val pr = math.floor(-math.log(2.0 / 17) * 1e6).toLong  // (1+1)/(14+3)
+    assert(r(1L)._1 === 4L && r(1L)._2 === 4 * pc)
+    assert(r(2L)._2 === 2 * pc + 2 * pr)
+    assert(r(3L)._2 === 6 * pc)
+    // the junk-vocab doc ranks strictly above the fluent ones
+    assert(r(2L)._3 > r(1L)._3 && r(1L)._3 === r(3L)._3)
+    // avg_nll is the trunc4 of the exact integer sum
+    assert(r(2L)._3 === math.floor((2 * pc + 2 * pr) / 1e6 / 4 * 10000) / 10000)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
