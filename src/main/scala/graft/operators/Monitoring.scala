@@ -1606,9 +1606,106 @@ object Monitoring {
         trunc4(expr("percentile(gap, 0.9)")).as("p90_gap"))
   }
 
+  /** Weight-of-evidence encoding + information value — the
+    * credit-scoring sibling of [[targetEncode]]: per merchant,
+    * WOE = ln(good-share / bad-share) against the binary outcome
+    * (here event_type = 'error' is "bad"), with the +0.5 Laplace
+    * adjustment so empty cells can't blow up the log, and each
+    * merchant's IV contribution (good% − bad%)·WOE — the standard
+    * screen for whether the categorical carries signal at all
+    * (Σ IV < 0.02 ⇒ drop the feature).
+    *
+    * Exactness: counts are BIGINTs; shares and the log run as the
+    * identical double expression on both engines; emitted measures
+    * truncate. One fact hash-agg; totals broadcast as one row. */
+  def woeEncode(ev: DataFrame): DataFrame = {
+    val cells = ev
+      .select(get_json_object(col("props"), "$.k").as("merchant"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("bad"))
+      .groupBy(col("merchant"))
+      .agg(sum(col("bad")).as("n_bad"),
+        sum(lit(1L) - col("bad")).as("n_good"))
+      .persist() // feeds the totals AND the encoded projection
+    val g = cells.agg(sum(col("n_bad")).as("tb"), sum(col("n_good")).as("tg"))
+    val result = cells.crossJoin(broadcast(g))
+      .withColumn("gs", (col("n_good") + 0.5) / (col("tg") + 0.5))
+      .withColumn("bs", (col("n_bad") + 0.5) / (col("tb") + 0.5))
+      .select(col("merchant"), col("n_good"), col("n_bad"),
+        trunc4(log(col("gs") / col("bs"))).as("woe"),
+        trunc4((col("gs") - col("bs")) * log(col("gs") / col("bs"))).as("iv_term"))
+      .localCheckpoint(true) // |merchants| rows; releases the cell cache
+    cells.unpersist()
+    result
+  }
+
+  /** Exact ROC AUC of a score against a binary outcome via the
+    * Mann-Whitney rank-sum — "does transaction value separate error
+    * events from the rest": AUC = P(score_pos > score_neg) +
+    * ½P(tie). Ties are handled EXACTLY with midranks over the
+    * collapsed per-cents bins, and every rank quantity is carried
+    * doubled (2·cum + n + 1) so half-ranks stay integers — U2 =
+    * 2·U is an exact BIGINT and the single division at the end is
+    * the only double. The one global window runs over the collapsed
+    * cents-bin relation — bounded by the VALUE DOMAIN (≤ 10⁴ bins
+    * here), not the fact, the [[winsorize]] discipline.
+    *
+    * Output is the one-row eval readout: n_pos, n_neg, u2, auc. */
+  def scoreAuc(ev: DataFrame): DataFrame = {
+    val bins = ev
+      .select(floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("cents"))
+      .agg(sum(col("pos")).as("n_pos"), sum(lit(1L) - col("pos")).as("n_neg"))
+    val wO = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = bins
+      .withColumn("cum", sum(col("n_pos") + col("n_neg")).over(wO))
+      // midrank·2 of this bin = 2·(count before it) + (its count) + 1
+      .withColumn("mr2",
+        (col("cum") - (col("n_pos") + col("n_neg"))) * 2 + (col("n_pos") + col("n_neg")) + 1)
+    ranked.agg(sum(col("n_pos")).as("np"), sum(col("n_neg")).as("nn"),
+        sum(col("n_pos") * col("mr2")).as("r2"))
+      .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+        (col("r2") - col("np") * (col("np") + 1)).as("u2"),
+        trunc4((col("r2") - col("np") * (col("np") + 1)) /
+          (lit(2.0) * col("np") * col("nn"))).as("auc"))
+  }
+
+  /** Precision/recall/F1 threshold sweep — the operating-point table
+    * next to [[scoreAuc]]'s single number: predict "bad" when cents ≥
+    * t for ten fixed 1000-cent thresholds and report the confusion
+    * measures at each. Everything is conditional integer sums over the
+    * collapsed cents bins joined to the tiny broadcast threshold
+    * relation; F1 computes directly from integer tp/fp/fn
+    * (2tp/(2tp+fp+fn)) so it never compounds truncated ratios. */
+  def prCurve(ev: DataFrame, stepCents: Long = 1000L, nT: Int = 10): DataFrame = {
+    val bins = ev
+      .select(floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("pos"))
+      .groupBy(col("cents"))
+      .agg(sum(col("pos")).as("n_pos"), sum(lit(1L) - col("pos")).as("n_neg"))
+    val thresholds = bins.sparkSession.range(1, nT + 1)
+      .select((col("id") * stepCents).as("t"))
+    bins.crossJoin(broadcast(thresholds))
+      .groupBy(col("t"))
+      .agg(sum(when(col("cents") >= col("t"), col("n_pos")).otherwise(0L)).as("tp"),
+        sum(when(col("cents") >= col("t"), col("n_neg")).otherwise(0L)).as("fp"),
+        sum(when(col("cents") < col("t"), col("n_pos")).otherwise(0L)).as("fn"))
+      .select(col("t"), col("tp"), col("fp"), col("fn"),
+        // NULL when nothing predicts positive (both engines agree on
+        // NULL; x/0 rendering would not be portable)
+        when(col("tp") + col("fp") > 0,
+          trunc4(col("tp") / (col("tp") + col("fp")))).as("precision"),
+        trunc4(col("tp") / (col("tp") + col("fn"))).as("recall"),
+        trunc4(lit(2.0) * col("tp") / (lit(2) * col("tp") + col("fp") + col("fn"))).as("f1"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_woe_encode" -> ((s, d) => woeEncode(Tables.events(s, d))),
+    "q_score_auc" -> ((s, d) => scoreAuc(Tables.events(s, d))),
+    "q_pr_curve" -> ((s, d) => prCurve(Tables.events(s, d))),
     "q_user_entropy" -> ((s, d) => userEntropy(Tables.events(s, d))),
     "q_target_encode" -> ((s, d) => targetEncode(Tables.events(s, d))),
     "q_burst_detect" -> ((s, d) => burstDetect(Tables.events(s, d))),
@@ -1660,6 +1757,45 @@ object Monitoring {
     "q_concentration" -> ((s, d) => concentration(Tables.events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_woe_encode" ->
+      ("WITH cells AS (SELECT json_extract_string(props, '$.k') AS merchant, " +
+        "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_bad, " +
+        "sum(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END)::BIGINT AS n_good " +
+        "FROM events GROUP BY 1), " +
+        "g AS (SELECT sum(n_bad)::BIGINT AS tb, sum(n_good)::BIGINT AS tg FROM cells), " +
+        "r AS (SELECT merchant, n_good, n_bad, " +
+        "(n_good + 0.5) / (tg + 0.5) AS gs, (n_bad + 0.5) / (tb + 0.5) AS bs " +
+        "FROM cells CROSS JOIN g) " +
+        "SELECT merchant, n_good, n_bad, " +
+        "floor(ln(gs / bs) * 10000) / 10000 AS woe, " +
+        "floor((gs - bs) * ln(gs / bs) * 10000) / 10000 AS iv_term FROM r"),
+    "q_score_auc" ->
+      ("WITH bins AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
+        "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_pos, " +
+        "sum(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END)::BIGINT AS n_neg " +
+        "FROM events GROUP BY 1), " +
+        "r AS (SELECT n_pos, n_neg, " +
+        "(sum(n_pos + n_neg) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) " +
+        "- (n_pos + n_neg)) * 2 + (n_pos + n_neg) + 1 AS mr2 FROM bins), " +
+        "a AS (SELECT sum(n_pos)::BIGINT AS np, sum(n_neg)::BIGINT AS nn, " +
+        "sum(n_pos * mr2)::BIGINT AS r2 FROM r) " +
+        "SELECT np AS n_pos, nn AS n_neg, (r2 - np * (np + 1))::BIGINT AS u2, " +
+        "floor((r2 - np * (np + 1)) / (2.0 * np * nn) * 10000) / 10000 AS auc FROM a"),
+    "q_pr_curve" ->
+      ("WITH bins AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
+        "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_pos, " +
+        "sum(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END)::BIGINT AS n_neg " +
+        "FROM events GROUP BY 1), " +
+        "th AS (SELECT unnest(range(1, 11)) * 1000 AS t), " +
+        "cm AS (SELECT t, " +
+        "sum(CASE WHEN cents >= t THEN n_pos ELSE 0 END)::BIGINT AS tp, " +
+        "sum(CASE WHEN cents >= t THEN n_neg ELSE 0 END)::BIGINT AS fp, " +
+        "sum(CASE WHEN cents < t THEN n_pos ELSE 0 END)::BIGINT AS fn " +
+        "FROM bins CROSS JOIN th GROUP BY 1) " +
+        "SELECT t, tp, fp, fn, " +
+        "CASE WHEN tp + fp > 0 THEN floor(tp / (tp + fp) * 10000) / 10000 END AS precision, " +
+        "floor(tp / (tp + fn) * 10000) / 10000 AS recall, " +
+        "floor(2.0 * tp / (2 * tp + fp + fn) * 10000) / 10000 AS f1 FROM cm"),
     "q_user_entropy" ->
       ("WITH cells AS (SELECT user_id, json_extract_string(props, '$.k') AS merchant, " +
         "count(*) AS n FROM events GROUP BY 1, 2), " +

@@ -405,6 +405,85 @@ object Similarity {
     result
   }
 
+  /** Per-label centroid-distance outliers — the label-conditioned
+    * mislabel/contamination screen next to [[vectorDq]]'s corpus-level
+    * audit: the `topJ` vectors farthest from their own label's
+    * centroid are the ones to eyeball (wrong label, encoder glitch, or
+    * genuine tail). Everything ranks on EXACT integers: dims quantize
+    * to int8 under one global scale (the [[vectorDq]] discipline), the
+    * centroid is the per-(label, dim) BIGINT sum sv with count n, and
+    * each vector's distance is compared via d²·n² = Σ_d (qx·n − sv)² —
+    * integer algebra that avoids dividing the centroid (|qx·n| ≤
+    * 127·n, so the 64-dim sum stays far under 2⁶³ through n ≈ 10⁸
+    * per label; beyond that, lift to DECIMAL).
+    *
+    * Scale: one posexplode pass (n·dims narrow rows), the
+    * labels×dims centroid relation broadcasts, and the per-vector
+    * rollup reuses the spread vec_id partitioning. The top-j window is
+    * per label, never global. */
+  def vecOutliers(emb: DataFrame, topJ: Int = 5): DataFrame = {
+    val v = graft.functions.Portable.spread(emb, col("vec_id"))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").as("e"))
+    val gs = v.agg((max(aggregate(col("e"), lit(0.0),
+      (a, x) => greatest(a, abs(x)))) / 127.0).as("gs"))
+    val q = v.crossJoin(broadcast(gs))
+      .select(col("vec_id"), col("label"), col("gs"),
+        posexplode(col("e")))
+      .select(col("vec_id"), col("label"), (col("pos") + 1).as("d"),
+        when(col("gs") > 0,
+          greatest(lit(-127L), least(lit(127L),
+            floor(col("col") / col("gs") + 0.5).cast("long"))))
+          .otherwise(0L).as("qx"))
+      .persist() // feeds the centroid sums AND the deviation join
+    val cent = q.groupBy(col("label"), col("d"))
+      .agg(sum(col("qx")).as("sv"), count(lit(1)).as("n"))
+    val dev = q.join(broadcast(cent), Seq("label", "d"))
+      .select(col("vec_id"), col("label"), col("n"),
+        ((col("qx") * col("n") - col("sv")) * (col("qx") * col("n") - col("sv"))).as("t2"))
+    val perVec = dev.groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("t2")).as("d2n2"), max(col("n")).as("n"))
+    val w = Window.partitionBy(col("label")).orderBy(col("d2n2").desc, col("vec_id"))
+    val result = perVec
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topJ)
+      .select(col("label"), col("vec_id"), col("d2n2"), col("n"),
+        trunc4(sqrt(col("d2n2").cast("double")) / col("n")).as("dist_q"), col("rnk"))
+      .localCheckpoint(true) // topJ rows per label; releases the dim cache
+    q.unpersist()
+    result
+  }
+
+  /** kNN label-noise detection (the confident-learning screen of
+    * Northcutt et al. 2021, reduced to its kNN-agreement core): a
+    * vector whose approximate k nearest neighbors vote for a DIFFERENT
+    * label than its own is a mislabel candidate. Rides the exact
+    * [[knnGraph]] chain (banded LSH candidates → per-source top-k), so
+    * candidate generation is never all-pairs and the oracle replays
+    * the identical approximation; the vote is an integer count with
+    * deterministic tie-break (higher votes, then smaller label).
+    *
+    * Scale: the graph is ≤ k rows per vector; the label join is a
+    * narrow (id, label) equi-join (unhinted — labels grow with the
+    * corpus, AQE broadcasts while it fits); votes/majority/k_eff all
+    * aggregate per source inside one partitioning. */
+  def labelNoise(emb: DataFrame, k: Int = 5): DataFrame = {
+    val g = knnGraph(emb, k) // checkpointed: ≤ k rows per node
+    val lbl = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+    val votes = g
+      .join(lbl.select(col("vec_id").as("dst_id"), col("label").as("dst_label")), "dst_id")
+      .groupBy(col("src_id"), col("dst_label")).agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("src_id")).orderBy(col("votes").desc, col("dst_label"))
+    val pred = votes.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("src_id"), col("dst_label").as("pred_label"), col("votes"))
+    val keff = g.groupBy(col("src_id")).agg(count(lit(1)).as("k_eff"))
+    pred.join(keff, "src_id")
+      .join(lbl.select(col("vec_id").as("src_id"), col("label")), "src_id")
+      .filter(col("label") =!= col("pred_label"))
+      .select(col("src_id").as("vec_id"), col("label"), col("pred_label"),
+        col("votes"), col("k_eff"), trunc4(col("votes") / col("k_eff")).as("vote_share"))
+  }
+
   /** Calibration / reliability audit of a similarity score used as a
     * classifier — the eval-pipeline staple: score every vector by
     * cosine to the vec_id-0 reference, treat p = (cos+1)/2 as the
@@ -889,6 +968,8 @@ object Similarity {
     "q_sim_topk_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_neardup" -> ((s, d) => nearDupPairs(Tables.embeddings(s, d))),
     "q_knn_graph" -> ((s, d) => knnGraph(Tables.embeddings(s, d))),
+    "q_label_noise" -> ((s, d) => labelNoise(Tables.embeddings(s, d))),
+    "q_vec_outliers" -> ((s, d) => vecOutliers(Tables.embeddings(s, d))),
     "q_calibration" -> ((s, d) => calibration(Tables.embeddings(s, d))),
     "q_dedup_semantic" -> ((s, d) => semanticDedup(Tables.embeddings(s, d))),
     "q_sim_recall" -> ((s, d) => recallAtK(Tables.embeddings(s, d), DefaultQueryIds)),
@@ -906,6 +987,22 @@ object Similarity {
   // -- shared oracle CTE fragments (composed per query and by recall) --
 
   private val vCte = "v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings)"
+
+  /** The kNN-graph chain (banded candidates → cosine → mirror →
+    * per-source top-5), shared by q_knn_graph and q_label_noise. */
+  private val kgCtes =
+    "kg_pairs AS (SELECT DISTINCT x.vec_id a_id, y.vec_id b_id " +
+      "FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey " +
+      "AND x.vec_id < y.vec_id), " +
+      "kg_scored AS (SELECT a_id, b_id, floor(list_cosine_similarity(" +
+      "(SELECT e FROM v WHERE v.vec_id = kg_pairs.a_id), " +
+      "(SELECT e FROM v WHERE v.vec_id = kg_pairs.b_id)) * 10000) / 10000 cos " +
+      "FROM kg_pairs), " +
+      "kg_dir AS (SELECT a_id src_id, b_id dst_id, cos FROM kg_scored " +
+      "UNION ALL SELECT b_id, a_id, cos FROM kg_scored), " +
+      "kg_topk AS (SELECT src_id, dst_id, cos, row_number() OVER " +
+      "(PARTITION BY src_id ORDER BY cos DESC, dst_id)::BIGINT rnk FROM kg_dir " +
+      "QUALIFY rnk <= 5)"
 
   /** (q_id, qe) query vectors — exact + ivf share it. */
   private val qsCte = s"qs AS (SELECT vec_id q_id, e qe FROM v WHERE vec_id IN $idsSql)"
@@ -1184,22 +1281,42 @@ object Similarity {
         "floor(abs(pos_rate - conf) * n / n_total * 1000000) / 1000000 AS ece_term " +
         "FROM x"),
     "q_knn_graph" ->
-      (s"WITH $vCte, $bitsBandsCte, " +
-        "kg_pairs AS (SELECT DISTINCT x.vec_id a_id, y.vec_id b_id " +
-        "FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey " +
-        "AND x.vec_id < y.vec_id), " +
-        "kg_scored AS (SELECT a_id, b_id, floor(list_cosine_similarity(" +
-        "(SELECT e FROM v WHERE v.vec_id = kg_pairs.a_id), " +
-        "(SELECT e FROM v WHERE v.vec_id = kg_pairs.b_id)) * 10000) / 10000 cos " +
-        "FROM kg_pairs), " +
-        "kg_dir AS (SELECT a_id src_id, b_id dst_id, cos FROM kg_scored " +
-        "UNION ALL SELECT b_id, a_id, cos FROM kg_scored), " +
-        "kg_topk AS (SELECT src_id, dst_id, cos, row_number() OVER " +
-        "(PARTITION BY src_id ORDER BY cos DESC, dst_id)::BIGINT rnk FROM kg_dir " +
-        "QUALIFY rnk <= 5) " +
+      (s"WITH $vCte, $bitsBandsCte, $kgCtes " +
         "SELECT f.src_id, f.dst_id, f.cos, f.rnk, " +
         "(r.src_id IS NOT NULL) AS mutual FROM kg_topk f " +
         "LEFT JOIN kg_topk r ON f.src_id = r.dst_id AND f.dst_id = r.src_id"),
+    "q_label_noise" ->
+      (s"WITH $vCte, $bitsBandsCte, $kgCtes, " +
+        "ln_lbl AS (SELECT vec_id, label::BIGINT AS label FROM embeddings), " +
+        "ln_votes AS (SELECT src_id, l.label AS dst_label, count(*) AS votes " +
+        "FROM kg_topk t JOIN ln_lbl l ON t.dst_id = l.vec_id GROUP BY 1, 2), " +
+        "ln_pred AS (SELECT src_id, dst_label AS pred_label, votes, " +
+        "row_number() OVER (PARTITION BY src_id ORDER BY votes DESC, dst_label) AS r " +
+        "FROM ln_votes QUALIFY r = 1), " +
+        "ln_keff AS (SELECT src_id, count(*) AS k_eff FROM kg_topk GROUP BY 1) " +
+        "SELECT p.src_id AS vec_id, l.label, p.pred_label, p.votes, k.k_eff, " +
+        "floor(p.votes / k.k_eff * 10000) / 10000 AS vote_share " +
+        "FROM ln_pred p JOIN ln_keff k USING (src_id) " +
+        "JOIN ln_lbl l ON p.src_id = l.vec_id WHERE l.label <> p.pred_label"),
+    "q_vec_outliers" ->
+      ("WITH vo_v AS (SELECT vec_id, label::BIGINT AS label, embedding::DOUBLE[] AS e " +
+        "FROM embeddings), " +
+        "vo_g AS (SELECT max(list_max(list_transform(e, x -> abs(x)))) / 127.0 AS gs " +
+        "FROM vo_v), " +
+        "vo_q AS (SELECT vec_id, label, d, CASE WHEN gs > 0 THEN " +
+        "CAST(greatest(-127, least(127, floor(e[d] / gs + 0.5))) AS BIGINT) " +
+        "ELSE 0 END AS qx FROM (SELECT vec_id, label, e, gs, " +
+        "unnest(range(1, len(e) + 1)) AS d FROM vo_v CROSS JOIN vo_g)), " +
+        "vo_c AS (SELECT label, d, sum(qx)::BIGINT AS sv, count(*) AS n " +
+        "FROM vo_q GROUP BY 1, 2), " +
+        "vo_pv AS (SELECT vec_id, q.label, " +
+        "sum((qx * n - sv) * (qx * n - sv))::BIGINT AS d2n2, max(n) AS n " +
+        "FROM vo_q q JOIN vo_c c ON q.label = c.label AND q.d = c.d GROUP BY 1, 2), " +
+        "vo_r AS (SELECT label, vec_id, d2n2, n, row_number() OVER " +
+        "(PARTITION BY label ORDER BY d2n2 DESC, vec_id)::BIGINT AS rnk FROM vo_pv " +
+        "QUALIFY rnk <= 5) " +
+        "SELECT label, vec_id, d2n2, n, " +
+        "floor(sqrt(d2n2::DOUBLE) / n * 10000) / 10000 AS dist_q, rnk FROM vo_r"),
     "q_sim_neardup" ->
       (s"WITH $vCte, $bitsBandsCte" + ", cand AS (SELECT DISTINCT x.vec_id a_id, y.vec_id b_id " +
         "FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id), " +

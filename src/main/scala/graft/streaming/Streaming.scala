@@ -663,6 +663,32 @@ object Streaming {
       .filter(col("event_type") === "purchase")
       .drop("event_type")
 
+  /** Streaming heavy hitters: per-hour per-user activity maintained as
+    * windowed streaming STATE, with the top-k ranking applied on the
+    * finalized read-back — the split every streaming top-k needs
+    * (ranking is not incrementally maintainable in Append mode, and
+    * doesn't have to be: state is the mergeable (window, user) count
+    * registers, rank runs once per finalized window over ≤ |users|
+    * rows). The batch answer to "who dominated each hour" therefore
+    * equals the streaming one exactly — integer counts, deterministic
+    * (n desc, user_id) tie-break — which is what the oracle replays.
+    * Sentinel rows carry user_id −1 and evaporate on the read-back
+    * predicate (not in-plan: the [[streamDrift]] pushdown lesson). */
+  def streamTopK(spark: SparkSession, dir: String,
+      watermarkMin: Long = 60L, k: Int = 3): DataFrame = {
+    val counts = replay(spark, dir, in => in
+      .withWatermark("timestamp", s"$watermarkMin minutes")
+      .groupBy(window(col("timestamp"), "60 minutes").as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .select(unix_millis(col("win.start")).as("win_start_ms"),
+        col("user_id"), col("n"), col("cents")))
+      .filter(col("user_id") >= 0L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("win_start_ms")).orderBy(col("n").desc, col("user_id"))
+    counts.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** The drift gate ON the stream: the per-day amount histogram is
     * maintained as windowed streaming state (bins are plain counts, so
     * Spark's incremental state update IS the histogram merge), and the
@@ -1079,7 +1105,8 @@ object Streaming {
     "q_stream_cdc" -> ((s, d) => streamCdc(s, d)),
     "q_stream_sliding" -> ((s, d) => streamSliding(s, d)),
     "q_stream_drift" -> ((s, d) => streamDrift(s, d)),
-    "q_stream_ohlc" -> ((s, d) => streamOhlc(s, d)))
+    "q_stream_ohlc" -> ((s, d) => streamOhlc(s, d)),
+    "q_stream_topk" -> ((s, d) => streamTopK(s, d)))
 
   /** The tumbling-window batch equivalent — checks [[streamReplay]]
     * directly and [[streamDedup]] (exactly-once: the redelivered copies
@@ -1099,6 +1126,13 @@ object Streaming {
         "max(cents) AS high_cents, min(cents) AS low_cents, " +
         "arg_max(cents, k) AS close_cents, count(*) AS n_trades, " +
         "sum(cents)::BIGINT AS volume_cents FROM t GROUP BY 1"),
+    "q_stream_topk" ->
+      ("WITH c AS (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_start_ms, user_id, " +
+        "count(*) AS n, sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents " +
+        "FROM events GROUP BY 1, 2) " +
+        "SELECT win_start_ms, user_id, n, cents, row_number() OVER " +
+        "(PARTITION BY win_start_ms ORDER BY n DESC, user_id)::BIGINT AS rnk " +
+        "FROM c QUALIFY rnk <= 3"),
     "q_stream_replay" -> tumblingOracle,
     "q_stream_dedup" -> tumblingOracle,
     "q_stream_enrich" ->

@@ -911,6 +911,61 @@ class MonitoringSpec extends SparkSpec {
     }
   }
 
+  test("woeEncode: clean merchants score positive, bad ones negative, IV terms non-negative") {
+    import spark.implicits._
+    // merchant 1: 10 good; merchant 2: 1 good, 5 bad
+    val ev = (Seq.fill(10)(("1", "view")) ++ Seq(("2", "view")) ++ Seq.fill(5)(("2", "error")))
+      .toDF("m", "event_type")
+      .select(concat(lit("{\"k\": "), col("m"), lit("}")).as("props"), col("event_type"))
+    val r = Monitoring.woeEncode(ev).collect()
+      .map(x => x.getAs[String]("merchant") ->
+        ((x.getAs[Long]("n_good"), x.getAs[Long]("n_bad"),
+          x.getAs[Double]("woe"), x.getAs[Double]("iv_term")))).toMap
+    assert(r("1")._1 === 10L && r("1")._2 === 0L)
+    assert(r("2")._1 === 1L && r("2")._2 === 5L)
+    assert(r("1")._3 > 0 && r("2")._3 < 0) // sign encodes the odds direction
+    // IV contribution is non-negative by construction ((gs-bs) and ln share sign)
+    r.values.foreach(x => assert(x._4 >= 0.0))
+    // exact recompute for merchant 1 (Laplace 0.5 on 11 good / 5 bad totals)
+    val gs = 10.5 / 11.5; val bs = 0.5 / 5.5
+    assert(r("1")._3 === math.floor(math.log(gs / bs) * 10000) / 10000)
+  }
+
+  test("scoreAuc: hand-built ties produce the exact midrank AUC") {
+    import spark.implicits._
+    // scores: pos {3.00, 2.00}, neg {1.00, 2.00} — one tied pair at 2.00
+    // midranks over [100, 200, 200, 300]: 1, 2.5, 2.5, 4
+    // U = (2.5 + 4) - 2*3/2 = 3.5 → AUC = 3.5 / 4 = 0.875
+    val ev = Seq((3.0, "error"), (2.0, "error"), (1.0, "view"), (2.0, "view"))
+      .toDF("value", "event_type")
+    val r = Monitoring.scoreAuc(ev).collect().head
+    assert(r.getAs[Long]("n_pos") === 2L && r.getAs[Long]("n_neg") === 2L)
+    assert(r.getAs[Long]("u2") === 7L) // 2·U
+    assert(r.getAs[Double]("auc") === 0.875)
+  }
+
+  test("prCurve: confusion counts are exact per threshold; empty-prediction rows go NULL") {
+    import spark.implicits._
+    // pos at $25 and $5; neg at $15 and $2 (cents: 2500, 500, 1500, 200)
+    val ev = Seq((25.0, "error"), (5.0, "error"), (15.0, "view"), (2.0, "view"))
+      .toDF("value", "event_type")
+    val r = Monitoring.prCurve(ev).collect()
+      .map(x => x.getAs[Long]("t") ->
+        ((x.getAs[Long]("tp"), x.getAs[Long]("fp"), x.getAs[Long]("fn"),
+          Option(x.getAs[java.lang.Double]("precision")),
+          x.getAs[Double]("recall")))).toMap
+    assert(r.size === 10)
+    // t=1000: predicts {2500, 1500} → tp=1 fp=1 fn=1
+    assert(r(1000L)._1 === 1L && r(1000L)._2 === 1L && r(1000L)._3 === 1L)
+    assert(r(1000L)._4 === Some(0.5) && r(1000L)._5 === 0.5)
+    // t=2000: predicts {2500} → perfect precision, half recall
+    assert(r(2000L)._1 === 1L && r(2000L)._2 === 0L && r(2000L)._4 === Some(1.0))
+    // t=3000..10000: nothing predicted → precision NULL, recall 0
+    (3L to 10L).map(_ * 1000).foreach { t =>
+      assert(r(t)._1 === 0L && r(t)._4 === None && r(t)._5 === 0.0)
+    }
+  }
+
   test("userEntropy: single-merchant mule scores 0, uniform mix scores ln(k) normalized to 1") {
     import spark.implicits._
     // user 1: 6 events all at one merchant; user 2: 2+2 over two merchants;

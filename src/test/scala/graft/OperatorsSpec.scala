@@ -1690,6 +1690,51 @@ class OperatorsSpec extends SparkSpec {
     assert(r(2L)._3 === math.floor((2 * pc + 2 * pr) / 1e6 / 4 * 10000) / 10000)
   }
 
+  test("Similarity.vecOutliers: the far-from-centroid vector ranks first with exact integer distance") {
+    import spark.implicits._
+    // label 0: three vectors near [1, 0], one flipped to [-1, 0];
+    // label 1: a tight pair (no outlier should dominate)
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(0.9f, 0.1f), 0), (4L, Array(-1.0f, 0.0f), 0),
+      (5L, Array(0.0f, 1.0f), 1), (6L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.vecOutliers(emb, topJ = 2).collect()
+      .map(x => (x.getAs[Long]("label"), x.getAs[Long]("rnk")) ->
+        ((x.getAs[Long]("vec_id"), x.getAs[Long]("d2n2"), x.getAs[Long]("n"))))
+      .toMap
+    assert(r((0L, 1L))._1 === 4L) // the flipped vector is label 0's top outlier
+    // exact recompute of d2n2 for vector 4: gs = 1/127 ⇒ qx = round(x·127)
+    def qx(x: Double) = math.max(-127L, math.min(127L, math.floor(x * 127 + 0.5).toLong))
+    val label0 = Seq(Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.9, 0.1), Seq(-1.0, 0.0))
+    val n = label0.size.toLong
+    val sv = Seq(0, 1).map(d => label0.map(v => qx(v(d))).sum)
+    val d2n2 = Seq(0, 1).map(d => { val t = qx(label0(3)(d)) * n - sv(d); t * t }).sum
+    assert(r((0L, 1L))._2 === d2n2 && r((0L, 1L))._3 === n)
+    // the tight pair: both members equidistant (symmetric), tiny distance
+    assert(r((1L, 1L))._2 === r((1L, 2L))._2)
+  }
+
+  test("Similarity.labelNoise: a mislabeled vector inside a tight cluster is flagged; clean ones are not") {
+    import spark.implicits._
+    // cluster A along +x: five label-1 vectors and ONE labeled 2 (id 6);
+    // cluster B along +y: four label-2 vectors
+    val a = (1L to 5L).map(i => (i, Array(1.0f, 0.01f * i, 0.0f, 0.0f), 1))
+    val bad = Seq((6L, Array(1.0f, 0.03f, 0.0f, 0.0f), 2))
+    val b = (7L to 10L).map(i => (i, Array(0.0f, 0.01f * i, 1.0f, 0.0f), 2))
+    val emb = (a ++ bad ++ b).toDF("vec_id", "embedding", "label")
+    val r = Similarity.labelNoise(emb, k = 3).collect()
+      .map(x => x.getAs[Long]("vec_id") ->
+        ((x.getAs[Long]("label"), x.getAs[Long]("pred_label"),
+          x.getAs[Long]("votes"), x.getAs[Long]("k_eff")))).toMap
+    // the planted mislabel is caught: neighbors vote label 1
+    assert(r.contains(6L))
+    assert(r(6L)._1 === 2L && r(6L)._2 === 1L)
+    assert(r(6L)._3 === r(6L)._4) // unanimous within cluster A
+    // no clean cluster-B member is flagged (their neighbors are label 2)
+    (7L to 10L).foreach(i => assert(!r.contains(i)))
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -561,6 +561,23 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter(col("event_type") === "__sentinel__").count() === 0)
   }
 
+  test("streamTopK: per-window heavy hitters equal the batch ranking; no sentinel users") {
+    import org.apache.spark.sql.functions._
+    val got = Streaming.streamTopK(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .groupBy((floor(col("ts_ms") / 3600000L) * 3600000L).cast("long").as("win_start_ms"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("win_start_ms")).orderBy(col("n").desc, col("user_id"))).cast("long"))
+      .filter(col("rnk") <= 3)
+    assert(got.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(got).count() === 0)
+    assert(got.filter(col("user_id") < 0).count() === 0)
+  }
+
   test("streamSessions: merged session windows equal the batch gaps-and-islands; exact-gap starts a new session") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
