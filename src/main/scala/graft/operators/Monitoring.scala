@@ -1700,9 +1700,83 @@ object Monitoring {
         trunc4(lit(2.0) * col("tp") / (lit(2) * col("tp") + col("fp") + col("fn"))).as("f1"))
   }
 
+  /** Daily log-return volatility per event type — the realized-vol
+    * readout a monitoring desk keeps on every flow series: per-day
+    * cent volume, day-over-day log return, and the trailing 7-day
+    * return volatility. Returns floor to 1e6-scaled BIGINTs at the
+    * moment they become floats (the one ln), so the rolling sums the
+    * σ derives from are EXACT integers and the window's merge order
+    * can't move a result.
+    *
+    * Scale: the fact contributes one (type, day) hash-agg; both
+    * windows (lag, trailing frame) run per type over the collapsed
+    * daily relation — bounded by the calendar, not the data. */
+  def volatility(ev: DataFrame, win: Int = 7): DataFrame = {
+    val daily = ev
+      .select(col("event_type"),
+        (floor(col("ts_ms") / 86400000L) * 86400000L).as("day_ms"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day_ms")).agg(sum(col("cents")).as("c"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day_ms"))
+    val rets = daily
+      .withColumn("prev", lag(col("c"), 1).over(byDay))
+      .filter(col("prev").isNotNull)
+      .withColumn("r", floor(log(col("c") / col("prev")) * 1e6).cast("long"))
+    val frame = byDay.rowsBetween(-(win - 1L), Window.currentRow)
+    rets
+      .withColumn("n_win", count(lit(1)).over(frame))
+      .withColumn("s", sum(col("r")).over(frame))
+      .withColumn("s2", sum(col("r") * col("r")).over(frame))
+      .select(col("event_type"), col("day_ms"), col("c").as("cents"),
+        trunc4(col("r") / 1e6).as("ret"), col("n_win"),
+        // greatest(·, 0): float cancellation on an all-equal window can
+        // land at −ε, and sqrt(−ε) is engine-divergent
+        trunc4(sqrt(greatest(col("s2") / col("n_win") -
+          (col("s") / col("n_win")) * (col("s") / col("n_win")), lit(0.0))) / 1e6).as("vol"))
+  }
+
+  /** Maximum drawdown of the daily volume series per event type: the
+    * deepest drop from the running peak, with the day it bottomed —
+    * "how far below its best day has this channel fallen" (a channel
+    * whose volume never recovers toward its peak is dying or was
+    * spiked by fraud). All integer: daily cents, running max, and the
+    * drawdown are BIGINTs; the trough day is the FIRST day attaining
+    * the max drawdown (min day over ties — deterministic).
+    *
+    * Scale: one fact hash-agg; the running-max window and the argmax
+    * join both run over the collapsed (type, day) relation. */
+  def drawdown(ev: DataFrame): DataFrame = {
+    val daily = ev
+      .select(col("event_type"),
+        (floor(col("ts_ms") / 86400000L) * 86400000L).as("day_ms"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("day_ms")).agg(sum(col("cents")).as("c"))
+    val byDay = Window.partitionBy(col("event_type")).orderBy(col("day_ms"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dd = daily
+      .withColumn("peak", max(col("c")).over(byDay))
+      .withColumn("dd", col("peak") - col("c"))
+      .persist() // feeds the per-type max AND the argmax join
+    val result = dd.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), max(col("c")).as("peak_cents"),
+        max(col("dd")).as("max_dd_cents"))
+      .join(dd.groupBy(col("event_type"), col("dd"))
+          .agg(min(col("day_ms")).as("trough_day_ms"))
+          .withColumnRenamed("dd", "max_dd_cents"),
+        Seq("event_type", "max_dd_cents"))
+      .select(col("event_type"), col("n_days"), col("peak_cents"),
+        col("max_dd_cents"), col("trough_day_ms"),
+        trunc4(col("max_dd_cents") / col("peak_cents")).as("dd_share"))
+      .localCheckpoint(true) // |types| rows; releases the daily cache
+    dd.unpersist()
+    result
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_volatility" -> ((s, d) => volatility(Tables.events(s, d))),
+    "q_drawdown" -> ((s, d) => drawdown(Tables.events(s, d))),
     "q_woe_encode" -> ((s, d) => woeEncode(Tables.events(s, d))),
     "q_score_auc" -> ((s, d) => scoreAuc(Tables.events(s, d))),
     "q_pr_curve" -> ((s, d) => prCurve(Tables.events(s, d))),
@@ -1757,6 +1831,34 @@ object Monitoring {
     "q_concentration" -> ((s, d) => concentration(Tables.events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_volatility" ->
+      ("WITH daily AS (SELECT event_type, (epoch_ms(ts) // 86400000) * 86400000 AS day_ms, " +
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS c FROM events GROUP BY 1, 2), " +
+        "rets AS (SELECT event_type, day_ms, c, " +
+        "CAST(floor(ln(c / lag(c) OVER w) * 1000000) AS BIGINT) AS r FROM daily " +
+        "WINDOW w AS (PARTITION BY event_type ORDER BY day_ms) " +
+        "QUALIFY lag(c) OVER w IS NOT NULL), " +
+        "v AS (SELECT event_type, day_ms, c, r, " +
+        "count(*) OVER f AS n_win, sum(r) OVER f AS s, sum(r * r) OVER f AS s2 " +
+        "FROM rets WINDOW f AS (PARTITION BY event_type ORDER BY day_ms " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_type, day_ms, c AS cents, " +
+        "floor(r / 1000000.0 * 10000) / 10000 AS ret, n_win, " +
+        "floor(sqrt(greatest(s2 / n_win - (s / n_win) * (s / n_win), 0.0)) " +
+        "/ 1000000 * 10000) / 10000 AS vol FROM v"),
+    "q_drawdown" ->
+      ("WITH daily AS (SELECT event_type, (epoch_ms(ts) // 86400000) * 86400000 AS day_ms, " +
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS c FROM events GROUP BY 1, 2), " +
+        "dd AS (SELECT event_type, day_ms, c, " +
+        "max(c) OVER (PARTITION BY event_type ORDER BY day_ms " +
+        "ROWS UNBOUNDED PRECEDING) - c AS dd FROM daily), " +
+        "agg AS (SELECT event_type, count(*) AS n_days, max(c)::BIGINT AS peak_cents, " +
+        "max(dd)::BIGINT AS max_dd_cents FROM dd GROUP BY 1), " +
+        "tr AS (SELECT event_type, dd AS max_dd_cents, min(day_ms) AS trough_day_ms " +
+        "FROM dd GROUP BY 1, 2) " +
+        "SELECT event_type, n_days, peak_cents, max_dd_cents, trough_day_ms, " +
+        "floor(max_dd_cents / peak_cents * 10000) / 10000 AS dd_share " +
+        "FROM agg JOIN tr USING (event_type, max_dd_cents)"),
     "q_woe_encode" ->
       ("WITH cells AS (SELECT json_extract_string(props, '$.k') AS merchant, " +
         "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_bad, " +

@@ -1155,7 +1155,62 @@ object TextOps {
     result
   }
 
+  /** Vocabulary coverage curve — the tokenizer-sizing readout: what
+    * share of all token INSTANCES do the top-k vocabulary types cover,
+    * for k ∈ {5, 10, 25} (sized to the corpus vocabulary)? (The elbow of this curve is where a
+    * fixed vocab stops paying and subword units take over — the
+    * question [[bpeLearn]] exists to answer.) Pure integers until the
+    * final share: type counts, a rank over the collapsed vocabulary
+    * relation (aggregate-collapsed, never the token stream), exact
+    * cumulative sums, one division.
+    *
+    * Scale: one tokenize + hash-agg to the vocab relation; the global
+    * rank/cumsum window runs over VOCAB rows (heavy-tailed but
+    * aggregate-bounded — the [[zipfFit]] precedent; a 100 TB corpus
+    * ranks its vocab the same way, or two-phase-partitions it like
+    * globalRank if vocab itself outgrows a task). */
+  def vocabCoverage(docs: DataFrame, ks: Seq[Long] = Seq(5L, 10L, 25L)): DataFrame = {
+    val tf = docs.select(explode(tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("t"))
+    val ranked = tf
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("n")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = tf.agg(sum(col("n")).as("total_tokens"), count(lit(1)).as("vocab_size"))
+    ranked.filter(col("rnk").isin(ks: _*))
+      .crossJoin(broadcast(tot))
+      .select(col("rnk").as("k"), col("cum").as("cum_tokens"),
+        col("total_tokens"), col("vocab_size"),
+        trunc4(col("cum") / col("total_tokens")).as("coverage"))
+  }
+
+  /** Boilerplate / template detection: document PREFIXES (first
+    * `nTok` tokens) shared by ≥ `minDocs` docs of one source — the
+    * "every page starts with the same header" screen a curator runs
+    * before dedup (templates inflate exact-dup stats and poison
+    * n-gram LMs; [[novelty]] sees them as old shingles but can't name
+    * them). Emitted per (source, prefix): the doc count and its share
+    * of the source.
+    *
+    * Scale: the prefix is a row-local slice+join of the token array
+    * (one scan projection, no explode); one (source, prefix) hash-agg
+    * bounded by the doc count; per-source totals broadcast. */
+  def boilerplate(docs: DataFrame, nTok: Int = 2, minDocs: Long = 2L): DataFrame = {
+    val pref = docs.select(col("source"),
+      array_join(slice(tokens(col("text")), 1, nTok), " ").as("prefix"))
+    val cells = pref.groupBy(col("source"), col("prefix"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = pref.groupBy(col("source")).agg(count(lit(1)).as("src_docs"))
+    cells.filter(col("n_docs") >= minDocs)
+      .join(broadcast(tot), "source")
+      .select(col("source"), col("prefix"), col("n_docs"), col("src_docs"),
+        trunc4(col("n_docs") / col("src_docs")).as("share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_coverage" -> ((s, d) => vocabCoverage(Tables.documents(s, d))),
+    "q_boilerplate" -> ((s, d) => boilerplate(Tables.documents(s, d))),
     "q_text_bm25" -> ((s, d) => bm25TopK(Tables.documents(s, d))),
     "q_text_perplexity" -> ((s, d) => unigramNll(Tables.documents(s, d))),
     "q_text_novelty" -> ((s, d) => novelty(Tables.documents(s, d))),
@@ -1209,6 +1264,23 @@ object TextOps {
     s"len(list_filter(toks, t -> t IN ${inList(lang)}))::DOUBLE / len(toks)"
 
   val oracleSql: Map[String, String] = Map(
+    "q_vocab_coverage" ->
+      ("WITH tf AS (SELECT t, count(*) AS n FROM (SELECT unnest(string_split(text, ' ')) t " +
+        "FROM documents) GROUP BY 1), " +
+        "r AS (SELECT t, n, row_number() OVER (ORDER BY n DESC, t)::BIGINT AS rnk, " +
+        "sum(n) OVER (ORDER BY n DESC, t ROWS UNBOUNDED PRECEDING)::BIGINT AS cum FROM tf), " +
+        "tot AS (SELECT sum(n)::BIGINT AS total_tokens, count(*) AS vocab_size FROM tf) " +
+        "SELECT rnk AS k, cum AS cum_tokens, total_tokens, vocab_size, " +
+        "floor(cum / total_tokens * 10000) / 10000 AS coverage " +
+        "FROM r CROSS JOIN tot WHERE rnk IN (5, 10, 25)"),
+    "q_boilerplate" ->
+      ("WITH pref AS (SELECT source, array_to_string(string_split(text, ' ')[1:2], ' ') AS prefix " +
+        "FROM documents), " +
+        "cells AS (SELECT source, prefix, count(*) AS n_docs FROM pref GROUP BY 1, 2), " +
+        "tot AS (SELECT source, count(*) AS src_docs FROM pref GROUP BY 1) " +
+        "SELECT source, prefix, n_docs, src_docs, " +
+        "floor(n_docs / src_docs * 10000) / 10000 AS share " +
+        "FROM cells JOIN tot USING (source) WHERE n_docs >= 2"),
     "q_text_bm25" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents), " +
         "tf AS (SELECT doc_id, t, count(*) tf FROM tok GROUP BY 1, 2), " +

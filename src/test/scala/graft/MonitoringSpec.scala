@@ -911,6 +911,41 @@ class MonitoringSpec extends SparkSpec {
     }
   }
 
+  test("volatility: hand-built daily series produces exact scaled returns and a zero-vol flat window") {
+    import spark.implicits._
+    val D = 86400000L
+    // type a: volumes 1.00, 2.00, 1.00, 1.00 → returns ln2, −ln2, 0
+    val rows = Seq((0L, 1.0), (1L, 2.0), (2L, 1.0), (3L, 1.0))
+      .map { case (d, v) => ("a", d * D + 1, v) }
+    val r = Monitoring.volatility(rows.toDF("event_type", "ts_ms", "value")).collect()
+      .map(x => x.getAs[Long]("day_ms") / D ->
+        ((x.getAs[Double]("ret"), x.getAs[Long]("n_win"), x.getAs[Double]("vol")))).toMap
+    assert(r.keySet === Set(1L, 2L, 3L)) // first day has no return
+    val ln2s = math.floor(math.log(2.0) * 1e6) // scaled return
+    assert(r(1L)._1 === math.floor(ln2s / 1e6 * 10000) / 10000)
+    assert(r(1L)._2 === 1L && r(1L)._3 === 0.0) // single-return window: σ = 0
+    // window {ln2, −ln2, 0}: recompute σ from the exact scaled integers
+    val rs = Seq(ln2s.toLong, math.floor(math.log(0.5) * 1e6).toLong, 0L)
+    val n = rs.size.toDouble
+    val sd = math.sqrt(rs.map(x => x * x).sum / n - math.pow(rs.sum / n, 2))
+    assert(r(3L)._2 === 3L)
+    assert(r(3L)._3 === math.floor(sd / 1e6 * 10000) / 10000)
+  }
+
+  test("drawdown: deepest drop from the running peak, first trough day on ties") {
+    import spark.implicits._
+    val D = 86400000L
+    // daily volumes: 1.00, 3.00, 1.50, 2.00, 0.50 → dd: 0,0,150,100,250
+    val rows = Seq((0L, 1.0), (1L, 3.0), (2L, 1.5), (3L, 2.0), (4L, 0.5))
+      .map { case (d, v) => ("a", d * D, v) }
+    val r = Monitoring.drawdown(rows.toDF("event_type", "ts_ms", "value")).collect().head
+    assert(r.getAs[Long]("n_days") === 5L)
+    assert(r.getAs[Long]("peak_cents") === 300L)
+    assert(r.getAs[Long]("max_dd_cents") === 250L)
+    assert(r.getAs[Long]("trough_day_ms") === 4L * D)
+    assert(r.getAs[Double]("dd_share") === math.floor(250.0 / 300 * 10000) / 10000)
+  }
+
   test("woeEncode: clean merchants score positive, bad ones negative, IV terms non-negative") {
     import spark.implicits._
     // merchant 1: 10 good; merchant 2: 1 good, 5 bad

@@ -1735,6 +1735,37 @@ class OperatorsSpec extends SparkSpec {
     (7L to 10L).foreach(i => assert(!r.contains(i)))
   }
 
+  test("TextOps.vocabCoverage: cumulative shares at the requested ranks, exact counts") {
+    import spark.implicits._
+    // counts: a×5, b×3, c×2, d×1 (ties impossible) → total 11, vocab 4
+    val docs = Seq((1L, "a a a b b c"), (2L, "a a b c d")).toDF("doc_id", "text")
+    val r = TextOps.vocabCoverage(docs, ks = Seq(1L, 2L, 4L)).collect()
+      .map(x => x.getAs[Long]("k") ->
+        ((x.getAs[Long]("cum_tokens"), x.getAs[Long]("total_tokens"),
+          x.getAs[Long]("vocab_size"), x.getAs[Double]("coverage")))).toMap
+    assert(r.keySet === Set(1L, 2L, 4L))
+    assert(r(1L)._1 === 5L && r(2L)._1 === 8L && r(4L)._1 === 11L)
+    assert(r(1L)._2 === 11L && r(1L)._3 === 4L)
+    assert(r(4L)._4 === 1.0) // full vocab covers everything
+    assert(r(2L)._4 === math.floor(8.0 / 11 * 10000) / 10000)
+  }
+
+  test("TextOps.boilerplate: shared templates flagged per source, distinct prefixes are not") {
+    import spark.implicits._
+    val tpl = "terms of service apply to this page always here"
+    val docs = (1L to 4L).map(i => (i, s"$tpl extra content $i", "web")) ++
+      Seq((5L, "unique document body one", "web"), (6L, s"$tpl copy", "mail"),
+        (7L, "another unique one", "mail"))
+    val r = TextOps.boilerplate(docs.toDF("doc_id", "text", "source"), nTok = 8, minDocs = 3)
+      .collect()
+    assert(r.length === 1) // only the web template crosses minDocs
+    val x = r.head
+    assert(x.getAs[String]("source") === "web")
+    assert(x.getAs[String]("prefix") === "terms of service apply to this page always")
+    assert(x.getAs[Long]("n_docs") === 4L && x.getAs[Long]("src_docs") === 5L)
+    assert(x.getAs[Double]("share") === math.floor(4.0 / 5 * 10000) / 10000)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
