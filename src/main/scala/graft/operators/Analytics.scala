@@ -463,9 +463,42 @@ object Analytics {
     li.agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
       approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
 
+  /** Order-to-ship lag distribution: per order priority, the histogram
+    * of days between order placement and line shipment in 30-day
+    * buckets, with each bucket's share of its priority — the
+    * fulfillment-SLA readout ("are URGENT orders actually shipping
+    * sooner?"). Lag is an integer day difference (date-cast on both
+    * engines under the UTC session — no float time math); shares come
+    * from an exact window sum over the collapsed (priority, bucket)
+    * cells.
+    *
+    * Scale: the only fact-sized work is the orders⋈lineitem equi-join
+    * (narrow projections both sides, AQE free to choose the side to
+    * broadcast at small scale) feeding one hash-agg; the share window
+    * runs over ≤ |priorities|·|buckets| cells. */
+  def shipLag(orders: DataFrame, li: DataFrame): DataFrame = {
+    val cells = li.select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag"))
+      .withColumn("bucket", floor(col("lag") / 30L))
+      .groupBy(col("o_orderpriority"), col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("lag")).as("min_days"),
+        max(col("lag")).as("max_days"))
+    val byPrio = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+    cells
+      .withColumn("prio_n", sum(col("n")).over(byPrio))
+      .select(col("o_orderpriority"), col("bucket"), col("n"),
+        col("min_days"), col("max_days"),
+        graft.functions.Portable.trunc4(col("n") / col("prio_n")).as("share"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, Q] = Map(
+    "q_ship_lag" -> ((s, d) => shipLag(Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_scan_project" -> ((s, d) => scanProject(Tables.events(s, d))),
     "q_point_lookup" -> ((s, d) => pointLookup(Tables.events(s, d), 777L)),
     "q_ingest_union" -> ((s, d) => ingestUnion(Tables.events(s, d))),
@@ -508,6 +541,15 @@ object Analytics {
     "q_approx_distinct" -> ((s, d) => approxDistinct(Tables.lineitem(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_ship_lag" ->
+      ("WITH cells AS (SELECT o_orderpriority, " +
+        "CAST(floor(datediff('day', o_orderdate, l_shipdate) / 30.0) AS BIGINT) AS bucket, " +
+        "count(*) AS n, min(datediff('day', o_orderdate, l_shipdate))::BIGINT AS min_days, " +
+        "max(datediff('day', o_orderdate, l_shipdate))::BIGINT AS max_days " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2) " +
+        "SELECT o_orderpriority, bucket, n, min_days, max_days, " +
+        "floor(n / sum(n) OVER (PARTITION BY o_orderpriority) * 10000) / 10000 AS share " +
+        "FROM cells"),
     "q_scan_project" ->
       "SELECT event_id, user_id, event_type, value FROM events",
     "q_point_lookup" ->

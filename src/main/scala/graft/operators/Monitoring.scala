@@ -1772,9 +1772,46 @@ object Monitoring {
     result
   }
 
+  /** Mutual information between event type and merchant — the
+    * feature-relevance readout beside [[woeEncode]]'s binary IV:
+    * MI = Σ_cells p(t,m)·ln(p(t,m)/(p(t)·p(m))), decomposed per event
+    * type so the reader sees WHICH channel's merchant mix carries
+    * signal (a channel whose merchants are uniform contributes ≈ 0).
+    * Per-cell terms floor to 1e8-scaled BIGINTs (the PSI discipline),
+    * so per-type sums are exact; ln's argument is the exact integer
+    * cross-ratio n·N/(nt·nm).
+    *
+    * Scale: one (type, merchant) hash-agg over the fact; both marginal
+    * relations and the 1-row total broadcast; the rollup runs over
+    * ≤ |types|·|merchants| cells. */
+  def mutualInfo(ev: DataFrame): DataFrame = {
+    val cells = ev
+      .select(col("event_type"), get_json_object(col("props"), "$.k").as("merchant"))
+      .groupBy(col("event_type"), col("merchant")).agg(count(lit(1)).as("n"))
+      .persist() // feeds both marginals, the total, and the term join
+    val tm = cells.groupBy(col("event_type")).agg(sum(col("n")).as("nt"))
+    val mm = cells.groupBy(col("merchant")).agg(sum(col("n")).as("nm"))
+    val tot = cells.agg(sum(col("n")).as("nn"))
+    val result = cells
+      .join(broadcast(tm), "event_type")
+      .join(broadcast(mm), "merchant")
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("nt"),
+        floor((col("n") / col("nn")) * log((col("n") * col("nn")) / (col("nt") * col("nm"))) * 1e8)
+          .cast("long").as("term_scaled"))
+      .groupBy(col("event_type"))
+      .agg(max(col("nt")).as("n_events"), count(lit(1)).as("n_cells"),
+        sum(col("term_scaled")).as("mi_scaled"))
+      .withColumn("mi_part", trunc4(col("mi_scaled") / 1e8))
+      .localCheckpoint(true) // |types| rows; releases the cell cache
+    cells.unpersist()
+    result
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mutual_info" -> ((s, d) => mutualInfo(Tables.events(s, d))),
     "q_volatility" -> ((s, d) => volatility(Tables.events(s, d))),
     "q_drawdown" -> ((s, d) => drawdown(Tables.events(s, d))),
     "q_woe_encode" -> ((s, d) => woeEncode(Tables.events(s, d))),
@@ -1831,6 +1868,19 @@ object Monitoring {
     "q_concentration" -> ((s, d) => concentration(Tables.events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_mutual_info" ->
+      ("WITH cells AS (SELECT event_type, json_extract_string(props, '$.k') AS merchant, " +
+        "count(*) AS n FROM events GROUP BY 1, 2), " +
+        "tm AS (SELECT event_type, sum(n)::BIGINT AS nt FROM cells GROUP BY 1), " +
+        "mm AS (SELECT merchant, sum(n)::BIGINT AS nm FROM cells GROUP BY 1), " +
+        "tot AS (SELECT sum(n)::BIGINT AS nn FROM cells), " +
+        "t AS (SELECT event_type, nt, " +
+        "CAST(floor((n / nn) * ln((n * nn) / (nt * nm)) * 100000000) AS BIGINT) AS term_scaled " +
+        "FROM cells JOIN tm USING (event_type) JOIN mm USING (merchant) CROSS JOIN tot) " +
+        "SELECT event_type, max(nt)::BIGINT AS n_events, count(*) AS n_cells, " +
+        "sum(term_scaled)::BIGINT AS mi_scaled, " +
+        "floor(sum(term_scaled)::BIGINT / 100000000.0 * 10000) / 10000 AS mi_part " +
+        "FROM t GROUP BY 1"),
     "q_volatility" ->
       ("WITH daily AS (SELECT event_type, (epoch_ms(ts) // 86400000) * 86400000 AS day_ms, " +
         "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS c FROM events GROUP BY 1, 2), " +

@@ -1089,7 +1089,10 @@ object TextOps {
     * global rank sits behind `rnk <= k`, so Spark 4's
     * window-group-limit keeps k rows per partition before the single
     * merge — the [[Analytics]] shippingPriority precedent. */
-  def bm25TopK(docs: DataFrame, k: Int = 10, nq: Int = 5): DataFrame = {
+  /** [[bm25TopK]]'s lazy plan + its persisted token base, for plan
+    * inspection (ScaleSpec) and the public wrapper. */
+  private[graft] def bm25TopKLazy(docs: DataFrame, k: Int,
+      nq: Int): (DataFrame, DataFrame) = {
     val tok = graft.functions.Portable.spread(docs, col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .persist() // feeds tf, df, AND doc lengths
@@ -1109,12 +1112,17 @@ object TextOps {
     val perDoc = scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_match_terms"), sum(col("term_scaled")).as("score_scaled"))
     val w = Window.orderBy(col("score_scaled").desc, col("doc_id"))
-    val result = perDoc
+    val plan = perDoc
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("n_match_terms"), col("score_scaled"),
         trunc4(col("score_scaled") / 1e6).as("score"), col("rnk"))
-      .localCheckpoint(true) // k rows; releases the token cache
+    (plan, tok)
+  }
+
+  def bm25TopK(docs: DataFrame, k: Int = 10, nq: Int = 5): DataFrame = {
+    val (plan, tok) = bm25TopKLazy(docs, k, nq)
+    val result = plan.localCheckpoint(true) // k rows; releases the token cache
     tok.unpersist()
     result
   }

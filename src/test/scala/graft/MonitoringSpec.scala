@@ -911,6 +911,21 @@ class MonitoringSpec extends SparkSpec {
     }
   }
 
+  test("mutualInfo: perfect dependence scores ln2 split per type, independence scores 0") {
+    import spark.implicits._
+    def ev(rows: Seq[(String, String)]) = rows.toDF("event_type", "m")
+      .select(col("event_type"), concat(lit("{\"k\": "), col("m"), lit("}")).as("props"))
+    // perfect dependence: type a ⇒ merchant 1, type b ⇒ merchant 2
+    val dep = Monitoring.mutualInfo(ev(Seq(("a", "1"), ("a", "1"), ("b", "2"), ("b", "2"))))
+      .collect().map(x => x.getAs[String]("event_type") -> x.getAs[Long]("mi_scaled")).toMap
+    val half = math.floor(0.5 * math.log(2.0) * 1e8).toLong
+    assert(dep("a") === half && dep("b") === half) // Σ = ln 2 exactly split
+    // independence: both types hit both merchants uniformly → every term 0
+    val ind = Monitoring.mutualInfo(ev(Seq(("a", "1"), ("a", "2"), ("b", "1"), ("b", "2"))))
+      .collect().map(_.getAs[Long]("mi_scaled"))
+    assert(ind.forall(_ === 0L))
+  }
+
   test("volatility: hand-built daily series produces exact scaled returns and a zero-vol flat window") {
     import spark.implicits._
     val D = 86400000L

@@ -1766,6 +1766,22 @@ class OperatorsSpec extends SparkSpec {
     assert(x.getAs[Double]("share") === math.floor(4.0 / 5 * 10000) / 10000)
   }
 
+  test("Analytics.shipLag: exact buckets (negative lags floor down), shares sum to 1 per priority") {
+    import spark.implicits._
+    val ts = (d: Int) => java.sql.Timestamp.valueOf(f"2024-01-${10 + d}%02d 00:00:00")
+    val orders = Seq((1L, ts(0), "1-URGENT"), (2L, ts(5), "1-URGENT"))
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    // lags: +3 (bucket 0), +45-ish? use day offsets within January: lag 3, lag -4
+    val li = Seq((1L, ts(3)), (2L, ts(1))).toDF("l_orderkey", "l_shipdate")
+    val r = Analytics.shipLag(orders, li).collect()
+      .map(x => x.getAs[Long]("bucket") ->
+        ((x.getAs[Long]("n"), x.getAs[Long]("min_days"), x.getAs[Long]("max_days"),
+          x.getAs[Double]("share")))).toMap
+    // lag 3 → bucket 0; lag −4 → floor(−4/30) = −1
+    assert(r(0L) === ((1L, 3L, 3L, 0.5)))
+    assert(r(-1L) === ((1L, -4L, -4L, 0.5)))
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -629,6 +629,28 @@ class ScaleSpec extends SparkSpec {
     } finally caches.foreach(_.unpersist())
   }
 
+  test("bm25TopK: query terms via TakeOrderedAndProject, global rank behind a window-group limit") {
+    val (plan, tok) = graft.operators.TextOps.bm25TopKLazy(
+      Tables.documents(spark, sf), 10, 5)
+    val exec = plan.queryExecution.executedPlan
+    val nodes = planNodes(exec)
+    // BOTH global orderings ride TakeOrderedAndProject — the nq=5
+    // query-term selection AND the final k=10 rank (Spark pushes the
+    // rank limit below the window itself): never a global sort
+    assert(nodes.count(_.isInstanceOf[TakeOrderedAndProjectExec]) >= 2,
+      exec.treeString)
+    // and the global window therefore sits on a collapsed subtree
+    nodes.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      .foreach(w => assert(collapsedBelow(w.child), w.treeString))
+    tok.unpersist()
+  }
+
+  test("userEntropy: ONE fact exchange — aggregation and windows all reuse the spread partitioning") {
+    val df = graft.operators.Monitoring.userEntropy(Tables.events(spark, sf))
+    val s = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(s).length === 1, s)
+  }
+
   test("global-window sweep: no driver query plans a global window over an uncollapsed relation") {
     // the regression gate behind the decileStats/rfm rewrites: walk
     // EVERY SparkEntry query's physical plan (descending into AQE
