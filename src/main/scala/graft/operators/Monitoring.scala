@@ -1808,9 +1808,55 @@ object Monitoring {
     result
   }
 
+  /** k-anonymity risk audit (Sweeney 2002) — the privacy screen next
+    * to the [[TextOps]] PII redaction and the right-to-erasure audit:
+    * treating (merchant, event type, $10 amount band) as the
+    * quasi-identifier, how many QI groups contain fewer than k
+    * distinct users (re-identification risk: an attacker who knows
+    * someone's merchant/type/band can single them out), and how many
+    * users sit in such groups — reported for k ∈ {2, 5, 10}.
+    *
+    * All counts are exact integers over the DISTINCT (QI, user) pair
+    * relation: group size = pairs per group; affected users =
+    * count-distinct of users in violating groups (a user in several
+    * small groups counts once). The k thresholds broadcast; the one
+    * fact-sized op is the distinct-pair hash-agg.
+    *
+    * Why it scales: everything downstream of `pairs` is grouped by the
+    * QI key or k — bounded by the QI domain, and the violating-group
+    * join back to pairs carries only small groups (< k·|violating|
+    * rows by definition). */
+  def kAnonymity(ev: DataFrame, ks: Seq[Long] = Seq(2L, 5L, 10L)): DataFrame = {
+    val pairs = ev
+      .select(get_json_object(col("props"), "$.k").as("merchant"), col("event_type"),
+        floor(col("value") / 10).cast("long").as("band"), col("user_id"))
+      .distinct().persist() // feeds group sizes AND the affected-user join
+    val gs = pairs.groupBy(col("merchant"), col("event_type"), col("band"))
+      .agg(count(lit(1)).as("g"))
+      .persist() // feeds the total AND the per-k flags
+    val tot = gs.agg(count(lit(1)).as("n_groups"))
+    val kdf = pairs.sparkSession.createDataFrame(
+      ks.map(Tuple1(_))).toDF("k")
+    val flagged = gs.join(broadcast(kdf), col("g") < col("k"))
+    val perK = flagged.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_violating"))
+    val affected = flagged
+      .join(pairs, Seq("merchant", "event_type", "band"))
+      .groupBy(col("k")).agg(countDistinct(col("user_id")).as("n_affected_users"))
+    val result = perK.join(affected, Seq("k"), "left")
+      .withColumn("n_affected_users", coalesce(col("n_affected_users"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("n_groups"), col("n_violating"), col("n_affected_users"),
+        trunc4(col("n_violating") / col("n_groups")).as("risk_share"))
+      .localCheckpoint(true) // |ks| rows; releases both caches
+    gs.unpersist(); pairs.unpersist()
+    result
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_k_anon" -> ((s, d) => kAnonymity(Tables.events(s, d))),
     "q_mutual_info" -> ((s, d) => mutualInfo(Tables.events(s, d))),
     "q_volatility" -> ((s, d) => volatility(Tables.events(s, d))),
     "q_drawdown" -> ((s, d) => drawdown(Tables.events(s, d))),
@@ -1868,6 +1914,20 @@ object Monitoring {
     "q_concentration" -> ((s, d) => concentration(Tables.events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_k_anon" ->
+      ("WITH pairs AS (SELECT DISTINCT json_extract_string(props, '$.k') AS merchant, " +
+        "event_type, CAST(floor(value / 10) AS BIGINT) AS band, user_id FROM events), " +
+        "gs AS (SELECT merchant, event_type, band, count(*) AS g FROM pairs GROUP BY 1, 2, 3), " +
+        "tot AS (SELECT count(*) AS n_groups FROM gs), " +
+        "kd AS (SELECT unnest([2, 5, 10]) AS k), " +
+        "fl AS (SELECT * FROM gs CROSS JOIN kd WHERE g < k), " +
+        "pk AS (SELECT k, count(*) AS n_violating FROM fl GROUP BY 1), " +
+        "af AS (SELECT k, count(DISTINCT user_id) AS n_affected_users " +
+        "FROM fl JOIN pairs USING (merchant, event_type, band) GROUP BY 1) " +
+        "SELECT pk.k::BIGINT AS k, n_groups, n_violating, " +
+        "coalesce(n_affected_users, 0)::BIGINT AS n_affected_users, " +
+        "floor(n_violating / n_groups * 10000) / 10000 AS risk_share " +
+        "FROM pk LEFT JOIN af USING (k) CROSS JOIN tot"),
     "q_mutual_info" ->
       ("WITH cells AS (SELECT event_type, json_extract_string(props, '$.k') AS merchant, " +
         "count(*) AS n FROM events GROUP BY 1, 2), " +

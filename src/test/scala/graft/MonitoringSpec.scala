@@ -911,6 +911,24 @@ class MonitoringSpec extends SparkSpec {
     }
   }
 
+  test("kAnonymity: violating groups and affected users counted exactly per k") {
+    import spark.implicits._
+    // QI groups by merchant: A = 1 user, B = 3 users, C = 12 users
+    val rows = Seq((1L, "1")) ++ (2L to 4L).map(u => (u, "2")) ++
+      (10L to 21L).map(u => (u, "3")) ++
+      Seq((1L, "1")) // duplicate event: the DISTINCT pair relation ignores it
+    val ev = rows.toDF("user_id", "m")
+      .select(col("user_id"), concat(lit("{\"k\": "), col("m"), lit("}")).as("props"),
+        lit("purchase").as("event_type"), lit(5.0).as("value"))
+    val r = Monitoring.kAnonymity(ev).collect()
+      .map(x => x.getAs[Long]("k") ->
+        ((x.getAs[Long]("n_groups"), x.getAs[Long]("n_violating"),
+          x.getAs[Long]("n_affected_users"), x.getAs[Double]("risk_share")))).toMap
+    assert(r(2L) === ((3L, 1L, 1L, math.floor(1.0 / 3 * 10000) / 10000)))
+    assert(r(5L) === ((3L, 2L, 4L, math.floor(2.0 / 3 * 10000) / 10000)))
+    assert(r(10L) === ((3L, 2L, 4L, math.floor(2.0 / 3 * 10000) / 10000)))
+  }
+
   test("mutualInfo: perfect dependence scores ln2 split per type, independence scores 0") {
     import spark.implicits._
     def ev(rows: Seq[(String, String)]) = rows.toDF("event_type", "m")
