@@ -1853,9 +1853,47 @@ object Monitoring {
     result
   }
 
+  /** Alert triage — the monitoring capstone over FOUR detector
+    * families ([[flagSummary]] fuses two): per user, the flag counts
+    * from [[structuring]], [[velocityBursts]], [[dormantAwakening]]
+    * and [[amountOutliers]], the number of distinct families firing,
+    * and an integer severity score (3·structuring + 2·outlier +
+    * 2·dormant + 1·velocity — structuring is the deliberate-evasion
+    * signal, velocity the noisiest), ranked into the top-`topN` queue
+    * an analyst actually works. Every constituent flag is the EXACT
+    * operator the driver already gates (membership predicates all
+    * engine-exact), the fusion is integer arithmetic, and the final
+    * rank is a global window over the collapsed per-user relation
+    * behind rnk ≤ topN.
+    *
+    * Composition is the point: four independently-verified detectors
+    * chain into one lazy plan — Catalyst sees all of it, and the four
+    * user_id windows/aggregates of the constituents each keep their
+    * own one-exchange shape. */
+  def alertTriage(ev: DataFrame, topN: Int = 50): DataFrame = {
+    val s = structuring(ev).select(col("user_id"), lit("structuring").as("family"))
+    val v = velocityBursts(ev).select(col("user_id"), lit("velocity").as("family"))
+    val d = dormantAwakening(ev).select(col("user_id"), lit("dormant").as("family"))
+    val o = amountOutliers(ev).select(col("user_id"), lit("outlier").as("family"))
+    val per = s.unionByName(v).unionByName(d).unionByName(o)
+      .groupBy(col("user_id"), col("family")).agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("family") === "structuring", col("n")).otherwise(0L)).as("n_structuring"),
+        sum(when(col("family") === "velocity", col("n")).otherwise(0L)).as("n_velocity"),
+        sum(when(col("family") === "dormant", col("n")).otherwise(0L)).as("n_dormant"),
+        sum(when(col("family") === "outlier", col("n")).otherwise(0L)).as("n_outlier"),
+        count(lit(1)).as("n_families"))
+      .withColumn("severity",
+        col("n_structuring") * 3 + col("n_outlier") * 2 + col("n_dormant") * 2 + col("n_velocity"))
+    val w = Window.orderBy(col("severity").desc, col("user_id"))
+    per.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topN)
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_alert_triage" -> ((s, d) => alertTriage(Tables.events(s, d))),
     "q_k_anon" -> ((s, d) => kAnonymity(Tables.events(s, d))),
     "q_mutual_info" -> ((s, d) => mutualInfo(Tables.events(s, d))),
     "q_volatility" -> ((s, d) => volatility(Tables.events(s, d))),
@@ -1914,6 +1952,39 @@ object Monitoring {
     "q_concentration" -> ((s, d) => concentration(Tables.events(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_alert_triage" ->
+      ("WITH fs AS (SELECT user_id, 'structuring' AS family FROM events " +
+        "WHERE value >= 50 AND value < 100 " +
+        "GROUP BY user_id, CAST(ts AS DATE) " +
+        "HAVING count(*) >= 3 AND round(sum(value), 2) >= 150), " +
+        "fv AS (SELECT user_id, 'velocity' AS family FROM " +
+        "(SELECT user_id, count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) " +
+        "RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS n_win FROM events) " +
+        "WHERE n_win >= 3), " +
+        "fd AS (SELECT user_id, 'dormant' AS family FROM " +
+        "(SELECT user_id, value, epoch_ms(ts) - lag(epoch_ms(ts)) OVER " +
+        "(PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap FROM events) " +
+        "WHERE gap IS NOT NULL AND gap >= 172800000 AND value >= 50), " +
+        "st AS (SELECT user_id, value, count(*) OVER w AS n, " +
+        "round(sum(value) OVER w, 2) AS sm, round(sum(value * value) OVER w, 2) AS sq " +
+        "FROM events WINDOW w AS (PARTITION BY user_id)), " +
+        "fo AS (SELECT user_id, 'outlier' AS family FROM st " +
+        "WHERE n >= 10 AND (sq - sm * sm / n) / (n - 1) > 0 " +
+        "AND (value - sm / n) > 3 * sqrt((sq - sm * sm / n) / (n - 1))), " +
+        "u AS (SELECT * FROM fs UNION ALL SELECT * FROM fv " +
+        "UNION ALL SELECT * FROM fd UNION ALL SELECT * FROM fo), " +
+        "cells AS (SELECT user_id, family, count(*) AS n FROM u GROUP BY 1, 2), " +
+        "per AS (SELECT user_id, " +
+        "sum(CASE WHEN family = 'structuring' THEN n ELSE 0 END)::BIGINT AS n_structuring, " +
+        "sum(CASE WHEN family = 'velocity' THEN n ELSE 0 END)::BIGINT AS n_velocity, " +
+        "sum(CASE WHEN family = 'dormant' THEN n ELSE 0 END)::BIGINT AS n_dormant, " +
+        "sum(CASE WHEN family = 'outlier' THEN n ELSE 0 END)::BIGINT AS n_outlier, " +
+        "count(*) AS n_families FROM cells GROUP BY 1), " +
+        "r AS (SELECT *, (n_structuring * 3 + n_outlier * 2 + n_dormant * 2 + n_velocity)" +
+        "::BIGINT AS severity FROM per) " +
+        "SELECT user_id, n_structuring, n_velocity, n_dormant, n_outlier, n_families, " +
+        "severity, row_number() OVER (ORDER BY severity DESC, user_id)::BIGINT AS rnk " +
+        "FROM r QUALIFY rnk <= 50"),
     "q_k_anon" ->
       ("WITH pairs AS (SELECT DISTINCT json_extract_string(props, '$.k') AS merchant, " +
         "event_type, CAST(floor(value / 10) AS BIGINT) AS band, user_id FROM events), " +

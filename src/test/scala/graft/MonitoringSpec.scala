@@ -911,6 +911,35 @@ class MonitoringSpec extends SparkSpec {
     }
   }
 
+  test("alertTriage: counts reconcile with the constituent detectors; severity orders the queue") {
+    val ev = events
+    val r = Monitoring.alertTriage(ev).collect()
+    assert(r.nonEmpty && r.length <= 50)
+    // ranks are dense from 1 and severity is non-increasing
+    val byRnk = r.sortBy(_.getAs[Long]("rnk"))
+    assert(byRnk.map(_.getAs[Long]("rnk")).toSeq === (1L to r.length).toSeq)
+    val sev = byRnk.map(_.getAs[Long]("severity"))
+    assert(sev.zip(sev.tail).forall { case (a, b) => a >= b })
+    // per-family counts reconcile with the detectors for the top user
+    val top = byRnk.head
+    val uid = top.getAs[Long]("user_id")
+    assert(top.getAs[Long]("n_structuring") ===
+      Monitoring.structuring(ev).filter(col("user_id") === uid).count())
+    assert(top.getAs[Long]("n_velocity") ===
+      Monitoring.velocityBursts(ev).filter(col("user_id") === uid).count())
+    assert(top.getAs[Long]("n_dormant") ===
+      Monitoring.dormantAwakening(ev).filter(col("user_id") === uid).count())
+    assert(top.getAs[Long]("n_outlier") ===
+      Monitoring.amountOutliers(ev).filter(col("user_id") === uid).count())
+    // severity is the documented weighting
+    r.foreach { x =>
+      assert(x.getAs[Long]("severity") ===
+        3 * x.getAs[Long]("n_structuring") + 2 * x.getAs[Long]("n_outlier") +
+          2 * x.getAs[Long]("n_dormant") + x.getAs[Long]("n_velocity"))
+      assert(x.getAs[Long]("n_families") >= 1L && x.getAs[Long]("n_families") <= 4L)
+    }
+  }
+
   test("kAnonymity: violating groups and affected users counted exactly per k") {
     import spark.implicits._
     // QI groups by merchant: A = 1 user, B = 3 users, C = 12 users
