@@ -1890,9 +1890,68 @@ object Monitoring {
       .filter(col("rnk") <= topN)
   }
 
+  /** Per-event lateness against the user's ARRIVAL order — the
+    * disorder every watermark must absorb: an event whose timestamp
+    * precedes the running max event time among its user's earlier
+    * arrivals is late by that gap. The gate corpus is generated in
+    * perfect time order, so arrival is simulated by delaying a
+    * deterministic 1-in-11 slice of events by an md5-derived network
+    * delay < 1 h (the [[TextOps]] perturbed-corpus discipline — the
+    * oracle replays the identical jitter; a production deployment
+    * passes its real arrival timestamp instead and drops the
+    * simulation). Scoped per user so the running max is a
+    * user-bounded window, never a global sort of the fact — which is
+    * also the semantically right scope, because streaming state is
+    * keyed. */
+  private def latenessPerEvent(ev: DataFrame): DataFrame = {
+    val delay = when(col("event_id") % 11 === 0,
+      pmod(graft.functions.TextHash.hash60(
+        concat(lit("delay|"), col("event_id").cast("string"))), lit(3600000L)))
+      .otherwise(0L)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("arr_ms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.select(col("user_id"), col("event_id"), col("ts_ms"))
+      .withColumn("arr_ms", col("ts_ms") + delay)
+      .withColumn("runmax", max(col("ts_ms")).over(w))
+      .withColumn("late",
+        when(col("runmax") > col("ts_ms"), col("runmax") - col("ts_ms")).otherwise(0L))
+  }
+
+  /** Stream-disorder audit: the distribution of event lateness in
+    * decimal-magnitude buckets (bucket = digit count of the ms gap —
+    * an INTEGER magnitude class, so membership can't float the way a
+    * log10 boundary can), plus the on-time mass at bucket 0. This is
+    * the first chart an engineer reads before sizing a watermark:
+    * where does the lateness tail actually end? */
+  def disorderAudit(ev: DataFrame): DataFrame =
+    latenessPerEvent(ev)
+      .groupBy(when(col("late") === 0, 0L)
+        .otherwise(length(col("late").cast("string")).cast("long")).as("magnitude"))
+      .agg(count(lit(1)).as("n"), min(col("late")).as("min_late_ms"),
+        max(col("late")).as("max_late_ms"))
+
+  /** Watermark sizing: for candidate delays {1 min, 10 min, 1 h, 1 d},
+    * how many events would arrive LATER than the watermark allows (and
+    * so be dropped by an event-time streaming aggregation), as count
+    * and share — the quantitative answer [[disorderAudit]]'s histogram
+    * frames qualitatively. Candidates broadcast; one pass over the
+    * lateness relation. */
+  def watermarkSizing(ev: DataFrame): DataFrame = {
+    val late = latenessPerEvent(ev)
+    val cand = late.sparkSession.createDataFrame(
+      Seq(60000L, 600000L, 3600000L, 86400000L).map(Tuple1(_))).toDF("wm_ms")
+    late.crossJoin(broadcast(cand))
+      .groupBy(col("wm_ms"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late") > col("wm_ms"), 1L).otherwise(0L)).as("n_dropped"))
+      .withColumn("drop_share", trunc4(col("n_dropped") / col("n_events")))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_disorder_audit" -> ((s, d) => disorderAudit(Tables.events(s, d))),
+    "q_watermark_sizing" -> ((s, d) => watermarkSizing(Tables.events(s, d))),
     "q_alert_triage" -> ((s, d) => alertTriage(Tables.events(s, d))),
     "q_k_anon" -> ((s, d) => kAnonymity(Tables.events(s, d))),
     "q_mutual_info" -> ((s, d) => mutualInfo(Tables.events(s, d))),
@@ -1951,7 +2010,30 @@ object Monitoring {
     "q_recurring" -> ((s, d) => recurringPayments(Tables.events(s, d))),
     "q_concentration" -> ((s, d) => concentration(Tables.events(s, d))))
 
+  private val latenessCte =
+    "ld AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, " +
+      "epoch_ms(ts) + CASE WHEN event_id % 11 = 0 THEN " +
+      "('0x' || substr(md5('delay|' || event_id), 1, 15))::BIGINT % 3600000 " +
+      "ELSE 0 END AS arr_ms FROM events), " +
+      "lt AS (SELECT user_id, event_id, ts_ms, " +
+      "max(ts_ms) OVER (PARTITION BY user_id ORDER BY arr_ms, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax FROM ld), " +
+      "lv AS (SELECT user_id, event_id, " +
+      "CASE WHEN runmax > ts_ms THEN runmax - ts_ms ELSE 0 END AS late FROM lt)"
+
   val oracleSql: Map[String, String] = Map(
+    "q_disorder_audit" ->
+      (s"WITH $latenessCte " +
+        "SELECT CASE WHEN late = 0 THEN 0 ELSE length(late::VARCHAR) END::BIGINT AS magnitude, " +
+        "count(*) AS n, min(late)::BIGINT AS min_late_ms, max(late)::BIGINT AS max_late_ms " +
+        "FROM lv GROUP BY 1"),
+    "q_watermark_sizing" ->
+      (s"WITH $latenessCte, " +
+        "cand AS (SELECT unnest([60000, 600000, 3600000, 86400000]) AS wm_ms) " +
+        "SELECT wm_ms::BIGINT AS wm_ms, count(*) AS n_events, " +
+        "sum(CASE WHEN late > wm_ms THEN 1 ELSE 0 END)::BIGINT AS n_dropped, " +
+        "floor(sum(CASE WHEN late > wm_ms THEN 1 ELSE 0 END)::BIGINT / count(*) * 10000) " +
+        "/ 10000 AS drop_share FROM lv CROSS JOIN cand GROUP BY 1"),
     "q_alert_triage" ->
       ("WITH fs AS (SELECT user_id, 'structuring' AS family FROM events " +
         "WHERE value >= 50 AND value < 100 " +

@@ -911,6 +911,24 @@ class MonitoringSpec extends SparkSpec {
     }
   }
 
+  test("disorderAudit/watermarkSizing: the simulated delay makes exactly the planted event late") {
+    import spark.implicits._
+    // event 11 (11 % 11 = 0) is delayed by md5("delay|11") % 3600000 =
+    // 1051787 ms, so it arrives AFTER events 12 and 13 and is late by
+    // max(2000, 3000) - 1000 = 2000 ms; events 12/13 arrive on time.
+    val ev = Seq((1L, 11L, 1000L), (1L, 12L, 2000L), (1L, 13L, 3000L))
+      .toDF("user_id", "event_id", "ts_ms")
+    val audit = Monitoring.disorderAudit(ev).collect()
+      .map(x => x.getAs[Long]("magnitude") ->
+        ((x.getAs[Long]("n"), x.getAs[Long]("max_late_ms")))).toMap
+    assert(audit(0L) === ((2L, 0L)))
+    assert(audit(4L) === ((1L, 2000L))) // 2000 has 4 digits
+    val wm = Monitoring.watermarkSizing(ev).collect()
+      .map(x => x.getAs[Long]("wm_ms") -> x.getAs[Long]("n_dropped")).toMap
+    assert(wm(60000L) === 0L) // 2 s lateness survives a 1-minute watermark
+    assert(wm.values.forall(_ === 0L))
+  }
+
   test("alertTriage: counts reconcile with the constituent detectors; severity orders the queue") {
     val ev = events
     val r = Monitoring.alertTriage(ev).collect()
