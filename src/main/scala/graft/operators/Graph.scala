@@ -476,9 +476,48 @@ object Graph {
     deg.select(col("s").as("user_id"), col("degree"))
   }
 
+  /** Degree assortativity of the co-occurrence graph (Newman 2002):
+    * the Pearson correlation of endpoint degrees over all directed
+    * edges — positive means hubs link hubs (social/collusive core),
+    * negative means hubs link leaves (hub-and-spoke, the mule-herder
+    * topology). The structural one-number summary beside
+    * [[clusteringCoef]] (local density) and [[modularity]] (community
+    * strength).
+    *
+    * Exactness: degrees and all five moment sums (Σx, Σy, Σxy, Σx²,
+    * Σy²) are BIGINTs over the mirrored edge relation; r derives from
+    * the mean-centered form (every division happens BEFORE any
+    * cross-product) so the doubles stay small and both engines compute
+    * the identical expression. Scale: degrees are one hash-agg over
+    * the df-capped edges; the moment rollup is a 1-row aggregate. */
+  def assortativity(ev: DataFrame, maxCell: Long = 64L): DataFrame = {
+    val e0 = coEdges(ev, maxCell)
+    val e = e0.select(col("u1").as("s"), col("u2").as("d"))
+      .unionAll(e0.select(col("u2").as("s"), col("u1").as("d")))
+      .persist() // feeds the degree relation AND the moment join
+    val deg = e.groupBy(col("s")).agg(count(lit(1)).as("deg"))
+    val m = e
+      .join(deg.select(col("s"), col("deg").as("x")), "s")
+      .join(deg.select(col("s").as("d"), col("deg").as("y")), "d")
+      .agg(count(lit(1)).as("m"), countDistinct(col("s")).as("n_nodes"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"), sum(col("y") * col("y")).as("sy2"))
+    val mx = col("sx") / col("m")
+    val my = col("sy") / col("m")
+    val num = col("sxy") / col("m") - mx * my
+    val den = sqrt(col("sx2") / col("m") - mx * mx) * sqrt(col("sy2") / col("m") - my * my)
+    val result = m.select(col("m").as("m_edges"), col("n_nodes"),
+        when(den > 0, graft.functions.Portable.trunc4(num / den)).as("r"))
+      .localCheckpoint(true) // 1 row; releases the edge cache
+    e.unpersist()
+    result
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_assortativity" -> ((s, d) => assortativity(Tables.events(s, d))),
     "q_graph_bfs" -> ((s, d) => bfs(Tables.events(s, d))),
     "q_graph_hits" -> ((s, d) => hits(Tables.events(s, d))),
     "q_graph_pagerank" -> ((s, d) => pageRank(Tables.events(s, d))),
@@ -540,6 +579,20 @@ object Graph {
       s"FROM nodes n CROSS JOIN nc nn LEFT JOIN contrib$i c ON c.dst = n.node)"
 
   val oracleSql: Map[String, String] = Map(
+    "q_graph_assortativity" ->
+      (s"WITH $coEdgeCte, " +
+        "adeg AS (SELECT s, count(*) AS deg FROM edges GROUP BY 1), " +
+        "aj AS (SELECT dx.deg AS x, dy.deg AS y, edges.s FROM edges " +
+        "JOIN adeg dx ON edges.s = dx.s JOIN adeg dy ON edges.d = dy.s), " +
+        "am AS (SELECT count(*) AS m, count(DISTINCT s) AS n_nodes, " +
+        "sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy, " +
+        "sum(x * x)::BIGINT AS sx2, sum(y * y)::BIGINT AS sy2 FROM aj) " +
+        "SELECT m AS m_edges, n_nodes, " +
+        "CASE WHEN sqrt(sx2 / m - (sx / m) * (sx / m)) * " +
+        "sqrt(sy2 / m - (sy / m) * (sy / m)) > 0 THEN " +
+        "floor((sxy / m - (sx / m) * (sy / m)) / " +
+        "(sqrt(sx2 / m - (sx / m) * (sx / m)) * sqrt(sy2 / m - (sy / m) * (sy / m))) " +
+        "* 10000) / 10000 END AS r FROM am"),
     "q_graph_modularity" ->
       (s"WITH $coEdgeCte, " +
         "l0 AS (SELECT DISTINCT s AS node, s AS lbl FROM edges), " +

@@ -958,9 +958,30 @@ object Similarity {
         graft.functions.Portable.trunc6(col("score")).as("score"), col("rrf_rnk"))
   }
 
+  /** Label precision@k of exact retrieval — "when I search, do I get
+    * my own class back": for each query vector, the share of its top-k
+    * cosine neighbors sharing its label. The class-conditioned quality
+    * readout next to [[recallAtK]]'s method-vs-exact comparison (a
+    * corpus can have perfect ANN recall and still retrieve garbage if
+    * the embedding doesn't separate classes). Integer votes over the
+    * k-row-per-query result; one division. */
+  def labelRecall(emb: DataFrame, queryIds: Seq[Long] = DefaultQueryIds,
+      k: Int = 10): DataFrame = {
+    val lbl = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+    bruteForceTopK(emb, queryIds, k)
+      .join(broadcast(lbl.select(col("vec_id").as("q_id"), col("label").as("q_label"))
+        .filter(col("q_id").isin(queryIds: _*))), "q_id")
+      .join(lbl.select(col("vec_id"), col("label").as("n_label")), "vec_id")
+      .groupBy(col("q_id"), col("q_label"))
+      .agg(count(lit(1)).as("k_eff"),
+        sum(when(col("n_label") === col("q_label"), 1L).otherwise(0L)).as("n_same"))
+      .withColumn("label_precision", trunc4(col("n_same") / col("k_eff")))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_label_recall" -> ((s, d) => labelRecall(Tables.embeddings(s, d))),
     "q_sim_rrf" -> ((s, d) => rrfFusion(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_topk_exact" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_topk_ann" -> ((s, d) => annTopK(Tables.embeddings(s, d), DefaultQueryIds)),
@@ -1285,6 +1306,16 @@ object Similarity {
         "SELECT f.src_id, f.dst_id, f.cos, f.rnk, " +
         "(r.src_id IS NOT NULL) AS mutual FROM kg_topk f " +
         "LEFT JOIN kg_topk r ON f.src_id = r.dst_id AND f.dst_id = r.src_id"),
+    "q_sim_label_recall" ->
+      (s"WITH $vCte, $qsCte, $exactCtes, " +
+        "lr_lbl AS (SELECT vec_id, label::BIGINT AS label FROM embeddings), " +
+        "lr_top AS (SELECT q_id, vec_id FROM ex_ranked WHERE rnk <= 10) " +
+        "SELECT t.q_id, ql.label AS q_label, count(*) AS k_eff, " +
+        "sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)::BIGINT AS n_same, " +
+        "floor(sum(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END)::BIGINT " +
+        "/ count(*) * 10000) / 10000 AS label_precision " +
+        "FROM lr_top t JOIN lr_lbl ql ON t.q_id = ql.vec_id " +
+        "JOIN lr_lbl nl ON t.vec_id = nl.vec_id GROUP BY 1, 2"),
     "q_label_noise" ->
       (s"WITH $vCte, $bitsBandsCte, $kgCtes, " +
         "ln_lbl AS (SELECT vec_id, label::BIGINT AS label FROM embeddings), " +

@@ -1782,6 +1782,45 @@ class OperatorsSpec extends SparkSpec {
     assert(r(-1L) === ((1L, -4L, -4L, 0.5)))
   }
 
+  test("Graph.assortativity: a perfect star scores r = -1; a clique degenerates to NULL") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def row(u: Long, m: Int) = (u, s"""{"k":$m}""", 10.0, ts)
+    // star: hub 1 pairs with leaves 2, 3, 4 in three separate cells
+    // → degrees (3,1,1,1), endpoint pairs perfectly anti-correlated
+    val star = Seq(row(1L, 10), row(2L, 10), row(1L, 11), row(3L, 11),
+      row(1L, 12), row(4L, 12)).toDF("user_id", "props", "value", "ts")
+    val rs = Graph.assortativity(star).collect().head
+    assert(rs.getAs[Long]("m_edges") === 6L && rs.getAs[Long]("n_nodes") === 4L)
+    assert(rs.getAs[Double]("r") === -1.0)
+    // triangle clique: all degrees equal → zero variance → NULL r
+    val clique = Seq(row(1L, 20), row(2L, 20), row(3L, 20))
+      .toDF("user_id", "props", "value", "ts")
+    val rc = Graph.assortativity(clique).collect().head
+    assert(rc.getAs[Long]("m_edges") === 6L)
+    assert(rc.isNullAt(rc.fieldIndex("r")))
+  }
+
+  test("Similarity.labelRecall: clean clusters score precision 1, a planted cross-label neighbor lowers it") {
+    import spark.implicits._
+    // cluster around +x holds labels 1 except one vector labeled 2
+    // offsets large enough that trunc4'd cosines stay distinct
+    val a = (0L to 4L).map(i => (i, Array(1.0f, 0.05f * i, 0.0f), 1))
+    val cross = Seq((5L, Array(1.0f, 0.125f, 0.0f), 2))
+    val b = (6L to 9L).map(i => (i, Array(0.0f, 0.05f * i, 1.0f), 2))
+    val emb = (a ++ cross ++ b).toDF("vec_id", "embedding", "label")
+    val r = Similarity.labelRecall(emb, queryIds = Seq(0L, 6L), k = 3).collect()
+      .map(x => x.getAs[Long]("q_id") ->
+        ((x.getAs[Long]("q_label"), x.getAs[Long]("n_same"), x.getAs[Long]("k_eff"),
+          x.getAs[Double]("label_precision")))).toMap
+    // query 0 (label 1): its 3 nearest in-cluster neighbors include the
+    // planted label-2 vector → precision 2/3
+    assert(r(0L)._1 === 1L && r(0L)._3 === 3L)
+    assert(r(0L)._2 === 2L && math.abs(r(0L)._4 - math.floor(2.0 / 3 * 10000) / 10000) < 1e-9)
+    // query 6 (label 2): cluster B is clean → precision 1
+    assert(r(6L)._1 === 2L && r(6L)._2 === 3L && r(6L)._4 === 1.0)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
