@@ -1521,10 +1521,17 @@ object Monitoring {
     * double expression on both engines. Scale: the dense grid is
     * |types|·|hours| — metadata-sized, grows with TIME not data; the
     * fact contributes one map-side-combining hash-agg. */
-  def burstDetect(ev: DataFrame, z: Double = 3.0): DataFrame = {
-    val hours = ev
+  def burstDetect(ev: DataFrame, z: Double = 3.0): DataFrame =
+    burstFromHours(ev
       .select(col("event_type"), floor(col("ts_ms") / 3600000L).as("h"))
-      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("n")), z)
+
+  /** [[burstDetect]]'s read-back half over an already-built
+    * (event_type, h, n) hourly relation — shared with the streaming
+    * replay ([[graft.streaming.Streaming]] `streamBurst`), so the
+    * stream and batch z-gates can never diverge. */
+  private[graft] def burstFromHours(hoursIn: DataFrame, z: Double): DataFrame = {
+    val hours = hoursIn
       .persist() // feeds the span, the type list, and the dense join
     val span = hours.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
     val dense = hours.select(col("event_type")).distinct()

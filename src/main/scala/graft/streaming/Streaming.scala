@@ -689,6 +689,27 @@ object Streaming {
       .filter(col("rnk") <= k)
   }
 
+  /** The burst pager ON the stream: hourly per-type counts maintained
+    * as windowed streaming state, with the z-gate
+    * ([[graft.operators.Monitoring.burstDetect]]'s densify + exact
+    * Σn/Σn² statistics, SHARED code — `burstFromHours`) applied to the
+    * finalized read-back. Stream output equals the batch detector
+    * row-for-row (oracled by the identical SQL), which is the whole
+    * point: the alerting rule is defined once and the transport
+    * (micro-batch state vs batch scan) cannot change a flag. Sentinel
+    * windows evaporate on the read-back predicate. */
+  def streamBurst(spark: SparkSession, dir: String,
+      watermarkMin: Long = 60L, z: Double = 3.0): DataFrame = {
+    val hours = replay(spark, dir, in => in
+      .withWatermark("timestamp", s"$watermarkMin minutes")
+      .groupBy(window(col("timestamp"), "60 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("win.start")).as("h_ms"), col("event_type"), col("n")))
+      .filter(col("event_type") =!= "__sentinel__")
+      .select(col("event_type"), (col("h_ms") / lit(3600000L)).cast("long").as("h"), col("n"))
+    graft.operators.Monitoring.burstFromHours(hours, z)
+  }
+
   /** The drift gate ON the stream: the per-day amount histogram is
     * maintained as windowed streaming state (bins are plain counts, so
     * Spark's incremental state update IS the histogram merge), and the
@@ -1106,7 +1127,8 @@ object Streaming {
     "q_stream_sliding" -> ((s, d) => streamSliding(s, d)),
     "q_stream_drift" -> ((s, d) => streamDrift(s, d)),
     "q_stream_ohlc" -> ((s, d) => streamOhlc(s, d)),
-    "q_stream_topk" -> ((s, d) => streamTopK(s, d)))
+    "q_stream_topk" -> ((s, d) => streamTopK(s, d)),
+    "q_stream_burst" -> ((s, d) => streamBurst(s, d)))
 
   /** The tumbling-window batch equivalent — checks [[streamReplay]]
     * directly and [[streamDedup]] (exactly-once: the redelivered copies
@@ -1126,6 +1148,9 @@ object Streaming {
         "max(cents) AS high_cents, min(cents) AS low_cents, " +
         "arg_max(cents, k) AS close_cents, count(*) AS n_trades, " +
         "sum(cents)::BIGINT AS volume_cents FROM t GROUP BY 1"),
+    // the batch detector's oracle verbatim: stream state + shared
+    // read-back must land the identical rows
+    "q_stream_burst" -> graft.operators.Monitoring.oracleSql("q_burst_detect"),
     "q_stream_topk" ->
       ("WITH c AS (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_start_ms, user_id, " +
         "count(*) AS n, sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents " +

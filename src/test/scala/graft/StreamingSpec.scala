@@ -578,6 +578,14 @@ class StreamingSpec extends SparkSpec {
     assert(got.filter(col("user_id") < 0).count() === 0)
   }
 
+  test("streamBurst: the streaming z-gate equals the batch detector row-for-row") {
+    import org.apache.spark.sql.functions._
+    val got = Streaming.streamBurst(spark, sf)
+    val batch = graft.operators.Monitoring.burstDetect(Tables.events(spark, sf))
+    assert(got.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(got).count() === 0)
+  }
+
   test("streamSessions: merged session windows equal the batch gaps-and-islands; exact-gap starts a new session") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
