@@ -425,9 +425,69 @@ object Sketches {
     result
   }
 
+  /** HLL set algebra + audit: estimate |purchase users ∩ click users|
+    * by inclusion–exclusion over three sketches — A, B, and A∪B, where
+    * the union sketch is the register-for-register MAX merge (the HLL
+    * property [[hllDailyRollup]] pins) — against the exact
+    * intersection. This is the sketch capability [[kmvIntersect]]
+    * covers with bottom-k signatures, done the HLL way: at 100 TB the
+    * per-set register relations are m rows each and the whole set
+    * algebra runs on registers, never on user ids.
+    *
+    * Same estimator discipline as [[hllDistinct]]: exact BIGINT
+    * register sums, the one shared alpha constant, small-range
+    * correction mirrored; the only new arithmetic is
+    * est_a + est_b − est_union over the already-truncated estimates. */
+  def hllIntersect(ev: DataFrame, m: Int = 256): DataFrame = {
+    val base = ev.filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_type").as("set_id"), col("user_id").cast("string").as("v"))
+      .persist() // feeds the registers AND the exact intersection
+    val regs = base
+      .withColumn("h", hash60(col("v")))
+      .withColumn("reg", pmod(col("h"), lit(m.toLong)))
+      .withColumn("rest", expr(s"h div $m"))
+      .withColumn("rho", when(col("rest") === 0L, lit(53L))
+        .otherwise(length(bin(expr("rest & -rest"))).cast("long")))
+      .groupBy(col("set_id"), col("reg")).agg(max(col("rho")).as("mx"))
+      .persist() // feeds the per-set sketches AND the union merge
+    val perSet = regs.groupBy(col("set_id"))
+      .agg(sum(expr("shiftleft(1L, cast(53 - mx as int))")).as("s_hit"),
+        count(lit(1)).as("n_hit"))
+    val union = regs.groupBy(col("reg")).agg(max(col("mx")).as("mx"))
+      .agg(sum(expr("shiftleft(1L, cast(53 - mx as int))")).as("s_hit"),
+        count(lit(1)).as("n_hit"))
+      .select(lit("union").as("set_id"), col("s_hit"), col("n_hit"))
+    val alphaM2: Double = hllAlphaM2(m)
+    val est = perSet.unionByName(union)
+      .withColumn("v_empty", lit(m.toLong) - col("n_hit"))
+      .withColumn("est_raw",
+        lit(alphaM2) / expr("cast(s_hit + v_empty * shiftleft(1L, 53) as double)"))
+      .withColumn("est", trunc4(
+        when(col("est_raw") <= lit(2.5 * m) && col("v_empty") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty")))
+          .otherwise(col("est_raw"))))
+    val pivoted = est.agg(
+      max(when(col("set_id") === "purchase", col("est"))).as("est_a"),
+      max(when(col("set_id") === "click", col("est"))).as("est_b"),
+      max(when(col("set_id") === "union", col("est"))).as("est_union"))
+    val exact = base.distinct()
+      .groupBy(col("v")).agg(count(lit(1)).as("ns"))
+      .filter(col("ns") === 2).agg(count(lit(1)).as("n_exact"))
+    val result = pivoted.crossJoin(broadcast(exact))
+      .withColumn("est_intersect", trunc4(col("est_a") + col("est_b") - col("est_union")))
+      .select(col("est_a"), col("est_b"), col("est_union"), col("est_intersect"),
+        col("n_exact"),
+        when(col("n_exact") > 0,
+          trunc4(abs(col("est_intersect") - col("n_exact")) / col("n_exact"))).as("rel_err"))
+      .localCheckpoint(true) // 1 row; releases both caches
+    regs.unpersist(); base.unpersist()
+    result
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_hll_intersect" -> ((s, d) => hllIntersect(Tables.events(s, d))),
     "q_approx_quantile" -> ((s, d) => approxQuantiles(Tables.orders(s, d))),
     "q_hll_distinct" -> ((s, d) => hllDistinct(Tables.events(s, d))),
     "q_bloom_audit" -> ((s, d) => bloomAudit(Tables.events(s, d))),
@@ -448,6 +508,34 @@ object Sketches {
     0.7213 / (1.0 + 1.079 / m) * m * m * 9007199254740992.0
 
   val oracleSql: Map[String, String] = Map(
+    "q_hll_intersect" ->
+      ("WITH base AS (SELECT event_type AS set_id, CAST(user_id AS VARCHAR) AS v " +
+        "FROM events WHERE event_type IN ('purchase', 'click')), " +
+        "t AS (SELECT set_id, v, ('0x' || substr(md5(v), 1, 15))::BIGINT AS h FROM base), " +
+        "rh AS (SELECT set_id, h % 256 AS reg, CASE WHEN h // 256 = 0 THEN 53 " +
+        "ELSE length(bin((h // 256) & -(h // 256))) END AS rho FROM t), " +
+        "regs AS (SELECT set_id, reg, max(rho) AS mx FROM rh GROUP BY 1, 2), " +
+        "sets AS (SELECT set_id, sum(1::BIGINT << (53 - mx))::BIGINT AS s_hit, " +
+        "count(*) AS n_hit FROM regs GROUP BY 1 " +
+        "UNION ALL SELECT 'union', sum(1::BIGINT << (53 - mx))::BIGINT, count(*) " +
+        "FROM (SELECT reg, max(mx) AS mx FROM regs GROUP BY 1)), " +
+        "e AS (SELECT set_id, 256 - n_hit AS v_empty, " +
+        s"${hllAlphaM2(256)}::DOUBLE / CAST(s_hit + (256 - n_hit) * (1::BIGINT << 53) AS DOUBLE) AS est_raw " +
+        "FROM sets), " +
+        "est AS (SELECT set_id, floor((CASE WHEN est_raw <= 640.0 AND v_empty > 0 " +
+        "THEN 256.0::DOUBLE * ln(256.0::DOUBLE / v_empty) ELSE est_raw END) * 10000) " +
+        "/ 10000 AS est, v_empty FROM e), " +
+        "pv AS (SELECT max(CASE WHEN set_id = 'purchase' THEN est END) AS est_a, " +
+        "max(CASE WHEN set_id = 'click' THEN est END) AS est_b, " +
+        "max(CASE WHEN set_id = 'union' THEN est END) AS est_union FROM est), " +
+        "ex AS (SELECT count(*) AS n_exact FROM (SELECT v FROM (SELECT DISTINCT set_id, v " +
+        "FROM base) GROUP BY v HAVING count(*) = 2)), " +
+        "r AS (SELECT est_a, est_b, est_union, " +
+        "floor((est_a + est_b - est_union) * 10000) / 10000 AS est_intersect, n_exact " +
+        "FROM pv CROSS JOIN ex) " +
+        "SELECT est_a, est_b, est_union, est_intersect, n_exact, " +
+        "CASE WHEN n_exact > 0 THEN " +
+        "floor(abs(est_intersect - n_exact) / n_exact * 10000) / 10000 END AS rel_err FROM r"),
     "q_bloom_audit" ->
       ("WITH u AS (SELECT user_id, max(CASE WHEN value >= 250 THEN 1 ELSE 0 END) = 1 " +
         "AS is_member FROM events GROUP BY 1), " +

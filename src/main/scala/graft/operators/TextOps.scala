@@ -1216,7 +1216,47 @@ object TextOps {
         trunc4(col("n_docs") / col("src_docs")).as("share"))
   }
 
+  /** Corpus triage ledger — the drop accounting [[corpusPipeline]]'s
+    * survivor rollup leaves implicit: every perturbed-corpus document
+    * gets ONE verdict with a reason, precedence duplicate → too_short
+    * → und_lang → keep (a duplicate is a duplicate even if also
+    * short: remove it and the keeper still carries the content), and
+    * the ledger reports each reason's doc count, token mass, and
+    * corpus share. This is the L4 composition capstone in the
+    * [[graft.operators.Monitoring]] alertTriage mold: normalization,
+    * tokenization, language ID and exact dedup — each independently
+    * driver-gated — fused in one lazy plan whose only fact-sized
+    * shuffles are the dedup hash-agg and the final tiny reason
+    * rollup. */
+  def corpusTriage(docs: DataFrame): DataFrame = {
+    val s = perturbed(docs)
+      .select(col("doc_id"), normalize(col("text")).as("nt"),
+        tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(tokens(col("nt"))).cast("long"))
+      .select(langRatios(col("doc_id"), col("nt"), col("n_tokens")): _*)
+      .withColumn("lang", langDecision)
+      .persist() // feeds the keeper table, the totals, and the ledger
+    val keep = s.groupBy(md5(col("nt")).as("h")).agg(min(col("doc_id")).as("keep_id"))
+    val tot = s.agg(count(lit(1)).as("n_total"))
+    val result = s.withColumn("h", md5(col("nt")))
+      .join(keep, "h")
+      .withColumn("reason",
+        when(col("doc_id") =!= col("keep_id"), "duplicate")
+          .when(col("n_tokens") < 20, "too_short")
+          .when(col("lang") === "und", "und_lang")
+          .otherwise("keep"))
+      .groupBy(col("reason"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("reason"), col("n_docs"), col("n_tokens"),
+        trunc4(col("n_docs") / col("n_total")).as("share"))
+      .localCheckpoint(true) // ≤ 4 rows; releases the scored cache
+    s.unpersist()
+    result
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_triage" -> ((s, d) => corpusTriage(Tables.documents(s, d))),
     "q_vocab_coverage" -> ((s, d) => vocabCoverage(Tables.documents(s, d))),
     "q_boilerplate" -> ((s, d) => boilerplate(Tables.documents(s, d))),
     "q_text_bm25" -> ((s, d) => bm25TopK(Tables.documents(s, d))),
@@ -1272,6 +1312,27 @@ object TextOps {
     s"len(list_filter(toks, t -> t IN ${inList(lang)}))::DOUBLE / len(toks)"
 
   val oracleSql: Map[String, String] = Map(
+    "q_corpus_triage" ->
+      (pertCte + ", " +
+        "tr_s AS (SELECT p.doc_id, string_split(p.text, ' ') AS toks, n.nt " +
+        "FROM pert p JOIN norm n ON p.doc_id = n.doc_id), " +
+        "tr_t AS (SELECT doc_id, nt, len(string_split(nt, ' '))::BIGINT AS n_tokens, " +
+        s"${ratioSql("en")} AS s_en, ${ratioSql("de")} AS s_de, " +
+        s"${ratioSql("es")} AS s_es, ${ratioSql("fr")} AS s_fr FROM tr_s), " +
+        "tr_l AS (SELECT doc_id, nt, n_tokens, " +
+        "CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= 0.02 THEN 'en' " +
+        "WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= 0.02 THEN 'de' " +
+        "WHEN s_es >= s_fr AND s_es >= 0.02 THEN 'es' " +
+        "WHEN s_fr >= 0.02 THEN 'fr' ELSE 'und' END AS lang FROM tr_t), " +
+        "tr_k AS (SELECT md5(nt) AS h, min(doc_id) AS keep_id FROM tr_l GROUP BY 1), " +
+        "tr_tot AS (SELECT count(*) AS n_total FROM tr_l), " +
+        "tr_v AS (SELECT l.n_tokens, CASE WHEN l.doc_id <> k.keep_id THEN 'duplicate' " +
+        "WHEN l.n_tokens < 20 THEN 'too_short' " +
+        "WHEN l.lang = 'und' THEN 'und_lang' ELSE 'keep' END AS reason " +
+        "FROM tr_l l JOIN tr_k k ON md5(l.nt) = k.h) " +
+        "SELECT reason, count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens, " +
+        "floor(count(*) / n_total * 10000) / 10000 AS share " +
+        "FROM tr_v CROSS JOIN tr_tot GROUP BY reason, n_total"),
     "q_vocab_coverage" ->
       ("WITH tf AS (SELECT t, count(*) AS n FROM (SELECT unnest(string_split(text, ' ')) t " +
         "FROM documents) GROUP BY 1), " +

@@ -1821,6 +1821,36 @@ class OperatorsSpec extends SparkSpec {
     assert(r(6L)._1 === 2L && r(6L)._2 === 3L && r(6L)._4 === 1.0)
   }
 
+  test("Sketches.hllIntersect: inclusion-exclusion lands near the exact overlap on hand-built sets") {
+    import spark.implicits._
+    // purchase users 1..60, click users 31..90 → |A∩B| = 30
+    val ev = ((1L to 60L).map(u => (u, "purchase")) ++ (31L to 90L).map(u => (u, "click")))
+      .toDF("user_id", "event_type")
+    val r = Sketches.hllIntersect(ev).collect().head
+    assert(r.getAs[Long]("n_exact") === 30L)
+    // small-range corrected HLL at m=256 is accurate to a few percent here
+    assert(math.abs(r.getAs[Double]("est_intersect") - 30.0) <= 5.0)
+    // union never exceeds the sum, never undershoots either single set
+    assert(r.getAs[Double]("est_union") <= r.getAs[Double]("est_a") + r.getAs[Double]("est_b"))
+    assert(r.getAs[Double]("est_union") >= r.getAs[Double]("est_a") - 1e-9)
+  }
+
+  test("TextOps.corpusTriage: the ledger accounts for every perturbed doc with the right precedence") {
+    import spark.implicits._
+    val long = ("the cat sat on the mat and it is a fine day " * 3).trim // en, 36 tokens
+    val short = "uno dos tres"                                           // short AND non-en
+    val docs = Seq((1L, long), (2L, short)).toDF("doc_id", "text")
+    val r = TextOps.corpusTriage(docs).collect()
+      .map(x => x.getAs[String]("reason") ->
+        ((x.getAs[Long]("n_docs"), x.getAs[Long]("n_tokens"), x.getAs[Double]("share")))).toMap
+    // 4 perturbed docs: 2 raws keep/too_short, 2 copies collapse as duplicates
+    assert(r("duplicate")._1 === 2L)
+    assert(r("keep") === ((1L, 36L, 0.25)))
+    // precedence: the short non-en doc reports too_short, not und_lang
+    assert(r("too_short")._1 === 1L && !r.contains("und_lang"))
+    assert(r.values.map(_._1).sum === 4L)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
