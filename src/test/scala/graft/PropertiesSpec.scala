@@ -224,4 +224,42 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("scoreAuc: AUC in [0,1] and U2 reconciles with the rank identity for any data") {
+    forAll(rowGen) { rows =>
+      val df = toDF(rows)
+      val nPos = rows.count(_._3 == "error")
+      if (nPos > 0 && nPos < rows.length) {
+        val r = graft.operators.Monitoring.scoreAuc(df).collect().head
+        val (np, nn, u2) = (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+          r.getAs[Long]("u2"))
+        assert(np === nPos.toLong && nn === (rows.length - nPos).toLong)
+        // the doubled Mann–Whitney statistic is bounded by 2·n_pos·n_neg
+        assert(u2 >= 0L && u2 <= 2 * np * nn)
+        val auc = r.getAs[Double]("auc")
+        assert(auc >= 0.0 && auc <= 1.0)
+        // scalar recompute: P(pos > neg) + ½P(tie) over all cents pairs
+        val cents = rows.map(x => (math.floor(x._4 * 100 + 0.5).toLong, x._3 == "error"))
+        val pos = cents.filter(_._2).map(_._1); val neg = cents.filterNot(_._2).map(_._1)
+        val u2Exp = pos.map(p => 2L * neg.count(_ < p) + neg.count(_ == p)).sum
+        assert(u2 === u2Exp)
+      }
+    }
+  }
+
+  test("userEntropy: 0 <= H <= ln(n_merchants), normalized <= 1, for any data") {
+    forAll(rowGen) { rows =>
+      import spark.implicits._
+      val ev = rows.map(x => (x._2, s"""{"k": ${x._1 % 7}}""")).toDF("user_id", "props")
+      graft.operators.Monitoring.userEntropy(ev).collect().foreach { r =>
+        val h = r.getAs[Double]("entropy")
+        val nm = r.getAs[Long]("n_merchants")
+        assert(h >= 0.0)
+        assert(h <= math.log(nm.toDouble) + 1e-9)
+        val norm = r.getAs[Double]("norm_entropy")
+        assert(norm >= 0.0 && norm <= 1.0 + 1e-9)
+        if (nm == 1) assert(h === 0.0 && norm === 0.0)
+      }
+    }
+  }
 }
