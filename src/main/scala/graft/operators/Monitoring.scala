@@ -1954,9 +1954,70 @@ object Monitoring {
       .withColumn("drop_share", trunc4(col("n_dropped") / col("n_events")))
   }
 
+  /** Difference-in-differences readout — the quasi-experimental
+    * sibling of [[abTest]] (post-only compare) and [[abCuped]]
+    * (variance reduction): deterministic hash assignment to
+    * treat/control, a fixed mid-window period split, and
+    * DiD = (T_post − T_pre) − (C_post − C_pre) over per-cell mean
+    * cents — the estimator that nets out both the group baseline and
+    * the common time trend. All four cells are exact BIGINT
+    * count/sum pairs from ONE hash-agg; the only doubles are the four
+    * mirrored mean divisions and the final subtraction. */
+  def didEstimate(ev: DataFrame, splitMs: Long = 1705363200000L): DataFrame = {
+    val cells = ev
+      .select(pmod(graft.functions.TextHash.hash60(
+          concat(lit("did|"), col("user_id").cast("string"))), lit(2L)).as("treat"),
+        when(col("ts_ms") >= splitMs, 1L).otherwise(0L).as("post"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("treat"), col("post"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    def cell(t: Int, p: Int, c: String) =
+      max(when(col("treat") === t && col("post") === p, col(c)))
+    cells.agg(
+        cell(1, 0, "n").as("n_t_pre"), cell(1, 1, "n").as("n_t_post"),
+        cell(0, 0, "n").as("n_c_pre"), cell(0, 1, "n").as("n_c_post"),
+        (cell(1, 0, "s") / cell(1, 0, "n")).as("m_t_pre"),
+        (cell(1, 1, "s") / cell(1, 1, "n")).as("m_t_post"),
+        (cell(0, 0, "s") / cell(0, 0, "n")).as("m_c_pre"),
+        (cell(0, 1, "s") / cell(0, 1, "n")).as("m_c_post"))
+      .select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
+        trunc4(col("m_t_pre")).as("mean_t_pre"), trunc4(col("m_t_post")).as("mean_t_post"),
+        trunc4(col("m_c_pre")).as("mean_c_pre"), trunc4(col("m_c_post")).as("mean_c_post"),
+        trunc4((col("m_t_post") - col("m_t_pre")) - (col("m_c_post") - col("m_c_pre")))
+          .as("did_cents"))
+  }
+
+  /** 2·(z_{α/2} + z_β)² for α = 0.05, power = 0.80, folded to ONE
+    * Scala double (the Sketches alpha-constant trick) so the oracle
+    * divides the identical bits. */
+  private[graft] val PowerK: Double =
+    2.0 * math.pow(1.959963984540054 + 0.8416212335729143, 2)
+
+  /** A/B power sizing from observed variance — the pre-experiment
+    * answer to "how many events per arm to detect a 1% lift": per
+    * event type, n_required = ceil(K·s² / δ²) with δ = 1% of the
+    * observed mean and K = 2(z_{α/2}+z_β)². Mean and sample variance
+    * derive from exact BIGINT cent sums (the [[amountOutliers]]
+    * discipline); one hash-agg over the fact. */
+  def abPower(ev: DataFrame): DataFrame = {
+    val st = ev
+      .select(col("event_type"), floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+        sum(col("cents") * col("cents")).as("sq"))
+    val mean = col("s") / col("n")
+    val variance = (col("sq") - col("s") * col("s") / col("n")) / (col("n") - 1)
+    val delta = mean * 0.01
+    st.select(col("event_type"), col("n"),
+      trunc4(mean).as("mean_cents"), trunc4(variance).as("var_cents"),
+      ceil(lit(PowerK) * variance / (delta * delta)).cast("long").as("n_required"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_did" -> ((s, d) => didEstimate(Tables.events(s, d))),
+    "q_ab_power" -> ((s, d) => abPower(Tables.events(s, d))),
     "q_disorder_audit" -> ((s, d) => disorderAudit(Tables.events(s, d))),
     "q_watermark_sizing" -> ((s, d) => watermarkSizing(Tables.events(s, d))),
     "q_alert_triage" -> ((s, d) => alertTriage(Tables.events(s, d))),
@@ -2017,6 +2078,12 @@ object Monitoring {
     "q_recurring" -> ((s, d) => recurringPayments(Tables.events(s, d))),
     "q_concentration" -> ((s, d) => concentration(Tables.events(s, d))))
 
+  private val didCellsCte =
+    "dc AS (SELECT ('0x' || substr(md5('did|' || user_id), 1, 15))::BIGINT % 2 AS treat, " +
+      "CASE WHEN epoch_ms(ts) >= 1705363200000 THEN 1 ELSE 0 END AS post, " +
+      "count(*) AS n, sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS s " +
+      "FROM events GROUP BY 1, 2)"
+
   private val latenessCte =
     "ld AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, " +
       "epoch_ms(ts) + CASE WHEN event_id % 11 = 0 THEN " +
@@ -2029,6 +2096,36 @@ object Monitoring {
       "CASE WHEN runmax > ts_ms THEN runmax - ts_ms ELSE 0 END AS late FROM lt)"
 
   val oracleSql: Map[String, String] = Map(
+    "q_did" ->
+      (s"WITH $didCellsCte, " +
+        "p AS (SELECT max(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n_t_pre, " +
+        "max(CASE WHEN treat = 1 AND post = 1 THEN n END) AS n_t_post, " +
+        "max(CASE WHEN treat = 0 AND post = 0 THEN n END) AS n_c_pre, " +
+        "max(CASE WHEN treat = 0 AND post = 1 THEN n END) AS n_c_post, " +
+        "max(CASE WHEN treat = 1 AND post = 0 THEN s END) / " +
+        "max(CASE WHEN treat = 1 AND post = 0 THEN n END) AS m_t_pre, " +
+        "max(CASE WHEN treat = 1 AND post = 1 THEN s END) / " +
+        "max(CASE WHEN treat = 1 AND post = 1 THEN n END) AS m_t_post, " +
+        "max(CASE WHEN treat = 0 AND post = 0 THEN s END) / " +
+        "max(CASE WHEN treat = 0 AND post = 0 THEN n END) AS m_c_pre, " +
+        "max(CASE WHEN treat = 0 AND post = 1 THEN s END) / " +
+        "max(CASE WHEN treat = 0 AND post = 1 THEN n END) AS m_c_post FROM dc) " +
+        "SELECT n_t_pre, n_t_post, n_c_pre, n_c_post, " +
+        "floor(m_t_pre * 10000) / 10000 AS mean_t_pre, " +
+        "floor(m_t_post * 10000) / 10000 AS mean_t_post, " +
+        "floor(m_c_pre * 10000) / 10000 AS mean_c_pre, " +
+        "floor(m_c_post * 10000) / 10000 AS mean_c_post, " +
+        "floor(((m_t_post - m_t_pre) - (m_c_post - m_c_pre)) * 10000) / 10000 AS did_cents " +
+        "FROM p"),
+    "q_ab_power" ->
+      ("WITH st AS (SELECT event_type, count(*) AS n, " +
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS s, " +
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT) * " +
+        "CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS sq FROM events GROUP BY 1) " +
+        "SELECT event_type, n, floor(s / n * 10000) / 10000 AS mean_cents, " +
+        "floor((sq - s * s / n) / (n - 1) * 10000) / 10000 AS var_cents, " +
+        s"CAST(ceil($PowerK::DOUBLE * ((sq - s * s / n) / (n - 1)) / " +
+        "((s / n * 0.01) * (s / n * 0.01))) AS BIGINT) AS n_required FROM st"),
     "q_disorder_audit" ->
       (s"WITH $latenessCte " +
         "SELECT CASE WHEN late = 0 THEN 0 ELSE length(late::VARCHAR) END::BIGINT AS magnitude, " +

@@ -911,6 +911,53 @@ class MonitoringSpec extends SparkSpec {
     }
   }
 
+  test("didEstimate: a planted treatment lift in the post period is recovered exactly") {
+    import spark.implicits._
+    // find hash-assigned treat/control user ids first
+    val probe = (1L to 20L).map(u => (u, 0L, 1.0)).toDF("user_id", "ts_ms", "value")
+    val assign = probe
+      .select(col("user_id"), pmod(graft.functions.TextHash.hash60(
+        concat(lit("did|"), col("user_id").cast("string"))), lit(2L)).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tU = assign.collectFirst { case (u, 1L) => u }.get
+    val cU = assign.collectFirst { case (u, 0L) => u }.get
+    val split = 1705363200000L
+    // both arms: $10 pre; post: control $12 (trend +2), treated $15 (trend + lift 3)
+    val ev = Seq(
+      (tU, split - 1000L, 10.0), (tU, split + 1000L, 15.0),
+      (cU, split - 1000L, 10.0), (cU, split + 1000L, 12.0))
+      .toDF("user_id", "ts_ms", "value")
+    val r = Monitoring.didEstimate(ev).collect().head
+    assert(r.getAs[Double]("mean_t_pre") === 1000.0 && r.getAs[Double]("mean_c_post") === 1200.0)
+    assert(r.getAs[Double]("did_cents") === 300.0) // the planted lift, net of trend
+  }
+
+  test("abPower: quadruple the variance, quadruple the required sample; exact moments") {
+    import spark.implicits._
+    // type a: values 10/20 alternating; type b: 5/35 (same mean 15, 9x spread^2... use exact recompute)
+    val a = (1L to 40L).map(i => ("a", if (i % 2 == 0) 10.0 else 20.0))
+    val b = (1L to 40L).map(i => ("b", if (i % 2 == 0) 5.0 else 25.0))
+    val r = Monitoring.abPower((a ++ b).toDF("event_type", "value")).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        ((x.getAs[Long]("n"), x.getAs[Double]("mean_cents"), x.getAs[Double]("var_cents"),
+          x.getAs[Long]("n_required")))).toMap
+    // exact recompute for type a: cents 1000/2000, n=40
+    def stats(vals: Seq[Double]) = {
+      val c = vals.map(v => math.floor(v * 100 + 0.5).toLong)
+      val n = c.size; val s = c.sum.toDouble; val sq = c.map(x => x * x).sum.toDouble
+      val mean = s / n; val vr = (sq - s * s / n) / (n - 1)
+      (mean, vr, math.ceil(Monitoring.PowerK * vr / ((mean * 0.01) * (mean * 0.01))).toLong)
+    }
+    val (ma, va, na) = stats(a.map(_._2))
+    assert(r("a")._2 === math.floor(ma * 10000) / 10000)
+    assert(r("a")._3 === math.floor(va * 10000) / 10000)
+    assert(r("a")._4 === na)
+    // same mean, 4x the deviation^2 → 4x the required n (both exact)
+    val (_, vb, nb) = stats(b.map(_._2))
+    assert(vb === 4 * va && nb === r("b")._4)
+    assert(math.abs(r("b")._4.toDouble / r("a")._4 - 4.0) < 0.01)
+  }
+
   test("disorderAudit/watermarkSizing: the simulated delay makes exactly the planted event late") {
     import spark.implicits._
     // event 11 (11 % 11 = 0) is delayed by md5("delay|11") % 3600000 =
