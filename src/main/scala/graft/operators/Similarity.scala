@@ -978,9 +978,62 @@ object Similarity {
       .withColumn("label_precision", trunc4(col("n_same") / col("k_eff")))
   }
 
+  /** MMR diversity reranking (Carbonell & Goldstein 1998, the greedy
+    * rerank every RAG retrieval stack ships): from each query's exact
+    * top-k, select `sel` results maximizing
+    * λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) — relevance traded against
+    * redundancy with what's already picked. The greedy recursion
+    * unrolls into `sel` relational rounds (the [[Graph]] LPA/k-core
+    * oracle discipline): each round is a bounded join over the
+    * ≤ k-row-per-query candidate set, so the whole rerank costs
+    * O(q·k²) — independent of corpus size, the property that makes
+    * MMR a post-retrieval step at any scale.
+    *
+    * Determinism: rel and the pairwise sims are the trunc4'd cosines
+    * (identical in both engines), λ and 1−λ fold to single doubles
+    * shared with the oracle, ties break on vec_id. */
+  def mmrRerank(emb: DataFrame, queryIds: Seq[Long] = DefaultQueryIds,
+      k: Int = 10, sel: Int = 5, lam: Double = 0.7): DataFrame = {
+    val mu = 1.0 - lam
+    val topk = bruteForceTopK(emb, queryIds, k)
+      .select(col("q_id"), col("vec_id"), col("cos").as("rel"))
+      .persist() // feeds every greedy round
+    val ve = withEmbD(emb)
+    val cand = topk.join(ve, "vec_id")
+      .select(col("q_id"), col("vec_id"), col("e"))
+    val sims = cand.as("a").join(cand.as("b"),
+        col("a.q_id") === col("b.q_id") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.q_id").as("q_id"), col("a.vec_id").as("c"),
+        col("b.vec_id").as("s"), trunc4(NativeVector.cosine(col("a.e"), col("b.e"))).as("sim"))
+      .persist() // k²-per-query pair relation, reused each round
+    val w1 = Window.partitionBy(col("q_id")).orderBy(col("rel").desc, col("vec_id"))
+    var selected = topk.withColumn("r", row_number().over(w1)).filter(col("r") === 1)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("pick"), col("rel"),
+        lit(null).cast("double").as("mmr"))
+    for (i <- 2 to sel) {
+      val remaining = topk.join(selected.select(col("q_id"), col("vec_id")),
+        Seq("q_id", "vec_id"), "left_anti")
+      val ms = sims
+        .join(selected.select(col("q_id"), col("vec_id").as("s")), Seq("q_id", "s"))
+        .groupBy(col("q_id"), col("c")).agg(max(col("sim")).as("msim"))
+        .withColumnRenamed("c", "vec_id")
+      val scored = remaining.join(ms, Seq("q_id", "vec_id"))
+        .withColumn("mmr0", lit(lam) * col("rel") - lit(mu) * col("msim"))
+      val wi = Window.partitionBy(col("q_id")).orderBy(col("mmr0").desc, col("vec_id"))
+      val pick = scored.withColumn("r", row_number().over(wi)).filter(col("r") === 1)
+        .select(col("q_id"), col("vec_id"), lit(i.toLong).as("pick"), col("rel"),
+          trunc4(col("mmr0")).as("mmr"))
+      selected = selected.unionByName(pick)
+    }
+    val result = selected.localCheckpoint(true) // sel rows per query
+    sims.unpersist(); topk.unpersist()
+    result
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_mmr" -> ((s, d) => mmrRerank(Tables.embeddings(s, d))),
     "q_sim_label_recall" -> ((s, d) => labelRecall(Tables.embeddings(s, d))),
     "q_sim_rrf" -> ((s, d) => rrfFusion(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_topk_exact" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d), DefaultQueryIds)),
@@ -1008,6 +1061,38 @@ object Similarity {
   // -- shared oracle CTE fragments (composed per query and by recall) --
 
   private val vCte = "v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings)"
+
+  /** One MMR greedy round unrolled as SQL CTEs (cum(i-1) → pick(i) →
+    * cum(i)) — the LPA/k-core unroll discipline applied to the rerank
+    * recursion. λ and 1−λ interpolate the exact Scala doubles
+    * (::DOUBLE so the literal can't type as DECIMAL). */
+  private def mmrIterSql(i: Int, lam: Double, mu: Double): String =
+    s"ms$i AS (SELECT p.q_id, p.c AS vec_id, max(p.sim) AS msim FROM psim p " +
+      s"JOIN cum${i - 1} s ON p.q_id = s.q_id AND p.s = s.vec_id GROUP BY 1, 2), " +
+      s"sc$i AS (SELECT c.q_id, c.vec_id, c.rel, " +
+      s"$lam::DOUBLE * c.rel - $mu::DOUBLE * m.msim AS mmr0 " +
+      s"FROM cand c JOIN ms$i m ON c.q_id = m.q_id AND c.vec_id = m.vec_id " +
+      s"LEFT JOIN cum${i - 1} z ON c.q_id = z.q_id AND c.vec_id = z.vec_id " +
+      "WHERE z.vec_id IS NULL), " +
+      s"pick$i AS (SELECT q_id, vec_id, $i::BIGINT AS pick, rel, " +
+      "floor(mmr0 * 10000) / 10000 AS mmr FROM (SELECT *, row_number() OVER " +
+      s"(PARTITION BY q_id ORDER BY mmr0 DESC, vec_id) r FROM sc$i) WHERE r = 1), " +
+      s"cum$i AS (SELECT * FROM cum${i - 1} UNION ALL SELECT * FROM pick$i)"
+
+  private lazy val mmrOracle: String = {
+    val lam = 0.7; val mu = 1.0 - lam
+    s"WITH $vCte, $qsCte, $exactCtes, " +
+      "cand AS (SELECT q_id, vec_id, cos AS rel FROM ex_ranked WHERE rnk <= 10), " +
+      "psim AS (SELECT a.q_id, a.vec_id AS c, b.vec_id AS s, " +
+      "floor(list_cosine_similarity((SELECT e FROM v WHERE v.vec_id = a.vec_id), " +
+      "(SELECT e FROM v WHERE v.vec_id = b.vec_id)) * 10000) / 10000 AS sim " +
+      "FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id), " +
+      "cum1 AS (SELECT q_id, vec_id, 1::BIGINT AS pick, rel, NULL::DOUBLE AS mmr FROM " +
+      "(SELECT q_id, vec_id, rel, row_number() OVER " +
+      "(PARTITION BY q_id ORDER BY rel DESC, vec_id) r FROM cand) WHERE r = 1), " +
+      (2 to 5).map(i => mmrIterSql(i, lam, mu)).mkString(", ") + " " +
+      "SELECT q_id, vec_id, pick, rel, mmr FROM cum5"
+  }
 
   /** The kNN-graph chain (banded candidates → cosine → mirror →
     * per-source top-5), shared by q_knn_graph and q_label_noise. */
@@ -1306,6 +1391,7 @@ object Similarity {
         "SELECT f.src_id, f.dst_id, f.cos, f.rnk, " +
         "(r.src_id IS NOT NULL) AS mutual FROM kg_topk f " +
         "LEFT JOIN kg_topk r ON f.src_id = r.dst_id AND f.dst_id = r.src_id"),
+    "q_sim_mmr" -> mmrOracle,
     "q_sim_label_recall" ->
       (s"WITH $vCte, $qsCte, $exactCtes, " +
         "lr_lbl AS (SELECT vec_id, label::BIGINT AS label FROM embeddings), " +

@@ -1851,6 +1851,29 @@ class OperatorsSpec extends SparkSpec {
     assert(r.values.map(_._1).sum === 4L)
   }
 
+  test("Similarity.mmrRerank: an exact duplicate is passed over for a diverse lower-relevance result") {
+    import spark.implicits._
+    // query 0; candidates: 1 and its exact duplicate 2 (sim = 1), and a
+    // diverse lower-relevance 3. Pure relevance would pick {1, 2};
+    // MMR at λ = 0.5 picks {1, 3}.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.1f, 0.0f), 0),
+      (2L, Array(1.0f, 0.1f, 0.0f), 0),
+      (3L, Array(0.8f, 0.0f, 0.6f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.mmrRerank(emb, queryIds = Seq(0L), k = 3, sel = 2, lam = 0.5)
+      .collect().map(x => x.getAs[Long]("pick") ->
+        ((x.getAs[Long]("vec_id"), Option(x.getAs[java.lang.Double]("mmr"))))).toMap
+    assert(r(1L)._1 === 1L && r(1L)._2 === None) // top relevance, tie-broken to id 1
+    assert(r(2L)._1 === 3L) // the duplicate (score 0.5·rel − 0.5·1 < 0) loses
+    // scalar recompute of the winning MMR score: 0.5·0.8 − 0.5·sim(3,1)
+    val sim31 = math.floor(0.8 / math.sqrt(1.01 * 1.0) * 10000) / 10000
+    val rel3 = 0.8
+    val exp = math.floor((0.5 * rel3 - 0.5 * sim31) * 10000) / 10000
+    assert(math.abs(r(2L)._2.get - exp) < 2e-4) // float32 storage slack
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
