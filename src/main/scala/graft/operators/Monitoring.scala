@@ -2013,9 +2013,63 @@ object Monitoring {
       ceil(lit(PowerK) * variance / (delta * delta)).cast("long").as("n_required"))
   }
 
+  /** Schema-wide constraint audit — the cross-table contract screen
+    * [[dqAudit]]'s per-table checks leave uncovered: every declared
+    * primary key's uniqueness (violations = rows − distinct keys) and
+    * every foreign-key edge's orphan count (child rows whose key finds
+    * no parent), across the whole star schema plus the events→customer
+    * bridge. A healthy pipeline reads all-zero violations; any nonzero
+    * row names exactly which contract broke and how badly.
+    *
+    * Shape: each FK edge is ONE left join + conditional count (never a
+    * separate anti-join pass); parents join on their distinct key
+    * relation (dims broadcast; the one fact⋈fact edge —
+    * lineitem→orders — shuffles on the key like every fact join). All
+    * sixteen checks union into one lazy plan; output is one row per
+    * constraint. */
+  def riAudit(spark: SparkSession, dir: String): DataFrame = {
+    def pk(name: String, df: DataFrame, key: String): DataFrame =
+      df.agg(count(lit(1)).as("n_checked"),
+          (count(lit(1)) - countDistinct(col(key))).as("n_violations"))
+        .select(lit("pk").as("kind"), lit(name).as("constraint_name"),
+          col("n_checked"), col("n_violations"))
+    def fk(name: String, child: DataFrame, key: String,
+        parent: DataFrame, pkey: String): DataFrame =
+      child.select(col(key)).filter(col(key).isNotNull)
+        .join(parent.select(col(pkey)).distinct(), col(key) === col(pkey), "left")
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when(col(pkey).isNull, 1L).otherwise(0L)).as("n_violations"))
+        .select(lit("fk").as("kind"), lit(name).as("constraint_name"),
+          col("n_checked"), col("n_violations"))
+    val t = (n: String) => Tables.read(spark, dir, n)
+    val checks = Seq(
+      pk("region.r_regionkey", t("region"), "r_regionkey"),
+      pk("nation.n_nationkey", t("nation"), "n_nationkey"),
+      pk("customer.c_custkey", t("customer"), "c_custkey"),
+      pk("supplier.s_suppkey", t("supplier"), "s_suppkey"),
+      pk("part.p_partkey", t("part"), "p_partkey"),
+      pk("orders.o_orderkey", t("orders"), "o_orderkey"),
+      pk("events.event_id", Tables.events(spark, dir), "event_id"),
+      pk("documents.doc_id", t("documents"), "doc_id"),
+      pk("embeddings.vec_id", t("embeddings"), "vec_id"),
+      fk("lineitem->orders", t("lineitem"), "l_orderkey", t("orders"), "o_orderkey"),
+      fk("lineitem->part", t("lineitem"), "l_partkey", t("part"), "p_partkey"),
+      fk("lineitem->supplier", t("lineitem"), "l_suppkey", t("supplier"), "s_suppkey"),
+      fk("orders->customer", t("orders"), "o_custkey", t("customer"), "c_custkey"),
+      fk("customer->nation", t("customer"), "c_nationkey", t("nation"), "n_nationkey"),
+      fk("supplier->nation", t("supplier"), "s_nationkey", t("nation"), "n_nationkey"),
+      fk("nation->region", t("nation"), "n_regionkey", t("region"), "r_regionkey"),
+      fk("events->customer", Tables.events(spark, dir), "user_id",
+        t("customer"), "c_custkey"))
+    checks.reduce(_ unionByName _)
+      .withColumn("violation_share",
+        trunc4(col("n_violations") / col("n_checked")))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ri_audit" -> ((s, d) => riAudit(s, d)),
     "q_did" -> ((s, d) => didEstimate(Tables.events(s, d))),
     "q_ab_power" -> ((s, d) => abPower(Tables.events(s, d))),
     "q_disorder_audit" -> ((s, d) => disorderAudit(Tables.events(s, d))),
@@ -2095,7 +2149,40 @@ object Monitoring {
       "lv AS (SELECT user_id, event_id, " +
       "CASE WHEN runmax > ts_ms THEN runmax - ts_ms ELSE 0 END AS late FROM lt)"
 
+  private def pkSql(name: String, table: String, key: String): String =
+    s"SELECT 'pk' AS kind, '$name' AS constraint_name, count(*) AS n_checked, " +
+      s"(count(*) - count(DISTINCT $key))::BIGINT AS n_violations FROM $table"
+
+  private def fkSql(name: String, child: String, key: String,
+      parent: String, pkey: String): String =
+    s"SELECT 'fk', '$name', count(*), " +
+      s"sum(CASE WHEN p.$pkey IS NULL THEN 1 ELSE 0 END)::BIGINT " +
+      s"FROM (SELECT $key FROM $child WHERE $key IS NOT NULL) c " +
+      s"LEFT JOIN (SELECT DISTINCT $pkey FROM $parent) p ON c.$key = p.$pkey"
+
   val oracleSql: Map[String, String] = Map(
+    "q_ri_audit" ->
+      ("WITH u AS (" + Seq(
+        pkSql("region.r_regionkey", "region", "r_regionkey"),
+        pkSql("nation.n_nationkey", "nation", "n_nationkey"),
+        pkSql("customer.c_custkey", "customer", "c_custkey"),
+        pkSql("supplier.s_suppkey", "supplier", "s_suppkey"),
+        pkSql("part.p_partkey", "part", "p_partkey"),
+        pkSql("orders.o_orderkey", "orders", "o_orderkey"),
+        pkSql("events.event_id", "events", "event_id"),
+        pkSql("documents.doc_id", "documents", "doc_id"),
+        pkSql("embeddings.vec_id", "embeddings", "vec_id"),
+        fkSql("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        fkSql("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        fkSql("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        fkSql("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        fkSql("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        fkSql("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        fkSql("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        fkSql("events->customer", "events", "user_id", "customer", "c_custkey"))
+        .mkString(" UNION ALL ") + ") " +
+        "SELECT kind, constraint_name, n_checked, n_violations, " +
+        "floor(n_violations / n_checked * 10000) / 10000 AS violation_share FROM u"),
     "q_did" ->
       (s"WITH $didCellsCte, " +
         "p AS (SELECT max(CASE WHEN treat = 1 AND post = 0 THEN n END) AS n_t_pre, " +

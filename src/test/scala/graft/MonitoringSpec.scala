@@ -911,6 +911,20 @@ class MonitoringSpec extends SparkSpec {
     }
   }
 
+  test("riAudit: the generated star schema passes every contract; all 17 constraints present") {
+    val r = Monitoring.riAudit(spark, sf).collect()
+    assert(r.length === 17)
+    assert(r.count(_.getAs[String]("kind") == "pk") === 9)
+    assert(r.count(_.getAs[String]("kind") == "fk") === 8)
+    r.foreach { x =>
+      assert(x.getAs[Long]("n_checked") > 0L,
+        s"${x.getAs[String]("constraint_name")}: empty check")
+      assert(x.getAs[Long]("n_violations") === 0L,
+        s"${x.getAs[String]("constraint_name")}: unexpected violations")
+      assert(x.getAs[Double]("violation_share") === 0.0)
+    }
+  }
+
   test("didEstimate: a planted treatment lift in the post period is recovered exactly") {
     import spark.implicits._
     // find hash-assigned treat/control user ids first
