@@ -2066,9 +2066,51 @@ object Monitoring {
         trunc4(col("n_violations") / col("n_checked")))
   }
 
+  /** Deterministic table fingerprints — the snapshot-diff primitive
+    * behind "did anything change between these two loads": per table,
+    * the row count and the XOR of every row's md5-derived 60-bit hash
+    * over a CANONICAL projection (keys, strings, integer-cent money —
+    * never raw doubles, whose decimal rendering is engine-specific).
+    * XOR is commutative, idempotent-free and cannot overflow, so the
+    * fingerprint is merge-order-proof, one scan per table, and any
+    * single changed/added/dropped row flips it. Two snapshots are
+    * compared fingerprint-to-fingerprint — no row shipping.
+    *
+    * The canonical rendering is the portable '|'-joined cast-to-string
+    * form both engines produce byte-identically (integer casts carry
+    * no padding; money goes through floor(v·100+0.5)). */
+  def tableFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    def cents(c: String) = floor(col(c) * 100 + 0.5).cast("long").cast("string")
+    def fp(name: String, df: DataFrame, cols: Column*): DataFrame =
+      df.select(graft.functions.TextHash.hash60(
+          concat_ws("|", cols: _*)).as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(h)").as("fingerprint"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("fingerprint"))
+    val t = (n: String) => Tables.read(spark, dir, n)
+    val s = (c: String) => col(c).cast("string")
+    Seq(
+      fp("region", t("region"), s("r_regionkey"), s("r_name")),
+      fp("nation", t("nation"), s("n_nationkey"), s("n_name"), s("n_regionkey")),
+      fp("customer", t("customer"), s("c_custkey"), s("c_name"), s("c_nationkey"),
+        cents("c_acctbal"), s("c_mktsegment")),
+      fp("supplier", t("supplier"), s("s_suppkey"), s("s_name"), s("s_nationkey"),
+        cents("s_acctbal")),
+      fp("part", t("part"), s("p_partkey"), s("p_name"), s("p_brand"), s("p_type"),
+        s("p_size"), cents("p_retailprice")),
+      fp("orders", t("orders"), s("o_orderkey"), s("o_custkey"), s("o_orderstatus"),
+        cents("o_totalprice"), s("o_orderpriority")),
+      fp("events", Tables.events(spark, dir), s("event_id"), s("user_id"),
+        s("event_type"), cents("value"), s("ts_ms")),
+      fp("documents", t("documents"), s("doc_id"), col("text"), s("lang"),
+        s("source"), s("n_chars")))
+      .reduce(_ unionByName _)
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_table_fingerprint" -> ((s, d) => tableFingerprint(s, d)),
     "q_ri_audit" -> ((s, d) => riAudit(s, d)),
     "q_did" -> ((s, d) => didEstimate(Tables.events(s, d))),
     "q_ab_power" -> ((s, d) => abPower(Tables.events(s, d))),
@@ -2160,7 +2202,38 @@ object Monitoring {
       s"FROM (SELECT $key FROM $child WHERE $key IS NOT NULL) c " +
       s"LEFT JOIN (SELECT DISTINCT $pkey FROM $parent) p ON c.$key = p.$pkey"
 
+  private def fpSql(name: String, table: String, rendered: String): String =
+    s"SELECT '$name' AS table_name, count(*) AS n_rows, " +
+      s"bit_xor(('0x' || substr(md5($rendered), 1, 15))::BIGINT)::BIGINT AS fingerprint " +
+      s"FROM $table"
+
+  private def centsSql(c: String): String =
+    s"CAST(floor($c * 100 + 0.5) AS BIGINT)::VARCHAR"
+
   val oracleSql: Map[String, String] = Map(
+    "q_table_fingerprint" ->
+      (Seq(
+        fpSql("region", "region", "r_regionkey::VARCHAR || '|' || r_name"),
+        fpSql("nation", "nation",
+          "n_nationkey::VARCHAR || '|' || n_name || '|' || n_regionkey::VARCHAR"),
+        fpSql("customer", "customer",
+          "c_custkey::VARCHAR || '|' || c_name || '|' || c_nationkey::VARCHAR || '|' || " +
+            centsSql("c_acctbal") + " || '|' || c_mktsegment"),
+        fpSql("supplier", "supplier",
+          "s_suppkey::VARCHAR || '|' || s_name || '|' || s_nationkey::VARCHAR || '|' || " +
+            centsSql("s_acctbal")),
+        fpSql("part", "part",
+          "p_partkey::VARCHAR || '|' || p_name || '|' || p_brand || '|' || p_type || '|' || " +
+            "p_size::VARCHAR || '|' || " + centsSql("p_retailprice")),
+        fpSql("orders", "orders",
+          "o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' || o_orderstatus || '|' || " +
+            centsSql("o_totalprice") + " || '|' || o_orderpriority"),
+        fpSql("events", "events",
+          "event_id::VARCHAR || '|' || user_id::VARCHAR || '|' || event_type || '|' || " +
+            centsSql("value") + " || '|' || epoch_ms(ts)::VARCHAR"),
+        fpSql("documents", "documents",
+          "doc_id::VARCHAR || '|' || text || '|' || lang || '|' || source || '|' || " +
+            "n_chars::VARCHAR")).mkString(" UNION ALL ")),
     "q_ri_audit" ->
       ("WITH u AS (" + Seq(
         pkSql("region.r_regionkey", "region", "r_regionkey"),

@@ -911,6 +911,27 @@ class MonitoringSpec extends SparkSpec {
     }
   }
 
+  test("tableFingerprint: order-proof XOR matches a scalar recompute; any row change flips it") {
+    val r = Monitoring.tableFingerprint(spark, sf).collect()
+      .map(x => x.getAs[String]("table_name") ->
+        ((x.getAs[Long]("n_rows"), x.getAs[Long]("fingerprint")))).toMap
+    assert(r.size === 8)
+    // scalar recompute of the region fingerprint from raw rows
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val regions = Tables.region(spark, sf).collect()
+      .map(x => s"${x.getAs[Int]("r_regionkey")}|${x.getAs[String]("r_name")}")
+    assert(r("region")._1 === regions.length.toLong)
+    assert(r("region")._2 === regions.map(h60).reduce(_ ^ _))
+    // determinism: a second evaluation lands identical fingerprints
+    val again = Monitoring.tableFingerprint(spark, sf).collect()
+      .map(x => x.getAs[String]("table_name") -> x.getAs[Long]("fingerprint")).toMap
+    r.foreach { case (t, (_, f)) => assert(again(t) === f) }
+  }
+
   test("riAudit: the generated star schema passes every contract; all 17 constraints present") {
     val r = Monitoring.riAudit(spark, sf).collect()
     assert(r.length === 17)
