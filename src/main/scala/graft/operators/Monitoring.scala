@@ -2107,9 +2107,84 @@ object Monitoring {
       .reduce(_ unionByName _)
   }
 
+  /** Markov removal-effect attribution (Anderl et al. 2016, the
+    * multi-touch model beside the last-touch [[attribution]]): build
+    * the first-order journey chain START → events → first purchase
+    * (absorb) or DROP, then credit each channel by how much the
+    * conversion probability FALLS when that channel is removed
+    * (removal = the channel state becomes a dead end), shares
+    * normalized over channels.
+    *
+    * Determinism discipline: conversion probabilities iterate in
+    * 1e12-SCALED BIGINTs with per-term floor division
+    * Σ (n_st·p_t) div n_s (the [[Graph]] HITS integer-scaling
+    * pattern) — no float sum whose merge order could flip a digit —
+    * for a FIXED `rounds` bounded iteration mirrored round-for-round
+    * by the oracle. Removing a channel can only lower p, so removal
+    * effects are non-negative by construction.
+    *
+    * Scale: journeys are per-user windows (one exchange); the chain
+    * relation is ≤ (|types|+2)² rows and every iteration round runs
+    * on the tiny (variant × state) grid — per-round checkpoints keep
+    * the lineage flat, the [[Dedup]] components discipline. */
+  def markovAttribution(ev: DataFrame, rounds: Int = 8): DataFrame = {
+    val S = 1000000000000L // 1e12 probability scale
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val cut = ev.select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+      .withColumn("np_before", coalesce(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("np_before") === 0) // journey ends at the FIRST purchase
+    val steps = cut
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+    val edges = steps.filter(col("rn") === 1)
+        .select(lit("START").as("src"), col("event_type").as("dst"))
+      .unionAll(steps.filter(col("nxt").isNotNull)
+        .select(col("event_type").as("src"), col("nxt").as("dst")))
+      .unionAll(steps.filter(col("nxt").isNull && col("event_type") =!= "purchase")
+        .select(col("event_type").as("src"), lit("DROP").as("dst")))
+    val tcnt = edges.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      .withColumn("n_src", sum(col("n")).over(Window.partitionBy(col("src"))))
+      .localCheckpoint(true) // ≤ (|types|+2)² rows, reused every round
+    val spark = ev.sparkSession
+    val channels = Seq("click", "error", "signup", "view")
+    val variants = spark.createDataFrame(("none" +: channels).map(Tuple1(_))).toDF("variant")
+    val states = tcnt.select(col("src").as("state"))
+      .unionAll(tcnt.select(col("dst").as("state"))).distinct()
+    val grid = variants.crossJoin(states).localCheckpoint(true)
+    var p = grid.withColumn("p",
+      when(col("state") === "purchase", lit(S)).otherwise(lit(0L)))
+    for (_ <- 1 to rounds) {
+      val nx = tcnt.join(p, tcnt("dst") === p("state"))
+        .select(col("variant"), tcnt("src").as("state"),
+          expr("(n * p) div n_src").as("term"))
+        .groupBy(col("variant"), col("state")).agg(sum(col("term")).as("praw"))
+      p = grid.join(nx, Seq("variant", "state"), "left")
+        .withColumn("p",
+          when(col("state") === "purchase", lit(S))
+            .when(col("state") === "DROP", lit(0L))
+            .when(col("state") === col("variant"), lit(0L))
+            .otherwise(coalesce(col("praw"), lit(0L))))
+        .select(col("variant"), col("state"), col("p"))
+        .localCheckpoint(true) // tiny; keeps the 8-round lineage flat
+    }
+    val fin = p.filter(col("state") === "START").select(col("variant"), col("p"))
+    val base = fin.filter(col("variant") === "none").select(col("p").as("p_base"))
+    val rem = fin.filter(col("variant") =!= "none")
+      .crossJoin(broadcast(base))
+      .withColumn("re_scaled", col("p_base") - col("p"))
+    val tot = rem.agg(sum(col("re_scaled")).as("re_tot"))
+    rem.crossJoin(broadcast(tot))
+      .select(col("variant").as("channel"), col("p_base"), col("p").as("p_removed"),
+        trunc4(col("re_scaled") / col("p_base")).as("removal_effect"),
+        trunc4(col("re_scaled") / col("re_tot")).as("attribution_share"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_markov_attrib" -> ((s, d) => markovAttribution(Tables.events(s, d))),
     "q_table_fingerprint" -> ((s, d) => tableFingerprint(s, d)),
     "q_ri_audit" -> ((s, d) => riAudit(s, d)),
     "q_did" -> ((s, d) => didEstimate(Tables.events(s, d))),
@@ -2202,6 +2277,52 @@ object Monitoring {
       s"FROM (SELECT $key FROM $child WHERE $key IS NOT NULL) c " +
       s"LEFT JOIN (SELECT DISTINCT $pkey FROM $parent) p ON c.$key = p.$pkey"
 
+  /** One Markov power-iteration round unrolled as SQL CTEs
+    * (mp(i-1) → mpr(i) → mp(i)) — integer-scaled per-term floor
+    * division, mirroring the operator's round exactly. */
+  private def markovIterSql(i: Int): String =
+    s"mpr$i AS (SELECT p.variant, t.src AS state, " +
+      s"sum(t.n * p.p // t.n_src)::BIGINT AS praw FROM mtc t " +
+      s"JOIN mp${i - 1} p ON t.dst = p.state GROUP BY 1, 2), " +
+      s"mp$i AS (SELECT g.variant, g.state, " +
+      "CASE WHEN g.state = 'purchase' THEN 1000000000000 " +
+      "WHEN g.state = 'DROP' THEN 0 " +
+      "WHEN g.state = g.variant THEN 0 " +
+      s"ELSE coalesce(pr.praw, 0) END::BIGINT AS p FROM mgrid g " +
+      s"LEFT JOIN mpr$i pr ON g.variant = pr.variant AND g.state = pr.state)"
+
+  private lazy val markovOracle: String =
+    "WITH mcut AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id, " +
+      "coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER " +
+      "(PARTITION BY user_id ORDER BY epoch_ms(ts), event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS np_before FROM events " +
+      "QUALIFY np_before = 0), " +
+      "msteps AS (SELECT user_id, event_type, " +
+      "row_number() OVER w AS rn, lead(event_type) OVER w AS nxt FROM mcut " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)), " +
+      "medges AS (SELECT 'START' AS src, event_type AS dst FROM msteps WHERE rn = 1 " +
+      "UNION ALL SELECT event_type, nxt FROM msteps WHERE nxt IS NOT NULL " +
+      "UNION ALL SELECT event_type, 'DROP' FROM msteps " +
+      "WHERE nxt IS NULL AND event_type <> 'purchase'), " +
+      "mtc AS (SELECT src, dst, count(*) AS n, " +
+      "sum(count(*)) OVER (PARTITION BY src)::BIGINT AS n_src FROM medges GROUP BY 1, 2), " +
+      "mva AS (SELECT unnest(['none', 'click', 'error', 'signup', 'view']) AS variant), " +
+      "mst AS (SELECT DISTINCT src AS state FROM mtc " +
+      "UNION SELECT DISTINCT dst FROM mtc), " +
+      "mgrid AS (SELECT variant, state FROM mva CROSS JOIN mst), " +
+      "mp0 AS (SELECT variant, state, CASE WHEN state = 'purchase' " +
+      "THEN 1000000000000 ELSE 0 END::BIGINT AS p FROM mgrid), " +
+      (1 to 8).map(markovIterSql).mkString(", ") + ", " +
+      "mfin AS (SELECT variant, p FROM mp8 WHERE state = 'START'), " +
+      "mbase AS (SELECT p AS p_base FROM mfin WHERE variant = 'none'), " +
+      "mrem AS (SELECT variant, p, p_base, p_base - p AS re_scaled " +
+      "FROM mfin CROSS JOIN mbase WHERE variant <> 'none'), " +
+      "mtot AS (SELECT sum(re_scaled)::BIGINT AS re_tot FROM mrem) " +
+      "SELECT variant AS channel, p_base, p AS p_removed, " +
+      "floor(re_scaled / p_base * 10000) / 10000 AS removal_effect, " +
+      "floor(re_scaled / re_tot * 10000) / 10000 AS attribution_share " +
+      "FROM mrem CROSS JOIN mtot"
+
   private def fpSql(name: String, table: String, rendered: String): String =
     s"SELECT '$name' AS table_name, count(*) AS n_rows, " +
       s"bit_xor(('0x' || substr(md5($rendered), 1, 15))::BIGINT)::BIGINT AS fingerprint " +
@@ -2211,6 +2332,7 @@ object Monitoring {
     s"CAST(floor($c * 100 + 0.5) AS BIGINT)::VARCHAR"
 
   val oracleSql: Map[String, String] = Map(
+    "q_markov_attrib" -> markovOracle,
     "q_table_fingerprint" ->
       (Seq(
         fpSql("region", "region", "r_regionkey::VARCHAR || '|' || r_name"),

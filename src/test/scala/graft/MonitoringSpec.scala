@@ -911,6 +911,26 @@ class MonitoringSpec extends SparkSpec {
     }
   }
 
+  test("markovAttribution: a channel on the only converting path gets all the credit") {
+    import spark.implicits._
+    // u1: click → purchase (converts); u2: view → drop.
+    // START splits 50/50; removing click kills ALL conversion, removing
+    // view changes nothing; absent channels (signup/error) get zero.
+    val ev = Seq(
+      (1L, 1000L, 1L, "click"), (1L, 2000L, 2L, "purchase"),
+      (2L, 1000L, 3L, "view"))
+      .toDF("user_id", "ts_ms", "event_id", "event_type")
+    val r = Monitoring.markovAttribution(ev).collect()
+      .map(x => x.getAs[String]("channel") ->
+        ((x.getAs[Long]("p_base"), x.getAs[Long]("p_removed"),
+          x.getAs[Double]("removal_effect"), x.getAs[Double]("attribution_share")))).toMap
+    val S = 1000000000000L
+    assert(r("click")._1 === S / 2) // p_base = 1/2, exactly, in scaled integers
+    assert(r("click")._2 === 0L && r("click")._3 === 1.0 && r("click")._4 === 1.0)
+    assert(r("view")._2 === S / 2 && r("view")._3 === 0.0 && r("view")._4 === 0.0)
+    assert(r("signup")._3 === 0.0 && r("error")._3 === 0.0)
+  }
+
   test("tableFingerprint: order-proof XOR matches a scalar recompute; any row change flips it") {
     val r = Monitoring.tableFingerprint(spark, sf).collect()
       .map(x => x.getAs[String]("table_name") ->
