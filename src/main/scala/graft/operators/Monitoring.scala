@@ -2109,7 +2109,7 @@ object Monitoring {
 
   /** Markov removal-effect attribution (Anderl et al. 2016, the
     * multi-touch model beside the last-touch [[attribution]]): build
-    * the first-order journey chain START → events → first purchase
+    * the first-order user-day journey chain START → events → first purchase
     * (absorb) or DROP, then credit each channel by how much the
     * conversion probability FALLS when that channel is removed
     * (removal = the channel state becomes a dead end), shares
@@ -2127,14 +2127,27 @@ object Monitoring {
     * relation is ≤ (|types|+2)² rows and every iteration round runs
     * on the tiny (variant × state) grid — per-round checkpoints keep
     * the lineage flat, the [[Dedup]] components discipline. */
-  def markovAttribution(ev: DataFrame, rounds: Int = 8): DataFrame = {
-    val S = 1000000000000L // 1e12 probability scale
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
-    val cut = ev.select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+  /** The journey relation shared by [[markovAttribution]] and
+    * [[shapleyAttribution]]: one journey per (user, day) — keyed
+    * `jkey` — in (ts, id) order, truncated at the FIRST purchase
+    * (inclusive). Day scope is what makes non-converting journeys
+    * exist: over the whole month nearly every user purchases at least
+    * once and every attribution model degenerates to v ≡ 1. */
+  private def journeyCut(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("jkey")).orderBy(col("ts_ms"), col("event_id"))
+    ev.select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+      .withColumn("jkey", concat(col("user_id").cast("string"), lit("|"),
+        floor(col("ts_ms") / 86400000L).cast("string")))
       .withColumn("np_before", coalesce(
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
           .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .filter(col("np_before") === 0) // journey ends at the FIRST purchase
+      .filter(col("np_before") === 0)
+  }
+
+  def markovAttribution(ev: DataFrame, rounds: Int = 8): DataFrame = {
+    val S = 1000000000000L // 1e12 probability scale
+    val w = Window.partitionBy(col("jkey")).orderBy(col("ts_ms"), col("event_id"))
+    val cut = journeyCut(ev)
     val steps = cut
       .withColumn("rn", row_number().over(w))
       .withColumn("nxt", lead(col("event_type"), 1).over(w))
@@ -2181,9 +2194,70 @@ object Monitoring {
         trunc4(col("re_scaled") / col("re_tot")).as("attribution_share"))
   }
 
+  /** Shapley-value attribution (Shapley 1953 via the simplified
+    * marketing form of Zhao et al. 2018) — the coalition-game sibling
+    * of [[markovAttribution]]'s removal effects: per user-day journey, the SET
+    * of channels touched before first purchase (a 4-bit mask) and a
+    * conversion flag; v(S) = the observed conversion rate of exactly-
+    * set-S journeys (0 for unobserved sets — the standard convention);
+    * φ_c = Σ_{S∌c} |S|!·(|C|−|S|−1)!/|C|!·(v(S∪c) − v(S)).
+    *
+    * Everything stays exact integers until the end: rates scale to
+    * 1e12 BIGINTs via (conv·1e12) div n, the factorial weights are the
+    * exact rationals num(|S|)/24 applied as (num·Δv) div 24 per term
+    * (floor — deterministic), and φ is an exact integer sum over the
+    * 8 subsets. The whole computation after the per-user rollup runs
+    * on the 16-row mask grid. */
+  def shapleyAttribution(ev: DataFrame): DataFrame = {
+    val S = 1000000000000L
+    val chanBit = when(col("event_type") === "click", 1L)
+      .when(col("event_type") === "error", 2L)
+      .when(col("event_type") === "signup", 4L)
+      .when(col("event_type") === "view", 8L).otherwise(0L)
+    val perUser = journeyCut(ev)
+      .select(col("jkey"), chanBit.as("cbit"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("cv"))
+      .groupBy(col("jkey"))
+      .agg(expr("bit_or(cbit)").as("mask"), max(col("cv")).as("conv"))
+    val vObs = perUser.groupBy(col("mask"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("nc"))
+    val grid = ev.sparkSession.range(0, 16).select(col("id").as("mask"))
+    val v = grid.join(vObs, Seq("mask"), "left")
+      .select(col("mask"),
+        // v(∅) = 0 by the coalition-game definition — organic
+        // (purchase-only) conversions are not attributable to any
+        // channel and must not become a negative baseline
+        when(col("mask") === 0, lit(0L))
+          .when(coalesce(col("n"), lit(0L)) > 0,
+            expr(s"(nc * ${S}L) div n")).otherwise(lit(0L)).as("vs"))
+      .localCheckpoint(true) // 16 rows, joined twice per channel
+    val channels = ev.sparkSession.createDataFrame(Seq(
+      ("click", 1L), ("error", 2L), ("signup", 4L), ("view", 8L))).toDF("channel", "bit")
+    // num(k) = k!(3-k)! over the shared /24 denominator
+    val numW = when(expr("bit_count(mask)") === 0, 6L)
+      .when(expr("bit_count(mask)") === 3, 6L).otherwise(2L)
+    val terms2 = channels.crossJoin(v.select(col("mask"), col("vs").as("v0")))
+      .filter((col("mask").bitwiseAND(col("bit"))) === 0)
+      .join(v.select(col("mask").as("m1"), col("vs").as("v1")),
+        (col("mask").bitwiseOR(col("bit"))) === col("m1"))
+      .withColumn("num", numW)
+      // floor over a double, NOT `div`: Spark's div truncates toward
+      // zero while DuckDB's // floors, and Δv can be negative; the
+      // numerator is ≤ 6e12 so the double carries it exactly
+      .withColumn("term", expr("cast(floor((num * (v1 - v0)) / 24.0) as bigint)"))
+    val phi = terms2.groupBy(col("channel")).agg(sum(col("term")).as("phi_scaled"))
+    val tot = phi.agg(sum(col("phi_scaled")).as("phi_tot"))
+    phi.crossJoin(broadcast(tot))
+      .select(col("channel"), col("phi_scaled"),
+        trunc4(col("phi_scaled") / lit(S.toDouble)).as("phi"),
+        when(col("phi_tot") =!= 0,
+          trunc4(col("phi_scaled") / col("phi_tot"))).as("attribution_share"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shapley_attrib" -> ((s, d) => shapleyAttribution(Tables.events(s, d))),
     "q_markov_attrib" -> ((s, d) => markovAttribution(Tables.events(s, d))),
     "q_table_fingerprint" -> ((s, d) => tableFingerprint(s, d)),
     "q_ri_audit" -> ((s, d) => riAudit(s, d)),
@@ -2292,14 +2366,16 @@ object Monitoring {
       s"LEFT JOIN mpr$i pr ON g.variant = pr.variant AND g.state = pr.state)"
 
   private lazy val markovOracle: String =
-    "WITH mcut AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id, " +
+    "WITH mcut AS (SELECT user_id::VARCHAR || '|' || (epoch_ms(ts) // 86400000)::VARCHAR AS jkey, " +
+      "event_type, epoch_ms(ts) AS ts_ms, event_id, " +
       "coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER " +
-      "(PARTITION BY user_id ORDER BY epoch_ms(ts), event_id " +
+      "(PARTITION BY user_id::VARCHAR || '|' || (epoch_ms(ts) // 86400000)::VARCHAR " +
+      "ORDER BY epoch_ms(ts), event_id " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS np_before FROM events " +
       "QUALIFY np_before = 0), " +
-      "msteps AS (SELECT user_id, event_type, " +
+      "msteps AS (SELECT jkey, event_type, " +
       "row_number() OVER w AS rn, lead(event_type) OVER w AS nxt FROM mcut " +
-      "WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)), " +
+      "WINDOW w AS (PARTITION BY jkey ORDER BY ts_ms, event_id)), " +
       "medges AS (SELECT 'START' AS src, event_type AS dst FROM msteps WHERE rn = 1 " +
       "UNION ALL SELECT event_type, nxt FROM msteps WHERE nxt IS NOT NULL " +
       "UNION ALL SELECT event_type, 'DROP' FROM msteps " +
@@ -2331,7 +2407,37 @@ object Monitoring {
   private def centsSql(c: String): String =
     s"CAST(floor($c * 100 + 0.5) AS BIGINT)::VARCHAR"
 
+  private lazy val shapleyOracle: String =
+    "WITH scut AS (SELECT jkey, event_type FROM (SELECT " +
+      "user_id::VARCHAR || '|' || (epoch_ms(ts) // 86400000)::VARCHAR AS jkey, event_type, " +
+      "coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER " +
+      "(PARTITION BY user_id::VARCHAR || '|' || (epoch_ms(ts) // 86400000)::VARCHAR " +
+      "ORDER BY epoch_ms(ts), event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS np_before FROM events) " +
+      "WHERE np_before = 0), " +
+      "spu AS (SELECT jkey, bit_or(CASE event_type WHEN 'click' THEN 1 " +
+      "WHEN 'error' THEN 2 WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END)::BIGINT AS mask, " +
+      "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv FROM scut GROUP BY 1), " +
+      "svo AS (SELECT mask, count(*) AS n, sum(conv)::BIGINT AS nc FROM spu GROUP BY 1), " +
+      "sg AS (SELECT unnest(range(0, 16)) AS mask), " +
+      "sv AS (SELECT sg.mask, CASE WHEN sg.mask = 0 THEN 0 WHEN coalesce(n, 0) > 0 " +
+      "THEN (nc * 1000000000000) // n ELSE 0 END::BIGINT AS vs " +
+      "FROM sg LEFT JOIN svo ON sg.mask = svo.mask), " +
+      "sch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2), " +
+      "('signup', 4), ('view', 8)) AS t(channel, bit)), " +
+      "st AS (SELECT c.channel, CAST(floor(((CASE WHEN bit_count(v0.mask) IN (0, 3) " +
+      "THEN 6 ELSE 2 END) * (v1.vs - v0.vs)) / 24.0) AS BIGINT) AS term " +
+      "FROM sch c JOIN sv v0 ON (v0.mask & c.bit) = 0 " +
+      "JOIN sv v1 ON (v0.mask | c.bit) = v1.mask), " +
+      "sp AS (SELECT channel, sum(term)::BIGINT AS phi_scaled FROM st GROUP BY 1), " +
+      "stot AS (SELECT sum(phi_scaled)::BIGINT AS phi_tot FROM sp) " +
+      "SELECT channel, phi_scaled, " +
+      "floor(phi_scaled / 1000000000000.0 * 10000) / 10000 AS phi, " +
+      "CASE WHEN phi_tot <> 0 THEN floor(phi_scaled / phi_tot * 10000) / 10000 END " +
+      "AS attribution_share FROM sp CROSS JOIN stot"
+
   val oracleSql: Map[String, String] = Map(
+    "q_shapley_attrib" -> shapleyOracle,
     "q_markov_attrib" -> markovOracle,
     "q_table_fingerprint" ->
       (Seq(

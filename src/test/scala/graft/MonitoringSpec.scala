@@ -931,6 +931,28 @@ class MonitoringSpec extends SparkSpec {
     assert(r("signup")._3 === 0.0 && r("error")._3 === 0.0)
   }
 
+  test("shapleyAttribution: exact scaled values on hand journeys; converting channel earns phi") {
+    import spark.implicits._
+    // journey A: click → purchase (converts, mask {click});
+    // journey B: view only (mask {view}, no conversion)
+    val ev = Seq(
+      (1L, 1000L, 1L, "click"), (1L, 2000L, 2L, "purchase"),
+      (2L, 1000L, 3L, "view"))
+      .toDF("user_id", "ts_ms", "event_id", "event_type")
+    val r = Monitoring.shapleyAttribution(ev).collect()
+      .map(x => x.getAs[String]("channel") -> x.getAs[Long]("phi_scaled")).toMap
+    val S = 1000000000000L
+    // click: only the empty-coalition marginal fires: 6·v({click})/24
+    assert(r("click") === S / 4)
+    // every other channel's one nonzero marginal is v({click,·}) −
+    // v({click}) = 0 − 1 (unobserved sets value 0), weighted 2/24,
+    // floored — the sparse-observation artifact the docstring notes
+    val neg = math.floor(2.0 * (0L - S) / 24.0).toLong
+    assert(r("view") === neg && r("error") === neg && r("signup") === neg)
+    // only the channel on the converting path earns positive credit
+    assert(r.values.count(_ > 0L) === 1)
+  }
+
   test("tableFingerprint: order-proof XOR matches a scalar recompute; any row change flips it") {
     val r = Monitoring.tableFingerprint(spark, sf).collect()
       .map(x => x.getAs[String]("table_name") ->
