@@ -1023,9 +1023,12 @@ object Similarity {
       val pick = scored.withColumn("r", row_number().over(wi)).filter(col("r") === 1)
         .select(col("q_id"), col("vec_id"), lit(i.toLong).as("pick"), col("rel"),
           trunc4(col("mmr0")).as("mmr"))
-      selected = selected.unionByName(pick)
+      // checkpoint each round: `selected` feeds BOTH the anti-join and
+      // the max-sim join, so an unflattened lineage doubles per round
+      // (2^sel plan copies — measured 14.8 s vs ~1 s flattened)
+      selected = selected.unionByName(pick).localCheckpoint(true)
     }
-    val result = selected.localCheckpoint(true) // sel rows per query
+    val result = selected
     sims.unpersist(); topk.unpersist()
     result
   }
