@@ -2366,12 +2366,12 @@ object Monitoring {
       s"LEFT JOIN mpr$i pr ON g.variant = pr.variant AND g.state = pr.state)"
 
   private lazy val markovOracle: String =
-    "WITH mcut AS (SELECT user_id::VARCHAR || '|' || (epoch_ms(ts) // 86400000)::VARCHAR AS jkey, " +
-      "event_type, epoch_ms(ts) AS ts_ms, event_id, " +
+    "WITH mjb AS (SELECT user_id::VARCHAR || '|' || (epoch_ms(ts) // 86400000)::VARCHAR AS jkey, " +
+      "event_type, epoch_ms(ts) AS ts_ms, event_id FROM events), " +
+      "mcut AS (SELECT jkey, event_type, ts_ms, event_id, " +
       "coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER " +
-      "(PARTITION BY user_id::VARCHAR || '|' || (epoch_ms(ts) // 86400000)::VARCHAR " +
-      "ORDER BY epoch_ms(ts), event_id " +
-      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS np_before FROM events " +
+      "(PARTITION BY jkey ORDER BY ts_ms, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS np_before FROM mjb " +
       "QUALIFY np_before = 0), " +
       "msteps AS (SELECT jkey, event_type, " +
       "row_number() OVER w AS rn, lead(event_type) OVER w AS nxt FROM mcut " +
@@ -2408,12 +2408,12 @@ object Monitoring {
     s"CAST(floor($c * 100 + 0.5) AS BIGINT)::VARCHAR"
 
   private lazy val shapleyOracle: String =
-    "WITH scut AS (SELECT jkey, event_type FROM (SELECT " +
-      "user_id::VARCHAR || '|' || (epoch_ms(ts) // 86400000)::VARCHAR AS jkey, event_type, " +
+    "WITH sbase AS (SELECT user_id::VARCHAR || '|' || (epoch_ms(ts) // 86400000)::VARCHAR AS jkey, " +
+      "event_type, epoch_ms(ts) AS ts_ms, event_id FROM events), " +
+      "scut AS (SELECT jkey, event_type FROM (SELECT jkey, event_type, " +
       "coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER " +
-      "(PARTITION BY user_id::VARCHAR || '|' || (epoch_ms(ts) // 86400000)::VARCHAR " +
-      "ORDER BY epoch_ms(ts), event_id " +
-      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS np_before FROM events) " +
+      "(PARTITION BY jkey ORDER BY ts_ms, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS np_before FROM sbase) " +
       "WHERE np_before = 0), " +
       "spu AS (SELECT jkey, bit_or(CASE event_type WHEN 'click' THEN 1 " +
       "WHEN 'error' THEN 2 WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END)::BIGINT AS mask, " +
