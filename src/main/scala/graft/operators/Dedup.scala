@@ -87,6 +87,70 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
   }
 
+  /** [[bandsOf]] generalized to any geometry with nBands·rows = 16. */
+  private def bandsWithGeom(sig: DataFrame, nBands: Int): DataFrame = {
+    val rows = 16 / nBands
+    val bandStructs = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",", (0 until rows).map(i =>
+          element_at(col("sig"), rows * b + i + 1)): _*)).as("bkey"))
+    }
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  /** Band-geometry tuning sweep — the S-curve knob every MinHash
+    * deployment turns: with the SAME 16 minhashes, compare 2×8, 4×4
+    * and 8×2 banding by candidate volume, verified-pair precision, and
+    * POOLED recall (share of the exactly-verified near-dup pairs that
+    * ANY geometry surfaced — the IR pooling methodology, since full
+    * ground truth is quadratic and exists at no scale). More bands ⇒
+    * higher recall, more candidates to verify; the sweep quantifies
+    * that trade on the actual corpus.
+    *
+    * Scale: signatures computed once; each geometry is a banded
+    * equi-join (the production shape); exact verification re-shingles
+    * only POOLED docs (the [[minhashLsh]] candidate-only discipline). */
+  def bandTuning(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val sig = signatures(docs).persist()
+    val geoms = Seq(2, 4, 8)
+    val cands = geoms.map { nb =>
+      val b = bandsWithGeom(sig, nb)
+      nb -> b.as("x").join(b.as("y"),
+          col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct().persist()
+    }
+    val pool = cands.map(_._2).reduce(_ unionByName _).distinct().persist()
+    val poolIds = pool.select(col("a_id").as("doc_id"))
+      .unionByName(pool.select(col("b_id").as("doc_id"))).distinct()
+    val sets = docs.join(poolIds, "doc_id")
+      .select(col("doc_id"), array_distinct(shingles(tokens(col("text")))).as("sd"))
+      .persist()
+    val truth = pool
+      .join(sets.select(col("doc_id").as("a_id"), col("sd").as("sda")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("sd").as("sdb")), "b_id")
+      .filter(jaccard(col("sda"), col("sdb")) >= threshold)
+      .select(col("a_id"), col("b_id")).persist()
+    val nPool = truth.agg(count(lit(1)).as("n_pool_true"))
+    val result = cands.map { case (nb, cand) =>
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(cand.join(truth, Seq("a_id", "b_id"), "left_semi")
+          .agg(count(lit(1)).as("n_verified")))
+        .crossJoin(nPool)
+        .select(lit(nb.toLong).as("n_bands"), lit((16 / nb).toLong).as("n_rows"),
+          col("n_candidates"), col("n_verified"), col("n_pool_true"),
+          when(col("n_candidates") > 0,
+            trunc4(col("n_verified") / col("n_candidates"))).as("precision"),
+          when(col("n_pool_true") > 0,
+            trunc4(col("n_verified") / col("n_pool_true"))).as("pooled_recall"))
+    }.reduce(_ unionByName _).localCheckpoint(true) // 3 rows
+    truth.unpersist(); sets.unpersist(); pool.unpersist()
+    cands.foreach(_._2.unpersist()); sig.unpersist()
+    result
+  }
+
   def minhashLsh(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val sig = signatures(docs).persist()
     val bands = bandsOf(sig)
@@ -651,6 +715,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, d) => exact(Tables.documents(s, d))),
+    "q_dedup_band_tuning" -> ((s, d) => bandTuning(Tables.documents(s, d))),
     "q_dedup_minhash_lsh" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => simhashFingerprints(Tables.documents(s, d))),
     "q_dedup_simhash_pairs" -> ((s, d) => simhashPairs(Tables.documents(s, d))),
@@ -720,7 +785,39 @@ object Dedup {
       "FROM cand JOIN sig sa ON cand.a_id = sa.doc_id JOIN sig sb ON cand.b_id = sb.doc_id), " +
       "pairs AS (SELECT a_id, b_id, jac FROM j WHERE jac >= 0.5)"
 
+  private lazy val bandTuningOracle: String =
+    sigCte + ", " +
+      // declaration order: band/cand CTEs first (pool references
+      // them), then pool/truth, then the per-geometry counters
+      Seq(2, 4, 8).map { nb =>
+        val r = 16 / nb
+        val key = (1 to r).map(i => s"g[$r*b+$i]::VARCHAR").mkString("||','||")
+        s"bands_g$nb AS (SELECT doc_id, b, md5($key) bkey FROM sig, range(0,$nb) r(b)), " +
+          s"cand_g$nb AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id FROM bands_g$nb x " +
+          s"JOIN bands_g$nb y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)"
+      }.mkString(", ") + ", " +
+      "tune_pool AS (SELECT a_id, b_id FROM cand_g2 " +
+      "UNION SELECT a_id, b_id FROM cand_g4 UNION SELECT a_id, b_id FROM cand_g8), " +
+      "tune_truth AS (SELECT p.a_id, p.b_id FROM tune_pool p " +
+      "JOIN sig sa ON p.a_id = sa.doc_id JOIN sig sb ON p.b_id = sb.doc_id " +
+      "WHERE len(list_intersect(sa.sd, sb.sd))::DOUBLE / " +
+      "(len(sa.sd) + len(sb.sd) - len(list_intersect(sa.sd, sb.sd))) >= 0.5), " +
+      "tune_np AS (SELECT count(*) AS n_pool_true FROM tune_truth), " +
+      Seq(2, 4, 8).map(nb =>
+        s"tm_g$nb AS (SELECT count(*) AS n_candidates FROM cand_g$nb), " +
+          s"tv_g$nb AS (SELECT count(*) AS n_verified FROM cand_g$nb c " +
+          "JOIN tune_truth t ON c.a_id = t.a_id AND c.b_id = t.b_id)").mkString(", ") + " " +
+      Seq(2, 4, 8).map(nb =>
+        s"SELECT $nb::BIGINT AS n_bands, ${16 / nb}::BIGINT AS n_rows, " +
+          "n_candidates, n_verified, n_pool_true, " +
+          "CASE WHEN n_candidates > 0 THEN floor(n_verified / n_candidates * 10000) / 10000 END " +
+          "AS precision, " +
+          "CASE WHEN n_pool_true > 0 THEN floor(n_verified / n_pool_true * 10000) / 10000 END " +
+          "AS pooled_recall " +
+          s"FROM tm_g$nb CROSS JOIN tv_g$nb CROSS JOIN tune_np").mkString(" UNION ALL ")
+
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_band_tuning" -> bandTuningOracle,
     "q_dedup_containment" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents), " +
         "gi AS (SELECT doc_id, tok, unnest(range(1, len(tok) - 1)) AS i FROM t), " +

@@ -1874,6 +1874,25 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(r(2L)._2.get - exp) < 2e-4) // float32 storage slack
   }
 
+  test("Dedup.bandTuning: looser banding never loses recall; counts reconcile with the pool") {
+    val r = Dedup.bandTuning(Tables.documents(spark, sf)).collect()
+      .map(x => x.getAs[Long]("n_bands") ->
+        ((x.getAs[Long]("n_candidates"), x.getAs[Long]("n_verified"),
+          x.getAs[Long]("n_pool_true")))).toMap
+    assert(r.keySet === Set(2L, 4L, 8L))
+    val pool = r.values.head._3
+    r.values.foreach { case (nc, nv, np) =>
+      assert(np === pool)      // one shared truth pool
+      assert(nv <= nc)         // verified ⊆ candidates
+      assert(nv <= pool)       // verified ⊆ pool truth
+    }
+    // more bands = looser S-curve = candidate superset ⇒ monotone counts
+    assert(r(2L)._1 <= r(4L)._1 && r(4L)._1 <= r(8L)._1)
+    assert(r(2L)._2 <= r(4L)._2 && r(4L)._2 <= r(8L)._2)
+    // the pool is exactly what the loosest useful geometry verified or more
+    assert(r.values.map(_._2).max <= pool)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
