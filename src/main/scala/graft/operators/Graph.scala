@@ -514,9 +514,55 @@ object Graph {
     result
   }
 
+  /** Temporal graph churn: week-over-week Jaccard of the co-occurrence
+    * EDGE SET — "is this the same social structure as last week, or
+    * did the ring membership rotate?" A stable customer graph churns
+    * slowly; coordinated-fraud infrastructure appears, burns, and
+    * re-forms, so a sudden churn spike on an otherwise-stable graph is
+    * the structural alarm none of the per-node scores
+    * ([[clusteringCoef]], [[assortativity]]) can see.
+    *
+    * Per consecutive week pair: |E_w ∩ E_{w+1}| by an exact edge
+    * equi-join, union by inclusion–exclusion, Jaccard as the one
+    * final division. Edges per week come from the same hub-guarded
+    * per-(merchant, hour) cell projection as [[coEdges]], week kept in
+    * the pair key — Σ|cell|²/2 work, never per merchant. */
+  def graphChurn(ev: DataFrame, maxCell: Long = 64L): DataFrame = {
+    val um = userMerchant(ev)
+      .select(col("user_id").as("u"), col("m"),
+        date_trunc("hour", col("ts")).as("h"),
+        (floor(unix_millis(col("ts")) / 604800000L) * 604800000L).as("week_ms"))
+      .distinct()
+    val cell = Window.partitionBy(col("m"), col("h"))
+    val cells = um.withColumn("cell_n", count(lit(1)).over(cell))
+      .filter(col("cell_n") <= maxCell)
+    val edges = cells.as("a").join(cells.as("b"),
+        col("a.m") === col("b.m") && col("a.h") === col("b.h") && col("a.u") < col("b.u"))
+      .select(col("a.week_ms").as("week_ms"), col("a.u").as("u1"), col("b.u").as("u2"))
+      .distinct()
+      .persist() // feeds per-week sizes AND the consecutive-week join
+    val sizes = edges.groupBy(col("week_ms")).agg(count(lit(1)).as("n_edges"))
+    val inter = edges.as("w0").join(edges.as("w1"),
+        col("w0.u1") === col("w1.u1") && col("w0.u2") === col("w1.u2") &&
+          col("w1.week_ms") === col("w0.week_ms") + 604800000L)
+      .groupBy(col("w0.week_ms").as("week_ms")).agg(count(lit(1)).as("n_shared"))
+    val result = sizes.as("s0")
+      .join(sizes.select(col("week_ms").as("next_ms"), col("n_edges").as("n_next")),
+        col("next_ms") === col("week_ms") + 604800000L)
+      .join(inter, Seq("week_ms"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .select(col("week_ms"), col("n_edges"), col("n_next"), col("n_shared"),
+        graft.functions.Portable.trunc4(col("n_shared") /
+          (col("n_edges") + col("n_next") - col("n_shared"))).as("edge_jaccard"))
+      .localCheckpoint(true) // |weeks| rows; releases the edge cache
+    edges.unpersist()
+    result
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_churn" -> ((s, d) => graphChurn(Tables.events(s, d))),
     "q_graph_assortativity" -> ((s, d) => assortativity(Tables.events(s, d))),
     "q_graph_bfs" -> ((s, d) => bfs(Tables.events(s, d))),
     "q_graph_hits" -> ((s, d) => hits(Tables.events(s, d))),
@@ -579,6 +625,25 @@ object Graph {
       s"FROM nodes n CROSS JOIN nc nn LEFT JOIN contrib$i c ON c.dst = n.node)"
 
   val oracleSql: Map[String, String] = Map(
+    "q_graph_churn" ->
+      ("WITH gum AS (SELECT DISTINCT user_id AS u, " +
+        "CAST(json_extract_string(props, '$.k') AS INT) AS m, " +
+        "date_trunc('hour', ts) AS h, " +
+        "(epoch_ms(ts) // 604800000) * 604800000 AS week_ms FROM events), " +
+        "gcells AS (SELECT u, m, h, week_ms FROM (SELECT *, " +
+        "count(*) OVER (PARTITION BY m, h) AS cell_n FROM gum) WHERE cell_n <= 64), " +
+        "gedges AS (SELECT DISTINCT a.week_ms, a.u AS u1, b.u AS u2 FROM gcells a " +
+        "JOIN gcells b ON a.m = b.m AND a.h = b.h AND a.u < b.u), " +
+        "gsz AS (SELECT week_ms, count(*) AS n_edges FROM gedges GROUP BY 1), " +
+        "gin AS (SELECT w0.week_ms, count(*) AS n_shared FROM gedges w0 " +
+        "JOIN gedges w1 ON w0.u1 = w1.u1 AND w0.u2 = w1.u2 " +
+        "AND w1.week_ms = w0.week_ms + 604800000 GROUP BY 1) " +
+        "SELECT s0.week_ms, s0.n_edges, s1.n_edges AS n_next, " +
+        "coalesce(n_shared, 0)::BIGINT AS n_shared, " +
+        "floor(coalesce(n_shared, 0) / (s0.n_edges + s1.n_edges - coalesce(n_shared, 0)) " +
+        "* 10000) / 10000 AS edge_jaccard " +
+        "FROM gsz s0 JOIN gsz s1 ON s1.week_ms = s0.week_ms + 604800000 " +
+        "LEFT JOIN gin ON gin.week_ms = s0.week_ms"),
     "q_graph_assortativity" ->
       (s"WITH $coEdgeCte, " +
         "adeg AS (SELECT s, count(*) AS deg FROM edges GROUP BY 1), " +

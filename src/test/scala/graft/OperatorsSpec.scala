@@ -1893,6 +1893,25 @@ class OperatorsSpec extends SparkSpec {
     assert(r.values.map(_._2).max <= pool)
   }
 
+  test("Graph.graphChurn: identical weeks score 1.0, disjoint weeks 0.0, exact counts") {
+    import spark.implicits._
+    val W = 604800000L
+    def ts(week: Long, m: Int) = new java.sql.Timestamp(week * W + m * 3600000L)
+    def row(u: Long, m: Int, week: Long) = (u, s"""{"k":$m}""", 10.0, ts(week, m))
+    // week 0 and week 1: the SAME pair (1,2) at merchant 5; week 2: a
+    // disjoint pair (3,4) at merchant 6
+    val ev = Seq(row(1L, 5, 0), row(2L, 5, 0), row(1L, 5, 1), row(2L, 5, 1),
+      row(3L, 6, 2), row(4L, 6, 2))
+      .toDF("user_id", "props", "value", "ts")
+    val r = Graph.graphChurn(ev).collect()
+      .map(x => x.getAs[Long]("week_ms") / W ->
+        ((x.getAs[Long]("n_edges"), x.getAs[Long]("n_next"),
+          x.getAs[Long]("n_shared"), x.getAs[Double]("edge_jaccard")))).toMap
+    assert(r(0L) === ((1L, 1L, 1L, 1.0))) // same structure persists
+    assert(r(1L) === ((1L, 1L, 0L, 0.0))) // full rotation
+    assert(r.size === 2)
+  }
+
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
