@@ -2254,9 +2254,53 @@ object Monitoring {
           trunc4(col("phi_scaled") / col("phi_tot"))).as("attribution_share"))
   }
 
+  /** Hill tail-index estimation (Hill 1975, the EVT staple behind
+    * "how heavy is the loss tail"): per event type, over the top-k
+    * order statistics of the cent amounts,
+    * H = (1/k)·Σ ln(x_(i)/x_(k+1)) and the tail index α = 1/H —
+    * α ≲ 2 means infinite variance, the regime where mean/σ monitoring
+    * ([[amountOutliers]]) silently stops meaning anything.
+    *
+    * Order statistics WITHOUT a global sort: amounts collapse to
+    * (type, cents, n) bins; one per-type window over the bins
+    * assigns each bin its weight inside the top k and finds the
+    * (k+1)-th value; per-bin log terms floor to 1e6-scaled BIGINTs and
+    * the weighted sum is exact. The windows run over the value-domain-
+    * bounded bin relation — the [[winsorize]]/[[scoreAuc]] discipline. */
+  def tailIndex(ev: DataFrame, k: Long = 100L): DataFrame = {
+    val bins = ev
+      .select(col("event_type"), floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .filter(col("cents") > 0)
+      .groupBy(col("event_type"), col("cents")).agg(count(lit(1)).as("n"))
+    val byDesc = Window.partitionBy(col("event_type")).orderBy(col("cents").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = bins
+      .withColumn("cum_before", coalesce(sum(col("n")).over(byDesc), lit(0L)))
+      .persist() // feeds the threshold lookup AND the weighted terms
+    val thr = ranked
+      .filter(col("cum_before") <= k && col("cum_before") + col("n") > k)
+      .select(col("event_type"), col("cents").as("xk1"))
+    val result = ranked.join(broadcast(thr), "event_type")
+      .filter(col("cum_before") < k && col("cents") > col("xk1"))
+      .withColumn("w", least(col("n"), lit(k) - col("cum_before")))
+      .withColumn("term", col("w") *
+        floor(log(col("cents") / col("xk1")) * 1e6).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(max(col("xk1")).as("xk1_cents"), sum(col("w")).as("k_used"),
+        sum(col("term")).as("hill_scaled"))
+      .select(col("event_type"), col("xk1_cents"), col("k_used"), col("hill_scaled"),
+        trunc4(col("hill_scaled") / 1e6 / lit(k.toDouble)).as("hill"),
+        when(col("hill_scaled") > 0,
+          trunc4(lit(k.toDouble) * 1e6 / col("hill_scaled"))).as("alpha"))
+      .localCheckpoint(true) // |types| rows; releases the bin cache
+    ranked.unpersist()
+    result
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tail_index" -> ((s, d) => tailIndex(Tables.events(s, d))),
     "q_shapley_attrib" -> ((s, d) => shapleyAttribution(Tables.events(s, d))),
     "q_markov_attrib" -> ((s, d) => markovAttribution(Tables.events(s, d))),
     "q_table_fingerprint" -> ((s, d) => tableFingerprint(s, d)),
@@ -2437,6 +2481,24 @@ object Monitoring {
       "AS attribution_share FROM sp CROSS JOIN stot"
 
   val oracleSql: Map[String, String] = Map(
+    "q_tail_index" ->
+      ("WITH tb AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
+        "count(*) AS n FROM events WHERE CAST(floor(value * 100 + 0.5) AS BIGINT) > 0 " +
+        "GROUP BY 1, 2), " +
+        "tr AS (SELECT *, coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY cents DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before FROM tb), " +
+        "tt AS (SELECT event_type, cents AS xk1 FROM tr " +
+        "WHERE cum_before <= 100 AND cum_before + n > 100), " +
+        "tj AS (SELECT r.event_type, r.cents, r.n, t.xk1, " +
+        "least(r.n, 100 - r.cum_before) AS w FROM tr r JOIN tt t USING (event_type) " +
+        "WHERE r.cum_before < 100 AND r.cents > t.xk1), " +
+        "tsx AS (SELECT event_type, max(xk1)::BIGINT AS xk1_cents, sum(w)::BIGINT AS k_used, " +
+        "sum(w * CAST(floor(ln(cents / xk1) * 1000000) AS BIGINT))::BIGINT AS hill_scaled " +
+        "FROM tj GROUP BY 1) " +
+        "SELECT event_type, xk1_cents, k_used, hill_scaled, " +
+        "floor(hill_scaled / 1000000.0 / 100.0 * 10000) / 10000 AS hill, " +
+        "CASE WHEN hill_scaled > 0 THEN " +
+        "floor(100.0 * 1000000 / hill_scaled * 10000) / 10000 END AS alpha FROM tsx"),
     "q_shapley_attrib" -> shapleyOracle,
     "q_markov_attrib" -> markovOracle,
     "q_table_fingerprint" ->

@@ -911,6 +911,22 @@ class MonitoringSpec extends SparkSpec {
     }
   }
 
+  test("tailIndex: exact weighted Hill sum on hand-built order statistics") {
+    import spark.implicits._
+    // cents: 800×2, 400×1, 200×1, then 100×4 — with k=4 the top-4 are
+    // {800, 800, 400, 200} and x_(5) = 100
+    val vals = Seq(8.0, 8.0, 4.0, 2.0) ++ Seq.fill(4)(1.0)
+    val ev = vals.map(v => ("a", v)).toDF("event_type", "value")
+    val r = Monitoring.tailIndex(ev, k = 4).collect().head
+    assert(r.getAs[Long]("xk1_cents") === 100L)
+    assert(r.getAs[Long]("k_used") === 4L)
+    def t(x: Long) = math.floor(math.log(x / 100.0) * 1e6).toLong
+    val hs = 2 * t(800) + t(400) + t(200)
+    assert(r.getAs[Long]("hill_scaled") === hs)
+    assert(r.getAs[Double]("hill") === math.floor(hs / 1e6 / 4.0 * 10000) / 10000)
+    assert(r.getAs[Double]("alpha") === math.floor(4.0 * 1e6 / hs * 10000) / 10000)
+  }
+
   test("markovAttribution: a channel on the only converting path gets all the credit") {
     import spark.implicits._
     // u1: click → purchase (converts); u2: view → drop.
