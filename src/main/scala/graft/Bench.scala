@@ -9,7 +9,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver keeps only the last ~2000 chars of
+    // stdout, and per-query WARN lines (WindowExec single-partition
+    // notices etc.) were crowding the summary JSON line out of that
+    // tail — BENCH_r06 recorded "parsed": null with the line half-cut.
+    spark.sparkContext.setLogLevel("ERROR")
     // warm up JIT/codegen/parquet paths so the first timed query doesn't
     // absorb ~5s of one-time session cost
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
@@ -99,6 +103,11 @@ object Bench {
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes("UTF-8"))
+      // Also persist the COMPACT summary (the exact stdout line) beside
+      // it — a stable machine-readable path for harnesses whose stdout
+      // capture truncates, carrying the parsed totals directly.
+      val summaryPath = java.nio.file.Paths.get(out).resolveSibling("bench_summary.json")
+      java.nio.file.Files.write(summaryPath, (compact + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()
   }

@@ -76,18 +76,12 @@ object Dedup {
     * corpus after banding), so the document-sized shingle payloads live
     * in one small broadcast-able relation instead of riding the
     * signature aggregate and both verify join arms. */
-  /** 4×4 LSH band rows for a signature relation — one (doc_id, band,
-    * bkey) row per band (shared by every banding consumer). */
-  private def bandsOf(sig: DataFrame): DataFrame = {
-    val bandStructs = (0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws(",", (0 until 4).map(i => element_at(col("sig"), 4 * b + i + 1)): _*)).as("bkey"))
-    }
-    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-  }
+  /** Default 4×4 LSH band rows for a signature relation — one
+    * (doc_id, band, bkey) row per band (shared by every banding
+    * consumer); the 4-band special case of [[bandsWithGeom]]. */
+  private def bandsOf(sig: DataFrame): DataFrame = bandsWithGeom(sig, 4)
 
-  /** [[bandsOf]] generalized to any geometry with nBands·rows = 16. */
+  /** LSH band rows for any geometry with nBands·rows = 16. */
   private def bandsWithGeom(sig: DataFrame, nBands: Int): DataFrame = {
     val rows = 16 / nBands
     val bandStructs = (0 until nBands).map { b =>

@@ -1804,7 +1804,14 @@ object Monitoring {
       .join(broadcast(mm), "merchant")
       .crossJoin(broadcast(tot))
       .select(col("event_type"), col("nt"),
-        floor((col("n") / col("nn")) * log((col("n") * col("nn")) / (col("nt") * col("nm"))) * 1e8)
+        // one operand of each count product cast to double BEFORE the
+        // multiply: BIGINT n*nn wraps silently in Spark past ~3e9
+        // events while DuckDB raises, so the engines would diverge
+        // exactly at scale. double·long is exact up to 2^53 and both
+        // engines round the same exact product once — bit-identical.
+        floor((col("n") / col("nn")) *
+            log((col("n").cast("double") * col("nn")) /
+              (col("nt").cast("double") * col("nm"))) * 1e8)
           .cast("long").as("term_scaled"))
       .groupBy(col("event_type"))
       .agg(max(col("nt")).as("n_events"), count(lit(1)).as("n_cells"),
@@ -1998,7 +2005,13 @@ object Monitoring {
     * event type, n_required = ceil(K·s² / δ²) with δ = 1% of the
     * observed mean and K = 2(z_{α/2}+z_β)². Mean and sample variance
     * derive from exact BIGINT cent sums (the [[amountOutliers]]
-    * discipline); one hash-agg over the fact. */
+    * discipline); one hash-agg over the fact. The s² corrector casts s
+    * to double BEFORE squaring: BIGINT s·s wraps silently past
+    * s ≈ 3e9 cents ($30M summed) where DuckDB raises instead; since
+    * s itself is always < 2^53 the double product is the exact s²
+    * rounded once — identical on both engines at any scale. The exact
+    * BIGINT sq sum holds to ~9e4 rows·(1e7 cents)² per type ≈ 1e18;
+    * beyond that lift sq to DECIMAL(38,0). */
   def abPower(ev: DataFrame): DataFrame = {
     val st = ev
       .select(col("event_type"), floor(col("value") * 100 + 0.5).cast("long").as("cents"))
@@ -2006,7 +2019,7 @@ object Monitoring {
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
         sum(col("cents") * col("cents")).as("sq"))
     val mean = col("s") / col("n")
-    val variance = (col("sq") - col("s") * col("s") / col("n")) / (col("n") - 1)
+    val variance = (col("sq") - col("s").cast("double") * col("s") / col("n")) / (col("n") - 1)
     val delta = mean * 0.01
     st.select(col("event_type"), col("n"),
       trunc4(mean).as("mean_cents"), trunc4(variance).as("var_cents"),
@@ -2078,12 +2091,18 @@ object Monitoring {
     *
     * The canonical rendering is the portable '|'-joined cast-to-string
     * form both engines produce byte-identically (integer casts carry
-    * no padding; money goes through floor(v·100+0.5)). */
+    * no padding; money goes through floor(v·100+0.5)). Every column is
+    * coalesced to the sentinel '<NULL>' BEFORE joining: concat_ws
+    * silently skips NULLs without a separator, so ('a', NULL, 'b') and
+    * ('a', 'b', NULL) would otherwise collide — and DuckDB's '||'
+    * chain nulls the whole row instead, dropping it from the XOR. The
+    * sentinel renders NULLs canonically and identically on both
+    * engines, preserving the any-single-row-change-flips-it guarantee. */
   def tableFingerprint(spark: SparkSession, dir: String): DataFrame = {
     def cents(c: String) = floor(col(c) * 100 + 0.5).cast("long").cast("string")
     def fp(name: String, df: DataFrame, cols: Column*): DataFrame =
       df.select(graft.functions.TextHash.hash60(
-          concat_ws("|", cols: _*)).as("h"))
+          concat_ws("|", cols.map(c => coalesce(c, lit("<NULL>"))): _*)).as("h"))
         .agg(count(lit(1)).as("n_rows"),
           expr("bit_xor(h)").as("fingerprint"))
         .select(lit(name).as("table_name"), col("n_rows"), col("fingerprint"))
@@ -2171,7 +2190,11 @@ object Monitoring {
     for (_ <- 1 to rounds) {
       val nx = tcnt.join(p, tcnt("dst") === p("state"))
         .select(col("variant"), tcnt("src").as("state"),
-          expr("(n * p) div n_src").as("term"))
+          // n (edge count) × p (≤1e12) wraps BIGINT past ~9.2e6 edges
+          // per type; widen through DECIMAL(38,0) — exact to 1e38, and
+          // div on non-negatives truncates = floors, matching the
+          // oracle's HUGEINT // at any scale
+          expr("cast((cast(n as decimal(38,0)) * p) div n_src as bigint)").as("term"))
         .groupBy(col("variant"), col("state")).agg(sum(col("term")).as("praw"))
       p = grid.join(nx, Seq("variant", "state"), "left")
         .withColumn("p",
@@ -2229,7 +2252,11 @@ object Monitoring {
         // channel and must not become a negative baseline
         when(col("mask") === 0, lit(0L))
           .when(coalesce(col("n"), lit(0L)) > 0,
-            expr(s"(nc * ${S}L) div n")).otherwise(lit(0L)).as("vs"))
+            // nc·1e12 wraps BIGINT past ~9.2e6 converting journeys per
+            // mask; DECIMAL(38,0) widen keeps it exact (mirrored by
+            // HUGEINT in the oracle), div-on-non-negatives = floor
+            expr(s"cast((cast(nc as decimal(38,0)) * ${S}L) div n as bigint)"))
+          .otherwise(lit(0L)).as("vs"))
       .localCheckpoint(true) // 16 rows, joined twice per channel
     val channels = ev.sparkSession.createDataFrame(Seq(
       ("click", 1L), ("error", 2L), ("signup", 4L), ("view", 8L))).toDF("channel", "bit")
@@ -2384,6 +2411,37 @@ object Monitoring {
       "lv AS (SELECT user_id, event_id, " +
       "CASE WHEN runmax > ts_ms THEN runmax - ts_ms ELSE 0 END AS late FROM lt)"
 
+  /** Shared detector SQL fragments (the markovIterSql pattern): each
+    * detector's filter body — with its literal defaults (value band
+    * 50/100, minTxns 3, minTotal 150, 1 h velocity window, 2 d
+    * dormancy, z = 3 / minN 10) — is written ONCE and parameterized
+    * only by the select list, so the per-detector oracles and the
+    * q_alert_triage fusion oracle can never silently desync when a
+    * default or a fix changes. */
+  private def structuringSql(select: String): String =
+    s"SELECT $select FROM events WHERE value >= 50 AND value < 100 " +
+      "GROUP BY user_id, CAST(ts AS DATE) " +
+      "HAVING count(*) >= 3 AND round(sum(value), 2) >= 150"
+
+  private def velocitySql(select: String): String =
+    s"SELECT $select FROM (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, " +
+      "count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) " +
+      "RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS n_win FROM events) " +
+      "WHERE n_win >= 3"
+
+  private def dormantSql(select: String): String =
+    s"SELECT $select FROM (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value, " +
+      "lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms " +
+      "FROM events) " +
+      "WHERE prev_ms IS NOT NULL AND ts_ms - prev_ms >= 172800000 AND value >= 50"
+
+  private def outlierSql(select: String): String =
+    s"SELECT $select FROM (SELECT event_id, user_id, value, count(*) OVER w AS n, " +
+      "round(sum(value) OVER w, 2) AS s, round(sum(value * value) OVER w, 2) AS sq " +
+      "FROM events WINDOW w AS (PARTITION BY user_id)) " +
+      "WHERE n >= 10 AND (sq - s * s / n) / (n - 1) > 0 " +
+      "AND (value - s / n) > 3 * sqrt((sq - s * s / n) / (n - 1))"
+
   private def pkSql(name: String, table: String, key: String): String =
     s"SELECT 'pk' AS kind, '$name' AS constraint_name, count(*) AS n_checked, " +
       s"(count(*) - count(DISTINCT $key))::BIGINT AS n_violations FROM $table"
@@ -2397,10 +2455,12 @@ object Monitoring {
 
   /** One Markov power-iteration round unrolled as SQL CTEs
     * (mp(i-1) → mpr(i) → mp(i)) — integer-scaled per-term floor
-    * division, mirroring the operator's round exactly. */
+    * division, mirroring the operator's round exactly (HUGEINT widen
+    * mirrors the operator's DECIMAL(38,0): BIGINT n*p overflows past
+    * ~9.2e6 edges per type). */
   private def markovIterSql(i: Int): String =
     s"mpr$i AS (SELECT p.variant, t.src AS state, " +
-      s"sum(t.n * p.p // t.n_src)::BIGINT AS praw FROM mtc t " +
+      s"sum(t.n::HUGEINT * p.p // t.n_src)::BIGINT AS praw FROM mtc t " +
       s"JOIN mp${i - 1} p ON t.dst = p.state GROUP BY 1, 2), " +
       s"mp$i AS (SELECT g.variant, g.state, " +
       "CASE WHEN g.state = 'purchase' THEN 1000000000000 " +
@@ -2443,10 +2503,16 @@ object Monitoring {
       "floor(re_scaled / re_tot * 10000) / 10000 AS attribution_share " +
       "FROM mrem CROSS JOIN mtot"
 
-  private def fpSql(name: String, table: String, rendered: String): String =
+  /** Each element of `cols` is one column's SQL rendering; fpSql
+    * coalesces every one to the '<NULL>' sentinel before '|'-joining,
+    * mirroring the Spark side's concat_ws(coalesce…) exactly — a bare
+    * '||' chain would null the whole md5 on any NULL column. */
+  private def fpSql(name: String, table: String, cols: String*): String = {
+    val rendered = cols.map(c => s"coalesce($c, '<NULL>')").mkString(" || '|' || ")
     s"SELECT '$name' AS table_name, count(*) AS n_rows, " +
       s"bit_xor(('0x' || substr(md5($rendered), 1, 15))::BIGINT)::BIGINT AS fingerprint " +
       s"FROM $table"
+  }
 
   private def centsSql(c: String): String =
     s"CAST(floor($c * 100 + 0.5) AS BIGINT)::VARCHAR"
@@ -2465,7 +2531,7 @@ object Monitoring {
       "svo AS (SELECT mask, count(*) AS n, sum(conv)::BIGINT AS nc FROM spu GROUP BY 1), " +
       "sg AS (SELECT unnest(range(0, 16)) AS mask), " +
       "sv AS (SELECT sg.mask, CASE WHEN sg.mask = 0 THEN 0 WHEN coalesce(n, 0) > 0 " +
-      "THEN (nc * 1000000000000) // n ELSE 0 END::BIGINT AS vs " +
+      "THEN (nc::HUGEINT * 1000000000000) // n ELSE 0 END::BIGINT AS vs " +
       "FROM sg LEFT JOIN svo ON sg.mask = svo.mask), " +
       "sch AS (SELECT * FROM (VALUES ('click', 1), ('error', 2), " +
       "('signup', 4), ('view', 8)) AS t(channel, bit)), " +
@@ -2503,27 +2569,27 @@ object Monitoring {
     "q_markov_attrib" -> markovOracle,
     "q_table_fingerprint" ->
       (Seq(
-        fpSql("region", "region", "r_regionkey::VARCHAR || '|' || r_name"),
+        fpSql("region", "region", "r_regionkey::VARCHAR", "r_name"),
         fpSql("nation", "nation",
-          "n_nationkey::VARCHAR || '|' || n_name || '|' || n_regionkey::VARCHAR"),
+          "n_nationkey::VARCHAR", "n_name", "n_regionkey::VARCHAR"),
         fpSql("customer", "customer",
-          "c_custkey::VARCHAR || '|' || c_name || '|' || c_nationkey::VARCHAR || '|' || " +
-            centsSql("c_acctbal") + " || '|' || c_mktsegment"),
+          "c_custkey::VARCHAR", "c_name", "c_nationkey::VARCHAR",
+          centsSql("c_acctbal"), "c_mktsegment"),
         fpSql("supplier", "supplier",
-          "s_suppkey::VARCHAR || '|' || s_name || '|' || s_nationkey::VARCHAR || '|' || " +
-            centsSql("s_acctbal")),
+          "s_suppkey::VARCHAR", "s_name", "s_nationkey::VARCHAR",
+          centsSql("s_acctbal")),
         fpSql("part", "part",
-          "p_partkey::VARCHAR || '|' || p_name || '|' || p_brand || '|' || p_type || '|' || " +
-            "p_size::VARCHAR || '|' || " + centsSql("p_retailprice")),
+          "p_partkey::VARCHAR", "p_name", "p_brand", "p_type",
+          "p_size::VARCHAR", centsSql("p_retailprice")),
         fpSql("orders", "orders",
-          "o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' || o_orderstatus || '|' || " +
-            centsSql("o_totalprice") + " || '|' || o_orderpriority"),
+          "o_orderkey::VARCHAR", "o_custkey::VARCHAR", "o_orderstatus",
+          centsSql("o_totalprice"), "o_orderpriority"),
         fpSql("events", "events",
-          "event_id::VARCHAR || '|' || user_id::VARCHAR || '|' || event_type || '|' || " +
-            centsSql("value") + " || '|' || epoch_ms(ts)::VARCHAR"),
+          "event_id::VARCHAR", "user_id::VARCHAR", "event_type",
+          centsSql("value"), "epoch_ms(ts)::VARCHAR"),
         fpSql("documents", "documents",
-          "doc_id::VARCHAR || '|' || text || '|' || lang || '|' || source || '|' || " +
-            "n_chars::VARCHAR")).mkString(" UNION ALL ")),
+          "doc_id::VARCHAR", "text", "lang", "source",
+          "n_chars::VARCHAR")).mkString(" UNION ALL ")),
     "q_ri_audit" ->
       ("WITH u AS (" + Seq(
         pkSql("region.r_regionkey", "region", "r_regionkey"),
@@ -2573,8 +2639,8 @@ object Monitoring {
         "sum(CAST(floor(value * 100 + 0.5) AS BIGINT) * " +
         "CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS sq FROM events GROUP BY 1) " +
         "SELECT event_type, n, floor(s / n * 10000) / 10000 AS mean_cents, " +
-        "floor((sq - s * s / n) / (n - 1) * 10000) / 10000 AS var_cents, " +
-        s"CAST(ceil($PowerK::DOUBLE * ((sq - s * s / n) / (n - 1)) / " +
+        "floor((sq - s::DOUBLE * s / n) / (n - 1) * 10000) / 10000 AS var_cents, " +
+        s"CAST(ceil($PowerK::DOUBLE * ((sq - s::DOUBLE * s / n) / (n - 1)) / " +
         "((s / n * 0.01) * (s / n * 0.01))) AS BIGINT) AS n_required FROM st"),
     "q_disorder_audit" ->
       (s"WITH $latenessCte " +
@@ -2589,24 +2655,10 @@ object Monitoring {
         "floor(sum(CASE WHEN late > wm_ms THEN 1 ELSE 0 END)::BIGINT / count(*) * 10000) " +
         "/ 10000 AS drop_share FROM lv CROSS JOIN cand GROUP BY 1"),
     "q_alert_triage" ->
-      ("WITH fs AS (SELECT user_id, 'structuring' AS family FROM events " +
-        "WHERE value >= 50 AND value < 100 " +
-        "GROUP BY user_id, CAST(ts AS DATE) " +
-        "HAVING count(*) >= 3 AND round(sum(value), 2) >= 150), " +
-        "fv AS (SELECT user_id, 'velocity' AS family FROM " +
-        "(SELECT user_id, count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) " +
-        "RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS n_win FROM events) " +
-        "WHERE n_win >= 3), " +
-        "fd AS (SELECT user_id, 'dormant' AS family FROM " +
-        "(SELECT user_id, value, epoch_ms(ts) - lag(epoch_ms(ts)) OVER " +
-        "(PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap FROM events) " +
-        "WHERE gap IS NOT NULL AND gap >= 172800000 AND value >= 50), " +
-        "st AS (SELECT user_id, value, count(*) OVER w AS n, " +
-        "round(sum(value) OVER w, 2) AS sm, round(sum(value * value) OVER w, 2) AS sq " +
-        "FROM events WINDOW w AS (PARTITION BY user_id)), " +
-        "fo AS (SELECT user_id, 'outlier' AS family FROM st " +
-        "WHERE n >= 10 AND (sq - sm * sm / n) / (n - 1) > 0 " +
-        "AND (value - sm / n) > 3 * sqrt((sq - sm * sm / n) / (n - 1))), " +
+      ("WITH fs AS (" + structuringSql("user_id, 'structuring' AS family") + "), " +
+        "fv AS (" + velocitySql("user_id, 'velocity' AS family") + "), " +
+        "fd AS (" + dormantSql("user_id, 'dormant' AS family") + "), " +
+        "fo AS (" + outlierSql("user_id, 'outlier' AS family") + "), " +
         "u AS (SELECT * FROM fs UNION ALL SELECT * FROM fv " +
         "UNION ALL SELECT * FROM fd UNION ALL SELECT * FROM fo), " +
         "cells AS (SELECT user_id, family, count(*) AS n FROM u GROUP BY 1, 2), " +
@@ -2642,7 +2694,7 @@ object Monitoring {
         "mm AS (SELECT merchant, sum(n)::BIGINT AS nm FROM cells GROUP BY 1), " +
         "tot AS (SELECT sum(n)::BIGINT AS nn FROM cells), " +
         "t AS (SELECT event_type, nt, " +
-        "CAST(floor((n / nn) * ln((n * nn) / (nt * nm)) * 100000000) AS BIGINT) AS term_scaled " +
+        "CAST(floor((n / nn) * ln((n::DOUBLE * nn) / (nt::DOUBLE * nm)) * 100000000) AS BIGINT) AS term_scaled " +
         "FROM cells JOIN tm USING (event_type) JOIN mm USING (merchant) CROSS JOIN tot) " +
         "SELECT event_type, max(nt)::BIGINT AS n_events, count(*) AS n_cells, " +
         "sum(term_scaled)::BIGINT AS mi_scaled, " +
@@ -3262,17 +3314,9 @@ object Monitoring {
         "SELECT event_type, day, dow, cents, " +
         "floor(dow_cents / dow_days * 10000) / 10000 AS dow_mean, " +
         "floor(cents / (dow_cents / dow_days) * 10000) / 10000 AS ratio FROM w"),
-    "q_aml_velocity" ->
-      ("WITH s AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, " +
-        "count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) " +
-        "RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS n_win FROM events) " +
-        "SELECT event_id, user_id, ts_ms, n_win FROM s WHERE n_win >= 3"),
+    "q_aml_velocity" -> velocitySql("event_id, user_id, ts_ms, n_win"),
     "q_aml_dormant" ->
-      ("WITH s AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value, " +
-        "lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms " +
-        "FROM events) " +
-        "SELECT event_id, user_id, ts_ms, ts_ms - prev_ms AS gap_ms, value FROM s " +
-        "WHERE prev_ms IS NOT NULL AND ts_ms - prev_ms >= 172800000 AND value >= 50"),
+      dormantSql("event_id, user_id, ts_ms, ts_ms - prev_ms AS gap_ms, value"),
     "q_aml_offsetting" ->
       ("WITH s AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms, " +
         "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events) " +
@@ -3296,19 +3340,11 @@ object Monitoring {
         "SELECT user_id, day, cents, ewma_scaled, " +
         "floor(ewma_scaled::DOUBLE / 1638400 * 10000) / 10000 AS ewma FROM sc"),
     "q_aml_structuring" ->
-      ("SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_sub, " +
-        "round(sum(value), 2) AS sum_sub FROM events " +
-        "WHERE value >= 50 AND value < 100 GROUP BY 1, 2 " +
-        "HAVING count(*) >= 3 AND round(sum(value), 2) >= 150"),
+      structuringSql("user_id, CAST(ts AS DATE) AS day, count(*) AS n_sub, " +
+        "round(sum(value), 2) AS sum_sub"),
     "q_amount_outliers" ->
-      ("WITH st AS (SELECT event_id, user_id, value, " +
-        "count(*) OVER w AS n, round(sum(value) OVER w, 2) AS s, " +
-        "round(sum(value * value) OVER w, 2) AS sq FROM events " +
-        "WINDOW w AS (PARTITION BY user_id)) " +
-        "SELECT event_id, user_id, value, " +
-        "floor((value - s / n) / sqrt((sq - s * s / n) / (n - 1)) * 10000) / 10000 AS z " +
-        "FROM st WHERE n >= 10 AND (sq - s * s / n) / (n - 1) > 0 " +
-        "AND (value - s / n) > 3 * sqrt((sq - s * s / n) / (n - 1))"),
+      outlierSql("event_id, user_id, value, " +
+        "floor((value - s / n) / sqrt((sq - s * s / n) / (n - 1)) * 10000) / 10000 AS z"),
     "q_benford" ->
       ("WITH d AS (SELECT event_type, " +
         "substr(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR), 1, 1) AS digit, " +

@@ -413,9 +413,11 @@ object Similarity {
     * to int8 under one global scale (the [[vectorDq]] discipline), the
     * centroid is the per-(label, dim) BIGINT sum sv with count n, and
     * each vector's distance is compared via d²·n² = Σ_d (qx·n − sv)² —
-    * integer algebra that avoids dividing the centroid (|qx·n| ≤
-    * 127·n, so the 64-dim sum stays far under 2⁶³ through n ≈ 10⁸
-    * per label; beyond that, lift to DECIMAL).
+    * integer algebra that avoids dividing the centroid. Real headroom:
+    * |qx·n − sv| ≤ 254·n, so ONE squared term hits 2⁶³ at
+    * n ≈ 1.2e7 per label and the worst-case 64-dim sum at n ≈ 1.5e6;
+    * beyond that lift the squared terms to DECIMAL(38,0) (or divide
+    * sv's contribution through by n first at a precision cost).
     *
     * Scale: one posexplode pass (n·dims narrow rows), the
     * labels×dims centroid relation broadcasts, and the per-vector
