@@ -458,10 +458,27 @@ object Analytics {
     li.agg(countDistinct(col("l_partkey")).as("n_parts"),
       countDistinct(col("l_suppkey")).as("n_supps"))
 
-  /** HLL sketch — no oracle (approximate by design); rows-only check. */
+  /** HLL estimate with a BOUND VERDICT — fully oracled despite the
+    * estimator being engine-specific: the output carries the exact
+    * distinct counts (recomputable in any engine) plus booleans
+    * asserting the HLL estimate (rsd 0.01) landed within ±5% of exact
+    * (5× the configured rsd — far beyond any plausible HLL excursion).
+    * The DuckDB oracle recomputes the exact side and pins the verdicts
+    * TRUE, so the hash compares the VERDICT, not the engine-specific
+    * estimate: an out-of-bounds estimator flips a boolean and reads as
+    * a red row. (The raw estimate itself is pinned by ScalaTest; its
+    * exact sibling is `q_distinct_exact`.) */
   def approxDistinct(li: DataFrame): DataFrame =
-    li.agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-      approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+    li.agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
+        countDistinct(col("l_partkey")).as("n_parts_exact"),
+        countDistinct(col("l_orderkey")).as("n_orders_exact"))
+      .select(col("n_parts_exact"), col("n_orders_exact"),
+        (abs(col("ap") - col("n_parts_exact")) <=
+          col("n_parts_exact") * 0.05).as("parts_within_5pct"),
+        (abs(col("ao") - col("n_orders_exact")) <=
+          col("n_orders_exact") * 0.05).as("orders_within_5pct"))
 
   /** Order-to-ship lag distribution: per order priority, the histogram
     * of days between order placement and line shipment in 30-day
@@ -722,5 +739,12 @@ object Analytics {
         "ON p.user_id = v.user_id AND p.tms >= v.tms"),
     "q_distinct_exact" ->
       ("SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps " +
-        "FROM lineitem"))
+        "FROM lineitem"),
+    // The oracle recomputes the EXACT side and pins the bound verdicts
+    // TRUE — the hash compares the verdict, never the engine-specific
+    // HLL estimate (see approxDistinct's docstring).
+    "q_approx_distinct" ->
+      ("SELECT count(DISTINCT l_partkey) AS n_parts_exact, " +
+        "count(DISTINCT l_orderkey) AS n_orders_exact, " +
+        "TRUE AS parts_within_5pct, TRUE AS orders_within_5pct FROM lineitem"))
 }

@@ -422,15 +422,59 @@ object SqlCoverage {
         when(col("disc_or_null").isNotNull, "discounted").otherwise("full-price").as("price_kind"))
 
   /** Statistical aggregates per order priority. */
-  def statsAgg(orders: DataFrame): DataFrame =
-    orders.groupBy(col("o_orderpriority"))
-      .agg(
-        trunc4(corr(col("o_totalprice"), col("o_custkey"))).as("corr_pc"),
-        trunc4(covar_samp(col("o_totalprice"), col("o_custkey")) / 1e6).as("covar_m"),
-        trunc4(stddev_samp(col("o_totalprice")) / 1000).as("stddev_k"),
-        trunc4(var_samp(col("o_totalprice")) / 1e9).as("var_b"),
-        trunc4(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000000)) / 1000).as("median_k"),
-        count(lit(1)).as("n"))
+  /** Streaming-accumulator stats with a BOUND VERDICT — fully oracled
+    * despite corr/covar/stddev using engine-specific accumulation
+    * order and percentile_approx being approximate by design. The
+    * output carries the exact group count plus booleans asserting
+    * (a) each streaming accumulator agrees with the exact-integer-sums
+    * derivation (the [[statsExact]] discipline) within 1e-6 relative —
+    * generous against partial-merge ulp noise, far below any real
+    * accumulator bug — and (b) the approx median lands between the
+    * exact 40th and 60th percentiles. The DuckDB oracle recomputes n
+    * and pins the verdicts TRUE, so the hash compares the VERDICT, not
+    * the accumulator: a drifting accumulator or mis-ranked sketch
+    * flips a boolean into a red row. Hash-checked value sibling:
+    * `q_stats_exact`. */
+  def statsAgg(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = round(col("o_totalprice") * 100).cast(DecimalType(38, 0))
+    val cust = col("o_custkey").cast(DecimalType(38, 0))
+    val agg = orders
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_custkey"),
+        cents.as("x"), cust.as("y"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        corr(col("o_totalprice"), col("o_custkey")).as("c_s"),
+        covar_samp(col("o_totalprice"), col("o_custkey")).as("cv_s"),
+        stddev_samp(col("o_totalprice")).as("sd_s"),
+        var_samp(col("o_totalprice")).as("v_s"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000000)).as("med_s"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("y") * col("y")).cast("double").as("syy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        expr("percentile(o_totalprice, 0.4)").as("p40"),
+        expr("percentile(o_totalprice, 0.6)").as("p60"))
+    val nd = col("n").cast("double")
+    def ifN1(c: Column): Column = when(col("n") > 1, c)
+    // exact sums are in cents (x) / raw key units (y); scale back:
+    // var_price = var_cents/1e4, cov_price·key = cov_cents·key/100,
+    // corr is scale-invariant
+    val varXc = ifN1((col("sxx") - col("sx") * col("sx") / nd) / (nd - 1))
+    val varY = ifN1((col("syy") - col("sy") * col("sy") / nd) / (nd - 1))
+    val covXYc = ifN1((col("sxy") - col("sx") * col("sy") / nd) / (nd - 1))
+    val corrE = when(varXc > 0 && varY > 0, covXYc / sqrt(varXc * varY))
+    def ok(s: Column, e: Column): Column =
+      when(s.isNull || e.isNull, s.isNull && e.isNull)
+        .otherwise(abs(s - e) <= greatest(lit(1.0), abs(e)) * 1e-6)
+    agg.select(col("o_orderpriority"), col("n"),
+      ok(col("c_s"), corrE).as("corr_ok"),
+      ok(col("cv_s"), covXYc / 100).as("covar_ok"),
+      ok(col("sd_s"), sqrt(varXc) / 100).as("stddev_ok"),
+      ok(col("v_s"), varXc / 10000).as("var_ok"),
+      (col("med_s") >= col("p40") && col("med_s") <= col("p60")).as("median_ok"))
+  }
 
   /** Oracle-checkable exact statistics: the hash-checked sibling of
     * [[statsAgg]] (whose corr/covar/stddev accumulators are
@@ -835,8 +879,12 @@ object SqlCoverage {
         "AS geo_price, count(*) AS n FROM orders GROUP BY o_orderpriority"),
     "q_histogram" ->
       ("SELECT least(floor(o_totalprice / 60000), 9)::BIGINT AS bucket, count(*) AS n " +
-        "FROM orders GROUP BY 1"))
-  // q_stats_agg intentionally has no oracle: corr/covar/stddev use
-  // engine-specific streaming accumulation and percentile_approx is
-  // approximate by design → driver records the weaker rows-only check.
+        "FROM orders GROUP BY 1"),
+    // The oracle recomputes the exact group count and pins the bound
+    // verdicts TRUE — the hash compares the VERDICT, never the
+    // engine-specific streaming accumulators (see statsAgg docstring).
+    "q_stats_agg" ->
+      ("SELECT o_orderpriority, count(*) AS n, TRUE AS corr_ok, " +
+        "TRUE AS covar_ok, TRUE AS stddev_ok, TRUE AS var_ok, " +
+        "TRUE AS median_ok FROM orders GROUP BY 1"))
 }

@@ -1915,4 +1915,20 @@ class OperatorsSpec extends SparkSpec {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("approxDistinct: bound verdicts hold and exact side matches distinctExact") {
+    val r = Analytics.approxDistinct(Tables.lineitem(spark, sf)).head()
+    assert(r.getAs[Boolean]("parts_within_5pct"),
+      "HLL(rsd=0.01) part estimate strayed beyond 5% of exact")
+    assert(r.getAs[Boolean]("orders_within_5pct"))
+    val e = Analytics.distinctExact(Tables.lineitem(spark, sf)).head()
+    assert(r.getAs[Long]("n_parts_exact") === e.getAs[Long]("n_parts"))
+  }
+
+  test("statsAgg: every accumulator-vs-exact verdict is true on real data") {
+    val rows = SqlCoverage.statsAgg(Tables.orders(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows; c <- Seq("corr_ok", "covar_ok", "stddev_ok", "var_ok", "median_ok"))
+      assert(r.getAs[Boolean](c), s"$c false for ${r.getAs[String]("o_orderpriority")}")
+  }
 }
