@@ -79,6 +79,28 @@ object Streaming {
         .load()
         .selectExpr("CAST(value AS STRING) AS value"))
 
+  /** Loopback TCP socket ingest — the wire-level end-to-end exercise of
+    * the [[kafkaIngest]] decode path in environments without the
+    * connector jar or a broker (this sandbox ships NEITHER: no kafka
+    * artifact exists anywhere on the image, and there is no network
+    * egress to fetch one, so an embedded-broker test cannot even
+    * compile here). Spark's socket source emits the same
+    * one-string-`value`-per-record relation a Kafka source does, so
+    * everything downstream of the source — [[kafkaShapedIngest]]'s
+    * from_json wire decode, the metadata duality, the timestamp parse,
+    * the windowed aggregates — runs over a REAL network byte stream,
+    * end-to-end (StreamingSpec drives the reference's own 20-row
+    * `mock_transactions.json` fixture through it and asserts parity
+    * with the batch file path).
+    *
+    * NOT a production source: the socket source has no offsets and no
+    * replay (explicitly fault-intolerant in Spark's docs). Production
+    * uses [[kafkaIngest]]; the two share every line after `.load()`. */
+  def socketIngest(spark: SparkSession, host: String, port: Int): DataFrame =
+    kafkaShapedIngest(
+      spark.readStream.format("socket")
+        .option("host", host).option("port", port).load())
+
   /** Tumbling/sliding per-currency volume with watermarked event time.
     * Late data beyond the watermark is dropped (vs the reference, which
     * has no notion of event time at all — timestamps are opaque strings,

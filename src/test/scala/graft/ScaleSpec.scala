@@ -651,6 +651,93 @@ class ScaleSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(s).length === 1, s)
   }
 
+  test("skew guard: a hot user splits under AQE, salts across reducers, and never quadratics the pair join") {
+    // The no-global-window sweep covers one-task sorts; a SKEWED
+    // EXCHANGE is the remaining 100 TB failure class. Synthesize one
+    // user holding ~10% of all events (sf0.01 → 1000 of 10000 rows) and
+    // pin each shipped mitigation by name:
+    //  (a) AQE skew-join split activates on a plain user-keyed shuffle
+    //      join against that distribution (skew=true in the final plan)
+    //  (b) saltedUserStats really spreads the hot user across multiple
+    //      salt cells before the per-user rollup — reducer input is
+    //      bounded by |users|·salts, not the hot key's row count — and
+    //      stays correct under the skew
+    //  (c) offsettingPairs keys on (user, cents, bucket), so the hot
+    //      user's candidate pairs stay bounded by per-cell sizes, far
+    //      below the hotN² a user-only pair join would materialize.
+    import org.apache.spark.sql.functions.{count => cnt}
+    val hot = 424242L
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+      .withColumn("user_id",
+        when(pmod(col("event_id"), lit(10)) === 0, lit(hot))
+          .otherwise(col("user_id")))
+    val hotN = ev.filter(col("user_id") === hot).count()
+    assert(hotN >= 900, s"hot-user synthesis broke: $hotN rows")
+
+    // (a) AQE skew split, thresholds scaled to the test volume. Two
+    // conditions discovered the hard way and worth recording: the
+    // split unit is the MAPPER BLOCK (a single-mapper shuffle is
+    // structurally unsplittable — hence the repartition(8) below), and
+    // the skewed partition must exceed ~2x the non-skew median so the
+    // splitter can form at least two target-sized chunks — with only 4
+    // reducers a 10% key rides a partition only ~1.4x the median, so
+    // the exchange runs at 16 partitions, where the hot reducer is
+    // ~2.8x the median (exactly the production posture: thousands of
+    // reducers make any hot key's partition >> median).
+    val confs = Map(
+      "spark.sql.shuffle.partitions" -> "16",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8192",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4096")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // dim side must be a PLAIN shuffled relation: OptimizeSkewedJoin
+      // only matches sort+shuffle-stage children, so an aggregate on
+      // the join key (whose exchange the agg consumes) would block the
+      // split regardless of how skewed the fact side is
+      val userIds = ev.select(col("user_id")).distinct()
+        .collect().map(_.getLong(0))
+      val dim = spark.createDataFrame(
+        userIds.toSeq.map(u => (u, s"seg-${u % 4}"))).toDF("user_id", "segment")
+      // carry the props payload so shuffle partitions are KB-scale even
+      // compressed (a 2-long projection compresses below the advisory
+      // size and AQE coalesces instead), and spread the scan over
+      // several map tasks: AQE splits a skewed reduce partition at
+      // MAPPER-BLOCK granularity, so a single-mapper shuffle (one small
+      // parquet file = one input task) is structurally unsplittable —
+      // at 100 TB the fact always has thousands of mappers
+      val joined = ev.select(col("user_id"), col("event_id"), col("props"))
+        .repartition(8)
+        .join(dim, "user_id")
+      joined.queryExecution.toRdd.count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the hot user's partition (no skew=true):\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+
+    // (b) salted pre-aggregation spreads the hot key and stays correct
+    val saltCells = ev.filter(col("user_id") === hot)
+      .select(pmod(col("event_id"), lit(16)).as("salt")).distinct().count()
+    assert(saltCells >= 4,
+      s"hot user concentrated in $saltCells salt cell(s) — salting ineffective")
+    val saltedHot = ScaleOps.saltedUserStats(ev).filter(col("user_id") === hot).head()
+    assert(saltedHot.getAs[Long]("n") === hotN)
+
+    // (c) composite-key pair join stays far below quadratic on the hot key
+    val hotPairs = graft.operators.Monitoring.offsettingPairs(ev)
+      .filter(col("user_id") === hot).count()
+    assert(hotPairs < hotN * hotN / 50,
+      s"hot user produced $hotPairs pairs from $hotN events — quadratic blow-up")
+  }
+
   test("global-window sweep: no driver query plans a global window over an uncollapsed relation") {
     // the regression gate behind the decileStats/rfm rewrites: walk
     // EVERY SparkEntry query's physical plan (descending into AQE

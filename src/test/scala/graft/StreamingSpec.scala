@@ -3,7 +3,7 @@ package graft
 import graft.operators.Transaction
 import graft.streaming.Streaming
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, concat, explode, array, floor, lit, pmod}
+import org.apache.spark.sql.functions.{col, concat, explode, array, element_at, floor, lit, pmod}
 import org.apache.spark.sql.streaming.OutputMode
 import java.sql.Timestamp
 
@@ -673,6 +673,108 @@ class StreamingSpec extends SparkSpec {
         assert(usedRocks, "no rocksdb state-store metrics in query progress")
       }
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("state soak: window-agg and TTL-balance state stays bounded across 30 batches, default AND RocksDB") {
+    // The 100 TB failure class with no other explicit test: streaming
+    // state that grows with STREAM LENGTH instead of with the open
+    // horizon. 30 batches advance event time 1 min/batch with FRESH
+    // users every batch — unbounded distinct keys overall — and the
+    // max state-row count across all batches must stay pinned to the
+    // horizon (open windows × currencies; users within TTL), nowhere
+    // near the would-be-unbounded totals (120 window cells / 150 users).
+    import spark.implicits._
+    def soak(rocks: Boolean): (Long, Long) = {
+      if (rocks) Tables.configure(spark, rocksDbState = true)
+      try {
+        val tag = if (rocks) "r" else "d"
+        val inW = MemoryStream[Transaction](spark)
+        val qW = Streaming.toMemory(
+          Streaming.windowedVolume(inW.toDF(), watermark = "2 minutes",
+            window_ = "1 minute"), s"soak_wv_$tag", OutputMode.Append())
+        val inB = MemoryStream[Transaction](spark)
+        val qB = Streaming.toMemory(
+          Streaming.runningBalanceTtl(spark, inB.toDS(), ttlMs = 120000L,
+            watermark = "1 minute").toDF(), s"soak_bal_$tag", OutputMode.Append())
+        try {
+          for (b <- 0 until 30) {
+            val ts = f"2025-01-01 10:$b%02d:30"
+            inW.addData((0 until 8).map(i =>
+              txn(s"w$b-$i", b * 100 + i, 1.0, "credit", ts,
+                currency = Seq("USD", "EUR", "GBP", "KES")(i % 4))): _*)
+            qW.processAllAvailable()
+            inB.addData((0 until 5).map(i =>
+              txn(s"b$b-$i", b * 10 + i, 1.0, "credit", ts)): _*)
+            qB.processAllAvailable()
+          }
+          def maxState(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+            q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+              .foldLeft(0L)(math.max)
+          (maxState(qW), maxState(qB))
+        } finally { qW.stop(); qB.stop() }
+      } finally if (rocks)
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    for (rocks <- Seq(false, true)) {
+      val (wv, bal) = soak(rocks)
+      assert(wv > 0 && wv <= 40,
+        s"windowed-agg state not horizon-bounded (rocksdb=$rocks): max $wv rows")
+      assert(bal > 0 && bal <= 50,
+        s"TTL-balance state not horizon-bounded (rocksdb=$rocks): max $bal rows")
+    }
+  }
+
+  test("socketIngest: the reference's 20-row fixture round-trips a real TCP socket end-to-end") {
+    // The closest feasible stand-in for a broker test in this sandbox
+    // (no kafka jars exist on the image, no egress to fetch one): the
+    // reference's own ingest fixture is produced over a REAL loopback
+    // TCP connection and drained through the SAME wire-decode path
+    // kafkaIngest uses, then compared row-for-row with the batch file
+    // reader on every stable wire field.
+    val fixturePath = "/root/reference/mock_transactions.json"
+    // re-serialize the pretty-printed array as compact JSON lines (what
+    // a producer would put on the wire), via the inferring batch reader
+    // so metadata stays a NESTED OBJECT on the wire like the original
+    val lines = spark.read.option("multiLine", true).json(fixturePath)
+      .toJSON.collect()
+    assert(lines.length === 20)
+    val server = new java.net.ServerSocket(
+      0, 1, java.net.InetAddress.getLoopbackAddress)
+    @volatile var sendErr: Throwable = null
+    val sender = new Thread(() => {
+      try {
+        val s = server.accept()
+        val w = new java.io.PrintWriter(s.getOutputStream, true)
+        lines.foreach(w.println)
+        w.flush() // keep the socket open: the source owns the close
+      } catch { case e: Throwable => sendErr = e }
+    })
+    sender.start()
+    val decoded = Streaming.socketIngest(
+      spark, "127.0.0.1", server.getLocalPort)
+    val q = Streaming.toMemory(decoded, "socket_e2e", OutputMode.Append())
+    try {
+      // the socket source has no end-of-input marker: poll until all 20
+      // rows land (bounded), then compare
+      val deadline = System.currentTimeMillis() + 60000
+      while (spark.table("socket_e2e").count() < 20 &&
+          System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(50)
+      }
+      assert(sendErr === null, s"producer thread failed: $sendErr")
+      def key(df: org.apache.spark.sql.DataFrame) = df.select(
+          col("transaction_id"), col("user_id"), col("amount"),
+          col("currency"), col("type"),
+          element_at(col("metadata"), "merchant").as("merchant"),
+          col("timestamp"))
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+      val viaSocket = key(spark.table("socket_e2e"))
+      val viaFile = key(graft.operators.Reference.decode(
+        spark.read.schema(graft.operators.Reference.wireSchema)
+          .option("multiLine", true).json(fixturePath)))
+      assert(viaSocket.length === 20)
+      assert(viaSocket.toSeq === viaFile.toSeq)
+    } finally { q.stop(); server.close() }
   }
 
   test("kafkaShapedIngest parses raw JSON values against the wire schema") {
