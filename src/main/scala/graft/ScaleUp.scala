@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic scale-up: replicate a testdata directory
+  * `factor`× into clone-offset keys and clone-perturbed payloads —
+  * the load-testing primitive for measuring how each operator family
+  * SCALES without waiting on a bigger generated corpus.
+  *
+  * Usage: `runMain graft.ScaleUp <srcDir> <outDir> <factor>`
+  *
+  * Design (what makes the copy measurement-honest):
+  *  - every key space is offset by `clone · 10M`, applied CONSISTENTLY
+  *    across tables (c_custkey, o_custkey and events.user_id share the
+  *    offset), so intra-clone joins behave exactly like the original
+  *    and cross-clone keys never collide; nation/region dims stay
+  *    shared, like a real multi-tenant load.
+  *  - clone 0 is the identity — the original rows survive byte-exact.
+  *  - `documents.text` is re-tokenized with every 5th token (phase
+  *    shifted per clone) replaced by a clone-salted hash token:
+  *    cross-clone shingle Jaccard collapses (~0.2, far under any
+  *    near-dup threshold) so dedup candidate volume scales like a real
+  *    corpus instead of quadraticizing on 10-way exact clones, while
+  *    WITHIN-clone near-dup density stays exactly the original.
+  *  - `embeddings` are dimension-ROTATED per clone (cyclic shift by
+  *    clone·7+1): rotation preserves the marginal value distribution,
+  *    norms and per-label geometry WITHIN a clone, while a vector and
+  *    its rotation are as uncorrelated as two random draws — so the
+  *    scaled corpus has 10× vectors at the ORIGINAL near-neighbor
+  *    density instead of every vector acquiring 9 quasi-duplicates
+  *    (a 1.01×-one-dim perturbation was measured doing exactly that:
+  *    clones landed in identical LSH bands and q_knn_graph's candidate
+  *    volume went quadratic — 21× time at 10× data; rotation restores
+  *    the ~linear candidate growth).
+  *  - `events.ts` round-trips in its on-disk representation (raw nanos
+  *    under `nanosAsLong`), so the scaled directory reads through
+  *    [[Tables.events]] exactly like a driver-generated one.
+  */
+object ScaleUp {
+  private val Stride = 10000000L
+
+  def main(args: Array[String]): Unit = {
+    val Array(src, out, factorS) = args.take(3)
+    val factor = factorS.toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.configure(spark)
+    scaleAll(spark, src, out, factor)
+    spark.stop()
+  }
+
+  def scaleAll(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+    val clones = spark.range(0, factor).select(col("id").as("clone"))
+    def rep(name: String)(f: DataFrame => DataFrame): Unit = {
+      val df = spark.read.parquet(s"$src/$name.parquet")
+        .crossJoin(broadcast(clones))
+      f(df).drop("clone").repartition(8)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    def off(c: String): Column = col(c) + col("clone") * Stride
+
+    // shared dims: one copy, no clone column
+    for (d <- Seq("region", "nation"))
+      spark.read.parquet(s"$src/$d.parquet")
+        .write.mode("overwrite").parquet(s"$out/$d.parquet")
+
+    rep("customer")(_.withColumn("c_custkey", off("c_custkey"))
+      .withColumn("c_name", concat(col("c_name"), lit("#"), col("clone"))))
+    rep("supplier")(_.withColumn("s_suppkey", off("s_suppkey"))
+      .withColumn("s_name", concat(col("s_name"), lit("#"), col("clone"))))
+    rep("part")(_.withColumn("p_partkey", off("p_partkey")))
+    rep("orders")(_.withColumn("o_orderkey", off("o_orderkey"))
+      .withColumn("o_custkey", off("o_custkey")))
+    rep("lineitem")(_.withColumn("l_orderkey", off("l_orderkey"))
+      .withColumn("l_partkey", off("l_partkey"))
+      .withColumn("l_suppkey", off("l_suppkey")))
+    rep("events")(_.withColumn("event_id", off("event_id"))
+      .withColumn("user_id", off("user_id")))
+    rep("documents") { df =>
+      val perturbed = array_join(
+        expr("transform(split(text, ' '), (t, i) -> " +
+          "IF(clone > 0 AND pmod(i + clone, 5) = 0, " +
+          "concat('zz', substr(md5(concat(t, clone)), 1, 6)), t))"), " ")
+      df.withColumn("doc_id", off("doc_id"))
+        .withColumn("text", perturbed)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    }
+    rep("embeddings")(_.withColumn("vec_id", off("vec_id"))
+      .withColumn("embedding", expr(
+        // rotate by clone*7+1 positions (clone 0 untouched); slice is
+        // 1-indexed and preserves the float element type
+        "IF(clone = 0, embedding, concat(" +
+          "slice(embedding, cast(pmod(clone * 7 + 1, size(embedding)) + 1 as int), " +
+          "size(embedding) - cast(pmod(clone * 7 + 1, size(embedding)) as int)), " +
+          "slice(embedding, 1, cast(pmod(clone * 7 + 1, size(embedding)) as int))))")))
+  }
+}

@@ -41,6 +41,16 @@ object Similarity {
   val NumPlanes = 16
   val Bands = 4
   val RowsPerBand = 4
+  /** The all-pairs kNN-graph chain uses a WIDER banding than the
+    * query-scoped ANN ops: candidate volume for a self-join is
+    * Θ(n² / (bands · 2^rows)), so the 4×4 geometry's 16-bucket key
+    * space quadraticizes as the corpus grows (measured: 21× time at
+    * 10× vectors). 8 bands × 8 bits = 256 buckets per band cuts the
+    * constant 16× while keeping high-cosine recall (p_bit^8 per band
+    * across 8 bands ≈ 0.94 at cos 0.9 vs 0.96 for 4×4); at production
+    * scale pick rows ≈ log2(n / targetBucket) the same way. */
+  val KnnBands = 8
+  val KnnRowsPerBand = 8
 
   /** The driver-wired query-vector ids (mirrored in the oracle SQL). */
   val DefaultQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
@@ -50,7 +60,8 @@ object Similarity {
     * int → value in [-1, 1] with 3 decimals. */
   lazy val hyperplanes: Array[Array[Double]] = {
     val mdi = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(NumPlanes, Dim) { (h, d) =>
+    val pool = math.max(NumPlanes, KnnBands * KnnRowsPerBand)
+    Array.tabulate(pool, Dim) { (h, d) =>
       val hex = mdi.digest(s"$h,$d".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(15)
       ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L) / 1000.0
@@ -60,20 +71,26 @@ object Similarity {
   private def planeLit(h: Int): Column =
     array(hyperplanes(h).map(lit): _*)
 
-  /** 16 sign bits of a double-array embedding column. */
-  private def signBits(embD: Column): Seq[Column] =
-    (0 until NumPlanes).map(h => when(NativeVector.dot(embD, planeLit(h)) >= 0, 1).otherwise(0))
+  /** First-n sign bits of a double-array embedding column (the
+    * composed per-plane form — kept for the multi-probe chain, which
+    * needs individual bits; ≤16 planes stays inside codegen limits). */
+  private def signBits(embD: Column, n: Int = NumPlanes): Seq[Column] =
+    (0 until n).map(h => when(NativeVector.dot(embD, planeLit(h)) >= 0, 1).otherwise(0))
 
-  /** Band keys: integer of 4 consecutive sign bits per band. */
-  private def bandStructs(embD: Column): Column = {
-    val bits = signBits(embD)
-    array((0 until Bands).map { b =>
-      val key = (0 until RowsPerBand)
-        .map(i => bits(b * RowsPerBand + i) * lit(1 << i))
-        .reduce(_ + _)
-      struct(lit(b).as("band"), key.as("bkey"))
-    }: _*)
+  /** Band keys for an arbitrary (bands × rows) geometry, computed by
+    * the single-loop native expression: the composed per-plane form
+    * blows the codegen method limit past ~16 planes and silently
+    * drops the whole stage to interpreted mode (measured 13 s → 2 s
+    * on q_sim_neardup at 10× scale). */
+  private def bandStructsWith(embD: Column, bands: Int, rows: Int): Column = {
+    val keys = NativeVector.signBandKeys(embD, hyperplanes, bands, rows)
+    transform(keys, (k, i) => struct(i.as("band"), k.as("bkey")))
   }
+
+  /** Band keys: integer of 4 consecutive sign bits per band (the
+    * query-scoped ANN geometry). */
+  private def bandStructs(embD: Column): Column =
+    bandStructsWith(embD, Bands, RowsPerBand)
 
   /** Spread the CPU-bound per-row hyperplane-dot work across the
     * cluster (a small parquet input is 1–2 splits). Embeddings stay
@@ -334,7 +351,15 @@ object Similarity {
     * verified by cosine ≥ threshold. */
   def nearDupPairs(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
     val v = withEmbD(emb)
-    val bands = v.select(col("vec_id"), col("e"), explode(bandStructs(col("e"))).as("bb"))
+    // all-pairs self-join ⇒ the WIDE KnnBands×KnnRowsPerBand geometry,
+    // same reasoning as [[knnGraph]] (measured 14 s → ~linear at 10×
+    // vectors). Recall trade: high-similarity pairs (cos ≥ 0.85, the
+    // duplicates that matter at scale) keep ~0.9 recall; mid-range
+    // pairs near the 0.4 verification floor surface less often — the
+    // floor only filters verified candidates, it is not a recall
+    // promise at that similarity.
+    val bands = v.select(col("vec_id"), col("e"),
+        explode(bandStructsWith(col("e"), KnnBands, KnnRowsPerBand)).as("bb"))
       .select(col("vec_id"), col("e"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
       .persist()
     val result = bands.as("x").join(bands.as("y"),
@@ -376,7 +401,12 @@ object Similarity {
     * neighbors); the oracle replicates the same approximation. */
   def knnGraph(emb: DataFrame, k: Int = 5): DataFrame = {
     val v = withEmbD(emb)
-    val bands = v.select(col("vec_id"), col("e"), explode(bandStructs(col("e"))).as("bb"))
+    // all-pairs self-join ⇒ the WIDE KnnBands×KnnRowsPerBand geometry
+    // (see the constant's docstring: 4×4's 16-bucket key space is
+    // quadratic in the corpus; 256 buckets/band restores ~linear
+    // candidate growth at the measured scale)
+    val bands = v.select(col("vec_id"), col("e"),
+        explode(bandStructsWith(col("e"), KnnBands, KnnRowsPerBand)).as("bb"))
       .select(col("vec_id"), col("e"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
       .persist()
     val pairs = bands.as("x").join(bands.as("y"),
@@ -1103,7 +1133,7 @@ object Similarity {
     * per-source top-5), shared by q_knn_graph and q_label_noise. */
   private val kgCtes =
     "kg_pairs AS (SELECT DISTINCT x.vec_id a_id, y.vec_id b_id " +
-      "FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey " +
+      "FROM kg_bands x JOIN kg_bands y ON x.band = y.band AND x.bkey = y.bkey " +
       "AND x.vec_id < y.vec_id), " +
       "kg_scored AS (SELECT a_id, b_id, floor(list_cosine_similarity(" +
       "(SELECT e FROM v WHERE v.vec_id = kg_pairs.a_id), " +
@@ -1118,18 +1148,26 @@ object Similarity {
   /** (q_id, qe) query vectors — exact + ivf share it. */
   private val qsCte = s"qs AS (SELECT vec_id q_id, e qe FROM v WHERE vec_id IN $idsSql)"
 
-  /** bits + bands — mirrors [[bandStructs]]. Requires v. */
-  private lazy val bitsBandsCte: String = {
-    val bitExprs = (0 until NumPlanes).map(h =>
+  /** bits + bands for an arbitrary geometry — mirrors
+    * [[bandStructsWith]]. Requires v; CTE names carry `prefix`. */
+  private def bitsBandsCteWith(prefix: String, bands: Int, rows: Int): String = {
+    val bitExprs = (0 until bands * rows).map(h =>
       s"CASE WHEN list_dot_product(e, ${planeSql(h)}) >= 0 THEN 1 ELSE 0 END")
-    val bandRows = (0 until Bands).map { b =>
-      val key = (0 until RowsPerBand).map(i => s"(bit_${b * RowsPerBand + i} * ${1 << i})").mkString(" + ")
-      s"SELECT vec_id, e, $b AS band, $key AS bkey FROM bits"
+    val bandRows = (0 until bands).map { b =>
+      val key = (0 until rows).map(i => s"(bit_${b * rows + i} * ${1 << i})").mkString(" + ")
+      s"SELECT vec_id, e, $b AS band, $key AS bkey FROM ${prefix}bits"
     }.mkString(" UNION ALL ")
-    "bits AS (SELECT vec_id, e, " +
+    s"${prefix}bits AS (SELECT vec_id, e, " +
       bitExprs.zipWithIndex.map { case (e, i) => s"$e AS bit_$i" }.mkString(", ") +
-      " FROM v), bands AS (" + bandRows + ")"
+      s" FROM v), ${prefix}bands AS (" + bandRows + ")"
   }
+
+  /** bits + bands — mirrors [[bandStructs]]. Requires v. */
+  private lazy val bitsBandsCte: String = bitsBandsCteWith("", Bands, RowsPerBand)
+
+  /** The kNN chain's WIDE geometry — mirrors knnGraph's banding. */
+  private lazy val kgBandsCte: String =
+    bitsBandsCteWith("kg_", KnnBands, KnnRowsPerBand)
 
   private def rankedSql(name: String, from: String): String =
     s"$name AS (SELECT q_id, vec_id, cos, row_number() OVER " +
@@ -1392,7 +1430,7 @@ object Similarity {
         "floor(abs(pos_rate - conf) * n / n_total * 1000000) / 1000000 AS ece_term " +
         "FROM x"),
     "q_knn_graph" ->
-      (s"WITH $vCte, $bitsBandsCte, $kgCtes " +
+      (s"WITH $vCte, $kgBandsCte, $kgCtes " +
         "SELECT f.src_id, f.dst_id, f.cos, f.rnk, " +
         "(r.src_id IS NOT NULL) AS mutual FROM kg_topk f " +
         "LEFT JOIN kg_topk r ON f.src_id = r.dst_id AND f.dst_id = r.src_id"),
@@ -1408,7 +1446,7 @@ object Similarity {
         "FROM lr_top t JOIN lr_lbl ql ON t.q_id = ql.vec_id " +
         "JOIN lr_lbl nl ON t.vec_id = nl.vec_id GROUP BY 1, 2"),
     "q_label_noise" ->
-      (s"WITH $vCte, $bitsBandsCte, $kgCtes, " +
+      (s"WITH $vCte, $kgBandsCte, $kgCtes, " +
         "ln_lbl AS (SELECT vec_id, label::BIGINT AS label FROM embeddings), " +
         "ln_votes AS (SELECT src_id, l.label AS dst_label, count(*) AS votes " +
         "FROM kg_topk t JOIN ln_lbl l ON t.dst_id = l.vec_id GROUP BY 1, 2), " +
@@ -1440,8 +1478,8 @@ object Similarity {
         "SELECT label, vec_id, d2n2, n, " +
         "floor(sqrt(d2n2::DOUBLE) / n * 10000) / 10000 AS dist_q, rnk FROM vo_r"),
     "q_sim_neardup" ->
-      (s"WITH $vCte, $bitsBandsCte" + ", cand AS (SELECT DISTINCT x.vec_id a_id, y.vec_id b_id " +
-        "FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id), " +
+      (s"WITH $vCte, $kgBandsCte" + ", cand AS (SELECT DISTINCT x.vec_id a_id, y.vec_id b_id " +
+        "FROM kg_bands x JOIN kg_bands y ON x.band = y.band AND x.bkey = y.bkey AND x.vec_id < y.vec_id), " +
         "scored AS (SELECT a_id, b_id, floor(list_cosine_similarity(" +
         "(SELECT e FROM v WHERE v.vec_id = cand.a_id), " +
         "(SELECT e FROM v WHERE v.vec_id = cand.b_id)) * 10000) / 10000 cos FROM cand) " +
