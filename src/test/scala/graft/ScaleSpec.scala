@@ -738,6 +738,51 @@ class ScaleSpec extends SparkSpec {
       s"hot user produced $hotPairs pairs from $hotN events — quadratic blow-up")
   }
 
+  test("iterative ops: round structure is scale-stable (job counts ~flat from sf0.001 to sf0.01)") {
+    // The iterative operators (label propagation, pointer-jumping
+    // components, Markov power iteration, MMR's greedy loop) run their
+    // loops at OPERATOR-CONSTRUCTION time with per-round checkpoints,
+    // so every round shows up as Spark jobs. If a loop's trip count
+    // scaled with DATA SIZE (rows) instead of being a constant or a
+    // log-diameter bound, 10x data would mean ~10x the jobs — the
+    // pattern that never converges at 100 TB. Pin: job count at sf0.01
+    // stays under 2x-plus-slack of sf0.001 — a rows-proportional loop
+    // (10x) fails loudly, while the legitimate log(diameter) growth of
+    // pointer jumping (measured: q_fraud_rings 20 -> 36 jobs as the
+    // collusion rings get deeper) passes.
+    val iterative = Seq("q_markov_attrib", "q_dedup_clusters",
+      "q_graph_modularity", "q_fraud_rings", "q_sim_mmr")
+    def jobsFor(name: String, dir: String): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          counter.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+        // the listener bus is async: wait until the count is quiescent
+        var last = -1
+        var spins = 0
+        while (counter.get != last && spins < 50) {
+          last = counter.get; Thread.sleep(100); spins += 1
+        }
+        counter.get
+      } finally {
+        spark.sparkContext.removeSparkListener(l)
+        spark.sharedState.cacheManager.clearCache()
+      }
+    }
+    for (name <- iterative) {
+      val j001 = jobsFor(name, "/root/testdata/sf0.001")
+      val j01 = jobsFor(name, "/root/testdata/sf0.01")
+      assert(j01 <= 2 * j001 + 5,
+        s"$name: $j001 jobs at sf0.001 but $j01 at sf0.01 — round count grows with data size")
+    }
+  }
+
   test("global-window sweep: no driver query plans a global window over an uncollapsed relation") {
     // the regression gate behind the decileStats/rfm rewrites: walk
     // EVERY SparkEntry query's physical plan (descending into AQE
