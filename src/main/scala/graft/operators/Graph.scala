@@ -78,6 +78,51 @@ object Graph {
       graft.functions.Portable.trunc6(col("r").cast("double") / Q).as("rank"))
   }
 
+  /** Personalized PageRank (Jeh & Widom 2003) over the event-type
+    * transition graph — [[pageRank]]'s recurrence with the restart
+    * mass concentrated on one `seed` node instead of spread uniformly:
+    * r' = (3/20)·Q·[v = seed] + (17/20)·Σ_in r·share. The result ranks
+    * nodes by their reachability FROM the seed — "what does a journey
+    * that touches `seed` flow into next", the recommendation /
+    * related-entity primitive (uniform PageRank answers global
+    * importance; PPR answers importance relative to a chosen anchor).
+    *
+    * Identical integer discipline to [[pageRank]]: Q-scaled BIGINT
+    * mass, per-term floor division mirrored by the oracle's `//`, a
+    * per-round localCheckpoint keeping the loop's lineage flat, and
+    * the fact touched exactly once (window lead → hash-agg). Rounds
+    * are a CONSTANT (`iters`), pinned scale-independent by the
+    * ScaleSpec job-count test. */
+  def personalizedPageRank(ev: DataFrame, seed: String = "purchase",
+      iters: Int = 3): DataFrame = {
+    val byT = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val edges = ev
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type").as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(byT))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .localCheckpoint(true) // ≤ |types|² rows; cuts lineage for the loop
+    val ew = edges.join(edges.groupBy(col("src")).agg(sum(col("w")).as("out_w")), "src")
+      .select(col("src"), col("dst"), expr(s"w * $S div out_w").as("sh"))
+    val nodes = ev.select(col("event_type").as("node")).distinct()
+    var r = nodes
+      .select(col("node"),
+        when(col("node") === seed, lit(Q)).otherwise(lit(0L)).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val contrib = ew.join(r.select(col("node").as("src"), col("r")), "src")
+        .select(col("dst"), expr(s"r * sh div $S").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
+      r = nodes.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (when(col("node") === seed, lit(3L * Q / 20)).otherwise(lit(0L)) +
+            expr("17 * coalesce(contrib, 0) div 20")).as("r"))
+        .localCheckpoint(true) // tiny; keeps each round's plan flat
+    }
+    r.select(col("node"), col("r").as("ppr_scaled"),
+      graft.functions.Portable.trunc6(col("r").cast("double") / Q).as("ppr"))
+  }
+
   /** The bipartite user–merchant graph behind the co-occurrence
     * analytics: `props.$.k` is the merchant key (the reference's
     * transactions carry exactly such a metadata map — `main.go:16`,
@@ -567,6 +612,7 @@ object Graph {
     "q_graph_bfs" -> ((s, d) => bfs(Tables.events(s, d))),
     "q_graph_hits" -> ((s, d) => hits(Tables.events(s, d))),
     "q_graph_pagerank" -> ((s, d) => pageRank(Tables.events(s, d))),
+    "q_graph_ppr" -> ((s, d) => personalizedPageRank(Tables.events(s, d))),
     "q_graph_degree" -> ((s, d) => bipartiteDegrees(Tables.events(s, d))),
     "q_graph_jaccard" -> ((s, d) => merchantJaccard(Tables.events(s, d))),
     "q_fraud_rings" -> ((s, d) => fraudRings(Tables.events(s, d))),
@@ -623,6 +669,16 @@ object Graph {
       s"r${i + 1} AS (SELECT n.node, " +
       s"(${3L * Q} // (20 * nn.nn)) + (17 * coalesce(c.c, 0) // 20) AS r " +
       s"FROM nodes n CROSS JOIN nc nn LEFT JOIN contrib$i c ON c.dst = n.node)"
+
+  /** One personalized-PageRank round — [[iterSql]] with the restart
+    * mass on the seed node only. */
+  private def pprIterSql(i: Int, seed: String): String =
+    s"pcontrib$i AS (SELECT e.dst, sum(r.r * e.sh // $S)::BIGINT c " +
+      s"FROM ew e JOIN pr$i r ON r.node = e.src GROUP BY 1), " +
+      s"pr${i + 1} AS (SELECT n.node, " +
+      s"(CASE WHEN n.node = '$seed' THEN ${3L * Q / 20} ELSE 0 END) + " +
+      s"(17 * coalesce(c.c, 0) // 20) AS r " +
+      s"FROM nodes n LEFT JOIN pcontrib$i c ON c.dst = n.node)"
 
   val oracleSql: Map[String, String] = Map(
     "q_graph_churn" ->
@@ -788,5 +844,16 @@ object Graph {
         s"r0 AS (SELECT node, $Q // nn AS r FROM nodes CROSS JOIN nc), " +
         (0 until 3).map(iterSql).mkString(", ") + " " +
         s"SELECT node, r AS rank_scaled, floor(r::DOUBLE / $Q * 1000000) / 1000000 AS rank " +
-        "FROM r3"))
+        "FROM r3"),
+    "q_graph_ppr" ->
+      ("WITH s AS (SELECT user_id, epoch_ms(ts) ts_ms, event_id, event_type src FROM events), " +
+        "t AS (SELECT src, lead(src) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) dst FROM s), " +
+        "edges AS (SELECT src, dst, count(*) w FROM t WHERE dst IS NOT NULL GROUP BY 1, 2), " +
+        s"ew AS (SELECT e.src, e.dst, e.w * $S // o.out_w AS sh FROM edges e JOIN " +
+        "(SELECT src, sum(w)::BIGINT out_w FROM edges GROUP BY 1) o USING (src)), " +
+        "nodes AS (SELECT DISTINCT event_type node FROM events), " +
+        s"pr0 AS (SELECT node, CASE WHEN node = 'purchase' THEN $Q ELSE 0 END::BIGINT AS r FROM nodes), " +
+        (0 until 3).map(pprIterSql(_, "purchase")).mkString(", ") + " " +
+        s"SELECT node, r AS ppr_scaled, floor(r::DOUBLE / $Q * 1000000) / 1000000 AS ppr " +
+        "FROM pr3"))
 }

@@ -148,6 +148,53 @@ object Monitoring {
         max(col("ts_ms")).as("max_ts_ms"),
         countDistinct(col("user_id")).as("n_users"))
 
+  /** Two-snapshot schema/profile drift audit — [[dqAudit]]'s
+    * between-loads sibling and the check that catches what a
+    * fingerprint mismatch ([[tableFingerprint]]) can only FLAG: per
+    * column, HOW the new load differs — row count, null rate, distinct
+    * cardinality — with truncated deltas and boolean drift verdicts
+    * (null-rate shift ≥ 0.5 pp; distinct count outside 0.5–2× of the
+    * baseline). The canonical first responder when a upstream team
+    * "didn't change anything".
+    *
+    * The gate corpus ships only one load, so snapshot B is derived
+    * deterministically (drop the 1-in-11 event_id slice, null `value`
+    * on the 1-in-13 slice — the perturbed-corpus discipline the
+    * lateness/incremental audits use; production passes two real
+    * loads). Shape: ONE aggregate pass per snapshot — the per-column
+    * null/distinct measures ride a single hash-agg (Spark expands the
+    * multi-distinct internally), then `stack` reshapes the 1-row
+    * profile into per-column rows and the A⋈B join runs on ≤|columns|
+    * rows. */
+  def schemaDrift(ev: DataFrame): DataFrame = {
+    val cols = Seq("event_id", "user_id", "event_type", "value", "props")
+    val a = ev.select(cols.map(col): _*)
+    val b = a.filter(pmod(col("event_id"), lit(11)) =!= 0)
+      .withColumn("value", when(pmod(col("event_id"), lit(13)) === 0,
+        lit(null).cast("double")).otherwise(col("value")))
+    def profile(df: DataFrame, tag: String): DataFrame = {
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct")))
+      df.agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"n_rows AS n_rows_$tag",
+          s"stack(${cols.length}, " +
+            cols.map(c => s"'$c', ${c}_nulls, ${c}_distinct").mkString(", ") +
+            s") AS (column_name, n_nulls_$tag, n_distinct_$tag)")
+    }
+    profile(a, "a").join(profile(b, "b"), "column_name")
+      .withColumn("null_rate_delta", trunc4(
+        col("n_nulls_b") / col("n_rows_b") - col("n_nulls_a") / col("n_rows_a")))
+      .withColumn("distinct_ratio", trunc4(col("n_distinct_b") / col("n_distinct_a")))
+      .withColumn("null_drift", abs(col("null_rate_delta")) >= 0.005)
+      .withColumn("distinct_drift",
+        col("distinct_ratio") < 0.5 || col("distinct_ratio") > 2.0)
+      .select(col("column_name"), col("n_rows_a"), col("n_rows_b"),
+        col("n_nulls_a"), col("n_nulls_b"), col("n_distinct_a"), col("n_distinct_b"),
+        col("null_rate_delta"), col("distinct_ratio"),
+        col("null_drift"), col("distinct_drift"))
+  }
+
   /** The monitoring capstone: both flag families over one input,
     * fused per user — the screening report a compliance pipeline
     * emits. Composition stays one lazy plan: Catalyst shares nothing
@@ -2380,6 +2427,7 @@ object Monitoring {
     "q_scd2" -> ((s, d) => scd2(Tables.events(s, d))),
     "q_feature_rolling" -> ((s, d) => rollingFeatures(Tables.events(s, d))),
     "q_dq_audit" -> ((s, d) => dqAudit(Tables.events(s, d))),
+    "q_schema_drift" -> ((s, d) => schemaDrift(Tables.events(s, d))),
     "q_flag_summary" -> ((s, d) => flagSummary(Tables.events(s, d))),
     "q_ohlc_bars" -> ((s, d) => ohlcBars(Tables.events(s, d))),
     "q_reconcile" -> ((s, d) => reconcile(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -2441,6 +2489,14 @@ object Monitoring {
       "FROM events WINDOW w AS (PARTITION BY user_id)) " +
       "WHERE n >= 10 AND (sq - s * s / n) / (n - 1) > 0 " +
       "AND (value - s / n) > 3 * sqrt((sq - s * s / n) / (n - 1))"
+
+  /** One snapshot's per-column profile rows for the schema-drift
+    * oracle (column_name, rows, nulls, distincts), tagged a/b. */
+  private def driftProfSql(src: String, tag: String): String =
+    Seq("event_id", "user_id", "event_type", "value", "props").map(c =>
+      s"SELECT '$c' AS column_name, count(*) AS n_rows_$tag, " +
+        s"sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls_$tag, " +
+        s"count(DISTINCT $c) AS n_distinct_$tag FROM $src").mkString(" UNION ALL ")
 
   private def pkSql(name: String, table: String, key: String): String =
     s"SELECT 'pk' AS kind, '$name' AS constraint_name, count(*) AS n_checked, " +
@@ -3378,6 +3434,23 @@ object Monitoring {
         "sum(CASE WHEN value < 0 THEN 1 ELSE 0 END)::BIGINT AS n_negative, " +
         "min(epoch_ms(ts)) AS min_ts_ms, max(epoch_ms(ts)) AS max_ts_ms, " +
         "count(DISTINCT user_id) AS n_users FROM events GROUP BY 1"),
+    "q_schema_drift" ->
+      ("WITH sda AS (SELECT event_id, user_id, event_type, value, props FROM events), " +
+        "sdb AS (SELECT event_id, user_id, event_type, " +
+        "CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS value, props " +
+        "FROM events WHERE event_id % 11 <> 0), " +
+        "pa AS (" + driftProfSql("sda", "a") + "), " +
+        "pb AS (" + driftProfSql("sdb", "b") + ") " +
+        "SELECT column_name, n_rows_a, n_rows_b, n_nulls_a, n_nulls_b, " +
+        "n_distinct_a, n_distinct_b, " +
+        "floor((n_nulls_b / n_rows_b - n_nulls_a / n_rows_a) * 10000) / 10000 " +
+        "AS null_rate_delta, " +
+        "floor(n_distinct_b / n_distinct_a * 10000) / 10000 AS distinct_ratio, " +
+        "abs(floor((n_nulls_b / n_rows_b - n_nulls_a / n_rows_a) * 10000) / 10000) " +
+        ">= 0.005 AS null_drift, " +
+        "(floor(n_distinct_b / n_distinct_a * 10000) / 10000 < 0.5 OR " +
+        "floor(n_distinct_b / n_distinct_a * 10000) / 10000 > 2.0) AS distinct_drift " +
+        "FROM pa JOIN pb USING (column_name)"),
     "q_flag_summary" ->
       ("WITH s AS (SELECT user_id, 'structuring' AS flag, " +
         "round(sum(value), 2) AS amount FROM events " +

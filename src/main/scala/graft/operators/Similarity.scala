@@ -138,6 +138,44 @@ object Similarity {
     result
   }
 
+  /** Contrastive hard-negative mining — the training-pair generator
+    * for embedding finetuning (Robinson et al. 2021's "hard negatives"
+    * reduced to retrieval): for each query vector, the top-`k` NEAREST
+    * candidates whose label DIFFERS from the query's — the negatives a
+    * contrastive loss learns most from, because they sit closest to
+    * the decision boundary. Exactly [[annTopK]]'s candidate machinery
+    * (banded LSH, query side broadcast, one dedup) with the label
+    * filter applied BEFORE the per-query rank, so the k slots go to
+    * cross-label near-misses rather than being used up by same-label
+    * true neighbors. */
+  def hardNegatives(emb: DataFrame, queryIds: Seq[Long] = DefaultQueryIds,
+      k: Int = 10): DataFrame = {
+    val lbl = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+    val v = withEmbD(emb)
+    val bands = v.select(col("vec_id"), col("e"), explode(bandStructs(col("e"))).as("bb"))
+      .select(col("vec_id"), col("e"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .persist()
+    val qb = bands.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("band"), col("bkey"))
+    val cand = bands.join(broadcast(qb), Seq("band", "bkey"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("qe"), col("e"))
+      .dropDuplicates("q_id", "vec_id")
+    val scored = cand.select(col("q_id"), col("vec_id"),
+      trunc4(NativeVector.cosine(col("qe"), col("e"))).as("cos"))
+    val crossLabel = scored
+      .join(broadcast(lbl.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"))), "q_id")
+      .join(lbl.select(col("vec_id"), col("label").as("neg_label")), "vec_id")
+      .filter(col("q_label") =!= col("neg_label"))
+    val result = topKByCos(crossLabel, k)
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("neg_label"),
+        col("cos"), col("rnk"))
+      .localCheckpoint(true) // ≤ k rows per query
+    bands.unpersist()
+    result
+  }
+
   /** Multi-probe LSH ANN top-k: like [[annTopK]], but each query also
     * probes every single-bit-flip NEIGHBOR of its band keys (1 + 4
     * variants per band). Near-misses — vectors one hyperplane sign away
@@ -1070,6 +1108,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_mmr" -> ((s, d) => mmrRerank(Tables.embeddings(s, d))),
     "q_sim_label_recall" -> ((s, d) => labelRecall(Tables.embeddings(s, d))),
+    "q_hard_negatives" -> ((s, d) => hardNegatives(Tables.embeddings(s, d))),
     "q_sim_rrf" -> ((s, d) => rrfFusion(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_topk_exact" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_topk_ann" -> ((s, d) => annTopK(Tables.embeddings(s, d), DefaultQueryIds)),
@@ -1435,6 +1474,15 @@ object Similarity {
         "(r.src_id IS NOT NULL) AS mutual FROM kg_topk f " +
         "LEFT JOIN kg_topk r ON f.src_id = r.dst_id AND f.dst_id = r.src_id"),
     "q_sim_mmr" -> mmrOracle,
+    "q_hard_negatives" ->
+      (s"WITH $vCte, $bitsBandsCte, $annCtes, " +
+        "hn_lbl AS (SELECT vec_id, label::BIGINT AS label FROM embeddings), " +
+        "hn AS (SELECT s.q_id, ql.label q_label, s.vec_id, nl.label neg_label, s.cos " +
+        "FROM an_scored s JOIN hn_lbl ql ON s.q_id = ql.vec_id " +
+        "JOIN hn_lbl nl ON s.vec_id = nl.vec_id WHERE ql.label <> nl.label), " +
+        "hn_r AS (SELECT *, row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY cos DESC, vec_id)::BIGINT rnk FROM hn) " +
+        "SELECT q_id, q_label, vec_id, neg_label, cos, rnk FROM hn_r WHERE rnk <= 10"),
     "q_sim_label_recall" ->
       (s"WITH $vCte, $qsCte, $exactCtes, " +
         "lr_lbl AS (SELECT vec_id, label::BIGINT AS label FROM embeddings), " +

@@ -1163,6 +1163,53 @@ object TextOps {
     result
   }
 
+  /** Bigram-LM held-out scoring — [[unigramNll]]'s sequence-aware
+    * sibling and one level closer to the real CCNet/KenLM filter:
+    * train an add-1-smoothed bigram model p(t₂|t₁) = (c₂+1)/(c₁+V) on
+    * the EVEN doc_ids, score the ODD doc_ids by average bigram NLL
+    * plus their unseen-bigram rate. The held-out split is the point —
+    * scoring the training docs rewards memorized boilerplate; a split
+    * by doc-id parity is deterministic, engine-portable, and scales
+    * without coordination. V = the training vocabulary of HISTORY
+    * tokens; an unseen history scores 1/V exactly like add-1 says.
+    *
+    * Per-bigram logprobs floor to 1e6-scaled BIGINTs (exact integer
+    * doc sums, [[unigramNll]] discipline). Bigrams come straight off
+    * the token ARRAY (one transform per doc — no positional self-join
+    * over the token stream); the train counts relation is vocabulary-
+    * bounded, joined un-hinted so AQE broadcasts it while it fits. */
+  def bigramLm(docs: DataFrame): DataFrame = {
+    val toks = graft.functions.Portable.spread(docs, col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("tok"))
+    val bi = toks
+      .select(col("doc_id"),
+        explode(expr("transform(slice(tok, 1, size(tok) - 1), " +
+          "(t, i) -> struct(t AS t1, element_at(tok, i + 2) AS t2))")).as("b"))
+      .select(col("doc_id"), col("b.t1").as("t1"), col("b.t2").as("t2"))
+      .persist() // feeds the train counts AND the test scoring join
+    val train = bi.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val c2 = train.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c2"))
+    val c1 = train.groupBy(col("t1")).agg(count(lit(1)).as("c1"))
+    val v = c1.agg(count(lit(1)).as("v"))
+    val scored = bi.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .join(c2, Seq("t1", "t2"), "left")
+      .join(c1, Seq("t1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        when(col("c2").isNull, 1L).otherwise(0L).as("unseen"),
+        floor(-log((coalesce(col("c2"), lit(0L)) + 1) /
+          (coalesce(col("c1"), lit(0L)) + col("v"))) * 1e6)
+          .cast("long").as("nll_term"))
+    val result = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_term")).as("nll_scaled"),
+        sum(col("unseen")).as("n_unseen"))
+      .withColumn("avg_nll", trunc4(col("nll_scaled") / 1e6 / col("n_bigrams")))
+      .withColumn("unseen_rate", trunc4(col("n_unseen") / col("n_bigrams")))
+      .localCheckpoint(true) // one row per held-out doc; frees the cache
+    bi.unpersist()
+    result
+  }
+
   /** Vocabulary coverage curve — the tokenizer-sizing readout: what
     * share of all token INSTANCES do the top-k vocabulary types cover,
     * for k ∈ {5, 10, 25} (sized to the corpus vocabulary)? (The elbow of this curve is where a
@@ -1261,6 +1308,7 @@ object TextOps {
     "q_boilerplate" -> ((s, d) => boilerplate(Tables.documents(s, d))),
     "q_text_bm25" -> ((s, d) => bm25TopK(Tables.documents(s, d))),
     "q_text_perplexity" -> ((s, d) => unigramNll(Tables.documents(s, d))),
+    "q_text_bigram_lm" -> ((s, d) => bigramLm(Tables.documents(s, d))),
     "q_text_novelty" -> ((s, d) => novelty(Tables.documents(s, d))),
     "q_text_familiarity" -> ((s, d) => familiarity(Tables.documents(s, d))),
     "q_text_pmi" -> ((s, d) => pmiCollocations(Tables.documents(s, d))),
@@ -1366,6 +1414,25 @@ object TextOps {
         "(ORDER BY score_scaled DESC, doc_id) rnk FROM pd) " +
         "SELECT doc_id, n_match_terms, score_scaled, " +
         "floor(score_scaled / 1000000.0 * 10000) / 10000 AS score, rnk FROM r WHERE rnk <= 10"),
+    "q_text_bigram_lm" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents), " +
+        "bi AS (SELECT doc_id, " +
+        "unnest(list_transform(range(1, len(tok)), i -> tok[i])) t1, " +
+        "unnest(list_transform(range(1, len(tok)), i -> tok[i + 1])) t2 FROM t), " +
+        "tr AS (SELECT t1, t2 FROM bi WHERE doc_id % 2 = 0), " +
+        "bc2 AS (SELECT t1, t2, count(*) c2 FROM tr GROUP BY 1, 2), " +
+        "bc1 AS (SELECT t1, count(*) c1 FROM tr GROUP BY 1), " +
+        "bv AS (SELECT count(*) v FROM bc1), " +
+        "sc AS (SELECT b.doc_id, CASE WHEN bc2.c2 IS NULL THEN 1 ELSE 0 END unseen, " +
+        "CAST(floor(-ln((coalesce(bc2.c2, 0) + 1) / (coalesce(bc1.c1, 0) + bv.v)) " +
+        "* 1000000) AS BIGINT) nll_term " +
+        "FROM bi b LEFT JOIN bc2 ON b.t1 = bc2.t1 AND b.t2 = bc2.t2 " +
+        "LEFT JOIN bc1 ON b.t1 = bc1.t1 CROSS JOIN bv WHERE b.doc_id % 2 = 1) " +
+        "SELECT doc_id, count(*) AS n_bigrams, sum(nll_term)::BIGINT AS nll_scaled, " +
+        "sum(unseen)::BIGINT AS n_unseen, " +
+        "floor(sum(nll_term)::BIGINT / 1000000.0 / count(*) * 10000) / 10000 AS avg_nll, " +
+        "floor(sum(unseen)::BIGINT / count(*) * 10000) / 10000 AS unseen_rate " +
+        "FROM sc GROUP BY 1"),
     "q_text_perplexity" ->
       ("WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents), " +
         "tfc AS (SELECT t, count(*) tf FROM tok GROUP BY 1), " +

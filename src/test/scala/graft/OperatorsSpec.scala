@@ -1916,6 +1916,73 @@ class OperatorsSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("Graph.personalizedPageRank: mass stays in the seed's reachable set") {
+    import spark.implicits._
+    // user 1 alternates purchase/click (a 2-cycle with the seed);
+    // user 2 lives in a disconnected view→error world: nothing flows
+    // from the seed into it, so its PPR must be exactly zero
+    def row(u: Long, i: Int, t: String) =
+      (u * 100 + i, u, t, 1.0, "{}", 1700000000000L + i * 60000L)
+    val ev = (Seq("purchase", "click", "purchase", "click").zipWithIndex
+        .map { case (t, i) => row(1, i, t) } ++
+      Seq("view", "error", "view", "error").zipWithIndex
+        .map { case (t, i) => row(2, i, t) })
+      .toDF("event_id", "user_id", "event_type", "value", "props", "ts_ms")
+    val r = Graph.personalizedPageRank(ev).collect()
+      .map(x => x.getAs[String]("node") -> x.getAs[Long]("ppr_scaled")).toMap
+    assert(r("purchase") > 0 && r("click") > 0)
+    assert(r("view") === 0 && r("error") === 0)
+    // after round 1 the seed's whole non-restart mass sits on `click`
+    assert(r("click") > r("purchase"))
+  }
+
+  test("TextOps.bigramLm: held-out add-1 NLL and unseen rate, exact integers") {
+    import spark.implicits._
+    // train (even ids): bigrams (a,b)x3, (b,a)x1 → c1: a=3, b=1; V=2
+    // test (odd id): (a,b) seen p=4/5; (b,c) unseen p=1/3
+    val docs = Seq((0L, "a b a b"), (2L, "a b"), (1L, "a b c"))
+      .toDF("doc_id", "text")
+    val r = TextOps.bigramLm(docs).collect()
+    assert(r.length === 1)
+    val d = r.head
+    assert(d.getAs[Long]("doc_id") === 1L)
+    assert(d.getAs[Long]("n_bigrams") === 2L)
+    assert(d.getAs[Long]("n_unseen") === 1L)
+    val expected = math.floor(-math.log(4.0 / 5) * 1e6).toLong +
+      math.floor(-math.log(1.0 / 3) * 1e6).toLong
+    assert(d.getAs[Long]("nll_scaled") === expected)
+    assert(d.getAs[Double]("unseen_rate") === 0.5)
+  }
+
+  test("Similarity.hardNegatives: only cross-label neighbors, nearest first") {
+    import spark.implicits._
+    // one tight +x cluster so every vector shares every band: ids 0-2
+    // label 1, ids 3-4 label 2. Query 0 must surface ONLY 3 and 4.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.010f, 0f, 0f), 1), (1L, Array(1.0f, 0.011f, 0f, 0f), 1),
+      (2L, Array(1.0f, 0.012f, 0f, 0f), 1), (3L, Array(1.0f, 0.013f, 0f, 0f), 2),
+      (4L, Array(1.0f, 0.020f, 0f, 0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegatives(emb, Seq(0L), k = 10).collect()
+    assert(r.map(_.getAs[Long]("vec_id")).toSet === Set(3L, 4L))
+    assert(r.forall(_.getAs[Long]("neg_label") === 2L))
+    assert(r.forall(_.getAs[Long]("q_label") === 1L))
+    val byRnk = r.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Double]("cos"))
+    assert(byRnk.zip(byRnk.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("Monitoring.schemaDrift: the value-nulling slice drifts, stable columns do not") {
+    val r = Monitoring.schemaDrift(Tables.events(spark, sf)).collect()
+      .map(x => x.getAs[String]("column_name") -> x).toMap
+    assert(r.size === 5)
+    assert(r("value").getAs[Boolean]("null_drift"),
+      "1-in-13 value nulling must trip the null-rate verdict")
+    assert(!r("event_type").getAs[Boolean]("null_drift"))
+    assert(!r("event_type").getAs[Boolean]("distinct_drift"))
+    assert(r("event_id").getAs[Long]("n_rows_b") < r("event_id").getAs[Long]("n_rows_a"))
+    assert(r("event_id").getAs[Long]("n_nulls_a") === 0L)
+  }
+
   test("approxDistinct: bound verdicts hold and exact side matches distinctExact") {
     val r = Analytics.approxDistinct(Tables.lineitem(spark, sf)).head()
     assert(r.getAs[Boolean]("parts_within_5pct"),
