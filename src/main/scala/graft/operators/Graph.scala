@@ -292,6 +292,78 @@ object Graph {
     result
   }
 
+  /** Adamic–Adar link prediction (Adamic & Adar 2003) over the
+    * merchant projection — [[merchantJaccard]]'s weighted sibling and
+    * the classic "will these two connect" score: for merchant pairs
+    * sharing users, AA = Σ_{u ∈ common} 1/ln(fan(u)), so a common
+    * user who shops everywhere contributes almost nothing while a
+    * selective one is strong evidence. Same hub-guarded graph as
+    * jaccard (fan ≤ maxFan caps the Σ fan² pair work); per-user
+    * weights floor to 1e6-scaled BIGINTs so pair scores are exact
+    * integer sums (common users have fan ≥ 2, so ln > 0 always). */
+  def adamicAdar(ev: DataFrame, maxFan: Long = 80L,
+      minCommon: Long = 2L): DataFrame = {
+    val um = userMerchant(ev).filter(col("m").isNotNull)
+      .select(col("user_id"), col("m")).distinct()
+    val g = um
+      .withColumn("fan", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("fan") <= maxFan)
+      .withColumn("w", when(col("fan") >= 2,
+        floor(lit(1e6) / log(col("fan"))).cast("long")).otherwise(lit(0L)))
+      .select(col("user_id"), col("m"), col("w"))
+      .persist() // feeds both pair-join arms
+    val result = g.as("a").join(g.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.m") < col("b.m"))
+      .groupBy(col("a.m").as("m1"), col("b.m").as("m2"))
+      .agg(count(lit(1)).as("n_common"), sum(col("a.w")).as("aa_scaled"))
+      .filter(col("n_common") >= minCommon)
+      .select(col("m1").cast("long").as("m1"), col("m2").cast("long").as("m2"),
+        col("n_common"), col("aa_scaled"),
+        graft.functions.Portable.trunc4(col("aa_scaled") / 1e6).as("aa_score"))
+      .localCheckpoint(true) // thresholded pairs; releases the g cache
+    g.unpersist()
+    result
+  }
+
+  /** Deterministic negative-edge sampling — the other half of a
+    * link-prediction training set ([[adamicAdar]] scores the
+    * positives): `k` hash-picked candidate partners per merchant,
+    * anti-joined against the true co-shopper edge set, labeled and
+    * ready for a trainer. Scale is the point: the non-edge space is
+    * Θ(|nodes|²) and must NEVER be materialized — candidates are
+    * O(|nodes|·k) via an md5 pick from the rank-indexed node list
+    * (the rank window runs over the collapsed merchant relation,
+    * never the fact), and the anti-join runs on candidate keys only.
+    * Dedup keeps one row per undirected pair; self-picks drop. */
+  def negativeEdges(ev: DataFrame, k: Int = 5): DataFrame = {
+    val um = userMerchant(ev).filter(col("m").isNotNull)
+      .select(col("user_id"), col("m").cast("long").as("m")).distinct()
+      .persist() // feeds the node list AND the true edge set
+    val nodes = um.select(col("m")).distinct()
+      .withColumn("rn", row_number().over(Window.orderBy(col("m"))).cast("long"))
+      .localCheckpoint(true) // collapsed merchant relation (tiny)
+    val nn = nodes.agg(count(lit(1)).as("nn"))
+    val picks = nodes.select(col("m").as("m1"))
+      .crossJoin(broadcast(nn))
+      .select(col("m1"), explode(sequence(lit(1), lit(k))).as("i"), col("nn"))
+      .withColumn("rn", pmod(graft.functions.TextHash.hash60(
+        concat(col("m1").cast("string"), lit("#"), col("i").cast("string"))),
+        col("nn")) + 1)
+      .join(broadcast(nodes.select(col("rn"), col("m").as("m2"))), "rn")
+      .filter(col("m1") =!= col("m2"))
+      .select(least(col("m1"), col("m2")).as("m1"),
+        greatest(col("m1"), col("m2")).as("m2"))
+      .distinct()
+    val edges = um.as("a").join(um.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.m") < col("b.m"))
+      .select(col("a.m").as("m1"), col("b.m").as("m2")).distinct()
+    val result = picks.join(edges, Seq("m1", "m2"), "left_anti")
+      .select(col("m1"), col("m2"), lit(0L).as("label"))
+      .localCheckpoint(true) // ≤ |nodes|·k rows; releases the um cache
+    um.unpersist()
+    result
+  }
+
   /** HITS hub/authority over the bipartite user–merchant graph: a
     * merchant's authority is the sum of its users' hub scores, a
     * user's hub score the sum of their merchants' authorities —
@@ -615,6 +687,8 @@ object Graph {
     "q_graph_ppr" -> ((s, d) => personalizedPageRank(Tables.events(s, d))),
     "q_graph_degree" -> ((s, d) => bipartiteDegrees(Tables.events(s, d))),
     "q_graph_jaccard" -> ((s, d) => merchantJaccard(Tables.events(s, d))),
+    "q_graph_adamic_adar" -> ((s, d) => adamicAdar(Tables.events(s, d))),
+    "q_graph_negative_edges" -> ((s, d) => negativeEdges(Tables.events(s, d))),
     "q_fraud_rings" -> ((s, d) => fraudRings(Tables.events(s, d))),
     "q_graph_lpa" -> ((s, d) => lpa(Tables.events(s, d))),
     "q_graph_kcore" -> ((s, d) => kcore(Tables.events(s, d))),
@@ -788,6 +862,36 @@ object Graph {
         "JOIN deg da ON i.m1 = da.m JOIN deg db ON i.m2 = db.m) " +
         "SELECT m1, m2, inter, d1, d2, floor(jr * 10000) / 10000 AS jaccard " +
         "FROM j WHERE jr >= 0.45"),
+    "q_graph_adamic_adar" ->
+      ("WITH b AS (SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS m " +
+        "FROM events), " +
+        "um AS (SELECT DISTINCT user_id, m FROM b WHERE m IS NOT NULL), " +
+        "f AS (SELECT user_id, m, count(*) OVER (PARTITION BY user_id) AS fan FROM um), " +
+        "g AS (SELECT user_id, m, CASE WHEN fan >= 2 THEN " +
+        "CAST(floor(1000000 / ln(fan)) AS BIGINT) ELSE 0 END AS w " +
+        "FROM f WHERE fan <= 80), " +
+        "p AS (SELECT a.m AS m1, b.m AS m2, count(*) AS n_common, " +
+        "sum(a.w)::BIGINT AS aa_scaled FROM g a " +
+        "JOIN g b ON a.user_id = b.user_id AND a.m < b.m GROUP BY 1, 2) " +
+        "SELECT m1::BIGINT AS m1, m2::BIGINT AS m2, n_common, aa_scaled, " +
+        "floor(aa_scaled / 1000000.0 * 10000) / 10000 AS aa_score " +
+        "FROM p WHERE n_common >= 2"),
+    "q_graph_negative_edges" ->
+      ("WITH b AS (SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS m " +
+        "FROM events), " +
+        "um AS (SELECT DISTINCT user_id, m::BIGINT AS m FROM b WHERE m IS NOT NULL), " +
+        "nodes AS (SELECT m, row_number() OVER (ORDER BY m)::BIGINT AS rn " +
+        "FROM (SELECT DISTINCT m FROM um)), " +
+        "nnc AS (SELECT count(*) AS nn FROM nodes), " +
+        "pk AS (SELECT m1, ('0x' || substr(md5(m1::VARCHAR || '#' || i::VARCHAR), 1, 15))" +
+        "::BIGINT % nn + 1 AS rn FROM " +
+        "(SELECT m AS m1, unnest(range(1, 6)) AS i FROM nodes) CROSS JOIN nnc), " +
+        "cand AS (SELECT DISTINCT least(p.m1, n2.m) AS m1, greatest(p.m1, n2.m) AS m2 " +
+        "FROM pk p JOIN nodes n2 USING (rn) WHERE p.m1 <> n2.m), " +
+        "edges AS (SELECT DISTINCT a.m AS m1, b.m AS m2 FROM um a " +
+        "JOIN um b ON a.user_id = b.user_id AND a.m < b.m) " +
+        "SELECT m1, m2, 0::BIGINT AS label FROM cand c " +
+        "WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.m1 = c.m1 AND e.m2 = c.m2)"),
     "q_fraud_rings" ->
       ("WITH RECURSIVE um AS (SELECT DISTINCT user_id AS u, " +
         "CAST(json_extract_string(props, '$.k') AS INT) AS m, " +

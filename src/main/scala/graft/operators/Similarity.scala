@@ -1028,6 +1028,69 @@ object Similarity {
         graft.functions.Portable.trunc6(col("score")).as("score"), col("rrf_rnk"))
   }
 
+  /** Hybrid text+vector retrieval — the production RAG/search shape
+    * ([[rrfFusion]] fuses two VECTOR methods; this fuses MODALITIES):
+    * per query document, a BM25 arm over the document's `nq` RAREST
+    * terms (rare terms are the selective ones — a full-doc query
+    * would touch half the postings list at corpus scale) and an LSH
+    * ANN cosine arm over its embedding (doc_id = vec_id, the corpus'
+    * id contract), reciprocal-rank-fused exactly like [[rrfFusion]].
+    * A doc surfaced by BOTH arms outranks either alone — lexical
+    * matches that are also semantically close are the real answers.
+    *
+    * Scale shape: the text arm is an inverted-index equi-join on the
+    * ≤ |queries|·nq broadcast term list (never a scan of all
+    * postings); the vector arm is [[annTopK]]'s banded candidates;
+    * the fusion joins two k-row-per-query checkpointed relations. */
+  def hybridSearch(docs: DataFrame, emb: DataFrame,
+      queryIds: Seq[Long] = DefaultQueryIds, k: Int = 10, nq: Int = 5,
+      c: Int = 60): DataFrame = {
+    import graft.functions.TextHash
+    val tok = graft.functions.Portable.spread(docs, col("doc_id"))
+      .select(col("doc_id"), explode(TextHash.tokens(col("text"))).as("t"))
+      .persist() // feeds tf, df, lens
+    val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfr = tok.groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df"))
+    val lens = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+    val stats = lens.agg(count(lit(1)).as("nd"), sum(col("len")).as("tt"))
+    val qw = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("t"))
+    val qt = tf.filter(col("doc_id").isin(queryIds: _*))
+      .join(dfr, "t")
+      .withColumn("qrnk", row_number().over(qw))
+      .filter(col("qrnk") <= nq)
+      .select(col("doc_id").as("q_id"), col("t"), col("df"))
+    val textScored = tf.join(broadcast(qt), "t")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("doc_id"),
+        // the bm25TopK term formula, 1e6-scaled BIGINT terms
+        floor((log(lit(1.0) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("len") * col("nd") / col("tt"))))) * 1e6)
+          .cast("long").as("term_scaled"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("term_scaled")).as("t_scaled"))
+    val tw = Window.partitionBy(col("q_id")).orderBy(col("t_scaled").desc, col("doc_id"))
+    val textRanked = textScored
+      .withColumn("rnk_text", row_number().over(tw).cast("long"))
+      .filter(col("rnk_text") <= k)
+      .select(col("q_id"), col("doc_id"), col("rnk_text"))
+      .localCheckpoint(true) // k rows per query; releases the token cache
+    tok.unpersist()
+    val vecRanked = annTopK(emb, queryIds, k)
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("rnk").as("rnk_vec"))
+    val fused = textRanked.join(vecRanked, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("score_raw",
+        coalesce(lit(1.0) / (lit(c) + col("rnk_text")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rnk_vec")), lit(0.0)))
+    val fw = Window.partitionBy(col("q_id")).orderBy(col("score_raw").desc, col("doc_id"))
+    fused.withColumn("hybrid_rnk", row_number().over(fw).cast("long"))
+      .filter(col("hybrid_rnk") <= k)
+      .select(col("q_id"), col("doc_id"), col("rnk_text"), col("rnk_vec"),
+        graft.functions.Portable.trunc6(col("score_raw")).as("score"), col("hybrid_rnk"))
+  }
+
   /** Label precision@k of exact retrieval — "when I search, do I get
     * my own class back": for each query vector, the share of its top-k
     * cosine neighbors sharing its label. The class-conditioned quality
@@ -1109,6 +1172,8 @@ object Similarity {
     "q_sim_mmr" -> ((s, d) => mmrRerank(Tables.embeddings(s, d))),
     "q_sim_label_recall" -> ((s, d) => labelRecall(Tables.embeddings(s, d))),
     "q_hard_negatives" -> ((s, d) => hardNegatives(Tables.embeddings(s, d))),
+    "q_hybrid_search" -> ((s, d) =>
+      hybridSearch(Tables.documents(s, d), Tables.embeddings(s, d))),
     "q_sim_rrf" -> ((s, d) => rrfFusion(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_topk_exact" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_topk_ann" -> ((s, d) => annTopK(Tables.embeddings(s, d), DefaultQueryIds)),
@@ -1474,6 +1539,33 @@ object Similarity {
         "(r.src_id IS NOT NULL) AS mutual FROM kg_topk f " +
         "LEFT JOIN kg_topk r ON f.src_id = r.dst_id AND f.dst_id = r.src_id"),
     "q_sim_mmr" -> mmrOracle,
+    "q_hybrid_search" ->
+      (s"WITH $vCte, $bitsBandsCte, $annCtes, " +
+        "ht AS (SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents), " +
+        "htf AS (SELECT doc_id, t, count(*) tf FROM ht GROUP BY 1, 2), " +
+        "hdf AS (SELECT t, count(DISTINCT doc_id) df FROM ht GROUP BY 1), " +
+        "hlen AS (SELECT doc_id, count(*) len FROM ht GROUP BY 1), " +
+        "hst AS (SELECT count(*) nd, sum(len)::BIGINT tt FROM hlen), " +
+        "hqt AS (SELECT doc_id AS q_id, t, df FROM (SELECT f.doc_id, f.t, d.df, " +
+        "row_number() OVER (PARTITION BY f.doc_id ORDER BY d.df, f.t) qrnk " +
+        s"FROM htf f JOIN hdf d USING (t) WHERE f.doc_id IN $idsSql) WHERE qrnk <= 5), " +
+        "hsc AS (SELECT q.q_id, f.doc_id, " +
+        "CAST(floor((ln(1 + (nd - q.df + 0.5) / (q.df + 0.5)) * (f.tf * 2.2) / " +
+        "(f.tf + 1.2 * (0.25 + 0.75 * (l.len * nd / tt)))) * 1000000) AS BIGINT) term_scaled " +
+        "FROM htf f JOIN hqt q USING (t) JOIN hlen l ON l.doc_id = f.doc_id " +
+        "CROSS JOIN hst WHERE f.doc_id <> q.q_id), " +
+        "hts AS (SELECT q_id, doc_id, sum(term_scaled)::BIGINT t_scaled FROM hsc GROUP BY 1, 2), " +
+        "htr AS (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY t_scaled DESC, doc_id)::BIGINT rnk_text FROM hts QUALIFY rnk_text <= 10), " +
+        "hvr AS (SELECT q_id, vec_id AS doc_id, rnk AS rnk_vec FROM an_ranked WHERE rnk <= 10), " +
+        "hf AS (SELECT coalesce(t.q_id, v.q_id) q_id, coalesce(t.doc_id, v.doc_id) doc_id, " +
+        "t.rnk_text, v.rnk_vec, " +
+        "coalesce(1.0 / (60 + t.rnk_text), 0) + coalesce(1.0 / (60 + v.rnk_vec), 0) score_raw " +
+        "FROM htr t FULL OUTER JOIN hvr v ON t.q_id = v.q_id AND t.doc_id = v.doc_id) " +
+        "SELECT q_id, doc_id, rnk_text, rnk_vec, " +
+        "floor(score_raw * 1000000) / 1000000 AS score, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY score_raw DESC, doc_id)::BIGINT " +
+        "AS hybrid_rnk FROM hf QUALIFY hybrid_rnk <= 10"),
     "q_hard_negatives" ->
       (s"WITH $vCte, $bitsBandsCte, $annCtes, " +
         "hn_lbl AS (SELECT vec_id, label::BIGINT AS label FROM embeddings), " +

@@ -1983,6 +1983,60 @@ class OperatorsSpec extends SparkSpec {
     assert(r("event_id").getAs[Long]("n_nulls_a") === 0L)
   }
 
+  test("Graph.adamicAdar: selective common users score exactly, hubs weigh less") {
+    import spark.implicits._
+    // u1..u3 shop at exactly {1, 2} → fan 2 each; AA(1,2) = 3·⌊1e6/ln 2⌋
+    val ev = (for (u <- 1L to 3L; m <- Seq(1, 2)) yield
+      (u * 10 + m, u, "purchase", 5.0, s"""{"k":"$m"}""", 1700000000000L))
+      .toDF("event_id", "user_id", "event_type", "value", "props", "ts_ms")
+      .withColumn("ts", expr("timestamp_micros(ts_ms * 1000)"))
+    val r = Graph.adamicAdar(ev).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert((row.getAs[Long]("m1"), row.getAs[Long]("m2")) === ((1L, 2L)))
+    assert(row.getAs[Long]("n_common") === 3L)
+    val w = math.floor(1e6 / math.log(2.0)).toLong
+    assert(row.getAs[Long]("aa_scaled") === 3 * w)
+  }
+
+  test("Graph.negativeEdges: sampled pairs are genuine non-edges, bounded per node") {
+    import spark.implicits._
+    // users connect merchants {1,2} only; merchants 3..6 are isolated
+    val connected = for (u <- 1L to 3L; m <- Seq(1, 2)) yield
+      (u * 10 + m, u, "purchase", 5.0, s"""{"k":"$m"}""", 1700000000000L)
+    val isolated = (3 to 6).map(m =>
+      (100L + m, 100L + m, "view", 1.0, s"""{"k":"$m"}""", 1700000000000L))
+    val ev = (connected ++ isolated)
+      .toDF("event_id", "user_id", "event_type", "value", "props", "ts_ms")
+      .withColumn("ts", expr("timestamp_micros(ts_ms * 1000)"))
+    val r = Graph.negativeEdges(ev).collect()
+      .map(x => (x.getAs[Long]("m1"), x.getAs[Long]("m2")))
+    assert(r.nonEmpty)
+    assert(!r.contains((1L, 2L)), "the one true edge leaked into the negatives")
+    assert(r.forall { case (a, b) => a < b && a >= 1 && b <= 6 })
+    assert(r.distinct.length === r.length)
+  }
+
+  test("Similarity.hybridSearch: every score is the exact RRF of its own rank columns") {
+    val r = Similarity.hybridSearch(
+      Tables.documents(spark, sf), Tables.embeddings(spark, sf)).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val rt = Option(row.getAs[java.lang.Long]("rnk_text")).map(_.toLong)
+      val rv = Option(row.getAs[java.lang.Long]("rnk_vec")).map(_.toLong)
+      assert(rt.isDefined || rv.isDefined)
+      val expect = rt.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rv.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(row.getAs[Double]("score") === math.floor(expect * 1e6) / 1e6)
+    }
+    // dense hybrid ranks per query, never beyond k
+    r.groupBy(_.getAs[Long]("q_id")).values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("hybrid_rnk")).sorted.toSeq ===
+        (1L to rows.length).toSeq)
+      assert(rows.length <= 10)
+    }
+  }
+
   test("approxDistinct: bound verdicts hold and exact side matches distinctExact") {
     val r = Analytics.approxDistinct(Tables.lineitem(spark, sf)).head()
     assert(r.getAs[Boolean]("parts_within_5pct"),
