@@ -2371,6 +2371,129 @@ object Monitoring {
     result
   }
 
+  /** Value-at-Risk + Expected Shortfall (Artzner et al. 1999; the
+    * ES Basel moved to because VaR ignores how bad the tail IS) per
+    * event type at `pNum/pDen` confidence: VaR = the k-th smallest
+    * cent amount with k = ⌈p·n⌉ taken as the EXACT integer
+    * (p·n + pDen−1) div pDen — never a float ceiling, whose 0.99·n
+    * rounding differs from the rank definition — and ES = the mean of
+    * the worst n−k+1 amounts. All exact on the collapsed (type, cents)
+    * bin relation with ONE ascending cumulative window
+    * ([[tailIndex]] discipline): the VaR bin straddles the cut, so the
+    * tail takes cum_before+nb−(k−1) items from it and the full bins
+    * above it via total−cumulative weighted sums — no second sort, no
+    * raw-row quantile. Σ cents holds BIGINT to ~1e12 rows at $100
+    * average; beyond that lift the weighted sums to DECIMAL(38,0). */
+  def varEs(ev: DataFrame, pNum: Long = 99L, pDen: Long = 100L): DataFrame = {
+    val bins = ev
+      .select(col("event_type"), floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("cents")).agg(count(lit(1)).as("nb"))
+    val wt = Window.partitionBy(col("event_type"))
+    val asc = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    val ranked = bins
+      .withColumn("cum_before", coalesce(sum(col("nb")).over(
+        asc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("cum_w_incl", sum(col("cents") * col("nb")).over(
+        asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("nb")).over(wt))
+      .withColumn("total_w", sum(col("cents") * col("nb")).over(wt))
+      .withColumn("k", expr(s"($pNum * n + ${pDen - 1}) div $pDen"))
+    ranked
+      .filter(col("cum_before") < col("k") &&
+        col("cum_before") + col("nb") >= col("k"))
+      .select(col("event_type"), col("n"), col("k").as("k_pos"),
+        col("cents").as("var_cents"),
+        (col("n") - col("k") + 1).as("tail_n"),
+        (col("total_w") - col("cum_w_incl") +
+          col("cents") * (col("cum_before") + col("nb") - col("k") + 1)).as("tail_cents"),
+        trunc4(col("cents") / 100.0).as("var_usd"),
+        trunc4((col("total_w") - col("cum_w_incl") +
+          col("cents") * (col("cum_before") + col("nb") - col("k") + 1)) /
+          (col("n") - col("k") + 1) / 100.0).as("es_usd"))
+  }
+
+  /** Smurfing motif screen — the structuring sibling on the GRAPH
+    * axis: per hour, users touching ≥ `minFan` DISTINCT merchants
+    * ("scatter" — one source spraying funds) and merchants touched by
+    * ≥ `minFan` distinct users ("gather" — a collection point). Two
+    * hash aggregates over one narrow projection; fan counts exact, the
+    * hour an integer epoch-ms bucket (no timestamp rendering at the
+    * boundary). The classic layering topologies AML teams case first
+    * (FATF's fan-out/fan-in indicators). */
+  def smurfMotifs(ev: DataFrame, minFan: Long = 3L): DataFrame = {
+    val um = ev
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("m"),
+        (expr("ts_ms div 3600000") * 3600000).as("hour_ms"))
+      .filter(col("m").isNotNull)
+    val scatter = um.groupBy(col("user_id").as("id"), col("hour_ms"))
+      .agg(countDistinct(col("m")).as("fan"))
+      .filter(col("fan") >= minFan)
+      .select(lit("scatter").as("motif"), col("id"), col("hour_ms"), col("fan"))
+    val gather = um.groupBy(col("m").as("id"), col("hour_ms"))
+      .agg(countDistinct(col("user_id")).as("fan"))
+      .filter(col("fan") >= minFan)
+      .select(lit("gather").as("motif"), col("id"), col("hour_ms"), col("fan"))
+    scatter.unionByName(gather)
+  }
+
+  /** Sequential A/B: Wald's SPRT (1945) on daily conversion batches —
+    * the early-stopping discipline [[abTest]]'s fixed-horizon z-test
+    * lacks and [[abPower]] sizes around: H0 "B converts at A's rate
+    * p0" vs H1 "B converts at 1.25·p0", α = β = 0.05. Users hash into
+    * arms exactly like [[abTest]]; B-arm users enter the ledger on
+    * their first-active day; each day contributes its exact batch LLR
+    * c·ln(p1/p0) + (n−c)·ln((1−p1)/(1−p0)) as 1e6-scaled BIGINTs, the
+    * running sum crosses ±ln(19) → accept/reject, else continue.
+    *
+    * Engine parity: p0 is an exact-count ratio (identical double),
+    * both per-day weights AND both thresholds are floor-scaled from
+    * identically-computed doubles — no literal constants to drift.
+    * Conversion is FIRST-DAY activation (a purchase on the user's
+    * first active day), not ever-purchased — at a month's horizon the
+    * latter saturates to p0 = 1 and ln(1−p1)/(1−p0) is undefined; the
+    * [1e-6, 0.998] clamp keeps the likelihood total even on a
+    * degenerate corpus. Scale: everything after the per-user rollup
+    * runs on the collapsed per-DAY relation (the [[cusumVolume]]
+    * discipline — a per-observation ledger would be the global sort
+    * that never finishes; daily peeking is also what a real
+    * experiment does). */
+  def abSprt(ev: DataFrame): DataFrame = {
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(expr("min(ts_ms div 86400000)").as("day"),
+        min(when(col("event_type") === "purchase",
+          expr("ts_ms div 86400000"))).as("first_purchase_day"))
+      .withColumn("conv",
+        when(col("first_purchase_day").isNotNull &&
+          col("first_purchase_day") === col("day"), 1L).otherwise(0L))
+      .withColumn("variant",
+        when(pmod(graft.functions.TextHash.hash60(
+          concat(lit("ab|"), col("user_id"))), lit(2L)) === 0, "A").otherwise("B"))
+    val aRate = perUser.filter(col("variant") === "A")
+      .agg(count(lit(1)).as("n_a"), sum(col("conv")).as("c_a"))
+      .select(least(greatest(col("c_a") / col("n_a"), lit(1e-6)), lit(0.998)).as("p0"))
+      .select(col("p0"), least(col("p0") * 1.25, lit(0.999)).as("p1"))
+      .select(
+        floor(log(col("p1") / col("p0")) * 1e6).cast("long").as("w1"),
+        floor(log((lit(1.0) - col("p1")) / (lit(1.0) - col("p0"))) * 1e6)
+          .cast("long").as("w0"),
+        floor(log(lit(19.0)) * 1e6).cast("long").as("thr_hi"),
+        floor(-log(lit(19.0)) * 1e6).cast("long").as("thr_lo"))
+    val daily = perUser.filter(col("variant") === "B")
+      .groupBy(col("day")).agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+    val wd = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(aRate))
+      .withColumn("llr_scaled",
+        col("n_conv") * col("w1") + (col("n_users") - col("n_conv")) * col("w0"))
+      .withColumn("cum_llr_scaled", sum(col("llr_scaled")).over(wd))
+      .select(col("day"), col("n_users"), col("n_conv"),
+        col("llr_scaled"), col("cum_llr_scaled"),
+        when(col("cum_llr_scaled") >= col("thr_hi"), "accept_h1")
+          .when(col("cum_llr_scaled") <= col("thr_lo"), "accept_h0")
+          .otherwise("continue").as("decision"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2428,6 +2551,9 @@ object Monitoring {
     "q_feature_rolling" -> ((s, d) => rollingFeatures(Tables.events(s, d))),
     "q_dq_audit" -> ((s, d) => dqAudit(Tables.events(s, d))),
     "q_schema_drift" -> ((s, d) => schemaDrift(Tables.events(s, d))),
+    "q_var_es" -> ((s, d) => varEs(Tables.events(s, d))),
+    "q_smurf_motifs" -> ((s, d) => smurfMotifs(Tables.events(s, d))),
+    "q_ab_sprt" -> ((s, d) => abSprt(Tables.events(s, d))),
     "q_flag_summary" -> ((s, d) => flagSummary(Tables.events(s, d))),
     "q_ohlc_bars" -> ((s, d) => ohlcBars(Tables.events(s, d))),
     "q_reconcile" -> ((s, d) => reconcile(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -3101,6 +3227,60 @@ object Monitoring {
         "sum(greatest(lo_cents, least(hi_cents, cents)) * c)::BIGINT AS winsorized_cents " +
         "FROM bins b JOIN lo ON b.event_type = lo.event_type " +
         "JOIN hi ON b.event_type = hi.event_type GROUP BY 1"),
+    "q_var_es" ->
+      ("WITH vb AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) cents, " +
+        "count(*) nb FROM events GROUP BY 1, 2), " +
+        "vr AS (SELECT *, coalesce(sum(nb) OVER (PARTITION BY event_type ORDER BY cents " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cum_before, " +
+        "sum(cents * nb) OVER (PARTITION BY event_type ORDER BY cents " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_w_incl, " +
+        "sum(nb) OVER (PARTITION BY event_type) n, " +
+        "sum(cents * nb) OVER (PARTITION BY event_type) total_w FROM vb), " +
+        "vk AS (SELECT *, (99 * n + 99) // 100 AS k FROM vr) " +
+        "SELECT event_type, n::BIGINT AS n, k::BIGINT AS k_pos, cents AS var_cents, " +
+        "(n - k + 1)::BIGINT AS tail_n, " +
+        "(total_w - cum_w_incl + cents * (cum_before + nb - k + 1))::BIGINT AS tail_cents, " +
+        "floor(cents / 100.0 * 10000) / 10000 AS var_usd, " +
+        "floor((total_w - cum_w_incl + cents * (cum_before + nb - k + 1)) / (n - k + 1) " +
+        "/ 100.0 * 10000) / 10000 AS es_usd " +
+        "FROM vk WHERE cum_before < k AND cum_before + nb >= k"),
+    "q_smurf_motifs" ->
+      ("WITH su AS (SELECT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) m, " +
+        "(epoch_ms(ts) // 3600000) * 3600000 AS hour_ms FROM events), " +
+        "sfl AS (SELECT * FROM su WHERE m IS NOT NULL), " +
+        "ssc AS (SELECT 'scatter' AS motif, user_id AS id, hour_ms, " +
+        "count(DISTINCT m) AS fan FROM sfl GROUP BY 2, 3 HAVING count(DISTINCT m) >= 3), " +
+        "sga AS (SELECT 'gather' AS motif, m AS id, hour_ms, " +
+        "count(DISTINCT user_id) AS fan FROM sfl GROUP BY 2, 3 " +
+        "HAVING count(DISTINCT user_id) >= 3) " +
+        "SELECT * FROM ssc UNION ALL SELECT * FROM sga"),
+    "q_ab_sprt" ->
+      ("WITH spu0 AS (SELECT user_id, min(epoch_ms(ts) // 86400000)::BIGINT AS day, " +
+        "min(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) // 86400000 END)::BIGINT " +
+        "AS fpd FROM events GROUP BY 1), " +
+        "spu AS (SELECT user_id, day, CASE WHEN fpd IS NOT NULL AND fpd = day " +
+        "THEN 1 ELSE 0 END::BIGINT AS conv FROM spu0), " +
+        "spv AS (SELECT *, CASE WHEN ('0x'||substr(md5('ab|'||user_id),1,15))::BIGINT % 2 = 0 " +
+        "THEN 'A' ELSE 'B' END AS variant FROM spu), " +
+        "sp0 AS (SELECT least(greatest(sum(conv) / count(*), 0.000001), 0.998) AS p0 " +
+        "FROM spv WHERE variant = 'A'), " +
+        "sp1 AS (SELECT p0, least(p0 * 1.25, 0.999) AS p1 FROM sp0), " +
+        "spw AS (SELECT CAST(floor(ln(p1 / p0) * 1000000) AS BIGINT) AS w1, " +
+        "CAST(floor(ln((1 - p1) / (1 - p0)) * 1000000) AS BIGINT) AS w0, " +
+        "CAST(floor(ln(19) * 1000000) AS BIGINT) AS thr_hi, " +
+        "CAST(floor(-ln(19) * 1000000) AS BIGINT) AS thr_lo FROM sp1), " +
+        "spd AS (SELECT day, count(*) AS n_users, sum(conv)::BIGINT AS n_conv " +
+        "FROM spv WHERE variant = 'B' GROUP BY 1), " +
+        "spl AS (SELECT day, n_users, n_conv, " +
+        "n_conv * w1 + (n_users - n_conv) * w0 AS llr_scaled, thr_hi, thr_lo " +
+        "FROM spd CROSS JOIN spw), " +
+        "spc AS (SELECT *, sum(llr_scaled) OVER (ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_llr_scaled " +
+        "FROM spl) " +
+        "SELECT day, n_users, n_conv, llr_scaled::BIGINT AS llr_scaled, cum_llr_scaled, " +
+        "CASE WHEN cum_llr_scaled >= thr_hi THEN 'accept_h1' " +
+        "WHEN cum_llr_scaled <= thr_lo THEN 'accept_h0' ELSE 'continue' END AS decision " +
+        "FROM spc"),
     "q_abtest" ->
       ("WITH pu AS (SELECT user_id, " +
         "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS conv, " +

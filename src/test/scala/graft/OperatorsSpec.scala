@@ -2037,6 +2037,56 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Monitoring.varEs: exact order-statistic VaR and straddled-bin ES") {
+    import spark.implicits._
+    // amounts 1..100 dollars: k = ceil(0.99·100) = 99 → VaR = $99,
+    // tail = {99, 100} → ES = $99.50
+    val ev = (1 to 100).map(i =>
+      (i.toLong, 1L, "purchase", i.toDouble, "{}", 1700000000000L))
+      .toDF("event_id", "user_id", "event_type", "value", "props", "ts_ms")
+    val r = Monitoring.varEs(ev).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("k_pos") === 99L)
+    assert(row.getAs[Long]("var_cents") === 9900L)
+    assert(row.getAs[Long]("tail_n") === 2L)
+    assert(row.getAs[Long]("tail_cents") === 19900L)
+    assert(row.getAs[Double]("es_usd") === 99.5)
+  }
+
+  test("Monitoring.smurfMotifs: scatter and gather fans at the threshold, nothing below") {
+    import spark.implicits._
+    val h = 1700000000000L / 3600000L * 3600000L
+    val rows =
+      // user 1 sprays 3 merchants in one hour → scatter
+      (1 to 3).map(m => (10L + m, 1L, "debit", 5.0, s"""{"k":"$m"}""", h + m)) ++
+      // users 2,3,4 converge on merchant 9 → gather
+      (2 to 4).map(u => (20L + u, u.toLong, "debit", 5.0, """{"k":"9"}""", h + u)) ++
+      // user 5 touches 2 merchants — below minFan, must not appear
+      Seq((31L, 5L, "debit", 5.0, """{"k":"7"}""", h + 9),
+        (32L, 5L, "debit", 5.0, """{"k":"8"}""", h + 10))
+    val ev = rows.toDF("event_id", "user_id", "event_type", "value", "props", "ts_ms")
+    val r = Monitoring.smurfMotifs(ev).collect()
+      .map(x => (x.getAs[String]("motif"), x.getAs[Long]("id"), x.getAs[Long]("fan")))
+    assert(r.toSet === Set(("scatter", 1L, 3L), ("gather", 9L, 3L)))
+  }
+
+  test("Monitoring.abSprt: the ledger is a prefix sum and decisions match the thresholds") {
+    val rows = Monitoring.abSprt(Tables.events(spark, sf)).collect()
+      .sortBy(_.getAs[Long]("day"))
+    assert(rows.nonEmpty)
+    val thrHi = math.floor(math.log(19.0) * 1e6).toLong
+    val thrLo = math.floor(-math.log(19.0) * 1e6).toLong
+    var running = 0L
+    rows.foreach { r =>
+      running += r.getAs[Long]("llr_scaled")
+      assert(r.getAs[Long]("cum_llr_scaled") === running)
+      val expect = if (running >= thrHi) "accept_h1"
+        else if (running <= thrLo) "accept_h0" else "continue"
+      assert(r.getAs[String]("decision") === expect)
+    }
+  }
+
   test("approxDistinct: bound verdicts hold and exact side matches distinctExact") {
     val r = Analytics.approxDistinct(Tables.lineitem(spark, sf)).head()
     assert(r.getAs[Boolean]("parts_within_5pct"),
