@@ -2494,6 +2494,38 @@ object Monitoring {
           .otherwise("continue").as("decision"))
   }
 
+  /** GDPR subject-access export summary (the Art. 15 DSAR sibling of
+    * the Art. 17 forget audit): for one data subject, what every
+    * table holds — row count, integer-cent money total, and the
+    * observed time range — the cover sheet a privacy office attaches
+    * to the raw export. Three key-pruned scans (each filter pushes to
+    * the parquet scan; at scale these are point lookups on the
+    * key/partition layout), one tiny union. */
+  def dsarExport(spark: SparkSession, dir: String, subject: Long = 7L): DataFrame = {
+    val nulL = lit(null).cast("long")
+    val e = Tables.events(spark, dir).filter(col("user_id") === subject)
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(floor(col("value") * 100 + 0.5).cast("long")), lit(0L)).as("cents_total"),
+        min(col("ts_ms")).as("min_ts_ms"), max(col("ts_ms")).as("max_ts_ms"))
+      .select(lit("events").as("table_name"), col("n_rows"), col("cents_total"),
+        col("min_ts_ms"), col("max_ts_ms"))
+    val c = Tables.customer(spark, dir).filter(col("c_custkey") === subject)
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(floor(col("c_acctbal") * 100 + 0.5).cast("long")), lit(0L)).as("cents_total"))
+      .select(lit("customer").as("table_name"), col("n_rows"), col("cents_total"),
+        nulL.as("min_ts_ms"), nulL.as("max_ts_ms"))
+    val o = Tables.orders(spark, dir).filter(col("o_custkey") === subject)
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")), lit(0L)).as("cents_total"),
+        // o_orderdate is TIMESTAMP_NTZ on disk; unix_micros needs the
+        // tz-aware type (UTC session keeps the wall time)
+        min(expr("unix_micros(cast(o_orderdate as timestamp)) div 1000")).as("min_ts_ms"),
+        max(expr("unix_micros(cast(o_orderdate as timestamp)) div 1000")).as("max_ts_ms"))
+      .select(lit("orders").as("table_name"), col("n_rows"), col("cents_total"),
+        col("min_ts_ms"), col("max_ts_ms"))
+    e.unionByName(c).unionByName(o)
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2554,6 +2586,7 @@ object Monitoring {
     "q_var_es" -> ((s, d) => varEs(Tables.events(s, d))),
     "q_smurf_motifs" -> ((s, d) => smurfMotifs(Tables.events(s, d))),
     "q_ab_sprt" -> ((s, d) => abSprt(Tables.events(s, d))),
+    "q_dsar_export" -> ((s, d) => dsarExport(s, d)),
     "q_flag_summary" -> ((s, d) => flagSummary(Tables.events(s, d))),
     "q_ohlc_bars" -> ((s, d) => ohlcBars(Tables.events(s, d))),
     "q_reconcile" -> ((s, d) => reconcile(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -3281,6 +3314,20 @@ object Monitoring {
         "CASE WHEN cum_llr_scaled >= thr_hi THEN 'accept_h1' " +
         "WHEN cum_llr_scaled <= thr_lo THEN 'accept_h0' ELSE 'continue' END AS decision " +
         "FROM spc"),
+    "q_dsar_export" ->
+      ("SELECT 'events' AS table_name, count(*) AS n_rows, " +
+        "coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)), 0)::BIGINT AS cents_total, " +
+        "min(epoch_ms(ts)) AS min_ts_ms, max(epoch_ms(ts)) AS max_ts_ms " +
+        "FROM events WHERE user_id = 7 " +
+        "UNION ALL " +
+        "SELECT 'customer', count(*), " +
+        "coalesce(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)), 0)::BIGINT, " +
+        "NULL::BIGINT, NULL::BIGINT FROM customer WHERE c_custkey = 7 " +
+        "UNION ALL " +
+        "SELECT 'orders', count(*), " +
+        "coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)), 0)::BIGINT, " +
+        "min(epoch_ms(o_orderdate)), max(epoch_ms(o_orderdate)) " +
+        "FROM orders WHERE o_custkey = 7"),
     "q_abtest" ->
       ("WITH pu AS (SELECT user_id, " +
         "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS conv, " +

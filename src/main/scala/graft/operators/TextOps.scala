@@ -1210,6 +1210,78 @@ object TextOps {
     result
   }
 
+  /** Per-document character-entropy — the compressibility proxy
+    * (low-entropy text is repetitive boilerplate/junk; the signal gzip
+    * ratio gives a CPU-bound pipeline, computed engine-side instead):
+    * H = −Σ_c (n_c/n)·ln(n_c/n) over the doc's character histogram,
+    * each term floor-scaled to a 1e9 BIGINT so the per-doc sum is
+    * exact. The histogram comes from one transform+explode over
+    * character positions (portable across engines, unlike
+    * empty-separator splits); at 100 TB this is a bytes-proportional
+    * pass — run it on the ingest scan or a sample, like any per-char
+    * statistic. */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val chars = graft.functions.Portable.spread(docs, col("doc_id"))
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("c"))
+    val hist = chars.groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("nc"))
+    val lens = hist.groupBy(col("doc_id"))
+      .agg(sum(col("nc")).as("n"), count(lit(1)).as("distinct_chars"))
+    hist.join(lens, "doc_id")
+      .select(col("doc_id"), col("n"), col("distinct_chars"),
+        floor(-(col("nc") / col("n")) * log(col("nc") / col("n")) * 1e9)
+          .cast("long").as("term_scaled"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_chars"), max(col("distinct_chars")).as("distinct_chars"),
+        sum(col("term_scaled")).as("entropy_scaled"))
+      .withColumn("entropy", trunc4(col("entropy_scaled") / 1e9))
+  }
+
+  /** Per-source Jensen–Shannon divergence from the corpus unigram
+    * mix — the domain-balance readout a pretraining pipeline reads
+    * before weighting sources ([[dsirWeightsLazy]] reweights; this
+    * MEASURES how far each source sits): JSD(p_s ‖ q) with q the
+    * whole-corpus distribution and m = (p+q)/2.
+    *
+    * The scale trick worth writing down: the q-side sum over tokens
+    * ABSENT from the source has the closed form ln2·(1 − Σ_{t∈s} q_t)
+    * (for those tokens m = q/2 exactly), so the computation touches
+    * ONLY (source, token) pairs that exist — never the |vocab|×
+    * |sources| cross product a naive full-outer evaluation would
+    * materialize. Per-term floors to 1e9 BIGINTs keep sums exact;
+    * 0 ≤ JSD ≤ ln 2 ≈ 0.6931. */
+  def sourceJsd(docs: DataFrame): DataFrame = {
+    val tok = graft.functions.Portable.spread(docs, col("doc_id"))
+      .select(col("source"), explode(tokens(col("text"))).as("t"))
+      .persist() // feeds the per-source AND corpus counts
+    val st = tok.groupBy(col("source"), col("t")).agg(count(lit(1)).as("tfs"))
+    val ct = tok.groupBy(col("t")).agg(count(lit(1)).as("tfc"))
+    val stot = st.groupBy(col("source")).agg(sum(col("tfs")).as("ts"))
+    val ctot = ct.agg(sum(col("tfc")).as("tc"))
+    val p = col("tfs") / col("ts")
+    val q = col("tfc") / col("tc")
+    val m = (p + q) / 2
+    val result = st.join(ct, "t")
+      .join(stot, "source")
+      .crossJoin(broadcast(ctot))
+      .select(col("source"), col("ts"),
+        floor((p * log(p / m) / 2 + q * log(q / m) / 2) * 1e9)
+          .cast("long").as("term_scaled"),
+        floor(q * 1e9).cast("long").as("q_scaled"))
+      .groupBy(col("source"))
+      .agg(max(col("ts")).as("n_tokens"), count(lit(1)).as("n_shared_types"),
+        sum(col("term_scaled")).as("present_scaled"),
+        sum(col("q_scaled")).as("q_mass_scaled"))
+      .select(col("source"), col("n_tokens"), col("n_shared_types"),
+        (col("present_scaled") +
+          floor(log(lit(2.0)) * (lit(1e9) - col("q_mass_scaled")) / 2).cast("long"))
+          .as("jsd_scaled"))
+      .withColumn("jsd", trunc4(col("jsd_scaled") / 1e9))
+      .localCheckpoint(true) // |sources| rows; releases the token cache
+    tok.unpersist()
+    result
+  }
+
   /** Vocabulary coverage curve — the tokenizer-sizing readout: what
     * share of all token INSTANCES do the top-k vocabulary types cover,
     * for k ∈ {5, 10, 25} (sized to the corpus vocabulary)? (The elbow of this curve is where a
@@ -1309,6 +1381,8 @@ object TextOps {
     "q_text_bm25" -> ((s, d) => bm25TopK(Tables.documents(s, d))),
     "q_text_perplexity" -> ((s, d) => unigramNll(Tables.documents(s, d))),
     "q_text_bigram_lm" -> ((s, d) => bigramLm(Tables.documents(s, d))),
+    "q_char_entropy" -> ((s, d) => charEntropy(Tables.documents(s, d))),
+    "q_source_jsd" -> ((s, d) => sourceJsd(Tables.documents(s, d))),
     "q_text_novelty" -> ((s, d) => novelty(Tables.documents(s, d))),
     "q_text_familiarity" -> ((s, d) => familiarity(Tables.documents(s, d))),
     "q_text_pmi" -> ((s, d) => pmiCollocations(Tables.documents(s, d))),
@@ -1414,6 +1488,40 @@ object TextOps {
         "(ORDER BY score_scaled DESC, doc_id) rnk FROM pd) " +
         "SELECT doc_id, n_match_terms, score_scaled, " +
         "floor(score_scaled / 1000000.0 * 10000) / 10000 AS score, rnk FROM r WHERE rnk <= 10"),
+    "q_char_entropy" ->
+      ("WITH ch AS (SELECT doc_id, unnest(list_transform(range(1, length(text) + 1), " +
+        "i -> substr(text, i, 1))) c FROM documents), " +
+        "hist AS (SELECT doc_id, c, count(*) nc FROM ch GROUP BY 1, 2), " +
+        "lens AS (SELECT doc_id, sum(nc)::BIGINT n, count(*) distinct_chars " +
+        "FROM hist GROUP BY 1), " +
+        "terms AS (SELECT h.doc_id, n, distinct_chars, " +
+        "CAST(floor(-(nc / n) * ln(nc / n) * 1000000000) AS BIGINT) term_scaled " +
+        "FROM hist h JOIN lens l USING (doc_id)) " +
+        "SELECT doc_id, max(n)::BIGINT AS n_chars, " +
+        "max(distinct_chars)::BIGINT AS distinct_chars, " +
+        "sum(term_scaled)::BIGINT AS entropy_scaled, " +
+        "floor(sum(term_scaled)::BIGINT / 1000000000.0 * 10000) / 10000 AS entropy " +
+        "FROM terms GROUP BY 1"),
+    "q_source_jsd" ->
+      ("WITH jt AS (SELECT source, unnest(string_split(text, ' ')) t FROM documents), " +
+        "jst AS (SELECT source, t, count(*) tfs FROM jt GROUP BY 1, 2), " +
+        "jct AS (SELECT t, count(*) tfc FROM jt GROUP BY 1), " +
+        "jss AS (SELECT source, sum(tfs)::BIGINT ts FROM jst GROUP BY 1), " +
+        "jcc AS (SELECT sum(tfc)::BIGINT tc FROM jct), " +
+        "jterms AS (SELECT s.source, ts, " +
+        "CAST(floor(((s.tfs / ts) * ln((s.tfs / ts) / (((s.tfs / ts) + (c.tfc / tc)) / 2)) / 2 + " +
+        "(c.tfc / tc) * ln((c.tfc / tc) / (((s.tfs / ts) + (c.tfc / tc)) / 2)) / 2) " +
+        "* 1000000000) AS BIGINT) term_scaled, " +
+        "CAST(floor((c.tfc / tc) * 1000000000) AS BIGINT) q_scaled " +
+        "FROM jst s JOIN jct c USING (t) JOIN jss USING (source) CROSS JOIN jcc), " +
+        "jagg AS (SELECT source, max(ts)::BIGINT n_tokens, count(*) n_shared_types, " +
+        "sum(term_scaled)::BIGINT present_scaled, sum(q_scaled)::BIGINT q_mass_scaled " +
+        "FROM jterms GROUP BY 1) " +
+        "SELECT source, n_tokens, n_shared_types, " +
+        "(present_scaled + CAST(floor(ln(2) * (1000000000 - q_mass_scaled) / 2) AS BIGINT))" +
+        "::BIGINT AS jsd_scaled, " +
+        "floor((present_scaled + CAST(floor(ln(2) * (1000000000 - q_mass_scaled) / 2) " +
+        "AS BIGINT)) / 1000000000.0 * 10000) / 10000 AS jsd FROM jagg"),
     "q_text_bigram_lm" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents), " +
         "bi AS (SELECT doc_id, " +

@@ -2087,6 +2087,46 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("TextOps.charEntropy: uniform two-char doc scores ln 2, constant doc scores 0") {
+    import spark.implicits._
+    val docs = Seq((1L, "aabb"), (2L, "aaaa")).toDF("doc_id", "text")
+    val r = TextOps.charEntropy(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("entropy_scaled"), x.getAs[Long]("distinct_chars")))).toMap
+    val halfTerm = math.floor(-(0.5) * math.log(0.5) * 1e9).toLong
+    assert(r(1L) === ((2 * halfTerm, 2L))) // H = ln 2 exactly, two ⌊⌋ terms
+    assert(r(2L) === ((0L, 1L)))
+  }
+
+  test("TextOps.sourceJsd: identical sources diverge 0, disjoint vocabularies score the closed form") {
+    import spark.implicits._
+    // identical distributions → JSD 0 (the absent-token remainder
+    // cancels exactly when each source covers the full corpus mass)
+    val same = Seq((1L, "a b", "en", "s0", 3L), (2L, "a b", "en", "s1", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r0 = TextOps.sourceJsd(same).collect()
+      .map(_.getAs[Long]("jsd_scaled"))
+    assert(r0.forall(_ === 0L))
+    // disjoint vocabularies: p=[1,0] vs q=[.5,.5] → JSD ≈ 0.2158
+    val disj = Seq((1L, "a a", "en", "s0", 3L), (2L, "b b", "en", "s1", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r1 = TextOps.sourceJsd(disj).collect().map(_.getAs[Double]("jsd"))
+    assert(r1.length === 2)
+    r1.foreach(j => assert(j > 0.21 && j < 0.22, s"jsd $j outside the closed form"))
+  }
+
+  test("Monitoring.dsarExport: one cover-sheet row per table, consistent ranges") {
+    val r = Monitoring.dsarExport(spark, sf).collect()
+      .map(x => x.getAs[String]("table_name") -> x).toMap
+    assert(r.keySet === Set("events", "customer", "orders"))
+    assert(r("events").getAs[Long]("n_rows") > 0)
+    assert(r("customer").getAs[Long]("n_rows") <= 1)
+    val o = r("orders")
+    if (o.getAs[Long]("n_rows") > 0)
+      assert(o.getAs[Long]("min_ts_ms") <= o.getAs[Long]("max_ts_ms"))
+    assert(r("customer").isNullAt(r("customer").fieldIndex("min_ts_ms")))
+  }
+
   test("approxDistinct: bound verdicts hold and exact side matches distinctExact") {
     val r = Analytics.approxDistinct(Tables.lineitem(spark, sf)).head()
     assert(r.getAs[Boolean]("parts_within_5pct"),
