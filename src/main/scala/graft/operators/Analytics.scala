@@ -468,17 +468,24 @@ object Analytics {
     * estimate: an out-of-bounds estimator flips a boolean and reads as
     * a red row. (The raw estimate itself is pinned by ScalaTest; its
     * exact sibling is `q_distinct_exact`.) */
-  def approxDistinct(li: DataFrame): DataFrame =
-    li.agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("ao"),
-        countDistinct(col("l_partkey")).as("n_parts_exact"),
-        countDistinct(col("l_orderkey")).as("n_orders_exact"))
+  def approxDistinct(li: DataFrame): DataFrame = {
+    // each column pre-deduplicates in its own hash-agg (map-side
+    // combined), then counts exactly AND sketches the deduped values —
+    // an HLL is dedup-insensitive, so the estimate is identical to
+    // sketching the raw column, while a single agg carrying two
+    // countDistinct + two sketches would Expand the fact 4x (measured
+    // 11 s vs ~1 s at sf0.1)
+    def side(c: String, exactName: String, okName: String): DataFrame =
+      li.select(col(c)).distinct()
+        .agg(count(lit(1)).as(exactName),
+          approx_count_distinct(col(c), 0.01).as("est"))
+        .select(col(exactName),
+          (abs(col("est") - col(exactName)) <= col(exactName) * 0.05).as(okName))
+    side("l_partkey", "n_parts_exact", "parts_within_5pct")
+      .crossJoin(side("l_orderkey", "n_orders_exact", "orders_within_5pct"))
       .select(col("n_parts_exact"), col("n_orders_exact"),
-        (abs(col("ap") - col("n_parts_exact")) <=
-          col("n_parts_exact") * 0.05).as("parts_within_5pct"),
-        (abs(col("ao") - col("n_orders_exact")) <=
-          col("n_orders_exact") * 0.05).as("orders_within_5pct"))
+        col("parts_within_5pct"), col("orders_within_5pct"))
+  }
 
   /** Order-to-ship lag distribution: per order priority, the histogram
     * of days between order placement and line shipment in 30-day
