@@ -1210,6 +1210,44 @@ object TextOps {
     result
   }
 
+  /** Water-filling mixture allocation — the budgeted answer to "how
+    * many tokens from each source": given a token budget B (a share of
+    * the corpus), every source contributes min(its tokens, level) with
+    * the level chosen so allocations sum to B — small sources go in
+    * whole, the surplus is split evenly across the big ones (the
+    * max-min-fair cap used for domain balancing when proportional
+    * sampling would let one crawl dominate).
+    *
+    * Exact integers end-to-end: B = (T·pct) div 100, sources sort
+    * ASCENDING on the collapsed |sources| relation, the boundary
+    * source is the first where cum_before + n_remaining·t ≥ B, and
+    * level = (B − cum_before) div n_remaining (floor ⇒ Σ alloc ≤ B,
+    * under by < |sources| tokens). The only windows/sorts run over
+    * per-source aggregates — never the fact. */
+  def mixtureWaterfill(docs: DataFrame, budgetPct: Long = 30L): DataFrame = {
+    val counts = docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("t"))
+      .localCheckpoint(true) // |sources| rows; feeds rank scan + final join
+    val tot = counts.agg(sum(col("t")).as("tt"), count(lit(1)).as("ns"))
+    val wAsc = Window.orderBy(col("t"), col("source"))
+    val ranked = counts.crossJoin(broadcast(tot))
+      .withColumn("b", expr(s"(tt * $budgetPct) div 100"))
+      .withColumn("rnk", row_number().over(wAsc).cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("t")).over(
+        wAsc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_after", col("ns") - col("rnk") + 1)
+    val lvl = ranked
+      .filter(col("cum_before") + col("n_after") * col("t") >= col("b"))
+      .orderBy(col("rnk")).limit(1)
+      .select(expr("(b - cum_before) div n_after").as("level"), col("b"))
+    counts.crossJoin(broadcast(lvl))
+      .select(col("source"), col("t").as("n_tokens"),
+        least(col("t"), col("level")).as("alloc_tokens"),
+        col("level").as("fill_level"), col("b").as("budget_tokens"),
+        trunc4(least(col("t"), col("level")) / col("t")).as("alloc_share"))
+  }
+
   /** Per-document character-entropy — the compressibility proxy
     * (low-entropy text is repetitive boilerplate/junk; the signal gzip
     * ratio gives a CPU-bound pipeline, computed engine-side instead):
@@ -1382,6 +1420,7 @@ object TextOps {
     "q_text_perplexity" -> ((s, d) => unigramNll(Tables.documents(s, d))),
     "q_text_bigram_lm" -> ((s, d) => bigramLm(Tables.documents(s, d))),
     "q_char_entropy" -> ((s, d) => charEntropy(Tables.documents(s, d))),
+    "q_mixture_waterfill" -> ((s, d) => mixtureWaterfill(Tables.documents(s, d))),
     "q_source_jsd" -> ((s, d) => sourceJsd(Tables.documents(s, d))),
     "q_text_novelty" -> ((s, d) => novelty(Tables.documents(s, d))),
     "q_text_familiarity" -> ((s, d) => familiarity(Tables.documents(s, d))),
@@ -1502,6 +1541,21 @@ object TextOps {
         "sum(term_scaled)::BIGINT AS entropy_scaled, " +
         "floor(sum(term_scaled)::BIGINT / 1000000000.0 * 10000) / 10000 AS entropy " +
         "FROM terms GROUP BY 1"),
+    "q_mixture_waterfill" ->
+      ("WITH wc AS (SELECT source, sum(len(string_split(text, ' ')))::BIGINT t " +
+        "FROM documents GROUP BY 1), " +
+        "wt AS (SELECT sum(t)::BIGINT tt, count(*) ns FROM wc), " +
+        "wr AS (SELECT source, t, (tt * 30) // 100 AS b, " +
+        "row_number() OVER (ORDER BY t, source)::BIGINT rnk, " +
+        "coalesce(sum(t) OVER (ORDER BY t, source " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT cum_before, " +
+        "ns FROM wc CROSS JOIN wt), " +
+        "wl AS (SELECT (b - cum_before) // (ns - rnk + 1) AS level, b " +
+        "FROM wr WHERE cum_before + (ns - rnk + 1) * t >= b ORDER BY rnk LIMIT 1) " +
+        "SELECT source, t AS n_tokens, least(t, level)::BIGINT AS alloc_tokens, " +
+        "level::BIGINT AS fill_level, b::BIGINT AS budget_tokens, " +
+        "floor(least(t, level) / t * 10000) / 10000 AS alloc_share " +
+        "FROM wc CROSS JOIN wl"),
     "q_source_jsd" ->
       ("WITH jt AS (SELECT source, unnest(string_split(text, ' ')) t FROM documents), " +
         "jst AS (SELECT source, t, count(*) tfs FROM jt GROUP BY 1, 2), " +

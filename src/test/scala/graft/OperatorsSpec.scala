@@ -2127,6 +2127,25 @@ class OperatorsSpec extends SparkSpec {
     assert(r("customer").isNullAt(r("customer").fieldIndex("min_ts_ms")))
   }
 
+  test("TextOps.mixtureWaterfill: small sources go whole, the cap splits the remainder") {
+    import spark.implicits._
+    // token counts: s0=2, s1=6, s2=12 → T=20, B=⌊20·30/100⌋=6.
+    // Boundary is s0 itself (0 + 3·2 ≥ 6) → level = 6 div 3 = 2 →
+    // every source is capped at 2 tokens.
+    val docs = Seq(
+      (0L, "a b", "en", "s0", 3L),
+      (1L, "a b c d e f", "en", "s1", 11L),
+      (2L, ("x " * 12).trim, "en", "s2", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.mixtureWaterfill(docs).collect()
+      .map(x => x.getAs[String]("source") ->
+        ((x.getAs[Long]("n_tokens"), x.getAs[Long]("alloc_tokens"),
+          x.getAs[Long]("fill_level")))).toMap
+    assert(r("s0") === ((2L, 2L, 2L)))
+    assert(r("s1") === ((6L, 2L, 2L)))
+    assert(r("s2") === ((12L, 2L, 2L)))
+  }
+
   test("approxDistinct: bound verdicts hold and exact side matches distinctExact") {
     val r = Analytics.approxDistinct(Tables.lineitem(spark, sf)).head()
     assert(r.getAs[Boolean]("parts_within_5pct"),
