@@ -147,12 +147,39 @@ object Media {
     }
   }
 
+  /** Training-shard planner (the WebDataset/TFRecord packing step):
+    * per modality, files hash into ⌈total_bytes / targetBytes⌉ shards
+    * — homogeneous per-modality shards, sized for sequential reads.
+    * Hash placement (not greedy bin-packing) is the scale choice: no
+    * ordering, no state, balanced in expectation, and any worker can
+    * recompute a file's shard from its id alone; the balance_ratio
+    * column quantifies the skew the hash actually achieved (1.0 =
+    * perfectly even). Per-type shard counts ride a 1-row-per-type
+    * broadcast; one scan of the payload relation. */
+  def mediaShards(docs: DataFrame, targetBytes: Long = 4096L): DataFrame = {
+    val m = payloads(docs).select(col("doc_id"), col("media_type"),
+      length(col("content")).cast("long").as("byte_len"))
+    val tot = m.groupBy(col("media_type")).agg(sum(col("byte_len")).as("tb"))
+      .withColumn("n_shards", expr(s"(tb + ${targetBytes - 1}) div $targetBytes"))
+    m.join(broadcast(tot), "media_type")
+      .withColumn("shard_id", pmod(graft.functions.TextHash.hash60(
+        concat(lit("shard|"), col("doc_id").cast("string"))), col("n_shards")))
+      .groupBy(col("media_type"), col("shard_id"))
+      .agg(count(lit(1)).as("n_files"), sum(col("byte_len")).as("shard_bytes"))
+      .join(broadcast(tot), "media_type")
+      .select(col("media_type"), col("shard_id"), col("n_files"),
+        col("shard_bytes"), col("n_shards"),
+        graft.functions.Portable.trunc4(
+          col("shard_bytes") * col("n_shards") / col("tb")).as("balance_ratio"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_features" -> ((s, d) => features(Tables.documents(s, d))),
     "q_media_frames" -> ((s, d) => frames(Tables.documents(s, d))),
     "q_media_dedup" -> ((s, d) => frameDedup(Tables.documents(s, d))),
+    "q_media_shards" -> ((s, d) => mediaShards(Tables.documents(s, d))),
     "q_media_report" -> ((s, d) => mediaReport(Tables.documents(s, d))))
 
   val oracleSql: Map[String, String] = Map(
@@ -188,6 +215,20 @@ object Media {
         "count(DISTINCT digest) AS n_distinct, min(width) AS min_width, " +
         "max(width) AS max_width, " +
         "count(*) - count(DISTINCT digest) AS dup_files FROM f GROUP BY 1"),
+    "q_media_shards" ->
+      ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' " +
+        "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END media_type, " +
+        "octet_length(encode(text))::BIGINT byte_len FROM documents), " +
+        "t AS (SELECT media_type, sum(byte_len)::BIGINT tb, " +
+        "(sum(byte_len)::BIGINT + 4095) // 4096 AS n_shards FROM p GROUP BY 1), " +
+        "sh AS (SELECT p.media_type, " +
+        "('0x'||substr(md5('shard|'||doc_id::VARCHAR),1,15))::BIGINT % n_shards AS shard_id, " +
+        "byte_len FROM p JOIN t USING (media_type)), " +
+        "g AS (SELECT media_type, shard_id, count(*) n_files, " +
+        "sum(byte_len)::BIGINT shard_bytes FROM sh GROUP BY 1, 2) " +
+        "SELECT g.media_type, shard_id, n_files, shard_bytes, n_shards::BIGINT AS n_shards, " +
+        "floor(shard_bytes * n_shards / tb * 10000) / 10000 AS balance_ratio " +
+        "FROM g JOIN t USING (media_type)"),
     "q_media_dedup" ->
       ("WITH p AS (SELECT doc_id, text, " +
         "octet_length(encode(text))::BIGINT byte_len FROM documents), " +

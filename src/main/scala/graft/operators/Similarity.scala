@@ -1028,6 +1028,44 @@ object Similarity {
         graft.functions.Portable.trunc6(col("score")).as("score"), col("rrf_rnk"))
   }
 
+  /** nDCG@k of exact retrieval under label relevance — the
+    * position-aware sibling of [[labelRecall]] (precision@k says HOW
+    * MANY neighbors share the query's label; nDCG says WHERE they
+    * rank): rel_i = [label_i = q_label], DCG = Σ rel_i / log2(i+1),
+    * normalized by the ideal ordering's IDCG.
+    *
+    * Exact-integer discipline: the per-rank weights ⌊1e6/log2(i+1)⌋
+    * live in ONE broadcast LUT (k rows + the cumulative-sum column),
+    * so DCG is an integer dot product and IDCG a LUT lookup on
+    * n_same — both engines sum identical BIGINTs; the single division
+    * happens once at the end. */
+  def ndcgAtK(emb: DataFrame, queryIds: Seq[Long] = DefaultQueryIds,
+      k: Int = 10): DataFrame = {
+    val spark = emb.sparkSession
+    val lut = spark.range(1, k + 1)
+      .select(col("id").as("i"),
+        floor(lit(1e6) / log2(col("id") + 1)).cast("long").as("w"))
+      .withColumn("idcg_scaled", sum(col("w")).over(
+        Window.orderBy(col("i")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint(true) // k rows
+    val lbl = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+    val scored = bruteForceTopK(emb, queryIds, k)
+      .join(broadcast(lbl.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"))), "q_id")
+      .join(lbl.select(col("vec_id"), col("label").as("n_label")), "vec_id")
+      .join(broadcast(lut.select(col("i").as("rnk"), col("w"))), "rnk")
+    val perQ = scored.groupBy(col("q_id"), col("q_label"))
+      .agg(count(lit(1)).as("k_eff"),
+        sum(when(col("n_label") === col("q_label"), 1L).otherwise(0L)).as("n_same"),
+        sum(when(col("n_label") === col("q_label"), col("w")).otherwise(0L)).as("dcg_scaled"))
+    perQ.join(broadcast(lut.select(col("i").as("n_same"), col("idcg_scaled"))),
+        Seq("n_same"), "left")
+      .select(col("q_id"), col("q_label"), col("k_eff"), col("n_same"),
+        col("dcg_scaled"),
+        when(col("n_same") > 0,
+          trunc4(col("dcg_scaled") / col("idcg_scaled"))).as("ndcg"))
+  }
+
   /** Hybrid text+vector retrieval — the production RAG/search shape
     * ([[rrfFusion]] fuses two VECTOR methods; this fuses MODALITIES):
     * per query document, a BM25 arm over the document's `nq` RAREST
@@ -1174,6 +1212,7 @@ object Similarity {
     "q_hard_negatives" -> ((s, d) => hardNegatives(Tables.embeddings(s, d))),
     "q_hybrid_search" -> ((s, d) =>
       hybridSearch(Tables.documents(s, d), Tables.embeddings(s, d))),
+    "q_ndcg" -> ((s, d) => ndcgAtK(Tables.embeddings(s, d))),
     "q_sim_rrf" -> ((s, d) => rrfFusion(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_topk_exact" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_topk_ann" -> ((s, d) => annTopK(Tables.embeddings(s, d), DefaultQueryIds)),
@@ -1539,6 +1578,23 @@ object Similarity {
         "(r.src_id IS NOT NULL) AS mutual FROM kg_topk f " +
         "LEFT JOIN kg_topk r ON f.src_id = r.dst_id AND f.dst_id = r.src_id"),
     "q_sim_mmr" -> mmrOracle,
+    "q_ndcg" ->
+      (s"WITH $vCte, $qsCte, $exactCtes, " +
+        "ndl AS (SELECT i, CAST(floor(1000000 / log2(i + 1)) AS BIGINT) w, " +
+        "sum(CAST(floor(1000000 / log2(i + 1)) AS BIGINT)) OVER (ORDER BY i " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT idcg_scaled " +
+        "FROM (SELECT unnest(range(1, 11)) i)), " +
+        "ndb AS (SELECT vec_id, label::BIGINT AS label FROM embeddings), " +
+        "nds AS (SELECT e.q_id, ql.label q_label, " +
+        "CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END rel, l.w " +
+        "FROM ex_ranked e JOIN ndb ql ON e.q_id = ql.vec_id " +
+        "JOIN ndb nl ON e.vec_id = nl.vec_id JOIN ndl l ON l.i = e.rnk " +
+        "WHERE e.rnk <= 10), " +
+        "ndq AS (SELECT q_id, q_label, count(*) k_eff, sum(rel)::BIGINT n_same, " +
+        "sum(rel * w)::BIGINT dcg_scaled FROM nds GROUP BY 1, 2) " +
+        "SELECT q_id, q_label, k_eff, n_same, dcg_scaled, " +
+        "CASE WHEN n_same > 0 THEN floor(dcg_scaled / l2.idcg_scaled * 10000) / 10000 END " +
+        "AS ndcg FROM ndq LEFT JOIN ndl l2 ON l2.i = ndq.n_same"),
     "q_hybrid_search" ->
       (s"WITH $vCte, $bitsBandsCte, $annCtes, " +
         "ht AS (SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents), " +

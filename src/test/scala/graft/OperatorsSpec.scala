@@ -2146,6 +2146,47 @@ class OperatorsSpec extends SparkSpec {
     assert(r("s2") === ((12L, 2L, 2L)))
   }
 
+  test("Similarity.ndcgAtK: perfect ranking scores 1.0, relevance-last scores below") {
+    import spark.implicits._
+    // query 0 (label 1): ids 1,2 share the label and sit nearest
+    // (+x cluster); 3,4 differ (+y-ish) → rel = [1,1,0,0] = ideal
+    // prefix → nDCG exactly 1.0
+    val emb = Seq(
+      (0L, Array(1.0f, 0.00f, 0f, 0f), 1), (1L, Array(1.0f, 0.01f, 0f, 0f), 1),
+      (2L, Array(1.0f, 0.02f, 0f, 0f), 1), (3L, Array(0.0f, 1.00f, 0f, 0f), 2),
+      (4L, Array(0.1f, 1.00f, 0f, 0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.ndcgAtK(emb, Seq(0L), k = 4).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("n_same") === 2L)
+    assert(r.head.getAs[Double]("ndcg") === 1.0)
+    // flip the query's label: now the two relevant docs rank LAST
+    val r2 = Similarity.ndcgAtK(
+      emb.withColumn("label", when(col("vec_id") === 0L, 2).otherwise(col("label"))),
+      Seq(0L), k = 4).collect()
+    assert(r2.head.getAs[Double]("ndcg") < 1.0 && r2.head.getAs[Double]("ndcg") > 0.0)
+  }
+
+  test("Media.mediaShards: byte totals reconcile and every shard id is in range") {
+    val r = Media.mediaShards(Tables.documents(spark, sf)).collect()
+    assert(r.nonEmpty)
+    // the planner never loses bytes or files: per-type shard sums must
+    // reconcile with the payload relation itself
+    val truth = Media.payloads(Tables.documents(spark, sf))
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("nf"), sum(length(col("content")).cast("long")).as("tb"))
+      .collect()
+      .map(x => x.getAs[String]("media_type") ->
+        ((x.getAs[Long]("nf"), x.getAs[Long]("tb")))).toMap
+    r.groupBy(_.getAs[String]("media_type")).foreach { case (mt, rows) =>
+      val nShards = rows.head.getAs[Long]("n_shards")
+      assert(rows.forall(x => x.getAs[Long]("shard_id") >= 0 &&
+        x.getAs[Long]("shard_id") < nShards))
+      assert(rows.map(_.getAs[Long]("n_files")).sum === truth(mt)._1)
+      assert(rows.map(_.getAs[Long]("shard_bytes")).sum === truth(mt)._2)
+    }
+  }
+
   test("approxDistinct: bound verdicts hold and exact side matches distinctExact") {
     val r = Analytics.approxDistinct(Tables.lineitem(spark, sf)).head()
     assert(r.getAs[Boolean]("parts_within_5pct"),
