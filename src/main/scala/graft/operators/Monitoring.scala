@@ -2526,6 +2526,107 @@ object Monitoring {
     e.unionByName(c).unionByName(o)
   }
 
+  /** 2-D skyline (Börzsönyi et al. 2001's "skyline operator") over the
+    * merchant aggregate relation: merchants not DOMINATED on (cent
+    * volume, distinct users) — no other merchant is ≥ on both and > on
+    * one. The Pareto frontier every "top merchants" dashboard actually
+    * wants when two axes disagree.
+    *
+    * Scale shape: the classic self-join dominance test is Θ(m²); for
+    * 2-D the sort-based filter is exact and linear after the sort —
+    * ORDER BY cents DESC, a running max of users over STRICTLY better
+    * cents rows (ties grouped by RANGE frame so equal-cents rows never
+    * shadow each other), keep rows whose users beat that max —
+    * exact-tie points are mutually non-dominated and both stay, per
+    * the skyline definition. The window runs over the COLLAPSED
+    * per-merchant relation, never the fact. */
+  def skylineMerchants(ev: DataFrame): DataFrame = {
+    val agg = ev
+      .select(get_json_object(col("props"), "$.k").cast("long").as("m"),
+        col("user_id"), floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .filter(col("m").isNotNull)
+      .groupBy(col("m"))
+      .agg(sum(col("cents")).as("total_cents"), countDistinct(col("user_id")).as("n_users"))
+    // rangeBetween on the DESC cents ordering: the frame holds rows
+    // with strictly larger cents (never equal-cents peers)
+    val better = Window.orderBy(col("total_cents").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    agg
+      .withColumn("max_users_above", max(col("n_users")).over(better))
+      .filter(col("max_users_above").isNull ||
+        col("n_users") > col("max_users_above"))
+      .select(col("m"), col("total_cents"), col("n_users"))
+  }
+
+  /** Time-weighted average balance (the interest-accrual / TWAP
+    * primitive): per user, each running-balance level is weighted by
+    * how long it HELD — Σ bal_i·(t_{i+1}−t_i) / (t_last − t_first) —
+    * so a flash deposit cannot inflate an average the way a row-mean
+    * would. Running balance = credits − debits in exact cents; the
+    * level×duration products are BIGINT (cents ≤ 1e7 × span ≤ 2.6e9 ms
+    * ⇒ term ≤ 2.6e16; a user's sum holds to ~350 such terms-at-max —
+    * lift to DECIMAL for multi-year hot accounts). Users with one
+    * event have no held interval and are excluded. One (user, time)
+    * window pair sharing a single exchange. */
+  def timeWeightedBalance(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val run = ev
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        when(col("event_type") === "purchase",
+          -floor(col("value") * 100 + 0.5).cast("long"))
+          .otherwise(floor(col("value") * 100 + 0.5).cast("long")).as("delta"))
+      .withColumn("bal", sum(col("delta")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("held_ms", lead(col("ts_ms"), 1).over(w) - col("ts_ms"))
+    run.filter(col("held_ms").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("held_ms")).as("span_ms"),
+        sum(col("bal") * col("held_ms")).as("weighted_scaled"))
+      .filter(col("span_ms") > 0)
+      .select(col("user_id"), col("n_intervals"), col("span_ms"),
+        col("weighted_scaled"),
+        trunc4(col("weighted_scaled") / col("span_ms") / 100).as("twab_usd"))
+  }
+
+  /** Rolling 7-day Pearson correlation between two event types' daily
+    * cent volumes — "do purchases and views move together this week?",
+    * the co-movement readout next to [[volatility]]'s single-series
+    * dispersion. The [[statsExact]] discipline applied to a rolling
+    * frame: daily cents are exact integers, the six rolling sums
+    * (n, Σx, Σy, Σx², Σy², Σxy) come from ONE RANGE window over the
+    * collapsed per-day relation, and the correlation is the same
+    * double formula on identical integers in both engines. Days where
+    * either series is flat (zero variance) emit NULL. Integer bound:
+    * the x·x products wrap BIGINT past ~$30M daily volume per type
+    * (the abPower class) — lift the squares to DECIMAL beyond that. */
+  def rollingCorr(ev: DataFrame, typeX: String = "purchase",
+      typeY: String = "view", days: Int = 7): DataFrame = {
+    val daily = ev
+      .filter(col("event_type").isin(typeX, typeY))
+      .groupBy(expr("ts_ms div 86400000").as("day"), col("event_type"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("c"))
+    val two = daily.groupBy(col("day"))
+      .agg(sum(when(col("event_type") === typeX, col("c")).otherwise(0L)).as("x"),
+        sum(when(col("event_type") === typeY, col("c")).otherwise(0L)).as("y"))
+    val wr = Window.orderBy(col("day")).rangeBetween(-(days - 1).toLong, 0)
+    val s = two
+      .withColumn("n", count(lit(1)).over(wr))
+      .withColumn("sx", sum(col("x")).over(wr))
+      .withColumn("sy", sum(col("y")).over(wr))
+      .withColumn("sxx", sum(col("x") * col("x")).over(wr))
+      .withColumn("syy", sum(col("y") * col("y")).over(wr))
+      .withColumn("sxy", sum(col("x") * col("y")).over(wr))
+    val nd = col("n").cast("double")
+    val vx = col("sxx") - col("sx").cast("double") * col("sx") / nd
+    val vy = col("syy") - col("sy").cast("double") * col("sy") / nd
+    val cxy = col("sxy") - col("sx").cast("double") * col("sy") / nd
+    s.filter(col("n") >= 3)
+      .select(col("day"), col("n").as("n_days"), col("x").as("x_cents"),
+        col("y").as("y_cents"),
+        when(vx > 0 && vy > 0, trunc4(cxy / sqrt(vx * vy))).as("corr_7d"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2587,6 +2688,9 @@ object Monitoring {
     "q_smurf_motifs" -> ((s, d) => smurfMotifs(Tables.events(s, d))),
     "q_ab_sprt" -> ((s, d) => abSprt(Tables.events(s, d))),
     "q_dsar_export" -> ((s, d) => dsarExport(s, d)),
+    "q_skyline" -> ((s, d) => skylineMerchants(Tables.events(s, d))),
+    "q_twab" -> ((s, d) => timeWeightedBalance(Tables.events(s, d))),
+    "q_rolling_corr" -> ((s, d) => rollingCorr(Tables.events(s, d))),
     "q_flag_summary" -> ((s, d) => flagSummary(Tables.events(s, d))),
     "q_ohlc_bars" -> ((s, d) => ohlcBars(Tables.events(s, d))),
     "q_reconcile" -> ((s, d) => reconcile(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -3314,6 +3418,46 @@ object Monitoring {
         "CASE WHEN cum_llr_scaled >= thr_hi THEN 'accept_h1' " +
         "WHEN cum_llr_scaled <= thr_lo THEN 'accept_h0' ELSE 'continue' END AS decision " +
         "FROM spc"),
+    "q_skyline" ->
+      ("WITH sk AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) m, " +
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT total_cents, " +
+        "count(DISTINCT user_id) n_users FROM events " +
+        "WHERE json_extract_string(props, '$.k') IS NOT NULL GROUP BY 1), " +
+        "sr AS (SELECT *, max(n_users) OVER (ORDER BY total_cents DESC " +
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_users_above FROM sk) " +
+        "SELECT m, total_cents, n_users FROM sr " +
+        "WHERE max_users_above IS NULL OR n_users > max_users_above"),
+    "q_twab" ->
+      ("WITH tw AS (SELECT user_id, epoch_ms(ts) ts_ms, event_id, " +
+        "CASE WHEN event_type = 'purchase' THEN -CAST(floor(value * 100 + 0.5) AS BIGINT) " +
+        "ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS delta FROM events), " +
+        "tb AS (SELECT user_id, ts_ms, " +
+        "sum(delta) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT bal, " +
+        "lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) - ts_ms " +
+        "AS held_ms FROM tw), " +
+        "tg AS (SELECT user_id, count(*) n_intervals, sum(held_ms)::BIGINT span_ms, " +
+        "sum(bal * held_ms)::BIGINT weighted_scaled FROM tb " +
+        "WHERE held_ms IS NOT NULL GROUP BY 1) " +
+        "SELECT user_id, n_intervals, span_ms, weighted_scaled, " +
+        "floor(weighted_scaled / span_ms / 100 * 10000) / 10000 AS twab_usd " +
+        "FROM tg WHERE span_ms > 0"),
+    "q_rolling_corr" ->
+      ("WITH rd AS (SELECT epoch_ms(ts) // 86400000 AS day, event_type, " +
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT c FROM events " +
+        "WHERE event_type IN ('purchase', 'view') GROUP BY 1, 2), " +
+        "rt AS (SELECT day, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN c ELSE 0 END)::BIGINT x, " +
+        "sum(CASE WHEN event_type = 'view' THEN c ELSE 0 END)::BIGINT y " +
+        "FROM rd GROUP BY 1), " +
+        "rw AS (SELECT day, x, y, count(*) OVER w n, sum(x) OVER w sx, sum(y) OVER w sy, " +
+        "sum(x * x) OVER w sxx, sum(y * y) OVER w syy, sum(x * y) OVER w sxy " +
+        "FROM rt WINDOW w AS (ORDER BY day RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) " +
+        "SELECT day, n::BIGINT AS n_days, x AS x_cents, y AS y_cents, " +
+        "CASE WHEN (sxx - sx::DOUBLE * sx / n) > 0 AND (syy - sy::DOUBLE * sy / n) > 0 " +
+        "THEN floor((sxy - sx::DOUBLE * sy / n) / " +
+        "sqrt((sxx - sx::DOUBLE * sx / n) * (syy - sy::DOUBLE * sy / n)) * 10000) / 10000 " +
+        "END AS corr_7d FROM rw WHERE n >= 3"),
     "q_dsar_export" ->
       ("SELECT 'events' AS table_name, count(*) AS n_rows, " +
         "coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)), 0)::BIGINT AS cents_total, " +

@@ -2187,6 +2187,51 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Monitoring.skylineMerchants: only non-dominated points survive; exact ties both stay") {
+    import spark.implicits._
+    // (cents, users): m1 (300, 1), m2 (200, 2), m3 (100, 3) = frontier;
+    // m4 (150, 1) dominated by m2; m5 ties m2 exactly → both stay
+    def rows(m: Int, users: Seq[Long], cents: Long) = users.map(u =>
+      (m * 1000L + u, u, "debit", cents / 100.0 / users.size, s"""{"k":"$m"}""", 1700000000000L))
+    val ev = (rows(1, Seq(1L), 300) ++ rows(2, Seq(2L, 3L), 200) ++
+      rows(3, Seq(4L, 5L, 6L), 100) ++ rows(4, Seq(7L), 150) ++
+      rows(5, Seq(8L, 9L), 200))
+      .toDF("event_id", "user_id", "event_type", "value", "props", "ts_ms")
+    val r = Monitoring.skylineMerchants(ev).collect()
+      .map(_.getAs[Long]("m")).sorted
+    assert(r.toSeq === Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("Monitoring.timeWeightedBalance: levels weigh by held duration, exact integers") {
+    import spark.implicits._
+    // credit 100 held 10 ms, then purchase 40 → bal 60 held 30 ms
+    // → TWAB = ($100·10 + $60·30) / 40 = $70.00
+    val ev = Seq(
+      (1L, 1L, "credit", 100.0, "{}", 1000L),
+      (2L, 1L, "purchase", 40.0, "{}", 1010L),
+      (3L, 1L, "credit", 1.0, "{}", 1040L))
+      .toDF("event_id", "user_id", "event_type", "value", "props", "ts_ms")
+    val r = Monitoring.timeWeightedBalance(ev).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("span_ms") === 40L)
+    assert(r.head.getAs[Long]("weighted_scaled") === 10000L * 10 + 6000L * 30)
+    assert(r.head.getAs[Double]("twab_usd") === 70.0)
+  }
+
+  test("Monitoring.rollingCorr: perfectly co-moving series score 1, n respects the frame") {
+    import spark.implicits._
+    // y = 2x daily for 5 days → rolling corr exactly 1.0 once n ≥ 3
+    val D = 86400000L
+    val ev = (0 until 5).flatMap { d =>
+      Seq((d * 2L, 1L, "purchase", (d + 1) * 10.0, "{}", d * D + 1),
+        (d * 2L + 1, 1L, "view", (d + 1) * 20.0, "{}", d * D + 2))
+    }.toDF("event_id", "user_id", "event_type", "value", "props", "ts_ms")
+    val r = Monitoring.rollingCorr(ev).collect().sortBy(_.getAs[Long]("day"))
+    assert(r.length === 3) // days 2..4 have n >= 3
+    assert(r.forall(_.getAs[Double]("corr_7d") === 1.0))
+    assert(r.map(_.getAs[Long]("n_days")).toSeq === Seq(3L, 4L, 5L))
+  }
+
   test("approxDistinct: bound verdicts hold and exact side matches distinctExact") {
     val r = Analytics.approxDistinct(Tables.lineitem(spark, sf)).head()
     assert(r.getAs[Boolean]("parts_within_5pct"),
