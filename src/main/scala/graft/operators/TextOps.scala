@@ -1210,6 +1210,37 @@ object TextOps {
     result
   }
 
+  /** Per-document keyphrase extraction — top-`k` tokens by
+    * tf·idf WITHIN each document (the corpus-level
+    * `q_text_tfidf` ranks terms globally; this answers "what is THIS
+    * doc about", the tagging/routing primitive). idf = ln(N/df) as a
+    * 1e6-scaled BIGINT per term, score = tf·idf_scaled (exact integer
+    * product — rank ties cannot float), rank window partitioned per
+    * doc (bounded by a doc's distinct tokens, never corpus-sized);
+    * single-doc hapax noise is suppressed by requiring df ≥ 2. */
+  def keyphrases(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tok = graft.functions.Portable.spread(docs, col("doc_id"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .persist() // feeds tf AND df
+    val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfr = tok.groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df"))
+    val nd = tok.agg(countDistinct(col("doc_id")).as("n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_scaled").desc, col("t"))
+    val result = tf.join(dfr.filter(col("df") >= 2), "t")
+      .crossJoin(broadcast(nd))
+      .withColumn("idf_scaled",
+        floor(log(col("n") / col("df")) * 1e6).cast("long"))
+      .withColumn("score_scaled", col("tf") * col("idf_scaled"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k && col("score_scaled") > 0)
+      .select(col("doc_id"), col("rnk"), col("t").as("term"),
+        col("tf"), col("df"), col("score_scaled"))
+      .localCheckpoint(true) // ≤ k rows per doc; releases the token cache
+    tok.unpersist()
+    result
+  }
+
   /** Water-filling mixture allocation — the budgeted answer to "how
     * many tokens from each source": given a token budget B (a share of
     * the corpus), every source contributes min(its tokens, level) with
@@ -1421,6 +1452,7 @@ object TextOps {
     "q_text_bigram_lm" -> ((s, d) => bigramLm(Tables.documents(s, d))),
     "q_char_entropy" -> ((s, d) => charEntropy(Tables.documents(s, d))),
     "q_mixture_waterfill" -> ((s, d) => mixtureWaterfill(Tables.documents(s, d))),
+    "q_keyphrases" -> ((s, d) => keyphrases(Tables.documents(s, d))),
     "q_source_jsd" -> ((s, d) => sourceJsd(Tables.documents(s, d))),
     "q_text_novelty" -> ((s, d) => novelty(Tables.documents(s, d))),
     "q_text_familiarity" -> ((s, d) => familiarity(Tables.documents(s, d))),
@@ -1541,6 +1573,18 @@ object TextOps {
         "sum(term_scaled)::BIGINT AS entropy_scaled, " +
         "floor(sum(term_scaled)::BIGINT / 1000000000.0 * 10000) / 10000 AS entropy " +
         "FROM terms GROUP BY 1"),
+    "q_keyphrases" ->
+      ("WITH kt AS (SELECT doc_id, unnest(string_split(text, ' ')) t FROM documents), " +
+        "ktf AS (SELECT doc_id, t, count(*) tf FROM kt GROUP BY 1, 2), " +
+        "kdf AS (SELECT t, count(DISTINCT doc_id) df FROM kt GROUP BY 1), " +
+        "knd AS (SELECT count(DISTINCT doc_id) n FROM kt), " +
+        "ks AS (SELECT f.doc_id, f.t, f.tf, d.df, " +
+        "f.tf * CAST(floor(ln(n / d.df) * 1000000) AS BIGINT) AS score_scaled " +
+        "FROM ktf f JOIN kdf d USING (t) CROSS JOIN knd WHERE d.df >= 2), " +
+        "kr AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY score_scaled DESC, t)::BIGINT rnk FROM ks) " +
+        "SELECT doc_id, rnk, t AS term, tf, df, score_scaled::BIGINT AS score_scaled " +
+        "FROM kr WHERE rnk <= 3 AND score_scaled > 0"),
     "q_mixture_waterfill" ->
       ("WITH wc AS (SELECT source, sum(len(string_split(text, ' ')))::BIGINT t " +
         "FROM documents GROUP BY 1), " +

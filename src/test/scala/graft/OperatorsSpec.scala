@@ -2232,6 +2232,24 @@ class OperatorsSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("n_days")).toSeq === Seq(3L, 4L, 5L))
   }
 
+  test("TextOps.keyphrases: distinctive repeated terms win; corpus-wide terms score zero") {
+    import spark.implicits._
+    // 'spark' appears in 2 of 4 docs (idf ln 2), 'the' in all 4
+    // (idf 0 → filtered by score > 0), hapax terms df=1 are excluded
+    val docs = Seq(
+      (1L, "the spark spark engine"), (2L, "the spark plan"),
+      (3L, "the quiet dog"), (4L, "the quiet cat"))
+      .toDF("doc_id", "text")
+    val r = TextOps.keyphrases(docs).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[String]("term"),
+        x.getAs[Long]("rnk"), x.getAs[Long]("score_scaled")))
+    val d1 = r.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq === Seq("spark")) // tf 2 · ln(4/2); 'the' zero, 'engine' hapax
+    assert(d1.head._4 === 2 * math.floor(math.log(2.0) * 1e6).toLong)
+    assert(!r.exists(_._2 == "the"))
+    assert(r.filter(_._1 == 3L).map(_._2).toSeq === Seq("quiet"))
+  }
+
   test("approxDistinct: bound verdicts hold and exact side matches distinctExact") {
     val r = Analytics.approxDistinct(Tables.lineitem(spark, sf)).head()
     assert(r.getAs[Boolean]("parts_within_5pct"),
