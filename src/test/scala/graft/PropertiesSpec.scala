@@ -262,4 +262,98 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  private val docsGen = Gen.listOfN(20, for {
+    id <- Gen.choose(0L, 1000000L)
+    words <- Gen.listOfN(12, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+    src <- Gen.oneOf("s0", "s1", "s2")
+  } yield (id, words.mkString(" "), "en", src, words.mkString(" ").length.toLong))
+
+  private def docsDF(rows: List[(Long, String, String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.distinctBy(_._1).toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("varEs law: scaling every amount by an integer factor scales VaR and the tail exactly") {
+    forAll(rowGen) { rows =>
+      val ev = toDF(rows)
+      val base = graft.operators.Monitoring.varEs(ev).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("var_cents"), r.getAs[Long]("tail_cents"),
+            r.getAs[Long]("tail_n")))).toMap
+      val scaled = graft.operators.Monitoring.varEs(
+          ev.withColumn("value", col("value") * 3)).collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("var_cents"), r.getAs[Long]("tail_cents"),
+            r.getAs[Long]("tail_n")))).toMap
+      assert(base.keySet === scaled.keySet)
+      base.foreach { case (t, (v, ts, tn)) =>
+        assert(scaled(t) === ((v * 3, ts * 3, tn)),
+          s"$t: VaR/ES not 3x-equivariant: base=${base(t)} scaled=${scaled(t)}")
+      }
+    }
+  }
+
+  test("charEntropy law: 0 <= H <= ln(distinct chars); sum of term floors never exceeds the bound") {
+    forAll(docsGen) { rows =>
+      graft.operators.TextOps.charEntropy(docsDF(rows)).collect().foreach { r =>
+        val h = r.getAs[Double]("entropy")
+        val k = r.getAs[Long]("distinct_chars")
+        assert(h >= 0.0 && h <= math.log(k.toDouble) + 1e-6,
+          s"entropy $h outside [0, ln($k)]")
+        if (k == 1) assert(r.getAs[Long]("entropy_scaled") === 0L)
+      }
+    }
+  }
+
+  test("sourceJsd law: 0 <= JSD <= ln 2 for every source") {
+    forAll(docsGen) { rows =>
+      graft.operators.TextOps.sourceJsd(docsDF(rows)).collect().foreach { r =>
+        val j = r.getAs[Double]("jsd")
+        // per-term floors can undershoot a hair below 0 on identical
+        // distributions; never above ln 2
+        assert(j >= -1e-6 && j <= math.log(2.0) + 1e-6,
+          s"jsd $j outside [0, ln 2] for ${r.getAs[String]("source")}")
+      }
+    }
+  }
+
+  test("mixtureWaterfill law: per-source caps hold and the budget is met to within |sources|") {
+    forAll(docsGen) { rows =>
+      val r = graft.operators.TextOps.mixtureWaterfill(docsDF(rows)).collect()
+      if (r.nonEmpty) {
+        val b = r.head.getAs[Long]("budget_tokens")
+        val total = r.map(_.getAs[Long]("alloc_tokens")).sum
+        assert(total <= b, s"allocated $total over budget $b")
+        assert(total > b - r.length - 1,
+          s"allocated $total leaves more than |sources| slack under $b")
+        r.foreach { row =>
+          assert(row.getAs[Long]("alloc_tokens") <= row.getAs[Long]("n_tokens"))
+        }
+      }
+    }
+  }
+
+  test("skyline law: no surviving merchant is dominated; every excluded one is") {
+    forAll(rowGen) { rows =>
+      import spark.implicits._
+      val ev = rows.map { case (id, user, kind, value) =>
+        (id, user, kind, value, s"""{"k":"${id % 7}"}""", 1700000000000L + id)
+      }.toDF("event_id", "user_id", "event_type", "value", "props", "ts_ms")
+      val all = ev
+        .select(expr("cast(get_json_object(props, '$.k') as long)").as("m"),
+          col("user_id"), expr("cast(floor(value * 100 + 0.5) as long)").as("cents"))
+        .groupBy(col("m"))
+        .agg(sum(col("cents")).as("c"), countDistinct(col("user_id")).as("u"))
+        .collect().map(r => (r.getAs[Long]("m"), r.getAs[Long]("c"), r.getAs[Long]("u")))
+      val sky = graft.operators.Monitoring.skylineMerchants(ev).collect()
+        .map(_.getAs[Long]("m")).toSet
+      def dominated(p: (Long, Long, Long)) = all.exists(q =>
+        q._1 != p._1 && q._2 >= p._2 && q._3 >= p._3 && (q._2 > p._2 || q._3 > p._3))
+      all.foreach { p =>
+        if (sky.contains(p._1)) assert(!dominated(p), s"survivor $p is dominated")
+        else assert(dominated(p), s"excluded $p is not dominated by anyone")
+      }
+    }
+  }
 }
