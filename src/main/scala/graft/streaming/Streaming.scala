@@ -711,6 +711,34 @@ object Streaming {
       .filter(col("rnk") <= k)
   }
 
+  /** Hourly UNIQUE users per event type as a CHAIN of two stateful
+    * operators in one streaming query — `dropDuplicatesWithinWatermark`
+    * on (type, user, hour) feeding a windowed count. This is the
+    * streaming form of COUNT(DISTINCT …) (which streaming aggregation
+    * does not support directly) and the one composition pattern the
+    * other replays don't cover: watermark propagation THROUGH a
+    * stateful operator into a second one (Spark 3.4+ multi-stateful
+    * append support).
+    *
+    * Determinism: the corpus is time-ordered, every hour's rows span
+    * less than the 60-min watermark, and the dedup key includes the
+    * hour bucket — so a key can never be evicted and readmitted within
+    * its own hour, and the deduped stream's windowed count equals the
+    * batch COUNT(DISTINCT) exactly (the DuckDB oracle). Sentinels
+    * survive to keep the watermark honest and evaporate on the
+    * read-back predicate. */
+  def streamUniqueUsers(spark: SparkSession, dir: String,
+      watermarkMin: Long = 60L): DataFrame =
+    replay(spark, dir, in => in
+      .withColumn("hour_ms", expr("(ts_ms div 3600000) * 3600000"))
+      .withWatermark("timestamp", s"$watermarkMin minutes")
+      .dropDuplicatesWithinWatermark("event_type", "user_id", "hour_ms")
+      .groupBy(window(col("timestamp"), "60 minutes").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_unique_users"))
+      .select(unix_millis(col("win.start")).as("h_ms"), col("event_type"),
+        col("n_unique_users")))
+      .filter(col("event_type") =!= "__sentinel__")
+
   /** The burst pager ON the stream: hourly per-type counts maintained
     * as windowed streaming state, with the z-gate
     * ([[graft.operators.Monitoring.burstDetect]]'s densify + exact
@@ -1150,6 +1178,7 @@ object Streaming {
     "q_stream_drift" -> ((s, d) => streamDrift(s, d)),
     "q_stream_ohlc" -> ((s, d) => streamOhlc(s, d)),
     "q_stream_topk" -> ((s, d) => streamTopK(s, d)),
+    "q_stream_unique" -> ((s, d) => streamUniqueUsers(s, d)),
     "q_stream_burst" -> ((s, d) => streamBurst(s, d)))
 
   /** The tumbling-window batch equivalent — checks [[streamReplay]]
@@ -1180,6 +1209,9 @@ object Streaming {
         "SELECT win_start_ms, user_id, n, cents, row_number() OVER " +
         "(PARTITION BY win_start_ms ORDER BY n DESC, user_id)::BIGINT AS rnk " +
         "FROM c QUALIFY rnk <= 3"),
+    "q_stream_unique" ->
+      ("SELECT (epoch_ms(ts) // 3600000) * 3600000 AS h_ms, event_type, " +
+        "count(DISTINCT user_id) AS n_unique_users FROM events GROUP BY 1, 2"),
     "q_stream_replay" -> tumblingOracle,
     "q_stream_dedup" -> tumblingOracle,
     "q_stream_enrich" ->
