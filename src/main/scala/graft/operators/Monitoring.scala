@@ -2627,6 +2627,32 @@ object Monitoring {
         when(vx > 0 && vy > 0, trunc4(cxy / sqrt(vx * vy))).as("corr_7d"))
   }
 
+  /** Data-freshness SLO audit — the "is anything stale" pager input:
+    * per time-bearing table, the newest record's timestamp, its lag
+    * behind the freshest table in the warehouse, and a staleness
+    * verdict against a per-table SLO (events stream hourly; orders
+    * batch daily — a stream 26 h behind the warehouse head is an
+    * incident, a daily batch isn't). Scans prune to the timestamp
+    * column (min/max ride parquet footer statistics); the comparison
+    * runs on a 2-row relation. */
+  def freshnessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .agg(count(lit(1)).as("n_rows"), max(col("ts_ms")).as("last_ts_ms"))
+      .select(lit("events").as("table_name"), col("n_rows"), col("last_ts_ms"),
+        lit(3600000L).as("slo_ms")) // streamed: expected within the hour
+    val o = Tables.orders(spark, dir)
+      .agg(count(lit(1)).as("n_rows"),
+        max(expr("unix_micros(cast(o_orderdate as timestamp)) div 1000")).as("last_ts_ms"))
+      .select(lit("orders").as("table_name"), col("n_rows"), col("last_ts_ms"),
+        lit(172800000L).as("slo_ms")) // daily batch: 2-day grace
+    val both = e.unionByName(o)
+    val head = both.agg(max(col("last_ts_ms")).as("head_ms"))
+    both.crossJoin(broadcast(head))
+      .select(col("table_name"), col("n_rows"), col("last_ts_ms"),
+        (col("head_ms") - col("last_ts_ms")).as("lag_ms"), col("slo_ms"),
+        (col("head_ms") - col("last_ts_ms") > col("slo_ms")).as("stale"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2691,6 +2717,7 @@ object Monitoring {
     "q_skyline" -> ((s, d) => skylineMerchants(Tables.events(s, d))),
     "q_twab" -> ((s, d) => timeWeightedBalance(Tables.events(s, d))),
     "q_rolling_corr" -> ((s, d) => rollingCorr(Tables.events(s, d))),
+    "q_freshness" -> ((s, d) => freshnessAudit(s, d)),
     "q_flag_summary" -> ((s, d) => flagSummary(Tables.events(s, d))),
     "q_ohlc_bars" -> ((s, d) => ohlcBars(Tables.events(s, d))),
     "q_reconcile" -> ((s, d) => reconcile(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -3458,6 +3485,15 @@ object Monitoring {
         "THEN floor((sxy - sx::DOUBLE * sy / n) / " +
         "sqrt((sxx - sx::DOUBLE * sx / n) * (syy - sy::DOUBLE * sy / n)) * 10000) / 10000 " +
         "END AS corr_7d FROM rw WHERE n >= 3"),
+    "q_freshness" ->
+      ("WITH f AS (SELECT 'events' AS table_name, count(*) AS n_rows, " +
+        "max(epoch_ms(ts)) AS last_ts_ms, 3600000 AS slo_ms FROM events " +
+        "UNION ALL SELECT 'orders', count(*), max(epoch_ms(o_orderdate)), " +
+        "172800000 FROM orders), " +
+        "h AS (SELECT max(last_ts_ms) AS head_ms FROM f) " +
+        "SELECT table_name, n_rows, last_ts_ms, " +
+        "(head_ms - last_ts_ms)::BIGINT AS lag_ms, slo_ms::BIGINT AS slo_ms, " +
+        "(head_ms - last_ts_ms > slo_ms) AS stale FROM f CROSS JOIN h"),
     "q_dsar_export" ->
       ("SELECT 'events' AS table_name, count(*) AS n_rows, " +
         "coalesce(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)), 0)::BIGINT AS cents_total, " +
