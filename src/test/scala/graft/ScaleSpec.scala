@@ -783,6 +783,29 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("round-7 scale pins: skyline never self-joins, negatives stay O(n·k), keyphrases/hybrid keep k per key") {
+    // q_skyline: the sort-based filter replaces the Θ(m²) dominance
+    // self-join — the plan must contain NO join at all
+    val sky = SparkEntry.queries("q_skyline")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!sky.contains("Join"), s"skyline plans a join:\n$sky")
+    // q_graph_negative_edges: candidates are node-list picks, never
+    // the n² non-edge space — output bounded by |nodes|·k (execution-
+    // level pin; the op checkpoints, so its inner plan isn't visible)
+    val negDf = graft.operators.Graph.negativeEdges(Tables.events(spark, sf))
+    val nNodes = Tables.events(spark, sf)
+      .selectExpr("cast(get_json_object(props, '$.k') as long) m")
+      .filter(col("m").isNotNull).select(col("m")).distinct().count()
+    assert(negDf.count() <= nNodes * 5)
+    // the k-per-key guards that keep downstream joins candidate-sized
+    val kp = graft.operators.TextOps.keyphrases(Tables.documents(spark, sf))
+      .groupBy(col("doc_id")).count().agg(max(col("count"))).head.getLong(0)
+    assert(kp <= 3)
+    val hy = SparkEntry.queries("q_hybrid_search")(spark, sf)
+      .groupBy(col("q_id")).count().agg(max(col("count"))).head.getLong(0)
+    assert(hy <= 10)
+  }
+
   test("global-window sweep: no driver query plans a global window over an uncollapsed relation") {
     // the regression gate behind the decileStats/rfm rewrites: walk
     // EVERY SparkEntry query's physical plan (descending into AQE
