@@ -2653,6 +2653,54 @@ object Monitoring {
         (col("head_ms") - col("last_ts_ms") > col("slo_ms")).as("stale"))
   }
 
+  /** Weekly discord detection (matrix-profile-lite, Yeh et al. 2016's
+    * discord idea at week granularity): each (type, week) becomes its
+    * 7-dim day-of-week cent vector, every week is compared to every
+    * OTHER week of the same type, and a week whose NEAREST neighbor is
+    * still far away is a discord — the "this week looked like nothing
+    * we've seen" pager signal that point-wise z-scores miss (they flag
+    * days, not shapes).
+    *
+    * Shape: the week vectors live on the collapsed (type, week, dow)
+    * grid (dense via a broadcast 7-row dow spine, missing days = 0);
+    * the week×week pair join and the min/rank windows all run on
+    * ≤ |types|·|weeks| rows — weeks², not days², and never the fact.
+    * Distances are exact: (c1−c2)² on integer cents with one double
+    * cast (exact to 2^53, both engines round the identical product).
+    * Weeks are ranked per type by nearest-neighbor distance; the top-3
+    * discords per type are the report. */
+  def weekDiscord(ev: DataFrame, topK: Int = 3): DataFrame = {
+    val daily = ev
+      .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("c"))
+      .select(col("event_type"), expr("day div 7").as("week"),
+        expr("day % 7").as("dow"), col("c"))
+    val weeks = daily.select(col("event_type"), col("week")).distinct()
+    val dows = ev.sparkSession.range(0, 7).select(col("id").as("dow"))
+    val dense = weeks.crossJoin(broadcast(dows))
+      .join(daily, Seq("event_type", "week", "dow"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val pairs = dense.as("a").join(dense.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.dow") === col("b.dow") && col("a.week") =!= col("b.week"))
+      .select(col("a.event_type").as("event_type"), col("a.week").as("week"),
+        col("b.week").as("other_week"),
+        ((col("a.c") - col("b.c")).cast("double") * (col("a.c") - col("b.c"))).as("d2"))
+      .groupBy(col("event_type"), col("week"), col("other_week"))
+      .agg(sum(col("d2")).as("dist2"))
+    val wNn = Window.partitionBy(col("event_type"), col("week"))
+      .orderBy(col("dist2"), col("other_week"))
+    val nn = pairs.withColumn("r", row_number().over(wNn)).filter(col("r") === 1)
+      .select(col("event_type"), col("week"), col("other_week").as("nn_week"),
+        col("dist2").as("nn_dist2"))
+    val wTop = Window.partitionBy(col("event_type"))
+      .orderBy(col("nn_dist2").desc, col("week"))
+    nn.withColumn("discord_rank", row_number().over(wTop).cast("long"))
+      .filter(col("discord_rank") <= topK)
+      .select(col("event_type"), col("week"), col("nn_week"),
+        col("nn_dist2"), col("discord_rank"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2718,6 +2766,7 @@ object Monitoring {
     "q_twab" -> ((s, d) => timeWeightedBalance(Tables.events(s, d))),
     "q_rolling_corr" -> ((s, d) => rollingCorr(Tables.events(s, d))),
     "q_freshness" -> ((s, d) => freshnessAudit(s, d)),
+    "q_week_discord" -> ((s, d) => weekDiscord(Tables.events(s, d))),
     "q_flag_summary" -> ((s, d) => flagSummary(Tables.events(s, d))),
     "q_ohlc_bars" -> ((s, d) => ohlcBars(Tables.events(s, d))),
     "q_reconcile" -> ((s, d) => reconcile(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -3485,6 +3534,25 @@ object Monitoring {
         "THEN floor((sxy - sx::DOUBLE * sy / n) / " +
         "sqrt((sxx - sx::DOUBLE * sx / n) * (syy - sy::DOUBLE * sy / n)) * 10000) / 10000 " +
         "END AS corr_7d FROM rw WHERE n >= 3"),
+    "q_week_discord" ->
+      ("WITH wd AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day, " +
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT c FROM events GROUP BY 1, 2), " +
+        "wv AS (SELECT event_type, day // 7 AS week, day % 7 AS dow, c FROM wd), " +
+        "wk AS (SELECT DISTINCT event_type, week FROM wv), " +
+        "dows AS (SELECT unnest(range(0, 7)) AS dow), " +
+        "dense AS (SELECT wk.event_type, wk.week, dows.dow, coalesce(wv.c, 0)::BIGINT c " +
+        "FROM wk CROSS JOIN dows LEFT JOIN wv ON wv.event_type = wk.event_type " +
+        "AND wv.week = wk.week AND wv.dow = dows.dow), " +
+        "pr AS (SELECT a.event_type, a.week, b.week AS other_week, " +
+        "sum((a.c - b.c)::DOUBLE * (a.c - b.c)) AS dist2 " +
+        "FROM dense a JOIN dense b ON a.event_type = b.event_type " +
+        "AND a.dow = b.dow AND a.week <> b.week GROUP BY 1, 2, 3), " +
+        "nn AS (SELECT event_type, week, other_week AS nn_week, dist2 AS nn_dist2, " +
+        "row_number() OVER (PARTITION BY event_type, week ORDER BY dist2, other_week) r " +
+        "FROM pr QUALIFY r = 1) " +
+        "SELECT event_type, week, nn_week, nn_dist2, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY nn_dist2 DESC, week)::BIGINT " +
+        "AS discord_rank FROM nn QUALIFY discord_rank <= 3"),
     "q_freshness" ->
       ("WITH f AS (SELECT 'events' AS table_name, count(*) AS n_rows, " +
         "max(epoch_ms(ts)) AS last_ts_ms, 3600000 AS slo_ms FROM events " +

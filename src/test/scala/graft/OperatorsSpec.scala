@@ -2250,6 +2250,23 @@ class OperatorsSpec extends SparkSpec {
     assert(r.filter(_._1 == 3L).map(_._2).toSeq === Seq("quiet"))
   }
 
+  test("Monitoring.weekDiscord: the planted odd week is every type's top discord") {
+    import spark.implicits._
+    // 4 weeks of flat $10 days for one type; week 2 spikes to $100 —
+    // its nearest neighbor is still 7·9000² away, all others are 0
+    val D = 86400000L
+    val ev = (0 until 28).map { d =>
+      val amt = if (d / 7 == 2) 100.0 else 10.0
+      (d.toLong, 1L, "purchase", amt, "{}", d * D + 1)
+    }.toDF("event_id", "user_id", "event_type", "value", "props", "ts_ms")
+    val r = Monitoring.weekDiscord(ev).collect()
+      .sortBy(_.getAs[Long]("discord_rank"))
+    assert(r.head.getAs[Long]("week") === 2L)
+    assert(r.head.getAs[Double]("nn_dist2") === 7.0 * 9000.0 * 9000.0)
+    // the flat weeks are mutual zero-distance neighbors
+    assert(r.drop(1).forall(_.getAs[Double]("nn_dist2") === 0.0))
+  }
+
   test("approxDistinct: bound verdicts hold and exact side matches distinctExact") {
     val r = Analytics.approxDistinct(Tables.lineitem(spark, sf)).head()
     assert(r.getAs[Boolean]("parts_within_5pct"),
