@@ -2701,6 +2701,33 @@ object Monitoring {
         col("nn_dist2"), col("discord_rank"))
   }
 
+  /** SLO error-budget burn rate with the multiwindow page rule
+    * (Google SRE workbook ch. 5): per hour, the error-event share
+    * against a 1% SLO as a burn-rate multiple, alongside the 6-hour
+    * rolling burn; a page fires only when BOTH windows burn ≥ 14.4×
+    * (the 2%-of-monthly-budget-in-an-hour policy) — the short window
+    * proves it's happening NOW, the long one proves it's not a blip.
+    * Counts are exact integers on the collapsed per-hour relation; the
+    * rolling frame is a RANGE window over hour buckets (gaps count as
+    * elapsed time, like real wall-clock burn); the two divisions are
+    * identical doubles on both engines. */
+  def sloBurn(ev: DataFrame, sloShare: Double = 0.01,
+      pageBurn: Double = 14.4): DataFrame = {
+    val hourly = ev
+      .groupBy(expr("ts_ms div 3600000").as("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+    val w6 = Window.orderBy(col("h")).rangeBetween(-5L, 0L)
+    hourly
+      .withColumn("n6", sum(col("n")).over(w6))
+      .withColumn("e6", sum(col("n_err")).over(w6))
+      .select(col("h"), col("n"), col("n_err"),
+        trunc4(col("n_err") / col("n") / sloShare).as("burn_1h"),
+        trunc4(col("e6") / col("n6") / sloShare).as("burn_6h"),
+        (col("n_err") / col("n") / sloShare >= pageBurn &&
+          col("e6") / col("n6") / sloShare >= pageBurn).as("page"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2767,6 +2794,7 @@ object Monitoring {
     "q_rolling_corr" -> ((s, d) => rollingCorr(Tables.events(s, d))),
     "q_freshness" -> ((s, d) => freshnessAudit(s, d)),
     "q_week_discord" -> ((s, d) => weekDiscord(Tables.events(s, d))),
+    "q_slo_burn" -> ((s, d) => sloBurn(Tables.events(s, d))),
     "q_flag_summary" -> ((s, d) => flagSummary(Tables.events(s, d))),
     "q_ohlc_bars" -> ((s, d) => ohlcBars(Tables.events(s, d))),
     "q_reconcile" -> ((s, d) => reconcile(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -3534,6 +3562,17 @@ object Monitoring {
         "THEN floor((sxy - sx::DOUBLE * sy / n) / " +
         "sqrt((sxx - sx::DOUBLE * sx / n) * (syy - sy::DOUBLE * sy / n)) * 10000) / 10000 " +
         "END AS corr_7d FROM rw WHERE n >= 3"),
+    "q_slo_burn" ->
+      ("WITH sb AS (SELECT epoch_ms(ts) // 3600000 AS h, count(*) AS n, " +
+        "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_err " +
+        "FROM events GROUP BY 1), " +
+        "sr AS (SELECT h, n, n_err, " +
+        "sum(n) OVER w AS n6, sum(n_err) OVER w AS e6 FROM sb " +
+        "WINDOW w AS (ORDER BY h RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)) " +
+        "SELECT h, n, n_err, " +
+        "floor(n_err / n / 0.01 * 10000) / 10000 AS burn_1h, " +
+        "floor(e6 / n6 / 0.01 * 10000) / 10000 AS burn_6h, " +
+        "(n_err / n / 0.01 >= 14.4 AND e6 / n6 / 0.01 >= 14.4) AS page FROM sr"),
     "q_week_discord" ->
       ("WITH wd AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day, " +
         "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT c FROM events GROUP BY 1, 2), " +

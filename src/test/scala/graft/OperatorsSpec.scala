@@ -2267,6 +2267,24 @@ class OperatorsSpec extends SparkSpec {
     assert(r.drop(1).forall(_.getAs[Double]("nn_dist2") === 0.0))
   }
 
+  test("Monitoring.sloBurn: the multiwindow rule pages on sustained burn, not a blip") {
+    import spark.implicits._
+    val H = 3600000L
+    // hours 0-5 healthy (1 error / 100 = exactly SLO, burn 1.0);
+    // hour 6: 20/100 errors → burn_1h 20 ≥ 14.4 but the 6h window is
+    // diluted → no page; hours 7-11 keep burning 20% → 6h catches up
+    def hour(h: Int, errs: Int) = (0 until 100).map(i =>
+      (h * 1000L + i, 1L, if (i < errs) "error" else "view", 1.0, "{}", h * H + i))
+    val ev = ((0 to 5).flatMap(hour(_, 1)) ++ (6 to 11).flatMap(hour(_, 20)))
+      .toDF("event_id", "user_id", "event_type", "value", "props", "ts_ms")
+    val r = Monitoring.sloBurn(ev).collect()
+      .map(x => x.getAs[Long]("h") ->
+        ((x.getAs[Double]("burn_1h"), x.getAs[Boolean]("page")))).toMap
+    assert(r(0L) === ((1.0, false)))
+    assert(r(6L)._1 === 20.0 && !r(6L)._2, "a single hot hour must not page")
+    assert(r(11L)._2, "six sustained hot hours must page")
+  }
+
   test("approxDistinct: bound verdicts hold and exact side matches distinctExact") {
     val r = Analytics.approxDistinct(Tables.lineitem(spark, sf)).head()
     assert(r.getAs[Boolean]("parts_within_5pct"),
