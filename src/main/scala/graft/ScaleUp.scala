@@ -92,13 +92,22 @@ object ScaleUp {
         .withColumn("text", perturbed)
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
-    rep("embeddings")(_.withColumn("vec_id", off("vec_id"))
-      .withColumn("embedding", expr(
-        // rotate by clone*7+1 positions (clone 0 untouched); slice is
-        // 1-indexed and preserves the float element type
-        "IF(clone = 0, embedding, concat(" +
-          "slice(embedding, cast(pmod(clone * 7 + 1, size(embedding)) + 1 as int), " +
-          "size(embedding) - cast(pmod(clone * 7 + 1, size(embedding)) as int)), " +
-          "slice(embedding, 1, cast(pmod(clone * 7 + 1, size(embedding)) as int))))")))
+    rep("embeddings")(df => rotateEmbeddings(df.withColumn("vec_id", off("vec_id"))))
   }
+
+  /** Clone-rotation for an embeddings frame carrying a `clone` column:
+    * rotation = pmod(clone·7, dim−1)+1 ∈ [1, dim−1] for EVERY clone, so
+    * no clone can land on a zero shift and alias clone 0 byte-exact
+    * (the old clone·7+1 form hit pmod(64, 64) = 0 at clone 9 with
+    * dim 64, reintroducing exactly the quasi-duplicate LSH band
+    * collapse the rotation exists to avoid — 20% of vectors gained a
+    * cos=1.0 twin at factor 10). Slice is 1-indexed and preserves the
+    * float element type; clone 0 stays the identity. */
+  private[graft] def rotateEmbeddings(df: DataFrame): DataFrame = df
+    .withColumn("rot", expr("cast(pmod(clone * 7, size(embedding) - 1) + 1 as int)"))
+    .withColumn("embedding", expr(
+      "IF(clone = 0, embedding, concat(" +
+        "slice(embedding, rot + 1, size(embedding) - rot), " +
+        "slice(embedding, 1, rot)))"))
+    .drop("rot")
 }

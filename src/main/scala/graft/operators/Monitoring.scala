@@ -2535,11 +2535,14 @@ object Monitoring {
     * Scale shape: the classic self-join dominance test is Θ(m²); for
     * 2-D the sort-based filter is exact and linear after the sort —
     * ORDER BY cents DESC, a running max of users over STRICTLY better
-    * cents rows (ties grouped by RANGE frame so equal-cents rows never
-    * shadow each other), keep rows whose users beat that max —
-    * exact-tie points are mutually non-dominated and both stay, per
-    * the skyline definition. The window runs over the COLLAPSED
-    * per-merchant relation, never the fact. */
+    * cents rows (RANGE frame, so the strict side never sees equal-cents
+    * peers), keep rows whose users beat that max AND whose users equal
+    * the max within their own cents-tie group: an equal-cents peer with
+    * strictly more users dominates (≥ both, > one), while exact ties on
+    * BOTH axes are mutually non-dominated and all stay, per the skyline
+    * definition (PropertiesSpec's skyline law pins both cases). The
+    * windows run over the COLLAPSED per-merchant relation, never the
+    * fact. */
   def skylineMerchants(ev: DataFrame): DataFrame = {
     val agg = ev
       .select(get_json_object(col("props"), "$.k").cast("long").as("m"),
@@ -2548,13 +2551,17 @@ object Monitoring {
       .groupBy(col("m"))
       .agg(sum(col("cents")).as("total_cents"), countDistinct(col("user_id")).as("n_users"))
     // rangeBetween on the DESC cents ordering: the frame holds rows
-    // with strictly larger cents (never equal-cents peers)
+    // with strictly larger cents (never equal-cents peers); the
+    // equal-cents dominance case is the partition max over the tie group
     val better = Window.orderBy(col("total_cents").desc)
       .rangeBetween(Window.unboundedPreceding, -1)
+    val tieGroup = Window.partitionBy(col("total_cents"))
     agg
       .withColumn("max_users_above", max(col("n_users")).over(better))
-      .filter(col("max_users_above").isNull ||
-        col("n_users") > col("max_users_above"))
+      .withColumn("max_users_tie", max(col("n_users")).over(tieGroup))
+      .filter((col("max_users_above").isNull ||
+        col("n_users") > col("max_users_above")) &&
+        col("n_users") === col("max_users_tie"))
       .select(col("m"), col("total_cents"), col("n_users"))
   }
 
@@ -2665,10 +2672,14 @@ object Monitoring {
     * grid (dense via a broadcast 7-row dow spine, missing days = 0);
     * the week×week pair join and the min/rank windows all run on
     * ≤ |types|·|weeks| rows — weeks², not days², and never the fact.
-    * Distances are exact: (c1−c2)² on integer cents with one double
-    * cast (exact to 2^53, both engines round the identical product).
-    * Weeks are ranked per type by nearest-neighbor distance; the top-3
-    * discords per type are the report. */
+    * Distances are EXACT integers end-to-end: (c1−c2)² is computed in
+    * DECIMAL(38,0) (cents deltas to ~1e19 square safely under 10^38,
+    * versus a double's 2^53 ≈ $940k daily-delta ceiling), the 7-term
+    * sums and the min/rank windows run on the exact integer, so the
+    * nearest-neighbor and discord verdicts cannot drift with
+    * accumulation order — the floor-to-scaled-BIGINT discipline the
+    * markov/attribution ops follow. The emitted nn_dist2 is the exact
+    * integer cast to double once (same IEEE rounding both engines). */
   def weekDiscord(ev: DataFrame, topK: Int = 3): DataFrame = {
     val daily = ev
       .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
@@ -2685,9 +2696,10 @@ object Monitoring {
           col("a.dow") === col("b.dow") && col("a.week") =!= col("b.week"))
       .select(col("a.event_type").as("event_type"), col("a.week").as("week"),
         col("b.week").as("other_week"),
-        ((col("a.c") - col("b.c")).cast("double") * (col("a.c") - col("b.c"))).as("d2"))
+        ((col("a.c") - col("b.c")).cast("decimal(19,0)") *
+          (col("a.c") - col("b.c")).cast("decimal(19,0)")).as("d2"))
       .groupBy(col("event_type"), col("week"), col("other_week"))
-      .agg(sum(col("d2")).as("dist2"))
+      .agg(sum(col("d2")).cast("decimal(38,0)").as("dist2"))
     val wNn = Window.partitionBy(col("event_type"), col("week"))
       .orderBy(col("dist2"), col("other_week"))
     val nn = pairs.withColumn("r", row_number().over(wNn)).filter(col("r") === 1)
@@ -2698,7 +2710,7 @@ object Monitoring {
     nn.withColumn("discord_rank", row_number().over(wTop).cast("long"))
       .filter(col("discord_rank") <= topK)
       .select(col("event_type"), col("week"), col("nn_week"),
-        col("nn_dist2"), col("discord_rank"))
+        col("nn_dist2").cast("double").as("nn_dist2"), col("discord_rank"))
   }
 
   /** SLO error-budget burn rate with the multiwindow page rule
@@ -3528,9 +3540,11 @@ object Monitoring {
         "count(DISTINCT user_id) n_users FROM events " +
         "WHERE json_extract_string(props, '$.k') IS NOT NULL GROUP BY 1), " +
         "sr AS (SELECT *, max(n_users) OVER (ORDER BY total_cents DESC " +
-        "RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_users_above FROM sk) " +
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_users_above, " +
+        "max(n_users) OVER (PARTITION BY total_cents) AS max_users_tie FROM sk) " +
         "SELECT m, total_cents, n_users FROM sr " +
-        "WHERE max_users_above IS NULL OR n_users > max_users_above"),
+        "WHERE (max_users_above IS NULL OR n_users > max_users_above) " +
+        "AND n_users = max_users_tie"),
     "q_twab" ->
       ("WITH tw AS (SELECT user_id, epoch_ms(ts) ts_ms, event_id, " +
         "CASE WHEN event_type = 'purchase' THEN -CAST(floor(value * 100 + 0.5) AS BIGINT) " +
@@ -3583,14 +3597,14 @@ object Monitoring {
         "FROM wk CROSS JOIN dows LEFT JOIN wv ON wv.event_type = wk.event_type " +
         "AND wv.week = wk.week AND wv.dow = dows.dow), " +
         "pr AS (SELECT a.event_type, a.week, b.week AS other_week, " +
-        "sum((a.c - b.c)::DOUBLE * (a.c - b.c)) AS dist2 " +
+        "sum((a.c - b.c)::HUGEINT * (a.c - b.c)::HUGEINT) AS dist2 " +
         "FROM dense a JOIN dense b ON a.event_type = b.event_type " +
         "AND a.dow = b.dow AND a.week <> b.week GROUP BY 1, 2, 3), " +
-        "nn AS (SELECT event_type, week, other_week AS nn_week, dist2 AS nn_dist2, " +
+        "nn AS (SELECT event_type, week, other_week AS nn_week, dist2 AS nnd, " +
         "row_number() OVER (PARTITION BY event_type, week ORDER BY dist2, other_week) r " +
         "FROM pr QUALIFY r = 1) " +
-        "SELECT event_type, week, nn_week, nn_dist2, " +
-        "row_number() OVER (PARTITION BY event_type ORDER BY nn_dist2 DESC, week)::BIGINT " +
+        "SELECT event_type, week, nn_week, nnd::DOUBLE AS nn_dist2, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY nnd DESC, week)::BIGINT " +
         "AS discord_rank FROM nn QUALIFY discord_rank <= 3"),
     "q_freshness" ->
       ("WITH f AS (SELECT 'events' AS table_name, count(*) AS n_rows, " +

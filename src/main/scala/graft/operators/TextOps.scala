@@ -1284,25 +1284,28 @@ object TextOps {
     * ratio gives a CPU-bound pipeline, computed engine-side instead):
     * H = −Σ_c (n_c/n)·ln(n_c/n) over the doc's character histogram,
     * each term floor-scaled to a 1e9 BIGINT so the per-doc sum is
-    * exact. The histogram comes from one transform+explode over
-    * character positions (portable across engines, unlike
-    * empty-separator splits); at 100 TB this is a bytes-proportional
-    * pass — run it on the ingest scan or a sample, like any per-char
-    * statistic. */
+    * exact (BIGINT sums are order-independent, so folding over the
+    * histogram map matches the oracle's SQL sum bit-for-bit).
+    *
+    * The histogram is ONE native codegen pass per document
+    * ([[graft.functions.CharHist]]) and the entropy a fold over its
+    * ≤|alphabet| entries — a pure per-row projection with NO explode
+    * and NO shuffle (the previous transform+explode form shuffled one
+    * row per CHARACTER and paid O(L²) substring seeks; see the
+    * CharHist Scaladoc A/B). At 100 TB this is a bytes-proportional
+    * map-only pass on the ingest scan. Empty documents carry no
+    * distribution and are excluded (both engines). */
   def charEntropy(docs: DataFrame): DataFrame = {
-    val chars = graft.functions.Portable.spread(docs, col("doc_id"))
+    graft.functions.Portable.spread(docs, col("doc_id"))
+      .filter(length(col("text")) > 0)
       .select(col("doc_id"),
-        explode(expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("c"))
-    val hist = chars.groupBy(col("doc_id"), col("c")).agg(count(lit(1)).as("nc"))
-    val lens = hist.groupBy(col("doc_id"))
-      .agg(sum(col("nc")).as("n"), count(lit(1)).as("distinct_chars"))
-    hist.join(lens, "doc_id")
-      .select(col("doc_id"), col("n"), col("distinct_chars"),
-        floor(-(col("nc") / col("n")) * log(col("nc") / col("n")) * 1e9)
-          .cast("long").as("term_scaled"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("n")).as("n_chars"), max(col("distinct_chars")).as("distinct_chars"),
-        sum(col("term_scaled")).as("entropy_scaled"))
+        length(col("text")).cast("long").as("n"),
+        graft.functions.CharHist.charHist(col("text")).as("h"))
+      .select(col("doc_id"), col("n").as("n_chars"),
+        size(col("h")).cast("long").as("distinct_chars"),
+        expr("aggregate(map_values(h), cast(0 as bigint), (acc, nc) -> " +
+          "acc + cast(floor(-(nc / n) * ln(nc / n) * 1e9) as bigint))")
+          .as("entropy_scaled"))
       .withColumn("entropy", trunc4(col("entropy_scaled") / 1e9))
   }
 
@@ -1561,7 +1564,7 @@ object TextOps {
         "floor(score_scaled / 1000000.0 * 10000) / 10000 AS score, rnk FROM r WHERE rnk <= 10"),
     "q_char_entropy" ->
       ("WITH ch AS (SELECT doc_id, unnest(list_transform(range(1, length(text) + 1), " +
-        "i -> substr(text, i, 1))) c FROM documents), " +
+        "i -> substr(text, i, 1))) c FROM documents WHERE length(text) > 0), " +
         "hist AS (SELECT doc_id, c, count(*) nc FROM ch GROUP BY 1, 2), " +
         "lens AS (SELECT doc_id, sum(nc)::BIGINT n, count(*) distinct_chars " +
         "FROM hist GROUP BY 1), " +

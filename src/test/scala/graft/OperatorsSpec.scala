@@ -306,6 +306,45 @@ class OperatorsSpec extends SparkSpec {
     assert(nulls.isNullAt(0))
   }
 
+  test("CharHist.charHist matches the composed per-index substring histogram") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val edge = Seq((-1L, "aába𝄞𝄞b"), (-2L, " "), (-3L, "zzzz"))
+      .toDF("doc_id", "text")
+    val both = docs.unionByName(edge).filter(length(col("text")) > 0)
+    val composed = both.select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("c"))
+      .groupBy("doc_id", "c").agg(count(lit(1)).as("nc"))
+    val native = both.select(col("doc_id"),
+        explode(graft.functions.CharHist.charHist(col("text")))).toDF("doc_id", "c", "nc")
+    assert(native.join(composed, Seq("doc_id", "c"), "full_outer")
+      .filter(composed("nc").isNull || native("nc").isNull ||
+        composed("nc") =!= native("nc")).count() === 0)
+    // null in → null out; empty string → empty map (no phantom rows)
+    val nh = Seq[Option[String]](None, Some("")).toDF("s")
+      .select(graft.functions.CharHist.charHist(col("s")).as("h"))
+      .select(col("h"), size(col("h")).as("n")).collect()
+    assert(nh.exists(r => r.isNullAt(0)))
+    assert(nh.exists(r => !r.isNullAt(0) && r.getAs[Int]("n") === 0))
+  }
+
+  test("ScaleUp.rotateEmbeddings: every clone > 0 gets a non-zero rotation") {
+    import spark.implicits._
+    // dim 64 = Similarity.Dim: the old clone*7+1 formula hit shift 0 at
+    // clone 9 (pmod(64,64)), aliasing clone 9 byte-exact onto clone 0
+    val base = (0 until 64).map(_.toFloat / 64f)
+    val rows = (0L until 13L).map(c => (c, c * 1000L, base))
+    val out = ScaleUp.rotateEmbeddings(
+        rows.toDF("clone", "vec_id", "embedding"))
+      .select(col("clone"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val orig = out.find(_._1 == 0L).get._2
+    out.filter(_._1 > 0L).foreach { case (c, e) =>
+      assert(e.toSeq !== orig.toSeq, s"clone $c aliased clone 0 byte-exact")
+      assert(e.sorted.toSeq === orig.sorted.toSeq, s"clone $c is not a permutation")
+    }
+  }
+
   test("Similarity.bruteForceTopK returns k ranked neighbors per query") {
     val emb = Tables.embeddings(spark, sf)
     val r = Similarity.bruteForceTopK(emb, Seq(0L, 1L), k = 5)
