@@ -332,16 +332,39 @@ object Graph {
     * ready for a trainer. Scale is the point: the non-edge space is
     * Θ(|nodes|²) and must NEVER be materialized — candidates are
     * O(|nodes|·k) via an md5 pick from the rank-indexed node list
-    * (the rank window runs over the collapsed merchant relation,
-    * never the fact), and the anti-join runs on candidate keys only.
-    * Dedup keeps one row per undirected pair; self-picks drop. */
+    * (ranked by the two-phase parallel [[ScaleOps.globalRankLazy]],
+    * never a one-task global window), and the anti-join runs on
+    * candidate keys only. Dedup keeps one row per undirected pair;
+    * self-picks drop. */
   def negativeEdges(ev: DataFrame, k: Int = 5): DataFrame = {
+    val (lazyResult, caches) = negativeEdgesLazy(ev, k)
+    val result = lazyResult
+      .localCheckpoint(true) // ≤ |nodes|·k rows; releases the um cache
+    caches.foreach(_.unpersist())
+    result
+  }
+
+  /** [[negativeEdges]] before its eager checkpoint (ScaleSpec pins the
+    * plan shape here — the checkpoint hides the inner pipeline).
+    *
+    * Scale posture of the node indexing: the rank over the merchant
+    * relation runs through [[ScaleOps.globalRankLazy]]'s two-phase
+    * range-partitioned rank (a bare `Window.orderBy` would drag every
+    * node through ONE task — the collapsed relation is merchant-sized,
+    * which at a 10⁹-node graph is still 10⁹ rows), and the rn→partner
+    * join carries NO forced broadcast: the node list is data-dependent,
+    * so the join strategy is left to the planner/AQE, which broadcasts
+    * exactly when the relation actually fits. The only forced
+    * broadcast is the 1-row count. */
+  private[graft] def negativeEdgesLazy(ev: DataFrame, k: Int = 5): (DataFrame, Seq[DataFrame]) = {
     val um = userMerchant(ev).filter(col("m").isNotNull)
       .select(col("user_id"), col("m").cast("long").as("m")).distinct()
       .persist() // feeds the node list AND the true edge set
-    val nodes = um.select(col("m")).distinct()
-      .withColumn("rn", row_number().over(Window.orderBy(col("m"))).cast("long"))
-      .localCheckpoint(true) // collapsed merchant relation (tiny)
+    val (rankedNodes, ranged) = graft.operators.ScaleOps.globalRankLazy(
+      um.select(col("m")).distinct(), Seq(col("m")), posCol = "rn")
+    val nodes = rankedNodes.select(col("m"), col("rn"))
+      .localCheckpoint(true) // collapsed merchant relation; read 2×
+    ranged.unpersist()
     val nn = nodes.agg(count(lit(1)).as("nn"))
     val picks = nodes.select(col("m").as("m1"))
       .crossJoin(broadcast(nn))
@@ -349,7 +372,7 @@ object Graph {
       .withColumn("rn", pmod(graft.functions.TextHash.hash60(
         concat(col("m1").cast("string"), lit("#"), col("i").cast("string"))),
         col("nn")) + 1)
-      .join(broadcast(nodes.select(col("rn"), col("m").as("m2"))), "rn")
+      .join(nodes.select(col("rn"), col("m").as("m2")), "rn")
       .filter(col("m1") =!= col("m2"))
       .select(least(col("m1"), col("m2")).as("m1"),
         greatest(col("m1"), col("m2")).as("m2"))
@@ -359,9 +382,7 @@ object Graph {
       .select(col("a.m").as("m1"), col("b.m").as("m2")).distinct()
     val result = picks.join(edges, Seq("m1", "m2"), "left_anti")
       .select(col("m1"), col("m2"), lit(0L).as("label"))
-      .localCheckpoint(true) // ≤ |nodes|·k rows; releases the um cache
-    um.unpersist()
-    result
+    (result, Seq(um))
   }
 
   /** HITS hub/authority over the bipartite user–merchant graph: a

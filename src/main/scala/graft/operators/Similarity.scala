@@ -1010,7 +1010,11 @@ object Similarity {
       c: Int = 60): DataFrame = {
     // ONE persisted vector relation feeds both methods (the recallAtK
     // discipline) — each method's result is an eager k-per-query
-    // checkpoint, so the cache can be released before the fusion runs
+    // checkpoint, so the cache can be released before the fusion runs.
+    // (Running the two arms as CONCURRENT Future-wrapped chains was
+    // A/B-measured ~1.6× SLOWER at sf0.1 on local[4] — the interleaved
+    // small-stage jobs thrash scheduling and the shared cache fill —
+    // so the arms stay sequential.)
     val v = withEmbD(emb).persist()
     val mp = annTopKMultiProbeOn(v, queryIds, k)
       .select(col("q_id"), col("vec_id"), col("rnk").as("rnk_mp"))

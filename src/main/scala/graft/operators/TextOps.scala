@@ -858,9 +858,19 @@ object TextOps {
     * chars-per-token compression every training-cost estimate starts
     * from. The apply side is one codegen'd projection over the scan —
     * at 100 TB the learner's vocab rounds are noise and this runs at
-    * read speed. BPE's per-row merge recursion has no SQL rendering,
-    * so this is a rows-only driver row by design (BpeSpec pins the
-    * algorithm; the learner example is hand-checkable). */
+    * read speed.
+    *
+    * Oracled since round 8: the DuckDB side replays the textbook
+    * ONE-merge-per-round sequential learner, UNROLLED `nMerges`
+    * rounds deep as generated SQL ([[bpeOracleCtes]]) — so the gate
+    * simultaneously checks the per-doc accounting AND the batched
+    * learner's equivalence theorem ([[bpeLearn]]'s disjoint-prefix
+    * batching must produce exactly the sequential merge order, or the
+    * final vocab diverges and every count goes red). The greedy
+    * lowest-rank apply equals in-learned-order application (each
+    * merge's operands exist only after all lower-rank merges — the
+    * GPT-2 encoder equivalence), which is what lets the oracle score
+    * documents from the final round-32 vocab. */
   def bpeStats(docs: DataFrame, nMerges: Int = 32): DataFrame = {
     val merges = bpeLearn(docs, nMerges)
     docs.select(col("doc_id"), col("n_chars"),
@@ -897,6 +907,87 @@ object TextOps {
         trunc4(col("cnt_sum").cast("double") / col("n_bigrams")).as("familiarity"),
         trunc4(col("n_unique").cast("double") / col("n_bigrams")).as("uniq_ratio"))
   }
+
+  /** The learned BPE merge table as a relation: (rnk, pair) in learned
+    * order — the artifact a tokenizer build step persists, and the
+    * direct diagnosable surface for the sequential-replay oracle (a
+    * divergence names the exact round). */
+  def bpeMerges(docs: DataFrame, nMerges: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeLearn(docs, nMerges).zipWithIndex
+      .map { case (p, i) => ((i + 1).toLong, p) }
+      .toDF("rnk", "pair")
+  }
+
+  /** DuckDB CTE chain replaying the SEQUENTIAL (one merge per round)
+    * BPE learner, unrolled `nMerges` rounds — generated, not
+    * hand-written. Round k from vocab v(k-1):
+    *   p_k  pair counts (overlap-counting, like the learner),
+    *   m_k  the argmax pair (count DESC, pair ASC — the learner's
+    *        tie-break; a chr(1) sentinel when the vocab is exhausted
+    *        makes the round a no-op instead of emptying the chain),
+    *   h_k  vocab positions flagged where (x, y) matches,
+    *   k_k  LEFTMOST-NONOVERLAPPING selection: consecutive match runs
+    *        (the "aaa"+(a,a) chain case) keep every other position —
+    *        run grouping via pos − row_number, then (pos − run_start)
+    *        even,
+    *   v_k  the rewrite: merged symbol at kept positions, successor
+    *        dropped, rebuilt in position order.
+    * The final v(n) vocab scores documents (greedy lowest-rank apply ≡
+    * in-order apply). ~6 CTEs × 32 rounds over a vocab-sized relation —
+    * trivial for the oracle engine. */
+  private def bpeOracleCtes(nMerges: Int): String = {
+    val sentinel = "chr(1) || ' ' || chr(1)"
+    val sb = new StringBuilder
+    sb.append("v0 AS MATERIALIZED (SELECT w, count(*) AS f, " +
+      "list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms " +
+      "FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
+      "WHERE length(w) > 0 GROUP BY w)")
+    for (k <- 1 to nMerges) {
+      val pv = s"v${k - 1}"
+      sb.append(s", p$k AS MATERIALIZED (SELECT p, sum(f) AS n FROM (SELECT f, " +
+        "unnest(list_transform(range(1, len(syms)), i -> syms[i] || ' ' || syms[i + 1])) AS p " +
+        s"FROM $pv WHERE len(syms) >= 2) GROUP BY p)")
+      sb.append(s", m$k AS (SELECT coalesce(" +
+        s"(SELECT p FROM p$k ORDER BY n DESC, p LIMIT 1), $sentinel) AS p)")
+      sb.append(s", s$k AS (SELECT string_split(p, ' ')[1] AS x, " +
+        s"string_split(p, ' ')[2] AS y FROM m$k)")
+      sb.append(s", h$k AS MATERIALIZED (SELECT e.w, e.f, e.syms, e.pos, e.syms[e.pos] AS sym, " +
+        "(e.pos < len(e.syms) AND e.syms[e.pos] = s.x AND e.syms[e.pos + 1] = s.y) AS hit " +
+        s"FROM (SELECT w, f, syms, unnest(range(1, len(syms) + 1)) AS pos FROM $pv) e " +
+        s"CROSS JOIN s$k s)")
+      sb.append(s", k$k AS MATERIALIZED (SELECT w, pos FROM " +
+        "(SELECT w, pos, min(pos) OVER (PARTITION BY w, grp) AS p0 FROM " +
+        "(SELECT w, pos, pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS grp " +
+        s"FROM h$k WHERE hit)) WHERE (pos - p0) % 2 = 0)")
+      sb.append(s", v$k AS MATERIALIZED (SELECT h.w, h.f, " +
+        "list(CASE WHEN kk.pos IS NOT NULL THEN h.sym || h.syms[h.pos + 1] " +
+        "ELSE h.sym END ORDER BY h.pos) AS syms " +
+        s"FROM h$k h LEFT JOIN k$k kk ON kk.w = h.w AND kk.pos = h.pos " +
+        s"LEFT JOIN k$k kp ON kp.w = h.w AND kp.pos = h.pos - 1 " +
+        "WHERE kp.pos IS NULL GROUP BY h.w, h.f)")
+    }
+    sb.toString
+  }
+
+  private[graft] def bpeMergesOracle(nMerges: Int = 32): String =
+    "WITH " + bpeOracleCtes(nMerges) + ", mm AS (" +
+      (1 to nMerges).map(k => s"SELECT $k AS rnk, p FROM m$k").mkString(" UNION ALL ") +
+      ") SELECT rnk::BIGINT AS rnk, p AS pair FROM mm " +
+      "WHERE p <> chr(1) || ' ' || chr(1) ORDER BY rnk"
+
+  private[graft] def bpeStatsOracle(nMerges: Int = 32): String =
+    "WITH " + bpeOracleCtes(nMerges) +
+      s", fin AS (SELECT w, len(syms)::BIGINT AS nb FROM v$nMerges), " +
+      "db AS (SELECT doc_id, sum(nb)::BIGINT AS n_bpe FROM " +
+      "(SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t " +
+      "JOIN fin USING (w) GROUP BY doc_id) " +
+      "SELECT d.doc_id, d.n_chars, " +
+      "len(string_split(d.text, ' '))::BIGINT AS n_ws_tokens, " +
+      "db.n_bpe AS n_bpe_tokens, " +
+      "floor(d.n_chars::DOUBLE / db.n_bpe * 10000) / 10000 AS chars_per_token " +
+      "FROM documents d JOIN db USING (doc_id)"
 
   /** Top-k PMI collocations: the word PAIRS that co-occur far more
     * than their marginals predict — the phrase-mining / tokenizer-
@@ -1467,6 +1558,7 @@ object TextOps {
     "q_langid_eval" -> ((s, d) => langIdEval(Tables.documents(s, d))),
     "q_source_contam" -> ((s, d) => sourceContamination(Tables.documents(s, d))),
     "q_text_bpe" -> ((s, d) => bpeStats(Tables.documents(s, d))),
+    "q_bpe_merges" -> ((s, d) => bpeMerges(Tables.documents(s, d))),
     "q_text_langid" -> ((s, d) => langId(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => quality(Tables.documents(s, d))),
     "q_text_tokens" -> ((s, d) => tokenCounts(Tables.documents(s, d))),
@@ -1508,6 +1600,8 @@ object TextOps {
     s"len(list_filter(toks, t -> t IN ${inList(lang)}))::DOUBLE / len(toks)"
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_bpe" -> bpeStatsOracle(),
+    "q_bpe_merges" -> bpeMergesOracle(),
     "q_corpus_triage" ->
       (pertCte + ", " +
         "tr_s AS (SELECT p.doc_id, string_split(p.text, ' ') AS toks, n.nt " +

@@ -797,6 +797,33 @@ class ScaleSpec extends SparkSpec {
       .selectExpr("cast(get_json_object(props, '$.k') as long) m")
       .filter(col("m").isNotNull).select(col("m")).distinct().count()
     assert(negDf.count() <= nNodes * 5)
+    // ... and the inner pipeline forces NO broadcast of the
+    // data-dependent node list (every ResolvedHint subtree is a
+    // grouping-free scalar aggregate — the 1-row count; the planner/AQE
+    // stays free to pick the join strategy by actual size) and plans no
+    // one-task global window over an uncollapsed relation (the node
+    // rank goes through the two-phase globalRank)
+    val (negLazy, negCaches) = graft.operators.Graph
+      .negativeEdgesLazy(Tables.events(spark, sf))
+    val hints = negLazy.queryExecution.optimizedPlan.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    // optimizer may fold the hint into the join; check the ANALYZED
+    // plan where every user-forced broadcast() is still visible
+    val analyzedHints = negLazy.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    (hints ++ analyzedHints).foreach { h =>
+      val scalarAgg = h.child.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.isEmpty => a
+      }
+      assert(scalarAgg.nonEmpty,
+        s"forced broadcast over a non-scalar (data-dependent) relation:\n${h.treeString}")
+    }
+    assert(globalWindowOffenders(negLazy.queryExecution.executedPlan).isEmpty,
+      "negativeEdgesLazy plans a global window over an uncollapsed relation")
+    negCaches.foreach(_.unpersist())
     // the k-per-key guards that keep downstream joins candidate-sized
     val kp = graft.operators.TextOps.keyphrases(Tables.documents(spark, sf))
       .groupBy(col("doc_id")).count().agg(max(col("count"))).head.getLong(0)

@@ -532,6 +532,49 @@ class StreamingSpec extends SparkSpec {
     assert(all.toSeq === Seq("t-1", "t-2"))
   }
 
+  test("exactly-once sink: a crash between sink write and checkpoint commit does not double-write") {
+    import java.nio.file.{Files, Paths}
+    val inDir = Files.createTempDirectory("graft-eo-in").toString
+    val outDir = Files.createTempDirectory("graft-eo-out").toString
+    val ckDir = Files.createTempDirectory("graft-eo-ck").toString
+    def drop(name: String, id: String): Unit =
+      Files.write(Paths.get(s"$inDir/$name"),
+        s"""{"transaction_id":"$id","user_id":1,"amount":1.0,"currency":"USD","type":"credit","metadata":{"merchant":"m"},"timestamp":"2025-08-27T10:00:00.000001Z"}"""
+          .getBytes("UTF-8"))
+    drop("f1.json", "eo-1")
+    val q1 = Streaming.toParquetBatches(
+      Streaming.fileIngest(spark, inDir), outDir, ckDir)
+    q1.processAllAvailable(); q1.stop()
+    // Forge the exact crash window: batch 0's sink output is on disk but
+    // its checkpoint commit marker never landed (foreachBatch completed,
+    // process died mid-commit). On restart Spark MUST re-deliver
+    // batchId 0 — the sink's batch-id-keyed overwrite is what turns that
+    // at-least-once redelivery into exactly-once output.
+    val commit0 = Paths.get(s"$ckDir/commits/0")
+    assert(Files.exists(commit0), "test setup: commit marker for batch 0 missing")
+    Files.delete(commit0)
+    // local ChecksumFs keeps a .crc sidecar per marker — a real crash
+    // loses both (they're written together); a stale sidecar would fail
+    // the replayed rename instead of exercising the sink
+    Files.deleteIfExists(Paths.get(s"$ckDir/commits/.0.crc"))
+    // ... and make the double-write OBSERVABLE: plant a stray part file
+    // in the batch-0 dir (the partial second attempt a crashed writer
+    // leaves behind). An appending sink would keep it; the overwrite
+    // must replace the directory wholesale.
+    spark.read.parquet(s"$outDir/batch=0")
+      .write.mode("append").parquet(s"$outDir/batch=0")
+    assert(spark.read.parquet(s"$outDir/batch=0").count() === 2) // duplicated on disk
+    drop("f2.json", "eo-2")
+    val q2 = Streaming.toParquetBatches(
+      Streaming.fileIngest(spark, inDir), outDir, ckDir)
+    q2.processAllAvailable(); q2.stop()
+    val all = spark.read.parquet(s"$outDir/batch=*")
+      .select("transaction_id").collect().map(_.getString(0)).sorted
+    // batch 0 was re-delivered (commit marker was gone) AND its replayed
+    // write REPLACED the duplicated directory: every row exactly once
+    assert(all.toSeq === Seq("eo-1", "eo-2"))
+  }
+
   test("Trigger.AvailableNow drains the backlog and stops on its own") {
     import java.nio.file.Files
     import org.apache.spark.sql.streaming.Trigger
