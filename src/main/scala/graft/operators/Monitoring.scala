@@ -2740,6 +2740,114 @@ object Monitoring {
           col("e6") / col("n6") / sloShare >= pageBurn).as("page"))
   }
 
+  /** ε-differentially-private daily-count release (Dwork et al. 2006's
+    * Laplace mechanism, sensitivity 1 for a count): released = n +
+    * Lap(1/ε). The noise draw is DETERMINISTIC — u ∈ (0, 1) from the
+    * portable 60-bit hash of the day ((h + 0.5)/2⁶⁰, an exact
+    * power-of-two division, never 0 or 1) through the Laplace inverse
+    * CDF −b·sgn(u−½)·ln(1−2|u−½|) — so the release is reproducible
+    * across engines/runs/shards, the property a privacy ledger
+    * actually needs from its noise (seeded, auditable draws; `rand()`
+    * would be neither). Sits with [[kAnonymity]]/[[dsarExport]]/
+    * forget-audit in the privacy family. Pure per-group arithmetic
+    * over the collapsed per-day relation — no extra shuffle. */
+  def dpHistogram(ev: DataFrame, epsilon: Double = 0.5): DataFrame = {
+    val b = 1.0 / epsilon
+    ev.groupBy(expr("ts_ms div 86400000").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("u",
+        (graft.functions.TextHash.hash60(concat(lit("dp|"), col("day").cast("string")))
+          .cast("double") + 0.5) / lit(1152921504606846976.0))
+      .withColumn("lap",
+        -lit(b) * signum(col("u") - 0.5) * log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)))
+      .select(col("day"), col("n"),
+        floor(col("lap") * 1e6).cast("long").as("lap_scaled"),
+        (col("n") + floor(col("lap") + lit(0.5)).cast("long")).as("released"))
+  }
+
+  /** Exact cumulative Poisson(1) thresholds e⁻¹·Σ 1/k!, rendered to
+    * the same plain-decimal literal text in the Spark plan and the
+    * DuckDB oracle so both engines compare against bit-identical
+    * doubles (the [[Similarity]] planeSql discipline). */
+  private val poissonThresholds: Seq[Double] = {
+    val e1 = math.exp(-1.0)
+    var term = e1
+    var cum = e1
+    Seq.tabulate(8) { k =>
+      if (k > 0) { term = term / k; cum = cum + term }
+      cum
+    }
+  }
+  private def plainD(v: Double): String = BigDecimal(v).underlying.toPlainString
+
+  /** Poisson bootstrap confidence interval for the mean event value —
+    * the resampling CI a metrics platform attaches to every topline
+    * number, in the only form that scales: per-row Poisson(1) weights
+    * (Chamandy et al., "Estimating Uncertainty for Massive Data
+    * Streams" — the n→∞ limit of multinomial resampling) instead of
+    * materializing B copies of the data. Weights are DETERMINISTIC:
+    * u from the 60-bit hash of (event, replicate) through the exact
+    * Poisson(1) inverse-CDF threshold ladder ([[poissonThresholds]]).
+    * One explode(B)+map-side-combined aggregate: the shuffle carries
+    * B·partitions partial rows, never the fact; the rank window runs
+    * over the B-row resample relation. Integer accumulation (w ≤ 8,
+    * cents exact) ⇒ identical means in both engines. */
+  def bootstrapCi(ev: DataFrame, bReps: Int = 40): DataFrame = {
+    val u = (graft.functions.TextHash.hash60(concat(lit("boot|"),
+      col("event_id").cast("string"), lit("#"), col("b").cast("string")))
+      .cast("double") + 0.5) / lit(1152921504606846976.0)
+    val w = poissonThresholds.zipWithIndex
+      .foldRight(lit(poissonThresholds.size.toLong)) { case ((t, k), acc) =>
+        when(col("u") < lit(t), k.toLong).otherwise(acc)
+      }
+    ev.select(col("event_id"), floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+        explode(sequence(lit(1), lit(bReps))).as("b"))
+      .withColumn("u", u)
+      .withColumn("w", w)
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("cents")).as("wsum_cents"))
+      .withColumn("mean_usd", trunc4(col("wsum_cents") / col("n_eff") / 100))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("wsum_cents") / col("n_eff"), col("b"))).cast("long"))
+      .select(col("b").cast("long").as("b"), col("n_eff"), col("wsum_cents"),
+        col("mean_usd"), col("rnk"))
+  }
+
+  /** Split-conformal prediction interval per event type (Vovk;
+    * Papadopoulos et al. 2002): fit the center on the TRAIN half
+    * (hash-split by event id), take the ⌈(n+1)(1−α)⌉-th smallest
+    * absolute residual on the CALIBRATION half as q̂ — the
+    * distribution-free interval with guaranteed ≥ 1−α coverage that a
+    * monitoring stack wraps around every per-type expectation.
+    * Exact-integer discipline: the center is the floor-scaled mean
+    * cents·1e6 (DECIMAL widening for the product), residual scores
+    * are BIGINTs, and q̂ is an exact order statistic via a per-type
+    * rank window — both engines pick the identical row. Two shuffles
+    * (per-type agg, per-type rank), both on the type key. */
+  def conformalInterval(ev: DataFrame, alpha: Double = 0.1): DataFrame = {
+    val base = ev.select(col("event_id"), col("event_type"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+      pmod(col("event_id"), lit(2L)).as("half"))
+    val mu = base.filter(col("half") === 0).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_train"), sum(col("cents")).as("sc"))
+      .select(col("event_type"), col("n_train"),
+        expr("cast((cast(sc as decimal(38,0)) * 1000000) div n_train as bigint)")
+          .as("mu_scaled"))
+    val byType = Window.partitionBy(col("event_type"))
+    val cal = base.filter(col("half") === 1)
+      .join(mu, "event_type")
+      .withColumn("score", abs(col("cents") * lit(1000000L) - col("mu_scaled")))
+      .withColumn("rnk", row_number().over(byType.orderBy(col("score"), col("event_id"))))
+      .withColumn("n_cal", count(lit(1)).over(byType))
+    cal
+      .filter(col("rnk") === least(
+        ceil((col("n_cal") + 1) * lit(1.0 - alpha)).cast("long"), col("n_cal")))
+      .select(col("event_type"), col("n_train"), col("n_cal").cast("long").as("n_cal"),
+        col("mu_scaled"), col("score").as("qhat_scaled"),
+        trunc4((col("mu_scaled") - col("score")) / 1e6 / 100).as("lo_usd"),
+        trunc4((col("mu_scaled") + col("score")) / 1e6 / 100).as("hi_usd"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2807,6 +2915,9 @@ object Monitoring {
     "q_freshness" -> ((s, d) => freshnessAudit(s, d)),
     "q_week_discord" -> ((s, d) => weekDiscord(Tables.events(s, d))),
     "q_slo_burn" -> ((s, d) => sloBurn(Tables.events(s, d))),
+    "q_dp_histogram" -> ((s, d) => dpHistogram(Tables.events(s, d))),
+    "q_bootstrap_ci" -> ((s, d) => bootstrapCi(Tables.events(s, d))),
+    "q_conformal" -> ((s, d) => conformalInterval(Tables.events(s, d))),
     "q_flag_summary" -> ((s, d) => flagSummary(Tables.events(s, d))),
     "q_ohlc_bars" -> ((s, d) => ohlcBars(Tables.events(s, d))),
     "q_reconcile" -> ((s, d) => reconcile(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -3587,6 +3698,47 @@ object Monitoring {
         "floor(n_err / n / 0.01 * 10000) / 10000 AS burn_1h, " +
         "floor(e6 / n6 / 0.01 * 10000) / 10000 AS burn_6h, " +
         "(n_err / n / 0.01 >= 14.4 AND e6 / n6 / 0.01 >= 14.4) AS page FROM sr"),
+    "q_dp_histogram" ->
+      ("WITH dph AS (SELECT epoch_ms(ts) // 86400000 AS day, count(*) AS n FROM events GROUP BY 1), " +
+        "dpu AS (SELECT day, n, " +
+        "(('0x' || substr(md5('dp|' || day::VARCHAR), 1, 15))::BIGINT::DOUBLE + 0.5) " +
+        "/ 1152921504606846976.0 AS u FROM dph), " +
+        "dpl AS (SELECT day, n, " +
+        "-2.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)) AS lap FROM dpu) " +
+        "SELECT day, n, CAST(floor(lap * 1000000.0) AS BIGINT) AS lap_scaled, " +
+        "n + CAST(floor(lap + 0.5) AS BIGINT) AS released FROM dpl"),
+    "q_bootstrap_ci" ->
+      ("WITH bce AS (SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) cents, " +
+        "unnest(range(1, 41)) b FROM events), " +
+        "bcu AS (SELECT b, cents, " +
+        "(('0x' || substr(md5('boot|' || event_id::VARCHAR || '#' || b::VARCHAR), 1, 15))::BIGINT::DOUBLE + 0.5) " +
+        "/ 1152921504606846976.0 AS u FROM bce), " +
+        "bcw AS (SELECT b, cents, CASE " +
+        poissonThresholds.zipWithIndex
+          .map { case (t, k) => s"WHEN u < ${plainD(t)} THEN $k " }.mkString +
+        s"ELSE ${poissonThresholds.size} END AS w FROM bcu), " +
+        "bcm AS (SELECT b::BIGINT b, sum(w)::BIGINT n_eff, sum(w * cents)::BIGINT wsum_cents " +
+        "FROM bcw GROUP BY 1) " +
+        "SELECT b, n_eff, wsum_cents, " +
+        "floor(wsum_cents / n_eff / 100 * 10000) / 10000 AS mean_usd, " +
+        "row_number() OVER (ORDER BY wsum_cents / n_eff, b)::BIGINT AS rnk FROM bcm"),
+    "q_conformal" ->
+      ("WITH cfb AS (SELECT event_id, event_type, " +
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) cents, event_id % 2 AS half FROM events), " +
+        "cfm AS (SELECT event_type, count(*)::BIGINT n_train, " +
+        "CAST((sum(cents)::HUGEINT * 1000000) // count(*) AS BIGINT) mu_scaled " +
+        "FROM cfb WHERE half = 0 GROUP BY 1), " +
+        "cfc AS (SELECT c.event_type, m.n_train, m.mu_scaled, " +
+        "abs(c.cents * 1000000 - m.mu_scaled) AS score, c.event_id " +
+        "FROM cfb c JOIN cfm m USING (event_type) WHERE c.half = 1), " +
+        "cfr AS (SELECT *, row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY score, event_id) rnk, count(*) OVER (PARTITION BY event_type) n_cal " +
+        "FROM cfc) " +
+        "SELECT event_type, n_train, n_cal::BIGINT AS n_cal, mu_scaled, " +
+        "score AS qhat_scaled, " +
+        "floor((mu_scaled - score) / 1000000.0 / 100 * 10000) / 10000 AS lo_usd, " +
+        "floor((mu_scaled + score) / 1000000.0 / 100 * 10000) / 10000 AS hi_usd " +
+        "FROM cfr WHERE rnk = least(CAST(ceil((n_cal + 1) * 0.9) AS BIGINT), n_cal)"),
     "q_week_discord" ->
       ("WITH wd AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day, " +
         "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT c FROM events GROUP BY 1, 2), " +

@@ -1032,6 +1032,31 @@ object Similarity {
         graft.functions.Portable.trunc6(col("score")).as("score"), col("rrf_rnk"))
   }
 
+  /** Recall@k CURVE for the multi-probe ANN path — recall at k ∈
+    * {1, 5, 10} from ONE candidate pass, the sweep an index-tuning
+    * session reads instead of [[recallAtK]]'s single k=10 point (ANN
+    * error concentrates at small k, where one missed near-neighbor is
+    * 100% of the answer; the curve shows whether the banding holds
+    * there). Both top-k lists are computed once at k_max and sliced
+    * per k by rank — the k dimension is a 3-element explode over the
+    * k-rows-per-query relations, never a re-scan. */
+  def recallCurve(emb: DataFrame, queryIds: Seq[Long] = DefaultQueryIds,
+      ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    val kMax = ks.max
+    val ex = bruteForceTopK(emb, queryIds, kMax)
+      .select(col("q_id"), col("vec_id"), col("rnk"))
+    val an = annTopKMultiProbe(emb, queryIds, kMax)
+      .select(col("q_id"), col("vec_id"), col("rnk").as("rnk_a"))
+    ex.join(an, Seq("q_id", "vec_id"), "left")
+      .select(col("q_id"), col("rnk"), col("rnk_a"),
+        explode(array(ks.map(k => lit(k.toLong)): _*)).as("k"))
+      .filter(col("rnk") <= col("k"))
+      .groupBy(col("q_id"), col("k"))
+      .agg(sum(when(col("rnk_a").isNotNull && col("rnk_a") <= col("k"), 1L)
+        .otherwise(0L)).as("n_hit"))
+      .withColumn("recall", trunc4(col("n_hit") / col("k")))
+  }
+
   /** nDCG@k of exact retrieval under label relevance — the
     * position-aware sibling of [[labelRecall]] (precision@k says HOW
     * MANY neighbors share the query's label; nDCG says WHERE they
@@ -1229,6 +1254,7 @@ object Similarity {
     "q_calibration" -> ((s, d) => calibration(Tables.embeddings(s, d))),
     "q_dedup_semantic" -> ((s, d) => semanticDedup(Tables.embeddings(s, d))),
     "q_sim_recall" -> ((s, d) => recallAtK(Tables.embeddings(s, d), DefaultQueryIds)),
+    "q_recall_curve" -> ((s, d) => recallCurve(Tables.embeddings(s, d))),
     "q_vec_quantize" -> ((s, d) => quantizeAudit(Tables.embeddings(s, d))),
     "q_vec_pq" -> ((s, d) => pqEncode(Tables.embeddings(s, d))),
     "q_sim_topk_adc" -> ((s, d) => adcTopK(Tables.embeddings(s, d), DefaultQueryIds)),
@@ -1692,6 +1718,16 @@ object Similarity {
         "FROM sd_vl x JOIN sd_vl y ON x.list_id = y.list_id AND x.vec_id < y.vec_id) " +
         "SELECT vec_id, min(a_id) AS dup_of, count(*) AS n_dups, max(cos) AS best_cos " +
         "FROM sd_pr WHERE cos >= 0.4 GROUP BY vec_id"),
+    "q_recall_curve" ->
+      (s"WITH $vCte, $qsCte, $bitsBandsCte, $exactCtes, $annCtes, $annMpCtes, " +
+        "rc_ks AS (SELECT unnest([1, 5, 10]) AS k), " +
+        "rc AS (SELECT e.q_id, kk.k, " +
+        "sum(CASE WHEN a.rnk IS NOT NULL AND a.rnk <= kk.k THEN 1 ELSE 0 END)::BIGINT n_hit " +
+        "FROM ex_ranked e CROSS JOIN rc_ks kk " +
+        "LEFT JOIN amp_ranked a ON a.q_id = e.q_id AND a.vec_id = e.vec_id " +
+        "WHERE e.rnk <= kk.k GROUP BY 1, 2) " +
+        "SELECT q_id, k::BIGINT AS k, n_hit, " +
+        "floor(n_hit / k * 10000) / 10000 AS recall FROM rc"),
     "q_sim_recall" ->
       (s"WITH $vCte, $qsCte, $bitsBandsCte, $exactCtes, $annCtes, $annMpCtes, $ivfCtes, " +
         "ex10 AS (SELECT q_id, vec_id FROM ex_ranked WHERE rnk <= 10), " +

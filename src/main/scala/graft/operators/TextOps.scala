@@ -920,6 +920,87 @@ object TextOps {
       .toDF("rnk", "pair")
   }
 
+  /** Per-source tokenizer fertility under the corpus-learned BPE —
+    * the multilingual-tokenizer equity readout (how many subwords a
+    * source pays per word, and how many characters each subword
+    * carries): the number a vocab-sizing decision is judged by, per
+    * source rather than per document ([[bpeStats]] is the per-doc
+    * ledger). The apply side is the same codegen'd [[graft.functions
+    * .Bpe.BpeTokens]] projection — at 100 TB this is one map-side
+    * pass collapsing straight to |sources| rows. Oracled against the
+    * same sequential-replay vocab as q_text_bpe. */
+  def bpeFertility(docs: DataFrame, nMerges: Int = 32): DataFrame = {
+    val merges = bpeLearn(docs, nMerges)
+    val toks = graft.functions.TextHash.tokens(col("text"))
+    docs.select(col("source"),
+        size(filter(toks, t => length(t) > 0)).cast("long").as("nw"),
+        length(translate(col("text"), " ", "")).cast("long").as("nc"),
+        size(graft.functions.Bpe.bpeTokens(col("text"), merges)).cast("long").as("nb"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+        sum(col("nb")).as("n_subtokens"), sum(col("nc")).as("n_word_chars"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_subtokens"),
+        trunc4(col("n_subtokens") / col("n_words")).as("fertility"),
+        trunc4(col("n_word_chars") / col("n_subtokens")).as("chars_per_subtoken"))
+  }
+
+  /** T5-style span-corruption plan (Raffel et al. 2020): the masked-
+    * span schedule a denoising pretrain materializes per document.
+    * Deterministic and NON-OVERLAPPING by construction: token
+    * positions tile into `block`-sized blocks, each block masks one
+    * `spanLen`-token span whose offset is the 60-bit hash of
+    * (doc, block) mod (block − spanLen + 1) — ~spanLen/block of
+    * tokens masked (15% at 3/20, the T5 default), reproducible across
+    * engines/runs/shards, and no sequential overlap-resolution scan
+    * (the classic span-sampling loop) is ever needed. Pure per-row
+    * arithmetic: explode blocks, no shuffle at any scale. */
+  def spanCorruption(docs: DataFrame, block: Int = 20, spanLen: Int = 3): DataFrame = {
+    docs
+      .select(col("doc_id"),
+        size(graft.functions.TextHash.tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+      .select(col("doc_id"), col("n_tokens"),
+        explode(expr(s"sequence(0, (n_tokens - 1) div $block)")).as("blk"))
+      .select(col("doc_id"), col("n_tokens"), col("blk"),
+        (col("blk") * block +
+          pmod(hash60(concat(lit("span|"), col("doc_id").cast("string"),
+            lit("#"), col("blk").cast("string"))), lit((block - spanLen + 1).toLong))
+          + 1).as("start_pos"))
+      .filter(col("start_pos") <= col("n_tokens"))
+      .select(col("doc_id"), (col("blk") + 1).as("span_id"), col("n_tokens"),
+        col("start_pos"),
+        least(lit(spanLen.toLong), col("n_tokens") - col("start_pos") + 1).as("span_len"))
+  }
+
+  /** Temperature-sampled source interleaving (τ = 2, the multilingual
+    * pretraining standard — Conneau et al. 2020 sample sources ∝
+    * n^(1/τ)): the GLOBAL training order in which each source's
+    * hash-shuffled documents appear, source s's r-th doc at key
+    * r/√n_s — so smaller sources surface proportionally earlier
+    * (up-sampled) while every source stays internally shuffled. The
+    * first `topN` positions are the emitted schedule head.
+    *
+    * Scale: per-source shuffle ranks are PARTITIONED windows; the
+    * global head is orderBy+limit — a parallel TakeOrdered top-k,
+    * never a one-task global sort; the final row_number runs over the
+    * ≤ topN-row result. Key ties are exact: identical (r, n_s)
+    * integers give identical IEEE r/√n_s in both engines, and
+    * (source, r) totalizes the order. */
+  def trainMixOrder(docs: DataFrame, topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(hash60(concat(lit("mix|"), col("doc_id").cast("string"))), col("doc_id"))
+    val sizes = docs.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .join(broadcast(sizes), "source")
+      .withColumn("mkey", col("r") / sqrt(col("ns")))
+      .orderBy(col("mkey"), col("source"), col("r")).limit(topN)
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("mkey"), col("source"), col("r"))).cast("long"))
+      .select(col("pos"), col("doc_id"), col("source"), col("r"))
+  }
+
   /** DuckDB CTE chain replaying the SEQUENTIAL (one merge per round)
     * BPE learner, unrolled `nMerges` rounds — generated, not
     * hand-written. Round k from vocab v(k-1):
@@ -1559,6 +1640,9 @@ object TextOps {
     "q_source_contam" -> ((s, d) => sourceContamination(Tables.documents(s, d))),
     "q_text_bpe" -> ((s, d) => bpeStats(Tables.documents(s, d))),
     "q_bpe_merges" -> ((s, d) => bpeMerges(Tables.documents(s, d))),
+    "q_bpe_fertility" -> ((s, d) => bpeFertility(Tables.documents(s, d))),
+    "q_span_corruption" -> ((s, d) => spanCorruption(Tables.documents(s, d))),
+    "q_train_mix_order" -> ((s, d) => trainMixOrder(Tables.documents(s, d))),
     "q_text_langid" -> ((s, d) => langId(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => quality(Tables.documents(s, d))),
     "q_text_tokens" -> ((s, d) => tokenCounts(Tables.documents(s, d))),
@@ -1602,6 +1686,39 @@ object TextOps {
   val oracleSql: Map[String, String] = Map(
     "q_text_bpe" -> bpeStatsOracle(),
     "q_bpe_merges" -> bpeMergesOracle(),
+    "q_bpe_fertility" ->
+      ("WITH " + bpeOracleCtes(32) +
+        ", fin AS (SELECT w, len(syms)::BIGINT AS nb FROM v32), " +
+        "fw AS (SELECT t.source, t.doc_id, f.nb, length(t.w) AS wc " +
+        "FROM (SELECT source, doc_id, unnest(string_split(text, ' ')) AS w " +
+        "FROM documents) t JOIN fin f USING (w)), " +
+        "fd AS (SELECT source, doc_id, count(*)::BIGINT nw, sum(nb)::BIGINT nb, " +
+        "sum(wc)::BIGINT nc FROM fw GROUP BY 1, 2) " +
+        "SELECT source, count(*)::BIGINT AS n_docs, sum(nw)::BIGINT AS n_words, " +
+        "sum(nb)::BIGINT AS n_subtokens, " +
+        "floor(sum(nb)::BIGINT / sum(nw)::BIGINT * 10000) / 10000 AS fertility, " +
+        "floor(sum(nc)::BIGINT / sum(nb)::BIGINT * 10000) / 10000 AS chars_per_subtoken " +
+        "FROM fd GROUP BY 1"),
+    "q_span_corruption" ->
+      ("WITH spc AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT n_tokens " +
+        "FROM documents WHERE len(string_split(text, ' ')) >= 1), " +
+        "spb AS (SELECT doc_id, n_tokens, unnest(range(0, (n_tokens - 1) // 20 + 1)) blk " +
+        "FROM spc), " +
+        "sps AS (SELECT doc_id, n_tokens, blk, blk * 20 + " +
+        "(('0x' || substr(md5('span|' || doc_id::VARCHAR || '#' || blk::VARCHAR), 1, 15))::BIGINT % 18) + 1 " +
+        "AS start_pos FROM spb) " +
+        "SELECT doc_id, (blk + 1)::BIGINT AS span_id, n_tokens, start_pos::BIGINT AS start_pos, " +
+        "least(3, n_tokens - start_pos + 1)::BIGINT AS span_len " +
+        "FROM sps WHERE start_pos <= n_tokens"),
+    "q_train_mix_order" ->
+      ("WITH tms AS (SELECT source, count(*)::BIGINT ns FROM documents GROUP BY 1), " +
+        "tmr AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
+        "ORDER BY ('0x' || substr(md5('mix|' || doc_id::VARCHAR), 1, 15))::BIGINT, doc_id)::BIGINT r " +
+        "FROM documents), " +
+        "tmk AS (SELECT tmr.doc_id, tmr.source, tmr.r, tmr.r / sqrt(tms.ns) AS mkey " +
+        "FROM tmr JOIN tms USING (source)) " +
+        "SELECT row_number() OVER (ORDER BY mkey, source, r)::BIGINT AS pos, " +
+        "doc_id, source, r FROM tmk ORDER BY mkey, source, r LIMIT 100"),
     "q_corpus_triage" ->
       (pertCte + ", " +
         "tr_s AS (SELECT p.doc_id, string_split(p.text, ' ') AS toks, n.nt " +

@@ -1319,4 +1319,57 @@ class MonitoringSpec extends SparkSpec {
     assert(x.getAs[Double]("p50_gap") === 300.0)
     assert(math.abs(x.getAs[Double]("p90_gap") - 820.0) < 0.01)
   }
+
+  test("dpHistogram: deterministic seeded Laplace, noise matches the inverse CDF") {
+    val ev = Tables.events(spark, sf)
+    val a = Monitoring.dpHistogram(ev).collect().sortBy(_.getAs[Long]("day"))
+    val b = Monitoring.dpHistogram(ev).collect().sortBy(_.getAs[Long]("day"))
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq) // reproducible, not rand()
+    // recompute the draw for every day in plain Scala
+    val md = java.security.MessageDigest.getInstance("MD5")
+    a.foreach { r =>
+      val day = r.getAs[Long]("day")
+      val hex = md.digest(s"dp|$day".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val u = (h.toDouble + 0.5) / math.pow(2, 60)
+      val lap = -2.0 * math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      assert(r.getAs[Long]("lap_scaled") === math.floor(lap * 1e6).toLong)
+      assert(r.getAs[Long]("released") === r.getAs[Long]("n") + math.floor(lap + 0.5).toLong)
+    }
+  }
+
+  test("bootstrapCi: Poisson(1) weights conserve mass, ranks are a permutation") {
+    val ev = Tables.events(spark, sf)
+    val n = ev.count()
+    val r = Monitoring.bootstrapCi(ev).collect()
+    assert(r.length === 40)
+    assert(r.map(_.getAs[Long]("rnk")).sorted.toSeq === (1L to 40L))
+    // E[n_eff] = n, sd = sqrt(n): every replicate within 5 sd
+    r.foreach { x =>
+      val eff = x.getAs[Long]("n_eff")
+      assert(math.abs(eff - n) <= 5 * math.sqrt(n.toDouble),
+        s"replicate ${x.getAs[Long]("b")}: n_eff $eff vs n $n")
+    }
+  }
+
+  test("conformalInterval: qhat covers >= ceil(0.9(n+1)) of the calibration scores") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+    val out = Monitoring.conformalInterval(ev).collect()
+    assert(out.nonEmpty)
+    val base = ev.select(col("event_id"), col("event_type"),
+      expr("cast(floor(value * 100 + 0.5) as long)").as("cents"),
+      pmod(col("event_id"), lit(2L)).as("half"))
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val mu = r.getAs[Long]("mu_scaled")
+      val qhat = r.getAs[Long]("qhat_scaled")
+      val scores = base.filter(col("half") === 1 && col("event_type") === t)
+        .select(abs(col("cents") * 1000000L - mu).as("s")).collect().map(_.getLong(0))
+      val k = math.min(math.ceil((scores.length + 1) * 0.9).toLong, scores.length.toLong)
+      assert(scores.count(_ <= qhat) >= k, s"type $t: coverage below the conformal rank")
+      assert(r.getAs[Double]("lo_usd") <= r.getAs[Double]("hi_usd"))
+    }
+  }
 }

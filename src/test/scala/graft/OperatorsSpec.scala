@@ -328,6 +328,74 @@ class OperatorsSpec extends SparkSpec {
     assert(nh.exists(r => !r.isNullAt(0) && r.getAs[Int]("n") === 0))
   }
 
+  test("spanCorruption: spans are in-bounds, non-overlapping, ~15% of tokens masked") {
+    val docs = Tables.documents(spark, sf)
+    val spans = TextOps.spanCorruption(docs).collect()
+    assert(spans.nonEmpty)
+    spans.foreach { s =>
+      val start = s.getAs[Long]("start_pos"); val len = s.getAs[Long]("span_len")
+      assert(start >= 1 && len >= 1 && start + len - 1 <= s.getAs[Long]("n_tokens"))
+    }
+    // non-overlap within each doc
+    spans.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, ss) =>
+      val ivs = ss.map(s => (s.getAs[Long]("start_pos"),
+        s.getAs[Long]("start_pos") + s.getAs[Long]("span_len") - 1)).sortBy(_._1).toSeq
+      ivs.zip(ivs.drop(1)).foreach { case ((_, e1), (s2, _)) =>
+        assert(e1 < s2, "overlapping spans")
+      }
+    }
+    val nTok = docs.select(expr("sum(size(split(text, ' ')))")).head.getLong(0)
+    val masked = spans.map(_.getAs[Long]("span_len")).sum
+    val ratio = masked.toDouble / nTok
+    assert(ratio > 0.10 && ratio < 0.20, s"mask ratio $ratio out of the T5 band")
+  }
+
+  test("trainMixOrder: head is dense 1..N and up-samples small sources toward sqrt proportions") {
+    val docs = Tables.documents(spark, sf)
+    val head = TextOps.trainMixOrder(docs, topN = 100).collect()
+    assert(head.map(_.getAs[Long]("pos")).sorted.toSeq === (1L to 100L))
+    // within each source, ranks appear in order along the schedule
+    head.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val rs = rows.sortBy(_.getAs[Long]("pos")).map(_.getAs[Long]("r"))
+      assert(rs.toSeq === rs.sorted.toSeq)
+    }
+    // sqrt-temperature head shares: each source's count tracks
+    // 100·sqrt(n_s)/Σsqrt within rounding slack
+    val sizes = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    val denom = sizes.values.map(n => math.sqrt(n.toDouble)).sum
+    val got = head.groupBy(_.getAs[String]("source")).map { case (s, r) => s -> r.length }
+    sizes.foreach { case (s, n) =>
+      val expected = 100.0 * math.sqrt(n.toDouble) / denom
+      assert(math.abs(got.getOrElse(s, 0) - expected) <= 2,
+        s"source $s: ${got.getOrElse(s, 0)} head slots vs ~$expected")
+    }
+  }
+
+  test("bpeFertility: every source pays at least one subtoken per word and one char per subtoken") {
+    val r = TextOps.bpeFertility(Tables.documents(spark, sf)).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getAs[Long]("n_subtokens") >= x.getAs[Long]("n_words"))
+      assert(x.getAs[Double]("fertility") >= 1.0)
+      assert(x.getAs[Double]("chars_per_subtoken") >= 1.0)
+    }
+  }
+
+  test("recallCurve agrees with recallAtK at k=10 for the multi-probe method") {
+    val emb = Tables.embeddings(spark, sf)
+    val curve = Similarity.recallCurve(emb).collect()
+      .filter(_.getAs[Long]("k") == 10L)
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("recall")).toMap
+    val point = Similarity.recallAtK(emb, Similarity.DefaultQueryIds).collect()
+      .filter(_.getAs[String]("method") == "ann_mp")
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Double]("recall")).toMap
+    assert(curve.keySet === point.keySet)
+    curve.foreach { case (q, rec) =>
+      assert(math.abs(rec - point(q)) < 1e-9, s"q $q: curve $rec vs point ${point(q)}")
+    }
+  }
+
   test("ScaleUp.rotateEmbeddings: every clone > 0 gets a non-zero rotation") {
     import spark.implicits._
     // dim 64 = Similarity.Dim: the old clone*7+1 formula hit shift 0 at
