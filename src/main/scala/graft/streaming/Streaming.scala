@@ -634,6 +634,41 @@ object Streaming {
         col("event_type"), col("n"), col("cents")))
       .filter(col("event_type") =!= "__sentinel__")
 
+  /** Windowed ε-DP count release AS A STREAM —
+    * [[graft.operators.Monitoring.dpHistogram]]'s Laplace mechanism
+    * lifted onto watermark-FINALIZED hourly windows: the engine
+    * maintains exact windowed counts as streaming state, and the
+    * deterministic seeded noise (60-bit hash of the window start →
+    * exact power-of-two uniform → inverse CDF) is applied as a
+    * projection over the finalized rows — noise must land on the
+    * FINAL count exactly once, never on incremental partials
+    * (additive noise does not commute with state updates, and a
+    * re-noised retraction would burn privacy budget). Windows are
+    * tagged by sentinel-membership inside the grouping key so the
+    * replay sentinels still advance the watermark without
+    * contaminating any released window. */
+  def streamDp(spark: SparkSession, dir: String,
+      watermarkMin: Long = 10L, epsilon: Double = 0.5): DataFrame = {
+    val b = 1.0 / epsilon
+    replay(spark, dir, in => in
+      .withWatermark("timestamp", s"$watermarkMin minutes")
+      .groupBy(window(col("timestamp"), "60 minutes").as("win"),
+        (col("event_type") === "__sentinel__").as("is_s"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_millis(col("win.start")).as("win_start_ms"),
+        col("is_s"), col("n")))
+      .filter(!col("is_s"))
+      .withColumn("u",
+        (graft.functions.TextHash.hash60(concat(lit("dpw|"),
+          col("win_start_ms").cast("string"))).cast("double") + 0.5)
+          / lit(1152921504606846976.0))
+      .withColumn("lap",
+        -lit(b) * signum(col("u") - 0.5) * log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5)))
+      .select(col("win_start_ms"), col("n"),
+        floor(col("lap") * 1e6).cast("long").as("lap_scaled"),
+        (col("n") + floor(col("lap") + lit(0.5)).cast("long")).as("released"))
+  }
+
   /** [[streamReplay]] over SLIDING windows — every event lands in
     * windowLen/slide overlapping windows (2 here), so the streaming
     * engine maintains several concurrent window states per event and
@@ -1166,6 +1201,7 @@ object Streaming {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_replay" -> ((s, d) => streamReplay(s, d)),
+    "q_stream_dp" -> ((s, d) => streamDp(s, d)),
     "q_stream_sessions" -> ((s, d) => streamSessions(s, d)),
     "q_stream_dedup" -> ((s, d) => streamDedup(s, d)),
     "q_stream_enrich" -> ((s, d) => streamEnrich(s, d)),
@@ -1213,6 +1249,16 @@ object Streaming {
       ("SELECT (epoch_ms(ts) // 3600000) * 3600000 AS h_ms, event_type, " +
         "count(DISTINCT user_id) AS n_unique_users FROM events GROUP BY 1, 2"),
     "q_stream_replay" -> tumblingOracle,
+    "q_stream_dp" ->
+      ("WITH sdh AS (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_start_ms, " +
+        "count(*) AS n FROM events GROUP BY 1), " +
+        "sdu AS (SELECT win_start_ms, n, " +
+        "(('0x' || substr(md5('dpw|' || win_start_ms::VARCHAR), 1, 15))::BIGINT::DOUBLE + 0.5) " +
+        "/ 1152921504606846976.0 AS u FROM sdh), " +
+        "sdl AS (SELECT win_start_ms, n, " +
+        "-2.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5)) AS lap FROM sdu) " +
+        "SELECT win_start_ms, n, CAST(floor(lap * 1000000.0) AS BIGINT) AS lap_scaled, " +
+        "n + CAST(floor(lap + 0.5) AS BIGINT) AS released FROM sdl"),
     "q_stream_dedup" -> tumblingOracle,
     "q_stream_enrich" ->
       ("SELECT (epoch_ms(ts) // 86400000) * 86400000 AS win_start_ms, c_nationkey, " +

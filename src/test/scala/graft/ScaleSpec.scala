@@ -833,6 +833,24 @@ class ScaleSpec extends SparkSpec {
     assert(hy <= 10)
   }
 
+  test("charEntropy is a single-pass map-only plan: no shuffle, no per-character explode") {
+    // the round-7 finding: the composed transform+explode form paid
+    // O(L²) substring seeks AND shuffled one row per character; the
+    // CharHist rewrite must keep the whole computation in the scan
+    // projection (one repartition from Portable.spread is the only
+    // exchange allowed — it moves doc rows, not characters)
+    val plan = SparkEntry.queries("q_char_entropy")(spark, sf)
+      .queryExecution.executedPlan
+    val nodes = planNodes(plan).map(_.getClass.getSimpleName)
+    assert(!nodes.exists(_.contains("Generate")),
+      s"per-character explode is back:\n${plan.treeString}")
+    assert(!nodes.exists(_.contains("HashAggregate")),
+      s"histogram re-aggregation is back (CharHist already returns it):\n${plan.treeString}")
+    val exchanges = nodes.count(_.contains("ShuffleExchange"))
+    assert(exchanges <= 1, // the spread repartition only
+      s"$exchanges shuffles in a map-only kernel:\n${plan.treeString}")
+  }
+
   test("global-window sweep: no driver query plans a global window over an uncollapsed relation") {
     // the regression gate behind the decileStats/rfm rewrites: walk
     // EVERY SparkEntry query's physical plan (descending into AQE
