@@ -12,10 +12,18 @@ import org.apache.spark.sql.functions._
   *
   * Design (what makes the copy measurement-honest):
   *  - every key space is offset by `clone · 10M`, applied CONSISTENTLY
-  *    across tables (c_custkey, o_custkey and events.user_id share the
-  *    offset), so intra-clone joins behave exactly like the original
-  *    and cross-clone keys never collide; nation/region dims stay
-  *    shared, like a real multi-tenant load.
+  *    across tables (c_custkey, o_custkey, events.user_id AND the
+  *    merchant key inside events.props share the offset), so
+  *    intra-clone joins behave exactly like the original and
+  *    cross-clone keys never collide; nation/region dims stay shared,
+  *    like a real multi-tenant load.
+  *  - events additionally shift clone·35 days, so clones occupy
+  *    DISJOINT months: per-(merchant, hour) cells, day buckets and
+  *    watermark horizons keep their original density while history
+  *    grows 10× — scale without densification, the same contract the
+  *    embedding rotation keeps (the shared-merchant/shared-time form
+  *    was measured turning the cell-guarded pair ops Θ(density²):
+  *    q_graph_triangles 102× at 10× data).
   *  - clone 0 is the identity — the original rows survive byte-exact.
   *  - `documents.text` is re-tokenized with every 5th token (phase
   *    shifted per clone) replaced by a clone-salted hash token:
@@ -33,9 +41,10 @@ import org.apache.spark.sql.functions._
   *    clones landed in identical LSH bands and q_knn_graph's candidate
   *    volume went quadratic — 21× time at 10× data; rotation restores
   *    the ~linear candidate growth).
-  *  - `events.ts` round-trips in its on-disk representation (raw nanos
-  *    under `nanosAsLong`), so the scaled directory reads through
-  *    [[Tables.events]] exactly like a driver-generated one.
+  *  - `events.ts` stays in its on-disk representation (raw nanos under
+  *    `nanosAsLong`; the clone shift is integer nano arithmetic), so
+  *    the scaled directory reads through [[Tables.events]] exactly
+  *    like a driver-generated one.
   */
 object ScaleUp {
   private val Stride = 10000000L
@@ -81,8 +90,37 @@ object ScaleUp {
     rep("lineitem")(_.withColumn("l_orderkey", off("l_orderkey"))
       .withColumn("l_partkey", off("l_partkey"))
       .withColumn("l_suppkey", off("l_suppkey")))
-    rep("events")(_.withColumn("event_id", off("event_id"))
-      .withColumn("user_id", off("user_id")))
+    // events scale on the two axes a real 10× business grows along —
+    // MORE KEYS and LONGER HISTORY — never densification:
+    //  - the merchant key inside props gets the SAME clone offset as
+    //    every other key (it was the one key the offset rule missed:
+    //    shared merchants made every (merchant, hour) cell 10× denser,
+    //    and the cell-guarded pair ops measured Θ(density²) — the
+    //    full-board sf1 run read q_graph_triangles at 102× for 10×
+    //    data from exactly this);
+    //  - each clone shifts by clone·35 days (the 30-day span + a gap),
+    //    so clones occupy disjoint months: per-day/hour bucket
+    //    populations, watermark horizons and week counts all stay at
+    //    ORIGINAL density while the history grows 10× — the same
+    //    "10× data at original local density" contract the embedding
+    //    rotation and document token-salting keep.
+    rep("events") { df =>
+      // ts arrives as TIMESTAMP(MICROS)/NTZ from the generated corpus,
+      // or as raw nano longs under the nanosAsLong read path — shift
+      // whichever representation is on disk
+      val shifted = df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", col("ts") + col("clone") * lit(35L * 86400000000000L))
+        case _ =>
+          df.withColumn("ts", expr("timestampadd(DAY, cast(clone * 35 as int), ts)"))
+      }
+      shifted.withColumn("event_id", off("event_id"))
+        .withColumn("user_id", off("user_id"))
+        .withColumn("props", expr(
+          // the corpus writes props as exactly {"k": N}; rebuild with the
+          // offset key and keep any other shape untouched
+          s"""IF(props RLIKE '^\\\\{"k": [0-9]+\\\\}$$', concat('{"k": ', cast(get_json_object(props, '$$.k') as bigint) + clone * ${Stride}L, '}'), props)"""))
+    }
     rep("documents") { df =>
       val perturbed = array_join(
         expr("transform(split(text, ' '), (t, i) -> " +

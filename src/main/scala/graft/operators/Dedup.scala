@@ -636,9 +636,18 @@ object Dedup {
   }
 
   /** [[fuzzyEditPairs]] without the eager checkpoint, exposing the
-    * cached base for plan inspection / lifecycle control. */
+    * cached base for plan inspection / lifecycle control.
+    *
+    * `maxBlock` is the hub guard the other pair generators already
+    * carry (coEdges' maxCell, containment's maxDf): a prefix block
+    * with hundreds of members is boilerplate — its Σ|block|²
+    * Levenshtein DPs dominate the whole job while identifying nothing
+    * (the full-board sf1 run measured 16× for 10× data through one
+    * such block before the cap existed). Dropped blocks are dropped
+    * WHOLE, so the kept pair set is still exact within every surviving
+    * block — the containment-maxDf trade, documented not hidden. */
   private[graft] def fuzzyEditPairsLazy(docs: DataFrame, maxDist: Int = 2,
-      cap: Int = 120): (DataFrame, DataFrame) = {
+      cap: Int = 120, maxBlock: Long = 64L): (DataFrame, DataFrame) = {
     // spread BEFORE persist: the corpus parquet arrives as 1-2 splits,
     // which would serialize the O(cap²) Levenshtein DP on 1-2 cores —
     // the probe side's parallelism is the cached relation's (measured
@@ -646,7 +655,11 @@ object Dedup {
     val base = spread(
       typoCorpus(docs)
         .select(col("doc_id"), substring(col("nt"), 1, cap).as("t"))
-        .withColumn("blk", substring(col("t"), 1, 12)))
+        .withColumn("blk", substring(col("t"), 1, 12))
+        .withColumn("blk_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("blk"))))
+        .filter(col("blk_n") <= maxBlock)
+        .drop("blk_n"))
       .persist()
     val a = base.select(col("blk"), col("doc_id").as("id_a"), col("t").as("t_a"))
     val b = base.select(col("blk"), col("doc_id").as("id_b"), col("t").as("t_b"))
@@ -866,9 +879,11 @@ object Dedup {
         s"SELECT doc_id + ${TextOps.PerturbOffset}, " +
         "substr(nt, 1, CAST(13 + doc_id % 8 AS INT) - 1) || " +
         "substr(nt, CAST(13 + doc_id % 8 AS INT) + 1, 16777216) FROM n), " +
-        "bl AS (SELECT doc_id, substr(nt, 1, 120) t, substr(nt, 1, 12) blk FROM c) " +
+        "bl AS (SELECT doc_id, substr(nt, 1, 120) t, substr(nt, 1, 12) blk FROM c), " +
+        "blc AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY blk) blk_n FROM bl) " +
+        "WHERE blk_n <= 64) " +
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.t, b.t)::BIGINT AS dist " +
-        "FROM bl a JOIN bl b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
+        "FROM blc a JOIN blc b ON a.blk = b.blk AND a.doc_id < b.doc_id " +
         "WHERE levenshtein(a.t, b.t) <= 2"),
     "q_dedup_simhash" ->
       (simhashCte + " SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS n_same FROM fp"),

@@ -212,6 +212,37 @@ object ScaleOps {
       .agg(sum(col("pn")).cast("long").as("n"), r2(sum(col("psum"))).as("sum_value"))
   }
 
+  /** Incremental JOIN maintenance — [[incrAgg]]'s sibling for the
+    * binary operator: with orders = O ⊎ ΔO and lineitem = L ⊎ ΔL, the
+    * new join rows a refresh must append are exactly
+    * ΔO⋈L ∪ O⋈ΔL ∪ ΔO⋈ΔL — the textbook delta decomposition every
+    * IVM engine executes (ΔJ never touches O⋈L, so a 100 TB
+    * materialized join refreshes at Δ-proportional cost, with the Δ
+    * sides small enough to broadcast). Splits are deterministic key
+    * mods; the emitted row is the delta's aggregate footprint
+    * (exact count + cents).
+    *
+    * The oracle derives the SAME number the OTHER way — full-join
+    * aggregate MINUS state-join aggregate (counts and integer sums
+    * are additive) — so the gate checks the decomposition theorem
+    * itself, not a replay of our plan (the [[graft.operators.TextOps
+    * .bpeStatsOracle]] cross-derivation discipline). */
+  def incrJoin(spark: SparkSession, dir: String, deltaMod: Long = 97L): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), (pmod(col("o_orderkey"), lit(deltaMod)) === 0).as("od"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"),
+        (pmod(col("l_orderkey") + col("l_linenumber"), lit(deltaMod)) === 0).as("ld"))
+    def term(of: Column => Column, lf: Column => Column): DataFrame =
+      o.filter(of(col("od"))).join(l.filter(lf(col("ld"))),
+        col("o_orderkey") === col("l_orderkey"))
+        .select(col("cents"))
+    term(identity, !_).unionByName(term(!_, identity)).unionByName(term(identity, identity))
+      .agg(count(lit(1)).as("n_delta_rows"),
+        coalesce(sum(col("cents")), lit(0L)).as("delta_cents"))
+  }
+
   /** Sorted sequence export: repartition by user then sort WITHIN each
     * partition by (user, time) before writing — every output file
     * holds whole users in time order, so a downstream sequence-training
@@ -320,6 +351,7 @@ object ScaleOps {
     "q_skew_audit" -> ((s, d) => skewAudit(Tables.lineitem(s, d))),
     "q_global_rank" -> ((s, d) => globalRankEvents(Tables.events(s, d))),
     "q_incr_agg" -> ((s, d) => incrAgg(Tables.events(s, d))),
+    "q_incr_join" -> ((s, d) => incrJoin(s, d)),
     "q_bucketed_join" -> ((s, d) => bucketedRevenue(s, d)))
 
   /** The z-interleave as SQL, generated from the same bit positions the
@@ -370,5 +402,17 @@ object ScaleOps {
     // the oracle is the FULL recompute: state ⊎ delta must equal it
     "q_incr_agg" ->
       ("SELECT user_id, count(*) AS n, round(sum(value), 2) AS sum_value " +
-        "FROM events GROUP BY user_id"))
+        "FROM events GROUP BY user_id"),
+    // cross-derivation: full-join totals minus state-join totals must
+    // equal the three-term delta union the operator actually computes
+    "q_incr_join" ->
+      ("WITH ij AS (SELECT o.o_orderkey, o_orderkey % 97 = 0 AS od, " +
+        "(l.l_orderkey + l.l_linenumber) % 97 = 0 AS ld, " +
+        "CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) cents " +
+        "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey), " +
+        "f AS (SELECT count(*) n, coalesce(sum(cents), 0)::BIGINT c FROM ij), " +
+        "s AS (SELECT count(*) n, coalesce(sum(cents), 0)::BIGINT c FROM ij " +
+        "WHERE NOT od AND NOT ld) " +
+        "SELECT (f.n - s.n)::BIGINT AS n_delta_rows, " +
+        "(f.c - s.c)::BIGINT AS delta_cents FROM f, s"))
 }

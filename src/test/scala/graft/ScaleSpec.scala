@@ -833,6 +833,40 @@ class ScaleSpec extends SparkSpec {
     assert(hy <= 10)
   }
 
+  test("ScaleUp events: clones offset merchants and occupy disjoint months (no densification)") {
+    val out = Files.createTempDirectory("graft-scaleup").toString
+    ScaleUp.scaleAll(spark, sf, out, factor = 3)
+    val ev = Tables.events(spark, out)
+      .select(col("ts_ms"), col("user_id"),
+        expr("cast(get_json_object(props, '$.k') as long)").as("m"))
+    val src = Tables.events(spark, sf)
+    // 3× rows, 3× distinct merchants (the key-offset rule now includes
+    // the props merchant key)
+    assert(ev.count() === 3 * src.count())
+    val srcM = src.selectExpr("count(distinct get_json_object(props, '$.k'))").head.getLong(0)
+    assert(ev.select(countDistinct(col("m"))).head.getLong(0) === 3 * srcM)
+    // clone time ranges are pairwise disjoint — per-day/hour cell
+    // density stays ORIGINAL (the q_graph_triangles 102× lesson)
+    val ranges = ev.withColumn("clone", expr("user_id div 10000000"))
+      .groupBy(col("clone")).agg(min(col("ts_ms")).as("lo"), max(col("ts_ms")).as("hi"))
+      .collect().map(r => (r.getAs[Long]("clone"), r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+      .sortBy(_._1)
+    assert(ranges.length === 3)
+    ranges.zip(ranges.drop(1)).foreach { case ((_, _, hi1), (_, lo2, _)) =>
+      assert(hi1 < lo2, "clone time ranges overlap — densification is back")
+    }
+    // intra-clone structure is byte-exact: clone 1's (user, merchant,
+    // ts) triples are clone 0's shifted by the documented constants
+    val c0 = ev.filter(col("user_id") < 10000000L)
+      .select(col("user_id"), col("m"), col("ts_ms")).collect()
+      .map(r => (r.getLong(0) + 10000000L, r.getLong(1) + 10000000L,
+        r.getLong(2) + 35L * 86400000L)).toSet
+    val c1 = ev.filter(col("user_id") >= 10000000L && col("user_id") < 20000000L)
+      .select(col("user_id"), col("m"), col("ts_ms")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(c1 === c0)
+  }
+
   test("charEntropy is a single-pass map-only plan: no shuffle, no per-character explode") {
     // the round-7 finding: the composed transform+explode form paid
     // O(L²) substring seeks AND shuffled one row per character; the
