@@ -1,6 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Per-query floors from a prior run's bench_last.json. Floors only
+    * transfer between runs of the SAME scale factor — an sf0.001 smoke
+    * run must not set 2.5× rerun bars for an sf0.1 run — and failed
+    * (-1) entries never become floors. */
+  private[graft] def parseFloors(txt: String, sfDir: String): Map[String, Double] = {
+    val qstart = txt.indexOf("\"queries\":{")
+    val sameSf = txt.contains(s""""sf":"$sfDir"""")
+    if (qstart < 0 || !sameSf) Map.empty else {
+      val body = txt.substring(qstart + 11, txt.indexOf('}', qstart))
+      """"([A-Za-z0-9_]+)":(-?[0-9.eE+-]+)""".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter(_._2 >= 0).toMap
+    }
+  }
+
+  /** The rerun set: every query whose first run exceeds
+    * max(2.5 × its same-sf floor, 3 s), slowest first, capped at 15 —
+    * so a steal phantom ANYWHERE in the board gets its rerun (the old
+    * fixed top-5 let phantoms ranked 6th+ keep inflated readings) while
+    * a globally slow host can't double the whole run. */
+  private[graft] def rerunCandidates(results: Seq[(String, Double)],
+      floors: Map[String, Double]): Seq[String] =
+    results.filter { case (n, t) =>
+      t >= 0 && t > math.max(floors.get(n).map(_ * 2.5).getOrElse(0.0), 3.0)
+    }.sortBy(-_._2).take(15).map(_._1)
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -70,23 +95,11 @@ object Bench {
     // globally-slow host can't double the whole run.
     val priorFloor: Map[String, Double] = try {
       val p = java.nio.file.Paths.get(benchOutPath)
-      if (java.nio.file.Files.exists(p)) {
-        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        val qstart = txt.indexOf("\"queries\":{")
-        // floors only transfer between runs of the SAME scale factor —
-        // an sf0.001 smoke run must not set 2.5× bars for an sf0.1 run
-        val sameSf = txt.contains(s""""sf":"$sfDir"""")
-        if (qstart < 0 || !sameSf) Map.empty else {
-          val body = txt.substring(qstart + 11, txt.indexOf('}', qstart))
-          """"([A-Za-z0-9_]+)":(-?[0-9.eE+-]+)""".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble)
-            .filter(_._2 >= 0).toMap
-        }
-      } else Map.empty
+      if (java.nio.file.Files.exists(p))
+        parseFloors(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"), sfDir)
+      else Map.empty
     } catch { case _: Throwable => Map.empty }
-    val rerunNames = results.filter { case (n, t) =>
-      t >= 0 && t > math.max(priorFloor.get(n).map(_ * 2.5).getOrElse(0.0), 3.0)
-    }.sortBy(-_._2).take(15).map(_._1)
+    val rerunNames = rerunCandidates(results, priorFloor)
     val reruns: Map[String, Double] = rerunNames.map { name =>
       val t0 = System.nanoTime()
       val ok = try { SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count(); true }

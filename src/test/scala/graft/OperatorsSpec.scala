@@ -396,6 +396,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Bench rerun policy: floor-relative suspects, sf-scoped floors, phantom anywhere gets a slot") {
+    val floors = Bench.parseFloors(
+      """{"metric":"total","value":9.9,"unit":"sec","queries":{"q_a":1.0,"q_b":0.4,"q_fail":-1},""" +
+        """"reruns":{"q_a":{"first":3.0,"rerun":1.0}},"sf":"/data/sf0.1"}""",
+      "/data/sf0.1")
+    assert(floors === Map("q_a" -> 1.0, "q_b" -> 0.4)) // -1 failure never a floor
+    // wrong sf → no floors transfer (an sf0.001 smoke must not set bars)
+    assert(Bench.parseFloors("""{"queries":{"q_a":1.0},"sf":"/data/sf0.001"}""",
+      "/data/sf0.1") === Map.empty)
+    // q_a at 2.4x floor: not suspect; q_a at 2.6x floor AND > 3s: suspect
+    // q_b small in absolute terms: never suspect below the 3s bar
+    // q_new (no floor) uses the 3s bar alone; failures excluded
+    val res = Seq("q_a" -> 2.4, "q_b" -> 1.2, "q_new" -> 2.9, "q_fail" -> -1.0)
+    assert(Bench.rerunCandidates(res, floors) === Seq.empty)
+    val res2 = Seq("q_a" -> 3.1, "q_new" -> 3.4, "q_b" -> 0.9)
+    assert(Bench.rerunCandidates(res2, floors).toSet === Set("q_a", "q_new"))
+    // cap at 15, slowest first
+    val many = (1 to 30).map(i => s"q_$i" -> (3.0 + i))
+    val picked = Bench.rerunCandidates(many, Map.empty)
+    assert(picked.length === 15 && picked.head === "q_30")
+  }
+
   test("ScaleUp.rotateEmbeddings: every clone > 0 gets a non-zero rotation") {
     import spark.implicits._
     // dim 64 = Similarity.Dim: the old clone*7+1 formula hit shift 0 at
