@@ -1326,13 +1326,20 @@ object Monitoring {
     *
     * Order-independence discipline: NO double is ever summed across
     * rows. One per-user hash-agg yields integer cent pairs; one
-    * 5-sum aggregate (n, Σx, Σy, Σx², Σxy — all exact BIGINTs at
-    * these magnitudes) per variant plus pooled; θ, the adjusted
-    * means, and the adjusted variances all EXPAND ALGEBRAICALLY over
-    * those sums (var_adj = var_y + θ²·var_x − 2θ·cov), so both
-    * engines run the same scalar IEEE expression on identical exact
-    * integers. The pre/post split day is the corpus midpoint,
-    * broadcast from a scalar aggregate. */
+    * 5-sum aggregate (n, Σx, Σy, Σx², Σxy) per variant plus pooled;
+    * θ, the adjusted means, and the adjusted variances all EXPAND
+    * ALGEBRAICALLY over those sums (var_adj = var_y + θ²·var_x −
+    * 2θ·cov), so both engines run the same scalar IEEE expression on
+    * identical exact integers. The pre/post split day is the corpus
+    * midpoint, broadcast from a scalar aggregate.
+    *
+    * All sums and cross-products run in DECIMAL(38,0) (HUGEINT on the
+    * oracle side): the first full-board sf1 run overflowed `n·Σx²` in
+    * BIGINT (1.3e19 at just 15k users × month-long spend), and at
+    * 10⁹-user scale even Σy crosses 2⁶³ — so every product widens and
+    * only the final ratios cast to double (the weekDiscord/markov
+    * discipline). Exactness bound: n·Σx² ≤ 10³⁸ holds to ~10⁹ users ×
+    * ~10¹⁰ lifetime cents. */
   def abCuped(ev: DataFrame): DataFrame = {
     val base = ev.select(col("user_id"), expr("ts_ms div 86400000").as("day"),
       floor(col("value") * 100 + 0.5).cast("long").as("cents"))
@@ -1346,16 +1353,17 @@ object Monitoring {
           concat(lit("ab|"), col("user_id").cast("string"))), lit(2L)) === 0, "A")
           .otherwise("B"))
       .persist() // feeds the pooled AND the per-variant sum aggregates
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     def sums(df: DataFrame, keys: Seq[Column]) = df.groupBy(keys: _*).agg(
-      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
-      sum(col("y") * col("y")).as("syy"))
+      count(lit(1)).as("n"), sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+      sum(dec(col("x")) * col("x")).as("sxx"), sum(dec(col("x")) * col("y")).as("sxy"),
+      sum(dec(col("y")) * col("y")).as("syy"))
     val pooled = sums(per, Seq.empty)
       .select(col("n").as("np"), col("sx").as("sxp"), col("sy").as("syp"),
         col("sxx").as("sxxp"), col("sxy").as("sxyp"))
       .withColumn("theta",
-        (col("np") * col("sxyp") - col("sxp") * col("syp")).cast("double") /
-          (col("np") * col("sxxp") - col("sxp") * col("sxp")).cast("double"))
+        (dec(col("np")) * col("sxyp") - col("sxp") * col("syp")).cast("double") /
+          (dec(col("np")) * col("sxxp") - col("sxp") * col("sxp")).cast("double"))
       .withColumn("mean_x_pool", col("sxp").cast("double") / col("np"))
     val result = sums(per, Seq(col("variant")))
       .crossJoin(broadcast(pooled))
@@ -1363,11 +1371,11 @@ object Monitoring {
       .withColumn("mean_x", col("sx").cast("double") / col("n"))
       .withColumn("mean_adj",
         col("mean_y") - col("theta") * (col("mean_x") - col("mean_x_pool")))
-      .withColumn("var_y", (col("n") * col("syy") - col("sy") * col("sy")).cast("double") /
+      .withColumn("var_y", (dec(col("n")) * col("syy") - col("sy") * col("sy")).cast("double") /
         (col("n").cast("double") * col("n")))
-      .withColumn("var_x", (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+      .withColumn("var_x", (dec(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double") /
         (col("n").cast("double") * col("n")))
-      .withColumn("cov_xy", (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      .withColumn("cov_xy", (dec(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
         (col("n").cast("double") * col("n")))
       .withColumn("var_adj", col("var_y") + col("theta") * col("theta") * col("var_x") -
         lit(2.0) * col("theta") * col("cov_xy"))
@@ -3417,19 +3425,19 @@ object Monitoring {
         "sum(CASE WHEN day >= mid THEN cents ELSE 0 END)::BIGINT AS y, " +
         "CASE WHEN ('0x'||substr(md5('ab|'||user_id),1,15))::BIGINT % 2 = 0 " +
         "THEN 'A' ELSE 'B' END AS variant FROM b CROSS JOIN md GROUP BY user_id), " +
-        "pool AS (SELECT count(*) AS np, sum(x)::BIGINT AS sxp, sum(y)::BIGINT AS syp, " +
-        "sum(x * x)::BIGINT AS sxxp, sum(x * y)::BIGINT AS sxyp FROM per), " +
+        "pool AS (SELECT count(*) AS np, sum(x::HUGEINT) AS sxp, sum(y::HUGEINT) AS syp, " +
+        "sum(x::HUGEINT * x) AS sxxp, sum(x::HUGEINT * y) AS sxyp FROM per), " +
         "th AS (SELECT np, sxp, " +
-        "(np * sxyp - sxp * syp)::DOUBLE / (np * sxxp - sxp * sxp)::DOUBLE AS theta, " +
+        "(np::HUGEINT * sxyp - sxp * syp)::DOUBLE / (np::HUGEINT * sxxp - sxp * sxp)::DOUBLE AS theta, " +
         "sxp::DOUBLE / np AS mean_x_pool FROM pool), " +
-        "v AS (SELECT variant, count(*) AS n, sum(x)::BIGINT AS sx, " +
-        "sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx, " +
-        "sum(x * y)::BIGINT AS sxy, sum(y * y)::BIGINT AS syy FROM per GROUP BY 1), " +
+        "v AS (SELECT variant, count(*) AS n, sum(x::HUGEINT) AS sx, " +
+        "sum(y::HUGEINT) AS sy, sum(x::HUGEINT * x) AS sxx, " +
+        "sum(x::HUGEINT * y) AS sxy, sum(y::HUGEINT * y) AS syy FROM per GROUP BY 1), " +
         "ex AS (SELECT variant, n, theta, sy::DOUBLE / n AS mean_y, " +
         "sx::DOUBLE / n AS mean_x, mean_x_pool, " +
-        "(n * syy - sy * sy)::DOUBLE / (n::DOUBLE * n) AS var_y, " +
-        "(n * sxx - sx * sx)::DOUBLE / (n::DOUBLE * n) AS var_x, " +
-        "(n * sxy - sx * sy)::DOUBLE / (n::DOUBLE * n) AS cov_xy FROM v CROSS JOIN th), " +
+        "(n::HUGEINT * syy - sy * sy)::DOUBLE / (n::DOUBLE * n) AS var_y, " +
+        "(n::HUGEINT * sxx - sx * sx)::DOUBLE / (n::DOUBLE * n) AS var_x, " +
+        "(n::HUGEINT * sxy - sx * sy)::DOUBLE / (n::DOUBLE * n) AS cov_xy FROM v CROSS JOIN th), " +
         "f AS (SELECT variant, n, theta, mean_y, " +
         "mean_y - theta * (mean_x - mean_x_pool) AS mean_adj, var_y, " +
         "var_y + theta * theta * var_x - 2.0 * theta * cov_xy AS var_adj FROM ex) " +
