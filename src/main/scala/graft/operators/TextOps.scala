@@ -1001,6 +1001,30 @@ object TextOps {
       .select(col("pos"), col("doc_id"), col("source"), col("r"))
   }
 
+  /** BPE compression curve — corpus chars-per-subtoken as a function
+    * of merge-table size (k ∈ 8/16/32): the tokenizer-SIZING readout
+    * ([[vocabCoverage]] asks where a fixed word vocab stops paying;
+    * this asks how much each merge-budget doubling buys). ONE learner
+    * run; each point applies a rank-PREFIX of the merge list (a BPE
+    * merge table's prefixes are themselves valid merge tables — the
+    * property that makes the curve one pass instead of three learns).
+    * Oracled from the same sequential replay at rounds 8/16/32 — the
+    * intermediate vocabs the unrolled CTE chain already materializes. */
+  def bpeCurve(docs: DataFrame, ks: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    val merges = bpeLearn(docs, ks.max)
+    val perK = ks.map { k =>
+      docs.select(lit(k.toLong).as("n_merges"),
+        length(translate(col("text"), " ", "")).cast("long").as("nc"),
+        size(graft.functions.Bpe.bpeTokens(col("text"), merges.take(k)))
+          .cast("long").as("nb"))
+    }
+    perK.reduce(_.unionByName(_))
+      .groupBy(col("n_merges"))
+      .agg(sum(col("nb")).as("n_subtokens"), sum(col("nc")).as("n_chars"))
+      .select(col("n_merges"), col("n_subtokens"),
+        trunc4(col("n_chars") / col("n_subtokens")).as("chars_per_subtoken"))
+  }
+
   /** DuckDB CTE chain replaying the SEQUENTIAL (one merge per round)
     * BPE learner, unrolled `nMerges` rounds — generated, not
     * hand-written. Round k from vocab v(k-1):
@@ -1057,6 +1081,17 @@ object TextOps {
       (1 to nMerges).map(k => s"SELECT $k AS rnk, p FROM m$k").mkString(" UNION ALL ") +
       ") SELECT rnk::BIGINT AS rnk, p AS pair FROM mm " +
       "WHERE p <> chr(1) || ' ' || chr(1) ORDER BY rnk"
+
+  private[graft] def bpeCurveOracle(ks: Seq[Int] = Seq(8, 16, 32)): String =
+    "WITH " + bpeOracleCtes(ks.max) +
+      ", cvw AS MATERIALIZED (SELECT w FROM (SELECT unnest(string_split(text, ' ')) AS w " +
+      "FROM documents) WHERE length(w) > 0), " +
+      "cvc AS (SELECT sum(length(w))::BIGINT AS nc FROM cvw), " +
+      ks.map(k => s"cv$k AS (SELECT $k AS n_merges, sum(f.nb)::BIGINT AS n_subtokens " +
+        s"FROM cvw JOIN (SELECT w, len(syms)::BIGINT AS nb FROM v$k) f USING (w))").mkString(", ") +
+      " SELECT n_merges::BIGINT AS n_merges, n_subtokens, " +
+      "floor(nc / n_subtokens * 10000) / 10000 AS chars_per_subtoken FROM (" +
+      ks.map(k => s"SELECT * FROM cv$k").mkString(" UNION ALL ") + ") CROSS JOIN cvc"
 
   private[graft] def bpeStatsOracle(nMerges: Int = 32): String =
     "WITH " + bpeOracleCtes(nMerges) +
@@ -1641,6 +1676,7 @@ object TextOps {
     "q_text_bpe" -> ((s, d) => bpeStats(Tables.documents(s, d))),
     "q_bpe_merges" -> ((s, d) => bpeMerges(Tables.documents(s, d))),
     "q_bpe_fertility" -> ((s, d) => bpeFertility(Tables.documents(s, d))),
+    "q_bpe_curve" -> ((s, d) => bpeCurve(Tables.documents(s, d))),
     "q_span_corruption" -> ((s, d) => spanCorruption(Tables.documents(s, d))),
     "q_train_mix_order" -> ((s, d) => trainMixOrder(Tables.documents(s, d))),
     "q_text_langid" -> ((s, d) => langId(Tables.documents(s, d))),
@@ -1686,6 +1722,7 @@ object TextOps {
   val oracleSql: Map[String, String] = Map(
     "q_text_bpe" -> bpeStatsOracle(),
     "q_bpe_merges" -> bpeMergesOracle(),
+    "q_bpe_curve" -> bpeCurveOracle(),
     "q_bpe_fertility" ->
       ("WITH " + bpeOracleCtes(32) +
         ", fin AS (SELECT w, len(syms)::BIGINT AS nb FROM v32), " +
