@@ -382,6 +382,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("bpeCurve: more merges never increase subtoken count; prefix-32 equals bpeStats totals") {
+    val docs = Tables.documents(spark, sf)
+    val curve = TextOps.bpeCurve(docs).collect()
+      .map(r => r.getAs[Long]("n_merges") ->
+        (r.getAs[Long]("n_subtokens"), r.getAs[Double]("chars_per_subtoken"))).toMap
+    assert(curve.keySet === Set(8L, 16L, 32L))
+    assert(curve(8L)._1 >= curve(16L)._1 && curve(16L)._1 >= curve(32L)._1,
+      "a merge can only shrink the token stream")
+    assert(curve(8L)._2 <= curve(16L)._2 && curve(16L)._2 <= curve(32L)._2)
+    // the 32-merge point must agree with bpeStats' per-doc ledger
+    val total = TextOps.bpeStats(docs).agg(sum(col("n_bpe_tokens"))).head.getLong(0)
+    assert(curve(32L)._1 === total)
+  }
+
   test("recallCurve agrees with recallAtK at k=10 for the multi-probe method") {
     val emb = Tables.embeddings(spark, sf)
     val curve = Similarity.recallCurve(emb).collect()
