@@ -119,18 +119,23 @@ object Analytics {
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"))
 
-  /** Top-k customers by order revenue: broadcast dim join + agg + top-k. */
+  /** Top-k customers by order revenue: dim join + agg + top-k (the
+    * planner broadcasts customer while it fits; no forced hint — at
+    * 10⁹ customers a forced broadcast is the OOM, a shuffle join the
+    * plan you want). */
   def topCustomers(orders: DataFrame, customer: DataFrame, k: Int): DataFrame =
-    orders.join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+    orders.join(customer, orders("o_custkey") === customer("c_custkey"))
       .groupBy(col("c_custkey"), col("c_name"))
       .agg(r2(sum(col("o_totalprice"))).as("revenue"),
         count(lit(1)).as("n_orders"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(k)
 
-  /** Revenue by part brand: broadcast join fact→dim. */
+  /** Revenue by part brand: fact→dim join, strategy left to the
+    * planner (part grows with the corpus; only truly bounded dims keep
+    * forced hints). */
   def brandRevenue(li: DataFrame, part: DataFrame): DataFrame =
-    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+    li.join(part, li("l_partkey") === part("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
         count(lit(1)).as("n_items"))
@@ -140,7 +145,7 @@ object Analytics {
   def regionRevenue(customer: DataFrame, nation: DataFrame, region: DataFrame,
                     orders: DataFrame): DataFrame =
     orders
-      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(customer, orders("o_custkey") === customer("c_custkey"))
       .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy(col("r_name"))
@@ -215,7 +220,7 @@ object Analytics {
         (floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
           (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))).as("term"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+      .join(s, col("l_suppkey") === col("s_suppkey") &&
         col("s_nationkey") === col("c_nationkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
@@ -283,7 +288,7 @@ object Analytics {
       .agg(sum(col("term")).as("rev_scaled"))
     val mx = rev.agg(max(col("rev_scaled")).as("mx"))
     rev.join(broadcast(mx), col("rev_scaled") === col("mx"))
-      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+      .join(supplier.select(col("s_suppkey"), col("s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("rev_scaled"),
         graft.functions.Portable.trunc2(col("rev_scaled") / 10000.0).as("revenue"))
@@ -336,7 +341,7 @@ object Analytics {
       .withColumn("part_min", min(col("pair_min")).over(
         Window.partitionBy(col("l_partkey"))))
       .filter(col("pair_min") === col("part_min"))
-      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+      .join(supplier.select(col("s_suppkey"), col("s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("l_partkey"), col("s_suppkey"), col("s_name"),
         graft.functions.Portable.trunc4(col("part_min")).as("unit_price"))

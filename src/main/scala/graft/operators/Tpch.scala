@@ -442,7 +442,7 @@ object Tpch {
       .orderBy(col("numwait").desc, col("l_suppkey")).limit(k)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("numwait").desc, col("l_suppkey"))).cast("long"))
-    counts.join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+    counts.join(supplier.select(col("s_suppkey"), col("s_name")),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("numwait"), col("rnk"))
   }

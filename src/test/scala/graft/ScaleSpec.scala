@@ -885,6 +885,55 @@ class ScaleSpec extends SparkSpec {
       s"$exchanges shuffles in a map-only kernel:\n${plan.treeString}")
   }
 
+  test("broadcast-hint sweep: every forced broadcast in every driver query is bounded") {
+    // the negativeEdges lesson, board-wide: a user-forced broadcast()
+    // is a claim that the relation is SMALL AT ANY SCALE. Legitimate
+    // claims are (a) a collapsed relation — aggregate / limit /
+    // window-group limit below, (b) a literal inline relation (LUTs),
+    // (c) a k-per-key or id-filtered slice (bounded by literals), or
+    // (d) a scan of the bounded dimension tables (region/nation — the
+    // only tables whose cardinality does not grow with the corpus).
+    // A forced broadcast of an unbounded data-dependent relation is
+    // the 10⁹-row OOM the planner would have avoided on its own.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def bounded(p: LogicalPlan): Boolean = {
+      val nodes = p.collect { case n => n }
+      nodes.exists {
+        case _: Aggregate | _: GlobalLimit | _: LocalLimit | _: WindowGroupLimit => true
+        // literal LUT shapes: inline relations, ranges, driver-built
+        // k-row frames (nDCG's weight LUT and friends)
+        case _: LocalRelation | _: OneRowRelation | _: Range => true
+        case r: LeafNode if r.getClass.getSimpleName == "LogicalRDD" => true
+        case f: Filter =>
+          // literal id-membership or equality slice (query vectors,
+          // point lookups) — cardinality bound by the literal list
+          val s = f.condition.sql.toLowerCase
+          s.contains(" in (") || s.contains(" = ")
+        case r: LeafNode
+          // the bounded dimension tables (region/nation are the only
+          // relations whose cardinality does not grow with the corpus;
+          // recognized by their column namespace)
+          if r.output.nonEmpty &&
+            (r.output.forall(_.name.startsWith("n_")) ||
+              r.output.forall(_.name.startsWith("r_"))) => true
+        case _ => false
+      }
+    }
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, mk) =>
+      val hints = mk(spark, sf).queryExecution.analyzed.collect {
+        // only broadcast-strategy hints force a size claim; merge/shuffle
+        // hints (bucketed joins) are scale-safe by construction
+        case h: ResolvedHint if h.hints.strategy.exists(
+          _.toString.toUpperCase.contains("BROADCAST")) => h
+      }
+      hints.filterNot(h => bounded(h.child))
+        .foreach(h => offenders += s"$name:\n${h.child.treeString.take(800)}")
+    }
+    assert(offenders.isEmpty,
+      s"${offenders.length} unbounded forced broadcast(s):\n${offenders.mkString("\n\n")}")
+  }
+
   test("global-window sweep: no driver query plans a global window over an uncollapsed relation") {
     // the regression gate behind the decileStats/rfm rewrites: walk
     // EVERY SparkEntry query's physical plan (descending into AQE
