@@ -801,6 +801,56 @@ object Monitoring {
           col("d_scaled").cast("double") / (col("n1") * col("n2"))).as("ks_d"))
   }
 
+  /** Wasserstein-1 (earth-mover) amount drift between the window's
+    * two halves, per event type — the MAGNITUDE sibling of
+    * [[ksDrift]]: KS reports the worst ECDF gap (shape-sensitive,
+    * scale-free), W₁ reports how many DOLLARS of probability mass
+    * moved (⁠∫|F₁−F₂|dx⁠), which is what a spend-forecast owner
+    * actually budgets against. The integral is exact integer algebra
+    * on the merged cent support: at each distinct cent value the gap
+    * cross-multiplied by both sample sizes `|c₁·n₂ − c₂·n₁|` times
+    * the width to the next support point, summed in DECIMAL(38,0)
+    * (gap ≤ n₁·n₂ ~ 10¹⁸ before the width multiplies it), with ONE
+    * `div` at the end producing the 4-decimal dollar figure.
+    *
+    * Scale: events collapse to one row per (type, distinct cent) in a
+    * map-side-combined agg; the cumulative window is PARTITIONED by
+    * event type (never global), over the type's cent domain — the
+    * same domain-bounded justification as [[ksDrift]], now also
+    * parallel across types. */
+  def w1Drift(ev: DataFrame, splitDay: String = "2024-01-16"): DataFrame = {
+    val tagged = ev.select(col("event_type"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"),
+      when(col("ts") < lit(splitDay).cast("timestamp"), 1L).otherwise(2L).as("s"))
+    val perValue = tagged.groupBy(col("event_type"), col("cents"))
+      .agg(sum(when(col("s") === 1L, 1L).otherwise(0L)).as("a1"),
+        sum(when(col("s") === 2L, 1L).otherwise(0L)).as("a2"))
+      .persist() // feeds the CDF window AND the per-type totals
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+    val gaps = perValue
+      .withColumn("c1", sum(col("a1")).over(
+        byType.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("c2", sum(col("a2")).over(
+        byType.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("width", lead(col("cents"), 1).over(byType) - col("cents"))
+    val ns = perValue.groupBy(col("event_type"))
+      .agg(sum(col("a1")).as("n1"), sum(col("a2")).as("n2"))
+    val result = gaps.filter(col("width").isNotNull)
+      .join(ns, "event_type")
+      .groupBy(col("event_type"))
+      .agg(first(col("n1")).as("n1"), first(col("n2")).as("n2"),
+        sum(abs(col("c1").cast("decimal(38,0)") * col("n2") -
+          col("c2").cast("decimal(38,0)") * col("n1")) * col("width")).as("w1_num"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .withColumn("w1_scaled", expr(
+        "cast((w1_num * 10000) div (cast(n1 as decimal(38,0)) * n2 * 100) as bigint)"))
+      .select(col("event_type"), col("n1"), col("n2"), col("w1_scaled"),
+        (col("w1_scaled") / 10000.0).as("w1_dollars"))
+      .localCheckpoint(true) // |types| rows; releases the support cache
+    perValue.unpersist()
+    result
+  }
+
   /** Gini concentration of per-user spend — "how unequal is the
     * volume" in one number, the audit statistic behind heavy-hitter
     * monitoring. The rank formulation
@@ -1922,6 +1972,133 @@ object Monitoring {
     result
   }
 
+  /** Distinct l-diversity audit (Machanavajjhala et al. 2007) — the
+    * k-anonymity successor: a quasi-identifier group can be large (so
+    * k-anonymous) yet expose its members anyway when everyone in it
+    * shares the SAME sensitive value (the homogeneity attack).
+    * QI = (merchant, amount band), sensitive = event_type; a group
+    * violates l-diversity when it carries < l distinct sensitive
+    * values. Same collapsed-group machinery and report shape as
+    * [[kAnonymity]] — group sizes come from one distinct-projection
+    * aggregate, thresholds ride a literal frame, and the affected-user
+    * count joins the violating groups back to the slim projection. */
+  def lDiversity(ev: DataFrame, ls: Seq[Long] = Seq(2L, 3L)): DataFrame = {
+    val rows = ev
+      .select(get_json_object(col("props"), "$.k").as("merchant"),
+        floor(col("value") / 10).cast("long").as("band"),
+        col("event_type"), col("user_id"))
+      .distinct().persist() // feeds diversity counts AND the affected join
+    val gs = rows.groupBy(col("merchant"), col("band"))
+      .agg(countDistinct(col("event_type")).as("ndist"))
+      .persist()
+    val tot = gs.agg(count(lit(1)).as("n_groups"))
+    val ldf = rows.sparkSession.createDataFrame(ls.map(Tuple1(_))).toDF("l")
+    val flagged = gs.join(broadcast(ldf), col("ndist") < col("l"))
+    val perL = flagged.groupBy(col("l")).agg(count(lit(1)).as("n_violating"))
+    val affected = flagged.join(rows, Seq("merchant", "band"))
+      .groupBy(col("l")).agg(countDistinct(col("user_id")).as("n_affected_users"))
+    val result = perL.join(affected, Seq("l"), "left")
+      .withColumn("n_affected_users", coalesce(col("n_affected_users"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("l"), col("n_groups"), col("n_violating"), col("n_affected_users"),
+        trunc4(col("n_violating") / col("n_groups")).as("risk_share"))
+      .localCheckpoint(true) // |ls| rows; releases both caches
+    gs.unpersist(); rows.unpersist()
+    result
+  }
+
+  /** Minimum-generalization search for k-anonymity — the
+    * privacy-ENGINEERING step after [[kAnonymity]]'s audit says "not
+    * anonymous": coarsen the amount quasi-identifier through a fixed
+    * ladder (bands of 10 → 100 → 1000 → dropped) and report, per
+    * level, the group profile and whether EVERY group reaches size k —
+    * the first passing level is the minimum information loss that
+    * satisfies the policy (Sweeney's domain-generalization hierarchy,
+    * one attribute deep). All levels compute in ONE union-distinct +
+    * one grouped aggregate; the chosen-level flag is a window over the
+    * 4-row level relation. */
+  def kAnonGeneralize(ev: DataFrame, k: Long = 5L): DataFrame = {
+    val base = ev.select(get_json_object(col("props"), "$.k").as("merchant"),
+      col("event_type"), col("value"), col("user_id"))
+    val levels: Seq[(Long, Int)] = Seq(10L -> 0, 100L -> 1, 1000L -> 2, -1L -> 3)
+    val perLevel = levels.map { case (d, i) =>
+      base.select(lit(i.toLong).as("level"), col("merchant"), col("event_type"),
+        (if (d < 0) lit(0L) else floor(col("value") / d).cast("long")).as("band"),
+        col("user_id"))
+    }.reduce(_ unionByName _).distinct()
+    val gs = perLevel
+      .groupBy(col("level"), col("merchant"), col("event_type"), col("band"))
+      .agg(count(lit(1)).as("g"))
+    val lv = gs.groupBy(col("level"))
+      .agg(count(lit(1)).as("n_groups"), min(col("g")).as("min_group"))
+      .withColumn("k_ok", col("min_group") >= k)
+    lv.withColumn("first_ok",
+        min(when(col("k_ok"), col("level"))).over(Window.partitionBy()))
+      .select(col("level"), col("n_groups"), col("min_group"), col("k_ok"),
+        (col("first_ok").isNotNull && col("level") === col("first_ok")).as("chosen"))
+  }
+
+  /** t-closeness audit (Li et al., ICDE 2007) — completes the privacy
+    * triad after [[kAnonymity]] and [[lDiversity]]: a group can be
+    * large AND diverse yet still leak when its sensitive-value
+    * DISTRIBUTION differs sharply from the corpus-wide one (the
+    * skewness/similarity attacks). Per QI group (merchant, amount
+    * band) we compute the total-variation distance between the
+    * group's event-type distribution and the overall distribution,
+    * entirely in exact integer arithmetic over a common denominator:
+    * TVD = Σ|c_gs·N − c_s·n_g| / (2·n_g·N), where the sum over
+    * sensitive values ABSENT from the group collapses to the
+    * closed-form remainder n_g·(N − Σ_present c_s) — the same trick
+    * [[TextOps.sourceJsd]] uses, so the join only ever touches
+    * existing (group, value) cells, never |groups|×|domain|. All
+    * products ride DECIMAL(38,0) (c_gs·N overflows BIGINT at ~10⁹
+    * users × 10⁹ rows) and the threshold test `tvd·10 > t₁₀·2·n_g·N`
+    * and the reported 4-digit TVD (`div`, floor semantics) stay
+    * engine-exact. Output: one row per t₁₀ ∈ ts (t = t₁₀/10). */
+  def tCloseness(ev: DataFrame, ts: Seq[Long] = Seq(2L, 3L)): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val rows = ev
+      .select(get_json_object(col("props"), "$.k").as("merchant"),
+        floor(col("value") / 10).cast("long").as("band"),
+        col("event_type"), col("user_id"))
+      .distinct().persist() // feeds the cell counts AND the affected join
+    val cell = rows.groupBy(col("merchant"), col("band"), col("event_type"))
+      .agg(count(lit(1)).as("cgs")).persist() // feeds sens totals AND groups
+    val sens = cell.groupBy(col("event_type")).agg(sum(col("cgs")).as("cs"))
+    val tot = sens.agg(sum(col("cs")).as("bign"))
+    val grp = cell.groupBy(col("merchant"), col("band")).agg(sum(col("cgs")).as("ng"))
+    val gnum = cell.join(sens, "event_type")
+      .join(grp, Seq("merchant", "band"))
+      .crossJoin(broadcast(tot)) // 1-row scalar
+      .groupBy(col("merchant"), col("band"))
+      .agg(max(col("ng")).as("ng"), max(col("bign")).as("bign"),
+        (sum(abs(dec(col("cgs")) * col("bign") - dec(col("cs")) * col("ng"))) +
+          dec(max(col("ng"))) * (max(col("bign")) - sum(col("cs")))).as("tvd_num"))
+      .withColumn("den2", dec(col("ng")) * col("bign") * 2)
+      .persist() // feeds the total AND the per-t flags
+    val tot2 = gnum.agg(count(lit(1)).as("n_groups"))
+    val tdf = rows.sparkSession.createDataFrame(ts.map(Tuple1(_))).toDF("t_scaled")
+    val flagged = gnum.join(broadcast(tdf),
+        col("tvd_num") * 10 > col("t_scaled") * col("den2"))
+      .withColumn("tvd4", expr("cast((tvd_num * 10000) div den2 as bigint)"))
+    val perT = flagged.groupBy(col("t_scaled"))
+      .agg(count(lit(1)).as("n_violating"), max(col("tvd4")).as("max_tvd4"))
+    val affected = flagged.join(rows, Seq("merchant", "band"))
+      .groupBy(col("t_scaled")).agg(countDistinct(col("user_id")).as("n_affected_users"))
+    val result = tdf // |ts| rows; left side of an outer join is never broadcast
+      .join(perT, Seq("t_scaled"), "left")
+      .join(affected, Seq("t_scaled"), "left")
+      .crossJoin(broadcast(tot2))
+      .select(col("t_scaled"), col("n_groups"),
+        coalesce(col("n_violating"), lit(0L)).as("n_violating"),
+        coalesce(col("n_affected_users"), lit(0L)).as("n_affected_users"),
+        (coalesce(col("max_tvd4"), lit(0L)) / 10000.0).as("max_tvd"),
+        trunc4(coalesce(col("n_violating"), lit(0L)) / col("n_groups")).as("risk_share"))
+      .localCheckpoint(true) // |ts| rows; releases all caches
+    gnum.unpersist(); cell.unpersist(); rows.unpersist()
+    result
+  }
+
   /** Alert triage — the monitoring capstone over FOUR detector
     * families ([[flagSummary]] fuses two): per user, the flag counts
     * from [[structuring]], [[velocityBursts]], [[dormantAwakening]]
@@ -2870,6 +3047,10 @@ object Monitoring {
     "q_watermark_sizing" -> ((s, d) => watermarkSizing(Tables.events(s, d))),
     "q_alert_triage" -> ((s, d) => alertTriage(Tables.events(s, d))),
     "q_k_anon" -> ((s, d) => kAnonymity(Tables.events(s, d))),
+    "q_l_diversity" -> ((s, d) => lDiversity(Tables.events(s, d))),
+    "q_t_closeness" -> ((s, d) => tCloseness(Tables.events(s, d))),
+    "q_w1_drift" -> ((s, d) => w1Drift(Tables.events(s, d))),
+    "q_k_generalize" -> ((s, d) => kAnonGeneralize(Tables.events(s, d))),
     "q_mutual_info" -> ((s, d) => mutualInfo(Tables.events(s, d))),
     "q_volatility" -> ((s, d) => volatility(Tables.events(s, d))),
     "q_drawdown" -> ((s, d) => drawdown(Tables.events(s, d))),
@@ -3241,6 +3422,65 @@ object Monitoring {
         "coalesce(n_affected_users, 0)::BIGINT AS n_affected_users, " +
         "floor(n_violating / n_groups * 10000) / 10000 AS risk_share " +
         "FROM pk LEFT JOIN af USING (k) CROSS JOIN tot"),
+    "q_l_diversity" ->
+      ("WITH ldr AS (SELECT DISTINCT json_extract_string(props, '$.k') AS merchant, " +
+        "CAST(floor(value / 10) AS BIGINT) AS band, event_type, user_id FROM events), " +
+        "lgs AS (SELECT merchant, band, count(DISTINCT event_type) AS ndist " +
+        "FROM ldr GROUP BY 1, 2), " +
+        "ltot AS (SELECT count(*) AS n_groups FROM lgs), " +
+        "ld AS (SELECT unnest([2, 3]) AS l), " +
+        "lfl AS (SELECT * FROM lgs CROSS JOIN ld WHERE ndist < l), " +
+        "lpk AS (SELECT l, count(*) AS n_violating FROM lfl GROUP BY 1), " +
+        "laf AS (SELECT l, count(DISTINCT user_id) AS n_affected_users " +
+        "FROM lfl JOIN ldr USING (merchant, band) GROUP BY 1) " +
+        "SELECT lpk.l::BIGINT AS l, n_groups, n_violating, " +
+        "coalesce(n_affected_users, 0)::BIGINT AS n_affected_users, " +
+        "floor(n_violating / n_groups * 10000) / 10000 AS risk_share " +
+        "FROM lpk LEFT JOIN laf USING (l) CROSS JOIN ltot"),
+    "q_t_closeness" ->
+      ("WITH tvr AS (SELECT DISTINCT json_extract_string(props, '$.k') AS merchant, " +
+        "CAST(floor(value / 10) AS BIGINT) AS band, event_type, user_id FROM events), " +
+        "tvc AS (SELECT merchant, band, event_type, count(*)::HUGEINT AS cgs " +
+        "FROM tvr GROUP BY 1, 2, 3), " +
+        "tvs AS (SELECT event_type, sum(cgs)::HUGEINT AS cs FROM tvc GROUP BY 1), " +
+        "tvn AS (SELECT sum(cs)::HUGEINT AS bign FROM tvs), " +
+        "tvg AS (SELECT merchant, band, sum(cgs)::HUGEINT AS ng FROM tvc GROUP BY 1, 2), " +
+        "tvm AS (SELECT tvc.merchant, tvc.band, max(ng) AS ng, max(bign) AS bign, " +
+        "sum(abs(cgs * bign - cs * ng)) + max(ng) * (max(bign) - sum(cs)) AS tvd_num, " +
+        "2 * max(ng) * max(bign) AS den2 " +
+        "FROM tvc JOIN tvs USING (event_type) " +
+        "JOIN tvg ON tvc.merchant = tvg.merchant AND tvc.band = tvg.band " +
+        "CROSS JOIN tvn GROUP BY 1, 2), " +
+        "tvt AS (SELECT count(*) AS n_groups FROM tvm), " +
+        "tvd AS (SELECT unnest([2, 3])::BIGINT AS t_scaled), " +
+        "tvf AS (SELECT *, (tvd_num * 10000) // den2 AS tvd4 FROM tvm CROSS JOIN tvd " +
+        "WHERE tvd_num * 10 > t_scaled * den2), " +
+        "tvp AS (SELECT t_scaled, count(*) AS n_violating, max(tvd4) AS max_tvd4 " +
+        "FROM tvf GROUP BY 1), " +
+        "tva AS (SELECT t_scaled, count(DISTINCT user_id) AS n_affected_users " +
+        "FROM tvf JOIN tvr USING (merchant, band) GROUP BY 1) " +
+        "SELECT t_scaled, n_groups, coalesce(n_violating, 0)::BIGINT AS n_violating, " +
+        "coalesce(n_affected_users, 0)::BIGINT AS n_affected_users, " +
+        "coalesce(max_tvd4, 0)::DOUBLE / 10000.0 AS max_tvd, " +
+        "floor(coalesce(n_violating, 0) / n_groups * 10000) / 10000 AS risk_share " +
+        "FROM tvd LEFT JOIN tvp USING (t_scaled) LEFT JOIN tva USING (t_scaled) " +
+        "CROSS JOIN tvt"),
+    "q_k_generalize" ->
+      ("WITH kgb AS (SELECT json_extract_string(props, '$.k') AS merchant, " +
+        "event_type, value, user_id FROM events), " +
+        "kgl AS (SELECT DISTINCT level, merchant, event_type, band, user_id FROM (" +
+        "SELECT 0::BIGINT AS level, merchant, event_type, " +
+        "CAST(floor(value / 10) AS BIGINT) AS band, user_id FROM kgb " +
+        "UNION ALL SELECT 1, merchant, event_type, CAST(floor(value / 100) AS BIGINT), user_id FROM kgb " +
+        "UNION ALL SELECT 2, merchant, event_type, CAST(floor(value / 1000) AS BIGINT), user_id FROM kgb " +
+        "UNION ALL SELECT 3, merchant, event_type, 0, user_id FROM kgb)), " +
+        "kgg AS (SELECT level, merchant, event_type, band, count(*) AS g " +
+        "FROM kgl GROUP BY 1, 2, 3, 4), " +
+        "kgv AS (SELECT level, count(*) AS n_groups, min(g)::BIGINT AS min_group, " +
+        "min(g) >= 5 AS k_ok FROM kgg GROUP BY 1) " +
+        "SELECT level, n_groups, min_group, k_ok, " +
+        "(min(CASE WHEN k_ok THEN level END) OVER () IS NOT NULL AND " +
+        "level = min(CASE WHEN k_ok THEN level END) OVER ()) AS chosen FROM kgv"),
     "q_mutual_info" ->
       ("WITH cells AS (SELECT event_type, json_extract_string(props, '$.k') AS merchant, " +
         "count(*) AS n FROM events GROUP BY 1, 2), " +
@@ -3852,6 +4092,28 @@ object Monitoring {
         "FROM t JOIN p ON event_type = pt " +
         "WHERE (n * u - s) * (n * u - s) > 9 * (n * q - s * s) " +
         "AND (n * q - s * s) > 0"),
+    "q_w1_drift" ->
+      ("WITH wtg AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
+        "CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 2 END AS s FROM events), " +
+        "wpv AS (SELECT event_type, cents, " +
+        "sum(CASE WHEN s = 1 THEN 1 ELSE 0 END)::BIGINT AS a1, " +
+        "sum(CASE WHEN s = 2 THEN 1 ELSE 0 END)::BIGINT AS a2 FROM wtg GROUP BY 1, 2), " +
+        "wcm AS (SELECT event_type, cents, " +
+        "sum(a1) OVER (PARTITION BY event_type ORDER BY cents ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS c1, " +
+        "sum(a2) OVER (PARTITION BY event_type ORDER BY cents ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS c2, " +
+        "lead(cents) OVER (PARTITION BY event_type ORDER BY cents) - cents AS width " +
+        "FROM wpv), " +
+        "wns AS (SELECT event_type, sum(a1)::BIGINT AS n1, sum(a2)::BIGINT AS n2 " +
+        "FROM wpv GROUP BY 1), " +
+        "wag AS (SELECT wcm.event_type, max(n1) AS n1, max(n2) AS n2, " +
+        "sum(abs(c1::HUGEINT * n2 - c2::HUGEINT * n1) * width) AS w1_num " +
+        "FROM wcm JOIN wns USING (event_type) WHERE width IS NOT NULL GROUP BY 1) " +
+        "SELECT event_type, n1, n2, " +
+        "((w1_num * 10000) // (n1::HUGEINT * n2 * 100))::BIGINT AS w1_scaled, " +
+        "((w1_num * 10000) // (n1::HUGEINT * n2 * 100))::DOUBLE / 10000.0 AS w1_dollars " +
+        "FROM wag WHERE n1 > 0 AND n2 > 0"),
     "q_ks_drift" ->
       ("WITH tg AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
         "CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 2 END AS s FROM events), " +

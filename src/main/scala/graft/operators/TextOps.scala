@@ -1653,8 +1653,36 @@ object TextOps {
     result
   }
 
+  /** Good–Turing missing-mass estimate per source (Good 1953; Gale &
+    * Sampson 1995's simple variant): the probability that the NEXT
+    * token drawn from a source is a type never seen in it — the
+    * frequency-of-frequencies statistic n₁/N a curator reads as "how
+    * much of this source's vocabulary is still undiscovered" (high →
+    * the crawl is far from saturating the domain; near 0 → more data
+    * from this source adds few new types). Also reports the GT
+    * adjusted count for singletons r* = 2·n₂/n₁ — r* ≪ 1 means
+    * hapaxes are mostly noise (typos/OCR), r* near 1 means real
+    * vocabulary tail. One explode → one (source, type) hash-agg (map-
+    * side combined) → a frequency-of-frequencies rollup that is at
+    * most |sources|×max_tf rows; no windows, no joins. */
+  def goodTuring(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("source"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("n"))
+    tf.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_singletons"),
+        sum(when(col("n") === 2, 1L).otherwise(0L)).as("n_doubletons"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        col("n_singletons"), col("n_doubletons"),
+        trunc4(col("n_singletons") / col("n_tokens")).as("unseen_mass"),
+        when(col("n_singletons") > 0,
+          trunc4(lit(2) * col("n_doubletons") / col("n_singletons")))
+          .otherwise(0.0).as("adj_singleton"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_triage" -> ((s, d) => corpusTriage(Tables.documents(s, d))),
+    "q_good_turing" -> ((s, d) => goodTuring(Tables.documents(s, d))),
     "q_vocab_coverage" -> ((s, d) => vocabCoverage(Tables.documents(s, d))),
     "q_boilerplate" -> ((s, d) => boilerplate(Tables.documents(s, d))),
     "q_text_bm25" -> ((s, d) => bm25TopK(Tables.documents(s, d))),
@@ -1720,6 +1748,19 @@ object TextOps {
     s"len(list_filter(toks, t -> t IN ${inList(lang)}))::DOUBLE / len(toks)"
 
   val oracleSql: Map[String, String] = Map(
+    "q_good_turing" ->
+      ("WITH gtf AS (SELECT source, t, count(*) AS n FROM " +
+        "(SELECT source, unnest(string_split(text, ' ')) AS t FROM documents) " +
+        "GROUP BY 1, 2), " +
+        "gts AS (SELECT source, sum(n)::BIGINT AS n_tokens, count(*) AS n_types, " +
+        "sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons, " +
+        "sum(CASE WHEN n = 2 THEN 1 ELSE 0 END)::BIGINT AS n_doubletons " +
+        "FROM gtf GROUP BY 1) " +
+        "SELECT source, n_tokens, n_types, n_singletons, n_doubletons, " +
+        "floor(n_singletons / n_tokens * 10000) / 10000 AS unseen_mass, " +
+        "CASE WHEN n_singletons > 0 THEN " +
+        "floor(2 * n_doubletons / n_singletons * 10000) / 10000 " +
+        "ELSE 0.0 END AS adj_singleton FROM gts"),
     "q_text_bpe" -> bpeStatsOracle(),
     "q_bpe_merges" -> bpeMergesOracle(),
     "q_bpe_curve" -> bpeCurveOracle(),

@@ -455,6 +455,35 @@ class MonitoringSpec extends SparkSpec {
     assert(d < 0.2, s"suspiciously large drift on stationary data: $d")
   }
 
+  test("w1Drift: hand-built halves produce the exact earth-mover dollars") {
+    import spark.implicits._
+    // type a: first half {1.00, 2.00}, second half {3.00}
+    //   support: 100 (gap 1·1−0·2=1, width 100) + 200 (gap 2, width 100)
+    //   → w1_num = 300, W1 = 300/(2·1·100) = 1.50 dollars (= |1.5 − 3|... the
+    //   ECDF area between {1,2} and {3})
+    val ev = Seq(("a", 1.00, "2024-01-10"), ("a", 2.00, "2024-01-10"),
+      ("a", 3.00, "2024-01-20"))
+      .toDF("event_type", "value", "d")
+      .select(col("event_type"), col("value"), col("d").cast("timestamp").as("ts"))
+    val r = Monitoring.w1Drift(ev).collect()
+    assert(r.length === 1)
+    val x = r.head
+    assert(x.getAs[Long]("n1") === 2L && x.getAs[Long]("n2") === 1L)
+    assert(x.getAs[Long]("w1_scaled") === 15000L)
+    assert(x.getAs[Double]("w1_dollars") === 1.5)
+  }
+
+  test("w1Drift: stationary generator keeps the moved mass small; one-sided types dropped") {
+    val r = Monitoring.w1Drift(Tables.events(spark, sf)).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getAs[Long]("n1") > 0L && x.getAs[Long]("n2") > 0L)
+      val w1 = x.getAs[Double]("w1_dollars")
+      assert(w1 >= 0.0)
+      assert(w1 < 50.0, s"suspiciously large drift on stationary data: $w1")
+    }
+  }
+
   test("roundNumberBias: exact multiples counted per band, nested bands ordered") {
     import spark.implicits._
     val ev = Seq(
@@ -1114,6 +1143,66 @@ class MonitoringSpec extends SparkSpec {
     assert(r(2L) === ((3L, 1L, 1L, math.floor(1.0 / 3 * 10000) / 10000)))
     assert(r(5L) === ((3L, 2L, 4L, math.floor(2.0 / 3 * 10000) / 10000)))
     assert(r(10L) === ((3L, 2L, 4L, math.floor(2.0 / 3 * 10000) / 10000)))
+  }
+
+  test("lDiversity: homogeneous groups flagged per l with exact affected-user counts") {
+    import spark.implicits._
+    // band is floor(value/10)=0 everywhere; diversity varies by merchant:
+    //   m=1 → 1 distinct type over users {1,2}  (violates l=2 and l=3)
+    //   m=2 → 2 distinct types over user {3}    (violates l=3 only)
+    //   m=3 → 3 distinct types over users {4,5} (violates neither)
+    val rows = Seq((1L, "1", "x"), (2L, "1", "x"), (1L, "1", "x"), // dup event ignored
+      (3L, "2", "x"), (3L, "2", "y"),
+      (4L, "3", "x"), (4L, "3", "y"), (5L, "3", "z"))
+    val ev = rows.toDF("user_id", "m", "event_type")
+      .select(col("user_id"), concat(lit("{\"k\": "), col("m"), lit("}")).as("props"),
+        col("event_type"), lit(5.0).as("value"))
+    val r = Monitoring.lDiversity(ev).collect()
+      .map(x => x.getAs[Long]("l") ->
+        ((x.getAs[Long]("n_groups"), x.getAs[Long]("n_violating"),
+          x.getAs[Long]("n_affected_users"), x.getAs[Double]("risk_share")))).toMap
+    assert(r(2L) === ((3L, 1L, 2L, math.floor(1.0 / 3 * 10000) / 10000)))
+    assert(r(3L) === ((3L, 2L, 3L, math.floor(2.0 / 3 * 10000) / 10000)))
+  }
+
+  test("tCloseness: hand-computed TVD per group, exact threshold and affected counts") {
+    import spark.implicits._
+    // distinct relation N=7: overall event-type counts x=4, y=2, z=1
+    //   A (m=1, ng=2): {x,x}      → num = |2·7−4·2| + 2·(7−4)        = 12, TVD 12/28
+    //   B (m=2, ng=2): {x,y}      → num = |7−8| + |7−4| + 2·(7−6)    = 6,  TVD 6/28
+    //   C (m=3, ng=3): {x,y,z}    → num = |7−12| + |7−6| + |7−3| + 0 = 10, TVD 10/42
+    val rows = Seq((1L, "1", "x"), (2L, "1", "x"),
+      (3L, "2", "x"), (3L, "2", "y"),
+      (4L, "3", "x"), (4L, "3", "y"), (5L, "3", "z"))
+    val ev = rows.toDF("user_id", "m", "event_type")
+      .select(col("user_id"), concat(lit("{\"k\": "), col("m"), lit("}")).as("props"),
+        col("event_type"), lit(5.0).as("value"))
+    val r = Monitoring.tCloseness(ev).collect()
+      .map(x => x.getAs[Long]("t_scaled") ->
+        ((x.getAs[Long]("n_groups"), x.getAs[Long]("n_violating"),
+          x.getAs[Long]("n_affected_users"), x.getAs[Double]("max_tvd"),
+          x.getAs[Double]("risk_share")))).toMap
+    // t=0.2: all three violate (120>56, 60>56 barely, 100>84); t=0.3: only A (120>84)
+    assert(r(2L) === ((3L, 3L, 5L, 0.4285, 1.0)))
+    assert(r(3L) === ((3L, 1L, 2L, 0.4285, math.floor(1.0 / 3 * 10000) / 10000)))
+  }
+
+  test("kAnonGeneralize: first level where every group reaches k is chosen, later passes are not") {
+    import spark.implicits._
+    // values 50,150,...,450: singleton groups at band/10 AND band/100;
+    // one 5-user group at band/1000 (k=5 first satisfied at level 2)
+    val ev = (1L to 5L).map(u => (u, (u * 100 - 50).toDouble))
+      .toDF("user_id", "value")
+      .select(col("user_id"), lit("{\"k\": \"m\"}").as("props"),
+        lit("purchase").as("event_type"), col("value"))
+    val r = Monitoring.kAnonGeneralize(ev).collect()
+      .map(x => x.getAs[Long]("level") ->
+        ((x.getAs[Long]("n_groups"), x.getAs[Long]("min_group"),
+          x.getAs[Boolean]("k_ok"), x.getAs[Boolean]("chosen")))).toMap
+    assert(r(0L) === ((5L, 1L, false, false)))
+    assert(r(1L) === ((5L, 1L, false, false)))
+    assert(r(2L) === ((1L, 5L, true, true)))  // minimum generalization
+    assert(r(3L) === ((1L, 5L, true, false))) // passes, but not minimal
   }
 
   test("mutualInfo: perfect dependence scores ln2 split per type, independence scores 0") {

@@ -2241,6 +2241,22 @@ class OperatorsSpec extends SparkSpec {
     assert(r(2L) === ((0L, 1L)))
   }
 
+  test("TextOps.goodTuring: frequency-of-frequencies and missing mass computed exactly") {
+    import spark.implicits._
+    // source a: tokens {x:2, y:1, z:1} → N=4 V=3 n1=2 n2=1,
+    //   unseen = 2/4 = 0.5, r* = 2·1/2 = 1.0
+    // source b: {p:1, q:1} → n1=2 n2=0, unseen = 1.0, r* = 0.0
+    val docs = Seq((1L, "x x y", "a"), (2L, "z", "a"), (3L, "p q", "b"))
+      .toDF("doc_id", "text", "source")
+    val r = TextOps.goodTuring(docs).collect()
+      .map(x => x.getAs[String]("source") ->
+        ((x.getAs[Long]("n_tokens"), x.getAs[Long]("n_types"),
+          x.getAs[Long]("n_singletons"), x.getAs[Long]("n_doubletons"),
+          x.getAs[Double]("unseen_mass"), x.getAs[Double]("adj_singleton")))).toMap
+    assert(r("a") === ((4L, 3L, 2L, 1L, 0.5, 1.0)))
+    assert(r("b") === ((2L, 2L, 2L, 0L, 1.0, 0.0)))
+  }
+
   test("TextOps.sourceJsd: identical sources diverge 0, disjoint vocabularies score the closed form") {
     import spark.implicits._
     // identical distributions → JSD 0 (the absent-token remainder
