@@ -851,6 +851,184 @@ object Monitoring {
     result
   }
 
+  /** Benjamini–Hochberg FDR screen over merchant activity deviations
+    * — the multiple-testing discipline every per-merchant anomaly
+    * detector here lacks: testing 10⁴ merchants at α=0.05 hands you
+    * ~500 false alarms/day; BH caps the FALSE DISCOVERY RATE instead.
+    * The p-value is the exact-rational Chebyshev bound
+    * p = min(1, N(M−1)/(n·M−N)²) under the uniform null (n expected
+    * N/M, variance N(M−1)/M²) — deliberately distribution-free and
+    * fully integer (a normal-tail p needs erf, which the two engines
+    * round differently; an in-family empirical rank p would make BH
+    * degenerate by construction, p₍ᵢ₎=i/M ≥ iα/M always). The BH step
+    * function p₍ᵢ₎ ≤ i·α/M cross-multiplies to
+    * `100·M·N·(M−1) ≤ α₁₀₀·i·dev²` in DECIMAL(38,0) — engine-exact.
+    *
+    * Scale: one hash-agg collapses events to |merchants| rows; the
+    * rank/step windows run over that collapsed relation (same
+    * collapsed-relation justification as [[giniSpend]]'s user rank —
+    * route through ScaleOps.globalRank past ~10⁸ groups). */
+  def fdrBh(ev: DataFrame, alpha100: Long = 5L): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = ev.select(get_json_object(col("props"), "$.k").as("merchant"))
+      .groupBy(col("merchant")).agg(count(lit(1)).as("n_events"))
+    val tot = m.agg(count(lit(1)).as("mm"), sum(col("n_events")).as("nn"))
+    val scored = m.crossJoin(broadcast(tot))
+      .withColumn("dev", abs(dec(col("n_events")) * col("mm") - col("nn")))
+    val byP = Window.orderBy(col("dev").desc, col("merchant"))
+    val stepped = scored
+      .withColumn("i", row_number().over(byP).cast("long"))
+      .withColumn("pass", // p_i <= i*alpha/M, p = min(1, N(M-1)/dev^2)
+        col("dev") * col("dev") > dec(col("nn")) * (col("mm") - 1) && // uncapped
+          dec(lit(100L)) * col("mm") * col("nn") * (col("mm") - 1) <=
+            dec(lit(alpha100)) * col("i") * col("dev") * col("dev"))
+      .withColumn("kmax", max(when(col("pass"), col("i")))
+        .over(Window.partitionBy()))
+    stepped.select(col("merchant"), col("n_events"), col("dev").cast("long").as("dev"),
+      when(col("dev") * col("dev") > dec(col("nn")) * (col("mm") - 1),
+        trunc4((dec(col("nn")) * (col("mm") - 1)).cast("double") /
+          (col("dev") * col("dev")).cast("double")))
+        .otherwise(1.0).as("p_cheb"),
+      col("i").as("bh_rank"),
+      (col("kmax").isNotNull && col("i") <= col("kmax")).as("flagged"))
+  }
+
+  /** HBOS — histogram-based outlier score (Goldstein & Dengel 2012),
+    * the MULTI-FEATURE sibling of [[amountOutliers]]' single-axis
+    * z-score: an event is anomalous when it sits in rare bins of
+    * SEVERAL independent feature histograms at once (odd amount ×
+    * odd hour × odd weekday), scored score = Σ_f ln(N/n_bin(f)) —
+    * exactly the negative log of the naive-Bayes density estimate.
+    * Each term is floored at 10⁻⁶ before summing ([[TextOps]]'
+    * per-term-floor discipline), so the integer sum and the top-k
+    * ranking are engine-exact. Emits the `k` highest-scoring events.
+    *
+    * Scale: three histogram relations, each DOMAIN-bounded (amount
+    * bands by the value domain, 24 hours, 7 weekdays) — broadcast by
+    * construction, never data-growing; the fact is scanned once and
+    * the global top-k is a TakeOrdered, not a sort. */
+  def hbos(ev: DataFrame, k: Int = 20): DataFrame = {
+    val base = ev.select(col("event_id"),
+        floor(col("value") / 10).cast("long").as("b_amt"),
+        hour(col("ts")).cast("long").as("b_hour"),
+        dayofweek(col("ts")).cast("long").as("b_dow"))
+      .persist() // feeds the three histograms AND the scoring pass
+    val tot = base.agg(count(lit(1)).as("nn"))
+    def hist(c: String) = base.groupBy(col(c)).agg(count(lit(1)).as(s"n_$c"))
+    def term(c: String): Column =
+      floor(log(col("nn").cast("double") / col(s"n_$c")) * 1e6).cast("long")
+    val result = base
+      .join(broadcast(hist("b_amt")), "b_amt")
+      .join(broadcast(hist("b_hour")), "b_hour")
+      .join(broadcast(hist("b_dow")), "b_dow")
+      .crossJoin(broadcast(tot))
+      .select(col("event_id"), col("b_amt"), col("b_hour"), col("b_dow"),
+        (term("b_amt") + term("b_hour") + term("b_dow")).as("score_scaled"))
+      .orderBy(col("score_scaled").desc, col("event_id"))
+      .limit(k)
+      .localCheckpoint(true) // k rows; releases the base cache
+    base.unpersist()
+    result
+  }
+
+  /** Bivariate Mahalanobis outliers per event type — the COVARIANCE-
+    * aware sibling of [[amountOutliers]] (1-D z) and [[hbos]]
+    * (independence-assuming): an event is anomalous when its
+    * (amount, hour-of-day) pair is far from the type's ellipse, which
+    * catches "normal amount at an abnormal hour FOR THAT AMOUNT" —
+    * invisible to any per-axis rule. d² = (v−μ)ᵀ Σ⁻¹ (v−μ) with the
+    * 2×2 sample covariance inverted in closed form; flag at the
+    * χ²₂ 0.999 quantile (13.8155).
+    *
+    * Engine-exactness follows the [[amountOutliers]] discipline: the
+    * five moment sums are 2-decimal ROUNDED (deterministic doubles at
+    * these magnitudes), and both engines then evaluate the SAME
+    * closed-form expression tree over identical doubles — IEEE ops on
+    * equal inputs are bit-equal, so the membership predicate cannot
+    * flip between Spark and the oracle. Degenerate types (det ≤ 0,
+    * n < minN) are skipped — no stable ellipse.
+    *
+    * Scale: ONE unbounded window over event_type (one shuffle, no
+    * join-back); the moment sums combine map-side under AQE. |types|
+    * is small, so the per-type frames are wide — at a 10⁹-row type
+    * this is the same single-exchange shape amountOutliers survives. */
+  def mahalanobis(ev: DataFrame, thresh: Double = 13.8155, minN: Long = 30L): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+    val base = ev.select(col("event_id"), col("event_type"), col("value"),
+        hour(col("ts")).cast("double").as("hr"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", r2(sum(col("value")).over(w)))
+      .withColumn("sxx", r2(sum(col("value") * col("value")).over(w)))
+      .withColumn("sy", sum(col("hr")).over(w))
+      .withColumn("syy", sum(col("hr") * col("hr")).over(w))
+      .withColumn("sxy", r2(sum(col("value") * col("hr")).over(w)))
+    val dx = col("value") - col("sx") / col("n")
+    val dy = col("hr") - col("sy") / col("n")
+    val vxx = (col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)
+    val vyy = (col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1)
+    val vxy = (col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1)
+    val det = vxx * vyy - vxy * vxy
+    val d2 = (dx * dx * vyy - lit(2.0) * dx * dy * vxy + dy * dy * vxx) / det
+    base.filter(col("n") >= minN && det > 0 && d2 > thresh)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("hr").cast("long").as("hr"), trunc4(d2).as("md2"))
+  }
+
+  /** Western Electric control-chart rules on daily volume per event
+    * type — the SPC discipline behind "is the process drifting"
+    * monitoring, complementary to [[cusumVolume]] (cumulative shift)
+    * and [[ewmaDaily]] (smoothed baseline): four classic zone rules
+    * over the day sequence —
+    *   r1: a day beyond 3σ;   r2: ≥2 of the last 3 beyond 2σ, same side;
+    *   r3: ≥4 of the last 5 beyond 1σ, same side;   r4: 8 consecutive
+    *   days on one side of the mean.
+    * Each fires on the day COMPLETING its pattern.
+    *
+    * FULLY INTEGER: with daily cents x, n days, S = Σx,
+    * A = n·Σx² − S² (= n²(n−1)·var), the zone test |x−μ| > kσ
+    * cross-multiplies to (n−1)·(n·x−S)² > k²·n·A — exact in
+    * DECIMAL(38,0) (A ≤ n²·maxcents², ~10²² at 10⁹ daily cents), so
+    * membership is bit-identical across engines with no float
+    * anywhere. Side counts split into positive/negative columns so
+    * the trailing-frame windows never reference the current row's
+    * side inside the frame.
+    *
+    * Scale: one map-side-combined (type, day) agg collapses the scan
+    * to |types|·|days| rows; ALL windows run over that collapsed
+    * relation partitioned by type (the [[cusumVolume]] shape) — one
+    * tiny exchange+sort, nothing global. */
+  def spcRules(ev: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val daily = ev
+      .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+    val wt = Window.partitionBy(col("event_type"))
+    val wo = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    def trail(k: Int) = wo.rowsBetween(-(k - 1), 0)
+    val scored = daily
+      .withColumn("n", count(lit(1)).over(wt))
+      .withColumn("s", sum(col("cents")).over(wt))
+      .withColumn("aa", dec(col("n")) * sum(dec(col("cents")) * col("cents")).over(wt)
+        - dec(col("s")) * col("s"))
+      .withColumn("dev", col("cents") * col("n") - col("s"))
+      .withColumn("d2", dec(col("dev")) * col("dev") * (col("n") - 1))
+    def beyond(k: Int) = col("d2") > dec(lit(k.toLong * k)) * col("n") * col("aa")
+    val flagged = scored
+      .withColumn("p2", sum(when(beyond(2) && col("dev") > 0, 1L).otherwise(0L)).over(trail(3)))
+      .withColumn("m2", sum(when(beyond(2) && col("dev") < 0, 1L).otherwise(0L)).over(trail(3)))
+      .withColumn("p1", sum(when(beyond(1) && col("dev") > 0, 1L).otherwise(0L)).over(trail(5)))
+      .withColumn("m1", sum(when(beyond(1) && col("dev") < 0, 1L).otherwise(0L)).over(trail(5)))
+      .withColumn("pos", sum(when(col("dev") > 0, 1L).otherwise(0L)).over(trail(8)))
+      .withColumn("neg", sum(when(col("dev") < 0, 1L).otherwise(0L)).over(trail(8)))
+      .withColumn("rn", row_number().over(wo))
+    flagged.select(col("event_type"), col("day"), col("cents"), col("dev"),
+      beyond(3).as("r1"),
+      (col("rn") >= 3 && (col("p2") >= 2 || col("m2") >= 2)).as("r2"),
+      (col("rn") >= 5 && (col("p1") >= 4 || col("m1") >= 4)).as("r3"),
+      (col("rn") >= 8 && (col("pos") === 8 || col("neg") === 8)).as("r4"))
+      .withColumn("alarm", col("r1") || col("r2") || col("r3") || col("r4"))
+  }
+
   /** Gini concentration of per-user spend — "how unequal is the
     * volume" in one number, the audit statistic behind heavy-hitter
     * monitoring. The rank formulation
@@ -3050,6 +3228,10 @@ object Monitoring {
     "q_l_diversity" -> ((s, d) => lDiversity(Tables.events(s, d))),
     "q_t_closeness" -> ((s, d) => tCloseness(Tables.events(s, d))),
     "q_w1_drift" -> ((s, d) => w1Drift(Tables.events(s, d))),
+    "q_fdr_bh" -> ((s, d) => fdrBh(Tables.events(s, d))),
+    "q_hbos" -> ((s, d) => hbos(Tables.events(s, d))),
+    "q_mahalanobis" -> ((s, d) => mahalanobis(Tables.events(s, d))),
+    "q_spc_rules" -> ((s, d) => spcRules(Tables.events(s, d))),
     "q_k_generalize" -> ((s, d) => kAnonGeneralize(Tables.events(s, d))),
     "q_mutual_info" -> ((s, d) => mutualInfo(Tables.events(s, d))),
     "q_volatility" -> ((s, d) => volatility(Tables.events(s, d))),
@@ -4114,6 +4296,35 @@ object Monitoring {
         "((w1_num * 10000) // (n1::HUGEINT * n2 * 100))::BIGINT AS w1_scaled, " +
         "((w1_num * 10000) // (n1::HUGEINT * n2 * 100))::DOUBLE / 10000.0 AS w1_dollars " +
         "FROM wag WHERE n1 > 0 AND n2 > 0"),
+    "q_fdr_bh" ->
+      ("WITH fm AS (SELECT json_extract_string(props, '$.k') AS merchant, " +
+        "count(*)::BIGINT AS n_events FROM events GROUP BY 1), " +
+        "ft AS (SELECT count(*)::HUGEINT AS mm, sum(n_events)::HUGEINT AS nn FROM fm), " +
+        "fs AS (SELECT merchant, n_events, abs(n_events::HUGEINT * mm - nn) AS dev, " +
+        "mm, nn FROM fm CROSS JOIN ft), " +
+        "fr AS (SELECT *, row_number() OVER (ORDER BY dev DESC, merchant) AS i FROM fs), " +
+        "fp AS (SELECT *, (dev * dev > nn * (mm - 1) AND " +
+        "100 * mm * nn * (mm - 1) <= 5 * i * dev * dev) AS pass FROM fr), " +
+        "fk AS (SELECT *, max(CASE WHEN pass THEN i END) OVER () AS kmax FROM fp) " +
+        "SELECT merchant, n_events, dev::BIGINT AS dev, " +
+        "CASE WHEN dev * dev > nn * (mm - 1) THEN " +
+        "floor((nn * (mm - 1))::DOUBLE / (dev * dev)::DOUBLE * 10000) / 10000 " +
+        "ELSE 1.0 END AS p_cheb, i::BIGINT AS bh_rank, " +
+        "(kmax IS NOT NULL AND i <= kmax) AS flagged FROM fk"),
+    "q_hbos" ->
+      ("WITH hb AS (SELECT event_id, CAST(floor(value / 10) AS BIGINT) AS b_amt, " +
+        "hour(ts)::BIGINT AS b_hour, dayofweek(ts)::BIGINT + 1 AS b_dow FROM events), " +
+        "ht AS (SELECT count(*)::BIGINT AS nn FROM hb), " +
+        "h1 AS (SELECT b_amt, count(*)::BIGINT AS n_amt FROM hb GROUP BY 1), " +
+        "h2 AS (SELECT b_hour, count(*)::BIGINT AS n_hour FROM hb GROUP BY 1), " +
+        "h3 AS (SELECT b_dow, count(*)::BIGINT AS n_dow FROM hb GROUP BY 1) " +
+        "SELECT event_id, b_amt, b_hour, b_dow, " +
+        "CAST(floor(ln(nn::DOUBLE / n_amt) * 1000000) AS BIGINT) + " +
+        "CAST(floor(ln(nn::DOUBLE / n_hour) * 1000000) AS BIGINT) + " +
+        "CAST(floor(ln(nn::DOUBLE / n_dow) * 1000000) AS BIGINT) AS score_scaled " +
+        "FROM hb JOIN h1 USING (b_amt) JOIN h2 USING (b_hour) " +
+        "JOIN h3 USING (b_dow) CROSS JOIN ht " +
+        "ORDER BY score_scaled DESC, event_id LIMIT 20"),
     "q_ks_drift" ->
       ("WITH tg AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
         "CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 2 END AS s FROM events), " +
@@ -4205,6 +4416,55 @@ object Monitoring {
         "SELECT event_type, sum(n_ref)::BIGINT AS n_ref, sum(n_cur)::BIGINT AS n_cur, " +
         "floor(sum(term_scaled)::DOUBLE / 100000000 * 10000) / 10000 AS psi " +
         "FROM s GROUP BY 1"),
+    "q_mahalanobis" ->
+      ("WITH mh AS (SELECT event_id, event_type, value, hour(ts)::DOUBLE AS hr " +
+        "FROM events), " +
+        "mw AS (SELECT *, count(*) OVER w AS n, round(sum(value) OVER w, 2) AS sx, " +
+        "round(sum(value * value) OVER w, 2) AS sxx, sum(hr) OVER w AS sy, " +
+        "sum(hr * hr) OVER w AS syy, round(sum(value * hr) OVER w, 2) AS sxy " +
+        "FROM mh WINDOW w AS (PARTITION BY event_type)), " +
+        "md AS (SELECT *, value - sx / n AS dx, hr - sy / n AS dy, " +
+        "(sxx - sx * sx / n) / (n - 1) AS vxx, " +
+        "(syy - sy * sy / n) / (n - 1) AS vyy, " +
+        "(sxy - sx * sy / n) / (n - 1) AS vxy FROM mw), " +
+        "mf AS (SELECT *, vxx * vyy - vxy * vxy AS det, " +
+        "(dx * dx * vyy - 2.0 * dx * dy * vxy + dy * dy * vxx) / " +
+        "(vxx * vyy - vxy * vxy) AS d2 FROM md) " +
+        "SELECT event_id, event_type, value, hr::BIGINT AS hr, " +
+        "floor(d2 * 10000) / 10000 AS md2 FROM mf " +
+        "WHERE n >= 30 AND det > 0 AND d2 > 13.8155"),
+    "q_spc_rules" ->
+      ("WITH sd AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day, " +
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents " +
+        "FROM events GROUP BY 1, 2), " +
+        "st AS (SELECT *, count(*) OVER w AS n, (sum(cents) OVER w)::HUGEINT AS s, " +
+        "n * (sum(cents::HUGEINT * cents) OVER w) - " +
+        "(sum(cents) OVER w)::HUGEINT * (sum(cents) OVER w)::HUGEINT AS aa " +
+        "FROM sd WINDOW w AS (PARTITION BY event_type)), " +
+        "sv AS (SELECT *, cents * n - s AS dev, " +
+        "(cents * n - s)::HUGEINT * (cents * n - s) * (n - 1) AS d2 FROM st), " +
+        "sw AS (SELECT *, " +
+        "sum(CASE WHEN d2 > 4 * n * aa AND dev > 0 THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS p2, " +
+        "sum(CASE WHEN d2 > 4 * n * aa AND dev < 0 THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m2, " +
+        "sum(CASE WHEN d2 > 1 * n * aa AND dev > 0 THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS p1, " +
+        "sum(CASE WHEN d2 > 1 * n * aa AND dev < 0 THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS m1, " +
+        "sum(CASE WHEN dev > 0 THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS pos, " +
+        "sum(CASE WHEN dev < 0 THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS neg, " +
+        "row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn FROM sv) " +
+        "SELECT event_type, day, cents, dev::BIGINT AS dev, " +
+        "d2 > 9 * n * aa AS r1, " +
+        "(rn >= 3 AND (p2 >= 2 OR m2 >= 2)) AS r2, " +
+        "(rn >= 5 AND (p1 >= 4 OR m1 >= 4)) AS r3, " +
+        "(rn >= 8 AND (pos = 8 OR neg = 8)) AS r4, " +
+        "(d2 > 9 * n * aa OR (rn >= 3 AND (p2 >= 2 OR m2 >= 2)) OR " +
+        "(rn >= 5 AND (p1 >= 4 OR m1 >= 4)) OR " +
+        "(rn >= 8 AND (pos = 8 OR neg = 8))) AS alarm FROM sw"),
     "q_cusum_volume" ->
       ("WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day, " +
         "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents " +

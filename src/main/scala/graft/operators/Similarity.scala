@@ -989,6 +989,49 @@ object Similarity {
     result
   }
 
+  /** Matryoshka prefix-dimension retrieval eval (Kusupati et al. 2022,
+    * "Matryoshka Representation Learning"): how much recall@k survives
+    * when the index stores only the first 8/16/32 of the 64
+    * dimensions — the storage/recall trade a 100 TB vector corpus
+    * decides BEFORE building the index (a d=16 prefix index is 4×
+    * smaller AND 4× cheaper per distance). Truth is the full-dim exact
+    * top-k; each prefix ranking scores cosine over `slice(e, 1, d)`.
+    * The d=[[Dim]] row doubles as a self-check (recall 1.0 by
+    * construction).
+    *
+    * Scale: ONE query-broadcast scan of the corpus emits all prefix
+    * cosines (the d-slice dot products are prefix sums of the same 64
+    * multiplies); the rank window partitions by (q_id, d) — |Q|·|dims|
+    * independent partitions, never global. */
+  def matryoshkaRecall(emb: DataFrame, queryIds: Seq[Long] = DefaultQueryIds,
+      k: Int = 10, dims: Seq[Int] = Seq(8, 16, 32, Dim)): DataFrame = {
+    val v = withEmbD(emb)
+    val q = v.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val structs = dims.map(d => struct(lit(d.toLong).as("d"),
+      trunc4(NativeVector.cosine(slice(col("qe"), 1, d), slice(col("e"), 1, d))).as("cos")))
+    val pref = v.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), explode(array(structs: _*)).as("p"))
+      .select(col("q_id"), col("vec_id"), col("p.d").as("d"), col("p.cos").as("cos"))
+    val byQd = Window.partitionBy(col("q_id"), col("d"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val ranked = pref.withColumn("rnk", row_number().over(byQd).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("d"), col("q_id"), col("vec_id"))
+      .persist() // feeds the truth slice AND the per-d hit join
+    val truth = ranked.filter(col("d") === Dim.toLong)
+      .select(col("q_id"), col("vec_id"))
+    val ddf = emb.sparkSession.createDataFrame(
+      dims.map(d => Tuple1(d.toLong))).toDF("d")
+    val result = truth.crossJoin(broadcast(ddf))
+      .join(ranked.withColumn("hit", lit(1L)), Seq("d", "q_id", "vec_id"), "left")
+      .groupBy(col("d"), col("q_id"))
+      .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / k).as("recall"))
+      .localCheckpoint(true) // |dims|·|Q| rows; releases the rank cache
+    ranked.unpersist()
+    result
+  }
+
   /** Reciprocal-rank fusion of the two production ANN paths — the
     * standard way a retrieval pipeline combines heterogeneous rankers
     * (RRF: score = Σ_m 1/(c + rank_m), Cormack et al.): multi-probe LSH
@@ -1254,6 +1297,7 @@ object Similarity {
     "q_calibration" -> ((s, d) => calibration(Tables.embeddings(s, d))),
     "q_dedup_semantic" -> ((s, d) => semanticDedup(Tables.embeddings(s, d))),
     "q_sim_recall" -> ((s, d) => recallAtK(Tables.embeddings(s, d), DefaultQueryIds)),
+    "q_vec_matryoshka" -> ((s, d) => matryoshkaRecall(Tables.embeddings(s, d))),
     "q_recall_curve" -> ((s, d) => recallCurve(Tables.embeddings(s, d))),
     "q_vec_quantize" -> ((s, d) => quantizeAudit(Tables.embeddings(s, d))),
     "q_vec_pq" -> ((s, d) => pqEncode(Tables.embeddings(s, d))),
@@ -1728,6 +1772,21 @@ object Similarity {
         "WHERE e.rnk <= kk.k GROUP BY 1, 2) " +
         "SELECT q_id, k::BIGINT AS k, n_hit, " +
         "floor(n_hit / k * 10000) / 10000 AS recall FROM rc"),
+    "q_vec_matryoshka" ->
+      (s"WITH $vCte, $qsCte, " +
+        "mpd AS (SELECT unnest([8, 16, 32, 64])::BIGINT AS d), " +
+        "mps AS (SELECT q_id, vec_id, d, " +
+        "floor(list_cosine_similarity(list_slice(qe, 1, d), list_slice(e, 1, d)) " +
+        "* 10000) / 10000 AS cos " +
+        "FROM v CROSS JOIN qs CROSS JOIN mpd WHERE vec_id <> q_id), " +
+        "mpr AS (SELECT q_id, vec_id, d, row_number() OVER " +
+        "(PARTITION BY q_id, d ORDER BY cos DESC, vec_id) AS rnk FROM mps), " +
+        "mpk AS (SELECT d, q_id, vec_id FROM mpr WHERE rnk <= 10), " +
+        "mpt AS (SELECT q_id, vec_id FROM mpk WHERE d = 64), " +
+        "mpx AS (SELECT d, q_id, vec_id FROM mpt CROSS JOIN mpd) " +
+        "SELECT x.d, x.q_id, " +
+        "sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 10 AS recall " +
+        "FROM mpx x LEFT JOIN mpk a USING (d, q_id, vec_id) GROUP BY x.d, x.q_id"),
     "q_sim_recall" ->
       (s"WITH $vCte, $qsCte, $bitsBandsCte, $exactCtes, $annCtes, $annMpCtes, $ivfCtes, " +
         "ex10 AS (SELECT q_id, vec_id FROM ex_ranked WHERE rnk <= 10), " +

@@ -484,6 +484,99 @@ class MonitoringSpec extends SparkSpec {
     }
   }
 
+  test("fdrBh: a spiked merchant is flagged at rank 1, uniform peers stay unflagged") {
+    import spark.implicits._
+    // merchant 0: 90 events, merchants 1..10: 1 each → M=11, N=100
+    //   dev_0 = |90·11−100| = 890, p = 1000/890² ≈ 0.0013 → BH i=1 passes
+    //   (100·11·1000 = 1.1e6 ≤ 5·1·890² ≈ 3.96e6)
+    //   peers: dev = 89, pass needs i ≥ 27.8 > M → never
+    val rows = (1L to 90L).map(e => (e, "0")) ++ (1L to 10L).map(m => (90L + m, m.toString))
+    val ev = rows.toDF("event_id", "m")
+      .select(col("event_id"), concat(lit("{\"k\": \""), col("m"), lit("\"}")).as("props"))
+    val r = Monitoring.fdrBh(ev).collect()
+      .map(x => x.getAs[String]("merchant") ->
+        ((x.getAs[Long]("n_events"), x.getAs[Long]("dev"), x.getAs[Double]("p_cheb"),
+          x.getAs[Long]("bh_rank"), x.getAs[Boolean]("flagged")))).toMap
+    assert(r.size === 11)
+    assert(r("0") === ((90L, 890L, math.floor(1000.0 / 792100 * 10000) / 10000, 1L, true)))
+    r.filterKeys(_ != "0").values.foreach { case (n, dev, p, i, flagged) =>
+      assert(n === 1L && dev === 89L && !flagged)
+      assert(p === math.floor(1000.0 / 7921 * 10000) / 10000)
+      assert(i >= 2L && i <= 11L)
+    }
+  }
+
+  test("hbos: an event in rare bins on every feature tops the ranking with the exact score") {
+    import spark.implicits._
+    // nine clones share all three bins; one event is alone in all three
+    val rows = (1L to 9L).map(e => (e, 5.0, "2024-01-08 10:15:00")) :+
+      ((10L, 95.0, "2024-01-09 03:15:00"))
+    val ev = rows.toDF("event_id", "value", "d")
+      .select(col("event_id"), col("value"), col("d").cast("timestamp").as("ts"))
+    val r = Monitoring.hbos(ev).collect()
+    assert(r.length === 10)
+    val top = r.head
+    assert(top.getAs[Long]("event_id") === 10L)
+    assert(top.getAs[Long]("score_scaled") ===
+      3 * math.floor(math.log(10.0) * 1e6).toLong) // three ln(10/1) terms
+    r.tail.foreach(x => assert(x.getAs[Long]("score_scaled") ===
+      3 * math.floor(math.log(10.0 / 9) * 1e6).toLong))
+  }
+
+  test("mahalanobis: a normal-amount-at-the-wrong-hour event is the only flag") {
+    import spark.implicits._
+    // two tight clusters on the correlation diagonal — (10, 9am) x20 and
+    // (20, 5pm) x19 — plus ONE point off the diagonal (10, 5pm): per-axis
+    // both its amount and hour are common (invisible to z/HBOS), only the
+    // covariance-aware distance isolates it
+    val rows = (1L to 20L).map(e => (e, 10.0, 9)) ++
+      (21L to 39L).map(e => (e, 20.0, 17)) :+ ((40L, 10.0, 17))
+    val ev = rows.toDF("event_id", "value", "h")
+      .select(col("event_id"), lit("a").as("event_type"), col("value"),
+        concat(lit("2024-01-08 "), format_string("%02d", col("h")), lit(":30:00"))
+          .cast("timestamp").as("ts"))
+    val r = Monitoring.mahalanobis(ev).collect()
+    assert(r.map(_.getAs[Long]("event_id")).toSet === Set(40L))
+    // mirror the closed form locally on the same rounded moments
+    val xs = rows.map(_._2); val ys = rows.map(_._3.toDouble)
+    val n = 40.0
+    val sx = math.round(xs.sum * 100) / 100.0
+    val sxx = math.round(xs.map(x => x * x).sum * 100) / 100.0
+    val sy = ys.sum; val syy = ys.map(y => y * y).sum
+    val sxy = math.round(xs.zip(ys).map { case (x, y) => x * y }.sum * 100) / 100.0
+    val vxx = (sxx - sx * sx / n) / (n - 1); val vyy = (syy - sy * sy / n) / (n - 1)
+    val vxy = (sxy - sx * sy / n) / (n - 1)
+    val dx = 10.0 - sx / n; val dy = 17.0 - sy / n
+    val d2 = (dx * dx * vyy - 2.0 * dx * dy * vxy + dy * dy * vxx) /
+      (vxx * vyy - vxy * vxy)
+    assert(d2 > 13.8155)
+    assert(math.abs(r.head.getAs[Double]("md2") - math.floor(d2 * 10000) / 10000) <= 1e-4)
+  }
+
+  test("spcRules: a 3-sigma spike fires r1 on its day; the long low run fires r4") {
+    import spark.implicits._
+    // one event per day, days 0..29: flat 1000 cents, day 29 spikes to 5000
+    //   dev_i<29 = 30*1000-34000 = -4000 (below mean but within 1 sigma)
+    //   dev_29  = 30*5000-34000 = 116000 -> (n-1)*dev^2 = 3.9e11 > 9nA = 1.25e11
+    val ev = (0L to 29L).map(d => (d + 1, d * 86400000L + 1000L,
+        if (d == 29L) 50.0 else 10.0))
+      .toDF("event_id", "ts_ms", "value")
+      .withColumn("event_type", lit("a"))
+    val r = Monitoring.spcRules(ev).collect()
+      .map(x => x.getAs[Long]("day") -> x).toMap
+    assert(r.size === 30)
+    (0L to 29L).foreach { d =>
+      val row = r(d)
+      assert(row.getAs[Boolean]("r1") === (d == 29L), s"r1 day $d")
+      assert(!row.getAs[Boolean]("r2"), s"r2 day $d")
+      assert(!row.getAs[Boolean]("r3"), s"r3 day $d")
+      // 8 consecutive negative devs complete at day 7 and persist through 28
+      assert(row.getAs[Boolean]("r4") === (d >= 7L && d <= 28L), s"r4 day $d")
+      assert(row.getAs[Boolean]("alarm") === (d == 29L || (d >= 7L && d <= 28L)))
+    }
+    assert(r(29L).getAs[Long]("dev") === 116000L)
+  }
+
   test("roundNumberBias: exact multiples counted per band, nested bands ordered") {
     import spark.implicits._
     val ev = Seq(

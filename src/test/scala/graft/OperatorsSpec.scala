@@ -396,6 +396,28 @@ class OperatorsSpec extends SparkSpec {
     assert(curve(32L)._1 === total)
   }
 
+  test("matryoshkaRecall: full-dim row is a perfect self-check; prefix recalls are valid shares") {
+    val emb = Tables.embeddings(spark, sf)
+    val r = Similarity.matryoshkaRecall(emb).collect()
+    val qs = Similarity.DefaultQueryIds.toSet
+    assert(r.map(_.getAs[Long]("q_id")).toSet === qs)
+    assert(r.length === 4 * qs.size) // one row per (d, query)
+    r.foreach { x =>
+      val rec = x.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      if (x.getAs[Long]("d") == Similarity.Dim.toLong)
+        assert(rec === 1.0, s"full-dim truth must recall itself: $x")
+    }
+    // averaged over queries, more prefix dims never hurt by much: the
+    // d=32 mean must at least reach the d=8 mean (generator embeddings
+    // concentrate mass in no particular prefix, so this is a real signal)
+    def mean(d: Long) = {
+      val v = r.filter(_.getAs[Long]("d") == d).map(_.getAs[Double]("recall"))
+      v.sum / v.length
+    }
+    assert(mean(32L) >= mean(8L) - 1e-9, s"d=32 mean ${mean(32L)} < d=8 mean ${mean(8L)}")
+  }
+
   test("recallCurve agrees with recallAtK at k=10 for the multi-probe method") {
     val emb = Tables.embeddings(spark, sf)
     val curve = Similarity.recallCurve(emb).collect()
