@@ -723,6 +723,62 @@ object TextOps {
         trunc4((syd - slope * sxd) / nd / QL).as("intercept"))
   }
 
+  /** Heaps'-law vocabulary growth curve — V(N) = distinct tokens among
+    * the corpus's first N tokens (docs concatenated in doc_id order),
+    * at the 8 geometric checkpoints N = T/2⁷ … T. The curve answers
+    * the corpus-planning question Zipf ([[zipfFit]]) answers for
+    * frequency: "how fast does NEW vocabulary arrive as the corpus
+    * grows" — the per-segment slope β (V ∝ N^β, Heaps' law) is the
+    * standard sub-linearity diagnostic for crawl dedup health (a β
+    * near 1 means the crawl is still surfacing novel text; near 0,
+    * it's recrawling itself).
+    *
+    * Scale: each token's GLOBAL position = its doc's token offset + its
+    * in-doc index. Doc offsets reuse [[seqPackingLazy]]'s two-phase
+    * block cumsum (within-block window + tiny per-block totals — never
+    * a global window over the fact); positions then need ONE
+    * co-partitioned join of the narrow offsets onto the exploded
+    * tokens, one groupBy token for first positions (|vocab| rows), and
+    * a broadcast of the ≤8-row checkpoint relation. β quantizes each ln
+    * to `floor(ln·2^20)` longs (the [[zipfFit]] recipe) so the slope is
+    * a ratio of exact integer differences, trunc4'd — merge-order and
+    * last-ulp immune on both engines. */
+  def heapsLaw(docs: DataFrame, blockSize: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val QL = 1048576.0 // 2^20: exponent-shift-exact quantization scale
+    val (packed, base) = seqPackingLazy(docs, 2048, blockSize)
+    val offsets = packed.select(col("doc_id"), col("tok_offset"))
+    val firstPos = graft.functions.Portable.spread(docs, col("doc_id"))
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "w")))
+      .join(offsets, "doc_id")
+      .groupBy(col("w"))
+      .agg(min(col("tok_offset") + col("i")).as("fp"))
+      .localCheckpoint(true) // |vocab| narrow rows
+    // exact token total = last doc's offset + its count: 1 row, eager so
+    // the packing cache can be released before the curve plan runs
+    val tExact = packed.agg(max(col("tok_offset") + col("n_tokens")).as("t"))
+      .localCheckpoint(true)
+    base.unpersist()
+    val tt = firstPos.sparkSession.range(8).select(col("id").cast("int").as("k"))
+    val ck = tExact.crossJoin(broadcast(tt))
+      .select(expr("t div cast(pow(2, k) as bigint)").as("n_prefix"))
+      .filter(col("n_prefix") > 0).distinct() // tiny corpora: drop N=0 rungs
+    val curve = firstPos.crossJoin(broadcast(ck))
+      .filter(col("fp") < col("n_prefix")) // fp is 0-based: first N tokens
+      .groupBy(col("n_prefix")).agg(count(lit(1)).as("vocab"))
+      .select(col("n_prefix"), col("vocab"),
+        floor(log(col("n_prefix").cast("double")) * QL).cast("long").as("x"),
+        floor(log(col("vocab").cast("double")) * QL).cast("long").as("y"))
+    val byN = Window.orderBy(col("n_prefix")) // ≤8-row collapsed relation
+    curve
+      .withColumn("px", lag(col("x"), 1).over(byN))
+      .withColumn("py", lag(col("y"), 1).over(byN))
+      .select(col("n_prefix"), col("vocab"),
+        when(col("px").isNotNull, trunc4(
+          (col("y") - col("py")).cast("double") /
+            (col("x") - col("px")).cast("double"))).as("beta"))
+  }
+
   /** PII regex patterns shared by the Spark plan and the oracle SQL —
     * conservative classes only (no shorthand like \d, no lookaround),
     * so the Java regex engine and DuckDB's RE2 match identically. */
@@ -1727,7 +1783,8 @@ object TextOps {
     "q_train_split" -> ((s, d) => trainSplit(Tables.documents(s, d))),
     "q_text_repetition" -> ((s, d) => repetition(Tables.documents(s, d))),
     "q_text_redact" -> ((s, d) => redactPii(Tables.documents(s, d))),
-    "q_text_zipf" -> ((s, d) => zipfFit(Tables.documents(s, d))))
+    "q_text_zipf" -> ((s, d) => zipfFit(Tables.documents(s, d))),
+    "q_text_heaps" -> ((s, d) => heapsLaw(Tables.documents(s, d))))
 
   /** The perturbed corpus + normalization, as SQL (DuckDB regexp_replace
     * needs the 'g' flag — it is first-match-only by default, unlike
@@ -2251,5 +2308,23 @@ object TextOps {
         "(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) slope, " +
         "sx::DOUBLE sxd, sy::DOUBLE syd, n::DOUBLE nd FROM s WHERE n >= 10) " +
         "SELECT lang, n AS n_terms, floor(slope * 10000) / 10000 AS slope, " +
-        "floor((syd - slope * sxd) / nd / 1048576 * 10000) / 10000 AS intercept FROM f"))
+        "floor((syd - slope * sxd) / nd / 1048576 * 10000) / 10000 AS intercept FROM f"),
+    "q_text_heaps" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents), " +
+        "o AS (SELECT doc_id, tok, coalesce(sum(len(tok)::BIGINT) OVER (ORDER BY doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT tok_offset, " +
+        "len(tok)::BIGINT n_tokens FROM t), " +
+        "p AS (SELECT tok_offset + unnest(range(len(tok)))::BIGINT pos, unnest(tok) w FROM o), " +
+        "fp AS (SELECT w, min(pos) fp FROM p GROUP BY 1), " +
+        "tot AS (SELECT max(tok_offset + n_tokens)::BIGINT t FROM o), " +
+        "ck AS (SELECT DISTINCT t // CAST(pow(2, uk) AS BIGINT) n_prefix " +
+        "FROM tot, (SELECT unnest(range(8)) uk) WHERE t // CAST(pow(2, uk) AS BIGINT) > 0), " +
+        "c AS (SELECT n_prefix, count(*)::BIGINT vocab FROM fp, ck " +
+        "WHERE fp.fp < ck.n_prefix GROUP BY 1), " +
+        "q AS (SELECT n_prefix, vocab, CAST(floor(ln(n_prefix::DOUBLE) * 1048576) AS BIGINT) x, " +
+        "CAST(floor(ln(vocab::DOUBLE) * 1048576) AS BIGINT) y FROM c), " +
+        "l AS (SELECT n_prefix, vocab, x, y, lag(x) OVER (ORDER BY n_prefix) px, " +
+        "lag(y) OVER (ORDER BY n_prefix) py FROM q) " +
+        "SELECT n_prefix, vocab, CASE WHEN px IS NOT NULL THEN " +
+        "floor((y - py)::DOUBLE / (x - px)::DOUBLE * 10000) / 10000 END AS beta FROM l"))
 }

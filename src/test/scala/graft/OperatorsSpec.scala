@@ -1199,6 +1199,34 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("TextOps.heapsLaw: hand fixture checkpoints; corpus curve monotone with beta in [0,1]") {
+    import spark.implicits._
+    // t=5 tokens; checkpoints t div 2^k (k=0..7) > 0 -> {5,2,1};
+    // first positions a->0 b->1 c->3
+    val docs = Seq((1L, "a b a"), (2L, "c a")).toDF("doc_id", "text")
+    val r = TextOps.heapsLaw(docs).orderBy("n_prefix").collect()
+    assert(r.map(x => (x.getAs[Long]("n_prefix"), x.getAs[Long]("vocab"))).toSeq ===
+      Seq((1L, 1L), (2L, 2L), (5L, 3L)))
+    assert(r(0).isNullAt(r(0).fieldIndex("beta"))) // first rung has no slope
+    assert(r(1).getAs[Double]("beta") === 1.0) // vocab doubled as N doubled
+    val b2 = r(2).getAs[Double]("beta") // (ln3-ln2)/(ln5-ln2) ~ 0.4424
+    assert(b2 > 0.44 && b2 < 0.445, s"beta $b2")
+    // corpus laws: vocab never shrinks, beta bounded by sub-linearity
+    // (V(N2)/V(N1) <= N2/N1 since each new token adds at most one word)
+    val c = TextOps.heapsLaw(Tables.documents(spark, sf)).orderBy("n_prefix").collect()
+    assert(c.length >= 2)
+    c.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("vocab") <= b.getAs[Long]("vocab")) }
+    c.drop(1).foreach { x =>
+      val b = x.getAs[Double]("beta")
+      assert(b >= 0.0 && b <= 1.0001, s"beta out of range: $b") }
+    val corpus = Tables.documents(spark, sf)
+    val t = corpus.select(explode(split(col("text"), " "))).count()
+    val v = corpus.select(explode(split(col("text"), " "))).distinct().count()
+    assert(c.last.getAs[Long]("n_prefix") === t) // top rung is the full corpus
+    assert(c.last.getAs[Long]("vocab") === v)
+  }
+
   test("TextOps.familiarity: hand-computed corpus counts; short docs excluded") {
     import spark.implicits._
     // global bigram counts: "a b" x2 (both from doc 1), "b a" x1, "z q" x1
