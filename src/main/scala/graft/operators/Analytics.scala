@@ -524,9 +524,75 @@ object Analytics {
         graft.functions.Portable.trunc4(col("n") / col("prio_n")).as("share"))
   }
 
+  /** Histogram-based decision-stump split finding — the split-search
+    * kernel of every distributed GBDT (LightGBM's histogram algorithm,
+    * Ke et al. 2017 §2.1; XGBoost's approx mode): candidate thresholds
+    * are HISTOGRAM BIN EDGES, not raw values, so split search costs one
+    * binned aggregate over the facts plus an O(bins) scan over the
+    * collapsed histogram — never a global sort of the feature column.
+    * Label: `event_type = 'purchase'`; features: `value` (fixed-width
+    * bins of 0.5) and the JSON `props.k` (already integral — bin = k).
+    * For each feature the best boundary maximizes
+    * S = (posL²+negL²)/nL + (posR²+negR²)/nR (equivalent to minimizing
+    * weighted Gini: G = N − S), reported with the impurity before/after
+    * and the gain.
+    *
+    * Determinism & exactness: S's numerator
+    * (posL²+negL²)·nR + (posR²+negR²)·nL and denominator nL·nR are
+    * exact BIGINTs (≲ n³ — fine to ~2M rows; widen to DECIMAL(38,0)
+    * past that, the abCuped discipline); both engines divide the
+    * identical integers once, and ties rank by (feature, bin).
+    *
+    * Scale: one fact scan → 2 narrow (feature, bin, y) rows per event →
+    * map-side-combined hash-agg to ≤ |bins| cells per feature; the
+    * cumulative window and the argmax run over the tiny histogram
+    * relation, partitioned by feature (never global over facts). */
+  def stumpSplit(ev: DataFrame): DataFrame = {
+    val base = ev.select(
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+      explode(array(
+        struct(lit("value").as("feature"), floor(col("value") / 0.5).cast("long").as("bin")),
+        struct(lit("props_k").as("feature"),
+          get_json_object(col("props"), "$.k").cast("long").as("bin")))).as("f"))
+      .select(col("f.feature").as("feature"), col("f.bin").as("bin"), col("y"))
+      .filter(col("bin").isNotNull)
+    val hist = base.groupBy(col("feature"), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val byF = Window.partitionBy(col("feature")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("feature"))
+    val cum = hist
+      .withColumn("nl", sum(col("n")).over(byF))
+      .withColumn("posl", sum(col("pos")).over(byF))
+      .withColumn("nt", sum(col("n")).over(tot))
+      .withColumn("post", sum(col("pos")).over(tot))
+      .withColumn("nr", col("nt") - col("nl"))
+      .withColumn("posr", col("post") - col("posl"))
+      .filter(col("nr") > 0) // the last edge splits nothing off
+    val scored = cum
+      .withColumn("negl", col("nl") - col("posl"))
+      .withColumn("negr", col("nr") - col("posr"))
+      .withColumn("s_num",
+        (col("posl") * col("posl") + col("negl") * col("negl")) * col("nr") +
+          (col("posr") * col("posr") + col("negr") * col("negr")) * col("nl"))
+      .withColumn("s", col("s_num").cast("double") / (col("nl") * col("nr")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("feature")).orderBy(col("s").desc, col("bin"))))
+      .filter(col("rnk") === 1)
+    scored.select(col("feature"), col("bin").as("split_bin"),
+      col("nl").as("n_left"), col("posl").as("pos_left"),
+      col("nr").as("n_right"), col("posr").as("pos_right"),
+      graft.functions.Portable.trunc4(lit(1.0) -
+        (col("post") * col("post") + (col("nt") - col("post")) * (col("nt") - col("post")))
+          .cast("double") / (col("nt") * col("nt"))).as("gini_before"),
+      graft.functions.Portable.trunc4(
+        (col("nt").cast("double") - col("s")) / col("nt")).as("gini_after"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, Q] = Map(
+    "q_stump" -> ((s, d) => stumpSplit(Tables.events(s, d))),
     "q_ship_lag" -> ((s, d) => shipLag(Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_scan_project" -> ((s, d) => scanProject(Tables.events(s, d))),
     "q_point_lookup" -> ((s, d) => pointLookup(Tables.events(s, d), 777L)),
@@ -570,6 +636,32 @@ object Analytics {
     "q_approx_distinct" -> ((s, d) => approxDistinct(Tables.lineitem(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_stump" ->
+      ("WITH base AS (SELECT feature, bin, y FROM (" +
+        "SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END::BIGINT y, " +
+        "CAST(floor(value / 0.5) AS BIGINT) vbin, " +
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) kbin FROM events) e, " +
+        "LATERAL (VALUES ('value', e.vbin), ('props_k', e.kbin)) t(feature, bin) " +
+        "WHERE bin IS NOT NULL), " +
+        "hist AS (SELECT feature, bin, count(*)::BIGINT n, sum(y)::BIGINT pos " +
+        "FROM base GROUP BY 1, 2), " +
+        "cum AS (SELECT feature, bin, " +
+        "sum(n) OVER (PARTITION BY feature ORDER BY bin ROWS UNBOUNDED PRECEDING)::BIGINT nl, " +
+        "sum(pos) OVER (PARTITION BY feature ORDER BY bin ROWS UNBOUNDED PRECEDING)::BIGINT posl, " +
+        "sum(n) OVER (PARTITION BY feature)::BIGINT nt, " +
+        "sum(pos) OVER (PARTITION BY feature)::BIGINT post FROM hist), " +
+        "sc AS (SELECT *, nt - nl AS nr, post - posl AS posr, nl - posl AS negl, " +
+        "(nt - nl) - (post - posl) AS negr FROM cum WHERE nt - nl > 0), " +
+        "scored AS (SELECT *, " +
+        "((posl*posl + negl*negl) * nr + (posr*posr + negr*negr) * nl)::DOUBLE / (nl * nr) AS s, " +
+        "row_number() OVER (PARTITION BY feature ORDER BY " +
+        "((posl*posl + negl*negl) * nr + (posr*posr + negr*negr) * nl)::DOUBLE / (nl * nr) DESC, bin) rnk " +
+        "FROM sc) " +
+        "SELECT feature, bin AS split_bin, nl AS n_left, posl AS pos_left, " +
+        "nr AS n_right, posr AS pos_right, " +
+        "floor((1.0 - (post*post + (nt-post)*(nt-post))::DOUBLE / (nt*nt)) * 10000) / 10000 AS gini_before, " +
+        "floor((nt::DOUBLE - s) / nt * 10000) / 10000 AS gini_after " +
+        "FROM scored WHERE rnk = 1"),
     "q_ship_lag" ->
       ("WITH cells AS (SELECT o_orderpriority, " +
         "CAST(floor(datediff('day', o_orderdate, l_shipdate) / 30.0) AS BIGINT) AS bucket, " +

@@ -3211,9 +3211,57 @@ object Monitoring {
         trunc4((col("mu_scaled") + col("score")) / 1e6 / 100).as("hi_usd"))
   }
 
+  /** Isotonic (monotone) score calibration via pool-adjacent-violators,
+    * computed with the closed-form min-max characterization (Ayer et
+    * al. 1955; Barlow et al. 1972 §1.2): the weighted-L2 isotonic fit
+    * at bin j equals max_{i≤j} min_{k≥j} avg(y over bins i..k). PAVA
+    * itself is a sequential pool-merge loop; the min-max form is a
+    * RELATIONAL equivalent a distributed engine can execute — exactly
+    * the trick used for the BPE learner (sequential algorithm, provably
+    * equivalent declarative form).
+    *
+    * Setting: calibrate order total price (binned, width $12.5k) as a
+    * predictor of fulfilment (`o_orderstatus = 'F'`). Empirical per-bin
+    * rates are NOT monotone; the isotonic fit is the calibration a
+    * scoring pipeline would serve.
+    *
+    * Scale: the only fact-sized work is the binned (n, pos) hash-agg —
+    * map-side combined, ≤ 40 cells out. The O(B²) pair relation and
+    * O(B³) min-max join run on the COLLAPSED histogram (40³ = 64k tiny
+    * rows), never on facts — the same collapsed-relation discipline as
+    * [[skylineMerchants]]. Bin averages are exact-integer ratios
+    * divided once; min/max over those identical doubles is
+    * engine-portable. */
+  def isotonicCalibration(orders: DataFrame, binW: Double = 12500.0): DataFrame = {
+    val hist = orders
+      .select(floor(col("o_totalprice") / binW).cast("long").as("bin"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .localCheckpoint(true) // ≤ 40 rows; feeds three self-joins below
+    val lo = hist.select(col("bin").as("i"))
+    val hi = hist.select(col("bin").as("k"))
+    // cumulative sums would make avg(i..k) a prefix-difference ratio;
+    // over 40 bins the plain pair join is just as exact and simpler
+    val pairs = lo.join(hi, col("i") <= col("k"))
+      .join(hist.select(col("bin").as("m"), col("n").as("nm"), col("pos").as("pm")),
+        col("m") >= col("i") && col("m") <= col("k"))
+      .groupBy(col("i"), col("k"))
+      .agg(sum(col("nm")).as("w"), sum(col("pm")).as("p"))
+      .select(col("i"), col("k"), (col("p").cast("double") / col("w")).as("a"))
+    val fit = pairs.join(hist.select(col("bin").as("j")),
+        col("i") <= col("j") && col("k") >= col("j"))
+      .groupBy(col("j"), col("i")).agg(min(col("a")).as("inner_min"))
+      .groupBy(col("j")).agg(max(col("inner_min")).as("iso"))
+    hist.join(fit, col("bin") === col("j"))
+      .select(col("bin"), col("n"), col("pos"),
+        trunc4(col("pos").cast("double") / col("n")).as("rate"),
+        trunc4(col("iso")).as("iso_rate"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_isotonic" -> ((s, d) => isotonicCalibration(Tables.orders(s, d))),
     "q_tail_index" -> ((s, d) => tailIndex(Tables.events(s, d))),
     "q_shapley_attrib" -> ((s, d) => shapleyAttribution(Tables.events(s, d))),
     "q_markov_attrib" -> ((s, d) => markovAttribution(Tables.events(s, d))),
@@ -3464,6 +3512,19 @@ object Monitoring {
       "AS attribution_share FROM sp CROSS JOIN stot"
 
   val oracleSql: Map[String, String] = Map(
+    "q_isotonic" ->
+      ("WITH hist AS (SELECT CAST(floor(o_totalprice / 12500.0) AS BIGINT) bin, " +
+        "count(*)::BIGINT n, sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT pos " +
+        "FROM orders GROUP BY 1), " +
+        "pairs AS (SELECT l.bin i, h.bin k, sum(m.n)::BIGINT w, sum(m.pos)::BIGINT p " +
+        "FROM hist l JOIN hist h ON l.bin <= h.bin " +
+        "JOIN hist m ON m.bin >= l.bin AND m.bin <= h.bin GROUP BY 1, 2), " +
+        "inner_min AS (SELECT j.bin j, pr.i, min(pr.p::DOUBLE / pr.w) mn " +
+        "FROM pairs pr JOIN hist j ON pr.i <= j.bin AND pr.k >= j.bin GROUP BY 1, 2), " +
+        "fit AS (SELECT j, max(mn) iso FROM inner_min GROUP BY 1) " +
+        "SELECT bin, n, pos, floor(pos::DOUBLE / n * 10000) / 10000 AS rate, " +
+        "floor(iso * 10000) / 10000 AS iso_rate " +
+        "FROM hist JOIN fit ON bin = j"),
     "q_tail_index" ->
       ("WITH tb AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
         "count(*) AS n FROM events WHERE CAST(floor(value * 100 + 0.5) AS BIGINT) > 0 " +

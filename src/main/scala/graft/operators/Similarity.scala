@@ -1276,9 +1276,128 @@ object Similarity {
     result
   }
 
+  /** Prefix dims for [[pcaTop]] — the Matryoshka head (q_vec_matryoshka
+    * measures that prefix dims carry the signal); full-dim PCA is the
+    * same plan with D(D+1)/2 more aggregate columns. */
+  val PcaDim = 16
+  /** Power-iteration steps (fixed — the oracle unrolls the same 8). */
+  val PcaIters = 8
+
+  /** Top principal component of the embedding covariance by POWER
+    * ITERATION — embedding-health analytics (anisotropy: one dominant
+    * direction ⇒ the encoder wastes capacity; Mu & Viswanath 2018
+    * recommend removing it). Classic distributed-PCA split: moments
+    * need one pass over the facts, the eigensolve runs on the tiny
+    * D×D matrix.
+    *
+    *  1. ONE scan aggregates n, per-dim sums S_d and product-moments
+    *     M_de over 2^20-quantized coords (exact BIGINTs; at >10⁸ rows
+    *     widen the moment sums to DECIMAL(38,0) — the abCuped rule).
+    *  2. cov cells re-quantize as c_de = (M·n − S_d·S_e) div (n²·2^20)
+    *     in DECIMAL(38,0) — `div` truncates toward zero in BOTH engines
+    *     (Spark div ≡ DuckDB //), so cells are bit-identical integers.
+    *  3. 8 power steps on the 2·D²-row matrix relation: w = C·v in
+    *     exact integers (|c|,|v| ≤ 2^20 ⇒ terms ≤ 2^40, D-term sums
+    *     ≤ 2^46); ‖w‖² sums w² through DECIMAL(38,0) (a w² term alone
+    *     is 2^92); the rescale v' = ⌊w/‖w‖·2^20⌋ divides identical
+    *     doubles. Every step is engine-replayable — the oracle unrolls
+    *     the same 8 rounds (the BPE-oracle pattern).
+    *
+    * Output: one row per dim — loading (exact v_d/2^20), Rayleigh
+    * eigenvalue λ = vᵀCv/vᵀv and its share of total variance (top-PC
+    * dominance, THE anisotropy number). All fact work is one map-side-
+    * combined aggregate; iterations touch ≤ 2·D² rows each. */
+  def pcaTop(emb: DataFrame, dim: Int = PcaDim, iters: Int = PcaIters): DataFrame = {
+    val QS = 1048576L // 2^20
+    def qd(d: Int): Column =
+      floor(element_at(col("embedding"), d + 1).cast("double") * QS).cast("long")
+    val momAggs = (0 until dim).map(d => sum(qd(d)).as(s"s$d")) ++
+      (for (d <- 0 until dim; e <- d until dim)
+        yield sum(qd(d) * qd(e)).as(s"m_${d}_$e"))
+    val mom = emb.agg(count(lit(1)).as("n"), momAggs: _*).localCheckpoint(true)
+    val cells = for (d <- 0 until dim; e <- d until dim) yield struct(
+      lit(d).as("d"), lit(e).as("e"),
+      expr(s"cast((cast(m_${d}_$e as decimal(38,0)) * n - " +
+        s"cast(s$d as decimal(38,0)) * s$e) div " +
+        s"(cast(n as decimal(38,0)) * n * $QS) as bigint)").as("c"))
+    val half = mom.select(explode(array(cells: _*)).as("x"))
+      .select(col("x.d").as("d"), col("x.e").as("e"), col("x.c").as("c"))
+    val mat = half.unionByName(half.filter(col("d") =!= col("e"))
+        .select(col("e").as("d"), col("d").as("e"), col("c")))
+      .localCheckpoint(true) // ≤ 2·D² rows
+    var v = mom.select(explode(array((0 until dim).map(d =>
+        struct(lit(d).as("vd"), lit(QS).as("vv"))): _*)).as("x"))
+      .select(col("x.vd").as("vd"), col("x.vv").as("vv"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val w = mat.join(v, col("e") === col("vd"))
+        .groupBy(col("d")).agg(sum(col("c") * col("vv")).as("w"))
+      val nrm = w.agg(
+        sqrt(sum(col("w").cast("decimal(38,0)") * col("w")).cast("double")).as("nrm"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("d").as("vd"),
+          floor(col("w").cast("double") / col("nrm") * QS).cast("long").as("vv"))
+        .localCheckpoint(true) // flatten per-round lineage (house rule)
+    }
+    val num = mat.join(v, col("e") === col("vd"))
+      .join(v.select(col("vd").as("vd2"), col("vv").as("vv2")), col("d") === col("vd2"))
+      .agg(sum((col("c") * col("vv")).cast("decimal(38,0)") * col("vv2")).as("num"))
+    val den = v.agg(sum(col("vv") * col("vv")).as("den"))
+    val totvar = mat.filter(col("d") === col("e")).agg(sum(col("c")).as("tv"))
+    val scalars = num.crossJoin(broadcast(den)).crossJoin(broadcast(totvar))
+      .select(
+        (col("num").cast("double") / (col("den").cast("double") * QS)).as("lambda"),
+        col("tv"))
+    v.crossJoin(broadcast(scalars))
+      .select(col("vd").as("d"), (col("vv").cast("double") / QS).as("loading"),
+        trunc4(col("lambda")).as("lambda"),
+        trunc4(col("lambda") / (col("tv").cast("double") / QS)).as("var_share"))
+  }
+
+  /** The generated DuckDB mirror of [[pcaTop]] — same moments, same
+    * truncated-div cov cells, same 8 unrolled power steps. Every
+    * chained CTE is MATERIALIZED: DuckDB inlines single-reference CTEs,
+    * and each power step references its predecessor through two paths
+    * (w and ‖w‖), so inlining doubles the plan tree per step — 2^8
+    * copies of the 137-aggregate moment scan (measured: >120 s inlined,
+    * 0.36 s materialized — the SQL twin of the per-round
+    * localCheckpoint in the Spark loop). */
+  private[graft] def pcaOracle(dim: Int = PcaDim, iters: Int = PcaIters): String = {
+    val QS = 1048576L
+    val momCols = (0 until dim).map(d =>
+      s"sum(floor(embedding[${d + 1}]::DOUBLE * $QS)::BIGINT)::HUGEINT s$d").mkString(", ") +
+      ", " + (for (d <- 0 until dim; e <- d until dim) yield
+        s"sum(floor(embedding[${d + 1}]::DOUBLE * $QS)::BIGINT * " +
+          s"floor(embedding[${e + 1}]::DOUBLE * $QS)::BIGINT)::HUGEINT m_${d}_$e").mkString(", ")
+    val cellRows = (for (d <- 0 until dim; e <- d until dim) yield
+      s"($d, $e, ((m_${d}_$e * n - s$d * s$e) // (n::HUGEINT * n * $QS))::BIGINT)")
+      .mkString(", ")
+    val v0 = (0 until dim).map(d => s"($d, $QS)").mkString(", ")
+    val steps = (1 to iters).map { t =>
+      val prev = if (t == 1) "v0" else s"v${t - 1}"
+      s"w$t AS MATERIALIZED (SELECT m.d, sum(m.c * v.vv)::BIGINT w FROM mat m JOIN $prev v ON m.e = v.vd GROUP BY 1), " +
+        s"n$t AS MATERIALIZED (SELECT sqrt(sum(w::HUGEINT * w)::DOUBLE) nrm FROM w$t), " +
+        s"v$t AS MATERIALIZED (SELECT d vd, floor(w::DOUBLE / nrm * $QS)::BIGINT vv FROM w$t CROSS JOIN n$t)"
+    }.mkString(", ")
+    s"WITH mom AS MATERIALIZED (SELECT count(*)::BIGINT n, $momCols FROM embeddings), " +
+      s"half AS MATERIALIZED (SELECT * FROM mom, LATERAL (VALUES $cellRows) t(d, e, c)), " +
+      "mat AS MATERIALIZED (SELECT d, e, c FROM half UNION ALL SELECT e, d, c FROM half WHERE d <> e), " +
+      s"v0(vd, vv) AS (VALUES $v0), $steps, " +
+      s"num AS (SELECT sum(m.c::HUGEINT * a.vv * b.vv) num FROM mat m " +
+      s"JOIN v$iters a ON m.e = a.vd JOIN v$iters b ON m.d = b.vd), " +
+      s"den AS (SELECT sum(vv * vv)::HUGEINT den FROM v$iters), " +
+      "tv AS (SELECT sum(c)::BIGINT tv FROM mat WHERE d = e), " +
+      s"sc AS (SELECT num::DOUBLE / (den::DOUBLE * $QS) lambda, tv FROM num CROSS JOIN den CROSS JOIN tv) " +
+      s"SELECT vd AS d, vv::DOUBLE / $QS AS loading, " +
+      "floor(lambda * 10000) / 10000 AS lambda, " +
+      s"floor(lambda / (tv::DOUBLE / $QS) * 10000) / 10000 AS var_share " +
+      s"FROM v$iters CROSS JOIN sc"
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vec_pca" -> ((s, d) => pcaTop(Tables.embeddings(s, d))),
     "q_sim_mmr" -> ((s, d) => mmrRerank(Tables.embeddings(s, d))),
     "q_sim_label_recall" -> ((s, d) => labelRecall(Tables.embeddings(s, d))),
     "q_hard_negatives" -> ((s, d) => hardNegatives(Tables.embeddings(s, d))),
@@ -1501,6 +1620,7 @@ object Similarity {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_vec_pca" -> pcaOracle(),
     "q_sim_rrf" ->
       (s"WITH $vCte, $qsCte, $bitsBandsCte, $annCtes, $annMpCtes, $ivfCtes, " +
         "mp10 AS (SELECT q_id, vec_id, rnk FROM amp_ranked WHERE rnk <= 10), " +

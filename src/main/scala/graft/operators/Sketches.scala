@@ -486,7 +486,55 @@ object Sketches {
 
   // ---- driver wiring ----
 
+  /** Count-min join-cardinality estimation (the AGMS/CMS inner-product
+    * estimator, Cormode & Muthukrishnan 2005 §4.2): |R ⋈ S| on key k is
+    * Σ_k cntR(k)·cntS(k), and the CMS estimate is
+    * min_i Σ_w cmsR[i][w]·cmsS[i][w] — the sketch a cost-based
+    * optimizer probes BEFORE running a join it might need to reorder
+    * (the "is this join 10⁶ or 10¹² rows" question asked at plan time,
+    * answered without touching the fact tables again). Reported per
+    * depth prefix (est_d1 ≥ est_d2 ≥ … — deeper sketches only remove
+    * collision inflation) against the exact join size, with the
+    * relative overestimate a planner would calibrate d×w against.
+    *
+    * Keys: `orders.o_custkey` vs `customer.c_custkey` — the natural
+    * orders-per-customer join whose size varies per key.
+    *
+    * Determinism & scale: both sketches are d×w = 4×8192 SUM matrices —
+    * merge-order-free, map-side combined, the shuffle carries ≤ d·w
+    * partials per task however large either side is. The inner product
+    * and the min-over-depths run on the 1024-cell relations; the exact
+    * count (the verdict column) is one equi-join COUNT the oracle
+    * reproduces. Products cntR·cntS stay ≪ 2^53 at any realistic
+    * cell load (cells are ~n/w), and the sums are exact BIGINTs. */
+  def joinCardEst(orders: DataFrame, customer: DataFrame,
+      depth: Int = 4, width: Int = 8192): DataFrame = {
+    def sketch(df: DataFrame, key: Column, side: String) = df
+      .select(key.cast("long").as("k"),
+        explode(array((0 until depth).map(lit): _*)).as("i"))
+      .withColumn("bucket", pmod(
+        hash60(concat(col("i").cast("string"), lit("|"), col("k").cast("string"))),
+        lit(width.toLong)))
+      .groupBy(col("i"), col("bucket"))
+      .agg(count(lit(1)).as(s"c_$side"))
+    val prod = sketch(orders, col("o_custkey"), "r")
+      .join(sketch(customer, col("c_custkey"), "s"), Seq("i", "bucket"))
+      .groupBy(col("i")).agg(sum(col("c_r") * col("c_s")).as("ip"))
+    // prefix-min over depths: est with d=1..depth from ONE sketch build
+    val prefix = prod.withColumn("est", min(col("ip")).over(
+      Window.orderBy(col("i")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val exact = orders.join(customer,
+        col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("exact_rows"))
+    prefix.crossJoin(broadcast(exact))
+      .select((col("i") + 1).cast("long").as("depths_used"), col("est"),
+        col("exact_rows"),
+        trunc4((col("est") - col("exact_rows")) / col("exact_rows")).as("rel_over"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_card_est" -> ((s, d) =>
+      joinCardEst(Tables.orders(s, d), Tables.customer(s, d))),
     "q_hll_intersect" -> ((s, d) => hllIntersect(Tables.events(s, d))),
     "q_approx_quantile" -> ((s, d) => approxQuantiles(Tables.orders(s, d))),
     "q_hll_distinct" -> ((s, d) => hllDistinct(Tables.events(s, d))),
@@ -684,6 +732,18 @@ object Sketches {
         "SELECT p, total AS n_total, bin, " +
         "floor((bin * 64.0 + (target - (cum - cnt))::DOUBLE / cnt * 64.0) * 10000) / 10000 AS est " +
         "FROM t WHERE cum >= target AND (cum - cnt) < target"),
+    "q_join_card_est" ->
+      ("WITH d AS (SELECT unnest(range(4)) i), " +
+        "sr AS (SELECT i, ('0x' || substr(md5(i::VARCHAR || '|' || o_custkey::VARCHAR), 1, 15))::BIGINT % 8192 bucket, " +
+        "count(*) c_r FROM orders CROSS JOIN d GROUP BY 1, 2), " +
+        "ss AS (SELECT i, ('0x' || substr(md5(i::VARCHAR || '|' || c_custkey::VARCHAR), 1, 15))::BIGINT % 8192 bucket, " +
+        "count(*) c_s FROM customer CROSS JOIN d GROUP BY 1, 2), " +
+        "prod AS (SELECT i, sum(c_r * c_s)::BIGINT ip FROM sr JOIN ss USING (i, bucket) GROUP BY 1), " +
+        "pref AS (SELECT i, min(ip) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING)::BIGINT est FROM prod), " +
+        "ex AS (SELECT count(*)::BIGINT exact_rows FROM orders JOIN customer ON o_custkey = c_custkey) " +
+        "SELECT (i + 1)::BIGINT depths_used, est, exact_rows, " +
+        "floor((est - exact_rows) / exact_rows * 10000) / 10000 AS rel_over " +
+        "FROM pref CROSS JOIN ex"),
     "q_cms_heavy_hitters" ->
       ("WITH b AS (SELECT CAST(floor(value) AS BIGINT) amt FROM events), " +
         "d AS (SELECT unnest(range(4)) i), " +

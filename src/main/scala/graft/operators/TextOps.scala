@@ -1736,7 +1736,93 @@ object TextOps {
           .otherwise(0.0).as("adj_singleton"))
   }
 
+  /** Padding-waste accounting for length-bucketed batch planning — the
+    * sequence-batching twin of [[seqPacking]]: packing decides which
+    * documents share a training sequence; PADDING decides what each
+    * sequence costs once batched, and the bucketing granularity is the
+    * knob. Three deterministic strategies per document of token length
+    * L, reported as one row each:
+    *  - `global_max`: every sequence pads to the corpus max (one batch
+    *    domain — the naive collate_fn);
+    *  - `pow2`: pad to the next power of two (log-spaced length
+    *    buckets — the shape-cache-friendly compromise XLA/TPU
+    *    pipelines use);
+    *  - `mult64`: pad up to a multiple of 64 (fixed-grid buckets —
+    *    the fine-grained end).
+    * `efficiency` = real tokens / padded tokens is the number a batch
+    * planner maximizes; waste is its integer complement. Next-pow2 is
+    * pure integer bit-math (`2^bitlength(L-1)`, no float log2 whose
+    * last ulp could differ between engines).
+    *
+    * Scale: one scan → 3 narrow rows per document → a 3-row hash-agg,
+    * map-side combined; the only scalar (corpus max) rides a 1-row
+    * broadcast. No windows, no fact-sized joins. */
+  def padWaste(docs: DataFrame): DataFrame = {
+    val t = docs.select(size(tokens(col("text"))).cast("long").as("len"))
+      .filter(col("len") > 0)
+    val mx = t.agg(max(col("len")).as("max_len"))
+    val p2 = when(col("len") === 1, 1L).otherwise(
+      expr("shiftleft(CAST(1 AS BIGINT), CAST(length(bin(len - 1)) AS INT))"))
+    val m64 = expr("((len + 63) div 64) * 64")
+    t.crossJoin(broadcast(mx))
+      .select(col("len"), explode(array(
+        struct(lit("global_max").as("strategy"), col("max_len").as("target")),
+        struct(lit("pow2").as("strategy"), p2.as("target")),
+        struct(lit("mult64").as("strategy"), m64.as("target")))).as("s"))
+      .groupBy(col("s.strategy").as("strategy"))
+      .agg(count(lit(1)).as("n_seqs"), sum(col("len")).as("n_tokens"),
+        sum(col("s.target")).as("padded_tokens"))
+      .select(col("strategy"), col("n_seqs"), col("n_tokens"),
+        col("padded_tokens"),
+        (col("padded_tokens") - col("n_tokens")).as("waste_tokens"),
+        trunc4(col("n_tokens") / col("padded_tokens")).as("efficiency"))
+  }
+
+  /** CCNet-style cross-document block dedup accounting (Wenzek et al.
+    * 2020 §3.1 dedups web text per LINE against corpus-wide line
+    * hashes; this corpus is single-line, so the unit is the
+    * non-overlapping 8-token block — the same fixed unit
+    * [[chunks]]/[[seqPacking]] use). A block is boilerplate when it
+    * occurs in ≥ `minDocs` DISTINCT documents; the report is the
+    * per-source removal ledger a curator reads before enabling the
+    * filter: block instances removed, token mass removed, share. This
+    * is frequency-based removal with document recomputation — distinct
+    * from [[graft.operators.Dedup.substringRuns]] (pairwise longest
+    * shared run) and [[boilerplate]] (document-head prefixes only).
+    *
+    * Scale: tokenize+hash is per-row codegen (full blocks only —
+    * sub-block tails never explode); one (block-hash, source) hash-agg
+    * map-side combines the fact volume down to distinct pairs; the
+    * cross-doc frequency is a SUM over the bh partition of that
+    * COLLAPSED relation (valid because doc→source is functional, so
+    * per-source distinct-doc counts add up) — no second pass over
+    * instances, no fact-sized join back. */
+  def lineDedup(docs: DataFrame, blockTok: Int = 8, minDocs: Long = 2L): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .filter(col("n_tok") >= blockTok) // sequence(0,-1) descends — guard first
+    val inst = base
+      .select(col("doc_id"), col("source"), col("toks"),
+        explode(sequence(lit(0), (col("n_tok") / blockTok).cast("int") - 1)).as("b"))
+      .select(col("doc_id"), col("source"),
+        hash60(concat_ws(" ",
+          slice(col("toks"), col("b") * blockTok + 1, lit(blockTok)))).as("bh"))
+    val perPair = inst.groupBy(col("bh"), col("source"))
+      .agg(count(lit(1)).as("n_inst"), countDistinct(col("doc_id")).as("nd_src"))
+    val withFreq = perPair.withColumn("nd",
+      sum(col("nd_src")).over(Window.partitionBy(col("bh"))))
+    withFreq.groupBy(col("source"))
+      .agg(sum(col("n_inst")).as("n_blocks"),
+        sum(when(col("nd") >= minDocs, col("n_inst")).otherwise(0L)).as("dup_blocks"))
+      .select(col("source"), col("n_blocks"), col("dup_blocks"),
+        (col("dup_blocks") * blockTok).as("tokens_removed"),
+        trunc4(col("dup_blocks") / col("n_blocks")).as("removed_share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pad_waste" -> ((s, d) => padWaste(Tables.documents(s, d))),
+    "q_line_dedup" -> ((s, d) => lineDedup(Tables.documents(s, d))),
     "q_corpus_triage" -> ((s, d) => corpusTriage(Tables.documents(s, d))),
     "q_good_turing" -> ((s, d) => goodTuring(Tables.documents(s, d))),
     "q_vocab_coverage" -> ((s, d) => vocabCoverage(Tables.documents(s, d))),
@@ -1805,6 +1891,35 @@ object TextOps {
     s"len(list_filter(toks, t -> t IN ${inList(lang)}))::DOUBLE / len(toks)"
 
   val oracleSql: Map[String, String] = Map(
+    "q_pad_waste" ->
+      ("WITH t AS (SELECT len(string_split(text, ' '))::BIGINT AS l " +
+        "FROM documents WHERE len(string_split(text, ' ')) > 0), " +
+        "mx AS (SELECT max(l) AS max_len FROM t), " +
+        "s AS (SELECT 'global_max' AS strategy, l, max_len AS target FROM t CROSS JOIN mx " +
+        "UNION ALL SELECT 'pow2', l, CASE WHEN l = 1 THEN 1 " +
+        "ELSE (1::BIGINT << length(bin(l - 1))) END FROM t " +
+        "UNION ALL SELECT 'mult64', l, ((l + 63) // 64) * 64 FROM t) " +
+        "SELECT strategy, count(*) AS n_seqs, sum(l)::BIGINT AS n_tokens, " +
+        "sum(target)::BIGINT AS padded_tokens, " +
+        "(sum(target) - sum(l))::BIGINT AS waste_tokens, " +
+        "floor(sum(l) / sum(target) * 10000) / 10000 AS efficiency " +
+        "FROM s GROUP BY 1"),
+    "q_line_dedup" ->
+      ("WITH base AS (SELECT doc_id, source, string_split(text, ' ') AS toks, " +
+        "len(string_split(text, ' '))::BIGINT AS n_tok FROM documents), " +
+        "inst AS (SELECT doc_id, source, toks, " +
+        "unnest(range(0, n_tok // 8)) AS b FROM base WHERE n_tok >= 8), " +
+        "hashed AS (SELECT doc_id, source, " +
+        "('0x' || substr(md5(array_to_string(toks[b*8+1 : b*8+8], ' ')), 1, 15))::BIGINT AS bh " +
+        "FROM inst), " +
+        "pp AS (SELECT bh, source, count(*) AS n_inst, " +
+        "count(DISTINCT doc_id) AS nd_src FROM hashed GROUP BY 1, 2), " +
+        "wf AS (SELECT *, sum(nd_src) OVER (PARTITION BY bh)::BIGINT AS nd FROM pp) " +
+        "SELECT source, sum(n_inst)::BIGINT AS n_blocks, " +
+        "sum(CASE WHEN nd >= 2 THEN n_inst ELSE 0 END)::BIGINT AS dup_blocks, " +
+        "(sum(CASE WHEN nd >= 2 THEN n_inst ELSE 0 END) * 8)::BIGINT AS tokens_removed, " +
+        "floor(sum(CASE WHEN nd >= 2 THEN n_inst ELSE 0 END) / sum(n_inst) * 10000) / 10000 " +
+        "AS removed_share FROM wf GROUP BY 1"),
     "q_good_turing" ->
       ("WITH gtf AS (SELECT source, t, count(*) AS n FROM " +
         "(SELECT source, unnest(string_split(text, ' ')) AS t FROM documents) " +
