@@ -334,6 +334,132 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("isotonic law: fit is monotone, mass-preserving, and pool-faithful") {
+    val iso = graft.operators.Monitoring
+      .isotonicCalibration(graft.Tables.orders(spark, sf))
+      .collect().sortBy(_.getAs[Long]("bin"))
+    assert(iso.length > 5)
+    // monotone non-decreasing in the score bin (the defining constraint)
+    iso.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("iso_rate") <= b.getAs[Double]("iso_rate") + 1e-9,
+        s"fit not monotone at bins ${a.get(0)} -> ${b.get(0)}")
+    }
+    // weighted mass preservation: Σ n_j·ŷ_j = Σ pos_j (PAVA pools
+    // replace rates by pool means, never moving mass across the corpus)
+    val fitted = iso.map(r => r.getAs[Long]("n") * r.getAs[Double]("iso_rate")).sum
+    val pos = iso.map(_.getAs[Long]("pos")).sum.toDouble
+    assert(math.abs(fitted - pos) < pos * 0.01 + 1.0,
+      s"weighted fit mass $fitted far from positive mass $pos")
+    // fit never leaves the empirical range
+    val rates = iso.map(_.getAs[Double]("rate"))
+    iso.foreach { r =>
+      val y = r.getAs[Double]("iso_rate")
+      assert(y >= rates.min - 1e-4 && y <= rates.max + 1e-4)
+    }
+  }
+
+  test("stump law: the reported split is the argmax over every bin boundary") {
+    val ev = graft.Tables.events(spark, sf)
+    val best = graft.operators.Analytics.stumpSplit(ev).collect()
+      .map(r => r.getAs[String]("feature") -> r).toMap
+    // recompute the exact split scan per feature from the raw histogram
+    val hist = ev.select(
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+        expr("cast(floor(value / 0.5) as long)").as("vbin"),
+        expr("cast(get_json_object(props, '$.k') as long)").as("kbin"))
+      .collect()
+    def check(feature: String, bins: Seq[(Long, Long)]): Unit = {
+      val byBin = bins.groupBy(_._1).map { case (b, xs) =>
+        (b, xs.size.toLong, xs.map(_._2).sum) }.toSeq.sortBy(_._1)
+      val nt = byBin.map(_._2).sum; val post = byBin.map(_._3).sum
+      var nl = 0L; var posl = 0L
+      var bestS = Double.MinValue; var bestBin = Long.MaxValue
+      byBin.foreach { case (b, n, p) =>
+        nl += n; posl += p
+        val nr = nt - nl; val posr = post - posl
+        if (nr > 0) {
+          val negl = nl - posl; val negr = nr - posr
+          val s = ((posl * posl + negl * negl) * nr +
+            (posr * posr + negr * negr) * nl).toDouble / (nl * nr)
+          if (s > bestS + 1e-12 || (math.abs(s - bestS) <= 1e-12 && b < bestBin)) {
+            bestS = s; bestBin = b
+          }
+        }
+      }
+      assert(best(feature).getAs[Long]("split_bin") === bestBin,
+        s"$feature: operator split ${best(feature)} vs exact scan bin $bestBin")
+      assert(best(feature).getAs[Double]("gini_after") <=
+        best(feature).getAs[Double]("gini_before") + 1e-9,
+        s"$feature: split increased impurity")
+    }
+    check("value", hist.filter(!_.isNullAt(1))
+      .map(r => (r.getLong(1), r.getLong(0))).toSeq)
+    check("props_k", hist.filter(!_.isNullAt(2))
+      .map(r => (r.getLong(2), r.getLong(0))).toSeq)
+  }
+
+  test("padWaste laws: equal token mass, padding dominates, pow2 within 2x") {
+    val r = graft.operators.TextOps.padWaste(graft.Tables.documents(spark, sf))
+      .collect().map(row => row.getAs[String]("strategy") -> row).toMap
+    assert(r.keySet === Set("global_max", "pow2", "mult64"))
+    val masses = r.values.map(_.getAs[Long]("n_tokens")).toSet
+    assert(masses.size === 1, s"strategies disagree on real token mass: $masses")
+    r.values.foreach { row =>
+      assert(row.getAs[Long]("padded_tokens") >= row.getAs[Long]("n_tokens"))
+      val eff = row.getAs[Double]("efficiency")
+      assert(eff > 0.0 && eff <= 1.0)
+    }
+    // next-pow2 tightness: target < 2·len per doc ⇒ pow2 waste < real mass
+    assert(r("pow2").getAs[Long]("waste_tokens") < r("pow2").getAs[Long]("n_tokens"))
+  }
+
+  test("joinCardEst law: CMS inner product never undercounts; deeper never worse") {
+    val rows = graft.operators.Sketches.joinCardEst(
+        graft.Tables.orders(spark, sf), graft.Tables.customer(spark, sf))
+      .collect().sortBy(_.getAs[Long]("depths_used"))
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("exact_rows"),
+        "collision cross-terms are non-negative — the estimate cannot undercount")
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("est") <= a.getAs[Long]("est"),
+        "prefix-min over depths must be non-increasing")
+    }
+  }
+
+  test("lineDedup ledger agrees with a direct recompute") {
+    val docs = graft.Tables.documents(spark, sf)
+    val r = graft.operators.TextOps.lineDedup(docs).collect()
+      .map(row => row.getAs[String]("source") ->
+        (row.getAs[Long]("n_blocks"), row.getAs[Long]("dup_blocks"))).toMap
+    val raw = docs.select(col("doc_id"), col("source"), col("text")).collect()
+      .map(row => (row.getLong(0), row.getString(1), row.getString(2)))
+    val blocks = raw.flatMap { case (id, src, text) =>
+      val toks = text.split(" ")
+      toks.grouped(8).filter(_.length == 8).map(g => (id, src, g.mkString(" ")))
+    }
+    val docsPerBlock = blocks.groupBy(_._3).map { case (b, xs) =>
+      (b, xs.map(_._1).distinct.size) }
+    val expected = blocks.groupBy(_._2).map { case (src, xs) =>
+      (src, (xs.length.toLong, xs.count(x => docsPerBlock(x._3) >= 2).toLong)) }
+    assert(r === expected)
+  }
+
+  test("pcaTop: unit-norm loading, eigenvalue within the spectrum bounds") {
+    val rows = graft.operators.Similarity.pcaTop(graft.Tables.embeddings(spark, sf))
+      .collect()
+    assert(rows.length === graft.operators.Similarity.PcaDim)
+    val norm = math.sqrt(rows.map(r => math.pow(r.getAs[Double]("loading"), 2)).sum)
+    assert(math.abs(norm - 1.0) < 1e-3, s"eigenvector norm $norm drifted from 1")
+    val lambda = rows.head.getAs[Double]("lambda")
+    val share = rows.head.getAs[Double]("var_share")
+    assert(lambda >= 0.0, "Rayleigh quotient of a covariance is non-negative")
+    // top-PC variance is at least the per-dim average and at most the total
+    assert(share >= 1.0 / graft.operators.Similarity.PcaDim - 0.02 && share <= 1.0,
+      s"var share $share outside [1/D, 1]")
+  }
+
   test("skyline law: no surviving merchant is dominated; every excluded one is") {
     forAll(rowGen) { rows =>
       import spark.implicits._
