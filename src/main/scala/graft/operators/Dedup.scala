@@ -720,7 +720,111 @@ object Dedup {
 
   // ---- driver wiring ----
 
+  /** Fellegi–Sunter record linkage (1969) — probabilistic entity
+    * resolution, the STRUCTURED-data sibling of the text dedup family:
+    * a deterministically perturbed copy of the customer register
+    * (lowercased or truncated name, ±2¢ balance jitter, occasional
+    * segment loss — the TextOps.perturbed idiom on structured fields)
+    * is linked back against the original. Per candidate pair, each
+    * field contributes its log-likelihood match weight ln(m/u)
+    * (agreement) or ln((1−m)/(1−u)) (disagreement), 1e6-scaled BIGINT
+    * literals computed once in Scala and embedded in BOTH plans; a
+    * pair links when the summed weight clears the threshold. Ground
+    * truth is known by construction, so the report carries the
+    * precision/recall a linkage pipeline tunes m/u against — both
+    * BELOW 1 here (truncated-name + jittered-balance + lost-segment
+    * records score negative → misses; balance-collision pairs can
+    * clear the bar → false positives), which is the realistic regime.
+    *
+    * Scale: candidates come from BLOCKING, never a free cross join —
+    * equi-join on (nationkey, kilocent bucket), the probe side fanning
+    * to bucket±1 so the ≤2¢ jitter cannot fall off a boundary; each
+    * true pair matches on exactly one key (the probe's three keys are
+    * distinct), so candidates are O(n·k/|blocks|) with no dedup pass.
+    * The scoring is per-row codegen; one tiny agg ends the plan. */
+  def recordLinkage(cust: DataFrame, threshold: Long = 5000000L): DataFrame = {
+    val off = 1L << 40
+    // assumed m/u error rates (the LUT a production linker estimates by
+    // EM; here literals so the oracle replays the identical arithmetic)
+    def w(m: Double, u: Double): (Long, Long) =
+      (math.floor(math.log(m / u) * 1e6).toLong,
+        math.floor(math.log((1 - m) / (1 - u)) * 1e6).toLong)
+    val (waName, wdName) = w(2.0 / 3, 0.0005)
+    val (waBal, wdBal) = w(0.6, 0.001)
+    val (waSeg, wdSeg) = w(6.0 / 7, 0.2)
+    val base = cust.select(col("c_custkey").as("id"), col("c_name").as("name"),
+      col("c_nationkey").as("nat"),
+      floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents"),
+      col("c_mktsegment").as("seg"))
+    val ref = base.select(col("id").as("r_id"), lower(col("name")).as("r_name"),
+      col("nat"), col("cents").as("r_cents"), col("seg").as("r_seg"),
+      expr("cents div 1000").as("bk"))
+    val pert = base.select((col("id") + off).as("p_id"),
+      lower(when(pmod(col("id"), lit(3L)) === 0, lower(col("name")))
+        .when(pmod(col("id"), lit(3L)) === 1,
+          expr("substring(name, 1, length(name) - 1)"))
+        .otherwise(col("name"))).as("p_name"),
+      col("nat"),
+      (col("cents") + pmod(col("id"), lit(5L)) - 2).as("p_cents"),
+      when(pmod(col("id"), lit(7L)) === 0, lit("UNKNOWN"))
+        .otherwise(col("seg")).as("p_seg"))
+      .withColumn("bk", explode(array(
+        expr("p_cents div 1000") - 1, expr("p_cents div 1000"),
+        expr("p_cents div 1000") + 1)))
+    val scored = ref.join(pert, Seq("nat", "bk"))
+      .withColumn("score",
+        when(col("r_name") === col("p_name"), waName).otherwise(wdName) +
+          when(abs(col("r_cents") - col("p_cents")) <= 1, waBal).otherwise(wdBal) +
+          when(col("r_seg") === col("p_seg"), waSeg).otherwise(wdSeg))
+      .withColumn("pred", col("score") >= threshold)
+      .withColumn("hit", col("p_id") - off === col("r_id"))
+    val nTrue = base.agg(count(lit(1)).as("n_true"))
+    scored.agg(count(lit(1)).as("n_cand"),
+        sum(when(col("pred"), 1L).otherwise(0L)).as("n_pred"),
+        sum(when(col("pred") && col("hit"), 1L).otherwise(0L)).as("tp"))
+      .crossJoin(broadcast(nTrue))
+      .select(col("n_cand"), col("n_pred"), col("tp"), col("n_true"),
+        trunc4(col("tp") / col("n_pred")).as("precision"),
+        trunc4(col("tp") / col("n_true")).as("recall"))
+  }
+
+  /** The DuckDB mirror of [[recordLinkage]] (weights re-derived from
+    * the same Scala formula, so one source of truth). */
+  private[graft] def recordLinkageOracle(threshold: Long = 5000000L): String = {
+    def w(m: Double, u: Double): (Long, Long) =
+      (math.floor(math.log(m / u) * 1e6).toLong,
+        math.floor(math.log((1 - m) / (1 - u)) * 1e6).toLong)
+    val (waName, wdName) = w(2.0 / 3, 0.0005)
+    val (waBal, wdBal) = w(0.6, 0.001)
+    val (waSeg, wdSeg) = w(6.0 / 7, 0.2)
+    val off = 1L << 40
+    "WITH base AS (SELECT c_custkey id, c_name AS nm, c_nationkey nat, " +
+      "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) cents, c_mktsegment seg FROM customer), " +
+      "ref AS (SELECT id r_id, lower(nm) r_name, nat, cents r_cents, seg r_seg, " +
+      "cents // 1000 bk FROM base), " +
+      s"pert0 AS (SELECT id + $off p_id, " +
+      "lower(CASE WHEN id % 3 = 0 THEN lower(nm) " +
+      "WHEN id % 3 = 1 THEN substr(nm, 1, length(nm) - 1) ELSE nm END) p_name, " +
+      "nat, cents + (id % 5) - 2 p_cents, " +
+      "CASE WHEN id % 7 = 0 THEN 'UNKNOWN' ELSE seg END p_seg FROM base), " +
+      "pert AS (SELECT p.*, unnest([p_cents // 1000 - 1, p_cents // 1000, " +
+      "p_cents // 1000 + 1]) bk FROM pert0 p), " +
+      "scored AS (SELECT r_id, p_id, " +
+      s"(CASE WHEN r_name = p_name THEN $waName ELSE $wdName END + " +
+      s"CASE WHEN abs(r_cents - p_cents) <= 1 THEN $waBal ELSE $wdBal END + " +
+      s"CASE WHEN r_seg = p_seg THEN $waSeg ELSE $wdSeg END)::BIGINT score " +
+      "FROM ref JOIN pert USING (nat, bk)), " +
+      s"agg AS (SELECT count(*)::BIGINT n_cand, " +
+      s"sum(CASE WHEN score >= $threshold THEN 1 ELSE 0 END)::BIGINT n_pred, " +
+      s"sum(CASE WHEN score >= $threshold AND p_id - $off = r_id THEN 1 ELSE 0 END)::BIGINT tp " +
+      "FROM scored), nt AS (SELECT count(*)::BIGINT n_true FROM base) " +
+      "SELECT n_cand, n_pred, tp, n_true, " +
+      "floor(tp / n_pred * 10000) / 10000 AS precision, " +
+      "floor(tp / n_true * 10000) / 10000 AS recall FROM agg CROSS JOIN nt"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_record_linkage" -> ((s, d) => recordLinkage(Tables.customer(s, d))),
     "q_dedup_exact" -> ((s, d) => exact(Tables.documents(s, d))),
     "q_dedup_band_tuning" -> ((s, d) => bandTuning(Tables.documents(s, d))),
     "q_dedup_minhash_lsh" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
@@ -824,6 +928,7 @@ object Dedup {
           s"FROM tm_g$nb CROSS JOIN tv_g$nb CROSS JOIN tune_np").mkString(" UNION ALL ")
 
   val oracleSql: Map[String, String] = Map(
+    "q_record_linkage" -> recordLinkageOracle(),
     "q_dedup_band_tuning" -> bandTuningOracle,
     "q_dedup_containment" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents), " +

@@ -344,7 +344,76 @@ object ScaleOps {
     out
   }
 
+  /** Zone-map pruning audit — the data-LAYOUT decision [[zorderEvents]]
+    * computes keys for, measured: per-block min/max statistics (what
+    * parquet row groups / Delta-Iceberg file stats store) under three
+    * physical layouts, probed by a fixed range-predicate workload. A
+    * block is SCANNED when its [min,max] envelope on every constrained
+    * column overlaps the predicate box — the exact skip rule an engine
+    * applies before touching a row group. The classic result this
+    * reproduces: insertion order prunes nothing, single-key clustering
+    * prunes only its own key's probes, z-order prunes BOTH dimensions
+    * moderately — the number a 100 TB table owner reads before choosing
+    * a sort spec.
+    *
+    * Layouts (block id rules, all integer bit-math / div):
+    *  - `natural`: arrival order (event_id div 1024);
+    *  - `userclust`: range-clustered on user_id (div 16);
+    *  - `zorder`: [[interleave16]](user, ⌊value⌋) div 16384.
+    *
+    * Scale: one fact scan → 3 narrow (layout, block, u, v) rows per
+    * event → min/max hash-agg (map-side combined) to ≤ |blocks| cells
+    * per layout; the probe evaluation cross-joins the TINY stats
+    * relation with a 12-row literal workload. No fact-sized join, no
+    * window. */
+  def zonemapAudit(ev: DataFrame): DataFrame = {
+    val base = ev.select(col("event_id"), col("user_id").as("u"),
+      floor(col("value")).cast("long").as("v"))
+      .withColumn("zval", interleave16(
+        col("u").bitwiseAND(lit(65535L)), col("v").bitwiseAND(lit(65535L))))
+    val stats = base.select(col("u"), col("v"), explode(array(
+        struct(lit("natural").as("layout"), expr("event_id div 1024").as("blk")),
+        struct(lit("userclust").as("layout"), expr("u div 16").as("blk")),
+        struct(lit("zorder").as("layout"), expr("zval div 16384").as("blk")))).as("l"))
+      .groupBy(col("l.layout").as("layout"), col("l.blk").as("blk"))
+      .agg(min(col("u")).as("min_u"), max(col("u")).as("max_u"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+    def optLit(v: Integer): Column =
+      if (v == null) lit(null).cast("long") else lit(v.longValue)
+    val probes = ZonemapProbes.map { case (kind, ulo, uhi, vlo, vhi) =>
+      struct(lit(kind).as("kind"),
+        optLit(ulo).as("ulo"), optLit(uhi).as("uhi"),
+        optLit(vlo).as("vlo"), optLit(vhi).as("vhi")) }
+    val probed = stats.select(col("layout"), col("blk"), col("min_u"),
+        col("max_u"), col("min_v"), col("max_v"),
+        explode(array(probes: _*)).as("p"))
+      .withColumn("scanned",
+        (col("p.ulo").isNull || (col("max_u") >= col("p.ulo") && col("min_u") <= col("p.uhi"))) &&
+          (col("p.vlo").isNull || (col("max_v") >= col("p.vlo") && col("min_v") <= col("p.vhi"))))
+    probed.groupBy(col("layout"), col("p.kind").as("kind"))
+      .agg((count(lit(1)) / ZonemapProbes.count(_._1 == "u_range")).cast("long").as("n_blocks"),
+        sum(when(col("scanned"), 1L).otherwise(0L)).as("blocks_scanned"))
+      .select(col("layout"), col("kind"), col("n_blocks"), col("blocks_scanned"),
+        graft.functions.Portable.trunc4(col("blocks_scanned") /
+          (col("n_blocks") * lit(4))).as("scan_frac"))
+  }
+
+  /** The probe workload: 4 user-range, 4 value-range, 4 combined-box
+    * predicates (null = unconstrained dimension). Literals shared with
+    * the generated oracle. */
+  private[graft] val ZonemapProbes: Seq[(String, Integer, Integer, Integer, Integer)] = Seq(
+    ("u_range", 0, 9, null, null), ("u_range", 40, 49, null, null),
+    ("u_range", 80, 89, null, null), ("u_range", 120, 129, null, null),
+    ("v_range", null, null, 0, 24), ("v_range", null, null, 100, 124),
+    ("v_range", null, null, 200, 224), ("v_range", null, null, 400, 424),
+    ("box", 0, 19, 0, 49), ("box", 50, 69, 100, 149),
+    ("box", 100, 119, 200, 249), ("box", 140, 159, 400, 449))
+    .map { case (k, a, b, c, d) =>
+      (k, a.asInstanceOf[Integer], b.asInstanceOf[Integer],
+        c.asInstanceOf[Integer], d.asInstanceOf[Integer]) }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zonemap" -> ((s, d) => zonemapAudit(Tables.events(s, d))),
     "q_mixture_sample" -> ((s, d) => mixtureSample(Tables.documents(s, d))),
     "q_salted_agg" -> ((s, d) => saltedUserStats(Tables.events(s, d))),
     "q_zorder" -> ((s, d) => zorderEvents(Tables.events(s, d))),
@@ -366,7 +435,32 @@ object ScaleOps {
     "CASE " + MixtureRates.map { case (s, r) => s"WHEN source = '$s' THEN $r" }
       .mkString(" ") + s" ELSE $MixtureDefaultRate END"
 
+  /** [[ZonemapProbes]] as a VALUES list (null = unconstrained). */
+  private def zonemapProbesSql: String = ZonemapProbes.map {
+    case (k, a, b, c, d) =>
+      def s(x: Integer) = if (x == null) "NULL" else x.toString
+      s"('$k', ${s(a)}, ${s(b)}, ${s(c)}, ${s(d)})"
+  }.mkString(", ")
+
   val oracleSql: Map[String, String] = Map(
+    "q_zonemap" ->
+      ("WITH b AS (SELECT event_id, user_id u, CAST(floor(value) AS BIGINT) v, " +
+        s"${interleaveSql("(user_id & 65535)", "(CAST(floor(value) AS BIGINT) & 65535)")} zval " +
+        "FROM events), " +
+        "lay AS (SELECT u, v, layout, blk FROM b, LATERAL (VALUES " +
+        "('natural', event_id // 1024), ('userclust', u // 16), " +
+        "('zorder', zval // 16384)) t(layout, blk)), " +
+        "stats AS (SELECT layout, blk, min(u) min_u, max(u) max_u, " +
+        "min(v) min_v, max(v) max_v FROM lay GROUP BY 1, 2), " +
+        s"pr(kind, ulo, uhi, vlo, vhi) AS (VALUES $zonemapProbesSql), " +
+        "probed AS (SELECT layout, kind, " +
+        "CASE WHEN (ulo IS NULL OR (max_u >= ulo AND min_u <= uhi)) " +
+        "AND (vlo IS NULL OR (max_v >= vlo AND min_v <= vhi)) THEN 1 ELSE 0 END sc " +
+        "FROM stats CROSS JOIN pr) " +
+        "SELECT layout, kind, (count(*) // 4)::BIGINT n_blocks, " +
+        "sum(sc)::BIGINT blocks_scanned, " +
+        "floor(sum(sc) / ((count(*) // 4) * 4) * 10000) / 10000 AS scan_frac " +
+        "FROM probed GROUP BY 1, 2"),
     "q_bucketed_join" ->
       ("SELECT c_mktsegment, count(*) AS n_orders, " +
         "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS revenue_cents " +

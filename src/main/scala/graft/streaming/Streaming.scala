@@ -22,6 +22,15 @@ final case class BalanceState(balance: Double, lastSeen: Long)
   * max event time seen (the event-time-timeout anchor). */
 final case class ReplayAcc(n: Long, cents: Long, lastSeenMs: Long)
 
+/** [[Streaming.streamRateLimit]] state: buffered (ts_ms, event_id)
+  * arrivals awaiting their in-order admission replay, plus the timeout
+  * anchor. Bounded by the watermark horizon, not stream length. */
+final case class RateBufState(tsMs: Array[Long], ids: Array[Long], lastSeenMs: Long)
+
+/** One [[Streaming.streamRateLimit]] verdict row per user. */
+final case class RateVerdict(user_id: Long, n_events: Long, n_admitted: Long,
+  n_throttled: Long, final_tokens_ms: Long)
+
 /** One [[Streaming.streamBalance]] output row: a user's FINAL totals,
   * emitted exactly once when the watermark passes their last event. */
 final case class ReplayBalance(user_id: Long, n: Long, cents: Long)
@@ -1049,6 +1058,67 @@ object Streaming {
       .filter(col("user_id") >= 0L)
   }
 
+  /** Per-user token-bucket rate limiting as stateful streaming — the
+    * admission-control primitive every ingest edge runs (capacity
+    * `cap` tokens, refill 1 token per `refillMs` of EVENT time; an
+    * event is admitted when a whole token is available). Token-bucket
+    * decisions are ORDER-dependent, and micro-batches deliver rows in
+    * arbitrary order, so the operator does NOT decide at arrival: it
+    * buffers (ts, id) pairs in keyed state and replays the bucket in
+    * event-time order exactly once, when the event-time timeout fires
+    * (watermark past the user's last event) — the buffered-sort-then-
+    * emit pattern, state bounded by the watermark horizon. All bucket
+    * arithmetic is integer (token = refillMs units, refill = Δms,
+    * admission costs refillMs), so the verdict is engine-exact and the
+    * DuckDB oracle replays the identical recursion per user (a
+    * recursive CTE stepping rank i → i+1; depth = max events per user,
+    * ~constant as the corpus grows since users scale with rows).
+    *
+    * Scale: state is per-user and watermark-evicted; the emission is
+    * one row per user. At 100 TB the buffered arrivals per user stay
+    * bounded by rate×horizon; a hot key that exceeds that is exactly
+    * the key the limiter exists to throttle. */
+  def streamRateLimit(spark: SparkSession, dir: String,
+      cap: Long = 3L, refillMs: Long = 600000L,
+      watermarkMin: Long = 10L): DataFrame = {
+    import spark.implicits._
+    replay(spark, dir, in => in
+      .select(col("timestamp"), col("user_id"), col("event_id"))
+      .withWatermark("timestamp", s"$watermarkMin minutes")
+      .as[(java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[RateBufState, RateVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid, rows, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            val ordered = s.tsMs.zip(s.ids).sortBy(identity)
+            var tokens = cap * refillMs
+            var prevTs = ordered.headOption.map(_._1).getOrElse(0L)
+            var admitted = 0L
+            ordered.foreach { case (ts, _) =>
+              tokens = math.min(cap * refillMs, tokens + (ts - prevTs))
+              if (tokens >= refillMs) { tokens -= refillMs; admitted += 1 }
+              prevTs = ts
+            }
+            Iterator.single(RateVerdict(uid, ordered.length.toLong, admitted,
+              ordered.length - admitted, tokens))
+          } else {
+            val prev = state.getOption.getOrElse(RateBufState(Array.empty, Array.empty, 0L))
+            val add = rows.map { case (ts, _, id) => (ts.getTime, id) }.toArray
+            val acc = RateBufState(prev.tsMs ++ add.map(_._1),
+              prev.ids ++ add.map(_._2),
+              math.max(prev.lastSeenMs, add.map(_._1).max))
+            state.update(acc)
+            state.setTimeoutTimestamp(acc.lastSeenMs + 1L)
+            Iterator.empty
+          }
+      }
+      .toDF())
+      .filter(col("user_id") >= 0L)
+  }
+
   /** The batch AML structuring rule (`q_aml_structuring`) as a LIVE
     * streaming detector: sub-threshold band filter → per (user, day
     * window) count/sum → flag when both trip. Same thresholds, same
@@ -1215,6 +1285,7 @@ object Streaming {
     "q_stream_ohlc" -> ((s, d) => streamOhlc(s, d)),
     "q_stream_topk" -> ((s, d) => streamTopK(s, d)),
     "q_stream_unique" -> ((s, d) => streamUniqueUsers(s, d)),
+    "q_stream_rate_limit" -> ((s, d) => streamRateLimit(s, d)),
     "q_stream_burst" -> ((s, d) => streamBurst(s, d)))
 
   /** The tumbling-window batch equivalent — checks [[streamReplay]]
@@ -1226,6 +1297,26 @@ object Streaming {
       "FROM events GROUP BY 1, 2"
 
   val oracleSql: Map[String, String] = Map(
+    // sequential token-bucket admission, replayed per user by a
+    // recursive CTE stepping event rank i -> i+1 (depth = max events
+    // per user); same integer units as the stateful operator
+    "q_stream_rate_limit" ->
+      ("WITH RECURSIVE ev AS (SELECT user_id, epoch_ms(ts)::BIGINT ts_ms, event_id, " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) rk " +
+        "FROM events), " +
+        "rec AS (SELECT user_id, rk, ts_ms, 1::BIGINT adm, " +
+        "(3 * 600000 - 600000)::BIGINT tokens FROM ev WHERE rk = 1 " +
+        "UNION ALL SELECT e.user_id, e.rk, e.ts_ms, " +
+        "r.adm + CASE WHEN least(1800000, r.tokens + (e.ts_ms - r.ts_ms)) >= 600000 " +
+        "THEN 1 ELSE 0 END, " +
+        "least(1800000, r.tokens + (e.ts_ms - r.ts_ms)) - " +
+        "CASE WHEN least(1800000, r.tokens + (e.ts_ms - r.ts_ms)) >= 600000 " +
+        "THEN 600000 ELSE 0 END " +
+        "FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.rk = r.rk + 1), " +
+        "fin AS (SELECT user_id, max(rk)::BIGINT mrk FROM ev GROUP BY 1) " +
+        "SELECT r.user_id, f.mrk AS n_events, r.adm AS n_admitted, " +
+        "(f.mrk - r.adm)::BIGINT AS n_throttled, r.tokens AS final_tokens_ms " +
+        "FROM rec r JOIN fin f ON r.user_id = f.user_id AND r.rk = f.mrk"),
     "q_stream_ohlc" ->
       ("WITH t AS (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_start_ms, " +
         "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
