@@ -1060,7 +1060,7 @@ object Streaming {
 
   /** Per-user token-bucket rate limiting as stateful streaming — the
     * admission-control primitive every ingest edge runs (capacity
-    * `cap` tokens, refill 1 token per `refillMs` of EVENT time; an
+    * `cap` tokens, refill 1 token per `refillMs` — 6 h — of EVENT time; an
     * event is admitted when a whole token is available). Token-bucket
     * decisions are ORDER-dependent, and micro-batches deliver rows in
     * arbitrary order, so the operator does NOT decide at arrival: it
@@ -1079,7 +1079,7 @@ object Streaming {
     * bounded by rate×horizon; a hot key that exceeds that is exactly
     * the key the limiter exists to throttle. */
   def streamRateLimit(spark: SparkSession, dir: String,
-      cap: Long = 3L, refillMs: Long = 600000L,
+      cap: Long = 3L, refillMs: Long = 21600000L,
       watermarkMin: Long = 10L): DataFrame = {
     import spark.implicits._
     replay(spark, dir, in => in
@@ -1305,13 +1305,13 @@ object Streaming {
         "row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) rk " +
         "FROM events), " +
         "rec AS (SELECT user_id, rk, ts_ms, 1::BIGINT adm, " +
-        "(3 * 600000 - 600000)::BIGINT tokens FROM ev WHERE rk = 1 " +
+        "(3 * 21600000 - 21600000)::BIGINT tokens FROM ev WHERE rk = 1 " +
         "UNION ALL SELECT e.user_id, e.rk, e.ts_ms, " +
-        "r.adm + CASE WHEN least(1800000, r.tokens + (e.ts_ms - r.ts_ms)) >= 600000 " +
+        "r.adm + CASE WHEN least(64800000, r.tokens + (e.ts_ms - r.ts_ms)) >= 21600000 " +
         "THEN 1 ELSE 0 END, " +
-        "least(1800000, r.tokens + (e.ts_ms - r.ts_ms)) - " +
-        "CASE WHEN least(1800000, r.tokens + (e.ts_ms - r.ts_ms)) >= 600000 " +
-        "THEN 600000 ELSE 0 END " +
+        "least(64800000, r.tokens + (e.ts_ms - r.ts_ms)) - " +
+        "CASE WHEN least(64800000, r.tokens + (e.ts_ms - r.ts_ms)) >= 21600000 " +
+        "THEN 21600000 ELSE 0 END " +
         "FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.rk = r.rk + 1), " +
         "fin AS (SELECT user_id, max(rk)::BIGINT mrk FROM ev GROUP BY 1) " +
         "SELECT r.user_id, f.mrk AS n_events, r.adm AS n_admitted, " +

@@ -460,6 +460,42 @@ class PropertiesSpec extends SparkSpec {
       s"var share $share outside [1/D, 1]")
   }
 
+  test("recordLinkage blocking is complete: threshold -inf recalls every true pair") {
+    val cust = graft.Tables.customer(spark, sf)
+    // with the decision bar removed, recall measures the BLOCKING alone —
+    // 1.0 proves the nation x kilocent(+/-1 probe) scheme never loses a
+    // true pair, i.e. misses can only come from the score model
+    val open = graft.operators.Dedup.recordLinkage(cust, threshold = Long.MinValue)
+      .head
+    assert(open.getAs[Double]("recall") === 1.0,
+      s"blocking lost true pairs: $open")
+    assert(open.getAs[Long]("n_pred") === open.getAs[Long]("n_cand"))
+    // at the real threshold both error types exist but stay bounded
+    val real = graft.operators.Dedup.recordLinkage(cust).head
+    assert(real.getAs[Long]("tp") <= real.getAs[Long]("n_true"))
+    assert(real.getAs[Double]("precision") > 0.5 && real.getAs[Double]("recall") > 0.5,
+      s"linkage quality collapsed: $real")
+  }
+
+  test("zonemap law: clustering prunes its own dimension, never negative pruning") {
+    val r = graft.operators.ScaleOps.zonemapAudit(graft.Tables.events(spark, sf))
+      .collect()
+      .map(x => (x.getAs[String]("layout"), x.getAs[String]("kind")) -> x).toMap
+    assert(r.size === 9)
+    r.values.foreach { x =>
+      val frac = x.getAs[Double]("scan_frac")
+      assert(frac > 0.0 && frac <= 1.0, s"scan fraction out of range: $x")
+      assert(x.getAs[Long]("blocks_scanned") <= x.getAs[Long]("n_blocks") * 4)
+    }
+    // range-clustering on user_id must prune user probes at least as
+    // well as arrival order does
+    assert(r(("userclust", "u_range")).getAs[Double]("scan_frac") <=
+      r(("natural", "u_range")).getAs[Double]("scan_frac"))
+    // z-order must not be worse than arrival order on the 2-D boxes
+    assert(r(("zorder", "box")).getAs[Double]("scan_frac") <=
+      r(("natural", "box")).getAs[Double]("scan_frac"))
+  }
+
   test("skyline law: no surviving merchant is dominated; every excluded one is") {
     forAll(rowGen) { rows =>
       import spark.implicits._

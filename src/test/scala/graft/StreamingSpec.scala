@@ -629,6 +629,37 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(got).count() === 0)
   }
 
+  test("streamRateLimit: stateful token bucket equals a direct sequential replay per user") {
+    import org.apache.spark.sql.functions._
+    val got = Streaming.streamRateLimit(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val (cap, refill) = (3L, 21600000L)
+    val expected = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts_ms"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (uid, evs) =>
+        val ordered = evs.map(e => (e._2, e._3)).sortBy(identity)
+        var tokens = cap * refill; var prev = ordered.head._1; var adm = 0L
+        ordered.foreach { case (ts, _) =>
+          tokens = math.min(cap * refill, tokens + (ts - prev))
+          if (tokens >= refill) { tokens -= refill; adm += 1 }
+          prev = ts
+        }
+        uid -> (ordered.length.toLong, adm, tokens)
+      }
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (uid, (n, adm, tokens)) =>
+      val r = got(uid)
+      assert(r.getAs[Long]("n_events") === n, s"user $uid count")
+      assert(r.getAs[Long]("n_admitted") === adm, s"user $uid admitted")
+      assert(r.getAs[Long]("n_throttled") === n - adm, s"user $uid throttled")
+      assert(r.getAs[Long]("final_tokens_ms") === tokens, s"user $uid tokens")
+    }
+    // the limiter actually bites on this corpus (otherwise the test is vacuous)
+    assert(expected.values.map(_._2).sum < expected.values.map(_._1).sum,
+      "no event was ever throttled - corpus too sparse for the law to mean anything")
+  }
+
   test("streamSessions: merged session windows equal the batch gaps-and-islands; exact-gap starts a new session") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
