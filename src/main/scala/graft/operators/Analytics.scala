@@ -589,9 +589,52 @@ object Analytics {
         (col("nt").cast("double") - col("s")) / col("nt")).as("gini_after"))
   }
 
+  /** Simpson's-paradox audit — the aggregation-reversal check a metrics
+    * platform runs before publishing a segment comparison (Simpson
+    * 1951; the classic Berkeley-admissions failure): compare BUILDING
+    * vs MACHINERY customers' average order value POOLED and then
+    * within every nation stratum, and flag nations whose gap sign
+    * contradicts the pooled sign. Sign decisions use the exact integer
+    * cross-product sum_a·n_b − sum_b·n_a (cents × counts, ≪ 2^63) —
+    * a float average can land on the wrong side of zero exactly where
+    * this audit matters.
+    *
+    * Scale: orders⋈customer equi-join (dim side broadcast-eligible) →
+    * one (nation) hash-agg with conditional sums; the pooled row is a
+    * 1-row broadcast. No windows. */
+  def simpsonAudit(orders: DataFrame, customer: DataFrame,
+      segA: String = "BUILDING", segB: String = "MACHINERY"): DataFrame = {
+    val base = orders.join(customer,
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin(segA, segB))
+      .select(col("c_nationkey").as("nation"),
+        when(col("c_mktsegment") === segA, 1L).otherwise(0L).as("is_a"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    def cells(df: org.apache.spark.sql.RelationalGroupedDataset) = df
+      .agg(sum(when(col("is_a") === 1L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("is_a") === 0L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("is_a") === 1L, col("cents")).otherwise(0L)).as("sum_a"),
+        sum(when(col("is_a") === 0L, col("cents")).otherwise(0L)).as("sum_b"))
+    val pooled = cells(base.groupBy())
+      .select(signum(col("sum_a") * col("n_b") - col("sum_b") * col("n_a"))
+        .cast("long").as("pooled_sign"))
+    cells(base.groupBy(col("nation")))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .crossJoin(broadcast(pooled))
+      .select(col("nation"), col("n_a"), col("n_b"),
+        graft.functions.Portable.trunc2(col("sum_a") / col("n_a") / 100).as("avg_a"),
+        graft.functions.Portable.trunc2(col("sum_b") / col("n_b") / 100).as("avg_b"),
+        signum(col("sum_a") * col("n_b") - col("sum_b") * col("n_a"))
+          .cast("long").as("stratum_sign"),
+        col("pooled_sign"),
+        (signum(col("sum_a") * col("n_b") - col("sum_b") * col("n_a"))
+          .cast("long") * col("pooled_sign") < 0).as("reversed"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, Q] = Map(
+    "q_simpson" -> ((s, d) => simpsonAudit(Tables.orders(s, d), Tables.customer(s, d))),
     "q_stump" -> ((s, d) => stumpSplit(Tables.events(s, d))),
     "q_ship_lag" -> ((s, d) => shipLag(Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_scan_project" -> ((s, d) => scanProject(Tables.events(s, d))),
@@ -636,6 +679,28 @@ object Analytics {
     "q_approx_distinct" -> ((s, d) => approxDistinct(Tables.lineitem(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_simpson" ->
+      ("WITH base AS (SELECT c_nationkey nation, " +
+        "CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END::BIGINT is_a, " +
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) cents " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')), " +
+        "cells AS (SELECT nation, " +
+        "sum(CASE WHEN is_a = 1 THEN 1 ELSE 0 END)::BIGINT n_a, " +
+        "sum(CASE WHEN is_a = 0 THEN 1 ELSE 0 END)::BIGINT n_b, " +
+        "sum(CASE WHEN is_a = 1 THEN cents ELSE 0 END)::BIGINT sum_a, " +
+        "sum(CASE WHEN is_a = 0 THEN cents ELSE 0 END)::BIGINT sum_b " +
+        "FROM base GROUP BY 1), " +
+        "pooled AS (SELECT sign(sum(CASE WHEN is_a = 1 THEN cents ELSE 0 END)::BIGINT * " +
+        "sum(CASE WHEN is_a = 0 THEN 1 ELSE 0 END)::BIGINT - " +
+        "sum(CASE WHEN is_a = 0 THEN cents ELSE 0 END)::BIGINT * " +
+        "sum(CASE WHEN is_a = 1 THEN 1 ELSE 0 END)::BIGINT)::BIGINT pooled_sign FROM base) " +
+        "SELECT nation, n_a, n_b, " +
+        "floor(sum_a / n_a / 100 * 100) / 100 AS avg_a, " +
+        "floor(sum_b / n_b / 100 * 100) / 100 AS avg_b, " +
+        "sign(sum_a * n_b - sum_b * n_a)::BIGINT AS stratum_sign, pooled_sign, " +
+        "(sign(sum_a * n_b - sum_b * n_a)::BIGINT * pooled_sign < 0) AS reversed " +
+        "FROM cells CROSS JOIN pooled WHERE n_a > 0 AND n_b > 0"),
     "q_stump" ->
       ("WITH base AS (SELECT feature, bin, y FROM (" +
         "SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END::BIGINT y, " +

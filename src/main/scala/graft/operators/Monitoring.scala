@@ -3258,9 +3258,195 @@ object Monitoring {
         trunc4(col("iso")).as("iso_rate"))
   }
 
+  /** Sinkhorn iteration count and entropic temperature (shared with the
+    * generated oracle). */
+  val SinkhornIters = 8
+  val SinkhornEps = 4.0
+  /** Gibbs kernel literals K_ij = ⌊exp(−|i−j|/ε)·2^20⌋/2^20 — folded to
+    * Scala doubles ONCE so both engines parse the identical decimal
+    * (Double.toString round-trips exactly; the hllDistinct alpha
+    * discipline). */
+  private[graft] def sinkhornK(i: Int, j: Int): Double =
+    math.floor(math.exp(-math.abs(i - j) / SinkhornEps) * 1048576.0) / 1048576.0
+
+  /** Entropic optimal transport between two spend distributions by the
+    * SINKHORN-KNOPP iteration (Cuturi 2013) — the regularized OT
+    * distance modern distribution-shift tooling uses where
+    * [[w1Drift]]'s closed form stops working (W1's sorted-CDF trick is
+    * 1-D only; Sinkhorn takes any cost matrix). Marginals: the 16-band
+    * value histograms of purchase vs error events; cost |i−j| band
+    * distance; ε = 4 bands.
+    *
+    * Engine-portability of an ITERATIVE FLOAT computation (a different
+    * regime from the integer-exact loops elsewhere): the solver state
+    * is ONE row of 32 columns (u₀..u₁₅, v₀..v₁₅), every update
+    * u_i ← r_i / Σ_j K_ij·v_j writes the 16-term sum as an UNROLLED
+    * left-fold expression — never a SUM aggregate — so both engines
+    * add in the same textual order (Catalyst's ReorderAssociativeOperator
+    * touches integral types only; float adds are not reassociated).
+    * K_ij are shared decimal literals; marginals are exact-count
+    * ratios. Each step lands on a localCheckpoint so projection
+    * collapse cannot inline step t into step t+1 (16^2t expression
+    * blow-up — the mmrRerank lineage lesson); the oracle mirrors with
+    * MATERIALIZED CTEs.
+    *
+    * Output per band: both marginals, the transport plan's column mass
+    * (row mass is exact by construction after a final u-update; the
+    * column residual IS the convergence readout), and the entropic
+    * cost. Scale: the only fact-sized work is one conditional-sum
+    * histogram aggregate (map-side combined, 16 cells); the solver
+    * never leaves a 1-row relation. */
+  def sinkhornDrift(ev: DataFrame, bands: Int = 16): DataFrame = {
+    import graft.functions.Portable.trunc6
+    val binCol = least(floor(col("value") / 32.0).cast("int"), lit(bands - 1))
+    val aggs = (0 until bands).flatMap(i => Seq(
+      sum(when(col("event_type") === "purchase" && col("bin") === i, 1L)
+        .otherwise(0L)).as(s"rn$i"),
+      sum(when(col("event_type") === "error" && col("bin") === i, 1L)
+        .otherwise(0L)).as(s"cn$i")))
+    val hist = ev.filter(col("event_type").isin("purchase", "error"))
+      .select(col("event_type"), binCol.as("bin"))
+      .agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint(true) // 1 row of 2·bands exact counts
+    val nr = (0 until bands).map(i => col(s"rn$i")).reduce(_ + _)
+    val nc = (0 until bands).map(i => col(s"cn$i")).reduce(_ + _)
+    var state = hist.select(
+      (0 until bands).map(i => (col(s"rn$i").cast("double") / nr).as(s"r$i")) ++
+        (0 until bands).map(i => (col(s"cn$i").cast("double") / nc).as(s"c$i")) ++
+        (0 until bands).map(i => lit(1.0).as(s"u$i")) ++
+        (0 until bands).map(i => lit(1.0).as(s"v$i")): _*)
+      .localCheckpoint(true)
+    val keep = (0 until bands).flatMap(i => Seq(col(s"r$i"), col(s"c$i")))
+    def kv(i: Int) =
+      (0 until bands).map(j => lit(sinkhornK(i, j)) * col(s"v$j")).reduce(_ + _)
+    def ku(j: Int) =
+      (0 until bands).map(i => lit(sinkhornK(i, j)) * col(s"u$i")).reduce(_ + _)
+    def uStep(df: DataFrame) = df.select(keep ++
+      (0 until bands).map(i => (col(s"r$i") / kv(i)).as(s"u$i")) ++
+      (0 until bands).map(j => col(s"v$j")): _*).localCheckpoint(true)
+    def vStep(df: DataFrame) = df.select(keep ++
+      (0 until bands).map(i => col(s"u$i")) ++
+      (0 until bands).map(j => (col(s"c$j") / ku(j)).as(s"v$j")): _*)
+      .localCheckpoint(true)
+    for (_ <- 0 until SinkhornIters) state = vStep(uStep(state))
+    state = uStep(state) // final u-update: row marginals exact
+    // cost folds per-i groups first, then across groups — 16+15 nesting
+    // instead of a flat 240-term chain (DuckDB's binder caps expression
+    // depth at 128); the oracle parenthesizes IDENTICALLY so the float
+    // fold order still matches term-for-term
+    val cost = (0 until bands).map(i =>
+      (0 until bands).filter(_ != i).map(j =>
+        lit(math.abs(i - j).toDouble) * col(s"u$i") * lit(sinkhornK(i, j)) * col(s"v$j"))
+        .reduce(_ + _)).reduce(_ + _)
+    def colMass(j: Int) = (0 until bands)
+      .map(i => col(s"u$i") * lit(sinkhornK(i, j)) * col(s"v$j")).reduce(_ + _)
+    state.select(trunc6(cost).as("sinkhorn_cost") +:
+        (0 until bands).map(j => struct(lit(j).as("bin"),
+          trunc6(col(s"r$j")).as("r_p"), trunc6(col(s"c$j")).as("c_p"),
+          trunc6(colMass(j)).as("plan_col_mass")).as(s"b$j")): _*)
+      .select(col("sinkhorn_cost"),
+        explode(array((0 until bands).map(j => col(s"b$j")): _*)).as("b"))
+      .select(col("b.bin").as("bin"), col("b.r_p").as("r_p"),
+        col("b.c_p").as("c_p"), col("b.plan_col_mass").as("plan_col_mass"),
+        col("sinkhorn_cost"))
+  }
+
+  /** The generated DuckDB mirror of [[sinkhornDrift]] — same K
+    * literals, same textual fold order, MATERIALIZED per step. */
+  private[graft] def sinkhornOracle(bands: Int = 16): String = {
+    def k(i: Int, j: Int) = s"(${sinkhornK(i, j)}::DOUBLE)"
+    val sums = (0 until bands).map(i =>
+      s"sum(CASE WHEN event_type = 'purchase' AND bin = $i THEN 1 ELSE 0 END)::BIGINT rn$i, " +
+        s"sum(CASE WHEN event_type = 'error' AND bin = $i THEN 1 ELSE 0 END)::BIGINT cn$i")
+      .mkString(", ")
+    val nr = (0 until bands).map(i => s"rn$i").mkString(" + ")
+    val nc = (0 until bands).map(i => s"cn$i").mkString(" + ")
+    val init = (0 until bands).map(i => s"rn$i::DOUBLE / ($nr) r$i").mkString(", ") + ", " +
+      (0 until bands).map(i => s"cn$i::DOUBLE / ($nc) c$i").mkString(", ") + ", " +
+      (0 until bands).map(i => s"1.0::DOUBLE u$i").mkString(", ") + ", " +
+      (0 until bands).map(i => s"1.0::DOUBLE v$i").mkString(", ")
+    val rc = (0 until bands).flatMap(i => Seq(s"r$i", s"c$i")).mkString(", ")
+    def kvS(i: Int) = (0 until bands).map(j => s"${k(i, j)} * v$j").mkString(" + ")
+    def kuS(j: Int) = (0 until bands).map(i => s"${k(i, j)} * u$i").mkString(" + ")
+    def uSel = (0 until bands).map(i => s"r$i / (${kvS(i)}) u$i").mkString(", ")
+    val us = (0 until bands).map(i => s"u$i").mkString(", ")
+    val vs = (0 until bands).map(j => s"v$j").mkString(", ")
+    def vSel = (0 until bands).map(j => s"c$j / (${kuS(j)}) v$j").mkString(", ")
+    val steps = (1 to SinkhornIters).map { t =>
+      val prev = if (t == 1) "s0" else s"sv${t - 1}"
+      s"su$t AS MATERIALIZED (SELECT $rc, $uSel, $vs FROM $prev), " +
+        s"sv$t AS MATERIALIZED (SELECT $rc, $us, $vSel FROM su$t)"
+    }.mkString(", ")
+    val cost = (0 until bands).map(i =>
+      "(" + (0 until bands).filter(_ != i).map(j =>
+        s"${math.abs(i - j).toDouble} * u$i * ${k(i, j)} * v$j").mkString(" + ") + ")")
+      .mkString(" + ")
+    def colMass(j: Int) = (0 until bands).map(i => s"u$i * ${k(i, j)} * v$j")
+      .mkString(" + ")
+    val outRows = (0 until bands).map(j =>
+      s"($j, floor(r$j * 1000000) / 1000000, floor(c$j * 1000000) / 1000000, " +
+        s"floor((${colMass(j)}) * 1000000) / 1000000)").mkString(", ")
+    s"WITH b0 AS MATERIALIZED (SELECT event_type, " +
+      s"least(CAST(floor(value / 32.0) AS INT), ${bands - 1}) bin FROM events " +
+      "WHERE event_type IN ('purchase', 'error')), " +
+      s"h AS MATERIALIZED (SELECT $sums FROM b0), " +
+      s"s0 AS MATERIALIZED (SELECT $init FROM h), $steps, " +
+      s"fin AS MATERIALIZED (SELECT $rc, $uSel, $vs FROM sv$SinkhornIters), " +
+      s"rep AS MATERIALIZED (SELECT *, floor(($cost) * 1000000) / 1000000 sinkhorn_cost FROM fin) " +
+      s"SELECT t.bin, t.r_p, t.c_p, t.plan_col_mass, rep.sinkhorn_cost " +
+      s"FROM rep, LATERAL (VALUES $outRows) t(bin, r_p, c_p, plan_col_mass)"
+  }
+
+  /** Qini / uplift curve by targeting band (Radcliffe 2007) — the
+    * incrementality readout an A/B-with-targeting pipeline publishes:
+    * treatment = odd user_id (the deterministic holdout split the
+    * abtest family uses), outcome = purchase count, targeting score =
+    * the user's non-purchase activity. Users collapse into score BANDS
+    * (score div 8, capped), bands rank best-first, and the cumulative
+    * Qini at band k is
+    *   Q(k) = Σ≤k purch_t − Σ≤k purch_c · (Σ≤k n_t / Σ≤k n_c)
+    * — incremental conversions vs a scaled control. Per-band uplift
+    * (rate_t − rate_c) is reported alongside.
+    *
+    * Scale: one per-user aggregate (map-side combined, |users| rows) →
+    * one per-band aggregate (≤ 8 rows); the cumulative window runs
+    * over the 8-row band relation, never users (the rfm two-phase
+    * lesson: no global window over the per-user relation — bands are
+    * the collapse). Counts stay exact BIGINTs; only the final Qini
+    * scaling and rates divide, in one shared textual order. */
+  def qiniCurve(ev: DataFrame, bandW: Int = 8, maxBand: Int = 7): DataFrame = {
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purch"),
+        sum(when(col("event_type").isin("click", "view"), 1L).otherwise(0L)).as("activity"))
+      .select(pmod(col("user_id"), lit(2L)).as("treated"),
+        least(floor(col("activity") / bandW), lit(maxBand.toLong)).as("band"),
+        col("purch"))
+    val bands = perUser.groupBy(col("band"))
+      .agg(sum(when(col("treated") === 1L, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("treated") === 0L, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("treated") === 1L, col("purch")).otherwise(0L)).as("purch_t"),
+        sum(when(col("treated") === 0L, col("purch")).otherwise(0L)).as("purch_c"))
+    val cum = Window.orderBy(col("band").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bands
+      .withColumn("cn_t", sum(col("n_t")).over(cum))
+      .withColumn("cn_c", sum(col("n_c")).over(cum))
+      .withColumn("cp_t", sum(col("purch_t")).over(cum))
+      .withColumn("cp_c", sum(col("purch_c")).over(cum))
+      .select(col("band"), col("n_t"), col("n_c"), col("purch_t"), col("purch_c"),
+        when(col("n_t") > 0 && col("n_c") > 0,
+          trunc4(col("purch_t") / col("n_t") - col("purch_c") / col("n_c")))
+          .as("uplift"), // an empty arm has no uplift estimate (NULL, both engines)
+        when(col("cn_c") > 0,
+          trunc4(col("cp_t") - col("cp_c") * (col("cn_t") / col("cn_c"))))
+          .as("qini"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_qini" -> ((s, d) => qiniCurve(Tables.events(s, d))),
+    "q_sinkhorn" -> ((s, d) => sinkhornDrift(Tables.events(s, d))),
     "q_isotonic" -> ((s, d) => isotonicCalibration(Tables.orders(s, d))),
     "q_tail_index" -> ((s, d) => tailIndex(Tables.events(s, d))),
     "q_shapley_attrib" -> ((s, d) => shapleyAttribution(Tables.events(s, d))),
@@ -3512,6 +3698,30 @@ object Monitoring {
       "AS attribution_share FROM sp CROSS JOIN stot"
 
   val oracleSql: Map[String, String] = Map(
+    "q_qini" ->
+      ("WITH pu AS (SELECT user_id, " +
+        "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT purch, " +
+        "sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END)::BIGINT activity " +
+        "FROM events GROUP BY 1), " +
+        "bd AS (SELECT user_id % 2 treated, least(activity // 8, 7) band, purch FROM pu), " +
+        "bands AS (SELECT band, " +
+        "sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END)::BIGINT n_t, " +
+        "sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END)::BIGINT n_c, " +
+        "sum(CASE WHEN treated = 1 THEN purch ELSE 0 END)::BIGINT purch_t, " +
+        "sum(CASE WHEN treated = 0 THEN purch ELSE 0 END)::BIGINT purch_c " +
+        "FROM bd GROUP BY 1), " +
+        "c AS (SELECT *, " +
+        "sum(n_t) OVER (ORDER BY band DESC ROWS UNBOUNDED PRECEDING)::BIGINT cn_t, " +
+        "sum(n_c) OVER (ORDER BY band DESC ROWS UNBOUNDED PRECEDING)::BIGINT cn_c, " +
+        "sum(purch_t) OVER (ORDER BY band DESC ROWS UNBOUNDED PRECEDING)::BIGINT cp_t, " +
+        "sum(purch_c) OVER (ORDER BY band DESC ROWS UNBOUNDED PRECEDING)::BIGINT cp_c " +
+        "FROM bands) " +
+        "SELECT band, n_t, n_c, purch_t, purch_c, " +
+        "CASE WHEN n_t > 0 AND n_c > 0 THEN " +
+        "floor((purch_t / n_t - purch_c / n_c) * 10000) / 10000 END AS uplift, " +
+        "CASE WHEN cn_c > 0 THEN " +
+        "floor((cp_t - cp_c * (cn_t / cn_c)) * 10000) / 10000 END AS qini FROM c"),
+    "q_sinkhorn" -> sinkhornOracle(),
     "q_isotonic" ->
       ("WITH hist AS (SELECT CAST(floor(o_totalprice / 12500.0) AS BIGINT) bin, " +
         "count(*)::BIGINT n, sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT pos " +

@@ -1473,6 +1473,71 @@ object TextOps {
     result
   }
 
+  /** Interpolated Kneser–Ney bigram LM (Kneser & Ney 1995; Chen &
+    * Goodman 1999's KN-interpolated variant), held-out-scored — the
+    * production smoothing next to [[bigramLm]]'s add-1 baseline. Same
+    * even/odd split, same 1e6-scaled NLL discipline, but the
+    * probability is
+    *   P(w₂|w₁) = (max(c(w₁w₂)−D, 0) + D·N₁₊(w₁·)·P_cont(w₂)) / c(w₁),
+    *   P_cont(w₂) = N₁₊(·w₂) / |bigram types|
+    * with absolute discount D = 0.75 — the continuation probability is
+    * what distinguishes KN: a token's unigram weight is how many
+    * CONTEXTS it follows, not how often it occurs. Unseen fallbacks,
+    * in order: unseen history → P_cont(w₂); unseen continuation →
+    * the 1/(2·|types|) floor (documented, deterministic). Reported
+    * per SOURCE: average NLL and both miss rates — the held-out
+    * cross-entropy a curator compares against [[bigramLm]] per corpus
+    * slice.
+    *
+    * Scale: the bigram explode is per-row; four train aggregates all
+    * map-side combine on (t1,t2)/t1/t2 keys; scoring is three LEFT
+    * equi-joins against collapsed count relations (each ≤ |bigram
+    * types|), then one tiny per-source rollup. The probability divides
+    * exact integer counts in one textual order both engines share. */
+  def knBigramLm(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    val toks = graft.functions.Portable.spread(docs, col("doc_id"))
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("tok"))
+    val bi = toks
+      .select(col("doc_id"), col("source"),
+        explode(expr("transform(slice(tok, 1, size(tok) - 1), " +
+          "(t, i) -> struct(t AS t1, element_at(tok, i + 2) AS t2))")).as("b"))
+      .select(col("doc_id"), col("source"), col("b.t1").as("t1"), col("b.t2").as("t2"))
+      .persist() // feeds four train aggregates AND the test scoring join
+    val train = bi.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val c2 = train.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c2"))
+      .persist() // feeds c1/n1f/n1b/B and the scoring join
+    val c1 = c2.groupBy(col("t1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+    val n1b = c2.groupBy(col("t2")).agg(count(lit(1)).as("n1b"))
+    val btypes = c2.agg(count(lit(1)).as("bt"))
+    val scored = bi.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .join(c2, Seq("t1", "t2"), "left")
+      .join(c1, Seq("t1"), "left")
+      .join(n1b, Seq("t2"), "left")
+      .crossJoin(broadcast(btypes))
+      .withColumn("pcont",
+        when(col("n1b").isNotNull, col("n1b") / col("bt"))
+          .otherwise(lit(0.5) / col("bt")))
+      .withColumn("p",
+        when(col("c1").isNotNull,
+          (greatest(coalesce(col("c2"), lit(0L)) - discount, lit(0.0)) +
+            lit(discount) * col("n1f") * col("pcont")) / col("c1"))
+          .otherwise(col("pcont")))
+      .select(col("source"),
+        when(col("c2").isNull, 1L).otherwise(0L).as("unseen_bigram"),
+        when(col("c1").isNull, 1L).otherwise(0L).as("unseen_history"),
+        floor(-log(col("p")) * 1e6).cast("long").as("nll_term"))
+    val result = scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_term")).as("nll_scaled"),
+        sum(col("unseen_bigram")).as("n_unseen"),
+        sum(col("unseen_history")).as("n_unseen_hist"))
+      .withColumn("avg_nll", trunc4(col("nll_scaled") / 1e6 / col("n_bigrams")))
+      .withColumn("unseen_rate", trunc4(col("n_unseen") / col("n_bigrams")))
+      .localCheckpoint(true) // one row per source; frees both caches
+    bi.unpersist(); c2.unpersist()
+    result
+  }
+
   /** Per-document keyphrase extraction — top-`k` tokens by
     * tf·idf WITHIN each document (the corpus-level
     * `q_text_tfidf` ranks terms globally; this answers "what is THIS
@@ -1830,6 +1895,7 @@ object TextOps {
     "q_text_bm25" -> ((s, d) => bm25TopK(Tables.documents(s, d))),
     "q_text_perplexity" -> ((s, d) => unigramNll(Tables.documents(s, d))),
     "q_text_bigram_lm" -> ((s, d) => bigramLm(Tables.documents(s, d))),
+    "q_text_kn_lm" -> ((s, d) => knBigramLm(Tables.documents(s, d))),
     "q_char_entropy" -> ((s, d) => charEntropy(Tables.documents(s, d))),
     "q_mixture_waterfill" -> ((s, d) => mixtureWaterfill(Tables.documents(s, d))),
     "q_keyphrases" -> ((s, d) => keyphrases(Tables.documents(s, d))),
@@ -2084,6 +2150,34 @@ object TextOps {
         "::BIGINT AS jsd_scaled, " +
         "floor((present_scaled + CAST(floor(ln(2) * (1000000000 - q_mass_scaled) / 2) " +
         "AS BIGINT)) / 1000000000.0 * 10000) / 10000 AS jsd FROM jagg"),
+    "q_text_kn_lm" ->
+      ("WITH t AS (SELECT doc_id, source, string_split(text, ' ') tok FROM documents), " +
+        "bi AS (SELECT doc_id, source, " +
+        "unnest(list_transform(range(1, len(tok)), i -> tok[i])) t1, " +
+        "unnest(list_transform(range(1, len(tok)), i -> tok[i + 1])) t2 FROM t), " +
+        "tr AS (SELECT t1, t2 FROM bi WHERE doc_id % 2 = 0), " +
+        "kc2 AS (SELECT t1, t2, count(*) c2 FROM tr GROUP BY 1, 2), " +
+        "kc1 AS (SELECT t1, sum(c2)::BIGINT c1, count(*) n1f FROM kc2 GROUP BY 1), " +
+        "kn1b AS (SELECT t2, count(*) n1b FROM kc2 GROUP BY 1), " +
+        "kbt AS (SELECT count(*)::BIGINT bt FROM kc2), " +
+        "pc AS (SELECT b.source, kc2.c2, kc1.c1, kc1.n1f, " +
+        "CASE WHEN kn1b.n1b IS NOT NULL THEN kn1b.n1b / kbt.bt " +
+        "ELSE (0.5::DOUBLE) / kbt.bt END pcont " +
+        "FROM bi b LEFT JOIN kc2 ON b.t1 = kc2.t1 AND b.t2 = kc2.t2 " +
+        "LEFT JOIN kc1 ON b.t1 = kc1.t1 LEFT JOIN kn1b ON b.t2 = kn1b.t2 " +
+        "CROSS JOIN kbt WHERE b.doc_id % 2 = 1), " +
+        "sc AS (SELECT source, CASE WHEN c2 IS NULL THEN 1 ELSE 0 END unseen_bigram, " +
+        "CASE WHEN c1 IS NULL THEN 1 ELSE 0 END unseen_history, " +
+        "CAST(floor(-ln(CASE WHEN c1 IS NOT NULL THEN " +
+        "(greatest(coalesce(c2, 0) - (0.75::DOUBLE), 0.0::DOUBLE) + " +
+        "(0.75::DOUBLE) * n1f * pcont) / c1 ELSE pcont END) * 1000000) AS BIGINT) nll_term " +
+        "FROM pc) " +
+        "SELECT source, count(*) AS n_bigrams, sum(nll_term)::BIGINT AS nll_scaled, " +
+        "sum(unseen_bigram)::BIGINT AS n_unseen, " +
+        "sum(unseen_history)::BIGINT AS n_unseen_hist, " +
+        "floor(sum(nll_term)::BIGINT / 1000000.0 / count(*) * 10000) / 10000 AS avg_nll, " +
+        "floor(sum(unseen_bigram)::BIGINT / count(*) * 10000) / 10000 AS unseen_rate " +
+        "FROM sc GROUP BY 1"),
     "q_text_bigram_lm" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents), " +
         "bi AS (SELECT doc_id, " +
