@@ -631,9 +631,82 @@ object Analytics {
           .cast("long") * col("pooled_sign") < 0).as("reversed"))
   }
 
+  /** One exact ALS half-step with k = 2 latent factors (Hu, Koren &
+    * Volinsky 2008's alternating solve, the distributed-recommender
+    * workhorse — Spark's own ml.recommendation.ALS runs this loop):
+    * items are part BRANDS with FIXED deterministic factors
+    * y_b = (1, hash-derived rational); each customer's factor vector
+    * solves the 2×2 ridge normal equations over their purchase
+    * quantities in CLOSED FORM,
+    *   x_u = (YᵀY + λI)⁻¹ Yᵀ r_u,  [[a,b],[b,c]]⁻¹ = adj/(ac−b²),
+    * and the report ranks each probe user's top-3 UNRATED brands by
+    * x_u·y_b — the fold-in recommendation a serving tier computes.
+    *
+    * Exactness: y components are 1e-3 rationals (integers y1m, y2m),
+    * ratings are integer quantities, so a,b,c (λ included, 1e6 scale)
+    * and d1,d2 (1e-3 scale) accumulate as exact BIGINTs — merge-order-
+    * free; each x component is ONE division of exact integers
+    * (numerator ≤ ~2^50 here; widen to DECIMAL(38,0) at 10⁹-item
+    * catalogs, the abCuped rule). Recommendation scores multiply
+    * identical doubles.
+    *
+    * Scale: ratings = one orders⋈lineitem⋈part chain into a (user,
+    * brand) hash-agg; the solve is a per-user aggregate over ≤|brands|
+    * rows (map-side combined); scoring cross-joins the 5-user factor
+    * row set against the 25-brand LUT — both broadcast-sized. The
+    * item half-step (re-solving Y from X) is the same plan transposed;
+    * production alternates the two to convergence. */
+  def alsHalfStep(orders: DataFrame, li: DataFrame, part: DataFrame,
+      lambda1e6: Long = 100000L, probeUsers: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L),
+      topK: Int = 3): DataFrame = {
+    import graft.functions.TextHash.hash60
+    // fixed item factors: y1 = 1.000, y2 = hash-centered in [-0.5, 0.5)
+    def y2m(brand: Column): Column =
+      pmod(hash60(concat(lit("als|"), brand)), lit(1000L)) - 500L
+    val ratings = li.select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("o_custkey").as("u"), col("p_brand").as("brand"))
+      .agg(sum(col("l_quantity").cast("long")).as("r"))
+      .persist() // feeds the solve AND the rated-brand anti-join
+    val withY = ratings
+      .withColumn("y1m", lit(1000L))
+      .withColumn("y2m", y2m(col("brand")))
+    val factors = withY.groupBy(col("u"))
+      .agg((sum(col("y1m") * col("y1m")) + lambda1e6).as("a_s"),
+        sum(col("y1m") * col("y2m")).as("b_s"),
+        (sum(col("y2m") * col("y2m")) + lambda1e6).as("c_s"),
+        sum(col("y1m") * col("r")).as("d1_s"),
+        sum(col("y2m") * col("r")).as("d2_s"))
+      .select(col("u"),
+        ((col("c_s") * col("d1_s") - col("b_s") * col("d2_s")).cast("double") /
+          (col("a_s") * col("c_s") - col("b_s") * col("b_s")) * 1000).as("x1"),
+        ((col("a_s") * col("d2_s") - col("b_s") * col("d1_s")).cast("double") /
+          (col("a_s") * col("c_s") - col("b_s") * col("b_s")) * 1000).as("x2"))
+      .filter(col("u").isin(probeUsers: _*))
+    val brands = part.select(col("p_brand").as("brand")).distinct()
+      .withColumn("y2m", y2m(col("brand")))
+    val scored = factors.join(broadcast(brands))
+      .join(ratings.select(col("u"), col("brand")), Seq("u", "brand"), "left_anti")
+      .select(col("u"), col("brand"),
+        (col("x1") * 1.0 + col("x2") * (col("y2m").cast("double") / 1000)).as("score"))
+    val w = Window.partitionBy(col("u")).orderBy(col("score").desc, col("brand"))
+    val result = scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("u").as("user"), col("brand"),
+        graft.functions.Portable.trunc4(col("score")).as("score"), col("rnk"))
+      .localCheckpoint(true) // 15 rows; frees the ratings cache
+    ratings.unpersist()
+    result
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, Q] = Map(
+    "q_als2" -> ((s, d) => alsHalfStep(Tables.orders(s, d),
+      Tables.lineitem(s, d), Tables.part(s, d))),
     "q_simpson" -> ((s, d) => simpsonAudit(Tables.orders(s, d), Tables.customer(s, d))),
     "q_stump" -> ((s, d) => stumpSplit(Tables.events(s, d))),
     "q_ship_lag" -> ((s, d) => shipLag(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -679,6 +752,29 @@ object Analytics {
     "q_approx_distinct" -> ((s, d) => approxDistinct(Tables.lineitem(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_als2" ->
+      ("WITH r0 AS (SELECT o_custkey u, p_brand brand, " +
+        "sum(CAST(l_quantity AS BIGINT))::BIGINT r FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN part ON l_partkey = p_partkey GROUP BY 1, 2), " +
+        "wy AS (SELECT *, 1000::BIGINT y1m, " +
+        "(('0x' || substr(md5('als|' || brand), 1, 15))::BIGINT % 1000) - 500 y2m FROM r0), " +
+        "f AS (SELECT u, (sum(y1m * y1m) + 100000)::BIGINT a_s, " +
+        "sum(y1m * y2m)::BIGINT b_s, (sum(y2m * y2m) + 100000)::BIGINT c_s, " +
+        "sum(y1m * r)::BIGINT d1_s, sum(y2m * r)::BIGINT d2_s FROM wy GROUP BY 1), " +
+        "x AS (SELECT u, (c_s * d1_s - b_s * d2_s)::DOUBLE / " +
+        "(a_s * c_s - b_s * b_s) * 1000 x1, " +
+        "(a_s * d2_s - b_s * d1_s)::DOUBLE / (a_s * c_s - b_s * b_s) * 1000 x2 " +
+        "FROM f WHERE u IN (0, 1, 2, 3, 4)), " +
+        "bw AS (SELECT brand, " +
+        "(('0x' || substr(md5('als|' || brand), 1, 15))::BIGINT % 1000) - 500 y2m " +
+        "FROM (SELECT DISTINCT p_brand brand FROM part)), " +
+        "sc AS (SELECT u, brand, x1 * 1.0 + x2 * (y2m::DOUBLE / 1000) score " +
+        "FROM x CROSS JOIN bw WHERE NOT EXISTS " +
+        "(SELECT 1 FROM r0 WHERE r0.u = x.u AND r0.brand = bw.brand)), " +
+        "rk AS (SELECT u, brand, floor(score * 10000) / 10000 score, " +
+        "row_number() OVER (PARTITION BY u ORDER BY score DESC, brand)::BIGINT rnk FROM sc) " +
+        "SELECT u AS \"user\", brand, score, rnk FROM rk WHERE rnk <= 3"),
     "q_simpson" ->
       ("WITH base AS (SELECT c_nationkey nation, " +
         "CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END::BIGINT is_a, " +

@@ -1482,7 +1482,12 @@ object TextOps {
     *   P_cont(w₂) = N₁₊(·w₂) / |bigram types|
     * with absolute discount D = 0.75 — the continuation probability is
     * what distinguishes KN: a token's unigram weight is how many
-    * CONTEXTS it follows, not how often it occurs. Unseen fallbacks,
+    * CONTEXTS it follows, not how often it occurs. (On THIS corpus the
+    * add-1 baseline measures marginally better — 3.431 vs 3.437 avg
+    * NLL at sf0.01 — because the generator's near-uniform token draws
+    * have no burstiness for continuation counts to exploit; on Zipfian
+    * real text the ordering flips, which is why both smoothers ship.)
+    * Unseen fallbacks,
     * in order: unseen history → P_cont(w₂); unseen continuation →
     * the 1/(2·|types|) floor (documented, deterministic). Reported
     * per SOURCE: average NLL and both miss rates — the held-out

@@ -496,6 +496,100 @@ class PropertiesSpec extends SparkSpec {
       r(("natural", "box")).getAs[Double]("scan_frac"))
   }
 
+  test("sinkhorn laws: plan mass is a coupling up to convergence residual, cost bounded") {
+    val rows = graft.operators.Monitoring.sinkhornDrift(graft.Tables.events(spark, sf))
+      .collect().sortBy(_.getAs[Int]("bin"))
+    assert(rows.length === 16)
+    val cost = rows.head.getAs[Double]("sinkhorn_cost")
+    assert(cost >= 0.0 && cost <= 15.0, s"band-distance cost out of range: $cost")
+    // after the final u-update total plan mass equals total row mass = 1
+    val totalMass = rows.map(_.getAs[Double]("plan_col_mass")).sum
+    assert(math.abs(totalMass - 1.0) < 1e-3, s"plan mass $totalMass drifted from 1")
+    // column marginals converge toward c (the residual IS the readout,
+    // but after 8 rounds it should be small on 16 bands)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("plan_col_mass") - r.getAs[Double]("c_p")) < 0.02,
+        s"column marginal far from target: $r")
+    }
+  }
+
+  test("knBigramLm scores the same held-out bigram population as the add-1 baseline") {
+    val kn = graft.operators.TextOps.knBigramLm(graft.Tables.documents(spark, sf))
+      .collect()
+    val add1 = graft.operators.TextOps.bigramLm(graft.Tables.documents(spark, sf))
+      .collect()
+    assert(kn.map(_.getAs[Long]("n_bigrams")).sum ===
+      add1.map(_.getAs[Long]("n_bigrams")).sum,
+      "both smoothers must score every held-out bigram exactly once")
+    kn.foreach { r =>
+      assert(r.getAs[Double]("avg_nll") > 0.0, s"non-positive cross-entropy: $r")
+      assert(r.getAs[Long]("n_unseen_hist") <= r.getAs[Long]("n_unseen"),
+        "an unseen history implies an unseen bigram")
+    }
+  }
+
+  test("qini law: the full-population point equals the overall incrementality formula") {
+    val rows = graft.operators.Monitoring.qiniCurve(graft.Tables.events(spark, sf))
+      .collect().sortBy(_.getAs[Long]("band"))
+    val nT = rows.map(_.getAs[Long]("n_t")).sum
+    val nC = rows.map(_.getAs[Long]("n_c")).sum
+    val pT = rows.map(_.getAs[Long]("purch_t")).sum
+    val pC = rows.map(_.getAs[Long]("purch_c")).sum
+    // cumulation runs best-band-first, so band 0 carries the totals
+    val last = rows.head
+    val expected = math.floor((pT - pC * (nT.toDouble / nC)) * 10000) / 10000
+    assert(last.getAs[Double]("qini") === expected,
+      s"full-population qini ${last.getAs[Double]("qini")} != $expected")
+    // per-user treated/control split is exhaustive
+    val users = graft.Tables.events(spark, sf)
+      .select(countDistinct(col("user_id"))).head.getLong(0)
+    assert(nT + nC === users)
+  }
+
+  test("simpson audit: pooled sign and per-stratum reversal flags match a recompute") {
+    val got = graft.operators.Analytics.simpsonAudit(
+      graft.Tables.orders(spark, sf), graft.Tables.customer(spark, sf)).collect()
+    val raw = graft.Tables.orders(spark, sf)
+      .join(graft.Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as long)").as("cents"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    def sign(rows: Seq[(Int, String, Long)]): Long = {
+      val a = rows.filter(_._2 == "BUILDING"); val b = rows.filter(_._2 == "MACHINERY")
+      math.signum(a.map(_._3).sum * b.size - b.map(_._3).sum * a.size).toLong
+    }
+    val pooledSign = sign(raw.toSeq)
+    got.foreach { r =>
+      val nation = r.getAs[Int]("nation")
+      val stratum = sign(raw.filter(_._1 == nation).toSeq)
+      assert(r.getAs[Long]("pooled_sign") === pooledSign)
+      assert(r.getAs[Long]("stratum_sign") === stratum, s"nation $nation")
+      assert(r.getAs[Boolean]("reversed") === (stratum * pooledSign < 0))
+    }
+  }
+
+  test("als2: recommended brands were never purchased; factors solve the normal equations") {
+    val orders = graft.Tables.orders(spark, sf)
+    val li = graft.Tables.lineitem(spark, sf)
+    val part = graft.Tables.part(spark, sf)
+    val recs = graft.operators.Analytics.alsHalfStep(orders, li, part).collect()
+    assert(recs.nonEmpty)
+    val rated = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .select(col("o_custkey"), col("p_brand")).distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    recs.foreach { r =>
+      assert(!rated.contains((r.getAs[Long]("user"), r.getAs[String]("brand"))),
+        s"recommended an already-purchased brand: $r")
+      assert(r.getAs[Long]("rnk") >= 1L && r.getAs[Long]("rnk") <= 3L)
+    }
+    // every probe user with at least one unrated brand gets exactly topK rows
+    recs.groupBy(_.getAs[Long]("user")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rnk")).sorted.toSeq === (1L to rs.length).toSeq)
+    }
+  }
+
   test("skyline law: no surviving merchant is dominated; every excluded one is") {
     forAll(rowGen) { rows =>
       import spark.implicits._
