@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.Portable.trunc4
+import graft.functions.Portable.{trunc2, trunc4}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -3442,9 +3442,66 @@ object Monitoring {
           .as("qini"))
   }
 
+  /** Single change-point detection by binary segmentation (Scott &
+    * Knott 1974; the first split of every changepoint library): over
+    * the daily revenue series, choose the boundary that minimizes
+    * total within-segment squared error. With per-day sums S and
+    * day counts n, SSE_L + SSE_R = ΣY² − (S_L²/n_L + S_R²/n_R), so the
+    * argmin maximizes G = S_L²·n_R + S_R²·n_L over n_L·n_R — computed
+    * from cumulative sums over the ~30-row daily relation. The report
+    * is the split day, both segment means, and the variance-explained
+    * share (the R² a monitoring rule thresholds before alerting
+    * "the level shifted").
+    *
+    * Exactness: daily cent sums reach ~10¹¹ at bench scale, so S² and
+    * the G products widen through DECIMAL(38,0)/HUGEINT (the abCuped
+    * rule — a BIGINT S² overflows silently right where the series gets
+    * interesting); candidates rank on the identical derived double,
+    * ties to the earlier day.
+    *
+    * Scale: one (day) hash-agg over the facts; the candidate scan is a
+    * cumulative window + rank over the COLLAPSED daily relation. */
+  def changepoint(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("s"),
+        sum(expr("cast(cast(floor(o_totalprice * 100 + 0.5) as decimal(38,0)) * " +
+          "cast(floor(o_totalprice * 100 + 0.5) as bigint) as decimal(38,0))")).as("ss"))
+    val byDay = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    val cand = daily
+      .withColumn("nl", sum(col("n")).over(byDay))
+      .withColumn("sl", sum(col("s")).over(byDay))
+      .withColumn("nt", sum(col("n")).over(tot))
+      .withColumn("st", sum(col("s")).over(tot))
+      .withColumn("sst", sum(col("ss")).over(tot))
+      .withColumn("nr", col("nt") - col("nl"))
+      .withColumn("sr", col("st") - col("sl"))
+      .filter(col("nr") > 0)
+      .withColumn("g",
+        (expr("cast(sl as decimal(38,0)) * sl") * col("nr") +
+          expr("cast(sr as decimal(38,0)) * sr") * col("nl")).cast("double") /
+          (col("nl") * col("nr")))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("g").desc, col("day"))))
+      .filter(col("rnk") === 1)
+    cand.select(col("day").as("split_day"), col("nl").as("n_left"),
+      col("nr").as("n_right"),
+      trunc2(col("sl").cast("double") / col("nl") / 100).as("mean_left"),
+      trunc2(col("sr").cast("double") / col("nr") / 100).as("mean_right"),
+      // variance explained: (G/n − S²/n) / (ΣY² − S²/n), all identical doubles
+      trunc4((col("g") - expr("cast(st as decimal(38,0)) * st").cast("double") / col("nt")) /
+        (col("sst").cast("double") -
+          expr("cast(st as decimal(38,0)) * st").cast("double") / col("nt")))
+        .as("var_explained"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_changepoint" -> ((s, d) => changepoint(Tables.orders(s, d))),
     "q_qini" -> ((s, d) => qiniCurve(Tables.events(s, d))),
     "q_sinkhorn" -> ((s, d) => sinkhornDrift(Tables.events(s, d))),
     "q_isotonic" -> ((s, d) => isotonicCalibration(Tables.orders(s, d))),
@@ -3698,6 +3755,26 @@ object Monitoring {
       "AS attribution_share FROM sp CROSS JOIN stot"
 
   val oracleSql: Map[String, String] = Map(
+    "q_changepoint" ->
+      ("WITH daily AS (SELECT date_trunc('day', o_orderdate) dday, count(*)::BIGINT n, " +
+        "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT s, " +
+        "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)::HUGEINT * " +
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) ss FROM orders GROUP BY 1), " +
+        "c AS (SELECT dday, " +
+        "sum(n) OVER (ORDER BY dday ROWS UNBOUNDED PRECEDING)::BIGINT nl, " +
+        "sum(s) OVER (ORDER BY dday ROWS UNBOUNDED PRECEDING)::BIGINT sl, " +
+        "sum(n) OVER ()::BIGINT nt, sum(s) OVER ()::BIGINT st, " +
+        "sum(ss) OVER () sst FROM daily), " +
+        "g AS (SELECT *, nt - nl nr, st - sl sr FROM c WHERE nt - nl > 0), " +
+        "sc AS (SELECT *, (sl::HUGEINT * sl * nr + sr::HUGEINT * sr * nl)::DOUBLE " +
+        "/ (nl * nr) gg FROM g), " +
+        "rk AS (SELECT *, row_number() OVER (ORDER BY gg DESC, dday) rnk FROM sc) " +
+        "SELECT dday AS split_day, nl AS n_left, nr AS n_right, " +
+        "floor(sl::DOUBLE / nl / 100 * 100) / 100 AS mean_left, " +
+        "floor(sr::DOUBLE / nr / 100 * 100) / 100 AS mean_right, " +
+        "floor((gg - (st::HUGEINT * st)::DOUBLE / nt) / " +
+        "(sst::DOUBLE - (st::HUGEINT * st)::DOUBLE / nt) * 10000) / 10000 AS var_explained " +
+        "FROM rk WHERE rnk = 1"),
     "q_qini" ->
       ("WITH pu AS (SELECT user_id, " +
         "sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT purch, " +

@@ -532,7 +532,45 @@ object Sketches {
         trunc4((col("est") - col("exact_rows")) / col("exact_rows")).as("rel_over"))
   }
 
+  /** AMS/tug-of-war second-moment sketch (Alon, Matias & Szegedy 1996):
+    * F₂ = Σ_k f_k² of the user_id frequency vector — which is exactly
+    * the SELF-join size on user_id, the quantity a planner needs
+    * before a self-join the same way [[joinCardEst]]'s inner product
+    * serves a two-table join. Each of `depth` estimators draws a ±1
+    * sign per key from md5 and keeps one counter Z = Σ s(k) (a plain
+    * sum — merge-order-free); Z² is an unbiased F₂ estimate, and the
+    * report carries each estimator, their mean, and the exact F₂ with
+    * relative error.
+    *
+    * Exactness & scale: Z is an exact BIGINT (|Z| ≤ n); Z² stays
+    * integral (≲ 2^63 to ~3·10⁹ rows; DECIMAL(38,0) beyond — in
+    * practice |Z| concentrates near √F₂, far smaller). The sketch
+    * pass explodes `depth` narrow rows per event into ONE map-side-
+    * combined 8-cell aggregate; the exact pass is one (user) hash-agg
+    * the 100 TB deployment would skip. */
+  def amsF2(ev: DataFrame, depth: Int = 8): DataFrame = {
+    val base = ev.select(col("user_id").as("k")).persist()
+    val z = base
+      .select(col("k"), explode(array((0 until depth).map(lit): _*)).as("i"))
+      .withColumn("s", lit(1L) - lit(2L) * pmod(
+        hash60(concat(lit("ams|"), col("i").cast("string"), lit("|"),
+          col("k").cast("string"))), lit(2L)))
+      .groupBy(col("i")).agg(sum(col("s")).as("z"))
+    val exact = base.groupBy(col("k")).agg(count(lit(1)).as("f"))
+      .agg(sum(col("f") * col("f")).as("f2"))
+    val result = z.withColumn("est", col("z") * col("z"))
+      .withColumn("mean_est", avg(col("est")).over(Window.partitionBy()))
+      .crossJoin(broadcast(exact))
+      .select(col("i").cast("long").as("i"), col("z"), col("est"), col("f2"),
+        trunc4((col("est") - col("f2")) / col("f2")).as("rel_err"),
+        trunc4((col("mean_est") - col("f2")) / col("f2")).as("mean_rel_err"))
+      .localCheckpoint(true) // 8 rows; frees the base cache
+    base.unpersist()
+    result
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ams_f2" -> ((s, d) => amsF2(Tables.events(s, d))),
     "q_join_card_est" -> ((s, d) =>
       joinCardEst(Tables.orders(s, d), Tables.customer(s, d))),
     "q_hll_intersect" -> ((s, d) => hllIntersect(Tables.events(s, d))),
@@ -732,6 +770,18 @@ object Sketches {
         "SELECT p, total AS n_total, bin, " +
         "floor((bin * 64.0 + (target - (cum - cnt))::DOUBLE / cnt * 64.0) * 10000) / 10000 AS est " +
         "FROM t WHERE cum >= target AND (cum - cnt) < target"),
+    "q_ams_f2" ->
+      ("WITH d AS (SELECT unnest(range(8)) i), " +
+        "zs AS (SELECT i, sum(1 - 2 * (('0x' || substr(md5('ams|' || i::VARCHAR || '|' || " +
+        "user_id::VARCHAR), 1, 15))::BIGINT % 2))::BIGINT z " +
+        "FROM events CROSS JOIN d GROUP BY 1), " +
+        "ex AS (SELECT sum(f * f)::BIGINT f2 FROM " +
+        "(SELECT count(*)::BIGINT f FROM events GROUP BY user_id)), " +
+        "w AS (SELECT i, z, z * z est, avg(z * z) OVER () mean_est FROM zs) " +
+        "SELECT i::BIGINT i, z, est, f2, " +
+        "floor((est - f2) / f2 * 10000) / 10000 AS rel_err, " +
+        "floor((mean_est - f2) / f2 * 10000) / 10000 AS mean_rel_err " +
+        "FROM w CROSS JOIN ex"),
     "q_join_card_est" ->
       ("WITH d AS (SELECT unnest(range(4)) i), " +
         "sr AS (SELECT i, ('0x' || substr(md5(i::VARCHAR || '|' || o_custkey::VARCHAR), 1, 15))::BIGINT % 8192 bucket, " +

@@ -590,6 +590,44 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("amsF2 law: F2 >= n always; the mean estimate lands within loose AMS error") {
+    val rows = graft.operators.Sketches.amsF2(graft.Tables.events(spark, sf)).collect()
+    assert(rows.length === 8)
+    val f2 = rows.head.getAs[Long]("f2")
+    val n = graft.Tables.events(spark, sf).count()
+    assert(f2 >= n, "sum of squares dominates the sum for unit-or-more frequencies")
+    rows.foreach(r => assert(r.getAs[Long]("est") >= 0L))
+    // Var(Z^2) <= 2*F2^2 per estimator; the 8-way mean concentrates —
+    // a LOOSE 3-sigma-style bound that still catches sign/scale bugs
+    assert(math.abs(rows.head.getAs[Double]("mean_rel_err")) < 1.5,
+      s"mean AMS estimate implausibly far: ${rows.head}")
+  }
+
+  test("changepoint: the reported split is the exact argmax over every boundary") {
+    val got = graft.operators.Monitoring.changepoint(graft.Tables.orders(spark, sf)).head
+    val daily = graft.Tables.orders(spark, sf)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as long)")).as("s"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1.getTime)
+    val totN = daily.map(_._3).sum; val totS = BigInt(daily.map(_._2).sum)
+    var nl = 0L; var sl = BigInt(0)
+    var best = Double.MinValue; var bestDay: java.sql.Timestamp = null
+    daily.foreach { case (d, s, n) =>
+      nl += n; sl += s
+      val nr = totN - nl
+      if (nr > 0) {
+        val sr = totS - sl
+        val g = (sl * sl * nr + sr * sr * nl).toDouble / (nl.toDouble * nr)
+        if (g > best) { best = g; bestDay = d }
+      }
+    }
+    assert(got.getAs[java.sql.Timestamp]("split_day") === bestDay)
+    val ve = got.getAs[Double]("var_explained")
+    assert(ve >= 0.0 && ve <= 1.0, s"variance explained out of range: $ve")
+  }
+
   test("skyline law: no surviving merchant is dominated; every excluded one is") {
     forAll(rowGen) { rows =>
       import spark.implicits._
