@@ -3498,9 +3498,66 @@ object Monitoring {
         .as("var_explained"))
   }
 
+  /** ε-DP median by the EXPONENTIAL MECHANISM (McSherry & Talwar 2007)
+    * — the third leg of the privacy family next to [[dpHistogram]]'s
+    * Laplace counts and the streaming release: counting queries take
+    * additive noise, but a QUANTILE needs candidate selection, and the
+    * exponential mechanism picks a candidate bin with probability
+    * ∝ exp(ε·u/2) where u(b) = −|2·rank(b) − n| is the (sensitivity-2)
+    * distance of the bin boundary from the median. Sampling uses the
+    * Gumbel-max trick with the house SEEDED noise (md5-derived uniform
+    * per bin → −ln(−ln U)), so the released bin is deterministic and
+    * oracle-replayable while distributionally faithful. The report
+    * carries the top-3 noisy candidates plus the exact median and the
+    * release's absolute error — the privacy/utility readout.
+    *
+    * Scale: one binned hash-agg (≤ 99 cells however large the input);
+    * rank/score/argmax run on the collapsed bin relation. The exact
+    * median exists for the error column and would be skipped in a
+    * production release. */
+  def dpQuantile(ev: DataFrame, epsilon: Double = 0.5,
+      binCents: Long = 500L, topN: Int = 3): DataFrame = {
+    val bins = ev
+      .select((floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      .groupBy(expr(s"cents div $binCents").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // ≤ ~99 cells; feeds rank + exact median
+    val byBin = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = bins
+      .withColumn("cum", sum(col("n")).over(byBin))
+      .withColumn("nt", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("u_util", -abs(lit(2L) * col("cum") - col("nt")))
+      .withColumn("unif",
+        (graft.functions.TextHash.hash60(concat(lit("dpq|"), col("bin").cast("string")))
+          .cast("double") + 0.5) / lit(1152921504606846976.0))
+      .withColumn("gumbel", -log(-log(col("unif"))))
+      .withColumn("score_scaled",
+        floor((lit(epsilon / 2) * col("u_util") + col("gumbel")) * 1e6).cast("long"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("score_scaled").desc, col("bin"))).cast("long"))
+      .filter(col("rnk") <= topN)
+    // exact median cents: the unique bin where cum passes nt/2, then the
+    // bin midpoint stands in for the order statistic at bin granularity
+    val exact = bins
+      .withColumn("cum", sum(col("n")).over(byBin))
+      .withColumn("nt", sum(col("n")).over(Window.partitionBy()))
+      .filter(lit(2L) * col("cum") >= col("nt") &&
+        lit(2L) * (col("cum") - col("n")) < col("nt"))
+      .select(((col("bin") * binCents + binCents / 2)).as("true_mid_cents"))
+    scored.crossJoin(broadcast(exact))
+      .select(col("rnk"), col("bin"), col("n"), col("u_util"),
+        col("score_scaled"),
+        ((col("bin") * binCents + binCents / 2)).as("released_mid_cents"),
+        col("true_mid_cents"),
+        trunc2(abs(col("bin") * binCents + binCents / 2 - col("true_mid_cents"))
+          / 100.0).as("abs_err_usd"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dp_quantile" -> ((s, d) => dpQuantile(Tables.events(s, d))),
     "q_changepoint" -> ((s, d) => changepoint(Tables.orders(s, d))),
     "q_qini" -> ((s, d) => qiniCurve(Tables.events(s, d))),
     "q_sinkhorn" -> ((s, d) => sinkhornDrift(Tables.events(s, d))),
@@ -3755,6 +3812,26 @@ object Monitoring {
       "AS attribution_share FROM sp CROSS JOIN stot"
 
   val oracleSql: Map[String, String] = Map(
+    "q_dp_quantile" ->
+      ("WITH bins AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) // 500 bin, " +
+        "count(*)::BIGINT n FROM events GROUP BY 1), " +
+        "c AS (SELECT bin, n, " +
+        "sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)::BIGINT cum, " +
+        "sum(n) OVER ()::BIGINT nt FROM bins), " +
+        "sc AS (SELECT bin, n, -abs(2 * cum - nt)::BIGINT u_util, " +
+        "-ln(-ln((('0x' || substr(md5('dpq|' || bin::VARCHAR), 1, 15))::BIGINT::DOUBLE + 0.5) " +
+        "/ 1152921504606846976.0)) gumbel, cum, nt FROM c), " +
+        "nsc AS (SELECT bin, n, u_util, " +
+        "CAST(floor((0.25::DOUBLE * u_util + gumbel) * 1000000) AS BIGINT) score_scaled " +
+        "FROM sc), " +
+        "rk AS (SELECT *, row_number() OVER (ORDER BY score_scaled DESC, bin)::BIGINT rnk " +
+        "FROM nsc), " +
+        "ex AS (SELECT (bin * 500 + 250)::BIGINT true_mid_cents FROM c " +
+        "WHERE 2 * cum >= nt AND 2 * (cum - n) < nt) " +
+        "SELECT rnk, bin, n, u_util, score_scaled, " +
+        "(bin * 500 + 250)::BIGINT released_mid_cents, true_mid_cents, " +
+        "floor(abs(bin * 500 + 250 - true_mid_cents) / 100.0 * 100) / 100 abs_err_usd " +
+        "FROM rk CROSS JOIN ex WHERE rnk <= 3"),
     "q_changepoint" ->
       ("WITH daily AS (SELECT date_trunc('day', o_orderdate) dday, count(*)::BIGINT n, " +
         "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT s, " +

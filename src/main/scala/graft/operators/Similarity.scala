@@ -1394,9 +1394,63 @@ object Similarity {
       s"FROM v$iters CROSS JOIN sc"
   }
 
+  /** IVF recall@k as a function of nprobe — the OTHER tuning axis next
+    * to [[recallCurve]]'s k sweep and [[Dedup.bandTuning]]'s geometry
+    * sweep: one candidate pass probes the top-max(nprobes) inverted
+    * lists per query, and every smaller nprobe's result is a SLICE of
+    * that pass (filter prn ≤ nprobe, re-rank) — the index owner reads
+    * off the recall-vs-scan-fraction frontier without re-searching per
+    * setting. Candidates are unique per (q, vec) by construction (a
+    * vector lives in one list), so slices need no dedup.
+    *
+    * Scale: training/assignment/probing shared with [[ivfTopK]]; the
+    * sweep multiplies only the CANDIDATE rows (≤ maxProbe/NList of the
+    * corpus per query) by |nprobes|, and every window is per-(query,
+    * nprobe) over those candidates. The exact baseline is the
+    * documented measurement-only pass. */
+  def nprobeCurve(emb: DataFrame, queryIds: Seq[Long] = DefaultQueryIds,
+      nprobes: Seq[Int] = Seq(1, 2, 4, 8), k: Int = 10): DataFrame = {
+    val v = withEmbD(emb).persist()
+    val cents = trainedCentroids(v).localCheckpoint(true)
+    val assign = assignTo(v, cents)
+    val q = v.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qe"), col("cid"),
+        trunc4(NativeVector.cosine(col("qe"), col("ce"))).as("qcos"))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("cid"))))
+      .filter(col("prn") <= nprobes.max)
+      .select(col("q_id"), col("qe"), col("cid").as("list_id"), col("prn"))
+    val scored = v.join(assign, "vec_id")
+      .join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("prn"),
+        trunc4(NativeVector.cosine(col("qe"), col("e"))).as("cos"))
+    val exact = bruteForceTopK(emb, queryIds, k)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    val swept = scored
+      .select(col("q_id"), col("vec_id"), col("cos"), col("prn"),
+        explode(array(nprobes.map(n => lit(n.toLong)): _*)).as("nprobe"))
+      .filter(col("prn") <= col("nprobe"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("q_id"),
+        col("nprobe")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+    val result = swept.join(exact, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"), col("nprobe"))
+      .agg(count(lit(1)).as("n_ret"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("q_id"), col("nprobe"), col("n_ret"), col("n_hit"),
+        trunc4(col("n_hit") / lit(k)).as("recall"))
+      .localCheckpoint(true)
+    v.unpersist()
+    result
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_nprobe_curve" -> ((s, d) => nprobeCurve(Tables.embeddings(s, d))),
     "q_vec_pca" -> ((s, d) => pcaTop(Tables.embeddings(s, d))),
     "q_sim_mmr" -> ((s, d) => mmrRerank(Tables.embeddings(s, d))),
     "q_sim_label_recall" -> ((s, d) => labelRecall(Tables.embeddings(s, d))),
@@ -1620,6 +1674,28 @@ object Similarity {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_nprobe_curve" ->
+      (s"WITH $vCte, $qsCte, $kmChainCtes, $exactCtes, " +
+        s"npc AS (SELECT q_id, qe, cid, " +
+        s"floor(list_cosine_similarity(qe, ce) * 10000) / 10000 qcos " +
+        s"FROM qs CROSS JOIN c$KmIters), " +
+        "npr AS (SELECT q_id, qe, cid AS list_id, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, cid) prn FROM npc), " +
+        "npp AS (SELECT * FROM npr WHERE prn <= 8), " +
+        s"nvl AS (SELECT v.vec_id, v.e, a.list_id FROM v JOIN kas$KmIters a USING (vec_id)), " +
+        "nsc AS (SELECT p.q_id, vl.vec_id, p.prn, " +
+        "floor(list_cosine_similarity(p.qe, vl.e) * 10000) / 10000 cos " +
+        "FROM nvl vl JOIN npp p USING (list_id) WHERE vl.vec_id <> p.q_id), " +
+        "nsw AS (SELECT q_id, vec_id, cos, np, row_number() OVER " +
+        "(PARTITION BY q_id, np ORDER BY cos DESC, vec_id) rnk " +
+        "FROM nsc CROSS JOIN (SELECT unnest([1, 2, 4, 8]) np) WHERE prn <= np), " +
+        "ntop AS (SELECT q_id, vec_id, np FROM nsw WHERE rnk <= 10), " +
+        "ex10 AS (SELECT q_id, vec_id FROM ex_ranked WHERE rnk <= 10) " +
+        "SELECT t.q_id, t.np::BIGINT nprobe, count(*)::BIGINT n_ret, " +
+        "sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT n_hit, " +
+        "floor(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10 * 10000) / 10000 recall " +
+        "FROM ntop t LEFT JOIN ex10 e ON t.q_id = e.q_id AND t.vec_id = e.vec_id " +
+        "GROUP BY 1, 2"),
     "q_vec_pca" -> pcaOracle(),
     "q_sim_rrf" ->
       (s"WITH $vCte, $qsCte, $bitsBandsCte, $annCtes, $annMpCtes, $ivfCtes, " +

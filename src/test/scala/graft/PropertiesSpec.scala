@@ -628,6 +628,54 @@ class PropertiesSpec extends SparkSpec {
     assert(ve >= 0.0 && ve <= 1.0, s"variance explained out of range: $ve")
   }
 
+  test("nprobeCurve: recall is monotone in nprobe under the consistent tie-break") {
+    val rows = graft.operators.Similarity.nprobeCurve(graft.Tables.embeddings(spark, sf))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      val byNp = rs.sortBy(_.getAs[Long]("nprobe"))
+      byNp.foreach { r =>
+        assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_ret"))
+        assert(r.getAs[Double]("recall") >= 0.0 && r.getAs[Double]("recall") <= 1.0)
+      }
+      // candidates only grow with nprobe, and the (cos, vec_id) order is
+      // total and shared with the exact baseline, so hits cannot drop
+      byNp.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("n_hit") <= b.getAs[Long]("n_hit"),
+            s"query $q: recall fell when probing more lists")
+        case _ =>
+      }
+    }
+  }
+
+  test("dpQuantile: noisy scores match a direct recompute; ranks are a permutation") {
+    val got = graft.operators.Monitoring.dpQuantile(graft.Tables.events(spark, sf))
+      .collect().sortBy(_.getAs[Long]("rnk"))
+    assert(got.map(_.getAs[Long]("rnk")).toSeq === Seq(1L, 2L, 3L))
+    // recompute the exponential-mechanism scores from the raw bins
+    val cents = graft.Tables.events(spark, sf)
+      .select(expr("cast(floor(value * 100 + 0.5) as long)")).collect()
+      .map(_.getLong(0))
+    val bins = cents.groupBy(_ / 500).map { case (b, xs) => (b, xs.length.toLong) }
+      .toSeq.sortBy(_._1)
+    val nt = bins.map(_._2).sum
+    var cum = 0L
+    val scored = bins.map { case (b, n) =>
+      cum += n
+      val u = -math.abs(2 * cum - nt)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"dpq|$b".getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(15)
+      val unif = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 1152921504606846976.0
+      val g = -math.log(-math.log(unif))
+      (b, math.floor((0.25 * u + g) * 1e6).toLong)
+    }
+    val top = scored.sortBy { case (b, s) => (-s, b) }.take(3)
+    assert(got.map(r => (r.getAs[Long]("bin"), r.getAs[Long]("score_scaled"))).toSeq
+      === top.toSeq)
+  }
+
   test("skyline law: no surviving merchant is dominated; every excluded one is") {
     forAll(rowGen) { rows =>
       import spark.implicits._
