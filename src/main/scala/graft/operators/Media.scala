@@ -175,7 +175,47 @@ object Media {
 
   // ---- driver wiring ----
 
+  /** Corrupt-blob triage — the ingest screen a multimodal pipeline runs
+    * BEFORE paying decode cost on every payload (a truncated JPEG
+    * crashes or poisons the batch decoder; catching it from cheap
+    * byte-level signals is standard). The perturbed table is payloads
+    * plus a deterministic damaged copy per blob (doc_id-keyed, the
+    * TextOps.perturbed idiom): every 3rd truncated to 3 bytes, every
+    * 3rd+1 emptied, the rest intact re-uploads. Verdicts from pure
+    * byte-level expressions — `empty` (0 bytes), `truncated`
+    * (< `minLen` bytes, the smallest plausible header), else `ok` —
+    * rolled up per media_type with byte-mass accounting.
+    *
+    * Scale: one scan, a 2-row explode per blob, per-row byte checks
+    * (no decode, no shuffle except the ≤ |types|×|verdicts| rollup —
+    * map-side combined). A real pipeline swaps the verdict expressions
+    * for magic-byte tables; the plumbing is identical. */
+  def corruptAudit(docs: DataFrame, minLen: Long = 8L): DataFrame = {
+    val off = 1L << 40
+    val p = payloadsWithText(docs)
+    val damaged = p.select(col("doc_id"), col("media_type"), explode(array(
+        struct(col("doc_id").as("blob_id"), col("content").as("content")),
+        struct((col("doc_id") + off).as("blob_id"),
+          when(col("doc_id") % 3 === 0, encode(substring(col("text"), 1, 3), "utf-8").cast("binary"))
+            .when(col("doc_id") % 3 === 1, encode(lit(""), "utf-8").cast("binary"))
+            .otherwise(col("content")).as("content")))).as("r"))
+      .select(col("media_type"), col("r.blob_id").as("blob_id"),
+        octet_length(col("r.content")).cast("long").as("byte_len"))
+    damaged
+      .withColumn("verdict",
+        when(col("byte_len") === 0, "empty")
+          .when(col("byte_len") < minLen, "truncated")
+          .otherwise("ok"))
+      .groupBy(col("media_type"), col("verdict"))
+      .agg(count(lit(1)).as("n_blobs"), sum(col("byte_len")).as("bytes"))
+      .withColumn("type_blobs", sum(col("n_blobs")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("media_type"))))
+      .select(col("media_type"), col("verdict"), col("n_blobs"), col("bytes"),
+        graft.functions.Portable.trunc4(col("n_blobs") / col("type_blobs")).as("share"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_corrupt" -> ((s, d) => corruptAudit(Tables.documents(s, d))),
     "q_media_features" -> ((s, d) => features(Tables.documents(s, d))),
     "q_media_frames" -> ((s, d) => frames(Tables.documents(s, d))),
     "q_media_dedup" -> ((s, d) => frameDedup(Tables.documents(s, d))),
@@ -183,6 +223,22 @@ object Media {
     "q_media_report" -> ((s, d) => mediaReport(Tables.documents(s, d))))
 
   val oracleSql: Map[String, String] = Map(
+    "q_media_corrupt" ->
+      ("WITH p AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 'image' " +
+        "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END media_type, " +
+        "length(text)::BIGINT blen FROM documents), " +
+        "dmg AS (SELECT media_type, blob_id, byte_len FROM p, LATERAL (VALUES " +
+        "(p.doc_id, p.blen), " +
+        "(p.doc_id + 1099511627776, CASE WHEN p.doc_id % 3 = 0 THEN least(3, p.blen) " +
+        "WHEN p.doc_id % 3 = 1 THEN 0 ELSE p.blen END)) t(blob_id, byte_len)), " +
+        "v AS (SELECT media_type, blob_id, byte_len, " +
+        "CASE WHEN byte_len = 0 THEN 'empty' WHEN byte_len < 8 THEN 'truncated' " +
+        "ELSE 'ok' END verdict FROM dmg), " +
+        "g AS (SELECT media_type, verdict, count(*)::BIGINT n_blobs, " +
+        "sum(byte_len)::BIGINT bytes FROM v GROUP BY 1, 2) " +
+        "SELECT media_type, verdict, n_blobs, bytes, " +
+        "floor(n_blobs / (sum(n_blobs) OVER (PARTITION BY media_type)) * 10000) / 10000 " +
+        "AS share FROM g"),
     "q_media_features" ->
       ("WITH p AS (SELECT doc_id, text, CASE WHEN doc_id % 3 = 0 THEN 'image' " +
         "WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END media_type, " +

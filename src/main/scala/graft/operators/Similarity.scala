@@ -1447,9 +1447,61 @@ object Similarity {
     result
   }
 
+  /** Local Outlier Factor (Breunig et al. 2000) over the BANDED kNN
+    * graph — density-ratio outlier scoring on embeddings, the
+    * neighborhood-aware sibling of [[vectorOutliers]]' global-distance
+    * screen (a point in a tight cluster far from the centroid is fine;
+    * a point 2× sparser than its own neighbors is the anomaly). Runs
+    * on [[knnGraph]]'s LSH-banded approximate neighborhoods — exactly
+    * how production LOF scales (exact kNN is the O(n²) part; the LOF
+    * algebra on top is linear in edges).
+    *
+    *   reach(p←o) = max(kdist(o), d(p,o)),  lrd(p) = k / Σ reach,
+    *   LOF(p) = (Σ_o lrd(o)) / k / lrd(p)
+    *
+    * Exactness: d = 1−cos at trunc4 granularity becomes the exact
+    * integer dist4 = 10000 − ⌊cos·10⁴ + ½⌋, so kdist/reach/Σreach are
+    * BIGINTs; lrd divides exact integers once; the Σ lrd(o) float sum
+    * is PIVOTED to rnk-indexed columns and folded in one textual order
+    * (the sinkhorn rule — never an order-free SUM over doubles). Nodes
+    * without a full k-neighborhood under the banding (or with
+    * zero-distance neighborhoods) drop out, in both engines alike.
+    * Report: top-`topN` by LOF via sort-limit (TakeOrdered — no global
+    * window over the per-vector relation; the rfm rule). */
+  def lofScores(emb: DataFrame, k: Int = 5, topN: Int = 20): DataFrame = {
+    val edges = knnGraph(emb, k)
+      .select(col("src_id"), col("dst_id"), col("rnk"),
+        (lit(10000L) - floor(col("cos") * 10000 + 0.5).cast("long")).as("dist4"))
+      .localCheckpoint(true) // ≤ k·n narrow rows; feeds three passes
+    val kdist = edges.groupBy(col("src_id"))
+      .agg(max(col("dist4")).as("kd"), count(lit(1)).as("deg"))
+    val reach = edges
+      .join(kdist.select(col("src_id").as("dst_id"), col("kd")), "dst_id")
+      .select(col("src_id"), col("dst_id"), col("rnk"),
+        greatest(col("kd"), col("dist4")).as("reach4"))
+    val lrd = reach.groupBy(col("src_id"))
+      .agg(count(lit(1)).as("deg"), sum(col("reach4")).as("sum_reach4"))
+      .filter(col("deg") === k && col("sum_reach4") > 0)
+      .select(col("src_id"), (lit(k * 10000.0) / col("sum_reach4")).as("lrd"))
+    val nb = edges
+      .join(lrd.select(col("src_id").as("dst_id"), col("lrd").as("lrd_o")), "dst_id")
+    val piv = nb.groupBy(col("src_id")).agg(count(lit(1)).as("m"),
+      (1 to k).map(i => max(when(col("rnk") === i, col("lrd_o"))).as(s"l$i")): _*)
+      .filter(col("m") === k)
+    val lof = piv.join(lrd, "src_id")
+      .select(col("src_id"),
+        trunc4(((1 to k).map(i => col(s"l$i")).reduce(_ + _) / k) / col("lrd"))
+          .as("lof"))
+    val top = lof.orderBy(col("lof").desc, col("src_id")).limit(topN)
+      .localCheckpoint(true) // topN rows — ranking window below is tiny
+    top.withColumn("rnk", row_number().over(
+      Window.orderBy(col("lof").desc, col("src_id"))).cast("long"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lof" -> ((s, d) => lofScores(Tables.embeddings(s, d))),
     "q_nprobe_curve" -> ((s, d) => nprobeCurve(Tables.embeddings(s, d))),
     "q_vec_pca" -> ((s, d) => pcaTop(Tables.embeddings(s, d))),
     "q_sim_mmr" -> ((s, d) => mmrRerank(Tables.embeddings(s, d))),
@@ -1674,6 +1726,29 @@ object Similarity {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_lof" ->
+      (s"WITH $vCte, $kgBandsCte, $kgCtes, " +
+        "led AS (SELECT src_id, dst_id, rnk, " +
+        "(10000 - CAST(floor(cos * 10000 + 0.5) AS BIGINT))::BIGINT dist4 FROM kg_topk), " +
+        "lkd AS (SELECT src_id, max(dist4) kd FROM led GROUP BY 1), " +
+        "lrc AS (SELECT e.src_id, e.dst_id, e.rnk, greatest(k.kd, e.dist4) reach4 " +
+        "FROM led e JOIN lkd k ON e.dst_id = k.src_id), " +
+        "llrd AS (SELECT src_id, (50000.0::DOUBLE) / sum(reach4) lrd FROM lrc " +
+        "GROUP BY src_id HAVING count(*) = 5 AND sum(reach4) > 0), " +
+        "lnb AS (SELECT e.src_id, e.rnk, l.lrd lrd_o FROM led e " +
+        "JOIN llrd l ON e.dst_id = l.src_id), " +
+        "lpv AS (SELECT src_id, count(*) m, " +
+        "max(CASE WHEN rnk = 1 THEN lrd_o END) l1, " +
+        "max(CASE WHEN rnk = 2 THEN lrd_o END) l2, " +
+        "max(CASE WHEN rnk = 3 THEN lrd_o END) l3, " +
+        "max(CASE WHEN rnk = 4 THEN lrd_o END) l4, " +
+        "max(CASE WHEN rnk = 5 THEN lrd_o END) l5 FROM lnb GROUP BY 1), " +
+        "llof AS (SELECT p.src_id, " +
+        "floor(((l1 + l2 + l3 + l4 + l5) / 5) / l.lrd * 10000) / 10000 lof " +
+        "FROM lpv p JOIN llrd l USING (src_id) WHERE m = 5), " +
+        "lrk AS (SELECT src_id, lof, row_number() OVER " +
+        "(ORDER BY lof DESC, src_id)::BIGINT rnk FROM llof) " +
+        "SELECT src_id, lof, rnk FROM lrk WHERE rnk <= 20"),
     "q_nprobe_curve" ->
       (s"WITH $vCte, $qsCte, $kmChainCtes, $exactCtes, " +
         s"npc AS (SELECT q_id, qe, cid, " +
