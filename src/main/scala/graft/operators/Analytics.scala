@@ -702,9 +702,132 @@ object Analytics {
     result
   }
 
+  /** Depth-2 greedy histogram tree — one boosting-tree layer past
+    * [[stumpSplit]] (LightGBM grows exactly this way, Ke et al. 2017
+    * §2.1: histogram split search at the root, then AGAIN inside each
+    * child over the child's own rows): pick the globally best
+    * (feature, bin) boundary, partition the facts by it, and re-run
+    * the same search per side. Emits up to three node rows (root,
+    * left, right) — a child with no splittable boundary emits none.
+    *
+    * Exactness: identical integer S-score discipline as the stump
+    * (s_num/denominator exact BIGINTs, one float division, argmax
+    * ranked by (s, feature, bin) — the root's rank runs across BOTH
+    * features); the root boundary rides back as a 1-row broadcast
+    * (scalar plumbing); events whose root feature is NULL leave both
+    * children, in both engines alike.
+    *
+    * Scale: two fact scans (root pass, then the side-labeled child
+    * pass — the broadcast-join adds no shuffle), each collapsing to
+    * ≤ |side|·|bins| histogram cells per feature; every window runs
+    * over those cells, never the facts. */
+  def treeDepth2(ev: DataFrame): DataFrame = {
+    val e = ev.select(
+      when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"),
+      floor(col("value") / 0.5).cast("long").as("vbin"),
+      get_json_object(col("props"), "$.k").cast("long").as("kbin"))
+    def exploded(df: DataFrame): DataFrame = df
+      .select(col("side"), col("y"), explode(array(
+        struct(lit("value").as("feature"), col("vbin").as("bin")),
+        struct(lit("props_k").as("feature"), col("kbin").as("bin")))).as("f"))
+      .select(col("side"), col("f.feature").as("feature"),
+        col("f.bin").as("bin"), col("y"))
+      .filter(col("bin").isNotNull)
+    def bestPerSide(rows: DataFrame): DataFrame = {
+      val hist = rows.groupBy(col("side"), col("feature"), col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      val byF = Window.partitionBy(col("side"), col("feature"))
+        .orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(col("side"), col("feature"))
+      hist
+        .withColumn("nl", sum(col("n")).over(byF))
+        .withColumn("posl", sum(col("pos")).over(byF))
+        .withColumn("nt", sum(col("n")).over(tot))
+        .withColumn("post", sum(col("pos")).over(tot))
+        .withColumn("nr", col("nt") - col("nl"))
+        .withColumn("posr", col("post") - col("posl"))
+        .filter(col("nr") > 0)
+        .withColumn("negl", col("nl") - col("posl"))
+        .withColumn("negr", col("nr") - col("posr"))
+        .withColumn("s_num",
+          (col("posl") * col("posl") + col("negl") * col("negl")) * col("nr") +
+            (col("posr") * col("posr") + col("negr") * col("negr")) * col("nl"))
+        .withColumn("s", col("s_num").cast("double") / (col("nl") * col("nr")))
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("side"))
+          .orderBy(col("s").desc, col("feature"), col("bin"))))
+        .filter(col("rnk") === 1)
+    }
+    val root = bestPerSide(exploded(e.withColumn("side", lit("root"))))
+      .localCheckpoint(true) // 1 row — the boundary the child pass keys on
+    val sided = e.crossJoin(broadcast(
+        root.select(col("feature").as("rf"), col("bin").as("rb"))))
+      .withColumn("fb",
+        when(col("rf") === "value", col("vbin")).otherwise(col("kbin")))
+      .filter(col("fb").isNotNull)
+      .withColumn("side",
+        when(col("fb") <= col("rb"), "left").otherwise("right"))
+    val kids = bestPerSide(exploded(sided))
+    def out(df: DataFrame) = df.select(col("side").as("node"), col("feature"),
+      col("bin").as("split_bin"),
+      col("nl").as("n_left"), col("posl").as("pos_left"),
+      col("nr").as("n_right"), col("posr").as("pos_right"),
+      graft.functions.Portable.trunc4(lit(1.0) -
+        (col("post") * col("post") +
+          (col("nt") - col("post")) * (col("nt") - col("post"))).cast("double") /
+        (col("nt") * col("nt"))).as("gini_before"),
+      graft.functions.Portable.trunc4(
+        (col("nt").cast("double") - col("s")) / col("nt")).as("gini_after"))
+    out(root).unionByName(out(kids))
+  }
+
+  /** CTE chain scoring best splits per `side` over `(side, feature,
+    * bin, y)` rows in `src` — shared by [[treeDepth2Oracle]]'s root
+    * and child passes (prefix `p` keeps names unique). */
+  private def sqlBestPerSide(p: String, src: String): String =
+    s"${p}h AS (SELECT side, feature, bin, count(*)::BIGINT n, sum(y)::BIGINT pos " +
+      s"FROM $src GROUP BY 1, 2, 3), " +
+      s"${p}c AS (SELECT side, feature, bin, " +
+      "sum(n) OVER (PARTITION BY side, feature ORDER BY bin ROWS UNBOUNDED PRECEDING)::BIGINT nl, " +
+      "sum(pos) OVER (PARTITION BY side, feature ORDER BY bin ROWS UNBOUNDED PRECEDING)::BIGINT posl, " +
+      "sum(n) OVER (PARTITION BY side, feature)::BIGINT nt, " +
+      s"sum(pos) OVER (PARTITION BY side, feature)::BIGINT post FROM ${p}h), " +
+      s"${p}x AS (SELECT *, nt - nl nr, post - posl posr, nl - posl negl, " +
+      s"(nt - nl) - (post - posl) negr FROM ${p}c WHERE nt - nl > 0), " +
+      s"${p}s AS (SELECT *, " +
+      "((posl*posl + negl*negl) * nr + (posr*posr + negr*negr) * nl)::DOUBLE / (nl * nr) s, " +
+      "row_number() OVER (PARTITION BY side ORDER BY " +
+      "((posl*posl + negl*negl) * nr + (posr*posr + negr*negr) * nl)::DOUBLE / (nl * nr) DESC, " +
+      s"feature, bin) rnk FROM ${p}x)"
+
+  private[graft] def treeDepth2Oracle: String = {
+    val out = (src: String, node: String) =>
+      s"SELECT $node node, feature, bin split_bin, nl n_left, posl pos_left, " +
+        "nr n_right, posr pos_right, " +
+        "floor((1.0 - (post*post + (nt-post)*(nt-post))::DOUBLE / (nt*nt)) * 10000) / 10000 gini_before, " +
+        s"floor((nt::DOUBLE - s) / nt * 10000) / 10000 gini_after FROM $src WHERE rnk = 1"
+    "WITH e AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END::BIGINT y, " +
+      "CAST(floor(value / 0.5) AS BIGINT) vbin, " +
+      "CAST(json_extract_string(props, '$.k') AS BIGINT) kbin FROM events), " +
+      "b1 AS (SELECT 'root' side, feature, bin, y FROM e, " +
+      "LATERAL (VALUES ('value', e.vbin), ('props_k', e.kbin)) t(feature, bin) " +
+      "WHERE bin IS NOT NULL), " +
+      sqlBestPerSide("r", "b1") + ", " +
+      "root AS (SELECT feature rf, bin rb FROM rs WHERE rnk = 1), " +
+      "sided AS (SELECT CASE WHEN fb <= rb THEN 'left' ELSE 'right' END side, y, vbin, kbin " +
+      "FROM (SELECT e.*, rb, CASE WHEN rf = 'value' THEN vbin ELSE kbin END fb " +
+      "FROM e, root) WHERE fb IS NOT NULL), " +
+      "b2 AS (SELECT side, feature, bin, y FROM sided s2, " +
+      "LATERAL (VALUES ('value', s2.vbin), ('props_k', s2.kbin)) t(feature, bin) " +
+      "WHERE bin IS NOT NULL), " +
+      sqlBestPerSide("k", "b2") + " " +
+      out("rs", "'root'") + " UNION ALL " + out("ks", "side")
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, Q] = Map(
+    "q_tree2" -> ((s, d) => treeDepth2(Tables.events(s, d))),
     "q_als2" -> ((s, d) => alsHalfStep(Tables.orders(s, d),
       Tables.lineitem(s, d), Tables.part(s, d))),
     "q_simpson" -> ((s, d) => simpsonAudit(Tables.orders(s, d), Tables.customer(s, d))),
@@ -797,6 +920,7 @@ object Analytics {
         "sign(sum_a * n_b - sum_b * n_a)::BIGINT AS stratum_sign, pooled_sign, " +
         "(sign(sum_a * n_b - sum_b * n_a)::BIGINT * pooled_sign < 0) AS reversed " +
         "FROM cells CROSS JOIN pooled WHERE n_a > 0 AND n_b > 0"),
+    "q_tree2" -> treeDepth2Oracle,
     "q_stump" ->
       ("WITH base AS (SELECT feature, bin, y FROM (" +
         "SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END::BIGINT y, " +

@@ -718,6 +718,62 @@ object Dedup {
     result
   }
 
+  /** Prefix-filtered exact token-Jaccard similarity join (PPJoin's
+    * prefix principle, Xiao et al. 2008; the ALL-PAIRS kernel of
+    * Bayardo et al. 2007) — the EXACT sibling of [[minhashLsh]]: every
+    * returned pair carries its true Jaccard, no banding false
+    * negatives. Tokens order by (global df ASC, token) — one shared
+    * total order — and a doc's CANDIDATE PREFIX is its
+    * |T| − ⌈τ·|T|⌉ + 1 rarest tokens: two sets with J ≥ τ must share a
+    * prefix token (pigeonhole on the ⌈τ·|T|⌉ overlap a qualifying pair
+    * needs), so the candidate join runs on PREFIX tokens only —
+    * Σ_tok prefix-df² work, the rarest-token end of the df spectrum —
+    * and the exact intersection count is then verified only for
+    * candidates. ⌈τ·|T|⌉ stays integer as (sz·τ10k + 9999) div 10⁴.
+    *
+    * Scale: the df relation is one hash-agg; the prefix self-join is
+    * the LSH-band join shape with the band key replaced by the rare
+    * token (skew-bounded by construction — a token enters prefixes
+    * only while it is rare); verification joins the candidate list
+    * back to the token relation twice on (doc, tok) equi-keys. The
+    * oracle brute-forces Σdf² over ALL tokens — the Spark plan never
+    * does. */
+  def prefixJaccardJoin(docs: DataFrame, threshold10k: Long = 9500L,
+      minTokens: Long = 4L): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0).distinct().persist()
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      .filter(col("sz") >= minTokens)
+    val dfRel = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val prefix = tok.join(sizes, "doc_id").join(dfRel, "tok")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+      .filter(col("pos") <=
+        col("sz") - expr(s"(sz * ${threshold10k}L + 9999L) div 10000L") + 1)
+      .select(col("doc_id"), col("tok"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), col("a.tok") === col("b.tok") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+    val inter = cand
+      .join(tok.as("ta"), col("da") === col("ta.doc_id"))
+      .join(tok.as("tb"), col("db") === col("tb.doc_id") &&
+        col("ta.tok") === col("tb.tok"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n_inter"))
+    val result = inter
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sz_a")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("sz_b")), "db")
+      .filter(col("n_inter") * 10000L >=
+        (col("sz_a") + col("sz_b") - col("n_inter")) * threshold10k)
+      .select(col("da"), col("db"), col("n_inter"), col("sz_a"), col("sz_b"),
+        trunc4(col("n_inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_inter"))).as("jaccard"))
+      .localCheckpoint(true)
+    tok.unpersist()
+    result
+  }
+
   // ---- driver wiring ----
 
   /** Fellegi–Sunter record linkage (1969) — probabilistic entity
@@ -836,6 +892,7 @@ object Dedup {
     "q_dedup_incremental" -> ((s, d) => incrementalAudit(Tables.documents(s, d))),
     "q_dedup_fuzzy_edit" -> ((s, d) => fuzzyEditPairs(Tables.documents(s, d))),
     "q_dedup_containment" -> ((s, d) => containmentPairs(Tables.documents(s, d))),
+    "q_prefix_join" -> ((s, d) => prefixJaccardJoin(Tables.documents(s, d))),
     "q_dedup_substring" -> ((s, d) => substringRuns(Tables.documents(s, d))),
     "q_dedup_report" -> ((s, d) => clusterReport(Tables.documents(s, d))),
     "q_dedup_incr_minhash" -> ((s, d) => incrMinhashAudit(Tables.documents(s, d))),
@@ -928,6 +985,21 @@ object Dedup {
           s"FROM tm_g$nb CROSS JOIN tv_g$nb CROSS JOIN tune_np").mkString(" UNION ALL ")
 
   val oracleSql: Map[String, String] = Map(
+    // brute-force all-shared-token pairs — the Spark side must agree
+    // while only ever joining on PREFIX tokens
+    "q_prefix_join" ->
+      ("WITH tk AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, " +
+        "unnest(string_split(text, ' ')) tok FROM documents) WHERE length(tok) > 0), " +
+        "sz AS (SELECT doc_id, count(*)::BIGINT s FROM tk GROUP BY 1 " +
+        "HAVING count(*) >= 4), " +
+        "tk2 AS (SELECT tk.* FROM tk JOIN sz USING (doc_id)), " +
+        "pair AS (SELECT a.doc_id da, b.doc_id db, count(*)::BIGINT n_inter " +
+        "FROM tk2 a JOIN tk2 b ON a.tok = b.tok AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2) " +
+        "SELECT da, db, n_inter, sa.s sz_a, sb.s sz_b, " +
+        "floor(n_inter::DOUBLE / (sa.s + sb.s - n_inter) * 10000) / 10000 jaccard " +
+        "FROM pair JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db " +
+        "WHERE n_inter * 10000 >= (sa.s + sb.s - n_inter) * 9500"),
     "q_record_linkage" -> recordLinkageOracle(),
     "q_dedup_band_tuning" -> bandTuningOracle,
     "q_dedup_containment" ->

@@ -3517,11 +3517,14 @@ object Monitoring {
     * production release. */
   def dpQuantile(ev: DataFrame, epsilon: Double = 0.5,
       binCents: Long = 500L, topN: Int = 3): DataFrame = {
+    // NOT checkpointed: the global windows below must sit directly on
+    // the aggregate so the plan itself shows they run over a collapsed
+    // relation (the ScaleSpec sweep reads exactly that); the cheap
+    // ≤99-cell agg recomputes once for the exact-median branch
     val bins = ev
       .select((floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
       .groupBy(expr(s"cents div $binCents").as("bin"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(true) // ≤ ~99 cells; feeds rank + exact median
     val byBin = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val scored = bins
@@ -3554,9 +3557,407 @@ object Monitoring {
           / 100.0).as("abs_err_usd"))
   }
 
+  /** V-optimal histogram construction (Jagadish et al. 1998) — the
+    * bucket-boundary DP every cost-based optimizer runs when it builds
+    * column statistics, and the third leg of the CBO family next to
+    * q_zonemap (layout pruning) and q_join_card_est (join sizing):
+    * partition the monthly revenue series into K=4 buckets minimizing
+    * total within-bucket SSE,
+    *   dp_k(j) = min_i dp_{k−1}(i) + SSE(i+1..j),
+    * then read back the boundaries and compare against the equal-width
+    * histogram (the win column is why engines pay for V-optimal).
+    * Production engines run this DP over a PRE-AGGREGATED domain —
+    * here days collapse to ~80 months first, exactly that discipline.
+    *
+    * Exactness & portability: prefix sums S/SS/n are exact
+    * BIGINT/DECIMAL(38,0) (SS terms alone need the widening —
+    * cents² ≈ 2.5e15/row); each SSE = (ΔSS) − (ΔS)²/Δn derives from
+    * identical integers; dp values accumulate through at most K−1
+    * BINARY adds (never an order-free float SUM), and every argmin is
+    * a rank over candidates ordered by (value, i) — deterministic ties.
+    *
+    * Scale: one (month) hash-agg over the facts; prefix windows, the
+    * O(N²) cost relation (~3.2k rows at N=80), K−1 tiny join rounds,
+    * and a 3-step backtrack all run on collapsed relations. */
+  def voptHistogram(orders: DataFrame, k: Int = 4): DataFrame = {
+    val monthly = orders
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("s"),
+        sum(expr("cast(cast(floor(o_totalprice * 100 + 0.5) as decimal(38,0)) * " +
+          "cast(floor(o_totalprice * 100 + 0.5) as bigint) as decimal(38,0))")).as("ss"))
+    val byM = Window.orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pr0 = monthly
+      .withColumn("t", row_number().over(Window.orderBy(col("month"))).cast("long"))
+      .withColumn("cn", sum(col("n")).over(byM))
+      .withColumn("cs", sum(col("s")).over(byM))
+      .withColumn("css", sum(col("ss")).over(byM))
+      .select(col("t"), col("month"), col("cn"), col("cs"), col("css"))
+    val spark = orders.sparkSession
+    import spark.implicits._
+    val zero = Seq((0L, new java.sql.Timestamp(0L), 0L, 0L, BigDecimal(0)))
+      .toDF("t", "month", "cn", "cs", "css")
+      .select(col("t"), col("month"), col("cn"), col("cs"),
+        col("css").cast("decimal(38,0)").as("css"))
+    val pr = pr0.select(col("t"), col("month"), col("cn"), col("cs"),
+        col("css").cast("decimal(38,0)").as("css"))
+      .unionByName(zero).localCheckpoint(true) // N+1 rows
+    // cost(i, j) over months i..j keyed as (lo1 = i−1, j)
+    val cost = pr.as("a").join(pr.as("b"), col("a.t") < col("b.t"))
+      .select(col("a.t").as("i0"), col("b.t").as("j"),
+        ((col("b.css") - col("a.css")).cast("double") -
+          (col("b.cs") - col("a.cs")).cast("decimal(38,0)")
+            .multiply(col("b.cs") - col("a.cs")).cast("double") /
+            (col("b.cn") - col("a.cn"))).as("c"))
+      .localCheckpoint(true) // ~N²/2 rows
+    // dp1(j) = cost(1..j); dpk(j) = min_i dp_{k−1}(i) + cost(i+1..j)
+    var dp = cost.filter(col("i0") === 0L)
+      .select(col("j"), col("c").as("v"), lit(0L).as("arg"))
+      .localCheckpoint(true)
+    val dps = scala.collection.mutable.ArrayBuffer(dp)
+    for (_ <- 2 to k) {
+      val cand = dp.select(col("j").as("i"), col("v").as("pv"))
+        .join(cost, col("i") === col("i0"))
+        .select(col("j"), col("i"), (col("pv") + col("c")).as("v"))
+      dp = cand.withColumn("rn", row_number().over(
+          Window.partitionBy(col("j")).orderBy(col("v"), col("i"))))
+        .filter(col("rn") === 1)
+        .select(col("j"), col("v"), col("i").as("arg"))
+        .localCheckpoint(true)
+      dps += dp
+    }
+    val nTot = pr.agg(max(col("t")).as("nn")).localCheckpoint(true)
+    // backtrack: a_k at j=N, then a_{k−1} at j=a_k, ...
+    var bounds = nTot.join(dps(k - 1), col("j") === col("nn"))
+      .select(col("nn"), col("j").as(s"e$k"), col("arg").as(s"a$k"))
+      .localCheckpoint(true)
+    for (kk <- (k - 1) to 2 by -1) {
+      bounds = bounds.join(dps(kk - 1).select(col("j").as(s"e$kk"),
+          col("arg").as(s"a$kk")), col(s"e$kk") === col(s"a${kk + 1}"))
+        .localCheckpoint(true)
+    }
+    val lims = bounds.withColumn("e1", col("a2")).withColumn("a1", lit(0L))
+    val buckets = lims.select(explode(array((1 to k).map(kk =>
+        struct(lit(kk.toLong).as("bucket"), (col(s"a$kk") + 1).as("lo"),
+          col(s"e$kk").as("hi"))): _*)).as("b"))
+      .select(col("b.bucket").as("bucket"), col("b.lo").as("lo"), col("b.hi").as("hi"))
+    // equal-width baseline over the same collapse, for the win column.
+    // Both SSE totals fold k=4 doubles in ONE textual order (pivot →
+    // c1+c2+c3+c4), never an order-free float SUM — the sinkhorn rule.
+    val eq = nTot.select(explode(array((1 to k).map(t =>
+        struct(lit(t.toLong).as("eb"),
+          ((col("nn") * (t - 1)).cast("long") / k).cast("long").as("i0"),
+          ((col("nn") * t).cast("long") / k).cast("long").as("j"))): _*)).as("b"))
+      .select(col("b.eb").as("eb"), col("b.i0").as("i0"), col("b.j").as("j"))
+      .join(cost, Seq("i0", "j"))
+      .groupBy().agg(max(when(col("eb") === 1, col("c"))).as("ec1"),
+        (2 to k).map(t => max(when(col("eb") === t, col("c"))).as(s"ec$t")): _*)
+      .select((1 to k).map(t => col(s"ec$t")).reduce(_ + _).as("eq_sse"))
+    val withCost = buckets
+      .join(cost.select((col("i0") + 1).as("lo"), col("j").as("hi"), col("c")),
+        Seq("lo", "hi"))
+      .localCheckpoint(true) // k rows; feeds the rows AND the pivot total
+    val voptTot = withCost
+      .groupBy().agg(max(when(col("bucket") === 1, col("c"))).as("vc1"),
+        (2 to k).map(t => max(when(col("bucket") === t, col("c"))).as(s"vc$t")): _*)
+      .select((1 to k).map(t => col(s"vc$t")).reduce(_ + _).as("vopt_sse"))
+    withCost.crossJoin(broadcast(voptTot)).crossJoin(broadcast(eq))
+      .join(broadcast(pr.select(col("t").as("lo"), col("month").as("month_lo"))), "lo")
+      .join(broadcast(pr.select(col("t").as("hi"), col("month").as("month_hi"))), "hi")
+      .select(col("bucket"), col("month_lo"), col("month_hi"),
+        trunc4(col("c") / 1e15).as("sse_e15"),
+        trunc4(col("vopt_sse") / 1e15).as("vopt_sse_e15"),
+        trunc4(col("eq_sse") / 1e15).as("equalw_sse_e15"))
+  }
+
+  /** The generated DuckDB mirror of [[voptHistogram]] — same prefix
+    * integers, same (value, i)-ranked argmins, same textual SSE folds;
+    * MATERIALIZED per DP round (the pcaOracle rule). */
+  private[graft] def voptOracle(k: Int = 4): String = {
+    val cents = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    val dpSteps = (2 to k).map { kk =>
+      s"dp$kk AS MATERIALIZED (SELECT j, v, arg FROM (SELECT c.j, d.v + c.c v, d.j arg, " +
+        "row_number() OVER (PARTITION BY c.j ORDER BY d.v + c.c, d.j) rn " +
+        s"FROM dp${kk - 1} d JOIN cost c ON c.i0 = d.j) WHERE rn = 1)"
+    }.mkString(", ")
+    val back = ((k - 1) to 2 by -1).map { kk =>
+      s"b$kk AS (SELECT b${kk + 1}.*, d.arg a$kk FROM b${kk + 1} " +
+        s"JOIN dp$kk d ON d.j = b${kk + 1}.a${kk + 1})"
+    }.mkString(", ")
+    val bktRows = (1 to k).map { kk =>
+      val lo = if (kk == 1) "0 + 1" else s"a$kk + 1"
+      val hi = if (kk == k) s"e$k" else s"a${kk + 1}"
+      s"($kk, $lo, $hi)"
+    }.mkString(", ")
+    val eqRows = (1 to k).map(t => s"($t, (nn * ${t - 1}) // $k, (nn * $t) // $k)")
+      .mkString(", ")
+    val vcs = (1 to k).map(t => s"max(CASE WHEN bucket = $t THEN c END) vc$t").mkString(", ")
+    val ecs = (1 to k).map(t => s"max(CASE WHEN eb = $t THEN c END) ec$t").mkString(", ")
+    "WITH monthly AS MATERIALIZED (SELECT date_trunc('month', o_orderdate) mm, " +
+      s"count(*)::BIGINT n, sum($cents)::BIGINT s, sum($cents::HUGEINT * $cents) ss " +
+      "FROM orders GROUP BY 1), " +
+      "pr0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY mm)::BIGINT t, mm, " +
+      "sum(n) OVER (ORDER BY mm ROWS UNBOUNDED PRECEDING)::BIGINT cn, " +
+      "sum(s) OVER (ORDER BY mm ROWS UNBOUNDED PRECEDING)::BIGINT cs, " +
+      "sum(ss) OVER (ORDER BY mm ROWS UNBOUNDED PRECEDING) css FROM monthly), " +
+      "pr AS MATERIALIZED (SELECT t, mm, cn, cs, css FROM pr0 " +
+      "UNION ALL SELECT 0, TIMESTAMP '1970-01-01', 0, 0, 0::HUGEINT), " +
+      "cost AS MATERIALIZED (SELECT a.t i0, b.t j, " +
+      "(b.css - a.css)::DOUBLE - ((b.cs - a.cs)::HUGEINT * (b.cs - a.cs))::DOUBLE " +
+      "/ (b.cn - a.cn) c FROM pr a JOIN pr b ON a.t < b.t), " +
+      "dp1 AS MATERIALIZED (SELECT j, c v, 0::BIGINT arg FROM cost WHERE i0 = 0), " +
+      s"$dpSteps, " +
+      "nnr AS (SELECT max(t) nn FROM pr), " +
+      s"b$k AS (SELECT nn, nn e$k, arg a$k FROM nnr JOIN dp$k ON j = nn), $back, " +
+      s"bkts AS (SELECT bucket::BIGINT bucket, lo::BIGINT lo, hi::BIGINT hi FROM b2, " +
+      s"LATERAL (VALUES $bktRows) t(bucket, lo, hi)), " +
+      "wc AS MATERIALIZED (SELECT bucket, lo, hi, c FROM bkts " +
+      "JOIN cost ON cost.i0 = lo - 1 AND cost.j = hi), " +
+      s"vt AS (SELECT $vcs FROM wc), " +
+      s"vs AS (SELECT ${(1 to k).map(t => s"vc$t").mkString(" + ")} vopt_sse FROM vt), " +
+      s"eqb AS (SELECT eb, i0, j FROM nnr, LATERAL (VALUES $eqRows) t(eb, i0, j)), " +
+      "eqc AS (SELECT eb, c FROM eqb JOIN cost USING (i0, j)), " +
+      s"et AS (SELECT $ecs FROM eqc), " +
+      s"es AS (SELECT ${(1 to k).map(t => s"ec$t").mkString(" + ")} eq_sse FROM et) " +
+      "SELECT bucket, la.mm month_lo, lb.mm month_hi, " +
+      "floor(c / 1e15 * 10000) / 10000 sse_e15, " +
+      "floor(vopt_sse / 1e15 * 10000) / 10000 vopt_sse_e15, " +
+      "floor(eq_sse / 1e15 * 10000) / 10000 equalw_sse_e15 " +
+      "FROM wc CROSS JOIN vs CROSS JOIN es " +
+      "JOIN pr la ON la.t = wc.lo JOIN pr lb ON lb.t = wc.hi"
+  }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum, Mann & Whitney 1947) — the
+    * NONPARAMETRIC A/B verdict the z/CUPED family can't give when
+    * revenue is heavy-tailed (one whale in variant A swamps a mean
+    * test; rank tests don't care). Same hash-bucketed variant
+    * assignment as [[abTest]]; the measure is per-user purchase cents.
+    *
+    * Exactness: ranks come from the COLLAPSED distinct-cents relation
+    * with midranks for ties kept in exact HALF-UNITS
+    * (2·midrank = 2·|{cents below}| + t + 1, an integer), so
+    * 2R_A = Σ t_a·(2·before + t + 1) and 2U_A = 2R_A − n_a(n_a+1) are
+    * exact BIGINTs (products widened through DECIMAL(38,0) — n_a·n_b
+    * alone hits 2^60 at 10⁹ users); the tie correction Σ(t³−t) is
+    * exact the same way. Both engines then evaluate ONE textual float
+    * expression z = (2U_A − n_a·n_b) / (2·√(n_a·n_b/12·((N+1) −
+    * Σ(t³−t)/(N(N−1))))) over identical integers.
+    *
+    * Scale: one fact scan → per-user hash-agg → distinct-cents
+    * hash-agg (≤ |distinct spend levels| cells); the rank window runs
+    * over that collapsed relation (the decileStats rule). */
+  def mannWhitney(ev: DataFrame): DataFrame = {
+    val perUser = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      .withColumn("is_a", when(pmod(graft.functions.TextHash.hash60(
+        concat(lit("ab|"), col("user_id"))), lit(2L)) === 0, 1L).otherwise(0L))
+    val cells = perUser.groupBy(col("cents"))
+      .agg(count(lit(1)).as("t"), sum(col("is_a")).as("t_a"))
+    val below = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells
+      .withColumn("before", coalesce(sum(col("t")).over(below), lit(0L)))
+    val agg = ranked.agg(
+      sum(col("t_a") * (col("before") * 2 + col("t") + 1)).as("r2a"),
+      sum(col("t_a")).as("n_a"), sum(col("t")).as("nn"),
+      sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
+        .as("tie3"))
+    agg.select(col("n_a"), (col("nn") - col("n_a")).as("n_b"), col("nn"),
+        (col("r2a") - col("n_a") * (col("n_a") + 1)).as("u2_a"),
+        col("tie3"))
+      .select(col("n_a"), col("n_b"),
+        col("u2_a"),
+        trunc4((col("u2_a").cast("decimal(38,0)") -
+            col("n_a").cast("decimal(38,0)") * col("n_b")).cast("double") /
+          (lit(2.0) * sqrt(
+            (col("n_a").cast("decimal(38,0)") * col("n_b")).cast("double") / 12.0 *
+              ((col("nn") + 1).cast("double") -
+                col("tie3").cast("double") /
+                  (col("nn").cast("decimal(38,0)") * (col("nn") - 1)).cast("double")))))
+          .as("z"))
+      .withColumn("significant", abs(col("z")) > 1.96)
+  }
+
+  /** The generated DuckDB mirror of [[mannWhitney]] — identical
+    * half-unit midrank integers, identical single float expression. */
+  private[graft] val mannWhitneyOracle: String =
+    "WITH pu AS (SELECT user_id, sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) cents, " +
+      "CASE WHEN ('0x'||substr(md5('ab|'||user_id),1,15))::BIGINT % 2 = 0 " +
+      "THEN 1 ELSE 0 END is_a FROM events WHERE event_type = 'purchase' GROUP BY user_id), " +
+      "cells AS (SELECT cents, count(*)::BIGINT t, sum(is_a)::BIGINT t_a FROM pu GROUP BY 1), " +
+      "rk AS (SELECT t, t_a, coalesce(sum(t) OVER (ORDER BY cents " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT bfr FROM cells), " +
+      "ag AS (SELECT sum(t_a * (bfr * 2 + t + 1))::BIGINT r2a, sum(t_a)::BIGINT n_a, " +
+      "sum(t)::BIGINT nn, sum(t::HUGEINT * t * t - t) tie3 FROM rk), " +
+      "u AS (SELECT n_a, nn - n_a n_b, nn, r2a - n_a * (n_a + 1) u2_a, tie3 FROM ag), " +
+      "z AS (SELECT n_a, n_b, u2_a, floor((u2_a::HUGEINT - n_a::HUGEINT * n_b)::DOUBLE / " +
+      "(2.0 * sqrt((n_a::HUGEINT * n_b)::DOUBLE / 12.0 * ((nn + 1)::DOUBLE - " +
+      "tie3::DOUBLE / (nn::HUGEINT * (nn - 1))::DOUBLE))) * 10000) / 10000 z FROM u) " +
+      "SELECT n_a, n_b, u2_a, z, abs(z) > 1.96 significant FROM z"
+
+  /** Haar wavelet energy pyramid over the daily revenue series — the
+    * multi-resolution screen next to [[changepoint]] (one split) and
+    * [[voptHistogram]] (K buckets): which TIME SCALES carry the
+    * series' structure, read off the top wavelet coefficients. The
+    * series is the day-collapsed cents total, zero-padded to
+    * P = 2^L ≥ n days; detail d(ℓ,b) = (left-half sum − right-half
+    * sum) of block b at scale 2^ℓ.
+    *
+    * Exactness — Parseval IN INTEGERS: the orthonormal coefficient is
+    * d/2^{ℓ/2} (energy d²/2^ℓ), so on the common ×2^L scale every
+    * energy is the exact integer d²·2^{L−ℓ}; the approximation term is
+    * S² (S = grand total) and Parseval reads
+    * 2^L·Σx² = S² + Σ_{ℓ,b} d²·2^{L−ℓ} — EXACT in DECIMAL(38,0), no
+    * float ever enters ranking (energy share divides the integers once
+    * at the end). Top-`topN` by (energy, scale, block) via sort-limit.
+    *
+    * Scale: one (day) hash-agg over the facts; the pyramid explodes
+    * each of the ~n day cells into L = log₂P sign rows (zero-padded
+    * cells contribute nothing and need no rows) and one (ℓ, block)
+    * hash-agg collapses them — never a per-level pass, never a global
+    * window over facts. */
+  def haarPyramid(orders: DataFrame, topN: Int = 8): DataFrame = {
+    val daily = orders
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("cents"))
+    val idx = daily
+      .withColumn("t", row_number().over(Window.orderBy(col("day"))).cast("long") - 1)
+      .localCheckpoint(true) // collapsed daily relation; feeds n + pyramid
+    val maxT = idx.agg(max(col("t")).as("mt"), count(lit(1)).as("nd"),
+        sum(col("cents").cast("decimal(38,0)") * col("cents")).as("sx2"),
+        sum(col("cents")).as("s"))
+      .select(col("mt"), col("nd"), col("sx2"), col("s"),
+        // ≥ 1: a 1-day series must not hand sequence(1, 0) to the
+        // explode — Spark's sequence(1, 0) DESCENDS (the charEntropy
+        // empty-doc class)
+        greatest(lit(1), ceil(log2(col("mt") + 1)).cast("int")).as("lcap"))
+    val levels = idx.crossJoin(broadcast(maxT.select(col("lcap"))))
+      .select(col("t"), col("cents"),
+        explode(sequence(lit(1), col("lcap"))).as("lev"))
+      .select(col("lev"), (col("t") / pow(lit(2.0), col("lev"))).cast("long").as("blk"),
+        (when(pmod(col("t"), pow(lit(2.0), col("lev")).cast("long")) <
+          pow(lit(2.0), col("lev") - 1).cast("long"), lit(1L)).otherwise(lit(-1L)) *
+          col("cents")).as("signed"))
+    val coeffs = levels.groupBy(col("lev"), col("blk"))
+      .agg(sum(col("signed")).as("d"))
+    val scored = coeffs.crossJoin(broadcast(maxT))
+      .select(col("lev"), col("blk"), col("d"),
+        (col("d").cast("decimal(38,0)") * col("d") *
+          pow(lit(2.0), col("lcap") - col("lev")).cast("long")).as("energy"),
+        (col("sx2") * pow(lit(2.0), col("lcap")).cast("long")).as("tot_energy"),
+        (col("s").cast("decimal(38,0)") * col("s")).as("approx_energy"))
+    scored
+      .orderBy(col("energy").desc, col("lev"), col("blk")).limit(topN)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("energy").desc, col("lev"), col("blk"))).cast("long"))
+      .select(col("rnk"), col("lev").cast("long").as("lev"), col("blk"), col("d"),
+        trunc4(col("energy").cast("double") / col("tot_energy").cast("double"))
+          .as("energy_share"),
+        trunc4(col("approx_energy").cast("double") / col("tot_energy").cast("double"))
+          .as("approx_share"))
+  }
+
+  /** The generated DuckDB mirror of [[haarPyramid]] — same integer
+    * pyramid via a generate_series level cross join. */
+  private[graft] val haarOracle: String =
+    "WITH daily AS (SELECT date_trunc('day', o_orderdate) dy, " +
+      "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT cents " +
+      "FROM orders GROUP BY 1), " +
+      "idx AS (SELECT row_number() OVER (ORDER BY dy)::BIGINT - 1 t, cents FROM daily), " +
+      "mt AS (SELECT max(t) mt, sum(cents::HUGEINT * cents) sx2, sum(cents)::BIGINT s, " +
+      "greatest(1, CAST(ceil(log2(max(t) + 1)) AS INT)) lcap FROM idx), " +
+      // generate_series can't read a lateral column — overshoot to a
+      // fixed 40 levels (2^40 days ≈ 3 Gyr) and filter to lcap
+      "lv AS (SELECT t, cents, lev FROM idx, mt, generate_series(1, 40) g(lev) " +
+      "WHERE lev <= lcap), " +
+      "sg AS (SELECT lev, t // (1::BIGINT << lev) blk, " +
+      "CASE WHEN t % (1::BIGINT << lev) < (1::BIGINT << (lev - 1)) " +
+      "THEN cents ELSE -cents END signed FROM lv), " +
+      "cf AS (SELECT lev, blk, sum(signed)::BIGINT d FROM sg GROUP BY 1, 2), " +
+      "sc AS (SELECT lev, blk, d, d::HUGEINT * d * (1::HUGEINT << (lcap - lev)) energy, " +
+      "sx2 * (1::HUGEINT << lcap) tot_energy, s::HUGEINT * s approx_energy " +
+      "FROM cf, mt) " +
+      "SELECT row_number() OVER (ORDER BY energy DESC, lev, blk)::BIGINT rnk, " +
+      "lev::BIGINT lev, blk, d, " +
+      "floor(energy::DOUBLE / tot_energy::DOUBLE * 10000) / 10000 energy_share, " +
+      "floor(approx_energy::DOUBLE / tot_energy::DOUBLE * 10000) / 10000 approx_share " +
+      "FROM sc ORDER BY energy DESC, lev, blk LIMIT 8"
+
+  /** Empirical-Bayes shrinkage of per-merchant error rates under a
+    * beta-binomial prior (Robbins 1956; the small-sample ranking fix
+    * every fraud desk needs — a merchant with 1 error in 2 events must
+    * not outrank one with 40 in 100). Prior (m, M) by method of
+    * moments over the per-merchant rate spread; posterior mean
+    * (pos + M·m)/(n + M) ranks merchants.
+    *
+    * Exactness: per-merchant rates enter the moment equations as
+    * floor(10⁶·pos/n) BIGINTs, so A = Σr6, B = Σr6² are exact and the
+    * MoM strength M = ⌊m(1−m)/s² − 1⌋ (one textual float expression
+    * over those integers, clamped to ≥ 1) is an exact BIGINT; the
+    * posterior mean is then the exact rational
+    * (pos·Σn + M·Σpos) / (Σn·(n + M)), floored at 10⁻⁶ granularity —
+    * both engines divide identical DECIMAL(38,0) integers once.
+    *
+    * Scale: one fact scan → per-merchant hash-agg; the prior is a
+    * 1-row aggregate broadcast back (scalar plumbing); no windows. */
+  def ebShrinkage(ev: DataFrame): DataFrame = {
+    val perM = ev
+      .select(get_json_object(col("props"), "$.k").cast("long").as("merchant"),
+        when(col("event_type") === "error", 1L).otherwise(0L).as("err"))
+      .filter(col("merchant").isNotNull)
+      .groupBy(col("merchant"))
+      .agg(count(lit(1)).as("n"), sum(col("err")).as("pos"))
+      .withColumn("r6", expr("(pos * 1000000L) div n"))
+    val prior = perM.agg(count(lit(1)).as("k"),
+        sum(col("r6")).as("a6"),
+        sum(col("r6").cast("decimal(38,0)") * col("r6")).as("b12"),
+        sum(col("n")).as("tn"), sum(col("pos")).as("tpos"))
+      .select(col("tn"), col("tpos"),
+        greatest(lit(1L), floor(
+          (col("a6").cast("double") / col("k") / 1e6) *
+            (lit(1.0) - col("a6").cast("double") / col("k") / 1e6) /
+            ((col("b12").cast("double") / col("k") -
+              (col("a6").cast("double") / col("k")) *
+                (col("a6").cast("double") / col("k"))) / 1e12) - 1).cast("long"))
+          .as("mm"))
+    perM.crossJoin(broadcast(prior))
+      .withColumn("s_num", (col("pos").cast("decimal(38,0)") * col("tn") +
+        col("mm").cast("decimal(38,0)") * col("tpos")) * 1000000)
+      .withColumn("s_den", col("tn").cast("decimal(38,0)") * (col("n") + col("mm")))
+      .select(col("merchant"), col("n"), col("pos"),
+        trunc4(col("r6") / lit(1000000.0)).as("raw_rate"),
+        col("mm").as("prior_strength"),
+        (expr("s_num div s_den") / lit(1000000.0)).as("shrunk_rate"))
+  }
+
+  /** The generated DuckDB mirror of [[ebShrinkage]]. */
+  private[graft] val ebShrinkageOracle: String =
+    "WITH pm AS (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) merchant, " +
+      "count(*)::BIGINT n, " +
+      "sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT pos " +
+      "FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL GROUP BY 1), " +
+      "r AS (SELECT *, CAST((pos * 1000000) // n AS BIGINT) r6 FROM pm), " +
+      "pr AS (SELECT count(*)::BIGINT k, sum(r6)::BIGINT a6, sum(r6::HUGEINT * r6) b12, " +
+      "sum(n)::BIGINT tn, sum(pos)::BIGINT tpos FROM r), " +
+      "st AS (SELECT tn, tpos, greatest(1, CAST(floor(" +
+      "(a6::DOUBLE / k / 1e6) * (1.0 - a6::DOUBLE / k / 1e6) / " +
+      "((b12::DOUBLE / k - (a6::DOUBLE / k) * (a6::DOUBLE / k)) / 1e12) - 1) " +
+      "AS BIGINT)) mm FROM pr) " +
+      "SELECT merchant, n, pos, floor(r6 / 1000000.0 * 10000) / 10000 raw_rate, " +
+      "mm prior_strength, " +
+      "CAST(((pos::HUGEINT * tn + mm::HUGEINT * tpos) * 1000000) // " +
+      "(tn::HUGEINT * (n + mm)) AS BIGINT) / 1000000.0 shrunk_rate " +
+      "FROM r, st"
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mannwhitney" -> ((s, d) => mannWhitney(Tables.events(s, d))),
+    "q_haar" -> ((s, d) => haarPyramid(Tables.orders(s, d))),
+    "q_eb_shrinkage" -> ((s, d) => ebShrinkage(Tables.events(s, d))),
+    "q_vopt_histogram" -> ((s, d) => voptHistogram(Tables.orders(s, d))),
     "q_dp_quantile" -> ((s, d) => dpQuantile(Tables.events(s, d))),
     "q_changepoint" -> ((s, d) => changepoint(Tables.orders(s, d))),
     "q_qini" -> ((s, d) => qiniCurve(Tables.events(s, d))),
@@ -3812,6 +4213,10 @@ object Monitoring {
       "AS attribution_share FROM sp CROSS JOIN stot"
 
   val oracleSql: Map[String, String] = Map(
+    "q_vopt_histogram" -> voptOracle(),
+    "q_mannwhitney" -> mannWhitneyOracle,
+    "q_haar" -> haarOracle,
+    "q_eb_shrinkage" -> ebShrinkageOracle,
     "q_dp_quantile" ->
       ("WITH bins AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) // 500 bin, " +
         "count(*)::BIGINT n FROM events GROUP BY 1), " +

@@ -412,7 +412,47 @@ object ScaleOps {
       (k, a.asInstanceOf[Integer], b.asInstanceOf[Integer],
         c.asInstanceOf[Integer], d.asInstanceOf[Integer]) }
 
+  /** Small-file compaction planner — the table-maintenance pass every
+    * lake-format table service runs (Iceberg/Delta rewrite-data-files:
+    * thousands of tiny commit files → read-amplification death; bin
+    * them into target-size rewrite groups): per-day ingest "files"
+    * (row count + byte mass from the payload column) are assigned to
+    * compaction groups by CUMULATIVE QUOTA — group = ⌊prefix_bytes /
+    * target⌋ over the day-ordered file list.
+    *
+    * Quota placement (not greedy first-fit) is the scale choice, the
+    * [[graft.operators.Media.mediaShards]] argument one dimension up:
+    * greedy packing is inherently sequential state; the prefix-sum
+    * form is one window over the COLLAPSED per-file relation, any
+    * worker can recompute any file's group, and groups stay
+    * key-ordered so compacted files preserve the day clustering the
+    * zonemap relies on. A file bigger than the target inflates its own
+    * group (fill > 1) rather than splitting — rewrite units never cut
+    * a source file in half.
+    *
+    * Exactness: bytes are exact BIGINTs (ASCII payload lengths + a
+    * fixed 24-byte row-overhead constant); fill divides the integers
+    * once at the end. */
+  def compactionPlan(ev: DataFrame, targetBytes: Long = 16384L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = ev.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(length(col("props")).cast("long") + 24L).as("bytes"))
+    val pre = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("cum_before", coalesce(sum(col("bytes")).over(pre), lit(0L)))
+      .withColumn("group_id", expr(s"cum_before div ${targetBytes}L"))
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"),
+        sum(col("bytes")).as("group_bytes"),
+        min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+      .withColumn("fill", graft.functions.Portable.trunc4(
+        col("group_bytes") / lit(targetBytes.toDouble)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_compaction_plan" -> ((s, d) => compactionPlan(Tables.events(s, d))),
     "q_zonemap" -> ((s, d) => zonemapAudit(Tables.events(s, d))),
     "q_mixture_sample" -> ((s, d) => mixtureSample(Tables.documents(s, d))),
     "q_salted_agg" -> ((s, d) => saltedUserStats(Tables.events(s, d))),
@@ -443,6 +483,16 @@ object ScaleOps {
   }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "q_compaction_plan" ->
+      ("WITH f AS (SELECT date_trunc('day', ts) dy, count(*)::BIGINT n_rows, " +
+        "sum(length(props) + 24)::BIGINT bytes FROM events GROUP BY 1), " +
+        "p AS (SELECT *, coalesce(sum(bytes) OVER (ORDER BY dy " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT cb FROM f), " +
+        "g AS (SELECT cb // 16384 group_id, count(*)::BIGINT n_files, " +
+        "sum(n_rows)::BIGINT n_rows, sum(bytes)::BIGINT group_bytes, " +
+        "min(dy) first_day, max(dy) last_day FROM p GROUP BY 1) " +
+        "SELECT group_id, n_files, n_rows, group_bytes, first_day, last_day, " +
+        "floor(group_bytes / 16384.0 * 10000) / 10000 fill FROM g"),
     "q_zonemap" ->
       ("WITH b AS (SELECT event_id, user_id u, CAST(floor(value) AS BIGINT) v, " +
         s"${interleaveSql("(user_id & 65535)", "(CAST(floor(value) AS BIGINT) & 65535)")} zval " +

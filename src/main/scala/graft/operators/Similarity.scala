@@ -1492,10 +1492,13 @@ object Similarity {
       .select(col("src_id"),
         trunc4(((1 to k).map(i => col(s"l$i")).reduce(_ + _) / k) / col("lrd"))
           .as("lof"))
-    val top = lof.orderBy(col("lof").desc, col("src_id")).limit(topN)
-      .localCheckpoint(true) // topN rows — ranking window below is tiny
-    top.withColumn("rnk", row_number().over(
-      Window.orderBy(col("lof").desc, col("src_id"))).cast("long"))
+    // rank AFTER the limit and BEFORE any checkpoint: the plan then
+    // reads WindowExec-over-GlobalLimit — visibly collapsed to the
+    // ScaleSpec sweep (a checkpoint in between would hide the limit)
+    lof.orderBy(col("lof").desc, col("src_id")).limit(topN)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("lof").desc, col("src_id"))).cast("long"))
+      .localCheckpoint(true)
   }
 
   // ---- driver wiring ----

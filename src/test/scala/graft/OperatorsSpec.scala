@@ -2396,6 +2396,119 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Media.corruptAudit: verdict ledger equals a byte-level recompute of the damage rule") {
+    val got = Media.corruptAudit(Tables.documents(spark, sf)).collect()
+      .map(r => (r.getAs[String]("media_type"), r.getAs[String]("verdict")) ->
+        ((r.getAs[Long]("n_blobs"), r.getAs[Long]("bytes"), r.getAs[Double]("share"))))
+      .toMap
+    // replay the deterministic damage + verdict rules from raw documents
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val blobs = docs.flatMap { case (id, text) =>
+      val full = text.getBytes("UTF-8").length.toLong
+      val dmg =
+        if (id % 3 == 0) text.substring(0, math.min(3, text.length)).getBytes("UTF-8").length.toLong
+        else if (id % 3 == 1) 0L
+        else full
+      val mt = if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video"
+      Seq((mt, full), (mt, dmg))
+    }
+    def verdict(len: Long) =
+      if (len == 0) "empty" else if (len < 8) "truncated" else "ok"
+    val typeTotals = blobs.groupBy(_._1).map { case (mt, xs) => mt -> xs.length.toLong }
+    val expect = blobs.groupBy { case (mt, len) => (mt, verdict(len)) }
+      .map { case (k, xs) =>
+        k -> ((xs.length.toLong, xs.map(_._2).sum,
+          math.floor(xs.length.toDouble / typeTotals(k._1) * 10000) / 10000))
+      }
+    assert(got === expect)
+  }
+
+  test("Similarity.lofScores: LOF algebra equals an exact replay over the operator's own kNN edges") {
+    val k = 5; val topN = 20
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.lofScores(emb, k, topN).collect().sortBy(_.getAs[Long]("rnk"))
+    assert(got.length === topN)
+    assert(got.map(_.getAs[Long]("rnk")).toSeq === (1 to topN).map(_.toLong))
+    // replay kdist -> reach -> lrd -> LOF from the SAME banded edges,
+    // with the same integer dist4 and the same l1+..+lk textual fold
+    val edges = Similarity.knnGraph(emb, k)
+      .select(col("src_id"), col("dst_id"), col("rnk"), col("cos"))
+      .collect().map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("dst_id"),
+        r.getAs[Long]("rnk").toInt,
+        10000L - math.floor(r.getAs[Double]("cos") * 10000 + 0.5).toLong))
+    val bySrc = edges.groupBy(_._1)
+    val kd = bySrc.map { case (s, es) => s -> es.map(_._4).max }
+    val lrd = bySrc.flatMap { case (s, es) =>
+      val reach = es.flatMap(e => kd.get(e._2).map(kdd => math.max(kdd, e._4)))
+      if (reach.length == k && reach.sum > 0)
+        Some(s -> (k * 10000.0 / reach.sum)) else None
+    }
+    val lof = bySrc.flatMap { case (s, es) =>
+      val nb = es.filter(e => lrd.contains(e._2)).sortBy(_._3)
+      for (self <- lrd.get(s) if nb.length == k) yield {
+        val fold = nb.map(e => lrd(e._2)).reduceLeft(_ + _)
+        s -> math.floor((fold / k) / self * 10000) / 10000
+      }
+    }
+    val expectTop = lof.toSeq.sortBy { case (s, v) => (-v, s) }.take(topN)
+    assert(got.map(r => (r.getAs[Long]("src_id"), r.getAs[Double]("lof"))).toSeq
+      === expectTop)
+  }
+
+  test("Analytics.treeDepth2: root and child splits are the exact greedy argmax per node") {
+    val got = Analytics.treeDepth2(Tables.events(spark, sf)).collect()
+      .map(r => r.getAs[String]("node") ->
+        ((r.getAs[String]("feature"), r.getAs[Long]("split_bin"),
+          r.getAs[Long]("n_left"), r.getAs[Long]("pos_left")))).toMap
+    val rows = Tables.events(spark, sf).select(
+        expr("case when event_type = 'purchase' then 1L else 0L end").as("y"),
+        expr("cast(floor(value / 0.5) as long)").as("vbin"),
+        expr("cast(get_json_object(props, '$.k') as long)").as("kbin"))
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2)))
+    // exact greedy split over one node's rows: (s, feature, bin) argmax
+    def best(rs: Seq[(Long, Any, Any)]): Option[(String, Long, Long, Long)] = {
+      val cands = Seq("value" -> rs.map(r => (r._2, r._1)),
+        "props_k" -> rs.map(r => (r._3, r._1))).flatMap { case (f, xs) =>
+        val cells = xs.collect { case (b: Long, y) => (b, y) }
+          .groupBy(_._1).toSeq.sortBy(_._1)
+          .map { case (b, g) => (b, g.length.toLong, g.map(_._2).sum) }
+        val nt = cells.map(_._2).sum; val post = cells.map(_._3).sum
+        var nl = 0L; var posl = 0L
+        cells.flatMap { case (b, n, pos) =>
+          nl += n; posl += pos
+          val (nr, posr) = (nt - nl, post - posl)
+          if (nr > 0) {
+            val (negl, negr) = (nl - posl, nr - posr)
+            val s = ((posl * posl + negl * negl) * nr +
+              (posr * posr + negr * negr) * nl).toDouble / (nl * nr)
+            Some((s, f, b, nl, posl))
+          } else None
+        }
+      }
+      if (cands.isEmpty) None
+      else {
+        val (_, f, b, nl, posl) = cands.minBy { case (s, f, b, _, _) => (-s, f, b) }
+        Some((f, b, nl, posl))
+      }
+    }
+    val Some(root) = best(rows)
+    assert(got("root") === root)
+    val sided = rows.flatMap { r =>
+      val fb = if (root._1 == "value") r._2 else r._3
+      fb match {
+        case b: Long => Some((if (b <= root._2) "left" else "right", r))
+        case _ => None
+      }
+    }
+    Seq("left", "right").foreach { side =>
+      best(sided.filter(_._1 == side).map(_._2)) match {
+        case Some(exp) => assert(got(side) === exp, s"$side child split")
+        case None => assert(!got.contains(side), s"$side child should emit no row")
+      }
+    }
+  }
+
   test("Monitoring.skylineMerchants: only non-dominated points survive; exact ties both stay") {
     import spark.implicits._
     // (cents, users): m1 (300, 1), m2 (200, 2), m3 (100, 3) = frontier;

@@ -676,6 +676,193 @@ class PropertiesSpec extends SparkSpec {
       === top.toSeq)
   }
 
+  test("voptHistogram: buckets are the exact DP argmin; V-optimal never loses to equal-width") {
+    val k = 4
+    val got = graft.operators.Monitoring.voptHistogram(graft.Tables.orders(spark, sf), k)
+      .collect().sortBy(_.getAs[Long]("bucket"))
+    assert(got.length === k)
+    // exact recompute: same prefix integers, same float cost formula,
+    // same (v, i) argmin tie-break, same left-fold total order
+    val monthly = graft.Tables.orders(spark, sf)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(floor(o_totalprice * 100 + 0.5) as long)")).as("s"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1.getTime)
+    val perMonthSs = graft.Tables.orders(spark, sf)
+      .select(date_trunc("month", col("o_orderdate")).as("m"),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as long)").as("c"))
+      .collect().groupBy(_.getTimestamp(0))
+      .map { case (m, rs) => (m, rs.map(r => BigInt(r.getLong(1)) * r.getLong(1)).sum) }
+    val nM = monthly.length
+    val cn = new Array[Long](nM + 1); val cs = new Array[Long](nM + 1)
+    val css = new Array[BigInt](nM + 1); css(0) = BigInt(0)
+    monthly.zipWithIndex.foreach { case ((m, n, s), i) =>
+      cn(i + 1) = cn(i) + n; cs(i + 1) = cs(i) + s
+      css(i + 1) = css(i) + perMonthSs(m)
+    }
+    def cost(i: Int, j: Int): Double = {
+      val ds = BigInt(cs(j) - cs(i))
+      (css(j) - css(i)).toDouble - (ds * ds).toDouble / (cn(j) - cn(i))
+    }
+    // dp(kk)(j) = (value, arg); argmin tie-break is (v, i) ascending
+    val dp = Array.ofDim[(Double, Int)](k + 1, nM + 1)
+    (1 to nM).foreach(j => dp(1)(j) = (cost(0, j), 0))
+    for (kk <- 2 to k; j <- kk to nM) {
+      var bv = Double.MaxValue; var ba = -1
+      for (i <- (kk - 1) until j) {
+        val v = dp(kk - 1)(i)._1 + cost(i, j)
+        if (v < bv) { bv = v; ba = i }
+      }
+      dp(kk)(j) = (bv, ba)
+    }
+    val hi = new Array[Int](k + 1); val lo = new Array[Int](k + 1)
+    hi(k) = nM
+    for (kk <- k to 1 by -1) {
+      lo(kk) = (if (kk == 1) 0 else dp(kk)(hi(kk))._2) + 1
+      if (kk > 1) hi(kk - 1) = lo(kk) - 1
+    }
+    got.foreach { r =>
+      val b = r.getAs[Long]("bucket").toInt
+      assert(r.getAs[java.sql.Timestamp]("month_lo") === monthly(lo(b) - 1)._1,
+        s"bucket $b lo boundary")
+      assert(r.getAs[java.sql.Timestamp]("month_hi") === monthly(hi(b) - 1)._1,
+        s"bucket $b hi boundary")
+    }
+    // totals: same textual left fold c1+c2+c3+c4, then the same trunc
+    val tot = (1 to k).map(b => cost(lo(b) - 1, hi(b))).reduceLeft(_ + _)
+    assert(got.head.getAs[Double]("vopt_sse_e15")
+      === math.floor(tot / 1e15 * 10000) / 10000, "v-opt total SSE")
+    got.foreach(r => assert(r.getAs[Double]("vopt_sse_e15")
+      <= r.getAs[Double]("equalw_sse_e15"),
+      "the DP optimum can never lose to the equal-width partition"))
+  }
+
+  test("mannWhitney: U and z match an exact midrank recompute; rank stats are scale-invariant") {
+    val ev = graft.Tables.events(spark, sf)
+    val got = graft.operators.Monitoring.mannWhitney(ev).head
+    // exact recompute with integer half-unit midranks
+    val perUser = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(expr("cast(floor(value * 100 + 0.5) as long)")).as("cents"))
+      .withColumn("is_a", when(pmod(graft.functions.TextHash.hash60(
+        concat(lit("ab|"), col("user_id"))), lit(2L)) === 0, 1L).otherwise(0L))
+      .collect().map(r => (r.getAs[Long]("cents"), r.getAs[Long]("is_a")))
+    val cells = perUser.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (c, xs) => (c, xs.length.toLong, xs.map(_._2).sum) }
+    var before = 0L; var r2a = 0L; var tie3 = BigInt(0)
+    cells.foreach { case (_, t, ta) =>
+      r2a += ta * (before * 2 + t + 1); tie3 += BigInt(t) * t * t - t
+      before += t
+    }
+    val nA = perUser.map(_._2).sum; val nn = perUser.length.toLong; val nB = nn - nA
+    val u2a = r2a - nA * (nA + 1)
+    assert(got.getAs[Long]("n_a") === nA && got.getAs[Long]("n_b") === nB)
+    assert(got.getAs[Long]("u2_a") === u2a)
+    val z = (BigInt(u2a) - BigInt(nA) * nB).toDouble /
+      (2.0 * math.sqrt((BigInt(nA) * nB).toDouble / 12.0 *
+        ((nn + 1).toDouble - tie3.toDouble / (BigInt(nn) * (nn - 1)).toDouble)))
+    assert(got.getAs[Double]("z") === math.floor(z * 10000) / 10000)
+    // a rank test must not move when every value triples
+    val scaled = graft.operators.Monitoring.mannWhitney(
+      ev.withColumn("value", col("value") * 3)).head
+    assert(scaled.getAs[Long]("u2_a") === u2a)
+    assert(scaled.getAs[Double]("z") === got.getAs[Double]("z"))
+  }
+
+  test("haarPyramid: Parseval holds in exact integers; top coefficients match a direct transform") {
+    val orders = graft.Tables.orders(spark, sf)
+    val got = graft.operators.Monitoring.haarPyramid(orders).collect()
+      .sortBy(_.getAs[Long]("rnk"))
+    val daily = orders
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as long)")).as("cents"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+      .sortBy(_._1).map(_._2)
+    val n = daily.length
+    val lcap = math.max(1, math.ceil(math.log(n.toDouble) / math.log(2)).toInt)
+    val coeffs = for (lev <- 1 to lcap; blk <- 0 until (1 << (lcap - lev))) yield {
+      val d = daily.zipWithIndex.map { case (c, t) =>
+        if (t / (1L << lev) == blk)
+          (if (t % (1L << lev) < (1L << (lev - 1))) c else -c) else 0L
+      }.sum
+      (lev, blk.toLong, d, BigInt(d) * d * (BigInt(1) << (lcap - lev)))
+    }
+    val s = daily.sum
+    val totE = daily.map(c => BigInt(c) * c).sum * (BigInt(1) << lcap)
+    // Parseval, exactly: approx² + Σ detail energies == 2^L·Σx²
+    assert(BigInt(s) * s + coeffs.map(_._4).sum === totE)
+    val top = coeffs.sortBy { case (l, b, _, e) => (-e, l, b) }.take(8)
+    assert(got.map(r => (r.getAs[Long]("lev").toInt, r.getAs[Long]("blk"),
+      r.getAs[Long]("d"))).toSeq === top.map(c => (c._1, c._2, c._3)))
+    got.zip(top).foreach { case (r, c) =>
+      assert(r.getAs[Double]("energy_share") ===
+        math.floor(c._4.toDouble / totE.toDouble * 10000) / 10000)
+    }
+  }
+
+  test("ebShrinkage: every posterior mean sits between the raw rate and the pooled rate") {
+    val got = graft.operators.Monitoring.ebShrinkage(graft.Tables.events(spark, sf))
+      .collect()
+    assert(got.nonEmpty)
+    val tn = got.map(_.getAs[Long]("n")).sum
+    val tpos = got.map(_.getAs[Long]("pos")).sum
+    val pooled = tpos.toDouble / tn
+    got.foreach { r =>
+      val raw = r.getAs[Long]("pos").toDouble / r.getAs[Long]("n")
+      val shrunk = r.getAs[Double]("shrunk_rate")
+      val (lo, hi) = (math.min(raw, pooled), math.max(raw, pooled))
+      // floor granularity of 1e-6 can only pull the value DOWN
+      assert(shrunk >= lo - 1e-6 && shrunk <= hi,
+        s"merchant ${r.getAs[Long]("merchant")}: $shrunk outside [$lo, $hi]")
+      // exact posterior recompute
+      val m = r.getAs[Long]("prior_strength")
+      val num = (BigInt(r.getAs[Long]("pos")) * tn + BigInt(m) * tpos) * 1000000
+      val den = BigInt(tn) * (r.getAs[Long]("n") + m)
+      assert(shrunk === (num / den).toLong / 1e6)
+    }
+  }
+
+  test("compactionPlan: totals reconcile, groups are day-contiguous, fill reads the quota") {
+    val ev = graft.Tables.events(spark, sf)
+    val got = graft.operators.ScaleOps.compactionPlan(ev).collect()
+      .sortBy(_.getAs[Long]("group_id"))
+    val days = ev.groupBy(date_trunc("day", col("ts"))).agg(
+        count(lit(1)).as("n"), sum(length(col("props")).cast("long") + 24L).as("b"))
+      .collect()
+    assert(got.map(_.getAs[Long]("n_rows")).sum === days.map(_.getAs[Long]("n")).sum)
+    assert(got.map(_.getAs[Long]("group_bytes")).sum === days.map(_.getAs[Long]("b")).sum)
+    assert(got.map(_.getAs[Long]("n_files")).sum === days.length)
+    // groups partition the day axis in order: no overlap, no gap in ids
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[java.sql.Timestamp]("last_day")
+          .before(b.getAs[java.sql.Timestamp]("first_day")))
+      case _ =>
+    }
+    got.foreach { r =>
+      assert(r.getAs[Double]("fill") ===
+        math.floor(r.getAs[Long]("group_bytes") / 16384.0 * 10000) / 10000)
+    }
+  }
+
+  test("prefixJaccardJoin: prefix filtering loses no qualifying pair (equals brute force)") {
+    val docs = graft.Tables.documents(spark, sf)
+    val got = graft.operators.Dedup.prefixJaccardJoin(docs).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) ->
+        ((r.getAs[Long]("n_inter"), r.getAs[Double]("jaccard")))).toMap
+    val toks = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSet)
+      .filter(_._2.size >= 4)
+    val brute = (for {
+      (a, ta) <- toks; (b, tb) <- toks if a < b
+      inter = (ta & tb).size
+      if inter * 10000L >= (ta.size + tb.size - inter).toLong * 9500L
+    } yield (a, b) -> ((inter.toLong,
+      math.floor(inter.toDouble / (ta.size + tb.size - inter) * 10000) / 10000))).toMap
+    assert(got === brute)
+  }
+
   test("skyline law: no surviving merchant is dominated; every excluded one is") {
     forAll(rowGen) { rows =>
       import spark.implicits._
