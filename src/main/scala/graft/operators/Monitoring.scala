@@ -3951,9 +3951,276 @@ object Monitoring {
       "(tn::HUGEINT * (n + mm)) AS BIGINT) / 1000000.0 shrunk_rate " +
       "FROM r, st"
 
+  /** Mann–Kendall trend test (Mann 1945, Kendall 1975) — the
+    * nonparametric "is revenue actually trending" verdict next to
+    * [[acfDaily]]'s correlogram and the OLS line in `q_ts_trend`: no
+    * distribution or linearity assumption, just the pairwise sign sum
+    * S = Σ_{i<j} sign(y_j − y_i) over the month-collapsed series. The
+    * monthly collapse is the production discipline (daily S at 10⁹
+    * days would be a 10¹⁸-pair relation; months keep the pair
+    * relation ~N²/2 ≈ 3.2k rows and the TEST is about the trend, not
+    * the noise floor).
+    *
+    * Exactness: S is an exact BIGINT; the tie-corrected variance rides
+    * as the exact integer var18 = N(N−1)(2N+5) − Σ_g t_g(t_g−1)(2t_g+5)
+    * (18·Var); the continuity-corrected z = (S∓1)/√(var18/18) is one
+    * shared float expression over those integers (S=0 → z=0 exactly,
+    * both engines).
+    *
+    * Scale: one (month) hash-agg over the facts, a t<t' self-join on
+    * the ~N-row collapsed relation, one tie agg — no windows over
+    * facts, no float before the final expression. */
+  def mannKendall(orders: DataFrame): DataFrame = {
+    val monthly = orders
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("y"))
+      .withColumn("t", row_number().over(Window.orderBy(col("month"))).cast("long"))
+      .localCheckpoint(true) // collapsed ~N-month relation; feeds 3 passes
+    val s = monthly.as("a").join(monthly.as("b"), col("a.t") < col("b.t"))
+      .agg(sum(signum(col("b.y") - col("a.y")).cast("long")).as("s"),
+        count(lit(1)).as("n_pairs"))
+    val ties = monthly.groupBy(col("y")).agg(count(lit(1)).as("tg"))
+      .agg(coalesce(sum(col("tg") * (col("tg") - 1) * (col("tg") * 2 + 5)), lit(0L))
+        .as("tie_term"), count(lit(1)).as("n_levels"))
+    val n = monthly.agg(count(lit(1)).as("nn"))
+    s.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
+      .withColumn("var18",
+        col("nn") * (col("nn") - 1) * (col("nn") * 2 + 5) - col("tie_term"))
+      .select(col("nn"), col("n_pairs"), col("s"), col("var18"),
+        trunc4(when(col("s") > 0, (col("s") - 1).cast("double"))
+          .when(col("s") < 0, (col("s") + 1).cast("double"))
+          .otherwise(lit(0.0)) /
+          sqrt(col("var18").cast("double") / 18.0)).as("z"))
+      .withColumn("trend",
+        when(col("z") > 1.96, "increasing")
+          .when(col("z") < -1.96, "decreasing").otherwise("none"))
+  }
+
+  /** The generated DuckDB mirror of [[mannKendall]]. */
+  private[graft] val mannKendallOracle: String =
+    "WITH monthly AS (SELECT date_trunc('month', o_orderdate) mm, " +
+      "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT y " +
+      "FROM orders GROUP BY 1), " +
+      "idx AS (SELECT row_number() OVER (ORDER BY mm)::BIGINT t, y FROM monthly), " +
+      "sp AS (SELECT sum(sign(b.y - a.y))::BIGINT s, count(*)::BIGINT n_pairs " +
+      "FROM idx a JOIN idx b ON a.t < b.t), " +
+      "tie AS (SELECT coalesce(sum(tg * (tg - 1) * (2 * tg + 5)), 0)::BIGINT tie_term " +
+      "FROM (SELECT count(*)::BIGINT tg FROM idx GROUP BY y)), " +
+      "nr AS (SELECT count(*)::BIGINT nn FROM idx), " +
+      "v AS (SELECT nn, n_pairs, s, nn * (nn - 1) * (2 * nn + 5) - tie_term var18 " +
+      "FROM sp, nr, tie) " +
+      "SELECT nn, n_pairs, s, var18, " +
+      "floor((CASE WHEN s > 0 THEN (s - 1)::DOUBLE WHEN s < 0 THEN (s + 1)::DOUBLE " +
+      "ELSE 0.0 END / sqrt(var18::DOUBLE / 18.0)) * 10000) / 10000 z, " +
+      "CASE WHEN floor((CASE WHEN s > 0 THEN (s - 1)::DOUBLE WHEN s < 0 THEN (s + 1)::DOUBLE " +
+      "ELSE 0.0 END / sqrt(var18::DOUBLE / 18.0)) * 10000) / 10000 > 1.96 THEN 'increasing' " +
+      "WHEN floor((CASE WHEN s > 0 THEN (s - 1)::DOUBLE WHEN s < 0 THEN (s + 1)::DOUBLE " +
+      "ELSE 0.0 END / sqrt(var18::DOUBLE / 18.0)) * 10000) / 10000 < -1.96 THEN 'decreasing' " +
+      "ELSE 'none' END trend FROM v"
+
+  /** Theil–Sen slope estimator (Theil 1950, Sen 1968) — the robust
+    * trend LINE for the series [[mannKendall]] gives the verdict on
+    * (the classic pairing: MK tests, Theil–Sen sizes): the median of
+    * all pairwise slopes (y_j − y_i)/(t_j − t_i), immune to the
+    * outlier months that drag an OLS fit. Same month-collapsed
+    * series, same ~N²/2 pair relation.
+    *
+    * Determinism: every slope is the SAME double in both engines
+    * (one division of exact integers); the median is the lower-median
+    * element under the total order (slope, i, j) — rank ⌈M/2⌉ — so
+    * float ties break identically. The intercept is the lower median
+    * of y_t − slope·t under (value, t), the full Theil–Sen line.
+    *
+    * Scale: the pair relation and both rank windows live on collapsed
+    * month rows; the chosen slope rides back as a 1-row broadcast. */
+  def theilSen(orders: DataFrame): DataFrame = {
+    val monthly = orders
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("y"))
+      .withColumn("t", row_number().over(Window.orderBy(col("month"))).cast("long"))
+      .localCheckpoint(true)
+    val slopes = monthly.as("a").join(monthly.as("b"), col("a.t") < col("b.t"))
+      .select(col("a.t").as("i"), col("b.t").as("j"),
+        ((col("b.y") - col("a.y")).cast("double") /
+          (col("b.t") - col("a.t"))).as("slope"))
+    val m = slopes.agg(count(lit(1)).as("m"))
+    val med = slopes.crossJoin(broadcast(m))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("slope"), col("i"), col("j"))))
+      .filter(col("rnk") === expr("(m + 1) div 2"))
+      .select(col("slope"), col("m"))
+      .localCheckpoint(true) // 1 row
+    val nr = monthly.agg(count(lit(1)).as("nn"))
+    val resid = monthly.crossJoin(broadcast(med)).crossJoin(broadcast(nr))
+      .select(col("m"), col("nn"), col("slope"),
+        (col("y").cast("double") - col("slope") * col("t")).as("r"), col("t"))
+    resid
+      .withColumn("rnk", row_number().over(Window.orderBy(col("r"), col("t"))))
+      .filter(col("rnk") === expr("(nn + 1) div 2"))
+      .select(col("nn"), col("m").as("n_pairs"),
+        trunc4(col("slope") / 100.0).as("slope_usd_per_month"),
+        trunc4(col("r") / 100.0).as("intercept_usd"))
+  }
+
+  /** The generated DuckDB mirror of [[theilSen]]. */
+  private[graft] val theilSenOracle: String =
+    "WITH monthly AS (SELECT date_trunc('month', o_orderdate) mm, " +
+      "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT y " +
+      "FROM orders GROUP BY 1), " +
+      "idx AS (SELECT row_number() OVER (ORDER BY mm)::BIGINT t, y FROM monthly), " +
+      "sl AS (SELECT a.t i, b.t j, (b.y - a.y)::DOUBLE / (b.t - a.t) slope " +
+      "FROM idx a JOIN idx b ON a.t < b.t), " +
+      "mr AS (SELECT count(*)::BIGINT m FROM sl), " +
+      "med AS (SELECT slope, m FROM (SELECT slope, m, " +
+      "row_number() OVER (ORDER BY slope, i, j) rnk FROM sl, mr) " +
+      "WHERE rnk = (m + 1) // 2), " +
+      "nr AS (SELECT count(*)::BIGINT nn FROM idx), " +
+      "resid AS (SELECT m, nn, slope, y::DOUBLE - slope * t r, t " +
+      "FROM idx, med, nr) " +
+      "SELECT nn, m n_pairs, floor(slope / 100.0 * 10000) / 10000 slope_usd_per_month, " +
+      "floor(r / 100.0 * 10000) / 10000 intercept_usd " +
+      "FROM (SELECT *, row_number() OVER (ORDER BY r, t) rnk FROM resid) " +
+      "WHERE rnk = (nn + 1) // 2"
+
+  /** SAX symbolic motifs (Lin et al. 2003) — the daily revenue series
+    * as a SYMBOL STRING: z-normalize, PAA-average into `segDays`-day
+    * segments, map each segment mean to a 4-letter alphabet at the
+    * standard N(0,1) quartile breakpoints (±0.6745, 0), then count
+    * 3-symbol words. The top words are the series' recurring weekly
+    * shapes — the motif counterpart of [[weekDiscord]]'s anomaly.
+    *
+    * Determinism: series mean/std come from ONE float expression over
+    * exact integer (n, Σy, Σy²); each PAA z-score is one shared
+    * division chain; breakpoint CASEs compare identical doubles; word
+    * ranks break ties by (count DESC, word).
+    *
+    * Scale: one (day) hash-agg, one (segment) hash-agg (~n/7 rows),
+    * lead windows + word counts on that collapsed relation. */
+  def saxMotifs(orders: DataFrame, segDays: Int = 7, topN: Int = 5): DataFrame = {
+    val daily = orders
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("y"))
+      .withColumn("t", row_number().over(Window.orderBy(col("day"))).cast("long"))
+      .localCheckpoint(true)
+    val stats = daily.agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
+      sum(col("y").cast("decimal(38,0)") * col("y")).as("sq"))
+    val seg = daily.withColumn("seg", expr(s"(t - 1) div $segDays"))
+      .groupBy(col("seg"))
+      .agg(sum(col("y")).as("ss"), count(lit(1)).as("sn"))
+      .crossJoin(broadcast(stats))
+      .withColumn("z", (col("ss").cast("double") / col("sn") -
+        col("s").cast("double") / col("n")) /
+        sqrt((col("sq").cast("double") -
+          col("s").cast("double") * col("s") / col("n")) / (col("n") - 1)))
+      .withColumn("sym", when(col("z") < -0.6745, "a").when(col("z") < 0, "b")
+        .when(col("z") < 0.6745, "c").otherwise("d"))
+    val bySeg = Window.orderBy(col("seg"))
+    val words = seg
+      .withColumn("w", concat(col("sym"), lead(col("sym"), 1).over(bySeg),
+        lead(col("sym"), 2).over(bySeg)))
+      .filter(col("w").isNotNull)
+      .groupBy(col("w")).agg(count(lit(1)).as("n_occur"))
+    val tot = words.agg(sum(col("n_occur")).as("n_words"))
+    words.crossJoin(broadcast(tot))
+      .orderBy(col("n_occur").desc, col("w")).limit(topN)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n_occur").desc, col("w"))).cast("long"))
+      .select(col("rnk"), col("w").as("word"), col("n_occur"), col("n_words"),
+        trunc4(col("n_occur") / col("n_words")).as("share"))
+  }
+
+  /** The generated DuckDB mirror of [[saxMotifs]]. */
+  private[graft] val saxOracle: String =
+    "WITH daily AS (SELECT date_trunc('day', o_orderdate) dy, " +
+      "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT y " +
+      "FROM orders GROUP BY 1), " +
+      "idx AS (SELECT row_number() OVER (ORDER BY dy)::BIGINT t, y FROM daily), " +
+      "st AS (SELECT count(*)::BIGINT n, sum(y)::BIGINT s, sum(y::HUGEINT * y) sq FROM idx), " +
+      "seg AS (SELECT (t - 1) // 7 seg, sum(y)::BIGINT ss, count(*)::BIGINT sn " +
+      "FROM idx GROUP BY 1), " +
+      "zz AS (SELECT seg, (ss::DOUBLE / sn - s::DOUBLE / n) / " +
+      "sqrt((sq::DOUBLE - s::DOUBLE * s / n) / (n - 1)) z FROM seg, st), " +
+      "sym AS (SELECT seg, CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0 THEN 'b' " +
+      "WHEN z < 0.6745 THEN 'c' ELSE 'd' END sym FROM zz), " +
+      "wd AS (SELECT sym || lead(sym, 1) OVER (ORDER BY seg) " +
+      "|| lead(sym, 2) OVER (ORDER BY seg) AS w FROM sym), " +
+      "wc AS (SELECT w, count(*)::BIGINT n_occur FROM wd WHERE w IS NOT NULL GROUP BY 1), " +
+      "tt AS (SELECT sum(n_occur)::BIGINT n_words FROM wc) " +
+      "SELECT row_number() OVER (ORDER BY n_occur DESC, w)::BIGINT AS rnk, w AS word, " +
+      "n_occur, n_words, floor(n_occur::DOUBLE / n_words * 10000) / 10000 AS share " +
+      "FROM wc, tt ORDER BY n_occur DESC, w LIMIT 5"
+
+  /** Holt's linear exponential smoothing (Holt 1957) over the monthly
+    * revenue series, with α = β = ½ — level/trend state folded through
+    * the months IN ORDER, plus the h-step-ahead forecasts l + h·b. The
+    * recursion is inherently sequential, and that is fine AT SCALE:
+    * the engine's distributed work is collapsing the facts to the
+    * ~N-month series; the fold itself is one higher-order `aggregate`
+    * over a single collected row (never a driver loop, never a global
+    * window over facts).
+    *
+    * Float parity (the sinkhorn rule, applied through a real
+    * recursion): both engines step the IDENTICAL textual update —
+    * l' = 0.5·x + 0.5·(l+b), b' = 0.5·(l'−l) + 0.5·b with l' spelled
+    * out, sse' = sse + (x−(l+b))² — Spark in one `aggregate` lambda,
+    * DuckDB in a recursive CTE, so every intermediate double is
+    * bit-identical (α = β = ½ are exact binary fractions). */
+  def holtSmoothing(orders: DataFrame, h: Int = 3): DataFrame = {
+    val monthly = orders
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("y"))
+      .withColumn("t", row_number().over(Window.orderBy(col("month"))).cast("long"))
+    val st = monthly
+      .agg(expr("transform(sort_array(collect_list(struct(t, cast(y as double) as yd))), " +
+        "s -> s.yd)").as("ys"))
+      .select(expr("size(ys)").as("nn"), expr(
+        "aggregate(slice(ys, 2, size(ys) - 1), " +
+          "named_struct('l', ys[0], 'b', cast(0.0 as double), 'sse', cast(0.0 as double)), " +
+          "(acc, x) -> named_struct(" +
+          "'l', 0.5D * x + 0.5D * (acc.l + acc.b), " +
+          "'b', 0.5D * ((0.5D * x + 0.5D * (acc.l + acc.b)) - acc.l) + 0.5D * acc.b, " +
+          "'sse', acc.sse + (x - (acc.l + acc.b)) * (x - (acc.l + acc.b))))").as("st"))
+      .select(col("nn"), col("st.l").as("l"), col("st.b").as("b"),
+        col("st.sse").as("sse"))
+    st.select(col("nn"), explode(sequence(lit(1L), lit(h.toLong))).as("horizon"),
+        col("l"), col("b"), col("sse"))
+      .select(col("horizon"), col("nn"),
+        trunc4((col("l") + col("horizon") * col("b")) / 100.0).as("forecast_usd"),
+        trunc4(col("l") / 100.0).as("level_usd"),
+        trunc4(col("b") / 100.0).as("trend_usd"),
+        trunc4(sqrt(col("sse") / (col("nn") - 1)) / 100.0).as("rmse_usd"))
+  }
+
+  /** The generated DuckDB mirror of [[holtSmoothing]] — the identical
+    * textual recursion as a recursive CTE. */
+  private[graft] def holtOracle(h: Int = 3): String =
+    "WITH RECURSIVE monthly AS (SELECT date_trunc('month', o_orderdate) mm, " +
+      "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT y " +
+      "FROM orders GROUP BY 1), " +
+      "idx AS (SELECT row_number() OVER (ORDER BY mm)::BIGINT t, y::DOUBLE y FROM monthly), " +
+      "nr AS (SELECT count(*)::BIGINT nn FROM idx), " +
+      "fold AS (SELECT 1::BIGINT t, y l, 0::DOUBLE b, 0::DOUBLE sse " +
+      "FROM idx WHERE t = 1 " +
+      "UNION ALL SELECT i.t, " +
+      "0.5 * i.y + 0.5 * (f.l + f.b), " +
+      "0.5 * ((0.5 * i.y + 0.5 * (f.l + f.b)) - f.l) + 0.5 * f.b, " +
+      "f.sse + (i.y - (f.l + f.b)) * (i.y - (f.l + f.b)) " +
+      "FROM fold f JOIN idx i ON i.t = f.t + 1), " +
+      "fin AS (SELECT l, b, sse FROM fold, nr WHERE t = nn) " +
+      s"SELECT horizon, nn, " +
+      "floor((l + horizon * b) / 100.0 * 10000) / 10000 forecast_usd, " +
+      "floor(l / 100.0 * 10000) / 10000 level_usd, " +
+      "floor(b / 100.0 * 10000) / 10000 trend_usd, " +
+      "floor(sqrt(sse / (nn - 1)) / 100.0 * 10000) / 10000 rmse_usd " +
+      s"FROM fin, nr, (SELECT unnest(range(1, ${h + 1}))::BIGINT horizon)"
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sax_motifs" -> ((s, d) => saxMotifs(Tables.orders(s, d))),
+    "q_holt" -> ((s, d) => holtSmoothing(Tables.orders(s, d))),
+    "q_mann_kendall" -> ((s, d) => mannKendall(Tables.orders(s, d))),
+    "q_theil_sen" -> ((s, d) => theilSen(Tables.orders(s, d))),
     "q_mannwhitney" -> ((s, d) => mannWhitney(Tables.events(s, d))),
     "q_haar" -> ((s, d) => haarPyramid(Tables.orders(s, d))),
     "q_eb_shrinkage" -> ((s, d) => ebShrinkage(Tables.events(s, d))),
@@ -4214,6 +4481,10 @@ object Monitoring {
 
   val oracleSql: Map[String, String] = Map(
     "q_vopt_histogram" -> voptOracle(),
+    "q_mann_kendall" -> mannKendallOracle,
+    "q_theil_sen" -> theilSenOracle,
+    "q_sax_motifs" -> saxOracle,
+    "q_holt" -> holtOracle(),
     "q_mannwhitney" -> mannWhitneyOracle,
     "q_haar" -> haarOracle,
     "q_eb_shrinkage" -> ebShrinkageOracle,

@@ -863,6 +863,96 @@ class PropertiesSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("mannKendall + theilSen: S, var18, median slope match an exact pairwise recompute") {
+    val orders = graft.Tables.orders(spark, sf)
+    val monthly = orders
+      .groupBy(date_trunc("month", col("o_orderdate")))
+      .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as long)")).as("y"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+      .sortBy(_._1).map(_._2)
+    val n = monthly.length
+    val mk = graft.operators.Monitoring.mannKendall(orders).head
+    var s = 0L
+    for (i <- 0 until n; j <- (i + 1) until n)
+      s += java.lang.Long.signum(monthly(j) - monthly(i))
+    val tie = monthly.groupBy(identity).values.map(_.length.toLong)
+      .map(t => t * (t - 1) * (2 * t + 5)).sum
+    val var18 = n.toLong * (n - 1) * (2L * n + 5) - tie
+    assert(mk.getAs[Long]("s") === s)
+    assert(mk.getAs[Long]("var18") === var18)
+    assert(mk.getAs[Long]("n_pairs") === n.toLong * (n - 1) / 2)
+    val zNum = if (s > 0) (s - 1).toDouble else if (s < 0) (s + 1).toDouble else 0.0
+    assert(mk.getAs[Double]("z") ===
+      math.floor(zNum / math.sqrt(var18.toDouble / 18.0) * 10000) / 10000)
+    val ts = graft.operators.Monitoring.theilSen(orders).head
+    val slopes = (for (i <- 0 until n; j <- (i + 1) until n)
+      yield ((monthly(j) - monthly(i)).toDouble / (j - i), i + 1, j + 1)).sorted
+    val medSlope = slopes((slopes.length + 1) / 2 - 1)._1
+    assert(ts.getAs[Double]("slope_usd_per_month") ===
+      math.floor(medSlope / 100.0 * 10000) / 10000)
+    val resid = monthly.zipWithIndex
+      .map { case (y, t) => (y.toDouble - medSlope * (t + 1), t + 1) }.sorted
+    assert(ts.getAs[Double]("intercept_usd") ===
+      math.floor(resid((n + 1) / 2 - 1)._1 / 100.0 * 10000) / 10000)
+  }
+
+  test("saxMotifs: symbols and word counts match a direct transform; shares sum to <= 1") {
+    val orders = graft.Tables.orders(spark, sf)
+    val got = graft.operators.Monitoring.saxMotifs(orders).collect()
+      .sortBy(_.getAs[Long]("rnk"))
+    val daily = orders
+      .groupBy(date_trunc("day", col("o_orderdate")))
+      .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as long)")).as("y"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+      .sortBy(_._1).map(_._2)
+    val n = daily.length
+    val sum1 = daily.sum
+    val sq = daily.map(y => BigInt(y) * y).sum
+    val mean = sum1.toDouble / n
+    val sd = math.sqrt((sq.toDouble - sum1.toDouble * sum1 / n) / (n - 1))
+    val segs = daily.zipWithIndex.groupBy { case (_, t) => t / 7 }.toSeq.sortBy(_._1)
+      .map { case (_, xs) =>
+        val z = (xs.map(_._1).sum.toDouble / xs.length - mean) / sd
+        if (z < -0.6745) "a" else if (z < 0) "b" else if (z < 0.6745) "c" else "d"
+      }
+    val words = segs.sliding(3).filter(_.length == 3).map(_.mkString).toSeq
+    val counts = words.groupBy(identity).map { case (w, xs) => (w, xs.length.toLong) }
+    val top = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(5)
+    assert(got.map(r => (r.getAs[String]("word"), r.getAs[Long]("n_occur"))).toSeq
+      === top)
+    assert(got.head.getAs[Long]("n_words") === words.length.toLong)
+    assert(got.map(_.getAs[Double]("share")).sum <= 1.0 + 1e-9)
+  }
+
+  test("holtSmoothing: the fold state matches a sequential Scala replay; forecasts are affine in h") {
+    val orders = graft.Tables.orders(spark, sf)
+    val got = graft.operators.Monitoring.holtSmoothing(orders).collect()
+      .sortBy(_.getAs[Long]("horizon"))
+    assert(got.map(_.getAs[Long]("horizon")).toSeq === Seq(1L, 2L, 3L))
+    val monthly = orders
+      .groupBy(date_trunc("month", col("o_orderdate")))
+      .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as long)")).as("y"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+      .sortBy(_._1).map(_._2.toDouble)
+    // the identical textual recursion, stepped in Scala (same IEEE ops)
+    var l = monthly.head; var b = 0.0; var sse = 0.0
+    monthly.tail.foreach { x =>
+      val l2 = 0.5 * x + 0.5 * (l + b)
+      val b2 = 0.5 * ((0.5 * x + 0.5 * (l + b)) - l) + 0.5 * b
+      sse = sse + (x - (l + b)) * (x - (l + b))
+      l = l2; b = b2
+    }
+    assert(got.head.getAs[Double]("level_usd") === math.floor(l / 100.0 * 10000) / 10000)
+    assert(got.head.getAs[Double]("trend_usd") === math.floor(b / 100.0 * 10000) / 10000)
+    assert(got.head.getAs[Double]("rmse_usd") ===
+      math.floor(math.sqrt(sse / (monthly.length - 1)) / 100.0 * 10000) / 10000)
+    got.foreach { r =>
+      val h = r.getAs[Long]("horizon")
+      assert(r.getAs[Double]("forecast_usd") ===
+        math.floor((l + h * b) / 100.0 * 10000) / 10000, s"h=$h forecast")
+    }
+  }
+
   test("skyline law: no surviving merchant is dominated; every excluded one is") {
     forAll(rowGen) { rows =>
       import spark.implicits._
