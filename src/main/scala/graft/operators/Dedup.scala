@@ -718,48 +718,52 @@ object Dedup {
     result
   }
 
-  /** Prefix-filtered exact token-Jaccard similarity join (PPJoin's
-    * prefix principle, Xiao et al. 2008; the ALL-PAIRS kernel of
-    * Bayardo et al. 2007) — the EXACT sibling of [[minhashLsh]]: every
-    * returned pair carries its true Jaccard, no banding false
-    * negatives. Tokens order by (global df ASC, token) — one shared
-    * total order — and a doc's CANDIDATE PREFIX is its
-    * |T| − ⌈τ·|T|⌉ + 1 rarest tokens: two sets with J ≥ τ must share a
-    * prefix token (pigeonhole on the ⌈τ·|T|⌉ overlap a qualifying pair
-    * needs), so the candidate join runs on PREFIX tokens only —
-    * Σ_tok prefix-df² work, the rarest-token end of the df spectrum —
-    * and the exact intersection count is then verified only for
-    * candidates. ⌈τ·|T|⌉ stays integer as (sz·τ10k + 9999) div 10⁴.
+  /** Prefix-filtered exact Jaccard similarity join over 3-shingles
+    * (PPJoin's prefix principle, Xiao et al. 2008; the ALL-PAIRS
+    * kernel of Bayardo et al. 2007) — the EXACT sibling of
+    * [[minhashLsh]]: every returned pair carries its true Jaccard, no
+    * banding false negatives. Shingles order by (global df ASC, hash)
+    * — one shared total order — and a doc's CANDIDATE PREFIX is its
+    * |S| − ⌈τ·|S|⌉ + 1 rarest shingles: two sets with J ≥ τ must share
+    * a prefix element (pigeonhole on the ⌈τ·|S|⌉ overlap a qualifying
+    * pair needs), so the candidate join runs on PREFIX shingles only —
+    * Σ prefix-df² work at the rare end of the df spectrum — and the
+    * exact intersection count is verified only for candidates.
+    * ⌈τ·|S|⌉ stays integer as (sz·τ10k + 9999) div 10⁴.
     *
-    * Scale: the df relation is one hash-agg; the prefix self-join is
-    * the LSH-band join shape with the band key replaced by the rare
-    * token (skew-bounded by construction — a token enters prefixes
-    * only while it is rare); verification joins the candidate list
-    * back to the token relation twice on (doc, tok) equi-keys. The
-    * oracle brute-forces Σdf² over ALL tokens — the Spark plan never
-    * does. */
-  def prefixJaccardJoin(docs: DataFrame, threshold10k: Long = 9500L,
-      minTokens: Long = 4L): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .filter(length(col("tok")) > 0).distinct().persist()
+    * The set unit is the 3-SHINGLE, not the unigram, and that is what
+    * makes prefix filtering work: measured on this corpus at sf0.1,
+    * unigram prefixes left 9.7M candidate pairs (78% of all pairs —
+    * a ~500-word vocabulary has no rare tokens; 85 s) while shingle
+    * prefixes leave 119k (1.9 s) — same lesson as [[containmentPairs]].
+    *
+    * Scale: df is one hash-agg; the prefix self-join is the LSH-band
+    * join shape with the band key replaced by the rare shingle
+    * (skew-bounded by construction — a shingle enters prefixes only
+    * while it is rare); verification joins candidates back to the
+    * shingle relation on (doc, sh) equi-keys. The oracle brute-forces
+    * Σdf² over ALL shingles — the Spark plan never does. */
+  def prefixJaccardJoin(docs: DataFrame, threshold10k: Long = 8000L,
+      minSize: Long = 4L): DataFrame = {
+    val tok = shingleRows(docs, n = 3)
+      .select(col("doc_id"), hash60(col("s")).as("sh")).distinct().persist()
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      .filter(col("sz") >= minTokens)
-    val dfRel = tok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val prefix = tok.join(sizes, "doc_id").join(dfRel, "tok")
+      .filter(col("sz") >= minSize)
+    val dfRel = tok.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val prefix = tok.join(sizes, "doc_id").join(dfRel, "sh")
       .withColumn("pos", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))))
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
       .filter(col("pos") <=
         col("sz") - expr(s"(sz * ${threshold10k}L + 9999L) div 10000L") + 1)
-      .select(col("doc_id"), col("tok"))
+      .select(col("doc_id"), col("sh"))
     val cand = prefix.as("a")
-      .join(prefix.as("b"), col("a.tok") === col("b.tok") &&
+      .join(prefix.as("b"), col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
     val inter = cand
       .join(tok.as("ta"), col("da") === col("ta.doc_id"))
       .join(tok.as("tb"), col("db") === col("tb.doc_id") &&
-        col("ta.tok") === col("tb.tok"))
+        col("ta.sh") === col("tb.sh"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("n_inter"))
     val result = inter
       .join(sizes.select(col("doc_id").as("da"), col("sz").as("sz_a")), "da")
@@ -985,21 +989,24 @@ object Dedup {
           s"FROM tm_g$nb CROSS JOIN tv_g$nb CROSS JOIN tune_np").mkString(" UNION ALL ")
 
   val oracleSql: Map[String, String] = Map(
-    // brute-force all-shared-token pairs — the Spark side must agree
-    // while only ever joining on PREFIX tokens
+    // brute-force all-shared-shingle pairs — the Spark side must agree
+    // while only ever joining on PREFIX shingles
     "q_prefix_join" ->
-      ("WITH tk AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, " +
-        "unnest(string_split(text, ' ')) tok FROM documents) WHERE length(tok) > 0), " +
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents), " +
+        "gi AS (SELECT doc_id, tok, unnest(range(1, len(tok) - 1)) AS i FROM t), " +
+        "tk AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(" +
+        "tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2]), 1, 15))::BIGINT AS sh " +
+        "FROM gi), " +
         "sz AS (SELECT doc_id, count(*)::BIGINT s FROM tk GROUP BY 1 " +
         "HAVING count(*) >= 4), " +
         "tk2 AS (SELECT tk.* FROM tk JOIN sz USING (doc_id)), " +
         "pair AS (SELECT a.doc_id da, b.doc_id db, count(*)::BIGINT n_inter " +
-        "FROM tk2 a JOIN tk2 b ON a.tok = b.tok AND a.doc_id < b.doc_id " +
+        "FROM tk2 a JOIN tk2 b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
         "GROUP BY 1, 2) " +
         "SELECT da, db, n_inter, sa.s sz_a, sb.s sz_b, " +
         "floor(n_inter::DOUBLE / (sa.s + sb.s - n_inter) * 10000) / 10000 jaccard " +
         "FROM pair JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db " +
-        "WHERE n_inter * 10000 >= (sa.s + sb.s - n_inter) * 9500"),
+        "WHERE n_inter * 10000 >= (sa.s + sb.s - n_inter) * 8000"),
     "q_record_linkage" -> recordLinkageOracle(),
     "q_dedup_band_tuning" -> bandTuningOracle,
     "q_dedup_containment" ->

@@ -852,12 +852,14 @@ class PropertiesSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) ->
         ((r.getAs[Long]("n_inter"), r.getAs[Double]("jaccard")))).toMap
     val toks = docs.select(col("doc_id"), col("text")).collect()
-      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSet)
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ").sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet)
       .filter(_._2.size >= 4)
     val brute = (for {
       (a, ta) <- toks; (b, tb) <- toks if a < b
       inter = (ta & tb).size
-      if inter * 10000L >= (ta.size + tb.size - inter).toLong * 9500L
+      if inter * 10000L >= (ta.size + tb.size - inter).toLong * 8000L
     } yield (a, b) -> ((inter.toLong,
       math.floor(inter.toDouble / (ta.size + tb.size - inter) * 10000) / 10000))).toMap
     assert(got === brute)
