@@ -4214,9 +4214,153 @@ object Monitoring {
       "floor(sqrt(sse / (nn - 1)) / 100.0 * 10000) / 10000 rmse_usd " +
       s"FROM fin, nr, (SELECT unnest(range(1, ${h + 1}))::BIGINT horizon)"
 
+  /** Exact Pearson correlation matrix over lineitem's four numeric
+    * measures (quantity, price, discount, tax) — the feature-screen
+    * pass every training pipeline runs before fitting anything, and
+    * the matrix a CBO consults for correlated-column selectivity. Each
+    * r = (nΣxy − ΣxΣy)/√((nΣx² − (Σx)²)(nΣy² − (Σy)²)) derives from
+    * ONE scan's exact integer moments: measures enter as scaled
+    * BIGINTs (qty ×1, price cents, discount/tax ×100), every cross
+    * moment Σxy and the n-scaled products widen through DECIMAL(38,0)
+    * (n·Σxy alone passes 2^63 at ~10⁷ rows), and both engines evaluate
+    * the identical float expression over identical integers once per
+    * pair.
+    *
+    * Scale: one map-side-combined aggregate over the facts produces
+    * all 14 moments; the 6-row matrix assembles from that single row —
+    * no joins, no windows, no second scan. */
+  def corrMatrix(li: DataFrame): DataFrame = {
+    val cols = Seq(
+      "qty" -> floor(col("l_quantity") + 0.5).cast("long"),
+      "price_cents" -> floor(col("l_extendedprice") * 100 + 0.5).cast("long"),
+      "discount_pct" -> floor(col("l_discount") * 100 + 0.5).cast("long"),
+      "tax_pct" -> floor(col("l_tax") * 100 + 0.5).cast("long"))
+    val base = li.select(cols.map { case (n, c) => c.as(n) }: _*)
+    val pairs = cols.map(_._1).combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val moments = base.agg(count(lit(1)).as("n"),
+      cols.flatMap { case (n, _) => Seq(
+        sum(col(n)).as(s"s_$n"),
+        sum(col(n).cast("decimal(38,0)") * col(n)).as(s"q_$n")) } ++
+      pairs.map { case (a, b) =>
+        sum(col(a).cast("decimal(38,0)") * col(b)).as(s"x_${a}_$b") }: _*)
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("x_col"), lit(b).as("y_col"),
+        trunc4(
+          (col("n").cast("decimal(38,0)") * col(s"x_${a}_$b") -
+            col(s"s_$a").cast("decimal(38,0)") * col(s"s_$b")).cast("double") /
+          sqrt((col("n").cast("decimal(38,0)") * col(s"q_$a") -
+              col(s"s_$a").cast("decimal(38,0)") * col(s"s_$a")).cast("double") *
+            (col("n").cast("decimal(38,0)") * col(s"q_$b") -
+              col(s"s_$b").cast("decimal(38,0)") * col(s"s_$b")).cast("double")))
+          .as("r"))
+    }
+    moments.select(explode(array(rows: _*)).as("p"), col("n"))
+      .select(col("p.x_col").as("x_col"), col("p.y_col").as("y_col"),
+        col("n"), col("p.r").as("r"))
+  }
+
+  /** The generated DuckDB mirror of [[corrMatrix]]. */
+  private[graft] val corrMatrixOracle: String = {
+    val defs = Seq("qty" -> "CAST(floor(l_quantity + 0.5) AS BIGINT)",
+      "price_cents" -> "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
+      "discount_pct" -> "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)",
+      "tax_pct" -> "CAST(floor(l_tax * 100 + 0.5) AS BIGINT)")
+    val pairs = defs.map(_._1).combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val m = defs.flatMap { case (n, _) =>
+      Seq(s"sum($n)::BIGINT s_$n", s"sum($n::HUGEINT * $n) q_$n") } ++
+      pairs.map { case (a, b) => s"sum($a::HUGEINT * $b) x_${a}_$b" }
+    val sel = pairs.map { case (a, b) =>
+      s"SELECT '$a' x_col, '$b' y_col, n, floor(" +
+        s"(n::HUGEINT * x_${a}_$b - s_$a::HUGEINT * s_$b)::DOUBLE / " +
+        s"sqrt((n::HUGEINT * q_$a - s_$a::HUGEINT * s_$a)::DOUBLE * " +
+        s"(n::HUGEINT * q_$b - s_$b::HUGEINT * s_$b)::DOUBLE) * 10000) / 10000 r FROM m"
+    }.mkString(" UNION ALL ")
+    s"WITH b AS (SELECT ${defs.map { case (n, d) => s"$d $n" }.mkString(", ")} " +
+      "FROM lineitem), " +
+      s"m AS (SELECT count(*)::BIGINT n, ${m.mkString(", ")} FROM b) $sel"
+  }
+
+  /** Quantile normalization of per-type value distributions onto the
+    * global distribution (the rank-map standard from expression-array
+    * preprocessing, Bolstad et al. 2003 — here: make each event type's
+    * spend comparable by replacing every value with the global value
+    * at the same quantile). Ranks run over the COLLAPSED (type, cents)
+    * cell relation with half-unit midranks (the [[mannWhitney]]
+    * discipline); the target is the global order statistic at index
+    * ⌈r_t · N_g / N_t⌉ — exact integer arithmetic end to end
+    * (2·r index math stays in BIGINTs; ⌈a/b⌉ = (a + b − 1) div b).
+    * Report: per type, n, mean before, mean after, and the max
+    * |before − after| quantile gap in cents — the audit columns a
+    * feature pipeline alerts on.
+    *
+    * Scale: two hash-aggs (type-cells, global-cells), rank windows
+    * over those collapsed relations, one range-free equi-join from
+    * type cell to global order statistic by index. */
+  def quantileNorm(ev: DataFrame): DataFrame = {
+    val vals = ev.select(col("event_type"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val tcells = vals.groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("t"))
+    val byT = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = Window.partitionBy(col("event_type"))
+    val tranked = tcells
+      .withColumn("before_n", coalesce(sum(col("t")).over(byT), lit(0L)))
+      .withColumn("nt", sum(col("t")).over(tot))
+      // half-unit midrank 2r = 2·before + t + 1
+      .withColumn("r2", col("before_n") * 2 + col("t") + 1)
+    val gcells = vals.groupBy(col("cents")).agg(count(lit(1)).as("g"))
+    val byG = Window.orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gidx = gcells
+      .withColumn("hi", sum(col("g")).over(byG))
+      .withColumn("lo", col("hi") - col("g") + 1)
+      .select(col("cents").as("g_cents"), col("lo"), col("hi"))
+      .localCheckpoint(true) // collapsed distinct-cents relation
+    val ng = gidx.agg(max(col("hi")).as("ng"))
+    // target global index = ceil((r2/2) * ng / nt) in pure integers
+    val mapped = tranked.crossJoin(broadcast(ng))
+      .withColumn("gi", expr("(r2 * ng + 2 * nt - 1) div (2 * nt)"))
+      .join(gidx, col("gi") >= col("lo") && col("gi") <= col("hi"))
+    mapped.groupBy(col("event_type"))
+      .agg(max(col("nt")).as("n"),
+        sum(col("cents") * col("t")).as("sb"),
+        sum(col("g_cents") * col("t")).as("sa"),
+        max(abs(col("cents") - col("g_cents"))).as("max_shift_cents"))
+      .select(col("event_type"), col("n"),
+        trunc4(col("sb") / col("n") / 100.0).as("mean_before_usd"),
+        trunc4(col("sa") / col("n") / 100.0).as("mean_after_usd"),
+        col("max_shift_cents"))
+  }
+
+  /** The generated DuckDB mirror of [[quantileNorm]]. */
+  private[graft] val quantileNormOracle: String =
+    "WITH v AS (SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) cents " +
+      "FROM events), " +
+      "tc AS (SELECT event_type, cents, count(*)::BIGINT t FROM v GROUP BY 1, 2), " +
+      "tr AS (SELECT *, coalesce(sum(t) OVER (PARTITION BY event_type ORDER BY cents " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT bfr, " +
+      "sum(t) OVER (PARTITION BY event_type)::BIGINT nt FROM tc), " +
+      "t2 AS (SELECT *, bfr * 2 + t + 1 r2 FROM tr), " +
+      "gc AS (SELECT cents, count(*)::BIGINT g FROM v GROUP BY 1), " +
+      "gi AS (SELECT cents g_cents, sum(g) OVER (ORDER BY cents " +
+      "ROWS UNBOUNDED PRECEDING)::BIGINT hi, " +
+      "sum(g) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING)::BIGINT - g + 1 lo FROM gc), " +
+      "ngr AS (SELECT max(hi) ng FROM gi), " +
+      "tt AS (SELECT t2.*, ng FROM t2, ngr), " +
+      "mp AS (SELECT tt.*, g_cents FROM tt JOIN gi " +
+      "ON (r2 * ng + 2 * nt - 1) // (2 * nt) BETWEEN lo AND hi) " +
+      "SELECT event_type, max(nt) AS n, " +
+      "floor(sum(cents * t) / max(nt) / 100.0 * 10000) / 10000 AS mean_before_usd, " +
+      "floor(sum(g_cents * t) / max(nt) / 100.0 * 10000) / 10000 AS mean_after_usd, " +
+      "max(abs(cents - g_cents)) AS max_shift_cents " +
+      "FROM mp GROUP BY 1"
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corr_matrix" -> ((s, d) => corrMatrix(Tables.lineitem(s, d))),
+    "q_quantile_norm" -> ((s, d) => quantileNorm(Tables.events(s, d))),
     "q_sax_motifs" -> ((s, d) => saxMotifs(Tables.orders(s, d))),
     "q_holt" -> ((s, d) => holtSmoothing(Tables.orders(s, d))),
     "q_mann_kendall" -> ((s, d) => mannKendall(Tables.orders(s, d))),
@@ -4485,6 +4629,8 @@ object Monitoring {
     "q_theil_sen" -> theilSenOracle,
     "q_sax_motifs" -> saxOracle,
     "q_holt" -> holtOracle(),
+    "q_corr_matrix" -> corrMatrixOracle,
+    "q_quantile_norm" -> quantileNormOracle,
     "q_mannwhitney" -> mannWhitneyOracle,
     "q_haar" -> haarOracle,
     "q_eb_shrinkage" -> ebShrinkageOracle,

@@ -955,6 +955,71 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("corrMatrix: r matches an exact-moment recompute; diagonal-free, symmetric-range") {
+    val got = graft.operators.Monitoring.corrMatrix(graft.Tables.lineitem(spark, sf))
+      .collect()
+    assert(got.length === 6)
+    val rows = graft.Tables.lineitem(spark, sf).select(
+        expr("cast(floor(l_quantity + 0.5) as long)"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as long)"),
+        expr("cast(floor(l_discount * 100 + 0.5) as long)"),
+        expr("cast(floor(l_tax * 100 + 0.5) as long)"))
+      .collect().map(r => Array(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val names = Seq("qty", "price_cents", "discount_pct", "tax_pct")
+    val n = BigInt(rows.length)
+    got.foreach { r =>
+      val (ia, ib) = (names.indexOf(r.getAs[String]("x_col")),
+        names.indexOf(r.getAs[String]("y_col")))
+      assert(ia >= 0 && ib > ia, "pairs are ordered and diagonal-free")
+      val sa = rows.map(x => BigInt(x(ia))).sum; val sb = rows.map(x => BigInt(x(ib))).sum
+      val qa = rows.map(x => BigInt(x(ia)) * x(ia)).sum
+      val qb = rows.map(x => BigInt(x(ib)) * x(ib)).sum
+      val xab = rows.map(x => BigInt(x(ia)) * x(ib)).sum
+      val rr = (n * xab - sa * sb).toDouble /
+        math.sqrt((n * qa - sa * sa).toDouble * (n * qb - sb * sb).toDouble)
+      assert(r.getAs[Double]("r") === math.floor(rr * 10000) / 10000)
+      assert(math.abs(r.getAs[Double]("r")) <= 1.0)
+    }
+  }
+
+  test("quantileNorm: normalized means converge across types; every target is a real global value") {
+    val ev = graft.Tables.events(spark, sf)
+    val got = graft.operators.Monitoring.quantileNorm(ev).collect()
+    assert(got.length > 1)
+    // post-normalization means all sit within a cent-scale band of each
+    // other (each type now draws from the same global distribution)
+    val after = got.map(_.getAs[Double]("mean_after_usd"))
+    assert(after.max - after.min < 1.0,
+      s"normalized means should converge: ${after.toSeq}")
+    // totals: per-type n equals the type's row count
+    val counts = ev.groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach(r => assert(r.getAs[Long]("n") === counts(r.getAs[String]("event_type"))))
+    // exact recompute for one type: each cell maps to the global order
+    // statistic at ceil(midrank * ng / nt)
+    val cents = ev.select(col("event_type"),
+        expr("cast(floor(value * 100 + 0.5) as long)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val global = cents.map(_._2).sorted
+    val ng = global.length.toLong
+    val ty = got.head.getAs[String]("event_type")
+    val tvals = cents.filter(_._1 == ty).map(_._2).sorted
+    val nt = tvals.length.toLong
+    val cells = tvals.groupBy(identity).toSeq.sortBy(_._1)
+    var before = 0L
+    var sa = 0L
+    cells.foreach { case (_, xs) =>
+      val t = xs.length.toLong
+      val r2 = before * 2 + t + 1
+      val gi = (r2 * ng + 2 * nt - 1) / (2 * nt)
+      sa += global((gi - 1).toInt) * t
+      before += t
+    }
+    assert(got.find(_.getAs[String]("event_type") == ty).get
+      .getAs[Double]("mean_after_usd") ===
+      math.floor(sa.toDouble / nt / 100.0 * 10000) / 10000)
+  }
+
   test("skyline law: no surviving merchant is dominated; every excluded one is") {
     forAll(rowGen) { rows =>
       import spark.implicits._
