@@ -4356,9 +4356,208 @@ object Monitoring {
       "max(abs(cents - g_cents)) AS max_shift_cents " +
       "FROM mp GROUP BY 1"
 
+  /** Gumbel fit of monthly revenue MAXIMA by method of moments — the
+    * extreme-value-theory leg of the tail family ([[varEs]] reads the
+    * empirical tail, `q_tail_index` its power-law slope; block maxima
+    * answer "what does the worst ORDER of a month look like, and how
+    * bad is the 10-year one"): per-month max order cents (exact
+    * BIGINTs), Gumbel MoM β = s·√6/π and μ = x̄ − γ·β over the ~80
+    * maxima's exact integer moments, and the T-month return level
+    * μ − β·ln(−ln(1 − 1/T)).
+    *
+    * Exactness: the maxima and their (n, Σ, Σ²) are exact integers;
+    * both engines evaluate one identical float chain (s² uses the
+    * n−1 divisor spelled the same way). Scale: one (month) hash-agg
+    * over the facts, one 1-row moment agg — nothing else. */
+  def gumbelMaxima(orders: DataFrame, retMonths: Int = 120): DataFrame = {
+    val gamma = 0.57721566490153286
+    val maxima = orders
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(max(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("mx"))
+    maxima.agg(count(lit(1)).as("n_months"), sum(col("mx")).as("s"),
+        sum(col("mx").cast("decimal(38,0)") * col("mx")).as("sq"))
+      .withColumn("beta_c", sqrt(lit(6.0) *
+        ((col("sq").cast("double") - col("s").cast("double") * col("s") / col("n_months")) /
+          (col("n_months") - 1))) / lit(math.Pi))
+      .withColumn("mu_c",
+        col("s").cast("double") / col("n_months") - lit(gamma) * col("beta_c"))
+      .select(col("n_months"),
+        trunc4(col("mu_c") / 100.0).as("mu_usd"),
+        trunc4(col("beta_c") / 100.0).as("beta_usd"),
+        trunc4((col("mu_c") - col("beta_c") *
+          log(-log(lit(1.0) - lit(1.0) / retMonths))) / 100.0)
+          .as(s"return_level_usd"))
+  }
+
+  /** The generated DuckDB mirror of [[gumbelMaxima]]. */
+  private[graft] def gumbelOracle(retMonths: Int = 120): String =
+    "WITH mx AS (SELECT date_trunc('month', o_orderdate) mm, " +
+      "max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT mx " +
+      "FROM orders GROUP BY 1), " +
+      "m AS (SELECT count(*)::BIGINT n_months, sum(mx)::BIGINT s, " +
+      "sum(mx::HUGEINT * mx) sq FROM mx), " +
+      "f AS (SELECT n_months, sqrt(6.0 * ((sq::DOUBLE - s::DOUBLE * s / n_months) / " +
+      "(n_months - 1))) / pi() beta_c, " +
+      "s::DOUBLE / n_months - 0.57721566490153286 * (sqrt(6.0 * ((sq::DOUBLE - " +
+      "s::DOUBLE * s / n_months) / (n_months - 1))) / pi()) mu_c FROM m) " +
+      "SELECT n_months, floor(mu_c / 100.0 * 10000) / 10000 AS mu_usd, " +
+      "floor(beta_c / 100.0 * 10000) / 10000 AS beta_usd, " +
+      s"floor((mu_c - beta_c * ln(-ln(1.0 - 1.0 / $retMonths))) / 100.0 * 10000) / 10000 " +
+      "AS return_level_usd FROM f"
+
+  /** Wald–Wolfowitz runs test on the daily revenue series vs its own
+    * median — the randomness audit that catches regime persistence a
+    * mean test can't (20 above-median days in a row is wildly
+    * non-random even if the mean is fine); the verdict companion to
+    * [[mannKendall]]'s monotone-trend test. Above = strictly greater
+    * than the lower-median cents (exact order statistic); runs count
+    * from lag transitions.
+    *
+    * Exactness: median by integer rank (⌈N/2⌉), n1/n0/R exact BIGINTs,
+    * z = (R − (2n1n0/N + 1)) / √(2n1n0(2n1n0 − N)/(N²(N−1))) as one
+    * shared float chain (2n1n0 widened — it passes 2^63 at ~3·10⁹
+    * days of history, cheap insurance). Scale: one (day) hash-agg; the
+    * rank and lag windows run over the collapsed ~N-day relation. */
+  def runsTest(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("y"))
+      .localCheckpoint(true)
+    val n = daily.agg(count(lit(1)).as("nn"))
+    val med = daily.crossJoin(broadcast(n))
+      .withColumn("rnk", row_number().over(Window.orderBy(col("y"), col("day"))))
+      .filter(col("rnk") === expr("(nn + 1) div 2"))
+      .select(col("y").as("med"))
+    val flagged = daily.crossJoin(broadcast(med))
+      .withColumn("b", (col("y") > col("med")).cast("long"))
+      .withColumn("prev", lag(col("b"), 1).over(Window.orderBy(col("day"))))
+    flagged.agg(
+        (sum(when(col("prev").isNull || col("b") =!= col("prev"), 1L)
+          .otherwise(0L))).as("runs"),
+        sum(col("b")).as("n1"),
+        sum(lit(1L) - col("b")).as("n0"))
+      .withColumn("nn", col("n1") + col("n0"))
+      .withColumn("p2", (col("n1").cast("decimal(38,0)") * col("n0") * 2)
+        .cast("double"))
+      .select(col("nn"), col("n1"), col("n0"), col("runs"),
+        trunc4((col("runs").cast("double") - (col("p2") / col("nn") + 1)) /
+          sqrt(col("p2") * (col("p2") - col("nn")) /
+            (col("nn").cast("double") * col("nn") * (col("nn") - 1)))).as("z"))
+      .withColumn("random_walk_rejected", abs(col("z")) > 1.96)
+  }
+
+  /** The generated DuckDB mirror of [[runsTest]]. */
+  private[graft] val runsTestOracle: String =
+    "WITH daily AS (SELECT date_trunc('day', o_orderdate) dy, " +
+      "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT y " +
+      "FROM orders GROUP BY 1), " +
+      "nr AS (SELECT count(*)::BIGINT nn FROM daily), " +
+      "med AS (SELECT y med FROM (SELECT y, row_number() OVER (ORDER BY y, dy) rnk " +
+      "FROM daily), nr WHERE rnk = (nn + 1) // 2), " +
+      "fl AS (SELECT CASE WHEN y > med THEN 1 ELSE 0 END::BIGINT b, " +
+      "lag(CASE WHEN y > med THEN 1 ELSE 0 END::BIGINT, 1) " +
+      "OVER (ORDER BY dy) prev FROM daily, med), " +
+      "ag AS (SELECT sum(CASE WHEN prev IS NULL OR b <> prev THEN 1 ELSE 0 END)::BIGINT runs, " +
+      "sum(b)::BIGINT n1, sum(1 - b)::BIGINT n0 FROM fl), " +
+      "st AS (SELECT n1 + n0 nn, n1, n0, runs, " +
+      "(n1::HUGEINT * n0 * 2)::DOUBLE p2 FROM ag) " +
+      "SELECT nn, n1, n0, runs, " +
+      "floor((runs::DOUBLE - (p2 / nn + 1)) / " +
+      "sqrt(p2 * (p2 - nn) / (nn::DOUBLE * nn * (nn - 1))) * 10000) / 10000 AS z, " +
+      "abs(floor((runs::DOUBLE - (p2 / nn + 1)) / " +
+      "sqrt(p2 * (p2 - nn) / (nn::DOUBLE * nn * (nn - 1))) * 10000) / 10000) > 1.96 " +
+      "AS random_walk_rejected FROM st"
+
+  /** Spearman ρ and Kendall τ-b between daily revenue and daily order
+    * count — the rank-correlation pair for "do busy days pay?", robust
+    * where [[corrMatrix]]'s Pearson is whale-dominated. Both series
+    * come from ONE (day) hash-agg; N = |days| is FIXED by the date
+    * window, so the τ pair relation (~N²/2) does not grow with data
+    * volume — the same argument as [[mannKendall]]'s month collapse,
+    * one unit finer.
+    *
+    * Exactness: midranks in half-units (2r integers, the
+    * [[mannWhitney]] discipline) make Spearman's Pearson-on-ranks
+    * moments exact BIGINT/DECIMAL(38,0); Kendall's concordance sum
+    * S = Σ sign(Δr)·sign(Δc) and the tie terms are exact; each
+    * coefficient is one shared float division. */
+  def rankCorr(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("r"),
+        count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    def r2Of(v: String) = {
+      val cells = daily.groupBy(col(v)).agg(count(lit(1)).as("t"))
+      val below = Window.orderBy(col(v)).rowsBetween(Window.unboundedPreceding, -1)
+      cells.withColumn("bfr", coalesce(sum(col("t")).over(below), lit(0L)))
+        .select(col(v), (col("bfr") * 2 + col("t") + 1).as(s"r2_$v"),
+          col("t").as(s"t_$v"))
+    }
+    val ranked = daily.join(r2Of("r"), "r").join(r2Of("c"), "c")
+    val mom = ranked.agg(count(lit(1)).as("nn"),
+      sum(col("r2_r")).as("sa"), sum(col("r2_c")).as("sb"),
+      sum(col("r2_r").cast("decimal(38,0)") * col("r2_r")).as("qa"),
+      sum(col("r2_c").cast("decimal(38,0)") * col("r2_c")).as("qb"),
+      sum(col("r2_r").cast("decimal(38,0)") * col("r2_c")).as("xab"))
+    val spearman = mom.select(col("nn"),
+      trunc4((col("nn").cast("decimal(38,0)") * col("xab") -
+          col("sa").cast("decimal(38,0)") * col("sb")).cast("double") /
+        sqrt((col("nn").cast("decimal(38,0)") * col("qa") -
+            col("sa").cast("decimal(38,0)") * col("sa")).cast("double") *
+          (col("nn").cast("decimal(38,0)") * col("qb") -
+            col("sb").cast("decimal(38,0)") * col("sb")).cast("double")))
+        .as("rho"))
+    val s = daily.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
+      .agg(sum(signum(col("b.r") - col("a.r")) *
+        signum(col("b.c") - col("a.c"))).cast("long").as("s"))
+    val tr = daily.groupBy(col("r")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1)), lit(0L)).as("tr2"))
+    val tc = daily.groupBy(col("c")).agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(col("t") * (col("t") - 1)), lit(0L)).as("tc2"))
+    s.crossJoin(broadcast(spearman)).crossJoin(broadcast(tr))
+      .crossJoin(broadcast(tc))
+      .withColumn("p2", col("nn") * (col("nn") - 1))
+      .select(col("nn"), col("rho"), col("s"),
+        trunc4(col("s").cast("double") * 2 /
+          sqrt((col("p2") - col("tr2")).cast("double") *
+            (col("p2") - col("tc2")).cast("double"))).as("tau_b"))
+  }
+
+  /** The generated DuckDB mirror of [[rankCorr]]. */
+  private[graft] val rankCorrOracle: String =
+    "WITH daily AS (SELECT date_trunc('day', o_orderdate) dy, " +
+      "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT r, " +
+      "count(*)::BIGINT c FROM orders GROUP BY 1), " +
+      "rr AS (SELECT r, bfr * 2 + t + 1 r2_r FROM (SELECT r, count(*)::BIGINT t, " +
+      "coalesce(sum(count(*)) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING " +
+      "AND 1 PRECEDING), 0)::BIGINT bfr FROM daily GROUP BY r)), " +
+      "rc AS (SELECT c, bfr * 2 + t + 1 r2_c FROM (SELECT c, count(*)::BIGINT t, " +
+      "coalesce(sum(count(*)) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING " +
+      "AND 1 PRECEDING), 0)::BIGINT bfr FROM daily GROUP BY c)), " +
+      "rk AS (SELECT daily.*, r2_r, r2_c FROM daily JOIN rr USING (r) JOIN rc USING (c)), " +
+      "mom AS (SELECT count(*)::BIGINT nn, sum(r2_r)::BIGINT sa, sum(r2_c)::BIGINT sb, " +
+      "sum(r2_r::HUGEINT * r2_r) qa, sum(r2_c::HUGEINT * r2_c) qb, " +
+      "sum(r2_r::HUGEINT * r2_c) xab FROM rk), " +
+      "sp AS (SELECT nn, floor((nn::HUGEINT * xab - sa::HUGEINT * sb)::DOUBLE / " +
+      "sqrt((nn::HUGEINT * qa - sa::HUGEINT * sa)::DOUBLE * " +
+      "(nn::HUGEINT * qb - sb::HUGEINT * sb)::DOUBLE) * 10000) / 10000 rho FROM mom), " +
+      "sv AS (SELECT sum(sign(b.r - a.r) * sign(b.c - a.c))::BIGINT s " +
+      "FROM daily a JOIN daily b ON a.dy < b.dy), " +
+      "tr AS (SELECT coalesce(sum(t * (t - 1)), 0)::BIGINT tr2 " +
+      "FROM (SELECT count(*)::BIGINT t FROM daily GROUP BY r)), " +
+      "tc AS (SELECT coalesce(sum(t * (t - 1)), 0)::BIGINT tc2 " +
+      "FROM (SELECT count(*)::BIGINT t FROM daily GROUP BY c)) " +
+      "SELECT nn, rho, s, floor(s::DOUBLE * 2 / " +
+      "sqrt((nn * (nn - 1) - tr2)::DOUBLE * (nn * (nn - 1) - tc2)::DOUBLE) " +
+      "* 10000) / 10000 AS tau_b FROM sv, sp, tr, tc"
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gumbel_maxima" -> ((s, d) => gumbelMaxima(Tables.orders(s, d))),
+    "q_runs_test" -> ((s, d) => runsTest(Tables.orders(s, d))),
+    "q_rank_corr" -> ((s, d) => rankCorr(Tables.orders(s, d))),
     "q_corr_matrix" -> ((s, d) => corrMatrix(Tables.lineitem(s, d))),
     "q_quantile_norm" -> ((s, d) => quantileNorm(Tables.events(s, d))),
     "q_sax_motifs" -> ((s, d) => saxMotifs(Tables.orders(s, d))),
@@ -4631,6 +4830,9 @@ object Monitoring {
     "q_holt" -> holtOracle(),
     "q_corr_matrix" -> corrMatrixOracle,
     "q_quantile_norm" -> quantileNormOracle,
+    "q_gumbel_maxima" -> gumbelOracle(),
+    "q_runs_test" -> runsTestOracle,
+    "q_rank_corr" -> rankCorrOracle,
     "q_mannwhitney" -> mannWhitneyOracle,
     "q_haar" -> haarOracle,
     "q_eb_shrinkage" -> ebShrinkageOracle,

@@ -1020,6 +1020,78 @@ class PropertiesSpec extends SparkSpec {
       math.floor(sa.toDouble / nt / 100.0 * 10000) / 10000)
   }
 
+  test("gumbelMaxima + runsTest + rankCorr: all three match exact recomputes") {
+    val orders = graft.Tables.orders(spark, sf)
+    // shared daily collapse
+    val daily = orders
+      .groupBy(date_trunc("day", col("o_orderdate")))
+      .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as long)")).as("r"),
+        count(lit(1)).as("c"))
+      .collect().map(x => (x.getTimestamp(0).getTime, x.getLong(1), x.getLong(2)))
+      .sortBy(_._1)
+    // --- gumbel ---
+    val gm = graft.operators.Monitoring.gumbelMaxima(orders).head
+    val maxima = orders.groupBy(date_trunc("month", col("o_orderdate")))
+      .agg(max(expr("cast(floor(o_totalprice * 100 + 0.5) as long)")).as("m"))
+      .collect().map(_.getLong(1))
+    val nm = maxima.length
+    val mean = maxima.sum.toDouble / nm
+    val sq = maxima.map(m => BigInt(m) * m).sum
+    val beta = math.sqrt(6.0 * ((sq.toDouble - maxima.sum.toDouble * maxima.sum / nm)
+      / (nm - 1))) / math.Pi
+    val mu = mean - 0.57721566490153286 * beta
+    assert(gm.getAs[Long]("n_months") === nm.toLong)
+    assert(gm.getAs[Double]("mu_usd") === math.floor(mu / 100.0 * 10000) / 10000)
+    assert(gm.getAs[Double]("beta_usd") === math.floor(beta / 100.0 * 10000) / 10000)
+    assert(gm.getAs[Double]("return_level_usd") === math.floor(
+      (mu - beta * math.log(-math.log(1.0 - 1.0 / 120))) / 100.0 * 10000) / 10000)
+    // a 10-year return level must exceed the location (T > e/(e-1))
+    assert(gm.getAs[Double]("return_level_usd") > gm.getAs[Double]("mu_usd"))
+    // --- runs test ---
+    val rt = graft.operators.Monitoring.runsTest(orders).head
+    val ys = daily.map(_._2)
+    val med = ys.zip(daily.map(_._1)).sorted.apply((ys.length + 1) / 2 - 1)._1
+    val bs = ys.map(y => if (y > med) 1L else 0L)
+    val runs = 1L + bs.sliding(2).count { case Array(a, b) => a != b }
+    val n1 = bs.sum; val n0 = bs.length - n1
+    assert(rt.getAs[Long]("runs") === runs)
+    assert(rt.getAs[Long]("n1") === n1 && rt.getAs[Long]("n0") === n0)
+    val p2 = 2.0 * n1 * n0; val nn = bs.length.toDouble
+    assert(rt.getAs[Double]("z") === math.floor(
+      (runs - (p2 / nn + 1)) / math.sqrt(p2 * (p2 - nn) / (nn * nn * (nn - 1)))
+        * 10000) / 10000)
+    // --- rank correlations ---
+    val rc = graft.operators.Monitoring.rankCorr(orders).head
+    def r2s(v: Array[Long]): Map[Long, Long] = {
+      val cells = v.groupBy(identity).toSeq.sortBy(_._1)
+      var bfr = 0L
+      cells.map { case (x, g) =>
+        val out = x -> (bfr * 2 + g.length + 1); bfr += g.length; out
+      }.toMap
+    }
+    val (ra, ca) = (daily.map(_._2), daily.map(_._3))
+    val (mra, mca) = (r2s(ra), r2s(ca))
+    val n = BigInt(daily.length)
+    val sa = ra.map(x => BigInt(mra(x))).sum; val sb = ca.map(x => BigInt(mca(x))).sum
+    val qa = ra.map(x => BigInt(mra(x)) * mra(x)).sum
+    val qb = ca.map(x => BigInt(mca(x)) * mca(x)).sum
+    val xab = daily.map(d => BigInt(mra(d._2)) * mca(d._3)).sum
+    val rho = (n * xab - sa * sb).toDouble /
+      math.sqrt((n * qa - sa * sa).toDouble * (n * qb - sb * sb).toDouble)
+    assert(rc.getAs[Double]("rho") === math.floor(rho * 10000) / 10000)
+    var s = 0L
+    for (i <- daily.indices; j <- (i + 1) until daily.length)
+      s += java.lang.Long.signum(daily(j)._2 - daily(i)._2) *
+        java.lang.Long.signum(daily(j)._3 - daily(i)._3)
+    assert(rc.getAs[Long]("s") === s)
+    val tr2 = ra.groupBy(identity).values.map(g => g.length.toLong * (g.length - 1)).sum
+    val tc2 = ca.groupBy(identity).values.map(g => g.length.toLong * (g.length - 1)).sum
+    val p2k = daily.length.toLong * (daily.length - 1)
+    assert(rc.getAs[Double]("tau_b") === math.floor(
+      s.toDouble * 2 / math.sqrt((p2k - tr2).toDouble * (p2k - tc2).toDouble)
+        * 10000) / 10000)
+  }
+
   test("skyline law: no surviving merchant is dominated; every excluded one is") {
     forAll(rowGen) { rows =>
       import spark.implicits._
