@@ -4552,9 +4552,85 @@ object Monitoring {
       "sqrt((nn * (nn - 1) - tr2)::DOUBLE * (nn * (nn - 1) - tc2)::DOUBLE) " +
       "* 10000) / 10000 AS tau_b FROM sv, sp, tr, tc"
 
+  /** Neyman optimal sample allocation (Neyman 1934) — the survey-
+    * design answer to "how do I spend an eval budget of `budget` rows
+    * across strata": n_h ∝ N_h·S_h (big AND volatile strata deserve
+    * more samples), reported beside the proportional allocation a
+    * naive splitter would use. This is the planning step in front of
+    * `q_stratified_sample`'s executor.
+    *
+    * Exactness: per-stratum (N, ΣX, ΣX²) are exact integers; the one
+    * float each stratum contributes is N_h·S_h, immediately floored to
+    * the 1e-6-scaled BIGINT w6 — from there the largest-remainder
+    * apportionment is PURE integer arithmetic (base = budget·w6 div W,
+    * remainder rank by (budget·w6 mod W) desc, +1 to the top
+    * `budget − Σbase`), so no float ever crosses an aggregation
+    * boundary (the Σw6 total is an exact integer sum — the reason for
+    * flooring BEFORE summing).
+    *
+    * Scale: one fact scan → per-stratum hash-agg; every window runs
+    * over the ≤|strata| collapsed relation. */
+  def neymanAlloc(ev: DataFrame, budget: Long = 1000L): DataFrame = {
+    val strata = ev
+      .select(col("event_type"), floor(col("value") * 100 + 0.5).cast("long").as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("sq"))
+      .withColumn("sd", sqrt((col("sq").cast("double") -
+        col("s").cast("double") * col("s") / col("n")) / (col("n") - 1)))
+      .withColumn("w6", floor(col("n") * col("sd") * 1e6).cast("long"))
+    val tot = strata.agg(sum(col("w6")).as("ww"), sum(col("n")).as("nt"))
+    def apportion(df: DataFrame, wcol: String, wtot: String, out: String) = {
+      val base = df
+        .withColumn("base", expr(s"($budget * $wcol) div $wtot"))
+        .withColumn("rem", expr(s"($budget * $wcol) % $wtot"))
+      base
+        .withColumn("deficit", lit(budget) - sum(col("base")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("rr", row_number().over(
+          Window.orderBy(col("rem").desc, col("event_type"))))
+        .withColumn(out,
+          col("base") + when(col("rr") <= col("deficit"), 1L).otherwise(0L))
+    }
+    val withTot = strata.crossJoin(broadcast(tot))
+      .withColumn("w6d", col("w6").cast("decimal(38,0)"))
+    val ney = apportion(withTot, "w6d", "ww", "alloc_neyman")
+    apportion(ney.select(col("event_type"), col("n"), col("sd"), col("nt"),
+        col("alloc_neyman")), "n", "nt", "alloc_prop")
+      .select(col("event_type"), col("n"),
+        trunc4(col("sd") / 100.0).as("sd_usd"),
+        col("alloc_neyman"), col("alloc_prop"))
+  }
+
+  /** The generated DuckDB mirror of [[neymanAlloc]]. */
+  private[graft] def neymanOracle(budget: Long = 1000L): String =
+    "WITH st AS (SELECT event_type, count(*)::BIGINT n, " +
+      "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT s, " +
+      "sum(CAST(floor(value * 100 + 0.5) AS BIGINT)::HUGEINT * " +
+      "CAST(floor(value * 100 + 0.5) AS BIGINT)) sq " +
+      "FROM events GROUP BY 1), " +
+      "sd AS (SELECT *, sqrt((sq::DOUBLE - s::DOUBLE * s / n) / (n - 1)) sd FROM st), " +
+      "w AS (SELECT *, CAST(floor(n * sd * 1e6) AS BIGINT) w6 FROM sd), " +
+      "tt AS (SELECT sum(w6)::HUGEINT ww, sum(n)::BIGINT nt FROM w), " +
+      s"b1 AS (SELECT w.*, ww, nt, ($budget * w6::HUGEINT) // ww base1, " +
+      s"($budget * w6::HUGEINT) % ww rem1 FROM w, tt), " +
+      "d1 AS (SELECT *, " + s"$budget - sum(base1) OVER () deficit1, " +
+      "row_number() OVER (ORDER BY rem1 DESC, event_type) rr1 FROM b1), " +
+      "a1 AS (SELECT *, (base1 + CASE WHEN rr1 <= deficit1 THEN 1 ELSE 0 END)::BIGINT " +
+      "alloc_neyman FROM d1), " +
+      s"b2 AS (SELECT a1.*, ($budget * n::HUGEINT) // nt base2, " +
+      s"($budget * n::HUGEINT) % nt rem2 FROM a1), " +
+      "d2 AS (SELECT *, " + s"$budget - sum(base2) OVER () deficit2, " +
+      "row_number() OVER (ORDER BY rem2 DESC, event_type) rr2 FROM b2) " +
+      "SELECT event_type, n, floor(sd / 100.0 * 10000) / 10000 AS sd_usd, " +
+      "alloc_neyman, " +
+      "(base2 + CASE WHEN rr2 <= deficit2 THEN 1 ELSE 0 END)::BIGINT AS alloc_prop " +
+      "FROM d2"
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_neyman_alloc" -> ((s, d) => neymanAlloc(Tables.events(s, d))),
     "q_gumbel_maxima" -> ((s, d) => gumbelMaxima(Tables.orders(s, d))),
     "q_runs_test" -> ((s, d) => runsTest(Tables.orders(s, d))),
     "q_rank_corr" -> ((s, d) => rankCorr(Tables.orders(s, d))),
@@ -4831,6 +4907,7 @@ object Monitoring {
     "q_corr_matrix" -> corrMatrixOracle,
     "q_quantile_norm" -> quantileNormOracle,
     "q_gumbel_maxima" -> gumbelOracle(),
+    "q_neyman_alloc" -> neymanOracle(),
     "q_runs_test" -> runsTestOracle,
     "q_rank_corr" -> rankCorrOracle,
     "q_mannwhitney" -> mannWhitneyOracle,

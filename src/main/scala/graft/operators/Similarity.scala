@@ -773,6 +773,42 @@ object Similarity {
     * embedding); queries broadcast; scoring is a single pass over the
     * code relation. At 100 TB the code table is the thing that gets
     * bucketed/scanned, 16 bytes/row + codes vs 256 bytes of float32. */
+  /** Binary sign-quantized top-k — the 1-bit-per-dim end of the
+    * quantization menagerie ([[sq8TopK]] 8 bits, [[pqChain]]/ADC ~?
+    * bits, this 1): each vector packs to ONE 64-bit word (sign bit per
+    * dimension), candidates rank by Hamming distance
+    * bit_count(w XOR q) — the XOR+popcount kernel every binary-code
+    * index (ITQ, sign-random-projection) runs, 512× smaller than the
+    * float vectors and register-resident at scan time. The cosine of
+    * the ORIGINAL vectors rides along as the measurement column, so
+    * the row answers both "what did the binary index choose" and "how
+    * good was it really".
+    *
+    * Exactness: the packed word is an exact BIGINT (sum of distinct
+    * powers of two ≡ OR); Hamming is integer; ranks break ties by
+    * (hamming, vec_id). The sign rule is e_i > 0 — zeros land with the
+    * negatives in both engines.
+    *
+    * Scale: one scan packs; queries broadcast; the rank is per-query
+    * over candidates. At 10⁹ vectors the packed relation is 8 GB —
+    * the point of the operator. */
+  def binTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    val packed = withEmbD(emb).select(col("vec_id"), col("e"),
+      expr("aggregate(zip_with(e, sequence(0, size(e) - 1), " +
+        "(x, i) -> if(x > 0D, shiftleft(1L, i), 0L)), 0L, (a, w) -> a + w)").as("w"))
+    val q = packed.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("w").as("qw"))
+    val scored = packed.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        expr("cast(bit_count(w ^ qw) as long)").as("hamming"),
+        trunc4(NativeVector.cosine(col("qe"), col("e"))).as("cos"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id"), col("hamming"), col("cos"), col("rnk"))
+  }
+
   def sq8TopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
     val scale = (aggregate(col("e"), lit(0.0),
       (acc, x) => greatest(acc, abs(x))) / 127.0).as("scale")
@@ -1530,6 +1566,7 @@ object Similarity {
     "q_vec_quantize" -> ((s, d) => quantizeAudit(Tables.embeddings(s, d))),
     "q_vec_pq" -> ((s, d) => pqEncode(Tables.embeddings(s, d))),
     "q_sim_topk_adc" -> ((s, d) => adcTopK(Tables.embeddings(s, d), DefaultQueryIds)),
+    "q_sim_topk_bin" -> ((s, d) => binTopK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_topk_sq8" -> ((s, d) => sq8TopK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_vec_drift" -> ((s, d) => vecDrift(Tables.embeddings(s, d))),
     "q_vec_dq" -> ((s, d) => vectorDq(Tables.embeddings(s, d))),
@@ -1849,6 +1886,21 @@ object Similarity {
         "/ 10000 AS cos " +
         "FROM dt JOIN nn2 na ON label_a = na.label JOIN nn2 nb ON label_b = nb.label " +
         "JOIN cn ca ON label_a = ca.label JOIN cn cb ON label_b = cb.label"),
+    "q_sim_topk_bin" ->
+      (s"WITH $vCte, " +
+        // DuckDB checks 1<<63 overflow; Spark's shiftleft(1L, 63) is
+        // Java semantics (= Long.MinValue) — spell the top bit out
+        "bn_pk AS (SELECT vec_id, e, list_sum(list_transform(range(1, len(e) + 1), " +
+        "i -> CASE WHEN e[i] > 0 THEN " +
+        "CASE WHEN i = 64 THEN (-9223372036854775807 - 1)::BIGINT " +
+        "ELSE (1::BIGINT << (i - 1)) END ELSE 0 END))::BIGINT w FROM v), " +
+        s"bn_qs AS (SELECT vec_id q_id, e qe, w qw FROM bn_pk WHERE vec_id IN $idsSql), " +
+        "bn_sc AS (SELECT q_id, bn_pk.vec_id, bit_count(xor(w, qw))::BIGINT hamming, " +
+        "floor(list_cosine_similarity(qe, e) * 10000) / 10000 cos " +
+        "FROM bn_pk CROSS JOIN bn_qs WHERE bn_pk.vec_id <> q_id), " +
+        "bn_rk AS (SELECT *, row_number() OVER (PARTITION BY q_id " +
+        "ORDER BY hamming, vec_id) rnk FROM bn_sc) " +
+        "SELECT q_id, vec_id, hamming, cos, rnk FROM bn_rk WHERE rnk <= 10"),
     "q_sim_topk_sq8" ->
       (s"WITH $vCte, " +
         "sq_sc AS (SELECT vec_id, e, " +

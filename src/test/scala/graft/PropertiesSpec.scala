@@ -1092,6 +1092,64 @@ class PropertiesSpec extends SparkSpec {
         * 10000) / 10000)
   }
 
+  test("binTopK: packed-word Hamming equals a sign recompute; ranks respect (hamming, vec_id)") {
+    val emb = graft.Tables.embeddings(spark, sf)
+    val got = graft.operators.Similarity.binTopK(emb, Seq(0L, 1L, 2L, 3L, 4L))
+      .collect()
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_ > 0f).toArray).toMap
+    def ham(a: Array[Boolean], b: Array[Boolean]): Long =
+      a.zip(b).count { case (x, y) => x != y }.toLong
+    got.foreach { r =>
+      val (q, v) = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
+      assert(r.getAs[Long]("hamming") === ham(vecs(q), vecs(v)),
+        s"hamming($q, $v)")
+    }
+    // per query: exactly k rows whose hamming never exceeds any
+    // non-returned vector's hamming (the binary index's top-k claim)
+    got.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      assert(rs.length === 10)
+      assert(rs.map(_.getAs[Long]("rnk")).sorted.toSeq === (1L to 10L))
+      val worst = rs.map(_.getAs[Long]("hamming")).max
+      val returned = rs.map(_.getAs[Long]("vec_id")).toSet
+      // ties at the boundary may fall either side (vec_id breaks them)
+      vecs.keys.filter(v => v != q && !returned.contains(v)).foreach { v =>
+        assert(ham(vecs(q), vecs(v)) >= worst, s"missed closer vector $v for query $q")
+      }
+    }
+  }
+
+  test("neymanAlloc: both allocations apportion the budget exactly; recompute agrees") {
+    val got = graft.operators.Monitoring.neymanAlloc(graft.Tables.events(spark, sf))
+      .collect()
+    assert(got.map(_.getAs[Long]("alloc_neyman")).sum === 1000L)
+    assert(got.map(_.getAs[Long]("alloc_prop")).sum === 1000L)
+    got.foreach(r => assert(r.getAs[Long]("alloc_neyman") >= 0 &&
+      r.getAs[Long]("alloc_prop") >= 0))
+    // exact largest-remainder replay for the Neyman column
+    val cents = graft.Tables.events(spark, sf)
+      .select(col("event_type"), expr("cast(floor(value * 100 + 0.5) as long)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val w6 = cents.groupBy(_._1).map { case (ty, xs) =>
+      val n = xs.length.toLong
+      val s = xs.map(_._2).sum
+      val sq = xs.map(x => BigInt(x._2) * x._2).sum
+      val sd = math.sqrt((sq.toDouble - s.toDouble * s / n) / (n - 1))
+      ty -> (n, math.floor(n * sd * 1e6).toLong)
+    }
+    val ww = w6.values.map(x => BigInt(x._2)).sum
+    val base = w6.map { case (ty, (_, w)) =>
+      ty -> ((BigInt(1000) * w / ww).toLong, (BigInt(1000) * w % ww)) }
+    val deficit = 1000L - base.values.map(_._1).sum
+    val plusOne = base.toSeq.sortBy { case (ty, (_, rem)) => (-rem, ty) }
+      .take(deficit.toInt).map(_._1).toSet
+    got.foreach { r =>
+      val ty = r.getAs[String]("event_type")
+      assert(r.getAs[Long]("alloc_neyman") ===
+        base(ty)._1 + (if (plusOne(ty)) 1L else 0L), s"stratum $ty")
+    }
+  }
+
   test("skyline law: no surviving merchant is dominated; every excluded one is") {
     forAll(rowGen) { rows =>
       import spark.implicits._
