@@ -35,6 +35,16 @@ final case class RateVerdict(user_id: Long, n_events: Long, n_admitted: Long,
   * emitted exactly once when the watermark passes their last event. */
 final case class ReplayBalance(user_id: Long, n: Long, cents: Long)
 
+/** [[Streaming.streamFunnel]] state: buffered (ts_ms, stage-code)
+  * arrivals awaiting the watermark-timeout finalization. Bounded by
+  * the watermark horizon, not stream length. */
+final case class FunnelBufState(tsMs: Array[Long], kind: Array[Int], lastSeenMs: Long)
+
+/** One [[Streaming.streamFunnel]] verdict row per user: the strict
+  * event-time funnel progression (−1 = stage not reached). */
+final case class FunnelVerdict(user_id: Long, n_events: Long, stage: Long,
+  view_ms: Long, click_ms: Long, purchase_ms: Long)
+
 /** Structured Streaming realization of the reference's monitoring intent
   * (SURVEY.md §7 L3): the reference's unbounded in-memory `Vec` ingest
   * loop (`monitoring-service/src/main.rs:25,33-38`) becomes checkpointed,
@@ -1119,6 +1129,67 @@ object Streaming {
       .filter(col("user_id") >= 0L)
   }
 
+  /** Per-user LIVE funnel progression (view → click → purchase) — the
+    * streaming twin of the batch funnel family, kappa-style: the
+    * verdict a growth dashboard wants per user as their journey
+    * closes, computed from state, not a nightly batch. Stage
+    * transitions are STRICT in event time (the first click strictly
+    * after the first view; the first purchase strictly after that
+    * click), which makes the verdict a pure composition of
+    * conditional minima — deterministic under ANY arrival/equal-
+    * timestamp order, so micro-batch nondeterminism can't leak in
+    * (the buffered-replay discipline [[streamRateLimit]] needs for
+    * its genuinely order-dependent bucket, needed here only for the
+    * buffering itself). Events buffer in keyed state inside the
+    * watermark horizon; the event-time timeout finalizes each user
+    * exactly once. −1 marks an unreached stage.
+    *
+    * The driver oracle is three nested conditional mins per user in
+    * plain SQL — no recursion needed, BECAUSE the semantics were
+    * chosen order-free; contrast [[streamRateLimit]]'s recursive-CTE
+    * oracle for the stateful-recursion alternative. */
+  def streamFunnel(spark: SparkSession, dir: String,
+      watermarkMin: Long = 10L): DataFrame = {
+    import spark.implicits._
+    replay(spark, dir, in => in
+      .select(col("timestamp"), col("user_id"),
+        when(col("event_type") === "view", 1)
+          .when(col("event_type") === "click", 2)
+          .when(col("event_type") === "purchase", 3).otherwise(0).as("kind"))
+      .withWatermark("timestamp", s"$watermarkMin minutes")
+      .as[(java.sql.Timestamp, Long, Int)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[FunnelBufState, FunnelVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid, rows, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            val ev = s.tsMs.zip(s.kind)
+            def minAfter(code: Int, after: Long): Long = {
+              val c = ev.collect { case (t, k) if k == code && t > after => t }
+              if (c.isEmpty) -1L else c.min
+            }
+            val v = minAfter(1, Long.MinValue)
+            val cl = if (v < 0) -1L else minAfter(2, v)
+            val p = if (cl < 0) -1L else minAfter(3, cl)
+            val stage = if (p >= 0) 3L else if (cl >= 0) 2L else if (v >= 0) 1L else 0L
+            Iterator.single(FunnelVerdict(uid, ev.length.toLong, stage, v, cl, p))
+          } else {
+            val prev = state.getOption.getOrElse(FunnelBufState(Array.empty, Array.empty, 0L))
+            val add = rows.map { case (ts, _, k) => (ts.getTime, k) }.toArray
+            val acc = FunnelBufState(prev.tsMs ++ add.map(_._1),
+              prev.kind ++ add.map(_._2),
+              math.max(prev.lastSeenMs, add.map(_._1).max))
+            state.update(acc)
+            state.setTimeoutTimestamp(acc.lastSeenMs + 1L)
+            Iterator.empty
+          }
+      }
+      .toDF())
+      .filter(col("user_id") >= 0L)
+  }
+
   /** The batch AML structuring rule (`q_aml_structuring`) as a LIVE
     * streaming detector: sub-threshold band filter → per (user, day
     * window) count/sum → flag when both trip. Same thresholds, same
@@ -1286,6 +1357,7 @@ object Streaming {
     "q_stream_topk" -> ((s, d) => streamTopK(s, d)),
     "q_stream_unique" -> ((s, d) => streamUniqueUsers(s, d)),
     "q_stream_rate_limit" -> ((s, d) => streamRateLimit(s, d)),
+    "q_stream_funnel" -> ((s, d) => streamFunnel(s, d)),
     "q_stream_burst" -> ((s, d) => streamBurst(s, d)))
 
   /** The tumbling-window batch equivalent — checks [[streamReplay]]
@@ -1317,6 +1389,21 @@ object Streaming {
         "SELECT r.user_id, f.mrk AS n_events, r.adm AS n_admitted, " +
         "(f.mrk - r.adm)::BIGINT AS n_throttled, r.tokens AS final_tokens_ms " +
         "FROM rec r JOIN fin f ON r.user_id = f.user_id AND r.rk = f.mrk"),
+    "q_stream_funnel" ->
+      ("WITH ev AS (SELECT user_id, epoch_ms(ts)::BIGINT ts_ms, " +
+        "CASE WHEN event_type = 'view' THEN 1 WHEN event_type = 'click' THEN 2 " +
+        "WHEN event_type = 'purchase' THEN 3 ELSE 0 END kind FROM events), " +
+        "nv AS (SELECT user_id, count(*)::BIGINT n_events, " +
+        "coalesce(min(CASE WHEN kind = 1 THEN ts_ms END), -1)::BIGINT v FROM ev GROUP BY 1), " +
+        "cl AS (SELECT nv.user_id, n_events, v, " +
+        "coalesce(min(CASE WHEN kind = 2 AND ts_ms > v AND v >= 0 THEN ts_ms END), -1)::BIGINT c " +
+        "FROM nv JOIN ev ON ev.user_id = nv.user_id GROUP BY 1, 2, 3), " +
+        "pu AS (SELECT cl.user_id, n_events, v, c, " +
+        "coalesce(min(CASE WHEN kind = 3 AND ts_ms > c AND c >= 0 THEN ts_ms END), -1)::BIGINT p " +
+        "FROM cl JOIN ev ON ev.user_id = cl.user_id GROUP BY 1, 2, 3, 4) " +
+        "SELECT user_id, n_events, " +
+        "(CASE WHEN p >= 0 THEN 3 WHEN c >= 0 THEN 2 WHEN v >= 0 THEN 1 ELSE 0 END)::BIGINT stage, " +
+        "v AS view_ms, c AS click_ms, p AS purchase_ms FROM pu"),
     "q_stream_ohlc" ->
       ("WITH t AS (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_start_ms, " +
         "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
