@@ -1292,6 +1292,85 @@ object TextOps {
         trunc4(col("n_contaminated").cast("double") / col("n_docs")).as("contam_rate"))
   }
 
+  /** Dunning log-likelihood-ratio collocations (Dunning 1993) — the
+    * significance-weighted sibling of [[pmiCollocations]]: PMI ranks
+    * `once-next-to-once` pairs absurdly high (lift explodes as counts
+    * shrink); the G² statistic asks how SURPRISING the co-occurrence
+    * is given the marginals, so frequent-and-associated pairs win.
+    * Same bigram relation and marginals as PMI; per pair, the 2×2
+    * table (k11 bigram, k12 = c₁−k11, k21 = c₂−k11,
+    * k22 = N−c₁−c₂+k11) feeds
+    * G² = 2·(Σ k·ln k − Σ margins·ln margins + N·ln N).
+    *
+    * Determinism: every k is an exact BIGINT; G² is ONE textual float
+    * expression (nine x·ln x terms in a fixed order — never an
+    * aggregate over floats); ranks break ties by (llr, w1, w2).
+    *
+    * Scale: identical plan shape to PMI — bigram hash-agg, two
+    * marginal hash-aggs broadcast back, rank over the ≥minCount pair
+    * relation. */
+  def llrCollocations(docs: DataFrame, minCount: Long = 5L, k: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def xlx(c: Column): Column =
+      when(c > 0, c.cast("double") * log(c.cast("double"))).otherwise(lit(0.0))
+    val grams = graft.functions.TextHash.shingleRows(docs, n = 2)
+      .select(split(col("s"), " ").getItem(0).as("w1"),
+        split(col("s"), " ").getItem(1).as("w2"))
+      .persist()
+    val pairs = grams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("k11"))
+      .filter(col("k11") >= minCount)
+    val m = grams.agg(count(lit(1)).as("nn"))
+    val cx = grams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val cy = grams.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    val tabled = pairs
+      .join(broadcast(cx.withColumnRenamed("w1", "wx")), col("w1") === col("wx"))
+      .join(broadcast(cy.withColumnRenamed("w2", "wy")), col("w2") === col("wy"))
+      .crossJoin(broadcast(m))
+      .withColumn("k12", col("c1") - col("k11"))
+      .withColumn("k21", col("c2") - col("k11"))
+      .withColumn("k22", col("nn") - col("c1") - col("c2") + col("k11"))
+    val ranked = tabled
+      .select(col("w1"), col("w2"), col("k11"), col("c1"), col("c2"),
+        trunc4(lit(2.0) * (xlx(col("k11")) + xlx(col("k12")) + xlx(col("k21")) +
+          xlx(col("k22")) - xlx(col("c1")) - xlx(col("k11") + col("k21")) -
+          xlx(col("k12") + col("k22")) - xlx(col("nn") - col("c1")) +
+          xlx(col("nn")))).as("llr"))
+      .orderBy(col("llr").desc, col("w1"), col("w2")).limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("llr").desc, col("w1"), col("w2"))).cast("long"))
+      .localCheckpoint(true) // k rows; materialize BEFORE the unpersist
+    grams.unpersist()
+    ranked
+  }
+
+  /** Chao1 unseen-species estimate (Chao 1984) per source — "how many
+    * token types does this source REALLY have, beyond what we've
+    * seen": D + f₁(f₁−1)/(2(f₂+1)) from the frequency-of-frequency
+    * counts [[goodTuring]] already reads (Good–Turing prices the
+    * PROBABILITY mass of the unseen; Chao1 counts the unseen TYPES —
+    * together they answer how much a 100 TB crawl still has left).
+    * The bias-corrected form stays finite at f₂ = 0. Coverage
+    * Ĉ = 1 − f₁/n is the Turing estimate of how much of the token
+    * stream the seen vocabulary explains.
+    *
+    * Scale: one (source, token) hash-agg (map-side combined), one
+    * per-source rollup — [[goodTuring]]'s exact plan. */
+  def chao1(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("source"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("n"))
+    tf.groupBy(col("source"))
+      .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("n") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("f1"), col("f2"),
+        trunc4(col("n_types") +
+          (col("f1") * (col("f1") - 1)).cast("double") / ((col("f2") + 1) * 2))
+          .as("chao1_est"),
+        trunc4(lit(1.0) - col("f1").cast("double") / col("n_tokens"))
+          .as("coverage"))
+  }
+
   // ---- driver wiring ----
 
   /** Per-document novelty score: the fraction of a doc's distinct
@@ -1908,6 +1987,8 @@ object TextOps {
     "q_text_novelty" -> ((s, d) => novelty(Tables.documents(s, d))),
     "q_text_familiarity" -> ((s, d) => familiarity(Tables.documents(s, d))),
     "q_text_pmi" -> ((s, d) => pmiCollocations(Tables.documents(s, d))),
+    "q_text_llr" -> ((s, d) => llrCollocations(Tables.documents(s, d))),
+    "q_chao1" -> ((s, d) => chao1(Tables.documents(s, d))),
     "q_source_report" -> ((s, d) => sourceReport(Tables.documents(s, d))),
     "q_text_lengths" -> ((s, d) => lengthBuckets(Tables.documents(s, d))),
     "q_token_budget" -> ((s, d) => tokenBudget(Tables.documents(s, d))),
@@ -2334,6 +2415,40 @@ object TextOps {
         "floor(sum(CASE WHEN n_hits IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / " +
         "count(*) * 10000) / 10000 AS contam_rate " +
         "FROM tr LEFT JOIN fl USING (doc_id) GROUP BY 1"),
+    "q_text_llr" ->
+      ("WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents), " +
+        "gi AS (SELECT tok, unnest(range(1, len(tok))) AS i FROM t), " +
+        "g AS (SELECT tok[i] w1, tok[i + 1] w2 FROM gi), " +
+        "pairs AS (SELECT w1, w2, count(*)::BIGINT AS k11 FROM g GROUP BY 1, 2 " +
+        "HAVING count(*) >= 5), " +
+        "m AS (SELECT count(*)::BIGINT AS nn FROM g), " +
+        "cx AS (SELECT w1 wx, count(*)::BIGINT AS c1 FROM g GROUP BY 1), " +
+        "cy AS (SELECT w2 wy, count(*)::BIGINT AS c2 FROM g GROUP BY 1), " +
+        "tab AS (SELECT w1, w2, k11, c1, c2, c1 - k11 k12, c2 - k11 k21, " +
+        "nn - c1 - c2 + k11 k22, nn " +
+        "FROM pairs JOIN cx ON w1 = wx JOIN cy ON w2 = wy CROSS JOIN m), " +
+        "sc AS (SELECT w1, w2, k11, c1, c2, floor(2.0 * (" +
+        Seq("k11", "k12", "k21", "k22").map(t =>
+          s"CASE WHEN $t > 0 THEN $t::DOUBLE * ln($t::DOUBLE) ELSE 0.0 END")
+          .mkString(" + ") +
+        " - " + Seq("c1", "k11 + k21", "k12 + k22", "nn - c1").map(t =>
+          s"CASE WHEN $t > 0 THEN ($t)::DOUBLE * ln(($t)::DOUBLE) ELSE 0.0 END")
+          .mkString(" - ") +
+        " + CASE WHEN nn > 0 THEN nn::DOUBLE * ln(nn::DOUBLE) ELSE 0.0 END" +
+        ") * 10000) / 10000 AS llr FROM tab), " +
+        "rk AS (SELECT *, row_number() OVER (ORDER BY llr DESC, w1, w2) AS rnk " +
+        "FROM sc) SELECT w1, w2, k11, c1, c2, llr, rnk FROM rk WHERE rnk <= 25"),
+    "q_chao1" ->
+      ("WITH tf AS (SELECT source, unnest(string_split(text, ' ')) t " +
+        "FROM documents), " +
+        "c AS (SELECT source, t, count(*)::BIGINT n FROM tf GROUP BY 1, 2), " +
+        "g AS (SELECT source, sum(n)::BIGINT n_tokens, count(*)::BIGINT n_types, " +
+        "sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT f1, " +
+        "sum(CASE WHEN n = 2 THEN 1 ELSE 0 END)::BIGINT f2 FROM c GROUP BY 1) " +
+        "SELECT source, n_tokens, n_types, f1, f2, " +
+        "floor((n_types + (f1 * (f1 - 1))::DOUBLE / ((f2 + 1) * 2)) * 10000) / 10000 " +
+        "AS chao1_est, " +
+        "floor((1.0 - f1::DOUBLE / n_tokens) * 10000) / 10000 AS coverage FROM g"),
     "q_text_pmi" ->
       ("WITH t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents), " +
         "gi AS (SELECT tok, unnest(range(1, len(tok))) AS i FROM t), " +

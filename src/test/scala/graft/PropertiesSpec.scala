@@ -1150,6 +1150,54 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("llrCollocations + chao1: exact recomputes; G2 never negative; Chao1 never shrinks the vocabulary") {
+    val docs = graft.Tables.documents(spark, sf)
+    val gotL = graft.operators.TextOps.llrCollocations(docs).collect()
+      .sortBy(_.getAs[Long]("rnk"))
+    val bigrams = docs.select(col("doc_id"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").sliding(2).filter(_.length == 2)
+        .map(a => (a(0), a(1))))
+    val nn = bigrams.length.toLong
+    val cx = bigrams.groupBy(_._1).map { case (w, xs) => w -> xs.length.toLong }
+    val cy = bigrams.groupBy(_._2).map { case (w, xs) => w -> xs.length.toLong }
+    def xlx(c: Long): Double = if (c > 0) c.toDouble * math.log(c.toDouble) else 0.0
+    val scored = bigrams.groupBy(identity).toSeq
+      .map { case ((a, b), xs) => (a, b, xs.length.toLong) }
+      .filter(_._3 >= 5)
+      .map { case (a, b, k11) =>
+        val (c1, c2) = (cx(a), cy(b))
+        val (k12, k21, k22) = (c1 - k11, c2 - k11, nn - c1 - c2 + k11)
+        val llr = 2.0 * (xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22) -
+          xlx(c1) - xlx(k11 + k21) - xlx(k12 + k22) - xlx(nn - c1) + xlx(nn))
+        (a, b, k11, math.floor(llr * 10000) / 10000)
+      }
+    val top = scored.sortBy { case (a, b, _, l) => (-l, a, b) }.take(25)
+    assert(gotL.map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+      r.getAs[Long]("k11"), r.getAs[Double]("llr"))).toSeq === top)
+    gotL.foreach(r => assert(r.getAs[Double]("llr") >= -1e-4,
+      "G2 is a likelihood RATIO statistic - never negative beyond trunc"))
+    val gotC = graft.operators.TextOps.chao1(docs).collect()
+    assert(gotC.nonEmpty)
+    gotC.foreach { r =>
+      assert(r.getAs[Double]("chao1_est") >= r.getAs[Long]("n_types").toDouble - 1e-4,
+        "estimated richness can never be below the observed vocabulary")
+      val cov = r.getAs[Double]("coverage")
+      assert(cov >= 0.0 && cov <= 1.0)
+    }
+    val toks = docs.select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").map(t => (r.getString(0), t)))
+    val bySrc = toks.groupBy(_._1)
+    gotC.foreach { r =>
+      val counts = bySrc(r.getAs[String]("source")).groupBy(_._2)
+        .map(_._2.length.toLong)
+      val (f1, f2) = (counts.count(_ == 1L).toLong, counts.count(_ == 2L).toLong)
+      val d = counts.size.toLong
+      assert(r.getAs[Long]("n_types") === d)
+      assert(r.getAs[Double]("chao1_est") === math.floor(
+        (d + (f1 * (f1 - 1)).toDouble / ((f2 + 1) * 2)) * 10000) / 10000)
+    }
+  }
+
   test("skyline law: no surviving merchant is dominated; every excluded one is") {
     forAll(rowGen) { rows =>
       import spark.implicits._
