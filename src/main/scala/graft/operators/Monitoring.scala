@@ -4643,9 +4643,60 @@ object Monitoring {
       "(base2 + CASE WHEN rr2 <= deficit2 THEN 1 ELSE 0 END)::BIGINT AS alloc_prop " +
       "FROM d2"
 
+  /** Chapman capture–recapture estimate (Chapman 1951) of the distinct
+    * user population from TWO INDEPENDENT hash samples — the census
+    * trick for "how many users does this log really have" when a full
+    * COUNT(DISTINCT) is what you're trying to avoid (and the exact-vs-
+    * estimate audit row when, as here at test scale, you can still
+    * afford the truth): capture sample A (hash-salt `cr_a`, 10%),
+    * recapture sample B (salt `cr_b`, 10%), overlap m, and
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1 — the bias-corrected form, finite
+    * even at m = 0. The hash samples make the "captures" reproducible
+    * and independent by salt; the same machinery estimates join sizes
+    * from sampled sides.
+    *
+    * Exactness: n₁/n₂/m/D are exact; the estimate is floored integer
+    * division of exact BIGINTs; rel_err divides the integers once.
+    *
+    * Scale: one distinct-user hash-agg (the thing being estimated
+    * ALSO needs it here only for the audit column), one 1-row agg of
+    * flag sums — no joins, no windows. */
+  def captureRecapture(ev: DataFrame, pct: Long = 10L): DataFrame = {
+    val users = ev.select(col("user_id")).distinct()
+      .withColumn("in_a", (pmod(graft.functions.TextHash.hash60(
+        concat(lit("cr_a|"), col("user_id"))), lit(pct)) === 0).cast("long"))
+      .withColumn("in_b", (pmod(graft.functions.TextHash.hash60(
+        concat(lit("cr_b|"), col("user_id"))), lit(pct)) === 0).cast("long"))
+    users.agg(count(lit(1)).as("true_users"),
+        sum(col("in_a")).as("n1"), sum(col("in_b")).as("n2"),
+        sum(col("in_a") * col("in_b")).as("m"))
+      .withColumn("chapman_est",
+        expr("((n1 + 1) * (n2 + 1)) div (m + 1) - 1"))
+      .select(col("true_users"), col("n1"), col("n2"), col("m"),
+        col("chapman_est"),
+        trunc4(abs(col("chapman_est") - col("true_users")).cast("double") /
+          col("true_users")).as("rel_err"))
+  }
+
+  /** The generated DuckDB mirror of [[captureRecapture]]. */
+  private[graft] val captureRecaptureOracle: String =
+    "WITH u AS (SELECT DISTINCT user_id FROM events), " +
+      "f AS (SELECT user_id, " +
+      "CASE WHEN ('0x'||substr(md5('cr_a|'||user_id),1,15))::BIGINT % 10 = 0 " +
+      "THEN 1 ELSE 0 END::BIGINT in_a, " +
+      "CASE WHEN ('0x'||substr(md5('cr_b|'||user_id),1,15))::BIGINT % 10 = 0 " +
+      "THEN 1 ELSE 0 END::BIGINT in_b FROM u), " +
+      "g AS (SELECT count(*)::BIGINT true_users, sum(in_a)::BIGINT n1, " +
+      "sum(in_b)::BIGINT n2, sum(in_a * in_b)::BIGINT m FROM f), " +
+      "e AS (SELECT *, ((n1 + 1) * (n2 + 1)) // (m + 1) - 1 chapman_est FROM g) " +
+      "SELECT true_users, n1, n2, m, chapman_est, " +
+      "floor(abs(chapman_est - true_users)::DOUBLE / true_users * 10000) / 10000 " +
+      "AS rel_err FROM e"
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_capture_recapture" -> ((s, d) => captureRecapture(Tables.events(s, d))),
     "q_neyman_alloc" -> ((s, d) => neymanAlloc(Tables.events(s, d))),
     "q_gumbel_maxima" -> ((s, d) => gumbelMaxima(Tables.orders(s, d))),
     "q_runs_test" -> ((s, d) => runsTest(Tables.orders(s, d))),
@@ -4924,6 +4975,7 @@ object Monitoring {
     "q_quantile_norm" -> quantileNormOracle,
     "q_gumbel_maxima" -> gumbelOracle(),
     "q_neyman_alloc" -> neymanOracle(),
+    "q_capture_recapture" -> captureRecaptureOracle,
     "q_runs_test" -> runsTestOracle,
     "q_rank_corr" -> rankCorrOracle,
     "q_mannwhitney" -> mannWhitneyOracle,

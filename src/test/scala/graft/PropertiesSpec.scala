@@ -1198,6 +1198,32 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("captureRecapture: counts match a direct hash replay; the estimator is exactly Chapman") {
+    val got = graft.operators.Monitoring.captureRecapture(graft.Tables.events(spark, sf))
+      .head
+    val users = graft.Tables.events(spark, sf).select(col("user_id")).distinct()
+      .withColumn("ha", pmod(graft.functions.TextHash.hash60(
+        concat(lit("cr_a|"), col("user_id"))), lit(10L)))
+      .withColumn("hb", pmod(graft.functions.TextHash.hash60(
+        concat(lit("cr_b|"), col("user_id"))), lit(10L)))
+      .collect().map(r => (r.getLong(1) == 0, r.getLong(2) == 0))
+    val n1 = users.count(_._1).toLong; val n2 = users.count(_._2).toLong
+    val m = users.count(u => u._1 && u._2).toLong
+    assert(got.getAs[Long]("true_users") === users.length.toLong)
+    assert(got.getAs[Long]("n1") === n1 && got.getAs[Long]("n2") === n2)
+    assert(got.getAs[Long]("m") === m)
+    assert(got.getAs[Long]("chapman_est") === (n1 + 1) * (n2 + 1) / (m + 1) - 1)
+    // accuracy only means something once the recapture actually
+    // overlaps (15 users at sf0.001 catch m = 0 — the bias-corrected
+    // form then degrades gracefully to n2, which IS the right answer
+    // to assert); the ballpark band applies at real overlap
+    if (m >= 5)
+      assert(got.getAs[Double]("rel_err") < 0.5,
+        s"Chapman estimate implausibly far: $got")
+    else
+      assert(got.getAs[Long]("chapman_est") === (n1 + 1) * (n2 + 1) / (m + 1) - 1)
+  }
+
   test("skyline law: no surviving merchant is dominated; every excluded one is") {
     forAll(rowGen) { rows =>
       import spark.implicits._
