@@ -4,28 +4,75 @@ object Bench {
   /** Per-query floors from a prior run's bench_last.json. Floors only
     * transfer between runs of the SAME scale factor — an sf0.001 smoke
     * run must not set 2.5× rerun bars for an sf0.1 run — and failed
-    * (-1) entries never become floors. */
-  private[graft] def parseFloors(txt: String, sfDir: String): Map[String, Double] = {
-    val qstart = txt.indexOf("\"queries\":{")
-    val sameSf = txt.contains(s""""sf":"$sfDir"""")
-    if (qstart < 0 || !sameSf) Map.empty else {
-      val body = txt.substring(qstart + 11, txt.indexOf('}', qstart))
-      """"([A-Za-z0-9_]+)":(-?[0-9.eE+-]+)""".r.findAllMatchIn(body)
-        .map(m => m.group(1) -> m.group(2).toDouble)
-        .filter(_._2 >= 0).toMap
-    }
-  }
+    * (-1) entries never become floors.
+    *
+    * Parsed with jackson (already on the Spark classpath), not a
+    * hand-rolled substring scan: the old truncate-at-first-'}' parser
+    * silently returned no floors once any nested value appeared inside
+    * the queries object, and its whole-file `"sf":"…"` substring check
+    * could match an sf-like string anywhere in the JSON — both failure
+    * modes disabled phantom detection with no error. A malformed file
+    * still degrades to "no floors" (the 3 s absolute bar remains). */
+  private[graft] def parseFloors(txt: String, sfDir: String): Map[String, Double] =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      val sf = root.path("sf")
+      if (!sf.isTextual || sf.asText != sfDir) Map.empty
+      else {
+        val qs = root.path("queries")
+        if (!qs.isObject) Map.empty
+        else {
+          val it = qs.fieldNames()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) {
+            val k = it.next()
+            val v = qs.get(k)
+            if (v.isNumber && v.asDouble >= 0) b += k -> v.asDouble
+          }
+          b.result()
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
 
-  /** The rerun set: every query whose first run exceeds
-    * max(2.5 × its same-sf floor, 3 s), slowest first, capped at 15 —
-    * so a steal phantom ANYWHERE in the board gets its rerun (the old
+  /** One rerun batch: every query whose recorded time exceeds
+    * max(2.5 × its same-sf floor, 3 s), slowest first, capped at `cap`
+    * — so a steal phantom ANYWHERE in the board gets its rerun (the old
     * fixed top-5 let phantoms ranked 6th+ keep inflated readings) while
-    * a globally slow host can't double the whole run. */
+    * a globally slow host can't arbitrarily multiply the run. */
   private[graft] def rerunCandidates(results: Seq[(String, Double)],
-      floors: Map[String, Double]): Seq[String] =
+      floors: Map[String, Double], cap: Int = 15): Seq[String] =
     results.filter { case (n, t) =>
       t >= 0 && t > math.max(floors.get(n).map(_ * 2.5).getOrElse(0.0), 3.0)
-    }.sortBy(-_._2).take(15).map(_._1)
+    }.sortBy(-_._2).take(cap).map(_._1)
+
+  /** Converging rerun plan. Pass 1 reran `pass1` (≤15 slowest); this
+    * decides what pass 2 must cover so the recorded board never carries
+    * an unvetted >bar reading merely because bigger phantoms consumed
+    * the slots (BENCH_r08 left q_text_langid at 13.8× its floor that
+    * way — the steal storm spent all 15 on 20–106 s firsts):
+    *   - leftovers = candidates above their bar that got NO rerun;
+    *   - storm = pass 1's median collapse ratio (first/rerun) > 2×,
+    *     i.e. most "slow" firsts were host noise → every leftover is
+    *     presumed phantom and ALL are rerun (a phantom's rerun costs
+    *     only its TRUE time, so an uncapped storm pass is cheap);
+    *   - quiet host → leftovers still get a second capped batch
+    *     (total reruns ≤ 2×15).
+    * Convergence: after pass 2 every above-bar query has a rerun entry
+    * whenever candidates ≤ 2×cap or a storm was detected. */
+  private[graft] def secondPass(results: Seq[(String, Double)],
+      floors: Map[String, Double], pass1: Map[String, Double],
+      cap: Int = 15): Seq[String] = {
+    val leftovers = rerunCandidates(results, floors, Int.MaxValue)
+      .filterNot(pass1.contains)
+    val collapses = results.collect {
+      case (n, first) if pass1.get(n).exists(_ > 0) => first / pass1(n) }
+    val storm = collapses.nonEmpty && {
+      val s = collapses.sorted
+      s(s.length / 2) > 2.0
+    }
+    if (storm) leftovers else leftovers.sortBy(n =>
+      -results.find(_._1 == n).map(_._2).getOrElse(0.0)).take(cap)
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -99,8 +146,7 @@ object Bench {
         parseFloors(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"), sfDir)
       else Map.empty
     } catch { case _: Throwable => Map.empty }
-    val rerunNames = rerunCandidates(results, priorFloor)
-    val reruns: Map[String, Double] = rerunNames.map { name =>
+    def rerunOnce(name: String): (String, Double) = {
       val t0 = System.nanoTime()
       val ok = try { SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count(); true }
         catch { case e: Throwable =>
@@ -109,7 +155,14 @@ object Bench {
       // a failed rerun records -1 (visible flakiness signal) and never
       // participates in the min
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }.toMap
+    }
+    val pass1: Map[String, Double] =
+      rerunCandidates(results, priorFloor).map(rerunOnce).toMap
+    // Converging second batch (see secondPass): leftovers the 15-slot
+    // cap starved, uncapped under a detected steal storm.
+    val pass2: Map[String, Double] =
+      secondPass(results, priorFloor, pass1).map(rerunOnce).toMap
+    val reruns: Map[String, Double] = pass1 ++ pass2
     val finalResults = results.map { case (k, v) =>
       k -> (if (v >= 0 && reruns.get(k).exists(_ >= 0)) math.min(v, reruns(k)) else v) }
     val qs = finalResults.map { case (k, v) => s"\"" + k + "\":" + v }

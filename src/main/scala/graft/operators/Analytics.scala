@@ -595,9 +595,11 @@ object Analytics {
     * vs MACHINERY customers' average order value POOLED and then
     * within every nation stratum, and flag nations whose gap sign
     * contradicts the pooled sign. Sign decisions use the exact integer
-    * cross-product sum_a·n_b − sum_b·n_a (cents × counts, ≪ 2^63) —
-    * a float average can land on the wrong side of zero exactly where
-    * this audit matters.
+    * cross-product sum_a·n_b − sum_b·n_a widened through
+    * DECIMAL(38,0) (cents × counts reaches ~1e19 > 2^63 at ~1e9
+    * joined order rows — the abCuped widening rule) — a float average
+    * can land on the wrong side of zero exactly where this audit
+    * matters, and a silently wrapped BIGINT product flips it.
     *
     * Scale: orders⋈customer equi-join (dim side broadcast-eligible) →
     * one (nation) hash-agg with conditional sums; the pooled row is a
@@ -615,20 +617,23 @@ object Analytics {
         sum(when(col("is_a") === 0L, 1L).otherwise(0L)).as("n_b"),
         sum(when(col("is_a") === 1L, col("cents")).otherwise(0L)).as("sum_a"),
         sum(when(col("is_a") === 0L, col("cents")).otherwise(0L)).as("sum_b"))
+    def crossSign(sa: Column, nb: Column, sb: Column, na: Column): Column =
+      signum(sa.cast("decimal(38,0)") * nb - sb.cast("decimal(38,0)") * na)
+        .cast("long")
     val pooled = cells(base.groupBy())
-      .select(signum(col("sum_a") * col("n_b") - col("sum_b") * col("n_a"))
-        .cast("long").as("pooled_sign"))
+      .select(crossSign(col("sum_a"), col("n_b"), col("sum_b"), col("n_a"))
+        .as("pooled_sign"))
     cells(base.groupBy(col("nation")))
       .filter(col("n_a") > 0 && col("n_b") > 0)
       .crossJoin(broadcast(pooled))
       .select(col("nation"), col("n_a"), col("n_b"),
         graft.functions.Portable.trunc2(col("sum_a") / col("n_a") / 100).as("avg_a"),
         graft.functions.Portable.trunc2(col("sum_b") / col("n_b") / 100).as("avg_b"),
-        signum(col("sum_a") * col("n_b") - col("sum_b") * col("n_a"))
-          .cast("long").as("stratum_sign"),
+        crossSign(col("sum_a"), col("n_b"), col("sum_b"), col("n_a"))
+          .as("stratum_sign"),
         col("pooled_sign"),
-        (signum(col("sum_a") * col("n_b") - col("sum_b") * col("n_a"))
-          .cast("long") * col("pooled_sign") < 0).as("reversed"))
+        (crossSign(col("sum_a"), col("n_b"), col("sum_b"), col("n_a"))
+          * col("pooled_sign") < 0).as("reversed"))
   }
 
   /** One exact ALS half-step with k = 2 latent factors (Hu, Koren &
@@ -910,15 +915,15 @@ object Analytics {
         "sum(CASE WHEN is_a = 1 THEN cents ELSE 0 END)::BIGINT sum_a, " +
         "sum(CASE WHEN is_a = 0 THEN cents ELSE 0 END)::BIGINT sum_b " +
         "FROM base GROUP BY 1), " +
-        "pooled AS (SELECT sign(sum(CASE WHEN is_a = 1 THEN cents ELSE 0 END)::BIGINT * " +
-        "sum(CASE WHEN is_a = 0 THEN 1 ELSE 0 END)::BIGINT - " +
-        "sum(CASE WHEN is_a = 0 THEN cents ELSE 0 END)::BIGINT * " +
-        "sum(CASE WHEN is_a = 1 THEN 1 ELSE 0 END)::BIGINT)::BIGINT pooled_sign FROM base) " +
+        "pooled AS (SELECT sign(sum(CASE WHEN is_a = 1 THEN cents ELSE 0 END)::HUGEINT * " +
+        "sum(CASE WHEN is_a = 0 THEN 1 ELSE 0 END)::HUGEINT - " +
+        "sum(CASE WHEN is_a = 0 THEN cents ELSE 0 END)::HUGEINT * " +
+        "sum(CASE WHEN is_a = 1 THEN 1 ELSE 0 END)::HUGEINT)::BIGINT pooled_sign FROM base) " +
         "SELECT nation, n_a, n_b, " +
         "floor(sum_a / n_a / 100 * 100) / 100 AS avg_a, " +
         "floor(sum_b / n_b / 100 * 100) / 100 AS avg_b, " +
-        "sign(sum_a * n_b - sum_b * n_a)::BIGINT AS stratum_sign, pooled_sign, " +
-        "(sign(sum_a * n_b - sum_b * n_a)::BIGINT * pooled_sign < 0) AS reversed " +
+        "sign(sum_a::HUGEINT * n_b - sum_b::HUGEINT * n_a)::BIGINT AS stratum_sign, pooled_sign, " +
+        "(sign(sum_a::HUGEINT * n_b - sum_b::HUGEINT * n_a)::BIGINT * pooled_sign < 0) AS reversed " +
         "FROM cells CROSS JOIN pooled WHERE n_a > 0 AND n_b > 0"),
     "q_tree2" -> treeDepth2Oracle,
     "q_stump" ->

@@ -870,7 +870,13 @@ object Monitoring {
     * route through ScaleOps.globalRank past ~10⁸ groups). */
   def fdrBh(ev: DataFrame, alpha100: Long = 5L): DataFrame = {
     val dec = (c: Column) => c.cast("decimal(38,0)")
+    // NULL merchants (events without props.k) are excluded — keeping a
+    // NULL group would hand the BH tie-break to engine NULL-ordering
+    // (Spark and DuckDB can differ per version/collation), making
+    // bh_rank engine-dependent exactly on dev ties with the NULL group
+    // (same discipline as ebShrinkage's IS NOT NULL filter).
     val m = ev.select(get_json_object(col("props"), "$.k").as("merchant"))
+      .filter(col("merchant").isNotNull)
       .groupBy(col("merchant")).agg(count(lit(1)).as("n_events"))
     val tot = m.agg(count(lit(1)).as("mm"), sum(col("n_events")).as("nn"))
     val scored = m.crossJoin(broadcast(tot))
@@ -3760,12 +3766,19 @@ object Monitoring {
     val ranked = cells
       .withColumn("before", coalesce(sum(col("t")).over(below), lit(0L)))
     val agg = ranked.agg(
-      sum(col("t_a") * (col("before") * 2 + col("t") + 1)).as("r2a"),
+      // r2a ≈ 2n² (~2e18 at 1e9 users) — widened through DECIMAL(38,0)
+      // like tie3, so the docstring's exactness bound actually holds
+      // (a plain BIGINT sum wraps silently past ~2e9 users while the
+      // oracle's HUGEINT does not — divergent failure modes).
+      sum(col("t_a").cast("decimal(38,0)") *
+        (col("before") * 2 + col("t") + 1)).as("r2a"),
       sum(col("t_a")).as("n_a"), sum(col("t")).as("nn"),
       sum(col("t").cast("decimal(38,0)") * col("t") * col("t") - col("t"))
         .as("tie3"))
     agg.select(col("n_a"), (col("nn") - col("n_a")).as("n_b"), col("nn"),
-        (col("r2a") - col("n_a") * (col("n_a") + 1)).as("u2_a"),
+        // u2_a ≤ n_a·n_b ≤ 2^60 at 1e9 users — safe to narrow at OUTPUT
+        (col("r2a") - col("n_a").cast("decimal(38,0)") * (col("n_a") + 1))
+          .cast("long").as("u2_a"),
         col("tie3"))
       .select(col("n_a"), col("n_b"),
         col("u2_a"),
@@ -3789,9 +3802,10 @@ object Monitoring {
       "cells AS (SELECT cents, count(*)::BIGINT t, sum(is_a)::BIGINT t_a FROM pu GROUP BY 1), " +
       "rk AS (SELECT t, t_a, coalesce(sum(t) OVER (ORDER BY cents " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT bfr FROM cells), " +
-      "ag AS (SELECT sum(t_a * (bfr * 2 + t + 1))::BIGINT r2a, sum(t_a)::BIGINT n_a, " +
+      "ag AS (SELECT sum(t_a::HUGEINT * (bfr * 2 + t + 1)) r2a, sum(t_a)::BIGINT n_a, " +
       "sum(t)::BIGINT nn, sum(t::HUGEINT * t * t - t) tie3 FROM rk), " +
-      "u AS (SELECT n_a, nn - n_a n_b, nn, r2a - n_a * (n_a + 1) u2_a, tie3 FROM ag), " +
+      "u AS (SELECT n_a, nn - n_a n_b, nn, " +
+      "(r2a - n_a::HUGEINT * (n_a + 1))::BIGINT u2_a, tie3 FROM ag), " +
       "z AS (SELECT n_a, n_b, u2_a, floor((u2_a::HUGEINT - n_a::HUGEINT * n_b)::DOUBLE / " +
       "(2.0 * sqrt((n_a::HUGEINT * n_b)::DOUBLE / 12.0 * ((nn + 1)::DOUBLE - " +
       "tie3::DOUBLE / (nn::HUGEINT * (nn - 1))::DOUBLE))) * 10000) / 10000 z FROM u) " +
@@ -5892,7 +5906,8 @@ object Monitoring {
         "FROM wag WHERE n1 > 0 AND n2 > 0"),
     "q_fdr_bh" ->
       ("WITH fm AS (SELECT json_extract_string(props, '$.k') AS merchant, " +
-        "count(*)::BIGINT AS n_events FROM events GROUP BY 1), " +
+        "count(*)::BIGINT AS n_events FROM events " +
+        "WHERE json_extract_string(props, '$.k') IS NOT NULL GROUP BY 1), " +
         "ft AS (SELECT count(*)::HUGEINT AS mm, sum(n_events)::HUGEINT AS nn FROM fm), " +
         "fs AS (SELECT merchant, n_events, abs(n_events::HUGEINT * mm - nn) AS dev, " +
         "mm, nn FROM fm CROSS JOIN ft), " +

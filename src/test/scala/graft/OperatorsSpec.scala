@@ -454,6 +454,51 @@ class OperatorsSpec extends SparkSpec {
     assert(picked.length === 15 && picked.head === "q_30")
   }
 
+  test("Bench.parseFloors: real JSON parser survives nested objects and sf-like strings") {
+    // the old substring parser truncated at the first '}' after
+    // "queries":{ and sf-scoped via whole-file substring match; pin the
+    // jackson behavior on exactly the shapes that broke it
+    val nested = """{"metric":"total","queries":{"q_a":1.5,"q_b":0.4},""" +
+      """"reruns":{"q_a":{"first":9.0,"rerun":1.5}},"sf":"/data/sf0.1"}"""
+    assert(Bench.parseFloors(nested, "/data/sf0.1") === Map("q_a" -> 1.5, "q_b" -> 0.4))
+    // an sf-like string in ANOTHER field must not satisfy the scope check
+    val decoy = """{"note":"ran at \"sf\":\"/data/sf0.1\" earlier",""" +
+      """"queries":{"q_a":2.0},"sf":"/data/sf0.001"}"""
+    assert(Bench.parseFloors(decoy, "/data/sf0.1") === Map.empty)
+    // malformed file degrades to no floors (3s absolute bar remains), no throw
+    assert(Bench.parseFloors("{not json", "/data/sf0.1") === Map.empty)
+    assert(Bench.parseFloors("""{"queries":[1,2],"sf":"/x"}""", "/x") === Map.empty)
+    // round-trip pin: the exact line Bench.main writes is what parseFloors reads
+    val written = """{"metric":"total","value":3.90,"unit":"sec","queries":""" +
+      """{"q_x":1.200,"q_y":2.700,"q_dead":-1},"reruns":{},"sf":"/data/sf0.1"}"""
+    assert(Bench.parseFloors(written, "/data/sf0.1") === Map("q_x" -> 1.2, "q_y" -> 2.7))
+  }
+
+  test("Bench.secondPass: converging rerun plan vets cap-starved leftovers; storm uncaps") {
+    val floors = Map.empty[String, Double]
+    // 20 candidates above the 3s bar; pass 1 took the 15 slowest
+    val res = (1 to 20).map(i => s"q_$i" -> (3.0 + i)) :+ ("q_fast" -> 0.5)
+    val p1names = Bench.rerunCandidates(res, floors)
+    assert(p1names.length === 15 && !p1names.contains("q_1"))
+    // quiet host: reruns confirm the firsts (collapse ~1x) → leftovers get a
+    // capped second batch — q_1..q_5 all vetted
+    val quietP1 = p1names.map(n => n -> res.find(_._1 == n).get._2).toMap
+    val p2quiet = Bench.secondPass(res, floors, quietP1)
+    assert(p2quiet.toSet === Set("q_1", "q_2", "q_3", "q_4", "q_5"))
+    assert(p2quiet.head === "q_5") // slowest-first within the batch
+    // storm: pass-1 reruns collapse >2x → ALL leftovers rerun even past the cap
+    val stormP1 = p1names.map(n => n -> 0.8).toMap
+    val bigRes = (1 to 40).map(i => s"q_$i" -> (3.0 + i))
+    val bigP1names = Bench.rerunCandidates(bigRes, floors)
+    val bigStormP1 = bigP1names.map(n => n -> 0.9).toMap
+    val p2storm = Bench.secondPass(bigRes, floors, bigStormP1)
+    assert(p2storm.toSet === (1 to 25).map(i => s"q_$i").toSet) // 40-15=25 > cap, uncapped
+    // a query already rerun in pass 1 never reruns again
+    assert(p2storm.toSet.intersect(bigP1names.toSet) === Set.empty)
+    // no candidates at all → empty second pass
+    assert(Bench.secondPass(Seq("q_a" -> 1.0), floors, Map.empty) === Seq.empty)
+  }
+
   test("ScaleUp.rotateEmbeddings: every clone > 0 gets a non-zero rotation") {
     import spark.implicits._
     // dim 64 = Similarity.Dim: the old clone*7+1 formula hit shift 0 at
