@@ -385,6 +385,83 @@ object Similarity {
     result
   }
 
+  /** Cross-corpus EMBEDDING-SPACE decontamination — the semantic
+    * sibling of TextOps.decontaminate (which catches verbatim n-gram
+    * overlap; this catches paraphrased benchmark leakage the surface
+    * pass misses, the Yang et al. 2023 "rephrased samples evade n-gram
+    * decontamination" failure): flag every held-out/eval vector whose
+    * cosine against SOME training vector clears `threshold`.
+    *
+    * The corpora are the deterministic split vec_id % holdMod == 0
+    * (held-out benchmark slice — the decontaminate benchMod idiom) vs
+    * the rest (training corpus). All-pairs across corpora would be
+    * |held|·|train|; instead the TRAIN side gets a full IVF build —
+    * [[trainedCentroids]] on the train slice, assignment, inverted
+    * lists — and each held-out vector probes only its top-NProbe
+    * lists: an EQUI-join on list_id, work NProbe/NList of the train
+    * corpus per query. Each inverted list is additionally CAPPED at
+    * `maxPerList` members by deterministic hash-order thinning
+    * (uniform — rank by md5("dcap|"+vec_id) — not nearest-centroid,
+    * which would bias retained density toward cluster cores), bounding
+    * per-probe work at NProbe·maxPerList cosines REGARDLESS of skew in
+    * the list-size distribution; the cap binds at sf0.1 (~107/list
+    * average > 64), so the gate exercises the capped path, and the
+    * same cap is what a 100 TB build tunes against its list count.
+    *
+    * The probe side broadcasts: a held-out benchmark is small by
+    * construction (the TextOps.decontaminate bench-gram argument); for
+    * symmetric corpus-vs-corpus overlap drop the hint and the probe
+    * join still shuffles on list_id, never a cross join. At 100 TB the
+    * train side is [[writeBucketedByList]]'s bucketed layout, turning
+    * every probe into partition pruning at the scan.
+    *
+    * Output: one row per CONTAMINATED held-out vector — its best
+    * training match (min qualifying id), how many capped-list training
+    * vectors cleared the threshold, and the best truncated cosine.
+    * Engine-exact: the oracle retrains the same k-means on the same
+    * slice (exact quantized sums) and replays probe ranking, cap
+    * thinning, and scoring with identical tie-breaks. */
+  def simDecontam(emb: DataFrame, holdMod: Long = 7L, threshold: Double = 0.4,
+      maxPerList: Int = 64): DataFrame = {
+    val (lazyResult, v) = simDecontamLazy(emb, holdMod, threshold, maxPerList)
+    val result = lazyResult.localCheckpoint(true) // contaminated slice ≪ corpus
+    v.unpersist()
+    result
+  }
+
+  /** [[simDecontam]]'s lazy plan + its persisted input, for plan
+    * inspection (ScaleSpec pins the probe join as an equi-join). */
+  private[graft] def simDecontamLazy(emb: DataFrame, holdMod: Long = 7L,
+      threshold: Double = 0.4, maxPerList: Int = 64): (DataFrame, DataFrame) = {
+    val v = withEmbD(emb).persist() // split + training + assign + probe passes
+    val tr = v.filter(pmod(col("vec_id"), lit(holdMod)) =!= 0)
+    val ho = v.filter(pmod(col("vec_id"), lit(holdMod)) === 0)
+    val cents = trainedCentroids(tr).localCheckpoint(true) // ≤ NList rows
+    val capped = tr.join(assignTo(tr, cents), "vec_id")
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("list_id")).orderBy(
+          graft.functions.TextHash.hash60(concat(lit("dcap|"), col("vec_id"))),
+          col("vec_id"))))
+      .filter(col("crnk") <= maxPerList)
+      .select(col("vec_id"), col("e"), col("list_id"))
+    val probes = ho.select(col("vec_id").as("q_id"), col("e").as("qe"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qe"), col("cid"),
+        trunc4(NativeVector.cosine(col("qe"), col("ce"))).as("qcos"))
+      .withColumn("prnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("cid"))))
+      .filter(col("prnk") <= NProbe)
+      .select(col("q_id"), col("qe"), col("cid").as("list_id"))
+    val scored = capped.join(broadcast(probes), Seq("list_id"))
+      .select(col("q_id"), col("vec_id"),
+        trunc4(NativeVector.cosine(col("qe"), col("e"))).as("cos"))
+    val result = scored.filter(col("cos") >= threshold)
+      .groupBy(col("q_id"))
+      .agg(min(col("vec_id")).as("train_match"),
+        count(lit(1)).as("n_matches"), max(col("cos")).as("best_cos"))
+    (result, v)
+  }
+
   /** Embedding-cosine near-dup pairs: LSH band join (no cross join),
     * verified by cosine ≥ threshold. */
   def nearDupPairs(emb: DataFrame, threshold: Double = 0.4): DataFrame = {
@@ -1560,6 +1637,7 @@ object Similarity {
     "q_vec_outliers" -> ((s, d) => vecOutliers(Tables.embeddings(s, d))),
     "q_calibration" -> ((s, d) => calibration(Tables.embeddings(s, d))),
     "q_dedup_semantic" -> ((s, d) => semanticDedup(Tables.embeddings(s, d))),
+    "q_sim_decontam" -> ((s, d) => simDecontam(Tables.embeddings(s, d))),
     "q_sim_recall" -> ((s, d) => recallAtK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_vec_matryoshka" -> ((s, d) => matryoshkaRecall(Tables.embeddings(s, d))),
     "q_recall_curve" -> ((s, d) => recallCurve(Tables.embeddings(s, d))),
@@ -1713,6 +1791,34 @@ object Similarity {
       "WHERE ('0x'||substr(md5('kms|'||vec_id),1,15))::BIGINT % 4 = 0), " +
       s"c0 AS (SELECT vec_id::INT cid, e ce FROM v WHERE vec_id < $NList), " +
       train + ", " + kmAssignSql(s"c$KmIters", KmIters, "v")
+  }
+
+  /** [[kmChainCtes]] generalized: the same deterministic sample → seed
+    * → KmIters exact-quantized Lloyd steps → final assignment chain,
+    * but over an arbitrary relation `rel` with every CTE name carrying
+    * `p` — so the decontam oracle can train on the TRAIN slice without
+    * colliding with the shared full-corpus chain. */
+  private def kmChainCtesOver(p: String, rel: String): String = {
+    def assignSql(cIn: String, idx: Int, r: String): String =
+      s"${p}ka$idx AS (SELECT $r.vec_id, c.cid, " +
+        s"floor(list_cosine_similarity($r.e, c.ce) * 10000) / 10000 ccos " +
+        s"FROM $r CROSS JOIN $cIn c), " +
+        s"${p}kas$idx AS (SELECT vec_id, cid AS list_id FROM (SELECT vec_id, cid, " +
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) rn " +
+        s"FROM ${p}ka$idx) WHERE rn = 1)"
+    def updateSql(idx: Int): String =
+      s"${p}kj$idx AS (SELECT a.list_id, r.d, " +
+        s"sum(floor(${p}ks.e[r.d] * ${QScale.toLong}))::BIGINT sv, count(*) n " +
+        s"FROM ${p}ks JOIN ${p}kas$idx a USING (vec_id) " +
+        s"CROSS JOIN range(1, ${Dim + 1}) r(d) GROUP BY 1, 2), " +
+        s"${p}c${idx + 1} AS (SELECT list_id AS cid, " +
+        s"list(sv::DOUBLE / n / ${QScale.toLong}.0 ORDER BY d) ce FROM ${p}kj$idx GROUP BY list_id)"
+    val train = (0 until KmIters)
+      .map(i => assignSql(s"${p}c$i", i, s"${p}ks") + ", " + updateSql(i)).mkString(", ")
+    s"${p}ks AS (SELECT vec_id, e FROM $rel " +
+      "WHERE ('0x'||substr(md5('kms|'||vec_id),1,15))::BIGINT % 4 = 0), " +
+      s"${p}c0 AS (SELECT vec_id::INT cid, e ce FROM $rel WHERE vec_id < $NList), " +
+      train + ", " + assignSql(s"${p}c$KmIters", KmIters, rel)
   }
 
   /** Full IVF chain → iv_ranked: [[kmChainCtes]] then probes +
@@ -2080,6 +2186,25 @@ object Similarity {
         "(SELECT e FROM v WHERE v.vec_id = cand.a_id), " +
         "(SELECT e FROM v WHERE v.vec_id = cand.b_id)) * 10000) / 10000 cos FROM cand) " +
         "SELECT a_id, b_id, cos FROM scored WHERE cos >= 0.4"),
+    "q_sim_decontam" ->
+      (s"WITH $vCte, " +
+        "dc_tr AS (SELECT vec_id, e FROM v WHERE vec_id % 7 <> 0), " +
+        "dc_ho AS (SELECT vec_id q_id, e qe FROM v WHERE vec_id % 7 = 0), " +
+        kmChainCtesOver("dc_", "dc_tr") + ", " +
+        s"dc_cap AS (SELECT vec_id, e, list_id FROM (SELECT t.vec_id, t.e, a.list_id, " +
+        "row_number() OVER (PARTITION BY a.list_id ORDER BY " +
+        "('0x'||substr(md5('dcap|'||t.vec_id),1,15))::BIGINT, t.vec_id) crnk " +
+        s"FROM dc_tr t JOIN dc_kas$KmIters a USING (vec_id)) WHERE crnk <= 64), " +
+        "dc_pc AS (SELECT q_id, qe, cid, " +
+        s"floor(list_cosine_similarity(qe, ce) * 10000) / 10000 qcos FROM dc_ho CROSS JOIN dc_c$KmIters), " +
+        "dc_pr AS (SELECT q_id, qe, cid AS list_id FROM (SELECT q_id, qe, cid, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, cid) prn FROM dc_pc) " +
+        s"WHERE prn <= $NProbe), " +
+        "dc_sc AS (SELECT p.q_id, c.vec_id, " +
+        "floor(list_cosine_similarity(p.qe, c.e) * 10000) / 10000 cos " +
+        "FROM dc_cap c JOIN dc_pr p USING (list_id)) " +
+        "SELECT q_id, min(vec_id) AS train_match, count(*) AS n_matches, " +
+        "max(cos) AS best_cos FROM dc_sc WHERE cos >= 0.4 GROUP BY q_id"),
     "q_dedup_semantic" ->
       (s"WITH $vCte, $kmChainCtes, " +
         s"sd_vl AS (SELECT v.vec_id, v.e, a.list_id FROM v JOIN kas$KmIters a USING (vec_id)), " +

@@ -1044,6 +1044,45 @@ class OperatorsSpec extends SparkSpec {
     assert(r.head.getAs[Double]("best_cos") === 1.0)
   }
 
+  test("Similarity.simDecontam flags the planted paraphrase-leak, ignores orthogonal held-out vectors") {
+    import spark.implicits._
+    // 30 one-hot vectors; held-out slice = multiples of 7 (0,7,14,21,28).
+    // vec 14 is planted as an exact copy of TRAIN vec 3 — the only
+    // cross-corpus pair above the threshold; every other held-out vector
+    // is orthogonal to the whole train corpus
+    val emb = (0L until 30L).map { i =>
+      val a = Array.fill(64)(0f)
+      a(if (i == 14L) 3 else i.toInt) = 1f
+      (i, a)
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.simDecontam(emb).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("q_id") === 14L)
+    assert(r.head.getAs[Long]("train_match") === 3L)
+    assert(r.head.getAs[Long]("n_matches") === 1L)
+    assert(r.head.getAs[Double]("best_cos") === 1.0)
+  }
+
+  test("Similarity.simDecontam per-list cap bounds candidates and stays deterministic") {
+    import spark.implicits._
+    // one dense cluster: 40 train clones of the same direction + 1
+    // held-out copy. With maxPerList=8 the probe compares against ≤ 8
+    // train vectors per probed list — the cap binds (n_matches ≤ 8·NProbe,
+    // here ≤ 8 since all clones share one list) yet the leak still
+    // surfaces, and two runs agree exactly (hash-order thinning)
+    val emb = ((1L to 47L).filter(_ % 7L != 0L).map { i =>
+      val a = Array.fill(64)(0f); a(5) = 1f; a(6) = i.toFloat / 100f
+      (i, a)
+    } :+ { val a = Array.fill(64)(0f); a(5) = 1f; (7L, a) }).toDF("vec_id", "embedding")
+    val r1 = Similarity.simDecontam(emb, maxPerList = 8).collect()
+    val r2 = Similarity.simDecontam(emb, maxPerList = 8).collect()
+    assert(r1.map(_.toString).sorted.toSeq === r2.map(_.toString).sorted.toSeq)
+    val hit = r1.find(_.getAs[Long]("q_id") == 7L)
+    assert(hit.isDefined, s"planted leak not flagged: ${r1.mkString(", ")}")
+    assert(hit.get.getAs[Long]("n_matches") <= 8L * Similarity.NProbe)
+    assert(hit.get.getAs[Double]("best_cos") >= 0.99)
+  }
+
   test("SqlCoverage.setOpsExceptAll keeps multiplicity, unlike plain EXCEPT") {
     import spark.implicits._
     val ev = Seq(

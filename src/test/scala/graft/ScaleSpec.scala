@@ -461,6 +461,17 @@ class ScaleSpec extends SparkSpec {
     val sdPlan = sd.queryExecution.executedPlan.toString
     assert(!sdPlan.contains("CartesianProduct"), s"pairing cross-joined:\n$sdPlan")
     vl.unpersist(); v.unpersist()
+    // simDecontam's held-out→train probe must be an EQUI-join on
+    // list_id (probe side broadcast), never a cartesian product — the
+    // difference between NProbe·maxPerList work per held-out vector
+    // and |held|·|train| at corpus scale
+    val (dc, dcv) = graft.operators.Similarity
+      .simDecontamLazy(Tables.embeddings(spark, sf))
+    val dcPlan = dc.queryExecution.executedPlan.toString
+    assert(!dcPlan.contains("CartesianProduct"), s"decontam cross-joined:\n$dcPlan")
+    assert(dcPlan.contains("BroadcastHashJoin"),
+      s"decontam probe join is not a broadcast equi-join:\n$dcPlan")
+    dcv.unpersist()
     // zipfFit: term agg + lang rank window = two exchanges; the final
     // per-lang regression agg must REUSE the window's lang partitioning
     val zf = graft.operators.TextOps.zipfFit(Tables.documents(spark, sf))
