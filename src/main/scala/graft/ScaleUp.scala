@@ -8,7 +8,10 @@ import org.apache.spark.sql.functions._
   * the load-testing primitive for measuring how each operator family
   * SCALES without waiting on a bigger generated corpus.
   *
-  * Usage: `runMain graft.ScaleUp <srcDir> <outDir> <factor>`
+  * Usage: `runMain graft.ScaleUp <srcDir> <outDir> <factor> [--skew]`
+  * (`--skew` additionally plants one flash-sale merchant and one hot
+  * user at ~100× average density — the hub-cap stress corpus; see the
+  * events rep below)
   *
   * Design (what makes the copy measurement-honest):
   *  - every key space is offset by `clone · 10M`, applied CONSISTENTLY
@@ -49,9 +52,19 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
   private val Stride = 10000000L
 
+  /** The skew-mode hot key (merchant AND user id) — far above any
+    * clone-offset key at sane factors, so it never collides. */
+  val HotKey = 99999999L
+
+  /** Skew-mode fold target: hot-merchant traffic lands inside this one
+    * UTC day (the "flash-sale" shape), inside the corpus's time range. */
+  private val HotDayNanos = 1704844800000000000L // 2024-01-10T00:00Z
+  private val DayNanos = 86400000000000L
+
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args.take(3)
     val factor = factorS.toInt
+    val skew = args.drop(3).contains("--skew")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -61,11 +74,12 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.configure(spark)
-    scaleAll(spark, src, out, factor)
+    scaleAll(spark, src, out, factor, skew)
     spark.stop()
   }
 
-  def scaleAll(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+  def scaleAll(spark: SparkSession, src: String, out: String, factor: Int,
+      skew: Boolean = false): Unit = {
     val clones = spark.range(0, factor).select(col("id").as("clone"))
     def rep(name: String)(f: DataFrame => DataFrame): Unit = {
       val df = spark.read.parquet(s"$src/$name.parquet")
@@ -114,12 +128,47 @@ object ScaleUp {
         case _ =>
           df.withColumn("ts", expr("timestampadd(DAY, cast(clone * 35 as int), ts)"))
       }
-      shifted.withColumn("event_id", off("event_id"))
+      val scaled = shifted.withColumn("event_id", off("event_id"))
         .withColumn("user_id", off("user_id"))
         .withColumn("props", expr(
           // the corpus writes props as exactly {"k": N}; rebuild with the
           // offset key and keep any other shape untouched
           s"""IF(props RLIKE '^\\\\{"k": [0-9]+\\\\}$$', concat('{"k": ', cast(get_json_object(props, '$$.k') as bigint) + clone * ${Stride}L, '}'), props)"""))
+      // --skew: the adversarial load shape the clean scale-up
+      // deliberately avoids — ONE merchant receives ¼ of ALL traffic
+      // (~100× an average merchant at factor ≥ 3) AND that traffic is
+      // folded into a single UTC day (flash-sale: per-(merchant, hour)
+      // cells at hundreds of distinct users, where the clean corpus
+      // peaks at ~9), plus ONE user emitting ¼ of all events. This is
+      // the corpus the hub caps (coEdges maxCell, fan/df caps) exist
+      // for; ScaleSpec pins that capped operators stay bounded on it
+      // and that capAudit reports the truncation. Slices key on the
+      // PRE-offset event id (stride is a multiple of 4), so every
+      // clone contributes the same deterministic quarter.
+      if (!skew) scaled else {
+        val hotM = expr("pmod(event_id, 4) = 0")
+        val hotU = expr("pmod(event_id, 4) = 2")
+        val folded = scaled.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            scaled.withColumn("ts",
+              when(hotM, lit(HotDayNanos) + pmod(col("ts"), lit(DayNanos)))
+                .otherwise(col("ts")))
+          case t =>
+            // keep the column's exact timestamp flavor (NTZ vs LTZ):
+            // micros-of-day via date_trunc/diff works on both
+            val day0 = if (t.typeName == "timestamp_ntz")
+              "timestamp_ntz'2024-01-10 00:00:00'"
+            else "timestamp'2024-01-10 00:00:00'"
+            scaled.withColumn("ts", expr(
+              "IF(pmod(event_id, 4) = 0, timestampadd(MICROSECOND, " +
+                s"timestampdiff(MICROSECOND, date_trunc('DAY', ts), ts), $day0), ts)"))
+        }
+        folded
+          .withColumn("props",
+            when(hotM, lit(s"""{"k": $HotKey}""")).otherwise(col("props")))
+          .withColumn("user_id",
+            when(hotU, lit(HotKey)).otherwise(col("user_id")))
+      }
     }
     rep("documents") { df =>
       val perturbed = array_join(

@@ -127,7 +127,7 @@ object Graph {
     * analytics: `props.$.k` is the merchant key (the reference's
     * transactions carry exactly such a metadata map — `main.go:16`,
     * `main.rs:13`). */
-  private def userMerchant(ev: DataFrame) =
+  private[graft] def userMerchant(ev: DataFrame) =
     ev.select(col("user_id"),
       get_json_object(col("props"), "$.k").cast("int").as("m"),
       floor(col("value") * 100 + 0.5).cast("long").as("cents"),

@@ -451,6 +451,56 @@ object ScaleOps {
         col("group_bytes") / lit(targetBytes.toDouble)))
   }
 
+  /** Hub-cap audit — every silent truncation the pair generators
+    * perform, made VISIBLE as data: one row per hub guard
+    * ([[Graph.coEdges]]' maxCell, [[Dedup.containmentPairs]]' and
+    * [[Dedup.substringRuns]]' maxDf, [[Dedup.fuzzyEditPairsLazy]]'
+    * maxBlock) reporting how many groups the cap would drop and how
+    * many member rows those groups carry. The caps are the right scale
+    * trade (a stadium-sized cell / boilerplate shingle identifies
+    * nothing while its Σn² pairs dominate the job), but at 100 TB a
+    * cap that silently swallows 30% of the corpus is an incident — a
+    * production pipeline publishes this audit next to every capped
+    * run, and alerting keys off n_dropped_rows / n_groups drift.
+    *
+    * Each guard's grouping replicates its generator's key EXACTLY
+    * (distinct (u, m, hour) cells; distinct (doc, shingle-hash) for
+    * containment df; position-stamped occurrences for substring df;
+    * normalized 12-char prefix blocks over the typo corpus), so the
+    * audit counts are the generator's own group sizes, not an
+    * approximation.
+    *
+    * Scale: four independent hash-aggs (one per guard), each collapsed
+    * to a single row map-side — strictly cheaper than any generator it
+    * audits; no windows, no joins. */
+  def capAudit(ev: DataFrame, docs: DataFrame, maxCell: Long = 64L,
+      maxDf: Long = 50L, maxBlock: Long = 64L): DataFrame = {
+    import graft.functions.TextHash.{hash60, shingleRows}
+    def summarize(guard: String, cap: Long, groups: DataFrame): DataFrame =
+      groups.agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n") > cap, 1L).otherwise(0L)).as("n_dropped_groups"),
+          sum(when(col("n") > cap, col("n")).otherwise(0L)).as("n_dropped_rows"),
+          max(col("n")).as("max_group"))
+        .select(lit(guard).as("guard"), lit(cap).as("cap"), col("n_groups"),
+          col("n_dropped_groups"), col("n_dropped_rows"), col("max_group"))
+    val coCells = Graph.userMerchant(ev)
+      .select(col("user_id").as("u"), col("m"), date_trunc("hour", col("ts")).as("h"))
+      .distinct()
+      .groupBy(col("m"), col("h")).agg(count(lit(1)).as("n"))
+    val sh = shingleRows(docs, n = 3).select(col("doc_id"), hash60(col("s")).as("sh"))
+    val contShingles = sh.distinct()
+      .groupBy(col("sh")).agg(count(lit(1)).as("n"))
+    val substrShingles = sh
+      .groupBy(col("sh")).agg(count(lit(1)).as("n"))
+    val fuzzyBlocks = Dedup.typoCorpus(docs)
+      .select(substring(col("nt"), 1, 12).as("blk"))
+      .groupBy(col("blk")).agg(count(lit(1)).as("n"))
+    summarize("co_cells", maxCell, coCells)
+      .unionByName(summarize("containment_shingles", maxDf, contShingles))
+      .unionByName(summarize("substring_shingles", maxDf, substrShingles))
+      .unionByName(summarize("fuzzy_blocks", maxBlock, fuzzyBlocks))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_compaction_plan" -> ((s, d) => compactionPlan(Tables.events(s, d))),
     "q_zonemap" -> ((s, d) => zonemapAudit(Tables.events(s, d))),
@@ -461,6 +511,7 @@ object ScaleOps {
     "q_global_rank" -> ((s, d) => globalRankEvents(Tables.events(s, d))),
     "q_incr_agg" -> ((s, d) => incrAgg(Tables.events(s, d))),
     "q_incr_join" -> ((s, d) => incrJoin(s, d)),
+    "q_cap_audit" -> ((s, d) => capAudit(Tables.events(s, d), Tables.documents(s, d))),
     "q_bucketed_join" -> ((s, d) => bucketedRevenue(s, d)))
 
   /** The z-interleave as SQL, generated from the same bit positions the
@@ -482,7 +533,37 @@ object ScaleOps {
       s"('$k', ${s(a)}, ${s(b)}, ${s(c)}, ${s(d)})"
   }.mkString(", ")
 
+  /** One guard row of the [[capAudit]] oracle. */
+  private def capGuardSql(guard: String, cap: Long, rel: String): String =
+    s"SELECT '$guard' AS guard, ${cap}::BIGINT AS cap, count(*)::BIGINT AS n_groups, " +
+      s"sum(CASE WHEN n > $cap THEN 1 ELSE 0 END)::BIGINT AS n_dropped_groups, " +
+      s"sum(CASE WHEN n > $cap THEN n ELSE 0 END)::BIGINT AS n_dropped_rows, " +
+      s"max(n)::BIGINT AS max_group FROM $rel"
+
   val oracleSql: Map[String, String] = Map(
+    "q_cap_audit" ->
+      ("WITH um AS (SELECT DISTINCT user_id u, " +
+        "CAST(json_extract_string(props, '$.k') AS INT) m, " +
+        "date_trunc('hour', ts) h FROM events), " +
+        "cc AS (SELECT m, h, count(*)::BIGINT n FROM um GROUP BY 1, 2), " +
+        "t AS (SELECT doc_id, string_split(text, ' ') tok FROM documents), " +
+        "gi AS (SELECT doc_id, tok, unnest(range(1, len(tok) - 1)) AS i FROM t), " +
+        "shall AS (SELECT doc_id, ('0x' || substr(md5(" +
+        "tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2]), 1, 15))::BIGINT AS sh FROM gi), " +
+        "cs AS (SELECT sh, count(*)::BIGINT n FROM " +
+        "(SELECT DISTINCT doc_id, sh FROM shall) GROUP BY 1), " +
+        "ss AS (SELECT sh, count(*)::BIGINT n FROM shall GROUP BY 1), " +
+        "nrm AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) nt FROM documents), " +
+        "tc AS (SELECT doc_id, nt FROM nrm UNION ALL " +
+        s"SELECT doc_id + ${TextOps.PerturbOffset}, " +
+        "substr(nt, 1, CAST(13 + doc_id % 8 AS INT) - 1) || " +
+        "substr(nt, CAST(13 + doc_id % 8 AS INT) + 1, 16777216) FROM nrm), " +
+        "fb AS (SELECT substr(nt, 1, 12) blk, count(*)::BIGINT n FROM tc GROUP BY 1) " +
+        capGuardSql("co_cells", 64L, "cc") + " UNION ALL " +
+        capGuardSql("containment_shingles", 50L, "cs") + " UNION ALL " +
+        capGuardSql("substring_shingles", 50L, "ss") + " UNION ALL " +
+        capGuardSql("fuzzy_blocks", 64L, "fb")),
     "q_compaction_plan" ->
       ("WITH f AS (SELECT date_trunc('day', ts) dy, count(*)::BIGINT n_rows, " +
         "sum(length(props) + 24)::BIGINT bytes FROM events GROUP BY 1), " +

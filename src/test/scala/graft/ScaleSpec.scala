@@ -878,6 +878,84 @@ class ScaleSpec extends SparkSpec {
     assert(c1 === c0)
   }
 
+  test("ScaleUp --skew: hot keys at ~100x density; hub caps bound pair work and capAudit reports the truncation") {
+    // sf0.01, not the suite's sf0.001: the skew contrast needs enough
+    // users (150 vs 15) for "¼ of traffic on one user" to read as
+    // ~100x average, and enough hot-merchant volume for the flash-sale
+    // day to push (merchant, hour) cells past the default 64 cap
+    val sfSkew = "/root/testdata/sf0.01"
+    val clean = Files.createTempDirectory("graft-skew-clean").toString
+    val skewed = Files.createTempDirectory("graft-skew-hot").toString
+    ScaleUp.scaleAll(spark, sfSkew, clean, factor = 3)
+    ScaleUp.scaleAll(spark, sfSkew, skewed, factor = 3, skew = true)
+    val ev = Tables.events(spark, skewed).persist()
+    try {
+      // (1) the planted skew is real: hot merchant ≥ 50x an average
+      // merchant (¼ share over ~300 merchants ≈ 100x; assert half that
+      // so corpus drift can't flake the pin), hot user likewise
+      val byM = ev.select(expr("cast(get_json_object(props, '$.k') as long)").as("m"))
+        .groupBy(col("m")).count().persist()
+      val hotM = byM.filter(col("m") === ScaleUp.HotKey).head.getLong(1)
+      val avgM = byM.filter(col("m") =!= ScaleUp.HotKey)
+        .agg(avg(col("count"))).head.getDouble(0)
+      assert(hotM >= 50 * avgM, s"hot merchant $hotM vs avg $avgM")
+      byM.unpersist()
+      val byU = ev.groupBy(col("user_id")).count().persist()
+      val hotU = byU.filter(col("user_id") === ScaleUp.HotKey).head.getLong(1)
+      val avgU = byU.filter(col("user_id") =!= ScaleUp.HotKey)
+        .agg(avg(col("count"))).head.getDouble(0)
+      assert(hotU >= 50 * avgU, s"hot user $hotU vs avg $avgU")
+      byU.unpersist()
+      // (2) the flash-sale fold created genuinely hot (merchant, hour)
+      // cells — above the default maxCell, where the clean corpus
+      // peaks at ~9 distinct users — so the cap BINDS on this corpus
+      val cells = ev.select(expr("get_json_object(props, '$.k')").as("m"),
+          expr("date_trunc('hour', ts)").as("h"), col("user_id")).distinct()
+        .groupBy(col("m"), col("h")).count()
+      assert(cells.agg(max(col("count"))).head.getLong(0) > 64L,
+        "skew corpus has no cell above the default cap — the pin tests nothing")
+      // (3) work bound: the CAPPED pair generator's candidate volume on
+      // the skewed corpus stays within 2x of the clean corpus (the hot
+      // cells are dropped whole); UNCAPPED, the same generator explodes
+      // — the cap is load-bearing, not decorative
+      val cleanEv = Tables.events(spark, clean)
+      val cleanEdges = graft.operators.Graph.coEdges(cleanEv, 64L).count()
+      val skewEdges = graft.operators.Graph.coEdges(ev, 64L).count()
+      assert(skewEdges <= 2 * cleanEdges,
+        s"capped coEdges grew ${skewEdges.toDouble / cleanEdges}x under skew")
+      val uncapped = graft.operators.Graph.coEdges(ev, Long.MaxValue).count()
+      assert(uncapped > 5 * skewEdges,
+        s"uncapped $uncapped vs capped $skewEdges — skew too weak to matter")
+      // (4) wall bound: the capped operator end-to-end (triangles) on
+      // the skewed corpus within 2x of the clean corpus — measured
+      // back-to-back so host steal inflates both sides alike; one
+      // retry absorbs a single steal spike
+      def wall(dir: String): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.Graph.triangles(Tables.events(spark, dir)).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      wall(clean) // JIT/plan warmup
+      val ok = (1 to 2).exists { _ => wall(skewed) <= 2.0 * wall(clean) }
+      assert(ok, "triangles on the skewed corpus exceeded 2x clean wall twice")
+      // (5) the truncation is REPORTED, not silent: capAudit's co_cells
+      // guard row carries the dropped-cell and dropped-row counts
+      val audit = graft.operators.ScaleOps
+        .capAudit(ev, Tables.documents(spark, sfSkew)).collect()
+        .map(r => r.getAs[String]("guard") -> r).toMap
+      val cc = audit("co_cells")
+      assert(cc.getAs[Long]("n_dropped_groups") > 0L, "hot cells not reported")
+      assert(cc.getAs[Long]("n_dropped_rows") > 64L *
+        cc.getAs[Long]("n_dropped_groups") / 2, "dropped-row accounting implausible")
+      assert(cc.getAs[Long]("max_group") > 64L)
+      // clean corpus: same audit reports ZERO drops (caps don't bind)
+      val cleanAudit = graft.operators.ScaleOps
+        .capAudit(cleanEv, Tables.documents(spark, sfSkew)).collect()
+        .map(r => r.getAs[String]("guard") -> r.getAs[Long]("n_dropped_groups")).toMap
+      assert(cleanAudit("co_cells") === 0L)
+    } finally ev.unpersist()
+  }
+
   test("charEntropy is a single-pass map-only plan: no shuffle, no per-character explode") {
     // the round-7 finding: the composed transform+explode form paid
     // O(L²) substring seeks AND shuffled one row per character; the
