@@ -871,17 +871,23 @@ object Streaming {
     * longer overlap), so the oracle's new-session flag is `>= gap`,
     * not `> gap`. Sentinels ride user_id −1 and are dropped on the
     * batch read-back (same pushdown reasoning as [[streamReplay]]). */
+  /** The session-window pipeline behind [[streamSessions]], shared
+    * with StreamingSpec's state-bound probe so the probe measures the
+    * EXACT oracled plan. */
+  private[graft] def sessionsPipeline(watermarkMin: Long, gapMin: Long)(
+      in: DataFrame): DataFrame = in
+    .select(timestamp_millis(col("ts_ms")).as("timestamp"), col("user_id"),
+      col("cents"))
+    .withWatermark("timestamp", s"$watermarkMin minutes")
+    .groupBy(session_window(col("timestamp"), s"$gapMin minutes").as("sess"),
+      col("user_id"))
+    .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    .select(unix_millis(col("sess.start")).as("sess_start_ms"),
+      col("user_id"), col("n"), col("cents"))
+
   def streamSessions(spark: SparkSession, dir: String,
       watermarkMin: Long = 10L, gapMin: Long = 30L): DataFrame =
-    replay(spark, dir, in => in
-      .select(timestamp_millis(col("ts_ms")).as("timestamp"), col("user_id"),
-        col("cents"))
-      .withWatermark("timestamp", s"$watermarkMin minutes")
-      .groupBy(session_window(col("timestamp"), s"$gapMin minutes").as("sess"),
-        col("user_id"))
-      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
-      .select(unix_millis(col("sess.start")).as("sess_start_ms"),
-        col("user_id"), col("n"), col("cents")))
+    replay(spark, dir, sessionsPipeline(watermarkMin, gapMin))
       .filter(col("user_id") =!= -1L)
 
   /** Exactly-once under at-least-once delivery, driver-verified: every
@@ -895,20 +901,25 @@ object Streaming {
     * window state), each keyed and watermark-evicted. Determinism:
     * redelivered rows are bit-identical, so whichever copy the dedup
     * state sees first yields the same surviving row. */
+  /** The redeliver→dedup→window pipeline behind [[streamDedup]],
+    * shared with the state-bound probe (exact oracled plan). */
+  private[graft] def dedupPipeline(watermarkMin: Long, windowMin: Long)(
+      in: DataFrame): DataFrame = in
+    .select(col("timestamp"), col("event_id"), col("event_type"), col("cents"),
+      explode(when(pmod(col("event_id"), lit(3)) === 0, array(lit(1), lit(2)))
+        .otherwise(array(lit(1)))).as("delivery"))
+    .drop("delivery")
+    .withWatermark("timestamp", s"$watermarkMin minutes")
+    .dropDuplicatesWithinWatermark("event_id")
+    .groupBy(window(col("timestamp"), s"$windowMin minutes").as("win"),
+      col("event_type"))
+    .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    .select(unix_millis(col("win.start")).as("win_start_ms"),
+      col("event_type"), col("n"), col("cents"))
+
   def streamDedup(spark: SparkSession, dir: String,
       watermarkMin: Long = 10L, windowMin: Long = 5L): DataFrame =
-    replay(spark, dir, in => in
-      .select(col("timestamp"), col("event_id"), col("event_type"), col("cents"),
-        explode(when(pmod(col("event_id"), lit(3)) === 0, array(lit(1), lit(2)))
-          .otherwise(array(lit(1)))).as("delivery"))
-      .drop("delivery")
-      .withWatermark("timestamp", s"$watermarkMin minutes")
-      .dropDuplicatesWithinWatermark("event_id")
-      .groupBy(window(col("timestamp"), s"$windowMin minutes").as("win"),
-        col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
-      .select(unix_millis(col("win.start")).as("win_start_ms"),
-        col("event_type"), col("n"), col("cents")))
+    replay(spark, dir, dedupPipeline(watermarkMin, windowMin))
       .filter(col("event_type") =!= "__sentinel__")
 
   /** Stream-static enrichment — the streaming ETL shape that joins the
@@ -995,28 +1006,34 @@ object Streaming {
     * both sides evict by event time (the join's time bound caps click
     * state at lookback+watermark minutes), so live state is
     * O(traffic in the bound), never O(stream). */
+  /** The left-outer interval-join pipeline behind [[streamPairsOuter]],
+    * shared with the state-bound probe (exact oracled plan; the probe
+    * passes a far-future `maxTs` since it adds no sentinels). */
+  private[graft] def pairsOuterPipeline(watermarkMin: Long, lookbackMin: Long,
+      maxTs: java.sql.Timestamp)(in: DataFrame): DataFrame = {
+    val p = in.filter(col("event_type").isin("purchase", "__sentinel__"))
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("timestamp").as("p_ts"), col("cents").as("p_cents"))
+      .withWatermark("p_ts", s"$watermarkMin minutes")
+      .filter(col("p_ts") <= lit(maxTs)) // on the watermark column: stays above the node
+    val c = in.filter(col("event_type").isin("click", "__sentinel__"))
+      .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
+        col("timestamp").as("c_ts"))
+      .withWatermark("c_ts", s"${watermarkMin + lookbackMin} minutes")
+      .filter(col("c_ts") <= lit(maxTs))
+    p.join(c, col("user_id") === col("c_uid") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackMin MINUTES"),
+        "left_outer")
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        unix_millis(col("p_ts")).as("p_ts_ms"),
+        unix_millis(col("c_ts")).as("c_ts_ms"), col("p_cents"))
+  }
+
   def streamPairsOuter(spark: SparkSession, dir: String,
       watermarkMin: Long = 10L, lookbackMin: Long = 60L): DataFrame = {
     val maxTs = ReplayCorpus.get(spark, dir)._2
-    replay(spark, dir, in => {
-      val p = in.filter(col("event_type").isin("purchase", "__sentinel__"))
-        .select(col("event_id").as("purchase_id"), col("user_id"),
-          col("timestamp").as("p_ts"), col("cents").as("p_cents"))
-        .withWatermark("p_ts", s"$watermarkMin minutes")
-        .filter(col("p_ts") <= lit(maxTs)) // on the watermark column: stays above the node
-      val c = in.filter(col("event_type").isin("click", "__sentinel__"))
-        .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
-          col("timestamp").as("c_ts"))
-        .withWatermark("c_ts", s"${watermarkMin + lookbackMin} minutes")
-        .filter(col("c_ts") <= lit(maxTs))
-      p.join(c, col("user_id") === col("c_uid") &&
-          col("c_ts") <= col("p_ts") &&
-          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackMin MINUTES"),
-          "left_outer")
-        .select(col("purchase_id"), col("click_id"), col("user_id"),
-          unix_millis(col("p_ts")).as("p_ts_ms"),
-          unix_millis(col("c_ts")).as("c_ts_ms"), col("p_cents"))
-    })
+    replay(spark, dir, pairsOuterPipeline(watermarkMin, lookbackMin, maxTs))
   }
 
   /** Arbitrary per-key streaming state in the driver gate:
@@ -1216,7 +1233,7 @@ object Streaming {
         col("user_id"), col("n_sub"), col("cents_sub")))
       .filter(col("user_id") >= 0L)
 
-  private def rmTree(f: java.io.File): Unit = {
+  private[graft] def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rmTree))
     f.delete(); ()
   }

@@ -887,6 +887,91 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); server.close() }
   }
 
+  test("state bound, empirically: 2x history => ~same peak state for join/sessions/dedup (O(watermark window), not O(stream))") {
+    // The one 100 TB claim that was Scaladoc rather than assertion:
+    // stateful operators hold O(watermark/lookback window) rows, never
+    // O(stream). Proof shape: replay the corpus in TIME-ORDERED
+    // micro-batches (one 2-day slice per batch, so the watermark
+    // advances between batches exactly as in production), read each
+    // batch's StateOperatorProgress, and compare PEAK state between
+    // the corpus and a DOUBLED corpus (same density, 2x history — the
+    // ScaleUp contract: +35-day shift, fresh keys). If state were
+    // O(stream), peak would double; bounded state plateaus.
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.Files
+    val sfDir = "/root/testdata/sf0.01" // 10k events / 30 days: real slices
+    val shaped = Tables.events(spark, sfDir)
+      .select(col("ts").as("timestamp"), col("ts_ms"), col("event_id"),
+        col("user_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val doubled = shaped.unionByName(shaped
+      .withColumn("ts_ms", col("ts_ms") + 35L * 86400000L)
+      .withColumn("timestamp", org.apache.spark.sql.functions
+        .timestamp_millis(col("ts_ms")))
+      .withColumn("event_id", col("event_id") + 10000000L)
+      .withColumn("user_id", col("user_id") + 10000000L))
+    val sliceMs = 2L * 86400000L
+    def writeSliced(df: org.apache.spark.sql.DataFrame, tag: String): String = {
+      val dir = Files.createTempDirectory(s"graft-sb-$tag").toString
+      val bounds = df.agg(org.apache.spark.sql.functions.min(col("ts_ms")),
+        org.apache.spark.sql.functions.max(col("ts_ms"))).head
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val n = ((hi - lo) / sliceMs + 1).toInt
+      for (i <- 0 until n) {
+        val scratch = s"$dir/tmp$i"
+        df.filter(col("ts_ms") >= lo + i * sliceMs &&
+            col("ts_ms") < lo + (i + 1) * sliceMs)
+          .coalesce(1).write.parquet(scratch)
+        val part = new java.io.File(scratch).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(dir, f"slice-$i%03d.parquet")
+        Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + i * 60000L) // deterministic batch order
+        graft.streaming.Streaming.rmTree(new java.io.File(scratch))
+      }
+      dir
+    }
+    val dirA = writeSliced(shaped, "a")
+    val dirB = writeSliced(doubled, "b")
+    case class Peak(input: Long, rows: Long, bytes: Long, batches: Int)
+    def probe(dir: String, pipeline: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame): Peak = {
+      val schema = spark.read.parquet(s"$dir/slice-000.parquet").schema
+      val ck = Files.createTempDirectory("graft-sb-ck").toString
+      val q = pipeline(spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(dir))
+        .writeStream.format("noop").outputMode(OutputMode.Append())
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val ps = q.recentProgress.toSeq
+      Peak(ps.map(_.numInputRows).sum,
+        ps.map(p => p.stateOperators.map(_.numRowsTotal).sum).max,
+        ps.map(p => p.stateOperators.map(_.memoryUsedBytes).sum).max,
+        ps.count(_.numInputRows > 0))
+    }
+    val farFuture = new Timestamp(4102444800000L) // 2100: probe adds no sentinels
+    val pipes = Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+      "pairs_outer" -> Streaming.pairsOuterPipeline(10L, 60L, farFuture),
+      "sessions" -> Streaming.sessionsPipeline(10L, 30L),
+      "dedup" -> Streaming.dedupPipeline(10L, 5L))
+    for ((name, pipe) <- pipes) {
+      val a = probe(dirA, pipe)
+      val b = probe(dirB, pipe)
+      info(f"$name: input ${a.input}->${b.input}, peak state rows " +
+        f"${a.rows}->${b.rows}, peak state bytes ${a.bytes}->${b.bytes}, " +
+        f"batches ${a.batches}->${b.batches}")
+      assert(b.input >= (1.9 * a.input).toLong, s"$name: doubled corpus not ~2x input")
+      // THE BOUND: peak live state is O(watermark/lookback window) —
+      // it must NOT scale with history length (2x history => ~same peak)
+      assert(b.rows <= (1.5 * a.rows).toLong,
+        s"$name: peak state grew ${b.rows.toDouble / a.rows}x on 2x history — state is O(stream), not O(window)")
+      // and the peak is a fraction of the stream even on corpus A
+      assert(a.rows <= a.input / 2,
+        s"$name: peak state ${a.rows} vs input ${a.input} — never evicted?")
+    }
+  }
+
   test("kafkaShapedIngest parses raw JSON values against the wire schema") {
     import spark.implicits._
     val in = MemoryStream[String](spark)
