@@ -104,6 +104,11 @@ object Bench {
     // dir to build.sbt) so launching from another cwd doesn't scatter the
     // durable copy or fail on a read-only cwd; falls back to cwd if the
     // checkout isn't found; the env var stays the explicit override.
+    // A SPARK_GRAFT_ONLY subset run must not clobber the full-board
+    // record (it IS the next run's floor set): subsets divert to
+    // bench_only.json unless the caller overrides explicitly. Floors
+    // still READ from the full record below.
+    val subsetDivert = only.isDefined && !sys.env.contains("SPARK_GRAFT_BENCH_OUT")
     val benchOutPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
       val anchor = try {
         var d = java.nio.file.Paths.get(
@@ -194,14 +199,17 @@ object Bench {
     // stdout alone is fragile (the driver's tail capture truncated the
     // round-1 line); persist the FULL per-query JSON to a file as the
     // durable complete record.
-    val out = benchOutPath
+    val out = if (subsetDivert)
+      java.nio.file.Paths.get(benchOutPath).resolveSibling("bench_only.json").toString
+    else benchOutPath
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (line + "\n").getBytes("UTF-8"))
       // Also persist the COMPACT summary (the exact stdout line) beside
       // it — a stable machine-readable path for harnesses whose stdout
       // capture truncates, carrying the parsed totals directly.
-      val summaryPath = java.nio.file.Paths.get(out).resolveSibling("bench_summary.json")
+      val summaryPath = java.nio.file.Paths.get(out).resolveSibling(
+        if (subsetDivert) "bench_only_summary.json" else "bench_summary.json")
       java.nio.file.Files.write(summaryPath, (compact + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()

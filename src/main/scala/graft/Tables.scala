@@ -34,6 +34,33 @@ object Tables {
     if (rocksDbState || sys.env.get("GRAFT_STATE_STORE").exists(_.equalsIgnoreCase("rocksdb")))
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    if (sys.env.get("GRAFT_AQE_PROFILE").exists(_.equalsIgnoreCase("scale")))
+      aqeScaleProfile(spark)
+    spark
+  }
+
+  /** Opt-in AQE posture for the 100 TB deployment (also via env
+    * `GRAFT_AQE_PROFILE=scale`): instead of sizing
+    * `spark.sql.shuffle.partitions` by hand per cluster, START WIDE
+    * (4× parallelism — the headroom AQE needs to see real output sizes
+    * before merging) and let runtime statistics coalesce small
+    * partitions and split skewed join partitions. The sandbox default
+    * stays fixed-width (= cpus) because at sf0.1 most shuffles carry
+    * kilobytes and the extra initial partitions are pure scheduling
+    * overhead — measured full-board at sf1 in PERF.md ("AQE profile
+    * A/B"), which is how this recommendation was chosen rather than
+    * inherited. At real scale the profile wins: a 100 TB shuffle's
+    * per-partition size is unknowable at plan time, and AQE's
+    * post-shuffle statistics are the only honest sizing input. */
+  def aqeScaleProfile(spark: SparkSession): SparkSession = {
+    val par = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      (4 * par).toString)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5.0")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
     spark
   }
 

@@ -385,6 +385,48 @@ object Similarity {
     result
   }
 
+  /** IVF index health audit — the report an ANN deployment reads
+    * before trusting its recall numbers: per inverted list, its
+    * SIZE (balance: a hot list is probe-cost skew, the thing
+    * [[simDecontam]]'s maxPerList cap and SemDeDup's NList-growth rule
+    * manage) and its assignment-margin statistics (margin = cosine to
+    * own centroid − cosine to runner-up, the 2-centroid silhouette: a
+    * low-margin list is full of boundary vectors that single-probe
+    * search will miss — the empirical justification for
+    * [[annTopKMultiProbe]]). All aggregates ride exact 1e-4-quantized
+    * integers; the two means are single divisions of exact integers.
+    *
+    * Scale: centroids broadcast (≤ NList rows); the per-vector top-2
+    * is a bounded collect (NList structs) inside ONE map-side-combined
+    * hash-agg — deliberately NOT a row_number window, which would
+    * shuffle |v|·NList scored rows — then one per-list hash-agg over
+    * |v| narrow rows. */
+  def ivfStats(emb: DataFrame): DataFrame = {
+    val v = withEmbD(emb).persist() // training + scoring passes
+    val cents = trainedCentroids(v).localCheckpoint(true)
+    val top2 = v.crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct(floor(NativeVector.cosine(col("e"), col("ce")) * 10000)
+          .cast("long").as("cosq"), (-col("cid")).cast("long").as("ncid")).as("s"))
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(col("s")), asc = false).as("r"))
+      .select(col("vec_id"), (-col("r")(0)("ncid")).as("list_id"),
+        col("r")(0)("cosq").as("own_q"), col("r")(1)("cosq").as("next_q"))
+    val result = top2.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("own_q")).as("sum_own_q"),
+        min(col("own_q")).as("min_own_q"),
+        max(col("own_q")).as("max_own_q"),
+        sum(col("own_q") - col("next_q")).as("sum_margin_q"))
+      .select(col("list_id"), col("n"), col("sum_own_q"), col("min_own_q"),
+        col("max_own_q"), col("sum_margin_q"),
+        trunc4(col("sum_own_q").cast("double") / col("n") / 10000.0).as("mean_cos"),
+        trunc4(col("sum_margin_q").cast("double") / col("n") / 10000.0).as("mean_margin"))
+      .localCheckpoint(true) // ≤ NList rows
+    v.unpersist()
+    result
+  }
+
   /** Cross-corpus EMBEDDING-SPACE decontamination — the semantic
     * sibling of TextOps.decontaminate (which catches verbatim n-gram
     * overlap; this catches paraphrased benchmark leakage the surface
@@ -830,6 +872,77 @@ object Similarity {
         trunc4(col("dot_scaled") / QScale).as("adot"), col("rnk"))
       .localCheckpoint(true) // k rows per query
     v.unpersist()
+    result
+  }
+
+  /** IVF-PQ with exact refine — the composition every production ANN
+    * deployment actually runs (Faiss `IVFxx,PQyy` + `refine`): the
+    * coarse quantizer prunes WHICH vectors are scored ([[ivfTopK]]'s
+    * probe: an equi-join on the top-NProbe list_ids), PQ/ADC prunes
+    * WHAT is read to score them ([[adcTopK]]'s code+LUT lookup — the
+    * scan touches codes, never floats), and a final exact pass
+    * re-ranks only the `rerank` best ADC candidates per query against
+    * their true float vectors. Output rows carry both scores so the
+    * row answers "what did the compressed index think" (`dot_scaled`)
+    * and "what is actually true" (`cos`).
+    *
+    * Scale: this is the 100 TB search shape — corpus floats are read
+    * for exactly |Q|·rerank rows (the refine join), everything else
+    * moves (vec_id, list_id) pairs and 2-bit-per-dim codes; probes and
+    * LUTs are broadcast (|Q|·NProbe and |Q|·PqKs rows). Determinism:
+    * ADC scores are exact 2^20-scaled BIGINT sums, the refine cosine
+    * is trunc4, all ties break to the smaller vec_id. */
+  def ivfAdcTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10,
+      rerank: Int = 40): DataFrame = {
+    val v = withEmbD(emb).persist() // coarse + PQ training, encode, refine
+    val cents = trainedCentroids(v).localCheckpoint(true)
+    val q = v.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("cid"),
+        trunc4(NativeVector.cosine(col("qe"), col("ce"))).as("qcos"))
+      .withColumn("prnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("cid"))))
+      .filter(col("prnk") <= NProbe)
+      .select(col("q_id"), col("cid").as("list_id"))
+      .localCheckpoint(true) // |Q|·NProbe rows
+    // candidate set = union of the probed inverted lists, built once and
+    // shared by all PqM subspace scorers
+    val cand = assignTo(v, cents).join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .persist()
+    val cbs = pqCodebooks(v)
+    val parts = (0 until PqM).map { m =>
+      val vm = pqSlice(v, m)
+      val c = cbs(m)
+      val codes = vm.crossJoin(broadcast(c))
+        .select(col("vec_id"), col("cid"),
+          trunc4(NativeVector.cosine(col("e"), col("ce"))).as("ccos"))
+        .groupBy(col("vec_id"))
+        .agg(expr("max_by(cid, struct(ccos, -cid))").cast("long").as("code"))
+      val lut = vm.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("q_id"), col("e").as("qe"))
+        .crossJoin(broadcast(c))
+        .select(col("q_id"), col("cid").cast("long").as("code"),
+          floor(NativeVector.dot(col("qe"), col("ce")) * QScale).cast("long").as("pdot"))
+      cand.join(codes, "vec_id").join(broadcast(lut), Seq("q_id", "code"))
+        .select(col("q_id"), col("vec_id"), col("pdot"))
+    }
+    val adc = parts.reduce(_ unionByName _)
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("dot_scaled"))
+      .withColumn("arnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("dot_scaled").desc, col("vec_id"))))
+      .filter(col("arnk") <= rerank)
+    val result = adc.join(v, "vec_id").join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"), col("dot_scaled"),
+        trunc4(NativeVector.cosine(col("qe"), col("e"))).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .localCheckpoint(true) // k rows per query
+    cand.unpersist(); v.unpersist()
     result
   }
 
@@ -1638,12 +1751,14 @@ object Similarity {
     "q_calibration" -> ((s, d) => calibration(Tables.embeddings(s, d))),
     "q_dedup_semantic" -> ((s, d) => semanticDedup(Tables.embeddings(s, d))),
     "q_sim_decontam" -> ((s, d) => simDecontam(Tables.embeddings(s, d))),
+    "q_ivf_stats" -> ((s, d) => ivfStats(Tables.embeddings(s, d))),
     "q_sim_recall" -> ((s, d) => recallAtK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_vec_matryoshka" -> ((s, d) => matryoshkaRecall(Tables.embeddings(s, d))),
     "q_recall_curve" -> ((s, d) => recallCurve(Tables.embeddings(s, d))),
     "q_vec_quantize" -> ((s, d) => quantizeAudit(Tables.embeddings(s, d))),
     "q_vec_pq" -> ((s, d) => pqEncode(Tables.embeddings(s, d))),
     "q_sim_topk_adc" -> ((s, d) => adcTopK(Tables.embeddings(s, d), DefaultQueryIds)),
+    "q_sim_topk_ivfpq" -> ((s, d) => ivfAdcTopK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_topk_bin" -> ((s, d) => binTopK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_topk_sq8" -> ((s, d) => sq8TopK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_vec_drift" -> ((s, d) => vecDrift(Tables.embeddings(s, d))),
@@ -2047,6 +2162,33 @@ object Similarity {
         "SELECT q_id, vec_id, dot_scaled, " +
         s"floor(dot_scaled::DOUBLE / ${QScale.toLong} * 10000) / 10000 AS adot, rnk " +
         "FROM adc_rk WHERE rnk <= 10"),
+    "q_sim_topk_ivfpq" ->
+      (s"WITH $vCte, $qsCte, $ivfCtes, " +
+        (0 until PqM).map(pqChainSql).mkString(", ") + ", " +
+        // candidate set: probed inverted lists, self excluded
+        s"ia_cand AS (SELECT p.q_id, a.vec_id FROM kas$KmIters a " +
+        "JOIN iv_probes p USING (list_id) WHERE a.vec_id <> p.q_id), " +
+        (0 until PqM).map { m =>
+          s"ia_lut$m AS (SELECT vec_id q_id, cid::BIGINT code, " +
+            s"CAST(floor(list_dot_product(e, ce) * ${QScale.toLong}) AS BIGINT) pdot " +
+            s"FROM vm$m CROSS JOIN pc${m}_$PqIters WHERE vec_id IN $idsSql), " +
+            s"ia_part$m AS (SELECT c.q_id, c.vec_id, l.pdot FROM ia_cand c " +
+            s"JOIN pf$m f ON f.vec_id = c.vec_id " +
+            s"JOIN ia_lut$m l ON l.code = f.code AND l.q_id = c.q_id)"
+        }.mkString(", ") + ", " +
+        "ia_all AS (" + (0 until PqM).map(m => s"SELECT * FROM ia_part$m")
+          .mkString(" UNION ALL ") + "), " +
+        "ia_sc AS (SELECT q_id, vec_id, sum(pdot)::BIGINT dot_scaled " +
+        "FROM ia_all GROUP BY 1, 2), " +
+        "ia_rr AS (SELECT *, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY dot_scaled DESC, vec_id) arnk FROM ia_sc), " +
+        "ia_ex AS (SELECT r.q_id, r.vec_id, r.dot_scaled, " +
+        "floor(list_cosine_similarity(qs.qe, v.e) * 10000) / 10000 cos " +
+        "FROM ia_rr r JOIN qs ON qs.q_id = r.q_id JOIN v ON v.vec_id = r.vec_id " +
+        "WHERE r.arnk <= 40), " +
+        "ia_rk AS (SELECT q_id, vec_id, dot_scaled, cos, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, vec_id) rnk FROM ia_ex) " +
+        "SELECT q_id, vec_id, dot_scaled, cos, rnk FROM ia_rk WHERE rnk <= 10"),
     "q_vec_project" ->
       ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings), " +
         "el AS (SELECT vec_id, unnest(e) x, unnest(range(len(e))) i FROM v), " +
@@ -2186,6 +2328,22 @@ object Similarity {
         "(SELECT e FROM v WHERE v.vec_id = cand.a_id), " +
         "(SELECT e FROM v WHERE v.vec_id = cand.b_id)) * 10000) / 10000 cos FROM cand) " +
         "SELECT a_id, b_id, cos FROM scored WHERE cos >= 0.4"),
+    "q_ivf_stats" ->
+      (s"WITH $vCte, $kmChainCtes, " +
+        "iv_sc AS (SELECT v.vec_id, c.cid::BIGINT cid, " +
+        s"CAST(floor(list_cosine_similarity(v.e, c.ce) * 10000) AS BIGINT) cosq " +
+        s"FROM v CROSS JOIN c$KmIters c), " +
+        "iv_rk AS (SELECT vec_id, cid, cosq, row_number() OVER " +
+        "(PARTITION BY vec_id ORDER BY cosq DESC, cid) rn FROM iv_sc), " +
+        "iv_t AS (SELECT vec_id, max(CASE WHEN rn = 1 THEN cid END) list_id, " +
+        "max(CASE WHEN rn = 1 THEN cosq END) own_q, " +
+        "max(CASE WHEN rn = 2 THEN cosq END) next_q FROM iv_rk WHERE rn <= 2 GROUP BY 1) " +
+        "SELECT list_id, count(*) n, sum(own_q)::BIGINT sum_own_q, " +
+        "min(own_q) min_own_q, max(own_q) max_own_q, " +
+        "sum(own_q - next_q)::BIGINT sum_margin_q, " +
+        "floor(sum(own_q)::DOUBLE / count(*) / 10000 * 10000) / 10000 mean_cos, " +
+        "floor(sum(own_q - next_q)::DOUBLE / count(*) / 10000 * 10000) / 10000 mean_margin " +
+        "FROM iv_t GROUP BY 1"),
     "q_sim_decontam" ->
       (s"WITH $vCte, " +
         "dc_tr AS (SELECT vec_id, e FROM v WHERE vec_id % 7 <> 0), " +

@@ -1083,6 +1083,55 @@ class OperatorsSpec extends SparkSpec {
     assert(hit.get.getAs[Double]("best_cos") >= 0.99)
   }
 
+  test("Similarity.ivfAdcTopK: refine puts the planted exact copy at rank 1, k rows per query") {
+    import spark.implicits._
+    // vec 25 = exact copy of query 0: same coarse list as the query
+    // (always probed first), identical PQ codes, cos 1.0 after refine
+    val emb = (0L until 30L).map { i =>
+      val j = if (i == 25L) 0L else i // vec 25 clones vec 0 exactly
+      val a = Array.fill(64)(0f)
+      // coprime moduli (13, 7, 5): no two of 0..29 collide on all three,
+      // so vec 25 is the ONLY clone in the corpus
+      a((j % 13L).toInt) = 1f
+      a(16 + (j % 7).toInt) = 0.1f * ((j % 5).toInt + 1)
+      (i, a)
+    }.toDF("vec_id", "embedding")
+    val r = Similarity.ivfAdcTopK(emb, Seq(0L), k = 5).collect()
+    assert(r.length <= 5 && r.nonEmpty)
+    val byRnk = r.sortBy(_.getAs[Long]("rnk"))
+    assert(byRnk.head.getAs[Long]("vec_id") === 25L)
+    assert(byRnk.head.getAs[Double]("cos") === 1.0)
+    // refine order: cos non-increasing in rnk
+    val coss = byRnk.map(_.getAs[Double]("cos")).toSeq
+    assert(coss === coss.sorted.reverse)
+    assert(r.forall(_.getAs[Long]("q_id") == 0L))
+  }
+
+  test("Similarity.ivfStats: sizes partition the corpus, margins are non-negative, deterministic") {
+    import spark.implicits._
+    // two tight clusters (dims 3 and 11) + per-vector jitter on a side
+    // dim, so assignments are non-trivial but stable
+    val emb = (0L until 40L).map { i =>
+      val a = Array.fill(64)(0f)
+      a(if (i % 2 == 0) 3 else 11) = 1f
+      a(20 + (i % 5).toInt) = 0.05f * ((i % 3).toInt + 1)
+      (i, a)
+    }.toDF("vec_id", "embedding")
+    val r1 = Similarity.ivfStats(emb).collect()
+    val r2 = Similarity.ivfStats(emb).collect()
+    assert(r1.map(_.toString).sorted.toSeq === r2.map(_.toString).sorted.toSeq)
+    assert(r1.map(_.getAs[Long]("n")).sum === 40L) // lists partition the corpus
+    assert(r1.map(_.getAs[Long]("list_id")).distinct.length === r1.length)
+    r1.foreach { row =>
+      assert(row.getAs[Long]("list_id") >= 0L && row.getAs[Long]("list_id") < Similarity.NList)
+      assert(row.getAs[Long]("min_own_q") <= row.getAs[Long]("max_own_q"))
+      // own centroid is argmax-cosine, so margin vs runner-up is ≥ 0
+      assert(row.getAs[Long]("sum_margin_q") >= 0L)
+      val mc = row.getAs[Double]("mean_cos")
+      assert(mc >= -1.0 && mc <= 1.0)
+    }
+  }
+
   test("SqlCoverage.setOpsExceptAll keeps multiplicity, unlike plain EXCEPT") {
     import spark.implicits._
     val ev = Seq(
