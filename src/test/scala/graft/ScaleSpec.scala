@@ -1042,4 +1042,30 @@ class ScaleSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"${offenders.length} global-window offender(s):\n${offenders.mkString("\n\n")}")
   }
+
+  test("AQE scale profile: applies the 100TB posture and leaves query results untouched") {
+    // the opt-in profile must (a) actually set the AQE knobs it
+    // documents and (b) be a pure physical-strategy change — the same
+    // query collects the same rows under either posture (the A/B in
+    // PERF.md measures speed; this pins safety)
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    def run() = operators.Analytics.perDay(Tables.events(spark, sf))
+      .collect().map(_.toString).sorted.toSeq
+    val before = run()
+    try {
+      Tables.aqeScaleProfile(spark)
+      assert(spark.conf.get("spark.sql.adaptive.enabled") === "true")
+      assert(spark.conf.get("spark.sql.adaptive.skewJoin.enabled") === "true")
+      assert(spark.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum").toInt
+        === 4 * spark.sparkContext.defaultParallelism)
+      assert(run() === before)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
 }

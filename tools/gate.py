@@ -79,7 +79,9 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written table (e.g. ScaleUp's sf1)
+            p = os.path.join(p, "*.parquet")
+        if glob.glob(p) or os.path.exists(p):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     results, n_ok, n_bad = {}, 0, 0
