@@ -1936,6 +1936,32 @@ object Similarity {
       train + ", " + assignSql(s"${p}c$KmIters", KmIters, rel)
   }
 
+  /** Cross-corpus decontamination chain → dc_sc (scored held-out →
+    * train candidate pairs): train/held-out split, train-slice k-means,
+    * hash-capped inverted lists, top-NProbe probes, probe-join scoring.
+    * Requires v. Shared by the batch aggregate (q_sim_decontam) and the
+    * streaming pair emitter (q_stream_decontam). */
+  private[graft] lazy val dcCtes: String =
+    "dc_tr AS (SELECT vec_id, e FROM v WHERE vec_id % 7 <> 0), " +
+      "dc_ho AS (SELECT vec_id q_id, e qe FROM v WHERE vec_id % 7 = 0), " +
+      kmChainCtesOver("dc_", "dc_tr") + ", " +
+      s"dc_cap AS (SELECT vec_id, e, list_id FROM (SELECT t.vec_id, t.e, a.list_id, " +
+      "row_number() OVER (PARTITION BY a.list_id ORDER BY " +
+      "('0x'||substr(md5('dcap|'||t.vec_id),1,15))::BIGINT, t.vec_id) crnk " +
+      s"FROM dc_tr t JOIN dc_kas$KmIters a USING (vec_id)) WHERE crnk <= 64), " +
+      "dc_pc AS (SELECT q_id, qe, cid, " +
+      s"floor(list_cosine_similarity(qe, ce) * 10000) / 10000 qcos FROM dc_ho CROSS JOIN dc_c$KmIters), " +
+      "dc_pr AS (SELECT q_id, qe, cid AS list_id FROM (SELECT q_id, qe, cid, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, cid) prn FROM dc_pc) " +
+      s"WHERE prn <= $NProbe), " +
+      "dc_sc AS (SELECT p.q_id, c.vec_id, " +
+      "floor(list_cosine_similarity(p.qe, c.e) * 10000) / 10000 cos " +
+      "FROM dc_cap c JOIN dc_pr p USING (list_id))"
+
+  /** [[dcCtes]]' full WITH prelude, for oracles living outside this
+    * file (the streaming pair emitter). */
+  private[graft] lazy val dcOraclePrefix: String = s"WITH $vCte, $dcCtes "
+
   /** Full IVF chain → iv_ranked: [[kmChainCtes]] then probes +
     * probe-join scoring. Requires v, qs. */
   private lazy val ivfCtes = {
@@ -2345,22 +2371,7 @@ object Similarity {
         "floor(sum(own_q - next_q)::DOUBLE / count(*) / 10000 * 10000) / 10000 mean_margin " +
         "FROM iv_t GROUP BY 1"),
     "q_sim_decontam" ->
-      (s"WITH $vCte, " +
-        "dc_tr AS (SELECT vec_id, e FROM v WHERE vec_id % 7 <> 0), " +
-        "dc_ho AS (SELECT vec_id q_id, e qe FROM v WHERE vec_id % 7 = 0), " +
-        kmChainCtesOver("dc_", "dc_tr") + ", " +
-        s"dc_cap AS (SELECT vec_id, e, list_id FROM (SELECT t.vec_id, t.e, a.list_id, " +
-        "row_number() OVER (PARTITION BY a.list_id ORDER BY " +
-        "('0x'||substr(md5('dcap|'||t.vec_id),1,15))::BIGINT, t.vec_id) crnk " +
-        s"FROM dc_tr t JOIN dc_kas$KmIters a USING (vec_id)) WHERE crnk <= 64), " +
-        "dc_pc AS (SELECT q_id, qe, cid, " +
-        s"floor(list_cosine_similarity(qe, ce) * 10000) / 10000 qcos FROM dc_ho CROSS JOIN dc_c$KmIters), " +
-        "dc_pr AS (SELECT q_id, qe, cid AS list_id FROM (SELECT q_id, qe, cid, " +
-        "row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, cid) prn FROM dc_pc) " +
-        s"WHERE prn <= $NProbe), " +
-        "dc_sc AS (SELECT p.q_id, c.vec_id, " +
-        "floor(list_cosine_similarity(p.qe, c.e) * 10000) / 10000 cos " +
-        "FROM dc_cap c JOIN dc_pr p USING (list_id)) " +
+      (s"WITH $vCte, $dcCtes " +
         "SELECT q_id, min(vec_id) AS train_match, count(*) AS n_matches, " +
         "max(cos) AS best_cos FROM dc_sc WHERE cos >= 0.4 GROUP BY q_id"),
     "q_dedup_semantic" ->

@@ -1355,6 +1355,95 @@ object Streaming {
     result
   }
 
+  /** Streaming ingestion decontamination — the ONLINE half of
+    * [[graft.operators.Similarity.simDecontam]]: candidate training
+    * vectors arrive as micro-batches and every (candidate, benchmark)
+    * pair with cosine ≥ τ is flagged in the batch the candidate
+    * arrived in, BEFORE it can enter the training pool. The index side
+    * is static and built once batch-side: coarse centroids trained on
+    * the benchmark corpus (exact-arithmetic k-means, so the oracle
+    * retrains them bit-identically), per-list membership hash-capped
+    * at 64 (same cap + thinning order as the batch operator), pinned
+    * with persist.
+    *
+    * The streaming probe is STATELESS by construction: the ≤ NList
+    * centroids are collected (bounded driver round-trip — an ANN
+    * router is driver-resident by design) and baked into a literal
+    * expression — a 16-struct array of (trunc4 cosine, −cid), sorted
+    * descending, sliced to NProbe, exploded — so per-row probing is
+    * pure scalar compute: no window function, no aggregation, no
+    * watermark, and the stream-static equi-join on list_id is
+    * Append-legal. Flag latency is one micro-batch.
+    *
+    * Scale: per incoming vector the join touches NProbe/NList of the
+    * pinned index; at 100 TB the index is the bucketed-by-list layout
+    * of [[graft.operators.Similarity.writeBucketedByList]] and the
+    * probe join prunes to the probed buckets at the scan. Streaming
+    * state: none. */
+  def streamDecontam(spark: SparkSession, dir: String,
+      threshold: Double = 0.4): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.expressions.Window
+    val Sim = graft.operators.Similarity
+    val v = Sim.withEmbD(graft.Tables.embeddings(spark, dir)).persist()
+    val tr = v.filter(pmod(col("vec_id"), lit(7L)) =!= 0)
+    val ho = v.filter(pmod(col("vec_id"), lit(7L)) === 0)
+    val cents = Sim.trainedCentroids(tr).localCheckpoint(true) // ≤ NList rows
+    val capped = tr.join(Sim.assignTo(tr, cents), "vec_id")
+      .withColumn("crnk", row_number().over(Window.partitionBy(col("list_id"))
+        .orderBy(graft.functions.TextHash.hash60(concat(lit("dcap|"), col("vec_id"))),
+          col("vec_id"))))
+      .filter(col("crnk") <= 64)
+      .select(col("vec_id").as("train_id"), col("e").as("te"), col("list_id"))
+      .persist()
+    capped.count() // pin the index BEFORE micro-batches start re-planning
+    val cl = cents.collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    // top-NProbe lists as a pure scalar expression over the literal
+    // centroid set: (qcos, -cid) structs sort exactly like the batch
+    // operator's (qcos DESC, cid) window rank
+    def probedLists(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      slice(sort_array(array(cl.map {
+      case (cid, ce) => struct(
+        graft.functions.Portable.trunc4(
+          graft.functions.NativeVector.cosine(e, typedLit(ce))).as("qcos"),
+        lit(-cid).as("ncid"))
+    }: _*), asc = false), 1, Sim.NProbe)
+    val root = java.nio.file.Files.createTempDirectory("graft-sdc")
+    val inDir = s"$root/in"; val outDir = s"$root/out"
+    // batch boundaries don't affect the (stateless) result; slicing is
+    // only there to exercise real multi-batch execution
+    ho.select(col("vec_id"), col("e")).repartition(4).write.parquet(inDir)
+    val inSchema = spark.read.parquet(inDir).schema
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = spark.readStream.schema(inSchema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"),
+          explode(probedLists(col("e"))).as("p"))
+        .select(col("q_id"), col("qe"), (-col("p.ncid")).as("list_id"))
+        .join(capped, Seq("list_id"))
+        .select(col("q_id"), col("train_id").as("train_match"),
+          graft.functions.Portable.trunc4(
+            graft.functions.NativeVector.cosine(col("qe"), col("te"))).as("cos"))
+        .filter(col("cos") >= threshold)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", s"$root/ck")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("q_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("train_match", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cos", org.apache.spark.sql.types.DoubleType)))
+    val result = spark.read.schema(outSchema).parquet(outDir)
+      .localCheckpoint(true) // flagged pairs ≪ corpus
+    rmTree(new java.io.File(root.toString))
+    capped.unpersist(); v.unpersist()
+    result
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1375,7 +1464,8 @@ object Streaming {
     "q_stream_unique" -> ((s, d) => streamUniqueUsers(s, d)),
     "q_stream_rate_limit" -> ((s, d) => streamRateLimit(s, d)),
     "q_stream_funnel" -> ((s, d) => streamFunnel(s, d)),
-    "q_stream_burst" -> ((s, d) => streamBurst(s, d)))
+    "q_stream_burst" -> ((s, d) => streamBurst(s, d)),
+    "q_stream_decontam" -> ((s, d) => streamDecontam(s, d)))
 
   /** The tumbling-window batch equivalent — checks [[streamReplay]]
     * directly and [[streamDedup]] (exactly-once: the redelivered copies
@@ -1386,6 +1476,11 @@ object Streaming {
       "FROM events GROUP BY 1, 2"
 
   val oracleSql: Map[String, String] = Map(
+    // streaming decontamination is stateless, so the batch equivalent
+    // is exactly the shared scored-pair chain with no aggregation
+    "q_stream_decontam" ->
+      (graft.operators.Similarity.dcOraclePrefix +
+        "SELECT q_id, vec_id AS train_match, cos FROM dc_sc WHERE cos >= 0.4"),
     // sequential token-bucket admission, replayed per user by a
     // recursive CTE stepping event rank i -> i+1 (depth = max events
     // per user); same integer units as the stateful operator

@@ -984,4 +984,41 @@ class StreamingSpec extends SparkSpec {
       assert(r.getAs[String]("transaction_id") === "k-1" && r.getAs[Int]("user_id") === 5)
     }
   }
+
+  test("streamDecontam flags exactly the batch operator's scored pairs (stateless micro-batch parity)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, row_number, count => fcount, min => fmin, max => fmax}
+    val Sim = graft.operators.Similarity
+    // batch reference: the SAME scored-pair chain the streaming probe
+    // literalizes — split, capped index, windowed top-NProbe probe
+    val v = Sim.withEmbD(Tables.embeddings(spark, sf))
+    val tr = v.filter(pmod(col("vec_id"), lit(7L)) =!= 0)
+    val ho = v.filter(pmod(col("vec_id"), lit(7L)) === 0)
+    val cents = Sim.trainedCentroids(tr).localCheckpoint(true)
+    val capped = tr.join(Sim.assignTo(tr, cents), "vec_id")
+      .withColumn("crnk", row_number().over(Window.partitionBy(col("list_id"))
+        .orderBy(graft.functions.TextHash.hash60(concat(lit("dcap|"), col("vec_id"))),
+          col("vec_id"))))
+      .filter(col("crnk") <= 64)
+      .select(col("vec_id"), col("e"), col("list_id"))
+    val probes = ho.select(col("vec_id").as("q_id"), col("e").as("qe"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qe"), col("cid"),
+        graft.functions.Portable.trunc4(
+          graft.functions.NativeVector.cosine(col("qe"), col("ce"))).as("qcos"))
+      .withColumn("prnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("cid"))))
+      .filter(col("prnk") <= Sim.NProbe)
+      .select(col("q_id"), col("qe"), col("cid").as("list_id"))
+    val expected = capped.join(broadcast(probes), Seq("list_id"))
+      .select(col("q_id"), col("vec_id").as("train_match"),
+        graft.functions.Portable.trunc4(
+          graft.functions.NativeVector.cosine(col("qe"), col("e"))).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .collect().map(_.toString).sorted.toSeq
+    val got = Streaming.streamDecontam(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty, "no flagged pairs at this sf — fixture too weak to test")
+    assert(got === expected)
+  }
 }
