@@ -427,6 +427,116 @@ object Similarity {
     result
   }
 
+  /** Incremental IVF maintenance audit — the report behind the
+    * retrain-or-not decision every production ANN index faces daily:
+    * a new vector batch (the held-out slice) is assigned to the
+    * FROZEN centroids trained before it arrived (the cheap incremental
+    * add: one broadcast + map-side-combined argmax per vector, no
+    * retraining), and per inverted list the audit reports the base
+    * size, the incremental additions, and `n_would_move` — how many
+    * of the additions land in a DIFFERENT list under centroids
+    * retrained on the full corpus. A high move fraction means the
+    * frozen router has drifted and probe recall is decaying; near-zero
+    * means incremental adds are safe to keep batching.
+    *
+    * Scale: two centroid sets (≤ NList rows each, broadcast), two
+    * assignment passes whose shuffles carry one (vec_id, list) pair
+    * per vector, one full-outer join of two ≤ NList-row aggregates.
+    * Nothing touches pairs. */
+  def ivfIncr(emb: DataFrame, holdMod: Long = 7L): DataFrame = {
+    val v = withEmbD(emb).persist() // two trainings + three assigns
+    val tr = v.filter(pmod(col("vec_id"), lit(holdMod)) =!= 0)
+    val ho = v.filter(pmod(col("vec_id"), lit(holdMod)) === 0)
+    val frozen = trainedCentroids(tr).localCheckpoint(true)
+    // retrain over the FULL corpus sample but from the SAME tr seeds,
+    // so the two cid spaces align and a frozen≠retrained disagreement
+    // means the ROUTING moved, not that cluster labels were renamed
+    val retrained = {
+      var c = seedCentroids(tr)
+      val sample = kmSample(v)
+      for (_ <- 0 until KmIters) c = centroidStep(sample, c)
+      c.localCheckpoint(true)
+    }
+    val base = assignTo(tr, frozen)
+      .groupBy(col("list_id")).agg(count(lit(1)).as("n_base"))
+    val moves = assignTo(ho, frozen).withColumnRenamed("list_id", "frozen_list")
+      .join(assignTo(ho, retrained).withColumnRenamed("list_id", "retrained_list"),
+        "vec_id")
+      .groupBy(col("frozen_list").as("list_id"))
+      .agg(count(lit(1)).as("n_added"),
+        sum(when(col("frozen_list") =!= col("retrained_list"), 1L)
+          .otherwise(0L)).as("n_would_move"))
+    val result = base.join(moves, Seq("list_id"), "full_outer")
+      .select(col("list_id"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"),
+        (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_added"), lit(0L))).as("n_new"),
+        coalesce(col("n_would_move"), lit(0L)).as("n_would_move"))
+      .localCheckpoint(true) // ≤ NList rows
+    v.unpersist()
+    result
+  }
+
+  /** Filtered ANN — top-k under a metadata predicate (here: the
+    * query's own label), the classic vector-DB failure mode measured
+    * head-on. Two paths per query: EXACT pre-filter (restrict the
+    * corpus to the label FIRST — an equi-join on label, never a cross
+    * join — then rank) and IVF post-filter (probe the top-NProbe
+    * lists, THEN drop non-matching labels, then rank): the audit row
+    * carries both candidate counts and recall of post-filter against
+    * pre-filter. Post-filter recall collapses when the label is rare
+    * inside the probed lists — exactly what this report shows, and why
+    * production systems partition or over-probe for selective filters.
+    *
+    * Scale: pre-filter path shuffles on label (a broadcast of |Q| query
+    * rows against the label-filtered corpus); post-filter path reuses
+    * the IVF probe equi-join. Candidates stay bounded by the label
+    * selectivity resp. NProbe/NList. */
+  def filteredTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    val v = withEmbD(emb).persist() // training + assign + two scoring passes
+    val vl = v.join(emb.select(col("vec_id"), col("label")), "vec_id")
+    val q = vl.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"), col("label").as("qlabel"))
+      .localCheckpoint(true) // |Q| rows
+    val exactScored = vl.join(broadcast(q),
+        col("label") === col("qlabel") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        trunc4(NativeVector.cosine(col("qe"), col("e"))).as("cos"))
+    val exact = exactScored.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= k).select(col("q_id"), col("vec_id")).persist()
+    val cents = trainedCentroids(v).localCheckpoint(true)
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qe"), col("qlabel"), col("cid"),
+        trunc4(NativeVector.cosine(col("qe"), col("ce"))).as("qcos"))
+      .withColumn("prnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("cid"))))
+      .filter(col("prnk") <= NProbe)
+      .select(col("q_id"), col("qe"), col("qlabel"), col("cid").as("list_id"))
+    val post = vl.join(assignTo(v, cents), "vec_id")
+      .join(broadcast(probes), Seq("list_id"))
+      .filter(col("vec_id") =!= col("q_id") && col("label") === col("qlabel"))
+      .select(col("q_id"), col("vec_id"),
+        trunc4(NativeVector.cosine(col("qe"), col("e"))).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= k).select(col("q_id"), col("vec_id")).persist()
+    val nf = exactScored.groupBy(col("q_id")).agg(count(lit(1)).as("n_filtered"))
+    val nExact = exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+    val nPost = post.groupBy(col("q_id")).agg(count(lit(1)).as("n_post"))
+    val hits = exact.join(post, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
+    val result = nf.join(nExact, "q_id")
+      .join(nPost, Seq("q_id"), "left").join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_filtered"), col("n_exact"),
+        coalesce(col("n_post"), lit(0L)).as("n_post"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        trunc4(coalesce(col("hits"), lit(0L)).cast("double") / col("n_exact")).as("recall"))
+      .localCheckpoint(true) // |Q| rows
+    exact.unpersist(); post.unpersist(); v.unpersist()
+    result
+  }
+
   /** Cross-corpus EMBEDDING-SPACE decontamination — the semantic
     * sibling of TextOps.decontaminate (which catches verbatim n-gram
     * overlap; this catches paraphrased benchmark leakage the surface
@@ -1752,6 +1862,8 @@ object Similarity {
     "q_dedup_semantic" -> ((s, d) => semanticDedup(Tables.embeddings(s, d))),
     "q_sim_decontam" -> ((s, d) => simDecontam(Tables.embeddings(s, d))),
     "q_ivf_stats" -> ((s, d) => ivfStats(Tables.embeddings(s, d))),
+    "q_ivf_incr" -> ((s, d) => ivfIncr(Tables.embeddings(s, d))),
+    "q_sim_filter_topk" -> ((s, d) => filteredTopK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_recall" -> ((s, d) => recallAtK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_vec_matryoshka" -> ((s, d) => matryoshkaRecall(Tables.embeddings(s, d))),
     "q_recall_curve" -> ((s, d) => recallCurve(Tables.embeddings(s, d))),
@@ -1961,6 +2073,33 @@ object Similarity {
   /** [[dcCtes]]' full WITH prelude, for oracles living outside this
     * file (the streaming pair emitter). */
   private[graft] lazy val dcOraclePrefix: String = s"WITH $vCte, $dcCtes "
+
+  /** Seed-aligned retrain chain for the incremental-maintenance audit
+    * (→ ii_c$KmIters): SAME seeds as the frozen dc_ chain (from dc_tr)
+    * but Lloyd steps over the FULL corpus sample — mirrors
+    * [[ivfIncr]]'s retrained centroids exactly. Requires v, dc_tr. */
+  private lazy val iiCtes: String = {
+    def assignSql(cIn: String, idx: Int, r: String): String =
+      s"ii_ka$idx AS (SELECT $r.vec_id, c.cid, " +
+        s"floor(list_cosine_similarity($r.e, c.ce) * 10000) / 10000 ccos " +
+        s"FROM $r CROSS JOIN $cIn c), " +
+        s"ii_kas$idx AS (SELECT vec_id, cid AS list_id FROM (SELECT vec_id, cid, " +
+        s"row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) rn " +
+        s"FROM ii_ka$idx) WHERE rn = 1)"
+    def updateSql(idx: Int): String =
+      s"ii_kj$idx AS (SELECT a.list_id, r.d, " +
+        s"sum(floor(ii_ks.e[r.d] * ${QScale.toLong}))::BIGINT sv, count(*) n " +
+        s"FROM ii_ks JOIN ii_kas$idx a USING (vec_id) " +
+        s"CROSS JOIN range(1, ${Dim + 1}) r(d) GROUP BY 1, 2), " +
+        s"ii_c${idx + 1} AS (SELECT list_id AS cid, " +
+        s"list(sv::DOUBLE / n / ${QScale.toLong}.0 ORDER BY d) ce FROM ii_kj$idx GROUP BY list_id)"
+    val train = (0 until KmIters)
+      .map(i => assignSql(s"ii_c$i", i, "ii_ks") + ", " + updateSql(i)).mkString(", ")
+    "ii_ks AS (SELECT vec_id, e FROM v " +
+      "WHERE ('0x'||substr(md5('kms|'||vec_id),1,15))::BIGINT % 4 = 0), " +
+      s"ii_c0 AS (SELECT vec_id::INT cid, e ce FROM dc_tr WHERE vec_id < $NList), " +
+      train
+  }
 
   /** Full IVF chain → iv_ranked: [[kmChainCtes]] then probes +
     * probe-join scoring. Requires v, qs. */
@@ -2374,6 +2513,54 @@ object Similarity {
       (s"WITH $vCte, $dcCtes " +
         "SELECT q_id, min(vec_id) AS train_match, count(*) AS n_matches, " +
         "max(cos) AS best_cos FROM dc_sc WHERE cos >= 0.4 GROUP BY q_id"),
+    "q_ivf_incr" ->
+      (s"WITH $vCte, $dcCtes, $iiCtes, " +
+        // frozen-centroid assignment of the held-out batch
+        "ii_af AS (SELECT vec_id, cid frozen_list FROM (SELECT q_id vec_id, cid, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, cid) rn FROM " +
+        "(SELECT h.q_id, c.cid, floor(list_cosine_similarity(h.qe, c.ce) * 10000) / 10000 ccos " +
+        s"FROM dc_ho h CROSS JOIN dc_c$KmIters c)) WHERE rn = 1), " +
+        // seed-aligned retrained assignment of the same batch
+        "ii_ar AS (SELECT vec_id, cid retrained_list FROM (SELECT q_id vec_id, cid, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, cid) rn FROM " +
+        "(SELECT h.q_id, c.cid, floor(list_cosine_similarity(h.qe, c.ce) * 10000) / 10000 ccos " +
+        s"FROM dc_ho h CROSS JOIN ii_c$KmIters c)) WHERE rn = 1), " +
+        s"ii_base AS (SELECT list_id, count(*) n_base FROM dc_kas$KmIters GROUP BY 1), " +
+        "ii_mv AS (SELECT f.frozen_list list_id, count(*) n_added, " +
+        "sum(CASE WHEN f.frozen_list <> r.retrained_list THEN 1 ELSE 0 END)::BIGINT n_would_move " +
+        "FROM ii_af f JOIN ii_ar r USING (vec_id) GROUP BY 1) " +
+        "SELECT coalesce(b.list_id, m.list_id) list_id, coalesce(n_base, 0) n_base, " +
+        "coalesce(n_added, 0) n_added, coalesce(n_base, 0) + coalesce(n_added, 0) n_new, " +
+        "coalesce(n_would_move, 0) n_would_move " +
+        "FROM ii_base b FULL OUTER JOIN ii_mv m ON b.list_id = m.list_id"),
+    "q_sim_filter_topk" ->
+      (s"WITH $vCte, $qsCte, $ivfCtes, " +
+        s"fq AS (SELECT v.vec_id q_id, v.e qe, emb.label qlabel FROM v " +
+        s"JOIN embeddings emb ON emb.vec_id = v.vec_id WHERE v.vec_id IN $idsSql), " +
+        "fvl AS (SELECT v.vec_id, v.e, emb.label FROM v " +
+        "JOIN embeddings emb ON emb.vec_id = v.vec_id), " +
+        "fex AS (SELECT q_id, vec_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, vec_id) rnk FROM " +
+        "(SELECT fq.q_id, fvl.vec_id, " +
+        "floor(list_cosine_similarity(fq.qe, fvl.e) * 10000) / 10000 cos " +
+        "FROM fvl JOIN fq ON fvl.label = fq.qlabel AND fvl.vec_id <> fq.q_id)), " +
+        "fpost AS (SELECT q_id, vec_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, vec_id) rnk FROM " +
+        "(SELECT s.q_id, s.vec_id, s.cos FROM iv_scored s " +
+        "JOIN embeddings emb ON emb.vec_id = s.vec_id " +
+        "JOIN fq ON fq.q_id = s.q_id WHERE emb.label = fq.qlabel)), " +
+        "fnf AS (SELECT fq.q_id, count(*) n_filtered FROM fvl " +
+        "JOIN fq ON fvl.label = fq.qlabel AND fvl.vec_id <> fq.q_id GROUP BY 1), " +
+        "fne AS (SELECT q_id, count(*) n_exact FROM fex WHERE rnk <= 10 GROUP BY 1), " +
+        "fnp AS (SELECT q_id, count(*) n_post FROM fpost WHERE rnk <= 10 GROUP BY 1), " +
+        "fhit AS (SELECT e.q_id, count(*) hits FROM " +
+        "(SELECT q_id, vec_id FROM fex WHERE rnk <= 10) e JOIN " +
+        "(SELECT q_id, vec_id FROM fpost WHERE rnk <= 10) p USING (q_id, vec_id) GROUP BY 1) " +
+        "SELECT f.q_id, n_filtered, n_exact, coalesce(n_post, 0) n_post, " +
+        "coalesce(hits, 0) hits, " +
+        "floor(coalesce(hits, 0)::DOUBLE / n_exact * 10000) / 10000 recall " +
+        "FROM fnf f JOIN fne USING (q_id) LEFT JOIN fnp USING (q_id) " +
+        "LEFT JOIN fhit USING (q_id)"),
     "q_dedup_semantic" ->
       (s"WITH $vCte, $kmChainCtes, " +
         s"sd_vl AS (SELECT v.vec_id, v.e, a.list_id FROM v JOIN kas$KmIters a USING (vec_id)), " +

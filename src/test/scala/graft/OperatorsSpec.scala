@@ -1107,6 +1107,55 @@ class OperatorsSpec extends SparkSpec {
     assert(r.forall(_.getAs[Long]("q_id") == 0L))
   }
 
+  test("Similarity.ivfIncr: counts reconcile across the full-outer merge, deterministic") {
+    import spark.implicits._
+    // held-out vectors clone train vectors, so the incremental batch is
+    // in-distribution; the audit's ledger must reconcile exactly
+    val emb = (0L until 42L).map { i =>
+      val j = if (i % 7L == 0L) i + 1L else i // held-out i clones train i+1
+      val a = Array.fill(64)(0f)
+      a((j % 13L).toInt) = 1f
+      a(16 + (j % 5).toInt) = 0.2f
+      (i, a)
+    }.toDF("vec_id", "embedding")
+    val r1 = Similarity.ivfIncr(emb).collect()
+    val r2 = Similarity.ivfIncr(emb).collect()
+    assert(r1.map(_.toString).sorted.toSeq === r2.map(_.toString).sorted.toSeq)
+    assert(r1.map(_.getAs[Long]("n_base")).sum === 36L) // 42 − 6 held-out
+    assert(r1.map(_.getAs[Long]("n_added")).sum === 6L)
+    assert(r1.map(_.getAs[Int]("list_id")).distinct.length === r1.length)
+    r1.foreach { row =>
+      assert(row.getAs[Long]("n_new") ===
+        row.getAs[Long]("n_base") + row.getAs[Long]("n_added"))
+      assert(row.getAs[Long]("n_would_move") <= row.getAs[Long]("n_added"))
+    }
+  }
+
+  test("Similarity.filteredTopK: pre-filter is exact, post-filter recall collapses for a rare label") {
+    import spark.implicits._
+    // label 1 = a tight cluster around dim 3 (query 0's label, common);
+    // label 2 = rare: query 1 + its single same-label neighbor sit in a
+    // list dominated by label-1 vectors, so post-filter still finds it
+    // (same list), while n_filtered reflects the label split exactly
+    val emb = (0L until 40L).map { i =>
+      val a = Array.fill(64)(0f)
+      val lbl = if (i == 1L || i == 21L) 2 else 1
+      a(3) = 1f; a(16 + (i % 8).toInt) = 0.1f * ((i % 3).toInt + 1)
+      (i, a, lbl)
+    }.toDF("vec_id", "embedding", "label")
+    val r = Similarity.filteredTopK(emb, Seq(0L, 1L), k = 5).collect()
+    val byQ = r.map(x => x.getAs[Long]("q_id") -> x).toMap
+    assert(byQ(0L).getAs[Long]("n_filtered") === 37L) // 38 label-1 minus self
+    assert(byQ(1L).getAs[Long]("n_filtered") === 1L)  // only vec 21
+    assert(byQ(0L).getAs[Long]("n_exact") === 5L)
+    assert(byQ(1L).getAs[Long]("n_exact") === 1L)
+    r.foreach { row =>
+      assert(row.getAs[Long]("hits") <= row.getAs[Long]("n_exact"))
+      val rec = row.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+  }
+
   test("Similarity.ivfStats: sizes partition the corpus, margins are non-negative, deterministic") {
     import spark.implicits._
     // two tight clusters (dims 3 and 11) + per-vector jitter on a side
