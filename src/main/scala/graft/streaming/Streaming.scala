@@ -1444,6 +1444,40 @@ object Streaming {
     result
   }
 
+  /** Event-time temporal join (Flink's "temporal table join" /
+    * SQL:2011 `FOR SYSTEM_TIME AS OF`, expressed Spark-first): each
+    * streaming purchase is enriched with the SCD2 dimension version
+    * that was valid AT THE PURCHASE'S EVENT TIME — `user_id` equality
+    * plus `valid_from ≤ ts < valid_to` — not whatever version happens
+    * to be current when the micro-batch runs. Processing-time lookup
+    * joins silently rewrite history on replay; the event-time interval
+    * predicate is what makes reprocessing idempotent.
+    *
+    * The dimension ([[graft.operators.Monitoring.scd2]] over the same
+    * corpus) is built batch-side and pinned; the stream side is a
+    * stateless stream-static join (equi on user_id, interval as a
+    * post-predicate), so the pipeline is Append-legal with zero
+    * streaming state, and SCD2 intervals being disjoint per user makes
+    * each purchase match exactly one version. At 100 TB the dimension
+    * is the bucketed/broadcast side and the probe stays an equi-join
+    * on the user key. */
+  def streamScdEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.operators.Monitoring.scd2(graft.Tables.events(spark, dir))
+      .select(col("user_id").as("d_user"), col("status"),
+        col("valid_from"), col("valid_to"))
+      .persist()
+    dim.count() // pin the dimension before micro-batches start
+    val result = replay(spark, dir, in => in
+      .filter(col("event_type") === "purchase")
+      .join(dim, col("user_id") === col("d_user") &&
+        col("ts_ms") >= col("valid_from") &&
+        (col("valid_to").isNull || col("ts_ms") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        col("status"), col("cents")))
+    dim.unpersist()
+    result
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1465,7 +1499,8 @@ object Streaming {
     "q_stream_rate_limit" -> ((s, d) => streamRateLimit(s, d)),
     "q_stream_funnel" -> ((s, d) => streamFunnel(s, d)),
     "q_stream_burst" -> ((s, d) => streamBurst(s, d)),
-    "q_stream_decontam" -> ((s, d) => streamDecontam(s, d)))
+    "q_stream_decontam" -> ((s, d) => streamDecontam(s, d)),
+    "q_stream_scd_enrich" -> ((s, d) => streamScdEnrich(s, d)))
 
   /** The tumbling-window batch equivalent — checks [[streamReplay]]
     * directly and [[streamDedup]] (exactly-once: the redelivered copies
@@ -1481,6 +1516,21 @@ object Streaming {
     "q_stream_decontam" ->
       (graft.operators.Similarity.dcOraclePrefix +
         "SELECT q_id, vec_id AS train_match, cos FROM dc_sc WHERE cos >= 0.4"),
+    // the temporal join is stateless, so the batch equivalent is the
+    // same SCD2 build + interval join over the full corpus
+    "q_stream_scd_enrich" ->
+      ("WITH ch AS (SELECT user_id, event_type, epoch_ms(ts)::BIGINT ts_ms, event_id, " +
+        "lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) prev " +
+        "FROM events), " +
+        "iv AS (SELECT user_id, event_type status, ts_ms valid_from, " +
+        "lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) valid_to " +
+        "FROM ch WHERE prev IS NULL OR prev <> event_type), " +
+        "p AS (SELECT event_id, user_id, epoch_ms(ts)::BIGINT ts_ms, " +
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) cents FROM events " +
+        "WHERE event_type = 'purchase') " +
+        "SELECT p.event_id, p.user_id, p.ts_ms, iv.status, p.cents " +
+        "FROM p JOIN iv ON p.user_id = iv.user_id AND p.ts_ms >= iv.valid_from " +
+        "AND (iv.valid_to IS NULL OR p.ts_ms < iv.valid_to)"),
     // sequential token-bucket admission, replayed per user by a
     // recursive CTE stepping event rank i -> i+1 (depth = max events
     // per user); same integer units as the stateful operator

@@ -985,6 +985,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streamScdEnrich: every purchase gets the dimension version valid at ITS event time (batch parity)") {
+    val ev = Tables.events(spark, sf)
+    val dim = graft.operators.Monitoring.scd2(ev)
+      .select(col("user_id").as("d_user"), col("status"),
+        col("valid_from"), col("valid_to"))
+    val expected = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .join(dim, col("user_id") === col("d_user") &&
+        col("ts_ms") >= col("valid_from") &&
+        (col("valid_to").isNull || col("ts_ms") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("ts_ms"), col("status"), col("cents"))
+      .collect().map(_.toString).sorted.toSeq
+    val got = Streaming.streamScdEnrich(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty)
+    // temporal-join law: exactly one dimension version per purchase —
+    // output cardinality equals the purchase count, no fan-out
+    val nPurch = ev.filter(col("event_type") === "purchase").count()
+    assert(got.length === nPurch.toInt)
+    assert(got === expected)
+  }
+
   test("streamDecontam flags exactly the batch operator's scored pairs (stateless micro-batch parity)") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{broadcast, row_number, count => fcount, min => fmin, max => fmax}
