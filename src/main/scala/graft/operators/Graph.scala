@@ -452,6 +452,46 @@ object Graph {
     * (min(hop) under a hop bound): recursion's UNION-dedup collapses
     * same-length paths, and min-hop-per-node equals BFS's
     * first-discovery hop. */
+  /** Sampled closeness centrality — the Eppstein–Wang estimator shape:
+    * exact bounded-horizon closeness from K deterministic pivot
+    * sources (the K smallest node ids; production uses a hash sample —
+    * deterministic pivots keep the oracle exact), each the
+    * (n_reached, Σ hops) of a [[bfs]] ball. Closeness from sampled
+    * pivots is how centrality is computed at scale at all: exact
+    * all-pairs closeness is Θ(|V|·|E|) and never runs on a 100 TB
+    * graph, while K pivot BFS balls are K frontier iterations.
+    *
+    * Scale shape: ONE multi-source frontier loop keyed by (src, node)
+    * — all K balls expand in the same per-hop join (edges ⋈ frontier,
+    * anti-join visited, both checkpointed), so the work is K× one BFS,
+    * not K sequential jobs. The division is the only float op. */
+  def closeness(ev: DataFrame, k: Int = 4, maxHops: Int = 4,
+      maxCell: Long = 64L): DataFrame = {
+    val e0 = coEdges(ev, maxCell)
+    val edges = e0.select(col("u1").as("s"), col("u2").as("d"))
+      .unionByName(e0.select(col("u2").as("s"), col("u1").as("d")))
+      .localCheckpoint(true) // consumed once per hop; cuts loop lineage
+    val srcs = edges.select(col("s").as("src")).distinct()
+      .orderBy(col("src")).limit(k) // TakeOrdered: K rows, no global sort
+    var dist = srcs.select(col("src"), col("src").as("node"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    var frontier = dist.select(col("src"), col("node"))
+    for (h <- 1 to maxHops) {
+      val next = edges.join(frontier.withColumnRenamed("node", "s"), "s")
+        .select(col("src"), col("d").as("node")).distinct()
+        .join(dist.select(col("src"), col("node")), Seq("src", "node"), "left_anti")
+        .select(col("src"), col("node"), lit(h.toLong).as("hops"))
+        .localCheckpoint(true)
+      dist = dist.unionByName(next).localCheckpoint(true)
+      frontier = next.select(col("src"), col("node"))
+    }
+    dist.groupBy(col("src"))
+      .agg((count(lit(1)) - 1).as("n_reached"), sum(col("hops")).as("sum_hops"))
+      .select(col("src").as("src_id"), col("n_reached"), col("sum_hops"),
+        (floor(col("n_reached").cast("double") / col("sum_hops") * 1000000) / 1000000)
+          .as("closeness"))
+  }
+
   def bfs(ev: DataFrame, maxHops: Int = 4, maxCell: Long = 64L): DataFrame = {
     val e0 = coEdges(ev, maxCell)
     val edges = e0.select(col("u1").as("s"), col("u2").as("d"))
@@ -703,6 +743,7 @@ object Graph {
     "q_graph_churn" -> ((s, d) => graphChurn(Tables.events(s, d))),
     "q_graph_assortativity" -> ((s, d) => assortativity(Tables.events(s, d))),
     "q_graph_bfs" -> ((s, d) => bfs(Tables.events(s, d))),
+    "q_graph_closeness" -> ((s, d) => closeness(Tables.events(s, d))),
     "q_graph_hits" -> ((s, d) => hits(Tables.events(s, d))),
     "q_graph_pagerank" -> ((s, d) => pageRank(Tables.events(s, d))),
     "q_graph_ppr" -> ((s, d) => personalizedPageRank(Tables.events(s, d))),
@@ -850,6 +891,24 @@ object Graph {
         "UNION SELECT e.d, r.hop + 1 FROM reach r JOIN edges e ON e.s = r.node " +
         "WHERE r.hop < 4) " +
         "SELECT node AS user_id, min(hop)::BIGINT AS hops FROM reach GROUP BY 1"),
+    "q_graph_closeness" ->
+      ("WITH RECURSIVE um AS (SELECT DISTINCT user_id AS u, " +
+        "CAST(json_extract_string(props, '$.k') AS INT) AS m, " +
+        "date_trunc('hour', ts) AS h FROM events), " +
+        "cells AS (SELECT u, m, h FROM (SELECT u, m, h, " +
+        "count(*) OVER (PARTITION BY m, h) AS cell_n FROM um) t WHERE cell_n <= 64), " +
+        "e0 AS (SELECT DISTINCT a.u AS u1, b.u AS u2 FROM cells a " +
+        "JOIN cells b ON a.m = b.m AND a.h = b.h AND a.u < b.u), " +
+        "edges AS (SELECT u1 AS s, u2 AS d FROM e0 UNION SELECT u2, u1 FROM e0), " +
+        "srcs AS (SELECT DISTINCT s AS src FROM edges ORDER BY src LIMIT 4), " +
+        "reach(src, node, hop) AS (SELECT src, src, 0 FROM srcs " +
+        "UNION SELECT r.src, e.d, r.hop + 1 FROM reach r JOIN edges e ON e.s = r.node " +
+        "WHERE r.hop < 4), " +
+        "md AS (SELECT src, node, min(hop) AS hop FROM reach GROUP BY 1, 2) " +
+        "SELECT src AS src_id, (count(*) - 1)::BIGINT AS n_reached, " +
+        "sum(hop)::BIGINT AS sum_hops, " +
+        "floor((count(*) - 1)::DOUBLE / sum(hop) * 1000000) / 1000000 AS closeness " +
+        "FROM md GROUP BY 1"),
     "q_graph_hits" ->
       ("WITH b AS (SELECT DISTINCT user_id AS u, " +
         "CAST(json_extract_string(props, '$.k') AS INT)::BIGINT AS m FROM events " +

@@ -1321,6 +1321,29 @@ class OperatorsSpec extends SparkSpec {
     assert(r === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L))
   }
 
+  test("Graph.closeness: chain graph exact values, and the min pivot agrees with bfs") {
+    import spark.implicits._
+    // same path 1—2—3—4—5—6 as the bfs chain; pivots = 4 smallest nodes
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val ev = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((i * 2 + 1L, a, f"2024-01-01 ${10 + i}%02d:05:00", s"""{"k": ${20 + i}}"""),
+        (i * 2 + 2L, b, f"2024-01-01 ${10 + i}%02d:15:00", s"""{"k": ${20 + i}}"""))
+    }.toDF("event_id", "user_id", "ts_str", "props")
+      .withColumn("ts", to_timestamp(col("ts_str")))
+      .withColumn("value", lit(1.0))
+    val r = operators.Graph.closeness(ev).collect()
+      .map(x => x.getAs[Long]("src_id") ->
+        (x.getAs[Long]("n_reached"), x.getAs[Long]("sum_hops"))).toMap
+    // src 1 reaches 2,3,4,5 (hops 1+2+3+4); src 2 reaches 1,3,4,5,6;
+    // src 3 reaches all five within 4 hops; src 4 likewise
+    assert(r === Map(
+      1L -> (4L, 10L), 2L -> (5L, 11L), 3L -> (5L, 9L), 4L -> (5L, 9L)))
+    // cross-operator law: the smallest pivot's ball IS bfs's ball
+    val b = operators.Graph.bfs(ev).collect()
+    assert(r(1L)._1 === b.length - 1L)
+    assert(r(1L)._2 === b.map(_.getAs[Long]("hops")).sum)
+  }
+
   test("Graph.hits: max-normalized scores, authority follows hub mass") {
     import spark.implicits._
     // user 1 → {5, 6}, user 2 → {5}, user 3 → {7}: merchant 5 collects
