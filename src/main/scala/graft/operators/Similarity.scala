@@ -427,6 +427,64 @@ object Similarity {
     result
   }
 
+  /** kNN-classifier embedding eval — the standard "are these
+    * embeddings any good" harness (kNN probe accuracy, the linear-probe
+    * sibling): EVERY held-out vector is classified by the majority
+    * label of its k nearest train-side neighbours, and accuracy is
+    * reported per true label. Distinct from [[labelRecall]] (label
+    * precision in 5 fixed queries' exact top-k): this evaluates the
+    * whole held-out slice THROUGH the IVF index — the only way the
+    * eval itself scales — so its numbers are the deployable index's,
+    * not an idealized brute-force scan's.
+    *
+    * Candidates ride the same capped probe equi-join as
+    * [[simDecontam]] (hash-capped inverted lists, top-NProbe probes);
+    * votes are exact integer counts, majority ties to the smaller
+    * label; the per-label accuracy is one division. */
+  def knnLabelEval(emb: DataFrame, holdMod: Long = 7L, k: Int = 5,
+      maxPerList: Int = 64): DataFrame = {
+    val v = withEmbD(emb).persist() // split + training + assign + probe
+    val lbl = emb.select(col("vec_id"), col("label").cast("long").as("label"))
+    val tr = v.filter(pmod(col("vec_id"), lit(holdMod)) =!= 0)
+    val ho = v.filter(pmod(col("vec_id"), lit(holdMod)) === 0)
+    val cents = trainedCentroids(tr).localCheckpoint(true)
+    val capped = tr.join(assignTo(tr, cents), "vec_id")
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("list_id")).orderBy(
+          graft.functions.TextHash.hash60(concat(lit("dcap|"), col("vec_id"))),
+          col("vec_id"))))
+      .filter(col("crnk") <= maxPerList)
+      .select(col("vec_id"), col("e"), col("list_id"))
+    val probes = ho.select(col("vec_id").as("q_id"), col("e").as("qe"))
+      .crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qe"), col("cid"),
+        trunc4(NativeVector.cosine(col("qe"), col("ce"))).as("qcos"))
+      .withColumn("prnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("cid"))))
+      .filter(col("prnk") <= NProbe)
+      .select(col("q_id"), col("qe"), col("cid").as("list_id"))
+    val topk = capped.join(broadcast(probes), Seq("list_id"))
+      .select(col("q_id"), col("vec_id"),
+        trunc4(NativeVector.cosine(col("qe"), col("e"))).as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rnk") <= k)
+    val pred = topk.join(lbl.select(col("vec_id"), col("label").as("n_label")), "vec_id")
+      .groupBy(col("q_id"), col("n_label")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("q_id"))
+      .agg(expr("max_by(n_label, struct(cnt, -n_label))").as("pred"))
+    val result = pred
+      .join(lbl.select(col("vec_id").as("q_id"), col("label").as("true_label")), "q_id")
+      .groupBy(col("true_label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("pred") === col("true_label"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("true_label"), col("n"), col("n_correct"),
+        trunc4(col("n_correct").cast("double") / col("n")).as("accuracy"))
+      .localCheckpoint(true) // ≤ #labels rows
+    v.unpersist()
+    result
+  }
+
   /** Incremental IVF maintenance audit — the report behind the
     * retrain-or-not decision every production ANN index faces daily:
     * a new vector batch (the held-out slice) is assigned to the
@@ -1863,6 +1921,7 @@ object Similarity {
     "q_sim_decontam" -> ((s, d) => simDecontam(Tables.embeddings(s, d))),
     "q_ivf_stats" -> ((s, d) => ivfStats(Tables.embeddings(s, d))),
     "q_ivf_incr" -> ((s, d) => ivfIncr(Tables.embeddings(s, d))),
+    "q_knn_label_eval" -> ((s, d) => knnLabelEval(Tables.embeddings(s, d))),
     "q_sim_filter_topk" -> ((s, d) => filteredTopK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_recall" -> ((s, d) => recallAtK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_vec_matryoshka" -> ((s, d) => matryoshkaRecall(Tables.embeddings(s, d))),
@@ -2513,6 +2572,21 @@ object Similarity {
       (s"WITH $vCte, $dcCtes " +
         "SELECT q_id, min(vec_id) AS train_match, count(*) AS n_matches, " +
         "max(cos) AS best_cos FROM dc_sc WHERE cos >= 0.4 GROUP BY q_id"),
+    "q_knn_label_eval" ->
+      (s"WITH $vCte, $dcCtes, " +
+        "kl_rk AS (SELECT q_id, vec_id, row_number() OVER " +
+        "(PARTITION BY q_id ORDER BY cos DESC, vec_id) rnk FROM dc_sc), " +
+        "kl_vt AS (SELECT q_id, emb.label::BIGINT n_label, count(*) cnt " +
+        "FROM kl_rk JOIN embeddings emb ON emb.vec_id = kl_rk.vec_id " +
+        "WHERE rnk <= 5 GROUP BY 1, 2), " +
+        "kl_pred AS (SELECT q_id, n_label pred FROM (SELECT q_id, n_label, " +
+        "row_number() OVER (PARTITION BY q_id ORDER BY cnt DESC, n_label) rn " +
+        "FROM kl_vt) WHERE rn = 1) " +
+        "SELECT emb.label::BIGINT true_label, count(*) n, " +
+        "sum(CASE WHEN pred = emb.label THEN 1 ELSE 0 END)::BIGINT n_correct, " +
+        "floor(sum(CASE WHEN pred = emb.label THEN 1 ELSE 0 END)::DOUBLE / count(*) " +
+        "* 10000) / 10000 accuracy " +
+        "FROM kl_pred JOIN embeddings emb ON emb.vec_id = kl_pred.q_id GROUP BY 1"),
     "q_ivf_incr" ->
       (s"WITH $vCte, $dcCtes, $iiCtes, " +
         // frozen-centroid assignment of the held-out batch

@@ -1107,6 +1107,27 @@ class OperatorsSpec extends SparkSpec {
     assert(r.forall(_.getAs[Long]("q_id") == 0L))
   }
 
+  test("Similarity.knnLabelEval: separable clusters classify perfectly, ledger reconciles") {
+    import spark.implicits._
+    // two well-separated clusters, label = cluster: every held-out
+    // vector's probed neighbours share its label, so accuracy is 1.0
+    val emb = (0L until 56L).map { i =>
+      val cluster = (i % 2L).toInt // 0 → dim 3, 1 → dim 40
+      val a = Array.fill(64)(0f)
+      a(if (cluster == 0) 3 else 40) = 1f
+      a((if (cluster == 0) 10 else 50) + (i % 5).toInt) = 0.05f * ((i % 3).toInt + 1)
+      (i, a, cluster + 1)
+    }.toDF("vec_id", "embedding", "label")
+    val r = Similarity.knnLabelEval(emb).collect()
+    assert(r.nonEmpty)
+    // 8 held-out ids (0,7,...,49): labels alternate with parity of i%2
+    assert(r.map(_.getAs[Long]("n")).sum === 8L)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_correct") === row.getAs[Long]("n"))
+      assert(row.getAs[Double]("accuracy") === 1.0)
+    }
+  }
+
   test("Similarity.ivfIncr: counts reconcile across the full-outer merge, deterministic") {
     import spark.implicits._
     // held-out vectors clone train vectors, so the incremental batch is
