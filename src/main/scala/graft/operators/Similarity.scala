@@ -440,9 +440,32 @@ object Similarity {
     * Candidates ride the same capped probe equi-join as
     * [[simDecontam]] (hash-capped inverted lists, top-NProbe probes);
     * votes are exact integer counts, majority ties to the smaller
-    * label; the per-label accuracy is one division. */
+    * label; the per-label accuracy is one division. Held-out vectors
+    * whose probed lists yield ZERO candidates count as INCORRECT (a
+    * query the index cannot answer is a failure of the index, not a
+    * row to silently drop from the denominator) and are additionally
+    * reported per label as `n_unclassified`, so `n` is always the
+    * full held-out count for that label.
+    *
+    * Broadcast orientation: the CAPPED INDEX side broadcasts (≤
+    * NList·maxPerList rows by construction, scale-invariant); the
+    * probe side is the held-out corpus slice × NProbe —
+    * corpus-proportional, so it must stay shuffleable. At 100 TB the
+    * index side is [[writeBucketedByList]]'s bucketed layout and the
+    * probe join prunes at the scan. */
   def knnLabelEval(emb: DataFrame, holdMod: Long = 7L, k: Int = 5,
       maxPerList: Int = 64): DataFrame = {
+    val (lazyResult, v) = knnLabelEvalLazy(emb, holdMod, k, maxPerList)
+    val result = lazyResult.localCheckpoint(true) // ≤ #labels rows
+    v.unpersist()
+    result
+  }
+
+  /** [[knnLabelEval]]'s lazy plan + its persisted input, for plan
+    * inspection (ScaleSpec pins the probe join's build side as the
+    * capped index, never the held-out query slice). */
+  private[graft] def knnLabelEvalLazy(emb: DataFrame, holdMod: Long = 7L,
+      k: Int = 5, maxPerList: Int = 64): (DataFrame, DataFrame) = {
     val v = withEmbD(emb).persist() // split + training + assign + probe
     val lbl = emb.select(col("vec_id"), col("label").cast("long").as("label"))
     val tr = v.filter(pmod(col("vec_id"), lit(holdMod)) =!= 0)
@@ -463,7 +486,9 @@ object Similarity {
         Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("cid"))))
       .filter(col("prnk") <= NProbe)
       .select(col("q_id"), col("qe"), col("cid").as("list_id"))
-    val topk = capped.join(broadcast(probes), Seq("list_id"))
+    // build side = the CAPPED INDEX (≤ NList·maxPerList rows); the
+    // probe side is corpus-proportional and must never carry the hint
+    val topk = broadcast(capped).join(probes, Seq("list_id"))
       .select(col("q_id"), col("vec_id"),
         trunc4(NativeVector.cosine(col("qe"), col("e"))).as("cos"))
       .withColumn("rnk", row_number().over(
@@ -473,16 +498,18 @@ object Similarity {
       .groupBy(col("q_id"), col("n_label")).agg(count(lit(1)).as("cnt"))
       .groupBy(col("q_id"))
       .agg(expr("max_by(n_label, struct(cnt, -n_label))").as("pred"))
-    val result = pred
+    // LEFT join from the full held-out slice: candidate-less queries
+    // stay in the denominator (pred NULL → incorrect + n_unclassified)
+    val result = ho.select(col("vec_id").as("q_id"))
       .join(lbl.select(col("vec_id").as("q_id"), col("label").as("true_label")), "q_id")
+      .join(pred, Seq("q_id"), "left")
       .groupBy(col("true_label"))
       .agg(count(lit(1)).as("n"),
-        sum(when(col("pred") === col("true_label"), 1L).otherwise(0L)).as("n_correct"))
-      .select(col("true_label"), col("n"), col("n_correct"),
+        sum(when(col("pred") === col("true_label"), 1L).otherwise(0L)).as("n_correct"),
+        sum(when(col("pred").isNull, 1L).otherwise(0L)).as("n_unclassified"))
+      .select(col("true_label"), col("n"), col("n_correct"), col("n_unclassified"),
         trunc4(col("n_correct").cast("double") / col("n")).as("accuracy"))
-      .localCheckpoint(true) // ≤ #labels rows
-    v.unpersist()
-    result
+    (result, v)
   }
 
   /** Incremental IVF maintenance audit — the report behind the
@@ -618,12 +645,13 @@ object Similarity {
     * average > 64), so the gate exercises the capped path, and the
     * same cap is what a 100 TB build tunes against its list count.
     *
-    * The probe side broadcasts: a held-out benchmark is small by
-    * construction (the TextOps.decontaminate bench-gram argument); for
-    * symmetric corpus-vs-corpus overlap drop the hint and the probe
-    * join still shuffles on list_id, never a cross join. At 100 TB the
-    * train side is [[writeBucketedByList]]'s bucketed layout, turning
-    * every probe into partition pruning at the scan.
+    * Broadcast orientation: the CAPPED INDEX side carries the hint —
+    * it is ≤ NList·maxPerList rows BY CONSTRUCTION, scale-invariant —
+    * while the probe side (held-out slice × NProbe) grows with the
+    * corpus and must stay shuffleable; hinting the probe side would be
+    * the textbook broadcast OOM at 100×. At 100 TB the train side is
+    * [[writeBucketedByList]]'s bucketed layout, turning every probe
+    * into partition pruning at the scan.
     *
     * Output: one row per CONTAMINATED held-out vector — its best
     * training match (min qualifying id), how many capped-list training
@@ -662,7 +690,9 @@ object Similarity {
         Window.partitionBy(col("q_id")).orderBy(col("qcos").desc, col("cid"))))
       .filter(col("prnk") <= NProbe)
       .select(col("q_id"), col("qe"), col("cid").as("list_id"))
-    val scored = capped.join(broadcast(probes), Seq("list_id"))
+    // build side = the CAPPED INDEX (≤ NList·maxPerList rows); the
+    // probe side is corpus-proportional and must never carry the hint
+    val scored = broadcast(capped).join(probes, Seq("list_id"))
       .select(col("q_id"), col("vec_id"),
         trunc4(NativeVector.cosine(col("qe"), col("e"))).as("cos"))
     val result = scored.filter(col("cos") >= threshold)
@@ -2582,11 +2612,15 @@ object Similarity {
         "kl_pred AS (SELECT q_id, n_label pred FROM (SELECT q_id, n_label, " +
         "row_number() OVER (PARTITION BY q_id ORDER BY cnt DESC, n_label) rn " +
         "FROM kl_vt) WHERE rn = 1) " +
+        // LEFT join from the full held-out slice: candidate-less
+        // queries stay in the denominator (pred NULL → incorrect)
         "SELECT emb.label::BIGINT true_label, count(*) n, " +
         "sum(CASE WHEN pred = emb.label THEN 1 ELSE 0 END)::BIGINT n_correct, " +
+        "sum(CASE WHEN pred IS NULL THEN 1 ELSE 0 END)::BIGINT n_unclassified, " +
         "floor(sum(CASE WHEN pred = emb.label THEN 1 ELSE 0 END)::DOUBLE / count(*) " +
         "* 10000) / 10000 accuracy " +
-        "FROM kl_pred JOIN embeddings emb ON emb.vec_id = kl_pred.q_id GROUP BY 1"),
+        "FROM dc_ho h JOIN embeddings emb ON emb.vec_id = h.q_id " +
+        "LEFT JOIN kl_pred p ON p.q_id = h.q_id GROUP BY 1"),
     "q_ivf_incr" ->
       (s"WITH $vCte, $dcCtes, $iiCtes, " +
         // frozen-centroid assignment of the held-out batch

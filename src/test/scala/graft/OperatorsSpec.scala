@@ -1120,10 +1120,13 @@ class OperatorsSpec extends SparkSpec {
     }.toDF("vec_id", "embedding", "label")
     val r = Similarity.knnLabelEval(emb).collect()
     assert(r.nonEmpty)
-    // 8 held-out ids (0,7,...,49): labels alternate with parity of i%2
+    // 8 held-out ids (0,7,...,49): labels alternate with parity of i%2.
+    // n counts the FULL held-out slice (candidate-less queries included
+    // as incorrect + n_unclassified), so the ledger must cover all 8.
     assert(r.map(_.getAs[Long]("n")).sum === 8L)
     r.foreach { row =>
       assert(row.getAs[Long]("n_correct") === row.getAs[Long]("n"))
+      assert(row.getAs[Long]("n_unclassified") === 0L)
       assert(row.getAs[Double]("accuracy") === 1.0)
     }
   }

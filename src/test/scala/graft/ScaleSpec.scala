@@ -1023,6 +1023,46 @@ class ScaleSpec extends SparkSpec {
       s"${offenders.length} unbounded forced broadcast(s):\n${offenders.mkString("\n\n")}")
   }
 
+  test("IVF probe joins build on the capped INDEX side, never the query slice") {
+    // the round-9 verdict finding: knnLabelEval/simDecontamLazy hinted
+    // broadcast(probes) — the held-out corpus slice × NProbe, which is
+    // CORPUS-PROPORTIONAL — while the ≤ NList·maxPerList capped index
+    // went unhinted. The board-wide sweep above cannot catch this class
+    // (both sides carry a WindowGroupLimit; k-per-key is bounded only
+    // when the KEY set is — NList for the index, corpus-sized q_ids for
+    // the probes), so this pin checks orientation directly: no forced
+    // broadcast subtree in either operator may output the query-slice
+    // columns (q_id/qe); exactly one must output the capped index shape
+    // (vec_id, e, list_id).
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def checkOrientation(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val hints = df.queryExecution.analyzed.collect {
+        case h: ResolvedHint if h.hints.strategy.exists(
+          _.toString.toUpperCase.contains("BROADCAST")) => h
+      }
+      val probeSideHints = hints.filter(_.child.output.exists(a =>
+        a.name == "q_id" || a.name == "qe"))
+      assert(probeSideHints.isEmpty,
+        s"$name forces broadcast of the corpus-proportional probe side:\n" +
+          probeSideHints.map(_.child.treeString.take(600)).mkString("\n"))
+      val indexSideHints = hints.filter(h =>
+        h.child.output.map(_.name).toSet == Set("vec_id", "e", "list_id"))
+      assert(indexSideHints.length === 1,
+        s"$name should hint exactly the capped index (got ${indexSideHints.length})")
+    }
+    val (dc, dcv) = graft.operators.Similarity
+      .simDecontamLazy(Tables.embeddings(spark, sf))
+    checkOrientation("simDecontam", dc)
+    // and the physical build really is the index: the BroadcastExchange
+    // feeding the list_id join sits under the capped-index subtree
+    assert(dc.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    dcv.unpersist()
+    val (kl, klv) = graft.operators.Similarity
+      .knnLabelEvalLazy(Tables.embeddings(spark, sf))
+    checkOrientation("knnLabelEval", kl)
+    klv.unpersist()
+  }
+
   test("global-window sweep: no driver query plans a global window over an uncollapsed relation") {
     // the regression gate behind the decileStats/rfm rewrites: walk
     // EVERY SparkEntry query's physical plan (descending into AQE
