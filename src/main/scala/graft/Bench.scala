@@ -19,20 +19,44 @@ object Bench {
       val sf = root.path("sf")
       if (!sf.isTextual || sf.asText != sfDir) Map.empty
       else {
-        val qs = root.path("queries")
-        if (!qs.isObject) Map.empty
-        else {
-          val it = qs.fieldNames()
+        def numbers(node: com.fasterxml.jackson.databind.JsonNode): Map[String, Double] = {
+          val it = node.fieldNames()
           val b = Map.newBuilder[String, Double]
           while (it.hasNext) {
             val k = it.next()
-            val v = qs.get(k)
+            val v = node.get(k)
             if (v.isNumber && v.asDouble >= 0) b += k -> v.asDouble
           }
           b.result()
         }
+        // ratcheted floors (round-10+) take precedence; a record written
+        // before the floors field existed degrades to its measured board
+        val fl = root.path("floors")
+        if (fl.isObject) numbers(fl)
+        else {
+          val qs = root.path("queries")
+          if (qs.isObject) numbers(qs) else Map.empty
+        }
       }
     } catch { case _: Throwable => Map.empty }
+
+  /** Ratcheting floor update: `floor[q] = min(prior floor, this run's
+    * reading)`, same sf (parseFloors already scoped the prior set).
+    * Last-writer-wins floors were the round-9 hole: a full board run on
+    * a busy host OVERWROTE quiet floors with inflated readings (up to
+    * ~1.6×), raising every 2.5×-floor rerun bar with them — so the next
+    * run's steal phantoms below the inflated bar escaped their reruns.
+    * Floors only descend; a query genuinely made slower (more work
+    * added) keeps its old floor and simply earns one rerun per board,
+    * which records its true (slower) time via min(first, rerun) —
+    * bounded cost, honest record. Prior floors for queries absent from
+    * this run carry forward untouched (a renamed/removed query's stale
+    * entry is never looked up). Failed runs (-1) never move a floor. */
+  private[graft] def ratchetFloors(prior: Map[String, Double],
+      measured: Seq[(String, Double)]): Map[String, Double] =
+    prior ++ measured.collect { case (n, t) if t >= 0 =>
+      n -> math.min(prior.getOrElse(n, t), t)
+    }
 
   /** One rerun batch: every query whose recorded time exceeds
     * max(2.5 × its same-sf floor, 3 s), slowest first, capped at `cap`
@@ -176,7 +200,11 @@ object Bench {
       s"\"$k\":{\"first\":$first,\"rerun\":${reruns(k)}}" }.mkString("{", ",", "}")
     val total = finalResults.collect { case (_, v) if v >= 0 => v }.sum // -1 failure markers excluded
     val failed = finalResults.count(_._2 < 0)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reruns":$rr,"sf":"$sfDir"}"""
+    // ratcheted floor set: next run's rerun bars can only tighten
+    val floors = ratchetFloors(priorFloor, finalResults)
+    val fs = floors.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reruns":$rr,"floors":$fs,"sf":"$sfDir"}"""
     // The driver keeps only the LAST 2000 chars of stdout (plus sbt's
     // trailing "[success] ..." line), so the full per-query line above
     // (~4 KB at 114 queries) arrives with its head cut off and never

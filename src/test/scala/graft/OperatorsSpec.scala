@@ -474,6 +474,35 @@ class OperatorsSpec extends SparkSpec {
     assert(Bench.parseFloors(written, "/data/sf0.1") === Map("q_x" -> 1.2, "q_y" -> 2.7))
   }
 
+  test("Bench.ratchetFloors: floors only descend; busy boards can't inflate rerun bars") {
+    // the round-9 hole: a busy-window full board OVERWROTE quiet floors
+    // (last-writer-wins), raising the 2.5x rerun bars so the next run's
+    // phantoms escaped vetting. Floors must be min(prior, new reading).
+    val prior = Map("q_a" -> 1.0, "q_b" -> 4.0, "q_gone" -> 2.0)
+    val busy = Seq("q_a" -> 1.7, "q_b" -> 3.1, "q_new" -> 2.2, "q_fail" -> -1.0)
+    val r = Bench.ratchetFloors(prior, busy)
+    assert(r("q_a") === 1.0)   // busier reading never raises a floor
+    assert(r("q_b") === 3.1)   // faster reading tightens it
+    assert(r("q_new") === 2.2) // first sighting seeds the floor
+    assert(r("q_gone") === 2.0) // absent query's floor carries forward
+    assert(!r.contains("q_fail")) // -1 never becomes a floor
+    // parseFloors prefers the ratcheted floors field over the measured
+    // board, and still degrades to queries on pre-ratchet records
+    val withFloors = """{"metric":"total","queries":{"q_a":9.0},""" +
+      """"floors":{"q_a":1.0,"q_b":-1},"sf":"/data/sf0.1"}"""
+    assert(Bench.parseFloors(withFloors, "/data/sf0.1") === Map("q_a" -> 1.0))
+    assert(Bench.parseFloors(withFloors, "/data/sf0.001") === Map.empty)
+    // round-trip: the exact floors field Bench.main writes is what the
+    // next run reads back
+    val line = """{"metric":"total","value":9.0,"unit":"sec","queries":{"q_a":9.0},""" +
+      """"reruns":{},"floors":{"q_a":1.0},"sf":"/data/sf0.1"}"""
+    val floors1 = Bench.parseFloors(line, "/data/sf0.1")
+    assert(floors1 === Map("q_a" -> 1.0))
+    // two busy boards in a row: the floor is unchanged after both
+    assert(Bench.ratchetFloors(Bench.ratchetFloors(floors1, Seq("q_a" -> 8.0)),
+      Seq("q_a" -> 7.0)) === Map("q_a" -> 1.0))
+  }
+
   test("Bench.secondPass: converging rerun plan vets cap-starved leftovers; storm uncaps") {
     val floors = Map.empty[String, Double]
     // 20 candidates above the 3s bar; pass 1 took the 15 slowest
