@@ -80,8 +80,19 @@ def main():
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):  # Spark-written table (e.g. ScaleUp's sf1)
-            p = os.path.join(p, "*.parquet")
-        if glob.glob(p) or os.path.exists(p):
+            # recursive: a partitioned/nested layout (dir/k=v/*.parquet)
+            # must not silently create no view — every query on the
+            # table would then read as "missing" instead of erroring
+            nested = glob.glob(os.path.join(p, "**", "*.parquet"),
+                               recursive=True)
+            if not nested:
+                print(f"  ! table dir {p} exists but contains no parquet "
+                      f"files — view not created", file=sys.stderr)
+                continue
+            p = os.path.join(p, "**", "*.parquet")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+                        f"'{p}', hive_partitioning = true)")
+        elif os.path.exists(p):
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     results, n_ok, n_bad = {}, 0, 0
