@@ -569,13 +569,19 @@ object Analytics {
       .withColumn("nr", col("nt") - col("nl"))
       .withColumn("posr", col("post") - col("posl"))
       .filter(col("nr") > 0) // the last edge splits nothing off
+    // the Gini split score squares corpus-scale class counts
+    // (posl² ≈ 10²⁴ at 1e12 rows) — every count product rides
+    // DECIMAL(38,0), cast to double only at the two divisions
+    // (round-10 overflow audit; s_num ≤ n²·n = 10³⁶ < 10³⁸)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     val scored = cum
       .withColumn("negl", col("nl") - col("posl"))
       .withColumn("negr", col("nr") - col("posr"))
       .withColumn("s_num",
-        (col("posl") * col("posl") + col("negl") * col("negl")) * col("nr") +
-          (col("posr") * col("posr") + col("negr") * col("negr")) * col("nl"))
-      .withColumn("s", col("s_num").cast("double") / (col("nl") * col("nr")))
+        (dec(col("posl")) * col("posl") + dec(col("negl")) * col("negl")) * col("nr") +
+          (dec(col("posr")) * col("posr") + dec(col("negr")) * col("negr")) * col("nl"))
+      .withColumn("s", col("s_num").cast("double") /
+        (dec(col("nl")) * col("nr")).cast("double"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("feature")).orderBy(col("s").desc, col("bin"))))
       .filter(col("rnk") === 1)
@@ -583,8 +589,9 @@ object Analytics {
       col("nl").as("n_left"), col("posl").as("pos_left"),
       col("nr").as("n_right"), col("posr").as("pos_right"),
       graft.functions.Portable.trunc4(lit(1.0) -
-        (col("post") * col("post") + (col("nt") - col("post")) * (col("nt") - col("post")))
-          .cast("double") / (col("nt") * col("nt"))).as("gini_before"),
+        (dec(col("post")) * col("post") +
+          dec(col("nt") - col("post")) * (col("nt") - col("post")))
+          .cast("double") / (dec(col("nt")) * col("nt")).cast("double")).as("gini_before"),
       graft.functions.Portable.trunc4(
         (col("nt").cast("double") - col("s")) / col("nt")).as("gini_after"))
   }
@@ -755,10 +762,15 @@ object Analytics {
         .filter(col("nr") > 0)
         .withColumn("negl", col("nl") - col("posl"))
         .withColumn("negr", col("nr") - col("posr"))
+        // same DECIMAL(38,0) widening as stumpSplit: count² × count
+        // is ~10³⁶ at 1e12 rows, far past 2^63 (round-10 audit)
         .withColumn("s_num",
-          (col("posl") * col("posl") + col("negl") * col("negl")) * col("nr") +
-            (col("posr") * col("posr") + col("negr") * col("negr")) * col("nl"))
-        .withColumn("s", col("s_num").cast("double") / (col("nl") * col("nr")))
+          (col("posl").cast("decimal(38,0)") * col("posl") +
+            col("negl").cast("decimal(38,0)") * col("negl")) * col("nr") +
+            (col("posr").cast("decimal(38,0)") * col("posr") +
+              col("negr").cast("decimal(38,0)") * col("negr")) * col("nl"))
+        .withColumn("s", col("s_num").cast("double") /
+          (col("nl").cast("decimal(38,0)") * col("nr")).cast("double"))
         .withColumn("rnk", row_number().over(Window.partitionBy(col("side"))
           .orderBy(col("s").desc, col("feature"), col("bin"))))
         .filter(col("rnk") === 1)
@@ -778,9 +790,10 @@ object Analytics {
       col("nl").as("n_left"), col("posl").as("pos_left"),
       col("nr").as("n_right"), col("posr").as("pos_right"),
       graft.functions.Portable.trunc4(lit(1.0) -
-        (col("post") * col("post") +
-          (col("nt") - col("post")) * (col("nt") - col("post"))).cast("double") /
-        (col("nt") * col("nt"))).as("gini_before"),
+        (col("post").cast("decimal(38,0)") * col("post") +
+          (col("nt") - col("post")).cast("decimal(38,0)") *
+            (col("nt") - col("post"))).cast("double") /
+        (col("nt").cast("decimal(38,0)") * col("nt")).cast("double")).as("gini_before"),
       graft.functions.Portable.trunc4(
         (col("nt").cast("double") - col("s")) / col("nt")).as("gini_after"))
     out(root).unionByName(out(kids))

@@ -369,9 +369,14 @@ object Dedup {
     sizes.groupBy(col("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"))
       .crossJoin(broadcast(tot))
+      // size × cluster-count is corpus-count × corpus-count (a
+      // singleton-heavy histogram row multiplies ~n/2 by 2): exact
+      // DECIMAL(38,0) (round-10 overflow audit)
       .select(col("cluster_size"), col("n_clusters"),
-        (col("cluster_size") * col("n_clusters")).as("docs_in_clusters"),
-        ((col("cluster_size") - 1L) * col("n_clusters")).as("docs_removed"),
+        (col("cluster_size").cast("decimal(38,0)") * col("n_clusters"))
+          .as("docs_in_clusters"),
+        ((col("cluster_size") - 1L).cast("decimal(38,0)") * col("n_clusters"))
+          .as("docs_removed"),
         col("n_docs"))
   }
 

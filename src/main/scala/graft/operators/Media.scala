@@ -169,8 +169,12 @@ object Media {
       .join(broadcast(tot), "media_type")
       .select(col("media_type"), col("shard_id"), col("n_files"),
         col("shard_bytes"), col("n_shards"),
+        // shard_bytes·n_shards is byte-mass × shard-count (≫ 2^63 at
+        // petabyte media types): exact DECIMAL product, one double
+        // division (round-10 overflow audit)
         graft.functions.Portable.trunc4(
-          col("shard_bytes") * col("n_shards") / col("tb")).as("balance_ratio"))
+          (col("shard_bytes").cast("decimal(38,0)") * col("n_shards"))
+            .cast("double") / col("tb")).as("balance_ratio"))
   }
 
   // ---- driver wiring ----

@@ -587,6 +587,7 @@ object Monitoring {
     * Scale: one map-side-combined (type, day) agg over the scan, then
     * windows over the tiny daily table. */
   def cusumVolume(ev: DataFrame, threshMeanDays: Long = 1L): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     val daily = ev
       .groupBy(col("event_type"), expr("ts_ms div 86400000").as("day"))
       .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
@@ -595,12 +596,15 @@ object Monitoring {
     daily
       .withColumn("n_days", count(lit(1)).over(wt))
       .withColumn("total", sum(col("cents")).over(wt))
-      .withColumn("cum", sum(col("cents") * col("n_days") - col("total")).over(wo))
+      // cents·n_days and its running sum reach total·n_days — corpus
+      // cents × calendar days ≫ 2^63 at 1e9-row days — so the whole
+      // CUSUM chain rides DECIMAL(38,0) (the abCuped widening rule)
+      .withColumn("cum", sum(dec(col("cents")) * col("n_days") - col("total")).over(wo))
       .withColumn("runmin", min(col("cum")).over(wo))
       .select(col("event_type"), col("day"), col("cents"),
-        (col("cum") - least(col("runmin"), lit(0L))).as("s_scaled"),
-        ((col("cum") - least(col("runmin"), lit(0L))) >
-          col("total") * threshMeanDays).as("shifted"))
+        (col("cum") - least(col("runmin"), lit(0L).cast("decimal(38,0)"))).as("s_scaled"),
+        ((col("cum") - least(col("runmin"), lit(0L).cast("decimal(38,0)"))) >
+          dec(col("total")) * threshMeanDays).as("shifted"))
   }
 
   /** Chi-square independence audit: is the amount band independent of
@@ -630,7 +634,10 @@ object Monitoring {
       .withColumn("rt", sum(col("n")).over(Window.partitionBy(col("event_type"))))
       .withColumn("ct", sum(col("n")).over(Window.partitionBy(col("band"))))
       .withColumn("grand", sum(col("n")).over(Window.partitionBy()))
-    val e = col("rt") * col("ct") / col("grand")
+    // rt·ct is corpus-count × corpus-count (≫ 2^63 at 1e9-row margins):
+    // exact in DECIMAL(38,0), then ONE cast to double for the division
+    // — the same double DuckDB produces from its HUGEINT product
+    val e = (col("rt").cast("decimal(38,0)") * col("ct")).cast("double") / col("grand")
     // an all-empty band has e = 0 → 0/0; drop its contribution (the
     // standard empty-category convention) instead of emitting NaN
     val term = when(col("ct") > 0, (col("n") - e) * (col("n") - e) / e).otherwise(lit(0.0))
@@ -648,25 +655,28 @@ object Monitoring {
     * vs own history) and [[madOutliers]] (robust within-user). The
     * flag test is exact integer algebra on cent totals:
     * `(n·u − S)² > z²·(n·Q − S²)` multiplies the z-test through by
-    * n²·σ² so no engine ever compares a float threshold (magnitudes
-    * stay < 2⁶³ for cent totals ≤ ~10⁹ per user-type and ≤ ~10⁶ peers;
-    * past that, promote the products to DECIMAL — noted, not hidden).
-    * The reported z divides two exact integers after one sqrt.
+    * n²·σ² so no engine ever compares a float threshold. Every
+    * product of aggregate-scale values (Q's u² terms, n·Q, S², dev²)
+    * rides DECIMAL(38,0) — dev² alone reaches ~(n·u)² ≈ 10³⁰ at 10⁶
+    * peers × 10⁹ cents, far past 2⁶³ (the abCuped widening rule; the
+    * round-10 overflow sweep pins the whole class). The reported z
+    * divides two exact integers after one sqrt.
     *
     * Scale: one map-side-combined (user, type) agg collapses the
     * events scan; peer stats are |types| rows computed FROM that
     * aggregate and broadcast back; nothing re-scans the fact. */
   def peerAnomaly(ev: DataFrame, z: Long = 3L, minPeers: Long = 10L): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     val totals = ev.groupBy(col("event_type"), col("user_id"))
       .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("u"))
     val peers = totals.groupBy(col("event_type").as("pt"))
       .agg(count(lit(1)).as("n"), sum(col("u")).as("s"),
-        sum(col("u") * col("u")).as("q"))
+        sum(dec(col("u")) * col("u")).as("q"))
       .filter(col("n") >= minPeers)
     totals.join(broadcast(peers), col("event_type") === col("pt"))
-      .withColumn("dev", col("n") * col("u") - col("s"))
-      .withColumn("var_n2", col("n") * col("q") - col("s") * col("s"))
-      .filter(col("dev") * col("dev") > lit(z * z) * col("var_n2") &&
+      .withColumn("dev", dec(col("n")) * col("u") - col("s"))
+      .withColumn("var_n2", dec(col("n")) * col("q") - dec(col("s")) * col("s"))
+      .filter(col("dev") * col("dev") > dec(lit(z * z)) * col("var_n2") &&
         col("var_n2") > 0L)
       .select(col("event_type"), col("user_id"),
         graft.functions.Portable.trunc2(col("u") / 100.0).as("total"),
@@ -689,11 +699,14 @@ object Monitoring {
     * everything after runs on that tiny relation (broadcast stats,
     * 7-way lag explode, hash join on day). */
   def acfDaily(ev: DataFrame, maxLag: Int = 7): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     val daily = ev.groupBy(to_date(col("ts")).as("day"))
       .agg(expr("sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) DIV 100").as("v"))
     val stats = daily.agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    // dev = n·v − S is day-count × corpus-volume; dev² ≫ 2^63 — the
+    // whole moment chain rides DECIMAL(38,0) (abCuped widening rule)
     val dev = daily.crossJoin(broadcast(stats))
-      .select(col("day"), (col("n") * col("v") - col("s")).as("dev"))
+      .select(col("day"), (dec(col("n")) * col("v") - col("s")).as("dev"))
     val den = dev.agg(sum(col("dev") * col("dev")).as("den"))
     val lagged = dev.select(col("day"), col("dev"),
         explode(sequence(lit(1), lit(maxLag))).as("lag"))
@@ -718,23 +731,29 @@ object Monitoring {
     * Scale: the events scan collapses to |days| rows in one map-side
     * combined agg; the regression runs on that tiny relation. */
   def trendDaily(ev: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     val daily = ev.groupBy(to_date(col("ts")).as("day"))
       .agg(expr("sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) DIV 100").as("v"))
     val indexed = daily.select(col("v"),
       (row_number().over(Window.orderBy(col("day"))) - 1).cast("long").as("x"))
+    // Σxy pairs day-index × corpus-scale daily volume and the normal
+    // equations cross-multiply the sums — every product and moment
+    // accumulator rides DECIMAL(38,0) (abCuped widening rule); the
+    // slope/intercept divisions cast to double once, exactly where
+    // DuckDB's HUGEINT moments do
+    val num = dec(col("n")) * col("sxy") - dec(col("sx")) * col("sy")
+    val den = dec(col("n")) * col("sxx") - dec(col("sx")) * col("sx")
     indexed.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum(col("v")).as("sy"), sum(col("x") * col("v")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"))
+        sum(col("v")).as("sy"), sum(dec(col("x")) * col("v")).as("sxy"),
+        sum(dec(col("x")) * col("x")).as("sxx"))
       .select(col("n").as("n_days"),
-        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
-        (col("n") * col("sxx") - col("sx") * col("sx")).as("den"),
+        num.as("num"),
+        den.as("den"),
         graft.functions.Portable.trunc4(
-          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+          num.cast("double") / den.cast("double")).as("slope"),
         graft.functions.Portable.trunc4(
-          (col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"))
-          .as("intercept"))
+          (col("sy") - num.cast("double") / den.cast("double") * col("sx")) /
+            col("n")).as("intercept"))
   }
 
   /** Growth accounting: per day, how many active users are NEW (first
@@ -793,12 +812,16 @@ object Monitoring {
     val ns = tagged.agg(
       sum(when(col("s") === 1L, 1L).otherwise(0L)).as("n1"),
       sum(when(col("s") === 2L, 1L).otherwise(0L)).as("n2"))
+    // n₂·c₁ cross-multiplies two half-corpus counts (~(n/2)² ≫ 2^63 at
+    // 1e9-row halves): exact in DECIMAL(38,0), one double division
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     gaps.crossJoin(broadcast(ns))
-      .agg(max(abs(col("n2") * col("c1") - col("n1") * col("c2"))).as("d_scaled"),
+      .agg(max(abs(dec(col("n2")) * col("c1") - dec(col("n1")) * col("c2"))).as("d_scaled"),
         first(col("n1")).as("n1"), first(col("n2")).as("n2"))
       .select(col("n1"), col("n2"), col("d_scaled"),
         graft.functions.Portable.trunc4(
-          col("d_scaled").cast("double") / (col("n1") * col("n2"))).as("ks_d"))
+          col("d_scaled").cast("double") /
+            (dec(col("n1")) * col("n2")).cast("double")).as("ks_d"))
   }
 
   /** Wasserstein-1 (earth-mover) amount drift between the window's
@@ -1016,8 +1039,10 @@ object Monitoring {
       .withColumn("s", sum(col("cents")).over(wt))
       .withColumn("aa", dec(col("n")) * sum(dec(col("cents")) * col("cents")).over(wt)
         - dec(col("s")) * col("s"))
-      .withColumn("dev", col("cents") * col("n") - col("s"))
-      .withColumn("d2", dec(col("dev")) * col("dev") * (col("n") - 1))
+      // cents·n is daily-corpus-cents × day-count — DECIMAL like the
+      // rest of the chain (a hot day can carry ~the whole corpus)
+      .withColumn("dev", dec(col("cents")) * col("n") - col("s"))
+      .withColumn("d2", col("dev") * col("dev") * (col("n") - 1))
     def beyond(k: Int) = col("d2") > dec(lit(k.toLong * k)) * col("n") * col("aa")
     val flagged = scored
       .withColumn("p2", sum(when(beyond(2) && col("dev") > 0, 1L).otherwise(0L)).over(trail(3)))
@@ -1045,19 +1070,23 @@ object Monitoring {
     * Scale: the fact collapses to per-user totals in one shuffle; the
     * rank window runs over |users| rows. */
   def giniSpend(ev: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     val totals = ev.groupBy(col("user_id"))
       .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("t"))
     val ranked = totals.withColumn("i",
       row_number().over(Window.orderBy(col("t"), col("user_id"))).cast("long"))
+    // Σi·tᵢ pairs user-rank × user-cents (→ ~n·T ≫ 2^63) and the Gini
+    // numerator/denominator cross-multiply user count × corpus cents:
+    // all of it exact DECIMAL(38,0), one double division at the end
+    val num = lit(2L).cast("decimal(38,0)") * col("rank_weighted") -
+      (dec(col("n_users")) + 1L) * col("total_cents")
     ranked.agg(count(lit(1)).as("n_users"), sum(col("t")).as("total_cents"),
-        sum(col("i") * col("t")).as("rank_weighted"))
+        sum(dec(col("i")) * col("t")).as("rank_weighted"))
       .select(col("n_users"), col("total_cents"),
-        (lit(2L) * col("rank_weighted") -
-          (col("n_users") + 1L) * col("total_cents")).as("num"),
+        num.as("num"),
         graft.functions.Portable.trunc4(
-          (lit(2L) * col("rank_weighted") -
-            (col("n_users") + 1L) * col("total_cents")).cast("double") /
-            (col("n_users") * col("total_cents"))).as("gini"))
+          num.cast("double") /
+            (dec(col("n_users")) * col("total_cents")).cast("double")).as("gini"))
   }
 
   /** Round-number bias — [[benford]]'s modulo sibling in the AML kit:
@@ -1145,8 +1174,14 @@ object Monitoring {
       sum(when(col("variant") === "A", col("c")).otherwise(0L)).as("c_a"),
       sum(when(col("variant") === "B", col("n")).otherwise(0L)).as("n_b"),
       sum(when(col("variant") === "B", col("c")).otherwise(0L)).as("c_b"))
+    // the z² factors cross-multiply corpus-scale user/conversion
+    // counts (c_a·n_b, cc·(nn−cc), n_a·n_b all ≫ 2^63 at 1e9 users):
+    // each product is exact DECIMAL(38,0), cast to double only at the
+    // assembled ratio — the same doubles DuckDB's HUGEINT products
+    // yield
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     wide.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
-        (col("c_a") * col("n_b") - col("c_b") * col("n_a")).as("d"),
+        (dec(col("c_a")) * col("n_b") - dec(col("c_b")) * col("n_a")).as("d"),
         (col("n_a") + col("n_b")).as("nn"), (col("c_a") + col("c_b")).as("cc"))
       .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
         // degenerate pools (nobody or everybody converts, or an empty
@@ -1158,8 +1193,8 @@ object Monitoring {
             col("n_a") > 0 && col("n_b") > 0,
           graft.functions.Portable.trunc4(
             col("d").cast("double") * col("d").cast("double") * col("nn").cast("double") /
-              ((col("cc") * (col("nn") - col("cc"))).cast("double") *
-                (col("n_a") * col("n_b")).cast("double")))).as("z2"))
+              ((dec(col("cc")) * (col("nn") - col("cc"))).cast("double") *
+                (dec(col("n_a")) * col("n_b")).cast("double")))).as("z2"))
       .withColumn("significant", coalesce(col("z2") > 3.8415, lit(false)))
   }
 
@@ -1188,7 +1223,11 @@ object Monitoring {
         (sum(col("cents")) * 2).as("present_sum_x2"))
       .select(col("event_type"), col("n_total"), col("n_missing"),
         col("median_x2"),
-        (col("present_sum_x2") + col("n_missing") * col("median_x2"))
+        // n_missing·median_x2 is corpus-count × cent-value (~10²⁰ at
+        // 1e12 rows × $1M amounts) — DECIMAL(38,0) like every other
+        // aggregate-scale product (round-10 overflow audit)
+        (col("present_sum_x2").cast("decimal(38,0)") +
+          col("n_missing").cast("decimal(38,0)") * col("median_x2"))
           .as("imputed_sum_x2"))
   }
 
@@ -1959,11 +1998,15 @@ object Monitoring {
       // midrank·2 of this bin = 2·(count before it) + (its count) + 1
       .withColumn("mr2",
         (col("cum") - (col("n_pos") + col("n_neg"))) * 2 + (col("n_pos") + col("n_neg")) + 1)
+    // Σ n_pos·mr2 ≈ n_pos·2n and np·(np+1) are corpus-count products
+    // (≫ 2^63 at 1e9-row classes): exact DECIMAL(38,0), one double
+    // division for the AUC
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     ranked.agg(sum(col("n_pos")).as("np"), sum(col("n_neg")).as("nn"),
-        sum(col("n_pos") * col("mr2")).as("r2"))
+        sum(dec(col("n_pos")) * col("mr2")).as("r2"))
       .select(col("np").as("n_pos"), col("nn").as("n_neg"),
-        (col("r2") - col("np") * (col("np") + 1)).as("u2"),
-        trunc4((col("r2") - col("np") * (col("np") + 1)) /
+        (col("r2") - dec(col("np")) * (col("np") + 1)).as("u2"),
+        trunc4((col("r2") - dec(col("np")) * (col("np") + 1)).cast("double") /
           (lit(2.0) * col("np") * col("nn"))).as("auc"))
   }
 
@@ -2986,13 +3029,16 @@ object Monitoring {
       .agg(sum(when(col("event_type") === typeX, col("c")).otherwise(0L)).as("x"),
         sum(when(col("event_type") === typeY, col("c")).otherwise(0L)).as("y"))
     val wr = Window.orderBy(col("day")).rangeBetween(-(days - 1).toLong, 0)
+    // x², y², x·y square daily corpus cents (~10²⁸ at 1e9-row days) —
+    // the rolling moments accumulate in DECIMAL(38,0) (abCuped rule)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     val s = two
       .withColumn("n", count(lit(1)).over(wr))
       .withColumn("sx", sum(col("x")).over(wr))
       .withColumn("sy", sum(col("y")).over(wr))
-      .withColumn("sxx", sum(col("x") * col("x")).over(wr))
-      .withColumn("syy", sum(col("y") * col("y")).over(wr))
-      .withColumn("sxy", sum(col("x") * col("y")).over(wr))
+      .withColumn("sxx", sum(dec(col("x")) * col("x")).over(wr))
+      .withColumn("syy", sum(dec(col("y")) * col("y")).over(wr))
+      .withColumn("sxy", sum(dec(col("x")) * col("y")).over(wr))
     val nd = col("n").cast("double")
     val vx = col("sxx") - col("sx").cast("double") * col("sx") / nd
     val vy = col("syy") - col("sy").cast("double") * col("sy") / nd
@@ -3489,7 +3535,9 @@ object Monitoring {
       .withColumn("g",
         (expr("cast(sl as decimal(38,0)) * sl") * col("nr") +
           expr("cast(sr as decimal(38,0)) * sr") * col("nl")).cast("double") /
-          (col("nl") * col("nr")))
+          // nl·nr is left-count × right-count (≫ 2^63 at 1e9-row
+          // segments) — exact in DECIMAL, one cast into the division
+          expr("cast(nl as decimal(38,0)) * nr").cast("double"))
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("g").desc, col("day"))))
       .filter(col("rnk") === 1)
@@ -3993,13 +4041,19 @@ object Monitoring {
     val s = monthly.as("a").join(monthly.as("b"), col("a.t") < col("b.t"))
       .agg(sum(signum(col("b.y") - col("a.y")).cast("long")).as("s"),
         count(lit(1)).as("n_pairs"))
+    // tg/nn are month counts (calendar-bounded in this series), but the
+    // cubic tg·(tg−1)·(2tg+5) is the generic Kendall variance formula —
+    // on a per-user or per-merchant series the group count IS
+    // corpus-scale, so the cubes ride DECIMAL(38,0) uniformly (round-10
+    // overflow audit: widen the class, not the instance)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     val ties = monthly.groupBy(col("y")).agg(count(lit(1)).as("tg"))
-      .agg(coalesce(sum(col("tg") * (col("tg") - 1) * (col("tg") * 2 + 5)), lit(0L))
-        .as("tie_term"), count(lit(1)).as("n_levels"))
+      .agg(coalesce(sum(dec(col("tg")) * (col("tg") - 1) * (col("tg") * 2 + 5)),
+        lit(0L).cast("decimal(38,0)")).as("tie_term"), count(lit(1)).as("n_levels"))
     val n = monthly.agg(count(lit(1)).as("nn"))
     s.crossJoin(broadcast(n)).crossJoin(broadcast(ties))
       .withColumn("var18",
-        col("nn") * (col("nn") - 1) * (col("nn") * 2 + 5) - col("tie_term"))
+        dec(col("nn")) * (col("nn") - 1) * (col("nn") * 2 + 5) - col("tie_term"))
       .select(col("nn"), col("n_pairs"), col("s"), col("var18"),
         trunc4(when(col("s") > 0, (col("s") - 1).cast("double"))
           .when(col("s") < 0, (col("s") + 1).cast("double"))
@@ -4340,7 +4394,10 @@ object Monitoring {
     // at sf0.1 on exactly this query; at a wide cents domain the BNLJ
     // is quadratic in distinct values)
     val probes = tranked.crossJoin(broadcast(ng))
-      .withColumn("gi", expr("(r2 * ng + 2 * nt - 1) div (2 * nt)"))
+      // r2·ng is midrank × global count (≫ 2^63 at 1e9-row types):
+      // exact DECIMAL product, integral div back to a BIGINT index
+      .withColumn("gi",
+        expr("(cast(r2 as decimal(38,0)) * ng + 2 * nt - 1) div (2 * nt)"))
       .select(col("event_type"), col("cents"), col("t"), col("nt"),
         col("gi").as("k"), lit(1).as("isp"), lit(null).cast("long").as("gc"))
     val cellRows = gidx.select(lit(null).cast("string").as("event_type"),
@@ -4353,13 +4410,16 @@ object Monitoring {
       .withColumn("g_cents", last(col("gc"), ignoreNulls = true).over(byIdx))
       .filter(col("isp") === 1)
     mapped.groupBy(col("event_type"))
+      // cents·t is cent-value × per-value count and the sums reach
+      // corpus cents (~10²⁰) — DECIMAL(38,0) accumulators (round-10
+      // overflow audit), one double division each for the means
       .agg(max(col("nt")).as("n"),
-        sum(col("cents") * col("t")).as("sb"),
-        sum(col("g_cents") * col("t")).as("sa"),
+        sum(col("cents").cast("decimal(38,0)") * col("t")).as("sb"),
+        sum(col("g_cents").cast("decimal(38,0)") * col("t")).as("sa"),
         max(abs(col("cents") - col("g_cents"))).as("max_shift_cents"))
       .select(col("event_type"), col("n"),
-        trunc4(col("sb") / col("n") / 100.0).as("mean_before_usd"),
-        trunc4(col("sa") / col("n") / 100.0).as("mean_after_usd"),
+        trunc4(col("sb").cast("double") / col("n") / 100.0).as("mean_before_usd"),
+        trunc4(col("sa").cast("double") / col("n") / 100.0).as("mean_after_usd"),
         col("max_shift_cents"))
   }
 
@@ -4541,13 +4601,19 @@ object Monitoring {
     val s = daily.as("a").join(daily.as("b"), col("a.day") < col("b.day"))
       .agg(sum(signum(col("b.r") - col("a.r")) *
         signum(col("b.c") - col("a.c"))).cast("long").as("s"))
+    // tie-pair terms t·(t−1) and n·(n−1) are count × count — DECIMAL
+    // uniformly (calendar-bounded here, corpus-scale on a per-key
+    // series; round-10 overflow audit widens the class)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     val tr = daily.groupBy(col("r")).agg(count(lit(1)).as("t"))
-      .agg(coalesce(sum(col("t") * (col("t") - 1)), lit(0L)).as("tr2"))
+      .agg(coalesce(sum(dec(col("t")) * (col("t") - 1)),
+        lit(0L).cast("decimal(38,0)")).as("tr2"))
     val tc = daily.groupBy(col("c")).agg(count(lit(1)).as("t"))
-      .agg(coalesce(sum(col("t") * (col("t") - 1)), lit(0L)).as("tc2"))
+      .agg(coalesce(sum(dec(col("t")) * (col("t") - 1)),
+        lit(0L).cast("decimal(38,0)")).as("tc2"))
     s.crossJoin(broadcast(spearman)).crossJoin(broadcast(tr))
       .crossJoin(broadcast(tc))
-      .withColumn("p2", col("nn") * (col("nn") - 1))
+      .withColumn("p2", dec(col("nn")) * (col("nn") - 1))
       .select(col("nn"), col("rho"), col("s"),
         trunc4(col("s").cast("double") * 2 /
           sqrt((col("p2") - col("tr2")).cast("double") *
@@ -4684,8 +4750,10 @@ object Monitoring {
     users.agg(count(lit(1)).as("true_users"),
         sum(col("in_a")).as("n1"), sum(col("in_b")).as("n2"),
         sum(col("in_a") * col("in_b")).as("m"))
+      // (n1+1)·(n2+1) is sample-count × sample-count (≫ 2^63 at 1e9+
+      // users): exact DECIMAL product, integral div back to BIGINT
       .withColumn("chapman_est",
-        expr("((n1 + 1) * (n2 + 1)) div (m + 1) - 1"))
+        expr("(cast(n1 + 1 as decimal(38,0)) * (n2 + 1)) div (m + 1) - 1"))
       .select(col("true_users"), col("n1"), col("n2"), col("m"),
         col("chapman_est"),
         trunc4(abs(col("chapman_est") - col("true_users")).cast("double") /

@@ -528,20 +528,25 @@ object Similarity {
     * assignment passes whose shuffles carry one (vec_id, list) pair
     * per vector, one full-outer join of two ≤ NList-row aggregates.
     * Nothing touches pairs. */
+  /** The seed-aligned retrained centroid set [[ivfIncr]] and
+    * [[graft.streaming.Streaming.streamIvfIncr]] compare the frozen
+    * router against: retrained over the FULL corpus sample but from
+    * the SAME train-slice seeds, so the two cid spaces align and a
+    * frozen≠retrained disagreement means the ROUTING moved, not that
+    * cluster labels were renamed. */
+  private[graft] def retrainedAlignedCentroids(v: DataFrame, tr: DataFrame): DataFrame = {
+    var c = seedCentroids(tr)
+    val sample = kmSample(v)
+    for (_ <- 0 until KmIters) c = centroidStep(sample, c)
+    c.localCheckpoint(true)
+  }
+
   def ivfIncr(emb: DataFrame, holdMod: Long = 7L): DataFrame = {
     val v = withEmbD(emb).persist() // two trainings + three assigns
     val tr = v.filter(pmod(col("vec_id"), lit(holdMod)) =!= 0)
     val ho = v.filter(pmod(col("vec_id"), lit(holdMod)) === 0)
     val frozen = trainedCentroids(tr).localCheckpoint(true)
-    // retrain over the FULL corpus sample but from the SAME tr seeds,
-    // so the two cid spaces align and a frozen≠retrained disagreement
-    // means the ROUTING moved, not that cluster labels were renamed
-    val retrained = {
-      var c = seedCentroids(tr)
-      val sample = kmSample(v)
-      for (_ <- 0 until KmIters) c = centroidStep(sample, c)
-      c.localCheckpoint(true)
-    }
+    val retrained = retrainedAlignedCentroids(v, tr)
     val base = assignTo(tr, frozen)
       .groupBy(col("list_id")).agg(count(lit(1)).as("n_base"))
     val moves = assignTo(ho, frozen).withColumnRenamed("list_id", "frozen_list")
@@ -2190,6 +2195,27 @@ object Similarity {
       train
   }
 
+  /** Frozen (dc_c) and seed-aligned retrained (ii_c) argmax
+    * assignments of the held-out slice — ii_af/ii_ar. Requires
+    * [[dcCtes]] + [[iiCtes]]. Shared by the q_ivf_incr oracle and the
+    * streaming maintenance oracle (q_stream_ivf_incr). */
+  private[graft] lazy val iiAssignCtes: String =
+    // frozen-centroid assignment of the held-out batch
+    "ii_af AS (SELECT vec_id, cid frozen_list FROM (SELECT q_id vec_id, cid, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, cid) rn FROM " +
+      "(SELECT h.q_id, c.cid, floor(list_cosine_similarity(h.qe, c.ce) * 10000) / 10000 ccos " +
+      s"FROM dc_ho h CROSS JOIN dc_c$KmIters c)) WHERE rn = 1), " +
+      // seed-aligned retrained assignment of the same batch
+      "ii_ar AS (SELECT vec_id, cid retrained_list FROM (SELECT q_id vec_id, cid, " +
+      "row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, cid) rn FROM " +
+      "(SELECT h.q_id, c.cid, floor(list_cosine_similarity(h.qe, c.ce) * 10000) / 10000 ccos " +
+      s"FROM dc_ho h CROSS JOIN ii_c$KmIters c)) WHERE rn = 1)"
+
+  /** The full WITH prelude for oracles needing the incremental-IVF
+    * assignment pair, for oracles living outside this object. */
+  private[graft] lazy val iiOraclePrefix: String =
+    s"WITH $vCte, $dcCtes, $iiCtes, $iiAssignCtes "
+
   /** Full IVF chain → iv_ranked: [[kmChainCtes]] then probes +
     * probe-join scoring. Requires v, qs. */
   private lazy val ivfCtes = {
@@ -2622,17 +2648,7 @@ object Similarity {
         "FROM dc_ho h JOIN embeddings emb ON emb.vec_id = h.q_id " +
         "LEFT JOIN kl_pred p ON p.q_id = h.q_id GROUP BY 1"),
     "q_ivf_incr" ->
-      (s"WITH $vCte, $dcCtes, $iiCtes, " +
-        // frozen-centroid assignment of the held-out batch
-        "ii_af AS (SELECT vec_id, cid frozen_list FROM (SELECT q_id vec_id, cid, " +
-        "row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, cid) rn FROM " +
-        "(SELECT h.q_id, c.cid, floor(list_cosine_similarity(h.qe, c.ce) * 10000) / 10000 ccos " +
-        s"FROM dc_ho h CROSS JOIN dc_c$KmIters c)) WHERE rn = 1), " +
-        // seed-aligned retrained assignment of the same batch
-        "ii_ar AS (SELECT vec_id, cid retrained_list FROM (SELECT q_id vec_id, cid, " +
-        "row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, cid) rn FROM " +
-        "(SELECT h.q_id, c.cid, floor(list_cosine_similarity(h.qe, c.ce) * 10000) / 10000 ccos " +
-        s"FROM dc_ho h CROSS JOIN ii_c$KmIters c)) WHERE rn = 1), " +
+      (s"WITH $vCte, $dcCtes, $iiCtes, $iiAssignCtes, " +
         s"ii_base AS (SELECT list_id, count(*) n_base FROM dc_kas$KmIters GROUP BY 1), " +
         "ii_mv AS (SELECT f.frozen_list list_id, count(*) n_added, " +
         "sum(CASE WHEN f.frozen_list <> r.retrained_list THEN 1 ELSE 0 END)::BIGINT n_would_move " +

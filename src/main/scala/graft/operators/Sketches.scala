@@ -517,9 +517,14 @@ object Sketches {
         lit(width.toLong)))
       .groupBy(col("i"), col("bucket"))
       .agg(count(lit(1)).as(s"c_$side"))
+    // the inner product multiplies two per-bucket counts (each ~n/width
+    // — corpus-scale) and sums `width` of them: exact DECIMAL(38,0)
+    // accumulation (round-10 overflow audit; the estimate IS the
+    // self-join cardinality, ~n²/width ≫ 2^63 at 1e9 rows)
     val prod = sketch(orders, col("o_custkey"), "r")
       .join(sketch(customer, col("c_custkey"), "s"), Seq("i", "bucket"))
-      .groupBy(col("i")).agg(sum(col("c_r") * col("c_s")).as("ip"))
+      .groupBy(col("i"))
+      .agg(sum(col("c_r").cast("decimal(38,0)") * col("c_s")).as("ip"))
     // prefix-min over depths: est with d=1..depth from ONE sketch build
     val prefix = prod.withColumn("est", min(col("ip")).over(
       Window.orderBy(col("i")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -529,7 +534,11 @@ object Sketches {
     prefix.crossJoin(broadcast(exact))
       .select((col("i") + 1).cast("long").as("depths_used"), col("est"),
         col("exact_rows"),
-        trunc4((col("est") - col("exact_rows")) / col("exact_rows")).as("rel_over"))
+        // explicit double cast: est is DECIMAL now, and a decimal/long
+        // Divide would round at decimal scale instead of the double
+        // division both engines previously agreed on
+        trunc4((col("est") - col("exact_rows")).cast("double") /
+          col("exact_rows")).as("rel_over"))
   }
 
   /** AMS/tug-of-war second-moment sketch (Alon, Matias & Szegedy 1996):

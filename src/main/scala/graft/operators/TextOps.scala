@@ -1364,9 +1364,12 @@ object TextOps {
         sum(when(col("n") === 1, 1L).otherwise(0L)).as("f1"),
         sum(when(col("n") === 2, 1L).otherwise(0L)).as("f2"))
       .select(col("source"), col("n_tokens"), col("n_types"), col("f1"), col("f2"),
+        // f1·(f1−1) squares the singleton-type count — vocabulary-scale
+        // (≫ 2^63 past ~3e9 singletons): DECIMAL product, one double
+        // division (round-10 overflow audit)
         trunc4(col("n_types") +
-          (col("f1") * (col("f1") - 1)).cast("double") / ((col("f2") + 1) * 2))
-          .as("chao1_est"),
+          (col("f1").cast("decimal(38,0)") * (col("f1") - 1)).cast("double") /
+            ((col("f2") + 1) * 2)).as("chao1_est"),
         trunc4(lit(1.0) - col("f1").cast("double") / col("n_tokens"))
           .as("coverage"))
   }

@@ -269,7 +269,11 @@ object Tpch {
     val total = perPart.agg(count(lit(1)).as("n_parts"),
       sum(col("value_cents")).as("total_cents"))
     perPart.crossJoin(broadcast(total))
-      .filter(col("value_cents") * col("n_parts") > col("total_cents") * mult)
+      // value_cents·n_parts crosses per-part cents × part count
+      // (≫ 2^63 at 1e9 parts): both comparison sides exact in
+      // DECIMAL(38,0) (round-10 overflow audit)
+      .filter(col("value_cents").cast("decimal(38,0)") * col("n_parts") >
+        col("total_cents").cast("decimal(38,0)") * mult)
       .select(col("l_partkey"), col("value_cents"),
         trunc2(col("value_cents") / 100.0).as("value"))
   }

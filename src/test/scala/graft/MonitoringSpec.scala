@@ -369,10 +369,10 @@ class MonitoringSpec extends SparkSpec {
         ("shift", if (d < 20) 10.0 else 400.0, d.toLong * 86400000L))
     }.toDF("event_type", "value", "ts_ms")
     val r = Monitoring.cusumVolume(ev).collect()
-    r.foreach(x => assert(x.getAs[Long]("s_scaled") >= 0L))
+    r.foreach(x => assert(decL(x, "s_scaled") >= 0L))
     // flat: every deviation is exactly 0 -> S stays 0, never flags
     r.filter(_.getAs[String]("event_type") == "flat").foreach { x =>
-      assert(x.getAs[Long]("s_scaled") === 0L && !x.getAs[Boolean]("shifted"))
+      assert(decL(x, "s_scaled") === 0L && !x.getAs[Boolean]("shifted"))
     }
     val shiftByDay = r.filter(_.getAs[String]("event_type") == "shift")
       .map(x => x.getAs[Long]("day") -> x).toMap
@@ -380,7 +380,7 @@ class MonitoringSpec extends SparkSpec {
     assert(!shiftByDay(5L).getAs[Boolean]("shifted"), "pre-shift days stay quiet")
     // corpus: the statistic is well-defined everywhere
     Monitoring.cusumVolume(events).collect()
-      .foreach(x => assert(x.getAs[Long]("s_scaled") >= 0L))
+      .foreach(x => assert(decL(x, "s_scaled") >= 0L))
   }
 
   test("chi2Audit: exactly proportional tables score 0; corpus terms sum to the grand chi2") {
@@ -427,8 +427,8 @@ class MonitoringSpec extends SparkSpec {
     val (sx, sy) = (xs.sum, daily.sum)
     val sxy = xs.zip(daily).map { case (x, y) => x * y }.sum
     val sxx = xs.map(x => x * x).sum
-    assert(r.getAs[Long]("num") === n * sxy - sx * sy)
-    assert(r.getAs[Long]("den") === n * sxx - sx * sx)
+    assert(decL(r, "num") === n * sxy - sx * sy)
+    assert(decL(r, "den") === n * sxx - sx * sx)
     val slope = math.floor((n * sxy - sx * sy).toDouble /
       (n * sxx - sx * sx) * 10000) / 10000
     assert(r.getAs[Double]("slope") === slope)
@@ -448,7 +448,7 @@ class MonitoringSpec extends SparkSpec {
     val r = Monitoring.ksDrift(Tables.events(spark, sf)).collect().head
     val d = r.getAs[Double]("ks_d")
     assert(d >= 0.0 && d <= 1.0)
-    assert(r.getAs[Long]("d_scaled") <=
+    assert(decL(r, "d_scaled") <=
       r.getAs[Long]("n1") * r.getAs[Long]("n2"))
     // stationary generator: the two halves draw from one distribution,
     // so D should be small (well under the d=0.5 a real shift produces)
@@ -574,7 +574,7 @@ class MonitoringSpec extends SparkSpec {
       assert(row.getAs[Boolean]("r4") === (d >= 7L && d <= 28L), s"r4 day $d")
       assert(row.getAs[Boolean]("alarm") === (d == 29L || (d >= 7L && d <= 28L)))
     }
-    assert(r(29L).getAs[Long]("dev") === 116000L)
+    assert(decL(r(29L), "dev") === 116000L)
   }
 
   test("roundNumberBias: exact multiples counted per band, nested bands ordered") {
@@ -650,7 +650,7 @@ class MonitoringSpec extends SparkSpec {
       val n = row.getAs[Long]("n_total"); val miss = row.getAs[Long]("n_missing")
       assert(miss >= 0 && miss < n)
       // imputed total = present part + median fill, exactly
-      assert(row.getAs[Long]("imputed_sum_x2") >=
+      assert(decL(row, "imputed_sum_x2") >=
         row.getAs[Long]("median_x2") * miss)
       // median_x2 is an exact integer (x_lo + x_hi of cent values)
       assert(row.getAs[Long]("median_x2") > 0)
@@ -1377,7 +1377,7 @@ class MonitoringSpec extends SparkSpec {
       .toDF("value", "event_type")
     val r = Monitoring.scoreAuc(ev).collect().head
     assert(r.getAs[Long]("n_pos") === 2L && r.getAs[Long]("n_neg") === 2L)
-    assert(r.getAs[Long]("u2") === 7L) // 2·U
+    assert(decL(r, "u2") === 7L) // 2·U
     assert(r.getAs[Double]("auc") === 0.875)
   }
 

@@ -201,8 +201,8 @@ class OperatorsSpec extends SparkSpec {
     val row = r.head
     assert(row.getAs[Long]("cluster_size") === 2L)   // the planted (0,1) pair
     assert(row.getAs[Long]("n_clusters") === 1L)
-    assert(row.getAs[Long]("docs_in_clusters") === 2L)
-    assert(row.getAs[Long]("docs_removed") === 1L)
+    assert(decL(row, "docs_in_clusters") === 2L)
+    assert(decL(row, "docs_removed") === 1L)
     assert(row.getAs[Long]("n_docs") === 3L)
   }
 

@@ -8,6 +8,13 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   def sf: String = "/root/testdata/sf0.001"
+
+  /** Exact long view of a DECIMAL(38,0) column — the overflow-widened
+    * aggregate products (round-10 audit) surface as integral decimals;
+    * longValueExact throws if a test value ever genuinely exceeds 2^63
+    * instead of silently wrapping. */
+  def decL(row: org.apache.spark.sql.Row, name: String): Long =
+    row.getAs[java.math.BigDecimal](name).longValueExact
 }
 
 object SparkSpec {
