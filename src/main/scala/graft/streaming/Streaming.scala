@@ -1385,38 +1385,43 @@ object Streaming {
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.expressions.Window
     val Sim = graft.operators.Similarity
+    // everything below sits under one try/finally: a failing stream or
+    // read-back must still unpersist the pinned index and remove the
+    // temp tree (round-9 advice — only the shuffle-partition restore
+    // was cleanup-safe before)
     val v = Sim.withEmbD(graft.Tables.embeddings(spark, dir)).persist()
-    val tr = v.filter(pmod(col("vec_id"), lit(7L)) =!= 0)
-    val ho = v.filter(pmod(col("vec_id"), lit(7L)) === 0)
-    val cents = Sim.trainedCentroids(tr).localCheckpoint(true) // ≤ NList rows
-    val capped = tr.join(Sim.assignTo(tr, cents), "vec_id")
-      .withColumn("crnk", row_number().over(Window.partitionBy(col("list_id"))
-        .orderBy(graft.functions.TextHash.hash60(concat(lit("dcap|"), col("vec_id"))),
-          col("vec_id"))))
-      .filter(col("crnk") <= 64)
-      .select(col("vec_id").as("train_id"), col("e").as("te"), col("list_id"))
-      .persist()
-    capped.count() // pin the index BEFORE micro-batches start re-planning
-    val cl = cents.collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
-    // top-NProbe lists as a pure scalar expression over the literal
-    // centroid set: (qcos, -cid) structs sort exactly like the batch
-    // operator's (qcos DESC, cid) window rank
-    def probedLists(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      slice(sort_array(array(cl.map {
-      case (cid, ce) => struct(
-        graft.functions.Portable.trunc4(
-          graft.functions.NativeVector.cosine(e, typedLit(ce))).as("qcos"),
-        lit(-cid).as("ncid"))
-    }: _*), asc = false), 1, Sim.NProbe)
+    var capped: DataFrame = null
     val root = java.nio.file.Files.createTempDirectory("graft-sdc")
-    val inDir = s"$root/in"; val outDir = s"$root/out"
-    // batch boundaries don't affect the (stateless) result; slicing is
-    // only there to exercise real multi-batch execution
-    ho.select(col("vec_id"), col("e")).repartition(4).write.parquet(inDir)
-    val inSchema = spark.read.parquet(inDir).schema
     val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
+      val tr = v.filter(pmod(col("vec_id"), lit(7L)) =!= 0)
+      val ho = v.filter(pmod(col("vec_id"), lit(7L)) === 0)
+      val cents = Sim.trainedCentroids(tr).localCheckpoint(true) // ≤ NList rows
+      capped = tr.join(Sim.assignTo(tr, cents), "vec_id")
+        .withColumn("crnk", row_number().over(Window.partitionBy(col("list_id"))
+          .orderBy(graft.functions.TextHash.hash60(concat(lit("dcap|"), col("vec_id"))),
+            col("vec_id"))))
+        .filter(col("crnk") <= 64)
+        .select(col("vec_id").as("train_id"), col("e").as("te"), col("list_id"))
+        .persist()
+      capped.count() // pin the index BEFORE micro-batches start re-planning
+      val cl = cents.collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+      // top-NProbe lists as a pure scalar expression over the literal
+      // centroid set: (qcos, -cid) structs sort exactly like the batch
+      // operator's (qcos DESC, cid) window rank
+      def probedLists(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        slice(sort_array(array(cl.map {
+        case (cid, ce) => struct(
+          graft.functions.Portable.trunc4(
+            graft.functions.NativeVector.cosine(e, typedLit(ce))).as("qcos"),
+          lit(-cid).as("ncid"))
+      }: _*), asc = false), 1, Sim.NProbe)
+      val inDir = s"$root/in"; val outDir = s"$root/out"
+      // batch boundaries don't affect the (stateless) result; slicing is
+      // only there to exercise real multi-batch execution
+      ho.select(col("vec_id"), col("e")).repartition(4).write.parquet(inDir)
+      val inSchema = spark.read.parquet(inDir).schema
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
       val q = spark.readStream.schema(inSchema).option("maxFilesPerTrigger", 1)
         .parquet(inDir)
         .select(col("vec_id").as("q_id"), col("e").as("qe"),
@@ -1432,16 +1437,18 @@ object Streaming {
         .outputMode(OutputMode.Append())
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
-    val outSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("q_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("train_match", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("cos", org.apache.spark.sql.types.DoubleType)))
-    val result = spark.read.schema(outSchema).parquet(outDir)
-      .localCheckpoint(true) // flagged pairs ≪ corpus
-    rmTree(new java.io.File(root.toString))
-    capped.unpersist(); v.unpersist()
-    result
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("q_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("train_match", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cos", org.apache.spark.sql.types.DoubleType)))
+      spark.read.schema(outSchema).parquet(outDir)
+        .localCheckpoint(true) // flagged pairs ≪ corpus
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+      if (capped != null) capped.unpersist()
+      v.unpersist()
+      rmTree(new java.io.File(root.toString))
+    }
   }
 
   /** Event-time temporal join (Flink's "temporal table join" /
@@ -1478,6 +1485,100 @@ object Streaming {
     result
   }
 
+  /** Online IVF index maintenance — the streaming half of
+    * [[graft.operators.Similarity.ivfIncr]], completing the
+    * batch/online symmetry the decontam pair established: vectors
+    * arrive as micro-batches, each is assigned to the FROZEN router
+    * (the cheap incremental add), and a per-list drift ledger —
+    * add counts + how many adds would land elsewhere under the
+    * seed-aligned retrained centroids — accumulates ACROSS batches in
+    * streaming state, emitting the retrain signal the moment a list's
+    * would-move fraction crosses `moveFrac`. This is the nightly
+    * retrain-or-not decision made continuously instead of on a cron.
+    *
+    * Both centroid sets (≤ NList rows each) are trained batch-side
+    * and baked into literal argmax expressions (the
+    * [[streamDecontam]] driver-resident-router idiom), so the per-row
+    * assignment is pure scalar compute. The ONLY streaming state is
+    * the groupBy(list_id) aggregation: ≤ NList rows BY CONSTRUCTION
+    * regardless of stream length — the strongest bounded-state shape
+    * an operator can have (StreamingSpec asserts the peak via
+    * `onProgress`). Complete-mode snapshots land via foreachBatch
+    * overwrite — the compacted ledger table a production pipeline
+    * serves the retrain dashboard from; replaying the stream
+    * reproduces the identical final snapshot (batch boundaries only
+    * change WHEN rows fold in, never the fold itself).
+    *
+    * Scale: per arriving vector the assignment costs 2·NList literal
+    * cosines in the scan projection (no join, no shuffle before the
+    * ≤ NList-group agg, which is map-side combined). At 100 TB the
+    * ledger stays NList rows; the retrain signal is free. */
+  def streamIvfIncr(spark: SparkSession, dir: String,
+      moveFrac: Double = 0.25, minAdds: Long = 3L,
+      onProgress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] => Unit
+        = _ => ()): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val Sim = graft.operators.Similarity
+    val v = Sim.withEmbD(graft.Tables.embeddings(spark, dir)).persist()
+    val root = java.nio.file.Files.createTempDirectory("graft-sii")
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      val tr = v.filter(pmod(col("vec_id"), lit(7L)) =!= 0)
+      val ho = v.filter(pmod(col("vec_id"), lit(7L)) === 0)
+      val frozen = Sim.trainedCentroids(tr).localCheckpoint(true) // ≤ NList rows
+      val retrained = Sim.retrainedAlignedCentroids(v, tr) // ≤ NList rows
+      def lits(df: DataFrame): Array[(Int, Seq[Double])] =
+        df.collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+      // argmax over a literal centroid set: top-1 of (trunc4 cosine,
+      // −cid) sorted descending == the batch operator's row_number
+      // ORDER BY ccos DESC, cid — pure scalar compute, no state
+      def assignLit(e: org.apache.spark.sql.Column,
+          cl: Array[(Int, Seq[Double])]): org.apache.spark.sql.Column =
+        -sort_array(array(cl.map { case (cid, ce) => struct(
+          graft.functions.Portable.trunc4(
+            graft.functions.NativeVector.cosine(e, typedLit(ce))).as("qcos"),
+          lit(-cid).as("ncid"))
+        }: _*), asc = false)(0)("ncid")
+      val (fl, rl) = (lits(frozen), lits(retrained))
+      val inDir = s"$root/in"; val snapDir = s"$root/snap"
+      // batch boundaries don't affect the final ledger; slicing only
+      // exercises real multi-batch accumulation through state
+      ho.select(col("vec_id"), col("e")).repartition(4).write.parquet(inDir)
+      val inSchema = spark.read.parquet(inDir).schema
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val ledger = spark.readStream.schema(inSchema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .select(assignLit(col("e"), fl).as("list_id"),
+          assignLit(col("e"), rl).as("retrained_list"))
+        .groupBy(col("list_id"))
+        .agg(count(lit(1)).as("n_added"),
+          sum(when(col("list_id") =!= col("retrained_list"), 1L)
+            .otherwise(0L)).as("n_would_move"))
+        .select(col("list_id"), col("n_added"), col("n_would_move"),
+          graft.functions.Portable.trunc4(
+            col("n_would_move").cast("double") / col("n_added")).as("move_frac"),
+          (col("n_added") >= minAdds &&
+            graft.functions.Portable.trunc4(
+              col("n_would_move").cast("double") / col("n_added")) >= moveFrac)
+            .as("retrain"))
+      val q = ledger.writeStream
+        .outputMode(OutputMode.Complete())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("overwrite").parquet(snapDir) // compacted ledger snapshot
+        }
+        .option("checkpointLocation", s"$root/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      onProgress(q.recentProgress.toSeq)
+      spark.read.parquet(snapDir)
+        .localCheckpoint(true) // ≤ NList rows; materialize before rmTree
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+      v.unpersist()
+      rmTree(new java.io.File(root.toString))
+    }
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1500,7 +1601,8 @@ object Streaming {
     "q_stream_funnel" -> ((s, d) => streamFunnel(s, d)),
     "q_stream_burst" -> ((s, d) => streamBurst(s, d)),
     "q_stream_decontam" -> ((s, d) => streamDecontam(s, d)),
-    "q_stream_scd_enrich" -> ((s, d) => streamScdEnrich(s, d)))
+    "q_stream_scd_enrich" -> ((s, d) => streamScdEnrich(s, d)),
+    "q_stream_ivf_incr" -> ((s, d) => streamIvfIncr(s, d)))
 
   /** The tumbling-window batch equivalent — checks [[streamReplay]]
     * directly and [[streamDedup]] (exactly-once: the redelivered copies
@@ -1516,6 +1618,21 @@ object Streaming {
     "q_stream_decontam" ->
       (graft.operators.Similarity.dcOraclePrefix +
         "SELECT q_id, vec_id AS train_match, cos FROM dc_sc WHERE cos >= 0.4"),
+    // the streaming ledger is a pure cumulative aggregate, so the
+    // batch equivalent is the frozen/retrained assignment pair of the
+    // full held-out slice grouped by frozen list (ivfIncr's move half,
+    // plus the trunc4 drift fraction and the retrain signal)
+    "q_stream_ivf_incr" ->
+      (graft.operators.Similarity.iiOraclePrefix +
+        "SELECT f.frozen_list AS list_id, count(*) AS n_added, " +
+        "sum(CASE WHEN f.frozen_list <> r.retrained_list THEN 1 ELSE 0 END)::BIGINT " +
+        "AS n_would_move, " +
+        "floor(sum(CASE WHEN f.frozen_list <> r.retrained_list THEN 1 ELSE 0 END)::DOUBLE " +
+        "/ count(*) * 10000) / 10000 AS move_frac, " +
+        "(count(*) >= 3 AND " +
+        "floor(sum(CASE WHEN f.frozen_list <> r.retrained_list THEN 1 ELSE 0 END)::DOUBLE " +
+        "/ count(*) * 10000) / 10000 >= 0.25) AS retrain " +
+        "FROM ii_af f JOIN ii_ar r USING (vec_id) GROUP BY 1"),
     // the temporal join is stateless, so the batch equivalent is the
     // same SCD2 build + interval join over the full corpus
     "q_stream_scd_enrich" ->

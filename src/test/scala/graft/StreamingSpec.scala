@@ -1044,4 +1044,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty, "no flagged pairs at this sf — fixture too weak to test")
     assert(got === expected)
   }
+
+  test("streamIvfIncr: ledger matches batch ivfIncr's move half; state bounded by NList") {
+    val Sim = graft.operators.Similarity
+    // batch reference: ivfIncr's incremental-add half (n_added /
+    // n_would_move per frozen list), keyed on the same split
+    val batch = Sim.ivfIncr(Tables.embeddings(spark, sf)).collect()
+      .filter(_.getAs[Long]("n_added") > 0L)
+      .map(r => r.getAs[Int]("list_id").toLong ->
+        ((r.getAs[Long]("n_added"), r.getAs[Long]("n_would_move")))).toMap
+    var peakState = -1L
+    var nBatches = 0
+    val got = Streaming.streamIvfIncr(spark, sf, onProgress = ps => {
+      peakState = ps.flatMap(_.stateOperators.map(_.numRowsTotal))
+        .foldLeft(0L)(math.max)
+      nBatches = ps.count(_.numInputRows > 0)
+    }).collect()
+    assert(got.nonEmpty)
+    val gotMap = got.map(r => r.getAs[Int]("list_id").toLong ->
+      ((r.getAs[Long]("n_added"), r.getAs[Long]("n_would_move")))).toMap
+    assert(gotMap === batch, "streaming ledger diverged from batch ivfIncr")
+    // ledger arithmetic: move_frac and the retrain signal derive from
+    // the integer counts exactly
+    got.foreach { r =>
+      val (a, m) = (r.getAs[Long]("n_added"), r.getAs[Long]("n_would_move"))
+      val frac = math.floor(m.toDouble / a * 10000) / 10000
+      assert(r.getAs[Double]("move_frac") === frac)
+      assert(r.getAs[Boolean]("retrain") === (a >= 3L && frac >= 0.25))
+    }
+    // the 100 TB claim, asserted: the ONLY state is the per-list agg —
+    // peak StateOperatorProgress rows ≤ NList however long the stream,
+    // accumulated across real multi-batch execution
+    assert(nBatches > 1, "single-batch replay exercises no accumulation")
+    assert(peakState >= 0L && peakState <= Sim.NList.toLong,
+      s"ledger state $peakState exceeds NList=${Sim.NList}")
+  }
 }
