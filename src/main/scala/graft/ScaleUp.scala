@@ -52,8 +52,12 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
   private val Stride = 10000000L
 
-  /** The skew-mode hot key (merchant AND user id) — far above any
-    * clone-offset key at sane factors, so it never collides. */
+  /** The skew-mode hot key (merchant AND user id). It sits inside the
+    * clone-offset key space past clone 9 (clone·Stride + original id
+    * reaches 99,999,999 at factor 10 with a 9,999,999 original id), so
+    * [[scaleAll]] ENFORCES factor < 10 under --skew instead of
+    * trusting a comment — silently merging planted skew with a cloned
+    * key would corrupt the skew pins (round-9 advice). */
   val HotKey = 99999999L
 
   /** Skew-mode fold target: hot-merchant traffic lands inside this one
@@ -80,6 +84,10 @@ object ScaleUp {
 
   def scaleAll(spark: SparkSession, src: String, out: String, factor: Int,
       skew: Boolean = false): Unit = {
+    require(!skew || factor < 10,
+      s"--skew requires factor < 10: HotKey=$HotKey aliases clone-offset " +
+        s"keys from clone 9 on (clone*$Stride + id), which would silently " +
+        "merge the planted hot key with a cloned key")
     val clones = spark.range(0, factor).select(col("id").as("clone"))
     def rep(name: String)(f: DataFrame => DataFrame): Unit = {
       val df = spark.read.parquet(s"$src/$name.parquet")

@@ -878,6 +878,13 @@ class ScaleSpec extends SparkSpec {
     assert(c1 === c0)
   }
 
+  test("ScaleUp --skew refuses factor >= 10 (HotKey would alias clone-offset keys)") {
+    val e = intercept[IllegalArgumentException] {
+      ScaleUp.scaleAll(spark, sf, "/tmp/never-written", factor = 10, skew = true)
+    }
+    assert(e.getMessage.contains("HotKey"))
+  }
+
   test("ScaleUp --skew: hot keys at ~100x density; hub caps bound pair work and capAudit reports the truncation") {
     // sf0.01, not the suite's sf0.001: the skew contrast needs enough
     // users (150 vs 15) for "¼ of traffic on one user" to read as
