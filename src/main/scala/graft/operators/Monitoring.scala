@@ -283,28 +283,43 @@ object Monitoring {
     * renormalizes so the newest day always carries weight 2^horizon.
     * Every intermediate is a BIGINT — no float accumulation, so any
     * partial-aggregation merge order yields bit-identical results and
-    * the oracle replays the identical recurrence (same discipline as
-    * [[Graph.pageRank]]). Missing days simply contribute nothing:
-    * decay follows CALENDAR time (RANGE frame on d), not row count.
+    * the oracle replays the textbook recurrence. Missing days simply
+    * contribute nothing: decay follows CALENDAR time, not row count.
     *
-    * Headroom: num <= max_daily_cents * 2^(d+1), so a user-history span
-    * of d days is safe while d < 62 - log2(max_daily_cents) — ~40 days
-    * at $10k/day. The test corpus spans 30 days; at production scale
-    * the same recurrence runs per epoch block (d resets per block, the
-    * carried tail re-enters as one synthetic day-0 term), keeping d
-    * bounded regardless of history length. */
+    * Formulation (round-10): the recurrence form weighted each term by
+    * 2^d with d = days since the user's FIRST day — correct on a
+    * short-history corpus but an ANSI long-overflow the moment any
+    * user's history passes ~47 days (the --skew corpus's hot user
+    * spans 300+ days and crashed it; the old docstring promised
+    * "epoch blocks at production" without implementing them). Since
+    * only the trailing `horizon` days ever contribute, the exponent is
+    * rebased per TARGET day instead: each active day EXPLODES its
+    * k = 0..horizon forward contributions cents·2^(horizon−k), one
+    * hash-agg sums them per (user, target day), and an equi-join back
+    * to the active-day set keeps exactly the original rows. Exactly
+    * equal to the recurrence (each of its terms is divisible by the
+    * renormalizing power, so truncation never bit), with headroom now
+    * 2^horizon · (window cents) — INDEPENDENT of history length. The
+    * oracle intentionally keeps the recurrence form: two different
+    * formulations hashing identically IS the test.
+    *
+    * Scale: explode is a fixed (horizon+1)× fan-out feeding a
+    * map-side-combined agg; the join is an equi-join on
+    * (user, day-index). No window over unbounded history. */
   def ewmaDaily(ev: DataFrame, horizon: Int = 14): DataFrame = {
     val daily = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
     val byUser = Window.partitionBy(col("user_id"))
-    val trailing = Window.partitionBy(col("user_id"))
-      .orderBy(col("d")).rangeBetween(-horizon, 0)
-    daily
+    val withD = daily
       .withColumn("d", datediff(col("day"), min(col("day")).over(byUser)).cast("long"))
-      .withColumn("num", sum(expr("cents * shiftleft(1L, cast(d as int))")).over(trailing))
-      .withColumn("ewma_scaled", when(col("d") >= horizon,
-          expr(s"num div shiftleft(1L, cast(d - $horizon as int))"))
-        .otherwise(expr(s"num * shiftleft(1L, cast($horizon - d as int))")))
+    val contrib = withD
+      .select(col("user_id").as("c_user"), col("d"), col("cents"),
+        explode(sequence(lit(0), lit(horizon))).as("k"))
+      .select(col("c_user"), (col("d") + col("k")).as("td"),
+        expr(s"cents * shiftleft(1L, cast($horizon - k as int))").as("term"))
+      .groupBy(col("c_user"), col("td")).agg(sum(col("term")).as("ewma_scaled"))
+    withD.join(contrib,
+        col("user_id") === col("c_user") && col("d") === col("td"))
       .select(col("user_id"), col("day"), col("cents"), col("ewma_scaled"),
         trunc4(col("ewma_scaled").cast("double") / ((1L << horizon) * 100.0)).as("ewma"))
   }
