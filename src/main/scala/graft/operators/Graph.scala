@@ -737,9 +737,96 @@ object Graph {
     result
   }
 
+  /** Delta scale for [[betweenness]]: dependencies live in [0, ∞) as
+    * integers counting millionths. */
+  val BtwScale: Long = 1000000L
+
+  /** Sampled betweenness centrality — the Brandes (2001) dependency
+    * accumulation from K deterministic pivot sources over the same
+    * bounded-horizon balls as [[closeness]]: forward, all K BFS
+    * frontiers expand in ONE multi-source loop keyed (src, node) that
+    * also accumulates σ (the shortest-path COUNT: σ(v) at hop h is the
+    * sum of σ over v's hop-(h−1) predecessors); backward, dependencies
+    * flow level by level from the horizon toward each pivot,
+    * δ(v) = Σ_{w child of v} σ(v)·(1 + δ(w))/σ(w), and a node's score
+    * is Σ over pivots of δ — the fraction of pivot-rooted shortest
+    * paths that pass THROUGH the node. Exact all-pairs betweenness is
+    * Θ(|V|·|E|) and never runs on a 100 TB graph; K pivots × bounded
+    * horizon is how it ships (Brandes–Pich sampling), and both loops
+    * here are K-way data-parallel joins, never per-source jobs.
+    *
+    * Integer discipline: σ is an exact BIGINT count; δ is scaled by
+    * [[BtwScale]] and every per-child term takes ONE floor division
+    * `σ_v·(SCALE+δ_w) div σ_w` — the product rides DECIMAL(38,0) (the
+    * abCuped widening rule: σ and δ are both aggregate-scale, and the
+    * oracle's HUGEINT replays the identical floor), so partial-agg
+    * merge order cannot move a bit. σ_w ≥ σ_v for any predecessor v,
+    * so a term never exceeds SCALE+δ_w and δ stays ≤ SCALE·|ball| —
+    * Long-safe at any corpus the horizon admits. The final `bc` is the
+    * one double division of the same integer in both engines.
+    *
+    * Scale shape: forward = [[closeness]]'s frontier loop plus one
+    * map-side-combined σ hash-agg per hop; backward = `maxHops−1`
+    * rounds, each one edges ⋈ level join + one (src, node) hash-agg
+    * over the CURRENT level only — O(edges within the hop balls) total,
+    * every round checkpointed so the plan never deepens. */
+  def betweenness(ev: DataFrame, k: Int = 4, maxHops: Int = 4,
+      maxCell: Long = 64L): DataFrame = {
+    val e0 = coEdges(ev, maxCell)
+    val edges = e0.select(col("u1").as("s"), col("u2").as("d"))
+      .unionByName(e0.select(col("u2").as("s"), col("u1").as("d")))
+      .localCheckpoint(true) // consumed once per hop, forward AND back
+    val srcs = edges.select(col("s").as("src")).distinct()
+      .orderBy(col("src")).limit(k) // TakeOrdered: K rows, no global sort
+    var lvl = srcs.select(col("src"), col("src").as("node"), lit(1L).as("sigma"))
+      .localCheckpoint(true)
+    var seen = lvl.select(col("src"), col("node"))
+    val levels = scala.collection.mutable.ArrayBuffer(lvl)
+    for (_ <- 1 to maxHops) {
+      // predecessor σ flows along edges into the not-yet-seen ring;
+      // the anti-join BEFORE the σ-sum keeps non-shortest back-edges out
+      val next = edges.join(lvl.withColumnRenamed("node", "s"), "s")
+        .select(col("src"), col("d").as("node"), col("sigma"))
+        .join(seen, Seq("src", "node"), "left_anti")
+        .groupBy(col("src"), col("node")).agg(sum(col("sigma")).as("sigma"))
+        .localCheckpoint(true)
+      seen = seen.unionByName(next.select(col("src"), col("node")))
+        .localCheckpoint(true)
+      levels += next
+      lvl = next
+    }
+    // backward: horizon nodes carry δ = 0; each inner level's δ sums
+    // one floor-divided term per (v, child-at-hop+1) edge
+    var del = levels(maxHops).withColumn("delta", lit(0L)).localCheckpoint(true)
+    val acc = scala.collection.mutable.ArrayBuffer(del)
+    for (h <- (maxHops - 1) to 1 by -1) {
+      val cur = levels(h)
+      val terms = edges
+        .join(cur.withColumnRenamed("node", "s").withColumnRenamed("sigma", "sigma_v"), "s")
+        .join(del.select(col("src"), col("node").as("d"),
+          col("sigma").as("sigma_w"), col("delta").as("delta_w")), Seq("src", "d"))
+        .select(col("src"), col("s").as("node"),
+          expr(s"cast(sigma_v as decimal(38,0)) * ($BtwScale + delta_w) div sigma_w")
+            .as("term"))
+      del = cur.join(
+          terms.groupBy(col("src"), col("node")).agg(sum(col("term")).as("delta")),
+          Seq("src", "node"), "left")
+        .select(col("src"), col("node"), col("sigma"),
+          coalesce(col("delta"), lit(0L)).as("delta"))
+        .localCheckpoint(true)
+      acc += del
+    }
+    acc.reduce(_ unionByName _) // hop ≥ 1 only: a pivot never scores itself
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_pivots"), sum(col("delta")).as("bc_scaled"))
+      .select(col("node").as("user_id"), col("n_pivots"), col("bc_scaled"),
+        (col("bc_scaled").cast("double") / lit(BtwScale)).as("bc"))
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_betweenness" -> ((s, d) => betweenness(Tables.events(s, d))),
     "q_graph_churn" -> ((s, d) => graphChurn(Tables.events(s, d))),
     "q_graph_assortativity" -> ((s, d) => assortativity(Tables.events(s, d))),
     "q_graph_bfs" -> ((s, d) => bfs(Tables.events(s, d))),
@@ -816,7 +903,43 @@ object Graph {
       s"(17 * coalesce(c.c, 0) // 20) AS r " +
       s"FROM nodes n LEFT JOIN pcontrib$i c ON c.dst = n.node)"
 
+  /** One forward σ level for the [[betweenness]] oracle: hop-`h` nodes
+    * (from the min-hop relation `md`) summing their hop-(h−1)
+    * predecessors' σ along `edges`. */
+  private def btwSigmaSql(h: Int): String =
+    s"bs$h AS (SELECT m.src, m.node, sum(p.sigma)::BIGINT AS sigma FROM md m " +
+      s"JOIN edges e ON e.d = m.node JOIN bs${h - 1} p " +
+      s"ON p.src = m.src AND p.node = e.s WHERE m.hop = $h GROUP BY 1, 2)"
+
+  /** One backward δ level: hop-`h` nodes accumulate one HUGEINT-exact
+    * floor-divided term per hop-(h+1) child — the same
+    * `σ_v·(SCALE+δ_w) div σ_w` the Spark loop computes in
+    * DECIMAL(38,0). */
+  private def btwBackSql(h: Int): String =
+    s"bd$h AS (SELECT c.src, c.node, c.sigma, " +
+      s"coalesce(sum(((c.sigma::HUGEINT * ($BtwScale + w.delta)) // w.sigma)::BIGINT), 0)" +
+      s"::BIGINT AS delta FROM bs$h c " +
+      "LEFT JOIN edges e ON e.s = c.node " +
+      s"LEFT JOIN bd${h + 1} w ON w.src = c.src AND w.node = e.d " +
+      "GROUP BY 1, 2, 3)"
+
   val oracleSql: Map[String, String] = Map(
+    "q_graph_betweenness" ->
+      (s"WITH RECURSIVE $coEdgeCte, " +
+        "srcs AS (SELECT DISTINCT s AS src FROM edges ORDER BY src LIMIT 4), " +
+        "reach(src, node, hop) AS (SELECT src, src, 0 FROM srcs " +
+        "UNION SELECT r.src, e.d, r.hop + 1 FROM reach r JOIN edges e ON e.s = r.node " +
+        "WHERE r.hop < 4), " +
+        "md AS (SELECT src, node, min(hop) AS hop FROM reach GROUP BY 1, 2), " +
+        "bs0 AS (SELECT src, src AS node, 1::BIGINT AS sigma FROM srcs), " +
+        (1 to 4).map(btwSigmaSql).mkString(", ") + ", " +
+        "bd4 AS (SELECT src, node, sigma, 0::BIGINT AS delta FROM bs4), " +
+        (3 to 1 by -1).map(btwBackSql).mkString(", ") + ", " +
+        "alls AS (SELECT * FROM bd1 UNION ALL SELECT * FROM bd2 " +
+        "UNION ALL SELECT * FROM bd3 UNION ALL SELECT * FROM bd4) " +
+        "SELECT node AS user_id, count(*)::BIGINT AS n_pivots, " +
+        "sum(delta)::BIGINT AS bc_scaled, " +
+        s"sum(delta)::BIGINT::DOUBLE / $BtwScale AS bc FROM alls GROUP BY 1"),
     "q_graph_churn" ->
       ("WITH gum AS (SELECT DISTINCT user_id AS u, " +
         "CAST(json_extract_string(props, '$.k') AS INT) AS m, " +

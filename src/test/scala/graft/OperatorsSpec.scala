@@ -1397,6 +1397,50 @@ class OperatorsSpec extends SparkSpec {
     assert(r(1L)._2 === b.map(_.getAs[Long]("hops")).sum)
   }
 
+  test("Graph.betweenness: chain + diamond exact Brandes values, pivots bounded") {
+    import spark.implicits._
+    // path 1—2—3—4—5—6 (pivots = 4 smallest): per-pivot backward
+    // accumulation by hand gives bc_scaled 0 / 5e6 / 7e6 / 5e6 / 3e6 / 0
+    // and node 5 is inside all four pivots' hop-4 balls while node 6
+    // misses pivot 1's (hop 5 > horizon)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val ev = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((i * 2 + 1L, a, f"2024-01-01 ${10 + i}%02d:05:00", s"""{"k": ${20 + i}}"""),
+        (i * 2 + 2L, b, f"2024-01-01 ${10 + i}%02d:15:00", s"""{"k": ${20 + i}}"""))
+    }.toDF("event_id", "user_id", "ts_str", "props")
+      .withColumn("ts", to_timestamp(col("ts_str")))
+      .withColumn("value", lit(1.0))
+    val r = operators.Graph.betweenness(ev).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        (x.getAs[Long]("n_pivots"), x.getAs[Long]("bc_scaled"))).toMap
+    assert(r === Map(
+      1L -> (3L, 0L), 2L -> (3L, 5000000L), 3L -> (3L, 7000000L),
+      4L -> (3L, 5000000L), 5L -> (4L, 3000000L), 6L -> (3L, 0L)))
+    // diamond 1—2—4, 1—3—4: σ(far corner) = 2, so each middle node's
+    // per-pivot dependency is the floor-divided half 1·(SCALE+0)/2 —
+    // the σ>1 branch the chain never exercises; by symmetry every node
+    // collects exactly 2 × 500000
+    val dPairs = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val dev = dPairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((i * 2 + 1L, a, f"2024-01-02 ${10 + i}%02d:05:00", s"""{"k": ${40 + i}}"""),
+        (i * 2 + 2L, b, f"2024-01-02 ${10 + i}%02d:15:00", s"""{"k": ${40 + i}}"""))
+    }.toDF("event_id", "user_id", "ts_str", "props")
+      .withColumn("ts", to_timestamp(col("ts_str")))
+      .withColumn("value", lit(1.0))
+    val d = operators.Graph.betweenness(dev).collect()
+    assert(d.length === 4)
+    d.foreach { x =>
+      assert(x.getAs[Long]("n_pivots") === 3L)
+      assert(x.getAs[Long]("bc_scaled") === 1000000L)
+      assert(x.getAs[Double]("bc") === 1.0)
+    }
+    // corpus sanity: scores non-negative, pivot count ≤ k
+    val corpus = operators.Graph.betweenness(Tables.events(spark, sf)).collect()
+    assert(corpus.nonEmpty)
+    assert(corpus.forall(x => x.getAs[Long]("bc_scaled") >= 0L &&
+      x.getAs[Long]("n_pivots") <= 4L))
+  }
+
   test("Graph.hits: max-normalized scores, authority follows hub mass") {
     import spark.implicits._
     // user 1 → {5, 6}, user 2 → {5}, user 3 → {7}: merchant 5 collects
