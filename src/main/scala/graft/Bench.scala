@@ -40,6 +40,24 @@ object Bench {
       }
     } catch { case _: Throwable => Map.empty }
 
+  /** A full-board run against a DIFFERENT sf than the durable record
+    * holds must divert like a subset run: floors are sf-scoped on READ
+    * (parseFloors returns empty on mismatch), but the WRITE was
+    * last-writer — one sf0.001 smoke board silently replaced the sf0.1
+    * floor record, so the driver's next sf0.1 board would have run with
+    * no floors at all (3 s bar only, phantom detection disabled for
+    * every sub-3 s query). Cross-sf boards go to bench_only.json; the
+    * durable record changes only when the caller targets its sf (or
+    * explicitly overrides the path). */
+  private[graft] def crossSfDivert(existing: Option[String], sfDir: String): Boolean =
+    existing.exists { txt =>
+      try {
+        val sf = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(txt).path("sf")
+        sf.isTextual && sf.asText != sfDir
+      } catch { case _: Throwable => false } // unreadable record: overwrite it
+    }
+
   /** Ratcheting floor update: `floor[q] = min(prior floor, this run's
     * reading)`, same sf (parseFloors already scoped the prior set).
     * Last-writer-wins floors were the round-9 hole: a full board run on
@@ -227,7 +245,14 @@ object Bench {
     // stdout alone is fragile (the driver's tail capture truncated the
     // round-1 line); persist the FULL per-query JSON to a file as the
     // durable complete record.
-    val out = if (subsetDivert)
+    val divert = subsetDivert || (!sys.env.contains("SPARK_GRAFT_BENCH_OUT") && {
+      val p = java.nio.file.Paths.get(benchOutPath)
+      crossSfDivert(
+        if (java.nio.file.Files.exists(p))
+          Some(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        else None, sfDir)
+    })
+    val out = if (divert)
       java.nio.file.Paths.get(benchOutPath).resolveSibling("bench_only.json").toString
     else benchOutPath
     try {
@@ -237,7 +262,7 @@ object Bench {
       // it — a stable machine-readable path for harnesses whose stdout
       // capture truncates, carrying the parsed totals directly.
       val summaryPath = java.nio.file.Paths.get(out).resolveSibling(
-        if (subsetDivert) "bench_only_summary.json" else "bench_summary.json")
+        if (divert) "bench_only_summary.json" else "bench_summary.json")
       java.nio.file.Files.write(summaryPath, (compact + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()

@@ -545,9 +545,32 @@ object Dedup {
     * 16 longs, shingle sets are re-derived for CANDIDATE docs only. */
   def incrementalMinhash(registry: DataFrame, batch: DataFrame,
       threshold: Double = 0.5): DataFrame = {
-    val sigR = signatures(registry).persist()
+    val regBands = bandIndex(registry).persist()
+    val result = probeRegistry(registry, regBands, batch, threshold)
+    regBands.unpersist()
+    result
+  }
+
+  /** The persistent LSH index a crawl pipeline maintains: one
+    * (doc_id, band, bkey) row per band of the registry's signatures.
+    * Built once, pinned, probed by every arriving batch — shared by
+    * [[incrementalMinhash]] and the streaming online half
+    * ([[graft.streaming.Streaming]]'s `q_stream_neardup`). */
+  private[graft] def bandIndex(docs: DataFrame): DataFrame =
+    bandsOf(signatures(docs))
+
+  /** One batch's probe of a pinned registry band index: the arriving
+    * docs' bands equi-join the index (candidates = band collisions,
+    * never batch×registry), and candidates verify with the exact
+    * shingle Jaccard — batch-side shingle sets re-derived for CANDIDATE
+    * docs only, the [[minhashLsh]] slim-payload discipline. Stateless
+    * in the registry: the result for a batch depends only on that
+    * batch and the index, which is what makes the streaming replay of
+    * this exact method micro-batch-invariant. */
+  private[graft] def probeRegistry(registry: DataFrame, regBands: DataFrame,
+      batch: DataFrame, threshold: Double = 0.5): DataFrame = {
     val sigB = signatures(batch).persist()
-    val cand = bandsOf(sigB).as("x").join(bandsOf(sigR).as("y"),
+    val cand = bandsOf(sigB).as("x").join(regBands.as("y"),
         col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey"))
       .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("reg_id"))
       .distinct().persist()
@@ -564,7 +587,7 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("batch_id"), col("reg_id"), trunc4(col("jac")).as("jaccard"))
       .localCheckpoint(true)
-    sigR.unpersist(); sigB.unpersist(); cand.unpersist()
+    sigB.unpersist(); cand.unpersist()
     result
   }
 
@@ -573,10 +596,20 @@ object Dedup {
     * replaced — a near-dup EXACT incremental dedup provably misses)
     * under fresh ids, plus the untouched rest of the corpus. One scan
     * via tagged explode, per the one-scan rule. */
-  def incrMinhashAudit(docs: DataFrame): DataFrame = {
-    val registry = docs.filter(col("doc_id") < 250)
-      .select(col("doc_id"), col("text"))
-    val batch = docs.select(col("doc_id").as("orig_id"),
+  def incrMinhashAudit(docs: DataFrame): DataFrame =
+    incrementalMinhash(incrRegistryOf(docs), incrBatchOf(docs))
+
+  /** The fixture registry: docs < 250 (shared with the streaming
+    * online half so stream ≡ batch is one construction). */
+  private[graft] def incrRegistryOf(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") < 250).select(col("doc_id"), col("text"))
+
+  /** The fixture arriving batch: the first 50 registry docs perturbed
+    * (first token replaced — a near-dup EXACT incremental dedup
+    * provably misses) under fresh ids, plus the untouched rest of the
+    * corpus. One scan via tagged explode, per the one-scan rule. */
+  private[graft] def incrBatchOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("orig_id"),
         explode(array(
           struct((col("doc_id") + CopyOffset).as("doc_id"),
             concat(lit("xq"), col("doc_id"),
@@ -587,8 +620,6 @@ object Dedup {
       .filter((col("r.pert") && col("orig_id") < 50) ||
         (!col("r.pert") && col("orig_id") >= 250))
       .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
-    incrementalMinhash(registry, batch)
-  }
 
   /** Deterministic hash sampling: a reproducible ~pct% sample keyed on
     * the document id (portable across engines and runs, unlike

@@ -465,8 +465,12 @@ object Graph {
     * — all K balls expand in the same per-hop join (edges ⋈ frontier,
     * anti-join visited, both checkpointed), so the work is K× one BFS,
     * not K sequential jobs. The division is the only float op. */
-  def closeness(ev: DataFrame, k: Int = 4, maxHops: Int = 4,
-      maxCell: Long = 64L): DataFrame = {
+  /** The shared K-pivot bounded-horizon ball: (src, node, hops) for the
+    * K smallest node ids, all K BFS frontiers expanding in ONE per-hop
+    * join — the multi-source loop behind [[closeness]] and
+    * [[harmonic]] (and, with σ accumulation added, [[betweenness]]). */
+  private def pivotBalls(ev: DataFrame, k: Int, maxHops: Int,
+      maxCell: Long): DataFrame = {
     val e0 = coEdges(ev, maxCell)
     val edges = e0.select(col("u1").as("s"), col("u2").as("d"))
       .unionByName(e0.select(col("u2").as("s"), col("u1").as("d")))
@@ -485,11 +489,69 @@ object Graph {
       dist = dist.unionByName(next).localCheckpoint(true)
       frontier = next.select(col("src"), col("node"))
     }
-    dist.groupBy(col("src"))
+    dist
+  }
+
+  def closeness(ev: DataFrame, k: Int = 4, maxHops: Int = 4,
+      maxCell: Long = 64L): DataFrame = {
+    pivotBalls(ev, k, maxHops, maxCell).groupBy(col("src"))
       .agg((count(lit(1)) - 1).as("n_reached"), sum(col("hops")).as("sum_hops"))
       .select(col("src").as("src_id"), col("n_reached"), col("sum_hops"),
         (floor(col("n_reached").cast("double") / col("sum_hops") * 1000000) / 1000000)
           .as("closeness"))
+  }
+
+  /** Sampled harmonic centrality (Boldi & Vigna 2014's recommended
+    * closeness repair): H(v) = Σ_pivots 1/d(pivot, v), accumulated at
+    * every node the K pivot balls REACH — so unlike [[closeness]]
+    * (which scores the pivots), this scores the whole reached corpus
+    * from the same K-ball work, and a node two components away simply
+    * contributes nothing instead of poisoning the mean (the reason
+    * harmonic replaced raw closeness in web-graph practice: it is
+    * finite and monotone on disconnected graphs, which a 100 TB
+    * transaction graph always is).
+    *
+    * Integer discipline: each term is the ONE floor division
+    * `SCALE div hops` (hops is a small constant ≤ maxHops, never
+    * aggregate-scale), summed exactly in BIGINT; the oracle replays
+    * `1000000 // hop`. Scale shape: identical to [[closeness]] — the
+    * shared [[pivotBalls]] frontier loop plus one (node) hash-agg. */
+  def harmonic(ev: DataFrame, k: Int = 4, maxHops: Int = 4,
+      maxCell: Long = 64L): DataFrame =
+    pivotBalls(ev, k, maxHops, maxCell)
+      .filter(col("hops") >= 1) // a pivot never scores itself
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_pivots"),
+        sum(expr(s"$BtwScale div hops")).as("h_scaled"))
+      .select(col("node").as("user_id"), col("n_pivots"), col("h_scaled"),
+        (col("h_scaled").cast("double") / lit(BtwScale)).as("harmonic"))
+
+  /** Sampled eccentricity / effective diameter — the HyperANF question
+    * ("how many hops until 90% of reachable pairs are covered?")
+    * answered exactly from the K pivot balls: per pivot, its bounded
+    * eccentricity (max hops reached) and p90 hop count (the smallest
+    * h whose cumulative ball population covers ≥ 90% of everything
+    * the pivot reaches — `cum·10 ≥ n·9` in exact integers, no
+    * percentile float). The neighborhood-function shape every
+    * web-graph paper reports, at K-pivot cost instead of all-pairs.
+    *
+    * Scale shape: the shared [[pivotBalls]] loop, one (src, hops)
+    * hash-agg, and a K·maxHops-row window pass — the analysis rides
+    * the same balls closeness/harmonic already paid for. */
+  def effectiveDiameter(ev: DataFrame, k: Int = 4, maxHops: Int = 4,
+      maxCell: Long = 64L): DataFrame = {
+    val perHop = pivotBalls(ev, k, maxHops, maxCell)
+      .filter(col("hops") >= 1)
+      .groupBy(col("src"), col("hops")).agg(count(lit(1)).as("n_at"))
+    val cum = perHop
+      .withColumn("cum",
+        sum(col("n_at")).over(Window.partitionBy(col("src")).orderBy(col("hops"))))
+      .withColumn("n", sum(col("n_at")).over(Window.partitionBy(col("src"))))
+    cum.groupBy(col("src"), col("n"))
+      .agg(max(col("hops")).as("ecc"),
+        min(when(col("cum") * 10L >= col("n") * 9L, col("hops"))).as("p90_hops"))
+      .select(col("src").as("src_id"), col("n").as("n_reached"),
+        col("ecc"), col("p90_hops"))
   }
 
   def bfs(ev: DataFrame, maxHops: Int = 4, maxCell: Long = 64L): DataFrame = {
@@ -827,6 +889,8 @@ object Graph {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_betweenness" -> ((s, d) => betweenness(Tables.events(s, d))),
+    "q_graph_harmonic" -> ((s, d) => harmonic(Tables.events(s, d))),
+    "q_graph_diameter" -> ((s, d) => effectiveDiameter(Tables.events(s, d))),
     "q_graph_churn" -> ((s, d) => graphChurn(Tables.events(s, d))),
     "q_graph_assortativity" -> ((s, d) => assortativity(Tables.events(s, d))),
     "q_graph_bfs" -> ((s, d) => bfs(Tables.events(s, d))),
@@ -924,6 +988,30 @@ object Graph {
       "GROUP BY 1, 2, 3)"
 
   val oracleSql: Map[String, String] = Map(
+    "q_graph_harmonic" ->
+      (s"WITH RECURSIVE $coEdgeCte, " +
+        "srcs AS (SELECT DISTINCT s AS src FROM edges ORDER BY src LIMIT 4), " +
+        "reach(src, node, hop) AS (SELECT src, src, 0 FROM srcs " +
+        "UNION SELECT r.src, e.d, r.hop + 1 FROM reach r JOIN edges e ON e.s = r.node " +
+        "WHERE r.hop < 4), " +
+        "md AS (SELECT src, node, min(hop) AS hop FROM reach GROUP BY 1, 2) " +
+        "SELECT node AS user_id, count(*)::BIGINT AS n_pivots, " +
+        s"sum($BtwScale // hop)::BIGINT AS h_scaled, " +
+        s"sum($BtwScale // hop)::BIGINT::DOUBLE / $BtwScale AS harmonic " +
+        "FROM md WHERE hop >= 1 GROUP BY 1"),
+    "q_graph_diameter" ->
+      (s"WITH RECURSIVE $coEdgeCte, " +
+        "srcs AS (SELECT DISTINCT s AS src FROM edges ORDER BY src LIMIT 4), " +
+        "reach(src, node, hop) AS (SELECT src, src, 0 FROM srcs " +
+        "UNION SELECT r.src, e.d, r.hop + 1 FROM reach r JOIN edges e ON e.s = r.node " +
+        "WHERE r.hop < 4), " +
+        "md AS (SELECT src, node, min(hop) AS hop FROM reach GROUP BY 1, 2), " +
+        "ph AS (SELECT src, hop, count(*) AS n_at FROM md WHERE hop >= 1 GROUP BY 1, 2), " +
+        "cc AS (SELECT src, hop, sum(n_at) OVER (PARTITION BY src ORDER BY hop) AS cum, " +
+        "sum(n_at) OVER (PARTITION BY src) AS n FROM ph) " +
+        "SELECT src AS src_id, n::BIGINT AS n_reached, max(hop)::BIGINT AS ecc, " +
+        "min(CASE WHEN cum * 10 >= n * 9 THEN hop END)::BIGINT AS p90_hops " +
+        "FROM cc GROUP BY 1, 2"),
     "q_graph_betweenness" ->
       (s"WITH RECURSIVE $coEdgeCte, " +
         "srcs AS (SELECT DISTINCT s AS src FROM edges ORDER BY src LIMIT 4), " +

@@ -957,18 +957,42 @@ object Streaming {
     * emit eagerly (no finalization wait), so the replay's output is
     * the complete deterministic match set; sentinel rows fail the
     * event-type filters in-plan. */
+  /** Why the join key carries a TIME BUCKET alongside the user id:
+    * Spark's symmetric-hash stream-stream join scans EVERY state row
+    * under the equi-key for each arriving row, applying the interval
+    * bound only per scanned row — so a hot key turns the join
+    * quadratic in its own traffic. Measured on the `ScaleUp --skew`
+    * corpus (one user emitting ¼ of all events, ~200k rows): a single
+    * state-scan task ran >10 minutes before being killed, the
+    * signature straggler a 100 TB clickstream's power users would
+    * produce daily. The fix is the textbook bucketed interval join:
+    * key = (user, lookback-sized time bucket), with the click side
+    * exploded into the TWO buckets its lookback window can serve
+    * (`bkt(c)` and `bkt(c)+1`). Every qualifying pair satisfies
+    * `bkt(p) ∈ {bkt(c), bkt(c)+1}` — covered exactly once, no dedup —
+    * and the per-row state scan drops from O(all rows under the user)
+    * to O(rows in one bucket): the hot user's 200k-row scan becomes
+    * ~60. Output is provably identical (the interval predicate is
+    * unchanged); eviction still rides the c_ts/p_ts range condition,
+    * which bucketing does not touch. */
   def streamPairs(spark: SparkSession, dir: String,
       watermarkMin: Long = 10L, lookbackMin: Long = 60L): DataFrame =
     replay(spark, dir, in => {
+      val bucketMs = lookbackMin * 60000L
       val p = in.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
           col("timestamp").as("p_ts"), col("cents").as("p_cents"))
         .withWatermark("p_ts", s"$watermarkMin minutes")
+        .withColumn("bkt", expr(s"unix_millis(p_ts) div $bucketMs"))
       val c = in.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
           col("timestamp").as("c_ts"))
         .withWatermark("c_ts", s"${watermarkMin + lookbackMin} minutes")
+        .withColumn("c_bkt", explode(array(
+          expr(s"unix_millis(c_ts) div $bucketMs"),
+          expr(s"unix_millis(c_ts) div $bucketMs + 1"))))
       p.join(c, col("user_id") === col("c_uid") &&
+          col("bkt") === col("c_bkt") &&
           col("c_ts") <= col("p_ts") &&
           col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackMin MINUTES"))
         .select(col("purchase_id"), col("click_id"), col("user_id"),
@@ -1011,17 +1035,27 @@ object Streaming {
     * passes a far-future `maxTs` since it adds no sentinels). */
   private[graft] def pairsOuterPipeline(watermarkMin: Long, lookbackMin: Long,
       maxTs: java.sql.Timestamp)(in: DataFrame): DataFrame = {
+    // same hot-key time-bucketed join key as [[streamPairs]] (see its
+    // Scaladoc for the measured quadratic this prevents); the left side
+    // is NOT exploded, so unmatched purchases still emit exactly once
+    // on eviction
+    val bucketMs = lookbackMin * 60000L
     val p = in.filter(col("event_type").isin("purchase", "__sentinel__"))
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("timestamp").as("p_ts"), col("cents").as("p_cents"))
       .withWatermark("p_ts", s"$watermarkMin minutes")
       .filter(col("p_ts") <= lit(maxTs)) // on the watermark column: stays above the node
+      .withColumn("bkt", expr(s"unix_millis(p_ts) div $bucketMs"))
     val c = in.filter(col("event_type").isin("click", "__sentinel__"))
       .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
         col("timestamp").as("c_ts"))
       .withWatermark("c_ts", s"${watermarkMin + lookbackMin} minutes")
       .filter(col("c_ts") <= lit(maxTs))
+      .withColumn("c_bkt", explode(array(
+        expr(s"unix_millis(c_ts) div $bucketMs"),
+        expr(s"unix_millis(c_ts) div $bucketMs + 1"))))
     p.join(c, col("user_id") === col("c_uid") &&
+        col("bkt") === col("c_bkt") &&
         col("c_ts") <= col("p_ts") &&
         col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackMin MINUTES"),
         "left_outer")
@@ -1579,9 +1613,76 @@ object Streaming {
     }
   }
 
+  /** Streaming near-duplicate ingest — the ONLINE half of
+    * [[graft.operators.Dedup.incrementalMinhash]], completing the
+    * batch/online symmetry for the dedup family the way
+    * `q_stream_decontam` did for embedding decontamination: the
+    * registry's LSH band index is built ONCE batch-side and pinned
+    * (the persistent index a crawl pipeline maintains), and each
+    * arriving micro-batch of documents probes it — shingle → 16
+    * minhashes → band keys → equi-join on (band, bkey) against the
+    * index → exact shingle-Jaccard verification of candidates only —
+    * so a near-dup of historical content is flagged IN ITS ARRIVAL
+    * BATCH, before it can enter the training pool (exact-hash
+    * `q_stream_dedup` provably misses these; the fixture's perturbed
+    * docs are the proof).
+    *
+    * Stateless by construction: a batch's flags depend only on that
+    * batch and the pinned index, so the pipeline runs as `foreachBatch`
+    * over the SAME [[graft.operators.Dedup.probeRegistry]] method the
+    * batch operator delegates to — zero streaming state, Append-legal,
+    * micro-batch boundaries provably irrelevant (the parity spec
+    * replays ≥ 4 batches and matches the whole-batch operator
+    * row-for-row, and the oracle IS `q_dedup_incr_minhash`'s). At
+    * 100 TB the index is the bucketed band table; the probe stays a
+    * band-keyed equi-join, never batch×registry. */
+  def streamNeardup(spark: SparkSession, dir: String,
+      threshold: Double = 0.5,
+      onProgress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] => Unit
+        = _ => ()): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val D = graft.operators.Dedup
+    val docs = graft.Tables.documents(spark, dir)
+    val registry = D.incrRegistryOf(docs).persist() // verify arm re-shingles candidates
+    val regBands = D.bandIndex(registry).persist()
+    val root = java.nio.file.Files.createTempDirectory("graft-snd")
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      regBands.count() // pin the LSH index BEFORE micro-batches start
+      val inDir = s"$root/in"; val outDir = s"$root/out"
+      // batch boundaries don't affect the (stateless) result; slicing is
+      // only there to exercise real multi-batch execution
+      D.incrBatchOf(docs).repartition(4).write.parquet(inDir)
+      val inSchema = spark.read.parquet(inDir).schema
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = spark.readStream.schema(inSchema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          D.probeRegistry(registry, regBands, b, threshold)
+            .write.mode("append").parquet(outDir)
+        }
+        .option("checkpointLocation", s"$root/ck")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      onProgress(q.recentProgress.toSeq)
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("batch_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("reg_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("jaccard", org.apache.spark.sql.types.DoubleType)))
+      spark.read.schema(outSchema).parquet(outDir)
+        .localCheckpoint(true) // flagged pairs ≪ corpus; materialize before rmTree
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+      regBands.unpersist(); registry.unpersist()
+      rmTree(new java.io.File(root.toString))
+    }
+  }
+
   // ---- driver wiring ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_neardup" -> ((s, d) => streamNeardup(s, d)),
     "q_stream_replay" -> ((s, d) => streamReplay(s, d)),
     "q_stream_dp" -> ((s, d) => streamDp(s, d)),
     "q_stream_sessions" -> ((s, d) => streamSessions(s, d)),
@@ -1613,6 +1714,11 @@ object Streaming {
       "FROM events GROUP BY 1, 2"
 
   val oracleSql: Map[String, String] = Map(
+    // the streaming near-dup probe is stateless and replays the exact
+    // batch probe per micro-batch, so the oracle IS the batch
+    // incremental-minhash oracle, verbatim
+    "q_stream_neardup" ->
+      graft.operators.Dedup.oracleSql("q_dedup_incr_minhash"),
     // streaming decontamination is stateless, so the batch equivalent
     // is exactly the shared scored-pair chain with no aggregation
     "q_stream_decontam" ->

@@ -474,6 +474,18 @@ class OperatorsSpec extends SparkSpec {
     assert(Bench.parseFloors(written, "/data/sf0.1") === Map("q_x" -> 1.2, "q_y" -> 2.7))
   }
 
+  test("Bench.crossSfDivert: a different-sf board diverts instead of clobbering the floor record") {
+    // floors were already sf-scoped on READ, but the WRITE was
+    // last-writer: one sf0.001 smoke board replaced the sf0.1 floor
+    // record, disabling phantom detection for the driver's next board
+    val rec = """{"metric":"total","queries":{"q_a":1.0},"sf":"/data/sf0.1"}"""
+    assert(Bench.crossSfDivert(Some(rec), "/data/sf0.001"))  // mismatch → divert
+    assert(!Bench.crossSfDivert(Some(rec), "/data/sf0.1"))   // same sf → overwrite
+    assert(!Bench.crossSfDivert(None, "/anything"))          // no record → seed it
+    assert(!Bench.crossSfDivert(Some("{not json"), "/x"))    // unreadable → replace
+    assert(!Bench.crossSfDivert(Some("""{"queries":{}}"""), "/x")) // sf-less legacy
+  }
+
   test("Bench.ratchetFloors: floors only descend; busy boards can't inflate rerun bars") {
     // the round-9 hole: a busy-window full board OVERWROTE quiet floors
     // (last-writer-wins), raising the 2.5x rerun bars so the next run's
@@ -1439,6 +1451,60 @@ class OperatorsSpec extends SparkSpec {
     assert(corpus.nonEmpty)
     assert(corpus.forall(x => x.getAs[Long]("bc_scaled") >= 0L &&
       x.getAs[Long]("n_pivots") <= 4L))
+  }
+
+  test("Graph.harmonic: chain graph exact reciprocal-hop sums over all reached nodes") {
+    import spark.implicits._
+    // path 1—2—3—4—5—6, pivots {1,2,3,4}: per node, Σ 1000000 // hop
+    // over every pivot ball containing it (floor per term, like the
+    // oracle's //); node 5 sits in all four balls, node 6 misses
+    // pivot 1's (hop 5 > horizon)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val ev = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((i * 2 + 1L, a, f"2024-01-01 ${10 + i}%02d:05:00", s"""{"k": ${20 + i}}"""),
+        (i * 2 + 2L, b, f"2024-01-01 ${10 + i}%02d:15:00", s"""{"k": ${20 + i}}"""))
+    }.toDF("event_id", "user_id", "ts_str", "props")
+      .withColumn("ts", to_timestamp(col("ts_str")))
+      .withColumn("value", lit(1.0))
+    val r = operators.Graph.harmonic(ev).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        (x.getAs[Long]("n_pivots"), x.getAs[Long]("h_scaled"))).toMap
+    assert(r === Map(
+      1L -> (3L, 1833333L), 2L -> (3L, 2500000L), 3L -> (3L, 2500000L),
+      4L -> (3L, 1833333L), 5L -> (4L, 2083333L), 6L -> (3L, 1083333L)))
+    // cross-operator law: restricted to the pivots themselves, the
+    // ball population matches closeness's n_reached (same pivotBalls)
+    val c = operators.Graph.closeness(ev).collect()
+      .map(x => x.getAs[Long]("src_id") -> x.getAs[Long]("n_reached")).toMap
+    val ballSizes = r.values.map(_._1.toLong).sum // Σ over nodes of containing balls
+    assert(ballSizes === c.values.sum) // both count (src, node≠src) pairs
+  }
+
+  test("Graph.effectiveDiameter: chain graph exact eccentricity and integer p90 hop") {
+    import spark.implicits._
+    // path 1—2—3—4—5—6, pivots {1,2,3,4}: src 1 reaches 4 nodes (hops
+    // 1..4 → ecc 4, p90 at cum 4 of 4 → hop 4); src 2 reaches 5 with
+    // ecc 4; srcs 3 and 4 reach all 5 within 3 hops (ecc 3), and the
+    // 90% bar (cum·10 ≥ n·9 with n=5 needs cum 5) lands on the last hop
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val ev = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((i * 2 + 1L, a, f"2024-01-01 ${10 + i}%02d:05:00", s"""{"k": ${20 + i}}"""),
+        (i * 2 + 2L, b, f"2024-01-01 ${10 + i}%02d:15:00", s"""{"k": ${20 + i}}"""))
+    }.toDF("event_id", "user_id", "ts_str", "props")
+      .withColumn("ts", to_timestamp(col("ts_str")))
+      .withColumn("value", lit(1.0))
+    val r = operators.Graph.effectiveDiameter(ev).collect()
+      .map(x => x.getAs[Long]("src_id") -> ((x.getAs[Long]("n_reached"),
+        x.getAs[Long]("ecc"), x.getAs[Long]("p90_hops")))).toMap
+    assert(r === Map(
+      1L -> ((4L, 4L, 4L)), 2L -> ((5L, 4L, 4L)),
+      3L -> ((5L, 3L, 3L)), 4L -> ((5L, 3L, 3L))))
+    // cross-operator law: per pivot, n_reached matches closeness's
+    // (same pivotBalls), and p90 never exceeds ecc
+    val c = operators.Graph.closeness(ev).collect()
+      .map(x => x.getAs[Long]("src_id") -> x.getAs[Long]("n_reached")).toMap
+    assert(r.view.mapValues(_._1).toMap === c)
+    assert(r.values.forall { case (_, ecc, p90) => p90 >= 1 && p90 <= ecc })
   }
 
   test("Graph.hits: max-normalized scores, authority follows hub mass") {

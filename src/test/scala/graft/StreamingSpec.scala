@@ -1008,6 +1008,25 @@ class StreamingSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("streamNeardup flags exactly the batch incremental-minhash pairs across real micro-batches") {
+    // batch reference: the SAME registry/batch fixture and the SAME
+    // probeRegistry method — parity here proves micro-batch boundaries
+    // are irrelevant (statelessness), not merely that two codepaths
+    // happen to agree
+    val expected = operators.Dedup.incrMinhashAudit(Tables.documents(spark, sf))
+      .collect().map(_.toString).sorted.toSeq
+    var nBatches = 0
+    var nStateful = -1
+    val got = Streaming.streamNeardup(spark, sf, onProgress = ps => {
+      nBatches = ps.count(_.numInputRows > 0)
+      nStateful = ps.flatMap(_.stateOperators).length
+    }).collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty, "no flagged near-dups at this sf — fixture too weak to test")
+    assert(got === expected)
+    assert(nBatches >= 2, s"parity must hold across real micro-batches (got $nBatches)")
+    assert(nStateful === 0, "the probe is stateless by construction")
+  }
+
   test("streamDecontam flags exactly the batch operator's scored pairs (stateless micro-batch parity)") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{broadcast, row_number, count => fcount, min => fmin, max => fmax}
