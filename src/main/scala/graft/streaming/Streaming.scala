@@ -1034,7 +1034,7 @@ object Streaming {
     * shared with the state-bound probe (exact oracled plan; the probe
     * passes a far-future `maxTs` since it adds no sentinels). */
   private[graft] def pairsOuterPipeline(watermarkMin: Long, lookbackMin: Long,
-      maxTs: java.sql.Timestamp)(in: DataFrame): DataFrame = {
+      maxTs: java.sql.Timestamp, keepTs: Boolean = false)(in: DataFrame): DataFrame = {
     // same hot-key time-bucketed join key as [[streamPairs]] (see its
     // Scaladoc for the measured quadratic this prevents); the left side
     // is NOT exploded, so unmatched purchases still emit exactly once
@@ -1059,9 +1059,10 @@ object Streaming {
         col("c_ts") <= col("p_ts") &&
         col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackMin MINUTES"),
         "left_outer")
-      .select(col("purchase_id"), col("click_id"), col("user_id"),
+      .select(Seq(col("purchase_id"), col("click_id"), col("user_id"),
         unix_millis(col("p_ts")).as("p_ts_ms"),
-        unix_millis(col("c_ts")).as("c_ts_ms"), col("p_cents"))
+        unix_millis(col("c_ts")).as("c_ts_ms"), col("p_cents")) ++
+        (if (keepTs) Seq(col("p_ts")) else Nil): _*)
   }
 
   def streamPairsOuter(spark: SparkSession, dir: String,
@@ -1613,6 +1614,41 @@ object Streaming {
     }
   }
 
+  /** Streaming event-time AS-OF enrichment — Flink's event-time
+    * temporal join between two STREAMS, Spark-first: each purchase is
+    * enriched with its user's LATEST prior click within the lookback
+    * window (ties on c_ts broken by the larger click id), or
+    * null-extended if none — "which touchpoint gets last-click credit,
+    * decided by EVENT time", idempotent on replay where a
+    * processing-time lookup would rewrite history.
+    *
+    * Two chained stateful operators, the Spark-4 multi-stateful path:
+    * the bucketed LEFT OUTER interval join ([[pairsOuterPipeline]],
+    * hot-key-safe by construction) feeds a per-purchase windowed
+    * argmax — `max(struct(c_ts_ms, click_id))` grouped by the
+    * purchase's event-time window — and the engine's operator-wise
+    * watermark propagation lets the aggregation accept the join's
+    * eviction-emitted null rows (their event time is behind the GLOBAL
+    * watermark by then; the per-operator output watermark is what
+    * admits them downstream). Exactly one output row per purchase,
+    * law-pinned. State at 100 TB: the join's state is time-bounded per
+    * (user, bucket); the argmax holds one struct per open
+    * purchase-window — both O(traffic in the watermark horizon). */
+  def streamAsof(spark: SparkSession, dir: String,
+      watermarkMin: Long = 10L, lookbackMin: Long = 60L): DataFrame = {
+    val maxTs = ReplayCorpus.get(spark, dir)._2
+    replay(spark, dir, in =>
+      pairsOuterPipeline(watermarkMin, lookbackMin, maxTs, keepTs = true)(in)
+        .groupBy(window(col("p_ts"), "10 minutes"), col("purchase_id"),
+          col("user_id"), col("p_ts_ms"), col("p_cents"))
+        .agg(max(struct(col("c_ts_ms"), col("click_id"))).as("last"))
+        .select(col("purchase_id"), col("user_id"), col("p_ts_ms"),
+          col("last.click_id").as("click_id"),
+          col("last.c_ts_ms").as("c_ts_ms"),
+          (col("p_ts_ms") - col("last.c_ts_ms")).as("gap_ms"),
+          col("p_cents")))
+  }
+
   /** Streaming near-duplicate ingest — the ONLINE half of
     * [[graft.operators.Dedup.incrementalMinhash]], completing the
     * batch/online symmetry for the dedup family the way
@@ -1683,6 +1719,7 @@ object Streaming {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_neardup" -> ((s, d) => streamNeardup(s, d)),
+    "q_stream_asof" -> ((s, d) => streamAsof(s, d)),
     "q_stream_replay" -> ((s, d) => streamReplay(s, d)),
     "q_stream_dp" -> ((s, d) => streamDp(s, d)),
     "q_stream_sessions" -> ((s, d) => streamSessions(s, d)),
@@ -1834,6 +1871,21 @@ object Streaming {
         "FROM events p JOIN events c ON p.user_id = c.user_id " +
         "AND p.event_type = 'purchase' AND c.event_type = 'click' " +
         "AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTES"),
+    "q_stream_asof" ->
+      ("WITH ap AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts, " +
+        "epoch_ms(ts)::BIGINT AS p_ts_ms, " +
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS p_cents " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "ac AS (SELECT event_id AS click_id, user_id, ts AS c_ts, " +
+        "epoch_ms(ts)::BIGINT AS c_ts_ms FROM events " +
+        "WHERE event_type = 'click'), " +
+        "aj AS (SELECT ap.purchase_id, ap.user_id, ap.p_ts_ms, ac.click_id, " +
+        "ac.c_ts_ms, ap.p_cents, row_number() OVER (PARTITION BY ap.purchase_id " +
+        "ORDER BY ac.c_ts_ms DESC NULLS LAST, ac.click_id DESC NULLS LAST) AS rn " +
+        "FROM ap LEFT JOIN ac ON ap.user_id = ac.user_id AND ac.c_ts <= ap.p_ts " +
+        "AND ac.c_ts >= ap.p_ts - INTERVAL 60 MINUTES) " +
+        "SELECT purchase_id, user_id, p_ts_ms, click_id, c_ts_ms, " +
+        "p_ts_ms - c_ts_ms AS gap_ms, p_cents FROM aj WHERE rn = 1"),
     "q_stream_pairs_outer" ->
       ("SELECT p.purchase_id, c.click_id, p.user_id, p.p_ts_ms, c.c_ts_ms, p.p_cents " +
         "FROM (SELECT event_id AS purchase_id, user_id, ts AS p_ts, " +

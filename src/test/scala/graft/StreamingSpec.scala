@@ -1008,6 +1008,35 @@ class StreamingSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("streamAsof: one row per purchase; the last-click choice matches the batch argmax") {
+    import org.apache.spark.sql.functions.{col, expr, floor => ffloor, max => fmax, struct}
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"), col("ts_ms").as("p_ts_ms"),
+        ffloor(col("value") * 100 + 0.5).cast("long").as("p_cents"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_uid"),
+        col("ts").as("c_ts"), col("ts_ms").as("c_ts_ms"))
+    val expected = p.join(c, col("user_id") === col("c_uid") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 60 MINUTES"), "left")
+      .groupBy(col("purchase_id"), col("user_id"), col("p_ts_ms"), col("p_cents"))
+      .agg(fmax(struct(col("c_ts_ms"), col("click_id"))).as("last"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts_ms"),
+        col("last.click_id").as("click_id"), col("last.c_ts_ms").as("c_ts_ms"),
+        (col("p_ts_ms") - col("last.c_ts_ms")).as("gap_ms"), col("p_cents"))
+      .collect().map(_.toString).sorted.toSeq
+    val got = Streaming.streamAsof(spark, sf).collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty)
+    // temporal law: exactly one enriched row per purchase — the argmax
+    // collapses the interval join's fan-out, the outer side keeps
+    // organic purchases
+    val nPurch = ev.filter(col("event_type") === "purchase").count()
+    assert(got.length === nPurch.toInt)
+    assert(got === expected)
+  }
+
   test("streamNeardup flags exactly the batch incremental-minhash pairs across real micro-batches") {
     // batch reference: the SAME registry/batch fixture and the SAME
     // probeRegistry method — parity here proves micro-batch boundaries
