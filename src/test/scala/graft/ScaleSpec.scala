@@ -163,11 +163,17 @@ class ScaleSpec extends SparkSpec {
     // dormancy: same single-window discipline
     val dPlan = Monitoring.dormantAwakening(ev).queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(dPlan).length === 1, dPlan)
-    // ewma: the raw scan shuffles ONCE to the (user, day) aggregate;
-    // both windows then share the ONE user_id re-exchange of the tiny
-    // daily table (2 total) — the event-log scan must not shuffle twice
+    // ewma (round-10 overflow-safe formulation): the EVENT-scale scan
+    // still shuffles exactly once — into the map-side-combined
+    // (user, day) aggregate; the explode/contrib aggregate, the
+    // first-day window and the equi-join back then re-exchange only
+    // the DAILY-sized relation (3 more), so the bound is 4 total and
+    // the invariant that matters is unchanged: raw events cross the
+    // wire once. (The old 2-exchange recurrence form was an ANSI long
+    // overflow past ~47 days of user history — the skew corpus's hot
+    // user crashed it; see ewmaDaily's Scaladoc.)
     val ePlan = Monitoring.ewmaDaily(ev).queryExecution.executedPlan.toString
-    assert("Exchange hashpartitioning".r.findAllIn(ePlan).length <= 2, ePlan)
+    assert("Exchange hashpartitioning".r.findAllIn(ePlan).length <= 4, ePlan)
     // offsetting pairs: amount+bucket ride the join KEY — the plan must
     // be an equi-join (hash clauses), not a broadcast nested loop
     val oPlan = Monitoring.offsettingPairs(ev).queryExecution.executedPlan.toString
