@@ -101,19 +101,71 @@ object Bench {
     *     (total reruns ≤ 2×15).
     * Convergence: after pass 2 every above-bar query has a rerun entry
     * whenever candidates ≤ 2×cap or a storm was detected. */
+  /** Steal-storm detector: pass 1's median collapse ratio (first/rerun)
+    * exceeding 2× means most "slow" firsts were host noise, not work.
+    * Requires ≥3 collapse observations — a median over one or two reruns
+    * is JIT-warm-up noise, not a host storm signature (the real incidents
+    * fired 15–35 reruns), and 1–2-query local subset runs must not burn a
+    * cool-down pass on it. */
+  private[graft] def stormDetected(results: Seq[(String, Double)],
+      pass1: Map[String, Double]): Boolean = {
+    val collapses = results.collect {
+      case (n, first) if pass1.get(n).exists(_ > 0) => first / pass1(n) }
+    collapses.length >= 3 && {
+      val s = collapses.sorted
+      s(s.length / 2) > 2.0
+    }
+  }
+
+  /** Queries whose RECORDED (post-min-merge) reading still exceeds its
+    * rerun bar max(2.5 × same-sf floor, 3 s). After all rerun passes this
+    * set is the board's residual suspicion: on a quiet host it means the
+    * query genuinely got slower (new work — the ratchet keeps its old
+    * floor and the min-merge records the honest slower time); under a
+    * detected storm it means the storm outlived the rerun pass and the
+    * reading is an unvetted phantom. */
+  private[graft] def aboveBar(finalResults: Seq[(String, Double)],
+      floors: Map[String, Double]): Seq[String] =
+    finalResults.collect { case (n, t)
+      if t >= 0 && t > math.max(floors.get(n).map(_ * 2.5).getOrElse(0.0), 3.0) => n }
+
   private[graft] def secondPass(results: Seq[(String, Double)],
       floors: Map[String, Double], pass1: Map[String, Double],
       cap: Int = 15): Seq[String] = {
     val leftovers = rerunCandidates(results, floors, Int.MaxValue)
       .filterNot(pass1.contains)
-    val collapses = results.collect {
-      case (n, first) if pass1.get(n).exists(_ > 0) => first / pass1(n) }
-    val storm = collapses.nonEmpty && {
-      val s = collapses.sorted
-      s(s.length / 2) > 2.0
-    }
-    if (storm) leftovers else leftovers.sortBy(n =>
+    if (stormDetected(results, pass1)) leftovers else leftovers.sortBy(n =>
       -results.find(_._1 == n).map(_._2).getOrElse(0.0)).take(cap)
+  }
+
+  /** Storm-spanning escalation (BENCH_r10's residual hole): the steal
+    * storm that inflated pass-0 firsts can outlive the rerun batch too —
+    * round 10's driver board recorded 22 readings >2.5× their ratcheted
+    * floors because the rerun pass itself ran inside the storm
+    * (q_graph_modularity first 50.6 s → rerun 9.63 s vs quiet floor
+    * 3.10 s). When the storm detector fired AND post-rerun readings still
+    * sit above their bars, one cool-down third pass reruns exactly those
+    * queries after a pause (the storm is transient host contention; a
+    * phantom's rerun costs only its true time). Queries STILL above bar
+    * after the cool-down pass are stamped on the board as
+    * `"degraded": [...]` so a consumer prefers the committed quiet floor
+    * record over those readings — no final board carries a silent
+    * storm-contaminated value. Quiet-host above-bar readings (genuinely
+    * slower queries) are NOT escalated: without a storm the min-merged
+    * reading is the honest record. */
+  private[graft] def thirdPass(finalResults: Seq[(String, Double)],
+      floors: Map[String, Double], storm: Boolean): Seq[String] =
+    if (storm) aboveBar(finalResults, floors) else Seq.empty
+
+  /** Divert filename for runs that must not clobber the durable full-board
+    * floor record: subset runs (SPARK_GRAFT_ONLY) and full boards at a
+    * different sf than the record holds. Distinct reasons get distinct
+    * files — a cross-sf sf1 board and a subset scratch run used to share
+    * bench_only.json, each silently erasing the other's record. */
+  private[graft] def divertName(subset: Boolean, sfDir: String): String = {
+    val leaf = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
+      .replaceAll("[^A-Za-z0-9._-]", "_")
+    if (subset) "bench_only_subset.json" else s"bench_only_$leaf.json"
   }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -209,9 +261,36 @@ object Bench {
     // cap starved, uncapped under a detected steal storm.
     val pass2: Map[String, Double] =
       secondPass(results, priorFloor, pass1).map(rerunOnce).toMap
-    val reruns: Map[String, Double] = pass1 ++ pass2
-    val finalResults = results.map { case (k, v) =>
-      k -> (if (v >= 0 && reruns.get(k).exists(_ >= 0)) math.min(v, reruns(k)) else v) }
+    def minMerge(rr: Map[String, Double]): Seq[(String, Double)] =
+      results.map { case (k, v) =>
+        k -> (if (v >= 0 && rr.get(k).exists(_ >= 0)) math.min(v, rr(k)) else v) }
+    // Storm-spanning escalation: if the storm detector fired and readings
+    // STILL exceed their floor bars after both rerun batches, pause for a
+    // cool-down (the storm is transient host contention) and rerun exactly
+    // the residual set once more; whatever survives is stamped "degraded"
+    // on the board instead of being recorded silently.
+    val storm = stormDetected(results, pass1)
+    val afterTwo = minMerge(pass1 ++ pass2)
+    val p3names = thirdPass(afterTwo, priorFloor, storm)
+    val pass3: Map[String, Double] = if (p3names.nonEmpty) {
+      val coolSec = sys.env.get("SPARK_GRAFT_COOLDOWN_SEC")
+        .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(30)
+      System.err.println(s"[bench] storm outlived reruns: ${p3names.size} " +
+        s"readings still above floor bar; cooling down ${coolSec}s before third pass")
+      Thread.sleep(coolSec * 1000L)
+      p3names.map(rerunOnce).toMap
+    } else Map.empty
+    val reruns: Map[String, Double] = pass1 ++ pass2 ++
+      pass3.map { case (k, v) =>
+        // a query in both pass1/2 and pass3 keeps its best vetted reading
+        k -> (if (v >= 0) (pass1 ++ pass2).get(k).filter(_ >= 0).map(math.min(_, v)).getOrElse(v)
+              else (pass1 ++ pass2).getOrElse(k, v)) }
+    val finalResults = minMerge(reruns)
+    // residual above-bar readings under a detected storm = unvetted
+    // phantoms the cool-down couldn't clear; a consumer should prefer the
+    // committed quiet floor record for these
+    val degraded: Seq[String] =
+      if (storm) aboveBar(finalResults, priorFloor) else Seq.empty
     val qs = finalResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val rr = results.filter(r => reruns.contains(r._1)).map { case (k, first) =>
@@ -222,7 +301,8 @@ object Bench {
     val floors = ratchetFloors(priorFloor, finalResults)
     val fs = floors.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reruns":$rr,"floors":$fs,"sf":"$sfDir"}"""
+    val deg = degraded.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reruns":$rr,"floors":$fs,"degraded":$deg,"sf":"$sfDir"}"""
     // The driver keeps only the LAST 2000 chars of stdout (plus sbt's
     // trailing "[success] ..." line), so the full per-query line above
     // (~4 KB at 114 queries) arrives with its head cut off and never
@@ -233,7 +313,8 @@ object Bench {
     val budget = 1500
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val ranked = finalResults.sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }(Ordering[Double].reverse)
-    val head = f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"failed":$failed,"full":"bench_last.json","sf":"$sfDir","queries":{"""
+    val degHead = if (degraded.nonEmpty) s""""degraded":${degraded.size},""" else ""
+    val head = f"""{"metric":"total","value":$total%.2f,"unit":"sec","n":${results.size},"failed":$failed,$degHead"full":"bench_last.json","sf":"$sfDir","queries":{"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = head.length + 2 // closing "}}"
     for ((k, v) <- ranked) {
@@ -253,7 +334,8 @@ object Bench {
         else None, sfDir)
     })
     val out = if (divert)
-      java.nio.file.Paths.get(benchOutPath).resolveSibling("bench_only.json").toString
+      java.nio.file.Paths.get(benchOutPath)
+        .resolveSibling(divertName(subsetDivert, sfDir)).toString
     else benchOutPath
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
@@ -262,7 +344,8 @@ object Bench {
       // it — a stable machine-readable path for harnesses whose stdout
       // capture truncates, carrying the parsed totals directly.
       val summaryPath = java.nio.file.Paths.get(out).resolveSibling(
-        if (divert) "bench_only_summary.json" else "bench_summary.json")
+        if (divert) divertName(subsetDivert, sfDir).stripSuffix(".json") + "_summary.json"
+        else "bench_summary.json")
       java.nio.file.Files.write(summaryPath, (compact + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()

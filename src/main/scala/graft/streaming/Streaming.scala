@@ -1694,9 +1694,15 @@ object Streaming {
       val q = spark.readStream.schema(inSchema).option("maxFilesPerTrigger", 1)
         .parquet(inDir)
         .writeStream
-        .foreachBatch { (b: DataFrame, _: Long) =>
+        // idempotent per micro-batch (ADVICE r10): foreachBatch is
+        // at-least-once — a batch retried from the checkpoint after a
+        // partial/full write would DUPLICATE flagged pairs under a plain
+        // append sink, breaking dedup semantics on that run. Each batch
+        // owns a batchId-named subdirectory written in overwrite mode, so
+        // a retry replaces its own output instead of appending beside it.
+        .foreachBatch { (b: DataFrame, batchId: Long) =>
           D.probeRegistry(registry, regBands, b, threshold)
-            .write.mode("append").parquet(outDir)
+            .write.mode("overwrite").parquet(s"$outDir/b$batchId")
         }
         .option("checkpointLocation", s"$root/ck")
         .trigger(Trigger.AvailableNow()).start()
@@ -1706,7 +1712,8 @@ object Streaming {
         org.apache.spark.sql.types.StructField("batch_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("reg_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("jaccard", org.apache.spark.sql.types.DoubleType)))
-      spark.read.schema(outSchema).parquet(outDir)
+      spark.read.schema(outSchema).option("recursiveFileLookup", "true")
+        .parquet(outDir)
         .localCheckpoint(true) // flagged pairs ≪ corpus; materialize before rmTree
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevSp)

@@ -540,6 +540,48 @@ class OperatorsSpec extends SparkSpec {
     assert(Bench.secondPass(Seq("q_a" -> 1.0), floors, Map.empty) === Seq.empty)
   }
 
+  test("Bench.thirdPass/aboveBar: storm-spanning readings escalate; quiet boards don't") {
+    // BENCH_r10's residual hole: the steal storm outlived the rerun pass,
+    // so 22 min-merged readings still sat >2.5x their ratcheted floors
+    // (q_graph_modularity 9.63s recorded vs 3.10s floor). The escalation
+    // contract: storm + above-bar residue -> cool-down third pass over
+    // exactly that residue; anything still above bar is stamped degraded.
+    val floors = Map("q_mod" -> 3.10, "q_ok" -> 2.0, "q_slow" -> 1.0)
+    // post-min-merge board: q_mod at 9.63 (3.1x floor), q_ok at its floor,
+    // q_slow at 2.4x floor (below the 2.5x bar), q_tiny under the 3s bar
+    val board = Seq("q_mod" -> 9.63, "q_ok" -> 2.1, "q_slow" -> 2.4,
+      "q_tiny" -> 0.4, "q_fail" -> -1.0)
+    assert(Bench.aboveBar(board, floors) === Seq("q_mod"))
+    // storm detected -> exactly the residue reruns (never the whole board)
+    assert(Bench.thirdPass(board, floors, storm = true) === Seq("q_mod"))
+    // quiet host -> a genuinely-slower query is the honest record, no pass 3
+    assert(Bench.thirdPass(board, floors, storm = false) === Seq.empty)
+    // a clean board under a storm escalates nothing
+    assert(Bench.thirdPass(Seq("q_ok" -> 2.1), floors, storm = true) === Seq.empty)
+    // floorless new query: only the 3s absolute bar applies
+    assert(Bench.aboveBar(Seq("q_new" -> 3.5), Map.empty) === Seq("q_new"))
+    assert(Bench.aboveBar(Seq("q_new" -> 2.9), Map.empty) === Seq.empty)
+    // stormDetected: median pass-1 collapse > 2x, and only with >= 3
+    // observations (a 1-2-query subset's JIT warm-up collapse is not a
+    // storm; the real incidents fired 15-35 reruns)
+    val res = Seq("q_a" -> 10.0, "q_b" -> 9.0, "q_c" -> 8.0)
+    assert(Bench.stormDetected(res, Map("q_a" -> 2.0, "q_b" -> 2.0, "q_c" -> 2.0)))
+    assert(!Bench.stormDetected(res, Map("q_a" -> 9.5, "q_b" -> 8.7, "q_c" -> 7.9)))
+    assert(!Bench.stormDetected(res, Map.empty))
+    assert(!Bench.stormDetected(res, Map("q_a" -> 2.0, "q_b" -> 2.0))) // 2 samples
+  }
+
+  test("Bench.divertName: subset and cross-sf boards get distinct divert files") {
+    // ADVICE r10: subset runs and cross-sf boards shared bench_only.json,
+    // each silently erasing the other's scratch record
+    assert(Bench.divertName(subset = true, "/root/testdata/sf0.1") === "bench_only_subset.json")
+    assert(Bench.divertName(subset = false, "/root/testdata/sf0.001") === "bench_only_sf0.001.json")
+    assert(Bench.divertName(subset = false, "target/sf1/") === "bench_only_sf1.json")
+    // path-hostile leaf chars are sanitized, never nested
+    assert(!Bench.divertName(subset = false, "/a/b c/").contains(" "))
+    assert(Bench.divertName(subset = false, "") === "bench_only_sf.json")
+  }
+
   test("ScaleUp.rotateEmbeddings: every clone > 0 gets a non-zero rotation") {
     import spark.implicits._
     // dim 64 = Similarity.Dim: the old clone*7+1 formula hit shift 0 at
