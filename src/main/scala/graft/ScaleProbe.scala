@@ -30,6 +30,19 @@ import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
   *    hops, which is exactly what the iterative graph family needs
   *    measured. */
 object ScaleProbe {
+  /** Candidate-pair counters for the banded generators whose decade
+    * shuffle readings are attributed to candidate growth (VERDICT r10
+    * directive 2): the probe line carries the MEASURED candidate count
+    * (`cand_pairs`) next to the shuffle bytes, so cand× vs shuf× is a
+    * recorded ratio, not a narrative. Counted AFTER the timed run and
+    * after the listener totals are captured — the counter's own stages
+    * never contaminate the reading. */
+  private val candCounters: Map[String, (SparkSession, String) => Long] = Map(
+    "q_knn_graph" -> ((s, d) =>
+      graft.operators.Similarity.knnCandidatePairs(Tables.embeddings(s, d)).count()),
+    "q_dedup_minhash_lsh" -> ((s, d) =>
+      graft.operators.Dedup.lshCandidatePairs(Tables.documents(s, d)).count()))
+
   /** All physical nodes, descending into AQE stages and reuse. */
   private def nodes(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {
@@ -91,10 +104,17 @@ object ScaleProbe {
       }.getOrElse((-1L, -1L, -1))
       spark.sharedState.cacheManager.clearCache()
       settle()
+      // capture listener totals BEFORE any candidate counting: the
+      // counter runs its own stages and must not inflate the reading
+      val (totW, totR, totS) = (shufWrite.get, shufRead.get, stages.get)
+      val cand = candCounters.get(name).map { f =>
+        try f(spark, sfDir) catch { case _: Throwable => -1L } }
+      spark.sharedState.cacheManager.clearCache()
+      val candField = cand.map(c => s""""cand_pairs":$c,""").getOrElse("")
       println(f"""{"query":"$name","ok":${qe.isDefined},"wall_s":$wall%.3f,""" +
         s""""plan_shuffle_write_bytes":$w,"plan_shuffle_read_bytes":$r,""" +
-        s""""exchanges":$ex,"total_shuffle_write_bytes":${shufWrite.get},""" +
-        s""""total_shuffle_read_bytes":${shufRead.get},"stages":${stages.get},""" +
+        s""""exchanges":$ex,"total_shuffle_write_bytes":$totW,""" +
+        s""""total_shuffle_read_bytes":$totR,"stages":$totS,$candField""" +
         s""""sf":"$sfDir"}""")
     }
     spark.stop()

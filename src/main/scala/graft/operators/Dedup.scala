@@ -145,6 +145,21 @@ object Dedup {
     result
   }
 
+  /** Distinct LSH band-collision candidate pairs (pre-verification) —
+    * [[minhashLsh]]'s candidate relation, exposed so the scale probes
+    * can measure CANDIDATE growth independently of verified output:
+    * the decade attribution for q_dedup_minhash_lsh's super-linear
+    * shuffle reading needs the pair count itself as evidence, not a
+    * narrative (VERDICT r10 directive 2). */
+  private[graft] def lshCandidatePairs(docs: DataFrame): DataFrame = {
+    val bands = bandsOf(signatures(docs))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+  }
+
   def minhashLsh(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val sig = signatures(docs).persist()
     val bands = bandsOf(sig)
@@ -955,7 +970,7 @@ object Dedup {
     s"bands_$x AS (SELECT doc_id, b, md5(g[4*b+1]::VARCHAR||','||g[4*b+2]::VARCHAR||','||" +
       s"g[4*b+3]::VARCHAR||','||g[4*b+4]::VARCHAR) bkey FROM $x, range(0,4) r(b))"
 
-  private val sigCte =
+  private[graft] val sigCte =
     "WITH t AS (SELECT doc_id, string_split(text,' ') tok FROM documents), " +
       "sh AS (SELECT doc_id, unnest(list_transform(range(1, len(tok)-1), " +
       "i -> tok[i]||' '||tok[i+1]||' '||tok[i+2])) s FROM t), " +
@@ -970,7 +985,7 @@ object Dedup {
 
   /** LSH band candidate pairs over `sig` (no verification), shared by
     * the pair/cluster oracles and the estimate audit. */
-  private val candCte =
+  private[graft] val candCte =
     ", bands AS (SELECT doc_id, b, md5(g[4*b+1]::VARCHAR||','||g[4*b+2]::VARCHAR||','||" +
       "g[4*b+3]::VARCHAR||','||g[4*b+4]::VARCHAR) bkey FROM sig, range(0,4) r(b)), " +
       "cand AS (SELECT DISTINCT x.doc_id a_id, y.doc_id b_id FROM bands x JOIN bands y " +

@@ -501,7 +501,36 @@ object ScaleOps {
       .unionByName(summarize("fuzzy_blocks", maxBlock, fuzzyBlocks))
   }
 
+  /** Candidate-pair density audit — the banded pair generators' raw
+    * candidate volume as DATA, next to [[capAudit]]'s truncation audit:
+    * one row per generator family ([[Similarity.knnCandidatePairs]]'s
+    * 8×8 sign-band self-join over embeddings,
+    * [[Dedup.lshCandidatePairs]]' 4×4 MinHash band self-join over
+    * documents) reporting corpus size, distinct candidate pairs, and
+    * integer-exact pairs-per-1k-items density. This is the decade-probe
+    * attribution instrument (VERDICT r10 directive 2): a super-linear
+    * shuffle reading for q_knn_graph / q_dedup_minhash_lsh is explained
+    * (or not) by running THIS query at both scales and comparing cand×
+    * to shuf× — candidate growth is generator-density fact, plan-shape
+    * change is a defect; the two were previously distinguishable only
+    * by narrative.
+    *
+    * Scale: each arm is the generator's own banded equi-join collapsed
+    * map-side to one count row — strictly cheaper than the generator
+    * it audits (no verification, no payloads, ids only). */
+  def candDensity(docs: DataFrame, emb: DataFrame): DataFrame = {
+    def row(family: String, items: DataFrame, pairs: DataFrame): DataFrame =
+      pairs.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(items.agg(count(lit(1)).as("n_items")))
+        .select(lit(family).as("family"), col("n_items"), col("n_cand"),
+          expr("n_cand * 1000 div n_items").as("cand_per_1k"))
+    row("knn_bands", emb, Similarity.knnCandidatePairs(emb))
+      .unionByName(row("minhash_lsh", docs, Dedup.lshCandidatePairs(docs)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cand_density" -> ((s, d) =>
+      candDensity(Tables.documents(s, d), Tables.embeddings(s, d))),
     "q_compaction_plan" -> ((s, d) => compactionPlan(Tables.events(s, d))),
     "q_zonemap" -> ((s, d) => zonemapAudit(Tables.events(s, d))),
     "q_mixture_sample" -> ((s, d) => mixtureSample(Tables.documents(s, d))),
@@ -541,6 +570,18 @@ object ScaleOps {
       s"max(n)::BIGINT AS max_group FROM $rel"
 
   val oracleSql: Map[String, String] = Map(
+    "q_cand_density" ->
+      ("SELECT 'knn_bands' AS family, n_items, n_cand, " +
+        "(n_cand * 1000) // n_items AS cand_per_1k FROM " +
+        "(WITH " + Similarity.kgCandPrefixSql +
+        " SELECT (SELECT count(*) FROM embeddings)::BIGINT AS n_items, " +
+        "count(*)::BIGINT AS n_cand FROM kg_pairs) " +
+        "UNION ALL " +
+        "SELECT 'minhash_lsh' AS family, n_items, n_cand, " +
+        "(n_cand * 1000) // n_items AS cand_per_1k FROM " +
+        "(" + Dedup.sigCte + Dedup.candCte +
+        " SELECT (SELECT count(*) FROM documents)::BIGINT AS n_items, " +
+        "count(*)::BIGINT AS n_cand FROM cand)"),
     "q_cap_audit" ->
       ("WITH um AS (SELECT DISTINCT user_id u, " +
         "CAST(json_extract_string(props, '$.k') AS INT) m, " +

@@ -759,6 +759,25 @@ object Similarity {
     * ≪ n²; the top-k shuffle carries (src, dst, cos) triples only.
     * Recall < 1 by construction (bucketing misses some true
     * neighbors); the oracle replicates the same approximation. */
+  /** Distinct banded candidate pairs of the kNN chain (ids only, no
+    * embedding payloads, no cosine) — [[knnGraph]]'s candidate relation
+    * exposed for the scale probes: q_knn_graph's super-linear decade
+    * shuffle reading is attributed to candidate growth on the clone
+    * generator, and the attribution needs the measured pair count
+    * itself (VERDICT r10 directive 2). Same banding expression as
+    * [[knnGraph]], so the count is the operator's own candidate volume. */
+  private[graft] def knnCandidatePairs(emb: DataFrame): DataFrame = {
+    val v = withEmbD(emb)
+    val bands = v.select(col("vec_id"),
+        explode(bandStructsWith(col("e"), KnnBands, KnnRowsPerBand)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+  }
+
   def knnGraph(emb: DataFrame, k: Int = 5): DataFrame = {
     val v = withEmbD(emb)
     // all-pairs self-join ⇒ the WIDE KnnBands×KnnRowsPerBand geometry
@@ -2012,10 +2031,18 @@ object Similarity {
 
   /** The kNN-graph chain (banded candidates → cosine → mirror →
     * per-source top-5), shared by q_knn_graph and q_label_noise. */
-  private val kgCtes =
+  /** kg_pairs alone — the kNN chain's candidate relation, shared with
+    * the cross-family candidate-density audit (requires v, kg_bands). */
+  private[graft] val kgPairsCte =
     "kg_pairs AS (SELECT DISTINCT x.vec_id a_id, y.vec_id b_id " +
       "FROM kg_bands x JOIN kg_bands y ON x.band = y.band AND x.bkey = y.bkey " +
-      "AND x.vec_id < y.vec_id), " +
+      "AND x.vec_id < y.vec_id)"
+
+  /** Full oracle prefix for counting kg_pairs (v + banding + pairs). */
+  private[graft] def kgCandPrefixSql: String = s"$vCte, $kgBandsCte, $kgPairsCte"
+
+  private val kgCtes =
+    kgPairsCte + ", " +
       "kg_scored AS (SELECT a_id, b_id, floor(list_cosine_similarity(" +
       "(SELECT e FROM v WHERE v.vec_id = kg_pairs.a_id), " +
       "(SELECT e FROM v WHERE v.vec_id = kg_pairs.b_id)) * 10000) / 10000 cos " +

@@ -800,6 +800,52 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("banded generators: exchange count is scale-invariant; candidate counters cover the operator output") {
+    // VERDICT r10 directive 2: the decade probe read q_knn_graph at
+    // 12.0x and q_dedup_minhash_lsh at 11.1x shuffle for 10x data,
+    // attributed to candidate-pair growth on the clone generator — not
+    // a plan-shape change. Two pins turn that attribution into CI:
+    // (a) the executed plan's shuffle-exchange count is IDENTICAL at
+    //     sf0.001 and sf0.01 — a join that switches strategy or grows
+    //     extra exchanges with scale fails loudly;
+    // (b) the counting helpers the probes use (knnCandidatePairs /
+    //     lshCandidatePairs) are the operators' OWN candidate sets:
+    //     every verified output pair appears among the counted
+    //     candidates, so cand_pairs is an upper-bound instrument for
+    //     the operator's pair volume, not a lookalike relation.
+    import graft.operators.{Dedup, Similarity}
+    def exchanges(name: String, dir: String): Int = {
+      val q = SparkEntry.queries(name)(spark, dir).queryExecution
+      q.toRdd.count()
+      val n = planNodes(q.executedPlan).distinct
+        .count(_.getClass.getSimpleName.contains("ShuffleExchange"))
+      spark.sharedState.cacheManager.clearCache()
+      n
+    }
+    for (name <- Seq("q_knn_graph", "q_dedup_minhash_lsh")) {
+      val e001 = exchanges(name, "/root/testdata/sf0.001")
+      val e01 = exchanges(name, "/root/testdata/sf0.01")
+      assert(e001 === e01,
+        s"$name: $e001 exchanges at sf0.001 but $e01 at sf0.01 — plan shape changed with scale")
+    }
+    // (b) output ⊆ candidates, both families, at sf0.001
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val knnCand = Similarity.knnCandidatePairs(emb)
+      .select(col("a_id"), col("b_id"))
+    val knnOut = Similarity.knnGraph(emb)
+      .select(least(col("src_id"), col("dst_id")).as("a_id"),
+        greatest(col("src_id"), col("dst_id")).as("b_id")).distinct()
+    assert(knnOut.join(knnCand, Seq("a_id", "b_id"), "left_anti").count() === 0,
+      "knnGraph emitted an edge outside its counted candidate set")
+    val docs = Tables.documents(spark, dir)
+    val lshCand = Dedup.lshCandidatePairs(docs)
+    val lshOut = Dedup.minhashLsh(docs).select(col("a_id"), col("b_id"))
+    assert(lshOut.join(lshCand, Seq("a_id", "b_id"), "left_anti").count() === 0,
+      "minhashLsh emitted a pair outside its counted candidate set")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("round-7 scale pins: skyline never self-joins, negatives stay O(n·k), keyphrases/hybrid keep k per key") {
     // q_skyline: the sort-based filter replaces the Θ(m²) dominance
     // self-join — the plan must contain NO join at all
