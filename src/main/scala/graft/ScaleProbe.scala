@@ -68,6 +68,31 @@ object ScaleProbe {
     val shufWrite = new java.util.concurrent.atomic.AtomicLong
     val shufRead = new java.util.concurrent.atomic.AtomicLong
     val stages = new java.util.concurrent.atomic.AtomicLong
+    // Streaming state peaks (directive: streaming decade evidence).
+    // The q_stream_* replays run REAL StreamingQuery instances on this
+    // session, so a session-wide listener sees every micro-batch's
+    // StateOperatorProgress: peakState = max over progress events of
+    // Σ stateOperators.numRowsTotal (the concurrent state footprint),
+    // stateOps = max distinct stateful operators in one query. A query
+    // whose peak state grows with CORPUS SIZE instead of the watermark
+    // horizon is the 100 TB streaming killer this probe exists to catch.
+    val peakState = new java.util.concurrent.atomic.AtomicLong
+    val stateOps = new java.util.concurrent.atomic.AtomicLong
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val ops = e.progress.stateOperators
+        if (ops != null && ops.nonEmpty) {
+          val total = ops.map(_.numRowsTotal).sum
+          peakState.getAndAccumulate(total, math.max(_, _))
+          stateOps.getAndAccumulate(ops.length.toLong, math.max(_, _))
+        }
+      }
+    })
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -86,6 +111,7 @@ object ScaleProbe {
     names.foreach { name =>
       settle()
       shufWrite.set(0L); shufRead.set(0L); stages.set(0L)
+      peakState.set(0L); stateOps.set(0L)
       val t0 = System.nanoTime()
       val qe = try {
         val q = SparkEntry.queries(name)(spark, sfDir).queryExecution
@@ -111,10 +137,13 @@ object ScaleProbe {
         try f(spark, sfDir) catch { case _: Throwable => -1L } }
       spark.sharedState.cacheManager.clearCache()
       val candField = cand.map(c => s""""cand_pairs":$c,""").getOrElse("")
+      val stateField = if (stateOps.get > 0)
+        s""""peak_state_rows":${peakState.get},"state_ops":${stateOps.get},"""
+      else ""
       println(f"""{"query":"$name","ok":${qe.isDefined},"wall_s":$wall%.3f,""" +
         s""""plan_shuffle_write_bytes":$w,"plan_shuffle_read_bytes":$r,""" +
         s""""exchanges":$ex,"total_shuffle_write_bytes":$totW,""" +
-        s""""total_shuffle_read_bytes":$totR,"stages":$totS,$candField""" +
+        s""""total_shuffle_read_bytes":$totR,"stages":$totS,$candField$stateField""" +
         s""""sf":"$sfDir"}""")
     }
     spark.stop()

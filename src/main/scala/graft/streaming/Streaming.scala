@@ -1634,19 +1634,25 @@ object Streaming {
     * law-pinned. State at 100 TB: the join's state is time-bounded per
     * (user, bucket); the argmax holds one struct per open
     * purchase-window — both O(traffic in the watermark horizon). */
+  /** The chained join→argmax pipeline behind [[streamAsof]], shared
+    * with the state-bound probes (exact oracled plan; probes pass a
+    * far-future `maxTs` since they add no sentinels). */
+  private[graft] def asofPipeline(watermarkMin: Long, lookbackMin: Long,
+      maxTs: java.sql.Timestamp)(in: DataFrame): DataFrame =
+    pairsOuterPipeline(watermarkMin, lookbackMin, maxTs, keepTs = true)(in)
+      .groupBy(window(col("p_ts"), "10 minutes"), col("purchase_id"),
+        col("user_id"), col("p_ts_ms"), col("p_cents"))
+      .agg(max(struct(col("c_ts_ms"), col("click_id"))).as("last"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts_ms"),
+        col("last.click_id").as("click_id"),
+        col("last.c_ts_ms").as("c_ts_ms"),
+        (col("p_ts_ms") - col("last.c_ts_ms")).as("gap_ms"),
+        col("p_cents"))
+
   def streamAsof(spark: SparkSession, dir: String,
       watermarkMin: Long = 10L, lookbackMin: Long = 60L): DataFrame = {
     val maxTs = ReplayCorpus.get(spark, dir)._2
-    replay(spark, dir, in =>
-      pairsOuterPipeline(watermarkMin, lookbackMin, maxTs, keepTs = true)(in)
-        .groupBy(window(col("p_ts"), "10 minutes"), col("purchase_id"),
-          col("user_id"), col("p_ts_ms"), col("p_cents"))
-        .agg(max(struct(col("c_ts_ms"), col("click_id"))).as("last"))
-        .select(col("purchase_id"), col("user_id"), col("p_ts_ms"),
-          col("last.click_id").as("click_id"),
-          col("last.c_ts_ms").as("c_ts_ms"),
-          (col("p_ts_ms") - col("last.c_ts_ms")).as("gap_ms"),
-          col("p_cents")))
+    replay(spark, dir, asofPipeline(watermarkMin, lookbackMin, maxTs))
   }
 
   /** Streaming near-duplicate ingest — the ONLINE half of
