@@ -69,12 +69,69 @@ object StreamBench {
     }
   }
 
+  /** The bucketed stream-stream interval join on a SKEWED corpus,
+    * A/B'd across state stores — the round-10 hot-key fix
+    * (lookback-bucketed join keys in [[Streaming.pairsOuterPipeline]])
+    * was gated for correctness and wall; this measures the state-store
+    * choice on the corpus where state size is the actual stressor (one
+    * user carrying ~¼ of all events concentrates join state under few
+    * keys). The corpus is replayed as a time-ordered bounded backfill
+    * ([[StreamStateProbe.writeSliced]], 2-day slices,
+    * `maxFilesPerTrigger=1`) so the watermark advances between batches
+    * and the measurement reflects steady-state operation, not the
+    * one-batch backfill artifact. Returns (rows/s over all batches
+    * after warm-up, peak state rows, peak state bytes as the provider
+    * reports them — in-memory map size for the default store, native
+    * memory + pinned blocks for RocksDB). */
+  def runPairsSkew(spark: SparkSession, rocksDb: Boolean, inDir: String):
+      (Double, Long, Long) = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val priorProvider = spark.conf.getOption(providerKey)
+    Tables.configure(spark, rocksDbState = rocksDb)
+    if (!rocksDb) spark.conf.unset(providerKey)
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val schema = spark.read.parquet(
+        new java.io.File(inDir).listFiles().filter(_.getName.endsWith(".parquet"))
+          .head.toString).schema
+      val farFuture = new java.sql.Timestamp(4102444800000L)
+      val ck = java.nio.file.Files.createTempDirectory("graft-sbp-ck").toString
+      val q = Streaming.pairsOuterPipeline(10L, 60L, farFuture)(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir))
+        .writeStream.format("noop").outputMode(OutputMode.Append())
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val ps = q.recentProgress.toSeq.drop(1) // skip plan/codegen warm-up
+      val rows = ps.map(_.numInputRows).sum.toDouble
+      val ms = ps.flatMap(p =>
+        Option(p.durationMs.get("triggerExecution")).map(_.longValue)).sum.toDouble
+      val peakRows = ps.map(_.stateOperators.map(_.numRowsTotal).sum)
+        .foldLeft(0L)(math.max)
+      val peakBytes = ps.map(_.stateOperators.map(_.memoryUsedBytes).sum)
+        .foldLeft(0L)(math.max)
+      graft.streaming.Streaming.rmTree(new java.io.File(ck))
+      (if (ms > 0) rows / (ms / 1000.0) else 0.0, peakRows, peakBytes)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+      priorProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val seconds = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "20").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the skew A/B replays ~85 bounded batches; the peak must see all
+      .config("spark.sql.streaming.numRecentProgressUpdates", "2000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -83,6 +140,25 @@ object StreamBench {
     println(s"""{"metric":"stream_rows_per_sec","default":${defRps.round},""" +
       s""""rocksdb":${rocksRps.round},"batches_default":$defBatches,""" +
       s""""batches_rocksdb":$rocksBatches,"seconds_each":$seconds}""")
+    // Skew-corpus state-store A/B for the bucketed join: runs only when
+    // a skew corpus is present (SPARK_GRAFT_SKEW_DIR or target/sfskew —
+    // generate with `runMain graft.ScaleUp <sf0.1> target/sfskew 5 --skew`).
+    val skewDir = sys.env.getOrElse("SPARK_GRAFT_SKEW_DIR", "target/sfskew")
+    if (new java.io.File(s"$skewDir/events.parquet").exists()) {
+      val shaped = Tables.events(spark, skewDir)
+        .select(org.apache.spark.sql.functions.col("ts").as("timestamp"),
+          col("ts_ms"), col("event_id"), col("user_id"), col("event_type"),
+          org.apache.spark.sql.functions.floor(col("value") * 100 + 0.5)
+            .cast("long").as("cents"))
+      val (inDir, _) = StreamStateProbe.writeSliced(shaped, 2L * 86400000L)
+      val (dRps, dRows, dBytes) = runPairsSkew(spark, rocksDb = false, inDir)
+      val (rRps, rRows, rBytes) = runPairsSkew(spark, rocksDb = true, inDir)
+      graft.streaming.Streaming.rmTree(new java.io.File(inDir))
+      println(s"""{"metric":"stream_pairs_skew_rows_per_sec","default":${dRps.round},""" +
+        s""""rocksdb":${rRps.round},"peak_state_rows_default":$dRows,""" +
+        s""""peak_state_rows_rocksdb":$rRows,"peak_state_bytes_default":$dBytes,""" +
+        s""""peak_state_bytes_rocksdb":$rBytes,"corpus":"$skewDir"}""")
+    }
     spark.stop()
   }
 }

@@ -43,8 +43,9 @@ object StreamStateProbe {
 
   /** Write `shaped` as one parquet file per `sliceMs` time range, file
     * names and modification times in slice order so the file source's
-    * modTime ordering replays them as a time-ordered bounded backfill. */
-  private def writeSliced(shaped: DataFrame, sliceMs: Long): (String, Int) = {
+    * modTime ordering replays them as a time-ordered bounded backfill.
+    * Shared with [[StreamBench]]'s skew-corpus state-store A/B. */
+  private[graft] def writeSliced(shaped: DataFrame, sliceMs: Long): (String, Int) = {
     val dir = Files.createTempDirectory("graft-ssp").toString
     val bounds = shaped.agg(min(col("ts_ms")), max(col("ts_ms"))).head
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
