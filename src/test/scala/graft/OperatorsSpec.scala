@@ -2806,6 +2806,68 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Wav: a real chunk-walking decoder — decodes canonical PCM bytes, rejects every malformation") {
+    import graft.functions.Wav
+    // a canonical 44-byte PCM WAV built BY HAND (not via synth): mono,
+    // 8kHz, 16-bit, 4 data bytes = 2 samples — the file any tool writes
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def ascii(s: String) = s.getBytes("US-ASCII")
+    val canonical: Array[Byte] =
+      ascii("RIFF") ++ le32(36) ++ ascii("WAVE") ++
+        ascii("fmt ") ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+        le32(16000) ++ le16(2) ++ le16(16) ++
+        ascii("data") ++ le32(4) ++ Array[Byte](1, 2, 3, 4)
+    val h = Wav.parse(canonical)
+    assert(h != null)
+    assert(h.getLong(0) === 1L && h.getLong(1) === 8000L && h.getLong(2) === 16L)
+    assert(h.getLong(3) === 4L && h.getLong(4) === 2L) // 4 bytes / blockAlign 2
+    // odd-size unknown chunk BEFORE data: the spec pads to even — a
+    // walker that forgets the pad byte misreads the next chunk id
+    val oddChunk: Array[Byte] =
+      ascii("RIFF") ++ le32(36 + 8 + 3 + 1) ++ ascii("WAVE") ++
+        ascii("LIST") ++ le32(3) ++ Array[Byte](9, 9, 9, 0) ++ // 3 bytes + pad
+        ascii("fmt ") ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(8000) ++
+        le32(8000) ++ le16(1) ++ le16(8) ++
+        ascii("data") ++ le32(4) ++ Array[Byte](1, 2, 3, 4)
+    val h2 = Wav.parse(oddChunk)
+    assert(h2 != null && h2.getLong(4) === 4L)
+    // every malformation reads NULL: short, bad magic, bad form tag,
+    // non-PCM format code, data chunk longer than the file, no fmt
+    assert(Wav.parse(canonical.take(10)) === null)
+    assert(Wav.parse(ascii("RIFX") ++ canonical.drop(4)) === null)
+    assert(Wav.parse(canonical.take(8) ++ ascii("AVI ") ++ canonical.drop(12)) === null)
+    val nonPcm = canonical.clone(); nonPcm(20) = 3 // IEEE float format code
+    assert(Wav.parse(nonPcm) === null)
+    val truncData = canonical.clone()
+    truncData(40) = 99 // data size 99 > remaining 4 bytes
+    assert(Wav.parse(truncData) === null)
+    val noFmt = ascii("RIFF") ++ le32(16) ++ ascii("WAVE") ++
+      ascii("data") ++ le32(4) ++ Array[Byte](1, 2, 3, 4)
+    assert(Wav.parse(noFmt) === null)
+    // synth renders bytes the parser round-trips, for every param combo
+    import org.apache.spark.unsafe.types.UTF8String
+    for (id <- 0L until 8L) {
+      val b = Wav.synth(id, UTF8String.fromString("hello wav bytes"))
+      val r = Wav.parse(b)
+      assert(r != null, s"id $id")
+      assert(r.getLong(0) === 1 + id % 2)
+      assert(r.getLong(1) === 8000 * (1 + id % 4))
+      val c = 1 + id % 2
+      assert(r.getLong(3) === 15 - (15 % c))
+    }
+    // and the oracled query's own invariants at sf: damaged rows NULL,
+    // intact rows decoded (drives the full codegen path end-to-end)
+    val out = graft.operators.Media.wavAudit(Tables.documents(spark, sf)).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0); val ok = r.getBoolean(2)
+      assert(ok === (id % 7 != 0 && id % 7 != 3), s"doc $id verdict")
+      if (ok) assert(r.getLong(4) === 8000 * (1 + id % 4), s"doc $id rate")
+      else assert(r.isNullAt(4), s"doc $id should be NULL")
+    }
+  }
+
   test("Media.corruptAudit: verdict ledger equals a byte-level recompute of the damage rule") {
     val got = Media.corruptAudit(Tables.documents(spark, sf)).collect()
       .map(r => (r.getAs[String]("media_type"), r.getAs[String]("verdict")) ->
