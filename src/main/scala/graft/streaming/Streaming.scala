@@ -1242,6 +1242,96 @@ object Streaming {
       .filter(col("user_id") >= 0L)
   }
 
+  /** The funnel verdict on Spark 4's `transformWithState` — the modern
+    * arbitrary-stateful API ([[streamFunnel]]'s `flatMapGroupsWithState`
+    * predecessor path kept alongside, SAME semantics, SAME oracle):
+    * a `StatefulProcessor` with two named state variables (the event
+    * buffer as `ValueState[FunnelBufState]`, the registered timer's
+    * timestamp as `ValueState[Long]`) and an EVENT-TIME timer per user
+    * at lastSeen+1 — each batch deletes the previous timer before
+    * registering the new one (timers don't overwrite the way
+    * `setTimeoutTimestamp` did), so exactly one verdict emits per user
+    * when the watermark finally passes their last event. This is the
+    * API surface a production funnel/ledger migrates to: typed state
+    * variables with independent lifetimes (TTL-capable), multiple
+    * timers, and state schema evolution — none of which the single
+    * opaque fMGWS state value offers.
+    *
+    * `transformWithState` requires the RocksDB state-store provider;
+    * the query pins it for its own replay and restores the session
+    * conf after — which also makes this the board's standing RocksDB
+    * coverage (every other oracled replay runs the default store). */
+  def streamFunnelTws(spark: SparkSession, dir: String,
+      watermarkMin: Long = 10L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor,
+      TimeMode, TimerValues, TTLConfig}
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val priorProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      replay(spark, dir, in => in
+        .select(col("timestamp"), col("user_id"),
+          when(col("event_type") === "view", 1)
+            .when(col("event_type") === "click", 2)
+            .when(col("event_type") === "purchase", 3).otherwise(0).as("kind"))
+        .withWatermark("timestamp", s"$watermarkMin minutes")
+        .as[(java.sql.Timestamp, Long, Int)]
+        .groupByKey(_._2)
+        .transformWithState(
+          new StatefulProcessor[Long, (java.sql.Timestamp, Long, Int), FunnelVerdict] {
+            @transient private var buf: org.apache.spark.sql.streaming.ValueState[FunnelBufState] = _
+            @transient private var tmr: org.apache.spark.sql.streaming.ValueState[Long] = _
+            override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+              buf = getHandle.getValueState[FunnelBufState]("buf",
+                org.apache.spark.sql.Encoders.product[FunnelBufState], TTLConfig.NONE)
+              tmr = getHandle.getValueState[Long]("tmr",
+                org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+            }
+            override def handleInputRows(uid: Long,
+                rows: Iterator[(java.sql.Timestamp, Long, Int)],
+                timerValues: TimerValues): Iterator[FunnelVerdict] = {
+              val prev = if (buf.exists()) buf.get()
+                else FunnelBufState(Array.empty, Array.empty, 0L)
+              val add = rows.map { case (ts, _, k) => (ts.getTime, k) }.toArray
+              if (add.nonEmpty) {
+                val acc = FunnelBufState(prev.tsMs ++ add.map(_._1),
+                  prev.kind ++ add.map(_._2),
+                  math.max(prev.lastSeenMs, add.map(_._1).max))
+                buf.update(acc)
+                if (tmr.exists()) getHandle.deleteTimer(tmr.get())
+                getHandle.registerTimer(acc.lastSeenMs + 1L)
+                tmr.update(acc.lastSeenMs + 1L)
+              }
+              Iterator.empty
+            }
+            override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+                expiredTimerInfo: ExpiredTimerInfo): Iterator[FunnelVerdict] = {
+              if (!buf.exists()) return Iterator.empty
+              val s = buf.get()
+              buf.clear(); tmr.clear()
+              val ev = s.tsMs.zip(s.kind)
+              def minAfter(code: Int, after: Long): Long = {
+                val c = ev.collect { case (t, k) if k == code && t > after => t }
+                if (c.isEmpty) -1L else c.min
+              }
+              val v = minAfter(1, Long.MinValue)
+              val cl = if (v < 0) -1L else minAfter(2, v)
+              val p = if (cl < 0) -1L else minAfter(3, cl)
+              val stage = if (p >= 0) 3L else if (cl >= 0) 2L else if (v >= 0) 1L else 0L
+              Iterator.single(FunnelVerdict(uid, ev.length.toLong, stage, v, cl, p))
+            }
+          },
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF())
+        .filter(col("user_id") >= 0L)
+    } finally priorProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
   /** The batch AML structuring rule (`q_aml_structuring`) as a LIVE
     * streaming detector: sub-threshold band filter → per (user, day
     * window) count/sum → flag when both trip. Same thresholds, same
@@ -1750,6 +1840,7 @@ object Streaming {
     "q_stream_unique" -> ((s, d) => streamUniqueUsers(s, d)),
     "q_stream_rate_limit" -> ((s, d) => streamRateLimit(s, d)),
     "q_stream_funnel" -> ((s, d) => streamFunnel(s, d)),
+    "q_stream_funnel_tws" -> ((s, d) => streamFunnelTws(s, d)),
     "q_stream_burst" -> ((s, d) => streamBurst(s, d)),
     "q_stream_decontam" -> ((s, d) => streamDecontam(s, d)),
     "q_stream_scd_enrich" -> ((s, d) => streamScdEnrich(s, d)),
@@ -1762,6 +1853,23 @@ object Streaming {
     "SELECT (epoch_ms(ts) // 300000) * 300000 AS win_start_ms, event_type, " +
       "count(*) AS n, sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents " +
       "FROM events GROUP BY 1, 2"
+
+  /** Shared by q_stream_funnel and its transformWithState port. */
+  private val funnelOracleSql: String =
+    "WITH ev AS (SELECT user_id, epoch_ms(ts)::BIGINT ts_ms, " +
+      "CASE WHEN event_type = 'view' THEN 1 WHEN event_type = 'click' THEN 2 " +
+      "WHEN event_type = 'purchase' THEN 3 ELSE 0 END kind FROM events), " +
+      "nv AS (SELECT user_id, count(*)::BIGINT n_events, " +
+      "coalesce(min(CASE WHEN kind = 1 THEN ts_ms END), -1)::BIGINT v FROM ev GROUP BY 1), " +
+      "cl AS (SELECT nv.user_id, n_events, v, " +
+      "coalesce(min(CASE WHEN kind = 2 AND ts_ms > v AND v >= 0 THEN ts_ms END), -1)::BIGINT c " +
+      "FROM nv JOIN ev ON ev.user_id = nv.user_id GROUP BY 1, 2, 3), " +
+      "pu AS (SELECT cl.user_id, n_events, v, c, " +
+      "coalesce(min(CASE WHEN kind = 3 AND ts_ms > c AND c >= 0 THEN ts_ms END), -1)::BIGINT p " +
+      "FROM cl JOIN ev ON ev.user_id = cl.user_id GROUP BY 1, 2, 3, 4) " +
+      "SELECT user_id, n_events, " +
+      "(CASE WHEN p >= 0 THEN 3 WHEN c >= 0 THEN 2 WHEN v >= 0 THEN 1 ELSE 0 END)::BIGINT stage, " +
+      "v AS view_ms, c AS click_ms, p AS purchase_ms FROM pu"
 
   val oracleSql: Map[String, String] = Map(
     // the streaming near-dup probe is stateless and replays the exact
@@ -1824,21 +1932,10 @@ object Streaming {
         "SELECT r.user_id, f.mrk AS n_events, r.adm AS n_admitted, " +
         "(f.mrk - r.adm)::BIGINT AS n_throttled, r.tokens AS final_tokens_ms " +
         "FROM rec r JOIN fin f ON r.user_id = f.user_id AND r.rk = f.mrk"),
-    "q_stream_funnel" ->
-      ("WITH ev AS (SELECT user_id, epoch_ms(ts)::BIGINT ts_ms, " +
-        "CASE WHEN event_type = 'view' THEN 1 WHEN event_type = 'click' THEN 2 " +
-        "WHEN event_type = 'purchase' THEN 3 ELSE 0 END kind FROM events), " +
-        "nv AS (SELECT user_id, count(*)::BIGINT n_events, " +
-        "coalesce(min(CASE WHEN kind = 1 THEN ts_ms END), -1)::BIGINT v FROM ev GROUP BY 1), " +
-        "cl AS (SELECT nv.user_id, n_events, v, " +
-        "coalesce(min(CASE WHEN kind = 2 AND ts_ms > v AND v >= 0 THEN ts_ms END), -1)::BIGINT c " +
-        "FROM nv JOIN ev ON ev.user_id = nv.user_id GROUP BY 1, 2, 3), " +
-        "pu AS (SELECT cl.user_id, n_events, v, c, " +
-        "coalesce(min(CASE WHEN kind = 3 AND ts_ms > c AND c >= 0 THEN ts_ms END), -1)::BIGINT p " +
-        "FROM cl JOIN ev ON ev.user_id = cl.user_id GROUP BY 1, 2, 3, 4) " +
-        "SELECT user_id, n_events, " +
-        "(CASE WHEN p >= 0 THEN 3 WHEN c >= 0 THEN 2 WHEN v >= 0 THEN 1 ELSE 0 END)::BIGINT stage, " +
-        "v AS view_ms, c AS click_ms, p AS purchase_ms FROM pu"),
+    "q_stream_funnel" -> funnelOracleSql,
+    // the fMGWS funnel's oracle VERBATIM: the transformWithState port
+    // must land identical rows — same buffers, same timers-by-watermark
+    "q_stream_funnel_tws" -> funnelOracleSql,
     "q_stream_ohlc" ->
       ("WITH t AS (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_start_ms, " +
         "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +

@@ -696,6 +696,45 @@ class StreamingSpec extends SparkSpec {
     assert(expected.nonEmpty)
   }
 
+  test("streamFunnelTws: transformWithState port equals the fMGWS funnel row-for-row; state bounded; provider restored") {
+    import org.apache.spark.sql.functions._
+    // parity: the modern-API port must land the EXACT verdict rows the
+    // flatMapGroupsWithState operator produces (same buffers, same
+    // timer-by-watermark finalization), through a real RocksDB replay
+    val peaks = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val ops = e.progress.stateOperators
+        if (ops != null && ops.nonEmpty) peaks += ops.map(_.numRowsTotal).sum
+        ()
+      }
+    }
+    spark.streams.addListener(l)
+    val priorProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val (tws, fmgws) = try {
+      (Streaming.streamFunnelTws(spark, sf), Streaming.streamFunnel(spark, sf))
+    } finally spark.streams.removeListener(l)
+    assert(tws.exceptAll(fmgws).count() === 0)
+    assert(fmgws.exceptAll(tws).count() === 0)
+    assert(tws.count() > 0)
+    // the query restores the session's provider choice on the way out
+    assert(spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      === priorProvider)
+    // bounded state: the processor keeps ≤ 2 value-state rows per live
+    // user (buffer + timer bookkeeping) plus one timer entry — peak
+    // state across the replay stays within 3× the user count, never
+    // O(events) (the buffered events live INSIDE one row per user)
+    val nUsers = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(peaks.nonEmpty, "listener saw no stateful progress")
+    assert(peaks.max <= 3 * (nUsers + 1),
+      s"peak state ${peaks.max} rows vs $nUsers users — state not O(users)")
+  }
+
   test("streamSessions: merged session windows equal the batch gaps-and-islands; exact-gap starts a new session") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
