@@ -45,6 +45,26 @@ final case class FunnelBufState(tsMs: Array[Long], kind: Array[Int], lastSeenMs:
 final case class FunnelVerdict(user_id: Long, n_events: Long, stage: Long,
   view_ms: Long, click_ms: Long, purchase_ms: Long)
 
+/** [[Streaming.streamSessionsTws]] buffered event: ONE ListState element
+  * per in-flight event awaiting session finalization — the append-only
+  * state shape (`appendList` is O(batch rows) per batch; the ValueState
+  * alternative rewrites the whole growing buffer blob every batch). */
+final case class SessEv(tsMs: Long, cents: Long)
+
+/** One finalized session row per (user, gap-island) — the same schema
+  * [[Streaming.streamSessions]]' session_window aggregation emits. */
+final case class SessionRowTws(sess_start_ms: Long, user_id: Long, n: Long,
+  cents: Long)
+
+/** [[Streaming.streamLedgerTws]] running aggregate: one MapState entry
+  * per (user, event_type) — point-updated in place per arriving row. */
+final case class TypeAgg(n: Long, cents: Long)
+
+/** One [[Streaming.streamLedgerTws]] row per (user, event_type), emitted
+  * exactly once when the watermark passes the user's last event. */
+final case class LedgerRowTws(user_id: Long, event_type: String, n: Long,
+  cents: Long)
+
 /** Structured Streaming realization of the reference's monitoring intent
   * (SURVEY.md §7 L3): the reference's unbounded in-memory `Vec` ingest
   * loop (`monitoring-service/src/main.rs:25,33-38`) becomes checkpointed,
@@ -1261,16 +1281,28 @@ object Streaming {
     * the query pins it for its own replay and restores the session
     * conf after — which also makes this the board's standing RocksDB
     * coverage (every other oracled replay runs the default store). */
+  /** `transformWithState` requires the RocksDB state-store provider;
+    * pin it for the enclosed replay and restore the session conf after
+    * (shared by the three modern-API ports — also the board's standing
+    * RocksDB coverage; every other oracled replay runs the default
+    * store). */
+  private def withRocksDb[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   def streamFunnelTws(spark: SparkSession, dir: String,
       watermarkMin: Long = 10L): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor,
       TimeMode, TimerValues, TTLConfig}
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val priorProvider = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withRocksDb(spark) {
       replay(spark, dir, in => in
         .select(col("timestamp"), col("user_id"),
           when(col("event_type") === "view", 1)
@@ -1326,9 +1358,166 @@ object Streaming {
           TimeMode.EventTime(), OutputMode.Append())
         .toDF())
         .filter(col("user_id") >= 0L)
-    } finally priorProvider match {
-      case Some(v) => spark.conf.set(providerKey, v)
-      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
+  /** Session windows on `transformWithState` with LIST state — the
+    * third state shape of the modern arbitrary-stateful API, alongside
+    * [[streamFunnelTws]]'s ValueState and [[streamLedgerTws]]'s
+    * MapState. Each arriving event is `appendList`-ed as its OWN state
+    * element, so a batch costs O(batch rows) state writes regardless of
+    * how large the open buffer already is — the funnel's ValueState
+    * blob by contrast is read-modify-rewritten in full every batch.
+    * The trade is visible in `StateOperatorProgress`: peak state rows
+    * are O(buffered events), not O(users) (the spec pins both shapes).
+    *
+    * Finalization is watermark-driven: one event-time timer per user at
+    * lastSeen + gap, re-registered forward as events arrive. When it
+    * fires, no event that could EXTEND any buffered session can still
+    * arrive (such an event has ts < lastSeen + gap ≤ watermark — late,
+    * dropped), and any future event starts a new session by the
+    * `>= gap` rule — so the whole buffer splits deterministically into
+    * finished gap-islands: sort, cut where the step is ≥ gap, emit one
+    * row per island, clear. Semantics (and the DuckDB oracle) are
+    * VERBATIM [[streamSessions]]' session_window aggregation — the
+    * gaps-and-islands SQL of the batch `q_sessionize`; the spec checks
+    * the two streaming operators row-for-row against each other.
+    *
+    * Scale: state is per-user and watermark-bounded; the processor
+    * never scans the buffer except at finalization. At 100 TB the state
+    * partitions by user across executors exactly like the fMGWS ops. */
+  def streamSessionsTws(spark: SparkSession, dir: String,
+      watermarkMin: Long = 10L, gapMin: Long = 30L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor,
+      TimeMode, TimerValues, TTLConfig}
+    val gapMs = gapMin * 60000L
+    withRocksDb(spark) {
+      replay(spark, dir, in => in
+        .select(timestamp_millis(col("ts_ms")).as("timestamp"),
+          col("user_id"), col("ts_ms"), col("cents"))
+        .withWatermark("timestamp", s"$watermarkMin minutes")
+        .as[(java.sql.Timestamp, Long, Long, Long)]
+        .groupByKey(_._2)
+        .transformWithState(
+          new StatefulProcessor[Long, (java.sql.Timestamp, Long, Long, Long), SessionRowTws] {
+            @transient private var buf: org.apache.spark.sql.streaming.ListState[SessEv] = _
+            @transient private var tmr: org.apache.spark.sql.streaming.ValueState[Long] = _
+            override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+              buf = getHandle.getListState[SessEv]("buf",
+                org.apache.spark.sql.Encoders.product[SessEv], TTLConfig.NONE)
+              tmr = getHandle.getValueState[Long]("tmr",
+                org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+            }
+            override def handleInputRows(uid: Long,
+                rows: Iterator[(java.sql.Timestamp, Long, Long, Long)],
+                timerValues: TimerValues): Iterator[SessionRowTws] = {
+              val add = rows.map { case (_, _, tsMs, cents) => SessEv(tsMs, cents) }.toArray
+              if (add.nonEmpty) {
+                buf.appendList(add)
+                val prev = if (tmr.exists()) tmr.get() else Long.MinValue
+                val next = math.max(prev, add.map(_.tsMs).max + gapMs)
+                if (next != prev) {
+                  if (prev != Long.MinValue) getHandle.deleteTimer(prev)
+                  getHandle.registerTimer(next)
+                  tmr.update(next)
+                }
+              }
+              Iterator.empty
+            }
+            override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+                expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionRowTws] = {
+              val ev = buf.get().toArray.sortBy(_.tsMs)
+              buf.clear(); tmr.clear()
+              if (ev.isEmpty) return Iterator.empty
+              val out = scala.collection.mutable.ArrayBuffer.empty[SessionRowTws]
+              var start = ev(0).tsMs; var prevTs = ev(0).tsMs
+              var n = 0L; var c = 0L
+              ev.foreach { e =>
+                if (n > 0L && e.tsMs - prevTs >= gapMs) {
+                  out += SessionRowTws(start, uid, n, c)
+                  start = e.tsMs; n = 0L; c = 0L
+                }
+                n += 1L; c += e.cents; prevTs = e.tsMs
+              }
+              out += SessionRowTws(start, uid, n, c)
+              out.iterator
+            }
+          },
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF())
+        .filter(col("user_id") =!= -1L)
+    }
+  }
+
+  /** The per-user spend ledger on `transformWithState` with MAP state —
+    * the production keyed-sub-state pattern: each arriving row point-
+    * updates exactly ONE (event_type → running {n, cents}) map entry,
+    * never touching the user's other entries (a ValueState ledger would
+    * re-serialize every type's totals on every row; a MapState write is
+    * one state-store put of one entry). Update order within a user is
+    * immaterial — addition commutes — so the operator is correct under
+    * ANY arrival order, no buffering needed; the only other state is
+    * the funnel's lastSeen+1 event-time timer, which emits the final
+    * ledger exactly once per user when the watermark passes their last
+    * event. Oracle: the plain batch GROUP BY user_id, event_type.
+    *
+    * Scale: state rows = live (user, type) pairs — O(users × |types|),
+    * watermark-evicted on emission; partitions by user. */
+  def streamLedgerTws(spark: SparkSession, dir: String,
+      watermarkMin: Long = 10L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor,
+      TimeMode, TimerValues, TTLConfig}
+    withRocksDb(spark) {
+      replay(spark, dir, in => in
+        .select(col("timestamp"), col("user_id"), col("event_type"), col("cents"))
+        .withWatermark("timestamp", s"$watermarkMin minutes")
+        .as[(java.sql.Timestamp, Long, String, Long)]
+        .groupByKey(_._2)
+        .transformWithState(
+          new StatefulProcessor[Long, (java.sql.Timestamp, Long, String, Long), LedgerRowTws] {
+            @transient private var led: org.apache.spark.sql.streaming.MapState[String, TypeAgg] = _
+            @transient private var tmr: org.apache.spark.sql.streaming.ValueState[Long] = _
+            override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+              led = getHandle.getMapState[String, TypeAgg]("led",
+                org.apache.spark.sql.Encoders.STRING,
+                org.apache.spark.sql.Encoders.product[TypeAgg], TTLConfig.NONE)
+              tmr = getHandle.getValueState[Long]("tmr",
+                org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+            }
+            override def handleInputRows(uid: Long,
+                rows: Iterator[(java.sql.Timestamp, Long, String, Long)],
+                timerValues: TimerValues): Iterator[LedgerRowTws] = {
+              var hi = Long.MinValue
+              rows.foreach { case (ts, _, typ, cents) =>
+                val cur = if (led.containsKey(typ)) led.getValue(typ) else TypeAgg(0L, 0L)
+                led.updateValue(typ, TypeAgg(cur.n + 1L, cur.cents + cents))
+                hi = math.max(hi, ts.getTime)
+              }
+              if (hi != Long.MinValue) {
+                val prev = if (tmr.exists()) tmr.get() else Long.MinValue
+                val next = math.max(prev, hi + 1L)
+                if (next != prev) {
+                  if (prev != Long.MinValue) getHandle.deleteTimer(prev)
+                  getHandle.registerTimer(next)
+                  tmr.update(next)
+                }
+              }
+              Iterator.empty
+            }
+            override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+                expiredTimerInfo: ExpiredTimerInfo): Iterator[LedgerRowTws] = {
+              val out = led.iterator().map { case (typ, agg) =>
+                LedgerRowTws(uid, typ, agg.n, agg.cents)
+              }.toArray
+              led.clear(); tmr.clear()
+              out.iterator
+            }
+          },
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF())
+        .filter(col("user_id") >= 0L)
     }
   }
 
@@ -1841,6 +2030,8 @@ object Streaming {
     "q_stream_rate_limit" -> ((s, d) => streamRateLimit(s, d)),
     "q_stream_funnel" -> ((s, d) => streamFunnel(s, d)),
     "q_stream_funnel_tws" -> ((s, d) => streamFunnelTws(s, d)),
+    "q_stream_sessions_tws" -> ((s, d) => streamSessionsTws(s, d)),
+    "q_stream_ledger_tws" -> ((s, d) => streamLedgerTws(s, d)),
     "q_stream_burst" -> ((s, d) => streamBurst(s, d)),
     "q_stream_decontam" -> ((s, d) => streamDecontam(s, d)),
     "q_stream_scd_enrich" -> ((s, d) => streamScdEnrich(s, d)),
@@ -2047,17 +2238,33 @@ object Streaming {
         "AND CAST(floor(value * 100 + 0.5) AS BIGINT) < 10000) " +
         "SELECT win_start_ms, user_id, count(*) AS n_sub, sum(cents)::BIGINT AS cents_sub " +
         "FROM b GROUP BY 1, 2 HAVING count(*) >= 3 AND sum(cents) >= 15000"),
-    "q_stream_sessions" ->
-      ("WITH flagged AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, " +
-        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
-        "CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL " +
-        "OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000 THEN 1 ELSE 0 END AS ns " +
-        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)), " +
-        "s AS (SELECT user_id, ts_ms, cents, " +
-        "sum(ns) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id " +
-        "ROWS UNBOUNDED PRECEDING) AS sess_no FROM flagged) " +
-        "SELECT min(ts_ms)::BIGINT AS sess_start_ms, user_id, count(*) AS n, " +
-        "sum(cents)::BIGINT AS cents FROM s GROUP BY user_id, sess_no"))
+    "q_stream_sessions" -> sessionsOracleSql,
+    // the session_window aggregation's oracle VERBATIM: the
+    // transformWithState ListState port must land the identical
+    // gaps-and-islands rows
+    "q_stream_sessions_tws" -> sessionsOracleSql,
+    // the MapState ledger emits exactly the batch per-(user, type)
+    // totals — addition commutes, so arrival order can't matter
+    "q_stream_ledger_tws" ->
+      ("SELECT user_id, event_type, count(*) AS n, " +
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents " +
+        "FROM events GROUP BY 1, 2"))
+
+  /** Shared by q_stream_sessions and its transformWithState port
+    * (a def: it is referenced above its definition in the object body,
+    * and a forward-referenced val would still be null when the
+    * oracleSql map initializes). */
+  private def sessionsOracleSql: String =
+    "WITH flagged AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, " +
+      "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
+      "CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL " +
+      "OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000 THEN 1 ELSE 0 END AS ns " +
+      "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)), " +
+      "s AS (SELECT user_id, ts_ms, cents, " +
+      "sum(ns) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id " +
+      "ROWS UNBOUNDED PRECEDING) AS sess_no FROM flagged) " +
+      "SELECT min(ts_ms)::BIGINT AS sess_start_ms, user_id, count(*) AS n, " +
+      "sum(cents)::BIGINT AS cents FROM s GROUP BY user_id, sess_no"
 
   /** Start a query into an in-memory sink (tests / interactive). */
   def toMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Append()): StreamingQuery =

@@ -735,6 +735,90 @@ class StreamingSpec extends SparkSpec {
       s"peak state ${peaks.max} rows vs $nUsers users — state not O(users)")
   }
 
+  test("streamSessionsTws: ListState port equals the session_window operator row-for-row; state O(buffered events); provider restored") {
+    import org.apache.spark.sql.functions._
+    // parity: the modern-API ListState sessionizer must land the EXACT
+    // rows the native session_window aggregation produces (same gap
+    // rule, same watermark finalization) — two independent engines for
+    // the same semantics, checked against each other
+    val peaks = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val ops = e.progress.stateOperators
+        if (ops != null && ops.nonEmpty) peaks += ops.map(_.numRowsTotal).sum
+        ()
+      }
+    }
+    spark.streams.addListener(l)
+    val priorProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val (tws, native) = try {
+      (Streaming.streamSessionsTws(spark, sf), Streaming.streamSessions(spark, sf))
+    } finally spark.streams.removeListener(l)
+    assert(tws.exceptAll(native).count() === 0)
+    assert(native.exceptAll(tws).count() === 0)
+    assert(tws.count() > 0)
+    assert(spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      === priorProvider)
+    // the ListState trade, pinned: each buffered event is its OWN state
+    // row (appendList is O(batch) per batch; no blob rewrite), so peak
+    // state is O(buffered events) + O(users) bookkeeping — bounded by
+    // the corpus here because the two-phase replay buffers everything
+    // before the watermark first advances, and by the watermark horizon
+    // in a live deployment
+    val nUsers = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    val nEvents = Tables.events(spark, sf).count()
+    assert(peaks.nonEmpty, "listener saw no stateful progress")
+    assert(peaks.max <= nEvents + 3 * (nUsers + 2),
+      s"peak state ${peaks.max} rows vs $nEvents events + ${nUsers} users")
+    // and it genuinely IS the per-event shape (≫ per-user): non-vacuous
+    assert(peaks.max > nUsers,
+      s"peak ${peaks.max} ≤ $nUsers users — ListState probe saw no event rows")
+  }
+
+  test("streamLedgerTws: MapState ledger equals the batch per-(user,type) totals; state O(users×types); provider restored") {
+    import org.apache.spark.sql.functions._
+    val peaks = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val ops = e.progress.stateOperators
+        if (ops != null && ops.nonEmpty) peaks += ops.map(_.numRowsTotal).sum
+        ()
+      }
+    }
+    spark.streams.addListener(l)
+    val priorProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val got = try Streaming.streamLedgerTws(spark, sf)
+      finally spark.streams.removeListener(l)
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      .select(col("user_id"), col("event_type"), col("n"), col("cents"))
+    assert(got.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(got).count() === 0)
+    assert(got.count() > 0)
+    assert(spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      === priorProvider)
+    // MapState keeps ONE entry per live (user, type) pair plus the
+    // timer bookkeeping — never O(events)
+    val nPairs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type")).distinct().count()
+    val nUsers = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(peaks.nonEmpty, "listener saw no stateful progress")
+    assert(peaks.max <= nPairs + 3 * (nUsers + 2),
+      s"peak state ${peaks.max} rows vs $nPairs (user,type) pairs — state not O(users×types)")
+  }
+
   test("streamSessions: merged session windows equal the batch gaps-and-islands; exact-gap starts a new session") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
