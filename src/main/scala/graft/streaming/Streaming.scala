@@ -65,6 +65,17 @@ final case class TypeAgg(n: Long, cents: Long)
 final case class LedgerRowTws(user_id: Long, event_type: String, n: Long,
   cents: Long)
 
+/** One (event_type → history totals) entry of a user's pre-cutoff
+  * batch ledger, carried into [[Streaming.streamLedgerInit]]'s initial
+  * state (sorted array, so the seed is deterministic). */
+final case class LedgerInitEntry(t: String, n: Long, c: Long)
+
+/** [[Streaming.streamLedgerInit]] initial state: one pre-aggregated
+  * row per user — the batch history's per-type totals plus the
+  * history's last event time (the timer anchor for history-only
+  * users, who must still emit a ledger). */
+final case class LedgerInitState(rows: Array[LedgerInitEntry], lastSeenMs: Long)
+
 /** Structured Streaming realization of the reference's monitoring intent
   * (SURVEY.md §7 L3): the reference's unbounded in-memory `Vec` ingest
   * loop (`monitoring-service/src/main.rs:25,33-38`) becomes checkpointed,
@@ -1262,6 +1273,20 @@ object Streaming {
       .filter(col("user_id") >= 0L)
   }
 
+  /** `transformWithState` requires the RocksDB state-store provider;
+    * pin it for the enclosed replay and restore the session conf
+    * after (shared by the modern-API ports). */
+  private def withRocksDb[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** The funnel verdict on Spark 4's `transformWithState` — the modern
     * arbitrary-stateful API ([[streamFunnel]]'s `flatMapGroupsWithState`
     * predecessor path kept alongside, SAME semantics, SAME oracle):
@@ -1278,25 +1303,10 @@ object Streaming {
     * opaque fMGWS state value offers.
     *
     * `transformWithState` requires the RocksDB state-store provider;
-    * the query pins it for its own replay and restores the session
-    * conf after — which also makes this the board's standing RocksDB
-    * coverage (every other oracled replay runs the default store). */
-  /** `transformWithState` requires the RocksDB state-store provider;
-    * pin it for the enclosed replay and restore the session conf after
-    * (shared by the three modern-API ports — also the board's standing
-    * RocksDB coverage; every other oracled replay runs the default
-    * store). */
-  private def withRocksDb[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prior = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
-  }
-
+    * [[withRocksDb]] pins it for the replay and restores the session
+    * conf after — which also makes the three modern-API ports the
+    * board's standing RocksDB coverage (every other oracled replay
+    * runs the default store). */
   def streamFunnelTws(spark: SparkSession, dir: String,
       watermarkMin: Long = 10L): DataFrame = {
     import spark.implicits._
@@ -1448,6 +1458,152 @@ object Streaming {
         .toDF())
         .filter(col("user_id") =!= -1L)
     }
+  }
+
+  /** [[streamLedgerTws]] with INITIAL STATE — the batch→streaming
+    * migration path every production stateful job eventually needs:
+    * the ledger is warm-started from a batch aggregate of pre-cutoff
+    * history (`handleInitialState`, one pre-aggregated row per user)
+    * and the stream processes ONLY the post-cutoff tail; the emitted
+    * ledgers must equal the full-corpus GROUP BY, proving the seam is
+    * invisible. The cutoff splits the corpus at its time midpoint; the
+    * `ts_ms >= cutoff` stream filter is pushdown-SAFE with sentinels
+    * (they sit past the corpus max, so their files are never pruned
+    * and the watermark still advances — contrast the stall mode
+    * [[streamReplay]] documents for sentinel-excluding predicates).
+    * `handleInitialState` also registers the user's timer at the
+    * HISTORY's lastSeen+1, so a user with zero post-cutoff events
+    * still emits; a stream arrival supersedes that timer through the
+    * same delete-then-register path as [[streamLedgerTws]].
+    *
+    * Scale: the seed is one shuffle of the history aggregate (its own
+    * keyed partitioning), loaded once into the state store at batch 0;
+    * steady-state cost is identical to [[streamLedgerTws]]. */
+  def streamLedgerInit(spark: SparkSession, dir: String,
+      watermarkMin: Long = 10L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor,
+      StatefulProcessorWithInitialState, TimeMode, TimerValues, TTLConfig}
+    val ev = graft.Tables.events(spark, dir)
+    val bounds = ev.agg(min(col("ts_ms")), max(col("ts_ms"))).head
+    val cutoff = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+    val initState = ev.filter(col("ts_ms") < cutoff)
+      .select(col("user_id"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"), col("ts_ms"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"),
+        max(col("ts_ms")).as("mx"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("event_type").as("t"),
+        col("n"), col("c")))).as("rows"), max(col("mx")).as("lastSeenMs"))
+      .as[(Long, Array[LedgerInitEntry], Long)]
+      .map { case (uid, rows, last) => (uid, LedgerInitState(rows, last)) }
+      .groupByKey(_._1).mapValues(_._2)
+    withRocksDb(spark) {
+      replay(spark, dir, in => in
+        .filter(col("ts_ms") >= cutoff)
+        .select(col("timestamp"), col("user_id"), col("event_type"), col("cents"))
+        .withWatermark("timestamp", s"$watermarkMin minutes")
+        .as[(java.sql.Timestamp, Long, String, Long)]
+        .groupByKey(_._2)
+        .transformWithState(
+          new StatefulProcessorWithInitialState[Long,
+              (java.sql.Timestamp, Long, String, Long), LedgerRowTws, LedgerInitState] {
+            @transient private var led: org.apache.spark.sql.streaming.MapState[String, TypeAgg] = _
+            @transient private var tmr: org.apache.spark.sql.streaming.ValueState[Long] = _
+            override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+              led = getHandle.getMapState[String, TypeAgg]("led",
+                org.apache.spark.sql.Encoders.STRING,
+                org.apache.spark.sql.Encoders.product[TypeAgg], TTLConfig.NONE)
+              tmr = getHandle.getValueState[Long]("tmr",
+                org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+            }
+            override def handleInitialState(uid: Long, st: LedgerInitState,
+                timerValues: TimerValues): Unit = {
+              st.rows.foreach(r => led.updateValue(r.t, TypeAgg(r.n, r.c)))
+              getHandle.registerTimer(st.lastSeenMs + 1L)
+              tmr.update(st.lastSeenMs + 1L)
+            }
+            override def handleInputRows(uid: Long,
+                rows: Iterator[(java.sql.Timestamp, Long, String, Long)],
+                timerValues: TimerValues): Iterator[LedgerRowTws] = {
+              var hi = Long.MinValue
+              rows.foreach { case (ts, _, typ, cents) =>
+                val cur = if (led.containsKey(typ)) led.getValue(typ) else TypeAgg(0L, 0L)
+                led.updateValue(typ, TypeAgg(cur.n + 1L, cur.cents + cents))
+                hi = math.max(hi, ts.getTime)
+              }
+              if (hi != Long.MinValue) {
+                val prev = if (tmr.exists()) tmr.get() else Long.MinValue
+                val next = math.max(prev, hi + 1L)
+                if (next != prev) {
+                  if (prev != Long.MinValue) getHandle.deleteTimer(prev)
+                  getHandle.registerTimer(next)
+                  tmr.update(next)
+                }
+              }
+              Iterator.empty
+            }
+            override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+                expiredTimerInfo: ExpiredTimerInfo): Iterator[LedgerRowTws] = {
+              val out = led.iterator().map { case (typ, agg) =>
+                LedgerRowTws(uid, typ, agg.n, agg.cents)
+              }.toArray
+              led.clear(); tmr.clear()
+              out.iterator
+            }
+          },
+          TimeMode.EventTime(), OutputMode.Append(), initState)
+        .toDF())
+        .filter(col("user_id") >= 0L)
+    }
+  }
+
+  /** Session windows CHAINED into a downstream tumbling aggregate —
+    * the multiple-stateful-operators path for AGGREGATIONS (the as-of
+    * join chains join→agg; this chains agg→agg): per-user session
+    * windows first, then the finished sessions roll up into per-DAY
+    * traffic rows (sessions started, events, cents). The event-time
+    * column for the second aggregation is `window_time(sess)` — the
+    * session's end − 1 µs, the documented idiom that lets the
+    * watermark propagate through the first stateful operator into the
+    * second — so a session lands in the day its activity ENDED (a
+    * 23:50 + gap session belongs to the next day; the oracle replays
+    * that µs arithmetic exactly: day((last_ts + gap)·1000 − 1 µs)).
+    *
+    * Sentinel discipline inverts here: the rollup aggregates user_id
+    * away, so the read-back can't drop sentinel rows by key — and an
+    * in-stream `user_id >= 0` filter is exactly the predicate that
+    * gets pushed below the watermark node into the scan and prunes
+    * the sentinel FILES (the watermark-stall failure [[streamReplay]]
+    * documents). Instead the sentinels are dropped by TIME at the
+    * read-back: they sit ≥ 2 days past the corpus max by
+    * construction, so `day_ms ≤ day(corpus max + gap)` keeps every
+    * real session's day and excludes both sentinel days.
+    *
+    * Scale: both aggregations are keyed and watermark-evicted —
+    * session state is O(open sessions), day state O(open days);
+    * state partitions across executors on each operator's own keys. */
+  def streamSessRollup(spark: SparkSession, dir: String,
+      watermarkMin: Long = 10L, gapMin: Long = 30L): DataFrame = {
+    val gapMs = gapMin * 60000L
+    val dayMs = 86400000L
+    val maxMs = graft.Tables.events(spark, dir)
+      .agg(max(col("ts_ms"))).head.getLong(0)
+    val lastRealDay = ((maxMs + gapMs) * 1000L - 1L) / (dayMs * 1000L) * dayMs
+    replay(spark, dir, in => in
+      .select(timestamp_millis(col("ts_ms")).as("timestamp"),
+        col("user_id"), col("cents"))
+      .withWatermark("timestamp", s"$watermarkMin minutes")
+      .groupBy(session_window(col("timestamp"), s"$gapMin minutes").as("sess"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .groupBy(window(window_time(col("sess")), "1 day").as("day"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"),
+        sum(col("cents")).as("cents"))
+      .select(unix_millis(col("day.start")).as("day_ms"),
+        col("n_sessions"), col("n_events"), col("cents")))
+      .filter(col("day_ms") <= lastRealDay)
   }
 
   /** The per-user spend ledger on `transformWithState` with MAP state —
@@ -2032,6 +2188,8 @@ object Streaming {
     "q_stream_funnel_tws" -> ((s, d) => streamFunnelTws(s, d)),
     "q_stream_sessions_tws" -> ((s, d) => streamSessionsTws(s, d)),
     "q_stream_ledger_tws" -> ((s, d) => streamLedgerTws(s, d)),
+    "q_stream_sess_rollup" -> ((s, d) => streamSessRollup(s, d)),
+    "q_stream_ledger_init" -> ((s, d) => streamLedgerInit(s, d)),
     "q_stream_burst" -> ((s, d) => streamBurst(s, d)),
     "q_stream_decontam" -> ((s, d) => streamDecontam(s, d)),
     "q_stream_scd_enrich" -> ((s, d) => streamScdEnrich(s, d)),
@@ -2248,7 +2406,31 @@ object Streaming {
     "q_stream_ledger_tws" ->
       ("SELECT user_id, event_type, count(*) AS n, " +
         "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents " +
-        "FROM events GROUP BY 1, 2"))
+        "FROM events GROUP BY 1, 2"),
+    // the warm-started ledger must equal the SAME full-corpus totals:
+    // pre-cutoff history enters via handleInitialState, the stream
+    // carries only the tail, and the seam must be invisible
+    "q_stream_ledger_init" ->
+      ("SELECT user_id, event_type, count(*) AS n, " +
+        "sum(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents " +
+        "FROM events GROUP BY 1, 2"),
+    // sessions (the shared gaps-and-islands CTE) rolled up to the day
+    // their window_time (= last_ts + gap − 1 µs) lands in — the µs
+    // arithmetic matches Spark's chained window(window_time(sess))
+    "q_stream_sess_rollup" ->
+      ("WITH flagged AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, " +
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
+        "CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL " +
+        "OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000 THEN 1 ELSE 0 END AS ns " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)), " +
+        "s AS (SELECT user_id, ts_ms, cents, " +
+        "sum(ns) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS sess_no FROM flagged), " +
+        "sess AS (SELECT user_id, sess_no, count(*) AS n, sum(cents) AS cents, " +
+        "max(ts_ms) AS last_ms FROM s GROUP BY 1, 2) " +
+        "SELECT (((last_ms + 1800000) * 1000 - 1) // 86400000000 * 86400000)::BIGINT AS day_ms, " +
+        "count(*) AS n_sessions, sum(n)::BIGINT AS n_events, " +
+        "sum(cents)::BIGINT AS cents FROM sess GROUP BY 1"))
 
   /** Shared by q_stream_sessions and its transformWithState port
     * (a def: it is referenced above its definition in the object body,

@@ -819,6 +819,94 @@ class StreamingSpec extends SparkSpec {
       s"peak state ${peaks.max} rows vs $nPairs (user,type) pairs — state not O(users×types)")
   }
 
+  test("streamLedgerInit: warm-started ledger equals the full-corpus totals; the batch/stream seam is invisible") {
+    import org.apache.spark.sql.functions._
+    val got = Streaming.streamLedgerInit(spark, sf)
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      .select(col("user_id"), col("event_type"), col("n"), col("cents"))
+    assert(got.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(got).count() === 0)
+    // the test is non-vacuous only if BOTH halves carry data: rows on
+    // each side of the midpoint cutoff (history seeds state, stream
+    // updates it)
+    val b = Tables.events(spark, sf).agg(min(col("ts_ms")), max(col("ts_ms"))).head
+    val cutoff = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 2
+    val ev = Tables.events(spark, sf)
+    assert(ev.filter(col("ts_ms") < cutoff).count() > 0, "empty history half")
+    assert(ev.filter(col("ts_ms") >= cutoff).count() > 0, "empty stream half")
+    // the generated corpus has every user active on both sides of the
+    // midpoint, so the HISTORY-ONLY emission path (timer registered in
+    // handleInitialState, never superseded by a stream arrival) needs a
+    // hand-built corpus: user 100's events all sit before the cutoff,
+    // and their ledger may only reach the sink via the init timer
+    val t0 = 1704067200000L // 2024-01-01T00:00Z
+    val mini = Seq(
+      (1L, t0 + 60000L, 100L, "view", 1.00, "{}"),
+      (2L, t0 + 120000L, 100L, "click", 2.00, "{}"),
+      (3L, t0 + 180000L, 100L, "view", 3.00, "{}"),
+      (4L, t0 + 60000L, 200L, "view", 4.00, "{}"),
+      (5L, t0 + 36000000L, 200L, "purchase", 5.00, "{}"),
+      (6L, t0 + 32400000L, 300L, "click", 6.00, "{}"),
+      (7L, t0 + 36000000L, 300L, "click", 7.00, "{}"))
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ledger-init")
+    try {
+      mini.toDF("event_id", "ts_ms_raw", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), timestamp_millis(col("ts_ms_raw")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .write.parquet(s"$root/events.parquet")
+      val miniGot = Streaming.streamLedgerInit(spark, root.toString)
+        .collect().map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      // user 100 is entirely pre-cutoff (cutoff = min + span/2 ≈ t0+5h):
+      // their rows exist ONLY because handleInitialState registered the
+      // emission timer itself
+      assert(miniGot((100L, "view")) === ((2L, 400L)))
+      assert(miniGot((100L, "click")) === ((1L, 200L)))
+      // user 200 spans the seam: history view + streamed purchase
+      assert(miniGot((200L, "view")) === ((1L, 400L)))
+      assert(miniGot((200L, "purchase")) === ((1L, 500L)))
+      // user 300 is stream-only
+      assert(miniGot((300L, "click")) === ((2L, 1300L)))
+      assert(miniGot.size === 5)
+    } finally Streaming.rmTree(root.toFile)
+  }
+
+  test("streamSessRollup: chained session→day aggregation equals the batch rollup; sentinel days excluded by time") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = Streaming.streamSessRollup(spark, sf)
+    // batch replay: gaps-and-islands sessions, then day(window_time) =
+    // day((last_ts + gap)·1000 − 1 µs) rollup — the same µs arithmetic
+    // Spark's chained window(window_time(sess)) applies
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    val batch = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("ns", when(lag(col("ts_ms"), 1).over(w).isNull ||
+        col("ts_ms") - lag(col("ts_ms"), 1).over(w) >= 1800000L, 1L).otherwise(0L))
+      .withColumn("sess_no", sum(col("ns")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+        max(col("ts_ms")).as("last_ms"))
+      .withColumn("day_ms",
+        expr("((last_ms + 1800000) * 1000 - 1) div 86400000000") * 86400000L)
+      .groupBy(col("day_ms"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"),
+        sum(col("cents")).as("cents"))
+    assert(got.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(got).count() === 0)
+    assert(got.count() > 0)
+    // no sentinel contamination: every emitted day is within the
+    // corpus's own horizon (sentinels sit ≥ 2 days past it)
+    val maxMs = Tables.events(spark, sf).agg(max(col("ts_ms"))).head.getLong(0)
+    assert(got.agg(max(col("day_ms"))).head.getLong(0) <= maxMs + 86400000L + 1800000L)
+  }
+
   test("streamSessions: merged session windows equal the batch gaps-and-islands; exact-gap starts a new session") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
