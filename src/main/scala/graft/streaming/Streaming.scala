@@ -1378,8 +1378,11 @@ object Streaming {
     * element, so a batch costs O(batch rows) state writes regardless of
     * how large the open buffer already is — the funnel's ValueState
     * blob by contrast is read-modify-rewritten in full every batch.
-    * The trade is visible in `StateOperatorProgress`: peak state rows
-    * are O(buffered events), not O(users) (the spec pins both shapes).
+    * (The trade is in WRITE AMPLIFICATION, not in the state-row
+    * metric: `StateOperatorProgress.numRowsTotal` counts grouping
+    * keys per state variable — measured 3·users for this operator,
+    * same as the funnel — because a key's list elements live inside
+    * its column family; the spec pins that O(users) key count.)
     *
     * Finalization is watermark-driven: one event-time timer per user at
     * lastSeen + gap, re-registered forward as events arrive. When it
