@@ -124,6 +124,52 @@ object StreamBench {
     }
   }
 
+  /** Drive an arbitrary oracled pipeline over a time-sliced bounded
+    * backfill (the [[runPairsSkew]] discipline: `maxFilesPerTrigger=1`,
+    * watermark advancing between batches) and report (rows/s after
+    * warm-up, peak state rows, measured batches). Used for the
+    * fMGWS-vs-transformWithState A/B: same corpus, same slices, same
+    * verdict arithmetic — only the state machinery (and, for TWS, the
+    * mandatory RocksDB provider) differs. */
+  def runSliced(spark: SparkSession, rocksDb: Boolean, inDir: String,
+      pipeline: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame):
+      (Double, Long, Int) = {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val priorProvider = spark.conf.getOption(providerKey)
+    Tables.configure(spark, rocksDbState = rocksDb)
+    if (!rocksDb) spark.conf.unset(providerKey)
+    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val schema = spark.read.parquet(
+        new java.io.File(inDir).listFiles().filter(_.getName.endsWith(".parquet"))
+          .head.toString).schema
+      val ck = java.nio.file.Files.createTempDirectory("graft-sbf-ck").toString
+      val q = pipeline(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(inDir))
+        .writeStream.format("noop").outputMode(OutputMode.Append())
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val ps = q.recentProgress.toSeq.drop(1)
+      val rows = ps.map(_.numInputRows).sum.toDouble
+      val ms = ps.flatMap(p =>
+        Option(p.durationMs.get("triggerExecution")).map(_.longValue)).sum.toDouble
+      val peakRows = ps.map(_.stateOperators.map(_.numRowsTotal).sum)
+        .foldLeft(0L)(math.max)
+      graft.streaming.Streaming.rmTree(new java.io.File(ck))
+      (if (ms > 0) rows / (ms / 1000.0) else 0.0, peakRows, ps.size)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevSp)
+      priorProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val seconds = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "20").toInt
@@ -143,6 +189,33 @@ object StreamBench {
     // Skew-corpus state-store A/B for the bucketed join: runs only when
     // a skew corpus is present (SPARK_GRAFT_SKEW_DIR or target/sfskew —
     // generate with `runMain graft.ScaleUp <sf0.1> target/sfskew 5 --skew`).
+    // fMGWS vs transformWithState A/B on the funnel: the same sliced
+    // backfill through both engines — fMGWS on the default store AND
+    // on RocksDB (isolating the store tax), TWS on RocksDB (its
+    // mandatory provider; with the fMGWS@rocksdb leg, the remaining
+    // difference is the API itself).
+    val abDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if (new java.io.File(s"$abDir/events.parquet").exists()) {
+      val shaped = Tables.events(spark, abDir)
+        .select(col("ts").as("timestamp"), col("ts_ms"), col("event_id"),
+          col("user_id"), col("event_type"),
+          org.apache.spark.sql.functions.floor(col("value") * 100 + 0.5)
+            .cast("long").as("cents"))
+      val (inDir, _) = StreamStateProbe.writeSliced(shaped, 2L * 86400000L)
+      val (fmDef, sFmDef, bFm) = runSliced(spark, rocksDb = false, inDir,
+        Streaming.funnelPipeline(10L))
+      val (fmRocks, sFmRocks, _) = runSliced(spark, rocksDb = true, inDir,
+        Streaming.funnelPipeline(10L))
+      val (twsRocks, sTws, _) = runSliced(spark, rocksDb = true, inDir,
+        Streaming.funnelTwsPipeline(10L))
+      graft.streaming.Streaming.rmTree(new java.io.File(inDir))
+      println(s"""{"metric":"stream_funnel_api_ab_rows_per_sec",""" +
+        s""""fmgws_default":${fmDef.round},"fmgws_rocksdb":${fmRocks.round},""" +
+        s""""tws_rocksdb":${twsRocks.round},"batches":$bFm,""" +
+        s""""peak_state_rows_fmgws_default":$sFmDef,""" +
+        s""""peak_state_rows_fmgws_rocksdb":$sFmRocks,""" +
+        s""""peak_state_rows_tws":$sTws,"corpus":"$abDir"}""")
+    }
     val skewDir = sys.env.getOrElse("SPARK_GRAFT_SKEW_DIR", "target/sfskew")
     if (new java.io.File(s"$skewDir/events.parquet").exists()) {
       val shaped = Tables.events(spark, skewDir)

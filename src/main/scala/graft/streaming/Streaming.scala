@@ -1231,11 +1231,31 @@ object Streaming {
     * plain SQL — no recursion needed, BECAUSE the semantics were
     * chosen order-free; contrast [[streamRateLimit]]'s recursive-CTE
     * oracle for the stateful-recursion alternative. */
-  def streamFunnel(spark: SparkSession, dir: String,
-      watermarkMin: Long = 10L): DataFrame = {
+  /** The strict-progression verdict from a user's buffered (ts, kind)
+    * events — shared by BOTH funnel engines ([[funnelPipeline]]'s
+    * fMGWS and [[funnelTwsPipeline]]'s transformWithState), so their
+    * row-for-row parity is about the STATE MACHINERY, never drifting
+    * verdict arithmetic. */
+  private def funnelVerdict(uid: Long, tsMs: Array[Long],
+      kind: Array[Int]): FunnelVerdict = {
+    val ev = tsMs.zip(kind)
+    def minAfter(code: Int, after: Long): Long = {
+      val c = ev.collect { case (t, k) if k == code && t > after => t }
+      if (c.isEmpty) -1L else c.min
+    }
+    val v = minAfter(1, Long.MinValue)
+    val cl = if (v < 0) -1L else minAfter(2, v)
+    val p = if (cl < 0) -1L else minAfter(3, cl)
+    val stage = if (p >= 0) 3L else if (cl >= 0) 2L else if (v >= 0) 1L else 0L
+    FunnelVerdict(uid, ev.length.toLong, stage, v, cl, p)
+  }
+
+  /** The fMGWS funnel behind [[streamFunnel]], factored so StreamBench
+    * can drive the exact oracled pipeline over a sliced backfill. */
+  private[graft] def funnelPipeline(watermarkMin: Long)(in: DataFrame): DataFrame = {
+    val spark = in.sparkSession
     import spark.implicits._
-    replay(spark, dir, in => in
-      .select(col("timestamp"), col("user_id"),
+    in.select(col("timestamp"), col("user_id"),
         when(col("event_type") === "view", 1)
           .when(col("event_type") === "click", 2)
           .when(col("event_type") === "purchase", 3).otherwise(0).as("kind"))
@@ -1248,16 +1268,7 @@ object Streaming {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            val ev = s.tsMs.zip(s.kind)
-            def minAfter(code: Int, after: Long): Long = {
-              val c = ev.collect { case (t, k) if k == code && t > after => t }
-              if (c.isEmpty) -1L else c.min
-            }
-            val v = minAfter(1, Long.MinValue)
-            val cl = if (v < 0) -1L else minAfter(2, v)
-            val p = if (cl < 0) -1L else minAfter(3, cl)
-            val stage = if (p >= 0) 3L else if (cl >= 0) 2L else if (v >= 0) 1L else 0L
-            Iterator.single(FunnelVerdict(uid, ev.length.toLong, stage, v, cl, p))
+            Iterator.single(funnelVerdict(uid, s.tsMs, s.kind))
           } else {
             val prev = state.getOption.getOrElse(FunnelBufState(Array.empty, Array.empty, 0L))
             val add = rows.map { case (ts, _, k) => (ts.getTime, k) }.toArray
@@ -1269,9 +1280,13 @@ object Streaming {
             Iterator.empty
           }
       }
-      .toDF())
-      .filter(col("user_id") >= 0L)
+      .toDF()
   }
+
+  def streamFunnel(spark: SparkSession, dir: String,
+      watermarkMin: Long = 10L): DataFrame =
+    replay(spark, dir, funnelPipeline(watermarkMin))
+      .filter(col("user_id") >= 0L)
 
   /** `transformWithState` requires the RocksDB state-store provider;
     * pin it for the enclosed replay and restore the session conf
@@ -1307,69 +1322,67 @@ object Streaming {
     * conf after — which also makes the three modern-API ports the
     * board's standing RocksDB coverage (every other oracled replay
     * runs the default store). */
-  def streamFunnelTws(spark: SparkSession, dir: String,
-      watermarkMin: Long = 10L): DataFrame = {
+  /** The transformWithState funnel behind [[streamFunnelTws]], factored
+    * for StreamBench's fMGWS-vs-TWS A/B (same verdict helper, same
+    * buffering — only the state machinery differs). The caller must
+    * hold the RocksDB pin ([[withRocksDb]]). */
+  private[graft] def funnelTwsPipeline(watermarkMin: Long)(in: DataFrame): DataFrame = {
+    val spark = in.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor,
       TimeMode, TimerValues, TTLConfig}
+    in.select(col("timestamp"), col("user_id"),
+        when(col("event_type") === "view", 1)
+          .when(col("event_type") === "click", 2)
+          .when(col("event_type") === "purchase", 3).otherwise(0).as("kind"))
+      .withWatermark("timestamp", s"$watermarkMin minutes")
+      .as[(java.sql.Timestamp, Long, Int)]
+      .groupByKey(_._2)
+      .transformWithState(
+        new StatefulProcessor[Long, (java.sql.Timestamp, Long, Int), FunnelVerdict] {
+          @transient private var buf: org.apache.spark.sql.streaming.ValueState[FunnelBufState] = _
+          @transient private var tmr: org.apache.spark.sql.streaming.ValueState[Long] = _
+          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+            buf = getHandle.getValueState[FunnelBufState]("buf",
+              org.apache.spark.sql.Encoders.product[FunnelBufState], TTLConfig.NONE)
+            tmr = getHandle.getValueState[Long]("tmr",
+              org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+          }
+          override def handleInputRows(uid: Long,
+              rows: Iterator[(java.sql.Timestamp, Long, Int)],
+              timerValues: TimerValues): Iterator[FunnelVerdict] = {
+            val prev = if (buf.exists()) buf.get()
+              else FunnelBufState(Array.empty, Array.empty, 0L)
+            val add = rows.map { case (ts, _, k) => (ts.getTime, k) }.toArray
+            if (add.nonEmpty) {
+              val acc = FunnelBufState(prev.tsMs ++ add.map(_._1),
+                prev.kind ++ add.map(_._2),
+                math.max(prev.lastSeenMs, add.map(_._1).max))
+              buf.update(acc)
+              if (tmr.exists()) getHandle.deleteTimer(tmr.get())
+              getHandle.registerTimer(acc.lastSeenMs + 1L)
+              tmr.update(acc.lastSeenMs + 1L)
+            }
+            Iterator.empty
+          }
+          override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+              expiredTimerInfo: ExpiredTimerInfo): Iterator[FunnelVerdict] = {
+            if (!buf.exists()) return Iterator.empty
+            val s = buf.get()
+            buf.clear(); tmr.clear()
+            Iterator.single(funnelVerdict(uid, s.tsMs, s.kind))
+          }
+        },
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
+
+  def streamFunnelTws(spark: SparkSession, dir: String,
+      watermarkMin: Long = 10L): DataFrame =
     withRocksDb(spark) {
-      replay(spark, dir, in => in
-        .select(col("timestamp"), col("user_id"),
-          when(col("event_type") === "view", 1)
-            .when(col("event_type") === "click", 2)
-            .when(col("event_type") === "purchase", 3).otherwise(0).as("kind"))
-        .withWatermark("timestamp", s"$watermarkMin minutes")
-        .as[(java.sql.Timestamp, Long, Int)]
-        .groupByKey(_._2)
-        .transformWithState(
-          new StatefulProcessor[Long, (java.sql.Timestamp, Long, Int), FunnelVerdict] {
-            @transient private var buf: org.apache.spark.sql.streaming.ValueState[FunnelBufState] = _
-            @transient private var tmr: org.apache.spark.sql.streaming.ValueState[Long] = _
-            override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-              buf = getHandle.getValueState[FunnelBufState]("buf",
-                org.apache.spark.sql.Encoders.product[FunnelBufState], TTLConfig.NONE)
-              tmr = getHandle.getValueState[Long]("tmr",
-                org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
-            }
-            override def handleInputRows(uid: Long,
-                rows: Iterator[(java.sql.Timestamp, Long, Int)],
-                timerValues: TimerValues): Iterator[FunnelVerdict] = {
-              val prev = if (buf.exists()) buf.get()
-                else FunnelBufState(Array.empty, Array.empty, 0L)
-              val add = rows.map { case (ts, _, k) => (ts.getTime, k) }.toArray
-              if (add.nonEmpty) {
-                val acc = FunnelBufState(prev.tsMs ++ add.map(_._1),
-                  prev.kind ++ add.map(_._2),
-                  math.max(prev.lastSeenMs, add.map(_._1).max))
-                buf.update(acc)
-                if (tmr.exists()) getHandle.deleteTimer(tmr.get())
-                getHandle.registerTimer(acc.lastSeenMs + 1L)
-                tmr.update(acc.lastSeenMs + 1L)
-              }
-              Iterator.empty
-            }
-            override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
-                expiredTimerInfo: ExpiredTimerInfo): Iterator[FunnelVerdict] = {
-              if (!buf.exists()) return Iterator.empty
-              val s = buf.get()
-              buf.clear(); tmr.clear()
-              val ev = s.tsMs.zip(s.kind)
-              def minAfter(code: Int, after: Long): Long = {
-                val c = ev.collect { case (t, k) if k == code && t > after => t }
-                if (c.isEmpty) -1L else c.min
-              }
-              val v = minAfter(1, Long.MinValue)
-              val cl = if (v < 0) -1L else minAfter(2, v)
-              val p = if (cl < 0) -1L else minAfter(3, cl)
-              val stage = if (p >= 0) 3L else if (cl >= 0) 2L else if (v >= 0) 1L else 0L
-              Iterator.single(FunnelVerdict(uid, ev.length.toLong, stage, v, cl, p))
-            }
-          },
-          TimeMode.EventTime(), OutputMode.Append())
-        .toDF())
+      replay(spark, dir, funnelTwsPipeline(watermarkMin))
         .filter(col("user_id") >= 0L)
     }
-  }
 
   /** Session windows on `transformWithState` with LIST state — the
     * third state shape of the modern arbitrary-stateful API, alongside
