@@ -255,7 +255,49 @@ object Media {
         expr("h.n_samples * 1000 div h.sample_rate").as("duration_ms"))
   }
 
+  /** Second REAL decode end-to-end (sibling of [[wavAudit]], raster
+    * side): every document renders as an actual 24-bit uncompressed
+    * BMP ([[graft.functions.Bmp]] — real file+info headers, BOTTOM-UP
+    * rows in BGR with 4-byte stride padding, and a doc_id-sized gap
+    * between header and pixel array so fixed-offset-54 cheats read
+    * garbage), a deterministic minority is damaged relationally (every
+    * 9th file truncated to 20 bytes; every 9th+4 has its 'BM' magic
+    * flipped to 'BX'), and the native `bmp_stats` expression DECODES
+    * THE BYTES — header walk, bounds checks, exact BIGINT channel sums
+    * over the padded rows, and the LOGICAL top-left pixel, which lives
+    * in the LAST stored row: a decoder that ignores the bottom-up
+    * layout returns the bottom row's values and fails the oracle. The
+    * oracle never parses binary — synthesis parameters are doc_id/len
+    * closed forms, so DuckDB predicts arithmetically what an honest
+    * decoder must recover. Per-row codegen'd expressions, one scan, no
+    * shuffle — the raster-decode cost profile of a 100 TB image
+    * ingest. */
+  def bmpAudit(docs: DataFrame): DataFrame = {
+    import graft.functions.Bmp.{bmpStats, bmpSynth}
+    val bmp = docs.select(col("doc_id"),
+      bmpSynth(col("doc_id"), col("text")).as("content"))
+    val damaged = bmp.withColumn("content",
+      when(col("doc_id") % 9 === 0, expr("substring(content, 1, 20)"))
+        .when(col("doc_id") % 9 === 4,
+          concat(encode(lit("BX"), "utf-8"),
+            expr("substring(content, 3, 2147483647)")))
+        .otherwise(col("content")))
+    damaged
+      .select(col("doc_id"),
+        octet_length(col("content")).cast("long").as("bmp_bytes"),
+        bmpStats(col("content")).as("h"))
+      .select(col("doc_id"), col("bmp_bytes"),
+        col("h").isNotNull.as("ok"),
+        col("h.width").as("width"), col("h.height").as("height"),
+        col("h.stride").as("stride"),
+        col("h.sum_b").as("sum_b"), col("h.sum_g").as("sum_g"),
+        col("h.sum_r").as("sum_r"),
+        col("h.tl_b").as("tl_b"), col("h.tl_g").as("tl_g"),
+        col("h.tl_r").as("tl_r"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_bmp" -> ((s, d) => bmpAudit(Tables.documents(s, d))),
     "q_media_wav" -> ((s, d) => wavAudit(Tables.documents(s, d))),
     "q_media_corrupt" -> ((s, d) => corruptAudit(Tables.documents(s, d))),
     "q_media_features" -> ((s, d) => features(Tables.documents(s, d))),
@@ -267,6 +309,29 @@ object Media {
   val oracleSql: Map[String, String] = Map(
     // closed-form synth parameters; the Spark side DECODES real bytes
     // and must land on exactly these values (damaged files → NULLs)
+    "q_media_bmp" ->
+      ("WITH p AS (SELECT doc_id, length(text)::BIGINT len FROM documents), " +
+        "par AS (SELECT doc_id, 2 + doc_id % 6 AS w, 1 + doc_id % 4 AS h, " +
+        "2 * (doc_id % 4) AS gap, 31 * doc_id + 7 * len AS seed FROM p), " +
+        "g AS (SELECT doc_id, w, h, gap, seed, w * h AS npix, " +
+        "((3 * w + 3) // 4) * 4 AS stride FROM par), " +
+        "v AS (SELECT doc_id, w, h, stride, seed, npix, " +
+        "CASE WHEN doc_id % 9 = 0 THEN 20 " +
+        "ELSE 54 + gap + stride * h END AS bmp_bytes, " +
+        "doc_id % 9 NOT IN (0, 4) AS ok FROM g) " +
+        "SELECT doc_id, bmp_bytes, ok, " +
+        "CASE WHEN ok THEN w END AS width, " +
+        "CASE WHEN ok THEN h END AS height, " +
+        "CASE WHEN ok THEN stride END AS stride, " +
+        "CASE WHEN ok THEN list_sum([(seed + 3 * q) % 256 " +
+        "FOR q IN range(0, npix)])::BIGINT END AS sum_b, " +
+        "CASE WHEN ok THEN list_sum([(seed + 3 * q + 1) % 256 " +
+        "FOR q IN range(0, npix)])::BIGINT END AS sum_g, " +
+        "CASE WHEN ok THEN list_sum([(seed + 3 * q + 2) % 256 " +
+        "FOR q IN range(0, npix)])::BIGINT END AS sum_r, " +
+        "CASE WHEN ok THEN seed % 256 END AS tl_b, " +
+        "CASE WHEN ok THEN (seed + 1) % 256 END AS tl_g, " +
+        "CASE WHEN ok THEN (seed + 2) % 256 END AS tl_r FROM v"),
     "q_media_wav" ->
       ("WITH p AS (SELECT doc_id, length(text)::BIGINT len FROM documents), " +
         "par AS (SELECT doc_id, len, 1 + doc_id % 2 AS c, " +

@@ -93,6 +93,63 @@ object ScaleOps {
         sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("revenue_cents"))
   }
 
+  /** Per-(session, sf-dir) partitioned-layout warehouse for
+    * [[dppRevenue]], written once and reused ([[bucketedPair]]'s
+    * amortization discipline — the partitioned write is the one-time
+    * layout cost every later pruned scan trades against). */
+  private val dppWarehouse =
+    scala.collection.concurrent.TrieMap[(Int, String), String]()
+
+  /** Dynamic partition pruning under the correctness gate: the fact
+    * table lands PARTITIONED BY month (the hive-style layout a 100 TB
+    * fact table ships in), the dimension is a separately-stored
+    * month-rank relation with a selective `rnk <= 3` filter, and the
+    * join key IS the partition column — so Catalyst injects the dim's
+    * surviving keys into the fact scan as a runtime partition filter
+    * (`dynamicpruningexpression` in the scan's PartitionFilters,
+    * pinned in ScaleSpec). At 100 TB this is the difference between
+    * scanning 3 months and scanning all of them: static pruning can't
+    * see the top-3-by-volume predicate because it's data-dependent,
+    * and a filter-after-scan pays the full read. The dim must be a
+    * real source with a real Filter (not a subtree of the fact) for
+    * the pruning rule to fire — which is why the ranks are written
+    * out at setup rather than recomputed inline. Revenue is exact
+    * integer cents. */
+  def dppRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val wh = dppWarehouse.getOrElseUpdate(
+      (System.identityHashCode(spark), dir), {
+        val root = java.nio.file.Files.createTempDirectory("graft-dpp-wh")
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(root.toFile)
+        }
+        val monthly = Tables.orders(spark, dir)
+          .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        monthly.write.mode("overwrite").partitionBy("o_month")
+          .parquet(s"$root/orders_pt")
+        // month dim: volume rank per month, deterministic tie-break on
+        // the month itself; ≤ #months rows, so the unpartitioned
+        // window is a bounded one-time setup cost
+        spark.read.parquet(s"$root/orders_pt")
+          .groupBy(col("o_month")).agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("n").desc, col("o_month"))).cast("long"))
+          .select(col("o_month"), col("rnk"))
+          .write.mode("overwrite").parquet(s"$root/month_dim")
+        root.toString
+      })
+    val fact = spark.read.parquet(s"$wh/orders_pt")
+    val dim = spark.read.parquet(s"$wh/month_dim").filter(col("rnk") <= 3)
+    fact.join(broadcast(dim), Seq("o_month"))
+      .groupBy(col("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("revenue_cents"))
+      .select(col("o_month"), col("n_orders"), col("revenue_cents"))
+  }
+
   /** 16-bit × 16-bit Morton (z-order) interleave. Wired to the native
     * magic-mask expression ([[graft.functions.NativeZOrder]]) —
     * bit-identical to the composed 32-term chain (spec-asserted);
@@ -541,7 +598,8 @@ object ScaleOps {
     "q_incr_agg" -> ((s, d) => incrAgg(Tables.events(s, d))),
     "q_incr_join" -> ((s, d) => incrJoin(s, d)),
     "q_cap_audit" -> ((s, d) => capAudit(Tables.events(s, d), Tables.documents(s, d))),
-    "q_bucketed_join" -> ((s, d) => bucketedRevenue(s, d)))
+    "q_bucketed_join" -> ((s, d) => bucketedRevenue(s, d)),
+    "q_dpp_prune" -> ((s, d) => dppRevenue(s, d)))
 
   /** The z-interleave as SQL, generated from the same bit positions the
     * Column form uses — one expression, two dialect renderings. */
@@ -637,6 +695,15 @@ object ScaleOps {
       ("SELECT c_mktsegment, count(*) AS n_orders, " +
         "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS revenue_cents " +
         "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1"),
+    "q_dpp_prune" ->
+      ("WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') om, count(*)::BIGINT n " +
+        "FROM orders GROUP BY 1), " +
+        "r AS (SELECT om, row_number() OVER (ORDER BY n DESC, om) rnk FROM m) " +
+        "SELECT strftime(o_orderdate, '%Y-%m') AS o_month, " +
+        "count(*) AS n_orders, " +
+        "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS revenue_cents " +
+        "FROM orders JOIN r ON strftime(o_orderdate, '%Y-%m') = r.om " +
+        "WHERE r.rnk <= 3 GROUP BY 1"),
     "q_global_rank" ->
       ("SELECT event_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, " +
         "row_number() OVER (ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT) DESC, " +

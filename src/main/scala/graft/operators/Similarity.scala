@@ -778,7 +778,11 @@ object Similarity {
       .distinct()
   }
 
-  def knnGraph(emb: DataFrame, k: Int = 5): DataFrame = {
+  /** The banded per-node top-k edge relation (src_id, dst_id, cos,
+    * rnk) — [[knnGraph]]'s round-0 graph, shared with [[knnRefine]]'s
+    * NN-descent pass. Materialized via localCheckpoint (≤ k·n rows) so
+    * both consumers can unpersist the wide intermediates. */
+  private[graft] def knnTopK(emb: DataFrame, k: Int): DataFrame = {
     val v = withEmbD(emb)
     // all-pairs self-join ⇒ the WIDE KnnBands×KnnRowsPerBand geometry
     // (see the constant's docstring: 4×4's 16-bucket key space is
@@ -803,15 +807,80 @@ object Similarity {
     val w = Window.partitionBy(col("src_id")).orderBy(col("cos").desc, col("dst_id"))
     val topk = directed.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
-      .persist() // k rows per node; feeds both sides of the mutual join
-    val result = topk.as("f").join(
+      .localCheckpoint(true) // ≤ k·n edge rows, materialized
+    pairs.unpersist(); bands.unpersist()
+    topk
+  }
+
+  def knnGraph(emb: DataFrame, k: Int = 5): DataFrame = {
+    val topk = knnTopK(emb, k)
+    topk.as("f").join(
         topk.select(col("src_id").as("r_dst"), col("dst_id").as("r_src")).as("r"),
         col("f.src_id") === col("r_src") && col("f.dst_id") === col("r_dst"), "left")
       .select(col("f.src_id").as("src_id"), col("f.dst_id").as("dst_id"),
         col("cos"), col("rnk"), col("r_src").isNotNull.as("mutual"))
-      .localCheckpoint(true) // ≤ k·n edge rows
-    topk.unpersist(); pairs.unpersist(); bands.unpersist()
-    result
+  }
+
+  /** One NN-descent refinement round over [[knnTopK]]'s banded round-0
+    * graph (Dong, Moses & Li, WWW'11 — the standard distributed
+    * kNN-graph construction the IVF/LSH families here feed). The LSH
+    * banding trades recall for candidate volume; NN-descent buys the
+    * recall back WITHOUT widening the banding: a neighbor of my
+    * neighbor is likely my neighbor, so each round scores only the
+    * neighbor-of-neighbor closure of the current graph and re-ranks.
+    *
+    * Shape: the general neighborhood B(u) = N(u) ∪ R̂(u) is each
+    * node's own top-k plus its REVERSE edges capped at k by cosine
+    * rank — the classic reverse-sample bound (ρ=1 on forward, capped
+    * reverse); without the cap a hub sitting in many nodes' top-k
+    * would make the closure quadratic in its in-degree. Candidates
+    * u–v–w ⇒ (u,w) come from one equi-join of B with itself on the
+    * shared middle node (canonical a<b, distinct), so the candidate
+    * count is ≤ n·(2k)² by construction — independent of corpus
+    * density, unlike the banding's collision count. New pairs are
+    * scored exactly (same truncated-cosine kernel), unioned with the
+    * round-0 edges, and re-ranked per source (WindowGroupLimit top-k
+    * below the shuffle). `added` marks edges the banding missed —
+    * the measured recall the round bought.
+    *
+    * Scale: every relation is O(n·k) or O(n·k²) narrow id/cos rows;
+    * the only embedding-payload joins are the two id-equi-joins that
+    * fetch vectors for NEW candidates. No all-pairs anywhere; the
+    * closure join's middle-node key has degree ≤ 2k on BOTH sides
+    * (capped above), so no skew. Further rounds would iterate the same
+    * step on the refined graph with a convergence test on |added|. */
+  def knnRefine(emb: DataFrame, k: Int = 5): DataFrame = {
+    val v = withEmbD(emb)
+    val base = knnTopK(emb, k) // round-0 edges, ≤ k·n rows, materialized
+    val rev = base.select(col("dst_id").as("u"), col("src_id").as("nb"), col("cos"))
+    val wR = Window.partitionBy(col("u")).orderBy(col("cos").desc, col("nb"))
+    val revCapped = rev.withColumn("rr", row_number().over(wR))
+      .filter(col("rr") <= k).drop("rr")
+    val und = base.select(col("src_id").as("u"), col("dst_id").as("nb"), col("cos"))
+      .unionAll(revCapped)
+      .dropDuplicates("u", "nb") // ≤ 2k rows per node; dup rows carry the same pair-level cos
+    val cand = und.as("l").join(und.as("r"), col("l.nb") === col("r.u"))
+      .filter(col("l.u") < col("r.nb"))
+      .select(col("l.u").as("a_id"), col("r.nb").as("b_id"))
+      .distinct() // ≤ n·(2k)² canonical neighbor-of-neighbor pairs
+    val scored = cand
+      .join(v.select(col("vec_id").as("a_id"), col("e").as("ea")), Seq("a_id"))
+      .join(v.select(col("vec_id").as("b_id"), col("e").as("eb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        trunc4(NativeVector.cosine(col("ea"), col("eb"))).as("cos"))
+    val dir = scored
+      .select(col("a_id").as("src_id"), col("b_id").as("dst_id"), col("cos"))
+      .unionAll(scored.select(col("b_id").as("src_id"), col("a_id").as("dst_id"), col("cos")))
+      .unionAll(base.select(col("src_id"), col("dst_id"), col("cos")))
+      .dropDuplicates("src_id", "dst_id") // same pair ⇒ bit-identical cos either arm
+    val w = Window.partitionBy(col("src_id")).orderBy(col("cos").desc, col("dst_id"))
+    val refined = dir.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+    refined.as("f").join(
+        base.select(col("src_id").as("b_src"), col("dst_id").as("b_dst")).as("b"),
+        col("f.src_id") === col("b_src") && col("f.dst_id") === col("b_dst"), "left")
+      .select(col("f.src_id").as("src_id"), col("f.dst_id").as("dst_id"),
+        col("cos"), col("rnk"), col("b_src").isNull.as("added"))
   }
 
   /** Per-label centroid-distance outliers — the label-conditioned
@@ -1968,6 +2037,7 @@ object Similarity {
     "q_sim_topk_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_neardup" -> ((s, d) => nearDupPairs(Tables.embeddings(s, d))),
     "q_knn_graph" -> ((s, d) => knnGraph(Tables.embeddings(s, d))),
+    "q_knn_refine" -> ((s, d) => knnRefine(Tables.embeddings(s, d))),
     "q_label_noise" -> ((s, d) => labelNoise(Tables.embeddings(s, d))),
     "q_vec_outliers" -> ((s, d) => vecOutliers(Tables.embeddings(s, d))),
     "q_calibration" -> ((s, d) => calibration(Tables.embeddings(s, d))),
@@ -2532,6 +2602,31 @@ object Similarity {
         "SELECT f.src_id, f.dst_id, f.cos, f.rnk, " +
         "(r.src_id IS NOT NULL) AS mutual FROM kg_topk f " +
         "LEFT JOIN kg_topk r ON f.src_id = r.dst_id AND f.dst_id = r.src_id"),
+    "q_knn_refine" ->
+      (s"WITH $vCte, $kgBandsCte, $kgCtes, " +
+        // general neighborhood: own top-k plus reverse edges capped at
+        // k by cosine rank (the NN-descent reverse-sample bound)
+        "nd_rev AS (SELECT dst_id u, src_id nb, cos, row_number() OVER " +
+        "(PARTITION BY dst_id ORDER BY cos DESC, src_id) rr FROM kg_topk), " +
+        "nd_und AS (SELECT DISTINCT u, nb, cos FROM (" +
+        "SELECT src_id u, dst_id nb, cos FROM kg_topk " +
+        "UNION ALL SELECT u, nb, cos FROM nd_rev WHERE rr <= 5)), " +
+        "nd_cand AS (SELECT DISTINCT l.u a_id, r.nb b_id FROM nd_und l " +
+        "JOIN nd_und r ON l.nb = r.u WHERE l.u < r.nb), " +
+        "nd_sc AS (SELECT a_id, b_id, floor(list_cosine_similarity(" +
+        "(SELECT e FROM v WHERE v.vec_id = nd_cand.a_id), " +
+        "(SELECT e FROM v WHERE v.vec_id = nd_cand.b_id)) * 10000) / 10000 cos " +
+        "FROM nd_cand), " +
+        "nd_dir AS (SELECT DISTINCT src_id, dst_id, cos FROM (" +
+        "SELECT a_id src_id, b_id dst_id, cos FROM nd_sc " +
+        "UNION ALL SELECT b_id, a_id, cos FROM nd_sc " +
+        "UNION ALL SELECT src_id, dst_id, cos FROM kg_topk)), " +
+        "nd_rk AS (SELECT src_id, dst_id, cos, row_number() OVER " +
+        "(PARTITION BY src_id ORDER BY cos DESC, dst_id)::BIGINT rnk " +
+        "FROM nd_dir QUALIFY rnk <= 5) " +
+        "SELECT f.src_id, f.dst_id, f.cos, f.rnk, " +
+        "(b.src_id IS NULL) AS added FROM nd_rk f LEFT JOIN kg_topk b " +
+        "ON f.src_id = b.src_id AND f.dst_id = b.dst_id"),
     "q_sim_mmr" -> mmrOracle,
     "q_ndcg" ->
       (s"WITH $vCte, $qsCte, $exactCtes, " +

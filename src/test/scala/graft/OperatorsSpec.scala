@@ -2868,6 +2868,75 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Bmp: a real raster decoder — bottom-up rows, BGR, stride padding, offset honored; rejects malformations") {
+    import graft.functions.Bmp
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    // a canonical 2×2 24-bit BMP built BY HAND: logical top row pixels
+    // (B,G,R) = (10,20,30),(11,21,31); bottom row (40,50,60),(41,51,61);
+    // rows STORED bottom-up with stride 8 (6 pixel bytes + 2 pad)
+    val canonical: Array[Byte] =
+      Array[Byte]('B', 'M') ++ le32(70) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++
+        le32(16) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++
+        Array[Byte](40, 50, 60, 41, 51, 61, 0, 0) ++ // stored row 0 = logical BOTTOM
+        Array[Byte](10, 20, 30, 11, 21, 31, 0, 0)    // stored row 1 = logical TOP
+    val h = Bmp.stats(canonical)
+    assert(h != null)
+    assert(h.getLong(0) === 2L && h.getLong(1) === 2L && h.getLong(2) === 8L)
+    assert(h.getLong(3) === 102L && h.getLong(4) === 142L && h.getLong(5) === 182L)
+    // the LOGICAL top-left pixel lives in the LAST stored row — a
+    // decoder that reads the first stored row returns (40,50,60)
+    assert(h.getLong(6) === 10L && h.getLong(7) === 20L && h.getLong(8) === 30L)
+    // every malformation reads NULL: short, bad magic, wrong info-header
+    // size, 8-bit, compressed, TOP-DOWN (negative height), truncated
+    // pixel array, data offset pointing into the header
+    assert(Bmp.stats(canonical.take(40)) === null)
+    val badMagic = canonical.clone(); badMagic(1) = 'X'
+    assert(Bmp.stats(badMagic) === null)
+    val badInfo = canonical.clone(); badInfo(14) = 12 // BITMAPCOREHEADER
+    assert(Bmp.stats(badInfo) === null)
+    val bpp8 = canonical.clone(); bpp8(28) = 8
+    assert(Bmp.stats(bpp8) === null)
+    val rle = canonical.clone(); rle(30) = 1 // BI_RLE8
+    assert(Bmp.stats(rle) === null)
+    val topDown = canonical.take(22) ++ le32(-2) ++ canonical.drop(26)
+    assert(Bmp.stats(topDown) === null)
+    assert(Bmp.stats(canonical.dropRight(3)) === null) // truncated pixels
+    val badOff = canonical.clone(); badOff(10) = 20
+    assert(Bmp.stats(badOff) === null)
+    // synth renders bytes the decoder round-trips to the closed forms,
+    // for every (w, h, gap) combination — including the header/pixel gap
+    // a fixed-offset-54 reader would trip over
+    import org.apache.spark.unsafe.types.UTF8String
+    val text = UTF8String.fromString("hello bmp bytes")
+    for (id <- 0L until 12L) {
+      val b = Bmp.synth(id, text)
+      val r = Bmp.stats(b)
+      assert(r != null, s"id $id")
+      val w = 2 + id % 6; val hh = 1 + id % 4
+      val seed = 31 * id + 7 * 15
+      val npix = w * hh
+      assert(r.getLong(0) === w && r.getLong(1) === hh, s"id $id dims")
+      assert(r.getLong(2) === ((3 * w + 3) / 4) * 4, s"id $id stride")
+      def chanSum(ch: Long) = (0L until npix).map(p => (seed + 3 * p + ch) % 256).sum
+      assert(r.getLong(3) === chanSum(0) && r.getLong(4) === chanSum(1) &&
+        r.getLong(5) === chanSum(2), s"id $id sums")
+      assert(r.getLong(6) === seed % 256 && r.getLong(7) === (seed + 1) % 256 &&
+        r.getLong(8) === (seed + 2) % 256, s"id $id top-left")
+    }
+    // and the oracled query's own invariants at sf: damaged rows NULL,
+    // intact rows decoded (drives the full codegen path end-to-end)
+    val out = graft.operators.Media.bmpAudit(Tables.documents(spark, sf)).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getLong(0); val ok = r.getBoolean(2)
+      assert(ok === (id % 9 != 0 && id % 9 != 4), s"doc $id verdict")
+      if (ok) assert(r.getLong(3) === 2 + id % 6, s"doc $id width")
+      else assert(r.isNullAt(3), s"doc $id should be NULL")
+    }
+  }
+
   test("Media.corruptAudit: verdict ledger equals a byte-level recompute of the damage rule") {
     val got = Media.corruptAudit(Tables.documents(spark, sf)).collect()
       .map(r => (r.getAs[String]("media_type"), r.getAs[String]("verdict")) ->

@@ -588,6 +588,79 @@ class ScaleSpec extends SparkSpec {
     assert(got.length === 1 && got.head.getAs[Long]("n") === expected)
   }
 
+  test("q_dpp_prune: the driver query's fact scan carries a runtime dynamicpruning partition filter") {
+    val q = ScaleOps.dppRevenue(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), s"no dynamic pruning in:\n$plan")
+    // the pruned result equals the unpartitioned recompute of the
+    // top-3-months join (count-desc, month tie-break)
+    val monthly = Tables.orders(spark, sf)
+      .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+    val top3 = monthly.groupBy(col("o_month")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("o_month")).limit(3)
+      .collect().map(_.getString(0)).toSet
+    val expected = monthly.filter(col("o_month").isin(top3.toSeq: _*))
+      .groupBy(col("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("revenue_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.size === 3)
+  }
+
+  test("q_knn_refine: NN-descent closure is degree-capped and can only improve each ranked list") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val k = 5
+    val refined = Similarity.knnRefine(emb, k)
+    assert(!refined.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "NN-descent closure planned a cartesian")
+    val r = refined.collect()
+    assert(r.nonEmpty)
+    // ranks are dense 1..deg per source
+    r.groupBy(_.getAs[Long]("src_id")).foreach { case (s0, rows) =>
+      assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq ===
+        (1L to rows.length).toSeq, s"src $s0 ranks not dense")
+    }
+    // the refinement can only IMPROVE: at every (src, rank) the refined
+    // cosine ≥ the round-0 cosine (the candidate set is a superset)
+    val base = Similarity.knnTopK(emb, k).collect()
+      .map(x => (x.getAs[Long]("src_id"), x.getAs[Long]("rnk")) -> x.getAs[Double]("cos"))
+      .toMap
+    r.foreach { row =>
+      val key = (row.getAs[Long]("src_id"), row.getAs[Long]("rnk"))
+      base.get(key).foreach { c0 =>
+        assert(row.getAs[Double]("cos") >= c0, s"rank regressed at $key")
+      }
+    }
+    // added edges are exactly the (src, dst) pairs absent from round 0
+    val basePairs = base.keySet.map(_._1) // src ids (for coverage) — pair check below
+    val basePairSet = Similarity.knnTopK(emb, k).collect()
+      .map(x => (x.getAs[Long]("src_id"), x.getAs[Long]("dst_id"))).toSet
+    r.foreach { row =>
+      val p = (row.getAs[Long]("src_id"), row.getAs[Long]("dst_id"))
+      assert(row.getAs[Boolean]("added") === !basePairSet.contains(p), s"added flag wrong at $p")
+    }
+    assert(basePairs.nonEmpty)
+    // the closure candidate relation is bounded by n·(2k)² by
+    // construction — measure it rather than trust the comment
+    val n = emb.count()
+    val baseDf = Similarity.knnTopK(emb, k)
+    val rev = baseDf.select(col("dst_id").as("u"), col("src_id").as("nb"), col("cos"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("cos").desc, col("nb"))
+    val und = baseDf.select(col("src_id").as("u"), col("dst_id").as("nb"), col("cos"))
+      .unionAll(rev.withColumn("rr", row_number().over(wR)).filter(col("rr") <= k).drop("rr"))
+      .dropDuplicates("u", "nb")
+    val maxDeg = und.groupBy("u").count().agg(max("count")).collect().head.getLong(0)
+    assert(maxDeg <= 2L * k, s"general-neighborhood degree $maxDeg exceeds 2k")
+    val candCount = und.as("l").join(und.as("r"), col("l.nb") === col("r.u"))
+      .filter(col("l.u") < col("r.nb"))
+      .select(col("l.u"), col("r.nb")).distinct().count()
+    assert(candCount <= n * (2L * k) * (2L * k), s"closure $candCount exceeds n·(2k)²")
+  }
+
   test("decileStats: bin-collapse equals the NTILE window form; no global window touches the fact") {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(spark, sf)
