@@ -143,12 +143,76 @@ object ScaleOps {
       })
     val fact = spark.read.parquet(s"$wh/orders_pt")
     val dim = spark.read.parquet(s"$wh/month_dim").filter(col("rnk") <= 3)
-    fact.join(broadcast(dim), Seq("o_month"))
+    // no forced broadcast: the ≤ #months-row dim auto-broadcasts by
+    // size, which is all reuseBroadcastOnly DPP needs — and a forced
+    // hint on a materialized relation would assert a bound the plan
+    // can't prove (the board-wide broadcast-hint sweep rejects it)
+    fact.join(dim, Seq("o_month"))
       .groupBy(col("o_month"))
       .agg(count(lit(1)).as("n_orders"),
         sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("revenue_cents"))
       .select(col("o_month"), col("n_orders"), col("revenue_cents"))
   }
+
+  /** Runs `body` with the session confs that make Catalyst's runtime
+    * Bloom-filter injection observable at test scale, restoring every
+    * touched conf after. The three pins model the 100 TB posture the
+    * rule was built for: the dim is too big to broadcast
+    * (`autoBroadcastJoinThreshold=-1` — at 100 TB a full `part`
+    * dimension is), the fact scan is always worth reducing
+    * (`applicationSideScanSizeThreshold=0` — a 100 TB fact always
+    * clears the default 10 GB bar that test-scale parquet never
+    * would), and the filtered dim side stays under the creation bound
+    * (default). Injection happens when the OPTIMIZER runs, i.e. at
+    * action time — which is why [[bloomRevenue]] executes eagerly
+    * inside this window rather than returning a lazy plan that would
+    * optimize after the confs are restored. */
+  private[graft] def withBloomConfs[T](spark: SparkSession)(body: => T): T = {
+    val pins = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = pins.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pins.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  /** The lazy join [[bloomRevenue]] executes: brand-filtered `part`
+    * (1/25 of the dim) against the `lineitem` fact on partkey, rolled
+    * up to per-type exact-cent revenue. Factored out so ScaleSpec can
+    * pin the executed plan inside the conf window. */
+  private[graft] def bloomJoinLazy(spark: SparkSession, dir: String,
+      brand: String = "Brand#17"): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).filter(col("p_brand") === brand),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+          .as("revenue_cents"))
+
+  /** Runtime Bloom-filter join pruning under the correctness gate —
+    * the SEMI-JOIN-REDUCTION sibling of [[dppRevenue]]: the selective
+    * `p_brand` predicate lives on the dim side, the fact is NOT
+    * partitioned by the join key (so DPP has nothing to prune), and
+    * the dim is not broadcastable at the modeled scale — the worst
+    * case for a 100 TB star join, where the naive plan shuffles the
+    * ENTIRE fact table to probe a dim that discards 96% of it.
+    * Catalyst's `InjectRuntimeFilter` rule closes it: a Bloom filter
+    * built over the filtered dim's join keys is pushed into the fact
+    * side as a `might_contain` predicate BELOW the fact's shuffle, so
+    * ~24/25ths of the fact rows never enter the exchange. ScaleSpec
+    * pins the injected filter in the executed plan; the gate pins that
+    * pruning never changes a row (Bloom false positives are caught by
+    * the join itself — the filter is a pure shuffle-volume reducer).
+    * Executes eagerly inside [[withBloomConfs]] because injection is
+    * an optimizer-time decision (see there). */
+  def bloomRevenue(spark: SparkSession, dir: String): DataFrame =
+    withBloomConfs(spark) {
+      bloomJoinLazy(spark, dir).localCheckpoint(true)
+    }
 
   /** 16-bit × 16-bit Morton (z-order) interleave. Wired to the native
     * magic-mask expression ([[graft.functions.NativeZOrder]]) —
@@ -599,7 +663,8 @@ object ScaleOps {
     "q_incr_join" -> ((s, d) => incrJoin(s, d)),
     "q_cap_audit" -> ((s, d) => capAudit(Tables.events(s, d), Tables.documents(s, d))),
     "q_bucketed_join" -> ((s, d) => bucketedRevenue(s, d)),
-    "q_dpp_prune" -> ((s, d) => dppRevenue(s, d)))
+    "q_dpp_prune" -> ((s, d) => dppRevenue(s, d)),
+    "q_bloom_prune" -> ((s, d) => bloomRevenue(s, d)))
 
   /** The z-interleave as SQL, generated from the same bit positions the
     * Column form uses — one expression, two dialect renderings. */
@@ -695,6 +760,11 @@ object ScaleOps {
       ("SELECT c_mktsegment, count(*) AS n_orders, " +
         "sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS revenue_cents " +
         "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1"),
+    "q_bloom_prune" ->
+      ("SELECT p_type, count(*) AS n_items, " +
+        "sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT AS revenue_cents " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_brand = 'Brand#17' GROUP BY 1"),
     "q_dpp_prune" ->
       ("WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') om, count(*)::BIGINT n " +
         "FROM orders GROUP BY 1), " +

@@ -52,6 +52,16 @@ object Similarity {
   val KnnBands = 8
   val KnnRowsPerBand = 8
 
+  /** Random-projection-tree geometry ([[rptTopK]]): `RptTrees`
+    * independent trees of depth `RptDepth` (8 leaves each), split at
+    * the SAMPLED-median projection (every `RptSampleMod`-th vector by
+    * id hash — the Dasgupta–Freund construction, which is what keeps
+    * the build distributable: thresholds come from a bounded sample
+    * relation and broadcast, so no corpus-wide sort ever runs). */
+  val RptTrees = 2
+  val RptDepth = 3
+  val RptSampleMod = 8L
+
   /** The driver-wired query-vector ids (mirrored in the oracle SQL). */
   val DefaultQueryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L, 4L)
   private val idsSql = DefaultQueryIds.mkString("(", ",", ")")
@@ -60,7 +70,8 @@ object Similarity {
     * int → value in [-1, 1] with 3 decimals. */
   lazy val hyperplanes: Array[Array[Double]] = {
     val mdi = java.security.MessageDigest.getInstance("MD5")
-    val pool = math.max(NumPlanes, KnnBands * KnnRowsPerBand)
+    val pool = math.max(NumPlanes, KnnBands * KnnRowsPerBand) +
+      RptTrees * RptDepth // fresh planes for the RP-tree levels
     Array.tabulate(pool, Dim) { (h, d) =>
       val hex = mdi.digest(s"$h,$d".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString.take(15)
@@ -1315,6 +1326,85 @@ object Similarity {
       col("cos"), col("rnk"))
   }
 
+  /** Plane index for RP-tree `(tree, level)` — past the kNN chain's
+    * 64 so the tree geometry shares no plane with any banding op. */
+  private def rptPlane(tree: Int, level: Int): Int =
+    KnnBands * KnnRowsPerBand + tree * RptDepth + level
+
+  /** Leaf assignment of every vector in `RptTrees` random-projection
+    * trees: at each level, project onto the level's deterministic
+    * hyperplane and split at the SAMPLED median projection — the
+    * standard RP-tree construction (Dasgupta & Freund, STOC'08), whose
+    * selling point over IVF lists and LSH buckets is BALANCE: median
+    * splits halve every node, so no leaf degenerates into a scan-
+    * everything bucket (q_ivf_stats exists precisely because k-means
+    * lists skew; tree leaves can't, which the spec pins).
+    *
+    * Scale shape per level: one codegen'd projection pass, a
+    * threshold relation computed from the ~n/[[RptSampleMod]] sample
+    * (the ONLY windowed sort, bounded by the sample — production
+    * sizes the mod so the sample is ~thousands of rows per tree), and
+    * one broadcast join applying ≤ 2^level thresholds. No corpus-wide
+    * sort, no shuffle of the vectors themselves — the embeddings are
+    * touched `RptTrees`·`RptDepth` times, all map-side. Ties at the
+    * threshold break on (projection, vec_id) lexicographically, so
+    * assignment is exact in both engines (the same double-ordering
+    * contract the sign-band oracles already rely on); an empty sample
+    * node routes everything left — deterministic, and only reachable
+    * at toy scale. */
+  private[graft] def rpTreeLeaves(emb: DataFrame): DataFrame =
+    (0 until RptTrees).map { t =>
+      var cur = withEmbD(emb).withColumn("pfx", lit(0L))
+      for (level <- 0 until RptDepth) {
+        val projd = cur.withColumn("proj",
+          NativeVector.dot(col("e"), planeLit(rptPlane(t, level))))
+        val samp = projd.filter(pmod(graft.functions.TextHash.hash60(
+          concat(lit("rpt|"), col("vec_id").cast("string"))), lit(RptSampleMod)) === 0)
+        val byProj = Window.partitionBy(col("pfx"))
+          .orderBy(col("proj"), col("vec_id"))
+        val th = samp
+          .withColumn("rn", row_number().over(byProj))
+          .withColumn("ns", count(lit(1)).over(Window.partitionBy(col("pfx"))))
+          .filter(col("rn") * 2 === col("ns") + pmod(col("ns"), lit(2))) // rn = ceil(ns/2)
+          .select(col("pfx"), col("proj").as("tp"), col("vec_id").as("tv"))
+        cur = projd.join(broadcast(th), Seq("pfx"), "left")
+          .withColumn("b",
+            when(col("tp").isNull, lit(0L))
+              .when(col("proj") > col("tp") ||
+                (col("proj") === col("tp") && col("vec_id") > col("tv")), lit(1L))
+              .otherwise(lit(0L)))
+          .select(col("vec_id"), col("e"), (col("pfx") * 2 + col("b")).as("pfx"))
+      }
+      cur.select(col("vec_id"), lit(t.toLong).as("tree"), col("pfx").as("leaf"))
+    }.reduce(_ unionByName _)
+
+  /** RP-tree ANN top-k: candidates are the vectors sharing a leaf with
+    * the query in ANY of the [[RptTrees]] trees, exact-cosine-refined
+    * and ranked by the shared [[topKByCos]] tail. The third candidate-
+    * generation geometry next to LSH bands (hash buckets — unbalanced)
+    * and IVF lists (k-means cells — skewed): per-query candidate work
+    * is ≤ trees · max-leaf ≈ trees · n/2^depth BY CONSTRUCTION, a
+    * bound neither of the others can promise. Probe is an equi-join on
+    * (tree, leaf) with the ≤ |queries|·trees-row query side broadcast
+    * — build on the capped side, never the corpus (the IVF orientation
+    * pin applies here too). */
+  def rptTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    val leaves = rpTreeLeaves(emb)
+      .localCheckpoint(true) // consumed by both probe sides; ≤ trees·n id rows
+    val q = leaves.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("tree"), col("leaf"))
+    val candIds = leaves.join(broadcast(q), Seq("tree", "leaf"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+    val v = withEmbD(emb)
+    val qe = v.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    topKByCos(candIds.join(v, "vec_id").join(broadcast(qe), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        trunc4(NativeVector.cosine(col("qe"), col("e"))).as("cos")), k)
+      .select(col("q_id"), col("vec_id"), col("cos"), col("rnk"))
+  }
+
   /** Label-centroid similarity matrix: pairwise cosine between the
     * per-label embedding centroids — the distribution-drift / class-
     * separation readout an embedding pipeline monitors (labels close
@@ -2035,6 +2125,7 @@ object Similarity {
     "q_sim_topk_ann" -> ((s, d) => annTopK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_topk_ann_mp" -> ((s, d) => annTopKMultiProbe(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_topk_ivf" -> ((s, d) => ivfTopK(Tables.embeddings(s, d), DefaultQueryIds)),
+    "q_sim_topk_rpt" -> ((s, d) => rptTopK(Tables.embeddings(s, d), DefaultQueryIds)),
     "q_sim_neardup" -> ((s, d) => nearDupPairs(Tables.embeddings(s, d))),
     "q_knn_graph" -> ((s, d) => knnGraph(Tables.embeddings(s, d))),
     "q_knn_refine" -> ((s, d) => knnRefine(Tables.embeddings(s, d))),
@@ -2150,6 +2241,45 @@ object Similarity {
   private def rankedSql(name: String, from: String): String =
     s"$name AS (SELECT q_id, vec_id, cos, row_number() OVER " +
       s"(PARTITION BY q_id ORDER BY cos DESC, vec_id) rnk FROM $from)"
+
+  /** RP-tree chain → rp_ranked. Requires v. Mirrors [[rpTreeLeaves]]
+    * level by level — sample, per-node ceil-median threshold row,
+    * lexicographic (proj, vec_id) split — then the leaf equi-join and
+    * the shared exact-refine/rank tail. */
+  private lazy val rptCtes: String = {
+    val sampPred =
+      s"('0x' || substr(md5('rpt|' || vec_id), 1, 15))::BIGINT % $RptSampleMod = 0"
+    val perTree = (0 until RptTrees).map { t =>
+      (0 until RptDepth).map { lvl =>
+        val src = if (lvl == 0) "v" else s"rp_a${t}_${lvl - 1}"
+        val pfx0 = if (lvl == 0) "0::BIGINT" else "pfx"
+        s"rp_t${t}_$lvl AS (SELECT vec_id, e, $pfx0 AS pfx, " +
+          s"list_dot_product(e, ${planeSql(rptPlane(t, lvl))}) AS proj FROM $src), " +
+          s"rp_h${t}_$lvl AS (SELECT pfx, proj AS tp, vec_id AS tv FROM " +
+          "(SELECT pfx, proj, vec_id, row_number() OVER " +
+          "(PARTITION BY pfx ORDER BY proj, vec_id) rn, " +
+          s"count(*) OVER (PARTITION BY pfx) ns FROM rp_t${t}_$lvl WHERE $sampPred) " +
+          "WHERE rn * 2 = ns + ns % 2), " +
+          s"rp_a${t}_$lvl AS (SELECT x.vec_id, x.e, x.pfx * 2 + " +
+          "CASE WHEN h.tp IS NULL THEN 0 " +
+          "WHEN x.proj > h.tp OR (x.proj = h.tp AND x.vec_id > h.tv) THEN 1 " +
+          s"ELSE 0 END AS pfx FROM rp_t${t}_$lvl x " +
+          s"LEFT JOIN rp_h${t}_$lvl h ON x.pfx = h.pfx)"
+      }.mkString(", ")
+    }.mkString(", ")
+    val leaves = (0 until RptTrees).map(t =>
+      s"SELECT vec_id, $t::BIGINT AS tree, pfx AS leaf FROM rp_a${t}_${RptDepth - 1}")
+      .mkString(" UNION ALL ")
+    perTree + ", rp_leaves AS (" + leaves + "), " +
+      s"rp_q AS (SELECT vec_id q_id, tree, leaf FROM rp_leaves WHERE vec_id IN $idsSql), " +
+      "rp_cand AS (SELECT DISTINCT q.q_id, c.vec_id FROM rp_leaves c JOIN rp_q q " +
+      "ON c.tree = q.tree AND c.leaf = q.leaf WHERE c.vec_id <> q.q_id), " +
+      "rp_scored AS (SELECT q_id, vec_id, floor(list_cosine_similarity(" +
+      "(SELECT e FROM v WHERE v.vec_id = rp_cand.q_id), " +
+      "(SELECT e FROM v WHERE v.vec_id = rp_cand.vec_id)) * 10000) / 10000 cos " +
+      "FROM rp_cand), " +
+      rankedSql("rp_ranked", "rp_scored")
+  }
 
   /** exact top-k chain → ex_ranked. Requires v, qs. */
   private val exactCtes =
@@ -2432,6 +2562,8 @@ object Similarity {
       (s"WITH $vCte, $bitsBandsCte, $annCtes, $annMpCtes" + topkSelect("amp_ranked")),
     "q_sim_topk_ivf" ->
       (s"WITH $vCte, $qsCte, $ivfCtes" + topkSelect("iv_ranked")),
+    "q_sim_topk_rpt" ->
+      (s"WITH $vCte, $rptCtes" + topkSelect("rp_ranked")),
     "q_vec_quantize" ->
       ("WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings), " +
         "d AS (SELECT vec_id, unnest(e) x FROM v), " +

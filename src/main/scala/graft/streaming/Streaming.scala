@@ -65,6 +65,18 @@ final case class TypeAgg(n: Long, cents: Long)
 final case class LedgerRowTws(user_id: Long, event_type: String, n: Long,
   cents: Long)
 
+/** [[Streaming.streamKmv]] state: the k smallest distinct 60-bit user
+  * hashes seen for an event type — a bottom-k (KMV) distinct sketch.
+  * Bounded at k longs per key BY CONSTRUCTION, which is the whole
+  * point: distinct-user state that never grows with distinct users. */
+final case class KmvState(hs: Array[Long], lastSeenMs: Long)
+
+/** One [[Streaming.streamKmv]] row per event type, emitted exactly once
+  * when the watermark passes the type's last event: the sketch size,
+  * and the k-th minimum hash when the sketch filled (None ⇒ the sketch
+  * holds EVERY distinct hash and the count is exact). */
+final case class KmvRow(event_type: String, n_min: Long, kth_hash: Option[Long])
+
 /** One (event_type → history totals) entry of a user's pre-cutoff
   * batch ledger, carried into [[Streaming.streamLedgerInit]]'s initial
   * state (sorted array, so the seed is deterministic). */
@@ -1693,6 +1705,94 @@ object Streaming {
     }
   }
 
+  /** Streaming KMV distinct-user sketch — the ONLINE half of
+    * [[graft.operators.Sketches.kmvDistinct]], and the streaming
+    * family's SUBLINEAR-STATE entry: per event type, the k smallest
+    * distinct 60-bit user hashes are maintained as `transformWithState`
+    * state, so the state is O(k) longs per key where
+    * [[streamUniqueUsers]]' dropDuplicates path keeps one state row per
+    * distinct (type, user, hour) — at 100 TB the difference between a
+    * 64-long sketch and a state store the size of the user base.
+    * Bottom-k is a MERGEABLE summary (min of mins), so per-batch merge
+    * order cannot change the final sketch and the replay is exact.
+    *
+    * The hash rides the plan BEFORE the shuffle
+    * ([[graft.functions.TextHash.hash60]] — the native codegen'd md5
+    * digest, oracle-portable); the processor only merges longs. One
+    * verdict per type on the watermark timer ([[streamLedgerTws]]'s
+    * emission discipline); the estimate is computed on the read-back
+    * with the SAME `(k−1)·2^60 / kth` expression the batch sketch uses,
+    * exact-count branch when the sketch never filled. Sentinel keys
+    * flow through (the watermark lesson) and drop at read-back. */
+  def streamKmv(spark: SparkSession, dir: String,
+      watermarkMin: Long = 10L, k: Int = 64): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor,
+      TimeMode, TimerValues, TTLConfig}
+    val num = (k - 1).toDouble * (1L << 60).toDouble
+    withRocksDb(spark) {
+      replay(spark, dir, in => in
+        .select(col("timestamp"), col("event_type"),
+          graft.functions.TextHash.hash60(col("user_id").cast("string")).as("h"))
+        .withWatermark("timestamp", s"$watermarkMin minutes")
+        .as[(java.sql.Timestamp, String, Long)]
+        .groupByKey(_._2)
+        .transformWithState(
+          new StatefulProcessor[String, (java.sql.Timestamp, String, Long), KmvRow] {
+            @transient private var st: org.apache.spark.sql.streaming.ValueState[KmvState] = _
+            @transient private var tmr: org.apache.spark.sql.streaming.ValueState[Long] = _
+            override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+              st = getHandle.getValueState[KmvState]("kmv",
+                org.apache.spark.sql.Encoders.product[KmvState], TTLConfig.NONE)
+              tmr = getHandle.getValueState[Long]("tmr",
+                org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+            }
+            override def handleInputRows(typ: String,
+                rows: Iterator[(java.sql.Timestamp, String, Long)],
+                timerValues: TimerValues): Iterator[KmvRow] = {
+              var hi = Long.MinValue
+              val batch = scala.collection.mutable.ArrayBuffer.empty[Long]
+              rows.foreach { case (ts, _, h) =>
+                batch += h; hi = math.max(hi, ts.getTime)
+              }
+              val cur = if (st.exists()) st.get() else KmvState(Array.empty, Long.MinValue)
+              // bottom-k merge: distinct ∪ state, k smallest survive —
+              // O((k + batch)·log) per key per batch, state stays ≤ k
+              val merged = (cur.hs ++ batch).distinct.sorted.take(k)
+              st.update(KmvState(merged, math.max(cur.lastSeenMs, hi)))
+              if (hi != Long.MinValue) {
+                val prev = if (tmr.exists()) tmr.get() else Long.MinValue
+                val next = math.max(prev, hi + 1L)
+                if (next != prev) {
+                  if (prev != Long.MinValue) getHandle.deleteTimer(prev)
+                  getHandle.registerTimer(next)
+                  tmr.update(next)
+                }
+              }
+              Iterator.empty
+            }
+            override def handleExpiredTimer(typ: String, timerValues: TimerValues,
+                expiredTimerInfo: ExpiredTimerInfo): Iterator[KmvRow] = {
+              val out =
+                if (st.exists()) {
+                  val hs = st.get().hs
+                  Iterator.single(KmvRow(typ, hs.length.toLong,
+                    if (hs.length == k) Some(hs.last) else None))
+                } else Iterator.empty
+              st.clear(); tmr.clear()
+              out
+            }
+          },
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF())
+        .filter(col("event_type") =!= "__sentinel__")
+        .select(col("event_type"), col("n_min"), col("kth_hash"),
+          when(col("n_min") === k,
+            graft.functions.Portable.trunc4(lit(num) / col("kth_hash")))
+            .otherwise(col("n_min").cast("double")).as("est"))
+    }
+  }
+
   /** The batch AML structuring rule (`q_aml_structuring`) as a LIVE
     * streaming detector: sub-threshold band filter → per (user, day
     * window) count/sum → flag when both trip. Same thresholds, same
@@ -2199,6 +2299,7 @@ object Streaming {
     "q_stream_ohlc" -> ((s, d) => streamOhlc(s, d)),
     "q_stream_topk" -> ((s, d) => streamTopK(s, d)),
     "q_stream_unique" -> ((s, d) => streamUniqueUsers(s, d)),
+    "q_stream_kmv" -> ((s, d) => streamKmv(s, d)),
     "q_stream_rate_limit" -> ((s, d) => streamRateLimit(s, d)),
     "q_stream_funnel" -> ((s, d) => streamFunnel(s, d)),
     "q_stream_funnel_tws" -> ((s, d) => streamFunnelTws(s, d)),
@@ -2323,6 +2424,17 @@ object Streaming {
     "q_stream_unique" ->
       ("SELECT (epoch_ms(ts) // 3600000) * 3600000 AS h_ms, event_type, " +
         "count(DISTINCT user_id) AS n_unique_users FROM events GROUP BY 1, 2"),
+    "q_stream_kmv" ->
+      ("WITH h AS (SELECT DISTINCT event_type, " +
+        "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h FROM events), " +
+        "r AS (SELECT event_type, h, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY h) AS rn, " +
+        "count(*) OVER (PARTITION BY event_type) AS nd FROM h) " +
+        "SELECT event_type, LEAST(nd, 64)::BIGINT AS n_min, " +
+        "CASE WHEN nd >= 64 THEN h END AS kth_hash, " +
+        s"CASE WHEN nd >= 64 THEN floor(${63.0 * (1L << 60).toDouble}::DOUBLE / h * 10000) / 10000 " +
+        "ELSE nd::DOUBLE END AS est " +
+        "FROM r WHERE rn = CASE WHEN nd >= 64 THEN 64 ELSE nd END"),
     "q_stream_replay" -> tumblingOracle,
     "q_stream_dp" ->
       ("WITH sdh AS (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_start_ms, " +

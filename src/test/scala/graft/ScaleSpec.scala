@@ -609,6 +609,64 @@ class ScaleSpec extends SparkSpec {
     assert(got.size === 3)
   }
 
+  test("q_bloom_prune: the fact side carries an injected might_contain below its exchange; pruning changes no row") {
+    // Inside the conf window (dim unbroadcastable, fact always worth
+    // reducing — the 100 TB posture withBloomConfs models), Catalyst's
+    // InjectRuntimeFilter must put a Bloom probe on the FACT side of
+    // the join: bloom_filter_agg over the filtered dim's keys feeding a
+    // might_contain predicate under the lineitem exchange.
+    graft.operators.ScaleOps.withBloomConfs(spark) {
+      val lazyQ = graft.operators.ScaleOps.bloomJoinLazy(spark, sf)
+      val plan = lazyQ.queryExecution.executedPlan.toString.toLowerCase
+      assert(plan.contains("might_contain"), s"no injected bloom probe in:\n$plan")
+      assert(plan.contains("bloom_filter_agg"), s"no bloom build side in:\n$plan")
+      // the probe sits on the lineitem branch BEFORE its exchange: the
+      // scan-side filter subtree mentioning might_contain must also
+      // mention the fact's join key, not the dim's
+      val probeLine = plan.linesIterator.find(_.contains("might_contain")).get
+      assert(probeLine.contains("l_partkey"), s"bloom probe not on the fact side: $probeLine")
+    }
+    // correctness: the eagerly-executed driver query equals the plain
+    // unpinned join — the Bloom filter is a pure shuffle-volume
+    // reducer, never a row-dropper (false positives rejoin to nothing)
+    val got = graft.operators.ScaleOps.bloomRevenue(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = graft.operators.ScaleOps.bloomJoinLazy(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q_sim_topk_rpt: tree leaves are near-balanced (the bound IVF lists can't promise); probe plans no cartesian") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val leaves = Similarity.rpTreeLeaves(emb)
+    // every vector lands in exactly one leaf per tree
+    assert(leaves.count() === n * Similarity.RptTrees)
+    val sizes = leaves.groupBy(col("tree"), col("leaf"))
+      .agg(count(lit(1)).as("sz")).collect()
+    val nLeaves = 1 << Similarity.RptDepth
+    sizes.groupBy(_.getLong(0)).foreach { case (t, rows) =>
+      assert(rows.length <= nLeaves, s"tree $t has ${rows.length} leaves")
+      // sampled-median splits keep every leaf within a small factor of
+      // the perfect n/2^depth — the balance guarantee that makes
+      // candidate work ≤ trees · maxLeaf by construction
+      val maxSz = rows.map(_.getLong(2)).max
+      assert(maxSz <= math.max(4L, (3L * n) / nLeaves),
+        s"tree $t max leaf $maxSz vs n=$n — splits not balancing")
+    }
+    val q = Similarity.rptTopK(emb, Similarity.DefaultQueryIds)
+    assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "RP-tree probe planned a cartesian")
+    val r = q.collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[Long]("q_id")).foreach { case (qid, rows) =>
+      assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq ===
+        (1L to rows.length).toSeq, s"query $qid ranks not dense")
+    }
+  }
+
   test("q_knn_refine: NN-descent closure is degree-capped and can only improve each ranked list") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, sf)

@@ -818,6 +818,64 @@ class StreamingSpec extends SparkSpec {
       s"peak state ${peaks.max} rows vs $nPairs (user,type) pairs — state not O(users×types)")
   }
 
+  test("streamKmv: bottom-k sketch equals the batch KMV per type; state O(k) per key, NOT O(distinct users); provider restored") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextHash.hash60
+    val k = 64
+    val peaks = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val ops = e.progress.stateOperators
+        if (ops != null && ops.nonEmpty) peaks += ops.map(_.numRowsTotal).sum
+        ()
+      }
+    }
+    spark.streams.addListener(l)
+    val priorProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val got = try Streaming.streamKmv(spark, sf)
+      finally spark.streams.removeListener(l)
+    // batch recompute of the same sketch: per type, the k smallest
+    // distinct hashes; kth defined ⟺ the sketch filled
+    val h = Tables.events(spark, sf)
+      .select(col("event_type"), hash60(col("user_id").cast("string")).as("h"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"))
+    val ranked = h.withColumn("rn", row_number().over(w))
+      .withColumn("nd", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))))
+    val batch = ranked
+      .filter(col("rn") === least(col("nd"), lit(k)))
+      .select(col("event_type"),
+        least(col("nd"), lit(k)).cast("long").as("n_min"),
+        when(col("nd") >= k, col("h")).as("kth_hash"),
+        when(col("nd") >= k, graft.functions.Portable.trunc4(
+          lit((k - 1).toDouble * (1L << 60).toDouble) / col("h")))
+          .otherwise(least(col("nd"), lit(k)).cast("double")).as("est"))
+    assert(got.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(got).count() === 0)
+    assert(got.count() > 0)
+    assert(spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      === priorProvider)
+    // THE sketch claim: peak state rows are keyed per event type (one
+    // sketch + one timer bookkeeping value per live key, each ≤ k longs
+    // INSIDE its row) — nothing scales with distinct users, which is
+    // what separates this from the dropDuplicates path
+    val nTypes = Tables.events(spark, sf)
+      .select(col("event_type")).distinct().count()
+    val nUsers = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(peaks.nonEmpty, "listener saw no stateful progress")
+    assert(peaks.max <= 3 * (nTypes + 2),
+      s"peak state ${peaks.max} rows vs $nTypes types — state not O(types)")
+    assert(nUsers > nTypes,
+      "corpus degenerate: the sublinear-state claim needs users ≫ types")
+  }
+
   test("streamLedgerInit: warm-started ledger equals the full-corpus totals; the batch/stream seam is invisible") {
     import org.apache.spark.sql.functions._
     val got = Streaming.streamLedgerInit(spark, sf)
