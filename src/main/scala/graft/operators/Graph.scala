@@ -292,6 +292,132 @@ object Graph {
     result
   }
 
+  /** Maximum-strength spanning forest of the merchant co-visit graph
+    * via distributed Borůvka — the backbone-extraction operator every
+    * relational graph stack ships (MST/MSF is THE textbook
+    * MapReduce-graph algorithm next to connected components, which
+    * [[fraudRings]] already covers): per round, every component picks
+    * its strongest incident cross edge (weight = distinct co-visiting
+    * users; ties broken (w desc, m1, m2) — a strict total order, so
+    * the forest is UNIQUE and both engines replay it bit-for-bit),
+    * the picked edges enter the forest, and touched components merge.
+    * The result is the ≤ V−1-edge skeleton an investigator lays over
+    * [[merchantJaccard]]'s thresholded pair soup: every merchant
+    * cluster connected through its strongest links only.
+    *
+    * Two-regime scale shape ([[pageRank]]'s discipline): the heavy
+    * distributed part is the edge derivation — the SAME maxFan-guarded
+    * per-user pair join as [[merchantJaccard]] (Σ fan²/2 work, one
+    * hash-agg) — while the Borůvka loop runs over the aggregated
+    * ≤ |merchants|² edge relation (merchants are a bounded dimension
+    * here, nation/region-style). The loop itself is written
+    * scale-generic all the same: labels and forest are node-sized
+    * relations, each round is two hash joins + one argmax window + a
+    * pointer-jumping contraction (2-cycle break at the smaller label,
+    * then `jumps` label-halving self-joins — sound because a
+    * strict-total-order best-edge functional graph has only 2-cycles,
+    * the classic Borůvka argument), and nothing reaches the driver
+    * but a per-round emptiness probe on the cross-edge relation
+    * ([[kcore]]'s convergence idiom, with the same explicit guard).
+    * Components at least halve per round, so `rounds` = ⌈log₂ V⌉. */
+  /** The maxFan-guarded merchant co-visit edge relation (m1 < m2,
+    * w = distinct co-visiting users) — [[merchantJaccard]]'s candidate
+    * derivation without the Jaccard threshold; [[msf]]'s input and the
+    * spec's independent recompute handle. */
+  private[graft] def covisitEdges(ev: DataFrame, maxFan: Long = 80L): DataFrame = {
+    val um = userMerchant(ev).filter(col("m").isNotNull)
+      .select(col("user_id"), col("m")).distinct()
+    val g = um
+      .withColumn("fan", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("fan") <= maxFan)
+      .select(col("user_id"), col("m"))
+    g.as("a").join(g.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.m") < col("b.m"))
+      .groupBy(col("a.m").as("m1"), col("b.m").as("m2"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** Materialize a tiny loop-carried relation AND reset its estimated
+    * statistics. Spark 4's eager `localCheckpoint` computes the source
+    * plan's stats and attaches them to the new leaf; a self-join
+    * (pointer jumping is nothing but self-joins) therefore SQUARES the
+    * inherited `sizeInBytes` BigInt each step — its bit length doubles
+    * per jump and by round 2 the driver is doing 10⁶-bit Toom-Cook
+    * multiplications inside the stats visitor (measured: 0.2 s → 105 s
+    * per 8-ROW join over two rounds, jstack'd to
+    * `SizeInBytesOnlyStatsPlanVisitor.visitJoin`). Rebuilding the
+    * DataFrame from the checkpointed RDD drops the poisoned estimate —
+    * the leaf reverts to `defaultSizeInBytes`, so every join stays a
+    * ≤ 190-bit product regardless of loop depth. */
+  private def rebase(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
+  def msf(ev: DataFrame, maxFan: Long = 80L, rounds: Int = 7,
+      jumps: Int = 7): DataFrame = {
+    val edges = rebase(covisitEdges(ev, maxFan)) // ≤ |merchants|² rows; consumed every round
+    var lbl = rebase(edges.select(col("m1").as("node"))
+      .unionByName(edges.select(col("m2").as("node"))).distinct()
+      .select(col("node"), col("node").as("lbl")))
+    var forest: DataFrame = null
+    var r = 0
+    var done = false
+    def crossEdges() = edges
+      .join(lbl.select(col("node").as("m1"), col("lbl").as("la")), "m1")
+      .join(lbl.select(col("node").as("m2"), col("lbl").as("lb")), "m2")
+      .filter(col("la") =!= col("lb"))
+    while (r < rounds && !done) {
+      val ce = rebase(crossEdges())
+      if (ce.isEmpty) done = true
+      else {
+        val inc = ce.select(col("la").as("c"), col("m1"), col("m2"), col("w"),
+            col("lb").as("oth"))
+          .unionByName(ce.select(col("lb").as("c"), col("m1"), col("m2"),
+            col("w"), col("la").as("oth")))
+        val byBest = Window.partitionBy(col("c"))
+          .orderBy(col("w").desc, col("m1"), col("m2"))
+        val best = rebase(inc.withColumn("rn", row_number().over(byBest))
+          .filter(col("rn") === 1)
+          .select(col("c"), col("m1"), col("m2"), col("w"), col("oth"))) // one row per component
+        val newEdges = best.select(col("m1"), col("m2"), col("w")).distinct()
+          .withColumn("round", lit((r + 1).toLong))
+        forest = rebase(
+          if (forest == null) newEdges else forest.unionByName(newEdges))
+        // contraction: parent = best neighbour's label (self for
+        // componentless), 2-cycle break at the smaller label, then
+        // pointer jumping — p := p∘p, `jumps` times (depth ≤ 2^jumps)
+        var p = rebase(lbl.select(col("lbl").as("c")).distinct()
+          .join(best.select(col("c"), col("oth")), Seq("c"), "left")
+          .select(col("c"), coalesce(col("oth"), col("c")).as("p")))
+        val p2 = p.select(col("c").as("jc"), col("p").as("jp"))
+        p = rebase(p.join(p2, col("p") === col("jc"))
+          .select(col("c"),
+            when(col("jp") === col("c"), least(col("c"), col("p")))
+              .otherwise(col("p")).as("p")))
+        // parent-tree depth ≤ #components, so ⌈log₂ nc⌉ (+1 slack)
+        // label-halving hops reach every root; the oracle's fixed
+        // unroll runs more — extra hops past the fixpoint are no-ops,
+        // so both engines land on identical roots
+        val nc = p.count()
+        val needed = math.min(jumps,
+          64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nc - 1)) + 1)
+        for (_ <- 0 until needed.toInt) {
+          val hop = p.select(col("c").as("jc"), col("p").as("jp"))
+          p = rebase(p.join(hop, p("p") === col("jc"))
+            .select(col("c"), col("jp").as("p")))
+        }
+        lbl = rebase(lbl.join(p.withColumnRenamed("c", "lbl"), "lbl")
+          .select(col("node"), col("p").as("lbl")))
+        r += 1
+      }
+    }
+    require(done || crossEdges().isEmpty,
+      s"Borůvka not converged after $rounds rounds — raise `rounds`")
+    forest.select(col("m1").cast("long").as("m1"),
+      col("m2").cast("long").as("m2"), col("w"), col("round"))
+  }
+
   /** Adamic–Adar link prediction (Adamic & Adar 2003) over the
     * merchant projection — [[merchantJaccard]]'s weighted sibling and
     * the classic "will these two connect" score: for merchant pairs
@@ -904,6 +1030,7 @@ object Graph {
     "q_graph_negative_edges" -> ((s, d) => negativeEdges(Tables.events(s, d))),
     "q_fraud_rings" -> ((s, d) => fraudRings(Tables.events(s, d))),
     "q_graph_lpa" -> ((s, d) => lpa(Tables.events(s, d))),
+    "q_graph_msf" -> ((s, d) => msf(Tables.events(s, d))),
     "q_graph_kcore" -> ((s, d) => kcore(Tables.events(s, d))),
     "q_graph_triangles" -> ((s, d) => triangles(Tables.events(s, d))),
     "q_graph_clustcoef" -> ((s, d) => clusteringCoef(Tables.events(s, d))),
@@ -939,6 +1066,55 @@ object Graph {
       s"GROUP BY 1) t WHERE deg >= $k), " +
       s"e$i AS MATERIALIZED (SELECT e.s, e.d FROM e${i - 1} e " +
       s"JOIN k$i a ON e.s = a.s JOIN k$i b ON e.d = b.s)"
+
+  /** One Borůvka round unrolled as SQL CTEs (msf_l(i−1) → msf_new(i),
+    * msf_l(i)): cross edges under current labels → per-component
+    * argmax pick → forest rows → contraction (parent, 2-cycle break,
+    * `jumps` pointer-jump self-joins). MATERIALIZED throughout — every
+    * relation is referenced at least twice (the [[kcoreIterSql]]
+    * lesson: default CTE inlining would expand the jump chain
+    * exponentially). Rounds past convergence are empty no-ops, so the
+    * fixed unroll equals the Spark loop's early exit. */
+  private def msfIterSql(i: Int, jumps: Int): String = {
+    val ce = s"msf_ce$i AS MATERIALIZED (SELECT e.m1, e.m2, e.w, x.lbl AS la, " +
+      s"y.lbl AS lb FROM msf_e e JOIN msf_l${i - 1} x ON x.node = e.m1 " +
+      s"JOIN msf_l${i - 1} y ON y.node = e.m2 WHERE x.lbl <> y.lbl)"
+    val inc = s"msf_inc$i AS MATERIALIZED (SELECT la AS c, m1, m2, w, lb AS oth " +
+      s"FROM msf_ce$i UNION ALL SELECT lb, m1, m2, w, la FROM msf_ce$i)"
+    val best = s"msf_best$i AS MATERIALIZED (SELECT c, m1, m2, w, oth FROM " +
+      "(SELECT *, row_number() OVER (PARTITION BY c ORDER BY w DESC, m1, m2) rn " +
+      s"FROM msf_inc$i) WHERE rn = 1)"
+    val nw = s"msf_new$i AS MATERIALIZED (SELECT DISTINCT m1, m2, w, " +
+      s"$i::BIGINT AS round FROM msf_best$i)"
+    val p0 = s"msf_p${i}_0 AS MATERIALIZED (SELECT l.c, coalesce(b.oth, l.c) AS p " +
+      s"FROM (SELECT DISTINCT lbl AS c FROM msf_l${i - 1}) l " +
+      s"LEFT JOIN msf_best$i b ON b.c = l.c)"
+    val p1 = s"msf_p${i}_1 AS MATERIALIZED (SELECT a.c, " +
+      "CASE WHEN b.p = a.c THEN least(a.c, a.p) ELSE a.p END AS p " +
+      s"FROM msf_p${i}_0 a JOIN msf_p${i}_0 b ON a.p = b.c)"
+    val js = (2 to jumps + 1).map(j =>
+      s"msf_p${i}_$j AS MATERIALIZED (SELECT a.c, b.p FROM msf_p${i}_${j - 1} a " +
+        s"JOIN msf_p${i}_${j - 1} b ON a.p = b.c)").mkString(", ")
+    val l = s"msf_l$i AS MATERIALIZED (SELECT l.node, p.p AS lbl FROM msf_l${i - 1} l " +
+      s"JOIN msf_p${i}_${jumps + 1} p ON p.c = l.lbl)"
+    Seq(ce, inc, best, nw, p0, p1, js, l).mkString(", ")
+  }
+
+  /** The full [[msf]] oracle: the jaccard edge CTEs, label seed, 7
+    * unrolled Borůvka rounds, forest union. */
+  private def msfOracle(rounds: Int = 7, jumps: Int = 7): String =
+    "WITH b AS (SELECT user_id, CAST(json_extract_string(props, '$.k') AS INT) AS m " +
+      "FROM events), " +
+      "um AS (SELECT DISTINCT user_id, m FROM b WHERE m IS NOT NULL), " +
+      "f AS (SELECT user_id, m, count(*) OVER (PARTITION BY user_id) AS fan FROM um), " +
+      "g AS (SELECT user_id, m FROM f WHERE fan <= 80), " +
+      "msf_e AS MATERIALIZED (SELECT a.m AS m1, b.m AS m2, count(*)::BIGINT AS w " +
+      "FROM g a JOIN g b ON a.user_id = b.user_id AND a.m < b.m GROUP BY 1, 2), " +
+      "msf_l0 AS MATERIALIZED (SELECT m AS node, m AS lbl FROM " +
+      "(SELECT m1 AS m FROM msf_e UNION SELECT m2 FROM msf_e)), " +
+      (1 to rounds).map(i => msfIterSql(i, jumps)).mkString(", ") + " " +
+      "SELECT m1::BIGINT AS m1, m2::BIGINT AS m2, w, round FROM (" +
+      (1 to rounds).map(i => s"SELECT * FROM msf_new$i").mkString(" UNION ALL ") + ")"
 
   /** One HITS iteration unrolled as SQL CTEs (hb(i-1) → au(i), hb(i)). */
   private def hitsIterSql(i: Int): String =
@@ -1083,6 +1259,7 @@ object Graph {
         (1 to 3).map(lpaIterSql).mkString(", ") + " " +
         "SELECT node AS user_id, lbl AS community, " +
         "count(*) OVER (PARTITION BY lbl)::BIGINT AS community_size FROM l3"),
+    "q_graph_msf" -> msfOracle(),
     "q_graph_kcore" ->
       (s"WITH $coEdgeCte, " +
         "e0 AS MATERIALIZED (SELECT s, d FROM edges), " +

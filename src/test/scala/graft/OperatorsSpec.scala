@@ -2004,6 +2004,82 @@ class OperatorsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Graph.kcore(path, k = 2, rounds = 1).collect())
   }
 
+  test("Graph.msf: hand-traced forest on a weighted diamond; corpus forest is spanning, acyclic, and cycle-maximal") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    // users → merchant sets give w(1,2)=3, w(2,3)=2, w(1,3)=1, w(3,4)=1:
+    // the MSF drops exactly the weakest triangle edge (1,3)
+    val visits = Seq(
+      1L -> Seq(1, 2), 2L -> Seq(1, 2), 3L -> Seq(1, 2, 3),
+      4L -> Seq(2, 3), 5L -> Seq(3, 4))
+    val ev = visits.flatMap { case (u, ms) =>
+      ms.map(m => (u, s"""{"k":$m}""", 10.0, ts))
+    }.toDF("user_id", "props", "value", "ts")
+    val got = Graph.msf(ev).collect()
+      .map(r => (r.getAs[Long]("m1"), r.getAs[Long]("m2"),
+        r.getAs[Long]("w"), r.getAs[Long]("round"))).toSet
+    // all three picks happen in round 1 (every component's argmax)
+    assert(got === Set((1L, 2L, 3L, 1L), (2L, 3L, 2L, 1L), (3L, 4L, 1L, 1L)))
+
+    // corpus laws at sf: forest vs the full co-visit edge relation
+    val ev2 = Tables.events(spark, sf)
+    val all = Graph.covisitEdges(ev2).collect()
+      .map(r => (r.getAs[Int]("m1").toLong, r.getAs[Int]("m2").toLong,
+        r.getAs[Long]("w")))
+    val forest = Graph.msf(ev2).collect()
+      .map(r => (r.getAs[Long]("m1"), r.getAs[Long]("m2"), r.getAs[Long]("w")))
+    val nodes = all.flatMap(e => Seq(e._1, e._2)).distinct
+    // union-find over the FULL graph vs over the FOREST — identical
+    // partition ⇒ spanning; |forest| = V − #components ⇒ acyclic
+    def components(es: Seq[(Long, Long)]): Map[Long, Long] = {
+      val p = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+      def find(x: Long): Long = { if (p(x) != x) p(x) = find(p(x)); p(x) }
+      es.foreach { case (a, b) => p(find(a)) = find(b) }
+      nodes.map(n => n -> find(n)).toMap
+    }
+    val full = components(all.map(e => (e._1, e._2)))
+    val span = components(forest.map(e => (e._1, e._2)).toSeq)
+    def partition(cc: Map[Long, Long]) =
+      cc.groupBy(_._2).values.map(_.keys.toSet).toSet
+    assert(partition(full) === partition(span), "forest is not spanning")
+    val nComponents = partition(full).size
+    assert(forest.length === nodes.length - nComponents, "forest has a cycle")
+    // cycle property of the MAX forest under the strict (w desc, m1,
+    // m2) order: every non-forest edge is the weakest on its cycle —
+    // each edge of the forest path between its endpoints beats it
+    val adj = scala.collection.mutable.Map.empty[Long, List[(Long, (Long, Long, Long))]]
+    forest.foreach { case e @ (a, b, _) =>
+      adj(a) = (b, e) :: adj.getOrElse(a, Nil)
+      adj(b) = (a, e) :: adj.getOrElse(b, Nil)
+    }
+    def pathEdges(src: Long, dst: Long): List[(Long, Long, Long)] = {
+      val prev = scala.collection.mutable.Map[Long, (Long, (Long, Long, Long))]()
+      var frontier = List(src)
+      while (frontier.nonEmpty && !prev.contains(dst)) {
+        frontier = frontier.flatMap { v =>
+          adj.getOrElse(v, Nil).collect {
+            case (n, e) if n != src && !prev.contains(n) => prev(n) = (v, e); n
+          }
+        }
+      }
+      var cur = dst
+      var acc = List.empty[(Long, Long, Long)]
+      while (cur != src) { val (pv, e) = prev(cur); acc = e :: acc; cur = pv }
+      acc
+    }
+    def beats(p: (Long, Long, Long), e: (Long, Long, Long)): Boolean =
+      p._3 > e._3 || (p._3 == e._3 &&
+        (p._1 < e._1 || (p._1 == e._1 && p._2 < e._2)))
+    val forestSet = forest.toSet
+    all.filterNot(forestSet).foreach { e =>
+      val path = pathEdges(e._1, e._2)
+      assert(path.nonEmpty, s"non-forest edge $e endpoints not connected in forest")
+      path.foreach(p => assert(beats(p, e),
+        s"forest path edge $p does not beat dropped edge $e — not the max forest"))
+    }
+    assert(all.length > forest.length, "corpus graph has no cycle — the law tests nothing")
+  }
+
   test("TextOps.featureHash: matches an independent recompute via the composed hash") {
     import spark.implicits._
     val docs = Seq((1L, "alpha alpha alpha beta"), (2L, "gamma delta gamma"),
