@@ -1591,7 +1591,8 @@ object Similarity {
     val result = score("ann", rankK(scoredLsh.filter(col("sp"))))
       .unionByName(score("ann_mp", rankK(scoredLsh)))
       .unionByName(score("ivf", ivfTopKOn(v, queryIds, k).select(col("q_id"), col("vec_id"))))
-      .localCheckpoint(true) // 3 × |queries| rows
+      .unionByName(score("rpt", rptTopK(emb, queryIds, k).select(col("q_id"), col("vec_id"))))
+      .localCheckpoint(true) // 4 × |queries| rows
     bands.unpersist(); scoredLsh.unpersist(); v.unpersist()
     result
   }
@@ -2974,10 +2975,12 @@ object Similarity {
         "FROM mpx x LEFT JOIN mpk a USING (d, q_id, vec_id) GROUP BY x.d, x.q_id"),
     "q_sim_recall" ->
       (s"WITH $vCte, $qsCte, $bitsBandsCte, $exactCtes, $annCtes, $annMpCtes, $ivfCtes, " +
+        rptCtes + ", " +
         "ex10 AS (SELECT q_id, vec_id FROM ex_ranked WHERE rnk <= 10), " +
         "an10 AS (SELECT q_id, vec_id FROM an_ranked WHERE rnk <= 10), " +
         "am10 AS (SELECT q_id, vec_id FROM amp_ranked WHERE rnk <= 10), " +
-        "iv10 AS (SELECT q_id, vec_id FROM iv_ranked WHERE rnk <= 10) " +
+        "iv10 AS (SELECT q_id, vec_id FROM iv_ranked WHERE rnk <= 10), " +
+        "rp10 AS (SELECT q_id, vec_id FROM rp_ranked WHERE rnk <= 10) " +
         "SELECT 'ann' AS method, e.q_id, " +
         "sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 10 AS recall " +
         "FROM ex10 e LEFT JOIN an10 a USING (q_id, vec_id) GROUP BY e.q_id " +
@@ -2988,5 +2991,9 @@ object Similarity {
         "UNION ALL " +
         "SELECT 'ivf' AS method, e.q_id, " +
         "sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 10 AS recall " +
-        "FROM ex10 e LEFT JOIN iv10 i USING (q_id, vec_id) GROUP BY e.q_id"))
+        "FROM ex10 e LEFT JOIN iv10 i USING (q_id, vec_id) GROUP BY e.q_id " +
+        "UNION ALL " +
+        "SELECT 'rpt' AS method, e.q_id, " +
+        "sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 10 AS recall " +
+        "FROM ex10 e LEFT JOIN rp10 r USING (q_id, vec_id) GROUP BY e.q_id"))
 }
