@@ -77,6 +77,11 @@ final case class KmvState(hs: Array[Long], lastSeenMs: Long)
   * holds EVERY distinct hash and the count is exact). */
 final case class KmvRow(event_type: String, n_min: Long, kth_hash: Option[Long])
 
+/** One finalized [[Streaming.streamCms]] counter cell, emitted exactly
+  * once per (row, bucket) key when the watermark passes its last
+  * update — together the cells ARE the count-min sketch. */
+final case class CmsCell(i: Int, bucket: Long, c: Long)
+
 /** One (event_type → history totals) entry of a user's pre-cutoff
   * batch ledger, carried into [[Streaming.streamLedgerInit]]'s initial
   * state (sorted array, so the seed is deterministic). */
@@ -1793,6 +1798,109 @@ object Streaming {
     }
   }
 
+  /** Streaming count-min sketch — the ONLINE half of
+    * [[graft.operators.Sketches.cmsHeavyHitters]] and the second
+    * sublinear-state entry next to [[streamKmv]], with the OTHER merge
+    * shape: KMV merges by bottom-k min, CMS by counter ADDITION (both
+    * mergeable, so micro-batch arrival order cannot change the final
+    * sketch). The sketch state is keyed by (row, bucket) — depth×width
+    * keys TOTAL, each holding one running count — so heavy-hitter
+    * monitoring state is a fixed 4×256 grid no matter how many
+    * distinct amounts or events flow through; the exact-count
+    * alternative keys state by amount and grows with the value space.
+    *
+    * Each arriving event explodes to its `depth` (row, bucket) cells
+    * in-plan (codegen'd native hash, before the shuffle); the
+    * processor only increments a per-key `ValueState[Long]`. Sentinel
+    * rows are KEY-REMAPPED to bucket −1 ([[streamDrift]]'s idiom — a
+    * filter would push below the watermark node and starve it) and
+    * dropped at read-back, so the finalized cells equal the batch
+    * counters exactly. The read-back then runs the batch operator's
+    * own evaluation harness — exact top-`topN` ranking with estimates
+    * looked up from the STREAMED counters — so the stream result
+    * equals [[graft.operators.Sketches.cmsHeavyHitters]] row-for-row
+    * and the oracle is shared verbatim. (As in the batch operator,
+    * the exact column is the eval harness, not the production path —
+    * production serves estimates straight from the cells.) */
+  def streamCms(spark: SparkSession, dir: String, watermarkMin: Long = 10L,
+      depth: Int = 4, width: Int = 256, topN: Int = 20): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor,
+      TimeMode, TimerValues, TTLConfig}
+    import graft.functions.TextHash.hash60
+    def bucketOf(iCol: org.apache.spark.sql.Column, amtCol: org.apache.spark.sql.Column) =
+      pmod(hash60(concat(iCol.cast("string"), lit("|"), amtCol.cast("string"))),
+        lit(width.toLong))
+    withRocksDb(spark) {
+      val counters = replay(spark, dir, in => in
+        .select(col("timestamp"), col("event_type"), expr("cents div 100").as("amt"))
+        .withColumn("i", explode(array((0 until depth).map(lit): _*)))
+        .withColumn("bucket",
+          when(col("event_type") === "__sentinel__", lit(-1L))
+            .otherwise(bucketOf(col("i"), col("amt"))))
+        .select(col("timestamp"), col("i"), col("bucket"))
+        .withWatermark("timestamp", s"$watermarkMin minutes")
+        .as[(java.sql.Timestamp, Int, Long)]
+        .groupByKey(r => (r._2, r._3))
+        .transformWithState(
+          new StatefulProcessor[(Int, Long), (java.sql.Timestamp, Int, Long), CmsCell] {
+            @transient private var cnt: org.apache.spark.sql.streaming.ValueState[Long] = _
+            @transient private var tmr: org.apache.spark.sql.streaming.ValueState[Long] = _
+            override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+              cnt = getHandle.getValueState[Long]("cnt",
+                org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+              tmr = getHandle.getValueState[Long]("tmr",
+                org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+            }
+            override def handleInputRows(key: (Int, Long),
+                rows: Iterator[(java.sql.Timestamp, Int, Long)],
+                timerValues: TimerValues): Iterator[CmsCell] = {
+              var hi = Long.MinValue
+              var add = 0L
+              rows.foreach { case (ts, _, _) =>
+                add += 1L; hi = math.max(hi, ts.getTime)
+              }
+              cnt.update((if (cnt.exists()) cnt.get() else 0L) + add)
+              if (hi != Long.MinValue) {
+                val prev = if (tmr.exists()) tmr.get() else Long.MinValue
+                val next = math.max(prev, hi + 1L)
+                if (next != prev) {
+                  if (prev != Long.MinValue) getHandle.deleteTimer(prev)
+                  getHandle.registerTimer(next)
+                  tmr.update(next)
+                }
+              }
+              Iterator.empty
+            }
+            override def handleExpiredTimer(key: (Int, Long), timerValues: TimerValues,
+                expiredTimerInfo: ExpiredTimerInfo): Iterator[CmsCell] = {
+              val out =
+                if (cnt.exists()) Iterator.single(CmsCell(key._1, key._2, cnt.get()))
+                else Iterator.empty
+              cnt.clear(); tmr.clear()
+              out
+            }
+          },
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF())
+        .filter(col("bucket") >= 0L)
+      // the batch operator's eval harness over the STREAMED counters
+      val exact = graft.Tables.events(spark, dir)
+        .select(floor(col("value")).cast("long").as("amt"))
+        .groupBy(col("amt")).agg(count(lit(1)).as("n"))
+      val probes = exact
+        .withColumn("i", explode(array((0 until depth).map(lit): _*)))
+        .withColumn("bucket", bucketOf(col("i"), col("amt")))
+      val byCount = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("amt"))
+      probes.join(counters, Seq("i", "bucket"))
+        .groupBy(col("amt"), col("n")).agg(min(col("c")).as("est"))
+        .withColumn("rnk", row_number().over(byCount).cast("long"))
+        .filter(col("rnk") <= topN)
+        .select(col("amt"), col("n"), col("est"), col("rnk"))
+    }
+  }
+
   /** The batch AML structuring rule (`q_aml_structuring`) as a LIVE
     * streaming detector: sub-threshold band filter → per (user, day
     * window) count/sum → flag when both trip. Same thresholds, same
@@ -2300,6 +2408,7 @@ object Streaming {
     "q_stream_topk" -> ((s, d) => streamTopK(s, d)),
     "q_stream_unique" -> ((s, d) => streamUniqueUsers(s, d)),
     "q_stream_kmv" -> ((s, d) => streamKmv(s, d)),
+    "q_stream_cms" -> ((s, d) => streamCms(s, d)),
     "q_stream_rate_limit" -> ((s, d) => streamRateLimit(s, d)),
     "q_stream_funnel" -> ((s, d) => streamFunnel(s, d)),
     "q_stream_funnel_tws" -> ((s, d) => streamFunnelTws(s, d)),
@@ -2435,6 +2544,9 @@ object Streaming {
         s"CASE WHEN nd >= 64 THEN floor(${63.0 * (1L << 60).toDouble}::DOUBLE / h * 10000) / 10000 " +
         "ELSE nd::DOUBLE END AS est " +
         "FROM r WHERE rn = CASE WHEN nd >= 64 THEN 64 ELSE nd END"),
+    // shared VERBATIM with the batch operator: the streamed counters
+    // must reconstruct the identical sketch
+    "q_stream_cms" -> graft.operators.Sketches.oracleSql("q_cms_heavy_hitters"),
     "q_stream_replay" -> tumblingOracle,
     "q_stream_dp" ->
       ("WITH sdh AS (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_start_ms, " +
