@@ -707,8 +707,8 @@ class OperatorsSpec extends SparkSpec {
   test("Similarity.recallAtK: one row per (method, query); multi-probe dominates single-probe") {
     val emb = Tables.embeddings(spark, sf)
     val r = Similarity.recallAtK(emb, Seq(0L, 1L), k = 10).collect()
-    assert(r.length === 6) // 3 methods × 2 queries
-    assert(r.map(_.getAs[String]("method")).toSet === Set("ann", "ann_mp", "ivf"))
+    assert(r.length === 8) // 4 methods × 2 queries
+    assert(r.map(_.getAs[String]("method")).toSet === Set("ann", "ann_mp", "ivf", "rpt"))
     r.foreach { row =>
       val rec = row.getAs[Double]("recall")
       assert(rec >= 0.0 && rec <= 1.0, s"recall out of range: $row")
