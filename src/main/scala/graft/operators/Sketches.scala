@@ -123,26 +123,51 @@ object Sketches {
     * input size, the CMS discipline. The exact `count(distinct)`
     * exists to report the error and would be skipped at 100 TB. */
   def hllDistinct(ev: DataFrame, m: Int = 256): DataFrame = {
-    val tagged = ev.select(explode(array(
+    val tagged = hllTagged(ev).persist() // feeds the sketch AND the exact-error report
+    val regs = hllCells(tagged, m)
+      .groupBy(col("metric"), col("reg")).agg(max(col("rho")).as("mx"))
+    val exact = tagged.groupBy(col("metric")).agg(countDistinct(col("v")).as("n_exact"))
+    val est = hllEstimate(regs, exact, m)
+      .localCheckpoint(true) // 3 rows; releases the tagged cache
+    tagged.unpersist()
+    est
+  }
+
+  /** The 3-metric tagged explode the HLL sketch reads — one narrow
+    * (metric, v) row per (event, metric). Shared with the streaming
+    * sketch so both transports hash the identical value stream. */
+  private[graft] def hllTagged(ev: DataFrame): DataFrame =
+    ev.select(explode(array(
         struct(lit("event_id").as("metric"), col("event_id").cast("string").as("v")),
         struct(lit("user_id").as("metric"), col("user_id").cast("string").as("v")),
         struct(lit("event_type").as("metric"), col("event_type").as("v")))).as("r"))
       .select(col("r.metric").as("metric"), col("r.v").as("v"))
       .filter(col("v").isNotNull)
-      .persist() // feeds the sketch AND the exact-error report
-    val regs = tagged
+
+  /** Per-row HLL register cell — (reg, rho) appended to a (metric, v)
+    * relation, all integer bit-math (see [[hllDistinct]]'s determinism
+    * notes). The in-plan half shared by the batch sketch and the
+    * streaming register state
+    * ([[graft.streaming.Streaming.streamHll]]): the hash rides the
+    * plan codegen'd BEFORE any shuffle in both transports. */
+  private[graft] def hllCells(tagged: DataFrame, m: Int): DataFrame =
+    tagged
       .withColumn("h", hash60(col("v")))
       .withColumn("reg", pmod(col("h"), lit(m.toLong)))
       .withColumn("rest", expr(s"h div $m"))
       .withColumn("rho", when(col("rest") === 0L, lit(53L))
         .otherwise(length(bin(expr("rest & -rest"))).cast("long")))
-      .groupBy(col("metric"), col("reg")).agg(max(col("rho")).as("mx"))
-    val sk = regs.groupBy(col("metric")).agg(
-      sum(expr("shiftleft(1L, cast(53 - mx as int))")).as("s_hit"),
-      count(lit(1)).as("n_hit"))
-    val exact = tagged.groupBy(col("metric")).agg(countDistinct(col("v")).as("n_exact"))
+
+  /** Estimate read-back over finalized (metric, reg, mx) registers —
+    * the exact-integer harmonic sum, linear-counting branch, and
+    * error report of [[hllDistinct]], factored so the batch and
+    * streaming sketches evaluate through ONE code path and the
+    * estimate arithmetic cannot diverge between transports. */
+  private[graft] def hllEstimate(regs: DataFrame, exact: DataFrame, m: Int): DataFrame = {
     val alphaM2: Double = hllAlphaM2(m)
-    val est = sk
+    regs.groupBy(col("metric")).agg(
+        sum(expr("shiftleft(1L, cast(53 - mx as int))")).as("s_hit"),
+        count(lit(1)).as("n_hit"))
       .withColumn("v_empty", lit(m.toLong) - col("n_hit"))
       .withColumn("est_raw",
         lit(alphaM2) / expr("cast(s_hit + v_empty * shiftleft(1L, 53) as double)"))
@@ -153,9 +178,6 @@ object Sketches {
       .join(exact, Seq("metric"))
       .select(col("metric"), col("n_exact"), col("v_empty"), col("est"),
         trunc4(abs(col("est") - col("n_exact")) / col("n_exact")).as("rel_err"))
-      .localCheckpoint(true) // 3 rows; releases the tagged cache
-    tagged.unpersist()
-    est
   }
 
   /** Relational Bloom filter + membership audit. The filter is ~130

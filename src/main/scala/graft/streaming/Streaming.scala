@@ -82,6 +82,11 @@ final case class KmvRow(event_type: String, n_min: Long, kth_hash: Option[Long])
   * update — together the cells ARE the count-min sketch. */
 final case class CmsCell(i: Int, bucket: Long, c: Long)
 
+/** One finalized [[Streaming.streamHll]] register, emitted exactly once
+  * per (metric, register) key when the watermark passes its last
+  * update — together the registers ARE the HyperLogLog sketch. */
+final case class HllReg(metric: String, reg: Long, mx: Long)
+
 /** One (event_type → history totals) entry of a user's pre-cutoff
   * batch ledger, carried into [[Streaming.streamLedgerInit]]'s initial
   * state (sorted array, so the seed is deterministic). */
@@ -1901,6 +1906,100 @@ object Streaming {
     }
   }
 
+  /** Streaming HyperLogLog — the ONLINE half of
+    * [[graft.operators.Sketches.hllDistinct]], completing the classic
+    * sketch trio's streaming family: KMV merges by bottom-k min, CMS
+    * by counter addition, HLL by register MAX — the third mergeable
+    * shape, so micro-batch arrival order cannot change the final
+    * registers and the replay is exact. State is one `max(rho)` long
+    * per (metric, register) key — 3·m keys TOTAL (768 at the default
+    * m=256) no matter how many distinct ids flow through, where the
+    * exact distinct path keys state per distinct value; at 100 TB
+    * that is a fixed grid vs a state store the size of the id space.
+    *
+    * The (reg, rho) cell rides the plan codegen'd BEFORE the shuffle
+    * via [[graft.operators.Sketches.hllCells]] — SHARED code with the
+    * batch sketch, so both transports hash the identical value stream;
+    * the processor only max-merges longs. Sentinel rows are KEY-
+    * REMAPPED to metric "__sentinel__" ([[streamCms]]'s idiom — their
+    * −1 ids would otherwise pollute real registers, and a filter would
+    * push below the watermark node and starve it) and dropped at
+    * read-back. The read-back then evaluates the STREAMED registers
+    * through [[graft.operators.Sketches.hllEstimate]] — again the
+    * batch operator's own code path — against exact counts from the
+    * batch table (the eval harness, skipped at 100 TB), so the stream
+    * result equals `q_hll_distinct` row-for-row and the oracle is
+    * shared verbatim. */
+  def streamHll(spark: SparkSession, dir: String,
+      watermarkMin: Long = 10L, m: Int = 256): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor,
+      TimeMode, TimerValues, TTLConfig}
+    val Sk = graft.operators.Sketches
+    withRocksDb(spark) {
+      val regs = replay(spark, dir, in => Sk.hllCells(
+          in.select(col("timestamp"), col("event_type"), explode(array(
+              struct(lit("event_id").as("metric"), col("event_id").cast("string").as("v")),
+              struct(lit("user_id").as("metric"), col("user_id").cast("string").as("v")),
+              struct(lit("event_type").as("metric"), col("event_type").as("v")))).as("r"))
+            .select(col("timestamp"),
+              when(col("event_type") === "__sentinel__", lit("__sentinel__"))
+                .otherwise(col("r.metric")).as("metric"),
+              col("r.v").as("v"))
+            .filter(col("v").isNotNull), m)
+        .select(col("timestamp"), col("metric"), col("reg"), col("rho"))
+        .withWatermark("timestamp", s"$watermarkMin minutes")
+        .as[(java.sql.Timestamp, String, Long, Long)]
+        .groupByKey(r => (r._2, r._3))
+        .transformWithState(
+          new StatefulProcessor[(String, Long), (java.sql.Timestamp, String, Long, Long), HllReg] {
+            @transient private var mx: org.apache.spark.sql.streaming.ValueState[Long] = _
+            @transient private var tmr: org.apache.spark.sql.streaming.ValueState[Long] = _
+            override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+              mx = getHandle.getValueState[Long]("mx",
+                org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+              tmr = getHandle.getValueState[Long]("tmr",
+                org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+            }
+            override def handleInputRows(key: (String, Long),
+                rows: Iterator[(java.sql.Timestamp, String, Long, Long)],
+                timerValues: TimerValues): Iterator[HllReg] = {
+              var hi = Long.MinValue
+              var top = if (mx.exists()) mx.get() else 0L
+              rows.foreach { case (ts, _, _, rho) =>
+                top = math.max(top, rho); hi = math.max(hi, ts.getTime)
+              }
+              mx.update(top)
+              if (hi != Long.MinValue) {
+                val prev = if (tmr.exists()) tmr.get() else Long.MinValue
+                val next = math.max(prev, hi + 1L)
+                if (next != prev) {
+                  if (prev != Long.MinValue) getHandle.deleteTimer(prev)
+                  getHandle.registerTimer(next)
+                  tmr.update(next)
+                }
+              }
+              Iterator.empty
+            }
+            override def handleExpiredTimer(key: (String, Long), timerValues: TimerValues,
+                expiredTimerInfo: ExpiredTimerInfo): Iterator[HllReg] = {
+              val out =
+                if (mx.exists()) Iterator.single(HllReg(key._1, key._2, mx.get()))
+                else Iterator.empty
+              mx.clear(); tmr.clear()
+              out
+            }
+          },
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF())
+        .filter(col("metric") =!= "__sentinel__")
+      // the batch operator's eval harness over the STREAMED registers
+      val exact = Sk.hllTagged(graft.Tables.events(spark, dir))
+        .groupBy(col("metric")).agg(countDistinct(col("v")).as("n_exact"))
+      Sk.hllEstimate(regs, exact, m)
+    }
+  }
+
   /** The batch AML structuring rule (`q_aml_structuring`) as a LIVE
     * streaming detector: sub-threshold band filter → per (user, day
     * window) count/sum → flag when both trip. Same thresholds, same
@@ -2409,6 +2508,7 @@ object Streaming {
     "q_stream_unique" -> ((s, d) => streamUniqueUsers(s, d)),
     "q_stream_kmv" -> ((s, d) => streamKmv(s, d)),
     "q_stream_cms" -> ((s, d) => streamCms(s, d)),
+    "q_stream_hll" -> ((s, d) => streamHll(s, d)),
     "q_stream_rate_limit" -> ((s, d) => streamRateLimit(s, d)),
     "q_stream_funnel" -> ((s, d) => streamFunnel(s, d)),
     "q_stream_funnel_tws" -> ((s, d) => streamFunnelTws(s, d)),
@@ -2547,6 +2647,7 @@ object Streaming {
     // shared VERBATIM with the batch operator: the streamed counters
     // must reconstruct the identical sketch
     "q_stream_cms" -> graft.operators.Sketches.oracleSql("q_cms_heavy_hitters"),
+    "q_stream_hll" -> graft.operators.Sketches.oracleSql("q_hll_distinct"),
     "q_stream_replay" -> tumblingOracle,
     "q_stream_dp" ->
       ("WITH sdh AS (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_start_ms, " +

@@ -911,6 +911,41 @@ class StreamingSpec extends SparkSpec {
       s"peak state ${peaks.max} rows vs depth*width grid $grid")
   }
 
+  test("streamHll: streamed registers reconstruct the batch sketch row-for-row; state O(metrics*m), not O(distinct ids)") {
+    import org.apache.spark.sql.functions._
+    val peaks = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val ops = e.progress.stateOperators
+        if (ops != null && ops.nonEmpty) peaks += ops.map(_.numRowsTotal).sum
+        ()
+      }
+    }
+    spark.streams.addListener(l)
+    val priorProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val got = try Streaming.streamHll(spark, sf)
+      finally spark.streams.removeListener(l)
+    // row-for-row parity with the BATCH operator — the two transports
+    // must reconstruct the identical registers and identical estimate
+    val batch = graft.operators.Sketches.hllDistinct(Tables.events(spark, sf))
+    assert(got.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(got).count() === 0)
+    assert(got.count() === 3)
+    assert(spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      === priorProvider)
+    // the sketch claim: state keys are (metric, register) cells + the
+    // ≤3-reg sentinel remap keys — a fixed grid, never O(distinct ids)
+    val grid = 3L * 256L + 16L
+    assert(peaks.nonEmpty, "listener saw no stateful progress")
+    assert(peaks.max <= 3L * grid,
+      s"peak state ${peaks.max} rows vs metrics*m grid $grid")
+  }
+
   test("streamLedgerInit: warm-started ledger equals the full-corpus totals; the batch/stream seam is invisible") {
     import org.apache.spark.sql.functions._
     val got = Streaming.streamLedgerInit(spark, sf)
