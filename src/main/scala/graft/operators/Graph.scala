@@ -418,6 +418,90 @@ object Graph {
       col("m2").cast("long").as("m2"), col("w"), col("round"))
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al. 2014, "Connected Components in
+    * MapReduce and Beyond") over the [[covisitEdges]] merchant graph —
+    * the LOGARITHMIC-round CC next to
+    * [[graft.operators.Dedup.components]]' min-label propagation:
+    * propagation needs component-DIAMETER rounds (fine for tiny
+    * near-dup clusters, fatal for a 100 TB graph with a long chain),
+    * while star contraction halves tree heights every round and
+    * converges in O(log² n) rounds regardless of diameter. Each round
+    * is two hash-agg + join passes over the edge set — no per-node
+    * frontier, no weights, nothing but groupBy-min and equi-joins:
+    *
+    *  - large-star: every node links its LARGER neighbours to the
+    *    minimum of its closed neighbourhood (processed from both
+    *    endpoints via the symmetric adjacency);
+    *  - small-star: every node links its smaller-or-equal
+    *    neighbourhood (and itself) to that neighbourhood's minimum.
+    *
+    * Both emit edges oriented (hi, lo), so the edge set stays
+    * canonical and the fixpoint test is a set comparison. At the
+    * fixpoint the edges form stars centred on each component's
+    * MINIMUM id — checked by a `require` (every non-root appears in
+    * exactly one edge), so the emitted labelling is the canonical
+    * (node → component-min) map and the oracle is a converged
+    * recursive-CTE truth, independent of the algorithm's round
+    * structure. Loop-carried relations go through [[rebase]] (the
+    * checkpoint-stats lesson — star contraction is self-join-shaped).
+    *
+    * Scale: edge relation ≤ |merchants|² rows after the [[msf]] hub
+    * guard; every pass is map-side-combinable groupBy-min plus an
+    * equi-join on the grouping key — the round count is the log² law,
+    * so 10× data costs one-ish extra round, not 10× rounds. */
+  def ccLsls(ev: DataFrame, maxFan: Long = 80L, rounds: Int = 12): DataFrame = {
+    val (edges, _) = lslsContract(rebase(covisitEdges(ev, maxFan)
+      .select(col("m2").as("hi"), col("m1").as("lo"))), rounds) // covisit is m1 < m2
+    // fixpoint ⇒ stars: every non-root node appears as `hi` exactly once
+    require(edges.groupBy(col("hi")).agg(count(lit(1)).as("d"))
+      .filter(col("d") > 1L).isEmpty, "fixpoint edge set is not a star forest")
+    val lbl = edges.select(col("hi").as("node"), col("lo").as("cc_id"))
+      .unionByName(edges.select(col("lo").as("node"), col("lo").as("cc_id"))
+        .distinct())
+    lbl.withColumn("cc_size", count(lit(1)).over(Window.partitionBy(col("cc_id"))))
+      .select(col("node").cast("long").as("m"), col("cc_id").cast("long").as("cc_id"),
+        col("cc_size"))
+  }
+
+  /** The alternating-star loop of [[ccLsls]], exposed so the spec can
+    * pin its ROUND COUNT (the whole point of the algorithm) on a
+    * hand-built long chain: returns the fixpoint (hi, lo) edge set and
+    * the rounds it took. */
+  private[graft] def lslsContract(e0: DataFrame, rounds: Int): (DataFrame, Int) = {
+    def sym(e: DataFrame) =
+      e.select(col("hi").as("src"), col("lo").as("dst"))
+        .unionByName(e.select(col("lo").as("src"), col("hi").as("dst")))
+    def largeStar(e: DataFrame): DataFrame = {
+      val adj = sym(e)
+      val mins = adj.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("src"), col("mn")).as("m"))
+      adj.join(mins, "src").filter(col("dst") > col("src"))
+        .filter(col("dst") =!= col("m"))
+        .select(col("dst").as("hi"), col("m").as("lo")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // edges arrive (hi, lo): group the strictly-smaller neighbourhood
+      // by its hi endpoint; min is over Γ⁻(u) ∪ {u}, and lo < hi always
+      val mins = e.groupBy(col("hi")).agg(min(col("lo")).as("mn"))
+      e.join(mins, "hi").filter(col("lo") =!= col("mn"))
+        .select(col("lo").as("hi"), col("mn").as("lo"))
+        .unionByName(mins.select(col("hi"), col("mn").as("lo")))
+        .distinct()
+    }
+    var edges = e0
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val next = rebase(smallStar(largeStar(edges)))
+      done = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      edges = next
+      r += 1
+    }
+    require(done, s"star contraction not converged after $rounds rounds")
+    (edges, r)
+  }
+
   /** Adamic–Adar link prediction (Adamic & Adar 2003) over the
     * merchant projection — [[merchantJaccard]]'s weighted sibling and
     * the classic "will these two connect" score: for merchant pairs
@@ -1031,6 +1115,7 @@ object Graph {
     "q_fraud_rings" -> ((s, d) => fraudRings(Tables.events(s, d))),
     "q_graph_lpa" -> ((s, d) => lpa(Tables.events(s, d))),
     "q_graph_msf" -> ((s, d) => msf(Tables.events(s, d))),
+    "q_graph_cc" -> ((s, d) => ccLsls(Tables.events(s, d))),
     "q_graph_kcore" -> ((s, d) => kcore(Tables.events(s, d))),
     "q_graph_triangles" -> ((s, d) => triangles(Tables.events(s, d))),
     "q_graph_clustcoef" -> ((s, d) => clusteringCoef(Tables.events(s, d))),
@@ -1260,6 +1345,24 @@ object Graph {
         "SELECT node AS user_id, lbl AS community, " +
         "count(*) OVER (PARTITION BY lbl)::BIGINT AS community_size FROM l3"),
     "q_graph_msf" -> msfOracle(),
+    // converged truth, not a round replay: the canonical (node →
+    // component-min) map is algorithm-independent, so the oracle is
+    // the recursive min-root closure over the same guarded edge set
+    "q_graph_cc" ->
+      ("WITH RECURSIVE b AS (SELECT user_id, " +
+        "CAST(json_extract_string(props, '$.k') AS INT) AS m FROM events), " +
+        "um AS (SELECT DISTINCT user_id, m FROM b WHERE m IS NOT NULL), " +
+        "f AS (SELECT user_id, m, count(*) OVER (PARTITION BY user_id) AS fan FROM um), " +
+        "g AS (SELECT user_id, m FROM f WHERE fan <= 80), " +
+        "e AS (SELECT DISTINCT a.m AS m1, b.m AS m2 FROM g a " +
+        "JOIN g b ON a.user_id = b.user_id AND a.m < b.m), " +
+        "ed AS (SELECT m1 AS s, m2 AS d FROM e UNION SELECT m2, m1 FROM e), " +
+        "nodes AS (SELECT DISTINCT s AS id FROM ed), " +
+        "reach(node, root) AS (SELECT id, id FROM nodes " +
+        "UNION SELECT ed.d, r.root FROM reach r JOIN ed ON ed.s = r.node), " +
+        "cc AS (SELECT node, min(root) AS cc_id FROM reach GROUP BY node) " +
+        "SELECT node::BIGINT AS m, cc_id::BIGINT AS cc_id, " +
+        "count(*) OVER (PARTITION BY cc_id)::BIGINT AS cc_size FROM cc"),
     "q_graph_kcore" ->
       (s"WITH $coEdgeCte, " +
         "e0 AS MATERIALIZED (SELECT s, d FROM edges), " +

@@ -2080,6 +2080,36 @@ class OperatorsSpec extends SparkSpec {
     assert(all.length > forest.length, "corpus graph has no cycle — the law tests nothing")
   }
 
+  test("Graph.ccLsls: a 64-node chain (diameter 63) converges in O(log n) rounds; corpus partition matches union-find") {
+    import spark.implicits._
+    // the algorithm's reason to exist: min-label propagation needs
+    // diameter rounds (63 here); star contraction must land in the
+    // log² budget — the 12-round default — or the claim is hollow
+    val chain = (1L until 64L).map(i => (i + 1, i)).toDF("hi", "lo")
+    val (fix, rounds) = Graph.lslsContract(chain, rounds = 12)
+    assert(rounds <= 12, s"chain took $rounds rounds")
+    val stars = fix.collect().map(r => (r.getAs[Long]("hi"), r.getAs[Long]("lo")))
+    assert(stars.toSet === (2L to 64L).map(v => (v, 1L)).toSet,
+      "fixpoint is not the single star centred on the component minimum")
+
+    // corpus law at sf: the emitted partition equals an independent
+    // union-find over the same guarded edge relation, sizes included
+    val ev = Tables.events(spark, sf)
+    val all = Graph.covisitEdges(ev).collect()
+      .map(r => (r.getAs[Int]("m1").toLong, r.getAs[Int]("m2").toLong))
+    val nodes = all.flatMap(e => Seq(e._1, e._2)).distinct
+    val p = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = { if (p(x) != x) p(x) = find(p(x)); p(x) }
+    all.foreach { case (a, b) => p(find(a)) = find(b) }
+    val want = nodes.groupBy(find).map { case (_, ns) =>
+      val mn = ns.min; ns.map(n => (n, mn, ns.size.toLong)).toSet
+    }.toSet.flatten
+    val got = Graph.ccLsls(ev).collect()
+      .map(r => (r.getAs[Long]("m"), r.getAs[Long]("cc_id"),
+        r.getAs[Long]("cc_size"))).toSet
+    assert(got === want)
+  }
+
   test("TextOps.featureHash: matches an independent recompute via the composed hash") {
     import spark.implicits._
     val docs = Seq((1L, "alpha alpha alpha beta"), (2L, "gamma delta gamma"),
