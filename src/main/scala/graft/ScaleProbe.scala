@@ -41,7 +41,12 @@ object ScaleProbe {
     "q_knn_graph" -> ((s, d) =>
       graft.operators.Similarity.knnCandidatePairs(Tables.embeddings(s, d)).count()),
     "q_dedup_minhash_lsh" -> ((s, d) =>
-      graft.operators.Dedup.lshCandidatePairs(Tables.documents(s, d)).count()))
+      graft.operators.Dedup.lshCandidatePairs(Tables.documents(s, d)).count()),
+    // the star-contraction input: covisit pair density grows with
+    // per-(merchant, hour) cell occupancy², so the decade's shuffle
+    // excess over 10× must track THIS count, not the row count
+    "q_graph_cc" -> ((s, d) =>
+      graft.operators.Graph.covisitEdges(Tables.events(s, d)).count()))
 
   /** All physical nodes, descending into AQE stages and reuse. */
   private def nodes(p: SparkPlan): Seq[SparkPlan] = {
