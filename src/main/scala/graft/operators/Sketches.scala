@@ -77,10 +77,18 @@ object Sketches {
     * when the target lands exactly on a bin boundary); interpolation
     * divides identical doubles. Output truncated at 4 decimals. */
   def approxQuantiles(orders: DataFrame, qs: Seq[Double] = Seq(0.5, 0.9, 0.99),
-      binW: Double = 64.0): DataFrame = {
-    val bins = orders
+      binW: Double = 64.0): DataFrame =
+    quantileFromBins(orders
       .groupBy(floor(col("o_totalprice") / binW).cast("long").as("bin"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")), qs, binW)
+
+  /** The estimate read-back over a finalized (bin, cnt) histogram —
+    * cumulative window, target rank, in-bin interpolation — factored
+    * so the batch sketch and the streaming histogram state
+    * ([[graft.streaming.Streaming.streamQuantile]]) evaluate through
+    * ONE code path (the [[hllEstimate]] discipline). */
+  private[graft] def quantileFromBins(bins: DataFrame, qs: Seq[Double],
+      binW: Double): DataFrame = {
     // the cumulative window runs over |bins| rows (thousands), never the
     // input — a single-partition window over a post-agg relation
     val cum = bins

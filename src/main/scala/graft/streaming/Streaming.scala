@@ -87,6 +87,11 @@ final case class CmsCell(i: Int, bucket: Long, c: Long)
   * update — together the registers ARE the HyperLogLog sketch. */
 final case class HllReg(metric: String, reg: Long, mx: Long)
 
+/** One finalized [[Streaming.streamQuantile]] histogram cell, emitted
+  * exactly once per value bin when the watermark passes its last
+  * update — together the cells ARE the quantile histogram. */
+final case class QBin(bin: Long, cnt: Long)
+
 /** One (event_type → history totals) entry of a user's pre-cutoff
   * batch ledger, carried into [[Streaming.streamLedgerInit]]'s initial
   * state (sorted array, so the seed is deterministic). */
@@ -2000,6 +2005,87 @@ object Streaming {
     }
   }
 
+  /** Streaming histogram-quantile sketch — the ONLINE half of
+    * [[graft.operators.Sketches.approxQuantiles]]: per-bin counters
+    * maintained as `transformWithState` state (counter ADDITION — the
+    * CMS merge shape, so micro-batch arrival order cannot change the
+    * final histogram), finalized cells evaluated through the batch
+    * operator's own cumulative-window + in-bin-interpolation read-back
+    * ([[graft.operators.Sketches.quantileFromBins]], SHARED code).
+    * Unlike a streaming GK/KLL sketch, the fixed-width histogram is
+    * merge-order-deterministic AND oracle-checkable bit-for-bit.
+    *
+    * State is one running count per OCCUPIED value bin — O(value
+    * range / binW) keys, a property of the VALUE DISTRIBUTION, never
+    * of stream length or distinct-event count (the per-event exact
+    * percentile keeps the whole column; at 100 TB that is a global
+    * sort vs a few-hundred-cell grid). The bin id is integer cent
+    * math in-plan (`cents div` — codegen'd before the shuffle, and
+    * exactly `floor(value/binW)` because the corpus defines cents =
+    * floor(value·100 + 0.5)); sentinel rows KEY-REMAP to bin −1
+    * (their mid-band cents would land in a real bin) and drop at
+    * read-back. */
+  def streamQuantile(spark: SparkSession, dir: String,
+      watermarkMin: Long = 10L, qs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      binW: Double = 64.0): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, StatefulProcessor,
+      TimeMode, TimerValues, TTLConfig}
+    val binWc = math.round(binW * 100) // cents per bin; 64.00 dollars
+    withRocksDb(spark) {
+      val bins = replay(spark, dir, in => in
+        .select(col("timestamp"),
+          when(col("event_type") === "__sentinel__", lit(-1L))
+            .otherwise(expr(s"cents div $binWc")).as("bin"))
+        .withWatermark("timestamp", s"$watermarkMin minutes")
+        .as[(java.sql.Timestamp, Long)]
+        .groupByKey(_._2)
+        .transformWithState(
+          new StatefulProcessor[Long, (java.sql.Timestamp, Long), QBin] {
+            @transient private var cnt: org.apache.spark.sql.streaming.ValueState[Long] = _
+            @transient private var tmr: org.apache.spark.sql.streaming.ValueState[Long] = _
+            override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+              cnt = getHandle.getValueState[Long]("cnt",
+                org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+              tmr = getHandle.getValueState[Long]("tmr",
+                org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+            }
+            override def handleInputRows(bin: Long,
+                rows: Iterator[(java.sql.Timestamp, Long)],
+                timerValues: TimerValues): Iterator[QBin] = {
+              var hi = Long.MinValue
+              var add = 0L
+              rows.foreach { case (ts, _) =>
+                add += 1L; hi = math.max(hi, ts.getTime)
+              }
+              cnt.update((if (cnt.exists()) cnt.get() else 0L) + add)
+              if (hi != Long.MinValue) {
+                val prev = if (tmr.exists()) tmr.get() else Long.MinValue
+                val next = math.max(prev, hi + 1L)
+                if (next != prev) {
+                  if (prev != Long.MinValue) getHandle.deleteTimer(prev)
+                  getHandle.registerTimer(next)
+                  tmr.update(next)
+                }
+              }
+              Iterator.empty
+            }
+            override def handleExpiredTimer(bin: Long, timerValues: TimerValues,
+                expiredTimerInfo: ExpiredTimerInfo): Iterator[QBin] = {
+              val out =
+                if (cnt.exists()) Iterator.single(QBin(bin, cnt.get()))
+                else Iterator.empty
+              cnt.clear(); tmr.clear()
+              out
+            }
+          },
+          TimeMode.EventTime(), OutputMode.Append())
+        .toDF())
+        .filter(col("bin") >= 0L)
+      graft.operators.Sketches.quantileFromBins(bins, qs, binW)
+    }
+  }
+
   /** The batch AML structuring rule (`q_aml_structuring`) as a LIVE
     * streaming detector: sub-threshold band filter → per (user, day
     * window) count/sum → flag when both trip. Same thresholds, same
@@ -2509,6 +2595,7 @@ object Streaming {
     "q_stream_kmv" -> ((s, d) => streamKmv(s, d)),
     "q_stream_cms" -> ((s, d) => streamCms(s, d)),
     "q_stream_hll" -> ((s, d) => streamHll(s, d)),
+    "q_stream_quantile" -> ((s, d) => streamQuantile(s, d)),
     "q_stream_rate_limit" -> ((s, d) => streamRateLimit(s, d)),
     "q_stream_funnel" -> ((s, d) => streamFunnel(s, d)),
     "q_stream_funnel_tws" -> ((s, d) => streamFunnelTws(s, d)),
@@ -2648,6 +2735,18 @@ object Streaming {
     // must reconstruct the identical sketch
     "q_stream_cms" -> graft.operators.Sketches.oracleSql("q_cms_heavy_hitters"),
     "q_stream_hll" -> graft.operators.Sketches.oracleSql("q_hll_distinct"),
+    // the batch quantile oracle's shape over the stream corpus's exact
+    // cent bins (cents = floor(value·100 + 0.5), the ReplayCorpus law)
+    "q_stream_quantile" ->
+      ("WITH bins AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) // 6400 AS bin, " +
+        "count(*) cnt FROM events GROUP BY 1), " +
+        "c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin)::BIGINT cum, " +
+        "sum(cnt) OVER ()::BIGINT total FROM bins), " +
+        "p AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) p), " +
+        "t AS (SELECT p, total, bin, cnt, cum, p * total target FROM c CROSS JOIN p) " +
+        "SELECT p, total AS n_total, bin, " +
+        "floor((bin * 64.0 + (target - (cum - cnt))::DOUBLE / cnt * 64.0) * 10000) / 10000 AS est " +
+        "FROM t WHERE cum >= target AND (cum - cnt) < target"),
     "q_stream_replay" -> tumblingOracle,
     "q_stream_dp" ->
       ("WITH sdh AS (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS win_start_ms, " +

@@ -946,6 +946,43 @@ class StreamingSpec extends SparkSpec {
       s"peak state ${peaks.max} rows vs metrics*m grid $grid")
   }
 
+  test("streamQuantile: streamed histogram evaluates to the batch read-back; state O(occupied bins), not O(events)") {
+    import org.apache.spark.sql.functions._
+    val peaks = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val ops = e.progress.stateOperators
+        if (ops != null && ops.nonEmpty) peaks += ops.map(_.numRowsTotal).sum
+        ()
+      }
+    }
+    spark.streams.addListener(l)
+    val got = try Streaming.streamQuantile(spark, sf)
+      finally spark.streams.removeListener(l)
+    // the streamed cells must evaluate exactly as a batch histogram
+    // over the same cent bins through the SAME shared read-back
+    val batchBins = Tables.events(spark, sf)
+      .select((floor(col("value") * 100 + 0.5).cast("long") / 6400L)
+        .cast("long").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+    val want = graft.operators.Sketches.quantileFromBins(
+      batchBins, Seq(0.5, 0.9, 0.99), 64.0)
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    assert(got.count() === 3)
+    // the histogram claim: state keys are occupied value bins (+
+    // sentinel), a property of the value range — never O(events)
+    val nBins = batchBins.count()
+    assert(peaks.nonEmpty, "listener saw no stateful progress")
+    assert(peaks.max <= 3L * (nBins + 1L),
+      s"peak state ${peaks.max} rows vs ${nBins} occupied bins")
+  }
+
   test("streamLedgerInit: warm-started ledger equals the full-corpus totals; the batch/stream seam is invisible") {
     import org.apache.spark.sql.functions._
     val got = Streaming.streamLedgerInit(spark, sf)
