@@ -189,6 +189,54 @@ object Dedup {
     result
   }
 
+  /** Sorted-neighborhood dedup (Hernández & Stolfo 1995, the classic
+    * SORT-based blocking next to [[minhashLsh]]'s hash-based banding):
+    * normalize, sort the corpus by the normalized text, and verify
+    * only pairs within `w` positions of each other — near-identical
+    * records sort adjacent, so the candidate set is O(n·w) BY
+    * CONSTRUCTION (a fixed linear bound, where LSH's candidate count
+    * is a property of band-collision density; the two blockers also
+    * miss different pairs, which is why production linkage stacks run
+    * both). Runs over the [[graft.operators.TextOps.perturbed]] messy
+    * corpus — every original sorts adjacent to its normalized-identical
+    * copy and must surface at Jaccard 1.
+    *
+    * Scale shape: THE SORT IS THE SHUFFLE — the global order comes
+    * from [[ScaleOps.globalRankLazy]]'s two-phase rank (range exchange
+    * + partition-local row_number + broadcast offsets), never a
+    * one-task window; neighbours then pair by an exact equi-join on
+    * position (rank + exploded offset 1..w — no range self-join, no
+    * cartesian). Only ids and positions ride the pair join; the
+    * document-sized shingle payloads attach per-doc afterwards (the
+    * [[minhashLsh]] candidate-only discipline). */
+  def dedupSnm(docs: DataFrame, w: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val norm = graft.operators.TextOps.perturbed(docs)
+      .select(col("doc_id"), graft.operators.TextOps.normalize(col("text")).as("nt"))
+    val (ranked, cache) = ScaleOps.globalRankLazy(
+      norm, Seq(col("nt"), col("doc_id")))
+    val slim = ranked.select(col("doc_id"), col("pos"))
+    val cand = slim.select(col("doc_id").as("a_id"), col("pos"))
+      .withColumn("off", explode(array((1 to w).map(i => lit(i.toLong)): _*)))
+      .withColumn("bpos", col("pos") + col("off"))
+      .join(slim.select(col("doc_id").as("b_id"), col("pos").as("bpos")), "bpos")
+      .select(col("a_id"), col("b_id"))
+    val sets = ranked
+      .select(col("doc_id"), array_distinct(shingles(tokens(col("nt")))).as("sd"))
+      .filter(size(col("sd")) > 0) // <3-token docs have no 3-shingles
+      .persist() // two join arms below
+    val result = cand
+      .join(sets.select(col("doc_id").as("a_id"), col("sd").as("sda")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("sd").as("sdb")), "b_id")
+      .withColumn("jac", jaccard(col("sda"), col("sdb")))
+      .filter(col("jac") >= threshold)
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        trunc4(col("jac")).as("jaccard"))
+      .localCheckpoint(true) // verified pairs ≪ corpus; releases caches
+    sets.unpersist(); cache.unpersist()
+    result
+  }
+
   /** 60-bit SimHash per doc, computed relationally so the hot loop
     * stays in whole-stage codegen: explode tokens → codegen'd hash60 →
     * one hash-aggregate with 60 map-side-combined bit sums
@@ -939,6 +987,7 @@ object Dedup {
     "q_dedup_exact" -> ((s, d) => exact(Tables.documents(s, d))),
     "q_dedup_band_tuning" -> ((s, d) => bandTuning(Tables.documents(s, d))),
     "q_dedup_minhash_lsh" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
+    "q_dedup_snm" -> ((s, d) => dedupSnm(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => simhashFingerprints(Tables.documents(s, d))),
     "q_dedup_simhash_pairs" -> ((s, d) => simhashPairs(Tables.documents(s, d))),
     "q_dedup_ngram_topk" -> ((s, d) => ngramTopK(Tables.documents(s, d), Seq(0L, 8L, 285L))),
@@ -1084,6 +1133,22 @@ object Dedup {
     "q_dedup_minhash_lsh" ->
       (sigCte + pairsCte +
         " SELECT a_id, b_id, floor(jac * 10000) / 10000 AS jaccard FROM pairs"),
+    // the perturbed+normalized corpus CTE is TextOps.pertCte VERBATIM
+    // (shared, not copied); ranks replay the (nt, doc_id) total order
+    "q_dedup_snm" ->
+      (graft.operators.TextOps.pertCte +
+        ", r AS (SELECT doc_id, nt, row_number() OVER (ORDER BY nt, doc_id) rn FROM norm), " +
+        "cand AS (SELECT a.doc_id a_id, b.doc_id b_id FROM r a " +
+        "JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4), " +
+        "tk AS (SELECT doc_id, string_split(nt, ' ') tok FROM norm), " +
+        "sd AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tok)-1), " +
+        "i -> tok[i]||' '||tok[i+1]||' '||tok[i+2])) sd FROM tk), " +
+        "j AS (SELECT a_id, b_id, len(list_intersect(x.sd, y.sd))::DOUBLE / " +
+        "(len(x.sd) + len(y.sd) - len(list_intersect(x.sd, y.sd))) jac " +
+        "FROM cand JOIN sd x ON cand.a_id = x.doc_id AND len(x.sd) > 0 " +
+        "JOIN sd y ON cand.b_id = y.doc_id AND len(y.sd) > 0) " +
+        "SELECT least(a_id, b_id)::BIGINT a_id, greatest(a_id, b_id)::BIGINT b_id, " +
+        "floor(jac * 10000) / 10000 AS jaccard FROM j WHERE jac >= 0.5"),
     "q_dedup_clusters" ->
       (sigCte.replaceFirst("WITH ", "WITH RECURSIVE ") + pairsCte + closureCte +
         " SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node"),

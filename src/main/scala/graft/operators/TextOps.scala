@@ -2030,7 +2030,7 @@ object TextOps {
   /** The perturbed corpus + normalization, as SQL (DuckDB regexp_replace
     * needs the 'g' flag — it is first-match-only by default, unlike
     * Spark's). */
-  private val pertCte =
+  private[graft] val pertCte =
     "WITH pert AS (SELECT doc_id, text FROM documents UNION ALL " +
       s"SELECT doc_id + $PerturbOffset, CASE WHEN doc_id % 3 = 0 THEN upper(text) || '!!' " +
       "WHEN doc_id % 3 = 1 THEN replace(text, ' ', '  ') " +

@@ -2110,6 +2110,45 @@ class OperatorsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("Dedup.dedupSnm: hand-traced window pairs; every unique-text original pairs with its perturbed copy at 1.0") {
+    import spark.implicits._
+    val P = graft.operators.TextOps.PerturbOffset
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "unrelated text entirely here"),
+      (3L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val got = Dedup.dedupSnm(docs).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("jaccard"))).toSet
+    // sorted normalized order: 1, 1+P, 3, 3+P, 2, 2+P — doc 2's text is
+    // outside every window-mate's 0.5 Jaccard, docs 1/3 overlap at 2/3
+    assert(got === Set(
+      (1L, 1L + P, 1.0), (3L, 3L + P, 1.0), (2L, 2L + P, 1.0),
+      (1L, 3L, 0.6666), (1L, 3L + P, 0.6666),
+      (3L, 1L + P, 0.6666), (1L + P, 3L + P, 0.6666)))
+
+    // corpus law: a doc whose normalized text is unique in the corpus
+    // sorts EXACTLY adjacent to its perturbed copy — the pair must
+    // surface at Jaccard 1.0 (normalization provably restores it)
+    val corpus = Tables.documents(spark, sf)
+    val nt = corpus.select(col("doc_id"),
+      graft.operators.TextOps.normalize(col("text")).as("nt"))
+    val unique = nt.withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("nt"))))
+      .filter(col("n") === 1 && size(split(col("nt"), " ")) >= 3)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(unique.nonEmpty, "no unique-text docs — the law tests nothing")
+    val pairs = Dedup.dedupSnm(corpus).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("jaccard")))
+    val exactPairs = pairs.filter(p => p._3 === 1.0)
+      .map(p => (p._1, p._2)).toSet
+    unique.foreach { d =>
+      assert(exactPairs.contains((d, d + P)),
+        s"unique-text doc $d did not pair with its perturbed copy")
+    }
+  }
+
   test("TextOps.featureHash: matches an independent recompute via the composed hash") {
     import spark.implicits._
     val docs = Seq((1L, "alpha alpha alpha beta"), (2L, "gamma delta gamma"),
