@@ -2082,6 +2082,14 @@ object Streaming {
           TimeMode.EventTime(), OutputMode.Append())
         .toDF())
         .filter(col("bin") >= 0L)
+        // merge the finalized cells per bin before the read-back — the
+        // counter-addition merge (a no-op on this replay's one-row-per-bin
+        // output, so the result is unchanged) and the aggregate the
+        // cumulative window must sit on: quantileFromBins' global window
+        // is only scale-legal over a collapsed (binned) relation, which
+        // the batch sibling gets from its own groupBy and the streamed
+        // read-back must re-establish (ScaleSpec's global-window sweep)
+        .groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
       graft.operators.Sketches.quantileFromBins(bins, qs, binW)
     }
   }
