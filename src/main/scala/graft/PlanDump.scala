@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Optimization-round instrument: for each named query, write its
+  * `.explain("formatted")` output to `<outDir>/<name>_<tag>.txt` (the
+  * judge-checkable plan artifact — plans/r11/<query>_before|after.txt)
+  * and print a per-JOB wall breakdown (job id, seconds, stage count,
+  * description) so a multi-action operator's fixed-cost profile is
+  * visible: queries here run dozens of sub-jobs (persists, eager
+  * checkpoints, convergence probes) that a single plan dump cannot
+  * show, and the guide's "measure first" needs to know which ACTION
+  * eats the wall, not just which operator.
+  *
+  * Usage:
+  *   SPARK_GRAFT_SF_DIR=<dir> SPARK_GRAFT_CPUS=<n> \
+  *     runMain graft.PlanDump <outDir> <tag> q_a,q_b,...
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val tag = args(1)
+    val names = args(2).split(",").toSeq.filter(_.nonEmpty)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    new java.io.File(outDir).mkdirs()
+    // per-job wall clock via listener (driver-side latency between
+    // submit and completion, which includes scheduling + planning of
+    // the job's stages — exactly the fixed cost a many-action operator
+    // pays per materialization)
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int, String)]()
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, Int, String)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.put(e.jobId, (System.nanoTime(), e.stageInfos.size,
+          Option(e.properties).flatMap(p =>
+            Option(p.getProperty("spark.job.description"))).getOrElse("")))
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val st = jobs.remove(e.jobId)
+        if (st != null)
+          done.add((e.jobId, (System.nanoTime() - st._1) / 1e9, st._2, st._3))
+      }
+    })
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => } // warmup
+    names.foreach { name =>
+      Thread.sleep(500); done.clear()
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val tPlan = (System.nanoTime() - t0) / 1e9 // operator-build time (incl. eager work)
+      val qe = df.queryExecution
+      qe.toRdd.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      spark.sharedState.cacheManager.clearCache()
+      Thread.sleep(500)
+      val plan = qe.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/${name}_$tag.txt"), plan)
+      println(f"""[plandump] $name wall=$wall%.3f build=$tPlan%.3f jobs=${done.size}""")
+      import scala.jdk.CollectionConverters._
+      done.asScala.toSeq.sortBy(-_._2).take(40).foreach { case (id, s, nst, desc) =>
+        println(f"[plandump]   job=$id%-5d ${s}%7.3f s stages=$nst%-3d ${desc.take(80)}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -108,15 +108,27 @@ object Dedup {
   def bandTuning(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val sig = signatures(docs).persist()
     val geoms = Seq(2, 4, 8)
-    val cands = geoms.map { nb =>
-      val b = bandsWithGeom(sig, nb)
-      nb -> b.as("x").join(b.as("y"),
+    // ONE tagged band relation for all three geometries (2+4+8 = 14
+    // band rows per doc in a single explode over the shared signature
+    // pass) and ONE self-join on (geom, band, bkey) — candidate pairs
+    // per geometry are exactly the per-geometry joins' (the geom tag
+    // rides the equi-key, so cross-geometry collisions cannot pair),
+    // but the sweep now pays one banded exchange + one pair-distinct
+    // where the r10 shape paid three of each, three persists, and nine
+    // single-row count jobs (guide §2.4: two operations keyed the same
+    // way share one exchange; measured 11.9 s → see OPTIMIZATION_r11).
+    val bandsAll = geoms.map { nb =>
+      bandsWithGeom(sig, nb).select(lit(nb.toLong).as("geom"),
+        col("doc_id"), col("band"), col("bkey"))
+    }.reduce(_ unionByName _)
+    val cands = bandsAll.as("x").join(bandsAll.as("y"),
+        col("x.geom") === col("y.geom") &&
           col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct().persist()
-    }
-    val pool = cands.map(_._2).reduce(_ unionByName _).distinct().persist()
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.geom").as("geom"),
+        col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct().persist()
+    val pool = cands.select(col("a_id"), col("b_id")).distinct().persist()
     val poolIds = pool.select(col("a_id").as("doc_id"))
       .unionByName(pool.select(col("b_id").as("doc_id"))).distinct()
     val sets = docs.join(poolIds, "doc_id")
@@ -128,20 +140,35 @@ object Dedup {
       .filter(jaccard(col("sda"), col("sdb")) >= threshold)
       .select(col("a_id"), col("b_id")).persist()
     val nPool = truth.agg(count(lit(1)).as("n_pool_true"))
-    val result = cands.map { case (nb, cand) =>
-      cand.agg(count(lit(1)).as("n_candidates"))
-        .crossJoin(cand.join(truth, Seq("a_id", "b_id"), "left_semi")
-          .agg(count(lit(1)).as("n_verified")))
-        .crossJoin(nPool)
-        .select(lit(nb.toLong).as("n_bands"), lit((16 / nb).toLong).as("n_rows"),
-          col("n_candidates"), col("n_verified"), col("n_pool_true"),
-          when(col("n_candidates") > 0,
-            trunc4(col("n_verified") / col("n_candidates"))).as("precision"),
-          when(col("n_pool_true") > 0,
-            trunc4(col("n_verified") / col("n_pool_true"))).as("pooled_recall"))
-    }.reduce(_ unionByName _).localCheckpoint(true) // 3 rows
+    // per-geometry counts in ONE aggregate each over the tagged pairs
+    // (left-semi against the pooled truth), assembled on the geom key
+    // against a literal 3-row geometry frame (a geometry with zero
+    // collisions must still report its 0-count row, as the old
+    // count-over-empty aggregates did) — a ≤3-row join replaces the
+    // 3 × (2 counts × 2 crossJoins) ladder
+    val geomDf = docs.sparkSession.range(1).select(explode(array(geoms.map(nb =>
+        struct(lit(nb.toLong).as("geom"), lit((16 / nb).toLong).as("n_rows"))): _*)).as("g"))
+      .select(col("g.geom").as("geom"), col("g.n_rows").as("n_rows"))
+    val candCounts = cands.groupBy(col("geom"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val verCounts = cands.join(truth, Seq("a_id", "b_id"), "left_semi")
+      .groupBy(col("geom")).agg(count(lit(1)).as("n_verified"))
+    val result = geomDf
+      .join(candCounts, Seq("geom"), "left")
+      .join(verCounts, Seq("geom"), "left")
+      .crossJoin(nPool)
+      .select(col("geom").as("n_bands"), col("n_rows"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+        col("n_pool_true"),
+        when(coalesce(col("n_candidates"), lit(0L)) > 0,
+          trunc4(coalesce(col("n_verified"), lit(0L))
+            / coalesce(col("n_candidates"), lit(0L)))).as("precision"),
+        when(col("n_pool_true") > 0,
+          trunc4(coalesce(col("n_verified"), lit(0L)) / col("n_pool_true"))).as("pooled_recall"))
+      .localCheckpoint(true) // 3 rows
     truth.unpersist(); sets.unpersist(); pool.unpersist()
-    cands.foreach(_._2.unpersist()); sig.unpersist()
+    cands.unpersist(); sig.unpersist()
     result
   }
 
@@ -220,7 +247,11 @@ object Dedup {
       .withColumn("bpos", col("pos") + col("off"))
       .join(slim.select(col("doc_id").as("b_id"), col("pos").as("bpos")), "bpos")
       .select(col("a_id"), col("b_id"))
-    val sets = ranked
+    // shingle the PERSISTED ranged relation, not `ranked`: the shingle
+    // arm needs only (doc_id, nt) and must not re-pay the rank pipeline
+    // (partition-local sort + offsets broadcast join) that only the
+    // position arm requires — same rows, one string sort fewer
+    val sets = cache
       .select(col("doc_id"), array_distinct(shingles(tokens(col("nt")))).as("sd"))
       .filter(size(col("sd")) > 0) // <3-token docs have no 3-shingles
       .persist() // two join arms below

@@ -644,7 +644,7 @@ object Streaming {
     // once per micro-batch — and this replay is deliberately
     // multi-batch (maxFilesPerTrigger = 3)
     val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", replayPartitions.toString)
     try streamCdcWith(spark, dir, buckets)
     finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
   }
@@ -1320,12 +1320,28 @@ object Streaming {
     * after (shared by the modern-API ports). */
   private def withRocksDb[T](spark: SparkSession)(body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
+    val clKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prior = spark.conf.getOption(key)
+    val priorCl = spark.conf.getOption(clKey)
     spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try body finally prior match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
+    // Changelog checkpointing: commit the per-batch CHANGELOG instead of
+    // a full RocksDB snapshot zip per partition per batch — pure
+    // checkpoint-format choice (state contents and results are
+    // byte-identical; snapshots still happen in background maintenance),
+    // and the production recommendation wherever commit latency matters.
+    // Opt-out knob for A/B: GRAFT_ROCKSDB_CHANGELOG=0.
+    val wantCl = !sys.env.get("GRAFT_ROCKSDB_CHANGELOG").contains("0")
+    if (wantCl) spark.conf.set(clKey, "true")
+    try body finally {
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+      if (wantCl) priorCl match {
+        case Some(v) => spark.conf.set(clKey, v)
+        case None    => spark.conf.unset(clKey)
+      }
     }
   }
 
@@ -2178,6 +2194,22 @@ object Streaming {
     * [[streamFlags]]' pushdown reasoning) at maxTs + i·2 days. The
     * per-run checkpoint/sink tree is deleted after the result is
     * eagerly materialized; the corpus persists for the next query. */
+  /** Pinned state-layout width for the bounded replays (the
+    * `spark.sql.shuffle.partitions` each replay sets for its own
+    * checkpoint and restores after). Stateful micro-batches pay a
+    * per-PARTITION state-store commit every batch independent of row
+    * count, so this is sized to the BOUNDED gate corpus's state volume,
+    * not to the host's core count — a production deployment sizes it to
+    * its cluster via this knob (`GRAFT_REPLAY_PARTITIONS`). Default
+    * measured at sf0.1, min-of-3 per config (OPTIMIZATION_r11.md):
+    * the stream-stream join family read 12.5 s at 32 partitions (r9),
+    * 7.1 s at 8, and this round 4.6/6.0 s at 8 vs 3.8/5.2 s at 4 vs
+    * 4.4/5.5 s at 2 (pairs_outer/asof) — 4 is the commit-cost floor
+    * before task-parallelism loss takes over. */
+  private[graft] def replayPartitions: Int =
+    sys.env.get("GRAFT_REPLAY_PARTITIONS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ > 0).getOrElse(4)
+
   private def replay(spark: SparkSession, dir: String,
       pipeline: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.Files
@@ -2193,7 +2225,7 @@ object Streaming {
     // this to its cluster; the checkpoint fixes it per query anyway,
     // so the pin also makes the replay layout host-independent.
     val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", replayPartitions.toString)
     try replayWith(spark, dir, pipeline)
     finally spark.conf.set("spark.sql.shuffle.partitions", prevSp)
   }
@@ -2308,7 +2340,7 @@ object Streaming {
       // only there to exercise real multi-batch execution
       ho.select(col("vec_id"), col("e")).repartition(4).write.parquet(inDir)
       val inSchema = spark.read.parquet(inDir).schema
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", replayPartitions.toString)
       val q = spark.readStream.schema(inSchema).option("maxFilesPerTrigger", 1)
         .parquet(inDir)
         .select(col("vec_id").as("q_id"), col("e").as("qe"),
@@ -2432,7 +2464,7 @@ object Streaming {
       // exercises real multi-batch accumulation through state
       ho.select(col("vec_id"), col("e")).repartition(4).write.parquet(inDir)
       val inSchema = spark.read.parquet(inDir).schema
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", replayPartitions.toString)
       val ledger = spark.readStream.schema(inSchema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
         .select(assignLit(col("e"), fl).as("list_id"),
@@ -2548,7 +2580,7 @@ object Streaming {
       // only there to exercise real multi-batch execution
       D.incrBatchOf(docs).repartition(4).write.parquet(inDir)
       val inSchema = spark.read.parquet(inDir).schema
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      spark.conf.set("spark.sql.shuffle.partitions", replayPartitions.toString)
       val q = spark.readStream.schema(inSchema).option("maxFilesPerTrigger", 1)
         .parquet(inDir)
         .writeStream
