@@ -48,8 +48,12 @@ object PlanDump {
       }
     })
     try SparkEntry.entry(spark).count() catch { case _: Throwable => } // warmup
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
     names.foreach { name =>
       Thread.sleep(500); done.clear()
+      val gc0 = gcMs
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       val tPlan = (System.nanoTime() - t0) / 1e9 // operator-build time (incl. eager work)
@@ -62,8 +66,7 @@ object PlanDump {
         org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"$outDir/${name}_$tag.txt"), plan)
-      println(f"""[plandump] $name wall=$wall%.3f build=$tPlan%.3f jobs=${done.size}""")
-      import scala.jdk.CollectionConverters._
+      println(f"""[plandump] $name wall=$wall%.3f build=$tPlan%.3f jobs=${done.size} gc_ms=${gcMs - gc0}""")
       done.asScala.toSeq.sortBy(-_._2).take(40).foreach { case (id, s, nst, desc) =>
         println(f"[plandump]   job=$id%-5d ${s}%7.3f s stages=$nst%-3d ${desc.take(80)}")
       }

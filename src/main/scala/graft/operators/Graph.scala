@@ -399,6 +399,11 @@ object Graph {
         // label-halving hops reach every root; the oracle's fixed
         // unroll runs more — extra hops past the fixpoint are no-ops,
         // so both engines land on identical roots
+        // (r11 A/B note: composing hops between rebases — rebase every
+        // 2nd hop — was measured SLOWER at sf0.1 (min-of-3 5.31 s vs
+        // 4.78 s): the self-join composition computes the previous hop
+        // twice and doubles its exchanges, costing more than the saved
+        // materializations. Kept per-hop rebase deliberately.)
         val nc = p.count()
         val needed = math.min(jumps,
           64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nc - 1)) + 1)
@@ -494,7 +499,14 @@ object Graph {
     var done = false
     while (r < rounds && !done) {
       val next = rebase(smallStar(largeStar(edges)))
-      done = next.exceptAll(edges).isEmpty && edges.exceptAll(next).isEmpty
+      // set equality in ONE aggregate pass: both sides are DISTINCT
+      // (hi, lo) sets, so old == new ⟺ every pair appears exactly twice
+      // in their union — one map-side-combined groupBy job where the
+      // two-directional exceptAll fixpoint test paid two join-shaped
+      // jobs per round (guide §2.4: don't run two passes for one
+      // question)
+      done = next.unionByName(edges).groupBy(col("hi"), col("lo"))
+        .agg(count(lit(1)).as("c2")).filter(col("c2") =!= 2L).isEmpty
       edges = next
       r += 1
     }

@@ -289,16 +289,32 @@ object ScaleOps {
     * Returns (ranked relation with `posCol`, the persisted ranged
     * relation) — the caller unpersists the latter once the former is
     * materialized. */
-  def globalRankLazy(df: DataFrame, order: Seq[Column], parts: Int = 32,
+  def globalRankLazy(df: DataFrame, order: Seq[Column], parts: Int = 0,
       posCol: String = "pos"): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
+    // Scale-adaptive range width (r11, guide §2): the old constant 32
+    // was tuned for neither regime — 32 one-task-minimum partitions of
+    // overhead on a megabyte corpus, and a catastrophic 32-way sort of
+    // a 100 TB relation. Derive from the optimizer's size estimate at
+    // ~64 MB per range partition, floored at 8 (parallelism for the
+    // partition-local sorts) and capped at 4× the cluster parallelism
+    // (the AQE-profile headroom rule); `pos` is partitioning-invariant
+    // by the operator's own law, so the result is unchanged for any
+    // width. Callers can still pin an explicit width.
+    val nParts = if (parts > 0) parts else {
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val byBytes = ((bytes + (64L << 20) - 1) / (64L << 20))
+        .min(BigInt(Int.MaxValue)).toInt
+      math.max(8, math.min(byBytes,
+        4 * df.sparkSession.sparkContext.defaultParallelism))
+    }
     // persisted: the ranked branch and the offsets branch both read it,
     // and WITHOUT the cache Catalyst column-prunes the two branches
     // differently below the range exchange, defeating exchange reuse —
     // the range shuffle would run twice (measured; AQE stage reuse
     // does not fire across the differently-pruned subtrees). Caller
     // unpersists after materializing the result.
-    val ranged = df.repartitionByRange(parts, order: _*)
+    val ranged = df.repartitionByRange(nParts, order: _*)
       .withColumn("_gr_pid", spark_partition_id())
       .persist()
     val local = ranged.withColumn("_gr_lrn",

@@ -2177,6 +2177,28 @@ object Streaming {
       })
   }
 
+  /** Shared staged holdout-vector corpus (the [[ReplayCorpus]]
+    * discipline for the embedding-stream queries): the 1-in-7 holdout
+    * slice both [[streamDecontam]] and [[streamIvfIncr]] replay is the
+    * IDENTICAL deterministic projection of `embeddings.parquet`
+    * (vec_id, e, 4 hash-split files), so it is staged ONCE per sf-dir
+    * and reused — input staging only, never computed results: training
+    * (centroids, capped index) still runs per query from the parquet
+    * inputs. Deleted by a JVM shutdown hook. */
+  private object HoldoutCorpus {
+    private val cache = scala.collection.concurrent.TrieMap[String, String]()
+    def get(spark: SparkSession, dir: String): String =
+      cache.getOrElseUpdate(dir, {
+        val root = java.nio.file.Files.createTempDirectory("graft-ho-corpus")
+        sys.addShutdownHook { rmTree(new java.io.File(root.toString)) }
+        val inDir = s"$root/in"
+        graft.operators.Similarity.withEmbD(graft.Tables.embeddings(spark, dir))
+          .filter(pmod(col("vec_id"), lit(7L)) === 0)
+          .select(col("vec_id"), col("e")).repartition(4).write.parquet(inDir)
+        inDir
+      })
+  }
+
   /** Bounded-replay harness shared by the driver-oracled streaming
     * queries: run `pipeline` over the shared file-source corpus with
     * `Trigger.AvailableNow` into an Append parquet sink, in TWO phases
@@ -2314,7 +2336,6 @@ object Streaming {
     val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val tr = v.filter(pmod(col("vec_id"), lit(7L)) =!= 0)
-      val ho = v.filter(pmod(col("vec_id"), lit(7L)) === 0)
       val cents = Sim.trainedCentroids(tr).localCheckpoint(true) // ≤ NList rows
       capped = tr.join(Sim.assignTo(tr, cents), "vec_id")
         .withColumn("crnk", row_number().over(Window.partitionBy(col("list_id"))
@@ -2335,10 +2356,10 @@ object Streaming {
             graft.functions.NativeVector.cosine(e, typedLit(ce))).as("qcos"),
           lit(-cid).as("ncid"))
       }: _*), asc = false), 1, Sim.NProbe)
-      val inDir = s"$root/in"; val outDir = s"$root/out"
       // batch boundaries don't affect the (stateless) result; slicing is
-      // only there to exercise real multi-batch execution
-      ho.select(col("vec_id"), col("e")).repartition(4).write.parquet(inDir)
+      // only there to exercise real multi-batch execution — the staged
+      // slice is shared with streamIvfIncr ([[HoldoutCorpus]])
+      val inDir = HoldoutCorpus.get(spark, dir); val outDir = s"$root/out"
       val inSchema = spark.read.parquet(inDir).schema
       spark.conf.set("spark.sql.shuffle.partitions", replayPartitions.toString)
       val q = spark.readStream.schema(inSchema).option("maxFilesPerTrigger", 1)
@@ -2443,7 +2464,6 @@ object Streaming {
     val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val tr = v.filter(pmod(col("vec_id"), lit(7L)) =!= 0)
-      val ho = v.filter(pmod(col("vec_id"), lit(7L)) === 0)
       val frozen = Sim.trainedCentroids(tr).localCheckpoint(true) // ≤ NList rows
       val retrained = Sim.retrainedAlignedCentroids(v, tr) // ≤ NList rows
       def lits(df: DataFrame): Array[(Int, Seq[Double])] =
@@ -2459,10 +2479,10 @@ object Streaming {
           lit(-cid).as("ncid"))
         }: _*), asc = false)(0)("ncid")
       val (fl, rl) = (lits(frozen), lits(retrained))
-      val inDir = s"$root/in"; val snapDir = s"$root/snap"
       // batch boundaries don't affect the final ledger; slicing only
-      // exercises real multi-batch accumulation through state
-      ho.select(col("vec_id"), col("e")).repartition(4).write.parquet(inDir)
+      // exercises real multi-batch accumulation through state — the
+      // staged slice is shared with streamDecontam ([[HoldoutCorpus]])
+      val inDir = HoldoutCorpus.get(spark, dir); val snapDir = s"$root/snap"
       val inSchema = spark.read.parquet(inDir).schema
       spark.conf.set("spark.sql.shuffle.partitions", replayPartitions.toString)
       val ledger = spark.readStream.schema(inSchema)
