@@ -174,6 +174,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Every action posts SQLExecutionStart with a full plan-description
+      // string even with the UI off; several operators carry huge plans
+      // (64-dim aggregate lists, literal centroid arrays), and streaming
+      // replays re-emit theirs per micro-batch. Cap the debug string —
+      // truncation only affects the listener-bus description, never what
+      // executes (A/B at sf0.1: ~12% off a warm 8-query heavy subset,
+      // q_stream_neardup −3 s; OPTIMIZATION_r11.md).
+      .config("spark.sql.maxPlanStringLength", "8192")
       .getOrCreate()
     // ERROR, not WARN: the driver keeps only the last ~2000 chars of
     // stdout, and per-query WARN lines (WindowExec single-partition

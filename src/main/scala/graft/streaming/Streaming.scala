@@ -2175,6 +2175,29 @@ object Streaming {
         shaped.repartition(8, col("user_id")).write.parquet(inDir)
         (inDir, maxRow.getTimestamp(0))
       })
+
+    /** The phase-A/B sentinel part-file, staged ONCE per (sf-dir,
+      * phase): its CONTENT depends only on the corpus's maxTs and the
+      * phase index, while the file-source only needs each query to see
+      * a NEW FILE NAME — so the 1-row parquet write (two jobs per
+      * replay query across ~28 gate queries) happens once and every
+      * query copies the bytes under its own unique name. */
+    private val sentinels =
+      scala.collection.concurrent.TrieMap[(String, Int), java.nio.file.Path]()
+    def sentinelFile(spark: SparkSession, dir: String, i: Int,
+        maxTs: java.sql.Timestamp): java.nio.file.Path =
+      sentinels.getOrElseUpdate((dir, i), {
+        import spark.implicits._
+        val ms = maxTs.getTime + i * 2L * 86400000L
+        val root = java.nio.file.Files.createTempDirectory("graft-replay-sent")
+        sys.addShutdownHook { rmTree(new java.io.File(root.toString)) }
+        val scratch = s"$root/s$i"
+        Seq((new java.sql.Timestamp(ms), ms, -i.toLong, -1L, "__sentinel__", 7500L))
+          .toDF("timestamp", "ts_ms", "event_id", "user_id", "event_type", "cents")
+          .coalesce(1).write.parquet(scratch)
+        new java.io.File(scratch).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath
+      })
   }
 
   /** Shared staged holdout-vector corpus (the [[ReplayCorpus]]
@@ -2263,14 +2286,9 @@ object Streaming {
     val root = Files.createTempDirectory("graft-replay-run")
     val outDir = s"$root/out"
     def addSentinel(i: Int): Unit = {
-      val ms = maxTs.getTime + i * 2L * 86400000L
-      val scratch = s"$root/s$i"
-      Seq((new java.sql.Timestamp(ms), ms, -i.toLong, -1L, "__sentinel__", 7500L))
-        .toDF("timestamp", "ts_ms", "event_id", "user_id", "event_type", "cents")
-        .coalesce(1).write.parquet(scratch)
-      val part = new java.io.File(scratch).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      Files.copy(part.toPath,
+      // content staged once per (dir, phase) — see ReplayCorpus.sentinelFile;
+      // only the NAME must be fresh per query for the file source
+      Files.copy(ReplayCorpus.sentinelFile(spark, dir, i, maxTs),
         new java.io.File(inDir, s"zz-sentinel-$uid-$i.parquet").toPath)
       ()
     }
