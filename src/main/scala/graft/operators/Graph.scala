@@ -477,37 +477,50 @@ object Graph {
     def sym(e: DataFrame) =
       e.select(col("hi").as("src"), col("lo").as("dst"))
         .unionByName(e.select(col("lo").as("src"), col("hi").as("dst")))
+    // NO trailing distinct (guide §2.4): its (hi, lo) exchange is
+    // redundant for the only consumer — smallStar's groupBy-min is
+    // duplicate-insensitive and the merged pass below re-distincts —
+    // so the dedup cost is paid once per round instead of twice
     def largeStar(e: DataFrame): DataFrame = {
       val adj = sym(e)
       val mins = adj.groupBy(col("src")).agg(min(col("dst")).as("mn"))
         .select(col("src"), least(col("src"), col("mn")).as("m"))
       adj.join(mins, "src").filter(col("dst") > col("src"))
         .filter(col("dst") =!= col("m"))
-        .select(col("dst").as("hi"), col("m").as("lo")).distinct()
+        .select(col("dst").as("hi"), col("m").as("lo"))
     }
-    def smallStar(e: DataFrame): DataFrame = {
-      // edges arrive (hi, lo): group the strictly-smaller neighbourhood
-      // by its hi endpoint; min is over Γ⁻(u) ∪ {u}, and lo < hi always
+    // edges arrive (hi, lo): group the strictly-smaller neighbourhood
+    // by its hi endpoint; min is over Γ⁻(u) ∪ {u}, and lo < hi always.
+    // May emit duplicate (hi, lo) rows — the merged pass distincts.
+    def smallStarRaw(e: DataFrame): DataFrame = {
       val mins = e.groupBy(col("hi")).agg(min(col("lo")).as("mn"))
       e.join(mins, "hi").filter(col("lo") =!= col("mn"))
         .select(col("lo").as("hi"), col("mn").as("lo"))
         .unionByName(mins.select(col("hi"), col("mn").as("lo")))
-        .distinct()
     }
     var edges = e0
     var r = 0
     var done = false
     while (r < rounds && !done) {
-      val next = rebase(smallStar(largeStar(edges)))
-      // set equality in ONE aggregate pass: both sides are DISTINCT
-      // (hi, lo) sets, so old == new ⟺ every pair appears exactly twice
-      // in their union — one map-side-combined groupBy job where the
-      // two-directional exceptAll fixpoint test paid two join-shaped
-      // jobs per round (guide §2.4: don't run two passes for one
-      // question)
-      done = next.unionByName(edges).groupBy(col("hi"), col("lo"))
-        .agg(count(lit(1)).as("c2")).filter(col("c2") =!= 2L).isEmpty
-      edges = next
+      // ONE (hi, lo)-keyed exchange does the work of three (guide §2.4:
+      // operations keyed the same way share one exchange): smallStar's
+      // pair-distinct, and BOTH sides of the set-equality fixpoint test.
+      // Tag each side and max-merge presence flags per pair — `next` is
+      // the nw=1 slice (distinct by construction), and convergence ⟺ no
+      // pair sits on exactly one side. Presence flags (max, not count)
+      // also make the test duplicate-PROOF on either input, closing the
+      // r11 advice caveat about non-distinct e0. The post-checkpoint
+      // isEmpty probe is a shuffle-free scan with early exit, where the
+      // old test re-shuffled next ∪ edges every round.
+      val merged = rebase(
+        smallStarRaw(largeStar(edges))
+          .select(col("hi"), col("lo"), lit(1).as("nw"), lit(0).as("od"))
+          .unionByName(edges.select(col("hi"), col("lo"),
+            lit(0).as("nw"), lit(1).as("od")))
+          .groupBy(col("hi"), col("lo"))
+          .agg(max(col("nw")).as("nw"), max(col("od")).as("od")))
+      done = merged.filter(col("nw") =!= col("od")).isEmpty
+      edges = merged.filter(col("nw") === 1).select(col("hi"), col("lo"))
       r += 1
     }
     require(done, s"star contraction not converged after $rounds rounds")

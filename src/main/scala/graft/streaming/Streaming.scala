@@ -2351,7 +2351,6 @@ object Streaming {
     val v = Sim.withEmbD(graft.Tables.embeddings(spark, dir)).persist()
     var capped: DataFrame = null
     val root = java.nio.file.Files.createTempDirectory("graft-sdc")
-    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       val tr = v.filter(pmod(col("vec_id"), lit(7L)) =!= 0)
       val cents = Sim.trainedCentroids(tr).localCheckpoint(true) // ≤ NList rows
@@ -2379,7 +2378,13 @@ object Streaming {
       // slice is shared with streamIvfIncr ([[HoldoutCorpus]])
       val inDir = HoldoutCorpus.get(spark, dir); val outDir = s"$root/out"
       val inSchema = spark.read.parquet(inDir).schema
-      spark.conf.set("spark.sql.shuffle.partitions", replayPartitions.toString)
+      // Stateless pipeline — the replayPartitions state-commit pin never
+      // applied here (r12: removed; the broadcast probe join leaves no
+      // session-width exchange in the batch plan). A per-micro-batch
+      // repartition to spread the probe compute was A/B-measured SLOWER
+      // at sf0.1 (4.81 → 5.34 s warm min-of-3: four extra exchanges buy
+      // nothing when each batch is thousands of rows); at 100 TB the
+      // scan itself has thousands of splits and needs no spread.
       val q = spark.readStream.schema(inSchema).option("maxFilesPerTrigger", 1)
         .parquet(inDir)
         .select(col("vec_id").as("q_id"), col("e").as("qe"),
@@ -2402,7 +2407,6 @@ object Streaming {
       spark.read.schema(outSchema).parquet(outDir)
         .localCheckpoint(true) // flagged pairs ≪ corpus
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevSp)
       if (capped != null) capped.unpersist()
       v.unpersist()
       rmTree(new java.io.File(root.toString))
@@ -2503,8 +2507,15 @@ object Streaming {
       val inDir = HoldoutCorpus.get(spark, dir); val snapDir = s"$root/snap"
       val inSchema = spark.read.parquet(inDir).schema
       spark.conf.set("spark.sql.shuffle.partitions", replayPartitions.toString)
+      // The pin sizes the ≤ NList-group STATE layout; the heavy work is
+      // the 2·NList literal cosines per row, which would otherwise run
+      // inside the 1-file-per-trigger scan stage — ONE task per batch.
+      // Spread each micro-batch first (r12, guide §2): the assignment +
+      // map-side partial agg then run cluster-wide, and only ≤ NList
+      // partial rows per partition reach the pinned state exchange.
       val ledger = spark.readStream.schema(inSchema)
         .option("maxFilesPerTrigger", 1).parquet(inDir)
+        .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
         .select(assignLit(col("e"), fl).as("list_id"),
           assignLit(col("e"), rl).as("retrained_list"))
         .groupBy(col("list_id"))
@@ -2610,7 +2621,6 @@ object Streaming {
     val registry = D.incrRegistryOf(docs).persist() // verify arm re-shingles candidates
     val regBands = D.bandIndex(registry).persist()
     val root = java.nio.file.Files.createTempDirectory("graft-snd")
-    val prevSp = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       regBands.count() // pin the LSH index BEFORE micro-batches start
       val inDir = s"$root/in"; val outDir = s"$root/out"
@@ -2618,7 +2628,13 @@ object Streaming {
       // only there to exercise real multi-batch execution
       D.incrBatchOf(docs).repartition(4).write.parquet(inDir)
       val inSchema = spark.read.parquet(inDir).schema
-      spark.conf.set("spark.sql.shuffle.partitions", replayPartitions.toString)
+      // NO replayPartitions pin here (r12): that pin exists to bound
+      // PER-PARTITION STATE-STORE COMMITS, and this foreachBatch probe is
+      // stateless — no state store ever commits. Pinning it to 4 only
+      // narrowed the probe's candidate/verify joins (the CPU-heavy exact-
+      // Jaccard arm) to 4 tasks per micro-batch; the r11 board's 5.2→8.1 s
+      // regression tracked exactly that change. The probe runs at the
+      // session's shuffle width like every other stateless batch join.
       val q = spark.readStream.schema(inSchema).option("maxFilesPerTrigger", 1)
         .parquet(inDir)
         .writeStream
@@ -2644,7 +2660,6 @@ object Streaming {
         .parquet(outDir)
         .localCheckpoint(true) // flagged pairs ≪ corpus; materialize before rmTree
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevSp)
       regBands.unpersist(); registry.unpersist()
       rmTree(new java.io.File(root.toString))
     }

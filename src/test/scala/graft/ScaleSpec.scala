@@ -1164,16 +1164,14 @@ class ScaleSpec extends SparkSpec {
       s"$exchanges shuffles in a map-only kernel:\n${plan.treeString}")
   }
 
-  test("broadcast-hint sweep: every forced broadcast in every driver query is bounded") {
-    // the negativeEdges lesson, board-wide: a user-forced broadcast()
-    // is a claim that the relation is SMALL AT ANY SCALE. Legitimate
-    // claims are (a) a collapsed relation — aggregate / limit /
-    // window-group limit below, (b) a literal inline relation (LUTs),
-    // (c) a k-per-key or id-filtered slice (bounded by literals), or
-    // (d) a scan of the bounded dimension tables (region/nation — the
-    // only tables whose cardinality does not grow with the corpus).
-    // A forced broadcast of an unbounded data-dependent relation is
-    // the 10⁹-row OOM the planner would have avoided on its own.
+  // ---- board-wide plan sweep, computed ONCE (round 12: the broadcast-
+  // hint and global-window sweeps each re-CONSTRUCTED all 401 queries —
+  // and construction runs every operator's eager work (persists,
+  // checkpoints, replays), ~250 s per pass at sf0.001 — while the plan
+  // checks themselves are milliseconds. One shared construction pass now
+  // feeds both assertions; the two test cases and their failure surfaces
+  // are unchanged. ----
+  private lazy val boardSweepOffenders: (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.catalyst.plans.logical._
     def bounded(p: LogicalPlan): Boolean = {
       val nodes = p.collect { case n => n }
@@ -1198,17 +1196,35 @@ class ScaleSpec extends SparkSpec {
         case _ => false
       }
     }
-    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    val bcOff = scala.collection.mutable.ArrayBuffer[String]()
+    val gwOff = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, mk) =>
-      val hints = mk(spark, sf).queryExecution.analyzed.collect {
+      val qe = mk(spark, sf).queryExecution
+      val hints = qe.analyzed.collect {
         // only broadcast-strategy hints force a size claim; merge/shuffle
         // hints (bucketed joins) are scale-safe by construction
         case h: ResolvedHint if h.hints.strategy.exists(
           _.toString.toUpperCase.contains("BROADCAST")) => h
       }
       hints.filterNot(h => bounded(h.child))
-        .foreach(h => offenders += s"$name:\n${h.child.treeString.take(800)}")
+        .foreach(h => bcOff += s"$name:\n${h.child.treeString.take(800)}")
+      globalWindowOffenders(qe.executedPlan)
+        .foreach(t => gwOff += s"$name:\n$t")
     }
+    (bcOff.toSeq, gwOff.toSeq)
+  }
+
+  test("broadcast-hint sweep: every forced broadcast in every driver query is bounded") {
+    // the negativeEdges lesson, board-wide: a user-forced broadcast()
+    // is a claim that the relation is SMALL AT ANY SCALE. Legitimate
+    // claims are (a) a collapsed relation — aggregate / limit /
+    // window-group limit, (b) a literal inline relation (LUTs),
+    // (c) a k-per-key or id-filtered slice (bounded by literals), or
+    // (d) a scan of the bounded dimension tables (region/nation — the
+    // only tables whose cardinality does not grow with the corpus).
+    // A forced broadcast of an unbounded data-dependent relation is
+    // the 10⁹-row OOM the planner would have avoided on its own.
+    val offenders = boardSweepOffenders._1
     assert(offenders.isEmpty,
       s"${offenders.length} unbounded forced broadcast(s):\n${offenders.mkString("\n\n")}")
   }
@@ -1263,12 +1279,7 @@ class ScaleSpec extends SparkSpec {
     // relation is the one-task sort that never finishes at 100 TB.
     // (Eagerly-checkpointed operators surface here only via their final
     // plans; their inner pipelines are pinned by the *Lazy tests.)
-    val offenders = scala.collection.mutable.ArrayBuffer[String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, mk) =>
-      val df = mk(spark, sf)
-      globalWindowOffenders(df.queryExecution.executedPlan)
-        .foreach(t => offenders += s"$name:\n$t")
-    }
+    val offenders = boardSweepOffenders._2
     assert(offenders.isEmpty,
       s"${offenders.length} global-window offender(s):\n${offenders.mkString("\n\n")}")
   }
