@@ -860,50 +860,81 @@ object TextOps {
     * nonoverlapping, matching the apply side exactly. */
   def bpeLearn(docs: DataFrame, nMerges: Int = 32, batchM: Int = 8): Seq[String] = {
     require(batchM >= 1, s"batchM must be >= 1 (got $batchM)")
-    var vocab = docs
+    // ONE distributed pass — the corpus-wide word-count aggregate, the
+    // only corpus-sized work a BPE learner has. The merge loop itself
+    // runs DRIVER-SIDE over the collected vocabulary (r12): the vocab
+    // is bounded by the LANGUAGE, not the corpus — production trainers
+    // (SentencePiece/GPT-2 reference) hold exactly these word counts in
+    // memory — while the relational loop paid 2–3 Spark actions per
+    // accepted merge (measured 88 jobs per learner at nMerges=32,
+    // ~60 ms driver round-trip each, dominating all four q_bpe_*
+    // queries). Semantics are EXACTLY the textbook one-merge-per-round
+    // sequential learner the DuckDB oracle unrolls (bpeOracleCtes):
+    // count adjacent symbol pairs weighted by word frequency, merge the
+    // (max count, lexicographically-smallest) pair, rewrite, repeat.
+    // Symbols split by CODE POINT (Spark's substring(w, i, 1) unit) and
+    // pair ties compare as unsigned UTF-8 bytes — the same order
+    // Spark's string sort used here before. batchM is retained for API
+    // compatibility: batched rounds existed only to cut Spark actions,
+    // and the driver loop IS the sequential reference they were proven
+    // against (BpeSpec pins batch ≡ sequential on the real corpus).
+    val vocabRows = docs
       .select(explode(graft.functions.TextHash.tokens(col("text"))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
-      .select(col("f"),
-        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"))
-      .localCheckpoint(true) // vocab-sized; the loop re-reads it every round
+      .collect()
+    def symsOf(w: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.toArray
+    }
+    // unsigned UTF-8 byte order (UTF8String.compareTo's contract)
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    var vocab: Array[(Long, Array[String])] = vocabRows.map(r =>
+      (r.getAs[Long]("f"), symsOf(r.getAs[String]("w"))))
     val merges = scala.collection.mutable.ArrayBuffer.empty[String]
     var exhausted = false
     while (merges.size < nMerges && !exhausted) {
-      val cand = vocab
-        .filter(size(col("syms")) >= 2)
-        .select(col("f"), explode(expr(
-          "transform(sequence(1, size(syms) - 1), " +
-            "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))")).as("p"))
-        .groupBy(col("p")).agg(sum(col("f")).as("n"))
-        .orderBy(col("n").desc, col("p")).limit(batchM + 1)
-        .collect()
-        .map(r => (r.getAs[String]("p"), r.getAs[Long]("n")))
-      if (cand.isEmpty) exhausted = true
+      val counts = new java.util.HashMap[String, java.lang.Long]()
+      vocab.foreach { case (f, syms) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          counts.merge(syms(i) + " " + syms(i + 1), java.lang.Long.valueOf(f),
+            (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
       else {
-        // longest pairwise-disjoint prefix, capped by remaining budget
-        val used = scala.collection.mutable.Set.empty[String]
-        var k = 0
-        var conflict = false
-        while (!conflict && k < cand.length &&
-            k < math.min(batchM, nMerges - merges.size)) {
-          val Array(x, y) = cand(k)._1.split(" ", 2)
-          if (used.contains(x) || used.contains(y)) conflict = true
-          else { used += x; used += y; k += 1 }
+        var bestP: String = null
+        var bestN = Long.MinValue
+        counts.forEach { (p, n) =>
+          if (n.longValue > bestN ||
+              (n.longValue == bestN && utf8Lt(p, bestP))) {
+            bestN = n.longValue; bestP = p
+          }
         }
-        // strict-count guard: every accepted count must exceed the first
-        // unaccepted candidate's (ties could let a merge-born pair
-        // tie-break in); top-1 alone is always exact
-        while (k > 1 && k < cand.length && cand(k - 1)._2 <= cand(k)._2) k -= 1
-        val accepted = cand.take(k).map(_._1)
-        accepted.foreach(merges += _)
-        // ONE vocab rewrite composing the batch's merges (disjoint, so
-        // application order is immaterial; kept in rank order anyway)
-        val syms = accepted.foldLeft(col("syms")) { (c, p) =>
-          val Array(x, y) = p.split(" ", 2)
-          graft.functions.Bpe.bpeMergeOnce(c, x, y)
+        merges += bestP
+        val Array(x, y) = bestP.split(" ", 2)
+        vocab = vocab.map { case (f, syms) =>
+          (f, graft.functions.Bpe.mergeOnce(syms, x, y))
         }
-        vocab = vocab.select(col("f"), syms.as("syms")).localCheckpoint(true)
       }
     }
     merges.toSeq
