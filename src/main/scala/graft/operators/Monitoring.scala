@@ -2650,45 +2650,56 @@ object Monitoring {
         .select(col("event_type").as("src"), col("nxt").as("dst")))
       .unionAll(steps.filter(col("nxt").isNull && col("event_type") =!= "purchase")
         .select(col("event_type").as("src"), lit("DROP").as("dst")))
+    // the LAST fact-sized work: the (src, dst) transition counts
     val tcnt = edges.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
       .withColumn("n_src", sum(col("n")).over(Window.partitionBy(col("src"))))
-      .localCheckpoint(true) // ≤ (|types|+2)² rows, reused every round
+      .collect() // ≤ (|types|+2)² rows — bounded by the event-type DOMAIN
+      .map(r => (r.getAs[String]("src"), r.getAs[String]("dst"),
+        r.getAs[Long]("n"), r.getAs[Long]("n_src")))
+    // The removal-effect iteration runs DRIVER-SIDE (r12): the chain
+    // grid is a constant of the schema (event-type domain + START/DROP
+    // ≤ 7 states × 5 variants), while the relational loop paid a join +
+    // aggregate + one-row-ish localCheckpoint per round (8 rounds ≈ 25
+    // jobs). Arithmetic is the IDENTICAL exact-integer sequence: per
+    // term floor((n·p) / n_src) with the product widened (BigInt here,
+    // DECIMAL(38,0) before — both exact far past any edge count), then
+    // an order-independent integer sum — mirrored round-for-round by
+    // the oracle's HUGEINT replay.
     val spark = ev.sparkSession
+    import spark.implicits._
     val channels = Seq("click", "error", "signup", "view")
-    val variants = spark.createDataFrame(("none" +: channels).map(Tuple1(_))).toDF("variant")
-    val states = tcnt.select(col("src").as("state"))
-      .unionAll(tcnt.select(col("dst").as("state"))).distinct()
-    val grid = variants.crossJoin(states).localCheckpoint(true)
-    var p = grid.withColumn("p",
-      when(col("state") === "purchase", lit(S)).otherwise(lit(0L)))
-    for (_ <- 1 to rounds) {
-      val nx = tcnt.join(p, tcnt("dst") === p("state"))
-        .select(col("variant"), tcnt("src").as("state"),
-          // n (edge count) × p (≤1e12) wraps BIGINT past ~9.2e6 edges
-          // per type; widen through DECIMAL(38,0) — exact to 1e38, and
-          // div on non-negatives truncates = floors, matching the
-          // oracle's HUGEINT // at any scale
-          expr("cast((cast(n as decimal(38,0)) * p) div n_src as bigint)").as("term"))
-        .groupBy(col("variant"), col("state")).agg(sum(col("term")).as("praw"))
-      p = grid.join(nx, Seq("variant", "state"), "left")
-        .withColumn("p",
-          when(col("state") === "purchase", lit(S))
-            .when(col("state") === "DROP", lit(0L))
-            .when(col("state") === col("variant"), lit(0L))
-            .otherwise(coalesce(col("praw"), lit(0L))))
-        .select(col("variant"), col("state"), col("p"))
-        .localCheckpoint(true) // tiny; keeps the 8-round lineage flat
-    }
-    val fin = p.filter(col("state") === "START").select(col("variant"), col("p"))
-    val base = fin.filter(col("variant") === "none").select(col("p").as("p_base"))
-    val rem = fin.filter(col("variant") =!= "none")
-      .crossJoin(broadcast(base))
-      .withColumn("re_scaled", col("p_base") - col("p"))
-    val tot = rem.agg(sum(col("re_scaled")).as("re_tot"))
-    rem.crossJoin(broadcast(tot))
-      .select(col("variant").as("channel"), col("p_base"), col("p").as("p_removed"),
-        trunc4(col("re_scaled") / col("p_base")).as("removal_effect"),
-        trunc4(col("re_scaled") / col("re_tot")).as("attribution_share"))
+    val states = tcnt.flatMap(t => Seq(t._1, t._2)).distinct.toSeq
+    val bySrc = tcnt.toSeq.groupBy(_._1)
+    def trunc4d(x: Double): Double = math.floor(x * 10000).toLong.toDouble / 10000
+    val rows: Seq[(String, Long, Long, Double, Double)] =
+      if (!states.contains("START")) Seq.empty
+      else {
+        def pStart(variant: String): Long = {
+          var p: Map[String, Long] =
+            states.map(s => s -> (if (s == "purchase") S else 0L)).toMap
+          for (_ <- 1 to rounds) {
+            p = states.map { s =>
+              s -> (if (s == "purchase") S
+                else if (s == "DROP") 0L
+                else if (s == variant) 0L
+                else bySrc.getOrElse(s, Seq.empty).iterator
+                  .map { case (_, d, n, nSrc) => ((BigInt(n) * p(d)) / nSrc).toLong }
+                  .sum)
+            }.toMap
+          }
+          p("START")
+        }
+        val pBase = pStart("none")
+        val rem = channels.map(ch => ch -> (pBase - pStart(ch)))
+        val reTot = rem.map(_._2).sum
+        rem.map { case (ch, re) =>
+          (ch, pBase, pBase - re,
+            trunc4d(re.toDouble / pBase.toDouble),
+            trunc4d(re.toDouble / reTot.toDouble))
+        }
+      }
+    rows.toDF("channel", "p_base", "p_removed", "removal_effect",
+      "attribution_share")
   }
 
   /** Shapley-value attribution (Shapley 1953 via the simplified
@@ -3364,58 +3375,62 @@ object Monitoring {
     * histogram aggregate (map-side combined, 16 cells); the solver
     * never leaves a 1-row relation. */
   def sinkhornDrift(ev: DataFrame, bands: Int = 16): DataFrame = {
-    import graft.functions.Portable.trunc6
     val binCol = least(floor(col("value") / 32.0).cast("int"), lit(bands - 1))
     val aggs = (0 until bands).flatMap(i => Seq(
       sum(when(col("event_type") === "purchase" && col("bin") === i, 1L)
         .otherwise(0L)).as(s"rn$i"),
       sum(when(col("event_type") === "error" && col("bin") === i, 1L)
         .otherwise(0L)).as(s"cn$i")))
+    // the ONLY fact-sized work: the map-side-combined histogram aggregate
     val hist = ev.filter(col("event_type").isin("purchase", "error"))
       .select(col("event_type"), binCol.as("bin"))
       .agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint(true) // 1 row of 2·bands exact counts
-    val nr = (0 until bands).map(i => col(s"rn$i")).reduce(_ + _)
-    val nc = (0 until bands).map(i => col(s"cn$i")).reduce(_ + _)
-    var state = hist.select(
-      (0 until bands).map(i => (col(s"rn$i").cast("double") / nr).as(s"r$i")) ++
-        (0 until bands).map(i => (col(s"cn$i").cast("double") / nc).as(s"c$i")) ++
-        (0 until bands).map(i => lit(1.0).as(s"u$i")) ++
-        (0 until bands).map(i => lit(1.0).as(s"v$i")): _*)
-      .localCheckpoint(true)
-    val keep = (0 until bands).flatMap(i => Seq(col(s"r$i"), col(s"c$i")))
-    def kv(i: Int) =
-      (0 until bands).map(j => lit(sinkhornK(i, j)) * col(s"v$j")).reduce(_ + _)
-    def ku(j: Int) =
-      (0 until bands).map(i => lit(sinkhornK(i, j)) * col(s"u$i")).reduce(_ + _)
-    def uStep(df: DataFrame) = df.select(keep ++
-      (0 until bands).map(i => (col(s"r$i") / kv(i)).as(s"u$i")) ++
-      (0 until bands).map(j => col(s"v$j")): _*).localCheckpoint(true)
-    def vStep(df: DataFrame) = df.select(keep ++
-      (0 until bands).map(i => col(s"u$i")) ++
-      (0 until bands).map(j => (col(s"c$j") / ku(j)).as(s"v$j")): _*)
-      .localCheckpoint(true)
-    for (_ <- 0 until SinkhornIters) state = vStep(uStep(state))
-    state = uStep(state) // final u-update: row marginals exact
-    // cost folds per-i groups first, then across groups — 16+15 nesting
-    // instead of a flat 240-term chain (DuckDB's binder caps expression
-    // depth at 128); the oracle parenthesizes IDENTICALLY so the float
-    // fold order still matches term-for-term
+      .head() // 1 row of 2·bands exact counts
+    // The solver runs DRIVER-SIDE (r12): its whole state is 32 doubles,
+    // and the relational form paid 18 one-row localCheckpoints (one
+    // Spark action + a fresh 16-term-unrolled codegen compile per step,
+    // ~2 s of pure fixed cost). JVM doubles evaluate the IDENTICAL
+    // left-fold term order the unrolled expressions used (Spark executes
+    // double arithmetic as JVM doubles; no reassociation either way), so
+    // every u/v/cost value is bit-identical to the expression form and
+    // to the oracle's MATERIALIZED per-step CTEs — same division
+    // sequence, same K_ij decimal literals, same fold parenthesization.
+    val rn = (0 until bands).map(i => hist.getAs[Long](s"rn$i")).toArray
+    val cn = (0 until bands).map(i => hist.getAs[Long](s"cn$i")).toArray
+    val nr = rn.sum.toDouble
+    val nc = cn.sum.toDouble
+    val r = rn.map(_.toDouble / nr)
+    val c = cn.map(_.toDouble / nc)
+    var u = Array.fill(bands)(1.0)
+    var v = Array.fill(bands)(1.0)
+    def kv(i: Int, vv: Array[Double]): Double = {
+      var s = sinkhornK(i, 0) * vv(0); var j = 1
+      while (j < bands) { s += sinkhornK(i, j) * vv(j); j += 1 }; s
+    }
+    def ku(j: Int, uu: Array[Double]): Double = {
+      var s = sinkhornK(0, j) * uu(0); var i = 1
+      while (i < bands) { s += sinkhornK(i, j) * uu(i); i += 1 }; s
+    }
+    def uStep(vv: Array[Double]): Array[Double] =
+      Array.tabulate(bands)(i => r(i) / kv(i, vv))
+    def vStep(uu: Array[Double]): Array[Double] =
+      Array.tabulate(bands)(j => c(j) / ku(j, uu))
+    for (_ <- 0 until SinkhornIters) { u = uStep(v); v = vStep(u) }
+    u = uStep(v) // final u-update: row marginals exact
+    // cost folds per-i groups first, then across groups — the exact
+    // parenthesization the oracle's generated SQL uses
     val cost = (0 until bands).map(i =>
       (0 until bands).filter(_ != i).map(j =>
-        lit(math.abs(i - j).toDouble) * col(s"u$i") * lit(sinkhornK(i, j)) * col(s"v$j"))
+        math.abs(i - j).toDouble * u(i) * sinkhornK(i, j) * v(j))
         .reduce(_ + _)).reduce(_ + _)
-    def colMass(j: Int) = (0 until bands)
-      .map(i => col(s"u$i") * lit(sinkhornK(i, j)) * col(s"v$j")).reduce(_ + _)
-    state.select(trunc6(cost).as("sinkhorn_cost") +:
-        (0 until bands).map(j => struct(lit(j).as("bin"),
-          trunc6(col(s"r$j")).as("r_p"), trunc6(col(s"c$j")).as("c_p"),
-          trunc6(colMass(j)).as("plan_col_mass")).as(s"b$j")): _*)
-      .select(col("sinkhorn_cost"),
-        explode(array((0 until bands).map(j => col(s"b$j")): _*)).as("b"))
-      .select(col("b.bin").as("bin"), col("b.r_p").as("r_p"),
-        col("b.c_p").as("c_p"), col("b.plan_col_mass").as("plan_col_mass"),
-        col("sinkhorn_cost"))
+    def colMass(j: Int): Double = (0 until bands)
+      .map(i => u(i) * sinkhornK(i, j) * v(j)).reduce(_ + _)
+    def trunc6(x: Double): Double = math.floor(x * 1000000) / 1000000
+    val spark = ev.sparkSession
+    import spark.implicits._
+    (0 until bands).map(j =>
+        (j, trunc6(r(j)), trunc6(c(j)), trunc6(colMass(j)), trunc6(cost)))
+      .toDF("bin", "r_p", "c_p", "plan_col_mass", "sinkhorn_cost")
   }
 
   /** The generated DuckDB mirror of [[sinkhornDrift]] — same K
