@@ -45,37 +45,60 @@ object Graph {
     * simply don't contribute (standard dangling simplification —
     * documented, deterministic). Output: per node, the scaled integer
     * rank and its double rendering. */
-  def pageRank(ev: DataFrame, iters: Int = 3): DataFrame = {
+  /** The two fact-sized passes both rank flavours share — the window
+    * lead → hash-agg edge extraction and the node-set aggregate —
+    * collected to the driver: the transition graph is bounded by the
+    * EVENT-TYPE DOMAIN (≤ |types|² edges), a constant of the schema. */
+  private def typeGraph(ev: DataFrame): (Seq[(String, String, Long)], Seq[String]) = {
     val byT = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
-    // the only pass over the event log: window lead + hash-agg to edges
     val edges = ev
       .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type").as("src"))
       .withColumn("dst", lead(col("src"), 1).over(byT))
       .filter(col("dst").isNotNull)
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-      .localCheckpoint(true) // ≤ |types|² rows; cuts lineage for the loop
-    val ew = edges.join(edges.groupBy(col("src")).agg(sum(col("w")).as("out_w")), "src")
-      .select(col("src"), col("dst"), expr(s"w * $S div out_w").as("sh"))
+      .collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[String]("dst"), r.getAs[Long]("w")))
+      .toSeq
     val nodes = ev.select(col("event_type").as("node")).distinct()
-    // |nodes| enters the recurrence as a 1-row relation (no driver-side
-    // count action; the literal-free plan re-runs at any scale)
-    val nc = nodes.agg(count(lit(1)).as("nn"))
-    var r = nodes.crossJoin(broadcast(nc))
-      .select(col("node"), expr(s"$Q div nn").as("r"), col("nn"))
-      .localCheckpoint(true)
+      .collect().map(_.getAs[String]("node")).toSeq
+    (edges, nodes)
+  }
+
+  /** The shared power iteration, DRIVER-SIDE (r12): the relational loop
+    * paid a join + aggregate + localCheckpoint per round over a
+    * ≤ |types|²-row graph. Identical exact-integer recurrence — per-edge
+    * share (w·S) div out_w, per-term (r·sh) div S, order-independent
+    * integer sums — so the oracle's round-for-round replay still
+    * matches bit-for-bit. `restart(node)` is the per-round teleport. */
+  private def powerIterate(edges: Seq[(String, String, Long)],
+      nodes: Seq[String], r0: Map[String, Long], restart: String => Long,
+      iters: Int): Map[String, Long] = {
+    val outW = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val shares = edges.map { case (s, d, w) => (s, d, w * S / outW(s)) }
+    var r = r0
     for (_ <- 0 until iters) {
-      val contrib = ew.join(r.select(col("node").as("src"), col("r")), "src")
-        .select(col("dst"), expr(s"r * sh div $S").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
-      r = r.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"),
-          (expr(s"${3L * Q} div (20 * nn)") +
-            expr("17 * coalesce(contrib, 0) div 20")).as("r"),
-          col("nn"))
-        .localCheckpoint(true) // tiny; keeps each round's plan flat
+      val contrib = new scala.collection.mutable.HashMap[String, Long]()
+      shares.foreach { case (s, d, sh) =>
+        contrib.update(d, contrib.getOrElse(d, 0L) + r(s) * sh / S)
+      }
+      r = nodes.map(n =>
+        n -> (restart(n) + 17 * contrib.getOrElse(n, 0L) / 20)).toMap
     }
-    r.select(col("node"), col("r").as("rank_scaled"),
-      graft.functions.Portable.trunc6(col("r").cast("double") / Q).as("rank"))
+    r
+  }
+
+  private def trunc6d(x: Double): Double =
+    math.floor(x * 1000000).toLong.toDouble / 1000000
+
+  def pageRank(ev: DataFrame, iters: Int = 3): DataFrame = {
+    val (edges, nodes) = typeGraph(ev)
+    val nn = nodes.length.toLong
+    val r = powerIterate(edges, nodes, nodes.map(_ -> Q / nn).toMap,
+      _ => (3L * Q) / (20 * nn), iters)
+    val spark = ev.sparkSession
+    import spark.implicits._
+    nodes.map(n => (n, r(n), trunc6d(r(n).toDouble / Q)))
+      .toDF("node", "rank_scaled", "rank")
   }
 
   /** Personalized PageRank (Jeh & Widom 2003) over the event-type
@@ -95,32 +118,14 @@ object Graph {
     * ScaleSpec job-count test. */
   def personalizedPageRank(ev: DataFrame, seed: String = "purchase",
       iters: Int = 3): DataFrame = {
-    val byT = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
-    val edges = ev
-      .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type").as("src"))
-      .withColumn("dst", lead(col("src"), 1).over(byT))
-      .filter(col("dst").isNotNull)
-      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-      .localCheckpoint(true) // ≤ |types|² rows; cuts lineage for the loop
-    val ew = edges.join(edges.groupBy(col("src")).agg(sum(col("w")).as("out_w")), "src")
-      .select(col("src"), col("dst"), expr(s"w * $S div out_w").as("sh"))
-    val nodes = ev.select(col("event_type").as("node")).distinct()
-    var r = nodes
-      .select(col("node"),
-        when(col("node") === seed, lit(Q)).otherwise(lit(0L)).as("r"))
-      .localCheckpoint(true)
-    for (_ <- 0 until iters) {
-      val contrib = ew.join(r.select(col("node").as("src"), col("r")), "src")
-        .select(col("dst"), expr(s"r * sh div $S").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("contrib"))
-      r = nodes.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .select(col("node"),
-          (when(col("node") === seed, lit(3L * Q / 20)).otherwise(lit(0L)) +
-            expr("17 * coalesce(contrib, 0) div 20")).as("r"))
-        .localCheckpoint(true) // tiny; keeps each round's plan flat
-    }
-    r.select(col("node"), col("r").as("ppr_scaled"),
-      graft.functions.Portable.trunc6(col("r").cast("double") / Q).as("ppr"))
+    val (edges, nodes) = typeGraph(ev)
+    val r = powerIterate(edges, nodes,
+      nodes.map(n => n -> (if (n == seed) Q else 0L)).toMap,
+      n => if (n == seed) 3L * Q / 20 else 0L, iters)
+    val spark = ev.sparkSession
+    import spark.implicits._
+    nodes.map(n => (n, r(n), trunc6d(r(n).toDouble / Q)))
+      .toDF("node", "ppr_scaled", "ppr")
   }
 
   /** The bipartite user–merchant graph behind the co-occurrence

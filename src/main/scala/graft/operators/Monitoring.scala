@@ -3670,89 +3670,73 @@ object Monitoring {
         sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("s"),
         sum(expr("cast(cast(floor(o_totalprice * 100 + 0.5) as decimal(38,0)) * " +
           "cast(floor(o_totalprice * 100 + 0.5) as bigint) as decimal(38,0))")).as("ss"))
-    val byM = Window.orderBy(col("month"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pr0 = monthly
-      .withColumn("t", row_number().over(Window.orderBy(col("month"))).cast("long"))
-      .withColumn("cn", sum(col("n")).over(byM))
-      .withColumn("cs", sum(col("s")).over(byM))
-      .withColumn("css", sum(col("ss")).over(byM))
-      .select(col("t"), col("month"), col("cn"), col("cs"), col("css"))
+    // The DP runs DRIVER-SIDE (r12): the collapsed month series is
+    // bounded by the TIME DOMAIN (~N=80 rows), yet the relational DP
+    // paid ~10 tiny localCheckpoints (cost relation, K−1 argmin rounds,
+    // backtrack joins). Arithmetic is the IDENTICAL sequence — exact
+    // BigInt prefix sums (the DECIMAL(38,0) widening), per-cost
+    // double(ΔSS) − double(ΔS²)/Δn with the same correctly-rounded
+    // decimal→double conversions, dp accumulation via the same ≤ K−1
+    // binary adds, argmin ties to the smaller i — mirrored by the
+    // oracle's materialized CTE replay.
+    val monthRows = monthly.collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("month"), r.getAs[Long]("n"),
+        r.getAs[Long]("s"), BigInt(r.getAs[java.math.BigDecimal]("ss").toBigInteger)))
+      .sortBy(_._1.getTime)
+    val nMon = monthRows.length
+    // prefix rows t = 0..N (t=0 is the zero sentinel)
+    val cn = new Array[Long](nMon + 1)
+    val cs = new Array[Long](nMon + 1)
+    val css = new Array[BigInt](nMon + 1)
+    css(0) = BigInt(0)
+    for (t <- 1 to nMon) {
+      cn(t) = cn(t - 1) + monthRows(t - 1)._2
+      cs(t) = cs(t - 1) + monthRows(t - 1)._3
+      css(t) = css(t - 1) + monthRows(t - 1)._4
+    }
+    def bigToD(x: BigInt): Double = BigDecimal(x).toDouble
+    def cost(i0: Int, j: Int): Double =
+      bigToD(css(j) - css(i0)) -
+        bigToD(BigInt(cs(j) - cs(i0)) * (cs(j) - cs(i0))) / (cn(j) - cn(i0))
+    // dp1(j) = cost(1..j); dpk(j) = min_i dp_{k−1}(i) + cost(i+1..j),
+    // argmin ties to the smaller i (the old rank's (v, i) order)
+    val dpV = Array.ofDim[Double](k + 1, nMon + 1)
+    val dpA = Array.ofDim[Int](k + 1, nMon + 1)
+    for (j <- 1 to nMon) { dpV(1)(j) = cost(0, j); dpA(1)(j) = 0 }
+    // dp_{kk−1}(i) exists only for i ≥ kk−1 (kk−1 non-empty buckets
+    // need kk−1 months) — exactly the rows the old relational join had
+    for (kk <- 2 to k; j <- kk to nMon) {
+      var bestV = 0.0
+      var bestI = -1
+      for (i <- (kk - 1) until j) {
+        val v = dpV(kk - 1)(i) + cost(i, j)
+        if (bestI < 0 || v < bestV) { bestV = v; bestI = i }
+      }
+      dpV(kk)(j) = bestV; dpA(kk)(j) = bestI
+    }
+    // backtrack: e_k = N, a_k = arg_k(N), e_{k−1} = a_k, …, a_1 = 0
+    val e = new Array[Int](k + 1)
+    val a = new Array[Int](k + 1)
+    e(k) = nMon; a(k) = dpA(k)(nMon)
+    for (kk <- (k - 1) to 2 by -1) { e(kk) = a(kk + 1); a(kk) = dpA(kk)(e(kk)) }
+    e(1) = a(2); a(1) = 0
+    val bucketCost = (1 to k).map(kk => cost(a(kk), e(kk)))
+    // both SSE totals fold k doubles in ONE textual order (the pivot's
+    // c1+c2+c3+c4 — the sinkhorn rule), never an order-free float SUM
+    val voptSse = bucketCost.reduce(_ + _)
+    val eqSse = (1 to k).map { t =>
+      val i0 = ((nMon.toLong * (t - 1)).toDouble / k).toLong.toInt
+      val j = ((nMon.toLong * t).toDouble / k).toLong.toInt
+      cost(i0, j)
+    }.reduce(_ + _)
+    def trunc4d(x: Double): Double = math.floor(x * 10000).toLong.toDouble / 10000
     val spark = orders.sparkSession
     import spark.implicits._
-    val zero = Seq((0L, new java.sql.Timestamp(0L), 0L, 0L, BigDecimal(0)))
-      .toDF("t", "month", "cn", "cs", "css")
-      .select(col("t"), col("month"), col("cn"), col("cs"),
-        col("css").cast("decimal(38,0)").as("css"))
-    val pr = pr0.select(col("t"), col("month"), col("cn"), col("cs"),
-        col("css").cast("decimal(38,0)").as("css"))
-      .unionByName(zero).localCheckpoint(true) // N+1 rows
-    // cost(i, j) over months i..j keyed as (lo1 = i−1, j)
-    val cost = pr.as("a").join(pr.as("b"), col("a.t") < col("b.t"))
-      .select(col("a.t").as("i0"), col("b.t").as("j"),
-        ((col("b.css") - col("a.css")).cast("double") -
-          (col("b.cs") - col("a.cs")).cast("decimal(38,0)")
-            .multiply(col("b.cs") - col("a.cs")).cast("double") /
-            (col("b.cn") - col("a.cn"))).as("c"))
-      .localCheckpoint(true) // ~N²/2 rows
-    // dp1(j) = cost(1..j); dpk(j) = min_i dp_{k−1}(i) + cost(i+1..j)
-    var dp = cost.filter(col("i0") === 0L)
-      .select(col("j"), col("c").as("v"), lit(0L).as("arg"))
-      .localCheckpoint(true)
-    val dps = scala.collection.mutable.ArrayBuffer(dp)
-    for (_ <- 2 to k) {
-      val cand = dp.select(col("j").as("i"), col("v").as("pv"))
-        .join(cost, col("i") === col("i0"))
-        .select(col("j"), col("i"), (col("pv") + col("c")).as("v"))
-      dp = cand.withColumn("rn", row_number().over(
-          Window.partitionBy(col("j")).orderBy(col("v"), col("i"))))
-        .filter(col("rn") === 1)
-        .select(col("j"), col("v"), col("i").as("arg"))
-        .localCheckpoint(true)
-      dps += dp
-    }
-    val nTot = pr.agg(max(col("t")).as("nn")).localCheckpoint(true)
-    // backtrack: a_k at j=N, then a_{k−1} at j=a_k, ...
-    var bounds = nTot.join(dps(k - 1), col("j") === col("nn"))
-      .select(col("nn"), col("j").as(s"e$k"), col("arg").as(s"a$k"))
-      .localCheckpoint(true)
-    for (kk <- (k - 1) to 2 by -1) {
-      bounds = bounds.join(dps(kk - 1).select(col("j").as(s"e$kk"),
-          col("arg").as(s"a$kk")), col(s"e$kk") === col(s"a${kk + 1}"))
-        .localCheckpoint(true)
-    }
-    val lims = bounds.withColumn("e1", col("a2")).withColumn("a1", lit(0L))
-    val buckets = lims.select(explode(array((1 to k).map(kk =>
-        struct(lit(kk.toLong).as("bucket"), (col(s"a$kk") + 1).as("lo"),
-          col(s"e$kk").as("hi"))): _*)).as("b"))
-      .select(col("b.bucket").as("bucket"), col("b.lo").as("lo"), col("b.hi").as("hi"))
-    // equal-width baseline over the same collapse, for the win column.
-    // Both SSE totals fold k=4 doubles in ONE textual order (pivot →
-    // c1+c2+c3+c4), never an order-free float SUM — the sinkhorn rule.
-    val eq = nTot.select(explode(array((1 to k).map(t =>
-        struct(lit(t.toLong).as("eb"),
-          ((col("nn") * (t - 1)).cast("long") / k).cast("long").as("i0"),
-          ((col("nn") * t).cast("long") / k).cast("long").as("j"))): _*)).as("b"))
-      .select(col("b.eb").as("eb"), col("b.i0").as("i0"), col("b.j").as("j"))
-      .join(cost, Seq("i0", "j"))
-      .groupBy().agg(max(when(col("eb") === 1, col("c"))).as("ec1"),
-        (2 to k).map(t => max(when(col("eb") === t, col("c"))).as(s"ec$t")): _*)
-      .select((1 to k).map(t => col(s"ec$t")).reduce(_ + _).as("eq_sse"))
-    val withCost = buckets
-      .join(cost.select((col("i0") + 1).as("lo"), col("j").as("hi"), col("c")),
-        Seq("lo", "hi"))
-      .localCheckpoint(true) // k rows; feeds the rows AND the pivot total
-    val voptTot = withCost
-      .groupBy().agg(max(when(col("bucket") === 1, col("c"))).as("vc1"),
-        (2 to k).map(t => max(when(col("bucket") === t, col("c"))).as(s"vc$t")): _*)
-      .select((1 to k).map(t => col(s"vc$t")).reduce(_ + _).as("vopt_sse"))
-    withCost.crossJoin(broadcast(voptTot)).crossJoin(broadcast(eq))
-      .join(broadcast(pr.select(col("t").as("lo"), col("month").as("month_lo"))), "lo")
-      .join(broadcast(pr.select(col("t").as("hi"), col("month").as("month_hi"))), "hi")
-      .select(col("bucket"), col("month_lo"), col("month_hi"),
-        trunc4(col("c") / 1e15).as("sse_e15"),
-        trunc4(col("vopt_sse") / 1e15).as("vopt_sse_e15"),
-        trunc4(col("eq_sse") / 1e15).as("equalw_sse_e15"))
+    (1 to k).map(kk => (kk.toLong, monthRows(a(kk))._1,
+        monthRows(e(kk) - 1)._1, trunc4d(bucketCost(kk - 1) / 1e15),
+        trunc4d(voptSse / 1e15), trunc4d(eqSse / 1e15)))
+      .toDF("bucket", "month_lo", "month_hi", "sse_e15", "vopt_sse_e15",
+        "equalw_sse_e15")
   }
 
   /** The generated DuckDB mirror of [[voptHistogram]] — same prefix

@@ -1922,44 +1922,43 @@ object Similarity {
     val momAggs = (0 until dim).map(d => sum(qd(d)).as(s"s$d")) ++
       (for (d <- 0 until dim; e <- d until dim)
         yield sum(qd(d) * qd(e)).as(s"m_${d}_$e"))
-    val mom = emb.agg(count(lit(1)).as("n"), momAggs: _*).localCheckpoint(true)
-    val cells = for (d <- 0 until dim; e <- d until dim) yield struct(
-      lit(d).as("d"), lit(e).as("e"),
-      expr(s"cast((cast(m_${d}_$e as decimal(38,0)) * n - " +
-        s"cast(s$d as decimal(38,0)) * s$e) div " +
-        s"(cast(n as decimal(38,0)) * n * $QS) as bigint)").as("c"))
-    val half = mom.select(explode(array(cells: _*)).as("x"))
-      .select(col("x.d").as("d"), col("x.e").as("e"), col("x.c").as("c"))
-    val mat = half.unionByName(half.filter(col("d") =!= col("e"))
-        .select(col("e").as("d"), col("d").as("e"), col("c")))
-      .localCheckpoint(true) // ≤ 2·D² rows
-    var v = mom.select(explode(array((0 until dim).map(d =>
-        struct(lit(d).as("vd"), lit(QS).as("vv"))): _*)).as("x"))
-      .select(col("x.vd").as("vd"), col("x.vv").as("vv"))
-      .localCheckpoint(true)
-    for (_ <- 0 until iters) {
-      val w = mat.join(v, col("e") === col("vd"))
-        .groupBy(col("d")).agg(sum(col("c") * col("vv")).as("w"))
-      val nrm = w.agg(
-        sqrt(sum(col("w").cast("decimal(38,0)") * col("w")).cast("double")).as("nrm"))
-      v = w.crossJoin(broadcast(nrm))
-        .select(col("d").as("vd"),
-          floor(col("w").cast("double") / col("nrm") * QS).cast("long").as("vv"))
-        .localCheckpoint(true) // flatten per-round lineage (house rule)
+    // the ONE fact-sized pass: the map-side-combined moment aggregate
+    val mom = emb.agg(count(lit(1)).as("n"), momAggs: _*).head()
+    // The eigensolve runs DRIVER-SIDE (r12): its whole state is the D×D
+    // cov matrix + a D-vector, and the relational loop paid 3 tiny
+    // actions per power step (24 one-to-few-row localCheckpoints).
+    // Arithmetic is the IDENTICAL sequence — BigInt mirrors the
+    // DECIMAL(38,0) widenings (both exact, both truncate toward zero on
+    // div), BigDecimal.toDouble is the same correctly-rounded conversion
+    // Spark's Decimal cast performs — so every v/λ matches the oracle's
+    // 8 unrolled MATERIALIZED steps bit-for-bit.
+    val n = mom.getAs[Long]("n")
+    val s = (0 until dim).map(d => mom.getAs[Long](s"s$d")).toArray
+    val denom = BigInt(n) * n * QS
+    val c = Array.tabulate(dim, dim) { (d, e) =>
+      val (lo, hi) = if (d <= e) (d, e) else (e, d)
+      ((BigInt(mom.getAs[Long](s"m_${lo}_$hi")) * n - BigInt(s(d)) * s(e)) / denom)
+        .toLong
     }
-    val num = mat.join(v, col("e") === col("vd"))
-      .join(v.select(col("vd").as("vd2"), col("vv").as("vv2")), col("d") === col("vd2"))
-      .agg(sum((col("c") * col("vv")).cast("decimal(38,0)") * col("vv2")).as("num"))
-    val den = v.agg(sum(col("vv") * col("vv")).as("den"))
-    val totvar = mat.filter(col("d") === col("e")).agg(sum(col("c")).as("tv"))
-    val scalars = num.crossJoin(broadcast(den)).crossJoin(broadcast(totvar))
-      .select(
-        (col("num").cast("double") / (col("den").cast("double") * QS)).as("lambda"),
-        col("tv"))
-    v.crossJoin(broadcast(scalars))
-      .select(col("vd").as("d"), (col("vv").cast("double") / QS).as("loading"),
-        trunc4(col("lambda")).as("lambda"),
-        trunc4(col("lambda") / (col("tv").cast("double") / QS)).as("var_share"))
+    var v = Array.fill(dim)(QS)
+    def bigToD(x: BigInt): Double = BigDecimal(x).toDouble
+    for (_ <- 0 until iters) {
+      val w = Array.tabulate(dim)(d =>
+        (0 until dim).map(e => c(d)(e) * v(e)).sum)
+      val nrm = math.sqrt(bigToD(w.map(x => BigInt(x) * x).sum))
+      v = w.map(x => math.floor(x.toDouble / nrm * QS).toLong)
+    }
+    val num = (for (d <- 0 until dim; e <- 0 until dim)
+      yield BigInt(c(d)(e) * v(e)) * v(d)).sum
+    val den = v.map(x => x * x).sum
+    val tv = (0 until dim).map(d => c(d)(d)).sum
+    val lambda = bigToD(num) / (den.toDouble * QS)
+    def trunc4d(x: Double): Double = math.floor(x * 10000).toLong.toDouble / 10000
+    val spark = emb.sparkSession
+    import spark.implicits._
+    (0 until dim).map(d => (d, v(d).toDouble / QS, trunc4d(lambda),
+        trunc4d(lambda / (tv.toDouble / QS))))
+      .toDF("d", "loading", "lambda", "var_share")
   }
 
   /** The generated DuckDB mirror of [[pcaTop]] — same moments, same
