@@ -1353,8 +1353,15 @@ object Similarity {
     * node routes everything left — deterministic, and only reachable
     * at toy scale. */
   private[graft] def rpTreeLeaves(emb: DataFrame): DataFrame =
+    rpTreeLeavesOn(withEmbD(emb))
+
+  /** [[rpTreeLeaves]] over an already-projected vector relation — each
+    * tree is a separate pass over `v`, so a caller holding a persisted
+    * `v` (recallAtK shares one across all four ANN methods) saves
+    * [[RptTrees]] re-derivations of the projection + spread. */
+  private[graft] def rpTreeLeavesOn(v: DataFrame): DataFrame =
     (0 until RptTrees).map { t =>
-      var cur = withEmbD(emb).withColumn("pfx", lit(0L))
+      var cur = v.withColumn("pfx", lit(0L))
       for (level <- 0 until RptDepth) {
         val projd = cur.withColumn("proj",
           NativeVector.dot(col("e"), planeLit(rptPlane(t, level))))
@@ -1388,15 +1395,20 @@ object Similarity {
     * (tree, leaf) with the ≤ |queries|·trees-row query side broadcast
     * — build on the capped side, never the corpus (the IVF orientation
     * pin applies here too). */
-  def rptTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
-    val leaves = rpTreeLeaves(emb)
+  def rptTopK(emb: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame =
+    rptTopKOn(withEmbD(emb), queryIds, k)
+
+  /** [[rptTopK]] over an already-projected vector relation (shared by
+    * [[recallAtK]], which reuses one persisted `v` across all methods —
+    * the tree build alone is [[RptTrees]] passes over it). */
+  private def rptTopKOn(v: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val leaves = rpTreeLeavesOn(v)
       .localCheckpoint(true) // consumed by both probe sides; ≤ trees·n id rows
     val q = leaves.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("tree"), col("leaf"))
     val candIds = leaves.join(broadcast(q), Seq("tree", "leaf"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id")).distinct()
-    val v = withEmbD(emb)
     val qe = v.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("q_id"), col("e").as("qe"))
     topKByCos(candIds.join(v, "vec_id").join(broadcast(qe), "q_id")
@@ -1583,15 +1595,33 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("sp"),
         trunc4(NativeVector.cosine(col("qe"), col("e"))).as("cos"))
       .persist()
-    def score(method: String, approx: DataFrame): DataFrame =
-      exact.join(approx.withColumn("hit", lit(1L)), Seq("q_id", "vec_id"), "left")
-        .groupBy(col("q_id"))
-        .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / k).as("recall"))
-        .select(lit(method).as("method"), col("q_id"), col("recall"))
-    val result = score("ann", rankK(scoredLsh.filter(col("sp"))))
-      .unionByName(score("ann_mp", rankK(scoredLsh)))
-      .unionByName(score("ivf", ivfTopKOn(v, queryIds, k).select(col("q_id"), col("vec_id"))))
-      .unionByName(score("rpt", rptTopK(emb, queryIds, k).select(col("q_id"), col("vec_id"))))
+    // r12 fusions (guide §2.4 — operations keyed the same way share one
+    // exchange): the two LSH rankings were two window passes over the
+    // same persisted cosine relation (single-probe = the sp slice), now
+    // ONE method-tagged rank; and the four per-method hit joins +
+    // recall aggregates were four join+agg subtrees over the same exact
+    // baseline, now ONE tagged join + ONE (method, q_id) aggregate.
+    // Row-identical: membership per (method, q_id, vec_id) is unchanged
+    // and each method's rank order never crosses the method tag.
+    val wM = Window.partitionBy(col("method"), col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val lshTop = scoredLsh.filter(col("sp")).withColumn("method", lit("ann"))
+      .unionByName(scoredLsh.withColumn("method", lit("ann_mp")))
+      .withColumn("rnk", row_number().over(wM)).filter(col("rnk") <= k)
+      .select(col("method"), col("q_id"), col("vec_id"))
+    val approxAll = lshTop
+      .unionByName(ivfTopKOn(v, queryIds, k)
+        .select(lit("ivf").as("method"), col("q_id"), col("vec_id")))
+      .unionByName(rptTopKOn(v, queryIds, k)
+        .select(lit("rpt").as("method"), col("q_id"), col("vec_id")))
+    val methods = exact.sparkSession.createDataFrame(
+      Seq("ann", "ann_mp", "ivf", "rpt").map(Tuple1(_))).toDF("method")
+    val result = exact.crossJoin(broadcast(methods))
+      .join(approxAll.withColumn("hit", lit(1L)),
+        Seq("method", "q_id", "vec_id"), "left")
+      .groupBy(col("method"), col("q_id"))
+      .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") / k).as("recall"))
+      .select(col("method"), col("q_id"), col("recall"))
       .localCheckpoint(true) // 4 × |queries| rows
     bands.unpersist(); scoredLsh.unpersist(); v.unpersist()
     result
